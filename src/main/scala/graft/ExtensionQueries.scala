@@ -1,0 +1,407 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.ops.asof
+import graft.similarity.Similarity
+import graft.sources.StagedSources
+import graft.streaming.Streams
+import graft.text.Text
+
+/** Extension surface beyond reference parity: large-scale training-data
+  * pipeline operators (dedup, similarity search, text analysis, multimodal,
+  * streaming) plus sources/sinks and the as-of join. Registered in
+  * [[SparkEntry.queries]] next to the parity operators; every
+  * SQL-expressible one has a DuckDB oracle twin.
+  */
+object ExtensionQueries {
+  import Tables.t
+
+  // DuckDB token-set fragment mirroring Text.tokenSet (distinct order
+  // differs between engines, but every consumer is order-insensitive:
+  // sizes, mins, intersections).
+  private val dTokens =
+    """list_distinct(string_split_regex(trim(regexp_replace(lower(text),
+       '[^a-z0-9\s]+', ' ', 'g')), '\s+'))"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- sources / sinks (S4-S8) ------------------------------------------
+    "q_s_csv_roundtrip" -> ((s, d) =>
+      StagedSources.csvRoundTrip(s, t(s, d, "nation"))),
+
+    "q_s8_partitioned_sink" -> ((s, d) =>
+      StagedSources.partitionedRoundTrip(s,
+        t(s, d, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag"),
+        "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))),
+
+    // ---- as-of join --------------------------------------------------------
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"),
+          (col("user_id") % 25).as("uk"))
+      // dedupe right side per (key, ts): keep max orderkey (ASOF ties)
+      val ord = t(s, d, "orders")
+        .select((col("o_custkey") % 25).as("uk"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+        .groupBy("uk", "o_orderdate")
+        .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("m"))
+        .select(col("uk"), col("o_orderdate"),
+          col("m.o_orderkey").as("o_orderkey"),
+          col("m.o_totalprice").as("o_totalprice"))
+      asof.asOfJoin(ev, ord,
+        key = "uk", leftTs = "ts", rightTs = "o_orderdate",
+        payload = Seq("o_orderkey", "o_totalprice"))
+        .select("event_id", "o_orderkey", "o_totalprice")
+    }),
+
+    // ---- JSON props (events.props → typed) --------------------------------
+    "q_json_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+        .select(col("event_id"), element_at(col("m"), "k").as("k_val"))),
+
+    // ---- text analysis -----------------------------------------------------
+    "q_text_token_stats" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        size(Text.tokenSet(col("text"))).as("n_distinct"),
+        length(col("text")).cast("bigint").as("len_chars"))),
+
+    "q_text_langid" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        Text.langId(col("text")).as("pred_lang"))),
+
+    "q_text_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("q", Text.qualityScore(col("text")))
+        .select(col("doc_id"),
+          col("q.n_tokens").cast("bigint").as("n_tokens"),
+          round(col("q.mean_word_len"), 6).as("mean_word_len"),
+          round(col("q.punct_ratio"), 6).as("punct_ratio"))),
+
+    "q_text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Text.exactFingerprint(col("text")).as("fp_exact"),
+        Text.minShingleFingerprint(col("text"), 3).as("fp_minshingle"))),
+
+    // ---- dedup -------------------------------------------------------------
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
+
+    "q_dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        numPerms = 8, numBands = 4, threshold = 0.8)),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(t(s, d, "documents"), "doc_id", "text", bits = 16)),
+
+    "q_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), k = 3,
+        threshold = 0.5)),
+
+    "q_dedup_embedding" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(t(s, d, "embeddings"), dim = 64,
+        numPlanes = 8, threshold = 0.95)),
+
+    // ---- similarity search -------------------------------------------------
+    "q_ann_bruteforce" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+    }),
+
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, "label", k = 5)
+    }),
+
+    // ---- multimodal --------------------------------------------------------
+    "q_mm_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal
+        .mediaFromDocuments(s, t(s, d, "documents"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeMeta(media).toDF()
+    }),
+
+    "q_mm_frames" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.mediaFromDocuments(s, t(s, d, "documents")), stride = 64)),
+
+    // ---- streaming ---------------------------------------------------------
+    "q_stream_daily_agg" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt").toString
+      Streams.dailyEventAgg(s, d, ckpt)
+        .select(to_date(col("day")).as("day"), col("event_type"),
+          col("cnt"), col("sum_value"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_s_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q_s8_partitioned_sink" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_qty
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_asof_join" ->
+      """WITH ord AS (
+           SELECT o_custkey % 25 AS uk, o_orderdate,
+                  max_by(o_orderkey, o_orderkey) AS o_orderkey,
+                  max_by(o_totalprice, o_orderkey) AS o_totalprice
+           FROM orders GROUP BY 1, 2),
+         ev AS (SELECT event_id, ts, user_id % 25 AS uk FROM events)
+         SELECT e.event_id, o.o_orderkey, o.o_totalprice
+         FROM ev e ASOF LEFT JOIN ord o
+           ON e.uk = o.uk AND e.ts >= o.o_orderdate""",
+
+    "q_json_props" ->
+      """SELECT event_id,
+                json_extract_string(props, '$.k')::INT AS k_val
+         FROM events""",
+
+    "q_text_token_stats" ->
+      s"""SELECT doc_id,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                 len($dTokens) AS n_distinct,
+                 length(text) AS len_chars
+          FROM documents""",
+
+    "q_text_langid" -> {
+      val langRows = Text.stopwords.toSeq.sortBy(_._1).map {
+        case (lang, words) =>
+          s"('$lang', [${words.map(w => s"'$w'").mkString(",")}])"
+      }.mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, lang, $dTokens AS toks
+                        FROM documents),
+          langs(cand, words) AS (VALUES $langRows),
+          scores AS (
+            SELECT doc_id, lang, cand,
+                   len(list_intersect(toks, words)) AS score
+            FROM toks CROSS JOIN langs)
+          SELECT doc_id, lang, cand AS pred_lang
+          FROM (SELECT doc_id, lang, cand,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, cand ASC) AS rn
+                FROM scores)
+          WHERE rn = 1"""
+    },
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+                len(string_split_regex(trim(text), '\s+'))::BIGINT
+                  AS n_tokens,
+                round(length(text)::DOUBLE /
+                  greatest(len(string_split_regex(trim(text), '\s+')), 1),
+                  6) AS mean_word_len,
+                round((length(text) - length(regexp_replace(text,
+                    '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE /
+                  greatest(length(text), 1), 6) AS punct_ratio
+         FROM documents""",
+
+    "q_text_fingerprint" ->
+      s"""WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(regexp_replace(lower(text),
+                     '[^a-z0-9\\s]+', ' ', 'g')), '\\s+') AS toks
+            FROM documents)
+          SELECT doc_id,
+                 md5(array_to_string(toks, ' ')) AS fp_exact,
+                 list_min(list_transform(
+                   list_distinct(list_transform(
+                     generate_series(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+2], ' '))),
+                   s -> md5(s))) AS fp_minshingle
+          FROM toks""",
+
+    "q_dedup_exact" ->
+      s"""WITH fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(string_split_regex(trim(
+                     regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ', 'g')),
+                     '\\s+'), ' ')) AS fp
+            FROM documents)
+          SELECT fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+          FROM fp GROUP BY fp""",
+
+    "q_dedup_minhash_lsh" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($dTokens) AS tok FROM documents),
+          mh AS (
+            SELECT doc_id, i AS perm,
+                   min(md5(i::VARCHAR || ':' || tok)) AS mh
+            FROM tok CROSS JOIN range(8) r(i)
+            GROUP BY doc_id, i),
+          band AS (
+            SELECT doc_id, (perm // 2)::INT AS band,
+                   md5(string_agg(mh, ',' ORDER BY perm)) AS bucket
+            FROM mh GROUP BY doc_id, perm // 2),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band a JOIN band b
+              ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id),
+          toksets AS (SELECT doc_id, $dTokens AS toks FROM documents)
+          SELECT doc_a, doc_b,
+                 round(len(list_intersect(ta.toks, tb.toks))::DOUBLE /
+                   len(list_distinct(list_concat(ta.toks, tb.toks))), 6)
+                   AS jaccard
+          FROM cand
+          JOIN toksets ta ON cand.doc_a = ta.doc_id
+          JOIN toksets tb ON cand.doc_b = tb.doc_id
+          WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE /
+                  len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.8""",
+
+    "q_dedup_simhash" ->
+      s"""WITH tok AS (
+            SELECT doc_id, len($dTokens) AS n_toks,
+                   unnest($dTokens) AS tok
+            FROM documents),
+          h AS (SELECT doc_id, n_toks, md5(tok) AS h FROM tok),
+          bits AS (
+            SELECT doc_id, n_toks, h, i AS bit
+            FROM h CROSS JOIN range(16) r(i)),
+          nib AS (
+            SELECT doc_id, n_toks, bit,
+                   CASE WHEN ascii(substr(h, (bit // 4)::INT + 1, 1)) <= 57
+                        THEN ascii(substr(h, (bit // 4)::INT + 1, 1)) - 48
+                        ELSE ascii(substr(h, (bit // 4)::INT + 1, 1)) - 87
+                   END AS nibble
+            FROM bits),
+          bitset AS (
+            SELECT doc_id, bit,
+                   floor(nibble / 2 ** (3 - bit % 4))::INT % 2 AS bit_set,
+                   n_toks
+            FROM nib),
+          ones AS (
+            SELECT doc_id, bit, SUM(bit_set) AS ones,
+                   max(n_toks) AS n_toks
+            FROM bitset GROUP BY doc_id, bit)
+          SELECT doc_id,
+                 SUM(CASE WHEN ones * 2 > n_toks
+                          THEN (2 ** (15 - bit))::BIGINT ELSE 0 END)::BIGINT
+                   AS simhash
+          FROM ones GROUP BY doc_id""",
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH staged AS (
+            SELECT doc_id, lang, source,
+                   (n_chars // 64)::INT AS len_bucket,
+                   list_distinct(list_transform(
+                     generate_series(1, len(string_split_regex(trim(
+                       regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
+                       'g')), '\\s+')) - 2),
+                     i -> array_to_string((string_split_regex(trim(
+                       regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
+                       'g')), '\\s+'))[i:i+2], ' '))) AS grams
+            FROM documents)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                   len(list_distinct(list_concat(a.grams, b.grams))), 6)
+                   AS jaccard
+          FROM staged a JOIN staged b
+            ON a.lang = b.lang AND a.source = b.source
+               AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+                  len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5""",
+
+    "q_dedup_embedding" -> embeddingPairsSql(8, 0.95),
+
+    "q_ann_bruteforce" -> annSql("c.vec_id <> q.vec_id", "q.vec_id < 10"),
+
+    "q_ann_ivf" ->
+      annSql("c.vec_id <> q.vec_id AND c.label = q.label", "q.vec_id < 20"),
+
+    "q_mm_decode" ->
+      """SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS kind,
+                length(text)::BIGINT AS n_bytes,
+                16 + ascii(substr(text, 1, 1)) AS width,
+                16 + ascii(substr(text, 2, 1)) AS height,
+                md5(text) AS checksum
+         FROM documents""",
+
+    "q_mm_frames" ->
+      """SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS kind,
+                unnest(generate_series(0,
+                  greatest((length(text) // 64)::INT - 1, 0))) AS frame_idx,
+                unnest(generate_series(0,
+                  greatest((length(text) // 64)::INT - 1, 0))) * 64
+                  AS frame_off
+         FROM documents""",
+
+    "q_stream_daily_agg" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+                COUNT(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY 1, 2"""
+  )
+
+  /** DuckDB twin of Similarity.hyperplaneBucket + cosine pair filter.
+    * list_dot_product over DOUBLE lists matches Spark's sequential
+    * left-to-right summation bit for bit. */
+  private def embeddingPairsSql(numPlanes: Int, threshold: Double): String =
+    s"""WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE) AS emb
+          FROM embeddings),
+        bucketed AS (
+          SELECT vec_id, emb,
+                 array_to_string(list_transform(generate_series(0,
+                     ${numPlanes - 1}),
+                   p -> CASE WHEN list_dot_product(emb,
+                       list_transform(generate_series(0, 63),
+                         j -> ('0x' || substr(md5(p::VARCHAR || ':' ||
+                             j::VARCHAR), 1, 6))::BIGINT / 16777216.0
+                           - 0.5)) >= 0
+                     THEN '1' ELSE '0' END), '') AS bucket
+          FROM v)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.emb, b.emb) /
+                 (sqrt(list_dot_product(a.emb, a.emb)) *
+                  sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.emb, b.emb) /
+                (sqrt(list_dot_product(a.emb, a.emb)) *
+                 sqrt(list_dot_product(b.emb, b.emb))) >= $threshold"""
+
+  private def annSql(candCond: String, queryCond: String): String =
+    s"""WITH v AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> x::DOUBLE) AS emb
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.emb, c.emb) /
+                   (sqrt(list_dot_product(q.emb, q.emb)) *
+                    sqrt(list_dot_product(c.emb, c.emb))) AS cos
+          FROM v q JOIN v c ON $candCond
+          WHERE $queryCond)
+        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos
+        FROM (SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rnk
+              FROM scored)
+        WHERE rnk <= 5"""
+}

@@ -1,13 +1,446 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.{exprs, relational, windows}
+import graft.pipelines.Pipelines
+
+/** Driver contract — one named query per implemented operator from
+  * SURVEY.md §2, each with an ANSI-SQL oracle twin (DuckDB) in
+  * [[SparkEntry.oracleSql]]. Column names are aligned between the two on
+  * purpose: the driver's compare sorts columns by name before hashing.
+  *
+  * Determinism rules used throughout (SURVEY.md §5, §7 "hard parts"):
+  * deterministic ids via md5 (M7), double aggregates routed through
+  * `decimal(18,2)` so Spark's and DuckDB's summation order can't diverge,
+  * explicit tie-broken ordering before any limit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import Tables.t
+
+  /** Flagship query on sf=0.001 — the E2 "season backfill" pipeline
+    * (SURVEY.md §3) re-expressed as one declarative Spark job. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipelines.e2SeasonPipeline(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    parityQueries ++ ExtensionQueries.queries
+
+  def oracleSql: Map[String, String] =
+    parityOracleSql ++ ExtensionQueries.oracleSql
+
+  private def parityQueries
+  : Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.2 projections -------------------------------------------------
+    "q_p2_rename_positional" -> ((s, d) =>
+      relational.renameAll(t(s, d, "nation"),
+        Seq("nation_key", "nation_name", "region_key"))),
+
+    "q_p4_positional_select" -> ((s, d) =>
+      relational.selectPositional(t(s, d, "customer"), 1, 2)),
+
+    "q_p5_lit_drop" -> ((s, d) =>
+      t(s, d, "part")
+        .drop("p_retailprice", "p_size")
+        .withColumn("ingest_source", lit("staged"))),
+
+    // ---- §2.3 filters -----------------------------------------------------
+    "q_f_filters" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate").isNotNull)                       // F1
+        .filter(col("l_returnflag") =!= "N")                       // F2
+        .filter(col("l_shipdate") > "1997-06-01" ||
+                col("l_linestatus") =!= "F")                       // F6
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+
+    "q_f4_numeric_parse" -> ((s, d) =>
+      t(s, d, "part")
+        .withColumn("g_raw",
+          when(col("p_partkey") % 3 === 0, col("p_size").cast("string"))
+            .otherwise(col("p_name")))
+        .filter(col("g_raw").try_cast("int").isNotNull)            // F4/F5
+        .select(col("p_partkey"), col("g_raw").try_cast("int").as("g"))),
+
+    // ---- §2.4 joins -------------------------------------------------------
+    "q_j1_j2_lookup_override" -> ((s, d) => {
+      val dim = relational.lookupJoin(
+        t(s, d, "nation").withColumnRenamed("n_nationkey", "s_nationkey"),
+        t(s, d, "region").withColumnRenamed("r_regionkey", "n_regionkey"),
+        "n_regionkey")
+        .select(col("s_nationkey"), col("n_name"), col("r_name"),
+          upper(substring(col("n_name"), 1, 3)).as("abbrev"))
+      val joined = relational.lookupJoin(
+        relational.lookupJoin(t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_suppkey").as("s_suppkey"), col("l_shipdate")),
+          t(s, d, "supplier").select("s_suppkey", "s_nationkey"), "s_suppkey"),
+        dim, "s_nationkey")
+      relational.overrideWhen(joined, "abbrev",
+        col("n_name") === "FRANCE" && col("l_shipdate") < "1997-01-01",
+        lit("FRA-LEGACY"))                                         // J2
+        .select("l_orderkey", "l_linenumber", "n_name", "r_name", "abbrev")
+    }),
+
+    "q_j4_m8_date_flag" -> ((s, d) => {
+      val dim = t(s, d, "orders")
+        .select(year(col("o_orderdate")).as("season"))
+        .distinct()
+        .withColumn("cutoff",
+          to_timestamp(concat(col("season").cast("string"), lit("-07-01"))))
+      t(s, d, "orders")
+        .withColumn("season", year(col("o_orderdate")))
+        .join(broadcast(dim), "season")                            // J4
+        .select(col("o_orderkey"), col("season"),
+          exprs.boolFlag(col("o_orderdate") < col("cutoff"))
+            .as("is_first_half"))                                  // M8
+    }),
+
+    "q_semi_join" -> ((s, d) =>
+      t(s, d, "customer").join(
+        t(s, d, "orders").filter(col("o_totalprice") > 200000)
+          .withColumnRenamed("o_custkey", "c_custkey"),
+        Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+
+    "q_anti_join" -> ((s, d) =>
+      t(s, d, "customer").join(
+        t(s, d, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+        Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // ---- §2.5 set ops / aggregation --------------------------------------
+    "q_a1_union_missing" -> ((s, d) =>
+      relational.unionAll(Seq(
+        t(s, d, "customer").select(
+          col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+          col("c_nationkey").as("nationkey"),
+          col("c_mktsegment").as("mktsegment"),
+          lit("customer").as("entity")),
+        t(s, d, "supplier").select(
+          col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+          col("s_nationkey").as("nationkey"),
+          lit("supplier").as("entity"))))),
+
+    "q_a2_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+
+    "q_agg_q1" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= "1999-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("cnt"))),
+
+    // ---- §2.6 sort/limit + §2.7 id gen ------------------------------------
+    "q_o1_m7_sort_id" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))             // O1
+        .select(col("o_orderkey"), col("o_orderdate"),
+          exprs.detId(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd")).as("game_id"))),
+
+    "q_o3_topk" -> ((s, d) =>
+      relational.topK(t(s, d, "orders"), 25,
+        col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice")),
+
+    // ---- §2.7 scalar functions --------------------------------------------
+    "q_m1_m3_clock_score" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("clock",
+          concat_ws(":", col("l_linenumber").cast("string"),
+            lpad((col("l_partkey") % 60).cast("string"), 2, "0")))
+        .withColumn("score",
+          concat_ws("-", (col("l_partkey") % 150).cast("string"),
+            (col("l_suppkey") % 150).cast("string")))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          exprs.clockToSeconds(col("clock")).as("secs"),            // M1
+          exprs.parseScore(col("score")).getField("away").as("away_pt"),
+          exprs.parseScore(col("score")).getField("home").as("home_pt"))),
+
+    "q_m6_classify" -> ((s, d) =>
+      t(s, d, "part")
+        .withColumn("g_raw",
+          when(col("p_partkey") % 4 === 0, col("p_size").cast("string"))
+            .otherwise(col("p_type")))
+        .withColumn("role",
+          when(col("p_partkey") % 7 === 0, lit("Player Development"))
+            .otherwise(concat(col("p_brand"), lit(" Coach pro"))))
+        .select(col("p_partkey"),
+          exprs.classifyCoach(col("g_raw"), col("role"),
+            "Player Development").as("coach_type"))),
+
+    "q_m9_nullout" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("ev_away", col("l_returnflag"))
+        .withColumn("pt_away",
+          when(col("l_linenumber") % 2 === 0, col("l_returnflag"))
+            .otherwise(col("l_linestatus")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          exprs.nullOutWhen(col("ev_away"),
+            col("ev_away") === col("pt_away") || col("pt_away").isNull)
+            .as("ev_away_clean"))),
+
+    // ---- §2.8 stateful windows --------------------------------------------
+    "q_w1_running_counter" -> ((s, d) => {
+      val w = windows.running(Seq(col("l_orderkey")),
+        Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        windows.runningCounter(col("l_quantity") > 25, w).as("period"))
+    }),
+
+    "q_w2_forward_fill" -> ((s, d) => {
+      val w = windows.running(Seq(col("l_orderkey")),
+        Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+      t(s, d, "lineitem")
+        .withColumn("parsed",
+          when(col("l_linenumber") % 2 === 1, col("l_extendedprice")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          windows.forwardFill(col("parsed"), w, lit(0.0)).as("filled"))
+    }),
+
+    "q_w3_marker_fill" -> ((s, d) => {
+      val w = windows.running(Seq(col("l_orderkey")),
+        Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+      t(s, d, "lineitem")
+        .withColumn("marker",
+          when(col("l_linenumber") === 1, 1)
+            .when(col("l_quantity") > 45, 0))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          windows.markerFill(col("marker"), w, lit(1)).as("is_starter"))
+    }),
+
+    // ---- §3 pipelines ------------------------------------------------------
+    "q_e2_pipeline" -> ((s, d) => Pipelines.e2SeasonPipeline(s, d)),
+    "q_e3_pipeline" -> ((s, d) => Pipelines.e3DetailPipeline(s, d)),
+
+    // ---- analytics layer (§2.5 note: the absent dbt/BQ stage) -------------
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .filter(col("rn") <= 3)
+    }),
+
+    "q_agg_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("season", year(col("o_orderdate")))
+        .rollup("season", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))),
+
+    "q_agg_distinct_counts" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))),
+
+    "q_approx_count_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts")))
+  )
+
+  private def parityOracleSql: Map[String, String] = Map(
+    "q_p2_rename_positional" ->
+      """SELECT n_nationkey AS nation_key, n_name AS nation_name,
+         n_regionkey AS region_key FROM nation""",
+
+    "q_p4_positional_select" ->
+      "SELECT c_name, c_nationkey FROM customer",
+
+    "q_p5_lit_drop" ->
+      """SELECT p_partkey, p_name, p_brand, p_type,
+         'staged' AS ingest_source FROM part""",
+
+    "q_f_filters" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem
+         WHERE l_shipdate IS NOT NULL AND l_returnflag <> 'N'
+           AND (l_shipdate > TIMESTAMP '1997-06-01' OR l_linestatus <> 'F')""",
+
+    "q_f4_numeric_parse" ->
+      """WITH g AS (
+           SELECT p_partkey,
+                  CASE WHEN p_partkey % 3 = 0 THEN CAST(p_size AS VARCHAR)
+                       ELSE p_name END AS g_raw
+           FROM part)
+         SELECT p_partkey, TRY_CAST(g_raw AS INTEGER) AS g FROM g
+         WHERE TRY_CAST(g_raw AS INTEGER) IS NOT NULL""",
+
+    "q_j1_j2_lookup_override" ->
+      """SELECT l_orderkey, l_linenumber, n_name, r_name,
+                CASE WHEN n_name = 'FRANCE'
+                          AND l_shipdate < TIMESTAMP '1997-01-01'
+                     THEN 'FRA-LEGACY'
+                     ELSE upper(substring(n_name, 1, 3)) END AS abbrev
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey""",
+
+    "q_j4_m8_date_flag" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS season,
+                CASE WHEN o_orderdate <
+                       CAST(year(o_orderdate) || '-07-01' AS TIMESTAMP)
+                     THEN 1 ELSE 0 END AS is_first_half
+         FROM orders""",
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN
+           (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)""",
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+
+    "q_a1_union_missing" ->
+      """SELECT c_name AS name, c_acctbal AS acctbal,
+                c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+                'customer' AS entity
+         FROM customer
+         UNION ALL
+         SELECT s_name, s_acctbal, s_nationkey, NULL, 'supplier'
+         FROM supplier""",
+
+    "q_a2_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_agg_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                COUNT(*) AS cnt
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q_o1_m7_sort_id" ->
+      """SELECT o_orderkey, o_orderdate,
+                md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                  strftime(o_orderdate, '%Y-%m-%d'))) AS game_id
+         FROM orders ORDER BY o_orderdate, o_orderkey""",
+
+    "q_o3_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""",
+
+    "q_m1_m3_clock_score" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_linenumber * 60 + CAST(l_partkey % 60 AS INTEGER) AS secs,
+                CAST(l_partkey % 150 AS INTEGER) AS away_pt,
+                CAST(l_suppkey % 150 AS INTEGER) AS home_pt
+         FROM lineitem""",
+
+    "q_m6_classify" ->
+      """WITH staged AS (
+           SELECT p_partkey,
+                  CASE WHEN p_partkey % 4 = 0 THEN CAST(p_size AS VARCHAR)
+                       ELSE p_type END AS g_raw,
+                  CASE WHEN p_partkey % 7 = 0 THEN 'Player Development'
+                       ELSE p_brand || ' Coach pro' END AS role
+           FROM part)
+         SELECT p_partkey,
+                CASE WHEN TRY_CAST(g_raw AS INTEGER) IS NOT NULL
+                       THEN 'Head Coach'
+                     WHEN role = 'Player Development' THEN role
+                     ELSE split_part(role, 'Coach', 1) || 'Coach'
+                END AS coach_type
+         FROM staged""",
+
+    "q_m9_nullout" ->
+      """WITH staged AS (
+           SELECT l_orderkey, l_linenumber, l_returnflag AS ev_away,
+                  CASE WHEN l_linenumber % 2 = 0 THEN l_returnflag
+                       ELSE l_linestatus END AS pt_away
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+                CASE WHEN ev_away = pt_away OR pt_away IS NULL THEN NULL
+                     ELSE ev_away END AS ev_away_clean
+         FROM staged""",
+
+    "q_w1_running_counter" ->
+      """SELECT l_orderkey, l_linenumber,
+                SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY l_orderkey
+                        ORDER BY l_linenumber, l_partkey, l_suppkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS period
+         FROM lineitem""",
+
+    "q_w2_forward_fill" ->
+      """SELECT l_orderkey, l_linenumber,
+                COALESCE(last_value(
+                    CASE WHEN l_linenumber % 2 = 1 THEN l_extendedprice END
+                    IGNORE NULLS)
+                  OVER (PARTITION BY l_orderkey
+                        ORDER BY l_linenumber, l_partkey, l_suppkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  0.0) AS filled
+         FROM lineitem""",
+
+    "q_w3_marker_fill" ->
+      """SELECT l_orderkey, l_linenumber,
+                COALESCE(last_value(
+                    CASE WHEN l_linenumber = 1 THEN 1
+                         WHEN l_quantity > 45 THEN 0 END
+                    IGNORE NULLS)
+                  OVER (PARTITION BY l_orderkey
+                        ORDER BY l_linenumber, l_partkey, l_suppkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  1) AS is_starter
+         FROM lineitem""",
+
+    "q_e2_pipeline" -> Pipelines.e2OracleSql,
+    "q_e3_pipeline" -> Pipelines.e3OracleSql,
+
+    "q_window_rank" ->
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER w AS rn,
+                  rank() OVER w AS rk,
+                  lag(o_totalprice, 1) OVER w AS prev_price,
+                  lead(o_totalprice, 1) OVER w AS next_price
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey))
+         WHERE rn <= 3""",
+
+    "q_agg_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS season, o_orderstatus,
+                COUNT(*) AS cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total
+         FROM orders
+         GROUP BY ROLLUP (season, o_orderstatus)""",
+
+    "q_agg_distinct_counts" ->
+      """SELECT l_returnflag,
+                COUNT(DISTINCT l_partkey) AS n_parts,
+                COUNT(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag"""
+    // q_approx_count_distinct: intentionally no oracle — HLL sketch values
+    // are engine-specific; driver records rows-only.
+  )
 }

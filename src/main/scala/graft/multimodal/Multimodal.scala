@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed per-partition in
+  * batches.
+  *
+  * The decode step is a STUB (no image/audio codecs in this container):
+  * [[FakeCodec]] derives deterministic "dimensions"/"features" from the
+  * bytes. Everything around it — the binary column plumbing, the typed
+  * batch signature, the partition-local iteration (the Scala analog of
+  * `mapInPandas`: one invocation per batch of rows, never per row on the
+  * driver), and the metadata schema — is real and tested; swapping
+  * [[FakeCodec.decode]] for a JNI/ImageIO call changes nothing structural.
+  *
+  * Scale notes: payload bytes stay columnar in parquet (binary column, no
+  * base64 inflation); decode runs inside `mapPartitions` so codec init is
+  * amortized per partition, not per row; the output is a typed Dataset so
+  * downstream stages keep codegen.
+  */
+object Multimodal {
+
+  /** One media row: payload + envelope metadata. */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Decoded envelope: what a real image decode would yield. */
+  case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
+                       width: Int, height: Int, checksum: String)
+
+  /** Deterministic fake codec — stands in for e.g. javax.imageio /
+    * ffmpeg. "Width/height" are stable functions of the payload bytes so
+    * tests and oracles can reproduce them. */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): (Int, Int) = {
+      val n = payload.length
+      val w = 16 + (if (n == 0) 0 else (payload(0) & 0x7f))
+      val h = 16 + (if (n < 2) 0 else (payload(1) & 0x7f))
+      (w, h)
+    }
+  }
+
+  /** Batch decode: binary payloads → typed metadata, partition-local.
+    * Batch shape: the iterator is consumed lazily per partition — constant
+    * memory per task regardless of partition row count. */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec init would go here (amortized, like a Pandas
+      // UDF's per-batch setup)
+      rows.map { r =>
+        val (w, h) = FakeCodec.decode(r.payload)
+        MediaMeta(r.media_id, r.kind, r.payload.length.toLong, w, h,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(r.payload).map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
+  /** Frame-sample stub: pick every `stride`-th byte window as a "frame" —
+    * the plumbing (explode to one row per frame with an index) matches what
+    * real video frame extraction produces. */
+  def frameSample(media: DataFrame, stride: Int): DataFrame =
+    media
+      .withColumn("n_bytes", length(col("payload")).cast("bigint"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0),
+          greatest((col("n_bytes") / stride).cast("int") - 1, lit(0)))))
+      .withColumn("frame_off", col("frame_idx") * stride)
+      .select("media_id", "kind", "frame_idx", "frame_off")
+
+  /** Build a media table from the documents corpus (no binary testdata is
+    * shipped, so payloads are the utf-8 text bytes — deterministic and
+    * oracle-reproducible via DuckDB's encode()). */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      encode(col("text"), "utf-8").cast("binary").as("payload"))
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational operators — SURVEY.md §2.2 (P), §2.3 (F), §2.4 (J), §2.5 (A),
+  * §2.6 (O). Thin, named combinators (`DataFrame => DataFrame`) so pipelines
+  * read like the reference's dataflow while staying fully declarative for
+  * Catalyst (pushdown, pruning, join selection all apply through these).
+  */
+object relational {
+
+  /** P2 — positional rename-all (reference `set_axis`, e.g.
+    * `games.py:86-87`). */
+  def renameAll(df: DataFrame, names: Seq[String]): DataFrame =
+    df.toDF(names: _*)
+
+  /** P4 — positional select (reference `table.iloc[:, [i,j]]`,
+    * `playerSalary.py:21`). */
+  def selectPositional(df: DataFrame, idx: Int*): DataFrame =
+    df.select(idx.map(i => col(df.columns(i))): _*)
+
+  /** A1 — vertical concat with by-name alignment, missing columns → null
+    * (reference `pd.concat`, e.g. `games.py:15-16,25`). */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** J1 — dict-lookup equi-join (reference 37-entry team→abbrev dict,
+    * `playByplay.py:84-99`). The dim side is hinted broadcast: at 100 TB the
+    * fact side never shuffles for this join.
+    */
+  def lookupJoin(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
+    fact.join(broadcast(dim), key)
+
+  /** J2 — conditional override after a lookup join (reference `fixHornets`,
+    * `playByplay.py:5-9`): when `cond`, replace the joined value. */
+  def overrideWhen(df: DataFrame, target: String, cond: Column,
+                   replacement: Column): DataFrame =
+    df.withColumn(target, when(cond, replacement).otherwise(col(target)))
+
+  /** O3 — deterministic top-k: total order (ties broken by `tieBreak`) then
+    * limit. Spark plans this as TakeOrderedAndProject — no global sort, each
+    * partition keeps k rows, driver merges k·p rows. */
+  def topK(df: DataFrame, n: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(n)
+}

@@ -1,0 +1,134 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.ops.{exprs, relational, windows}
+
+/** End-to-end pipeline compositions — SURVEY.md §3 (E1-E3).
+  *
+  * The reference runs these as Airflow DAGs: one DAG-run per season, pandas
+  * in a single process, CSV as the inter-task IR
+  * (`scrape_data_to_gcs.py:56-96,268-277`). Here each pipeline is ONE
+  * declarative DataFrame chain: the 26 season runs collapse into partitions
+  * of a single job, the CSV IR disappears into Catalyst stages, and the only
+  * cross-node boundary is a join shuffle (avoided below by broadcasting the
+  * small side). At 100 TB: scans split by row-group, the season dim is a
+  * few-KB broadcast, and the detail window runs per game_id partition.
+  */
+object Pipelines {
+
+  /** E2 — "@yearly season backfill" (reference `games.py:6-88` driven by
+    * `scrape_data_to_gcs.py:268-277`): filter unplayed (F1), drop
+    * pre-season exhibition rows of the anomalous season (F6, COVID
+    * analog), season→cutoff-date broadcast lookup (J4), regular-season
+    * flag (M8), global sort (O1), deterministic id (M7), positional
+    * rename (P2).
+    */
+  def e2SeasonPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val seasonDim = orders
+      .select(year(col("o_orderdate")).as("season"))
+      .distinct()
+      .withColumn("cutoff",
+        to_timestamp(concat(col("season").cast("string"), lit("-07-01"))))
+
+    val staged = orders
+      .filter(col("o_totalprice").isNotNull)                        // F1
+      .withColumn("season", year(col("o_orderdate")))
+      .filter(col("o_orderdate") > "1998-02-01" ||
+              col("season") =!= 1998)                               // F6
+      .join(broadcast(seasonDim), "season")                         // J4
+      .withColumn("isRegular",
+        exprs.boolFlag(col("o_orderdate") < col("cutoff")))         // M8
+      .orderBy(col("o_orderdate"), col("o_orderkey"))               // O1
+      .select(
+        col("season"),
+        col("o_orderdate"),
+        col("o_totalprice"),
+        col("isRegular"),
+        exprs.detId(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd")))           // M7
+
+    relational.renameAll(staged,                                    // P2
+      Seq("seasonStartYear", "gameDate", "totalPrice", "isRegular", "gameId"))
+  }
+
+  val e2OracleSql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS seasonStartYear,
+              o_orderdate AS gameDate,
+              o_totalprice AS totalPrice,
+              CASE WHEN o_orderdate <
+                     CAST(year(o_orderdate) || '-07-01' AS TIMESTAMP)
+                   THEN 1 ELSE 0 END AS isRegular,
+              md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                strftime(o_orderdate, '%Y-%m-%d'))) AS gameId
+       FROM orders
+       WHERE o_totalprice IS NOT NULL
+         AND (o_orderdate > TIMESTAMP '1998-02-01'
+              OR year(o_orderdate) <> 1998)
+       ORDER BY o_orderdate, o_orderkey"""
+
+  /** E3 — dependent detail pipeline (reference `playByplay.py:78-132`):
+    * manifest (played games) drives the detail fetch (J3 — here an equi
+    * join detail↔manifest on the key), per-detail-row id (M7), running
+    * period counter (W1), score forward-fill with seed 0 (W2), duplicate
+    * null-out (M9). The reference's per-row HTTP loop + iterrows state
+    * machines become one join plus window expressions over
+    * `(game_id, seq)`.
+    */
+  def e3DetailPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val manifest = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") =!= "P")                         // F1-ish
+      .select(col("o_orderkey"))
+    val detail = t(spark, dir, "lineitem")
+    // Materialize the stable row order the reference gets implicitly from
+    // file order (SURVEY.md §2.8, §7 hard part 1): (l_orderkey,
+    // l_linenumber, l_partkey, l_suppkey) is a unique natural key, so this
+    // seq is deterministic.
+    val seqW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val w = windows.running(Seq(col("game_id")), Seq(col("seq")))
+
+    detail
+      .join(manifest.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"))                                          // J3
+      .withColumn("seq", row_number().over(seqW))
+      .withColumn("parsed",
+        when(col("seq") % 2 === 1, col("l_extendedprice")))
+      .withColumnRenamed("l_orderkey", "game_id")
+      .select(
+        col("game_id"),
+        col("seq"),
+        exprs.detId(col("game_id"), col("seq")).as("play_id"),      // M7
+        windows.runningCounter(col("l_quantity") > 25, w).as("period"), // W1
+        windows.forwardFill(col("parsed"), w, lit(0.0))
+          .as("away_points"),                                       // W2
+        exprs.nullOutWhen(col("l_returnflag"),
+          col("l_returnflag") === col("l_linestatus")).as("event_away")) // M9
+  }
+
+  val e3OracleSql: String =
+    """WITH det AS (
+         SELECT l_orderkey AS game_id, l_quantity, l_extendedprice,
+                l_returnflag, l_linestatus,
+                row_number() OVER (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_partkey, l_suppkey) AS seq
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus <> 'P')
+       SELECT game_id, seq,
+              md5(concat_ws('|', CAST(game_id AS VARCHAR),
+                CAST(seq AS VARCHAR))) AS play_id,
+              SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) OVER w
+                AS period,
+              COALESCE(last_value(
+                  CASE WHEN seq % 2 = 1 THEN l_extendedprice END
+                  IGNORE NULLS) OVER w, 0.0) AS away_points,
+              CASE WHEN l_returnflag = l_linestatus THEN NULL
+                   ELSE l_returnflag END AS event_away
+       FROM det
+       WINDOW w AS (PARTITION BY game_id ORDER BY seq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+}

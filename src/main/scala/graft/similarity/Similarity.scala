@@ -1,0 +1,114 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Scale design: brute-force top-k is the correctness baseline — a
+  * broadcast of the (small) query set against the full corpus, so the big
+  * side streams scan-local and only k rows per (query, partition) survive
+  * the partial top-k aggregation. The scale path is IVF-style coarse
+  * quantization: restrict candidates to the query's cell (here the `label`
+  * column stands in for a k-means cell id; at 100 TB you'd write the cell
+  * id at ingest the same way) — candidate lists shrink by the number of
+  * cells, and the cell column doubles as a partition key so a cell's
+  * vectors are co-located.
+  *
+  * Dot products use `zip_with` + `aggregate` in double precision —
+  * built-in higher-order functions, sequential left-to-right summation
+  * (deterministic, oracle-reproducible), no UDF.
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self excluded), ties broken by corpus id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int)
+  : DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF-style search: same contract as bruteForceTopK but candidates are
+    * restricted to the query's coarse cell (`cellCol`). At scale the corpus
+    * is partitioned/bucketed by the cell id, so each query probes one
+    * partition instead of the full corpus. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, cellCol: String, k: Int)
+  : DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col(cellCol).as("cell"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col(cellCol).as("cell"), col("embedding").as("c_emb"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Random-hyperplane LSH bucket id (Charikar '02 cosine LSH): sign bits
+    * of projections onto `numPlanes` deterministic pseudo-random planes.
+    * Plane component j of plane p is derived from md5(p:j) → uniform in
+    * [-0.5, 0.5) — deterministic across engines and runs, no RNG state.
+    * Vectors sharing a bucket are cosine-similar with high probability;
+    * candidate pairs come from a bucket self-join (same shape as
+    * MinHash-LSH banding).
+    */
+  def hyperplaneBucket(emb: Column, dim: Int, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = (0 until dim).map { j =>
+        val u = (conv(substring(md5(lit(s"$p:$j")), 1, 6), 16, 10)
+          .cast("double") / lit(16777216.0)) - 0.5
+        element_at(emb, j + 1).cast("double") * u
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
+    }
+    concat(bits: _*)
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold inside an LSH bucket
+    * (blocked self-join — never O(n²) across the corpus). */
+  def cosineNearDupPairs(vectors: DataFrame, dim: Int, numPlanes: Int,
+                         threshold: Double): DataFrame = {
+    val staged = vectors.select(col("vec_id"), col("embedding"),
+      hyperplaneBucket(col("embedding"), dim, numPlanes).as("bucket"))
+    val a = staged.toDF("vec_a", "emb_a", "bucket")
+    val b = staged.toDF("vec_b", "emb_b", "bucket")
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+  }
+}

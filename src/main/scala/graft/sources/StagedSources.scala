@@ -1,0 +1,35 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sources & sinks — SURVEY.md §2.1 (S4-S8).
+  *
+  * The reference's flow is CSV-in-flight → parquet-at-rest → lake layout
+  * (`scrape_data_to_gcs.py:34-39,196-320`). These helpers reproduce that
+  * shape with Spark's native readers/writers: explicit schemas at the CSV
+  * edge (the reference's stringly CSV round-trip becomes a declared
+  * schema), parquet + `partitionBy` for the per-season lake layout (S8),
+  * which at 100 TB gives static+dynamic partition pruning for free.
+  */
+object StagedSources {
+
+  /** S5 CSV sink → S4 CSV scan round trip, schema pinned (no inference
+    * drift). Stands in for the reference's to_csv/read_csv inter-task IR. */
+  def csvRoundTrip(spark: SparkSession, df: DataFrame): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_csv").toString
+    df.write.mode("overwrite").option("header", "true").csv(tmp)
+    spark.read.option("header", "true").schema(df.schema).csv(tmp)
+  }
+
+  /** S6+S8: parquet lake layout partitioned by an entity key — one
+    * directory per partition value, as the reference lays out one object
+    * per (entity, season). */
+  def partitionedRoundTrip(spark: SparkSession, df: DataFrame,
+                           partCol: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake").toString
+    df.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    spark.read.parquet(tmp)
+  }
+}

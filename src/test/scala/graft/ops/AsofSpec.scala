@@ -1,0 +1,38 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AsofSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin picks latest right row at-or-before left ts, per key") {
+    val left = Seq(
+      (1L, 10, ts("2024-01-05 00:00:00")),
+      (2L, 10, ts("2024-01-01 00:00:00")), // before any right row
+      (3L, 20, ts("2024-03-01 00:00:00")),
+      (4L, 10, ts("2024-01-10 00:00:00"))  // exactly on a right ts
+    ).toDF("event_id", "uk", "ts")
+    val right = Seq(
+      (10, ts("2024-01-02 00:00:00"), 100L, 1.0),
+      (10, ts("2024-01-10 00:00:00"), 101L, 2.0),
+      (20, ts("2024-02-01 00:00:00"), 200L, 3.0)
+    ).toDF("uk", "rts", "o_orderkey", "o_totalprice")
+
+    val got = asof.asOfJoin(left, right, "uk", "ts", "rts",
+      Seq("o_orderkey", "o_totalprice"))
+      .select("event_id", "o_orderkey", "o_totalprice")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+
+    assert(got === Set(
+      (1L, Some(100L), Some(1.0)),
+      (2L, None, None),
+      (3L, Some(200L), Some(3.0)),
+      (4L, Some(101L), Some(2.0)))) // inclusive: right row at equal ts wins
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** SURVEY.md §5 item 3: prove the iterrows→window translation by checking
+  * W1-W3 window expressions against a direct sequential fold (the pandas
+  * semantics transcribed to Scala) on random event sequences. */
+// top-level so Spark can generate an Encoder (inner classes need an outer
+// scope the executor doesn't have)
+case class Ev(game: Int, seq: Int, periodTime: Int, score: Option[Double])
+
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-scalacheck sampling loop (scalatestplus bridge isn't on the
+    * offline classpath): 20 deterministic samples per property. */
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    (0 until 20).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .foreach(body)
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val genGame: Gen[List[Ev]] = for {
+    game <- Gen.choose(0, 5)
+    n <- Gen.choose(1, 15)
+    times <- Gen.listOfN(n,
+      Gen.oneOf(720, 720, 100, 55, 0)) // 720 = period start marker
+    scores <- Gen.listOfN(n, Gen.option(Gen.choose(0.0, 100.0)))
+  } yield {
+    // first row of a game is a period start, like the reference data
+    val ts = 720 :: times.tail
+    ts.zip(scores).zipWithIndex.map { case ((t, sc), i) =>
+      Ev(game, i, t, sc)
+    }
+  }
+
+  test("W1 running counter ≡ sequential fold (pandas create_period)") {
+    forAll(Gen.listOfN(4, genGame)) { games =>
+      val evs = games.zipWithIndex.flatMap { case (g, i) =>
+        g.map(_.copy(game = i)) }
+      whenever(evs.nonEmpty) {
+        // pandas playByplay.py:19-41: reset at new game, +1 on time==720
+        val expected = evs.groupBy(_.game).flatMap { case (g, rows) =>
+          var p = 0
+          rows.sortBy(_.seq).map { e =>
+            if (e.periodTime == 720) p += 1
+            (g, e.seq, p)
+          }
+        }.toSet
+
+        val w = windows.running(Seq(col("game")), Seq(col("seq")))
+        val got = evs.toDF()
+          .select(col("game"), col("seq"),
+            windows.runningCounter(col("periodTime") === 720, w).as("p"))
+          .as[(Int, Int, Long)].collect()
+          .map { case (g, s, p) => (g, s, p.toInt) }.toSet
+        assert(got === expected)
+      }
+    }
+  }
+
+  test("W2 forward fill with seed ≡ sequential fold (createHomeAwayPoints)") {
+    forAll(Gen.listOfN(4, genGame)) { games =>
+      val evs = games.zipWithIndex.flatMap { case (g, i) =>
+        g.map(_.copy(game = i)) }
+      whenever(evs.nonEmpty) {
+        val expected = evs.groupBy(_.game).flatMap { case (g, rows) =>
+          var lastSeen = 0.0
+          rows.sortBy(_.seq).map { e =>
+            lastSeen = e.score.getOrElse(lastSeen)
+            (g, e.seq, lastSeen)
+          }
+        }.toSet
+
+        val w = windows.running(Seq(col("game")), Seq(col("seq")))
+        val got = evs.toDF()
+          .select(col("game"), col("seq"),
+            windows.forwardFill(col("score"), w, lit(0.0)).as("f"))
+          .as[(Int, Int, Double)].collect().toSet
+        assert(got === expected)
+      }
+    }
+  }
+
+  test("W3 marker fill ≡ sequential fold (isStarter semantics)") {
+    forAll(Gen.listOfN(4, genGame)) { games =>
+      val evs = games.zipWithIndex.flatMap { case (g, i) =>
+        g.map(_.copy(game = i)) }
+      whenever(evs.nonEmpty) {
+        // boxScores.py:64-76: value 1 until 'Reserves' marker (here
+        // periodTime==0), 0 after; first row defaults 1.
+        val expected = evs.groupBy(_.game).flatMap { case (g, rows) =>
+          var cur = 1
+          rows.sortBy(_.seq).map { e =>
+            if (e.periodTime == 0) cur = 0
+            (g, e.seq, cur)
+          }
+        }.toSet
+
+        val w = windows.running(Seq(col("game")), Seq(col("seq")))
+        val got = evs.toDF()
+          .select(col("game"), col("seq"),
+            windows.markerFill(when(col("periodTime") === 0, 0), w,
+              lit(1)).as("m"))
+          .as[(Int, Int, Int)].collect().toSet
+        assert(got === expected)
+      }
+    }
+  }
+}

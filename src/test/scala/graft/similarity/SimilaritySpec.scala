@@ -1,0 +1,48 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),   // near 0
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.0f, 1.0f), 2),
+    (4L, Array(1.0f, 0.05f, 0.0f), 0)   // nearer 0 than 1 is
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine expression matches hand computation") {
+    val c = vecs.filter(col("vec_id") === 0L)
+      .crossJoin(vecs.filter(col("vec_id") === 2L)
+        .select(col("embedding").as("e2")))
+      .select(Similarity.cosine(col("embedding"), col("e2")).as("c"))
+      .as[Double].head()
+    assert(math.abs(c) < 1e-12) // orthogonal
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tie-break") {
+    val got = Similarity
+      .bruteForceTopK(vecs.filter(col("vec_id") === 0L), vecs, k = 2)
+      .select("neighbor_id", "rnk").as[(Long, Int)].collect().toSet
+    assert(got === Set((4L, 1), (1L, 2)))
+  }
+
+  test("ivfTopK only searches the query's cell") {
+    val got = Similarity
+      .ivfTopK(vecs.filter(col("vec_id") === 0L), vecs, "label", k = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got === Set(1L, 4L)) // label-0 cell only
+  }
+
+  test("hyperplane LSH: identical vectors share buckets") {
+    val b = vecs
+      .select(Similarity.hyperplaneBucket(col("embedding"), 3, 8).as("b"))
+      .as[String].collect()
+    assert(b(0).length === 8)
+    assert(b.toSet.size > 1, "distinct directions should split buckets")
+  }
+}

@@ -1,0 +1,46 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** S4-S9 (SURVEY.md §2.1): CSV round trip, partitioned lake layout with
+  * partition pruning, and the warehouse catalog path (S9). */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq((1, "a", 10.5), (2, "b", 20.25), (3, "a", 1.0))
+    .toDF("id", "grp", "v")
+
+  test("S4/S5 csv round trip preserves schema and rows") {
+    val back = StagedSources.csvRoundTrip(spark, df)
+    // CSV read-back relaxes nullability; names+types must survive
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().toSet === df.collect().toSet)
+  }
+
+  test("S6/S8 partitioned parquet round trip + partition pruning") {
+    val back = StagedSources.partitionedRoundTrip(spark, df, "grp")
+    assert(back.count() === 3)
+    // partition filter must prune at the file-index level, not post-scan
+    val pruned = back.filter(col("grp") === "a")
+    assert(pruned.count() === 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter (grp"),
+      "partition filter should be pruned into the scan, not a Filter node")
+  }
+
+  test("S9 warehouse table: saveAsTable + catalog read back") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    df.write.mode("overwrite")
+      .option("path", s"$wh/t_sources_spec")
+      .saveAsTable("t_sources_spec")
+    val back = spark.table("t_sources_spec")
+    assert(back.count() === 3)
+    assert(spark.catalog.tableExists("t_sources_spec"))
+    spark.sql("DROP TABLE t_sources_spec")
+  }
+}
