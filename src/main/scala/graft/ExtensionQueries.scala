@@ -239,13 +239,26 @@ object ExtensionQueries {
           FROM fp GROUP BY fp""",
 
     "q_dedup_minhash_lsh" ->
-      s"""WITH tok AS (
-            SELECT doc_id, unnest($dTokens) AS tok FROM documents),
+      s"""WITH tk AS (
+            SELECT doc_id,
+                   string_split_regex(trim(regexp_replace(lower(text),
+                     '[^a-z0-9\\s]+', ' ', 'g')), '\\s+') AS tk
+            FROM documents),
+          sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(tk) - 2),
+                     i -> array_to_string(tk[i:i+2], ' '))) AS shset
+            FROM tk),
+          units AS (SELECT doc_id, unnest(shset) AS u FROM sh),
+          vocab AS (SELECT DISTINCT u FROM units),
+          vh AS (
+            SELECT u, i AS perm, md5(i::VARCHAR || ':' || u) AS h
+            FROM vocab CROSS JOIN range(8) r(i)),
           mh AS (
-            SELECT doc_id, i AS perm,
-                   min(md5(i::VARCHAR || ':' || tok)) AS mh
-            FROM tok CROSS JOIN range(8) r(i)
-            GROUP BY doc_id, i),
+            SELECT doc_id, perm, min(h) AS mh
+            FROM units JOIN vh USING (u)
+            GROUP BY doc_id, perm),
           band AS (
             SELECT doc_id, (perm // 2)::INT AS band,
                    md5(string_agg(mh, ',' ORDER BY perm)) AS bucket
@@ -254,17 +267,17 @@ object ExtensionQueries {
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM band a JOIN band b
               ON a.band = b.band AND a.bucket = b.bucket
-                 AND a.doc_id < b.doc_id),
-          toksets AS (SELECT doc_id, $dTokens AS toks FROM documents)
+                 AND a.doc_id < b.doc_id)
           SELECT doc_a, doc_b,
-                 round(len(list_intersect(ta.toks, tb.toks))::DOUBLE /
-                   len(list_distinct(list_concat(ta.toks, tb.toks))), 6)
+                 round(len(list_intersect(sa.shset, sb.shset))::DOUBLE /
+                   len(list_distinct(list_concat(sa.shset, sb.shset))), 6)
                    AS jaccard
           FROM cand
-          JOIN toksets ta ON cand.doc_a = ta.doc_id
-          JOIN toksets tb ON cand.doc_b = tb.doc_id
-          WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE /
-                  len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.8""",
+          JOIN sh sa ON cand.doc_a = sa.doc_id
+          JOIN sh sb ON cand.doc_b = sb.doc_id
+          WHERE len(list_intersect(sa.shset, sb.shset))::DOUBLE /
+                  len(list_distinct(list_concat(sa.shset, sb.shset)))
+                  >= 0.8""",
 
     "q_dedup_simhash" ->
       s"""WITH tok AS (

@@ -221,6 +221,7 @@ object SparkEntry {
     }),
 
     // ---- §3 pipelines ------------------------------------------------------
+    "q_e1_pipeline" -> ((s, d) => Pipelines.e1FullLoadPipeline(s, d)),
     "q_e2_pipeline" -> ((s, d) => Pipelines.e2SeasonPipeline(s, d)),
     "q_e3_pipeline" -> ((s, d) => Pipelines.e3DetailPipeline(s, d)),
 
@@ -254,7 +255,31 @@ object SparkEntry {
     "q_approx_count_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts")))
+          countDistinct(col("l_partkey")).as("exact_parts"))),
+
+    "q_pivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("season", year(col("l_shipdate")))
+        .groupBy("season")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))),
+
+    "q_agg_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("season", year(col("o_orderdate")))
+        .cube("season", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))),
+
+    "q_m4_date_roundtrip" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("date_str",
+          date_format(col("o_orderdate"), "EEE, MMM dd, yyyy"))   // M4/M11
+        .select(col("o_orderkey"), col("date_str"),
+          to_date(regexp_replace(col("date_str"), "^[A-Za-z]+, ", ""),
+            "MMM dd, yyyy").as("parsed"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom")))               // M5
   )
 
   private def parityOracleSql: Map[String, String] = Map(
@@ -412,6 +437,7 @@ object SparkEntry {
                   1) AS is_starter
          FROM lineitem""",
 
+    "q_e1_pipeline" -> Pipelines.e1OracleSql,
     "q_e2_pipeline" -> Pipelines.e2OracleSql,
     "q_e3_pipeline" -> Pipelines.e3OracleSql,
 
@@ -439,7 +465,36 @@ object SparkEntry {
       """SELECT l_returnflag,
                 COUNT(DISTINCT l_partkey) AS n_parts,
                 COUNT(DISTINCT l_suppkey) AS n_supps
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_pivot" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS season,
+                CAST(SUM(CASE WHEN l_returnflag = 'A'
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+                  AS "A",
+                CAST(SUM(CASE WHEN l_returnflag = 'N'
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+                  AS "N",
+                CAST(SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+                  AS "R"
+         FROM lineitem GROUP BY 1""",
+
+    "q_agg_cube" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS season,
+                o_orderpriority, COUNT(*) AS cnt
+         FROM orders GROUP BY CUBE (season, o_orderpriority)""",
+
+    "q_m4_date_roundtrip" ->
+      """SELECT o_orderkey,
+                strftime(o_orderdate, '%a, %b %d, %Y') AS date_str,
+                CAST(strptime(regexp_replace(
+                    strftime(o_orderdate, '%a, %b %d, %Y'),
+                    '^[A-Za-z]+, ', ''), '%b %d, %Y') AS DATE) AS parsed,
+                CAST(year(o_orderdate) AS INTEGER) AS y,
+                CAST(month(o_orderdate) AS INTEGER) AS m,
+                CAST(day(o_orderdate) AS INTEGER) AS dom
+         FROM orders"""
     // q_approx_count_distinct: intentionally no oracle — HLL sketch values
     // are engine-specific; driver records rows-only.
   )

@@ -29,25 +29,37 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Salted, engine-portable token hash for permutation `i`:
-    * md5("i:token"). Lexicographic min over hex strings is a valid minhash
-    * (uniformly distributed under md5). */
-  private def saltedHash(i: Column, tok: Column): Column =
-    md5(concat_ws(":", i.cast("string"), tok))
-
-  /** MinHash signatures: one row per (doc, permutation) with the min salted
-    * hash over the doc's token set. numPerms rows per doc — the explode is
-    * map-side, the min is a partial agg. */
+  /** MinHash signatures over the doc's 3-shingle set, one row per (doc,
+    * permutation) with the min salted hash md5("i:shingle").
+    *
+    * Two scale decisions: (1) shingles, not unigrams — unigram sets out of
+    * a small vocabulary are all near-identical, so LSH buckets explode
+    * into O(n²) candidates; shingle space is |vocab|^k and selective.
+    * (2) hash per DISTINCT shingle, not per occurrence: the salted md5s
+    * are computed once on the (much smaller) shingle vocabulary and
+    * joined back, then the per-doc min is a map-side partial agg — the
+    * shuffle carries |docs|·perms rows, never |occurrences|·perms. At
+    * 100 TB swap the portable md5 for xxhash64 and skip the vocab join
+    * entirely; md5 is kept here so the DuckDB oracle reproduces the
+    * signatures bit for bit.
+    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        numPerms: Int): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), Text.tokenSet(col(textCol)).as("toks"))
-      .select(col("doc_id"), explode(col("toks")).as("tok"),
-        lit(1).as("one"))
-      .select(col("doc_id"), col("tok"),
-        explode(sequence(lit(0), lit(numPerms - 1))).as("perm"))
-      .groupBy("doc_id", "perm")
-      .agg(min(saltedHash(col("perm"), col("tok"))).as("mh"))
+                        numPerms: Int): DataFrame = {
+    val units = docs.select(col(idCol).as("doc_id"),
+      explode(Text.shingles(Text.tokens(col(textCol)), 3)).as("u"))
+    val vocab = units.select("u").distinct()
+      .select(col("u") +: (0 until numPerms).map(i =>
+        md5(concat_ws(":", lit(i.toString), col("u"))).as(s"h$i")): _*)
+    val mins = units.join(vocab, "u")
+      .groupBy("doc_id")
+      .agg((0 until numPerms).map(i => min(col(s"h$i")).as(s"h$i")).head,
+        (1 until numPerms).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+    // unpivot to the (doc_id, perm, mh) shape lshBuckets consumes
+    mins.select(col("doc_id"),
+      explode(array((0 until numPerms).map(i =>
+        struct(lit(i).as("perm"), col(s"h$i").as("mh"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.perm").as("perm"), col("x.mh").as("mh"))
+  }
 
   /** LSH band buckets: group each doc's signature into `numBands` bands of
     * `numPerms/numBands` rows, hash each band → (band, bucket) keys. */
@@ -74,20 +86,25 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact token-set Jaccard for a pair table — the verification step after
-    * LSH candidate generation. */
+  /** Exact shingle-set Jaccard for a pair table — the verification step
+    * after LSH candidate generation. A size-bound prefilter
+    * (jaccard ≤ min(|A|,|B|)/max(|A|,|B|)) prunes pairs before the
+    * expensive intersection; it cannot change the result, only skip work.
+    */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, threshold: Double): DataFrame = {
-    val toks = docs.select(col(idCol).as("jid"),
-      Text.tokenSet(col(textCol)).as("jtoks"))
+    val units = docs.select(col(idCol).as("jid"),
+      Text.shingles(Text.tokens(col(textCol)), 3).as("jset"))
     pairs
-      .join(toks.select(col("jid").as("doc_a"), col("jtoks").as("toks_a")),
+      .join(units.select(col("jid").as("doc_a"), col("jset").as("set_a")),
         Seq("doc_a"))
-      .join(toks.select(col("jid").as("doc_b"), col("jtoks").as("toks_b")),
+      .join(units.select(col("jid").as("doc_b"), col("jset").as("set_b")),
         Seq("doc_b"))
+      .filter(least(size(col("set_a")), size(col("set_b"))).cast("double") /
+        greatest(size(col("set_a")), size(col("set_b"))) >= threshold)
       .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
         .as("jaccard"))
@@ -154,6 +171,11 @@ object Dedup {
     val b = staged.toDF("doc_b", "lang", "source", "len_bucket", "grams_b")
     a.join(b, Seq("lang", "source", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))
+      // size-bound prefilter: jaccard ≤ min/max of set sizes — prunes most
+      // pairs before the O(|A|+|B|) intersection without changing results
+      .filter(
+        least(size(col("grams_a")), size(col("grams_b"))).cast("double") /
+          greatest(size(col("grams_a")), size(col("grams_b"))) >= threshold)
       .withColumn("jaccard",
         size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
           size(array_union(col("grams_a"), col("grams_b"))).cast("double"))

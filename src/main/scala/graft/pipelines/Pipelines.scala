@@ -70,6 +70,60 @@ object Pipelines {
               OR year(o_orderdate) <> 1998)
        ORDER BY o_orderdate, o_orderkey"""
 
+  /** E1 — "@once full load" (reference `coaches.py` driven by
+    * `scrape_data_to_gcs.py:199-207`): looped page scan accumulated by
+    * union (S2/A1), pattern filter on the season string (F3),
+    * numeric-parse filter (F4), season split (M2), conditional classify
+    * (M6). The per-page loop becomes a union of page slices that Catalyst
+    * collapses back into one scan.
+    */
+  def e1FullLoadPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+    // four "letter pages" of the directory scan, unioned like pd.concat
+    val pages = (0 until 4).map(i =>
+      part.filter(pmod(col("p_partkey"), lit(4)) === i))
+    relational.unionAll(pages)
+      .withColumn("season_raw",
+        when(col("p_partkey") % 11 === 0, lit("Career"))
+          .otherwise(concat((col("p_size") + 1990).cast("string"), lit("-"),
+            lpad(((col("p_size") + 1991) % 100).cast("string"), 2, "0"))))
+      .filter(size(split(col("season_raw"), "-")) === 2)            // F3
+      .withColumn("g_raw",
+        when(col("p_partkey") % 4 === 0, col("p_size").cast("string"))
+          .otherwise(col("p_type")))
+      .withColumn("role",
+        when(col("p_partkey") % 7 === 0, lit("Player Development"))
+          .otherwise(concat(col("p_brand"), lit(" Coach pro"))))
+      .select(
+        col("p_partkey").as("coach_key"),
+        exprs.seasonStartYear(col("season_raw")).as("seasonStartYear"), // M2
+        exprs.classifyCoach(col("g_raw"), col("role"),
+          "Player Development").as("coachType"))                    // M6
+  }
+
+  val e1OracleSql: String =
+    """WITH staged AS (
+         SELECT p_partkey,
+                CASE WHEN p_partkey % 11 = 0 THEN 'Career'
+                     ELSE (p_size + 1990)::VARCHAR || '-' ||
+                          lpad(((p_size + 1991) % 100)::VARCHAR, 2, '0')
+                END AS season_raw,
+                CASE WHEN p_partkey % 4 = 0 THEN CAST(p_size AS VARCHAR)
+                     ELSE p_type END AS g_raw,
+                CASE WHEN p_partkey % 7 = 0 THEN 'Player Development'
+                     ELSE p_brand || ' Coach pro' END AS role
+         FROM part)
+       SELECT p_partkey AS coach_key,
+              TRY_CAST(string_split(season_raw, '-')[1] AS INTEGER)
+                AS seasonStartYear,
+              CASE WHEN TRY_CAST(g_raw AS INTEGER) IS NOT NULL
+                     THEN 'Head Coach'
+                   WHEN role = 'Player Development' THEN role
+                   ELSE split_part(role, 'Coach', 1) || 'Coach'
+              END AS coachType
+       FROM staged
+       WHERE len(string_split(season_raw, '-')) = 2"""
+
   /** E3 — dependent detail pipeline (reference `playByplay.py:78-132`):
     * manifest (played games) drives the detail fetch (J3 — here an equi
     * join detail↔manifest on the key), per-detail-row id (M7), running
