@@ -22,6 +22,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // testdata events.parquet uses TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -138,6 +138,21 @@ object ExtensionQueries {
       Multimodal.frameSample(
         Multimodal.mediaFromDocuments(s, t(s, d, "documents")), stride = 64)),
 
+    // ---- S3 anchor-extract parity: regex extract-all + explode ------------
+    "q_s3_regex_extract" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"),
+            lit("\\b(s[a-z]+)\\b"), lit(1))).as("href"))
+        .groupBy("href")
+        .agg(count(lit(1)).as("n"))),
+
+    // ---- sessionization (batch gaps-and-islands) --------------------------
+    "q_sessionize" -> ((s, d) =>
+      Streams.sessionizeBatch(
+        Tables.events(s, d).select("event_id", "user_id", "ts", "value"),
+        gapMinutes = 30)),
+
     // ---- streaming ---------------------------------------------------------
     "q_stream_daily_agg" -> ((s, d) => {
       val ckpt = java.nio.file.Files
@@ -361,6 +376,35 @@ object ExtensionQueries {
                   greatest((length(text) // 64)::INT - 1, 0))) * 64
                   AS frame_off
          FROM documents""",
+
+    "q_s3_regex_extract" ->
+      """SELECT href, COUNT(*) AS n
+         FROM (SELECT doc_id,
+                      unnest(regexp_extract_all(text, '\b(s[a-z]+)\b', 1))
+                        AS href
+               FROM documents)
+         GROUP BY href""",
+
+    "q_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, value, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR floor(epoch(ts))::BIGINT -
+                               floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts, value,
+                  SUM(is_new) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_no
+           FROM g)
+         SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
+         FROM s GROUP BY user_id, session_no""",
 
     "q_stream_daily_agg" ->
       """SELECT date_trunc('day', ts) AS day, event_type,

@@ -47,13 +47,15 @@ object Dedup {
                         numPerms: Int): DataFrame = {
     val units = docs.select(col(idCol).as("doc_id"),
       explode(Text.shingles(Text.tokens(col(textCol)), 3)).as("u"))
-    val vocab = units.select("u").distinct()
-      .select(col("u") +: (0 until numPerms).map(i =>
-        md5(concat_ws(":", lit(i.toString), col("u"))).as(s"h$i")): _*)
-    val mins = units.join(vocab, "u")
+    // all numPerms salted hashes inline per unit, then one columnar-min
+    // partial agg: a single pass over the occurrences, one tiny shuffle
+    // (|docs| rows), no vocab join. Hashing is cheap; shuffles aren't.
+    val mins = units
       .groupBy("doc_id")
-      .agg((0 until numPerms).map(i => min(col(s"h$i")).as(s"h$i")).head,
-        (1 until numPerms).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+      .agg(
+        min(md5(concat_ws(":", lit("0"), col("u")))).as("h0"),
+        (1 until numPerms).map(i =>
+          min(md5(concat_ws(":", lit(i.toString), col("u")))).as(s"h$i")): _*)
     // unpivot to the (doc_id, perm, mh) shape lshBuckets consumes
     mins.select(col("doc_id"),
       explode(array((0 until numPerms).map(i =>

@@ -43,4 +43,23 @@ object relational {
     * partition keeps k rows, driver merges k·p rows. */
   def topK(df: DataFrame, n: Int, order: Column*): DataFrame =
     df.orderBy(order: _*).limit(n)
+
+  /** Skew-mitigating equi-join: salt the (skewed) fact side into
+    * `numSalts` sub-keys and replicate the dim side once per salt, so one
+    * hot key spreads over `numSalts` reducers instead of melting a single
+    * one. Semantically identical to `fact.join(dim, key)` (inner).
+    *
+    * AQE's skew-join handling covers sort-merge joins at runtime; explicit
+    * salting remains the tool when the skew is extreme or the join is
+    * hash-partitioned upstream of further keyed work.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 numSalts: Int): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(numSalts)).cast("int"))
+    val dimExp = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    salted.join(dimExp, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -142,17 +142,22 @@ object Pipelines {
     // l_linenumber, l_partkey, l_suppkey) is a unique natural key, so this
     // seq is deterministic.
     val seqW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_orderkey"))
+      .partitionBy(col("game_id"))
       .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-    val w = windows.running(Seq(col("game_id")), Seq(col("seq")))
+    // running windows share seqW's (partition, ordering) — ordering by the
+    // derived seq column would be semantically identical, but Spark can't
+    // prove the equivalence and would insert a second per-partition sort.
+    val w = seqW.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
 
     detail
       .join(manifest.withColumnRenamed("o_orderkey", "l_orderkey"),
         Seq("l_orderkey"))                                          // J3
+      .withColumnRenamed("l_orderkey", "game_id")
       .withColumn("seq", row_number().over(seqW))
       .withColumn("parsed",
         when(col("seq") % 2 === 1, col("l_extendedprice")))
-      .withColumnRenamed("l_orderkey", "game_id")
       .select(
         col("game_id"),
         col("seq"),

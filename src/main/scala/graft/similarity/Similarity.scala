@@ -22,8 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order dot product of two float arrays, in double. */
+  /** Sequential-order dot product of two float arrays, in double.
+    *
+    * Resolves to the native codegen'd [[graft.functions.DotProduct]]
+    * expression (registered by `graft.functions.GraftExtensions`, which
+    * every engine session wires in). Bit-identical to [[dotHof]] — same
+    * ascending-index double accumulation — just compiled instead of
+    * interpreted. */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** Higher-order-function formulation of [[dot]]: works on a vanilla
+    * session with no extensions, at interpreted-lambda speed. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>
       x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

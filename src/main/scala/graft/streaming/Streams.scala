@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming parity — SURVEY.md §2.9.
   *
@@ -47,6 +47,108 @@ object Streams {
       .format("memory")
       .queryName(sinkName)
       .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
+  // ---- sessionization ------------------------------------------------------
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+                          value: Double)
+  /** lastSec is floor-seconds (matching the batch `ts.cast("long")` gap
+    * semantics); sumCents keeps the 2-decimal values exact so the stream
+    * sum is order-independent and equals the batch decimal sum. */
+  case class SessionState(start: java.sql.Timestamp, lastSec: Long,
+                          n: Long, sumCents: Long)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     n_events: Long, sum_value: Double)
+
+  /** Batch sessionization (gaps-and-islands): a new session starts when
+    * the gap to the previous event of the same user exceeds `gapMinutes`.
+    * One shuffle by user + one ordered scan — the exact shape of W1's
+    * running counter, reused on event-time. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") >
+            gapMinutes * 60L, 1).otherwise(0))
+      .withColumn("session_no", sum(col("is_new")).over(wRun))
+      .groupBy("user_id", "session_no")
+      .agg(min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .drop("session_no")
+  }
+
+  /** Streaming sessionization via `flatMapGroupsWithState` — the custom-
+    * state rung of the streaming surface (SURVEY.md §2.9 extension). State
+    * per user is O(1) (current session accumulator); sessions emit when
+    * the processing-time timeout fires or a gap-exceeding event arrives.
+    * With Trigger.AvailableNow + a final timeout flush it reproduces the
+    * batch result; tested for equality in StreamsSpec.
+    */
+  def sessionizeStream(spark: SparkSession, dir: String, checkpoint: String,
+                       gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val gapSec = gapMinutes * 60L
+
+    val events = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[SessionEvent]
+
+    def flush(userId: Long, st: SessionState): Session =
+      Session(userId, st.start, st.n, st.sumCents / 100.0)
+    def cents(v: Double): Long = math.round(v * 100.0)
+
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId, evs, state: GroupState[SessionState]) =>
+          // AvailableNow on a static file: each group sees all its events
+          // in one invocation; sort by event time and cut on gaps.
+          val sorted = evs.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos))
+          var out = List.empty[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val sec = Math.floorDiv(e.ts.getTime, 1000L)
+            cur match {
+              case Some(st) if sec - st.lastSec <= gapSec =>
+                cur = Some(st.copy(lastSec = sec, n = st.n + 1,
+                  sumCents = st.sumCents + cents(e.value)))
+              case Some(st) =>
+                out ::= flush(userId, st)
+                cur = Some(SessionState(e.ts, sec, 1, cents(e.value)))
+              case None =>
+                cur = Some(SessionState(e.ts, sec, 1, cents(e.value)))
+            }
+          }
+          cur.foreach { st => out ::= flush(userId, st); state.remove() }
+          out.reverseIterator
+      }
+
+    val sinkName = "graft_sessions_" + math.abs(checkpoint.hashCode)
+    val q = sessions.toDF().writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin ≡ plain inner join (one hot key)") {
+    // 10k fact rows, 90% on one hot key — the salting target
+    val fact = spark.range(10000)
+      .select(when(col("id") % 10 === 0, col("id") % 7)
+        .otherwise(lit(42L)).as("k"), col("id").as("payload"))
+    val dim = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
+      (3L, "d"), (4L, "e"), (5L, "f"), (6L, "g")).toDF("k", "name")
+
+    val plain = fact.join(dim, "k")
+      .select("k", "payload", "name").as[(Long, Long, String)]
+      .collect().sorted
+    val salted = relational.saltedJoin(fact, dim, "k", numSalts = 8)
+      .select("k", "payload", "name").as[(Long, Long, String)]
+      .collect().sorted
+    assert(salted === plain)
+  }
+
+  test("unionAll aligns by name and fills missing with null") {
+    val a = Seq((1, "x")).toDF("id", "name")
+    val b = Seq((2, 3.5)).toDF("id", "score")
+    val u = relational.unionAll(Seq(a, b))
+    assert(u.columns.toSet === Set("id", "name", "score"))
+    assert(u.count() === 2)
+    assert(u.filter(col("score").isNull && col("id") === 1).count() === 1)
+  }
+
+  test("topK plans as TakeOrderedAndProject (no global sort)") {
+    val df = relational.topK(
+      spark.range(1000).select(col("id"), (col("id") % 13).as("v")),
+      5, col("v").desc, col("id").asc)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    assert(df.count() === 5)
+  }
+}
