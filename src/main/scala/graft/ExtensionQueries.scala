@@ -74,6 +74,7 @@ object ExtensionQueries {
         col("doc_id"),
         Text.tokenCount(col("text")).as("n_tokens"),
         size(Text.tokenSet(col("text"))).as("n_distinct"),
+        Text.bpeishTokenCount(col("text")).as("n_bpe_tokens"),
         length(col("text")).cast("bigint").as("len_chars"))),
 
     "q_text_langid" -> ((s, d) =>
@@ -93,7 +94,8 @@ object ExtensionQueries {
       t(s, d, "documents").select(
         col("doc_id"),
         Text.exactFingerprint(col("text")).as("fp_exact"),
-        Text.minShingleFingerprint(col("text"), 3).as("fp_minshingle"))),
+        Text.minShingleFingerprint(col("text"), 3).as("fp_minshingle"),
+        Text.rollingFingerprint(col("text")).as("fp_rolling"))),
 
     // ---- dedup -------------------------------------------------------------
     "q_dedup_exact" -> ((s, d) =>
@@ -193,6 +195,8 @@ object ExtensionQueries {
       s"""SELECT doc_id,
                  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
                  len($dTokens) AS n_distinct,
+                 len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
                  length(text) AS len_chars
           FROM documents""",
 
@@ -234,14 +238,19 @@ object ExtensionQueries {
                    string_split_regex(trim(regexp_replace(lower(text),
                      '[^a-z0-9\\s]+', ' ', 'g')), '\\s+') AS toks
             FROM documents)
-          SELECT doc_id,
+          SELECT t.doc_id,
                  md5(array_to_string(toks, ' ')) AS fp_exact,
                  list_min(list_transform(
                    list_distinct(list_transform(
                      generate_series(1, len(toks) - 2),
                      i -> array_to_string(toks[i:i+2], ' '))),
-                   s -> md5(s))) AS fp_minshingle
-          FROM toks""",
+                   s -> md5(s))) AS fp_minshingle,
+                 list_reduce(
+                   list_prepend(0::BIGINT, list_transform(
+                     generate_series(1, length(d.text)),
+                     i -> ascii(substr(d.text, i, 1))::BIGINT)),
+                   (a, c) -> (a * 31 + c) % 1000000007) AS fp_rolling
+          FROM toks t JOIN documents d USING (doc_id)""",
 
     "q_dedup_exact" ->
       s"""WITH fp AS (

@@ -96,4 +96,17 @@ object Text {
     * near-dup block key (full LSH lives in graft.dedup.MinHashLsh). */
   def minShingleFingerprint(text: Column, k: Int): Column =
     array_min(transform(shingles(tokens(text), k), s => md5(s)))
+
+  /** Polynomial rolling-hash fingerprint — resolves to the native
+    * [[graft.functions.RollingHash]] expression (registered by
+    * GraftExtensions). */
+  def rollingFingerprint(text: Column): Column =
+    call_function("graft_rolling_hash", text)
+
+  /** BPE-ish token count: greedy regex segmentation into letter runs,
+    * digit runs, and punctuation runs (the shape of GPT-style pre-
+    * tokenizers, without a learned merge table). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 }

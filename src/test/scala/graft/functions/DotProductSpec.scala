@@ -48,6 +48,34 @@ class DotProductSpec extends SparkSpec {
     assert(df.count() === 100)
   }
 
+  test("optimizer rule rewrites the HOF pattern to native graft_dot") {
+    // non-literal source (a LocalRelation would be constant-folded before
+    // the plan is observable); array() of float casts has containsNull=false
+    val df = spark.range(3)
+      .select(
+        array((col("id") + 1).cast("float"),
+          (col("id") + 2).cast("float")).as("a"),
+        array((col("id") + 3).cast("float"),
+          (col("id") + 4).cast("float")).as("b"))
+      .select(Similarity.dotHof(col("a"), col("b")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"),
+      s"HOF pattern not rewritten:\n$optimized")
+    // id=0: [1,2]·[3,4] = 11
+    assert(df.as[Double].collect().min === 11.0)
+  }
+
+  test("rolling hash: known value and codegen path") {
+    val h = Seq("ab").toDF("s")
+      .select(call_function("graft_rolling_hash", col("s")).as("h"))
+      .as[Long].head()
+    assert(h === ('a'.toLong * 31 + 'b'.toLong) % 1000000007L)
+    val nullRes = Seq(Option.empty[String]).toDF("s")
+      .select(call_function("graft_rolling_hash", col("s")).as("h"))
+      .collect().head
+    assert(nullRes.isNullAt(0))
+  }
+
   test("null array → null result") {
     val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
       .toDF("a", "b")
