@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.ops.asof
+import graft.ops.{asof, rangejoin}
 import graft.similarity.Similarity
 import graft.sources.StagedSources
 import graft.streaming.Streams
@@ -61,6 +61,32 @@ object ExtensionQueries {
         .select("event_id", "o_orderkey", "o_totalprice")
     }),
 
+    // ---- range join (binned equi rewrite of the inequality join) ----------
+    "q_range_join" -> ((s, d) => {
+      val points = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          (col("l_partkey") % 200).as("shard"))
+      val intervals = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("o_end"),
+          (col("o_orderkey") % 200).as("shard"))
+      rangejoin.binnedRangeJoin(points, "l_shipdate",
+        intervals, "o_orderdate", "o_end",
+        binSeconds = 30L * 24 * 3600, extraKeys = Seq("shard"))
+        .select("l_orderkey", "l_linenumber", "o_orderkey")
+    }),
+
+    // ---- sliding-window aggregation (§2.9 extension) ----------------------
+    "q_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("win"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .select(col("win.start").as("window_start"), col("event_type"),
+          col("cnt"), col("sum_value"))),
+
     // ---- JSON props (events.props → typed) --------------------------------
     "q_json_props" -> ((s, d) =>
       Tables.events(s, d)
@@ -96,6 +122,27 @@ object ExtensionQueries {
         Text.exactFingerprint(col("text")).as("fp_exact"),
         Text.minShingleFingerprint(col("text"), 3).as("fp_minshingle"),
         Text.rollingFingerprint(col("text")).as("fp_rolling"))),
+
+    // ---- train/val/test split ---------------------------------------------
+    "q_train_split" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("bucket", Text.splitBucket(col("doc_id"), 100))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"))),
+
+    // ---- benchmark contamination ------------------------------------------
+    "q_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contamination(
+        train = docs.filter(col("doc_id") % 97 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", k = 5)
+    }),
 
     // ---- dedup -------------------------------------------------------------
     "q_dedup_exact" -> ((s, d) =>
@@ -186,6 +233,25 @@ object ExtensionQueries {
          FROM ev e ASOF LEFT JOIN ord o
            ON e.uk = o.uk AND e.ts >= o.o_orderdate""",
 
+    "q_range_join" ->
+      """SELECT l_orderkey, l_linenumber, o_orderkey
+         FROM lineitem JOIN orders
+           ON l_partkey % 200 = o_orderkey % 200
+              AND o_orderdate <= l_shipdate
+              AND l_shipdate < o_orderdate + INTERVAL 30 DAY""",
+
+    "q_sliding_window" ->
+      """SELECT window_start, event_type, COUNT(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
+         FROM (SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR
+                        AS window_start,
+                      event_type, value, ts
+               FROM events CROSS JOIN range(2) r(k))
+         WHERE ts >= window_start
+           AND ts < window_start + INTERVAL 2 HOUR
+         GROUP BY window_start, event_type""",
+
     "q_json_props" ->
       """SELECT event_id,
                 json_extract_string(props, '$.k')::INT AS k_val
@@ -251,6 +317,36 @@ object ExtensionQueries {
                      i -> ascii(substr(d.text, i, 1))::BIGINT)),
                    (a, c) -> (a * 31 + c) % 1000000007) AS fp_rolling
           FROM toks t JOIN documents d USING (doc_id)""",
+
+    "q_train_split" ->
+      """WITH b AS (
+           SELECT n_chars,
+                  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                    % 100)::INT AS bucket
+           FROM documents)
+         SELECT CASE WHEN bucket < 90 THEN 'train'
+                     WHEN bucket < 95 THEN 'val'
+                     ELSE 'test' END AS split,
+                COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+         FROM b GROUP BY 1""",
+
+    "q_contamination" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                     generate_series(1, len(string_split_regex(trim(
+                       regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
+                       'g')), '\\s+')) - 4),
+                     i -> array_to_string((string_split_regex(trim(
+                       regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
+                       'g')), '\\s+'))[i:i+4], ' ')))) AS u
+            FROM documents),
+          bench AS (SELECT DISTINCT u FROM sh WHERE doc_id % 97 = 0),
+          train AS (SELECT doc_id AS train_id, u FROM sh
+                    WHERE doc_id % 97 <> 0)
+          SELECT train_id, COUNT(DISTINCT u) AS n_shared_shingles
+          FROM train JOIN bench USING (u)
+          GROUP BY train_id""",
 
     "q_dedup_exact" ->
       s"""WITH fp AS (

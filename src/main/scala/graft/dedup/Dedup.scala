@@ -161,6 +161,25 @@ object Dedup {
   private def hexNibble(c: Column): Column =
     when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
 
+  /** Benchmark-contamination detection: for each train document, count
+    * distinct k-shingles it shares with any benchmark document (the
+    * decontamination step of a training-data pipeline, cf. GPT-3 appendix
+    * C / Dolma). Shape: explode both sides to (shingle, doc), equi-join on
+    * the shingle, count distinct per train doc — pure shuffle joins, no
+    * cross product; the benchmark side is typically tiny and broadcasts.
+    */
+  def contamination(train: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, k: Int): DataFrame = {
+    def units(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+        explode(Text.shingles(Text.tokens(col(textCol)), k)).as("u"))
+    units(train, "train_id")
+      .join(broadcast(units(benchmark, "bench_id").select("u").distinct()),
+        Seq("u"))
+      .groupBy("train_id")
+      .agg(countDistinct(col("u")).as("n_shared_shingles"))
+  }
+
   /** n-gram (word k-shingle) Jaccard near-dup within a blocking key —
     * the direct quadratic verifier, made scale-safe by blocking: pairs are
     * only generated inside (lang, source, length-bucket) blocks. */

@@ -109,4 +109,12 @@ object Text {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text),
       lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Deterministic hash-bucket in [0, buckets) for train/val/test splits:
+    * stable across runs, engines, and cluster sizes (md5 of the id — no
+    * RNG, no row order dependence). The standard way to split a 100 TB
+    * corpus without a shuffle or a seed file. */
+  def splitBucket(id: Column, buckets: Int): Column =
+    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("bigint") % buckets).cast("int")
 }
