@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 source modeling the reference's paged HTML scans
+  * (SURVEY.md §2.1 S1/S2: one HTTP page per letter/season/month, results
+  * unioned). A "site" here is a directory of page files; the source
+  * exposes them as ONE table with schema (page, line) and exactly one
+  * input partition per page — the Spark-native shape of the reference's
+  * sequential fetch loop, where the planner owns the fan-out
+  * (`playerInfo.py:6-9`, `games.py:19-27`).
+  *
+  * Usage: `spark.read.format("staged-pages").option("path", dir).load()`.
+  *
+  * Kept deliberately minimal (batch read, column pruning via
+  * ScanBuilder): enough to show the V2 seams — TableProvider → Table →
+  * ScanBuilder → Batch → PartitionReaderFactory — without inventing
+  * capability the engine doesn't need (parquet remains the at-rest
+  * format everywhere else).
+  */
+class StagedPagesSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "staged-pages"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StagedPagesSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new StagedPagesTable(properties.get("path"))
+}
+
+object StagedPagesSource {
+  val schema: StructType = StructType(Seq(
+    StructField("page", StringType, nullable = false),
+    StructField("line", StringType, nullable = true)))
+}
+
+class StagedPagesTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"staged_pages($path)"
+  override def schema(): StructType = StagedPagesSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+  : ScanBuilder = new StagedPagesScanBuilder(path)
+}
+
+class StagedPagesScanBuilder(path: String)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = StagedPagesSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new StagedPagesScan(path, required)
+}
+
+case class PagePartition(file: String) extends InputPartition
+
+class StagedPagesScan(path: String, required: StructType)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"StagedPages path=$path cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new java.io.File(path)
+    val pages = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getAbsolutePath).sorted
+    pages.map(PagePartition.apply: String => InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PageReaderFactory(required.fieldNames)
+}
+
+class PageReaderFactory(cols: Array[String])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+  : PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[PagePartition].file
+    new PartitionReader[InternalRow] {
+      private val pageName = new java.io.File(file).getName
+      private val lines = scala.io.Source.fromFile(file, "UTF-8")
+        .getLines().toArray
+      private var i = -1
+
+      override def next(): Boolean = { i += 1; i < lines.length }
+
+      override def get(): InternalRow = {
+        val values = cols.map {
+          case "page" => UTF8String.fromString(pageName)
+          case "line" => UTF8String.fromString(lines(i))
+        }
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -33,6 +33,31 @@ class SourcesSpec extends SparkSpec {
       "partition filter should be pruned into the scan, not a Filter node")
   }
 
+  test("S8b dynamic partition overwrite = re-scrape one season") {
+    // the reference re-runs one season's DAG and replaces only that
+    // season's object (`scrape_data_to_gcs.py:264-266`); the Spark-native
+    // equivalent is dynamic partition overwrite
+    val lake = Files.createTempDirectory("graft_dpo").toString
+    val v1 = Seq((1996, "a", 1), (1996, "b", 2), (1997, "c", 3))
+      .toDF("season", "k", "v")
+    v1.write.mode("overwrite").partitionBy("season").parquet(lake)
+
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      Seq((1996, "a", 99)).toDF("season", "k", "v")
+        .write.mode("overwrite").partitionBy("season").parquet(lake)
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    }
+
+    val back = spark.read.parquet(lake)
+    // 1996 replaced wholesale, 1997 untouched
+    assert(back.filter(col("season") === 1996).collect().map(r =>
+      (r.getAs[String]("k"), r.getAs[Int]("v"))).toSet === Set(("a", 99)))
+    assert(back.filter(col("season") === 1997).count() === 1)
+  }
+
   test("S9 warehouse table: saveAsTable + catalog read back") {
     val wh = Files.createTempDirectory("graft_wh").toString
     df.write.mode("overwrite")
