@@ -159,6 +159,17 @@ object ExtensionQueries {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), k = 3,
         threshold = 0.5)),
 
+    "q_dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+        bits = 16, maxHamming = 3)),
+
+    "q_corpus_stats" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(col("n_chars")).as[Long]
+        .select(graft.functions.CorpusStats.lengthStats.toColumn)
+        .toDF()
+    }),
+
     "q_dedup_embedding" -> ((s, d) =>
       Similarity.cosineNearDupPairs(t(s, d, "embeddings"), dim = 64,
         numPlanes = 8, threshold = 0.95)),
@@ -451,6 +462,59 @@ object ExtensionQueries {
                AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
           WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
                   len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5""",
+
+    "q_dedup_simhash_pairs" ->
+      s"""WITH tok AS (
+            SELECT doc_id, len($dTokens) AS n_toks,
+                   unnest($dTokens) AS tok
+            FROM documents),
+          h AS (SELECT doc_id, n_toks, md5(tok) AS h FROM tok),
+          bits AS (
+            SELECT doc_id, n_toks, h, i AS bit
+            FROM h CROSS JOIN range(16) r(i)),
+          nib AS (
+            SELECT doc_id, n_toks, bit,
+                   CASE WHEN ascii(substr(h, (bit // 4)::INT + 1, 1)) <= 57
+                        THEN ascii(substr(h, (bit // 4)::INT + 1, 1)) - 48
+                        ELSE ascii(substr(h, (bit // 4)::INT + 1, 1)) - 87
+                   END AS nibble
+            FROM bits),
+          bitset AS (
+            SELECT doc_id, bit,
+                   floor(nibble / 2 ** (3 - bit % 4))::INT % 2 AS bit_set,
+                   n_toks
+            FROM nib),
+          ones AS (
+            SELECT doc_id, bit, SUM(bit_set) AS ones,
+                   max(n_toks) AS n_toks
+            FROM bitset GROUP BY doc_id, bit),
+          fp AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN ones * 2 > n_toks
+                            THEN (2 ** (15 - bit))::BIGINT ELSE 0
+                       END)::BIGINT AS simhash
+            FROM ones GROUP BY doc_id),
+          blocked AS (
+            SELECT f.doc_id, f.simhash, d.lang,
+                   (d.n_chars // 64)::INT AS len_bucket
+            FROM fp f JOIN documents d USING (doc_id))
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+          FROM blocked a JOIN blocked b
+            ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+               AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+
+    "q_corpus_stats" ->
+      """WITH m AS (
+           SELECT COUNT(*)::BIGINT AS n, SUM(n_chars)::BIGINT AS s,
+                  SUM(n_chars * n_chars)::BIGINT AS sq
+           FROM documents)
+         SELECT n AS n_docs,
+                s / n::DOUBLE AS mean_len,
+                sq / n::DOUBLE - (s / n::DOUBLE) * (s / n::DOUBLE)
+                  AS var_len
+         FROM m""",
 
     "q_dedup_embedding" -> embeddingPairsSql(8, 0.95),
 

@@ -161,6 +161,25 @@ object Dedup {
   private def hexNibble(c: Column): Column =
     when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
 
+  /** SimHash near-dup pairs: hamming distance ≤ maxHamming between
+    * fingerprints, blocked on (lang, length bucket) so the pair space
+    * never goes quadratic across the corpus. `bit_count(a XOR b)` is one
+    * codegen'd instruction pair per candidate. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bits: Int, maxHamming: Int): DataFrame = {
+    val fps = simhash(docs, idCol, textCol, bits)
+      .join(docs.select(col(idCol).as("doc_id"), col("lang"),
+        (col("n_chars") / 64).cast("int").as("len_bucket")), Seq("doc_id"))
+    val a = fps.toDF("doc_a", "sim_a", "lang", "len_bucket")
+    val b = fps.toDF("doc_b", "sim_b", "lang", "len_bucket")
+    a.join(b, Seq("lang", "len_bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Benchmark-contamination detection: for each train document, count
     * distinct k-shingles it shares with any benchmark document (the
     * decontamination step of a training-data pipeline, cf. GPT-3 appendix
