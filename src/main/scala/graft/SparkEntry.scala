@@ -270,6 +270,32 @@ object SparkEntry {
         .cube("season", "o_orderpriority")
         .agg(count(lit(1)).as("cnt"))),
 
+    // SURVEY §3 planned analytic path: DataFrame → temp view → spark.sql —
+    // the engine's SQL front door (Catalyst lifecycle end to end)
+    "q_sql_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT year(o_orderdate) AS season, o_orderpriority,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((season), (o_orderpriority),
+                                (season, o_orderpriority))""")
+    }),
+
+    // S9 warehouse path: saveAsTable into the session catalog, read back
+    // via spark.table — the BigQuery-external-table analog
+    "q_s9_catalog_roundtrip" -> ((s, d) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_wh_q").toString
+      t(s, d, "nation").write.mode("overwrite")
+        .option("path", s"$wh/nation_tbl").saveAsTable("graft_nation_tbl")
+      s.table("graft_nation_tbl")
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"))
+    }),
+
     "q_m4_date_roundtrip" -> ((s, d) =>
       t(s, d, "orders")
         .withColumn("date_str",
@@ -484,6 +510,19 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS season,
                 o_orderpriority, COUNT(*) AS cnt
          FROM orders GROUP BY CUBE (season, o_orderpriority)""",
+
+    "q_sql_grouping_sets" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS season,
+                o_orderpriority, COUNT(*) AS cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((season), (o_orderpriority),
+                                 (season, o_orderpriority))""",
+
+    "q_s9_catalog_roundtrip" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations
+         FROM nation GROUP BY n_regionkey""",
 
     "q_m4_date_roundtrip" ->
       """SELECT o_orderkey,
