@@ -96,12 +96,23 @@ object Similarity {
     * candidate pairs come from a bucket self-join (same shape as
     * MinHash-LSH banding).
     */
+  /** Plane component u(p, j): md5-derived uniform in [-0.5, 0.5).
+    * Computed on the DRIVER at plan-build time — same bytes as the SQL
+    * oracle's `('0x'||substr(md5(p||':'||j),1,6))::BIGINT/16777216.0-0.5`,
+    * but the expression tree carries plain double literals instead of 512
+    * `conv(md5(...))` subtrees (an order of magnitude off the analysis /
+    * codegen time of the embedding queries). */
+  private def planeComponent(p: Int, j: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 6)
+    java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0 - 0.5
+  }
+
   def hyperplaneBucket(emb: Column, dim: Int, numPlanes: Int): Column = {
     val bits = (0 until numPlanes).map { p =>
       val proj = (0 until dim).map { j =>
-        val u = (conv(substring(md5(lit(s"$p:$j")), 1, 6), 16, 10)
-          .cast("double") / lit(16777216.0)) - 0.5
-        element_at(emb, j + 1).cast("double") * u
+        element_at(emb, j + 1).cast("double") * lit(planeComponent(p, j))
       }.reduce(_ + _)
       when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
     }
