@@ -112,14 +112,49 @@ object Dedup {
         .as("jaccard"))
   }
 
+  /** Per-doc distinct shingle sets, materialized once (`localCheckpoint`)
+    * so pipelines that need them in several subtrees — signature
+    * generation AND candidate verification — don't re-run the tokenize +
+    * shingle work per subtree. At cluster scale the same role is played
+    * by a persisted/checkpointed intermediate or a staging table. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int)
+  : DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      Text.shingles(Text.tokens(col(textCol)), k).as("shset"))
+      .localCheckpoint()
+
   /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidates →
-    * exact-Jaccard verification. */
+    * exact-Jaccard verification, over one shared shingle materialization. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       numPerms: Int, numBands: Int, threshold: Double)
   : DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, numPerms)
+    val sets = shingleSets(docs, idCol, textCol, 3)
+    val units = sets.select(col("doc_id"), explode(col("shset")).as("u"))
+    val mins = units
+      .groupBy("doc_id")
+      .agg(
+        min(md5(concat_ws(":", lit("0"), col("u")))).as("h0"),
+        (1 until numPerms).map(i =>
+          min(md5(concat_ws(":", lit(i.toString), col("u")))).as(s"h$i")): _*)
+    val sigs = mins.select(col("doc_id"),
+      explode(array((0 until numPerms).map(i =>
+        struct(lit(i).as("perm"), col(s"h$i").as("mh"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.perm").as("perm"), col("x.mh").as("mh"))
     val cands = lshCandidates(lshBuckets(sigs, numBands, numPerms))
-    verifyJaccard(cands, docs, idCol, textCol, threshold)
+
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")),
+        Seq("doc_b"))
+      .filter(least(size(col("set_a")), size(col("set_b"))).cast("double") /
+        greatest(size(col("set_a")), size(col("set_b"))) >= threshold)
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
+        .as("jaccard"))
   }
 
   /** SimHash fingerprint (Charikar '02), `bits`-wide (≤ 16 so the oracle
@@ -204,9 +239,12 @@ object Dedup {
     * only generated inside (lang, source, length-bucket) blocks. */
   def ngramJaccardPairs(docs: DataFrame, k: Int, threshold: Double)
   : DataFrame = {
+    // materialize once: both sides of the self-join read the same staged
+    // gram sets instead of re-running tokenize+shingle per side
     val staged = docs.select(col("doc_id"), col("lang"), col("source"),
       (col("n_chars") / lit(64)).cast("int").as("len_bucket"),
       Text.shingles(Text.tokens(col("text")), k).as("grams"))
+      .localCheckpoint()
     val a = staged.toDF("doc_a", "lang", "source", "len_bucket", "grams_a")
     val b = staged.toDF("doc_b", "lang", "source", "len_bucket", "grams_b")
     a.join(b, Seq("lang", "source", "len_bucket"))
