@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{exprs, windows}
+
+/** Scale headroom probe: run the engine's core operator shapes on
+  * generated data 100-1000× the sf0.1 testdata, single node. Not a
+  * correctness gate (no oracle at this size) — evidence that the operator
+  * shapes hold when the data stops being toy-sized: shuffles stay bounded,
+  * partial aggs stay partial, nothing collects to the driver.
+  *
+  * Usage: sbt "runMain graft.ScaleSmoke [rows]"   (default 50M)
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 50000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scale] $name%-28s rows=$n%12d  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    // fact table: rows × (key ~ rows/50, seq, value, flag)
+    val fact = spark.range(rows).select(
+      (col("id") / 50).cast("long").as("k"),
+      (col("id") % 50).cast("int").as("seq"),
+      (col("id") % 9973).cast("double").as("v"),
+      (col("id") % 7).cast("int").as("f"))
+
+    timed("groupBy partial agg") {
+      fact.groupBy("f")
+        .agg(sum(col("v").cast("decimal(18,2)")).as("s"),
+          count(lit(1)).as("c"))
+        .count()
+    }
+
+    timed("window running counter") {
+      val w = windows.running(Seq(col("k")), Seq(col("seq")))
+      fact.select(windows.runningCounter(col("v") > 5000, w).as("p"))
+        .filter(col("p") > 40).count()
+    }
+
+    timed("broadcast lookup join") {
+      val dim = spark.range(7).select(col("id").cast("int").as("f"),
+        concat(lit("name_"), col("id")).as("fname"))
+      fact.join(broadcast(dim), "f").filter(col("fname") === "name_3")
+        .count()
+    }
+
+    timed("det-id projection (md5)") {
+      fact.select(exprs.detId(col("k"), col("seq")).as("id"))
+        .filter(col("id").startsWith("00")).count()
+    }
+
+    timed("native graft_dot topk") {
+      val vecs = spark.range(rows / 50).select(col("id").as("vec_id"),
+        array((0 until 16).map(j =>
+          ((col("id") * (j + 1)) % 997).cast("float")): _*).as("emb"))
+      val q = vecs.filter(col("vec_id") === 12345L)
+        .select(col("emb").as("q_emb"))
+      vecs.crossJoin(broadcast(q))
+        .select(graft.similarity.Similarity.dot(col("emb"), col("q_emb"))
+          .as("d"))
+        .orderBy(col("d").desc).limit(10).count()
+    }
+
+    spark.stop()
+  }
+}
