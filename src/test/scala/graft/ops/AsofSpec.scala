@@ -9,6 +9,36 @@ import graft.SparkSpec
 class AsofSpec extends SparkSpec {
   import spark.implicits._
 
+  test("asOfJoin ≡ naive join+argmax on random data (100 seeds worth)") {
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(8), new Timestamp(rnd.nextInt(1000000) * 1000L))
+    }.toDF("event_id", "uk", "ts")
+    val right = (1 to 120).map { j =>
+      (rnd.nextInt(8), new Timestamp(rnd.nextInt(1000000) * 1000L),
+        j.toLong, rnd.nextDouble())
+    }
+      // unique per (key, ts): required contract — keep max orderkey
+      .groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+      .toDF("uk", "rts", "o_orderkey", "o_totalprice")
+
+    val got = asof.asOfJoin(left, right, "uk", "ts", "rts",
+      Seq("o_orderkey", "o_totalprice"))
+      .select("event_id", "o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+
+    // reference: argmax over the inequality join
+    val naive = left.join(right, left("uk") === right("uk") &&
+        col("rts") <= col("ts"), "left")
+      .groupBy("event_id")
+      .agg(max(struct(col("rts"), col("o_orderkey"))).as("m"))
+      .select(col("event_id"), col("m.o_orderkey"))
+      .as[(Long, Option[Long])].collect().toMap
+
+    assert(got === naive)
+    assert(got.values.flatten.nonEmpty)
+  }
+
   private def ts(s: String) = Timestamp.valueOf(s)
 
   test("asOfJoin picks latest right row at-or-before left ts, per key") {
