@@ -44,6 +44,18 @@ object relational {
   def topK(df: DataFrame, n: Int, order: Column*): DataFrame =
     df.orderBy(order: _*).limit(n)
 
+  /** A3/O3 — last-row probe (reference `boxScores.py:48-49`:
+    * `table['MP'][-1:].max()` reads the team-totals row to classify the
+    * table). Distributed form: row_number over the DESCENDING order,
+    * keep rank 1 — per-partition heads merge, no global sort. */
+  def lastRow(df: DataFrame, order: Column*): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Skew-mitigating equi-join: salt the (skewed) fact side into
     * `numSalts` sub-keys and replicate the dim side once per salt, so one
     * hot key spreads over `numSalts` reducers instead of melting a single

@@ -33,6 +33,25 @@ class RelationalSpec extends SparkSpec {
     assert(u.filter(col("score").isNull && col("id") === 1).count() === 1)
   }
 
+  test("P6: duplicate flattened header names disambiguate positionally") {
+    // the reference flattens a 2-level header into duplicate names, then
+    // renames positionally: G,W,G,W -> G_reg,W_reg,G_playoff,W_playoff
+    val flat = Seq((82, 60, 16, 12)).toDF("G", "W", "G", "W")
+    val fixed = relational.renameAll(flat,
+      Seq("G_reg", "W_reg", "G_playoff", "W_playoff"))
+    assert(fixed.columns.toSeq ===
+      Seq("G_reg", "W_reg", "G_playoff", "W_playoff"))
+    assert(fixed.select("G_playoff").as[Int].head() === 16)
+  }
+
+  test("A3: lastRow probes the team-totals row without a global sort") {
+    val df = Seq((1, "M. Jordan", "40:00"), (2, "S. Pippen", "38:00"),
+      (3, "Team Totals", "240:00")).toDF("seq", "player", "mp")
+    val last = relational.lastRow(df, col("seq"))
+      .select("player", "mp").as[(String, String)].head()
+    assert(last === (("Team Totals", "240:00")))
+  }
+
   test("topK plans as TakeOrderedAndProject (no global sort)") {
     val df = relational.topK(
       spark.range(1000).select(col("id"), (col("id") % 13).as("v")),
