@@ -185,6 +185,9 @@ object ExtensionQueries {
       Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, "label", k = 5)
     }),
 
+    "q_ann_kmeans" -> ((s, d) =>
+      Similarity.kmeansCells(t(s, d, "embeddings"), k = 4, iters = 2)),
+
     // ---- multimodal --------------------------------------------------------
     "q_mm_decode" -> ((s, d) => {
       import s.implicits._
@@ -522,6 +525,45 @@ object ExtensionQueries {
 
     "q_ann_ivf" ->
       annSql("c.vec_id <> q.vec_id AND c.label = q.label", "q.vec_id < 20"),
+
+    // Two unrolled Lloyd iterations; mirrors Similarity.kmeansCells
+    // (k=4, iters=2): init = 4 lowest-id vectors, argmin of
+    // -2<x,c>+<c,c> with ties to the lower cell, elementwise-mean update.
+    "q_ann_kmeans" ->
+      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         c0 AS (
+           SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell,
+                  e::DOUBLE[] AS c
+           FROM v ORDER BY vec_id LIMIT 4),
+         d1 AS (
+           SELECT v.vec_id, c0.cell,
+                  -2 * list_dot_product(v.e, c0.c::FLOAT[])
+                    + list_dot_product(c0.c::FLOAT[], c0.c::FLOAT[]) AS d
+           FROM v CROSS JOIN c0),
+         a1 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d, cell) AS rn
+             FROM d1) WHERE rn = 1),
+         m1 AS (
+           SELECT cell, list(s ORDER BY j) AS c FROM (
+             SELECT a1.cell, j, sum(v.e[j]::DOUBLE) / count(*) AS s
+             FROM v JOIN a1 USING (vec_id), range(1, 65) t(j)
+             GROUP BY a1.cell, j)
+           GROUP BY cell),
+         d2 AS (
+           SELECT v.vec_id, m1.cell,
+                  -2 * list_dot_product(v.e, m1.c::FLOAT[])
+                    + list_dot_product(m1.c::FLOAT[], m1.c::FLOAT[]) AS d
+           FROM v CROSS JOIN m1),
+         a2 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d, cell) AS rn
+             FROM d2) WHERE rn = 1)
+         SELECT vec_id, cell FROM a2""",
 
     "q_mm_decode" ->
       """SELECT doc_id AS media_id,

@@ -88,6 +88,61 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Deterministic mini k-means coarse quantizer — builds the IVF cell
+    * assignment when no precomputed cell column exists. Init is the k
+    * lowest-id vectors (no RNG), each Lloyd iteration is one broadcast of
+    * the k centroids + one groupBy: at 100 TB the per-iteration cost is a
+    * scan + a k-row shuffle, and the final assignment is written once as
+    * the partition/bucket column.
+    *
+    * Returns (vec_id, cell). Ties in distance break toward the lower
+    * centroid id, so assignments are reproducible across runs/cluster
+    * sizes. */
+  def kmeansCells(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val v = vectors.select(col("vec_id"), col("embedding"))
+
+    import spark.implicits._
+
+    var centroids = v.orderBy("vec_id").limit(k)
+      .select(col("embedding").cast("array<double>"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }
+
+    def assign(cs: Array[(Int, Seq[Double])]): DataFrame = {
+      val cDf = broadcast(cs.toSeq.toDF("cell", "centroid"))
+      // ||x-c||^2 argmin == (-2<x,c> + <c,c>) argmin; <x,x> is constant
+      // per x. Centroids round through float so the distance matches what
+      // a float-stored centroid file would give.
+      val dist = dot(col("embedding"),
+        col("centroid").cast("array<float>")) * -2 +
+        dot(col("centroid").cast("array<float>"),
+          col("centroid").cast("array<float>"))
+      v.crossJoin(cDf)
+        .withColumn("d", dist)
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"))
+    }
+
+    (1 until iters).foreach { _ =>
+      val dim = centroids.head._2.length
+      val newC = v.join(assign(centroids), "vec_id")
+        .select(col("cell"), col("embedding").cast("array<double>")
+          .as("e"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(j =>
+            sum(element_at(col("e"), j + 1))): _*).as("sums"))
+        .select(col("cell"),
+          transform(col("sums"), s => s / col("n")).as("centroid"))
+        .as[(Int, Seq[Double])].collect()
+      if (newC.nonEmpty) centroids = newC
+    }
+    assign(centroids)
+  }
+
   /** Random-hyperplane LSH bucket id (Charikar '02 cosine LSH): sign bits
     * of projections onto `numPlanes` deterministic pseudo-random planes.
     * Plane component j of plane p is derived from md5(p:j) → uniform in

@@ -38,6 +38,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Set(1L, 4L)) // label-0 cell only
   }
 
+  test("kmeansCells groups the axis clusters and is deterministic") {
+    val cells = Similarity.kmeansCells(vecs, k = 3, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    // 0, 1, 4 point along x — same cell; 2 (y) and 3 (z) each their own
+    assert(cells(0L) === cells(1L) && cells(1L) === cells(4L))
+    assert(Set(cells(0L), cells(2L), cells(3L)).size === 3)
+    val again = Similarity.kmeansCells(vecs, k = 3, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(again === cells)
+  }
+
   test("hyperplane LSH: identical vectors share buckets") {
     val b = vecs
       .select(Similarity.hyperplaneBucket(col("embedding"), 3, 8).as("b"))
