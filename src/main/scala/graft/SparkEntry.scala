@@ -296,6 +296,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nations"))
     }),
 
+    // Co-located join: both sides persisted bucketed on the join key, so
+    // the sort-merge join runs with zero shuffle exchanges (asserted in
+    // SourcesSpec).
+    "q_s_bucketed_join" -> ((s, d) => {
+      val o = graft.sources.StagedSources.bucketedTable(s,
+        t(s, d, "orders"), "graft_bkt_orders_q", "o_orderkey", 8)
+      val l = graft.sources.StagedSources.bucketedTable(s,
+        t(s, d, "lineitem"), "graft_bkt_lineitem_q", "l_orderkey", 8)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+    }),
+
     "q_m4_date_roundtrip" -> ((s, d) =>
       t(s, d, "orders")
         .withColumn("date_str",
@@ -523,6 +538,13 @@ object SparkEntry {
     "q_s9_catalog_roundtrip" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations
          FROM nation GROUP BY n_regionkey""",
+
+    "q_s_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
 
     "q_m4_date_roundtrip" ->
       """SELECT o_orderkey,

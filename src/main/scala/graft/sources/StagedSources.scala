@@ -32,4 +32,22 @@ object StagedSources {
     df.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
     spark.read.parquet(tmp)
   }
+
+  /** Co-located join layout: persist a table hash-bucketed (and
+    * bucket-sorted) by its join key. Two tables bucketed the same way
+    * join with NO shuffle exchange on either side — at 100 TB this is
+    * the difference between a full-network re-shuffle of the fact table
+    * on every join and a scan-local sort-merge. The bucket count is a
+    * layout decision made once at write time, exactly like the
+    * reference's one-object-per-season layout (S8) but keyed for joins
+    * instead of pruning. */
+  def bucketedTable(spark: SparkSession, df: DataFrame, name: String,
+                    key: String, numBuckets: Int): DataFrame = {
+    val wh = Files.createTempDirectory(s"graft_bkt_$name").toString
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .option("path", s"$wh/$name")
+      .saveAsTable(name)
+    spark.table(name)
+  }
 }
