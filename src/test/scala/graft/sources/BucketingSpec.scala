@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -13,24 +11,22 @@ class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
   test("join of co-bucketed tables has no shuffle exchange") {
-    val wh = Files.createTempDirectory("graft_buckets").toString
     val left = spark.range(1000)
       .select(col("id").as("k"), (col("id") * 2).as("v1"))
     val right = spark.range(1000)
       .select(col("id").as("k"), (col("id") * 3).as("v2"))
 
-    left.write.mode("overwrite").bucketBy(4, "k").sortBy("k")
-      .option("path", s"$wh/tbl_bucket_l").saveAsTable("tbl_bucket_l")
-    right.write.mode("overwrite").bucketBy(4, "k").sortBy("k")
-      .option("path", s"$wh/tbl_bucket_r").saveAsTable("tbl_bucket_r")
+    val lb = StagedSources.bucketedTable(spark, left, "tbl_bucket_l", "k", 4)
+    val rb = StagedSources.bucketedTable(spark, right, "tbl_bucket_r", "k", 4)
 
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
+      // force the SMJ path so the assertion is about bucketing, not size
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = spark.table("tbl_bucket_l")
-        .join(spark.table("tbl_bucket_r"), "k")
+      val joined = lb.join(rb, "k")
       assert(joined.count() === 1000)
       val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
       assert(!plan.contains("Exchange"),
         s"bucketed join should not shuffle:\n$plan")
     } finally {

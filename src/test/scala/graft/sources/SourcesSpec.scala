@@ -58,30 +58,6 @@ class SourcesSpec extends SparkSpec {
     assert(back.filter(col("season") === 1997).count() === 1)
   }
 
-  test("bucketed tables join without a shuffle exchange") {
-    val left = (1 to 100).map(i => (i, s"l$i")).toDF("k", "lv")
-    val right = (1 to 100).map(i => (i, i * 2)).toDF("k", "rv")
-    val lb = StagedSources.bucketedTable(spark, left, "t_bkt_left", "k", 4)
-    val rb = StagedSources.bucketedTable(spark, right, "t_bkt_right", "k", 4)
-
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      // force the SMJ path so the assertion is about bucketing, not size
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = lb.join(rb, "k")
-      assert(joined.count() === 100)
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), plan.take(500))
-      assert(!plan.contains("Exchange"),
-        "bucketed-by-key join must not shuffle either side:\n" +
-          plan.take(1500))
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql("DROP TABLE t_bkt_left")
-      spark.sql("DROP TABLE t_bkt_right")
-    }
-  }
-
   test("S9 warehouse table: saveAsTable + catalog read back") {
     val wh = Files.createTempDirectory("graft_wh").toString
     df.write.mode("overwrite")
