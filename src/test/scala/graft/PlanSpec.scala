@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.relational
+
+/** Physical-plan shape guards for the scale-critical properties: these
+  * are the plans we WANT at 100 TB, pinned so a refactor can't silently
+  * regress them (SURVEY.md §4; "optimize for scale" checklist).
+  *
+  * Correctness specs elsewhere prove values; this suite proves the engine
+  * reads less, shuffles less, and combines early.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("filter is pushed into the parquet scan") {
+    val plan = Tables.t(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40"),
+      plan.take(2000))
+  }
+
+  test("projection prunes the scan to the selected columns") {
+    val plan = Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.split("ReadSchema: ")(1)
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_quantity"), readSchema)
+    assert(!readSchema.contains("l_extendedprice"),
+      s"scan reads columns the query never uses: $readSchema")
+  }
+
+  test("dict-lookup join broadcasts the dimension side") {
+    val fact = Tables.t(spark, sf, "customer")
+    val dim = Tables.t(spark, sf, "nation")
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+    val plan = relational.lookupJoin(fact, dim, "c_nationkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("aggregation combines map-side before the exchange") {
+    val plan = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("q"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"),
+      s"no map-side partial aggregation in:\n${plan.take(2000)}")
+    // partial agg must appear upstream (later in the printed tree) of the
+    // exchange so only |groups| rows per partition are shuffled
+    assert(plan.indexOf("partial_sum") > plan.indexOf("Exchange"),
+      plan.take(2000))
+  }
+}
