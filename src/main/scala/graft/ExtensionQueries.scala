@@ -152,6 +152,12 @@ object ExtensionQueries {
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
         numPerms = 8, numBands = 4, threshold = 0.8)),
 
+    "q_dedup_components" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+          numPerms = 8, numBands = 4, threshold = 0.8),
+        "doc_a", "doc_b")),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"), "doc_id", "text", bits = 16)),
 
@@ -373,45 +379,22 @@ object ExtensionQueries {
           FROM fp GROUP BY fp""",
 
     "q_dedup_minhash_lsh" ->
-      s"""WITH tk AS (
-            SELECT doc_id,
-                   string_split_regex(trim(regexp_replace(lower(text),
-                     '[^a-z0-9\\s]+', ' ', 'g')), '\\s+') AS tk
-            FROM documents),
-          sh AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(
-                     generate_series(1, len(tk) - 2),
-                     i -> array_to_string(tk[i:i+2], ' '))) AS shset
-            FROM tk),
-          units AS (SELECT doc_id, unnest(shset) AS u FROM sh),
-          vocab AS (SELECT DISTINCT u FROM units),
-          vh AS (
-            SELECT u, i AS perm, md5(i::VARCHAR || ':' || u) AS h
-            FROM vocab CROSS JOIN range(8) r(i)),
-          mh AS (
-            SELECT doc_id, perm, min(h) AS mh
-            FROM units JOIN vh USING (u)
-            GROUP BY doc_id, perm),
-          band AS (
-            SELECT doc_id, (perm // 2)::INT AS band,
-                   md5(string_agg(mh, ',' ORDER BY perm)) AS bucket
-            FROM mh GROUP BY doc_id, perm // 2),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM band a JOIN band b
-              ON a.band = b.band AND a.bucket = b.bucket
-                 AND a.doc_id < b.doc_id)
-          SELECT doc_a, doc_b,
-                 round(len(list_intersect(sa.shset, sb.shset))::DOUBLE /
-                   len(list_distinct(list_concat(sa.shset, sb.shset))), 6)
-                   AS jaccard
-          FROM cand
-          JOIN sh sa ON cand.doc_a = sa.doc_id
-          JOIN sh sb ON cand.doc_b = sb.doc_id
-          WHERE len(list_intersect(sa.shset, sb.shset))::DOUBLE /
-                  len(list_distinct(list_concat(sa.shset, sb.shset)))
-                  >= 0.8""",
+      s"""WITH $minhashPairCtes
+          SELECT doc_a, doc_b, jaccard FROM mh_pairs""",
+
+    // min-label transitive closure over the minhash near-dup graph; the
+    // UNION de-dupes (id, comp) rows so the recursion reaches a fixpoint
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                    UNION SELECT doc_b, doc_a FROM mh_pairs),
+          reach(id, comp) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
+          SELECT id AS doc_id, min(comp) AS comp,
+                 (id = min(comp)) AS is_canonical
+          FROM reach GROUP BY id""",
 
     "q_dedup_simhash" ->
       s"""WITH tok AS (
@@ -628,6 +611,51 @@ object ExtensionQueries {
   /** DuckDB twin of Similarity.hyperplaneBucket + cosine pair filter.
     * list_dot_product over DOUBLE lists matches Spark's sequential
     * left-to-right summation bit for bit. */
+  /** MinHash+LSH candidate pairs (8 perms, 4 bands, jaccard ≥ 0.8) as a
+    * CTE chain ending in `mh_pairs(doc_a, doc_b, jaccard)` — shared by the
+    * pair query and the connected-components closure over it. */
+  private val minhashPairCtes: String =
+    s"""tk AS (
+          SELECT doc_id,
+                 string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9\\s]+', ' ', 'g')), '\\s+') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(tk) - 2),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shset
+          FROM tk),
+        units AS (SELECT doc_id, unnest(shset) AS u FROM sh),
+        vocab AS (SELECT DISTINCT u FROM units),
+        vh AS (
+          SELECT u, i AS perm, md5(i::VARCHAR || ':' || u) AS h
+          FROM vocab CROSS JOIN range(8) r(i)),
+        mh AS (
+          SELECT doc_id, perm, min(h) AS mh
+          FROM units JOIN vh USING (u)
+          GROUP BY doc_id, perm),
+        band AS (
+          SELECT doc_id, (perm // 2)::INT AS band,
+                 md5(string_agg(mh, ',' ORDER BY perm)) AS bucket
+          FROM mh GROUP BY doc_id, perm // 2),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM band a JOIN band b
+            ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+        mh_pairs AS (
+          SELECT doc_a, doc_b,
+                 round(len(list_intersect(sa.shset, sb.shset))::DOUBLE /
+                   len(list_distinct(list_concat(sa.shset, sb.shset))), 6)
+                   AS jaccard
+          FROM cand
+          JOIN sh sa ON cand.doc_a = sa.doc_id
+          JOIN sh sb ON cand.doc_b = sb.doc_id
+          WHERE len(list_intersect(sa.shset, sb.shset))::DOUBLE /
+                  len(list_distinct(list_concat(sa.shset, sb.shset)))
+                  >= 0.8)"""
+
   private def embeddingPairsSql(numPlanes: Int, threshold: Double): String =
     s"""WITH v AS (
           SELECT vec_id,

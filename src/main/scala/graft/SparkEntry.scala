@@ -300,10 +300,15 @@ object SparkEntry {
     // the sort-merge join runs with zero shuffle exchanges (asserted in
     // SourcesSpec).
     "q_s_bucketed_join" -> ((s, d) => {
+      // bucket only the columns the downstream joins need — the layout
+      // write scales with bytes, and pruning happens at write time here,
+      // not scan time later
       val o = graft.sources.StagedSources.bucketedTable(s,
-        t(s, d, "orders"), "graft_bkt_orders_q", "o_orderkey", 8)
+        t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+        "graft_bkt_orders_q", "o_orderkey", 8)
       val l = graft.sources.StagedSources.bucketedTable(s,
-        t(s, d, "lineitem"), "graft_bkt_lineitem_q", "l_orderkey", 8)
+        t(s, d, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "graft_bkt_lineitem_q", "l_orderkey", 8)
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("cnt"),

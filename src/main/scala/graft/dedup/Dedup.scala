@@ -261,4 +261,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
         .as("jaccard"))
   }
+
+  /** Connected components over a duplicate-pair graph — the step that
+    * turns pairwise near-dup hits into dedup DECISIONS: every doc in a
+    * component gets the component's minimum id as its cluster label, and
+    * the label-owner is the canonical copy to keep.
+    *
+    * Min-label propagation: each round, every vertex takes the smallest
+    * label among itself and its neighbors — one join + one groupBy(min)
+    * per round, converging in O(component diameter) rounds. Near-dup
+    * components are shallow (cliques and short chains), so this is 2-3
+    * rounds in practice. Each round's result is `localCheckpoint`ed:
+    * iterative plans otherwise stack lineage until planning dominates.
+    * No driver-side graph state — the driver only sees the per-round
+    * changed-count, so a 100 TB pair set iterates entirely as shuffles.
+    *
+    * Returns (doc_id, comp, is_canonical) for every vertex of the graph.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String)
+  : DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val sym = edges.union(edges.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct().localCheckpoint()
+
+    var labels = sym.select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val next = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+        .union(labels)
+        .groupBy("id")
+        .agg(min("comp").as("comp"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp"))
+        .count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("comp"),
+      (col("id") === col("comp")).as("is_canonical"))
+  }
 }

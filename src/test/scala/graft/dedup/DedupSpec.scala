@@ -54,4 +54,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("connected components propagate labels across transitive chains") {
+    // 10-11-12-13-14 is a 5-node path: A~B pairwise hits never include
+    // 10~14 directly, so the min label must travel the whole chain
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (2L, 1L), (20L, 21L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert((10L to 14L).forall(comps(_)._1 === 10L))
+    assert(comps(1L)._1 === 1L && comps(2L)._1 === 1L)
+    assert(comps(20L)._1 === 20L && comps(21L)._1 === 20L)
+    // exactly one canonical doc per component
+    assert(comps.values.count(_._2) === 3)
+    assert(comps(10L)._2 && comps(1L)._2 && comps(20L)._2)
+  }
 }
