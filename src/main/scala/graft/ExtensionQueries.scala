@@ -158,6 +158,22 @@ object ExtensionQueries {
           numPerms = 8, numBands = 4, threshold = 0.8),
         "doc_a", "doc_b")),
 
+    // PII scrub over text seeded with one of each PII kind (the synthetic
+    // corpus has none of its own), so all three patterns are exercised
+    "q_text_redact" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Text.redactPii(concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com at ip "),
+          pmod(col("doc_id"), lit(256)), lit(".0.0.1 tel +1 555-123-4567")))
+          .as("redacted"))),
+
+    "q_stratified_sample" -> ((s, d) =>
+      Text.stratifiedSample(t(s, d, "documents"), col("doc_id"),
+        col("lang"), Map("en" -> 0.9, "de" -> 0.5, "es" -> 0.5,
+          "fr" -> 0.25, "zh" -> 0.1))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("n_chars"))),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"), "doc_id", "text", bits = 16)),
 
@@ -381,6 +397,32 @@ object ExtensionQueries {
     "q_dedup_minhash_lsh" ->
       s"""WITH $minhashPairCtes
           SELECT doc_a, doc_b, jaccard FROM mh_pairs""",
+
+    "q_text_redact" ->
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      text || ' contact user' || doc_id ||
+                        '@example.com at ip ' || (doc_id % 256) ||
+                        '.0.0.1 tel +1 555-123-4567',
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'),
+                    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                  '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS redacted
+         FROM documents""",
+
+    "q_stratified_sample" ->
+      """WITH b AS (
+           SELECT lang, n_chars,
+                  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                    % 10000) AS bucket,
+                  CASE lang WHEN 'en' THEN 9000 WHEN 'de' THEN 5000
+                            WHEN 'es' THEN 5000 WHEN 'fr' THEN 2500
+                            WHEN 'zh' THEN 1000 ELSE 0 END AS threshold
+           FROM documents)
+         SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS n_chars
+         FROM b WHERE bucket < threshold GROUP BY lang""",
 
     // min-label transitive closure over the minhash near-dup graph; the
     // UNION de-dupes (id, comp) rows so the recursion reaches a fixpoint

@@ -117,4 +117,36 @@ object Text {
   def splitBucket(id: Column, buckets: Int): Column =
     (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("bigint") % buckets).cast("int")
+
+  /** PII scrub for training text: emails, then phone-shaped digit runs,
+    * then IPv4 literals, each replaced by a typed placeholder token. Pure
+    * `regexp_replace` chain — codegen'd, scan-local, no shuffle; order
+    * matters (emails carry digits, so they're replaced first).
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip,
+      "\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>")
+  }
+
+  /** Deterministic per-stratum downsampling: keep a row iff its id's
+    * md5-bucket (out of 10k) falls under the stratum's configured rate.
+    * Same row set on every run/engine — reproducible corpus sampling,
+    * unlike `sample()` whose seed is partition-layout-dependent. The
+    * rates dim is tiny and broadcasts; the filter runs scan-local.
+    *
+    * @param rates (stratum value → keep fraction) pairs
+    */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
+                       rates: Map[String, Double]): DataFrame = {
+    // resolve rates to integer bucket thresholds on the driver — a float
+    // boundary compare would be engine-rounding-dependent
+    val threshold = rates.foldLeft(lit(0L)) { case (acc, (k, r)) =>
+      when(stratum === k, lit(math.round(r * 10000))).otherwise(acc)
+    }
+    df.filter(splitBucket(id, 10000) < threshold)
+  }
 }

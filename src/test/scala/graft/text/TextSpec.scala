@@ -50,4 +50,28 @@ class TextSpec extends SparkSpec {
       .as[String].collect()
     assert(fps(0) === fps(1))
   }
+
+  test("redactPii replaces emails, IPs, and phone runs, keeps prose") {
+    val out = Seq(
+      "mail a.b+c@test.org or call +1 (555) 123-4567 from 10.0.0.12 now")
+      .toDF("text")
+      .select(Text.redactPii(col("text"))).as[String].head()
+    assert(out ===
+      "mail <EMAIL> or call <PHONE> from <IP> now")
+  }
+
+  test("stratifiedSample keeps deterministic per-stratum subsets") {
+    val docs = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "en" else "zh")).toDF("doc_id", "lang")
+    val kept = Text.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 1.0, "zh" -> 0.1))
+      .as[(Long, String)].collect()
+    val (en, zh) = kept.partition(_._2 == "en")
+    assert(en.length === 200, "rate 1.0 keeps the whole stratum")
+    assert(zh.length > 0 && zh.length < 60, s"~10% of 200, got ${zh.length}")
+    // rerun yields the identical row set (no RNG)
+    val again = Text.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 1.0, "zh" -> 0.1)).as[(Long, String)].collect()
+    assert(again.toSet === kept.toSet)
+  }
 }
