@@ -174,6 +174,9 @@ object ExtensionQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("n_chars"))),
 
+    "q_corpus_prep" -> ((s, d) =>
+      graft.pipelines.Pipelines.corpusPrep(s, d)),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"), "doc_id", "text", bits = 16)),
 
@@ -411,6 +414,38 @@ object ExtensionQueries {
                     '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
                   '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS redacted
          FROM documents""",
+
+    "q_corpus_prep" ->
+      """WITH q AS (
+           SELECT doc_id, lang, n_chars, text,
+                  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                  (length(text) - length(regexp_replace(text,
+                      '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE /
+                    greatest(length(text), 1) AS punct_ratio
+           FROM documents),
+         gated AS (
+           SELECT * FROM q WHERE n_tokens >= 20 AND punct_ratio < 0.2),
+         fp AS (
+           SELECT *, md5(array_to_string(string_split_regex(trim(
+                    regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g')),
+                    '\s+'), ' ')) AS fp
+           FROM gated),
+         canon AS (
+           SELECT * FROM (
+             SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id
+             FROM fp)
+           WHERE doc_id = keep_id),
+         s AS (
+           SELECT lang, n_chars,
+                  CASE WHEN bucket < 90 THEN 'train'
+                       WHEN bucket < 95 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT *,
+                        (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                          ::BIGINT % 100)::INT AS bucket
+                 FROM canon))
+         SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+         FROM s GROUP BY split, lang""",
 
     "q_stratified_sample" ->
       """WITH b AS (

@@ -190,4 +190,38 @@ object Pipelines {
        FROM det
        WINDOW w AS (PARTITION BY game_id ORDER BY seq
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+  /** Corpus-preparation pipeline — the extension-surface analog of E1-E3,
+    * chaining the training-data operators end to end: quality gate →
+    * exact-dedup canonical selection → deterministic split assignment →
+    * per-(split, lang) accounting.
+    *
+    * Shuffle budget at 100 TB: the quality gate and split assignment are
+    * scan-local expressions; dedup is ONE shuffle (by content hash, via a
+    * whole-partition window min rather than groupBy+join, so each doc's
+    * keep-decision happens where its hash group lands); the final
+    * accounting shuffles |kept| rows into a handful of groups with
+    * map-side combine.
+    */
+  def corpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.Text
+
+    val docs = t(spark, dir, "documents")
+    val gated = docs
+      .withColumn("q", Text.qualityScore(col("text")))
+      .filter(col("q.n_tokens") >= 20 && col("q.punct_ratio") < 0.2)
+    val canonical = gated
+      .withColumn("fp", Text.exactFingerprint(col("text")))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keep_id"))
+    canonical
+      .withColumn("split",
+        when(Text.splitBucket(col("doc_id"), 100) < 90, "train")
+          .when(Text.splitBucket(col("doc_id"), 100) < 95, "val")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+  }
 }

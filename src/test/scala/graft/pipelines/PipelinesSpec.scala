@@ -48,4 +48,18 @@ class PipelinesSpec extends SparkSpec {
   test("entry() returns rows on sf0.001") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("corpusPrep: splits partition the kept docs, counts consistent") {
+    val out = Pipelines.corpusPrep(spark, dir).collect()
+    assert(out.nonEmpty)
+    val bySplit = out.groupBy(_.getAs[String]("split"))
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    // quality gate + dedup only ever drop rows
+    val raw = graft.Tables.t(spark, dir, "documents").count()
+    assert(total > 0 && total <= raw)
+    // train must dominate at the 90/5/5 bucket split
+    val trainN = bySplit.get("train").map(_.map(_.getAs[Long]("n_docs")).sum)
+    assert(trainN.exists(n => n > total / 2))
+  }
 }
