@@ -280,8 +280,12 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String)
   : DataFrame = {
+    // materialize the pair computation once — the symmetrizing union
+    // reads it twice, and upstream pair generation (minhash etc.) is the
+    // expensive part
     val edges = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .localCheckpoint()
     val sym = edges.union(edges.select(col("dst").as("src"),
       col("src").as("dst"))).distinct().localCheckpoint()
 
