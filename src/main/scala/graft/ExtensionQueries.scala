@@ -248,6 +248,12 @@ object ExtensionQueries {
       Streams.dailyEventAgg(s, d, ckpt)
         .select(to_date(col("day")).as("day"), col("event_type"),
           col("cnt"), col("sum_value"))
+    }),
+
+    "q_stream_dedup" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_dd").toString
+      Streams.dedupStream(s, d, ckpt)
     })
   )
 
@@ -682,7 +688,10 @@ object ExtensionQueries {
                 COUNT(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events"
   )
 
   /** DuckDB twin of Similarity.hyperplaneBucket + cosine pair filter.

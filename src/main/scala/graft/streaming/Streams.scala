@@ -70,6 +70,39 @@ object Streams {
     * the gap to the previous event of the same user exceeds `gapMinutes`.
     * One shuffle by user + one ordered scan — the exact shape of W1's
     * running counter, reused on event-time. */
+  /** Streaming exact dedup: emit each (user_id, event_type) key once,
+    * with state bounded by the watermark — the stream-ingest side of the
+    * dedup surface (`Dedup.exact` is the at-rest side). State size is
+    * |distinct keys seen within the watermark|, not |stream|, so a
+    * perpetual 100 TB/day feed holds a day of keys, not the firehose.
+    * Output carries only the key columns: which PHYSICAL row arrives
+    * first is batch-slicing-dependent, the key set is not. */
+  def dedupStream(spark: SparkSession, dir: String,
+                  checkpoint: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val deduped = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+
+    val sinkName = "graft_dedup_stream_" + math.abs(checkpoint.hashCode)
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

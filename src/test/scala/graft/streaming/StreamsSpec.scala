@@ -27,4 +27,16 @@ class StreamsSpec extends SparkSpec {
 
     assert(streamed.collect().toSet === batch.collect().toSet)
   }
+
+  test("streamed dedup emits exactly the batch-distinct key set") {
+    val dir = "/root/testdata/sf0.001"
+    val ckpt = Files.createTempDirectory("graft_ckpt_dd_spec").toString
+
+    val streamed = Streams.dedupStream(spark, dir, ckpt).collect()
+    val batch = Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct().collect()
+
+    assert(streamed.length === batch.length, "each key emitted once")
+    assert(streamed.toSet === batch.toSet)
+  }
 }
