@@ -284,6 +284,50 @@ object SparkEntry {
                                 (season, o_orderpriority))""")
     }),
 
+    // set ops: INTERSECT/EXCEPT (set semantics — Catalyst plans both as
+    // aggregated joins, so they scale like any other shuffle join)
+    "q_set_ops" -> ((s, d) => {
+      val withOrders = t(s, d, "orders")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val highBal = t(s, d, "customer")
+        .filter(col("c_acctbal") > 5000).select("c_custkey")
+      withOrders.intersect(highBal).withColumn("src", lit("both"))
+        .unionByName(highBal.except(withOrders)
+          .withColumn("src", lit("only_high_bal")))
+    }),
+
+    // unpivot/melt: wide metric columns → (metric, value) rows
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")),
+          "metric", "value")
+        .groupBy("l_returnflag", "metric")
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total"))),
+
+    "q_full_outer_join" -> ((s, d) => {
+      val a = t(s, d, "nation").filter(col("n_nationkey") < 15)
+        .select(col("n_nationkey").as("k"), col("n_name").as("name_a"))
+      val b = t(s, d, "nation").filter(col("n_nationkey") >= 10)
+        .select(col("n_nationkey").as("k"),
+          col("n_regionkey").as("region_b"))
+      a.join(b, Seq("k"), "full_outer")
+        .select(col("k"), col("name_a"), col("region_b"))
+    }),
+
+    // statistical aggregates; rounded to 4 decimals on both engines —
+    // corr/stddev accumulate in double, so the last bits are
+    // merge-order-dependent
+    "q_agg_stats" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qe"),
+        round(stddev_samp(col("l_discount")), 4).as("sd_disc"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4)
+          .as("cov_qd"))),
+
     // S9 warehouse path: saveAsTable into the session catalog, read back
     // via spark.table — the BigQuery-external-table analog
     "q_s9_catalog_roundtrip" -> ((s, d) => {
@@ -539,6 +583,45 @@ object SparkEntry {
          FROM orders
          GROUP BY GROUPING SETS ((season), (o_orderpriority),
                                  (season, o_orderpriority))""",
+
+    "q_set_ops" ->
+      """SELECT c_custkey, 'both' AS src FROM (
+           SELECT DISTINCT o_custkey AS c_custkey FROM orders
+           INTERSECT
+           SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+         UNION ALL
+         SELECT c_custkey, 'only_high_bal' AS src FROM (
+           SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+           EXCEPT
+           SELECT DISTINCT o_custkey FROM orders)""",
+
+    "q_unpivot" ->
+      """WITH m AS (
+           SELECT l_returnflag, 'l_quantity' AS metric,
+                  l_quantity AS value FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+           FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+         SELECT l_returnflag, metric,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM m GROUP BY l_returnflag, metric""",
+
+    "q_full_outer_join" ->
+      """SELECT COALESCE(a.k, b.k) AS k, a.name_a, b.region_b
+         FROM (SELECT n_nationkey AS k, n_name AS name_a
+               FROM nation WHERE n_nationkey < 15) a
+         FULL JOIN (SELECT n_nationkey AS k, n_regionkey AS region_b
+                    FROM nation WHERE n_nationkey >= 10) b
+           ON a.k = b.k""",
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+                round(corr(l_quantity, l_extendedprice), 4) AS corr_qe,
+                round(stddev_samp(l_discount), 4) AS sd_disc,
+                round(covar_samp(l_quantity, l_discount), 4) AS cov_qd
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q_s9_catalog_roundtrip" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations
