@@ -328,6 +328,13 @@ object SparkEntry {
         round(covar_samp(col("l_quantity"), col("l_discount")), 4)
           .as("cov_qd"))),
 
+    // exact percentiles (single-pass sort-based agg; the sketch-based
+    // approx_percentile is the 100 TB path, exercised rows-only like HLL)
+    "q_agg_percentile" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))),
+
     // S9 warehouse path: saveAsTable into the session catalog, read back
     // via spark.table — the BigQuery-external-table analog
     "q_s9_catalog_roundtrip" -> ((s, d) => {
@@ -621,6 +628,12 @@ object SparkEntry {
                 round(corr(l_quantity, l_extendedprice), 4) AS corr_qe,
                 round(stddev_samp(l_discount), 4) AS sd_disc,
                 round(covar_samp(l_quantity, l_discount), 4) AS cov_qd
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
          FROM lineitem GROUP BY l_returnflag""",
 
     "q_s9_catalog_roundtrip" ->
