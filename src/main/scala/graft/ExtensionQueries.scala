@@ -603,8 +603,13 @@ object ExtensionQueries {
            FROM v ORDER BY vec_id LIMIT 4),
          d1 AS (
            SELECT v.vec_id, c0.cell,
-                  -2 * list_dot_product(v.e, c0.c::FLOAT[])
-                    + list_dot_product(c0.c::FLOAT[], c0.c::FLOAT[]) AS d
+                  -- float-rounded centroid, DOUBLE[] accumulation: FLOAT[]
+                  -- inputs make list_dot_product sum in float, whose
+                  -- ~1e-5 error flips near-tie argmins vs Spark's double
+                  -2 * list_dot_product(v.e::DOUBLE[],
+                         (c0.c::FLOAT[])::DOUBLE[])
+                    + list_dot_product((c0.c::FLOAT[])::DOUBLE[],
+                        (c0.c::FLOAT[])::DOUBLE[]) AS d
            FROM v CROSS JOIN c0),
          a1 AS (
            SELECT vec_id, cell FROM (
@@ -620,8 +625,10 @@ object ExtensionQueries {
            GROUP BY cell),
          d2 AS (
            SELECT v.vec_id, m1.cell,
-                  -2 * list_dot_product(v.e, m1.c::FLOAT[])
-                    + list_dot_product(m1.c::FLOAT[], m1.c::FLOAT[]) AS d
+                  -2 * list_dot_product(v.e::DOUBLE[],
+                         (m1.c::FLOAT[])::DOUBLE[])
+                    + list_dot_product((m1.c::FLOAT[])::DOUBLE[],
+                        (m1.c::FLOAT[])::DOUBLE[]) AS d
            FROM v CROSS JOIN m1),
          a2 AS (
            SELECT vec_id, cell FROM (

@@ -77,6 +77,17 @@ object ScaleSmoke {
         .orderBy(col("d").desc).limit(10).count()
     }
 
+    timed("connected components") {
+      // rows/50 edges forming ten-node chains — worst-ish case for label
+      // propagation (labels travel one hop per round, so ~9 rounds;
+      // near-dup cliques converge in 1-2)
+      val e = spark.range(rows / 50)
+        .filter(col("id") % 10 =!= 9)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      graft.dedup.Dedup.connectedComponents(e, "a", "b")
+        .filter(col("is_canonical")).count()
+    }
+
     spark.stop()
   }
 }
