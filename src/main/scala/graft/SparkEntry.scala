@@ -335,6 +335,38 @@ object SparkEntry {
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))),
 
+    // RANGE window frame: value-based (30-day) moving sum, not row-count
+    // based — frame membership is by order-key distance, so ties and gaps
+    // behave identically on any row layout
+    "q_window_range_frame" -> ((s, d) => {
+      val days = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, 0)
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("sum_30d"))
+    }),
+
+    // null-safe equality (<=>): null keys join to null keys instead of
+    // dropping — needed when the join key itself is a data value
+    "q_null_safe_join" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_orderpriority") === "1-URGENT", null)
+          .otherwise(col("o_orderpriority")).as("prio"))
+      val dim = t(s, d, "orders").select(
+        when(col("o_orderpriority") === "1-URGENT", null)
+          .otherwise(col("o_orderpriority")).as("prio"))
+        .distinct()
+        .withColumn("prio_rank",
+          coalesce(substring(col("prio"), 1, 1).cast("int"), lit(0)))
+      o.join(dim, o("prio") <=> dim("prio"))
+        .groupBy("prio_rank")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     // S9 warehouse path: saveAsTable into the session catalog, read back
     // via spark.table — the BigQuery-external-table analog
     "q_s9_catalog_roundtrip" -> ((s, d) => {
@@ -629,6 +661,34 @@ object SparkEntry {
                 round(stddev_samp(l_discount), 4) AS sd_disc,
                 round(covar_samp(l_quantity, l_discount), 4) AS cov_qd
          FROM lineitem GROUP BY l_returnflag""",
+
+    "q_window_range_frame" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY datediff('day', DATE '1970-01-01',
+                                    o_orderdate::DATE)
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS sum_30d
+         FROM orders""",
+
+    "q_null_safe_join" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                       ELSE o_orderpriority END AS prio
+           FROM orders),
+         dim AS (
+           SELECT DISTINCT
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                       ELSE o_orderpriority END AS prio,
+                  COALESCE(TRY_CAST(substr(CASE WHEN o_orderpriority =
+                        '1-URGENT' THEN NULL ELSE o_orderpriority END,
+                      1, 1) AS INT), 0) AS prio_rank
+           FROM orders)
+         SELECT prio_rank, COUNT(*) AS cnt
+         FROM o JOIN dim ON o.prio IS NOT DISTINCT FROM dim.prio
+         GROUP BY prio_rank""",
 
     "q_agg_percentile" ->
       """SELECT l_returnflag,
