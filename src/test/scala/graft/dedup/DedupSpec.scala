@@ -55,6 +55,46 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connected components match union-find on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 25)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong) if a != b
+      } yield (a, b))
+    } yield edges
+
+    def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+
+    (0 until 8).foreach { i =>
+      genEdges.apply(Gen.Parameters.default, Seed(i.toLong)).foreach {
+        edges =>
+          val got = Dedup
+            .connectedComponents(edges.toDF("doc_a", "doc_b"),
+              "doc_a", "doc_b")
+            .as[(Long, Long, Boolean)].collect()
+            .map(r => r._1 -> r._2).toMap
+          val want = unionFind(edges)
+          assert(got === want, s"seed $i, edges $edges")
+      }
+    }
+  }
+
   test("connected components propagate labels across transitive chains") {
     // 10-11-12-13-14 is a 5-node path: A~B pairwise hits never include
     // 10~14 directly, so the min label must travel the whole chain
