@@ -226,6 +226,20 @@ object ExtensionQueries {
       Multimodal.frameSample(
         Multimodal.mediaFromDocuments(s, t(s, d, "documents")), stride = 64)),
 
+    "q_mm_resize" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.resizeStub(
+        Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
+          .as[Multimodal.MediaRow], width = 16, height = 16).toDF()
+    }),
+
+    "q_mm_features" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.featureStub(
+        Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
+          .as[Multimodal.MediaRow], bins = 8).toDF()
+    }),
+
     // ---- S3 anchor-extract parity: regex extract-all + explode ------------
     "q_s3_regex_extract" -> ((s, d) =>
       t(s, d, "documents")
@@ -660,6 +674,36 @@ object ExtensionQueries {
                   greatest((length(text) // 64)::INT - 1, 0))) * 64
                   AS frame_off
          FROM documents""",
+
+    "q_mm_resize" ->
+      """SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS kind,
+                16 AS width, 16 AS height,
+                least(length(text), 256)::BIGINT AS n_bytes,
+                md5(substr(text, 1, 256)) AS checksum
+         FROM documents""",
+
+    "q_mm_features" ->
+      """WITH per AS (
+           SELECT doc_id, bin, COUNT(*) AS cnt FROM (
+             SELECT doc_id,
+                    ascii(substr(text,
+                      unnest(generate_series(1, length(text))), 1))
+                      % 8 AS bin
+             FROM documents)
+           GROUP BY doc_id, bin),
+         dense AS (
+           SELECT d.doc_id, r.b AS bin, COALESCE(p.cnt, 0) AS cnt
+           FROM documents d CROSS JOIN range(8) r(b)
+           LEFT JOIN per p ON p.doc_id = d.doc_id AND p.bin = r.b)
+         SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS kind,
+                list(cnt ORDER BY bin) AS features
+         FROM dense GROUP BY doc_id""",
 
     "q_s3_regex_extract" ->
       """SELECT href, COUNT(*) AS n

@@ -58,6 +58,51 @@ object Multimodal {
     }
   }
 
+  /** Resized envelope: fixed target dimensions + truncated payload. */
+  case class MediaResized(media_id: Long, kind: String, width: Int,
+                          height: Int, n_bytes: Long, checksum: String)
+
+  /** Byte-histogram "feature vector" (the stub for a CNN/CLIP embedding
+    * step): counts per bin, dense, fixed length. Raw counts rather than
+    * ratios — integer outputs are engine-exact where a float division's
+    * last bit is not. */
+  case class MediaFeatures(media_id: Long, kind: String,
+                           features: Seq[Long])
+
+  /** Resize stub: cap the payload at width×height bytes (a real resize
+    * shrinks pixels; the stub shrinks bytes — same batch shape, schema,
+    * and partition-locality). */
+  def resizeStub(media: Dataset[MediaRow], width: Int, height: Int)
+  : Dataset[MediaResized] = {
+    import media.sparkSession.implicits._
+    val target = width * height
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val out =
+          if (r.payload.length > target) r.payload.take(target)
+          else r.payload
+        md.reset()
+        MediaResized(r.media_id, r.kind, width, height, out.length.toLong,
+          md.digest(out).map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
+  /** Feature-extract stub: dense per-bin byte histogram, partition-local
+    * single pass over the payload. */
+  def featureStub(media: Dataset[MediaRow], bins: Int)
+  : Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val counts = new Array[Long](bins)
+        r.payload.foreach(b => counts((b & 0xff) % bins) += 1)
+        MediaFeatures(r.media_id, r.kind, counts.toSeq)
+      }
+    }
+  }
+
   /** Frame-sample stub: pick every `stride`-th byte window as a "frame" —
     * the plumbing (explode to one row per frame with an index) matches what
     * real video frame extraction produces. */

@@ -30,4 +30,25 @@ class MultimodalSpec extends SparkSpec {
       .as[(Int, Int)].collect().sorted
     assert(frames === Array((0, 0), (1, 64), (2, 128)))
   }
+
+  test("resizeStub caps payload at target byte budget") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", ("a" * 500).getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, "image", "tiny".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.resizeStub(media, 16, 16).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out(1L).n_bytes === 256L && out(1L).width === 16)
+    assert(out(2L).n_bytes === 4L, "smaller payloads pass through")
+    assert(out(1L).checksum !== out(2L).checksum)
+  }
+
+  test("featureStub: dense histogram, counts sum to payload length") {
+    val payload = "abcdefgh".getBytes("UTF-8")
+    val media = Seq(Multimodal.MediaRow(1L, "audio", payload)).toDS()
+    val f = Multimodal.featureStub(media, bins = 8).head().features
+    assert(f.length === 8)
+    assert(f.sum === payload.length.toLong)
+    // 'a'=97 → bin 1; each of a..h lands in a distinct bin of 8
+    assert(f.forall(_ === 1L))
+  }
 }
