@@ -257,6 +257,17 @@ object SparkEntry {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))),
 
+    // sketch twin of q_agg_percentile: single-pass mergeable KLL-style
+    // summary — the 100 TB default where the exact sort-based aggregate
+    // is the small-data/audit path. No oracle (sketch internals are
+    // engine-specific); driver records rows-only.
+    "q_approx_percentile" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+          .as("p90_approx"))),
+
     "q_pivot" -> ((s, d) =>
       t(s, d, "lineitem")
         .withColumn("season", year(col("l_shipdate")))
