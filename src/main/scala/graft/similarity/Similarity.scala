@@ -88,6 +88,54 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Multi-probe IVF: each query searches its `nProbe` nearest cells
+    * instead of one — the standard recall/latency dial. Centroids are
+    * derived from the stored assignment (exactly what an IVF index
+    * persists); with nProbe = |cells| this degrades gracefully to brute
+    * force. Candidate volume scales with nProbe/|cells| of the corpus,
+    * and the per-query cell ranking is a broadcast of |cells| rows. */
+  def ivfMultiProbe(queries: DataFrame, corpus: DataFrame,
+                    cells: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    // cell means without knowing dim at plan time: posexplode + avg per
+    // (cell, pos), reassembled in pos order
+    val cents = corpus.join(cells, "vec_id")
+      .select(col("cell"), posexplode(col("embedding")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
+    val qDist = dot(col("q_emb"), col("centroid").cast("array<float>")) *
+      -2 + dot(col("centroid").cast("array<float>"),
+        col("centroid").cast("array<float>"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("pd"), col("cell"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("pd", qDist)
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+
+    val cand = corpus.join(cells, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding").as("c_emb"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Deterministic mini k-means coarse quantizer — builds the IVF cell
     * assignment when no precomputed cell column exists. Init is the k
     * lowest-id vectors (no RNG), each Lloyd iteration is one broadcast of

@@ -49,6 +49,34 @@ class SimilaritySpec extends SparkSpec {
     assert(again === cells)
   }
 
+  test("ivfMultiProbe: more probes → brute-force result at full fan-out") {
+    // 3 well-separated clusters so kmeans cells are stable
+    val base = Seq(
+      Array(10f, 0f, 0f), Array(0f, 10f, 0f), Array(0f, 0f, 10f))
+    val corpus = (0L until 30L).map { i =>
+      val c = base((i % 3).toInt)
+      (i, c.zipWithIndex.map { case (v, j) =>
+        v + (i * 7 % 5) * 0.01f * (j + 1) })
+    }.toDF("vec_id", "embedding")
+    val cells = Similarity.kmeansCells(corpus, k = 3, iters = 3)
+    val qs = corpus.filter(col("vec_id") < 3)
+
+    val brute = Similarity.bruteForceTopK(qs, corpus, k = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val full = Similarity.ivfMultiProbe(qs, corpus, cells, k = 4,
+      nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full === brute, "nProbe = |cells| must equal brute force")
+
+    val one = Similarity.ivfMultiProbe(qs, corpus, cells, k = 4,
+      nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall1 = (one & brute).size.toDouble / brute.size
+    val recall3 = (full & brute).size.toDouble / brute.size
+    assert(recall3 >= recall1, "recall must be monotone in probes")
+    assert(one.nonEmpty && one.subsetOf(full))
+  }
+
   test("hyperplane LSH: identical vectors share buckets") {
     val b = vecs
       .select(Similarity.hyperplaneBucket(col("embedding"), 3, 8).as("b"))
