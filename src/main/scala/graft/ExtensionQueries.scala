@@ -158,6 +158,18 @@ object ExtensionQueries {
           numPerms = 8, numBands = 4, threshold = 0.8),
         "doc_a", "doc_b")),
 
+    // corpus-level near-dup dedup: minhash pairs → components → keep one
+    // doc per cluster, pass untouched docs through
+    "q_dedup_keep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.keepCanonical(docs, "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          numPerms = 8, numBands = 4, threshold = 0.8),
+        "doc_a", "doc_b")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("n_chars"))
+    }),
+
     // PII scrub over text seeded with one of each PII kind (the synthetic
     // corpus has none of its own), so all three patterns are exercised
     "q_text_redact" -> ((s, d) =>
@@ -420,6 +432,21 @@ object ExtensionQueries {
     "q_dedup_minhash_lsh" ->
       s"""WITH $minhashPairCtes
           SELECT doc_a, doc_b, jaccard FROM mh_pairs""",
+
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                    UNION SELECT doc_b, doc_a FROM mh_pairs),
+          reach(id, comp) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+          dropped AS (
+            SELECT id FROM reach GROUP BY id HAVING id <> min(comp))
+          SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS n_chars
+          FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM dropped)
+          GROUP BY lang""",
 
     "q_text_redact" ->
       """SELECT doc_id,
