@@ -77,6 +77,19 @@ object ScaleSmoke {
         .orderBy(col("d").desc).limit(10).count()
     }
 
+    timed("salted join under 90% skew") {
+      // 90% of fact rows hit one key — the shape that stalls a plain
+      // shuffle join on a single straggler task; salting spreads the hot
+      // key over numSalts partitions
+      val skewed = spark.range(rows).select(
+        when(col("id") % 10 < 9, 0L).otherwise(col("id") % 1000).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(1000).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      graft.ops.relational.saltedJoin(skewed, dim, "k", numSalts = 32)
+        .filter(col("w") % 100 === 0).count()
+    }
+
     timed("connected components") {
       // rows/50 edges forming ten-node chains — worst-ish case for label
       // propagation (labels travel one hop per round, so ~9 rounds;
