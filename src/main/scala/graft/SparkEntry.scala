@@ -378,6 +378,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    // SQL front door at realistic analytic complexity (TPC-H Q3 shape):
+    // 3-way join + filter + agg + top-k, all through spark.sql — the
+    // "BigQuery external table" usage pattern end to end
+    "q_sql_q3" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               o_orderdate
+        FROM customer_v
+        JOIN orders_v ON c_custkey = o_custkey
+        JOIN lineitem_v ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1995-03-15'
+          AND l_shipdate > DATE '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10""")
+    }),
+
     // S9 warehouse path: saveAsTable into the session catalog, read back
     // via spark.table — the BigQuery-external-table analog
     "q_s9_catalog_roundtrip" -> ((s, d) => {
@@ -700,6 +723,21 @@ object SparkEntry {
          SELECT prio_rank, COUNT(*) AS cnt
          FROM o JOIN dim ON o.prio IS NOT DISTINCT FROM dim.prio
          GROUP BY prio_rank""",
+
+    "q_sql_q3" ->
+      """SELECT l_orderkey,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                o_orderdate
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < DATE '1995-03-15'
+           AND l_shipdate > DATE '1995-03-15'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey ASC
+         LIMIT 10""",
 
     "q_agg_percentile" ->
       """SELECT l_returnflag,
