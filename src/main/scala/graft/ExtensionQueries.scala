@@ -267,6 +267,19 @@ object ExtensionQueries {
         Tables.events(s, d).select("event_id", "user_id", "ts", "value"),
         gapMinutes = 30)),
 
+    // built-in session_window: same merge rule as sessionizeBatch
+    // (gap > 30 min starts a session), window end = last event + gap
+    "q_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"),
+          col("sum_value"))),
+
     // ---- streaming ---------------------------------------------------------
     "q_stream_daily_agg" -> ((s, d) => {
       val ckpt = java.nio.file.Files
@@ -739,6 +752,32 @@ object ExtensionQueries {
                         AS href
                FROM documents)
          GROUP BY href""",
+
+    // session_window merges on strict overlap: a gap of exactly 30 min
+    // starts a NEW session, hence >= in the islands rule (sessionizeBatch
+    // uses > — both are valid semantics, pinned per operator)
+    "q_session_window" ->
+      """WITH g AS (
+           SELECT user_id, ts, value, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               >= 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts, value,
+                  SUM(is_new) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_no
+           FROM g)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
+         FROM s GROUP BY user_id, session_no""",
 
     "q_sessionize" ->
       """WITH g AS (
