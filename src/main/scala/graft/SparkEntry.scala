@@ -378,6 +378,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    // array-valued aggregation: collect_set is unordered by contract, so
+    // deterministic output requires the explicit array_sort
+    "q_agg_collect" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        array_sort(collect_set(col("l_linestatus"))).as("statuses"),
+        array_sort(collect_set(year(col("l_shipdate")).cast("int")))
+          .as("ship_years"),
+        size(collect_set(col("l_suppkey"))).as("n_suppliers"))),
+
     // SQL front door at realistic analytic complexity (TPC-H Q3 shape):
     // 3-way join + filter + agg + top-k, all through spark.sql — the
     // "BigQuery external table" usage pattern end to end
@@ -723,6 +732,15 @@ object SparkEntry {
          SELECT prio_rank, COUNT(*) AS cnt
          FROM o JOIN dim ON o.prio IS NOT DISTINCT FROM dim.prio
          GROUP BY prio_rank""",
+
+    "q_agg_collect" ->
+      """SELECT l_returnflag,
+                list(DISTINCT l_linestatus ORDER BY l_linestatus)
+                  AS statuses,
+                list(DISTINCT year(l_shipdate)::INT
+                     ORDER BY year(l_shipdate)::INT) AS ship_years,
+                COUNT(DISTINCT l_suppkey)::INT AS n_suppliers
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q_sql_q3" ->
       """SELECT l_orderkey,
