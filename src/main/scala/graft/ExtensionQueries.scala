@@ -247,9 +247,14 @@ object ExtensionQueries {
 
     "q_mm_features" -> ((s, d) => {
       import s.implicits._
+      // features joined to a scalar string: the driver's comparator
+      // can't sort/hash array-typed cells
       Multimodal.featureStub(
         Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
           .as[Multimodal.MediaRow], bins = 8).toDF()
+        .select(col("media_id"), col("kind"),
+          array_join(col("features").cast("array<string>"), ",")
+            .as("features"))
     }),
 
     // ---- S3 anchor-extract parity: regex extract-all + explode ------------
@@ -411,7 +416,8 @@ object ExtensionQueries {
          SELECT CASE WHEN bucket < 90 THEN 'train'
                      WHEN bucket < 95 THEN 'val'
                      ELSE 'test' END AS split,
-                COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+                COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars
          FROM b GROUP BY 1""",
 
     "q_contamination" ->
@@ -456,7 +462,8 @@ object ExtensionQueries {
             SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
           dropped AS (
             SELECT id FROM reach GROUP BY id HAVING id <> min(comp))
-          SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS n_chars
+          SELECT lang, COUNT(*) AS n_kept,
+                 CAST(SUM(n_chars) AS BIGINT) AS n_chars
           FROM documents
           WHERE doc_id NOT IN (SELECT id FROM dropped)
           GROUP BY lang""",
@@ -504,7 +511,8 @@ object ExtensionQueries {
                         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
                           ::BIGINT % 100)::INT AS bucket
                  FROM canon))
-         SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+         SELECT split, lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars
          FROM s GROUP BY split, lang""",
 
     "q_stratified_sample" ->
@@ -516,7 +524,8 @@ object ExtensionQueries {
                             WHEN 'es' THEN 5000 WHEN 'fr' THEN 2500
                             WHEN 'zh' THEN 1000 ELSE 0 END AS threshold
            FROM documents)
-         SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS n_chars
+         SELECT lang, COUNT(*) AS n_kept,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars
          FROM b WHERE bucket < threshold GROUP BY lang""",
 
     // min-label transitive closure over the minhash near-dup graph; the
@@ -742,7 +751,7 @@ object ExtensionQueries {
                 CASE WHEN doc_id % 3 = 0 THEN 'image'
                      WHEN doc_id % 3 = 1 THEN 'audio'
                      ELSE 'video' END AS kind,
-                list(cnt ORDER BY bin) AS features
+                array_to_string(list(cnt ORDER BY bin), ',') AS features
          FROM dense GROUP BY doc_id""",
 
     "q_s3_regex_extract" ->

@@ -379,12 +379,14 @@ object SparkEntry {
     }),
 
     // array-valued aggregation: collect_set is unordered by contract, so
-    // deterministic output requires the explicit array_sort
+    // deterministic output requires the explicit array_sort; joined to a
+    // scalar string because the driver's comparator can't hash arrays
     "q_agg_collect" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag").agg(
-        array_sort(collect_set(col("l_linestatus"))).as("statuses"),
-        array_sort(collect_set(year(col("l_shipdate")).cast("int")))
-          .as("ship_years"),
+        array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"),
+        array_join(array_sort(collect_set(year(col("l_shipdate"))
+          .cast("int"))).cast("array<string>"), ",").as("ship_years"),
         size(collect_set(col("l_suppkey"))).as("n_suppliers"))),
 
     // SQL front door at realistic analytic complexity (TPC-H Q3 shape):
@@ -579,11 +581,11 @@ object SparkEntry {
 
     "q_w1_running_counter" ->
       """SELECT l_orderkey, l_linenumber,
-                SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+                CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
                   OVER (PARTITION BY l_orderkey
                         ORDER BY l_linenumber, l_partkey, l_suppkey
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS period
+                  AS BIGINT) AS period
          FROM lineitem""",
 
     "q_w2_forward_fill" ->
@@ -735,10 +737,12 @@ object SparkEntry {
 
     "q_agg_collect" ->
       """SELECT l_returnflag,
-                list(DISTINCT l_linestatus ORDER BY l_linestatus)
+                array_to_string(
+                  list(DISTINCT l_linestatus ORDER BY l_linestatus), ',')
                   AS statuses,
-                list(DISTINCT year(l_shipdate)::INT
-                     ORDER BY year(l_shipdate)::INT) AS ship_years,
+                array_to_string(
+                  list(DISTINCT year(l_shipdate)::INT
+                       ORDER BY year(l_shipdate)::INT), ',') AS ship_years,
                 COUNT(DISTINCT l_suppkey)::INT AS n_suppliers
          FROM lineitem GROUP BY l_returnflag""",
 

@@ -16,11 +16,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * unboxed float arrays inside the generated code.
   *
   * Semantics are IDENTICAL to the HOF version — sequential ascending-index
-  * accumulation in double — so swapping it in cannot change any
-  * oracle-verified result bit.
+  * accumulation in double, and NULL when the arrays differ in length
+  * (`zip_with` pads the shorter side with nulls, which nulls the
+  * `aggregate` sum) — so swapping it in cannot change any oracle-verified
+  * result bit.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  // returns null on length mismatch even when both inputs are non-null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -39,7 +44,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -56,12 +62,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("dotI")
       val n = ctx.freshName("dotN")
       s"""
-         |double $s = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -14,9 +14,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * `array<float>` with non-nullable elements. The HOF form evaluates its
   * lambdas interpreted (one closure call per element); the native form is
   * a fused loop. Identical semantics: same ascending-index double
-  * accumulation — and the rewrite is guarded on `containsNull = false`
-  * because the HOF propagates a null ELEMENT to a null result while the
-  * native loop reads raw slots.
+  * accumulation; unequal-length inputs yield NULL in both forms (zip_with
+  * pads the shorter side with nulls, which nulls the sum — DotProduct
+  * returns null on length mismatch to match); and the rewrite is guarded
+  * on `containsNull = false` because the HOF propagates a null ELEMENT to
+  * a null result while the native loop reads raw slots.
   *
   * Injected by [[GraftExtensions]] via `injectOptimizerRule` — the (c)
   * rung of the custom-Catalyst ladder (SURVEY.md §4).

@@ -46,15 +46,12 @@ object relational {
 
   /** A3/O3 — last-row probe (reference `boxScores.py:48-49`:
     * `table['MP'][-1:].max()` reads the team-totals row to classify the
-    * table). Distributed form: row_number over the DESCENDING order,
-    * keep rank 1 — per-partition heads merge, no global sort. */
-  def lastRow(df: DataFrame, order: Column*): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(order.map(_.desc): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+    * table). Distributed form: sort-desc + limit(1), which Spark plans as
+    * TakeOrderedAndProject — each partition keeps its own top-1, the
+    * driver merges p candidate rows; no global sort, no single-partition
+    * window. */
+  def lastRow(df: DataFrame, order: Column*): DataFrame =
+    df.orderBy(order.map(_.desc): _*).limit(1)
 
   /** Skew-mitigating equi-join: salt the (skewed) fact side into
     * `numSalts` sub-keys and replicate the dim side once per salt, so one

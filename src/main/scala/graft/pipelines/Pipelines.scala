@@ -180,8 +180,8 @@ object Pipelines {
        SELECT game_id, seq,
               md5(concat_ws('|', CAST(game_id AS VARCHAR),
                 CAST(seq AS VARCHAR))) AS play_id,
-              SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) OVER w
-                AS period,
+              CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+                OVER w AS BIGINT) AS period,
               COALESCE(last_value(
                   CASE WHEN seq % 2 = 1 THEN l_extendedprice END
                   IGNORE NULLS) OVER w, 0.0) AS away_points,

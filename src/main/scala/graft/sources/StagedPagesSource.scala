@@ -97,8 +97,13 @@ class PageReaderFactory(cols: Array[String])
     val file = partition.asInstanceOf[PagePartition].file
     new PartitionReader[InternalRow] {
       private val pageName = new java.io.File(file).getName
-      private val lines = scala.io.Source.fromFile(file, "UTF-8")
-        .getLines().toArray
+      // read eagerly and close immediately: a PartitionReader that holds
+      // the handle until close() leaks one descriptor per page on
+      // long-running executors
+      private val lines = {
+        val src = scala.io.Source.fromFile(file, "UTF-8")
+        try src.getLines().toArray finally src.close()
+      }
       private var i = -1
 
       override def next(): Boolean = { i += 1; i < lines.length }

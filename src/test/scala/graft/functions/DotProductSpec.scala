@@ -82,4 +82,23 @@ class DotProductSpec extends SparkSpec {
       .select(Similarity.dot(col("a"), col("b")).as("d"))
     assert(df.collect().head.isNullAt(0))
   }
+
+  test("length mismatch → null, matching the HOF form (both eval paths)") {
+    // interpreted path: LocalRelation evaluates without codegen
+    val local = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .collect().head
+    assert(local.isNullAt(0) && local.isNullAt(1))
+    // codegen path: range source keeps the projection in WholeStageCodegen
+    val gen = spark.range(1)
+      .select(
+        array(lit(1.0f), lit(2.0f), lit(3.0f)).as("a"),
+        array((col("id") + 1).cast("float"),
+          (col("id") + 2).cast("float")).as("b"))
+      .select(Similarity.dot(col("a"), col("b")).as("native"))
+      .collect().head
+    assert(gen.isNullAt(0))
+  }
 }

@@ -48,8 +48,10 @@ class RelationalSpec extends SparkSpec {
     val df = Seq((1, "M. Jordan", "40:00"), (2, "S. Pippen", "38:00"),
       (3, "Team Totals", "240:00")).toDF("seq", "player", "mp")
     val last = relational.lastRow(df, col("seq"))
-      .select("player", "mp").as[(String, String)].head()
-    assert(last === (("Team Totals", "240:00")))
+    assert(last.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    assert(last.select("player", "mp").as[(String, String)].head() ===
+      (("Team Totals", "240:00")))
   }
 
   test("topK plans as TakeOrderedAndProject (no global sort)") {
