@@ -124,23 +124,38 @@ object Dedup {
       .localCheckpoint()
 
   /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidates →
-    * exact-Jaccard verification, over one shared shingle materialization. */
+    * exact-Jaccard verification, over one shared shingle materialization.
+    *
+    * Signature AND band-bucket generation are scan-local: the native
+    * [[graft.functions.MinhashSig]] expression computes the whole
+    * signature per doc in one pass (same md5 values as the exploded
+    * groupBy(min) formulation in [[minhashSignatures]], which remains the
+    * semantic reference), and each band bucket is md5 over a slice of that
+    * signature array. The first shuffle in the whole pipeline is the
+    * candidate self-join on (band, bucket) — at 100 TB nothing upstream
+    * of it moves a byte. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       numPerms: Int, numBands: Int, threshold: Double)
   : DataFrame = {
+    val rowsPerBand = numPerms / numBands
     val sets = shingleSets(docs, idCol, textCol, 3)
-    val units = sets.select(col("doc_id"), explode(col("shset")).as("u"))
-    val mins = units
-      .groupBy("doc_id")
-      .agg(
-        min(md5(concat_ws(":", lit("0"), col("u")))).as("h0"),
-        (1 until numPerms).map(i =>
-          min(md5(concat_ws(":", lit(i.toString), col("u")))).as(s"h$i")): _*)
-    val sigs = mins.select(col("doc_id"),
-      explode(array((0 until numPerms).map(i =>
-        struct(lit(i).as("perm"), col(s"h$i").as("mh"))): _*)).as("x"))
-      .select(col("doc_id"), col("x.perm").as("perm"), col("x.mh").as("mh"))
-    val cands = lshCandidates(lshBuckets(sigs, numBands, numPerms))
+    // banded: (doc_id, band, bucket), 1 row per doc·band — checkpointed so
+    // the candidate self-join's two sides don't each recompute the
+    // md5-heavy signatures
+    val banded = sets
+      .filter(size(col("shset")) > 0)
+      .withColumn("sig",
+        call_function("graft_minhash", col("shset"), lit(numPerms)))
+      .select(col("doc_id"),
+        explode(array((0 until numBands).map(b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws(",",
+              slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+              .as("bucket"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"),
+        col("x.bucket").as("bucket"))
+      .localCheckpoint()
+    val cands = lshCandidates(banded)
 
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")),
@@ -267,44 +282,67 @@ object Dedup {
     * component gets the component's minimum id as its cluster label, and
     * the label-owner is the canonical copy to keep.
     *
-    * Min-label propagation: each round, every vertex takes the smallest
-    * label among itself and its neighbors — one join + one groupBy(min)
-    * per round, converging in O(component diameter) rounds. Near-dup
-    * components are shallow (cliques and short chains), so this is 2-3
-    * rounds in practice. Each round's result is `localCheckpoint`ed:
+    * Min-label propagation with pointer doubling: labels start at
+    * min(self, neighbors) — one aggregation, equivalent to a whole first
+    * round — then each round every vertex takes the smallest label among
+    * its neighbors' labels, its own, AND its label's label (the
+    * pointer-doubling shortcut that collapses a chain of length d in
+    * O(log d) rounds instead of O(d) — near-dup graphs are mostly
+    * cliques, but chained near-dups otherwise make round count
+    * data-dependent). Each round's result is `localCheckpoint`ed:
     * iterative plans otherwise stack lineage until planning dominates.
-    * No driver-side graph state — the driver only sees the per-round
-    * changed-count, so a 100 TB pair set iterates entirely as shuffles.
+    *
+    * Convergence is detected from sum(comp): labels only ever decrease,
+    * so an unchanged checksum means a fixpoint — one scan-local
+    * aggregation per round, where a changed-count join would be another
+    * shuffle. No driver-side graph state — the driver only sees that
+    * checksum, so a 100 TB pair set iterates entirely as shuffles.
     *
     * Returns (doc_id, comp, is_canonical) for every vertex of the graph.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String)
   : DataFrame = {
-    // materialize the pair computation once — the symmetrizing union
-    // reads it twice, and upstream pair generation (minhash etc.) is the
-    // expensive part
-    val edges = pairs
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // symmetrize in ONE pass over the (expensive) pair pipeline: explode
+    // each pair into both directions instead of a union that would run
+    // pair generation twice, then materialize once for the loop. Assumes
+    // the pair table has no duplicate pairs (true of every generator in
+    // this file — they end in distinct() or a groupBy); dup edges would
+    // only fan out the join, never change the min-label result.
+    val sym = pairs
+      .select(explode(array(
+        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
-    val sym = edges.union(edges.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct().localCheckpoint()
 
-    var labels = sym.select(col("src").as("id"))
-      .distinct()
-      .withColumn("comp", col("id"))
+    def checksum(labels: DataFrame): java.math.BigDecimal =
+      labels.agg(sum(col("comp").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+
+    // every vertex appears as src (sym is symmetric), so one groupBy
+    // seeds each vertex with min(self, all neighbors)
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mind"))
+      .select(col("id"), least(col("id"), col("mind")).as("comp"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val next = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-        .union(labels)
+    var prevSum = checksum(labels)
+    var converged = false
+    while (!converged) {
+      // labels of my neighbors; label of my label (comp values are vertex
+      // ids, so the self-join always resolves); my own label
+      val viaNeighbors = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("comp"))
+      val viaLabel = labels.as("l1")
+        .join(labels.as("l2"), col("l1.comp") === col("l2.id"))
+        .select(col("l1.id").as("id"), col("l2.comp").as("comp"))
+      val next = viaNeighbors.union(viaLabel).union(labels)
         .groupBy("id")
         .agg(min("comp").as("comp"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
+      val s = checksum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
     }
     labels.select(col("id").as("doc_id"), col("comp"),

@@ -24,6 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => Shingles(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinhashSig(children(0), children(1))))
     ext.injectOptimizerRule(_ => RewriteDotProduct())
   }
 }

@@ -1,0 +1,178 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native k-shingling: `graft_shingles(tokens, k)` returns the DISTINCT
+  * space-joined k-grams of a token array, in first-occurrence order —
+  * exactly the semantics of the higher-order-function formulation
+  * (`array_distinct(array_compact(zip_with-chain))`, kept as
+  * `Text.shinglesHof`), but as one fused loop instead of k-1 interpreted
+  * lambda passes per document. Shingling feeds every dedup operator
+  * (minhash, n-gram Jaccard, contamination), so this is the hottest
+  * text-side loop in the engine.
+  *
+  * A window containing a null token yields no shingle (concat semantics —
+  * unreachable for `split` output, which never produces null elements).
+  */
+case class Shingles(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(StringType, _) if right.dataType == IntegerType &&
+      right.foldable => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects (array<string>, int literal), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(toks: Any, k: Any): Any =
+    ShingleOps.compute(toks.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, k) => s"graft.functions.ShingleOps.compute($a, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleOps {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Called from generated code. */
+  def compute(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](2 * k - 1)
+    var j = 1
+    while (j < parts.length) { parts(j) = Space; j += 2 }
+    var i = 0
+    while (i <= n - k) {
+      var ok = true
+      var t = 0
+      while (t < k && ok) {
+        val tok = toks.getUTF8String(i + t)
+        if (tok == null) ok = false else parts(2 * t) = tok
+        t += 1
+      }
+      if (ok) seen.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+  }
+}
+
+/** Native MinHash signature: `graft_minhash(shingles, p)` returns, for each
+  * permutation i in 0 until p, `min over u of md5("i:" || u)` as lowercase
+  * hex — bit-identical to the explode → groupBy(min(md5(concat_ws(":",
+  * i, u)))) formulation, computed scan-local in one pass.
+  *
+  * The point at 100 TB: the exploded formulation shuffles |occurrences|
+  * rows into a hash aggregate just to take per-doc minimums; this
+  * expression keeps signature generation inside the scan stage — ZERO
+  * shuffle until LSH candidate pairing. Minimums are compared on the raw
+  * 16-byte digests (hex encoding is order-preserving), hex-encoded once at
+  * the end.
+  *
+  * Returns null for an empty shingle set (such docs have no signature —
+  * the exploded form simply drops them).
+  */
+case class MinhashSig(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(StringType, _) if right.dataType == IntegerType &&
+      right.foldable => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash expects (array<string>, int literal), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(arr: Any, p: Any): Any =
+    MinhashOps.compute(arr.asInstanceOf[ArrayData], p.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, p) => {
+      s"""
+         |${ev.value} = graft.functions.MinhashOps.compute($a, $p);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinhashOps {
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** Unsigned lexicographic compare of two 16-byte digests. */
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def hex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexChars(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Called from generated code. Null for an empty shingle array. */
+  def compute(shingles: ArrayData, numPerms: Int): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val md = MessageDigest.getInstance("MD5")
+    val prefixes = Array.tabulate(numPerms)(i => (i + ":").getBytes)
+    val mins = new Array[Array[Byte]](numPerms)
+    var u = 0
+    while (u < n) {
+      val s = shingles.getUTF8String(u)
+      if (s != null) {
+        val sb = s.getBytes
+        var p = 0
+        while (p < numPerms) {
+          md.reset()
+          md.update(prefixes(p))
+          md.update(sb)
+          val d = md.digest()
+          if (mins(p) == null || less(d, mins(p))) mins(p) = d
+          p += 1
+        }
+      }
+      u += 1
+    }
+    if (mins(0) == null) return null
+    new GenericArrayData(mins.map(hex(_): AnyRef))
+  }
+}

@@ -23,17 +23,25 @@ object Text {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
-  /** Word k-shingles over the token array (n-gram units for dedup).
-    *
-    * Built by zip_with-ing the token array against its own k-1 shifted
-    * copies — O(n) per document. The naive formulation
-    * (`transform(sequence(1, n-k+1), i => slice(toks, i, k))`) calls the
-    * interpreted `slice` once per output element and measured ~7 µs per
-    * shingle; this version is ~10× cheaper. zip_with pads the shorter side
-    * with null and `concat` propagates it, so the trailing k-1 partial
-    * windows drop out in `array_compact`; docs with fewer than k tokens
-    * yield an empty set. */
-  def shingles(toks: Column, k: Int): Column = {
+  /** Word k-shingles over the token array (n-gram units for dedup):
+    * the native [[graft.functions.Shingles]] expression — one fused,
+    * codegen-callable loop per document. Shingling feeds every dedup
+    * operator, so it's the hottest text-side loop in the engine.
+    * `shinglesHof` below keeps the pure-built-in formulation as the
+    * semantic reference (equivalence-tested in TextSpec). */
+  def shingles(toks: Column, k: Int): Column =
+    call_function("graft_shingles", toks, lit(k))
+
+  /** HOF reference formulation of `shingles`: zip_with the token array
+    * against its own k-1 shifted copies — O(n) per document, but each
+    * zip_with evaluates its lambda interpreted. (The naive
+    * `transform(sequence(1, n-k+1), i => slice(toks, i, k))` is ~10×
+    * worse again: one interpreted `slice` per output element, measured
+    * ~7 µs per shingle.) zip_with pads the shorter side with null and
+    * `concat` propagates it, so the trailing k-1 partial windows drop out
+    * in `array_compact`; docs with fewer than k tokens yield an empty
+    * set. */
+  def shinglesHof(toks: Column, k: Int): Column = {
     val joined = (1 until k).foldLeft(toks) { (acc, j) =>
       zip_with(acc, slice(toks, lit(j + 1), size(toks)),
         (a, b) => concat(a, lit(" "), b))

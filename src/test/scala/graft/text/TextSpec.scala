@@ -25,6 +25,44 @@ class TextSpec extends SparkSpec {
     assert(short === Seq.empty)
   }
 
+  test("native shingles ≡ HOF reference on realistic text, incl. dups") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c a b c a b c",             // repeated shingles → distinct
+      "one two",                       // shorter than k
+      "",                              // empty text
+      "x y z w x y z w")
+    val rows = texts.toDF("text").select(
+      Text.shingles(Text.tokens(col("text")), 3).as("native"),
+      Text.shinglesHof(Text.tokens(col("text")), 3).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (n, h) => assert(n === h) }
+  }
+
+  test("graft_minhash ≡ exploded groupBy(min(md5)) formulation") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val native = docs.select(col("doc_id"),
+      call_function("graft_minhash",
+        Text.shingles(Text.tokens(col("text")), 3), lit(4)).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    val exploded = docs
+      .select(col("doc_id"),
+        explode(Text.shingles(Text.tokens(col("text")), 3)).as("u"))
+      .groupBy("doc_id")
+      .agg(array((0 until 4).map(i =>
+        min(md5(concat_ws(":", lit(i.toString), col("u"))))): _*).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(native === exploded)
+    // empty shingle set → null signature
+    val empty = Seq("one two").toDF("text")
+      .select(call_function("graft_minhash",
+        Text.shingles(Text.tokens(col("text")), 3), lit(4)).as("sig"))
+      .collect().head
+    assert(empty.isNullAt(0))
+  }
+
   test("langId picks the language with most stopword hits") {
     val got = Seq(
       "the cat sat of the mat and that is that",
