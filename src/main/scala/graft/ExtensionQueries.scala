@@ -298,7 +298,34 @@ object ExtensionQueries {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ckpt_dd").toString
       Streams.dedupStream(s, d, ckpt)
-    })
+    }),
+
+    "q_stream_enrich" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_en").toString
+      Streams.enrichStream(s, d, ckpt)
+    }),
+
+    // ---- corpus vocabulary: top tokens per language -----------------------
+    // explode → two-level agg; the per-(lang, tok) count is map-side
+    // combined, the rank is a per-lang window over the (small) distinct
+    // vocabulary, never over occurrences
+    "q_heavy_hitters" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "documents")
+        .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(Window.partitionBy("lang")
+          .orderBy(col("cnt").desc, col("tok").asc)))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+    }),
+
+    // ---- within-doc repetition quality gate -------------------------------
+    "q_text_repetition" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Text.repetitionRatio(col("text"), 3).as("rep_ratio")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -817,7 +844,41 @@ object ExtensionQueries {
          FROM events GROUP BY 1, 2""",
 
     "q_stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events"
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q_stream_enrich" ->
+      """SELECT event_id, event_type, n_name
+         FROM events JOIN nation ON user_id % 25 = n_nationkey""",
+
+    "q_heavy_hitters" ->
+      """WITH tf AS (
+           SELECT lang,
+                  unnest(string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+')) AS tok
+           FROM documents),
+         c AS (SELECT lang, tok, COUNT(*) AS cnt FROM tf
+               GROUP BY lang, tok)
+         SELECT lang, tok, cnt FROM (
+           SELECT lang, tok, cnt,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY cnt DESC, tok ASC) AS rn
+           FROM c)
+         WHERE rn <= 3""",
+
+    "q_text_repetition" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
+           FROM documents)
+         SELECT doc_id,
+                round(CASE WHEN len(toks) - 2 > 0
+                  THEN 1.0 - len(list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' '))))::DOUBLE
+                       / (len(toks) - 2)
+                  ELSE 0.0 END, 6) AS rep_ratio
+         FROM tk"""
   )
 
   /** DuckDB twin of Similarity.hyperplaneBucket + cosine pair filter.

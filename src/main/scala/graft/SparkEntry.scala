@@ -412,6 +412,47 @@ object SparkEntry {
         LIMIT 10""")
     }),
 
+    // skew-mitigating salted join through the correctness gate: salts
+    // spread each supplier key over 8 reducers; the groupBy collapses the
+    // result back so it hash-matches the plain-join oracle
+    "q_salted_join" -> ((s, d) => {
+      val fact = t(s, d, "lineitem").select(col("l_suppkey"),
+        col("l_quantity"))
+      val dim = t(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.ops.relational.saltedJoin(fact, dim, "l_suppkey", numSalts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+    }),
+
+    // TPC-H Q5 shape: 5-way join + selective region/date filters through
+    // the SQL front door — exercises Catalyst join ordering + broadcast
+    // selection on a star-ish schema (plan guard in PlanSpec)
+    "q_sql_q5" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      t(s, d, "supplier").createOrReplaceTempView("supplier_v")
+      t(s, d, "nation").createOrReplaceTempView("nation_v")
+      t(s, d, "region").createOrReplaceTempView("region_v")
+      s.sql("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM customer_v
+        JOIN orders_v ON c_custkey = o_custkey
+        JOIN lineitem_v ON l_orderkey = o_orderkey
+        JOIN supplier_v ON l_suppkey = s_suppkey
+        JOIN nation_v ON s_nationkey = n_nationkey
+        JOIN region_v ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+        GROUP BY n_name""")
+    }),
+
     // S9 warehouse path: saveAsTable into the session catalog, read back
     // via spark.table — the BigQuery-external-table analog
     "q_s9_catalog_roundtrip" -> ((s, d) => {
@@ -745,6 +786,28 @@ object SparkEntry {
                        ORDER BY year(l_shipdate)::INT), ',') AS ship_years,
                 COUNT(DISTINCT l_suppkey)::INT AS n_suppliers
          FROM lineitem GROUP BY l_returnflag""",
+
+    "q_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS cnt,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey""",
+
+    "q_sql_q5" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= DATE '1996-01-01'
+           AND o_orderdate < DATE '1997-01-01'
+         GROUP BY n_name""",
 
     "q_sql_q3" ->
       """SELECT l_orderkey,

@@ -103,6 +103,36 @@ object Streams {
     spark.table(sinkName)
   }
 
+  /** Stream-static enrichment join: the event stream joined to a static
+    * dimension table. Stateless — no watermark, no state store; Spark
+    * broadcasts the static side into every micro-batch, so at 100 TB/day
+    * the stream side never shuffles for the join. */
+  def enrichStream(spark: SparkSession, dir: String,
+                   checkpoint: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val dim = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val joined = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("event_id"), col("event_type"),
+        pmod(col("user_id"), lit(25)).as("nk"))
+      .join(broadcast(dim), col("nk") === col("n_nationkey"))
+      .select(col("event_id"), col("event_type"), col("n_name"))
+
+    val sinkName = "graft_enrich_stream_" + math.abs(checkpoint.hashCode)
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -111,6 +111,19 @@ object Text {
   def rollingFingerprint(text: Column): Column =
     call_function("graft_rolling_hash", text)
 
+  /** Within-document repetition ratio (a Gopher-style quality gate:
+    * heavily templated/repeated text is low-value training data):
+    * 1 − |distinct k-shingles| / |shingle windows|, 0 for docs shorter
+    * than k tokens. Scan-local — the two sizes come from one token
+    * array. */
+  def repetitionRatio(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val windows = (size(toks) - (k - 1)).cast("double")
+    round(when(windows > 0,
+      lit(1.0) - size(shingles(toks, k)).cast("double") / windows)
+      .otherwise(lit(0.0)), 6)
+  }
+
   /** BPE-ish token count: greedy regex segmentation into letter runs,
     * digit runs, and punctuation runs (the shape of GPT-style pre-
     * tokenizers, without a learned merge table). */

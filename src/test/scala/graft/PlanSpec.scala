@@ -45,6 +45,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("Q5-shaped star join broadcasts the small dims, no nested loop") {
+    val df = SparkEntry.queries("q_sql_q5")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small dims (nation/region/supplier) should broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("aggregation combines map-side before the exchange") {
     val plan = Tables.t(spark, sf, "lineitem")
       .groupBy("l_returnflag")

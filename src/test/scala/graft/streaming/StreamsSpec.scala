@@ -39,4 +39,22 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.length === batch.length, "each key emitted once")
     assert(streamed.toSet === batch.toSet)
   }
+
+  test("stream-static enrichment equals the batch join") {
+    val dir = "/root/testdata/sf0.001"
+    val ckpt = Files.createTempDirectory("graft_ckpt_en_spec").toString
+
+    val streamed = Streams.enrichStream(spark, dir, ckpt).collect()
+    val batch = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        pmod(col("user_id"), lit(25)).as("nk"))
+      .join(spark.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name")),
+        col("nk") === col("n_nationkey"))
+      .select(col("event_id"), col("event_type"), col("n_name"))
+      .collect()
+
+    assert(streamed.length === batch.length)
+    assert(streamed.toSet === batch.toSet)
+  }
 }

@@ -63,6 +63,19 @@ class TextSpec extends SparkSpec {
     assert(empty.isNullAt(0))
   }
 
+  test("repetitionRatio: 0 for all-distinct, high for templated text") {
+    val rows = Seq(
+      "one two three four five six",      // all 3-grams distinct → 0
+      "spam ham spam ham spam ham spam ham spam ham", // 2 distinct 3-grams
+      "a b")                               // shorter than k → 0
+      .toDF("text")
+      .select(Text.repetitionRatio(col("text"), 3).as("r"))
+      .as[Double].collect()
+    assert(rows(0) === 0.0)
+    assert(rows(1) > 0.7, s"templated text should score high, got ${rows(1)}")
+    assert(rows(2) === 0.0)
+  }
+
   test("langId picks the language with most stopword hits") {
     val got = Seq(
       "the cat sat of the mat and that is that",
