@@ -412,6 +412,22 @@ object SparkEntry {
         LIMIT 10""")
     }),
 
+    // CDC-style latest-wins upsert: a re-scraped subset (version 2)
+    // supersedes the base rows — the reference's catchup-rerun semantic
+    // as one operator
+    "q_upsert_latest" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("version", lit(1))
+      val updates = t(s, d, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .withColumn("version", lit(2))
+      graft.ops.relational.upsertLatest(base, updates,
+        Seq("o_orderkey"), "version")
+    }),
+
     // skew-mitigating salted join through the correctness gate: salts
     // spread each supplier key over 8 reducers; the groupBy collapses the
     // result back so it hash-matches the plain-join oracle
@@ -786,6 +802,18 @@ object SparkEntry {
                        ORDER BY year(l_shipdate)::INT), ',') AS ship_years,
                 COUNT(DISTINCT l_suppkey)::INT AS n_suppliers
          FROM lineitem GROUP BY l_returnflag""",
+
+    "q_upsert_latest" ->
+      """WITH all_rows AS (
+           SELECT o_orderkey, o_totalprice, 1 AS version FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_totalprice * 2, 2 AS version
+           FROM orders WHERE o_orderkey % 10 = 0)
+         SELECT o_orderkey, o_totalprice, version FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             ORDER BY version DESC) AS rn
+           FROM all_rows)
+         WHERE rn = 1""",
 
     "q_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS cnt,

@@ -53,6 +53,27 @@ object relational {
   def lastRow(df: DataFrame, order: Column*): DataFrame =
     df.orderBy(order.map(_.desc): _*).limit(1)
 
+  /** CDC-style latest-wins upsert: union the incoming batch onto the base
+    * table and keep, per key, the row with the highest `version`. The
+    * reference's Airflow catchup re-runs a season and overwrites its
+    * partition (`scrape_data_to_gcs.py:264-266`); this is the same
+    * semantic as one relational operator — re-scraped rows supersede.
+    *
+    * One shuffle on the key; the window's per-key top-1 never
+    * materializes more than the union. `version` must be totally ordered
+    * per key (ties would be nondeterministic — use an ingest timestamp or
+    * a monotone batch id).
+    */
+  def upsertLatest(base: DataFrame, updates: DataFrame, keys: Seq[String],
+                   version: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(version).desc)
+    base.unionByName(updates, allowMissingColumns = true)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Skew-mitigating equi-join: salt the (skewed) fact side into
     * `numSalts` sub-keys and replicate the dim side once per salt, so one
     * hot key spreads over `numSalts` reducers instead of melting a single

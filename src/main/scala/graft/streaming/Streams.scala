@@ -20,17 +20,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Streams {
 
   /** Daily tumbling-window aggregate over the `events` stream: count +
-    * exact value sum per (day, event_type), watermarked 1 day. */
-  def dailyEventAgg(spark: SparkSession, dir: String,
-                    checkpoint: String): DataFrame = {
+    * exact value sum per (day, event_type), watermarked 1 day.
+    *
+    * `glob` selects which files of `dir` form the stream (default: the
+    * single events table; specs pass a multi-file temp dir to prove the
+    * result is independent of micro-batch slicing). */
+  def dailyEventAgg(spark: SparkSession, dir: String, checkpoint: String,
+                    glob: String = "events.parquet"): DataFrame = {
     // ts arrives as nanosecond longs (see Tables.events); convert exactly.
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       // the file-stream source wants a directory; select just the events
       // table out of the scale-factor dir
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
@@ -107,14 +112,18 @@ object Streams {
     * dimension table. Stateless — no watermark, no state store; Spark
     * broadcasts the static side into every micro-batch, so at 100 TB/day
     * the stream side never shuffles for the join. */
-  def enrichStream(spark: SparkSession, dir: String,
-                   checkpoint: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val dim = spark.read.parquet(s"$dir/nation.parquet")
+  def enrichStream(spark: SparkSession, dir: String, checkpoint: String,
+                   glob: String = "events.parquet",
+                   dimDir: String = null): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema
+    val dim = spark.read
+      .parquet(s"${if (dimDir == null) dir else dimDir}/nation.parquet")
       .select(col("n_nationkey"), col("n_name"))
     val joined = spark.readStream
       .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .select(col("event_id"), col("event_type"),
         pmod(col("user_id"), lit(25)).as("nk"))
@@ -156,10 +165,20 @@ object Streams {
 
   /** Streaming sessionization via `flatMapGroupsWithState` — the custom-
     * state rung of the streaming surface (SURVEY.md §2.9 extension). State
-    * per user is O(1) (current session accumulator); sessions emit when
-    * the processing-time timeout fires or a gap-exceeding event arrives.
-    * With Trigger.AvailableNow + a final timeout flush it reproduces the
-    * batch result; tested for equality in StreamsSpec.
+    * per user is O(1) (current session accumulator); sessions emit when a
+    * gap-exceeding event arrives, and every open session flushes at the
+    * end of the catchup invocation.
+    *
+    * SCOPE: this is the CATCHUP form — it treats the available data as
+    * complete, which is exactly the reference's backfill semantic, and it
+    * requires each user's full history in one invocation (guaranteed here:
+    * the events table is one file, so Trigger.AvailableNow delivers one
+    * micro-batch). A perpetual stream must instead hold the open session
+    * in state across batches and flush on an event-time timeout — and
+    * then sessions still inside the watermark at shutdown are
+    * unemittable BY DESIGN (they might yet grow; the built-in
+    * `session_window` aggregation has the same property). Equality with
+    * `sessionizeBatch` is tested in SessionizeSpec.
     */
   def sessionizeStream(spark: SparkSession, dir: String, checkpoint: String,
                        gapMinutes: Int): DataFrame = {

@@ -54,6 +54,15 @@ class RelationalSpec extends SparkSpec {
       (("Team Totals", "240:00")))
   }
 
+  test("upsertLatest: updates supersede base rows, new keys insert") {
+    val base = Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1))
+      .toDF("k", "v", "version")
+    val updates = Seq((2L, "B", 2), (4L, "d", 2)).toDF("k", "v", "version")
+    val got = relational.upsertLatest(base, updates, Seq("k"), "version")
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+  }
+
   test("topK plans as TakeOrderedAndProject (no global sort)") {
     val df = relational.topK(
       spark.range(1000).select(col("id"), (col("id") % 13).as("v")),

@@ -40,6 +40,49 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSet === batch.toSet)
   }
 
+  test("multi-batch slicing: 3 micro-batches produce the single-batch result") {
+    // split the events table into 3 time-ordered files; with
+    // maxFilesPerTrigger=1 AvailableNow runs 3 micro-batches, so
+    // watermark advance + state handoff across batches is actually
+    // exercised (a single file hides it). Time-ordering keeps every row
+    // inside the 1-day watermark, as a season-ordered catchup would.
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft_slices").toString
+    val raw = spark.read.parquet(s"$dir/events.parquet").orderBy("ts")
+    val n = raw.count()
+    val chunks = raw.collect().grouped((n / 3 + 1).toInt).toSeq
+    val schema = raw.schema
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val staging = Files.createTempDirectory(s"graft_stage_$i").toString
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/ev_$i.parquet"))
+    }
+
+    // stateful path: windowed aggregation across the 3 batches
+    val ckptAgg = Files.createTempDirectory("graft_ckpt_sl_agg").toString
+    val slicedAgg = Streams.dailyEventAgg(spark, tmp, ckptAgg, "*.parquet")
+      .select(to_date(col("day")).as("day"), col("event_type"),
+        col("cnt"), col("sum_value")).collect()
+    val batchAgg = Tables.events(spark, dir)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value")).collect()
+    assert(slicedAgg.toSet === batchAgg.toSet)
+
+    // stateless path: broadcast enrichment across the 3 batches
+    val ckptEn = Files.createTempDirectory("graft_ckpt_sl_en").toString
+    val slicedEn = Streams.enrichStream(spark, tmp, ckptEn,
+      "*.parquet", dimDir = dir).collect()
+    assert(slicedEn.length === n)
+  }
+
   test("stream-static enrichment equals the batch join") {
     val dir = "/root/testdata/sf0.001"
     val ckpt = Files.createTempDirectory("graft_ckpt_en_spec").toString
