@@ -90,10 +90,23 @@ object ScaleSmoke {
         .filter(col("w") % 100 === 0).count()
     }
 
+    timed("native minhash signatures") {
+      // synthetic 60-token docs → 58 shingles × 8 salted md5 each, all
+      // scan-local (graft_shingles + graft_minhash): zero shuffle — the
+      // count is the only exchange. ~200k docs ≈ 90M md5 calls
+      val docs = spark.range(rows / 250).select(col("id").as("doc_id"),
+        array((0 until 60).map(j =>
+          ((col("id") * (j + 3)) % 5003).cast("string")): _*).as("toks"))
+      docs.select(call_function("graft_minhash",
+          call_function("graft_shingles", col("toks"), lit(3)), lit(8))
+          .as("sig"))
+        .filter(element_at(col("sig"), 1) < "8").count()
+    }
+
     timed("connected components") {
-      // rows/50 edges forming ten-node chains — worst-ish case for label
-      // propagation (labels travel one hop per round, so ~9 rounds;
-      // near-dup cliques converge in 1-2)
+      // rows/50 edges forming ten-node chains — the diameter-bound case
+      // for label propagation; pointer doubling collapses a 10-hop chain
+      // in ~4 rounds (near-dup cliques converge in 1)
       val e = spark.range(rows / 50)
         .filter(col("id") % 10 =!= 9)
         .select(col("id").as("a"), (col("id") + 1).as("b"))
