@@ -238,6 +238,19 @@ object SparkEntry {
         .filter(col("rn") <= 3)
     }),
 
+    // distribution analytics: quartile assignment + cumulative position
+    // (the unique tie-break makes every row its own peer group, so
+    // cume_dist/percent_rank are engine-exact)
+    "q_window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cd"),
+        round(percent_rank().over(w), 6).as("pr"))
+    }),
+
     "q_agg_rollup" -> ((s, d) =>
       t(s, d, "orders")
         .withColumn("season", year(col("o_orderdate")))
@@ -683,6 +696,15 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY o_custkey
                         ORDER BY o_totalprice DESC, o_orderkey))
          WHERE rn <= 3""",
+
+    "q_window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+                ntile(4) OVER w::INT AS quartile,
+                round(cume_dist() OVER w, 6) AS cd,
+                round(percent_rank() OVER w, 6) AS pr
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice ASC, o_orderkey ASC)""",
 
     "q_agg_rollup" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS season, o_orderstatus,

@@ -54,6 +54,28 @@ class PlanSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("rank-filter pattern plans as two-phase WindowGroupLimit") {
+    // rn <= k over a rank-only window must NOT sort whole partitions:
+    // Spark 4 plans a partial per-task top-k BEFORE the exchange and a
+    // final one after — the shuffle carries k rows per (task, group),
+    // not |group|. (q_window_rank deliberately does NOT get this: its
+    // lag/lead in the same window need full partitions.)
+    val df = SparkEntry.queries("q_heavy_hitters")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n${plan.take(2000)}")
+  }
+
+  test("AQE coalesces the over-provisioned shuffle on small data") {
+    val df = Tables.t(spark, sf, "orders")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    df.collect() // AQE final plan exists only after execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead coalesced") ||
+      plan.contains("coalesced"),
+      s"32 shuffle partitions for 5 groups should coalesce:\n${plan.take(2500)}")
+  }
+
   test("aggregation combines map-side before the exchange") {
     val plan = Tables.t(spark, sf, "lineitem")
       .groupBy("l_returnflag")
