@@ -352,12 +352,18 @@ object SparkEntry {
         round(covar_samp(col("l_quantity"), col("l_discount")), 4)
           .as("cov_qd"))),
 
-    // exact percentiles (single-pass sort-based agg; the sketch-based
-    // approx_percentile is the 100 TB path, exercised rows-only like HLL)
+    // exact percentiles via the spillable sort-based formulation
+    // (ops.quantiles) — the built-in percentile() buffers whole groups in
+    // executor memory; this one survives arbitrarily large groups. The
+    // sketch-based approx_percentile is the cheap 100 TB path, exercised
+    // rows-only like HLL
     "q_agg_percentile" -> ((s, d) =>
-      t(s, d, "lineitem").groupBy("l_returnflag").agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))),
+      graft.ops.quantiles.exactPercentiles(
+        t(s, d, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+        .select(col("l_returnflag"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"))),
 
     // RANGE window frame: value-based (30-day) moving sum, not row-count
     // based — frame membership is by order-key distance, so ties and gaps
