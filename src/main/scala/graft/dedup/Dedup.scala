@@ -175,12 +175,25 @@ object Dedup {
   /** SimHash fingerprint (Charikar '02), `bits`-wide (≤ 16 so the oracle
     * can reproduce it from md5 hex nibbles): per token take bit j of
     * md5(token), sum over tokens, bit set iff count*2 > n_tokens.
-    * Implemented as explode(token) × transform(bit range) + groupBy — the
-    * per-doc reduction is a partial agg, so the shuffle carries one row per
-    * (doc, bit).
-    */
+    *
+    * Scan-local via the native [[graft.functions.SimhashFp]] expression —
+    * zero shuffle; [[simhashExploded]] keeps the built-in-only
+    * formulation as the semantic reference (equivalence-tested in
+    * DedupSpec). */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int)
   : DataFrame = {
+    require(bits <= 16, "oracle-portable simhash uses the first 4 md5 nibbles")
+    docs.select(col(idCol).as("doc_id"),
+      call_function("graft_simhash",
+        Text.tokenSet(col(textCol)), lit(bits)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
+  /** Reference formulation of [[simhash]] in pure built-ins:
+    * explode(token) × explode(bit range) + two partial-agg groupBys —
+    * the shuffle carries one row per (doc, bit). */
+  def simhashExploded(docs: DataFrame, idCol: String, textCol: String,
+                      bits: Int): DataFrame = {
     require(bits <= 16, "oracle-portable simhash uses the first 4 md5 nibbles")
     val tok = docs.select(col(idCol).as("doc_id"),
       Text.tokenSet(col(textCol)).as("toks"))

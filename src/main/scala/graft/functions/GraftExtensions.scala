@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinhashSig(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashFp].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimhashFp(children(0), children(1))))
     ext.injectOptimizerRule(_ => RewriteDotProduct())
   }
 }

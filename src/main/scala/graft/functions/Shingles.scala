@@ -122,6 +122,87 @@ case class MinhashSig(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native SimHash (Charikar '02): `graft_simhash(tokens, bits)` returns
+  * the `bits`-wide fingerprint — per token take the leading `bits` of
+  * md5(token), sum each bit over tokens, set output bit j iff
+  * 2·ones_j > n_tokens — bit-identical to the exploded formulation in
+  * [[graft.dedup.Dedup.simhash]]'s original (token × bit explode →
+  * groupBy sums), computed scan-local in one pass: at 100 TB the exploded
+  * form shuffles |tokens|·bits rows through two aggregations before the
+  * first useful operator; this expression makes fingerprinting free at
+  * scan time.
+  *
+  * Null for an empty token array (such docs had no exploded rows and
+  * dropped out of the original formulation).
+  */
+case class SimhashFp(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(StringType, _) if right.dataType == IntegerType &&
+      right.foldable => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects (array<string>, int literal), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(arr: Any, bits: Any): Any =
+    SimhashOps.compute(arr.asInstanceOf[ArrayData], bits.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |Object simhashRes = graft.functions.SimhashOps.compute($a, $b);
+         |if (simhashRes == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) simhashRes).longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SimhashOps {
+  /** Called from generated code. Null for an empty token array. */
+  def compute(toks: ArrayData, bits: Int): Any = {
+    val n = toks.numElements()
+    if (n == 0) return null
+    val md = MessageDigest.getInstance("MD5")
+    val ones = new Array[Int](bits)
+    var counted = 0
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        md.reset()
+        val d = md.digest(t.getBytes)
+        var j = 0
+        while (j < bits) {
+          if (((d(j / 8) >> (7 - j % 8)) & 1) == 1) ones(j) += 1
+          j += 1
+        }
+        counted += 1
+      }
+      i += 1
+    }
+    if (counted == 0) return null
+    var fp = 0L
+    var j = 0
+    while (j < bits) {
+      if (ones(j) * 2 > counted) fp |= 1L << (bits - 1 - j)
+      j += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+}
+
 object MinhashOps {
   private val hexChars = "0123456789abcdef".toCharArray
 

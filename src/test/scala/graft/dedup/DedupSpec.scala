@@ -44,6 +44,14 @@ class DedupSpec extends SparkSpec {
     assert(hamming <= 6, s"near-dup hamming distance was $hamming")
   }
 
+  test("native graft_simhash ≡ exploded reference formulation") {
+    val native = Dedup.simhash(docs, "doc_id", "text", bits = 16)
+      .as[(Long, Long)].collect().toMap
+    val exploded = Dedup.simhashExploded(docs, "doc_id", "text", bits = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(native === exploded)
+  }
+
   test("ngram jaccard blocks by (lang, source, len bucket)") {
     val blocked = docs
       .withColumn("lang", lit("en"))
