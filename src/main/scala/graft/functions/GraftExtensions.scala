@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashFp].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimhashFp(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_min_md5"),
+      new ExpressionInfo(classOf[MinMd5].getName, "graft_min_md5"),
+      (children: Seq[Expression]) => MinMd5(children.head)))
     ext.injectOptimizerRule(_ => RewriteDotProduct())
   }
 }

@@ -122,6 +122,41 @@ case class MinhashSig(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native min-md5 over a string array: `graft_min_md5(arr)` =
+  * `array_min(transform(arr, s -> md5(s)))` without the interpreted
+  * per-element lambda — the 1-permutation minhash used as a cheap
+  * near-dup block key in `Text.minShingleFingerprint`. Minimum is
+  * compared on raw digests (hex encoding is order-preserving); null for
+  * an empty array (array_min of an empty transform is null too). */
+case class MinMd5(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_min_md5 expects array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_min_md5"
+
+  override def nullSafeEval(arr: Any): Any =
+    MinhashOps.minMd5(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.MinhashOps.minMd5($a);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** Native SimHash (Charikar '02): `graft_simhash(tokens, bits)` returns
   * the `bits`-wide fingerprint — per token take the leading `bits` of
   * md5(token), sum each bit over tokens, set output bit j iff
@@ -227,6 +262,25 @@ object MinhashOps {
       i += 1
     }
     UTF8String.fromBytes(out)
+  }
+
+  /** Called from generated code: min lowercase-hex md5 over the array's
+    * non-null elements, null if there are none. */
+  def minMd5(arr: ArrayData): UTF8String = {
+    val n = arr.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    var min: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        md.reset()
+        val d = md.digest(s.getBytes)
+        if (min == null || less(d, min)) min = d
+      }
+      i += 1
+    }
+    if (min == null) null else hex(min)
   }
 
   /** Called from generated code. Null for an empty shingle array. */

@@ -101,9 +101,11 @@ object Text {
     md5(concat_ws(" ", tokens(text)))
 
   /** Min over shingle hashes — a 1-permutation minhash usable as a cheap
-    * near-dup block key (full LSH lives in graft.dedup.MinHashLsh). */
+    * near-dup block key (full LSH lives in graft.dedup). Native
+    * [[graft.functions.MinMd5]]: ≡ `array_min(transform(shingles, md5))`
+    * without the interpreted per-element lambda. */
   def minShingleFingerprint(text: Column, k: Int): Column =
-    array_min(transform(shingles(tokens(text), k), s => md5(s)))
+    call_function("graft_min_md5", shingles(tokens(text), k))
 
   /** Polynomial rolling-hash fingerprint — resolves to the native
     * [[graft.functions.RollingHash]] expression (registered by

@@ -63,6 +63,20 @@ class TextSpec extends SparkSpec {
     assert(empty.isNullAt(0))
   }
 
+  test("graft_min_md5 ≡ array_min(transform(md5)); null on empty") {
+    val rows = Seq("the quick brown fox jumps over it", "a b")
+      .toDF("text").select(
+        Text.minShingleFingerprint(col("text"), 3).as("native"),
+        array_min(transform(Text.shingles(Text.tokens(col("text")), 3),
+          s => md5(s))).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getString(0) === r.getString(1))
+    }
+    assert(rows(1).isNullAt(0), "doc shorter than k → null fingerprint")
+  }
+
   test("repetitionRatio: 0 for all-distinct, high for templated text") {
     val rows = Seq(
       "one two three four five six",      // all 3-grams distinct → 0
