@@ -204,12 +204,22 @@ case class SimhashFp(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One MD5 instance per executor thread — getInstance allocates internal
+  * buffers, and these loops run once per row. */
+private[functions] object Md5Local {
+  private val local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+  def get(): MessageDigest = { val md = local.get(); md.reset(); md }
+}
+
 object SimhashOps {
   /** Called from generated code. Null for an empty token array. */
   def compute(toks: ArrayData, bits: Int): Any = {
     val n = toks.numElements()
     if (n == 0) return null
-    val md = MessageDigest.getInstance("MD5")
+    val md = Md5Local.get()
     val ones = new Array[Int](bits)
     var counted = 0
     var i = 0
@@ -268,7 +278,7 @@ object MinhashOps {
     * non-null elements, null if there are none. */
   def minMd5(arr: ArrayData): UTF8String = {
     val n = arr.numElements()
-    val md = MessageDigest.getInstance("MD5")
+    val md = Md5Local.get()
     var min: Array[Byte] = null
     var i = 0
     while (i < n) {
@@ -287,7 +297,7 @@ object MinhashOps {
   def compute(shingles: ArrayData, numPerms: Int): ArrayData = {
     val n = shingles.numElements()
     if (n == 0) return null
-    val md = MessageDigest.getInstance("MD5")
+    val md = Md5Local.get()
     val prefixes = Array.tabulate(numPerms)(i => (i + ":").getBytes)
     val mins = new Array[Array[Byte]](numPerms)
     var u = 0
