@@ -270,6 +270,22 @@ object SparkEntry {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))),
 
+    // bounded-memory top-k tokens via the SpaceSaving sketch Aggregator
+    // (functions.HeavyHitters) — the mergeable-summary twin of
+    // q_heavy_hitters' exact two-level agg. No oracle (tail membership is
+    // partitioning-dependent under eviction); driver records rows-only.
+    "q_approx_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select(explode(graft.text.Text.tokens(col("text"))).as("tok"))
+        .as[String]
+        .select(graft.functions.HeavyHitters.topK(capacity = 256, k = 10)
+          .toColumn)
+        .toDF("hitters")
+        .select(explode(col("hitters")).as("h"))
+        .select(col("h.item"), col("h.count"), col("h.err"))
+    }),
+
     // sketch twin of q_agg_percentile: single-pass mergeable KLL-style
     // summary — the 100 TB default where the exact sort-based aggregate
     // is the small-data/audit path. No oracle (sketch internals are
