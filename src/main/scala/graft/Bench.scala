@@ -44,7 +44,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "value" LAST: the driver captures the log tail, so the headline
+    // total must be at the end of the line to survive truncation
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","value":$total}""")
     spark.stop()
   }
 }

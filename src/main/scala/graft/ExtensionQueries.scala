@@ -201,6 +201,13 @@ object ExtensionQueries {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), k = 3,
         threshold = 0.5)),
 
+    // production-width fingerprint; compared as a 64-char bit string so
+    // the oracle never has to assemble a (sign-overflowing) BIGINT
+    "q_dedup_simhash64" -> ((s, d) =>
+      Dedup.simhash(t(s, d, "documents"), "doc_id", "text", bits = 64)
+        .select(col("doc_id"),
+          lpad(bin(col("simhash")), 64, "0").as("fp_bits"))),
+
     "q_dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
         bits = 16, maxHamming = 3)),
@@ -338,8 +345,12 @@ object ExtensionQueries {
     // the df gate, so AQE broadcasts the coverage join; per-doc
     // accounting is a map-side-combined count
     "q_oov_rate" -> ((s, d) => {
+      // staged once: the vocab build AND the coverage join both read the
+      // exploded tokens — without the checkpoint the tokenize+explode
+      // subtree runs twice (at cluster scale: a staging table)
       val tf = t(s, d, "documents")
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .localCheckpoint()
       val vocab = tf.groupBy("tok")
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 10)
@@ -626,6 +637,39 @@ object ExtensionQueries {
                    AS simhash
           FROM ones GROUP BY doc_id""",
 
+    // 64-bit fingerprint as an ordered bit string: bit j of md5(token)
+    // for j in 0..63, majority-voted per doc — assembled with string_agg
+    // so no engine ever shifts into the BIGINT sign bit
+    "q_dedup_simhash64" ->
+      s"""WITH tok AS (
+            SELECT doc_id, len($dTokens) AS n_toks,
+                   unnest($dTokens) AS tok
+            FROM documents),
+          h AS (SELECT doc_id, n_toks, md5(tok) AS h FROM tok),
+          bits AS (
+            SELECT doc_id, n_toks, h, i AS bit
+            FROM h CROSS JOIN range(64) r(i)),
+          nib AS (
+            SELECT doc_id, n_toks, bit,
+                   CASE WHEN ascii(substr(h, (bit // 4)::INT + 1, 1)) <= 57
+                        THEN ascii(substr(h, (bit // 4)::INT + 1, 1)) - 48
+                        ELSE ascii(substr(h, (bit // 4)::INT + 1, 1)) - 87
+                   END AS nibble
+            FROM bits),
+          bitset AS (
+            SELECT doc_id, bit,
+                   floor(nibble / 2 ** (3 - bit % 4))::INT % 2 AS bit_set,
+                   n_toks
+            FROM nib),
+          ones AS (
+            SELECT doc_id, bit, SUM(bit_set) AS ones,
+                   max(n_toks) AS n_toks
+            FROM bitset GROUP BY doc_id, bit)
+          SELECT doc_id,
+                 string_agg(CASE WHEN ones * 2 > n_toks THEN '1' ELSE '0'
+                            END, '' ORDER BY bit) AS fp_bits
+          FROM ones GROUP BY doc_id""",
+
     "q_dedup_ngram_jaccard" ->
       s"""WITH staged AS (
             SELECT doc_id, lang, source,
@@ -678,16 +722,10 @@ object ExtensionQueries {
                    SUM(CASE WHEN ones * 2 > n_toks
                             THEN (2 ** (15 - bit))::BIGINT ELSE 0
                        END)::BIGINT AS simhash
-            FROM ones GROUP BY doc_id),
-          blocked AS (
-            SELECT f.doc_id, f.simhash, d.lang,
-                   (d.n_chars // 64)::INT AS len_bucket
-            FROM fp f JOIN documents d USING (doc_id))
+            FROM ones GROUP BY doc_id)
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-          FROM blocked a JOIN blocked b
-            ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-               AND a.doc_id < b.doc_id
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
 
     "q_corpus_stats" ->

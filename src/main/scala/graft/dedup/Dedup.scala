@@ -172,9 +172,14 @@ object Dedup {
         .as("jaccard"))
   }
 
-  /** SimHash fingerprint (Charikar '02), `bits`-wide (≤ 16 so the oracle
-    * can reproduce it from md5 hex nibbles): per token take bit j of
-    * md5(token), sum over tokens, bit set iff count*2 > n_tokens.
+  /** SimHash fingerprint (Charikar '02), `bits`-wide: per token take bit
+    * j of md5(token), sum over tokens, bit set iff count*2 > n_tokens.
+    *
+    * `bits` up to 64 — production corpora want the full 64 (a 16-bit
+    * space has only 65k fingerprints, so at corpus scale unrelated docs
+    * collide constantly); 16 is kept as the cross-engine oracle width
+    * (reproducible from md5 hex nibbles in the DuckDB twin; the 64-bit
+    * path has its own bit-string oracle, `q_dedup_simhash64`).
     *
     * Scan-local via the native [[graft.functions.SimhashFp]] expression —
     * zero shuffle; [[simhashExploded]] keeps the built-in-only
@@ -182,7 +187,7 @@ object Dedup {
     * DedupSpec). */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int)
   : DataFrame = {
-    require(bits <= 16, "oracle-portable simhash uses the first 4 md5 nibbles")
+    require(bits >= 1 && bits <= 64, "simhash fingerprints are 1..64 bits")
     docs.select(col(idCol).as("doc_id"),
       call_function("graft_simhash",
         Text.tokenSet(col(textCol)), lit(bits)).as("simhash"))
@@ -224,12 +229,70 @@ object Dedup {
   private def hexNibble(c: Column): Column =
     when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
 
-  /** SimHash near-dup pairs: hamming distance ≤ maxHamming between
-    * fingerprints, blocked on (lang, length bucket) so the pair space
-    * never goes quadratic across the corpus. `bit_count(a XOR b)` is one
-    * codegen'd instruction pair per candidate. */
+  /** SimHash near-dup pairs: ALL pairs at Hamming distance ≤ maxHamming,
+    * found by pigeonhole banding — never a within-block quadratic join.
+    *
+    * The fingerprint is split into `maxHamming + 1` disjoint bit-bands;
+    * two fingerprints within distance maxHamming differ in at most
+    * maxHamming bands, so by pigeonhole they agree EXACTLY on at least
+    * one band — candidates come from an equi-join on (band, band_value)
+    * and the fan-out is (maxHamming+1)× rows, bounded by construction.
+    * Unlike heuristic blocking on (lang, length) this is lossless (no
+    * near-dup pair can be missed) AND its worst case is governed by band
+    * selectivity (2^bandWidth values), not by data-defined block sizes:
+    * at 64 bits / maxHamming 3 each band carries 16 bits → 65k-way
+    * spread. The 16-bit oracle width only leaves 4-bit bands — fine at
+    * verification scale; production uses bits=64. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int, maxHamming: Int): DataFrame = {
+    // checkpointed: the band explode and both join sides read the
+    // fingerprints; without it the md5 loop runs once per subtree
+    val fps = simhash(docs, idCol, textCol, bits).localCheckpoint()
+    bandedHammingPairs(fps, "doc_id", "simhash", bits, maxHamming)
+  }
+
+  /** Pigeonhole band join over any (id, fingerprint) frame: exact
+    * candidate generation for hamming(a, b) ≤ maxHamming. A pair that
+    * agrees on several bands is generated once per shared band — the
+    * final `distinct` dedupes (≤ maxHamming+1 copies per true pair). */
+  def bandedHammingPairs(fps: DataFrame, idCol: String, fpCol: String,
+                         bits: Int, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    require(bits >= nBands, s"need at least $nBands bits for $nBands bands")
+    // distribute bits over bands as evenly as possible, MSB first
+    val widths = Array.tabulate(nBands)(b =>
+      bits / nBands + (if (b < bits % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val banded = fps.select(col(idCol).as("__id"), col(fpCol).as("__fp"),
+      explode(array((0 until nBands).map { b =>
+        val shiftBy = bits - offsets(b) - widths(b)
+        val slice =
+          if (widths(b) == 64) col(fpCol)
+          else shiftright(col(fpCol), shiftBy)
+            .bitwiseAND(lit((1L << widths(b)) - 1))
+        struct(lit(b).as("band"), slice.as("bv"))
+      }: _*)).as("x"))
+      .select(col("__id"), col("__fp"),
+        col("x.band").as("band"), col("x.bv").as("bv"))
+    val a = banded.toDF("doc_a", "fp_a", "band", "bv")
+    val b = banded.toDF("doc_b", "fp_b", "band", "bv")
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .distinct()
+  }
+
+  /** The pre-banding formulation — a self-join blocked on (lang, length
+    * bucket). Kept as the comparison baseline for DedupSpec: within one
+    * block it finds the same pairs as [[simhashPairs]], but its worst
+    * case is block² (a monolingual similar-length corpus is ONE block)
+    * and near-dups straddling a block boundary are silently missed —
+    * both reasons the banded generator replaced it. */
+  def simhashPairsBlocked(docs: DataFrame, idCol: String, textCol: String,
+                          bits: Int, maxHamming: Int): DataFrame = {
     val fps = simhash(docs, idCol, textCol, bits)
       .join(docs.select(col(idCol).as("doc_id"), col("lang"),
         (col("n_chars") / 64).cast("int").as("len_bucket")), Seq("doc_id"))
@@ -329,8 +392,11 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
 
+    // coalesce: sum over zero rows is null — an empty pair table (corpus
+    // with no near-dups) must converge on the first iteration, not NPE
     def checksum(labels: DataFrame): java.math.BigDecimal =
-      labels.agg(sum(col("comp").cast("decimal(38,0)")))
+      labels.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
         .head().getDecimal(0)
 
     // every vertex appears as src (sym is symmetric), so one groupBy

@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -23,26 +25,46 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object HeavyHitters {
 
-  case class Counter(count: Long, err: Long)
-  case class Summary(counters: Map[String, Counter])
+  /** Mutable sketch buffer: item → (count, err). Kryo-encoded — the
+    * buffer only crosses the wire at partial-merge boundaries; within a
+    * partition `reduce` mutates the hash map in place, so the per-token
+    * cost is one map update instead of an immutable-Map copy. */
+  final class Summary(val counters: mutable.HashMap[String, (Long, Long)])
+    extends Serializable
+
   case class Hitter(item: String, count: Long, err: Long)
 
   def topK(capacity: Int, k: Int): Aggregator[String, Summary, Seq[Hitter]] =
     new Aggregator[String, Summary, Seq[Hitter]] {
-      override def zero: Summary = Summary(Map.empty)
+      override def zero: Summary = new Summary(mutable.HashMap.empty)
 
+      /** O(capacity) scan for the eviction victim only when the sketch is
+        * full AND the item is new — the hot path (known item) is a single
+        * hash update. Tie on count breaks to the smallest item so the
+        * sketch state is partitioning-independent while counts are exact. */
       private def insert(s: Summary, item: String, by: Long,
-                         err: Long): Summary = s.counters.get(item) match {
-        case Some(c) =>
-          Summary(s.counters.updated(item, Counter(c.count + by, c.err + err)))
-        case None if s.counters.size < capacity =>
-          Summary(s.counters.updated(item, Counter(by, err)))
-        case None =>
-          // evict the minimum counter; the newcomer inherits its count as
-          // the classic SpaceSaving overestimate bound
-          val (minItem, minC) = s.counters.minBy { case (i, c) => (c.count, i) }
-          Summary(s.counters - minItem +
-            (item -> Counter(minC.count + by, minC.count + err)))
+                         err: Long): Summary = {
+        val m = s.counters
+        m.get(item) match {
+          case Some((c, e)) => m.update(item, (c + by, e + err))
+          case None if m.size < capacity => m.update(item, (by, err))
+          case None =>
+            // evict the minimum counter; the newcomer inherits its count
+            // as the classic SpaceSaving overestimate bound
+            var minItem: String = null
+            var minCount = Long.MaxValue
+            val it = m.iterator
+            while (it.hasNext) {
+              val (i, (c, _)) = it.next()
+              if (c < minCount ||
+                  (c == minCount && (minItem == null || i < minItem))) {
+                minCount = c; minItem = i
+              }
+            }
+            m.remove(minItem)
+            m.update(item, (minCount + by, minCount + err))
+        }
+        s
       }
 
       override def reduce(b: Summary, item: String): Summary =
@@ -51,24 +73,27 @@ object HeavyHitters {
       override def merge(a: Summary, b: Summary): Summary = {
         // mergeable-summaries union: sum counts and error bounds for
         // common items, then keep the top `capacity` by count
-        val union = (a.counters.keySet ++ b.counters.keySet).map { i =>
-          val ca = a.counters.getOrElse(i, Counter(0, 0))
-          val cb = b.counters.getOrElse(i, Counter(0, 0))
-          i -> Counter(ca.count + cb.count, ca.err + cb.err)
-        }.toMap
-        if (union.size <= capacity) Summary(union)
-        else Summary(union.toSeq
-          .sortBy { case (i, c) => (-c.count, i) }
-          .take(capacity).toMap)
+        b.counters.foreach { case (i, (c, e)) =>
+          val (c0, e0) = a.counters.getOrElse(i, (0L, 0L))
+          a.counters.update(i, (c0 + c, e0 + e))
+        }
+        if (a.counters.size > capacity) {
+          val keep = a.counters.toSeq
+            .sortBy { case (i, (c, _)) => (-c, i) }
+            .take(capacity)
+          a.counters.clear()
+          keep.foreach { case (i, ce) => a.counters.update(i, ce) }
+        }
+        a
       }
 
       override def finish(s: Summary): Seq[Hitter] =
         s.counters.toSeq
-          .sortBy { case (i, c) => (-c.count, i) }
+          .sortBy { case (i, (c, _)) => (-c, i) }
           .take(k)
-          .map { case (i, c) => Hitter(i, c.count, c.err) }
+          .map { case (i, (c, e)) => Hitter(i, c, e) }
 
-      override def bufferEncoder: Encoder[Summary] = Encoders.product
+      override def bufferEncoder: Encoder[Summary] = Encoders.kryo[Summary]
       override def outputEncoder: Encoder[Seq[Hitter]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     }

@@ -26,7 +26,13 @@ case class Shingles(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
     case ArrayType(StringType, _) if right.dataType == IntegerType &&
-      right.foldable => TypeCheckResult.TypeCheckSuccess
+      right.foldable => right.eval() match {
+      // range-check the foldable literal at analysis time: k <= 0 would
+      // otherwise surface mid-job as a NegativeArraySizeException
+      case k: Int if k >= 1 => TypeCheckResult.TypeCheckSuccess
+      case k => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles: k must be >= 1, got $k")
+    }
     case _ => TypeCheckResult.TypeCheckFailure(
       s"graft_shingles expects (array<string>, int literal), got " +
         s"(${left.dataType.sql}, ${right.dataType.sql})")
@@ -95,7 +101,12 @@ case class MinhashSig(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
     case ArrayType(StringType, _) if right.dataType == IntegerType &&
-      right.foldable => TypeCheckResult.TypeCheckSuccess
+      right.foldable => right.eval() match {
+      // p = 0 would otherwise hit mins(0) mid-job
+      case p: Int if p >= 1 => TypeCheckResult.TypeCheckSuccess
+      case p => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash: numPerms must be >= 1, got $p")
+    }
     case _ => TypeCheckResult.TypeCheckFailure(
       s"graft_minhash expects (array<string>, int literal), got " +
         s"(${left.dataType.sql}, ${right.dataType.sql})")
@@ -175,7 +186,13 @@ case class SimhashFp(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
     case ArrayType(StringType, _) if right.dataType == IntegerType &&
-      right.foldable => TypeCheckResult.TypeCheckSuccess
+      right.foldable => right.eval() match {
+      // bits > 64 silently corrupts the long fingerprint (negative
+      // shift), bits > 128 runs out of md5 digest — reject at analysis
+      case b: Int if b >= 1 && b <= 64 => TypeCheckResult.TypeCheckSuccess
+      case b => TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash: bits must be in 1..64, got $b")
+    }
     case _ => TypeCheckResult.TypeCheckFailure(
       s"graft_simhash expects (array<string>, int literal), got " +
         s"(${left.dataType.sql}, ${right.dataType.sql})")

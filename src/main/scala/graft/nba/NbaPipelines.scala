@@ -13,19 +13,34 @@ import graft.ops.{exprs, relational, windows}
   */
 object NbaPipelines {
 
-  /** 37-entry team→abbreviation dict (`playByplay.py:84-96`,
-    * `boxScores.py:18-32`) as a broadcastable dim. Subset here;
-    * extend with the full mapping as needed. */
+  /** The full 37-entry team→abbreviation dict (`playByplay.py:84-96`,
+    * `boxScores.py:18-32`) as a broadcastable dim — includes every
+    * historical franchise name the reference maps (relocations and
+    * renames: SEA/VAN/NJN/WSB/NOH/NOK/CHA...), so an inner join against
+    * real multi-season data never silently drops rows. */
   def teamAbbrevs(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     Seq(
       ("Atlanta Hawks", "ATL"), ("Boston Celtics", "BOS"),
+      ("Brooklyn Nets", "BRK"), ("Charlotte Bobcats", "CHA"),
       ("Charlotte Hornets", "CHO"), ("Chicago Bulls", "CHI"),
       ("Cleveland Cavaliers", "CLE"), ("Dallas Mavericks", "DAL"),
       ("Denver Nuggets", "DEN"), ("Detroit Pistons", "DET"),
       ("Golden State Warriors", "GSW"), ("Houston Rockets", "HOU"),
-      ("Los Angeles Lakers", "LAL"), ("New York Knicks", "NYK"),
-      ("Utah Jazz", "UTA"), ("Washington Wizards", "WAS")
+      ("Indiana Pacers", "IND"), ("Los Angeles Clippers", "LAC"),
+      ("Los Angeles Lakers", "LAL"), ("Memphis Grizzlies", "MEM"),
+      ("Miami Heat", "MIA"), ("Milwaukee Bucks", "MIL"),
+      ("Minnesota Timberwolves", "MIN"), ("New Jersey Nets", "NJN"),
+      ("New Orleans Hornets", "NOH"),
+      ("New Orleans/Oklahoma City Hornets", "NOK"),
+      ("New Orleans Pelicans", "NOP"), ("New York Knicks", "NYK"),
+      ("Oklahoma City Thunder", "OKC"), ("Orlando Magic", "ORL"),
+      ("Philadelphia 76ers", "PHI"), ("Phoenix Suns", "PHO"),
+      ("Portland Trail Blazers", "POR"), ("Sacramento Kings", "SAC"),
+      ("San Antonio Spurs", "SAS"), ("Seattle SuperSonics", "SEA"),
+      ("Toronto Raptors", "TOR"), ("Utah Jazz", "UTA"),
+      ("Vancouver Grizzlies", "VAN"), ("Washington Bullets", "WSB"),
+      ("Washington Wizards", "WAS")
     ).toDF("teamName", "abbreviation")
   }
 

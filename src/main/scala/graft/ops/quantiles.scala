@@ -26,8 +26,12 @@ object quantiles {
                        ps: Seq[(String, Double)]): DataFrame = {
     val wSorted = Window.partitionBy(groupCol).orderBy(col("__v"))
     val wAll = Window.partitionBy(groupCol)
+    // nulls are skipped, matching the built-in Percentile (which ignores
+    // null inputs); the one divergence is an all-null group, which drops
+    // out entirely here where the built-in would emit (group, null)
     val ranked = df
       .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(wSorted).cast("long") - 1)
       .withColumn("__n", count(lit(1)).over(wAll))
 

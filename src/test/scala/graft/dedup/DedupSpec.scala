@@ -63,6 +63,116 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("banded simhash pairs ≡ blocked join when one block holds everything") {
+    // the corpus shape that blows up heuristic blocking: every doc the
+    // same lang and length bucket — ONE block, so the blocked join is a
+    // full quadratic scan and finds every pair; the banded generator
+    // must find exactly the same set from (maxHamming+1)× fan-out
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val words = base.split(" ")
+    val corpus = (0 until 60).map { i =>
+      // rotate + tweak one word so fingerprints cluster but differ
+      val toks = words.drop(i % 4) ++ words.take(i % 4)
+      val txt = (if (i % 3 == 0) toks :+ s"tail${i % 5}" else toks)
+        .mkString(" ")
+      (i.toLong, txt, "en", 64L)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    val banded = Dedup.simhashPairs(corpus, "doc_id", "text",
+      bits = 16, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val blocked = Dedup.simhashPairsBlocked(corpus, "doc_id", "text",
+      bits = 16, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded === blocked)
+    assert(banded.nonEmpty, "engineered corpus must produce near-dups")
+  }
+
+  test("banded simhash pairs find near-dups the length-block join misses") {
+    // same text (hamming 0) but metadata puts them in different length
+    // buckets: lossless banding finds the pair, heuristic blocking can't
+    val corpus = Seq(
+      (1L, "shared sentence of tokens", "en", 10L),
+      (2L, "shared sentence of tokens", "en", 900L),
+      (3L, "entirely unrelated words elsewhere", "en", 10L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val banded = Dedup.simhashPairs(corpus, "doc_id", "text", 16, 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val blocked = Dedup.simhashPairsBlocked(corpus, "doc_id", "text", 16, 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded.contains((1L, 2L)))
+    assert(!blocked.contains((1L, 2L)))
+  }
+
+  test("pigeonhole banding is exact at the hamming boundary") {
+    // constructed fingerprints: distance exactly maxHamming is found,
+    // maxHamming+1 is not, regardless of which bits differ (including
+    // all differing bits inside one band)
+    val fps = Seq(
+      (0L, 0x0000L),          // base
+      (1L, 0x0007L),          // ham 3 — all three bits in the last band
+      (2L, 0x8421L),          // ham 4 vs base — one bit in every band
+      (3L, 0x0007L),          // ham 0 vs doc 1
+      (4L, 0x8001L)           // ham 2 vs base, straddling first/last band
+    ).toDF("id", "fp")
+    val got = Dedup.bandedHammingPairs(fps, "id", "fp", bits = 16,
+      maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((0L, 1L, 3)))
+    assert(got.contains((1L, 3L, 0)))
+    assert(got.contains((0L, 4L, 2)))
+    assert(!got.exists(p => Set(p._1, p._2) == Set(0L, 2L)),
+      "distance 4 must not pass at maxHamming 3")
+    // every emitted pair is within the bound exactly once
+    assert(got.size === got.map(p => (p._1, p._2)).size)
+  }
+
+  test("64-bit simhash: dup-invariant, more collision-resistant than 16") {
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, s"document number $i with shared boilerplate words " +
+        s"plus unique token u$i and filler f${i % 7}")
+    }.toDF("doc_id", "text")
+      .union(Seq((500L, "document number 3 with shared boilerplate words " +
+        "plus unique token u3 and filler f3")).toDF("doc_id", "text"))
+    val fp64 = Dedup.simhash(corpus, "doc_id", "text", bits = 64)
+      .as[(Long, Long)].collect().toMap
+    val fp16 = Dedup.simhash(corpus, "doc_id", "text", bits = 16)
+      .as[(Long, Long)].collect().toMap
+    // identical docs agree at any width
+    assert(fp64(500L) === fp64(3L))
+    // the 16-bit fp is exactly the top 16 majority votes of the 64-bit
+    // one — widening never merges fingerprints 16 bits kept apart
+    assert(fp16.forall { case (id, f16) => (fp64(id) >>> 48) === f16 })
+    assert(fp64.values.toSet.size >= fp16.values.toSet.size)
+    // the low 48 bits are real majority votes (not a zero-padded 16-bit
+    // value): some fingerprint has a mixed low-bit pattern
+    assert(fp64.values.exists(fp => (fp & 0xffffffffffffL) != 0L &&
+      (fp & 0xffffffffffffL) != 0xffffffffffffL))
+  }
+
+  test("connected components / keepCanonical survive an empty pair table") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").count() === 0L)
+    val kept = Dedup.keepCanonical(docs, "doc_id", empty, "doc_a", "doc_b")
+    assert(kept.count() === docs.count())
+  }
+
+  test("native expressions reject out-of-range literals at analysis time") {
+    val df = Seq((1L, Seq("a", "b", "c"))).toDF("id", "toks")
+    def fails(expr: String): Unit = {
+      val e = intercept[Exception] {
+        df.selectExpr(expr).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("must be"),
+        s"$expr: ${e.getMessage.take(200)}")
+    }
+    fails("graft_shingles(toks, 0)")
+    fails("graft_minhash(toks, 0)")
+    fails("graft_simhash(toks, 0)")
+    fails("graft_simhash(toks, 65)")
+    // in-range still fine
+    assert(df.selectExpr("graft_simhash(toks, 64)").head().getLong(0) != 0L)
+  }
+
   test("connected components match union-find on random graphs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
