@@ -221,7 +221,17 @@ object ExtensionQueries {
 
     "q_dedup_embedding" -> ((s, d) =>
       Similarity.cosineNearDupPairs(t(s, d, "embeddings"), dim = 64,
-        numPlanes = 8, threshold = 0.95)),
+        numTables = 4, planesPerTable = 6, threshold = 0.95)),
+
+    // the bucket computation itself, cross-engine: one row per vector
+    // with all four table buckets — unlike the pairs query (whose output
+    // is empty on this corpus: no near-dups exist in the testdata), this
+    // pins the plane-projection math on every row
+    "q_embedding_buckets" -> ((s, d) =>
+      t(s, d, "embeddings").select(col("vec_id"),
+        concat_ws("|", (0 until 4).map(tb =>
+          Similarity.hyperplaneBucket(col("embedding"), 64, 6,
+            planeOffset = tb * 6)): _*).as("buckets"))),
 
     // ---- similarity search -------------------------------------------------
     "q_ann_bruteforce" -> ((s, d) => {
@@ -670,10 +680,11 @@ object ExtensionQueries {
                             END, '' ORDER BY bit) AS fp_bits
           FROM ones GROUP BY doc_id""",
 
+    // ground truth is the naive all-pairs definition: the Spark side's
+    // prefix-filtered candidate join must reproduce it exactly
     "q_dedup_ngram_jaccard" ->
       s"""WITH staged AS (
-            SELECT doc_id, lang, source,
-                   (n_chars // 64)::INT AS len_bucket,
+            SELECT doc_id,
                    list_distinct(list_transform(
                      generate_series(1, len(string_split_regex(trim(
                        regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
@@ -681,14 +692,14 @@ object ExtensionQueries {
                      i -> array_to_string((string_split_regex(trim(
                        regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
                        'g')), '\\s+'))[i:i+2], ' '))) AS grams
-            FROM documents)
+            FROM documents
+            WHERE len(string_split_regex(trim(regexp_replace(lower(text),
+                  '[^a-z0-9\\s]+', ' ', 'g')), '\\s+')) >= 3)
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
                    len(list_distinct(list_concat(a.grams, b.grams))), 6)
                    AS jaccard
-          FROM staged a JOIN staged b
-            ON a.lang = b.lang AND a.source = b.source
-               AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+          FROM staged a JOIN staged b ON a.doc_id < b.doc_id
           WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
                   len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5""",
 
@@ -739,7 +750,9 @@ object ExtensionQueries {
                   AS var_len
          FROM m""",
 
-    "q_dedup_embedding" -> embeddingPairsSql(8, 0.95),
+    "q_dedup_embedding" -> embeddingPairsSql(4, 6, 0.95),
+
+    "q_embedding_buckets" -> embeddingBucketsSql(4, 6),
 
     "q_ann_bruteforce" -> annSql("c.vec_id <> q.vec_id", "q.vec_id < 10"),
 
@@ -1009,31 +1022,54 @@ object ExtensionQueries {
                   len(list_distinct(list_concat(sa.shset, sb.shset)))
                   >= 0.8)"""
 
-  private def embeddingPairsSql(numPlanes: Int, threshold: Double): String =
+  /** One table's bucket bit string: planes [offset, offset+planes). */
+  private def bucketSql(offset: Int, planes: Int): String =
+    s"""array_to_string(list_transform(generate_series($offset,
+           ${offset + planes - 1}),
+         p -> CASE WHEN list_dot_product(emb,
+             list_transform(generate_series(0, 63),
+               j -> ('0x' || substr(md5(p::VARCHAR || ':' ||
+                   j::VARCHAR), 1, 6))::BIGINT / 16777216.0
+                 - 0.5)) >= 0
+           THEN '1' ELSE '0' END), '')"""
+
+  private def embeddingPairsSql(numTables: Int, planesPerTable: Int,
+                                threshold: Double): String = {
+    val bucketCols = (0 until numTables)
+      .map(t => s"${bucketSql(t * planesPerTable, planesPerTable)} AS b$t")
+      .mkString(",\n                 ")
+    val orCond = (0 until numTables).map(t => s"a.b$t = b.b$t")
+      .mkString(" OR ")
     s"""WITH v AS (
           SELECT vec_id,
                  list_transform(embedding, x -> x::DOUBLE) AS emb
           FROM embeddings),
         bucketed AS (
           SELECT vec_id, emb,
-                 array_to_string(list_transform(generate_series(0,
-                     ${numPlanes - 1}),
-                   p -> CASE WHEN list_dot_product(emb,
-                       list_transform(generate_series(0, 63),
-                         j -> ('0x' || substr(md5(p::VARCHAR || ':' ||
-                             j::VARCHAR), 1, 6))::BIGINT / 16777216.0
-                           - 0.5)) >= 0
-                     THEN '1' ELSE '0' END), '') AS bucket
+                 $bucketCols
           FROM v)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_dot_product(a.emb, b.emb) /
                  (sqrt(list_dot_product(a.emb, a.emb)) *
                   sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
         FROM bucketed a JOIN bucketed b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          ON a.vec_id < b.vec_id AND ($orCond)
         WHERE list_dot_product(a.emb, b.emb) /
                 (sqrt(list_dot_product(a.emb, a.emb)) *
                  sqrt(list_dot_product(b.emb, b.emb))) >= $threshold"""
+  }
+
+  private def embeddingBucketsSql(numTables: Int, planesPerTable: Int)
+  : String = {
+    val parts = (0 until numTables)
+      .map(t => bucketSql(t * planesPerTable, planesPerTable))
+      .mkString(", '|', ")
+    s"""WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE) AS emb
+          FROM embeddings)
+        SELECT vec_id, concat($parts) AS buckets FROM v"""
+  }
 
   private def annSql(candCond: String, queryCond: String): String =
     s"""WITH v AS (

@@ -103,6 +103,24 @@ object ScaleSmoke {
         .filter(element_at(col("sig"), 1) < "8").count()
     }
 
+    timed("banded simhash pairs") {
+      // rows/50 (default 1M) synthetic 64-bit fingerprints with planted
+      // hamming-1 pairs (ids 2k / 2k+1 differ by one flipped bit) in a
+      // sea of random fps — random 64-bit pairs land within hamming 3
+      // with p ≈ 2.4e-15, so the expected output is exactly the planted
+      // n/2 pairs. Exercises the pigeonhole band join at a scale where
+      // any within-block quadratic blowup would be minutes, not seconds.
+      val n = rows / 50
+      val grp = (col("id") / 2).cast("long").cast("string")
+      val fps = spark.range(n).select(col("id"),
+        when(col("id") % 2 === 0, xxhash64(grp))
+          .otherwise(xxhash64(grp)
+            .bitwiseXOR(expr("shiftleft(1L, cast(id % 61 as int) + 1)")))
+          .as("fp"))
+      graft.dedup.Dedup.bandedHammingPairs(fps, "id", "fp",
+        bits = 64, maxHamming = 3).count()
+    }
+
     timed("connected components") {
       // rows/50 edges forming ten-node chains — the diameter-bound case
       // for label propagation; pointer doubling collapses a 10-hop chain

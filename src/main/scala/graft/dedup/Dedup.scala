@@ -325,21 +325,44 @@ object Dedup {
       .agg(countDistinct(col("u")).as("n_shared_shingles"))
   }
 
-  /** n-gram (word k-shingle) Jaccard near-dup within a blocking key —
-    * the direct quadratic verifier, made scale-safe by blocking: pairs are
-    * only generated inside (lang, source, length-bucket) blocks. */
+  /** n-gram (word k-shingle) Jaccard near-dup pairs: ALL pairs with
+    * J(A, B) ≥ threshold, by EXACT prefix filtering (SSJoin/AllPairs) —
+    * no heuristic blocking, no unbounded self-join.
+    *
+    * Prefix-filter lemma: sort every gram set in one global order (here
+    * lexicographic). If J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, and the
+    * SMALLEST common gram must sit inside A's first
+    * |A| − ⌈t·|A|⌉ + 1 grams (else all common grams fall in the
+    * ⌈t·|A|⌉ − 1 suffix — too few); same for B. So every qualifying
+    * pair shares a gram in the two PREFIXES, and an equi-join on
+    * exploded prefix grams generates a candidate superset — lossless,
+    * like LSH banding but deterministic. Fan-out is (1−t)·|grams| keys
+    * per doc (at t=0.5, half the explode of a full inverted index), and
+    * candidates are bounded by per-gram document frequency — a skewed
+    * gram (stop-phrase) costs df², which is why production pipelines
+    * ALSO order grams by ascending df; lexicographic order keeps the
+    * cross-engine oracle reproducible here and the verify step caps the
+    * damage. */
   def ngramJaccardPairs(docs: DataFrame, k: Int, threshold: Double)
   : DataFrame = {
-    // materialize once: both sides of the self-join read the same staged
-    // gram sets instead of re-running tokenize+shingle per side
-    val staged = docs.select(col("doc_id"), col("lang"), col("source"),
-      (col("n_chars") / lit(64)).cast("int").as("len_bucket"),
-      Text.shingles(Text.tokens(col("text")), k).as("grams"))
+    // materialize once: the prefix explode and both verify joins read
+    // the same staged (sorted) gram sets
+    val staged = docs.select(col("doc_id"),
+      array_sort(Text.shingles(Text.tokens(col("text")), k)).as("grams"))
+      .filter(size(col("grams")) > 0)
       .localCheckpoint()
-    val a = staged.toDF("doc_a", "lang", "source", "len_bucket", "grams_a")
-    val b = staged.toDF("doc_b", "lang", "source", "len_bucket", "grams_b")
-    a.join(b, Seq("lang", "source", "len_bucket"))
+    val prefLen = (size(col("grams")) -
+      ceil(lit(threshold) * size(col("grams"))) + 1).cast("int")
+    val pref = staged.select(col("doc_id"),
+      explode(slice(col("grams"), lit(1), prefLen)).as("g"))
+    val cands = pref.select(col("g"), col("doc_id").as("doc_a"))
+      .join(pref.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cands
+      .join(staged.toDF("doc_a", "grams_a"), Seq("doc_a"))
+      .join(staged.toDF("doc_b", "grams_b"), Seq("doc_b"))
       // size-bound prefilter: jaccard ≤ min/max of set sizes — prunes most
       // pairs before the O(|A|+|B|) intersection without changing results
       .filter(

@@ -52,15 +52,41 @@ class DedupSpec extends SparkSpec {
     assert(native === exploded)
   }
 
-  test("ngram jaccard blocks by (lang, source, len bucket)") {
-    val blocked = docs
-      .withColumn("lang", lit("en"))
-      .withColumn("source", lit("s"))
-      .withColumn("n_chars", length(col("text")))
-    val pairs = Dedup.ngramJaccardPairs(blocked, k = 3, threshold = 0.5)
+  test("ngram jaccard finds exact and near dups, never unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("prefix-filtered ngram jaccard ≡ naive all-pairs join") {
+    // corpus with overlap straddling the threshold: shared base phrases
+    // with per-doc edits of varying size — the prefix-filter candidate
+    // join must reproduce the quadratic ground truth exactly
+    val vocab = Array("spark", "scala", "engine", "corpus", "token",
+      "shuffle", "join", "plan", "codegen", "parquet", "column", "row")
+    val corpus = (0 until 40).map { i =>
+      val base = (0 until 8).map(j => vocab((i / 8 + j) % vocab.length))
+      val edited = base.updated(i % 8, s"edit$i") ++
+        (if (i % 2 == 0) Seq(vocab(i % vocab.length)) else Nil)
+      (i.toLong, edited.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(corpus, k = 3, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val staged = corpus.select(col("doc_id"),
+      graft.text.Text.shingles(graft.text.Text.tokens(col("text")), 3)
+        .as("grams")).filter(size(col("grams")) > 0)
+    val naive = staged.toDF("doc_a", "grams_a")
+      .crossJoin(staged.toDF("doc_b", "grams_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === naive)
+    assert(naive.nonEmpty, "corpus must produce near-dup pairs")
   }
 
   test("banded simhash pairs ≡ blocked join when one block holds everything") {

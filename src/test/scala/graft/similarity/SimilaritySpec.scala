@@ -77,6 +77,55 @@ class SimilaritySpec extends SparkSpec {
     assert(one.nonEmpty && one.subsetOf(full))
   }
 
+  test("multi-table LSH recovers ≥95% of brute-force cos≥0.95 pairs") {
+    // synthetic near-dup corpus: 150 random 64-d base vectors, each with
+    // a small-perturbation duplicate (cos ≈ 0.96-0.99); random 64-d
+    // pairs sit near cos 0 so the planted pairs ARE the ground truth
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 150).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val dups = base.map { case (id, v) =>
+      (id + 1000L, v.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }
+    val all = base ++ dups
+    val df = all.toDF("vec_id", "embedding")
+
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 64).foreach { j =>
+        d += a(j).toDouble * b(j).toDouble
+        na += a(j).toDouble * a(j).toDouble
+        nb += b(j).toDouble * b(j).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for {
+      i <- all.indices; j <- (i + 1) until all.length
+      if cosD(all(i)._2, all(j)._2) >= 0.95
+    } yield {
+      val (x, y) = (all(i)._1, all(j)._1)
+      (math.min(x, y), math.max(x, y))
+    }).toSet
+    assert(truth.size >= 100, s"need a real truth set, got ${truth.size}")
+
+    val got = Similarity.cosineNearDupPairs(df, dim = 64, numTables = 4,
+      planesPerTable = 6, threshold = 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // verified candidates are always true pairs…
+    assert(got.subsetOf(truth))
+    // …and the OR-construction keeps ≥95% of them
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.95, s"multi-table recall $recall")
+
+    // a single table provably cannot: P(agree | cos .95) ≈ .9^6 ≈ .53
+    val single = Similarity.cosineNearDupPairs(df, dim = 64, numTables = 1,
+      planesPerTable = 6, threshold = 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(single.size < got.size,
+      s"single-table ${single.size} vs multi ${got.size}")
+  }
+
   test("hyperplane LSH: identical vectors share buckets") {
     val b = vecs
       .select(Similarity.hyperplaneBucket(col("embedding"), 3, 8).as("b"))
