@@ -316,6 +316,20 @@ object ExtensionQueries {
           col("cnt"), col("sum_value"))
     }),
 
+    // stream → foreachBatch upsert → lake table: final table is the
+    // latest event per user (ts in epoch micros for the cross-engine
+    // compare; the raw column is nanos-as-long under this session)
+    "q_stream_upsert" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_up").toString
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft_cdc_tbl").toString
+      Streams.upsertStreamToTable(s, d, ckpt, tbl,
+        keys = Seq("user_id"), versionCol = "ts")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+    }),
+
     "q_stream_dedup" -> ((s, d) => {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ckpt_dd").toString
@@ -922,6 +936,16 @@ object ExtensionQueries {
 
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // latest-wins upsert ground truth: last event per user by ts
+    // ((user_id, ts) is unique in the events table)
+    "q_stream_upsert" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC) AS rn
+               FROM events)
+         WHERE rn = 1""",
 
     "q_stream_enrich" ->
       """SELECT event_id, event_type, n_name

@@ -142,6 +142,72 @@ object Streams {
     spark.table(sinkName)
   }
 
+  /** CDC stream → latest-wins lake table: every micro-batch is merged
+    * into a versioned parquet table with
+    * [[graft.ops.relational.upsertLatest]] inside a `foreachBatch` sink —
+    * the loop that connects the streaming surface to the CDC/upsert
+    * surface. Each batch writes a NEW `v_<batchId>` snapshot directory
+    * (a parquet dir cannot be overwritten while it is also the read side
+    * of the merge); the highest version is the current table and the
+    * superseded snapshot is retired after the new one lands. This is the
+    * poor-man's snapshot chain that a transactional table format
+    * (Delta/Iceberg MERGE) provides at production scale — the per-batch
+    * merge semantics are identical.
+    *
+    * Restart safety: foreachBatch may re-deliver a batch after a crash,
+    * but the merge is idempotent (upserting the same rows twice yields
+    * the same table), so at-least-once delivery produces the
+    * exactly-once table.
+    *
+    * Returns the final table: the latest row per `keys` by `versionCol`.
+    */
+  def upsertStreamToTable(spark: SparkSession, dir: String,
+                          checkpoint: String, tablePath: String,
+                          keys: Seq[String], versionCol: String,
+                          glob: String = "events.parquet"): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+
+    def latestVersion(): Option[Long] =
+      Option(new java.io.File(tablePath).listFiles())
+        .getOrElse(Array.empty[java.io.File]).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+        .map(_.getName.stripPrefix("v_").toLong)
+        .sorted.lastOption
+
+    def emptyTable = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val prev = latestVersion()
+        val base = prev.map(v => spark.read.parquet(s"$tablePath/v_$v"))
+          .getOrElse(emptyTable)
+        graft.ops.relational
+          .upsertLatest(base, batch.toDF(), keys, versionCol)
+          .write.mode("overwrite").parquet(s"$tablePath/v_$batchId")
+        prev.foreach { v =>
+          val old = new java.io.File(s"$tablePath/v_$v")
+          Option(old.listFiles()).foreach(_.foreach(_.delete()))
+          old.delete()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    latestVersion()
+      .map(v => spark.read.parquet(s"$tablePath/v_$v"))
+      .getOrElse(emptyTable)
+  }
+
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -54,6 +54,38 @@ class PlanSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("partitioned-lake join prunes partitions dynamically (DPP)") {
+    // the S8 layout's claimed benefit: a join against a filtered dim
+    // must push a runtime IN-filter into the fact scan's partition
+    // filters, so only the matching lake directories are read — at
+    // 100 TB this is the difference between scanning one partition and
+    // scanning the lake
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    // the dim must be a real (file) relation: a LocalRelation's filter is
+    // constant-folded away before the DPP rule looks for a selective
+    // predicate on the build side
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dppd")
+      .toString
+    Seq(("R", "returned"), ("A", "accepted"), ("N", "none"))
+      .toDF("l_returnflag", "meaning")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact
+      .join(dim.filter(col("meaning") === "returned"), Seq("l_returnflag"))
+      .groupBy("meaning")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"partitioned scan should carry a dynamic pruning filter:\n" +
+        plan.take(3000))
+    assert(joined.collect().nonEmpty)
+  }
+
   test("rank-filter pattern plans as two-phase WindowGroupLimit") {
     // rn <= k over a rank-only window must NOT sort whole partitions:
     // Spark 4 plans a partial per-task top-k BEFORE the exchange and a

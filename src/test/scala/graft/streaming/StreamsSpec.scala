@@ -9,6 +9,7 @@ import graft.{SparkSpec, Tables}
 /** SURVEY.md §5 item 5: streaming result ≡ batch result on the events
   * table (Trigger.AvailableNow catchup parity). */
 class StreamsSpec extends SparkSpec {
+  import spark.implicits._
 
   test("streamed daily agg equals batch daily agg") {
     val dir = "/root/testdata/sf0.001"
@@ -81,6 +82,44 @@ class StreamsSpec extends SparkSpec {
     val slicedEn = Streams.enrichStream(spark, tmp, ckptEn,
       "*.parquet", dimDir = dir).collect()
     assert(slicedEn.length === n)
+  }
+
+  test("foreachBatch upsert across 3 micro-batches equals the batch table") {
+    // 3 time-ordered slices → 3 foreachBatch merges into the versioned
+    // table; the final snapshot must equal the batch latest-per-user
+    // result, proving the stream → CDC-upsert loop end to end
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft_cdc_slices").toString
+    val raw = spark.read.parquet(s"$dir/events.parquet").orderBy("ts")
+    val n = raw.count()
+    val chunks = raw.collect().grouped((n / 3 + 1).toInt).toSeq
+    val schema = raw.schema
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val staging = Files.createTempDirectory(s"graft_cdc_stage_$i").toString
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/ev_$i.parquet"))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_up_spec").toString
+    val tbl = Files.createTempDirectory("graft_cdc_tbl_spec").toString
+    val got = Streams.upsertStreamToTable(spark, tmp, ckpt, tbl,
+      keys = Seq("user_id"), versionCol = "ts", glob = "*.parquet")
+      .select("user_id", "ts", "event_id", "event_type")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc)
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "ts", "event_id", "event_type")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got === want)
+    // superseded snapshots are retired: exactly one version remains
+    val versions = new java.io.File(tbl).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+    assert(versions.length === 1)
   }
 
   test("stream-static enrichment equals the batch join") {
