@@ -229,9 +229,8 @@ object ExtensionQueries {
     // pins the plane-projection math on every row
     "q_embedding_buckets" -> ((s, d) =>
       t(s, d, "embeddings").select(col("vec_id"),
-        concat_ws("|", (0 until 4).map(tb =>
-          Similarity.hyperplaneBucket(col("embedding"), 64, 6,
-            planeOffset = tb * 6)): _*).as("buckets"))),
+        array_join(call_function("graft_lsh_buckets", col("embedding"),
+          lit(4), lit(6)), "|").as("buckets"))),
 
     // ---- similarity search -------------------------------------------------
     "q_ann_bruteforce" -> ((s, d) => {

@@ -37,7 +37,41 @@ object RunOne {
       "_mh_cand" -> ((s, d) => graft.dedup.Dedup.lshCandidates(
         graft.dedup.Dedup.lshBuckets(
           graft.dedup.Dedup.minhashSignatures(
-            Tables.t(s, d, "documents"), "doc_id", "text", 8), 4, 8)))
+            Tables.t(s, d, "documents"), "doc_id", "text", 8), 4, 8))),
+      "_ng_staged" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        Tables.t(s, d, "documents").select(col("doc_id"),
+          array_sort(graft.text.Text.shingles(
+            graft.text.Text.tokens(col("text")), 3)).as("grams"))
+          .filter(size(col("grams")) > 0)
+      }),
+      "_ng_cand" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val staged = Tables.t(s, d, "documents").select(col("doc_id"),
+          array_sort(graft.text.Text.shingles(
+            graft.text.Text.tokens(col("text")), 3)).as("grams"))
+          .filter(size(col("grams")) > 0)
+          .localCheckpoint()
+        val prefLen = (size(col("grams")) -
+          ceil(lit(0.5) * size(col("grams"))) + 1).cast("int")
+        val pref = staged.select(col("doc_id"),
+          explode(slice(col("grams"), lit(1), prefLen)).as("g"))
+        pref.select(col("g"), col("doc_id").as("doc_a"))
+          .join(pref.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+          .distinct()
+      }),
+      "_sh_fps" -> ((s, d) => graft.dedup.Dedup.simhash(
+        Tables.t(s, d, "documents"), "doc_id", "text", 16)),
+      "_sh_cand" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val fps = graft.dedup.Dedup.simhash(
+          Tables.t(s, d, "documents"), "doc_id", "text", 16)
+          .localCheckpoint()
+        graft.dedup.Dedup.bandedHammingPairs(fps, "doc_id", "simhash",
+          16, 3)
+      })
     )
     val fn = SparkEntry.queries.getOrElse(name, extra(name))
     if (doExplain) fn(spark, sfDir).explain("formatted")

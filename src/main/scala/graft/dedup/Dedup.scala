@@ -252,37 +252,61 @@ object Dedup {
   }
 
   /** Pigeonhole band join over any (id, fingerprint) frame: exact
-    * candidate generation for hamming(a, b) ≤ maxHamming. A pair that
-    * agrees on several bands is generated once per shared band — the
-    * final `distinct` dedupes (≤ maxHamming+1 copies per true pair). */
+    * candidate generation for hamming(a, b) ≤ maxHamming.
+    *
+    * The band join runs over DISTINCT fingerprint VALUES, not rows: a
+    * fingerprint space narrower than the corpus (always true for the
+    * 16-bit oracle width, common for boilerplate-heavy corpora at 64)
+    * otherwise multiplies every bucket match by the duplication factor
+    * squared. Value-pairs found by the band join are expanded back to
+    * id-pairs at the end, and identical-fingerprint id-pairs (hamming 0)
+    * are emitted directly from one equi-self-join — both expansions are
+    * output-bound, so the quadratic part of the work is only ever over
+    * distinct values. A value-pair agreeing on several bands is generated
+    * once per shared band; the `distinct` before expansion dedupes. */
   def bandedHammingPairs(fps: DataFrame, idCol: String, fpCol: String,
                          bits: Int, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     require(bits >= nBands, s"need at least $nBands bits for $nBands bands")
+    val ids = fps.select(col(idCol).as("__id"), col(fpCol).as("__fp"))
+    val distinctF = ids.select(col("__fp")).distinct().localCheckpoint()
     // distribute bits over bands as evenly as possible, MSB first
     val widths = Array.tabulate(nBands)(b =>
       bits / nBands + (if (b < bits % nBands) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val banded = fps.select(col(idCol).as("__id"), col(fpCol).as("__fp"),
+    val banded = distinctF.select(col("__fp"),
       explode(array((0 until nBands).map { b =>
         val shiftBy = bits - offsets(b) - widths(b)
         val slice =
-          if (widths(b) == 64) col(fpCol)
-          else shiftright(col(fpCol), shiftBy)
+          if (widths(b) == 64) col("__fp")
+          else shiftright(col("__fp"), shiftBy)
             .bitwiseAND(lit((1L << widths(b)) - 1))
         struct(lit(b).as("band"), slice.as("bv"))
       }: _*)).as("x"))
-      .select(col("__id"), col("__fp"),
-        col("x.band").as("band"), col("x.bv").as("bv"))
-    val a = banded.toDF("doc_a", "fp_a", "band", "bv")
-    val b = banded.toDF("doc_b", "fp_b", "band", "bv")
-    a.join(b, Seq("band", "bv"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("__fp"), col("x.band").as("band"), col("x.bv").as("bv"))
+    val fpPairs = banded.toDF("fp_a", "band", "bv")
+      .join(banded.toDF("fp_b", "band", "bv"), Seq("band", "bv"))
+      .filter(col("fp_a") < col("fp_b"))
       .withColumn("hamming",
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select("fp_a", "fp_b", "hamming")
       .distinct()
+    // expand value-pairs to id-pairs (disjoint fp groups → ids differ)
+    val cross = fpPairs
+      .join(ids.select(col("__fp").as("fp_a"), col("__id").as("id_a")),
+        Seq("fp_a"))
+      .join(ids.select(col("__fp").as("fp_b"), col("__id").as("id_b")),
+        Seq("fp_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
+    // identical fingerprints: hamming 0, straight equi-join
+    val same = ids.toDF("id_a", "__fp")
+      .join(ids.toDF("id_b", "__fp"), Seq("__fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        lit(0).as("hamming"))
+    cross.union(same)
   }
 
   /** The pre-banding formulation — a self-join blocked on (lang, length
@@ -353,24 +377,30 @@ object Dedup {
       .localCheckpoint()
     val prefLen = (size(col("grams")) -
       ceil(lit(threshold) * size(col("grams"))) + 1).cast("int")
-    val pref = staged.select(col("doc_id"),
+    val pref = staged.select(col("doc_id"), size(col("grams")).as("n"),
       explode(slice(col("grams"), lit(1), prefLen)).as("g"))
-    val cands = pref.select(col("g"), col("doc_id").as("doc_a"))
-      .join(pref.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+    // size-bound prefilter INSIDE the candidate join (jaccard ≤ min/max
+    // of the set sizes): candidates violating it die before the
+    // distinct and before any gram array moves — it cannot change the
+    // result, only skip work
+    val cands = pref
+      .select(col("g"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+      .join(pref.select(col("g"), col("doc_id").as("doc_b"),
+        col("n").as("n_b")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("n_a"), col("n_b")).cast("double") /
+        greatest(col("n_a"), col("n_b")) >= threshold)
       .select("doc_a", "doc_b")
       .distinct()
     cands
       .join(staged.toDF("doc_a", "grams_a"), Seq("doc_a"))
       .join(staged.toDF("doc_b", "grams_b"), Seq("doc_b"))
-      // size-bound prefilter: jaccard ≤ min/max of set sizes — prunes most
-      // pairs before the O(|A|+|B|) intersection without changing results
-      .filter(
-        least(size(col("grams_a")), size(col("grams_b"))).cast("double") /
-          greatest(size(col("grams_a")), size(col("grams_b"))) >= threshold)
-      .withColumn("jaccard",
-        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-          size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+      // native merge-count over the (sorted) gram arrays; |A∪B| follows
+      // as |A|+|B|−c, so no per-row set builds anywhere in the verify
+      .withColumn("c", call_function("graft_overlap",
+        col("grams_a"), col("grams_b")).cast("double"))
+      .withColumn("jaccard", col("c") /
+        (size(col("grams_a")) + size(col("grams_b")) - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
         .as("jaccard"))

@@ -40,6 +40,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_min_md5"),
       new ExpressionInfo(classOf[MinMd5].getName, "graft_min_md5"),
       (children: Seq[Expression]) => MinMd5(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_overlap"),
+      new ExpressionInfo(classOf[SortedOverlap].getName, "graft_overlap"),
+      (children: Seq[Expression]) => SortedOverlap(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      (children: Seq[Expression]) =>
+        LshBuckets(children(0), children(1), children(2))))
     ext.injectOptimizerRule(_ => RewriteDotProduct())
   }
 }

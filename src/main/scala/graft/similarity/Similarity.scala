@@ -215,7 +215,15 @@ object Similarity {
   /** Bucket id for one hash table: sign bits of `numPlanes` projections,
     * planes indexed globally from `planeOffset` (table t of an
     * OR-construction uses offset t·numPlanes, so every table draws
-    * distinct planes). */
+    * distinct planes).
+    *
+    * This is the driver-literal REFERENCE formulation — it inlines
+    * planes·dim literal multiply terms into the plan, whose analysis +
+    * codegen cost dominates at 24×64 terms. The engine path is the
+    * native [[graft.functions.LshBuckets]] expression
+    * (`graft_lsh_buckets`), bit-identical (same md5-derived components,
+    * same ascending-j double fold; equivalence-tested in
+    * SimilaritySpec). */
   def hyperplaneBucket(emb: Column, dim: Int, numPlanes: Int,
                        planeOffset: Int = 0): Column = {
     val bits = (0 until numPlanes).map { p =>
@@ -244,11 +252,12 @@ object Similarity {
   def cosineNearDupPairs(vectors: DataFrame, dim: Int, numTables: Int,
                          planesPerTable: Int, threshold: Double)
   : DataFrame = {
-    // staged once: the bucket explode and both verify joins read it
+    // staged once: the bucket explode and both verify joins read it.
+    // Buckets come from the native scan-local expression — one plan node
+    // instead of a numTables·planes·dim literal tree
     val staged = vectors.select(col("vec_id"), col("embedding"),
-      array((0 until numTables).map(t =>
-        hyperplaneBucket(col("embedding"), dim, planesPerTable,
-          planeOffset = t * planesPerTable)): _*).as("buckets"))
+      call_function("graft_lsh_buckets", col("embedding"),
+        lit(numTables), lit(planesPerTable)).as("buckets"))
       .localCheckpoint()
     val tabled = staged.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))

@@ -126,6 +126,24 @@ class SimilaritySpec extends SparkSpec {
       s"single-table ${single.size} vs multi ${got.size}")
   }
 
+  test("native graft_lsh_buckets ≡ driver-literal hyperplaneBucket") {
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 50).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val native = df.select(col("vec_id"),
+      array_join(call_function("graft_lsh_buckets", col("embedding"),
+        lit(4), lit(6)), "|").as("b"))
+      .as[(Long, String)].collect().toMap
+    val literal = df.select(col("vec_id"),
+      concat_ws("|", (0 until 4).map(t =>
+        Similarity.hyperplaneBucket(col("embedding"), 64, 6,
+          planeOffset = t * 6)): _*).as("b"))
+      .as[(Long, String)].collect().toMap
+    assert(native === literal)
+    assert(native.values.forall(_.length === 4 * 6 + 3))
+  }
+
   test("hyperplane LSH: identical vectors share buckets") {
     val b = vecs
       .select(Similarity.hyperplaneBucket(col("embedding"), 3, 8).as("b"))

@@ -77,6 +77,27 @@ class TextSpec extends SparkSpec {
     assert(rows(1).isNullAt(0), "doc shorter than k → null fingerprint")
   }
 
+  test("graft_overlap ≡ size(array_intersect) on sorted gram arrays") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox leaps over the lazy dog"),
+      (3L, "pack my box with five dozen liquor jugs"),
+      (4L, "a b"),                                      // too short: empty
+      (5L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val staged = docs.select(col("doc_id"),
+      array_sort(Text.shingles(Text.tokens(col("text")), 3)).as("g"))
+    val pairs = staged.toDF("a", "ga")
+      .crossJoin(staged.toDF("b", "gb")).filter(col("a") < col("b"))
+    val cmp = pairs.select(
+      call_function("graft_overlap", col("ga"), col("gb")).as("native"),
+      size(array_intersect(col("ga"), col("gb"))).as("ref"))
+      .as[(Int, Int)].collect()
+    assert(cmp.nonEmpty && cmp.forall(p => p._1 === p._2))
+    // identical docs overlap fully; disjoint docs overlap zero
+    assert(cmp.exists(_._1 > 0) && cmp.exists(_._1 == 0))
+  }
+
   test("repetitionRatio: 0 for all-distinct, high for templated text") {
     val rows = Seq(
       "one two three four five six",      // all 3-grams distinct → 0
