@@ -212,6 +212,13 @@ object ExtensionQueries {
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
         bits = 16, maxHamming = 3)),
 
+    // the production-width path end to end: 64-bit fingerprints, banded
+    // candidates (16-bit bands — selective, unlike the oracle-width
+    // 4-bit bands), exact hamming verify
+    "q_dedup_simhash64_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+        bits = 64, maxHamming = 3)),
+
     "q_corpus_stats" -> ((s, d) => {
       import s.implicits._
       t(s, d, "documents").select(col("n_chars")).as[Long]
@@ -692,6 +699,46 @@ object ExtensionQueries {
                  string_agg(CASE WHEN ones * 2 > n_toks THEN '1' ELSE '0'
                             END, '' ORDER BY bit) AS fp_bits
           FROM ones GROUP BY doc_id""",
+
+    // naive all-pairs ground truth over the 64-bit fingerprints; hamming
+    // as a per-position bitstring diff count, so no BIGINT assembly
+    "q_dedup_simhash64_pairs" ->
+      s"""WITH tok AS (
+            SELECT doc_id, len($dTokens) AS n_toks,
+                   unnest($dTokens) AS tok
+            FROM documents),
+          h AS (SELECT doc_id, n_toks, md5(tok) AS h FROM tok),
+          bits AS (
+            SELECT doc_id, n_toks, h, i AS bit
+            FROM h CROSS JOIN range(64) r(i)),
+          nib AS (
+            SELECT doc_id, n_toks, bit,
+                   CASE WHEN ascii(substr(h, (bit // 4)::INT + 1, 1)) <= 57
+                        THEN ascii(substr(h, (bit // 4)::INT + 1, 1)) - 48
+                        ELSE ascii(substr(h, (bit // 4)::INT + 1, 1)) - 87
+                   END AS nibble
+            FROM bits),
+          bitset AS (
+            SELECT doc_id, bit,
+                   floor(nibble / 2 ** (3 - bit % 4))::INT % 2 AS bit_set,
+                   n_toks
+            FROM nib),
+          ones AS (
+            SELECT doc_id, bit, SUM(bit_set) AS ones,
+                   max(n_toks) AS n_toks
+            FROM bitset GROUP BY doc_id, bit),
+          fp AS (
+            SELECT doc_id,
+                   string_agg(CASE WHEN ones * 2 > n_toks THEN '1'
+                              ELSE '0' END, '' ORDER BY bit) AS fp_bits
+            FROM ones GROUP BY doc_id)
+          SELECT doc_a, doc_b, hamming FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_filter(range(1, 65),
+                     i -> substr(a.fp_bits, i, 1) <>
+                          substr(b.fp_bits, i, 1)))::INT AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+          WHERE hamming <= 3""",
 
     // ground truth is the naive all-pairs definition: the Spark side's
     // prefix-filtered candidate join must reproduce it exactly
