@@ -201,6 +201,17 @@ object ExtensionQueries {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), k = 3,
         threshold = 0.5)),
 
+    // daily-ingest dedup: "new arrivals" (every 17th doc) probed against
+    // the remaining corpus via the banded index — candidates are
+    // new×corpus only, never corpus×corpus
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 17 === 0),
+        docs.filter(col("doc_id") % 17 =!= 0),
+        "doc_id", "text", numPerms = 8, numBands = 4, threshold = 0.8)
+    }),
+
     // production-width fingerprint; compared as a 64-char bit string so
     // the oracle never has to assemble a (sign-overflowing) BIGINT
     "q_dedup_simhash64" -> ((s, d) =>
@@ -699,6 +710,49 @@ object ExtensionQueries {
                  string_agg(CASE WHEN ones * 2 > n_toks THEN '1' ELSE '0'
                             END, '' ORDER BY bit) AS fp_bits
           FROM ones GROUP BY doc_id""",
+
+    // same signature/banding math as the minhash CTEs, with candidates
+    // restricted to new(doc_id%17=0) × corpus(rest)
+    "q_dedup_incremental" ->
+      s"""WITH tk AS (
+            SELECT doc_id,
+                   string_split_regex(trim(regexp_replace(lower(text),
+                     '[^a-z0-9\\s]+', ' ', 'g')), '\\s+') AS tk
+            FROM documents),
+          sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(tk) - 2),
+                     i -> array_to_string(tk[i:i+2], ' '))) AS shset
+            FROM tk),
+          units AS (SELECT doc_id, unnest(shset) AS u FROM sh),
+          vocab AS (SELECT DISTINCT u FROM units),
+          vh AS (
+            SELECT u, i AS perm, md5(i::VARCHAR || ':' || u) AS h
+            FROM vocab CROSS JOIN range(8) r(i)),
+          mh AS (
+            SELECT doc_id, perm, min(h) AS mh
+            FROM units JOIN vh USING (u)
+            GROUP BY doc_id, perm),
+          band AS (
+            SELECT doc_id, (perm // 2)::INT AS band,
+                   md5(string_agg(mh, ',' ORDER BY perm)) AS bucket
+            FROM mh GROUP BY doc_id, perm // 2),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+            FROM band a JOIN band b
+              ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.doc_id % 17 = 0 AND b.doc_id % 17 <> 0)
+          SELECT new_id, corpus_id,
+                 round(len(list_intersect(sa.shset, sb.shset))::DOUBLE /
+                   len(list_distinct(list_concat(sa.shset, sb.shset))), 6)
+                   AS jaccard
+          FROM cand
+          JOIN sh sa ON cand.new_id = sa.doc_id
+          JOIN sh sb ON cand.corpus_id = sb.doc_id
+          WHERE len(list_intersect(sa.shset, sb.shset))::DOUBLE /
+                  len(list_distinct(list_concat(sa.shset, sb.shset)))
+                  >= 0.8""",
 
     // naive all-pairs ground truth over the 64-bit fingerprints; hamming
     // as a per-position bitstring diff count, so no BIGINT assembly

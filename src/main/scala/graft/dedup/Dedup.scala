@@ -134,15 +134,16 @@ object Dedup {
     * signature array. The first shuffle in the whole pipeline is the
     * candidate self-join on (band, bucket) — at 100 TB nothing upstream
     * of it moves a byte. */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      numPerms: Int, numBands: Int, threshold: Double)
+  /** Banded LSH bucket table for a (doc_id, shset) frame: one
+    * (doc_id, band, bucket) row per doc·band, all scan-local (native
+    * signature + per-band md5). This IS the dedup index a production
+    * pipeline persists at ingest — [[minhashLshPairs]] builds it
+    * transiently for a one-shot corpus pass, [[incrementalNearDups]]
+    * treats the corpus side's table as that stored index. */
+  def bandedBuckets(sets: DataFrame, numPerms: Int, numBands: Int)
   : DataFrame = {
     val rowsPerBand = numPerms / numBands
-    val sets = shingleSets(docs, idCol, textCol, 3)
-    // banded: (doc_id, band, bucket), 1 row per doc·band — checkpointed so
-    // the candidate self-join's two sides don't each recompute the
-    // md5-heavy signatures
-    val banded = sets
+    sets
       .filter(size(col("shset")) > 0)
       .withColumn("sig",
         call_function("graft_minhash", col("shset"), lit(numPerms)))
@@ -154,7 +155,16 @@ object Dedup {
               .as("bucket"))): _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"),
         col("x.bucket").as("bucket"))
-      .localCheckpoint()
+  }
+
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      numPerms: Int, numBands: Int, threshold: Double)
+  : DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, 3)
+    // banded: (doc_id, band, bucket), 1 row per doc·band — checkpointed so
+    // the candidate self-join's two sides don't each recompute the
+    // md5-heavy signatures
+    val banded = bandedBuckets(sets, numPerms, numBands).localCheckpoint()
     val cands = lshCandidates(banded)
 
     cands
@@ -328,6 +338,42 @@ object Dedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Incremental near-dup check: NEW arrivals against an EXISTING corpus
+    * — the daily-ingest shape of MinHash-LSH dedup. Candidates come from
+    * a new×corpus band-bucket equi-join, never corpus×corpus: the corpus
+    * side's [[bandedBuckets]] table and shingle sets are exactly what a
+    * persisted dedup index stores (written once at ingest, reused every
+    * arrival batch), so the per-batch cost scales with |new|·bands plus
+    * the matched buckets — the corpus is only ever probed, not re-paired.
+    * Returns (new_id, corpus_id, jaccard) for every cross pair at or
+    * above the threshold. */
+  def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String, numPerms: Int,
+                          numBands: Int, threshold: Double): DataFrame = {
+    val newSets = shingleSets(newDocs, idCol, textCol, 3)
+    val corpusSets = shingleSets(corpus, idCol, textCol, 3)
+    val cands = bandedBuckets(newSets, numPerms, numBands)
+      .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
+      .join(bandedBuckets(corpusSets, numPerms, numBands)
+        .select(col("band"), col("bucket"), col("doc_id").as("corpus_id")),
+        Seq("band", "bucket"))
+      .select("new_id", "corpus_id")
+      .distinct()
+    cands
+      .join(newSets.select(col("doc_id").as("new_id"),
+        col("shset").as("set_a")), Seq("new_id"))
+      .join(corpusSets.select(col("doc_id").as("corpus_id"),
+        col("shset").as("set_b")), Seq("corpus_id"))
+      .filter(least(size(col("set_a")), size(col("set_b"))).cast("double") /
+        greatest(size(col("set_a")), size(col("set_b"))) >= threshold)
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6)
+        .as("jaccard"))
   }
 
   /** Benchmark-contamination detection: for each train document, count

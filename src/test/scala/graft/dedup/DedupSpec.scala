@@ -89,6 +89,23 @@ class DedupSpec extends SparkSpec {
     assert(naive.nonEmpty, "corpus must produce near-dup pairs")
   }
 
+  test("incremental near-dups ≡ full-corpus pairs restricted to new×corpus") {
+    val newDocs = docs.filter(col("doc_id") % 2 === 0) // 0, 2, 4
+    val corpus = docs.filter(col("doc_id") % 2 =!= 0)  // 1, 3
+    val inc = Dedup.incrementalNearDups(newDocs, corpus, "doc_id", "text",
+      numPerms = 8, numBands = 4, threshold = 0.7)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numPerms = 8, numBands = 4, threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cross = full.collect {
+      case (a, b) if (a % 2 == 0) != (b % 2 == 0) =>
+        if (a % 2 == 0) (a, b) else (b, a)
+    }
+    assert(inc === cross)
+    assert(inc.contains((0L, 1L)), "exact dup straddling the split")
+  }
+
   test("banded simhash pairs ≡ blocked join when one block holds everything") {
     // the corpus shape that blows up heuristic blocking: every doc the
     // same lang and length bucket — ONE block, so the blocked join is a
