@@ -121,6 +121,27 @@ object ScaleSmoke {
         bits = 64, maxHamming = 3).count()
     }
 
+    timed("prefix-filtered ngram pairs") {
+      // rows/250 (default 200k) synthetic 40-token docs; ids 2k/2k+1
+      // share all but one token (near-dups), the rest of the gram space
+      // is id-salted so document frequencies stay corpus-realistic.
+      // Exercises the exact prefix-filter join (sorted-gram prefixes →
+      // candidate equi-join → graft_overlap verify) at ~40× the sf0.1
+      // corpus — the lossless formulation must stay candidate-bounded,
+      // not quadratic.
+      val nd = rows / 250
+      val docs = spark.range(nd).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 40).map(j =>
+            concat(lit(s"w${j}_"),
+              (((col("id") / 2).cast("long") * (j + 7)) % 9973)
+                .cast("string"))) :+
+            concat(lit("tail_"), (col("id") % 2).cast("string")): _*)
+          .as("text"))
+      graft.dedup.Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5)
+        .count()
+    }
+
     timed("connected components") {
       // rows/50 edges forming ten-node chains — the diameter-bound case
       // for label propagation; pointer doubling collapses a 10-hop chain
