@@ -375,6 +375,30 @@ object ExtensionQueries {
         .drop("rn")
     }),
 
+    // ---- per-doc distinctive terms (tf-idf top-k) -------------------------
+    // rank keys are exact integers (tf desc, df asc, tok asc) so the
+    // cross-engine row set is deterministic; the tf-idf VALUE is
+    // informational, rounded to 4 (ln() may differ in the last ulp
+    // between libm implementations). Rank-only window → two-phase
+    // WindowGroupLimit, partial top-k before the exchange.
+    "q_text_tfidf" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = t(s, d, "documents").count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+      tf.join(df, Seq("tok"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"),
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 4)
+            .as("tfidf"))
+    }),
+
     // ---- within-doc repetition quality gate -------------------------------
     "q_text_repetition" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -1026,6 +1050,28 @@ object ExtensionQueries {
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM s GROUP BY user_id, session_no""",
+
+    "q_text_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(regexp_replace(
+                    lower(text), '[^a-z0-9\s]+', ' ', 'g')), '\s+')) AS tok
+           FROM documents),
+         tf AS (
+           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, tok),
+         df AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
+           GROUP BY tok),
+         n AS (SELECT count(*) AS n FROM documents),
+         ranked AS (
+           SELECT doc_id, tok, tf, df,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tf DESC, df ASC, tok ASC) AS rn
+           FROM tf JOIN df USING (tok))
+         SELECT doc_id, tok, tf,
+                round(tf * ln(n / df::DOUBLE), 4) AS tfidf
+         FROM ranked, n WHERE rn <= 3""",
 
     "q_stream_daily_agg" ->
       """SELECT date_trunc('day', ts) AS day, event_type,
