@@ -504,6 +504,61 @@ object SparkEntry {
         GROUP BY n_name""")
     }),
 
+    // TPC-H Q6 shape: pure filter + scalar aggregate — the all-pushdown
+    // query (every predicate reaches the parquet scan, result is one row)
+    "q_sql_q6" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem_v
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    // fact-fact join + group + deterministic top-k
+    "q_sql_q10" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM customer_v
+        JOIN orders_v ON c_custkey = o_custkey
+        JOIN lineitem_v ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1996-04-01'
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20""")
+    }),
+
+    // TPC-H Q18 shape: HAVING subquery (large-quantity orders) feeding a
+    // 3-way join — the semi-join-through-aggregate pattern
+    "q_sql_q18" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+        FROM customer_v
+        JOIN orders_v ON c_custkey = o_custkey
+        JOIN lineitem_v ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem_v
+          GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100""")
+    }),
+
     // S9 warehouse path: saveAsTable into the session catalog, read back
     // via spark.table — the BigQuery-external-table analog
     "q_s9_catalog_roundtrip" -> ((s, d) => {
@@ -895,6 +950,42 @@ object SparkEntry {
          GROUP BY l_orderkey, o_orderdate
          ORDER BY revenue DESC, l_orderkey ASC
          LIMIT 10""",
+
+    "q_sql_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= DATE '1996-01-01'
+           AND l_shipdate < DATE '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+
+    "q_sql_q10" ->
+      """SELECT c_custkey, c_name,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= DATE '1996-01-01'
+           AND o_orderdate < DATE '1996-04-01'
+         GROUP BY c_custkey, c_name
+         ORDER BY revenue DESC, c_custkey ASC
+         LIMIT 20""",
+
+    "q_sql_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey ASC
+         LIMIT 100""",
 
     "q_agg_percentile" ->
       """SELECT l_returnflag,
