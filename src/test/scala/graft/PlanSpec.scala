@@ -86,6 +86,22 @@ class PlanSpec extends SparkSpec {
     assert(joined.collect().nonEmpty)
   }
 
+  test("lossless pair generators never plan a cross product") {
+    // the round-3 guarantee: banding / prefix filtering / OR'd LSH
+    // tables replace heuristic blocking WITHOUT introducing a
+    // CartesianProduct or nested-loop join anywhere — candidate
+    // generation is always an equi-join on a derived key
+    Seq("q_dedup_simhash_pairs", "q_dedup_simhash64_pairs",
+      "q_dedup_ngram_jaccard", "q_dedup_embedding",
+      "q_dedup_incremental").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a cross product:\n${plan.take(2000)}")
+    }
+  }
+
   test("rank-filter pattern plans as two-phase WindowGroupLimit") {
     // rn <= k over a rank-only window must NOT sort whole partitions:
     // Spark 4 plans a partial per-task top-k BEFORE the exchange and a
