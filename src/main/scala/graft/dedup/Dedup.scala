@@ -415,6 +415,8 @@ object Dedup {
     * damage. */
   def ngramJaccardPairs(docs: DataFrame, k: Int, threshold: Double)
   : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
     // materialize once: the prefix explode and both verify joins read
     // the same staged (sorted) gram sets
     val staged = docs.select(col("doc_id"),

@@ -173,11 +173,17 @@ object Streams {
       .option("pathGlobFilter", glob)
       .parquet(dir)
 
+    // Hadoop FS, not java.io: the snapshot chain must work on any
+    // warehouse filesystem (HDFS/object store), not just local disk
+    val hadoopPath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hadoopPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
     def latestVersion(): Option[Long] =
-      Option(new java.io.File(tablePath).listFiles())
-        .getOrElse(Array.empty[java.io.File]).toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("v_"))
-        .map(_.getName.stripPrefix("v_").toLong)
+      (if (fs.exists(hadoopPath)) fs.listStatus(hadoopPath).toSeq
+       else Seq.empty)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_"))
+        .map(_.getPath.getName.stripPrefix("v_").toLong)
         .sorted.lastOption
 
     def emptyTable = spark.createDataFrame(
@@ -192,11 +198,8 @@ object Streams {
         graft.ops.relational
           .upsertLatest(base, batch.toDF(), keys, versionCol)
           .write.mode("overwrite").parquet(s"$tablePath/v_$batchId")
-        prev.foreach { v =>
-          val old = new java.io.File(s"$tablePath/v_$v")
-          Option(old.listFiles()).foreach(_.foreach(_.delete()))
-          old.delete()
-        }
+        prev.foreach(v => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$tablePath/v_$v"), true))
         ()
       }
       .option("checkpointLocation", checkpoint)
