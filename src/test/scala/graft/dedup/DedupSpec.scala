@@ -169,6 +169,42 @@ class DedupSpec extends SparkSpec {
     assert(got.size === got.map(p => (p._1, p._2)).size)
   }
 
+  test("banded pairs ≡ brute-force hamming pairs on random fingerprints") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // losslessness as a property: for random fingerprint sets (clustered
+    // so near pairs actually exist), the band join finds EXACTLY the
+    // naive all-pairs result — any width, any maxHamming
+    val cases = Seq((16, 1), (16, 3), (64, 3), (64, 7))
+    cases.zipWithIndex.foreach { case ((bits, maxHam), ci) =>
+      val mask = if (bits == 64) -1L else (1L << bits) - 1
+      val genFps: Gen[List[Long]] = for {
+        n <- Gen.choose(10, 60)
+        seeds <- Gen.listOfN(n, Gen.long)
+        flips <- Gen.listOfN(n, Gen.choose(0, bits - 1))
+      } yield seeds.zip(flips).zipWithIndex.map { case ((s, f), i) =>
+        // half the ids mutate a shared base so near pairs exist
+        val base = if (i % 2 == 0) s else seeds(i - 1) ^ (1L << f)
+        base & mask
+      }
+      (0 until 4).foreach { it =>
+        genFps(Gen.Parameters.default, Seed((ci * 10 + it).toLong))
+          .foreach { fps =>
+            val df = fps.zipWithIndex
+              .map { case (fp, i) => (i.toLong, fp) }.toDF("id", "fp")
+            val got = Dedup.bandedHammingPairs(df, "id", "fp", bits, maxHam)
+              .as[(Long, Long, Int)].collect().toSet
+            val want = (for {
+              i <- fps.indices; j <- (i + 1) until fps.length
+              h = java.lang.Long.bitCount(fps(i) ^ fps(j))
+              if h <= maxHam
+            } yield (i.toLong, j.toLong, h)).toSet
+            assert(got === want, s"bits=$bits maxHam=$maxHam seed=$it")
+          }
+      }
+    }
+  }
+
   test("64-bit simhash: dup-invariant, more collision-resistant than 16") {
     val corpus = (0 until 200).map { i =>
       (i.toLong, s"document number $i with shared boilerplate words " +
