@@ -39,14 +39,29 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // release per-query state: localCheckpoint blocks (dedup sets,
+        // CC labels) and cached frames otherwise pin JVM memory across
+        // all ~100 queries, and the accumulated heap pressure GC-stalls
+        // whatever runs late in the alphabet (q_unpivot hit 18 s under
+        // it). Nothing re-reads a finished query's plan, so dropping the
+        // blocks is safe.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+        name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // 3-decimal times keep the whole line inside the driver's log-tail
+    // capture window (full-precision doubles overflowed it in r03 and
+    // the driver recorded parsed:null)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // "value" LAST: the driver captures the log tail, so the headline
     // total must be at the end of the line to survive truncation
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","value":${f3(total)}}""")
     spark.stop()
   }
 }

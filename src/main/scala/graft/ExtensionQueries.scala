@@ -9,7 +9,7 @@ import graft.ops.{asof, rangejoin}
 import graft.similarity.Similarity
 import graft.sources.StagedSources
 import graft.streaming.Streams
-import graft.text.Text
+import graft.text.{Packing, Text}
 
 /** Extension surface beyond reference parity: large-scale training-data
   * pipeline operators (dedup, similarity search, text analysis, multimodal,
@@ -358,6 +358,30 @@ object ExtensionQueries {
         .createTempDirectory("graft_ckpt_en").toString
       Streams.enrichStream(s, d, ckpt)
     }),
+
+    // stream-stream interval join: click→purchase attribution within 6h
+    "q_stream_join" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_sj").toString
+      Streams.intervalJoinStreams(s, d, ckpt, "click", "purchase", 6)
+    }),
+
+    // ---- sequence packing (concat-then-chunk into context windows) --------
+    "q_pack_sequences" -> ((s, d) =>
+      Packing.packManifest(
+        t(s, d, "documents").select(col("doc_id"),
+          Text.bpeishTokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", maxLen = 2048)),
+
+    // ---- z-order layout key -----------------------------------------------
+    // per-row Morton key over the (partkey, suppkey) plane — the sort key
+    // zorderWrite clusters files by (layout measured in ZOrderSpec)
+    "q_zorder_key" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        call_function("graft_zorder", col("l_partkey").cast("long"),
+          col("l_suppkey").cast("long"), lit(11)).as("z"))),
 
     // ---- corpus vocabulary: top tokens per language -----------------------
     // explode → two-level agg; the per-(lang, tok) count is map-side
@@ -1096,6 +1120,44 @@ object ExtensionQueries {
     "q_stream_enrich" ->
       """SELECT event_id, event_type, n_name
          FROM events JOIN nation ON user_id % 25 = n_nationkey""",
+
+    "q_stream_join" ->
+      """SELECT c.event_id AS left_id, p.event_id AS right_id,
+                c.user_id,
+                epoch_us(c.ts) AS left_us, epoch_us(p.ts) AS right_us,
+                p.value
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR""",
+
+    "q_pack_sequences" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_tokens
+           FROM documents),
+         cum AS (
+           SELECT doc_id, n_tokens,
+                  COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS cum_before
+           FROM toks)
+         SELECT cum_before // 2048 AS seq_id,
+                COUNT(*) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS fill_tokens,
+                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM cum GROUP BY 1""",
+
+    "q_zorder_key" -> {
+      // unrolled Morton interleave — disjoint bit positions, so + ≡ |
+      val terms = (0 until 11).flatMap(i => Seq(
+        s"((((l_partkey & 2047) >> $i) & 1) << ${2 * i})",
+        s"((((l_suppkey & 2047) >> $i) & 1) << ${2 * i + 1})"))
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 CAST(${terms.mkString(" + ")} AS BIGINT) AS z
+          FROM lineitem"""
+    },
 
     "q_heavy_hitters" ->
       """WITH tf AS (

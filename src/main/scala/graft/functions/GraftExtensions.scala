@@ -49,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
       (children: Seq[Expression]) =>
         LshBuckets(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),
+      (children: Seq[Expression]) =>
+        ZOrderKey(children(0), children(1), children(2))))
     ext.injectOptimizerRule(_ => RewriteDotProduct())
   }
 }

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: z-order clustering for write-time file
+  * organization. The companion to bucketing (join locality) and
+  * partitionBy (coarse pruning): z-ordering gives RANGE-PREDICATE
+  * locality on several columns at once, which parquet min-max stats then
+  * turn into file/row-group skipping.
+  */
+object Layout {
+
+  /** Write `df` clustered by the z-order of two bucketed dimensions.
+    * `repartitionByRange` on the key splits the curve into `numFiles`
+    * contiguous segments (each task writes one file covering a compact
+    * z-range), and the within-partition sort tightens row-group stats.
+    * Both steps are plain shuffle/sort — no driver-side data movement,
+    * so the write scales with cluster width. */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                  numFiles: Int, path: String): Unit =
+    df.withColumn("__z",
+        call_function("graft_zorder",
+          col(xCol).cast("long"), col(yCol).cast("long"), lit(bits)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** Linear baseline: same file count, sorted by the first dimension
+    * only (what a naive ORDER BY write produces). */
+  def linearWrite(df: DataFrame, xCol: String, numFiles: Int,
+                  path: String): Unit =
+    df.repartitionByRange(numFiles, col(xCol))
+      .sortWithinPartitions(col(xCol))
+      .write.mode("overwrite").parquet(path)
+
+  /** Count the files a range predicate must read under min-max skipping:
+    * a file is skippable iff its [min, max] on the predicate column
+    * misses the range — the same decision parquet row-group pruning
+    * makes from footer stats. Used by specs to measure layout quality;
+    * scans each file's single column once. */
+  def filesOverlapping(spark: SparkSession, path: String, column: String,
+                       lo: Long, hi: Long): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.toString)
+      .filter(_.endsWith(".parquet"))
+    files.count { f =>
+      val mm = spark.read.parquet(f)
+        .agg(min(col(column)).cast("long"), max(col(column)).cast("long"))
+        .head()
+      !mm.isNullAt(0) && mm.getLong(0) <= hi && mm.getLong(1) >= lo
+    }
+  }
+}

@@ -142,6 +142,60 @@ object Streams {
     spark.table(sinkName)
   }
 
+  /** Stream-stream interval join (attribution): each `leftType` event
+    * joined to every `rightType` event of the same user landing within
+    * `[left.ts, left.ts + windowHours]` — the click→purchase attribution
+    * shape. Both sides carry a watermark and the join condition bounds
+    * right-ts relative to left-ts, so Spark's state store can evict: a
+    * buffered left row is droppable once the watermark passes its ts +
+    * window, a right row once the watermark passes its ts. State is
+    * O(events within watermark + window), not O(stream) — the property
+    * that makes a perpetual two-stream join runnable at 100 TB/day.
+    * Timestamps return as epoch micros for engine-portable comparison.
+    */
+  def intervalJoinStreams(spark: SparkSession, dir: String,
+                          checkpoint: String, leftType: String,
+                          rightType: String, windowHours: Int,
+                          glob: String = "events.parquet"): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", glob)
+      .parquet(dir).schema
+    def side(tpe: String) = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .filter(col("event_type") === tpe)
+    val left = side(leftType)
+      .select(col("event_id").as("left_id"), col("user_id"),
+        col("ts").as("left_ts"))
+      .withWatermark("left_ts", "1 day")
+    val right = side(rightType)
+      .select(col("event_id").as("right_id"),
+        col("user_id").as("r_user_id"), col("ts").as("right_ts"),
+        col("value"))
+      .withWatermark("right_ts", "1 day")
+
+    val joined = left.join(right,
+      expr(s"""user_id = r_user_id AND
+               right_ts >= left_ts AND
+               right_ts <= left_ts + interval $windowHours hours"""))
+      .select(col("left_id"), col("right_id"), col("user_id"),
+        expr("unix_micros(left_ts)").as("left_us"),
+        expr("unix_micros(right_ts)").as("right_us"), col("value"))
+
+    val sinkName = "graft_sjoin_" + math.abs(checkpoint.hashCode)
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
   /** CDC stream → latest-wins lake table: every micro-batch is merged
     * into a versioned parquet table with
     * [[graft.ops.relational.upsertLatest]] inside a `foreachBatch` sink —

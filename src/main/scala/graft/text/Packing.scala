@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: concatenate documents in a
+  * deterministic order and cut the token stream into fixed-size context
+  * windows ("concat-then-chunk" packing, the standard pretraining data
+  * layout). A document is assigned to chunk `floor(tokens_before / maxLen)`
+  * — the chunk its first token lands in.
+  *
+  * The core is a GLOBAL running token count, which naively is a
+  * single-partition window — a one-task bottleneck at corpus scale. This
+  * implementation is the classic two-pass distributed prefix sum instead:
+  *
+  *  1. `repartitionByRange(idCol)` makes partition boundaries follow the
+  *     document order, so "all docs before mine" = "earlier docs in my
+  *     partition" + "all docs in earlier partitions";
+  *  2. a window PARTITIONED by `spark_partition_id()` computes the
+  *     within-partition running sum (parallel across partitions);
+  *  3. per-partition totals (one row per partition — a few thousand rows
+  *     on any cluster) are prefix-summed on a single tiny partition and
+  *     broadcast back.
+  *
+  * Every stage is bounded: no single task ever sees more than one range
+  * partition of documents.
+  */
+object Packing {
+
+  /** Per-document packing assignment: adds `cum_before` (tokens of all
+    * earlier docs) and `seq_id` (context-window index) to `docs`.
+    *
+    * @param docs    input frame
+    * @param idCol   unique orderable id defining the concatenation order
+    * @param tokCol  per-document token count (long)
+    * @param maxLen  context window length in tokens
+    */
+  def packAssignments(docs: DataFrame, idCol: String, tokCol: String,
+                      maxLen: Int, numPartitions: Int = 0): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    // numPartitions > 0 pins the range-partition count (specs use it to
+    // force a genuinely multi-partition run that AQE would coalesce at
+    // test scale); 0 defers to spark.sql.shuffle.partitions
+    val parted = (if (numPartitions > 0)
+        docs.repartitionByRange(numPartitions, col(idCol))
+      else docs.repartitionByRange(col(idCol)))
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy("__pid").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inPart = parted.withColumn("__cum_in",
+      coalesce(sum(col(tokCol)).over(wIn), lit(0L)))
+
+    // one row per partition; the running sum over partition ids runs on
+    // a single task by construction, which is fine at that cardinality
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(sum(col(tokCol)).as("__ptot"))
+      .withColumn("__offset",
+        coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+
+    inPart.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("cum_before", col("__cum_in") + col("__offset"))
+      // integer division: exact on longs (a double floor() would wobble
+      // past 2^53 tokens — a real corpus size)
+      .withColumn("seq_id", expr(s"cum_before div $maxLen"))
+      .drop("__pid", "__cum_in", "__offset")
+  }
+
+  /** Packed-sequence manifest: one row per context window with its doc
+    * span and fill statistics. `fill_tokens` can exceed `maxLen` for the
+    * window holding a document that straddles a boundary — documents are
+    * assigned whole (where their first token lands), matching packers
+    * that let the tokenizer split at materialization time. */
+  def packManifest(docs: DataFrame, idCol: String, tokCol: String,
+                   maxLen: Int): DataFrame =
+    packAssignments(docs, idCol, tokCol, maxLen)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokCol)).as("fill_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+}

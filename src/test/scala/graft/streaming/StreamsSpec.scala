@@ -122,6 +122,61 @@ class StreamsSpec extends SparkSpec {
     assert(versions.length === 1)
   }
 
+  private def batchIntervalJoin(dir: String) = {
+    // Tables.events already converts nanos-as-long ts to timestamp
+    val ev = Tables.events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("left_id"), col("user_id"),
+        col("ts").as("left_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("right_id"),
+        col("user_id").as("r_user_id"), col("ts").as("right_ts"),
+        col("value"))
+    c.join(p, col("user_id") === col("r_user_id") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") <= col("left_ts") + expr("interval 6 hours"))
+      .select(col("left_id"), col("right_id"), col("user_id"),
+        expr("unix_micros(left_ts)").as("left_us"),
+        expr("unix_micros(right_ts)").as("right_us"), col("value"))
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val dir = "/root/testdata/sf0.001"
+    val ckpt = Files.createTempDirectory("graft_ckpt_sj_spec").toString
+    val streamed = Streams
+      .intervalJoinStreams(spark, dir, ckpt, "click", "purchase", 6)
+      .collect()
+    val batch = batchIntervalJoin(dir).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSet === batch.toSet)
+  }
+
+  test("stream-stream join across 3 micro-batches buffers state correctly") {
+    // time-ordered slices: a click in batch i can only match a purchase
+    // in batch i or i+1, so the join's left-side state must survive the
+    // batch boundary — the property a single file never exercises
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft_sj_slices").toString
+    val raw = spark.read.parquet(s"$dir/events.parquet").orderBy("ts")
+    val n = raw.count()
+    val chunks = raw.collect().grouped((n / 3 + 1).toInt).toSeq
+    val schema = raw.schema
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val staging = Files.createTempDirectory(s"graft_sj_stage_$i").toString
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/ev_$i.parquet"))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_sj_sl").toString
+    val sliced = Streams.intervalJoinStreams(spark, tmp, ckpt,
+      "click", "purchase", 6, glob = "*.parquet").collect()
+    val batch = batchIntervalJoin(dir).collect()
+    assert(sliced.toSet === batch.toSet)
+  }
+
   test("stream-static enrichment equals the batch join") {
     val dir = "/root/testdata/sf0.001"
     val ckpt = Files.createTempDirectory("graft_ckpt_en_spec").toString
