@@ -32,6 +32,12 @@ object ExtensionQueries {
     "q_s_csv_roundtrip" -> ((s, d) =>
       StagedSources.csvRoundTrip(s, t(s, d, "nation"))),
 
+    "q_s_orc_roundtrip" -> ((s, d) =>
+      StagedSources.orcRoundTrip(s, t(s, d, "nation"))),
+
+    "q_s_json_roundtrip" -> ((s, d) =>
+      StagedSources.jsonRoundTrip(s, t(s, d, "supplier"))),
+
     "q_s8_partitioned_sink" -> ((s, d) =>
       StagedSources.partitionedRoundTrip(s,
         t(s, d, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag"),
@@ -382,6 +388,41 @@ object ExtensionQueries {
         col("l_suppkey"),
         call_function("graft_zorder", col("l_partkey").cast("long"),
           col("l_suppkey").cast("long"), lit(11)).as("z"))),
+
+    // ---- time-series gap filling ------------------------------------------
+    "q_gap_fill" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+      graft.ops.timeseries.fillDailyGaps(daily, "user_id", "day",
+        Seq("cnt" -> lit(0L), "sum_value" -> lit(0.0)))
+    }),
+
+    // ---- unigram log-probability (perplexity-filter stand-in) -------------
+    // two passes over one staged token frame: corpus unigram frequencies,
+    // then a shuffle join back on token. Per-token logprobs are quantized
+    // to integer micros BEFORE summing so the per-doc sum is independent
+    // of float addition order (and of the 1-ulp ln() divergence between
+    // engines).
+    "q_unigram_logprob" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .localCheckpoint()
+      val freq = tf.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val n = tf.agg(count(lit(1)).cast("double").as("n_total"))
+      tf.join(freq, Seq("tok"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          round(log(col("cnt").cast("double") / col("n_total")) * 1e6)
+            .cast("long").as("lp_micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("lp_micro")).as("lp_sum_micro"))
+        .withColumn("avg_logprob",
+          round(col("lp_sum_micro") / lit(1e6) / col("n_tokens"), 4))
+    }),
 
     // ---- corpus vocabulary: top tokens per language -----------------------
     // explode → two-level agg; the per-(lang, tok) count is map-side
@@ -1120,6 +1161,45 @@ object ExtensionQueries {
     "q_stream_enrich" ->
       """SELECT event_id, event_type, n_name
          FROM events JOIN nation ON user_id % 25 = n_nationkey""",
+
+    "q_s_orc_roundtrip" -> "SELECT * FROM nation",
+
+    "q_s_json_roundtrip" -> "SELECT * FROM supplier",
+
+    "q_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                  COUNT(*) AS cnt,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    AS sum_value
+           FROM events GROUP BY 1, 2),
+         spans AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+                   FROM daily GROUP BY 1),
+         cal AS (SELECT user_id,
+                        CAST(unnest(generate_series(lo::TIMESTAMP,
+                          hi::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
+                 FROM spans)
+         SELECT c.user_id, c.day, COALESCE(d.cnt, 0) AS cnt,
+                COALESCE(d.sum_value, 0.0) AS sum_value
+         FROM cal c LEFT JOIN daily d
+           ON c.user_id = d.user_id AND c.day = d.day""",
+
+    "q_unigram_logprob" ->
+      """WITH tf AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+')) AS tok
+           FROM documents),
+         freq AS (SELECT tok, COUNT(*) AS cnt FROM tf GROUP BY tok),
+         n AS (SELECT COUNT(*)::DOUBLE AS n_total FROM tf)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+                CAST(SUM(CAST(round(ln(cnt / n_total) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS lp_sum_micro,
+                round(CAST(SUM(CAST(round(ln(cnt / n_total) * 1000000)
+                  AS BIGINT)) AS BIGINT) / 1000000.0 / COUNT(*), 4)
+                  AS avg_logprob
+         FROM tf JOIN freq USING (tok), n
+         GROUP BY doc_id""",
 
     "q_stream_join" ->
       """SELECT c.event_id AS left_id, p.event_id AS right_id,

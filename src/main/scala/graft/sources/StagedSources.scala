@@ -33,6 +33,24 @@ object StagedSources {
     spark.read.parquet(tmp)
   }
 
+  /** ORC sink → ORC scan round trip: the second columnar at-rest format
+    * (some warehouses are ORC-native). Same staged shape as the parquet
+    * path — schema travels in the file, no inference at read. */
+  def orcRoundTrip(spark: SparkSession, df: DataFrame): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    df.write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp)
+  }
+
+  /** JSON-lines sink → scan round trip with a pinned schema — the
+    * interchange format for event feeds. Schema is declared at the edge
+    * (inference over 100 TB of JSON is a full extra pass). */
+  def jsonRoundTrip(spark: SparkSession, df: DataFrame): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_jsonl").toString
+    df.write.mode("overwrite").json(tmp)
+    spark.read.schema(df.schema).json(tmp)
+  }
+
   /** Co-located join layout: persist a table hash-bucketed (and
     * bucket-sorted) by its join key. Two tables bucketed the same way
     * join with NO shuffle exchange on either side — at 100 TB this is

@@ -1,0 +1,55 @@
+package graft.ops
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Gap filling: the densified series must cover every key's span with no
+  * holes, keep observed rows untouched, and fill absent days with the
+  * configured defaults. */
+class TimeseriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val daily = Seq(
+    (1L, Date.valueOf("2024-01-01"), 3L, 1.5),
+    (1L, Date.valueOf("2024-01-04"), 1L, 2.0),  // 2 missing days before
+    (2L, Date.valueOf("2024-02-10"), 5L, 0.5)   // single-day span
+  ).toDF("user_id", "day", "cnt", "sum_value")
+
+  test("fills every missing day inside each key's span with defaults") {
+    val filled = timeseries.fillDailyGaps(daily, "user_id", "day",
+      Seq("cnt" -> lit(0L), "sum_value" -> lit(0.0)))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getDouble(3)))
+      .toSet
+
+    assert(filled === Set(
+      (1L, "2024-01-01", 3L, 1.5),
+      (1L, "2024-01-02", 0L, 0.0),
+      (1L, "2024-01-03", 0L, 0.0),
+      (1L, "2024-01-04", 1L, 2.0),
+      (2L, "2024-02-10", 5L, 0.5)))
+  }
+
+  test("densified events series has one row per day per user span") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val filled = timeseries.fillDailyGaps(ev, "user_id", "day",
+      Seq("cnt" -> lit(0L)))
+    // per user: row count == span length, days distinct
+    val bad = filled.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("day")).as("nd"),
+        (datediff(max(col("day")), min(col("day"))) + 1).as("span"))
+      .filter(col("n") =!= col("span") || col("nd") =!= col("span"))
+    assert(bad.count() === 0)
+    // observed totals unchanged by the fill
+    assert(filled.agg(sum("cnt")).head().getLong(0) ===
+      ev.agg(sum("cnt")).head().getLong(0))
+  }
+}

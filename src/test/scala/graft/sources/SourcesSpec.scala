@@ -22,6 +22,24 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().toSet === df.collect().toSet)
   }
 
+  test("ORC round trip preserves schema and rows") {
+    val back = StagedSources.orcRoundTrip(spark, df)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().toSet === df.collect().toSet)
+  }
+
+  test("JSON-lines round trip preserves schema, rows, and exact doubles") {
+    // doubles must survive the text round trip bit-exactly (shortest
+    // round-trip representation), not approximately
+    val doubles = Seq((1L, 0.1), (2L, 1.0 / 3.0), (3L, 1.7976931348623157e308))
+      .toDF("id", "v")
+    val back = StagedSources.jsonRoundTrip(spark, doubles)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      doubles.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().toSet === doubles.collect().toSet)
+  }
+
   test("S6/S8 partitioned parquet round trip + partition pruning") {
     val back = StagedSources.partitionedRoundTrip(spark, df, "grp")
     assert(back.count() === 3)
