@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.ops.{asof, rangejoin}
+import graft.ops.{analytics, asof, rangejoin, timeseries}
 import graft.similarity.Similarity
 import graft.sources.StagedSources
 import graft.streaming.Streams
@@ -422,6 +422,110 @@ object ExtensionQueries {
           sum(col("lp_micro")).as("lp_sum_micro"))
         .withColumn("avg_logprob",
           round(col("lp_sum_micro") / lit(1e6) / col("n_tokens"), 4))
+    }),
+
+    // ---- time-series: linear interpolation over the densified series ------
+    "q_ts_interpolate" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      val dense = timeseries.fillDailyGaps(daily, "user_id", "day",
+        Seq("v" -> lit(null).cast("double")))
+      timeseries.interpolateLinear(dense, "user_id", "day", "v")
+        .withColumn("v", round(col("v"), 6))
+    }),
+
+    // ---- time-series: trailing 7-day window stats over the dense series ---
+    // gap filling first so "7 rows" IS "7 days"; the window sum routes
+    // through decimal so the running accumulation order can't diverge
+    // the float hash between engines
+    "q_ts_moving" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+      val dense = timeseries.fillDailyGaps(daily, "user_id", "day",
+        Seq("cnt" -> lit(0L), "sum_value" -> lit(0.0)))
+      val w7 = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      dense.select(col("user_id"), col("day"),
+        sum(col("cnt")).over(w7).as("cnt_7d"),
+        sum(col("sum_value").cast("decimal(18,2)")).over(w7).cast("double")
+          .as("sum_7d"),
+        max(col("sum_value")).over(w7).as("max_7d"))
+    }),
+
+    // ---- funnel analysis (view → click → purchase) ------------------------
+    "q_funnel" -> ((s, d) =>
+      analytics.funnel(Tables.events(s, d), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+
+    // ---- cohort retention grid --------------------------------------------
+    "q_cohort" -> ((s, d) =>
+      analytics.cohortRetention(Tables.events(s, d), "user_id", "ts")),
+
+    // ---- SCD type-2 validity intervals ------------------------------------
+    // order priority history per customer; (o_orderdate, o_orderkey)
+    // makes the per-key sort total, so interval boundaries are
+    // deterministic under any partitioning
+    "q_scd2" -> ((s, d) =>
+      analytics.scd2Intervals(t(s, d, "orders"), "o_custkey",
+        "o_orderdate", Seq(col("o_orderdate"), col("o_orderkey")),
+        "o_orderpriority")),
+
+    // ---- data profiling (one scan, long format) ---------------------------
+    // all 16 stats come out of ONE aggregate over one scan (partial agg
+    // map-side), then stack() pivots to a row per column — no per-column
+    // re-scan, which is the difference between 1× and k× input reads at
+    // 100 TB
+    "q_profile" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      def stats(c: String) = Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"),
+        round(sum(col(c).cast("decimal(18,2)")).cast("double") /
+          count(col(c)), 6).as(s"avg_$c"))
+      val exprs = count(lit(1)).as("n_rows") +: cols.flatMap(stats)
+      t(s, d, "lineitem").agg(exprs.head, exprs.tail: _*)
+        .select(expr("stack(3, " + cols.map(c =>
+          s"'$c', n_rows, nn_$c, nd_$c, min_$c, max_$c, avg_$c")
+          .mkString(", ") +
+          ") as (col_name, n_rows, n_nonnull, n_distinct, min_v, max_v, avg_v)"))
+    }),
+
+    // ---- fixed-width histogram --------------------------------------------
+    "q_histogram" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 25000).cast("int").as("bin"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .withColumn("bin_lo", col("bin").cast("double") * 25000)),
+
+    // ---- fuzzy join (edit-distance match under blocked candidates) --------
+    // candidates are blocked on (first char, |length delta| ≤ 2) before
+    // the levenshtein filter — the blocked side is broadcast, so there
+    // is never an unbounded string-similarity cross product. Best match
+    // per probe via one min(struct): ties break on (distance, key).
+    "q_fuzzy_join" -> ((s, d) => {
+      val nation = t(s, d, "nation").select("n_nationkey", "n_name")
+      val typos = nation.select(col("n_nationkey").as("t_key"),
+        expr("concat(substr(n_name, 1, 1), substr(n_name, 3))").as("t_name"))
+      typos.join(broadcast(nation),
+        expr("substr(t_name, 1, 1) = substr(n_name, 1, 1)" +
+          " AND abs(length(t_name) - length(n_name)) <= 2"))
+        .withColumn("dist", levenshtein(col("t_name"), col("n_name")))
+        .filter(col("dist") <= 2)
+        .groupBy("t_key", "t_name")
+        .agg(min(struct(col("dist"), col("n_nationkey"), col("n_name")))
+          .as("m"))
+        .select(col("t_key"), col("t_name"), col("m.dist").as("dist"),
+          col("m.n_nationkey").as("match_key"),
+          col("m.n_name").as("match_name"))
     }),
 
     // ---- corpus vocabulary: top tokens per language -----------------------
@@ -1200,6 +1304,169 @@ object ExtensionQueries {
                   AS avg_logprob
          FROM tf JOIN freq USING (tok), n
          GROUP BY doc_id""",
+
+    "q_ts_interpolate" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+           FROM events GROUP BY 1, 2),
+         spans AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+                   FROM daily GROUP BY 1),
+         cal AS (SELECT user_id,
+                        CAST(unnest(generate_series(lo::TIMESTAMP,
+                          hi::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
+                 FROM spans),
+         dense AS (SELECT c.user_id, c.day, d.v
+                   FROM cal c LEFT JOIN daily d
+                     ON c.user_id = d.user_id AND c.day = d.day),
+         w AS (SELECT user_id, day, v,
+           last_value(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+           last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+           first_value(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+           first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+           FROM dense)
+         SELECT user_id, day,
+                round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN prev_v IS NULL THEN next_v
+                  WHEN next_v IS NULL THEN prev_v
+                  ELSE prev_v + (next_v - prev_v)
+                       * date_diff('day', prev_d, day)
+                       / date_diff('day', prev_d, next_d) END, 6) AS v
+         FROM w""",
+
+    "q_ts_moving" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                  COUNT(*) AS cnt,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    AS sum_value
+           FROM events GROUP BY 1, 2),
+         spans AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+                   FROM daily GROUP BY 1),
+         cal AS (SELECT user_id,
+                        CAST(unnest(generate_series(lo::TIMESTAMP,
+                          hi::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
+                 FROM spans),
+         dense AS (SELECT c.user_id, c.day,
+                          COALESCE(d.cnt, 0) AS cnt,
+                          COALESCE(d.sum_value, 0.0) AS sum_value
+                   FROM cal c LEFT JOIN daily d
+                     ON c.user_id = d.user_id AND c.day = d.day)
+         SELECT user_id, day,
+                CAST(SUM(cnt) OVER w7 AS BIGINT) AS cnt_7d,
+                CAST(SUM(CAST(sum_value AS DECIMAL(18,2))) OVER w7
+                  AS DOUBLE) AS sum_7d,
+                MAX(sum_value) OVER w7 AS max_7d
+         FROM dense
+         WINDOW w7 AS (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+
+    "q_funnel" ->
+      """WITH s0 AS (SELECT user_id, MIN(ts) AS prev FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s1 AS (SELECT e.user_id, MIN(e.ts) AS prev
+                FROM events e JOIN s0 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s0.prev
+                GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS prev
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s1.prev
+                GROUP BY 1)
+         SELECT 0 AS stage_idx, 'view' AS stage,
+                CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+         UNION ALL SELECT 1, 'click', CAST(COUNT(*) AS BIGINT) FROM s1
+         UNION ALL SELECT 2, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s2""",
+
+    "q_cohort" ->
+      """WITH activity AS (
+           SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+         coh AS (SELECT user_id, MIN(day) AS cohort_day
+                 FROM activity GROUP BY 1)
+         SELECT cohort_day,
+                CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+                CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM activity JOIN coh USING (user_id)
+         GROUP BY 1, 2""",
+
+    "q_scd2" ->
+      """WITH ordered AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                  lag(o_orderpriority) OVER w AS prev_attr
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)),
+         changes AS (SELECT * FROM ordered
+                     WHERE prev_attr IS NULL
+                        OR prev_attr <> o_orderpriority)
+         SELECT o_custkey, o_orderpriority,
+                o_orderdate AS valid_from,
+                lead(o_orderdate) OVER w AS valid_to,
+                (lead(o_orderdate) OVER w IS NULL) AS is_current
+         FROM changes
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)""",
+
+    "q_profile" ->
+      """SELECT 'l_quantity' AS col_name,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+                CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+                MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+                round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DOUBLE) / COUNT(l_quantity), 6) AS avg_v
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+                CAST(COUNT(l_extendedprice) AS BIGINT),
+                CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+                MIN(l_extendedprice), MAX(l_extendedprice),
+                round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) / COUNT(l_extendedprice), 6)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+                CAST(COUNT(l_discount) AS BIGINT),
+                CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+                MIN(l_discount), MAX(l_discount),
+                round(CAST(SUM(CAST(l_discount AS DECIMAL(18,2)))
+                  AS DOUBLE) / COUNT(l_discount), 6)
+         FROM lineitem""",
+
+    "q_histogram" ->
+      """SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt,
+                MIN(o_totalprice) AS min_price,
+                MAX(o_totalprice) AS max_price,
+                CAST(bin AS DOUBLE) * 25000 AS bin_lo
+         FROM (SELECT CAST(floor(o_totalprice / 25000) AS INT) AS bin,
+                      o_totalprice FROM orders)
+         GROUP BY bin""",
+
+    "q_fuzzy_join" ->
+      """WITH typos AS (
+           SELECT n_nationkey AS t_key,
+                  substr(n_name, 1, 1) || substr(n_name, 3) AS t_name
+           FROM nation),
+         cand AS (
+           SELECT t_key, t_name, n_nationkey, n_name,
+                  CAST(levenshtein(t_name, n_name) AS INT) AS dist
+           FROM typos JOIN nation
+             ON substr(t_name, 1, 1) = substr(n_name, 1, 1)
+            AND abs(length(t_name) - length(n_name)) <= 2
+           WHERE levenshtein(t_name, n_name) <= 2)
+         SELECT t_key, t_name, dist, n_nationkey AS match_key,
+                n_name AS match_name
+         FROM cand
+         QUALIFY row_number() OVER (PARTITION BY t_key, t_name
+                                    ORDER BY dist, n_nationkey) = 1""",
 
     "q_stream_join" ->
       """SELECT c.event_id AS left_id, p.event_id AS right_id,

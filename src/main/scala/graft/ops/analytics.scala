@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over event streams: ordered funnels,
+  * cohort retention, and slowly-changing-dimension (SCD type-2)
+  * interval construction.
+  *
+  * All three are single-shuffle-key designs: every join/aggregate keys
+  * on the entity id (user/customer), so consecutive stages reuse the
+  * same hash partitioning and AQE coalesces the (monotonically
+  * shrinking) intermediate frames. No driver-side state anywhere.
+  */
+object analytics {
+
+  /** Ordered funnel: for each stage k > 0, a user counts as "reached"
+    * iff they have an event of stage k STRICTLY AFTER their first
+    * qualifying event of stage k-1 (the classic first-touch funnel).
+    *
+    * Plan shape: stage 0 is one groupBy(user); each later stage is a
+    * filter + equi-join on user against the previous (shrinking) stage
+    * frame + groupBy(user). k stages = k shuffles on one key; at 100 TB
+    * the stage frames after the first hop are small enough that AQE
+    * turns the joins into broadcasts.
+    *
+    * @return one row per stage: (stage_idx, stage, n_users)
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__prev"))
+    val reached = stages.indices.drop(1).scanLeft(first) { (prev, i) =>
+      events.filter(col(typeCol) === stages(i))
+        .join(prev, Seq(userCol))
+        .filter(col(tsCol) > col("__prev"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__prev"))
+    }
+    reached.zipWithIndex.map { case (f, i) =>
+      f.select(lit(i).as("stage_idx"), lit(stages(i)).as("stage"),
+        col(userCol))
+    }.reduce(_.unionByName(_))
+      .groupBy("stage_idx", "stage")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Cohort retention grid: users are assigned to the cohort of their
+    * first active day; each (cohort_day, day_offset) cell counts the
+    * distinct cohort members active that many days later.
+    *
+    * Two aggregates and one join, all keyed on the user id. The
+    * activity frame is de-duplicated to (user, day) BEFORE the join so
+    * fan-out is bounded by active days, not raw events.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val activity = events
+      .select(col(userCol), to_date(col(tsCol)).as("__day")).distinct()
+    val cohorts = activity.groupBy(col(userCol))
+      .agg(min(col("__day")).as("cohort_day"))
+    activity.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** SCD type-2 interval construction: collapse an ordered change
+    * history per key into validity intervals of `attrCol` — one row per
+    * (key, run of equal attr values), with the interval start, the next
+    * change's start as the (exclusive) end, and a current-row flag.
+    *
+    * Gaps-and-islands via two window passes over the same
+    * (key, order) sort: lag() to find change points, then lead() over
+    * the filtered change rows for interval ends. One shuffle; the
+    * second window reuses the first's partitioning and ordering.
+    *
+    * `orderCols` must make the sort total per key (include tie-breaks)
+    * or interval boundaries are nondeterministic.
+    */
+  def scd2Intervals(history: DataFrame, keyCol: String,
+                    tsCol: String, orderCols: Seq[Column],
+                    attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val changes = history
+      .withColumn("__prev_attr", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev_attr").isNull ||
+        col("__prev_attr") =!= col(attrCol))
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(attrCol),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+}

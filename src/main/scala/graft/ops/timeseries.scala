@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series gap filling: densify a per-key daily series so downstream
@@ -30,5 +31,35 @@ object timeseries {
       case (name, default) => coalesce(col(name), default).as(name)
     }
     cal.join(daily, Seq(keyCol, dayCol), "left").select(out: _*)
+  }
+
+  /** Linear interpolation of nulls in a (key, day, value) series: each
+    * null day gets the straight line between its nearest observed
+    * neighbors; leading/trailing nulls back-/forward-fill the nearest
+    * single neighbor.
+    *
+    * Two running-frame window passes (backward and forward) over ONE
+    * (key, day) sort — the forward pass reuses the backward pass's
+    * shuffle partitioning, so the whole op is one exchange per key
+    * regardless of gap length. No per-gap joins, no driver state.
+    */
+  def interpolateLinear(series: DataFrame, keyCol: String, dayCol: String,
+                        valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val base = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(v.isNotNull, col(dayCol))
+    val prevV = last(v, ignoreNulls = true).over(back)
+    val prevD = last(obsDay, ignoreNulls = true).over(back)
+    val nextV = first(v, ignoreNulls = true).over(fwd)
+    val nextD = first(obsDay, ignoreNulls = true).over(fwd)
+    val interp = prevV + (nextV - prevV) *
+      datediff(col(dayCol), prevD) / datediff(nextD, prevD)
+    series.withColumn(valueCol,
+      when(v.isNotNull, v)
+        .when(prevV.isNull, nextV)
+        .when(nextV.isNull, prevV)
+        .otherwise(interp))
   }
 }

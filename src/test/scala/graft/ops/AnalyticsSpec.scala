@@ -1,0 +1,104 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Funnel ordering semantics, cohort grid totals, and SCD2 interval
+  * integrity on hand-crafted histories where the expected output is
+  * checkable by eye. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel requires strict stage order, not mere presence") {
+    val ev = Seq(
+      // u1 completes the full funnel in order
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      // u2 clicked BEFORE first view: click doesn't count
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "purchase", ts("2024-01-01 11:00:00")),
+      // u3 views only
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      // u4 purchases with no view at all
+      (4L, "purchase", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+
+    val got = analytics.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === Set((0, "view", 3L), (1, "click", 1L),
+      (2, "purchase", 1L)))
+  }
+
+  test("funnel uses first-touch anchors: later events cannot resurrect") {
+    // u1's only click precedes the FIRST view even though a later view
+    // exists before nothing — first-touch means the funnel anchors at
+    // min(view ts), so the click at 09:30 (after view@09:00) counts
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 09:00:00")),
+      (1L, "click", ts("2024-01-01 09:30:00")),
+      (1L, "view", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = analytics.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("view", 1L), ("click", 1L)))
+  }
+
+  test("cohort grid: every user lands in offset 0; totals reconcile") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+    val grid = analytics.cohortRetention(ev, "user_id", "ts")
+    val nUsers = ev.select("user_id").distinct().count()
+    // offset-0 cells sum to the distinct-user count (each user is
+    // active on their own cohort day by definition)
+    val day0 = grid.filter(col("day_offset") === 0)
+      .agg(sum("n_users")).head().getLong(0)
+    assert(day0 === nUsers)
+    assert(grid.filter(col("day_offset") < 0).count() === 0)
+  }
+
+  test("SCD2 intervals: chain per key, collapse runs, one current row") {
+    val h = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 100L, "A"),
+      (1L, ts("2024-01-02 00:00:00"), 101L, "A"), // same run, collapsed
+      (1L, ts("2024-01-03 00:00:00"), 102L, "B"),
+      (1L, ts("2024-01-04 00:00:00"), 103L, "A"), // A again = NEW interval
+      (2L, ts("2024-01-01 00:00:00"), 200L, "X")
+    ).toDF("k", "t", "seq", "attr")
+    val got = analytics.scd2Intervals(h, "k", "t",
+      Seq(col("t"), col("seq")), "attr")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4)))
+      .toSet
+    assert(got === Set(
+      (1L, "A", ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false),
+      (1L, "B", ts("2024-01-03 00:00:00"), Some(ts("2024-01-04 00:00:00")), false),
+      (1L, "A", ts("2024-01-04 00:00:00"), None, true),
+      (2L, "X", ts("2024-01-01 00:00:00"), None, true)))
+  }
+
+  test("SCD2 on orders: intervals tile each customer's history") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.Tables.t(spark, dir, "orders")
+    val iv = analytics.scd2Intervals(orders, "o_custkey", "o_orderdate",
+      Seq(col("o_orderdate"), col("o_orderkey")), "o_orderpriority")
+    // exactly one open (current) interval per customer
+    val bad = iv.groupBy("o_custkey")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_open"))
+      .filter(col("n_open") =!= 1)
+    assert(bad.count() === 0)
+    // intervals are properly ordered: valid_from < valid_to when closed
+    assert(iv.filter(col("valid_to").isNotNull &&
+      col("valid_from") > col("valid_to")).count() === 0)
+  }
+}

@@ -52,4 +52,25 @@ class TimeseriesSpec extends SparkSpec {
     assert(filled.agg(sum("cnt")).head().getLong(0) ===
       ev.agg(sum("cnt")).head().getLong(0))
   }
+
+  test("linear interpolation: interior = straight line, edges = nearest") {
+    val series = Seq(
+      (1L, Date.valueOf("2024-01-01"), Some(10.0)),
+      (1L, Date.valueOf("2024-01-02"), None), // 10 → 16 over 3 days: 12
+      (1L, Date.valueOf("2024-01-03"), None), //                      14
+      (1L, Date.valueOf("2024-01-04"), Some(16.0)),
+      (2L, Date.valueOf("2024-02-01"), None), // leading: backfill 5
+      (2L, Date.valueOf("2024-02-02"), Some(5.0)),
+      (2L, Date.valueOf("2024-02-03"), None)  // trailing: ffill 5
+    ).toDF("user_id", "day", "v")
+    val got = timeseries.interpolateLinear(series, "user_id", "day", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2)))
+      .toSet
+    assert(got === Set(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-02", 12.0),
+      (1L, "2024-01-03", 14.0), (1L, "2024-01-04", 16.0),
+      (2L, "2024-02-01", 5.0), (2L, "2024-02-02", 5.0),
+      (2L, "2024-02-03", 5.0)))
+  }
 }
