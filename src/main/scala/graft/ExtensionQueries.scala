@@ -334,7 +334,7 @@ object ExtensionQueries {
     "q_stream_daily_agg" -> ((s, d) => {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ckpt").toString
-      Streams.dailyEventAgg(s, d, ckpt)
+      Streams.dailyEventAgg(s, d, ckpt, statePartitions = 8)
         .select(to_date(col("day")).as("day"), col("event_type"),
           col("cnt"), col("sum_value"))
     }),
@@ -356,7 +356,7 @@ object ExtensionQueries {
     "q_stream_dedup" -> ((s, d) => {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ckpt_dd").toString
-      Streams.dedupStream(s, d, ckpt)
+      Streams.dedupStream(s, d, ckpt, statePartitions = 8)
     }),
 
     "q_stream_enrich" -> ((s, d) => {
@@ -369,7 +369,8 @@ object ExtensionQueries {
     "q_stream_join" -> ((s, d) => {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ckpt_sj").toString
-      Streams.intervalJoinStreams(s, d, ckpt, "click", "purchase", 6)
+      Streams.intervalJoinStreams(s, d, ckpt, "click", "purchase", 6,
+        statePartitions = 8)
     }),
 
     // ---- sequence packing (concat-then-chunk into context windows) --------
@@ -490,7 +491,15 @@ object ExtensionQueries {
         round(sum(col(c).cast("decimal(18,2)")).cast("double") /
           count(col(c)), 6).as(s"avg_$c"))
       val exprs = count(lit(1)).as("n_rows") +: cols.flatMap(stats)
-      t(s, d, "lineitem").agg(exprs.head, exprs.tail: _*)
+      // the multi-distinct agg Expands the input 4× and does its partial
+      // aggregation in the SCAN stage; the testdata is one row group per
+      // file, so without a redistribution that stage is one task. On a
+      // real lake the file count parallelizes the scan and this exchange
+      // coalesces away under AQE (10 MB here — noise next to a 4× Expand)
+      val in = t(s, d, "lineitem").select(cols.map(col): _*)
+      val par = if (in.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+        in.repartition(s.sparkContext.defaultParallelism) else in
+      par.agg(exprs.head, exprs.tail: _*)
         .select(expr("stack(3, " + cols.map(c =>
           s"'$c', n_rows, nn_$c, nd_$c, min_$c, max_$c, avg_$c")
           .mkString(", ") +

@@ -418,8 +418,15 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
     // materialize once: the prefix explode and both verify joins read
-    // the same staged (sorted) gram sets
-    val staged = docs.select(col("doc_id"),
+    // the same staged (sorted) gram sets. Spread the checkpoint across
+    // the cluster first — the source may be a handful of row groups
+    // (testdata: ONE), and every downstream stage (prefix explode,
+    // candidate join, prefilter) inherits the checkpoint's partitioning,
+    // so an unspread checkpoint serializes the whole candidate side.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par)
+      docs.repartition(par) else docs
+    val staged = spread.select(col("doc_id"),
       array_sort(Text.shingles(Text.tokens(col("text")), k)).as("grams"))
       .filter(size(col("grams")) > 0)
       .localCheckpoint()
@@ -440,9 +447,18 @@ object Dedup {
         greatest(col("n_a"), col("n_b")) >= threshold)
       .select("doc_a", "doc_b")
       .distinct()
+    // broadcast the doc→grams map into BOTH verify joins: the checkpointed
+    // frame has no stats, so AQE can't make this call itself, and the
+    // shuffle alternative ships each candidate's two gram ARRAYS through
+    // two exchanges (~130 MB at sf0.1 for 80k candidates) while the map
+    // itself is ~100× smaller. Broadcast keeps candidate rows
+    // partition-local and the arrays only materialize inside the stage
+    // that immediately consumes them (overlap → filter). At lake scale
+    // with an un-broadcastable corpus this degrades to the shuffle join
+    // by removing the hint — the plan shape stays correct either way.
     cands
-      .join(staged.toDF("doc_a", "grams_a"), Seq("doc_a"))
-      .join(staged.toDF("doc_b", "grams_b"), Seq("doc_b"))
+      .join(broadcast(staged.toDF("doc_a", "grams_a")), Seq("doc_a"))
+      .join(broadcast(staged.toDF("doc_b", "grams_b")), Seq("doc_b"))
       // native merge-count over the (sorted) gram arrays; |A∪B| follows
       // as |A|+|B|−c, so no per-row set builds anywhere in the verify
       .withColumn("c", call_function("graft_overlap",

@@ -19,6 +19,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Stateful queries keep one state store PER shuffle partition per
+    * stateful operator (a stream-stream join keeps four), and every
+    * store checkpoints delta files each micro-batch — so the per-batch
+    * floor scales with the partition count, not the data. Size state
+    * partitioning to the stream's volume instead of inheriting the
+    * batch shuffle default; it is baked into the checkpoint on first
+    * run, so it is a per-pipeline knob. 0 = inherit the session. */
+  private def statefulSession(spark: SparkSession,
+                              statePartitions: Int): SparkSession =
+    if (statePartitions > 0) {
+      val ns = spark.newSession()
+      ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      ns
+    } else spark
+
   /** Daily tumbling-window aggregate over the `events` stream: count +
     * exact value sum per (day, event_type), watermarked 1 day.
     *
@@ -26,11 +41,13 @@ object Streams {
     * single events table; specs pass a multi-file temp dir to prove the
     * result is independent of micro-batch slicing). */
   def dailyEventAgg(spark: SparkSession, dir: String, checkpoint: String,
-                    glob: String = "events.parquet"): DataFrame = {
+                    glob: String = "events.parquet",
+                    statePartitions: Int = 0): DataFrame = {
+    val sess = statefulSession(spark, statePartitions)
     // ts arrives as nanosecond longs (see Tables.events); convert exactly.
-    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir)
+    val schema = sess.read.option("pathGlobFilter", glob).parquet(dir)
       .schema
-    val stream = spark.readStream
+    val stream = sess.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       // the file-stream source wants a directory; select just the events
@@ -56,7 +73,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    sess.table(sinkName)
   }
 
   // ---- sessionization ------------------------------------------------------
@@ -83,9 +100,11 @@ object Streams {
     * Output carries only the key columns: which PHYSICAL row arrives
     * first is batch-slicing-dependent, the key set is not. */
   def dedupStream(spark: SparkSession, dir: String,
-                  checkpoint: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val deduped = spark.readStream
+                  checkpoint: String,
+                  statePartitions: Int = 0): DataFrame = {
+    val sess = statefulSession(spark, statePartitions)
+    val schema = sess.read.parquet(s"$dir/events.parquet").schema
+    val deduped = sess.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
@@ -105,7 +124,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    sess.table(sinkName)
   }
 
   /** Stream-static enrichment join: the event stream joined to a static
@@ -156,10 +175,23 @@ object Streams {
   def intervalJoinStreams(spark: SparkSession, dir: String,
                           checkpoint: String, leftType: String,
                           rightType: String, windowHours: Int,
-                          glob: String = "events.parquet"): DataFrame = {
-    val schema = spark.read.option("pathGlobFilter", glob)
+                          glob: String = "events.parquet",
+                          statePartitions: Int = 0): DataFrame = {
+    // A stream-stream join keeps FOUR state stores per shuffle partition
+    // (two per side), each checkpointing delta files every batch — the
+    // per-batch floor is dominated by state-store count, not data. Size
+    // the state partitioning to the stream's key cardinality/volume
+    // instead of inheriting the batch shuffle default; the partition
+    // count is baked into the checkpoint on first run either way, so it
+    // is a per-pipeline knob, not a global.
+    val sess = if (statePartitions > 0) {
+      val ns = spark.newSession()
+      ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      ns
+    } else spark
+    val schema = sess.read.option("pathGlobFilter", glob)
       .parquet(dir).schema
-    def side(tpe: String) = spark.readStream
+    def side(tpe: String) = sess.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", glob)
@@ -193,7 +225,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    sess.table(sinkName)
   }
 
   /** CDC stream → latest-wins lake table: every micro-batch is merged
