@@ -276,7 +276,11 @@ object SparkEntry {
     // partitioning-dependent under eviction); driver records rows-only.
     "q_approx_heavy_hitters" -> ((s, d) => {
       import s.implicits._
+      // spread the one-row-group scan first: the sketch is mergeable, so
+      // the partial phase (tokenize + per-partition SpaceSaving) is the
+      // parallel part and the merge is 32 tiny summaries
       t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(graft.text.Text.tokens(col("text"))).as("tok"))
         .as[String]
         .select(graft.functions.HeavyHitters.topK(capacity = 256, k = 10)

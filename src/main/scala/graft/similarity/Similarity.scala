@@ -148,7 +148,14 @@ object Similarity {
     * sizes. */
   def kmeansCells(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = vectors.sparkSession
-    val v = vectors.select(col("vec_id"), col("embedding"))
+    // every Lloyd iteration re-reads the vectors for k×n distance math;
+    // spread them across the cluster once and pin the result so each
+    // iteration starts from the spread copy instead of the (possibly
+    // one-row-group) source scan
+    val par = spark.sparkContext.defaultParallelism
+    val v0 = vectors.select(col("vec_id"), col("embedding"))
+    val v = (if (v0.rdd.getNumPartitions < par) v0.repartition(par)
+             else v0).localCheckpoint()
 
     import spark.implicits._
 

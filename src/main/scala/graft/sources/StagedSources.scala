@@ -62,7 +62,13 @@ object StagedSources {
   def bucketedTable(spark: SparkSession, df: DataFrame, name: String,
                     key: String, numBuckets: Int): DataFrame = {
     val wh = Files.createTempDirectory(s"graft_bkt_$name").toString
-    df.write.mode("overwrite")
+    // pre-partition ON the bucket hash: Spark's bucket id and
+    // hashpartitioning use the same Murmur3, so task i holds exactly
+    // bucket i — the write parallelizes across buckets with one file
+    // each, instead of one task sorting and writing every bucket (the
+    // single-row-group testdata arrives as one partition)
+    df.repartition(numBuckets, df(key))
+      .write.mode("overwrite")
       .bucketBy(numBuckets, key).sortBy(key)
       .option("path", s"$wh/$name")
       .saveAsTable(name)
