@@ -425,6 +425,71 @@ object ExtensionQueries {
           round(col("lp_sum_micro") / lit(1e6) / col("n_tokens"), 4))
     }),
 
+    // ---- sliding-window chunking (tokenize-and-chunk with overlap) --------
+    "q_chunk_overlap" -> ((s, d) =>
+      Packing.chunkWindows(
+        t(s, d, "documents").select(col("doc_id"),
+          Text.tokens(col("text")).as("toks")),
+        "doc_id", "toks", width = 64, stride = 48)),
+
+    // ---- chunk-granularity corpus dedup (CCNet-style first-occurrence) ----
+    // segment → hash → keep first (doc_id, chunk_idx) per hash → per-doc
+    // retention. One shuffle on the chunk hash, one on doc_id.
+    "q_chunk_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val chunks = Packing.chunkWindows(
+        t(s, d, "documents").select(col("doc_id"),
+          Text.tokens(col("text")).as("toks")),
+        "doc_id", "toks", width = 32, stride = 32)
+      val wH = Window.partitionBy(md5(col("chunk_text")))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      chunks
+        .withColumn("kept",
+          (row_number().over(wH) === 1).cast("int").cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("kept")).as("n_kept"))
+        .withColumn("kept_ratio",
+          round(col("n_kept") / col("n_chunks"), 6))
+    }),
+
+    // ---- corpus mixing: reweight languages to an equal-share target -------
+    // per-lang keep thresholds derived entirely in INTEGER math from the
+    // observed counts (floor(equal_share·10⁴ / n_l) md5-buckets of 10⁴),
+    // so the kept set is deterministic across runs, engines, and
+    // partitionings — the reproducibility a training-mix spec needs.
+    "q_corpus_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_orig"))
+      val tot = byLang.agg(sum(col("n_orig")).as("n_total"),
+        count(lit(1)).as("n_langs"))
+      val thresholds = byLang.crossJoin(broadcast(tot))
+        .withColumn("threshold",
+          least(lit(10000L),
+            expr("((n_total div n_langs) * 10000) div n_orig")))
+        .select("lang", "n_orig", "threshold")
+      val kept = docs
+        .join(broadcast(thresholds), Seq("lang"))
+        .filter(Text.splitBucket(col("doc_id"), 10000) < col("threshold"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      thresholds.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_orig"), col("threshold"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    }),
+
+    // ---- ranked-distribution window functions (§2.8 completeness) ---------
+    "q_window_percent" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_returnflag"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        nth_value(col("l_extendedprice"), 3).over(w).as("third_price"))
+    }),
+
     // ---- time-series: linear interpolation over the densified series ------
     "q_ts_interpolate" -> ((s, d) => {
       val daily = Tables.events(s, d)
@@ -1313,6 +1378,82 @@ object ExtensionQueries {
                   AS avg_logprob
          FROM tf JOIN freq USING (tok), n
          GROUP BY doc_id""",
+
+    "q_chunk_overlap" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
+           FROM documents),
+         st AS (SELECT doc_id, t, len(t) AS n,
+                       unnest(range(1, len(t) + 1, 48)) AS start
+                FROM toks WHERE len(t) >= 1),
+         ch AS (SELECT doc_id,
+                       CAST((start - 1) // 48 AS INT) AS chunk_idx,
+                       CAST(start AS INT) AS start,
+                       t[start:least(start + 63, n)] AS chunk
+                FROM st)
+         SELECT doc_id, chunk_idx, start,
+                CAST(len(chunk) AS INT) AS chunk_len,
+                array_to_string(chunk, ' ') AS chunk_text
+         FROM ch WHERE start = 1 OR len(chunk) > 16""",
+
+    "q_chunk_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
+           FROM documents),
+         st AS (SELECT doc_id, t, len(t) AS n,
+                       unnest(range(1, len(t) + 1, 32)) AS start
+                FROM toks WHERE len(t) >= 1),
+         ch AS (SELECT doc_id,
+                       CAST((start - 1) // 32 AS INT) AS chunk_idx,
+                       array_to_string(t[start:least(start + 31, n)], ' ')
+                         AS chunk_text
+                FROM st),
+         flagged AS (SELECT doc_id, chunk_idx,
+                       CASE WHEN row_number() OVER
+                         (PARTITION BY md5(chunk_text)
+                          ORDER BY doc_id, chunk_idx) = 1
+                       THEN 1 ELSE 0 END AS kept
+                     FROM ch)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                CAST(SUM(kept) AS BIGINT) AS n_kept,
+                round(CAST(SUM(kept) AS BIGINT)
+                      / CAST(COUNT(*) AS BIGINT), 6) AS kept_ratio
+         FROM flagged GROUP BY doc_id""",
+
+    "q_corpus_mix" ->
+      """WITH by_lang AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_orig
+           FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(SUM(n_orig) AS BIGINT) AS n_total,
+                        CAST(COUNT(*) AS BIGINT) AS n_langs FROM by_lang),
+         thr AS (SELECT lang, n_orig,
+                        least(10000,
+                          ((n_total // n_langs) * 10000) // n_orig)
+                          AS threshold
+                 FROM by_lang, tot),
+         kept AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+                  FROM documents d JOIN thr USING (lang)
+                  WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))
+                        ::BIGINT % 10000) < threshold
+                  GROUP BY lang)
+         SELECT t.lang, t.n_orig, t.threshold,
+                COALESCE(k.n_kept, 0) AS n_kept
+         FROM thr t LEFT JOIN kept k ON t.lang = k.lang""",
+
+    "q_window_percent" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                l_returnflag,
+                round(percent_rank() OVER w, 6) AS pr,
+                round(cume_dist() OVER w, 6) AS cd,
+                nth_value(l_extendedprice, 3) OVER w AS third_price
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice, l_orderkey,
+                               l_linenumber, l_partkey, l_suppkey)""",
 
     "q_ts_interpolate" ->
       """WITH daily AS (

@@ -82,4 +82,32 @@ object Packing {
         sum(col(tokCol)).as("fill_tokens"),
         min(col(idCol)).as("first_doc"),
         max(col(idCol)).as("last_doc"))
+
+  /** Sliding context-window chunking with overlap — the per-document
+    * twin of packAssignments (chunk WITHIN each doc instead of packing
+    * across docs): the token stream is cut into windows of `width`
+    * tokens every `stride` tokens. A tail window survives only if it
+    * contributes tokens no earlier window covers (`len > width -
+    * stride`), so coverage is complete and no window is a subset of its
+    * predecessor. Scan-local — a per-row sequence explode, no shuffle;
+    * fan-out per doc is `ceil(n/stride)`, bounded by doc length.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, toksCol: String,
+                   width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride <= width, got width=$width stride=$stride")
+    docs.select(col(idCol), col(toksCol).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") >= 1)
+      .select(col(idCol), col("__n"), col("__t"),
+        explode(expr(s"sequence(1, __n, $stride)")).as("start"))
+      .withColumn("chunk", expr(s"slice(__t, start, $width)"))
+      .withColumn("chunk_len", size(col("chunk")))
+      .filter(col("start") === 1 ||
+        col("chunk_len") > width - stride)
+      .select(col(idCol),
+        ((col("start") - 1) / stride).cast("int").as("chunk_idx"),
+        col("start"), col("chunk_len"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
 }

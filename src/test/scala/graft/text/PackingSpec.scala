@@ -80,4 +80,36 @@ class PackingSpec extends SparkSpec {
         s"underfilled window ${r.getAs[Long]("seq_id")}")
     }
   }
+
+  test("chunkWindows: complete coverage, bounded overlap, no subset tails") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // lengths that hit every boundary case around width=8, stride=6:
+    // shorter than a window, exact window, one past, exact stride grid,
+    // and a tail shorter than the overlap (must be dropped)
+    val docs = Seq(3, 8, 9, 14, 20, 21).zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(_.toString)) }
+      .toDF("doc_id", "toks")
+    val chunks = Packing.chunkWindows(docs, "doc_id", "toks", 8, 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+
+    val byDoc = chunks.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    docs.collect().foreach { row =>
+      val (id, n) = (row.getLong(0), row.getSeq[String](1).length)
+      val cs = byDoc(id)
+      // every token is covered: union of [start, start+len-1] == [1, n]
+      val covered = cs.flatMap(c => c._3 until (c._3 + c._4)).toSet
+      assert(covered === (1 to n).toSet, s"doc $id coverage")
+      // no chunk is a subset of its predecessor
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 + b._4 > a._3 + a._4,
+          s"doc $id chunk ${b._2} adds nothing")
+        case _ =>
+      }
+      // all but the last chunk are full width
+      cs.dropRight(1).foreach(c => assert(c._4 === 8))
+    }
+  }
 }
