@@ -86,6 +86,40 @@ class PlanSpec extends SparkSpec {
     assert(joined.collect().nonEmpty)
   }
 
+  test("selective dim filter injects a runtime bloom filter into the fact side") {
+    // the row-level twin of DPP: when the fact side is too big to
+    // broadcast-join and the dim carries a selective filter, the
+    // optimizer should build a bloom filter from the dim keys and push
+    // might_contain into the fact scan side, cutting shuffled fact rows
+    // before the join. At 100 TB this is the difference between
+    // shuffling the lake and shuffling the matching slice. Thresholds
+    // are sized for production (10 GB application side), so pin them
+    // down to testdata scale for the shape assertion.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      val fact = Tables.t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val dim = Tables.t(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = fact.join(dim,
+        fact("l_orderkey") === dim("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"fact side should carry a bloom-filter probe:\n${plan.take(3000)}")
+      assert(joined.count() > 0)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("lossless pair generators never plan a cross product") {
     // the round-3 guarantee: banding / prefix filtering / OR'd LSH
     // tables replace heuristic blocking WITHOUT introducing a
