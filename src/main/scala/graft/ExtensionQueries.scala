@@ -7,7 +7,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.ops.{analytics, asof, rangejoin, timeseries}
 import graft.similarity.Similarity
-import graft.sources.StagedSources
+import graft.sources.{Layout, StagedSources}
 import graft.streaming.Streams
 import graft.text.{Packing, Text}
 
@@ -37,6 +37,24 @@ object ExtensionQueries {
 
     "q_s_json_roundtrip" -> ((s, d) =>
       StagedSources.jsonRoundTrip(s, t(s, d, "supplier"))),
+
+    // fragment orders into 64 micro-files, compact to ~4 MB targets, and
+    // aggregate the compacted copy — proves the maintenance rewrite is
+    // content-preserving (file-count/size bounds are asserted in
+    // LayoutSpec; the oracle can only see rows)
+    "q_s_compaction" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_compact_q").toString
+      t(s, d, "orders").repartition(64)
+        .write.mode("overwrite").parquet(s"$tmp/frag")
+      Layout.compact(s, s"$tmp/frag", s"$tmp/compacted",
+        targetBytes = 4L * 1024 * 1024)
+      s.read.parquet(s"$tmp/compacted")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+    }),
 
     "q_s8_partitioned_sink" -> ((s, d) =>
       StagedSources.partitionedRoundTrip(s,
@@ -579,6 +597,11 @@ object ExtensionQueries {
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))
         .withColumn("bin_lo", col("bin").cast("double") * 25000)),
+
+    // ---- robust outlier screen (modified z-score, median/MAD) -------------
+    "q_outliers" -> ((s, d) =>
+      analytics.robustOutliers(Tables.events(s, d), "event_type", "value",
+        Seq("event_id"), zThresh = 3.5)),
 
     // ---- fuzzy join (edit-distance match under blocked candidates) --------
     // candidates are blocked on (first char, |length delta| ≤ 2) before
@@ -1344,6 +1367,12 @@ object ExtensionQueries {
 
     "q_s_json_roundtrip" -> "SELECT * FROM supplier",
 
+    "q_s_compaction" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price
+         FROM orders GROUP BY o_orderpriority""",
+
     "q_gap_fill" ->
       """WITH daily AS (
            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -1599,6 +1628,24 @@ object ExtensionQueries {
          FROM (SELECT CAST(floor(o_totalprice / 25000) AS INT) AS bin,
                       o_totalprice FROM orders)
          GROUP BY bin""",
+
+    "q_outliers" ->
+      """WITH t AS (
+           SELECT event_id, event_type AS grp, value AS v
+           FROM events WHERE value IS NOT NULL),
+         med AS (
+           SELECT grp, round(quantile_cont(v, 0.5), 4) AS m
+           FROM t GROUP BY grp),
+         dev AS (
+           SELECT t.event_id, t.grp, t.v, med.m
+           FROM t JOIN med USING (grp)),
+         mad AS (
+           SELECT grp, round(quantile_cont(abs(v - m), 0.5), 4) AS md
+           FROM dev GROUP BY grp)
+         SELECT event_id, grp AS event_type, v AS value,
+                round(0.6745 * (v - m) / md, 4) AS robust_z
+         FROM dev JOIN mad USING (grp)
+         WHERE abs(round(0.6745 * (v - m) / md, 4)) > 3.5""",
 
     "q_fuzzy_join" ->
       """WITH typos AS (

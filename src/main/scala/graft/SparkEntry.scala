@@ -563,6 +563,106 @@ object SparkEntry {
         LIMIT 100""")
     }),
 
+    // TPC-H Q4 shape (adapted: no commit/receipt dates in the testdata, so
+    // "late" = a line shipped >60 days after the order): EXISTS subquery →
+    // left-semi join, priority rollup
+    "q_sql_q4" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders_v
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem_v
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority""")
+    }),
+
+    // TPC-H Q12 shape (l_linestatus stands in for l_shipmode, absent from
+    // the testdata): join + two conditional counts — the CASE-inside-SUM
+    // partial-agg pattern
+    "q_sql_q12" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders_v JOIN lineitem_v ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+        GROUP BY l_linestatus""")
+    }),
+
+    // TPC-H Q14 shape: promo-revenue ratio — ratio of two conditional sums
+    // over one join; sums stay decimal until the final double division so
+    // the quotient is order-independent
+    "q_sql_q14" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT CAST(ROUND(
+                 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+                   AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE), 4) AS DOUBLE)
+               AS promo_revenue
+        FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1996-09-01'
+          AND l_shipdate < DATE '1996-10-01'""")
+    }),
+
+    // TPC-H Q19 shape: disjunction of brand/size/quantity conjuncts — the
+    // OR-of-ANDs pushdown test (part-side conjuncts prune the broadcast
+    // side, lineitem conjuncts reach the scan)
+    "q_sql_q19" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+               AND l_quantity >= 20 AND l_quantity <= 30)""")
+    }),
+
+    // TPC-H Q22 shape (adapted: nationkey stands in for the phone country
+    // code; "no orders" would be empty on this data, so dormant = no order
+    // since 1999): scalar-subquery threshold + NOT EXISTS anti join. The
+    // avg-balance cut is cross-multiplied (bal·n > sum) so the predicate
+    // is exact decimal math — no float-threshold boundary flake
+    "q_sql_q22" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        WITH pos AS (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                   AS DECIMAL(38,2)) AS bal_sum,
+                 COUNT(*) AS bal_n
+          FROM customer_v WHERE c_acctbal > 0)
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS totacctbal
+        FROM customer_v, pos
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_n > bal_sum
+          AND NOT EXISTS (
+            SELECT 1 FROM orders_v
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= DATE '1999-01-01')
+        GROUP BY c_nationkey""")
+    }),
+
     // S9 warehouse path: saveAsTable into the session catalog, read back
     // via spark.table — the BigQuery-external-table analog
     "q_s9_catalog_roundtrip" -> ((s, d) => {
@@ -990,6 +1090,69 @@ object SparkEntry {
          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
          ORDER BY o_totalprice DESC, o_orderkey ASC
          LIMIT 100""",
+
+    "q_sql_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= DATE '1996-01-01'
+           AND o_orderdate < DATE '1996-04-01'
+           AND EXISTS (
+             SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey
+               AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority""",
+
+    "q_sql_q12" ->
+      """SELECT l_linestatus,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_shipdate >= DATE '1996-01-01'
+           AND l_shipdate < DATE '1997-01-01'
+         GROUP BY l_linestatus""",
+
+    "q_sql_q14" ->
+      """SELECT CAST(ROUND(
+                  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+                    AS DOUBLE)
+                  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS DOUBLE), 4) AS DOUBLE)
+                AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= DATE '1996-09-01'
+           AND l_shipdate < DATE '1996-10-01'""",
+
+    "q_sql_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                AND l_quantity >= 1 AND l_quantity <= 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                AND l_quantity >= 10 AND l_quantity <= 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                AND l_quantity >= 20 AND l_quantity <= 30)""",
+
+    "q_sql_q22" ->
+      """WITH pos AS (
+           SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS bal_sum,
+                  COUNT(*) AS bal_n
+           FROM customer WHERE c_acctbal > 0)
+         SELECT c_nationkey, COUNT(*) AS numcust,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  AS totacctbal
+         FROM customer, pos
+         WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_n > bal_sum
+           AND NOT EXISTS (
+             SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey
+               AND o_orderdate >= DATE '1999-01-01')
+         GROUP BY c_nationkey""",
 
     "q_agg_percentile" ->
       """SELECT l_returnflag,

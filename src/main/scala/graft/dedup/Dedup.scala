@@ -399,72 +399,102 @@ object Dedup {
     * J(A, B) ≥ threshold, by EXACT prefix filtering (SSJoin/AllPairs) —
     * no heuristic blocking, no unbounded self-join.
     *
-    * Prefix-filter lemma: sort every gram set in one global order (here
-    * lexicographic). If J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, and the
-    * SMALLEST common gram must sit inside A's first
-    * |A| − ⌈t·|A|⌉ + 1 grams (else all common grams fall in the
-    * ⌈t·|A|⌉ − 1 suffix — too few); same for B. So every qualifying
-    * pair shares a gram in the two PREFIXES, and an equi-join on
-    * exploded prefix grams generates a candidate superset — lossless,
-    * like LSH banding but deterministic. Fan-out is (1−t)·|grams| keys
-    * per doc (at t=0.5, half the explode of a full inverted index), and
-    * candidates are bounded by per-gram document frequency — a skewed
-    * gram (stop-phrase) costs df², which is why production pipelines
-    * ALSO order grams by ascending df; lexicographic order keeps the
-    * cross-engine oracle reproducible here and the verify step caps the
-    * damage. */
+    * Prefix-filter lemma: sort every gram set in one global order. If
+    * J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, and the SMALLEST common gram must
+    * sit inside A's first |A| − ⌈t·|A|⌉ + 1 grams (else all common grams
+    * fall in the ⌈t·|A|⌉ − 1 suffix — too few); same for B. So every
+    * qualifying pair shares a gram in the two PREFIXES, and an equi-join
+    * on exploded prefix grams generates a candidate superset — lossless,
+    * like LSH banding but deterministic.
+    *
+    * The global order is ASCENDING DOCUMENT FREQUENCY (AllPairs/PPJoin's
+    * canonical ordering), realized by dictionary-encoding every gram to a
+    * dense long id ranked by (df, gram): prefixes then hold each doc's
+    * RAREST grams, so the candidate join fans out on low-df keys and a
+    * stop-phrase's df² blowup never enters a prefix. Encoding also makes
+    * the join key an 8-byte long and the verify arrays array<long> —
+    * ~8× less data in flight than raw 20-char grams. The rank is
+    * computed distributed (sortBy + zipWithIndex), never a
+    * single-partition window.
+    *
+    * Candidates are further cut by two lossless prefilters evaluated
+    * INSIDE the join, before the distinct: the size-ratio bound
+    * (J ≤ min(n)/max(n)) and PPJoin's positional bound — a pair's first
+    * shared gram at positions (i_a, i_b) caps the total overlap at
+    * 1 + min(n_a−i_a, n_b−i_b), which must reach t·(n_a+n_b)/(1+t).
+    * Both bounds are relaxed by an epsilon so float rounding can only
+    * ADMIT a candidate, never drop a true pair. */
   def ngramJaccardPairs(docs: DataFrame, k: Int, threshold: Double)
   : DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
-    // materialize once: the prefix explode and both verify joins read
-    // the same staged (sorted) gram sets. Spread the checkpoint across
-    // the cluster first — the source may be a handful of row groups
-    // (testdata: ONE), and every downstream stage (prefix explode,
-    // candidate join, prefilter) inherits the checkpoint's partitioning,
-    // so an unspread checkpoint serializes the whole candidate side.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // materialize once: the dictionary build and the encode join read the
+    // same gram sets. Spread the checkpoint across the cluster first —
+    // the source may be a handful of row groups (testdata: ONE), and
+    // downstream stages inherit the checkpoint's partitioning.
+    val par = spark.sparkContext.defaultParallelism
     val spread = if (docs.rdd.getNumPartitions < par)
       docs.repartition(par) else docs
-    val staged = spread.select(col("doc_id"),
-      array_sort(Text.shingles(Text.tokens(col("text")), k)).as("grams"))
+    // graft_shingles emits each doc's DISTINCT k-grams (set semantics)
+    val sets = spread.select(col("doc_id"),
+      Text.shingles(Text.tokens(col("text")), k).as("grams"))
       .filter(size(col("grams")) > 0)
       .localCheckpoint()
-    val prefLen = (size(col("grams")) -
-      ceil(lit(threshold) * size(col("grams"))) + 1).cast("int")
-    val pref = staged.select(col("doc_id"), size(col("grams")).as("n"),
-      explode(slice(col("grams"), lit(1), prefLen)).as("g"))
-    // size-bound prefilter INSIDE the candidate join (jaccard ≤ min/max
-    // of the set sizes): candidates violating it die before the
-    // distinct and before any gram array moves — it cannot change the
-    // result, only skip work
+    // dense rank of every distinct gram in (df, gram) order, computed
+    // distributed: sort the vocabulary, then zipWithIndex (partition
+    // sizes + per-partition offsets — no single-partition exchange).
+    val dict = sets.select(explode(col("grams")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .sort("df", "g").select("g").as[String].rdd
+      .zipWithIndex.toDF("g", "gid")
+    // encode: doc → sorted array of gram ids (ascending id = ascending
+    // df). Read three ways (prefix explode + both verify sides).
+    val enc = sets.select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(dict, Seq("g"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("gid"))).as("ids"))
+      .localCheckpoint()
+    // ε-relaxed prefix length: ceil(t·n) computed on a float product that
+    // lands ulp-high would shorten the prefix and DROP a true pair; the
+    // slack only ever lengthens it by one
+    val prefLen = (size(col("ids")) -
+      ceil(lit(threshold) * size(col("ids")) - lit(1e-9)) + 1).cast("int")
+    val pref = enc.select(col("doc_id"), size(col("ids")).as("n"),
+      posexplode(slice(col("ids"), lit(1), prefLen)))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("i"),
+        col("col").as("gid"))
+    // required overlap for J ≥ t: c ≥ t·(n_a+n_b)/(1+t), ε-relaxed
+    val reqOverlap = lit(threshold) / (lit(1.0) + lit(threshold)) *
+      (col("n_a") + col("n_b")) - lit(1e-9)
     val cands = pref
-      .select(col("g"), col("doc_id").as("doc_a"), col("n").as("n_a"))
-      .join(pref.select(col("g"), col("doc_id").as("doc_b"),
-        col("n").as("n_b")), Seq("g"))
+      .select(col("gid"), col("doc_id").as("doc_a"), col("n").as("n_a"),
+        col("i").as("i_a"))
+      .join(pref.select(col("gid"), col("doc_id").as("doc_b"),
+        col("n").as("n_b"), col("i").as("i_b")), Seq("gid"))
       .filter(col("doc_a") < col("doc_b"))
-      .filter(least(col("n_a"), col("n_b")).cast("double") /
-        greatest(col("n_a"), col("n_b")) >= threshold)
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")) - lit(1e-9))
+      .filter((lit(1) + least(col("n_a") - col("i_a"),
+        col("n_b") - col("i_b"))).cast("double") >= reqOverlap)
       .select("doc_a", "doc_b")
       .distinct()
-    // broadcast the doc→grams map into BOTH verify joins: the checkpointed
+    // broadcast the doc→ids map into BOTH verify joins: the checkpointed
     // frame has no stats, so AQE can't make this call itself, and the
-    // shuffle alternative ships each candidate's two gram ARRAYS through
-    // two exchanges (~130 MB at sf0.1 for 80k candidates) while the map
-    // itself is ~100× smaller. Broadcast keeps candidate rows
-    // partition-local and the arrays only materialize inside the stage
-    // that immediately consumes them (overlap → filter). At lake scale
+    // shuffle alternative ships each candidate's two id arrays through
+    // two exchanges while the map itself is ~100× smaller. At lake scale
     // with an un-broadcastable corpus this degrades to the shuffle join
     // by removing the hint — the plan shape stays correct either way.
     cands
-      .join(broadcast(staged.toDF("doc_a", "grams_a")), Seq("doc_a"))
-      .join(broadcast(staged.toDF("doc_b", "grams_b")), Seq("doc_b"))
-      // native merge-count over the (sorted) gram arrays; |A∪B| follows
+      .join(broadcast(enc.toDF("doc_a", "ids_a")), Seq("doc_a"))
+      .join(broadcast(enc.toDF("doc_b", "ids_b")), Seq("doc_b"))
+      // native merge-count over the (sorted) id arrays; |A∪B| follows
       // as |A|+|B|−c, so no per-row set builds anywhere in the verify
       .withColumn("c", call_function("graft_overlap",
-        col("grams_a"), col("grams_b")).cast("double"))
+        col("ids_a"), col("ids_b")).cast("double"))
       .withColumn("jaccard", col("c") /
-        (size(col("grams_a")) + size(col("grams_b")) - col("c")))
+        (size(col("ids_a")) + size(col("ids_b")) - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
         .as("jaccard"))

@@ -93,4 +93,44 @@ object analytics {
         col(tsCol).as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  /** Robust per-group outliers via the modified z-score
+    * (Iglewicz–Hoaglin): z = 0.6745·(x − median) / MAD, flagging
+    * |z| > zThresh. Median/MAD instead of mean/stddev so the threshold
+    * itself isn't dragged by the outliers it is meant to find — the
+    * difference between a usable anomaly screen and a circular one on
+    * heavy-tailed pipeline metrics.
+    *
+    * Both medians come from [[quantiles.exactPercentiles]] — the
+    * spillable sort-based formulation, no whole-group buffers — and the
+    * tiny per-group stat frames broadcast into the scoring joins, so
+    * the data-sized frames are never reshuffled: two group-keyed sorts
+    * and two broadcast joins total.
+    *
+    * Median and MAD are rounded to 4 decimals before scoring: the score
+    * and the |z| > threshold cut are then pure IEEE-double arithmetic on
+    * identical inputs in any engine, which keeps the flagged set
+    * reproducible cross-engine (the correctness-gate requirement).
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     idCols: Seq[String], zThresh: Double = 3.5)
+  : DataFrame = {
+    val vals = df.select((groupCol +: valueCol +: idCols).map(col): _*)
+      .filter(col(valueCol).isNotNull)
+    val med = quantiles.exactPercentiles(vals, groupCol, valueCol,
+      Seq(("__med", 0.5)))
+      .withColumn("__med", round(col("__med"), 4))
+    val dev = vals.join(broadcast(med), Seq(groupCol))
+      .withColumn("__absdev", abs(col(valueCol) - col("__med")))
+    val mad = quantiles.exactPercentiles(dev, groupCol, "__absdev",
+      Seq(("__mad", 0.5)))
+      .withColumn("__mad", round(col("__mad"), 4))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("robust_z",
+        round(lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad"),
+          4))
+      .filter(abs(col("robust_z")) > zThresh)
+      .select((idCols :+ groupCol :+ valueCol).map(col) :+
+        col("robust_z"): _*)
+  }
 }

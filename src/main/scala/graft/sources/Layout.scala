@@ -35,6 +35,41 @@ object Layout {
       .sortWithinPartitions(col(xCol))
       .write.mode("overwrite").parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetBytes` each — the maintenance pass every streaming or
+    * incremental sink needs, because a 100 TB table accreted in
+    * per-micro-batch files pays its file count on EVERY read (one footer
+    * fetch + one scheduler task per file; a million 100 KB files cost
+    * more to plan than to scan).
+    *
+    * File count = ceil(on-disk bytes / targetBytes), from one FS listing
+    * — metadata only, no data read. The rewrite is a single
+    * `repartition` (round-robin, so output files are uniformly sized)
+    * executed by the cluster; the driver never touches row data. Parquet
+    * re-encodes per output file, so post-compaction bytes/file can drift
+    * from `targetBytes` by the compression delta — callers wanting exact
+    * sizing set `maxRecordsPerFile` instead; this op optimizes for file
+    * COUNT, the planning-cost lever.
+    *
+    * @return (file count before, file count after) */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+      .toInt
+    spark.read.parquet(inPath)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    (parts.length, after)
+  }
+
   /** Count the files a range predicate must read under min-max skipping:
     * a file is skippable iff its [min, max] on the predicate column
     * misses the range — the same decision parquet row-group pruning

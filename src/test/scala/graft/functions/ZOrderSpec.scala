@@ -60,4 +60,31 @@ class ZOrderSpec extends SparkSpec {
     assert(back.agg(sum(col("x") + col("y") * 256)).head().getLong(0) ===
       grid.agg(sum(col("x") + col("y") * 256)).head().getLong(0))
   }
+
+  test("compact rewrites a fragmented table into few bounded files") {
+    val data = spark.range(200000L)
+      .selectExpr("id", "id % 97 as k", "cast(id as string) as pad")
+    val fragPath = Files.createTempDirectory("graft_frag").toString
+    val outPath = Files.createTempDirectory("graft_compacted").toString
+    data.repartition(64).write.mode("overwrite").parquet(fragPath)
+
+    val (before, after) =
+      Layout.compact(spark, fragPath, outPath, targetBytes = 512L * 1024)
+
+    assert(before === 64)
+    assert(after < 16, s"64 micro-files should compact to a few, got $after")
+    // ceil(bytes/target) is honored: re-listing agrees with the plan
+    val fs = new org.apache.hadoop.fs.Path(fragPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(fragPath))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    assert(after === ((totalBytes + 512L * 1024 - 1) / (512L * 1024)).toInt)
+
+    // content-preserving: same rows, nothing lost or duplicated
+    val back = spark.read.parquet(outPath)
+    assert(back.count() === 200000L)
+    assert(back.agg(sum(col("id"))).head().getLong(0) ===
+      data.agg(sum(col("id"))).head().getLong(0))
+    assert(back.select("id").distinct().count() === 200000L)
+  }
 }

@@ -101,4 +101,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(iv.filter(col("valid_to").isNotNull &&
       col("valid_from") > col("valid_to")).count() === 0)
   }
+
+  test("robustOutliers flags spikes the median/MAD screen should catch") {
+    // group a: tight cluster around 10 plus two gross spikes; group b:
+    // same shape scaled ×100 — per-group scaling must flag b's spike
+    // relative to b's own spread, not a's
+    val rows =
+      (1L to 20L).map(i => ("a", 10.0 + (i % 5) * 0.1, i)) ++
+      Seq(("a", 500.0, 98L), ("a", -480.0, 99L)) ++
+      (1L to 20L).map(i => ("b", 1000.0 + (i % 5) * 10.0, 100 + i)) ++
+      Seq(("b", 50000.0, 198L))
+    val df = rows.toDF("grp", "v", "id")
+
+    val got = analytics.robustOutliers(df, "grp", "v", Seq("id"),
+      zThresh = 3.5)
+    val ids = got.select("id").as[Long].collect().toSet
+    assert(ids === Set(98L, 99L, 198L))
+    // z carries sign: the low spike is negative
+    val z99 = got.filter(col("id") === 99L)
+      .select("robust_z").as[Double].head()
+    assert(z99 < -3.5)
+    // and an inlier-only group yields nothing
+    val calm = (1L to 10L).map(i => ("c", 5.0 + (i % 3) * 0.2, 200 + i))
+      .toDF("grp", "v", "id")
+    assert(analytics.robustOutliers(calm, "grp", "v", Seq("id")).count()
+      === 0)
+  }
 }
