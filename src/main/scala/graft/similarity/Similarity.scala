@@ -198,6 +198,134 @@ object Similarity {
     assign(centroids)
   }
 
+  // ---- product quantization (IVF-PQ's compressed-domain half) -----------
+
+  /** Subvector view for product quantization: each vector split into `m`
+    * contiguous subspaces of dim/m components — one row per
+    * (vec_id, subspace). Spread + checkpointed once; codebook training,
+    * encoding, and scoring all reuse this frame. */
+  def pqSubvectors(vectors: DataFrame, dim: Int, m: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subLen = dim / m
+    val spark = vectors.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val v0 = vectors.select(col("vec_id"), col("embedding"))
+    val v = if (v0.rdd.getNumPartitions < par) v0.repartition(par) else v0
+    v.select(col("vec_id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col("embedding"), j * subLen + 1, subLen).as("sv"))): _*))
+        .as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+      .localCheckpoint()
+  }
+
+  /** Per-subspace deterministic Lloyd codebook: `ksub` centroids per
+    * subspace, trained jointly in ONE pipeline keyed by (sub, code) — m
+    * independent k-means runs cost the same scans as one. Init is the
+    * `ksub` lowest-id vectors' subvectors (no RNG, like [[kmeansCells]]);
+    * each round is one broadcast of the m·ksub centroids + one
+    * groupBy((vec_id, sub)) argmin + one groupBy((sub, code)) mean —
+    * at 100 TB: a scan plus two bounded shuffles per round, and only
+    * m·ksub rows ever reach the driver.
+    *
+    * @return (sub, code, centroid: array<double>) — m·ksub rows */
+  def pqCodebook(svs: DataFrame, subLen: Int, ksub: Int,
+                 rounds: Int): DataFrame = {
+    val spark = svs.sparkSession
+    import spark.implicits._
+    val initIds = svs.select("vec_id").distinct()
+      .orderBy("vec_id").limit(ksub).as[Long].collect()
+    val idRank = initIds.sorted.zipWithIndex.toMap
+    var centroids: Array[(Int, Int, Seq[Double])] = svs
+      .filter(col("vec_id").isin(initIds: _*))
+      .select(col("vec_id"), col("sub"),
+        col("sv").cast("array<double>").as("c"))
+      .collect()
+      .map(r => (r.getInt(1), idRank(r.getLong(0)), r.getSeq[Double](2)))
+
+    def cbDf(cs: Array[(Int, Int, Seq[Double])]): DataFrame =
+      cs.toSeq.toDF("sub", "code", "centroid")
+
+    (1 until rounds).foreach { _ =>
+      val upd = svs.join(pqAssign(svs, cbDf(centroids)),
+          Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"),
+          col("sv").cast("array<double>").as("e"))
+        .groupBy("sub", "code")
+        .agg(count(lit(1)).as("n"),
+          array((0 until subLen).map(j =>
+            sum(element_at(col("e"), j + 1))): _*).as("sums"))
+        .select(col("sub"), col("code"),
+          transform(col("sums"), s => s / col("n")).as("centroid"))
+        .as[(Int, Int, Seq[Double])].collect()
+      if (upd.nonEmpty) centroids = upd
+    }
+    cbDf(centroids)
+  }
+
+  /** Nearest codebook entry per (vec_id, subspace) — the PQ ENCODE step.
+    * Centroids round through float before the distance (what a
+    * float-stored codebook file gives), ties break toward the lower code,
+    * so codes are reproducible across runs and engines. */
+  def pqAssign(svs: DataFrame, codebook: DataFrame): DataFrame = {
+    val dist = dot(col("sv"), col("centroid").cast("array<float>")) * -2 +
+      dot(col("centroid").cast("array<float>"),
+        col("centroid").cast("array<float>"))
+    svs.join(broadcast(codebook), Seq("sub"))
+      .withColumn("d", dist)
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d"), col("code"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds an
+    * m·ksub lookup table of partial dots against the codebook, and a
+    * corpus vector's approximate cosine is assembled from its m codes —
+    * the corpus side is scanned as SMALL INTS (the 100 TB point of PQ:
+    * ~m bytes/vector in flight instead of 4·dim), never as vectors.
+    *
+    * cos(q, x̂) = Σ_j <q_j, c_{j,code_j}> / (‖q‖ · √Σ_j ‖c_{j,code_j}‖²)
+    * — exact for the reconstruction x̂, since subspaces are orthogonal.
+    *
+    * LUT partials are quantized to integer micros BEFORE the per-vector
+    * summation (like the unigram-logprob pipeline): the m-way sum is then
+    * integer math — independent of aggregation order and engine, which
+    * keeps ranks and the correctness-gate hash stable.
+    *
+    * @param codes  (vec_id, sub, code) from [[pqAssign]]
+    * @return (query_id, neighbor_id, rnk, pq_score) top-k per query */
+  def pqTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+             subLen: Int, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q"))
+    val lut = q.crossJoin(broadcast(codebook))
+      .withColumn("qsv",
+        slice(col("q"), col("sub") * subLen + lit(1), lit(subLen)))
+      .select(col("query_id"), col("sub"), col("code"),
+        round(dot(col("qsv"), col("centroid").cast("array<float>")) * 1e6)
+          .cast("long").as("pdot_micro"),
+        round(dot(col("centroid").cast("array<float>"),
+          col("centroid").cast("array<float>")) * 1e6)
+          .cast("long").as("pn2_micro"))
+    val qn = q.select(col("query_id"), norm(col("q")).as("qnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("pdot_micro")).as("adot_micro"),
+        sum(col("pn2_micro")).as("an2_micro"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("score", (col("adot_micro") / 1e6) /
+        (col("qnorm") * sqrt(col("an2_micro") / 1e6)))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("score"), 6).as("pq_score"))
+  }
+
   /** Random-hyperplane LSH bucket id (Charikar '02 cosine LSH): sign bits
     * of projections onto `numPlanes` deterministic pseudo-random planes.
     * Plane component j of plane p is derived from md5(p:j) → uniform in

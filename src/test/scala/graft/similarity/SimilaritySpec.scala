@@ -151,4 +151,77 @@ class SimilaritySpec extends SparkSpec {
     assert(b(0).length === 8)
     assert(b.toSet.size > 1, "distinct directions should split buckets")
   }
+
+  // vectors assembled from ≤ksub distinct subvector patterns per
+  // subspace: Lloyd recovers the patterns exactly, encoding is lossless,
+  // and ADC ranking must equal brute force
+  test("PQ on pattern-built vectors: exact codes, brute-force ranking") {
+    val a0 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val a1 = Array(0.0f, 1.0f, 1.0f, 0.0f)
+    val b0 = Array(0.5f, 0.5f, 0.0f, 1.0f)
+    val b1 = Array(0.0f, 0.0f, 2.0f, 1.0f)
+    // ids 0,1 seed the codebook with both patterns per subspace
+    val rows = Seq(
+      (0L, a0 ++ b0), (1L, a1 ++ b1), (2L, a0 ++ b1), (3L, a1 ++ b0),
+      (4L, a0 ++ b0), (5L, a1 ++ b1), (6L, a0 ++ b1), (7L, a1 ++ b0))
+    val df = rows.toDF("vec_id", "embedding")
+
+    val svs = Similarity.pqSubvectors(df, dim = 8, m = 2)
+    val cb = Similarity.pqCodebook(svs, subLen = 4, ksub = 2, rounds = 2)
+    assert(cb.count() === 4) // 2 subspaces × 2 codes
+    val codes = Similarity.pqAssign(svs, cb)
+
+    // same-pattern vectors share codes in every subspace
+    val byVec = codes.select("vec_id", "sub", "code")
+      .as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byVec(0L) === byVec(4L))
+    assert(byVec(1L) === byVec(5L))
+    assert(byVec(0L) !== byVec(1L))
+
+    // lossless encoding ⇒ ADC ranking == exact brute-force ranking
+    val queries = df.filter(col("vec_id") < 2)
+    val pq = Similarity.pqTopK(queries, codes, cb, subLen = 4, k = 3)
+      .select("query_id", "rnk", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(queries, df, k = 3)
+      .select("query_id", "rnk", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(pq === bf)
+  }
+
+  test("ADC score ≡ cosine against the reconstruction, within 1e-4") {
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val svs = Similarity.pqSubvectors(df, dim = 16, m = 4)
+    val cb = Similarity.pqCodebook(svs, subLen = 4, ksub = 4, rounds = 3)
+    val codes = Similarity.pqAssign(svs, cb)
+
+    // reconstruct x̂ per vector from its codes, driver-side
+    val cents = cb.select("sub", "code", "centroid")
+      .as[(Int, Int, Seq[Double])].collect()
+      .map { case (s, c, v) => (s, c) -> v.map(_.toFloat.toDouble) }.toMap
+    val codeMap = codes.as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).flatMap(r => cents((r._2, r._3)))).toMap
+    val embMap = df.as[(Long, Array[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val adc = Similarity
+      .pqTopK(df.filter(col("vec_id") < 5), codes, cb, subLen = 4, k = 10)
+      .select("query_id", "neighbor_id", "pq_score")
+      .as[(Long, Long, Double)].collect()
+    adc.foreach { case (q, n, s) =>
+      val expected = cos(embMap(q), codeMap(n))
+      assert(math.abs(s - expected) < 1e-4,
+        s"query $q neighbor $n: adc $s vs reconstruction cos $expected")
+    }
+  }
 }
