@@ -49,6 +49,12 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.valuesIterator
           .foreach(_.unpersist(blocking = false))
+        // GC outside the timed section: without it a full collection of
+        // the PREVIOUS query's garbage lands inside whichever query runs
+        // next (q_agg_q1 measured 8.9 s after the percentile sort's churn,
+        // vs 1.0 s isolated) — queries should pay for their own
+        // allocation, not their alphabetical predecessor's.
+        System.gc()
         name -> sec
     }
     def f3(v: Double): String =
