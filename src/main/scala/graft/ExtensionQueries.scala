@@ -218,6 +218,23 @@ object ExtensionQueries {
     "q_corpus_prep" -> ((s, d) =>
       graft.pipelines.Pipelines.corpusPrep(s, d)),
 
+    // substring-level dedup reporting: per doc, how much of it is
+    // verbatim-repeated elsewhere in the corpus (4-token spans)
+    "q_dup_spans" -> ((s, d) =>
+      Text.dupSpans(t(s, d, "documents"), "doc_id", "text", k = 4)),
+
+    // per-source ceiling on the pretraining mix: ≤20 docs per domain,
+    // deterministic md5-rank selection
+    "q_domain_cap" -> ((s, d) =>
+      Text.domainCap(t(s, d, "documents"), "doc_id", "source", cap = 20)
+        .select("doc_id", "source")),
+
+    // semantic dedup: within-cluster cosine pairs, keep each chain's
+    // lowest id (clusters = the stored label; kmeansCells when absent)
+    "q_semdedup" -> ((s, d) =>
+      Similarity.semDedup(t(s, d, "embeddings"), "label",
+        threshold = 0.4)),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"), "doc_id", "text", bits = 16)),
 
@@ -283,6 +300,17 @@ object ExtensionQueries {
     "q_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, "label", k = 5)
+    }),
+
+    // filtered ANN: a metadata predicate restricts the candidate set
+    // BEFORE scoring (pre-filter semantics — the exact top-k among
+    // matching vectors, not a post-filtered approximation). The filter
+    // composes with the scan, so at lake scale it prunes
+    // partitions/row-groups before any distance math.
+    "q_ann_filtered" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10),
+        emb.filter(col("label") === 2), k = 5)
     }),
 
     "q_ann_kmeans" -> ((s, d) =>
@@ -929,6 +957,50 @@ object ExtensionQueries {
                 CAST(SUM(n_chars) AS BIGINT) AS n_chars
          FROM s GROUP BY split, lang""",
 
+    // non-distinct positional window twin of dTokens: unnest a
+    // generate_series over window starts (docs shorter than k windows
+    // drop out on both sides — generate_series is empty, and the native
+    // expression returns an empty array that explode eliminates)
+    "q_dup_spans" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         w AS (
+           SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS w
+           FROM (SELECT doc_id, toks,
+                        unnest(generate_series(1, len(toks) - 3)) AS i
+                 FROM tok)),
+         d AS (SELECT w, count(DISTINCT doc_id) AS nd FROM w GROUP BY w)
+         SELECT doc_id, count(*)::BIGINT AS n_windows,
+                sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_dup_windows,
+                round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                  / count(*), 6) AS dup_ratio
+         FROM w JOIN d USING (w) GROUP BY doc_id""",
+
+    "q_domain_cap" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+           FROM documents) WHERE rk <= 20""",
+
+    "q_semdedup" ->
+      """WITH v AS (
+           SELECT vec_id, label AS cell,
+                  list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+         p AS (
+           SELECT b.vec_id AS ib
+           FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.emb, b.emb) /
+                   (sqrt(list_dot_product(a.emb, a.emb)) *
+                    sqrt(list_dot_product(b.emb, b.emb))) >= 0.4)
+         SELECT vec_id, cell FROM v
+         WHERE vec_id NOT IN (SELECT ib FROM p)""",
+
     "q_stratified_sample" ->
       """WITH b AS (
            SELECT lang, n_chars,
@@ -1181,6 +1253,9 @@ object ExtensionQueries {
 
     "q_ann_ivf" ->
       annSql("c.vec_id <> q.vec_id AND c.label = q.label", "q.vec_id < 20"),
+
+    "q_ann_filtered" ->
+      annSql("c.vec_id <> q.vec_id AND c.label = 2", "q.vec_id < 10"),
 
     // Two unrolled Lloyd iterations; mirrors Similarity.kmeansCells
     // (k=4, iters=2): init = 4 lowest-id vectors, argmin of

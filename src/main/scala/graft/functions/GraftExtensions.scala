@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
       (children: Seq[Expression]) => Shingles(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_spans"),
+      new ExpressionInfo(classOf[ShingleSpans].getName, "graft_shingle_spans"),
+      (children: Seq[Expression]) => ShingleSpans(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinhashSig(children(0), children(1))))

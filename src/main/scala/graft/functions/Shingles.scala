@@ -54,8 +54,69 @@ case class Shingles(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native positional k-gram windows: `graft_shingle_spans(tokens, k)`
+  * returns EVERY k-token window in document order, duplicates included —
+  * the span view used by substring-level dedup (which must count and
+  * locate repeated spans, not just know the distinct set). Same
+  * null-window semantics as [[Shingles]]; a null token inside a window
+  * drops that window.
+  */
+case class ShingleSpans(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(StringType, _) if right.dataType == IntegerType &&
+      right.foldable => right.eval() match {
+      case k: Int if k >= 1 => TypeCheckResult.TypeCheckSuccess
+      case k => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_spans: k must be >= 1, got $k")
+    }
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_spans expects (array<string>, int literal), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_spans"
+
+  override def nullSafeEval(toks: Any, k: Any): Any =
+    ShingleOps.computeSpans(toks.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, k) => s"graft.functions.ShingleOps.computeSpans($a, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ShingleOps {
   private val Space = UTF8String.fromString(" ")
+
+  /** Called from generated code: all k-windows in order, non-distinct. */
+  def computeSpans(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[AnyRef](n - k + 1)
+    val parts = new Array[UTF8String](2 * k - 1)
+    var j = 1
+    while (j < parts.length) { parts(j) = Space; j += 2 }
+    var i = 0
+    while (i <= n - k) {
+      var ok = true
+      var t = 0
+      while (t < k && ok) {
+        val tok = toks.getUTF8String(i + t)
+        if (tok == null) ok = false else parts(2 * t) = tok
+        t += 1
+      }
+      if (ok) out.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
 
   /** Called from generated code. */
   def compute(toks: ArrayData, k: Int): ArrayData = {

@@ -412,4 +412,39 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. '23): cluster the embedding
+    * space, compare vectors only WITHIN their cluster, and drop all but
+    * one of every pair above the cosine threshold — the embedding-side
+    * analog of near-dup text dedup, used to prune paraphrases and
+    * templated boilerplate that lexical dedup can't see.
+    *
+    * The keep rule is deterministic: a vector is dropped iff it is the
+    * HIGHER id of some qualifying pair, so each duplicate chain keeps
+    * exactly its lowest id — no RNG, no order dependence, and the rule
+    * is one distinct + one anti-join on top of the pair set.
+    *
+    * Scale contract: the within-cluster self-join is quadratic in the
+    * largest cluster, which is exactly the knob the SemDeDup recipe turns
+    * — cluster with k ∝ √N cells ([[kmeansCells]] supplies `cellCol` when
+    * the data carries none), so expected block size is √N and total
+    * candidate volume ≈ N^1.5 / k ≈ N — the same bounded-block argument
+    * as LSH banding, but with the block structure learned from the
+    * embedding geometry instead of hashed.
+    *
+    * Returns the KEPT rows as (vec_id, cell). */
+  def semDedup(vectors: DataFrame, cellCol: String, threshold: Double)
+  : DataFrame = {
+    val v = vectors.select(col("vec_id"), col(cellCol).as("cell"),
+      col("embedding"))
+    val pairs = v.toDF("id_a", "cell", "emb_a")
+      .join(v.toDF("id_b", "cell", "emb_b"), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
+    // every dropped vector appears as the higher id of ≥1 pair; the drop
+    // set is ≪ corpus (it is the duplicate mass), so it broadcasts
+    val drops = pairs.select(col("id_b").as("vec_id")).distinct()
+    v.select(col("vec_id"), col("cell"))
+      .join(broadcast(drops), Seq("vec_id"), "left_anti")
+  }
 }

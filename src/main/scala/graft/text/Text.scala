@@ -172,4 +172,65 @@ object Text {
     }
     df.filter(splitBucket(id, 10000) < threshold)
   }
+
+  /** All positional k-token windows of a document, duplicates included —
+    * the span view for substring-level dedup. Native
+    * [[graft.functions.ShingleSpans]]; `shingles` above is its distinct
+    * counterpart. */
+  def shingleSpans(toks: Column, k: Int): Column =
+    call_function("graft_shingle_spans", toks, lit(k))
+
+  /** Cross-document duplicated-span stats, the reporting half of
+    * substring-level exact dedup (Lee et al. '21, "Deduplicating Training
+    * Data Makes Language Models Better": training corpora carry verbatim
+    * repeated spans that doc-level dedup never sees). A span = a k-token
+    * window; a span value is DUPLICATED iff it occurs in ≥ 2 distinct
+    * documents. Returns per doc: total windows, duplicated windows, and
+    * the duplicated fraction — the score a span-dedup pass would cut on.
+    *
+    * Shape at scale: windows explode scan-local (native expression), the
+    * df count is one hash-groupBy on the span's 64-bit hash (map-side
+    * partial combine collapses within-doc repeats before the exchange),
+    * and the per-doc rollup is a second groupBy keyed by doc — no
+    * self-join, no driver state, candidate volume ∝ corpus tokens.
+    * Grouping keys are xxhash64(span), 8 bytes in flight instead of the
+    * ~20·k-char window text; a 2⁻⁶⁴ collision could only merge two span
+    * groups, never drop a row. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String, k: Int)
+  : DataFrame = {
+    val wins = docs
+      .select(col(idCol).as("doc_id"),
+        explode(shingleSpans(tokens(col(textCol)), k)).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("wh"))
+    // spans seen in ≥2 docs; the distinct-doc count per span is a
+    // two-level agg (partial distinct within partitions under AQE)
+    val dup = wins.groupBy("wh")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("wh"), lit(1).as("is_dup"))
+    wins.join(dup, Seq("wh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("is_dup"), lit(0))).cast("bigint")
+          .as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+  }
+
+  /** Per-domain cap: keep at most `cap` documents per `domain` value (the
+    * per-source ceiling of a pretraining mix — one crawl domain must not
+    * flood the corpus). Selection is deterministic and order-independent:
+    * rank within each domain by (md5(id), id) and keep the first `cap` —
+    * the same documents survive on any run, engine, or partitioning, and
+    * the rank is a two-phase WindowGroupLimit (per-partition top-cap
+    * before the exchange), so a 100 TB domain never sorts globally. */
+  def domainCap(docs: DataFrame, idCol: String, domainCol: String,
+                cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
 }

@@ -224,4 +224,23 @@ class SimilaritySpec extends SparkSpec {
         s"query $q neighbor $n: adc $s vs reconstruction cos $expected")
     }
   }
+
+  test("semDedup drops every higher-id near-dup, keeps chain minima") {
+    // cell 0: vectors 1,2 parallel (cos=1), 3 orthogonal; cell 1: 4,5
+    // parallel; vector 6 parallel to 1 but in another cell → kept (cells
+    // bound the comparison scope by design)
+    val rows = Seq(
+      (1L, 0, Array(1f, 0f, 0f, 0f)),
+      (2L, 0, Array(2f, 0f, 0f, 0f)),
+      (3L, 0, Array(0f, 1f, 0f, 0f)),
+      (4L, 1, Array(0f, 0f, 3f, 0f)),
+      (5L, 1, Array(0f, 0f, 1f, 0f)),
+      (6L, 2, Array(1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "cell", "embedding")
+    val kept = Similarity.semDedup(rows, "cell", threshold = 0.9)
+      .as[(Long, Int)].collect().toMap
+    assert(kept.keySet === Set(1L, 3L, 4L, 6L))
+    // kept set is pairwise below threshold within every cell
+    assert(kept(1L) === 0 && kept(3L) === 0 && kept(4L) === 1)
+  }
 }

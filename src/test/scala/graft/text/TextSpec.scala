@@ -160,4 +160,56 @@ class TextSpec extends SparkSpec {
       Map("en" -> 1.0, "zh" -> 0.1)).as[(Long, String)].collect()
     assert(again.toSet === kept.toSet)
   }
+
+  test("shingleSpans keeps duplicates in order; ≡ HOF slice reference") {
+    val texts = Seq("a b c a b c a b", "x y", "", "p q r s")
+    val rows = texts.toDF("text").select(
+      Text.shingleSpans(Text.tokens(col("text")), 3).as("native"),
+      // reference: one slice per window start (interpreted, test-only);
+      // sequence(1, n) DESCENDS for n < 1, so short docs need the guard
+      when(size(Text.tokens(col("text"))) >= 3,
+        transform(sequence(lit(1), size(Text.tokens(col("text"))) - 2),
+          i => concat_ws(" ", slice(Text.tokens(col("text")), i, lit(3)))))
+        .otherwise(array().cast("array<string>"))
+        .as("ref"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (n, r) => assert(n === r) }
+    // the first text repeats "a b c": spans keep both occurrences where
+    // the distinct shingle view collapses them
+    val first = rows.head._1
+    assert(first.count(_ == "a b c") === 2)
+  }
+
+  test("dupSpans flags cross-doc spans only, not within-doc repeats") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),        // shares "alpha beta gamma" w/ 2
+      (2L, "alpha beta gamma epsilon"),
+      (3L, "zeta eta theta zeta eta theta"), // repeats internally only
+      (4L, "one two")                        // shorter than k → excluded
+    ).toDF("doc_id", "text")
+    val got = Text.dupSpans(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((2L, 1L, 0.5)))  // windows: abg, bgd; abg shared
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    // doc 3's repeated span lives in ONE doc → ndocs=1 → not duplicated
+    assert(got(3L) === ((4L, 0L, 0.0)))
+    assert(!got.contains(4L))
+  }
+
+  test("domainCap keeps ≤cap rows per domain, deterministically") {
+    val docs = (0L until 100L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val kept = Text.domainCap(docs, "doc_id", "source", cap = 10)
+      .as[(Long, String)].collect()
+    assert(kept.length === 30)
+    assert(kept.groupBy(_._2).values.forall(_.length == 10))
+    val again = Text.domainCap(docs.repartition(7), "doc_id", "source",
+      cap = 10).as[(Long, String)].collect()
+    assert(again.toSet === kept.toSet, "partitioning-independent selection")
+    // a domain under the cap passes through whole
+    val small = Text.domainCap(docs.filter(col("doc_id") < 5), "doc_id",
+      "source", cap = 10).count()
+    assert(small === 5)
+  }
 }
