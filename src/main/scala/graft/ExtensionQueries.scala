@@ -152,6 +152,22 @@ object ExtensionQueries {
         Text.minShingleFingerprint(col("text"), 3).as("fp_minshingle"),
         Text.rollingFingerprint(col("text")).as("fp_rolling"))),
 
+    // per-language top-quartile cut on mean word length — the
+    // percentile-gate corpus filter (threshold = exact interpolated p75)
+    "q_quality_gate" -> ((s, d) =>
+      Text.percentileGate(
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("text")),
+        "lang",
+        Text.qualityScore(col("text")).getField("mean_word_len"),
+        p = 0.75)
+        .select("doc_id", "lang")),
+
+    // BM25 lexical retrieval: top-20 docs for a fixed query bag
+    "q_bm25_topk" -> ((s, d) =>
+      Text.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "vector", "window", "join"), k = 20)),
+
     // ---- train/val/test split ---------------------------------------------
     "q_train_split" -> ((s, d) =>
       t(s, d, "documents")
@@ -828,6 +844,55 @@ object ExtensionQueries {
                     '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE /
                   greatest(length(text), 1), 6) AS punct_ratio
          FROM documents""",
+
+    // mean_word_len mirrors Text.qualityScore: length(raw text) over
+    // greatest(whitespace tokens of the RAW trimmed text, 1)
+    "q_quality_gate" ->
+      """WITH m AS (
+           SELECT doc_id, lang,
+                  length(text)::DOUBLE /
+                    greatest(len(string_split_regex(trim(text),
+                      '\s+')), 1)::DOUBLE AS mwl
+           FROM documents),
+         thr AS (
+           SELECT lang, quantile_cont(mwl, 0.75) AS t
+           FROM m GROUP BY lang)
+         SELECT doc_id, lang
+         FROM m JOIN thr USING (lang) WHERE mwl >= t""",
+
+    "q_bm25_topk" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         lens AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+         stats AS (
+           SELECT count(*)::BIGINT AS n_docs, avg(dl::DOUBLE) AS avgdl
+           FROM lens),
+         occ AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+         f AS (
+           SELECT doc_id, tok, count(*)::BIGINT AS tf FROM occ
+           WHERE tok IN ('spark', 'vector', 'window', 'join')
+           GROUP BY doc_id, tok),
+         d AS (
+           SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM occ
+           WHERE tok IN ('spark', 'vector', 'window', 'join')
+           GROUP BY tok),
+         s AS (
+           SELECT f.doc_id,
+                  round(ln(1.0 + (stats.n_docs - d.df + 0.5)
+                             / (d.df + 0.5)) * f.tf
+                    / (f.tf + 1.2 * (1.0 - 0.75
+                         + 0.75 * lens.dl / stats.avgdl)),
+                    8)::DECIMAL(18,8) AS s
+           FROM f JOIN d USING (tok)
+                JOIN lens ON f.doc_id = lens.doc_id
+                CROSS JOIN stats),
+         agg AS (
+           SELECT doc_id, sum(s)::DOUBLE AS sc FROM s GROUP BY doc_id)
+         SELECT doc_id, round(sc, 6) AS score FROM agg
+         ORDER BY sc DESC, doc_id LIMIT 20""",
 
     "q_text_fingerprint" ->
       s"""WITH toks AS (

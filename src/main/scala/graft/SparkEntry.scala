@@ -467,6 +467,22 @@ object SparkEntry {
         Seq("o_orderkey"), "version")
     }),
 
+    // what did this batch do: added / removed / changed / unchanged per
+    // key across two deterministic snapshot slices of orders
+    "q_snapshot_diff" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      val prev = ord.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val next = ord.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderstatus"))
+      graft.ops.relational.snapshotDiff(prev, next, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+    }),
+
     // skew-mitigating salted join through the correctness gate: salts
     // spread each supplier key over 8 reducers; the groupBy collapses the
     // result back so it hash-matches the plain-join oracle
@@ -1005,6 +1021,25 @@ object SparkEntry {
                        ORDER BY year(l_shipdate)::INT), ',') AS ship_years,
                 COUNT(DISTINCT l_suppkey)::INT AS n_suppliers
          FROM lineitem GROUP BY l_returnflag""",
+
+    "q_snapshot_diff" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey % 3 <> 0),
+         n AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS o_totalprice,
+                  o_orderstatus
+           FROM orders WHERE o_orderkey % 5 <> 0)
+         SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                     WHEN n.o_orderkey IS NULL THEN 'removed'
+                     WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                      AND o.o_orderstatus IS NOT DISTINCT
+                            FROM n.o_orderstatus THEN 'unchanged'
+                     ELSE 'changed' END AS change_type
+         FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey""",
 
     "q_upsert_latest" ->
       """WITH all_rows AS (

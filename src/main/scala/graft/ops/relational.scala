@@ -92,4 +92,35 @@ object relational {
       explode(sequence(lit(0), lit(numSalts - 1))))
     salted.join(dimExp, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Snapshot diff: classify every key as added / removed / changed /
+    * unchanged between two table versions — the audit half of a lake
+    * upsert (what did this batch actually do?), and the input to
+    * incremental downstream refresh (propagate only added∪changed).
+    *
+    * One full-outer shuffle join on the key; change detection is
+    * null-safe column equality (`<=>`) over the compared columns, so a
+    * null→value transition counts as a change, not a match. Both sides
+    * must be keyed (at most one row per key — dedupe/version first, e.g.
+    * via [[upsertLatest]]).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((keys ++ compareCols).map(col): _*).as("o")
+    val n = newDf.select((keys ++ compareCols).map(col): _*).as("n")
+    val keyCond = keys.map(k => col(s"o.$k") === col(s"n.$k"))
+      .reduce(_ && _)
+    val same = compareCols.map(c => col(s"o.$c") <=> col(s"n.$c"))
+      .reduce(_ && _)
+    o.join(n, keyCond, "full_outer")
+      .withColumn("change_type",
+        when(keys.map(k => col(s"o.$k").isNull).reduce(_ && _), "added")
+          .when(keys.map(k => col(s"n.$k").isNull).reduce(_ && _),
+            "removed")
+          .when(same, "unchanged")
+          .otherwise("changed"))
+      .select(keys.map(k =>
+        coalesce(col(s"o.$k"), col(s"n.$k")).as(k)) :+
+        col("change_type"): _*)
+  }
 }

@@ -217,6 +217,69 @@ object Text {
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
   }
 
+  /** Per-group percentile quality gate: keep rows whose `metric` is at or
+    * above their group's p-th percentile — the "top quartile per
+    * language" corpus cut. The threshold is the EXACT interpolated
+    * percentile via [[graft.ops.quantiles.exactPercentiles]] (spillable,
+    * no whole-group buffer), joined back broadcast (one row per group).
+    */
+  def percentileGate(df: DataFrame, groupCol: String, metric: Column,
+                     p: Double): DataFrame = {
+    val staged = df.withColumn("__metric", metric)
+    val thresholds = graft.ops.quantiles.exactPercentiles(
+      staged, groupCol, "__metric", Seq("__thr" -> p))
+    staged.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col("__metric") >= col("__thr"))
+      .drop("__metric", "__thr")
+  }
+
+  /** BM25 lexical top-k retrieval (Robertson/Sparck-Jones; the Lucene
+    * variant with idf = ln(1 + (N−df+0.5)/(df+0.5))): score every
+    * document against a fixed bag of query terms, return the k best.
+    * The retrieval half of hybrid (lexical + ANN) search over a corpus.
+    *
+    * Shape at scale: tokens explode scan-local and are FILTERED to query
+    * terms before any shuffle (the explode's output volume is bounded by
+    * |matching occurrences|, not corpus tokens); tf and df come from one
+    * partial-agg groupBy each; N, avgdl, and the per-term df are
+    * broadcast scalars/rows; the final top-k is a TakeOrderedAndProject,
+    * never a global sort. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    val lens = toks.select(col("doc_id"), size(col("toks")).as("dl"))
+    val occ = toks
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isInCollection(queryTerms))
+    val tf = occ.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = occ.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // corpus scalars: one tiny agg, joined as a broadcast literal row
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = idf * col("tf") /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * col("dl") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(df_), Seq("tok"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      // per-term scores round through decimal(18,8) before the sum so
+      // Spark's and any other engine's float addition order can't
+      // diverge the total (same trick as the decimal sum aggregates)
+      .withColumn("s", round(termScore, 8).cast("decimal(18,8)"))
+      .groupBy("doc_id")
+      .agg(sum(col("s")).cast("double").as("score"))
+    scored
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Per-domain cap: keep at most `cap` documents per `domain` value (the
     * per-source ceiling of a pretraining mix — one crawl domain must not
     * flood the corpus). Selection is deterministic and order-independent:

@@ -71,4 +71,16 @@ class RelationalSpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
     assert(df.count() === 5)
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; " +
+    "null transitions are changes") {
+    val prev = Seq((1L, Some("a")), (2L, Some("b")), (3L, Option.empty[String]),
+      (4L, Some("d"))).toDF("k", "v")
+    val next = Seq((1L, Some("a")), (2L, Some("B")), (3L, Some("c")),
+      (5L, Some("e"))).toDF("k", "v")
+    val got = relational.snapshotDiff(prev, next, Seq("k"), Seq("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "changed", 4L -> "removed", 5L -> "added"))
+  }
 }

@@ -197,6 +197,37 @@ class TextSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("percentileGate keeps rows at/above the per-group threshold") {
+    // group g has values 0..99 → p75 threshold = 74.25 → keeps 75..99
+    val rows = (0 until 100).map(i => ("g", i.toDouble)) ++
+      (0 until 10).map(i => ("h", i.toDouble))
+    val df = rows.toDF("grp", "m")
+    val kept = Text.percentileGate(df, "grp", col("m"), 0.75)
+      .as[(String, Double)].collect()
+    val g = kept.filter(_._1 == "g").map(_._2).sorted
+    assert(g.head === 75.0 && g.length === 25)
+    // h: 0..9 → p75 = 6.75 → keeps 7, 8, 9
+    val h = kept.filter(_._1 == "h").map(_._2).sorted
+    assert(h.toSeq === Seq(7.0, 8.0, 9.0))
+  }
+
+  test("bm25TopK ranks tf-rich short docs first; scores decrease") {
+    val docs = Seq(
+      (1L, "spark spark spark join"),       // dense in query terms
+      (2L, "spark alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma"),              // no query terms → absent
+      (4L, "join join spark spark")
+    ).toDF("doc_id", "text")
+    val got = Text.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "join"), k = 10)
+      .as[(Long, Double)].collect()
+    assert(!got.map(_._1).contains(3L))
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+    // doc 4 (2×spark + 2×join, dl 4) must outscore doc 2 (1×spark, dl 9)
+    val score = got.toMap
+    assert(score(4L) > score(2L))
+  }
+
   test("domainCap keeps ≤cap rows per domain, deterministically") {
     val docs = (0L until 100L).map(i => (i, s"src${i % 3}"))
       .toDF("doc_id", "source")
