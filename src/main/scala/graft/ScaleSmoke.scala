@@ -142,6 +142,25 @@ object ScaleSmoke {
         .count()
     }
 
+    timed("duplicated-span stats") {
+      // rows/250 (default 200k) synthetic 40-token docs; every doc pair
+      // 2k/2k+1 shares its whole text (their spans are all duplicated)
+      // and odd-salted docs are unique. Exercises the span-df groupBy:
+      // the explode is scan-local (native graft_shingle_spans), the df
+      // agg shuffles one 8-byte hash per window occurrence with map-side
+      // combine, the rollup shuffles one row per doc — nothing quadratic
+      // anywhere, the 100 TB shape of substring-level dedup reporting.
+      val nd = rows / 250
+      val docs = spark.range(nd).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 40).map(j =>
+            concat(lit(s"w${j}_"),
+              (((col("id") / 2).cast("long") * (j + 7)) % 9973)
+                .cast("string"))): _*).as("text"))
+      graft.text.Text.dupSpans(docs, "doc_id", "text", k = 4)
+        .filter(col("dup_ratio") > 0.5).count()
+    }
+
     timed("connected components") {
       // rows/50 edges forming ten-node chains — the diameter-bound case
       // for label propagation; pointer doubling collapses a 10-hop chain

@@ -198,21 +198,28 @@ object Text {
     * groups, never drop a row. */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String, k: Int)
   : DataFrame = {
-    val wins = docs
+    // collapse within-doc repeats FIRST: (doc, span) → occurrence count.
+    // Everything downstream then works on distinct (doc, span) pairs —
+    // the df count is a plain count(*) (no countDistinct Expand), and
+    // the flag join-back carries one row per distinct pair instead of
+    // one per occurrence.
+    // staged once: the df count and the flag join-back both read it —
+    // without the checkpoint the explode+groupBy subtree runs twice
+    val perDoc = docs
       .select(col(idCol).as("doc_id"),
         explode(shingleSpans(tokens(col(textCol)), k)).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("wh"))
-    // spans seen in ≥2 docs; the distinct-doc count per span is a
-    // two-level agg (partial distinct within partitions under AQE)
-    val dup = wins.groupBy("wh")
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .groupBy(col("doc_id"), xxhash64(col("w")).as("wh"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val dup = perDoc.groupBy("wh")
+      .agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2)
       .select(col("wh"), lit(1).as("is_dup"))
-    wins.join(dup, Seq("wh"), "left")
+    perDoc.join(dup, Seq("wh"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-        sum(coalesce(col("is_dup"), lit(0))).cast("bigint")
-          .as("n_dup_windows"))
+      .agg(sum(col("c")).cast("bigint").as("n_windows"),
+        sum(when(col("is_dup").isNotNull, col("c")).otherwise(lit(0)))
+          .cast("bigint").as("n_dup_windows"))
       .withColumn("dup_ratio",
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
   }
