@@ -538,6 +538,75 @@ object SparkEntry {
           AND l_quantity < 24""")
     }),
 
+    // TPC-H Q7 shape: bidirectional nation-pair shipping volume — a
+    // 6-way join where the same dim (nation) enters twice under
+    // different roles, plus an OR over the two directions; exercises
+    // self-dim aliasing and join reordering
+    "q_sql_q7" -> ((s, d) => {
+      t(s, d, "supplier").createOrReplaceTempView("supplier_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      t(s, d, "nation").createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier_v
+          JOIN lineitem_v ON s_suppkey = l_suppkey
+          JOIN orders_v ON o_orderkey = l_orderkey
+          JOIN customer_v ON c_custkey = o_custkey
+          JOIN nation_v n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation_v n2 ON c_nationkey = n2.n_nationkey
+          WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+            AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+            AND n1.n_name <> n2.n_name
+            AND l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate < DATE '1998-01-01') shipping
+        GROUP BY supp_nation, cust_nation, l_year""")
+    }),
+
+    // TPC-H Q8 shape: market share of one supplier nation inside a
+    // customer region — 7-way join (nation twice, region once), then a
+    // conditional-share aggregate per year
+    "q_sql_q8" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part_v")
+      t(s, d, "supplier").createOrReplaceTempView("supplier_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      t(s, d, "nation").createOrReplaceTempView("nation_v")
+      t(s, d, "region").createOrReplaceTempView("region_v")
+      s.sql("""
+        SELECT o_year,
+               ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3'
+                        THEN vol_dec ELSE CAST(0 AS DECIMAL(18,4)) END)
+                   AS DOUBLE)
+                 / CAST(SUM(vol_dec) AS DOUBLE), 6) AS mkt_share
+        FROM (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,4)) AS vol_dec,
+                 n2.n_name AS nation
+          FROM part_v
+          JOIN lineitem_v ON p_partkey = l_partkey
+          JOIN supplier_v ON s_suppkey = l_suppkey
+          JOIN orders_v ON l_orderkey = o_orderkey
+          JOIN customer_v ON o_custkey = c_custkey
+          JOIN nation_v n1 ON c_nationkey = n1.n_nationkey
+          JOIN region_v ON n1.n_regionkey = r_regionkey
+          JOIN nation_v n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= DATE '1996-01-01'
+            AND o_orderdate < DATE '1998-01-01'
+            AND p_type = 'PROMO') all_nations
+        GROUP BY o_year""")
+    }),
+
     // TPC-H Q10 shape: returned-item revenue per customer, top 20 —
     // fact-fact join + group + deterministic top-k
     "q_sql_q10" -> ((s, d) => {
@@ -1098,6 +1167,52 @@ object SparkEntry {
            AND l_shipdate < DATE '1997-01-01'
            AND l_discount BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+
+    "q_sql_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+                CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
+                  AS revenue
+         FROM (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                  year(l_shipdate)::INT AS l_year,
+                  l_extendedprice * (1 - l_discount) AS volume
+           FROM supplier
+           JOIN lineitem ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+             AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+             AND n1.n_name <> n2.n_name
+             AND l_shipdate >= DATE '1996-01-01'
+             AND l_shipdate < DATE '1998-01-01') shipping
+         GROUP BY supp_nation, cust_nation, l_year""",
+
+    "q_sql_q8" ->
+      """SELECT o_year,
+                ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3'
+                         THEN vol_dec ELSE CAST(0 AS DECIMAL(18,4)) END)
+                    AS DOUBLE)
+                  / CAST(SUM(vol_dec) AS DOUBLE), 6) AS mkt_share
+         FROM (
+           SELECT year(o_orderdate)::INT AS o_year,
+                  CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4)) AS vol_dec,
+                  n2.n_name AS nation
+           FROM part
+           JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           WHERE r_name = 'ASIA'
+             AND o_orderdate >= DATE '1996-01-01'
+             AND o_orderdate < DATE '1998-01-01'
+             AND p_type = 'PROMO') all_nations
+         GROUP BY o_year""",
 
     "q_sql_q10" ->
       """SELECT c_custkey, c_name,
