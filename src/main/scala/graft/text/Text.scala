@@ -254,8 +254,12 @@ object Text {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // tokenize ONCE: doc lengths, the occurrence explode, and the corpus
+    // stats all read this frame — without the checkpoint the tokenizer
+    // regex runs three times over the corpus
     val toks = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("toks"))
+      .localCheckpoint()
     val lens = toks.select(col("doc_id"), size(col("toks")).as("dl"))
     val occ = toks
       .select(col("doc_id"), explode(col("toks")).as("tok"))

@@ -136,6 +136,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("repeated-dim SQL joins (Q7/Q8) broadcast dims, no nested loop") {
+    // nation enters twice under different roles; both instances must
+    // still resolve to broadcast hash joins — a planning regression here
+    // (e.g. a missed alias) degenerates to a nested-loop over the fact
+    Seq("q_sql_q7", "q_sql_q8").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a cross product:\n${plan.take(2000)}")
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    }
+  }
+
+  test("bm25TopK: bounded top-k, broadcast stats, no global sort") {
+    val df = SparkEntry.queries("q_bm25_topk")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"final top-k must not global-sort:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("domainCap plans as two-phase WindowGroupLimit") {
+    // the per-domain cap must shuffle ≤cap rows per (task, domain), not
+    // whole domains — same partial/final shape as the rank filter
+    val df = SparkEntry.queries("q_domain_cap")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n${plan.take(2000)}")
+  }
+
   test("rank-filter pattern plans as two-phase WindowGroupLimit") {
     // rn <= k over a rank-only window must NOT sort whole partitions:
     // Spark 4 plans a partial per-task top-k BEFORE the exchange and a
