@@ -38,6 +38,17 @@ object ExtensionQueries {
     "q_s_json_roundtrip" -> ((s, d) =>
       StagedSources.jsonRoundTrip(s, t(s, d, "supplier"))),
 
+    // every 7th supplier line is mangled before the scan; the PERMISSIVE
+    // read must quarantine exactly those and parse the rest
+    "q_s_quarantine" -> ((s, d) =>
+      StagedSources.permissiveJsonQuarantine(s,
+        t(s, d, "supplier").select("s_suppkey", "s_name", "s_nationkey"),
+        col("s_suppkey") % 7 === 0)
+        .groupBy(col("_corrupt_record").isNotNull.as("quarantined"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(coalesce(col("s_suppkey"), lit(0))).cast("bigint")
+            .as("sum_key"))),
+
     // fragment orders into 64 micro-files, compact to ~4 MB targets, and
     // aggregate the compacted copy — proves the maintenance rewrite is
     // content-preserving (file-count/size bounds are asserted in
@@ -1656,6 +1667,13 @@ object ExtensionQueries {
     "q_s_orc_roundtrip" -> "SELECT * FROM nation",
 
     "q_s_json_roundtrip" -> "SELECT * FROM supplier",
+
+    "q_s_quarantine" ->
+      """SELECT (s_suppkey % 7 = 0) AS quarantined,
+                count(*)::BIGINT AS cnt,
+                CAST(SUM(CASE WHEN s_suppkey % 7 = 0 THEN 0
+                              ELSE s_suppkey END) AS BIGINT) AS sum_key
+         FROM supplier GROUP BY 1""",
 
     "q_s_compaction" ->
       """SELECT o_orderpriority, COUNT(*) AS cnt,

@@ -51,6 +51,39 @@ object StagedSources {
     spark.read.schema(df.schema).json(tmp)
   }
 
+  /** Malformed-record quarantine: scan JSON lines in PERMISSIVE mode
+    * with a declared schema + a `_corrupt_record` column — bad records
+    * surface as rows (typed fields null, raw line captured) instead of
+    * failing the job or being silently dropped. The ingest contract for
+    * a 100 TB feed where some fraction of lines is always garbage: the
+    * pipeline quarantines and accounts for them, the scan stays one
+    * pass, and the good rows keep vectorized parsing.
+    *
+    * `corrupt` marks which staged lines to mangle (deterministically), so
+    * correctness can assert the exact quarantine split. */
+  def permissiveJsonQuarantine(spark: SparkSession, df: DataFrame,
+                               corrupt: org.apache.spark.sql.Column)
+  : DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val tmp = Files.createTempDirectory("graft_quarantine").toString
+    df.select(when(corrupt, concat(lit("{bad "), to_json(struct(col("*")))))
+        .otherwise(to_json(struct(col("*")))).as("value"))
+      .write.mode("overwrite").text(tmp)
+    val schema = StructType(df.schema.fields)
+      .add("_corrupt_record", StringType)
+    // materialize the parsed scan: Spark (correctly) refuses plans that
+    // prune a raw-JSON scan down to only `_corrupt_record`
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and a quarantine step wants
+    // the parse to happen exactly once anyway, with both the good rows
+    // and the quarantined raws read from the materialized result
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp)
+      .localCheckpoint()
+  }
+
   /** Co-located join layout: persist a table hash-bucketed (and
     * bucket-sorted) by its join key. Two tables bucketed the same way
     * join with NO shuffle exchange on either side — at 100 TB this is

@@ -40,6 +40,22 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().toSet === doubles.collect().toSet)
   }
 
+  test("PERMISSIVE quarantine: bad lines captured raw, good lines typed") {
+    val rows = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w"))
+      .toDF("k", "s")
+    val back = StagedSources.permissiveJsonQuarantine(spark, rows,
+      col("k") % 2 === 0)
+    val good = back.filter(col("_corrupt_record").isNull)
+      .select("k", "s").as[(Long, String)].collect().toSet
+    assert(good === Set((1L, "x"), (3L, "z")))
+    val bad = back.filter(col("_corrupt_record").isNotNull)
+    assert(bad.count() === 2)
+    // typed fields are null on quarantined rows; the raw line survives
+    assert(bad.filter(col("k").isNotNull).count() === 0)
+    assert(bad.select("_corrupt_record").as[String].collect()
+      .forall(_.startsWith("{bad ")))
+  }
+
   test("S6/S8 partitioned parquet round trip + partition pruning") {
     val back = StagedSources.partitionedRoundTrip(spark, df, "grp")
     assert(back.count() === 3)
