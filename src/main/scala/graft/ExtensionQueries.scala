@@ -38,6 +38,21 @@ object ExtensionQueries {
     "q_s_json_roundtrip" -> ((s, d) =>
       StagedSources.jsonRoundTrip(s, t(s, d, "supplier"))),
 
+    // batch 0 wrote (key, name), batch 1 added s_nationkey; the merged
+    // read must surface legacy rows with a null for the new column
+    "q_s_schema_evolution" -> ((s, d) => {
+      val sup = t(s, d, "supplier")
+      StagedSources.evolvedRead(s,
+        sup.filter(col("s_suppkey") % 2 === 0)
+          .select("s_suppkey", "s_name"),
+        sup.filter(col("s_suppkey") % 2 =!= 0)
+          .select("s_suppkey", "s_name", "s_nationkey"))
+        .groupBy(col("s_nationkey").isNull.as("legacy_rows"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(coalesce(col("s_nationkey"), lit(0))).cast("bigint")
+            .as("sum_nk"))
+    }),
+
     // every 7th supplier line is mangled before the scan; the PERMISSIVE
     // read must quarantine exactly those and parse the rest
     "q_s_quarantine" -> ((s, d) =>
@@ -244,6 +259,9 @@ object ExtensionQueries {
 
     "q_corpus_prep" -> ((s, d) =>
       graft.pipelines.Pipelines.corpusPrep(s, d)),
+
+    "q_corpus_prep2" -> ((s, d) =>
+      graft.pipelines.Pipelines.corpusPrep2(s, d)),
 
     // substring-level dedup reporting: per doc, how much of it is
     // verbatim-repeated elsewhere in the corpus (4-token spans)
@@ -1000,6 +1018,46 @@ object ExtensionQueries {
                   '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS redacted
          FROM documents""",
 
+    "q_corpus_prep2" ->
+      """WITH m AS (
+           SELECT doc_id, lang, source, n_chars, text,
+                  length(text)::DOUBLE /
+                    greatest(len(string_split_regex(trim(text),
+                      '\s+')), 1)::DOUBLE AS mwl
+           FROM documents),
+         thr AS (
+           SELECT lang, quantile_cont(mwl, 0.25) AS t
+           FROM m GROUP BY lang),
+         gated AS (
+           SELECT m.* FROM m JOIN thr USING (lang) WHERE mwl >= t),
+         capped AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+             FROM gated) WHERE rk <= 100),
+         fp AS (
+           SELECT *, md5(array_to_string(string_split_regex(trim(
+                    regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g')),
+                    '\s+'), ' ')) AS fp
+           FROM capped),
+         canon AS (
+           SELECT * FROM (
+             SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id
+             FROM fp)
+           WHERE doc_id = keep_id),
+         s AS (
+           SELECT lang, n_chars,
+                  CASE WHEN bucket < 90 THEN 'train'
+                       WHEN bucket < 95 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT *,
+                        (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                          ::BIGINT % 100)::INT AS bucket
+                 FROM canon))
+         SELECT split, lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         FROM s GROUP BY split, lang""",
+
     "q_corpus_prep" ->
       """WITH q AS (
            SELECT doc_id, lang, n_chars, text,
@@ -1667,6 +1725,13 @@ object ExtensionQueries {
     "q_s_orc_roundtrip" -> "SELECT * FROM nation",
 
     "q_s_json_roundtrip" -> "SELECT * FROM supplier",
+
+    "q_s_schema_evolution" ->
+      """SELECT (s_suppkey % 2 = 0) AS legacy_rows,
+                count(*)::BIGINT AS cnt,
+                CAST(SUM(CASE WHEN s_suppkey % 2 = 0 THEN 0
+                              ELSE s_nationkey END) AS BIGINT) AS sum_nk
+         FROM supplier GROUP BY 1""",
 
     "q_s_quarantine" ->
       """SELECT (s_suppkey % 7 = 0) AS quarantined,

@@ -224,4 +224,37 @@ object Pipelines {
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
   }
+
+  /** Corpus preparation v2 — the round-4 gates composed end to end:
+    * per-language percentile quality cut (drop each language's worst
+    * quartile by mean word length) → per-source domain cap (no crawl
+    * domain floods the mix) → exact-dedup canonical selection →
+    * deterministic split accounting.
+    *
+    * Extra shuffle budget vs v1: the percentile gate is one spillable
+    * rank pass + a broadcast threshold join; the domain cap is one
+    * two-phase WindowGroupLimit shuffle by source. Everything else is
+    * unchanged from [[corpusPrep]].
+    */
+  def corpusPrep2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.Text
+
+    val docs = t(spark, dir, "documents")
+    val gated = Text.percentileGate(docs, "lang",
+      Text.qualityScore(col("text")).getField("mean_word_len"), p = 0.25)
+    val capped = Text.domainCap(gated, "doc_id", "source", cap = 100)
+    val canonical = capped
+      .withColumn("fp", Text.exactFingerprint(col("text")))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keep_id"))
+    canonical
+      .withColumn("split",
+        when(Text.splitBucket(col("doc_id"), 100) < 90, "train")
+          .when(Text.splitBucket(col("doc_id"), 100) < 95, "val")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+  }
 }

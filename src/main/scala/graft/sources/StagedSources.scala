@@ -84,6 +84,19 @@ object StagedSources {
       .localCheckpoint()
   }
 
+  /** Schema evolution at the lake: two parquet batches written under
+    * DIFFERENT schemas (the second adds columns), read back as one table
+    * with `mergeSchema` — old files surface the new columns as null.
+    * This is how a 100 TB table adds a column without rewriting history;
+    * the merge is a footer-level union of schemas, not a data pass. */
+  def evolvedRead(spark: SparkSession, oldBatch: DataFrame,
+                  newBatch: DataFrame): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_evolve").toString
+    oldBatch.write.mode("overwrite").parquet(s"$tmp/b=0")
+    newBatch.write.mode("overwrite").parquet(s"$tmp/b=1")
+    spark.read.option("mergeSchema", "true").parquet(tmp)
+  }
+
   /** Co-located join layout: persist a table hash-bucketed (and
     * bucket-sorted) by its join key. Two tables bucketed the same way
     * join with NO shuffle exchange on either side — at 100 TB this is

@@ -56,6 +56,17 @@ class SourcesSpec extends SparkSpec {
       .forall(_.startsWith("{bad ")))
   }
 
+  test("mergeSchema read unifies evolved batches; legacy rows null-fill") {
+    val oldB = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val newB = Seq((3L, "c", 30), (4L, "d", 40)).toDF("k", "s", "extra")
+    val merged = StagedSources.evolvedRead(spark, oldB, newB)
+    assert(merged.columns.toSet === Set("k", "s", "extra", "b"))
+    val rows = merged.select("k", "extra")
+      .as[(Long, Option[Int])].collect().toMap
+    assert(rows === Map(1L -> None, 2L -> None,
+      3L -> Some(30), 4L -> Some(40)))
+  }
+
   test("S6/S8 partitioned parquet round trip + partition pruning") {
     val back = StagedSources.partitionedRoundTrip(spark, df, "grp")
     assert(back.count() === 3)
