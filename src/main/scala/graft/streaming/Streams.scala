@@ -27,10 +27,25 @@ object Streams {
     * batch shuffle default; it is baked into the checkpoint on first
     * run, so it is a per-pipeline knob. 0 = inherit the session. */
   private def statefulSession(spark: SparkSession,
-                              statePartitions: Int): SparkSession =
-    if (statePartitions > 0) {
+                              statePartitions: Int,
+                              rocksDb: Boolean = false): SparkSession =
+    if (statePartitions > 0 || rocksDb) {
       val ns = spark.newSession()
-      ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      if (statePartitions > 0)
+        ns.conf.set("spark.sql.shuffle.partitions",
+          statePartitions.toString)
+      // RocksDB state store: state lives off-heap/on-disk per partition
+      // instead of in executor JVM maps — the provider for stateful
+      // queries whose live state (e.g. a day of dedup keys at
+      // 100 TB/day) dwarfs executor heap. Changelog checkpointing keeps
+      // per-batch uploads incremental.
+      if (rocksDb) {
+        ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        ns.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled", "true")
+      }
       ns
     } else spark
 
@@ -101,8 +116,9 @@ object Streams {
     * first is batch-slicing-dependent, the key set is not. */
   def dedupStream(spark: SparkSession, dir: String,
                   checkpoint: String,
-                  statePartitions: Int = 0): DataFrame = {
-    val sess = statefulSession(spark, statePartitions)
+                  statePartitions: Int = 0,
+                  rocksDb: Boolean = false): DataFrame = {
+    val sess = statefulSession(spark, statePartitions, rocksDb)
     val schema = sess.read.parquet(s"$dir/events.parquet").schema
     val deduped = sess.readStream
       .schema(schema)

@@ -41,6 +41,18 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSet === batch.toSet)
   }
 
+  test("RocksDB state store: dedup result identical to the HDFS-map store") {
+    // the 100 TB-state provider must be a pure swap — same keys out,
+    // state format is a checkpoint property, not a semantics one
+    val dir = "/root/testdata/sf0.001"
+    val ckpt = Files.createTempDirectory("graft_ckpt_rdb_spec").toString
+    val streamed = Streams.dedupStream(spark, dir, ckpt, rocksDb = true)
+      .collect()
+    val batch = Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct().collect()
+    assert(streamed.toSet === batch.toSet)
+  }
+
   test("multi-batch slicing: 3 micro-batches produce the single-batch result") {
     // split the events table into 3 time-ordered files; with
     // maxFilesPerTrigger=1 AvailableNow runs 3 micro-batches, so
