@@ -179,6 +179,37 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit:\n${plan.take(2000)}")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // one key holds ~90% of the fact side; with the skew thresholds
+    // scaled to test-sized data, AQE must mark the sort-merge join
+    // skew-handled (isSkew=true reads) instead of leaving one straggler
+    // task — the runtime half of the salting story (relational.saltedJoin
+    // is the explicit half, for when the join is hash-partitioned
+    // upstream)
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    sess.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    sess.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    sess.conf.set(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "8KB")
+    import sess.implicits._
+    val fact = sess.range(200000).select(
+      when(col("id") % 10 < 9, 0L).otherwise(col("id") % 97).as("k"),
+      concat(lit("payload_payload_payload_"), col("id")).as("p"))
+    val dim = sess.range(97).select(col("id").as("k"),
+      concat(lit("dim_"), col("id")).as("d"))
+    val joined = fact.join(dim, "k")
+    // AQE's final plan exists only after THIS dataframe executes (count()
+    // would plan/execute a different query)
+    assert(joined.collect().length === 200000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true") &&
+      plan.contains("AQEShuffleRead skewed"),
+      s"skewed SMJ not split by AQE:\n${plan.take(3000)}")
+  }
+
   test("AQE coalesces the over-provisioned shuffle on small data") {
     val df = Tables.t(spark, sf, "orders")
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
