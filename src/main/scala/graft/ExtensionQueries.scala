@@ -380,6 +380,21 @@ object ExtensionQueries {
         Similarity.pqAssign(svs, cb), cb, subLen = 16, k = 5)
     }),
 
+    // IVF-PQ composed: coarse cells (the stored label, as in q_ann_ivf)
+    // restrict candidates; ADC over PQ codes scores them
+    "q_ann_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val svs = Similarity.pqSubvectors(emb, dim = 64, m = 4)
+      val cb = Similarity.pqCodebook(svs, subLen = 16, ksub = 8,
+        rounds = 2)
+      Similarity.ivfPqTopK(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding"),
+            col("label").as("cell")),
+        emb.select(col("vec_id"), col("label").as("cell")),
+        Similarity.pqAssign(svs, cb), cb, subLen = 16, k = 5)
+    }),
+
     // ---- multimodal --------------------------------------------------------
     "q_mm_decode" -> ((s, d) => {
       import s.implicits._
@@ -1487,6 +1502,92 @@ object ExtensionQueries {
                                        ORDER BY d, code) AS rn
              FROM d2) WHERE rn = 1)
          SELECT vec_id, sub, code FROM a2""",
+
+    // q_ann_pq's CTE chain with one change: the final ADC join also
+    // requires the neighbor's cell (label) to equal the query's cell
+    "q_ann_ivfpq" ->
+      """WITH v AS (SELECT vec_id, label AS cell, embedding AS e
+                    FROM embeddings),
+         sv AS (
+           SELECT vec_id, j::INT AS sub,
+                  (e[(j*16+1):(j*16+16)])::DOUBLE[] AS sv
+           FROM v, range(0, 4) t(j)),
+         ids AS (
+           SELECT vec_id,
+                  (row_number() OVER (ORDER BY vec_id) - 1)::INT AS code
+           FROM v ORDER BY vec_id LIMIT 8),
+         c0 AS (
+           SELECT sv.sub, ids.code, sv.sv AS c
+           FROM sv JOIN ids USING (vec_id)),
+         d1 AS (
+           SELECT sv.vec_id, sv.sub, c0.code,
+                  -2 * list_dot_product(sv.sv, (c0.c::FLOAT[])::DOUBLE[])
+                    + list_dot_product((c0.c::FLOAT[])::DOUBLE[],
+                        (c0.c::FLOAT[])::DOUBLE[]) AS d
+           FROM sv JOIN c0 ON sv.sub = c0.sub),
+         a1 AS (
+           SELECT vec_id, sub, code FROM (
+             SELECT vec_id, sub, code,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY d, code) AS rn
+             FROM d1) WHERE rn = 1),
+         m1 AS (
+           SELECT sub, code, list(s ORDER BY j) AS c FROM (
+             SELECT a1.sub, a1.code, j, sum(sv.sv[j]) / count(*) AS s
+             FROM sv JOIN a1 ON sv.vec_id = a1.vec_id
+                            AND sv.sub = a1.sub,
+                  range(1, 17) t(j)
+             GROUP BY a1.sub, a1.code, j)
+           GROUP BY sub, code),
+         d2 AS (
+           SELECT sv.vec_id, sv.sub, m1.code,
+                  -2 * list_dot_product(sv.sv, (m1.c::FLOAT[])::DOUBLE[])
+                    + list_dot_product((m1.c::FLOAT[])::DOUBLE[],
+                        (m1.c::FLOAT[])::DOUBLE[]) AS d
+           FROM sv JOIN m1 ON sv.sub = m1.sub),
+         a2 AS (
+           SELECT vec_id, sub, code FROM (
+             SELECT vec_id, sub, code,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY d, code) AS rn
+             FROM d2) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, cell, e AS qe FROM v
+               WHERE vec_id < 10),
+         lut AS (
+           SELECT q.query_id, q.cell, m1.sub, m1.code,
+                  round(list_dot_product(
+                    (q.qe[(m1.sub*16+1):(m1.sub*16+16)])::DOUBLE[],
+                    (m1.c::FLOAT[])::DOUBLE[]) * 1e6)::BIGINT
+                    AS pdot_micro,
+                  round(list_dot_product((m1.c::FLOAT[])::DOUBLE[],
+                    (m1.c::FLOAT[])::DOUBLE[]) * 1e6)::BIGINT
+                    AS pn2_micro
+           FROM q CROSS JOIN m1),
+         qn AS (
+           SELECT query_id,
+                  sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
+                    AS qnorm
+           FROM q),
+         scored AS (
+           SELECT l.query_id, a2.vec_id AS neighbor_id,
+                  sum(l.pdot_micro) AS adot, sum(l.pn2_micro) AS an2
+           FROM a2
+           JOIN v vc ON a2.vec_id = vc.vec_id
+           JOIN lut l ON a2.sub = l.sub AND a2.code = l.code
+                     AND vc.cell = l.cell
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+                  (adot/1e6) / (qnorm * sqrt(an2/1e6)) AS score,
+                  row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY (adot/1e6) / (qnorm * sqrt(an2/1e6)) DESC,
+                             neighbor_id) AS rnk
+           FROM scored JOIN qn USING (query_id)
+           WHERE neighbor_id <> query_id)
+         SELECT query_id, neighbor_id, rnk::INT AS rnk,
+                round(score, 6) AS pq_score
+         FROM ranked WHERE rnk <= 5""",
 
     "q_ann_pq" ->
       """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),

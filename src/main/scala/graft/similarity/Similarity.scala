@@ -326,6 +326,51 @@ object Similarity {
         round(col("score"), 6).as("pq_score"))
   }
 
+  /** IVF-PQ search — the production ANN shape (Jégou et al. '11): a
+    * coarse cell restricts WHICH vectors are scored, the PQ codes decide
+    * HOW cheaply. The LUT rows carry the query's cell, so the ADC join
+    * key (cell, sub, code) structurally excludes out-of-cell corpus
+    * codes — candidate volume is |cell|·m, never corpus·m, and no
+    * full-precision vector is touched after the LUT build.
+    *
+    * `queries`: (vec_id, embedding, cell); `corpusCells`: (vec_id, cell)
+    * — at scale both the codes and the cell map are co-partitioned (or
+    * bucketed) by vec_id, so attaching the cell is a zero-exchange join.
+    */
+  def ivfPqTopK(queries: DataFrame, corpusCells: DataFrame,
+                codes: DataFrame, codebook: DataFrame, subLen: Int,
+                k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("cell"),
+      col("embedding").as("q"))
+    val lut = q.crossJoin(broadcast(codebook))
+      .withColumn("qsv",
+        slice(col("q"), col("sub") * subLen + lit(1), lit(subLen)))
+      .select(col("query_id"), col("cell"), col("sub"), col("code"),
+        round(dot(col("qsv"), col("centroid").cast("array<float>")) * 1e6)
+          .cast("long").as("pdot_micro"),
+        round(dot(col("centroid").cast("array<float>"),
+          col("centroid").cast("array<float>")) * 1e6)
+          .cast("long").as("pn2_micro"))
+    val qn = q.select(col("query_id"), norm(col("q")).as("qnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    codes.join(corpusCells, Seq("vec_id"))
+      .join(broadcast(lut), Seq("cell", "sub", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("pdot_micro")).as("adot_micro"),
+        sum(col("pn2_micro")).as("an2_micro"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("score", (col("adot_micro") / 1e6) /
+        (col("qnorm") * sqrt(col("an2_micro") / 1e6)))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("score"), 6).as("pq_score"))
+  }
+
   /** Random-hyperplane LSH bucket id (Charikar '02 cosine LSH): sign bits
     * of projections onto `numPlanes` deterministic pseudo-random planes.
     * Plane component j of plane p is derived from md5(p:j) → uniform in

@@ -225,6 +225,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK = pqTopK restricted to the query's cell") {
+    val df = spark.range(64).select(col("id").as("vec_id"),
+      array((0 until 16).map(j =>
+        (sin((col("id") + 1) * (j + 1)) * 100).cast("float")): _*)
+        .as("embedding"),
+      (col("id") % 4).cast("int").as("cell"))
+    val svs = Similarity.pqSubvectors(df, dim = 16, m = 4)
+    val cb = Similarity.pqCodebook(svs, subLen = 4, ksub = 4, rounds = 2)
+    val codes = Similarity.pqAssign(svs, cb)
+    val queries = df.filter(col("vec_id") < 3)
+    val ivf = Similarity.ivfPqTopK(queries,
+      df.select("vec_id", "cell"), codes, cb, subLen = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val cellOf = df.select("vec_id", "cell").as[(Long, Int)]
+      .collect().toMap
+    // every neighbor shares its query's cell
+    ivf.foreach { case (q, n, _) => assert(cellOf(n) === cellOf(q)) }
+    // and the ADC scores agree with the unrestricted scorer
+    val full = Similarity.pqTopK(queries, codes, cb, subLen = 4, k = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    ivf.foreach { case (q, n, s) => assert(full((q, n)) === s) }
+  }
+
   test("semDedup drops every higher-id near-dup, keeps chain minima") {
     // cell 0: vectors 1,2 parallel (cos=1), 3 orthogonal; cell 1: 4,5
     // parallel; vector 6 parallel to 1 but in another cell → kept (cells
