@@ -161,6 +161,26 @@ object ScaleSmoke {
         .filter(col("dup_ratio") > 0.5).count()
     }
 
+    timed("semantic dedup (cell-bounded)") {
+      // rows/250 (default 200k) 16-dim vectors in √N ≈ 450 cells — the
+      // SemDeDup sizing: expected block = √N, total pair volume ≈ N·√N/k
+      // ≈ N. Planted dups: ids 2k/2k+1 share a vector and a cell, so the
+      // expected drop count is exactly n/2. Anything quadratic-in-corpus
+      // here would be hours, not seconds.
+      val n = rows / 250
+      val cells = math.max(1, math.sqrt(n.toDouble).toInt)
+      val base = (col("id") / 2).cast("long")
+      // components centered on 0: all-positive vectors would crowd the
+      // positive orthant (random cos ≈ 0.75) and blur the planted pairs
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        array((0 until 16).map(j =>
+          (((base * (j + 3)) % 1009).cast("float") - 504.0f)): _*)
+          .as("embedding"),
+        (base % cells).cast("int").as("cell"))
+      graft.similarity.Similarity.semDedup(vecs, "cell", threshold = 0.999)
+        .count()
+    }
+
     timed("connected components") {
       // rows/50 edges forming ten-node chains — the diameter-bound case
       // for label propagation; pointer doubling collapses a 10-hop chain
