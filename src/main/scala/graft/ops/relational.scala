@@ -106,6 +106,8 @@ object relational {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && compareCols.nonEmpty,
+      "snapshotDiff needs key and compare columns")
     val o = oldDf.select((keys ++ compareCols).map(col): _*).as("o")
     val n = newDf.select((keys ++ compareCols).map(col): _*).as("n")
     val keyCond = keys.map(k => col(s"o.$k") === col(s"n.$k"))

@@ -480,6 +480,8 @@ object Similarity {
     * Returns the KEPT rows as (vec_id, cell). */
   def semDedup(vectors: DataFrame, cellCol: String, threshold: Double)
   : DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in [-1,1], got $threshold")
     val v = vectors.select(col("vec_id"), col(cellCol).as("cell"),
       col("embedding"))
     val pairs = v.toDF("id_a", "cell", "emb_a")

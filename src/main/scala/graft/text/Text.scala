@@ -198,6 +198,7 @@ object Text {
     * groups, never drop a row. */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String, k: Int)
   : DataFrame = {
+    require(k >= 1, s"span width k must be >= 1, got $k")
     // collapse within-doc repeats FIRST: (doc, span) → occurrence count.
     // Everything downstream then works on distinct (doc, span) pairs —
     // the df count is a plain count(*) (no countDistinct Expand), and
@@ -232,6 +233,7 @@ object Text {
     */
   def percentileGate(df: DataFrame, groupCol: String, metric: Column,
                      p: Double): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"percentile must be in [0,1], got $p")
     val staged = df.withColumn("__metric", metric)
     val thresholds = graft.ops.quantiles.exactPercentiles(
       staged, groupCol, "__metric", Seq("__thr" -> p))
@@ -254,6 +256,9 @@ object Text {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k >= 1 && k1 > 0 && b >= 0 && b <= 1,
+      s"invalid bm25 params: k=$k k1=$k1 b=$b")
     // tokenize ONCE: doc lengths, the occurrence explode, and the corpus
     // stats all read this frame — without the checkpoint the tokenizer
     // regex runs three times over the corpus
@@ -300,6 +305,7 @@ object Text {
     * before the exchange), so a 100 TB domain never sorts globally. */
   def domainCap(docs: DataFrame, idCol: String, domainCol: String,
                 cap: Int): DataFrame = {
+    require(cap >= 1, s"domain cap must be >= 1, got $cap")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
