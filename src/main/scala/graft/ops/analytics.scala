@@ -111,7 +111,21 @@ object analytics {
     * and the |z| > threshold cut are then pure IEEE-double arithmetic on
     * identical inputs in any engine, which keeps the flagged set
     * reproducible cross-engine (the correctness-gate requirement).
+    *
+    * Rounding itself must ALSO mirror the oracle engine's op sequence:
+    * DuckDB rounds a DOUBLE as `std::round(x·10ⁿ)/10ⁿ`, and the multiply
+    * can pull a value sitting one ulp UNDER a .5 boundary exactly onto
+    * it (observed at sf0.1: z = 3.85224999…97, ·10⁴ = exactly 38522.5 →
+    * 3.8523, where decimal-exact HALF_UP gives 3.8522). [[roundDouble]]
+    * reproduces that sequence — Spark's `round(x)` at scale 0 is
+    * half-away-from-zero like `std::round`, and the multiply/divide are
+    * the same IEEE ops — so boundary values agree at every scale.
     */
+  private def roundDouble(c: Column, n: Int): Column = {
+    val f = math.pow(10, n)
+    round(c * f) / f
+  }
+
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      idCols: Seq[String], zThresh: Double = 3.5)
   : DataFrame = {
@@ -119,16 +133,16 @@ object analytics {
       .filter(col(valueCol).isNotNull)
     val med = quantiles.exactPercentiles(vals, groupCol, valueCol,
       Seq(("__med", 0.5)))
-      .withColumn("__med", round(col("__med"), 4))
+      .withColumn("__med", roundDouble(col("__med"), 4))
     val dev = vals.join(broadcast(med), Seq(groupCol))
       .withColumn("__absdev", abs(col(valueCol) - col("__med")))
     val mad = quantiles.exactPercentiles(dev, groupCol, "__absdev",
       Seq(("__mad", 0.5)))
-      .withColumn("__mad", round(col("__mad"), 4))
+      .withColumn("__mad", roundDouble(col("__mad"), 4))
     dev.join(broadcast(mad), Seq(groupCol))
       .withColumn("robust_z",
-        round(lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad"),
-          4))
+        roundDouble(lit(0.6745) * (col(valueCol) - col("__med")) /
+          col("__mad"), 4))
       .filter(abs(col("robust_z")) > zThresh)
       .select((idCols :+ groupCol :+ valueCol).map(col) :+
         col("robust_z"): _*)
