@@ -228,6 +228,43 @@ class TextSpec extends SparkSpec {
     assert(score(4L) > score(2L))
   }
 
+  test("dupSpans ≡ per-doc recount against a reference fold") {
+    // random docs over a tiny vocab (collisions guaranteed); recompute
+    // the expected stats with plain Scala collections and compare
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("a", "b", "c", "d")
+    val genDocs: Gen[List[String]] = Gen.listOfN(12,
+      Gen.choose(0, 8).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    (0 until 10).foreach { i =>
+      genDocs(Gen.Parameters.default, Seed(i.toLong)).foreach { texts =>
+        val docs = texts.zipWithIndex
+          .map { case (t, id) => (id.toLong, t) }
+        val k = 2
+        def windows(t: String): Seq[String] = {
+          val toks = t.split("\\s+").filter(_.nonEmpty)
+          toks.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq
+        }
+        val wmap = docs.map { case (id, t) => id -> windows(t) }.toMap
+        val docsPerSpan = wmap.toSeq
+          .flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+          .groupBy(_._1).map { case (w, xs) => w -> xs.size }
+        val expected = wmap.collect {
+          case (id, ws) if ws.nonEmpty =>
+            val dup = ws.count(w => docsPerSpan(w) >= 2)
+            id -> ((ws.size.toLong, dup.toLong))
+        }
+        val got = Text.dupSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k)
+          .select("doc_id", "n_windows", "n_dup_windows")
+          .as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(got === expected)
+      }
+    }
+  }
+
   test("domainCap keeps ≤cap rows per domain, deterministically") {
     val docs = (0L until 100L).map(i => (i, s"src${i % 3}"))
       .toDF("doc_id", "source")
