@@ -467,6 +467,40 @@ object SparkEntry {
         Seq("o_orderkey"), "version")
     }),
 
+    // incremental rollup maintenance: the merged (base ⊎ delta) summary
+    // must equal a from-scratch aggregate over the full table — which is
+    // exactly what the oracle computes
+    "q_incremental_agg" -> ((s, d) => {
+      def summary(df: DataFrame) = df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_price_dec"))
+      val ord = t(s, d, "orders")
+      graft.ops.relational.incrementalAgg(
+        summary(ord.filter(col("o_orderkey") % 5 =!= 0)),
+        summary(ord.filter(col("o_orderkey") % 5 === 0)),
+        Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("cnt"),
+          col("sum_price_dec").cast("double").as("sum_price"))
+    }),
+
+    // mergeable distinct-count sketches: per-month HLL sketches union
+    // into the global estimate — the incremental path for COUNT(DISTINCT)
+    // over a 100 TB history (sketches persist per partition; a new month
+    // merges in O(sketch), no rescan). Output pairs the estimate with
+    // the exact count; rows-only check (sketch bytes are engine-specific)
+    "q_hll_partitioned" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sketches = ev
+        .groupBy(date_trunc("month", col("ts")).as("m"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val est = sketches
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+          .as("est_users"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+      est.crossJoin(exact)
+    }),
+
     // what did this batch do: added / removed / changed / unchanged per
     // key across two deterministic snapshot slices of orders
     "q_snapshot_diff" -> ((s, d) => {
@@ -1090,6 +1124,14 @@ object SparkEntry {
                        ORDER BY year(l_shipdate)::INT), ',') AS ship_years,
                 COUNT(DISTINCT l_suppkey)::INT AS n_suppliers
          FROM lineitem GROUP BY l_returnflag""",
+
+    // the merged summary must equal a from-scratch aggregate — the whole
+    // point of the incremental-maintenance contract
+    "q_incremental_agg" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sum_price
+         FROM orders GROUP BY o_orderpriority""",
 
     "q_snapshot_diff" ->
       """WITH o AS (

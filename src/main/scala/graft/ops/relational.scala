@@ -93,6 +93,31 @@ object relational {
     salted.join(dimExp, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Incremental aggregate maintenance (materialized-view merge): fold a
+    * delta batch's partial summary into an existing summary WITHOUT
+    * rescanning the base data — the update step of an incrementally
+    * maintained rollup table. Both inputs carry the same shape
+    * (keys + mergeable measures: counts, sums, min/max would need their
+    * own merge fn); the merge is one groupBy summing every measure, and
+    * at 100 TB its cost is |summary| + |delta|, independent of base
+    * history. Averages must be stored as (sum, count) — they are not
+    * directly mergeable; that decomposition is the caller's contract.
+    */
+  def incrementalAgg(baseSummary: DataFrame, deltaSummary: DataFrame,
+                     keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "incrementalAgg needs grouping keys")
+    val measures = baseSummary.columns.filterNot(keys.contains)
+    require(measures.nonEmpty, "incrementalAgg needs measure columns")
+    // sum widens types (bigint stays, decimal(p,s) → decimal(p+10,s));
+    // cast each merged measure back to its declared summary type so the
+    // maintained table's schema is stable across merges
+    val merged = measures.map(c =>
+      sum(col(c)).cast(baseSummary.schema(c).dataType).as(c))
+    baseSummary.unionByName(deltaSummary)
+      .groupBy(keys.map(col): _*)
+      .agg(merged.head, merged.tail: _*)
+  }
+
   /** Snapshot diff: classify every key as added / removed / changed /
     * unchanged between two table versions — the audit half of a lake
     * upsert (what did this batch actually do?), and the input to

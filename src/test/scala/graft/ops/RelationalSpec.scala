@@ -72,6 +72,43 @@ class RelationalSpec extends SparkSpec {
     assert(df.count() === 5)
   }
 
+  test("incrementalAgg: merged summary ≡ recompute, schema stable") {
+    val rows = (0L until 1000L).map(i => (s"k${i % 7}", i))
+      .toDF("k", "v")
+    def summary(df: org.apache.spark.sql.DataFrame) = df.groupBy("k")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("s"))
+    val base = summary(rows.filter(col("v") % 3 =!= 0))
+    val delta = summary(rows.filter(col("v") % 3 === 0))
+    val merged = relational.incrementalAgg(base, delta, Seq("k"))
+    // stable = same names and TYPES (sum() relaxes count()'s
+    // non-nullability — irrelevant to a maintained table's schema)
+    assert(merged.schema.map(f => (f.name, f.dataType)) ===
+      base.schema.map(f => (f.name, f.dataType)),
+      "summary schema must be stable")
+    val expect = summary(rows).collect().map(r => r.getString(0) -> r).toMap
+    merged.collect().foreach { r =>
+      val e = expect(r.getString(0))
+      assert(r.getLong(1) === e.getLong(1))
+      assert(r.getDecimal(2) === e.getDecimal(2))
+    }
+    // idempotent shape: merging an empty delta changes nothing
+    val again = relational.incrementalAgg(merged, merged.limit(0), Seq("k"))
+    assert(again.collect().toSet === merged.collect().toSet)
+  }
+
+  test("HLL sketches: union of per-part sketches ≈ exact distinct") {
+    val rows = spark.range(50000).select((col("id") % 9973).as("u"),
+      (col("id") % 4).as("part"))
+    val parts = rows.groupBy("part")
+      .agg(expr("hll_sketch_agg(u)").as("sk"))
+    val est = parts.agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+      .as("est")).head().getLong(0)
+    assert(math.abs(est - 9973.0) / 9973.0 < 0.05,
+      s"HLL estimate $est vs exact 9973")
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged; " +
     "null transitions are changes") {
     val prev = Seq((1L, Some("a")), (2L, Some("b")), (3L, Option.empty[String]),
