@@ -641,6 +641,85 @@ object SparkEntry {
         GROUP BY o_year""")
     }),
 
+    // TPC-H Q13 shape: order-count distribution per customer — a LEFT
+    // OUTER join with a predicate ON THE JOIN (not a post-filter), then
+    // a two-level aggregate; customers with no qualifying orders count
+    // as c_count = 0
+    "q_sql_q13" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer_v LEFT OUTER JOIN orders_v
+            ON c_custkey = o_custkey
+            AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        GROUP BY c_count""")
+    }),
+
+    // TPC-H Q15 shape: top-revenue supplier via a scalar subquery over a
+    // CTE the outer query also reads — exact decimal equality against
+    // the max, so ties surface instead of being dropped
+    "q_sql_q15" -> ((s, d) => {
+      t(s, d, "supplier").createOrReplaceTempView("supplier_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,4))) AS total_rev
+          FROM lineitem_v
+          WHERE l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate < DATE '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, CAST(total_rev AS DOUBLE) AS total_revenue
+        FROM supplier_v JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)""")
+    }),
+
+    // TPC-H Q17 shape: small-quantity revenue against a CORRELATED
+    // scalar subquery (per-part average) — Catalyst must decorrelate to
+    // an aggregate + join, not re-run the subquery per row
+    "q_sql_q17" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem_v l1
+        WHERE l_quantity < (
+          SELECT 0.2 * AVG(l_quantity) FROM lineitem_v l2
+          WHERE l2.l_partkey = l1.l_partkey)""")
+    }),
+
+    // TPC-H Q21 shape: suppliers who were the ONLY problem line in a
+    // multi-supplier order — EXISTS + NOT EXISTS over the same fact,
+    // decorrelated to semi + anti joins ('R' returns stand in for the
+    // reference's late-receipt columns, absent from this schema)
+    "q_sql_q21" -> ((s, d) => {
+      t(s, d, "supplier").createOrReplaceTempView("supplier_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier_v
+        JOIN lineitem_v l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders_v ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT * FROM lineitem_v l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT * FROM lineitem_v l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10""")
+    }),
+
     // TPC-H Q10 shape: returned-item revenue per customer, top 20 —
     // fact-fact join + group + deterministic top-k
     "q_sql_q10" -> ((s, d) => {
@@ -1255,6 +1334,55 @@ object SparkEntry {
              AND o_orderdate < DATE '1998-01-01'
              AND p_type = 'PROMO') all_nations
          GROUP BY o_year""",
+
+    "q_sql_q13" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey
+             AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count""",
+
+    "q_sql_q15" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+                  SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= DATE '1996-01-01'
+             AND l_shipdate < DATE '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, CAST(total_rev AS DOUBLE) AS total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)""",
+
+    "q_sql_q17" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) / 7.0 AS avg_yearly
+         FROM lineitem l1
+         WHERE l_quantity < (
+           SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+           WHERE l2.l_partkey = l1.l_partkey)""",
+
+    "q_sql_q21" ->
+      """SELECT s_name, count(*)::BIGINT AS numwait
+         FROM supplier
+         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND EXISTS (
+             SELECT * FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (
+             SELECT * FROM lineitem l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey
+               AND l3.l_returnflag = 'R')
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 10""",
 
     "q_sql_q10" ->
       """SELECT c_custkey, c_name,

@@ -150,6 +150,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("correlated subqueries (Q17/Q21) decorrelate to joins") {
+    // a correlated scalar subquery / EXISTS that did NOT decorrelate
+    // would surface as a nested-loop re-execution per outer row — the
+    // plan must instead carry aggregates + (semi/anti) hash joins
+    Seq("q_sql_q17", "q_sql_q21").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q did not decorrelate:\n${plan.take(2000)}")
+    }
+  }
+
   test("bm25TopK: bounded top-k, broadcast stats, no global sort") {
     val df = SparkEntry.queries("q_bm25_topk")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
