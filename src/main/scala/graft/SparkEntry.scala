@@ -467,6 +467,13 @@ object SparkEntry {
         Seq("o_orderkey"), "version")
     }),
 
+    // dataset integrity stamp: order/partitioning-independent content
+    // hash over the documents table's canonical projection
+    "q_dataset_fingerprint" -> ((s, d) =>
+      graft.ops.relational.datasetFingerprint(
+        t(s, d, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
+
     // incremental rollup maintenance: the merged (base ⊎ delta) summary
     // must equal a from-scratch aggregate over the full table — which is
     // exactly what the oracle computes
@@ -1203,6 +1210,14 @@ object SparkEntry {
                        ORDER BY year(l_shipdate)::INT), ',') AS ship_years,
                 COUNT(DISTINCT l_suppkey)::INT AS n_suppliers
          FROM lineitem GROUP BY l_returnflag""",
+
+    "q_dataset_fingerprint" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+                (SUM(('0x' || substr(md5(
+                     doc_id::VARCHAR || '|' || lang || '|' || source
+                     || '|' || n_chars::VARCHAR), 1, 15))::BIGINT)
+                 % (2::HUGEINT ^ 60)::HUGEINT)::VARCHAR AS content_hash
+         FROM documents""",
 
     // the merged summary must equal a from-scratch aggregate — the whole
     // point of the incremental-maintenance contract

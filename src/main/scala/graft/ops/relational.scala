@@ -93,6 +93,27 @@ object relational {
     salted.join(dimExp, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Order-independent dataset fingerprint: (row count, commutative
+    * content hash) over a canonical projection — the integrity stamp for
+    * dataset versioning ("is this the same data I trained on?"). The
+    * hash is the SUM (mod 2⁶⁰) of each row's md5-prefix, so it is
+    * independent of row order, partitioning, and cluster size, and any
+    * single-row change moves it. Scan-local per row + one partial-agg
+    * shuffle of two numbers — the 100 TB cost is one pass.
+    *
+    * 60-bit per-row values (15 hex chars) keep every intermediate inside
+    * engine-portable integer ranges; the sum runs in decimal(38,0) so it
+    * cannot overflow short of 10¹⁹ rows. */
+  def datasetFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
+    val rowHash = conv(substring(
+      md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)),
+      1, 15), 16, 10).cast("decimal(38,0)")
+    df.agg(count(lit(1)).as("n_rows"),
+      pmod(sum(rowHash), lit(BigDecimal(2).pow(60)).cast("decimal(38,0)"))
+        .cast("string").as("content_hash"))
+  }
+
   /** Incremental aggregate maintenance (materialized-view merge): fold a
     * delta batch's partial summary into an existing summary WITHOUT
     * rescanning the base data — the update step of an incrementally

@@ -98,6 +98,23 @@ class RelationalSpec extends SparkSpec {
     assert(again.collect().toSet === merged.collect().toSet)
   }
 
+  test("datasetFingerprint: layout-independent, change-sensitive") {
+    val rows = (0L until 5000L).map(i => (i, s"v$i")).toDF("id", "v")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      relational.datasetFingerprint(df, Seq("id", "v"))
+        .as[(Long, String)].head()
+    val base = fp(rows)
+    assert(base._1 === 5000L)
+    // any partitioning / ordering gives the identical stamp
+    assert(fp(rows.repartition(17)) === base)
+    assert(fp(rows.orderBy(col("v").desc)) === base)
+    // one changed row moves it; a dropped row moves it
+    val changed = rows.withColumn("v",
+      when(col("id") === 4321L, lit("X")).otherwise(col("v")))
+    assert(fp(changed)._2 !== base._2)
+    assert(fp(rows.filter(col("id") =!= 0L))._2 !== base._2)
+  }
+
   test("HLL sketches: union of per-part sketches ≈ exact distinct") {
     val rows = spark.range(50000).select((col("id") % 9973).as("u"),
       (col("id") % 4).as("part"))
