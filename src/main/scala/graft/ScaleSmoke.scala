@@ -161,6 +161,35 @@ object ScaleSmoke {
         .filter(col("dup_ratio") > 0.5).count()
     }
 
+    timed("snapshot diff (full outer)") {
+      // two 50M-row snapshot versions: ~10% keys removed, ~10% added,
+      // ~3% changed — one full-outer shuffle join on the key, the audit
+      // shape at table scale
+      val prev = spark.range(rows).filter(col("id") % 10 =!= 0)
+        .select(col("id").as("k"), (col("id") % 97).as("v"))
+      val next = spark.range(rows).filter(col("id") % 11 =!= 0)
+        .select(col("id").as("k"),
+          when(col("id") % 31 === 0, col("id") % 89)
+            .otherwise(col("id") % 97).as("v"))
+      graft.ops.relational.snapshotDiff(prev, next, Seq("k"), Seq("v"))
+        .filter(col("change_type") =!= "unchanged").count()
+    }
+
+    timed("bm25 lexical top-k") {
+      // rows/250 (default 200k) 40-token docs; the occurrence explode is
+      // filtered to the 4 query terms BEFORE any shuffle, so the shape
+      // is scan + two small partial aggs + broadcasts — corpus size only
+      // enters through the one scan
+      val nd = rows / 250
+      val docs = spark.range(nd).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 40).map(j =>
+            concat(lit("w"), ((col("id") * (j + 7)) % 997)
+              .cast("string"))): _*).as("text"))
+      graft.text.Text.bm25TopK(docs, "doc_id", "text",
+        Seq("w1", "w13", "w101", "w499"), k = 100).count()
+    }
+
     timed("semantic dedup (cell-bounded)") {
       // rows/250 (default 200k) 16-dim vectors in √N ≈ 450 cells — the
       // SemDeDup sizing: expected block = √N, total pair volume ≈ N·√N/k
