@@ -96,6 +96,16 @@ class RelationalSpec extends SparkSpec {
     // idempotent shape: merging an empty delta changes nothing
     val again = relational.incrementalAgg(merged, merged.limit(0), Seq("k"))
     assert(again.collect().toSet === merged.collect().toSet)
+    // associative: ((a ⊎ b) ⊎ c) ≡ (a ⊎ (b ⊎ c)) — the property that
+    // lets a maintained rollup absorb deltas in any batch grouping
+    val s1 = summary(rows.filter(col("v") % 3 === 1))
+    val s2 = summary(rows.filter(col("v") % 3 === 2))
+    val s0 = summary(rows.filter(col("v") % 3 === 0))
+    val left = relational.incrementalAgg(
+      relational.incrementalAgg(s0, s1, Seq("k")), s2, Seq("k"))
+    val right = relational.incrementalAgg(s0,
+      relational.incrementalAgg(s1, s2, Seq("k")), Seq("k"))
+    assert(left.collect().toSet === right.collect().toSet)
   }
 
   test("datasetFingerprint: layout-independent, change-sensitive") {
