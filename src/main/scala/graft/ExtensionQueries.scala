@@ -280,6 +280,17 @@ object ExtensionQueries {
       Similarity.semDedup(t(s, d, "embeddings"), "label",
         threshold = 0.4)),
 
+    // the full SemDeDup recipe: LEARN the cells (deterministic Lloyd),
+    // then dedup within them — clustering + within-cell compare as one
+    // composed pipeline
+    "q_semdedup_kmeans" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.semDedup(
+        emb.join(Similarity.kmeansCells(emb, k = 4, iters = 2),
+          "vec_id"),
+        "cell", threshold = 0.4)
+    }),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"), "doc_id", "text", bits = 16)),
 
@@ -1405,6 +1416,59 @@ object ExtensionQueries {
 
     "q_ann_filtered" ->
       annSql("c.vec_id <> q.vec_id AND c.label = 2", "q.vec_id < 10"),
+
+    // q_ann_kmeans's unrolled-Lloyd CTE chain, then the q_semdedup
+    // suffix on the LEARNED cells instead of the stored label
+    "q_semdedup_kmeans" ->
+      """WITH v0 AS (SELECT vec_id, embedding AS e FROM embeddings),
+         c0 AS (
+           SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell,
+                  e::DOUBLE[] AS c
+           FROM v0 ORDER BY vec_id LIMIT 4),
+         d1 AS (
+           SELECT v0.vec_id, c0.cell,
+                  -2 * list_dot_product(v0.e::DOUBLE[],
+                         (c0.c::FLOAT[])::DOUBLE[])
+                    + list_dot_product((c0.c::FLOAT[])::DOUBLE[],
+                        (c0.c::FLOAT[])::DOUBLE[]) AS d
+           FROM v0 CROSS JOIN c0),
+         a1 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d, cell) AS rn
+             FROM d1) WHERE rn = 1),
+         m1 AS (
+           SELECT cell, list(s ORDER BY j) AS c FROM (
+             SELECT a1.cell, j, sum(v0.e[j]::DOUBLE) / count(*) AS s
+             FROM v0 JOIN a1 USING (vec_id), range(1, 65) t(j)
+             GROUP BY a1.cell, j)
+           GROUP BY cell),
+         d2 AS (
+           SELECT v0.vec_id, m1.cell,
+                  -2 * list_dot_product(v0.e::DOUBLE[],
+                         (m1.c::FLOAT[])::DOUBLE[])
+                    + list_dot_product((m1.c::FLOAT[])::DOUBLE[],
+                        (m1.c::FLOAT[])::DOUBLE[]) AS d
+           FROM v0 CROSS JOIN m1),
+         a2 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d, cell) AS rn
+             FROM d2) WHERE rn = 1),
+         v AS (
+           SELECT a2.vec_id, a2.cell,
+                  list_transform(v0.e, x -> x::DOUBLE) AS emb
+           FROM a2 JOIN v0 USING (vec_id)),
+         p AS (
+           SELECT b.vec_id AS ib
+           FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.emb, b.emb) /
+                   (sqrt(list_dot_product(a.emb, a.emb)) *
+                    sqrt(list_dot_product(b.emb, b.emb))) >= 0.4)
+         SELECT vec_id, cell FROM v
+         WHERE vec_id NOT IN (SELECT ib FROM p)""",
 
     // Two unrolled Lloyd iterations; mirrors Similarity.kmeansCells
     // (k=4, iters=2): init = 4 lowest-id vectors, argmin of
