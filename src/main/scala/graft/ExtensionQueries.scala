@@ -913,7 +913,8 @@ object ExtensionQueries {
            SELECT lang, quantile_cont(mwl, 0.75) AS t
            FROM m GROUP BY lang)
          SELECT doc_id, lang
-         FROM m JOIN thr USING (lang) WHERE mwl >= t""",
+         FROM m JOIN thr USING (lang)
+         WHERE round(mwl * 10000) / 10000 >= round(t * 10000) / 10000""",
 
     "q_bm25_topk" ->
       """WITH tok AS (

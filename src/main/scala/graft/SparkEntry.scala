@@ -1252,11 +1252,15 @@ object SparkEntry {
                 COUNT(DISTINCT l_suppkey)::INT AS n_suppliers
          FROM lineitem GROUP BY l_returnflag""",
 
+    // nulls encode as a chr(0) sentinel on BOTH engines (concat_ws alone
+    // would skip null columns; '||' would null the whole row hash out)
     "q_dataset_fingerprint" ->
       """SELECT count(*)::BIGINT AS n_rows,
                 (SUM(('0x' || substr(md5(
-                     doc_id::VARCHAR || '|' || lang || '|' || source
-                     || '|' || n_chars::VARCHAR), 1, 15))::BIGINT)
+                     coalesce(doc_id::VARCHAR, chr(0)) || '|'
+                     || coalesce(lang, chr(0)) || '|'
+                     || coalesce(source, chr(0)) || '|'
+                     || coalesce(n_chars::VARCHAR, chr(0))), 1, 15))::BIGINT)
                  % (2::HUGEINT ^ 60)::HUGEINT)::VARCHAR AS content_hash
          FROM documents""",
 

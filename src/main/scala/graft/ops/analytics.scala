@@ -121,7 +121,7 @@ object analytics {
     * half-away-from-zero like `std::round`, and the multiply/divide are
     * the same IEEE ops — so boundary values agree at every scale.
     */
-  private def roundDouble(c: Column, n: Int): Column = {
+  private[graft] def roundDouble(c: Column, n: Int): Column = {
     val f = math.pow(10, n)
     round(c * f) / f
   }

@@ -103,11 +103,18 @@ object relational {
     *
     * 60-bit per-row values (15 hex chars) keep every intermediate inside
     * engine-portable integer ranges; the sum runs in decimal(38,0) so it
-    * cannot overflow short of 10¹⁹ rows. */
+    * cannot overflow short of 10¹⁹ rows.
+    *
+    * Nulls are encoded as a NUL-byte sentinel (not skipped): concat_ws
+    * alone drops null columns, which would collide rows that differ only
+    * in WHICH column is null — (a,NULL,b) vs (a,b,NULL). The sentinel
+    * cannot appear in sane text data; callers with NUL-bearing strings
+    * should pre-escape. */
   def datasetFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "fingerprint needs at least one column")
+    val enc = cols.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
     val rowHash = conv(substring(
-      md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)),
+      md5(concat_ws("|", enc: _*)),
       1, 15), 16, 10).cast("decimal(38,0)")
     df.agg(count(lit(1)).as("n_rows"),
       pmod(sum(rowHash), lit(BigDecimal(2).pow(60)).cast("decimal(38,0)"))
@@ -131,9 +138,20 @@ object relational {
     require(measures.nonEmpty, "incrementalAgg needs measure columns")
     // sum widens types (bigint stays, decimal(p,s) → decimal(p+10,s));
     // cast each merged measure back to its declared summary type so the
-    // maintained table's schema is stable across merges
-    val merged = measures.map(c =>
-      sum(col(c)).cast(baseSummary.schema(c).dataType).as(c))
+    // maintained table's schema is stable across merges. Under non-ANSI
+    // mode a narrowing overflow would silently become null and corrupt
+    // the maintained rollup — fail loudly instead: the cast may only be
+    // null where the widened sum itself is null (all-null inputs).
+    val merged = measures.map { c =>
+      val dt = baseSummary.schema(c).dataType
+      val widened = sum(col(c))
+      val back = widened.cast(dt)
+      when(back.isNull && widened.isNotNull,
+        raise_error(concat(
+          lit(s"incrementalAgg: merged measure '$c' overflows " +
+            s"${dt.simpleString}: "), widened.cast("string"))))
+        .otherwise(back).as(c)
+    }
     baseSummary.unionByName(deltaSummary)
       .groupBy(keys.map(col): _*)
       .agg(merged.head, merged.tail: _*)

@@ -316,6 +316,11 @@ object Similarity {
       .agg(sum(col("pdot_micro")).as("adot_micro"),
         sum(col("pn2_micro")).as("an2_micro"))
       .filter(col("vec_id") =!= col("query_id"))
+      // an all-zero reconstruction (an2 = 0) has no direction, so it
+      // cannot be cosine-ranked — drop it explicitly instead of letting
+      // 0/0 → NaN misrank (NaN sorts above every real score in Spark's
+      // descending order)
+      .filter(col("an2_micro") > 0)
       .join(broadcast(qn), Seq("query_id"))
       .withColumn("score", (col("adot_micro") / 1e6) /
         (col("qnorm") * sqrt(col("an2_micro") / 1e6)))
@@ -361,6 +366,9 @@ object Similarity {
       .agg(sum(col("pdot_micro")).as("adot_micro"),
         sum(col("pn2_micro")).as("an2_micro"))
       .filter(col("vec_id") =!= col("query_id"))
+      // same zero-norm guard as pqTopK: an2 = 0 ⇒ no direction ⇒ drop
+      // rather than 0/0 → NaN (which would sort above real scores)
+      .filter(col("an2_micro") > 0)
       .join(broadcast(qn), Seq("query_id"))
       .withColumn("score", (col("adot_micro") / 1e6) /
         (col("qnorm") * sqrt(col("an2_micro") / 1e6)))
@@ -477,21 +485,54 @@ object Similarity {
     * as LSH banding, but with the block structure learned from the
     * embedding geometry instead of hashed.
     *
+    * A BAD clustering must not melt a reducer, though: any cell larger
+    * than `maxBlock` is salted into s = ⌈size/maxBlock⌉ sub-cells and
+    * its pairs are produced per sub-cell PAIR-block (i ≤ j) — row u with
+    * salt u joins blocks (u, j≥u) on the a-side and (i≤u, u) on the
+    * b-side, so every unordered pair lands in exactly one block and the
+    * result is lossless while the largest join task is ~2·maxBlock rows
+    * spread over s² tasks. Normal cells get s = 1, which degenerates to
+    * the plain within-cell self-join.
+    *
     * Returns the KEPT rows as (vec_id, cell). */
-  def semDedup(vectors: DataFrame, cellCol: String, threshold: Double)
-  : DataFrame = {
+  def semDedup(vectors: DataFrame, cellCol: String, threshold: Double,
+               maxBlock: Int = 10000): DataFrame = {
     require(threshold >= -1.0 && threshold <= 1.0,
       s"cosine threshold must be in [-1,1], got $threshold")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
     val v = vectors.select(col("vec_id"), col(cellCol).as("cell"),
       col("embedding"))
-    val pairs = v.toDF("id_a", "cell", "emb_a")
-      .join(v.toDF("id_b", "cell", "emb_b"), Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
+    // per-cell sub-split factor: 1 for well-behaved cells (the common
+    // case), ⌈size/maxBlock⌉ for hot ones. One tiny agg (a row per cell)
+    // joined back — AQE picks broadcast when the cell count allows.
+    val sizes = v.groupBy("cell")
+      .agg(ceil(count(lit(1)).cast("double") / maxBlock).cast("int")
+        .as("__s"))
+    val salted = v.join(sizes, Seq("cell"))
+      .withColumn("__salt",
+        pmod(xxhash64(col("vec_id")), col("__s")).cast("int"))
+    val aSide = salted
+      .withColumn("__j",
+        explode(sequence(col("__salt"), col("__s") - 1)))
+      .select(col("cell"), col("__salt").as("__i"), col("__j"),
+        col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val bSide = salted
+      .withColumn("__i", explode(sequence(lit(0), col("__salt"))))
+      .select(col("cell"), col("__i"), col("__salt").as("__j"),
+        col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val pairs = aSide.join(bSide, Seq("cell", "__i", "__j"))
+      // cross blocks (i<j) hold disjoint rows — every pair is new; the
+      // diagonal (i=j) is a self-join — halve it by id order
+      .filter(col("__i") < col("__j") || col("id_a") < col("id_b"))
       .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
-    // every dropped vector appears as the higher id of ≥1 pair; the drop
-    // set is ≪ corpus (it is the duplicate mass), so it broadcasts
-    val drops = pairs.select(col("id_b").as("vec_id")).distinct()
+    // every dropped vector is the higher id of ≥1 qualifying pair (in
+    // cross blocks the salt order is unrelated to id order, so take
+    // greatest explicitly). The drop set is usually ≪ corpus, but with a
+    // low threshold it approaches corpus size — no broadcast hint; AQE
+    // decides from the measured size.
+    val drops = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("vec_id")).distinct()
     v.select(col("vec_id"), col("cell"))
-      .join(broadcast(drops), Seq("vec_id"), "left_anti")
+      .join(drops, Seq("vec_id"), "left_anti")
   }
 }

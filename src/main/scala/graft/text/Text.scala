@@ -230,6 +230,13 @@ object Text {
     * language" corpus cut. The threshold is the EXACT interpolated
     * percentile via [[graft.ops.quantiles.exactPercentiles]] (spillable,
     * no whole-group buffer), joined back broadcast (one row per group).
+    *
+    * Both sides of the `>=` are rounded through a fixed 4dp scale
+    * (the [[graft.ops.analytics.roundDouble]] pattern): at a tied
+    * boundary the interpolated threshold lands exactly ON a data value,
+    * and the two-sided weighted interpolation can differ from another
+    * engine's lo+frac·(hi−lo) form in the last ulp — unrounded, that
+    * flips inclusion of the boundary rows.
     */
   def percentileGate(df: DataFrame, groupCol: String, metric: Column,
                      p: Double): DataFrame = {
@@ -238,7 +245,8 @@ object Text {
     val thresholds = graft.ops.quantiles.exactPercentiles(
       staged, groupCol, "__metric", Seq("__thr" -> p))
     staged.join(broadcast(thresholds), Seq(groupCol))
-      .filter(col("__metric") >= col("__thr"))
+      .filter(graft.ops.analytics.roundDouble(col("__metric"), 4) >=
+        graft.ops.analytics.roundDouble(col("__thr"), 4))
       .drop("__metric", "__thr")
   }
 

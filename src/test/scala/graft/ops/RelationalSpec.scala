@@ -125,6 +125,47 @@ class RelationalSpec extends SparkSpec {
     assert(fp(rows.filter(col("id") =!= 0L))._2 !== base._2)
   }
 
+  test("datasetFingerprint distinguishes WHICH column is null") {
+    // concat_ws alone would hash (a,NULL,b) and (a,b,NULL) identically;
+    // the NUL sentinel must keep them apart, and null vs empty-string
+    // must differ too
+    def fp(rows: Seq[(String, String, String)]) =
+      relational.datasetFingerprint(
+        rows.toDF("a", "b", "c"), Seq("a", "b", "c"))
+        .as[(Long, String)].head()._2
+    assert(fp(Seq(("a", null, "b"))) !== fp(Seq(("a", "b", null))))
+    assert(fp(Seq(("a", null, "b"))) !== fp(Seq(("a", "", "b"))))
+  }
+
+  test("incrementalAgg fails loudly when a merged measure overflows") {
+    // decimal(3,0) summaries: 600 + 600 = 1200 does not fit back. Under
+    // ANSI (the session default) the narrowing cast itself throws; under
+    // non-ANSI the cast yields null and the raise_error guard fires —
+    // either way the merge must NEVER silently null the cell
+    val base = Seq(("k1", BigDecimal(600))).toDF("k", "s")
+      .select(col("k"), col("s").cast("decimal(3,0)").as("s"))
+    val delta = Seq(("k1", BigDecimal(600))).toDF("k", "s")
+      .select(col("k"), col("s").cast("decimal(3,0)").as("s"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    val ex = intercept[Exception] {
+      relational.incrementalAgg(base, delta, Seq("k")).collect()
+    }
+    assert(msgs(ex).exists(m => m != null &&
+      (m.contains("overflows") || m.contains("cannot be represented"))),
+      s"expected a loud overflow failure, got: $ex")
+    // and the guard path itself, with ANSI off
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val ex2 = intercept[Exception] {
+        relational.incrementalAgg(base, delta, Seq("k")).collect()
+      }
+      assert(msgs(ex2).exists(m => m != null && m.contains("overflows")),
+        s"expected the raise_error guard, got: $ex2")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("HLL sketches: union of per-part sketches ≈ exact distinct") {
     val rows = spark.range(50000).select((col("id") % 9973).as("u"),
       (col("id") % 4).as("part"))

@@ -267,4 +267,32 @@ class SimilaritySpec extends SparkSpec {
     // kept set is pairwise below threshold within every cell
     assert(kept(1L) === 0 && kept(3L) === 0 && kept(4L) === 1)
   }
+
+  test("semDedup hot-cell salting is lossless on a one-mega-cell input") {
+    // adversarial clustering: EVERY vector lands in one cell, so the
+    // plain within-cell self-join would be a single quadratic block.
+    // With maxBlock=16 the 240 rows split into s=15 salted sub-cells;
+    // the pair-block construction must still find exactly the pairs the
+    // unsalted path finds.
+    val n = 240
+    val rows = (0 until n).map { i =>
+      // 40 direction families of 6 near-identical members each → dense
+      // duplicate chains that cross salt boundaries
+      val fam = i % 40
+      val a = math.cos(fam * 0.157).toFloat
+      val b = math.sin(fam * 0.157).toFloat
+      val eps = 1e-4f * (i / 40)
+      (i.toLong, 0, Array(a + eps, b, 0.1f, 0.2f))
+    }.toDF("vec_id", "cell", "embedding")
+    val salted = Similarity.semDedup(rows, "cell", threshold = 0.999,
+        maxBlock = 16)
+      .as[(Long, Int)].collect().map(_._1).toSet
+    val plain = Similarity.semDedup(rows, "cell", threshold = 0.999,
+        maxBlock = 1000000)
+      .as[(Long, Int)].collect().map(_._1).toSet
+    assert(salted === plain)
+    // chain minima survive: vec 0..39 are each the lowest id of their
+    // direction family
+    assert((0L until 40L).toSet.subsetOf(salted))
+  }
 }
