@@ -142,6 +142,24 @@ object ScaleSmoke {
         .count()
     }
 
+    timed("ngram pairs shuffle verify") {
+      // the same prefix-filter pipeline forced onto its NON-broadcast
+      // verify path (limit 0): the lake-scale shape where the doc→ids
+      // map exceeds the broadcast budget and the two verify joins run
+      // as shuffles. Must produce the same planted n/2 pair count.
+      val nd = rows / 500
+      val docs = spark.range(nd).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 40).map(j =>
+            concat(lit(s"w${j}_"),
+              (((col("id") / 2).cast("long") * (j + 7)) % 9973)
+                .cast("string"))) :+
+            concat(lit("tail_"), (col("id") % 2).cast("string")): _*)
+          .as("text"))
+      graft.dedup.Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5,
+        broadcastBytesLimit = 0L).count()
+    }
+
     timed("duplicated-span stats") {
       // rows/250 (default 200k) synthetic 40-token docs; every doc pair
       // 2k/2k+1 shares its whole text (their spans are all duplicated)
@@ -208,6 +226,69 @@ object ScaleSmoke {
         (base % cells).cast("int").as("cell"))
       graft.similarity.Similarity.semDedup(vecs, "cell", threshold = 0.999)
         .count()
+    }
+
+    timed("semDedup hot-cell salting") {
+      // adversarial clustering at scale: 5% of rows/250 (default 10k of
+      // 200k) vectors crowd into ONE cell. maxBlock=2000 salts that cell
+      // into s=5 sub-cells → 15 pair-blocks of ≤ ~2·2000 rows each,
+      // spreading the unavoidable within-cell quadratic work across
+      // tasks instead of melting one reducer.
+      val n = rows / 250
+      val cells = math.max(1, math.sqrt(n.toDouble).toInt)
+      val base = (col("id") / 2).cast("long")
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        array((0 until 16).map(j =>
+          (((base * (j + 3)) % 1009).cast("float") - 504.0f)): _*)
+          .as("embedding"),
+        when(base % 20 === 0, 0)
+          .otherwise((base % cells).cast("int") + 1).as("cell"))
+      graft.similarity.Similarity.semDedup(vecs, "cell",
+        threshold = 0.999, maxBlock = 2000).count()
+    }
+
+    timed("streaming rocksdb dedup") {
+      // rows/2 (default 25M) events through the streaming exact-dedup
+      // shape with the RocksDB state store: 16 parquet files → 16
+      // micro-batches, watermarked dropDuplicates over rows/20 distinct
+      // keys (default 2.5M live state entries — the "state dwarfs heap"
+      // regime the RocksDB provider exists for). Output counts flow
+      // through foreachBatch; nothing collects on the driver.
+      val n = rows / 2
+      val keys = math.max(1L, n / 10)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_scale_stream").toString
+      spark.range(n).select(
+        (col("id") % keys).as("user_id"),
+        concat(lit("ev_"), (col("id") % 5).cast("string"))
+          .as("event_type"),
+        expr("timestamp_micros(1600000000000000 + id * 1000)").as("ts"))
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$dir/in")
+      val sess = spark.newSession()
+      sess.conf.set("spark.sql.shuffle.partitions", cpus)
+      sess.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      sess.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true")
+      val schema = sess.read.parquet(s"$dir/in").schema
+      val total = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = sess.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in")
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          total.addAndGet(df.count()); ()
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      total.get()
     }
 
     timed("connected components") {

@@ -424,7 +424,8 @@ object Dedup {
     * 1 + min(n_a−i_a, n_b−i_b), which must reach t·(n_a+n_b)/(1+t).
     * Both bounds are relaxed by an epsilon so float rounding can only
     * ADMIT a candidate, never drop a true pair. */
-  def ngramJaccardPairs(docs: DataFrame, k: Int, threshold: Double)
+  def ngramJaccardPairs(docs: DataFrame, k: Int, threshold: Double,
+                        broadcastBytesLimit: Long = 256L << 20)
   : DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
@@ -480,15 +481,25 @@ object Dedup {
         col("n_b") - col("i_b"))).cast("double") >= reqOverlap)
       .select("doc_a", "doc_b")
       .distinct()
-    // broadcast the doc→ids map into BOTH verify joins: the checkpointed
-    // frame has no stats, so AQE can't make this call itself, and the
-    // shuffle alternative ships each candidate's two id arrays through
-    // two exchanges while the map itself is ~100× smaller. At lake scale
-    // with an un-broadcastable corpus this degrades to the shuffle join
-    // by removing the hint — the plan shape stays correct either way.
+    // broadcast the doc→ids map into BOTH verify joins WHEN IT FITS: the
+    // checkpointed frame has no stats, so AQE can't make this call
+    // itself, and the shuffle alternative ships each candidate's two id
+    // arrays through two exchanges while the map itself is ~100×
+    // smaller. The hint is gated on a measured size estimate (the
+    // checkpoint makes the two-number agg a cheap local read): an
+    // un-broadcastable lake-scale corpus takes the shuffle join — same
+    // pairs, no driver/executor OOM from a forced build side.
+    val (nDocs, totalIds) = enc
+      .agg(count(lit(1)), sum(size(col("ids"))))
+      .as[(Long, Option[Long])].head()
+    val estBytes = nDocs * 32L + totalIds.getOrElse(0L) * 8L
+    def verifySide(keyName: String, idsName: String): DataFrame = {
+      val f = enc.toDF(keyName, idsName)
+      if (estBytes <= broadcastBytesLimit) broadcast(f) else f
+    }
     cands
-      .join(broadcast(enc.toDF("doc_a", "ids_a")), Seq("doc_a"))
-      .join(broadcast(enc.toDF("doc_b", "ids_b")), Seq("doc_b"))
+      .join(verifySide("doc_a", "ids_a"), Seq("doc_a"))
+      .join(verifySide("doc_b", "ids_b"), Seq("doc_b"))
       // native merge-count over the (sorted) id arrays; |A∪B| follows
       // as |A|+|B|−c, so no per-row set builds anywhere in the verify
       .withColumn("c", call_function("graft_overlap",

@@ -87,6 +87,13 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(got === naive)
     assert(naive.nonEmpty, "corpus must produce near-dup pairs")
+    // the size-gated verify join must produce the identical pair set on
+    // its shuffle path (limit 0 forces it) — the lake-scale shape where
+    // the doc→gram-ids map no longer broadcasts
+    val shuffled = Dedup.ngramJaccardPairs(corpus, k = 3, threshold = 0.4,
+      broadcastBytesLimit = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(shuffled === naive)
   }
 
   test("incremental near-dups ≡ full-corpus pairs restricted to new×corpus") {
