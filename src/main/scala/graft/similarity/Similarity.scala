@@ -88,6 +88,37 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Per-query ranked probe cells — the shared front half of multi-probe
+    * search: derive each cell's centroid from the stored assignment
+    * (posexplode + avg, reassembled in pos order — exactly what an IVF
+    * index persists), broadcast the |cells| centroid rows, and keep each
+    * query's `nProbe` nearest cells. Returns (query_id, q_emb, cell),
+    * one row per probe. */
+  private def rankedProbes(queries: DataFrame, corpus: DataFrame,
+                           cells: DataFrame, nProbe: Int): DataFrame = {
+    val cents = corpus.select(col("vec_id"), col("embedding"))
+      .join(cells, "vec_id")
+      .select(col("cell"), posexplode(col("embedding")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+    val qDist = dot(col("q_emb"), col("centroid").cast("array<float>")) *
+      -2 + dot(col("centroid").cast("array<float>"),
+        col("centroid").cast("array<float>"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("pd"), col("cell"))
+    queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("pd", qDist)
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+  }
+
   /** Multi-probe IVF: each query searches its `nProbe` nearest cells
     * instead of one — the standard recall/latency dial. Centroids are
     * derived from the stored assignment (exactly what an IVF index
@@ -96,31 +127,9 @@ object Similarity {
     * and the per-query cell ranking is a broadcast of |cells| rows. */
   def ivfMultiProbe(queries: DataFrame, corpus: DataFrame,
                     cells: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    // cell means without knowing dim at plan time: posexplode + avg per
-    // (cell, pos), reassembled in pos order
-    val cents = corpus.join(cells, "vec_id")
-      .select(col("cell"), posexplode(col("embedding")))
-      .groupBy("cell", "pos")
-      .agg(avg(col("col").cast("double")).as("m"))
-      .groupBy("cell")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("centroid"))
-
-    val qDist = dot(col("q_emb"), col("centroid").cast("array<float>")) *
-      -2 + dot(col("centroid").cast("array<float>"),
-        col("centroid").cast("array<float>"))
-    val probeW = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("pd"), col("cell"))
-    val probes = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(cents))
-      .withColumn("pd", qDist)
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cell"))
-
-    val cand = corpus.join(cells, "vec_id")
+    val probes = rankedProbes(queries, corpus, cells, nProbe)
+    val cand = corpus.select(col("vec_id"), col("embedding"))
+      .join(cells, "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("embedding").as("c_emb"))
       .join(broadcast(probes), Seq("cell"))
@@ -356,7 +365,10 @@ object Similarity {
         round(dot(col("centroid").cast("array<float>"),
           col("centroid").cast("array<float>")) * 1e6)
           .cast("long").as("pn2_micro"))
+    // dropDuplicates: multi-probe callers pass one query row per probed
+    // cell — the norm is per query, not per probe
     val qn = q.select(col("query_id"), norm(col("q")).as("qnorm"))
+      .dropDuplicates("query_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
@@ -377,6 +389,25 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("score"), 6).as("pq_score"))
+  }
+
+  /** Multi-probe IVF-PQ — the production ANN path with its recall dial:
+    * [[rankedProbes]] picks each query's `nProbe` nearest cells from the
+    * stored assignment's centroids, then [[ivfPqTopK]] runs the ADC join
+    * with the query replicated once per probed cell (the LUT rows carry
+    * the probe cell, so candidate volume is nProbe·|cell|·m per query).
+    * nProbe = |cells| degrades gracefully to full PQ search.
+    *
+    * `cells`: (vec_id, cell) — the stored coarse assignment, used both
+    * for centroid derivation and to restrict candidates. */
+  def ivfPqMultiProbe(queries: DataFrame, corpus: DataFrame,
+                      cells: DataFrame, codes: DataFrame,
+                      codebook: DataFrame, subLen: Int, k: Int,
+                      nProbe: Int): DataFrame = {
+    val probes = rankedProbes(queries, corpus, cells, nProbe)
+      .select(col("query_id").as("vec_id"),
+        col("q_emb").as("embedding"), col("cell"))
+    ivfPqTopK(probes, cells, codes, codebook, subLen, k)
   }
 
   /** Random-hyperplane LSH bucket id (Charikar '02 cosine LSH): sign bits

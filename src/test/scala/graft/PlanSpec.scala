@@ -233,6 +233,51 @@ class PlanSpec extends SparkSpec {
       s"32 shuffle partitions for 5 groups should coalesce:\n${plan.take(2500)}")
   }
 
+  test("snapshotDiff plans one full-outer join, never a cross product") {
+    val plan = SparkEntry.queries("q_snapshot_diff")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"),
+      s"snapshot diff must be a single full-outer join:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // exactly one join: the audit is one pass over the two versions
+    assert(plan.split("Join").length - 1 <= 2, plan.take(2000))
+  }
+
+  test("incremental near-dup probe keeps the corpus index un-re-paired") {
+    // the daily-ingest shape: candidates come from a new×corpus band
+    // equi-join (never corpus×corpus), and the small new-batch side is
+    // the broadcast/build side of the verify joins
+    val plan = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"new-batch side should broadcast into the probe:\n${plan.take(2000)}")
+  }
+
+  test("approx profile aggregates without an Expand (1x scan volume)") {
+    // the 100 TB profile path: approx_count_distinct is a plain partial
+    // aggregate, so the multi-stat agg reads the scan once — unlike the
+    // exact multi-distinct (q_profile), which Expands input rows 4x
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val approxExprs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      approx_count_distinct(col(c)).as(s"nda_$c"),
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val approxPlan = Tables.t(spark, sf, "lineitem")
+      .agg(approxExprs.head, approxExprs.tail: _*)
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"), approxPlan.take(2000))
+    // and the exact formulation really does Expand — the contrast that
+    // makes the approx twin the scale path
+    val exactExprs = cols.map(c => countDistinct(col(c)).as(s"nd_$c"))
+    val exactPlan = Tables.t(spark, sf, "lineitem")
+      .agg(exactExprs.head, exactExprs.tail: _*)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), exactPlan.take(2000))
+  }
+
   test("aggregation combines map-side before the exchange") {
     val plan = Tables.t(spark, sf, "lineitem")
       .groupBy("l_returnflag")

@@ -249,6 +249,33 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (q, n, s) => assert(full((q, n)) === s) }
   }
 
+  test("ivfPqMultiProbe: full fan-out ≡ pqTopK; recall grows with nProbe") {
+    val df = spark.range(64).select(col("id").as("vec_id"),
+      array((0 until 16).map(j =>
+        (sin((col("id") + 1) * (j + 1)) * 100).cast("float")): _*)
+        .as("embedding"),
+      (col("id") % 4).cast("int").as("cell"))
+    val svs = Similarity.pqSubvectors(df, dim = 16, m = 4)
+    val cb = Similarity.pqCodebook(svs, subLen = 4, ksub = 4, rounds = 2)
+    val codes = Similarity.pqAssign(svs, cb)
+    val queries = df.filter(col("vec_id") < 3)
+    val cells = df.select("vec_id", "cell")
+    def hits(nProbe: Int): Map[(Long, Long), Double] =
+      Similarity.ivfPqMultiProbe(queries, df, cells, codes, cb,
+        subLen = 4, k = 5, nProbe = nProbe)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // probing every cell = unrestricted ADC search
+    val full = Similarity.pqTopK(queries, codes, cb, subLen = 4, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(hits(4) === full)
+    // recall of the full top-5 is monotone in nProbe
+    val r = (1 to 4).map(p => hits(p).keySet.count(full.contains))
+    assert(r.zip(r.tail).forall { case (a, b) => a <= b })
+    assert(r.last === full.size)
+  }
+
   test("semDedup drops every higher-id near-dup, keeps chain minima") {
     // cell 0: vectors 1,2 parallel (cos=1), 3 orthogonal; cell 1: 4,5
     // parallel; vector 6 parallel to 1 but in another cell → kept (cells
