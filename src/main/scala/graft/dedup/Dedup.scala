@@ -589,15 +589,15 @@ object Dedup {
   /** Corpus-level dedup decision: drop every non-canonical member of a
     * duplicate component, keep everything else (docs with no dup edge
     * never enter the pair graph and pass through untouched). One
-    * left-anti join against the small non-canonical set — the pair graph
-    * is orders of magnitude smaller than the corpus, so the join side
-    * broadcasts. */
+    * left-anti join against the non-canonical set — usually ≪ corpus
+    * (it is the duplicate mass), but a heavily duplicated corpus can
+    * push it toward corpus size, so no broadcast hint: AQE picks the
+    * strategy from the measured size. */
   def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame,
                     aCol: String, bCol: String): DataFrame = {
     val drop = connectedComponents(pairs, aCol, bCol)
       .filter(!col("is_canonical"))
       .select(col("doc_id").as("__drop_id"))
-    docs.join(broadcast(drop), docs(idCol) === col("__drop_id"),
-      "left_anti")
+    docs.join(drop, docs(idCol) === col("__drop_id"), "left_anti")
   }
 }
