@@ -236,6 +236,26 @@ object ExtensionQueries {
       Text.bm25TopK(t(s, d, "documents"), "doc_id", "text",
         Seq("spark", "vector", "window", "join"), k = 20)),
 
+    // hybrid retrieval: BM25 top-20 and brute-force ANN top-20 (query =
+    // vector 0; doc_id ↔ vec_id is the testdata's 1:1 key) fused by
+    // reciprocal rank — the lexical+vector consensus a RAG/retrieval
+    // pipeline serves
+    "q_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bm25 = Text.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "vector", "window", "join"), k = 20)
+        // rank over the (rounded) returned score — 20 rows, so the
+        // unpartitioned window is a constant-size frame
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, d, "embeddings")
+      val ann = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === 0), emb, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rnk").as("rank"))
+      Text.rrfFuse(Seq(bm25, ann), "doc_id", "rank", k0 = 60, topK = 15)
+    }),
+
     // ---- train/val/test split ---------------------------------------------
     "q_train_split" -> ((s, d) =>
       t(s, d, "documents")
@@ -1046,6 +1066,75 @@ object ExtensionQueries {
            SELECT doc_id, sum(s)::DOUBLE AS sc FROM s GROUP BY doc_id)
          SELECT doc_id, round(sc, 6) AS score FROM agg
          ORDER BY sc DESC, doc_id LIMIT 20""",
+
+    // BM25 CTE as in q_bm25_topk; ANN CTE as in q_ann_bruteforce with
+    // query vec 0 / top-20; fusion sums 1/(60+rank) per doc
+    "q_hybrid_rrf" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         lens AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+         stats AS (
+           SELECT count(*)::BIGINT AS n_docs, avg(dl::DOUBLE) AS avgdl
+           FROM lens),
+         occ AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+         f AS (
+           SELECT doc_id, tok, count(*)::BIGINT AS tf FROM occ
+           WHERE tok IN ('spark', 'vector', 'window', 'join')
+           GROUP BY doc_id, tok),
+         d AS (
+           SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM occ
+           WHERE tok IN ('spark', 'vector', 'window', 'join')
+           GROUP BY tok),
+         s AS (
+           SELECT f.doc_id,
+                  round(ln(1.0 + (stats.n_docs - d.df + 0.5)
+                             / (d.df + 0.5)) * f.tf
+                    / (f.tf + 1.2 * (1.0 - 0.75
+                         + 0.75 * lens.dl / stats.avgdl)),
+                    8)::DECIMAL(18,8) AS s
+           FROM f JOIN d USING (tok)
+                JOIN lens ON f.doc_id = lens.doc_id
+                CROSS JOIN stats),
+         bmagg AS (
+           SELECT doc_id, sum(s)::DOUBLE AS sc FROM s GROUP BY doc_id),
+         bmtop AS (
+           SELECT doc_id, round(sc, 6) AS rsc FROM bmagg
+           ORDER BY sc DESC, doc_id LIMIT 20),
+         bm AS (
+           SELECT doc_id,
+                  row_number() OVER (ORDER BY rsc DESC, doc_id) AS rank
+           FROM bmtop),
+         v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+         annscored AS (
+           SELECT c.vec_id AS doc_id,
+                  list_dot_product(q.emb, c.emb) /
+                    (sqrt(list_dot_product(q.emb, q.emb)) *
+                     sqrt(list_dot_product(c.emb, c.emb))) AS cos
+           FROM v q JOIN v c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id = 0),
+         ann AS (
+           SELECT doc_id, rank FROM (
+             SELECT doc_id,
+                    row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+             FROM annscored)
+           WHERE rank <= 20),
+         u AS (
+           SELECT doc_id, 1.0 / (60 + rank) AS r FROM bm
+           UNION ALL
+           SELECT doc_id, 1.0 / (60 + rank) FROM ann),
+         fused AS (
+           SELECT doc_id, sum(r)::DOUBLE AS rrf,
+                  count(*)::BIGINT AS n_lists
+           FROM u GROUP BY doc_id)
+         SELECT doc_id, round(rrf, 6) AS rrf_score, n_lists
+         FROM (SELECT * FROM fused
+               ORDER BY rrf DESC, doc_id LIMIT 15)""",
 
     "q_text_fingerprint" ->
       s"""WITH toks AS (

@@ -304,6 +304,35 @@ object Text {
       .select(col("doc_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. '09): merge any number of
+    * ranked retrieval lists into one consensus ranking by
+    * score(d) = Σ_lists 1/(k0 + rank_list(d)) — the standard hybrid
+    * (BM25 + ANN) combiner, score-scale-free so lexical and vector
+    * scores never need calibration.
+    *
+    * Each input carries (`idCol`, `rankCol`) with rank 1-based. Shape
+    * at scale: the lists are already top-k bounded (|lists|·k rows
+    * total), so the union + groupBy is tiny regardless of corpus size;
+    * the final order is a TakeOrderedAndProject. The per-doc sum is
+    * order-independent (1-2 IEEE additions of identical operands on any
+    * engine). Ties (same single-list rank in disjoint lists) break by
+    * id. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+              k0: Int, topK: Int): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k0 >= 0 && topK >= 1, s"invalid rrf params: k0=$k0 topK=$topK")
+    lists.map(df => df.select(col(idCol),
+        (lit(1.0) / (lit(k0) + col(rankCol))).as("__rrf")))
+      .reduce(_.unionByName(_))
+      .groupBy(idCol)
+      .agg(sum(col("__rrf")).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), round(col("rrf_score"), 6).as("rrf_score"),
+        col("n_lists"))
+  }
+
   /** Per-domain cap: keep at most `cap` documents per `domain` value (the
     * per-source ceiling of a pretraining mix — one crawl domain must not
     * flood the corpus). Selection is deterministic and order-independent:

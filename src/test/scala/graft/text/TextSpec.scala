@@ -228,6 +228,22 @@ class TextSpec extends SparkSpec {
     assert(score(4L) > score(2L))
   }
 
+  test("rrfFuse: consensus docs outrank single-list docs; ties by id") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("doc_id", "rank")
+    val got = Text.rrfFuse(Seq(a, b), "doc_id", "rank", k0 = 60,
+      topK = 10).as[(Long, Double, Long)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    // exact RRF sums
+    assert(math.abs(byId(20L)._2 - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+    assert(byId(20L)._3 === 2L && byId(30L)._3 === 1L)
+    // both-list docs above any single-list doc here
+    val order = got.sortBy(r => (-r._2, r._1)).map(_._1).toSeq
+    assert(order.take(2).toSet === Set(10L, 20L))
+    // 30 (rank 3 in a) and 40 (rank 2 in b): 1/62 > 1/63
+    assert(order.indexOf(40L) < order.indexOf(30L))
+  }
+
   test("dupSpans ≡ per-doc recount against a reference fold") {
     // random docs over a tiny vocab (collisions guaranteed); recompute
     // the expected stats with plain Scala collections and compare
