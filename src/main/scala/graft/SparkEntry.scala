@@ -300,7 +300,10 @@ object SparkEntry {
         .select(explode(col("hitters")).as("h"))
         .select(col("h.item").as("tok"), col("h.count").as("est"),
           col("h.err").as("err"))
+      // vocabulary-sized (≪ token stream) and read twice (bounds join +
+      // true-top-5) — pin it so the tokenize+count runs once
       val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val bounds = sketch.join(exact, Seq("tok"), "left")
         .agg(count(lit(1)).as("n_reported"),
           (sum(when(col("cnt") <= col("est") &&

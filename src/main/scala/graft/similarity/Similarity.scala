@@ -539,9 +539,12 @@ object Similarity {
     val sizes = v.groupBy("cell")
       .agg(ceil(count(lit(1)).cast("double") / maxBlock).cast("int")
         .as("__s"))
+    // staged once: BOTH pair-block sides read this frame — without the
+    // pin each side would re-run the corpus scan + size join
     val salted = v.join(sizes, Seq("cell"))
       .withColumn("__salt",
         pmod(xxhash64(col("vec_id")), col("__s")).cast("int"))
+      .localCheckpoint()
     val aSide = salted
       .withColumn("__j",
         explode(sequence(col("__salt"), col("__s") - 1)))
