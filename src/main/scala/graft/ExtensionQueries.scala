@@ -4,12 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.graph.Graph
 import graft.multimodal.Multimodal
 import graft.ops.{analytics, asof, rangejoin, timeseries}
 import graft.similarity.Similarity
 import graft.sources.{Layout, StagedSources}
 import graft.streaming.Streams
-import graft.text.{Packing, Text}
+import graft.text.{Importance, Packing, Text}
 
 /** Extension surface beyond reference parity: large-scale training-data
   * pipeline operators (dedup, similarity search, text analysis, multimodal,
@@ -276,6 +277,69 @@ object ExtensionQueries {
         benchmark = docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", k = 5)
     }),
+
+    // Bloom-sketch decontamination, reduced to a driver-checkable
+    // verdict (the q_approx_* pattern): the exact contaminated count is
+    // oracle-compared as-is; the bloom side is asserted to miss nothing
+    // (the sketch's no-false-negative guarantee) and to stay under a 5%
+    // false-positive rate. The DuckDB twin computes the exact side and
+    // emits TRUE for both booleans, so the hash matches iff the sketch
+    // behaves.
+    "q_bloom_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val flagged = Dedup.bloomContaminated(train, bench,
+        "doc_id", "text", k = 5)
+      val exact = Dedup.contamination(train, bench, "doc_id", "text",
+        k = 5)
+        .select(col("train_id").as("doc_id"), lit(true).as("exact_hit"))
+      train.select("doc_id")
+        .join(flagged, Seq("doc_id"), "left")
+        .join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("bloom_hit"), lit(false)).as("bh"),
+          coalesce(col("exact_hit"), lit(false)).as("eh"))
+        .agg(
+          sum(when(col("eh"), 1L).otherwise(0L)).as("n_contaminated"),
+          (sum(when(col("eh") && !col("bh"), 1L).otherwise(0L)) === 0L)
+            .as("no_false_neg"),
+          (sum(when(col("bh") && !col("eh"), 1L).otherwise(0L)) * 20L <=
+            sum(when(!col("eh"), 1L).otherwise(0L))).as("fp_ok"))
+    }),
+
+    // ---- graph quality prior (PageRank over the trade graph) --------------
+    // customer↔supplier edges from orders⋈lineitem, symmetrized (the
+    // host-graph shape: rank flows both ways, no dangling mass);
+    // supplier ids offset so the two key spaces can't collide. Integer
+    // fixed-point throughout — see graft.graph.Graph.
+    "q_pagerank" -> ((s, d) => {
+      val e = t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("a"),
+          (col("l_suppkey") + lit(10000000L)).as("b"))
+        .distinct()
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      Graph.pageRank(sym, "src", "dst", iterations = 3)
+        .orderBy(col("rank_micro").desc, col("node"))
+        .limit(20)
+    }),
+
+    // ---- DSIR importance scoring (select-like-the-target) -----------------
+    "q_dsir_score" -> ((s, d) =>
+      Importance.dsirScoreMicro(t(s, d, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 256)
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(100)),
+
+    // ---- weighted sampling without replacement (A-ES) ---------------------
+    // length-weighted reproducible draw of 20 docs per language
+    "q_weighted_sample" -> ((s, d) =>
+      Text.weightedSample(t(s, d, "documents"), col("doc_id"),
+          col("n_chars"), col("lang"), k = 20)
+        .select("doc_id", "lang", "n_chars")),
 
     // ---- dedup -------------------------------------------------------------
     "q_dedup_exact" -> ((s, d) =>
@@ -1186,6 +1250,110 @@ object ExtensionQueries {
           SELECT train_id, COUNT(DISTINCT u) AS n_shared_shingles
           FROM train JOIN bench USING (u)
           GROUP BY train_id""",
+
+    // exact side mirrors q_contamination; the two sketch booleans are
+    // pinned TRUE — the hash matches iff the bloom missed nothing and
+    // stayed under the fp bound
+    "q_bloom_contamination" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                     generate_series(1, len(string_split_regex(trim(
+                       regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
+                       'g')), '\\s+')) - 4),
+                     i -> array_to_string((string_split_regex(trim(
+                       regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
+                       'g')), '\\s+'))[i:i+4], ' ')))) AS u
+            FROM documents),
+          bench AS (SELECT DISTINCT u FROM sh WHERE doc_id % 97 = 0),
+          cont AS (SELECT DISTINCT doc_id FROM sh
+                   WHERE doc_id % 97 <> 0
+                     AND u IN (SELECT u FROM bench))
+          SELECT (SELECT COUNT(*) FROM cont)::BIGINT AS n_contaminated,
+                 TRUE AS no_false_neg, TRUE AS fp_ok""",
+
+    "q_pagerank" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM e0
+               UNION ALL SELECT b, a FROM e0),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         deg AS (SELECT src, COUNT(*) AS outd FROM e GROUP BY src),
+         r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn),
+         s1 AS (SELECT e.dst AS node, SUM(r0.r // deg.outd) AS insum
+                FROM e JOIN r0 ON e.src = r0.node
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+         r1 AS (SELECT n.node,
+                       (150000000000 // nn.n) +
+                         (85 * COALESCE(s1.insum, 0)) // 100 AS r
+                FROM nodes n LEFT JOIN s1 USING (node), nn),
+         s2 AS (SELECT e.dst AS node, SUM(r1.r // deg.outd) AS insum
+                FROM e JOIN r1 ON e.src = r1.node
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+         r2 AS (SELECT n.node,
+                       (150000000000 // nn.n) +
+                         (85 * COALESCE(s2.insum, 0)) // 100 AS r
+                FROM nodes n LEFT JOIN s2 USING (node), nn),
+         s3 AS (SELECT e.dst AS node, SUM(r2.r // deg.outd) AS insum
+                FROM e JOIN r2 ON e.src = r2.node
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+         r3 AS (SELECT n.node,
+                       (150000000000 // nn.n) +
+                         (85 * COALESCE(s3.insum, 0)) // 100 AS r
+                FROM nodes n LEFT JOIN s3 USING (node), nn)
+         SELECT node, r AS rank_micro FROM r3
+         ORDER BY rank_micro DESC, node LIMIT 20""",
+
+    "q_dsir_score" ->
+      """WITH tf AS (
+           SELECT doc_id, is_target,
+                  (('0x' || substr(md5(tok), 1, 8))::BIGINT % 256)::INT
+                    AS bucket
+           FROM (SELECT doc_id, lang = 'en' AS is_target,
+                        unnest(string_split_regex(trim(regexp_replace(
+                          lower(text), '[^a-z0-9\s]+', ' ', 'g')),
+                          '\s+')) AS tok
+                 FROM documents)),
+         counts AS (
+           SELECT bucket,
+                  SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+                  SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+           FROM tf GROUP BY bucket),
+         tot AS (
+           SELECT SUM(CASE WHEN is_target THEN 1 ELSE 0 END)::DOUBLE
+                    AS t_total,
+                  SUM(CASE WHEN is_target THEN 0 ELSE 1 END)::DOUBLE
+                    AS r_total
+           FROM tf),
+         lam AS (
+           SELECT bucket,
+                  CAST(round((ln((ct + 1.0) / (t_total + 256.0)) -
+                              ln((cr + 1.0) / (r_total + 256.0)))
+                    * 1000000) AS BIGINT) AS lam_micro
+           FROM counts, tot),
+         db AS (SELECT doc_id, bucket, COUNT(*) AS n
+                FROM tf GROUP BY doc_id, bucket)
+         SELECT doc_id, SUM(n)::BIGINT AS n_tokens,
+                SUM(n * lam_micro)::BIGINT AS score_micro
+         FROM db JOIN lam USING (bucket)
+         GROUP BY doc_id
+         ORDER BY score_micro DESC, doc_id LIMIT 100""",
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+                  row_number() OVER (PARTITION BY lang ORDER BY
+                    -ln(((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                          ::BIGINT)::DOUBLE + 0.5) / 4294967296.0)
+                      / n_chars::DOUBLE,
+                    doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 20""",
 
     "q_dedup_exact" ->
       s"""WITH fp AS (

@@ -395,6 +395,50 @@ object Dedup {
       .agg(countDistinct(col("u")).as("n_shared_shingles"))
   }
 
+  /** Sketch-side decontamination: flag train docs whose k-shingles hit a
+    * Bloom filter built over the benchmark's distinct shingles, instead
+    * of equi-joining against the shingle set itself ([[contamination]]).
+    * The filter is bytes-bounded (`numBits/8`, 1 MiB at the default) no
+    * matter how large the benchmark grows — at 100 TB that replaces an
+    * unbounded broadcast set with a fixed-size sketch shipped in the
+    * probe expression, and the probe stays scan-local (no join at all).
+    *
+    * Bloom guarantee: NO false negatives — every truly contaminated doc
+    * is flagged; false positives are bounded by the filter's fpp (sized
+    * by `expectedShingles`/`numBits`). Build + probe use Spark's own
+    * runtime-filter expressions (BloomFilterAggregate /
+    * BloomFilterMightContain, exposed as `graft_bloom_agg` /
+    * `graft_might_contain`) over xxhash64'd shingles — deterministic,
+    * seedless, so the flagged set is stable across runs and layouts.
+    *
+    * The collected filter is a single bounded binary (the sketch analog
+    * of pulling Lloyd's k centroids) — not driver-side row data.
+    *
+    * @return (idCol, bloom_hit: boolean) for every train doc
+    */
+  def bloomContaminated(train: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String, k: Int,
+                        expectedShingles: Long = 1000000L,
+                        numBits: Long = 1L << 23): DataFrame = {
+    def units(df: DataFrame) =
+      df.select(col(idCol),
+        explode(Text.shingles(Text.tokens(col(textCol)), k)).as("u"))
+    val bf = units(benchmark)
+      .agg(call_function("graft_bloom_agg", xxhash64(col("u")),
+        lit(expectedShingles), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val trainU = units(train)
+    if (bf == null) // empty benchmark: nothing can be contaminated
+      trainU.groupBy(col(idCol)).agg(lit(false).as("bloom_hit"))
+    else
+      trainU
+        .select(col(idCol),
+          call_function("graft_might_contain", lit(bf),
+            xxhash64(col("u"))).as("hit"))
+        .groupBy(col(idCol))
+        .agg(max(col("hit")).as("bloom_hit"))
+  }
+
   /** n-gram (word k-shingle) Jaccard near-dup pairs: ALL pairs with
     * J(A, B) ≥ threshold, by EXACT prefix filtering (SSJoin/AllPairs) —
     * no heuristic blocking, no unbounded self-join.

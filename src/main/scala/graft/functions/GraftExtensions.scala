@@ -53,6 +53,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
       (children: Seq[Expression]) =>
         LshBuckets(children(0), children(1), children(2))))
+    // Spark ships Bloom-filter build/probe expressions for its runtime
+    // join filters but does not register them as SQL functions; exposing
+    // them here gives the decontamination path a sketch that replaces a
+    // distinct-shingle broadcast join (bounded bytes instead of an
+    // unbounded set, no false negatives). Values must be pre-hashed to
+    // LONG (xxhash64), matching how InjectRuntimeFilter feeds them.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),

@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-selection scoring via hashed n-gram importance resampling
+  * (DSIR, Xie et al. '23): score each raw document by how much more
+  * likely its hashed-unigram bag is under a target-domain distribution
+  * than under the raw-pool distribution. The standard recipe for "give
+  * me the web pages that look like Wikipedia" at corpus scale.
+  *
+  * Everything reduces to two tiny aggregates and one broadcast join:
+  *   - bucket every token by md5 into B buckets (B ≈ 256-10k; the
+  *     hashing trick caps the feature space no matter the vocabulary),
+  *   - per-bucket counts under target and raw → B-row table of add-1
+  *     smoothed log-likelihood ratios λ_b,
+  *   - per-(doc, bucket) counts ⋈ broadcast λ → Σ n_b·λ_b per doc.
+  *
+  * λ is snapped to integer micros the moment it leaves `ln` (the
+  * [[graft.text.Text]] unigram-logprob recipe), so the per-doc sum is
+  * integer — associative, partition-order-free, and bit-identical in
+  * the DuckDB oracle. At 100 TB the only wide ops are token-bucket
+  * aggregations (map-side combined); the λ table is B rows, always
+  * broadcastable.
+  */
+object Importance {
+
+  /** md5 bucket of a token — [[Text.splitBucket]] over the token itself
+    * (engine-stable, seedless). */
+  private def tokBucket(tok: Column, buckets: Int): Column =
+    Text.splitBucket(tok, buckets)
+
+  /** Per-document DSIR score in integer micros.
+    *
+    * @param isTarget row predicate marking the target-domain exemplars
+    *                 (e.g. `col("lang") === "en"`); the complement is
+    *                 the raw pool
+    * @param buckets  hashed feature-space size B
+    * @return (idCol, n_tokens: long, score_micro: long) for EVERY input
+    *         doc — callers keep the top slice (score_micro desc) as the
+    *         selected corpus
+    */
+  def dsirScoreMicro(docs: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column, buckets: Int = 256): DataFrame = {
+    // one tokenize pass feeds both the distribution fit and the scoring
+    val tf = docs
+      .select(col(idCol), isTarget.as("is_target"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), col("is_target"),
+        tokBucket(col("tok"), buckets).as("bucket"))
+      .localCheckpoint()
+
+    // B-row side: add-1 smoothed log-ratio per bucket, snapped to micros
+    val counts = tf.groupBy("bucket")
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
+    val totals = tf.agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).cast("double").as("t_total"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).cast("double").as("r_total"))
+    val lambda = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round((log((col("ct").cast("double") + 1.0d) /
+                 (col("t_total") + buckets.toDouble)) -
+               log((col("cr").cast("double") + 1.0d) /
+                 (col("r_total") + buckets.toDouble))) * 1e6)
+          .cast("long").as("lam_micro"))
+
+    // per-(doc, bucket) histogram ⋈ broadcast λ — integer dot product
+    tf.groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(lambda), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("lam_micro")).as("score_micro"))
+  }
+}

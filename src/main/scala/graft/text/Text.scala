@@ -173,6 +173,35 @@ object Text {
     df.filter(splitBucket(id, 10000) < threshold)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement per stratum
+    * (Efraimidis–Spirakis A-ES): draw k rows where each row's inclusion
+    * odds are proportional to its weight, by ranking on
+    * key = −ln(u)/w with u ∈ (0,1) derived from the id's md5 — the same
+    * seedless engine-stable source as [[splitBucket]], so the sample is
+    * identical on every run, partitioning, and engine. The whole draw
+    * is one window rank per stratum (a single shuffle on the stratum
+    * key); no RNG state, no driver round-trip — the way to pull a
+    * length-weighted documents sample out of a 100 TB corpus
+    * reproducibly.
+    *
+    * Ties on the double key are broken by id, so the result is total-
+    * ordered even in the (measure-zero) equal-key case. Weights must be
+    * strictly positive.
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+                     stratum: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 32-bit md5 prefix → u in (0,1); +0.5 keeps ln away from 0
+    val u = (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5d) / 4294967296.0d
+    val key = -log(u) / weight.cast("double")
+    df.withColumn("es_key", key)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(stratum).orderBy(col("es_key"), id)))
+      .filter(col("rn") <= k)
+      .drop("es_key", "rn")
+  }
+
   /** All positional k-token windows of a document, duplicates included —
     * the span view for substring-level dedup. Native
     * [[graft.functions.ShingleSpans]]; `shingles` above is its distinct

@@ -315,4 +315,39 @@ class DedupSpec extends SparkSpec {
     assert(comps.values.count(_._2) === 3)
     assert(comps(10L)._2 && comps(1L)._2 && comps(20L)._2)
   }
+
+  test("bloom decontamination never misses a truly contaminated doc") {
+    val rnd = new scala.util.Random(7)
+    def words(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(500)}").mkString(" ")
+    val bench = (1000L to 1004L).map(i => (i, words(30)))
+    // half the train docs embed a benchmark 5-gram verbatim
+    val train = (0L until 40L).map { i =>
+      val base = words(25)
+      if (i % 2 == 0) {
+        val src = bench((i % 5).toInt)._2.split(" ").slice(3, 8)
+        (i, base + " " + src.mkString(" "))
+      } else (i, base)
+    }
+    val trainDf = train.toDF("doc_id", "text")
+    val benchDf = bench.toDF("doc_id", "text")
+    val exact = Dedup.contamination(trainDf, benchDf, "doc_id", "text",
+      k = 5).as[(Long, Long)].collect().map(_._1).toSet
+    val flagged = Dedup.bloomContaminated(trainDf, benchDf, "doc_id",
+      "text", k = 5).as[(Long, Boolean)].collect()
+      .filter(_._2).map(_._1).toSet
+    assert((0L until 40L by 2).toSet.subsetOf(exact), "plant sanity")
+    assert(exact.subsetOf(flagged), // the bloom guarantee
+      s"false negatives: ${exact -- flagged}")
+    // generously sized filter ⇒ no false positives at this scale
+    assert(flagged === exact)
+  }
+
+  test("bloom decontamination with an empty benchmark flags nothing") {
+    val trainDf = Seq((1L, "some ordinary text with enough words here"))
+      .toDF("doc_id", "text")
+    val benchDf = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val flagged = Dedup.bloomContaminated(trainDf, benchDf, "doc_id",
+      "text", k = 5).as[(Long, Boolean)].collect()
+    assert(flagged.forall(!_._2))
+  }
 }

@@ -281,6 +281,30 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample matches the A-ES formula computed on the driver") {
+    val rows = (1L to 200L).map(i => (i, s"s${i % 3}", 50L + i * 7 % 400))
+    val df = rows.toDF("doc_id", "stratum", "w")
+    val got = Text.weightedSample(df, col("doc_id"), col("w"),
+      col("stratum"), k = 10)
+      .as[(Long, String, Long)].collect().toSet
+    // driver-side replica: u from the md5 prefix, key = -ln(u)/w
+    def key(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      -math.log((h.toDouble + 0.5d) / 4294967296.0d) / w.toDouble
+    }
+    val expected = rows.groupBy(_._2).values.flatMap(g =>
+      g.sortBy(r => (key(r._1, r._3), r._1)).take(10)).toSet
+    assert(got === expected)
+    // reproducible under any physical layout
+    val again = Text.weightedSample(df.repartition(7), col("doc_id"),
+      col("w"), col("stratum"), k = 10)
+      .as[(Long, String, Long)].collect().toSet
+    assert(again === got)
+  }
+
   test("domainCap keeps ≤cap rows per domain, deterministically") {
     val docs = (0L until 100L).map(i => (i, s"src${i % 3}"))
       .toDF("doc_id", "source")
