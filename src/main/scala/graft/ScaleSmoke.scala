@@ -291,6 +291,47 @@ object ScaleSmoke {
       total.get()
     }
 
+    timed("pagerank 3 iters") {
+      // rows/50 random edges over rows/500 nodes, symmetrized — three
+      // shuffle rounds over a staged degree-joined edge list; the driver
+      // sees one node count and nothing else
+      val n = rows / 500
+      val e0 = spark.range(rows / 100).select(
+        (col("id") % n).as("a"), ((col("id") * 7919) % n).as("b"))
+        .filter(col("a") =!= col("b"))
+      val sym = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      graft.graph.Graph.pageRank(sym, "src", "dst", iterations = 3)
+        .filter(col("rank_micro") > 0).count()
+    }
+
+    timed("dsir score (hashed ngrams)") {
+      // rows/50 docs × 20 tokens: two token-bucket aggs (map-side
+      // combined) + one broadcast of the 4096-row λ table
+      val docs = spark.range(rows / 50).select(col("id").as("doc_id"),
+        (col("id") % 10 === 0).as("is_t"),
+        array_join(transform(sequence(lit(1), lit(20)), j =>
+          concat(lit("t"), pmod(col("id") * j, lit(50021)))), " ")
+          .as("text"))
+      graft.text.Importance.dsirScoreMicro(docs, "doc_id", "text",
+          isTarget = col("is_t"), buckets = 4096)
+        .filter(col("score_micro") > 0).count()
+    }
+
+    timed("bloom probe scan-local") {
+      // 1M-entry bloom built once (bounded bytes), then a scan-local
+      // might_contain over every fact row — the decontamination shape
+      // with no join at all
+      val bf = spark.range(1000000L)
+        .agg(call_function("graft_bloom_agg", xxhash64(col("id")),
+          lit(1000000L), lit(1L << 23)).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      spark.range(rows).select(
+          call_function("graft_might_contain", lit(bf),
+            xxhash64(col("id") % (rows / 25))).as("hit"))
+        .filter(col("hit")).count()
+    }
+
     timed("connected components") {
       // rows/50 edges forming ten-node chains — the diameter-bound case
       // for label propagation; pointer doubling collapses a 10-hop chain

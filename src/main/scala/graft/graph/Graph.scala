@@ -51,8 +51,11 @@ object Graph {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100]: $dampingPct")
 
+    // stage the (possibly expensive) edge pipeline once — nodes, degrees,
+    // and the iteration join all read it
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -60,16 +63,26 @@ object Graph {
     // one bounded scalar on the driver (like Lloyd's k centroids) — the
     // teleport term needs N inside an integer expression
     val n = nodes.count()
+    // empty graph: no nodes to rank (the CC empty-pair-table case) —
+    // return the empty frame instead of dividing by zero below
+    if (n == 0L)
+      return nodes.select(col("node"), lit(0L).as("rank_micro"))
     // (1 - d) * SCALE / N in pure integer: ((100 - d) * SCALE div 100) div N
     val teleport = ((100L - dampingPct) * Scale / 100L) / n
 
-    // out-degree joined onto the edge list once; every iteration reuses
-    // this staged frame (and its partitioning) instead of re-deriving it
+    // out-degree joined onto the edge list once, hash-partitioned on the
+    // join key and persisted (NOT checkpointed: persist keeps
+    // outputPartitioning visible to the planner, so each iteration
+    // shuffles only the small ranks side — the E-row edge list is
+    // exchanged exactly once no matter how many iterations run)
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out"))
-    val eDeg = e.join(outDeg, "src").localCheckpoint()
+    val eDeg = e.join(outDeg, "src").repartition(col("src")).persist()
 
+    // the loop builds ONE lazy plan (k is small and fixed, so lineage
+    // depth is bounded — unlike CC's data-dependent rounds, which must
+    // checkpoint each round); a single job then runs all iterations with
+    // the persisted edge list cached after its first materialization
     var ranks = nodes.select(col("node"), lit(Scale / n).as("rank_micro"))
-      .localCheckpoint()
     for (_ <- 1 to iterations) {
       val contrib = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(eDeg("dst").as("node"),
@@ -81,8 +94,9 @@ object Graph {
           (lit(teleport) +
             expr(s"($dampingPct * coalesce(in_sum, 0L)) div 100"))
             .as("rank_micro"))
-        .localCheckpoint()
     }
-    ranks
+    val out = ranks.localCheckpoint() // eager: materializes the loop
+    eDeg.unpersist()
+    out
   }
 }

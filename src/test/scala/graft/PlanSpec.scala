@@ -278,6 +278,39 @@ class PlanSpec extends SparkSpec {
     assert(exactPlan.contains("Expand"), exactPlan.take(2000))
   }
 
+  test("dsir scoring broadcasts the λ table, keeps per-doc agg partial") {
+    val plan = SparkEntry.queries("q_dsir_score")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the B-row log-ratio side must never shuffle the doc histogram
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"token-bucket aggs must combine map-side:\n${plan.take(3000)}")
+  }
+
+  test("bloom decontamination probe is scan-local — no join in the probe") {
+    val docs = Tables.t(spark, sf, "documents")
+    val probe = graft.dedup.Dedup.bloomContaminated(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 5)
+    val plan = probe.queryExecution.executedPlan.toString
+    // the sketch ships inside the expression; contamination() would show
+    // a BroadcastHashJoin here
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"bloom probe must not join:\n${plan.take(3000)}")
+    assert(plan.contains("might_contain"), plan.take(3000))
+  }
+
+  test("pagerank iterations reuse a staged edge list, no cross product") {
+    val plan = SparkEntry.queries("q_pagerank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the final iteration must read the checkpointed previous ranks, not
+    // recompute the whole lineage (Scan ExistingRDD = localCheckpoint)
+    assert(plan.contains("ExistingRDD"), plan.take(3000))
+  }
+
   test("aggregation combines map-side before the exchange") {
     val plan = Tables.t(spark, sf, "lineitem")
       .groupBy("l_returnflag")

@@ -55,6 +55,11 @@ class GraphSpec extends SparkSpec {
     assert(run(sym, 3) === refPageRank(sym, 3))
   }
 
+  test("empty edge list yields an empty ranking, not a crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRank(empty, "src", "dst", 3).count() === 0L)
+  }
+
   test("ranks are partitioning-independent") {
     val edges = (1L to 30L).flatMap(i =>
       Seq((i, i % 7 + 100L), (i % 7 + 100L, i)))
