@@ -327,6 +327,22 @@ object ExtensionQueries {
         .limit(20)
     }),
 
+    // ---- triangle count (clustering structure of the co-occurrence graph) -
+    // parts that ship in the same order form an edge; triangles measure
+    // how clique-ish purchasing is. Degree-ordered orientation keeps the
+    // wedge join subquadratic at hub nodes — see Graph.triangleCount.
+    "q_triangle_count" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint() // self-joined: stage the distinct once
+      val pairs = li.as("x")
+        .join(li.as("y"),
+          col("x.k") === col("y.k") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      Graph.triangleCount(pairs, "a", "b")
+    }),
+
     // ---- DSIR importance scoring (select-like-the-target) -----------------
     "q_dsir_score" -> ((s, d) =>
       Importance.dsirScoreMicro(t(s, d, "documents"), "doc_id", "text",
@@ -695,6 +711,45 @@ object ExtensionQueries {
           sum(col("lp_micro")).as("lp_sum_micro"))
         .withColumn("avg_logprob",
           round(col("lp_sum_micro") / lit(1e6) / col("n_tokens"), 4))
+    }),
+
+    // interpolated bigram LM score — one rung above q_unigram_logprob,
+    // the shape of a CCNet/KenLM-style perplexity filter: p(w2|w1) =
+    // 0.7·bigram MLE + 0.3·unigram backoff, scored against the corpus's
+    // own counts. Integer-micros at the ln boundary (associative sums);
+    // the token/bigram/vocab frames are each staged once and reused.
+    "q_bigram_logprob" -> ((s, d) => {
+      val toked = t(s, d, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        .localCheckpoint()
+      val bg = toked.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(t) - 1),
+             i -> struct(element_at(t, i) AS w1,
+                         element_at(t, i + 1) AS w2))""")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .localCheckpoint()
+      val uni = toked.select(explode(col("t")).as("w"))
+      val u = uni.groupBy("w").agg(count(lit(1)).as("uc"))
+        .localCheckpoint()
+      val tot = uni.agg(count(lit(1)).cast("double").as("t_total"))
+      val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+      bg.join(bc, Seq("w1", "w2"))
+        .join(u.select(col("w").as("w1"), col("uc").as("u1")), Seq("w1"))
+        .join(u.select(col("w").as("w2"), col("uc").as("u2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          round(log(lit(0.7) *
+              (col("bc").cast("double") / col("u1").cast("double")) +
+            lit(0.3) *
+              (col("u2").cast("double") / col("t_total"))) * 1e6)
+            .cast("long").as("lp_micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("lp_micro")).as("lp_sum_micro"))
+        .withColumn("avg_logprob",
+          round((col("lp_sum_micro") / lit(1e6) / col("n_bigrams"))
+            * 1e4) / 1e4)
     }),
 
     // ---- sliding-window chunking (tokenize-and-chunk with overlap) --------
@@ -1308,6 +1363,16 @@ object ExtensionQueries {
                 FROM nodes n LEFT JOIN s3 USING (node), nn)
          SELECT node, r AS rank_micro FROM r3
          ORDER BY rank_micro DESC, node LIMIT 20""",
+
+    "q_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+                     FROM lineitem),
+         pairs AS (SELECT DISTINCT x.p AS a, y.p AS b
+                   FROM li x JOIN li y ON x.k = y.k AND x.p < y.p)
+         SELECT COUNT(*)::BIGINT AS n_triangles
+         FROM pairs e1
+         JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+         JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b""",
 
     "q_dsir_score" ->
       """WITH tf AS (
@@ -2400,6 +2465,36 @@ object ExtensionQueries {
                   AS avg_logprob
          FROM tf JOIN freq USING (tok), n
          GROUP BY doc_id""",
+
+    "q_bigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
+           FROM documents),
+         bg AS (
+           SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM toks WHERE len(t) >= 2)),
+         uni AS (SELECT unnest(t) AS w FROM toks),
+         u AS (SELECT w, COUNT(*) AS uc FROM uni GROUP BY w),
+         tot AS (SELECT COUNT(*)::DOUBLE AS t_total FROM uni),
+         bc AS (SELECT w1, w2, COUNT(*) AS nbc FROM bg GROUP BY w1, w2),
+         scored AS (
+           SELECT bg.doc_id,
+                  CAST(round(ln(0.7 * (bc.nbc / u1.uc) +
+                               0.3 * (u2.uc / tot.t_total)) * 1000000)
+                    AS BIGINT) AS lp_micro
+           FROM bg
+           JOIN bc USING (w1, w2)
+           JOIN u u1 ON bg.w1 = u1.w
+           JOIN u u2 ON bg.w2 = u2.w, tot)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+                CAST(SUM(lp_micro) AS BIGINT) AS lp_sum_micro,
+                round((CAST(SUM(lp_micro) AS BIGINT) / 1000000.0
+                  / COUNT(*)) * 10000) / 10000 AS avg_logprob
+         FROM scored GROUP BY doc_id""",
 
     "q_chunk_overlap" ->
       """WITH toks AS (

@@ -318,6 +318,21 @@ object ScaleSmoke {
         .filter(col("score_micro") > 0).count()
     }
 
+    timed("triangle count (hub graph)") {
+      // rows/50 random edges over rows/500 nodes PLUS a 100k-degree hub:
+      // the unoriented wedge pivot at that hub alone would be 10^10
+      // pairs; degree orientation gives the hub out-degree ~0 (every
+      // neighbor has lower degree), so the edge-iterator stays linear
+      val n = rows / 500
+      val rand = spark.range(rows / 50).select(
+        (col("id") % n).as("a"), ((col("id") * 7919) % n).as("b"))
+      val hub = spark.range(100000L).select(
+        lit(n).as("a"), (col("id") % n).as("b"))
+      graft.graph.Graph.triangleCount(rand.union(hub), "a", "b")
+        .head().getLong(0)
+      1L
+    }
+
     timed("bloom probe scan-local") {
       // 1M-entry bloom built once (bounded bytes), then a scan-local
       // might_contain over every fact row — the decontamination shape

@@ -99,4 +99,70 @@ object Graph {
     eDeg.unpersist()
     out
   }
+
+  /** Global triangle count over an UNDIRECTED edge list (one row per
+    * unordered pair, any orientation; duplicates/self-loops tolerated —
+    * both are normalized away first).
+    *
+    * Uses the degree-ordered orientation (Chiba–Nishizeki / Suri &
+    * Vassilvitskii's MR-Count): orient every edge from its lower-
+    * (degree, id) endpoint to the higher, so each triangle is counted
+    * exactly once and — the scale property — every 2-path pivot fans
+    * out by ORIENTED out-degree, which is O(√E) even for power-law
+    * hubs. The naive pivot on an unoriented hub of degree d builds d²
+    * wedges; orientation caps it at ~E^1.5 total work, the difference
+    * between a web-scale graph finishing and not.
+    *
+    * Shape: degree agg (one shuffle) → oriented edges staged once →
+    * wedge self-join on the pivot (shuffle) → closing-edge semi-join
+    * (shuffle). No driver state, no cross product (PlanSpec-pinned).
+    *
+    * @return single row (n_triangles: long)
+    */
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String)
+  : DataFrame = {
+    // normalize to distinct undirected pairs lo<hi
+    val und = edges.select(
+      least(col(aCol).cast("long"), col(bCol).cast("long")).as("lo"),
+      greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("lo").as("v"))
+      .union(und.select(col("hi").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient: src = endpoint with smaller (degree, id)
+    val withDeg = und
+      .join(deg.withColumnRenamed("v", "lo")
+        .withColumnRenamed("d", "d_lo"), "lo")
+      .join(deg.withColumnRenamed("v", "hi")
+        .withColumnRenamed("d", "d_hi"), "hi")
+    val oriented = withDeg.select(
+      when(col("d_lo") < col("d_hi") ||
+        (col("d_lo") === col("d_hi") && col("lo") < col("hi")),
+        struct(col("lo").as("src"), col("hi").as("dst")))
+        .otherwise(struct(col("hi").as("src"), col("lo").as("dst")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    // edge-iterator count: for each oriented edge (u,v), triangles
+    // closing through it are |N⁺(u) ∩ N⁺(v)| — each triangle has
+    // exactly one node with both out-edges, so each is counted once.
+    // Sorted out-neighbor arrays + the native graft_overlap merge scan
+    // replace the wedge self-join entirely: no W-row wedge table is
+    // ever materialized or shuffled (W ≫ E on clustered graphs), just
+    // E rows carrying two bounded arrays into a codegen'd intersection.
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val emptyNbrs = array().cast("array<long>")
+    oriented
+      .join(adj.select(col("src").as("u"), col("nbrs").as("nu")),
+        col("src") === col("u"))
+      // heads with no out-edges close nothing: left join + empty list
+      .join(adj.select(col("src").as("v"), col("nbrs").as("nv")),
+        col("dst") === col("v"), "left")
+      .select(call_function("graft_overlap", col("nu"),
+        coalesce(col("nv"), emptyNbrs)).cast("long").as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+  }
 }

@@ -60,6 +60,40 @@ class GraphSpec extends SparkSpec {
     assert(Graph.pageRank(empty, "src", "dst", 3).count() === 0L)
   }
 
+  test("triangle count matches brute force on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val n = 12 + trial * 4
+      val edges = (0 until n * 3).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val undirected = edges
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val adj = undirected.toSet
+      val nodes = undirected.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val brute = nodes.combinations(3).count { case Seq(a, b, c) =>
+        adj((a, b)) && adj((a, c)) && adj((b, c))
+      }
+      // feed RAW noisy edges (dups + both orientations) — the operator
+      // must normalize
+      val got = Graph.triangleCount(
+        (edges ++ edges.map(_.swap)).toDF("src", "dst"), "src", "dst")
+        .as[Long].head()
+      assert(got === brute.toLong, s"trial $trial")
+    }
+  }
+
+  test("triangle count: clique and triangle-free cases") {
+    // K5 has C(5,3)=10 triangles
+    val k5 = (0L to 4L).combinations(2).map(s => (s(0), s(1))).toSeq
+    assert(Graph.triangleCount(k5.toDF("a", "b"), "a", "b")
+      .as[Long].head() === 10L)
+    // a bipartite (star) graph has none
+    val star = (1L to 6L).map(i => (0L, i))
+    assert(Graph.triangleCount(star.toDF("a", "b"), "a", "b")
+      .as[Long].head() === 0L)
+  }
+
   test("ranks are partitioning-independent") {
     val edges = (1L to 30L).flatMap(i =>
       Seq((i, i % 7 + 100L), (i % 7 + 100L, i)))
