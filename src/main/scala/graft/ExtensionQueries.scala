@@ -343,6 +343,29 @@ object ExtensionQueries {
       Graph.triangleCount(pairs, "a", "b")
     }),
 
+    // Adamic–Adar edge confidence over the SUPPORT-FILTERED
+    // co-occurrence graph: pairs must co-occur in ≥2 orders (the
+    // market-basket min-support cut — at sf0.1 it collapses 1.2M raw
+    // pairs to 3.6k genuinely-associated edges, the pruning any 100 TB
+    // graph build does before analytics); AA then scores how strongly
+    // each surviving edge is backed by shared (rare) neighbors
+    "q_adamic_adar" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint()
+      val pairs = li.as("x")
+        .join(li.as("y"),
+          col("x.k") === col("y.k") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select("a", "b")
+      Graph.adamicAdar(pairs, "a", "b")
+        .orderBy(col("aa_micro").desc, col("node_a"), col("node_b"))
+        .limit(50)
+    }),
+
     // ---- DSIR importance scoring (select-like-the-target) -----------------
     "q_dsir_score" -> ((s, d) =>
       Importance.dsirScoreMicro(t(s, d, "documents"), "doc_id", "text",
@@ -712,6 +735,25 @@ object ExtensionQueries {
         .withColumn("avg_logprob",
           round(col("lp_sum_micro") / lit(1e6) / col("n_tokens"), 4))
     }),
+
+    // per-doc token-distribution Shannon entropy — the "repeated-token
+    // junk" axis of quality scoring (low entropy = keyword stuffing /
+    // boilerplate). H = ln n − (Σ c·ln c)/n, with ln c snapped to
+    // integer micros per distinct token so the weighted sum is exact
+    // and order-independent. Two partial-agg shuffles, scan-local math.
+    "q_text_entropy" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(expr("cast(round(ln(c) * 1000000) as bigint) * c"))
+            .as("clnc_micro"))
+        .select(col("doc_id"), col("n_tokens"),
+          (round((log(col("n_tokens").cast("double")) -
+            col("clnc_micro") / lit(1e6) / col("n_tokens")) * 1e4) / 1e4)
+            .as("entropy"))),
 
     // interpolated bigram LM score — one rung above q_unigram_logprob,
     // the shape of a CCNet/KenLM-style perplexity filter: p(w2|w1) =
@@ -1373,6 +1415,52 @@ object ExtensionQueries {
          FROM pairs e1
          JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
          JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b""",
+
+    // tri enumerates (u < v < w) once since pairs are canonical a<b and
+    // e2.b > e1.b, so the three contribution arms are already (lo, hi)
+    "q_adamic_adar" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+                     FROM lineitem),
+         pairs AS (SELECT x.p AS a, y.p AS b
+                   FROM li x JOIN li y ON x.k = y.k AND x.p < y.p
+                   GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
+         deg AS (SELECT v, COUNT(*) AS d
+                 FROM (SELECT a AS v FROM pairs
+                       UNION ALL SELECT b FROM pairs)
+                 GROUP BY v),
+         tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                 FROM pairs e1
+                 JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+                 JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
+         contrib AS (
+           SELECT u AS node_a, v AS node_b, w AS o FROM tri
+           UNION ALL SELECT u, w, v FROM tri
+           UNION ALL SELECT v, w, u FROM tri),
+         sc AS (SELECT node_a, node_b,
+                       CAST(round(1000000 / ln(d)) AS BIGINT) AS wm
+                FROM contrib JOIN deg ON contrib.o = deg.v)
+         SELECT node_a, node_b, COUNT(*)::BIGINT AS common_neighbors,
+                CAST(SUM(wm) AS BIGINT) AS aa_micro
+         FROM sc GROUP BY node_a, node_b
+         ORDER BY aa_micro DESC, node_a, node_b LIMIT 50""",
+
+    "q_text_entropy" ->
+      """WITH tf AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+')) AS tok
+           FROM documents),
+         cc AS (SELECT doc_id, tok, COUNT(*) AS c
+                FROM tf GROUP BY doc_id, tok),
+         agg AS (SELECT doc_id,
+                        CAST(SUM(c) AS BIGINT) AS n_tokens,
+                        CAST(SUM(CAST(round(ln(c) * 1000000) AS BIGINT)
+                          * c) AS BIGINT) AS clnc_micro
+                 FROM cc GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+                round((ln(n_tokens) - clnc_micro / 1000000.0 / n_tokens)
+                  * 10000) / 10000 AS entropy
+         FROM agg""",
 
     "q_dsir_score" ->
       """WITH tf AS (

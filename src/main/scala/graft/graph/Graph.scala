@@ -121,7 +121,74 @@ object Graph {
     */
   def triangleCount(edges: DataFrame, aCol: String, bCol: String)
   : DataFrame = {
-    // normalize to distinct undirected pairs lo<hi
+    val g = orientAndStage(edges, aCol, bCol)
+    // edge-iterator count: for each oriented edge (u,v), triangles
+    // closing through it are |N⁺(u) ∩ N⁺(v)| — each triangle has
+    // exactly one node with both out-edges, so each is counted once.
+    // Sorted out-neighbor arrays + the native graft_overlap merge scan
+    // replace the wedge self-join entirely: no W-row wedge table is
+    // ever materialized or shuffled (W ≫ E on clustered graphs), just
+    // E rows carrying two bounded arrays into a codegen'd intersection.
+    edgesWithOutNbrs(g)
+      .select(call_function("graft_overlap", col("nu"), col("nv"))
+        .cast("long").as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+  }
+
+  /** Adamic–Adar link strength for every EDGE of an undirected graph:
+    * AA(u,v) = Σ_{w ∈ N(u) ∩ N(v)} 1/ln(deg(w)) — the classic link-
+    * prediction / edge-confidence feature (Adamic & Adar '03), scored
+    * here for existing edges (how strongly is this co-occurrence
+    * supported by shared context?).
+    *
+    * Same degree-ordered machinery as [[triangleCount]], but the
+    * intersection is ENUMERATED (`array_intersect` + explode) rather
+    * than counted: each triangle {u,v,w} surfaces exactly once at its
+    * pivot, then contributes to all three of its edges with the
+    * opposite vertex's 1/ln(deg) — snapped to integer micros before the
+    * per-edge sum so the aggregate is order-independent and
+    * oracle-exact. Work is Σ|triangles|·3 rows, output-bound; hubs
+    * stay cheap by orientation.
+    *
+    * @return (node_a, node_b, common_neighbors, aa_micro) per edge that
+    *         closes ≥1 triangle; node_a < node_b
+    */
+  def adamicAdar(edges: DataFrame, aCol: String, bCol: String)
+  : DataFrame = {
+    val g = orientAndStage(edges, aCol, bCol)
+    val tris = edgesWithOutNbrs(g)
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    // each triangle feeds its three edges; the edge key is canonical
+    // (lo, hi) regardless of how orientation laid the triangle out
+    val contrib = tris.select(explode(array(
+        struct(least(col("src"), col("dst")).as("x"),
+          greatest(col("src"), col("dst")).as("y"), col("w").as("o")),
+        struct(least(col("src"), col("w")).as("x"),
+          greatest(col("src"), col("w")).as("y"), col("dst").as("o")),
+        struct(least(col("dst"), col("w")).as("x"),
+          greatest(col("dst"), col("w")).as("y"), col("src").as("o"))))
+        .as("c"))
+      .select(col("c.x").as("node_a"), col("c.y").as("node_b"),
+        col("c.o").as("o"))
+    contrib
+      .join(g.deg.select(col("v").as("o"), col("d")), Seq("o"))
+      // a common neighbor has edges to both endpoints ⇒ deg ≥ 2 ⇒ ln > 0
+      .select(col("node_a"), col("node_b"),
+        expr("cast(round(1000000 / ln(d)) as bigint)").as("w_micro"))
+      .groupBy("node_a", "node_b")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("w_micro")).as("aa_micro"))
+  }
+
+  private case class Staged(und: DataFrame, deg: DataFrame,
+                            oriented: DataFrame)
+
+  /** Normalize to distinct undirected lo<hi pairs, compute degrees, and
+    * orient each edge from its lower-(degree, id) endpoint — shared by
+    * the triangle-family operators. */
+  private def orientAndStage(edges: DataFrame, aCol: String,
+                             bCol: String): Staged = {
     val und = edges.select(
       least(col(aCol).cast("long"), col(bCol).cast("long")).as("lo"),
       greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("hi"))
@@ -131,7 +198,6 @@ object Graph {
     val deg = und.select(col("lo").as("v"))
       .union(und.select(col("hi").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    // orient: src = endpoint with smaller (degree, id)
     val withDeg = und
       .join(deg.withColumnRenamed("v", "lo")
         .withColumnRenamed("d", "d_lo"), "lo")
@@ -145,24 +211,21 @@ object Graph {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
-    // edge-iterator count: for each oriented edge (u,v), triangles
-    // closing through it are |N⁺(u) ∩ N⁺(v)| — each triangle has
-    // exactly one node with both out-edges, so each is counted once.
-    // Sorted out-neighbor arrays + the native graft_overlap merge scan
-    // replace the wedge self-join entirely: no W-row wedge table is
-    // ever materialized or shuffled (W ≫ E on clustered graphs), just
-    // E rows carrying two bounded arrays into a codegen'd intersection.
-    val adj = oriented.groupBy(col("src"))
+    Staged(und, deg, oriented)
+  }
+
+  /** Every oriented edge (u,v) with both endpoints' sorted out-neighbor
+    * arrays attached (empty for heads with no out-edges). */
+  private def edgesWithOutNbrs(g: Staged): DataFrame = {
+    val adj = g.oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     val emptyNbrs = array().cast("array<long>")
-    oriented
+    g.oriented
       .join(adj.select(col("src").as("u"), col("nbrs").as("nu")),
         col("src") === col("u"))
-      // heads with no out-edges close nothing: left join + empty list
-      .join(adj.select(col("src").as("v"), col("nbrs").as("nv")),
+      .join(adj.select(col("src").as("v"), col("nbrs").as("nv0")),
         col("dst") === col("v"), "left")
-      .select(call_function("graft_overlap", col("nu"),
-        coalesce(col("nv"), emptyNbrs)).cast("long").as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+      .select(col("src"), col("dst"), col("nu"),
+        coalesce(col("nv0"), emptyNbrs).as("nv"))
   }
 }

@@ -94,6 +94,28 @@ class GraphSpec extends SparkSpec {
       .as[Long].head() === 0L)
   }
 
+  test("adamic-adar matches driver-side brute force on a random graph") {
+    val rnd = new scala.util.Random(23)
+    val raw = (0 until 120).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2)
+    val und = raw.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val expected = und.flatMap { case (a, b) =>
+      val common = nbrs(a) intersect nbrs(b)
+      if (common.isEmpty) None
+      else Some((a, b) -> ((common.size.toLong,
+        common.toSeq.map(w =>
+          math.round(1000000.0 / math.log(nbrs(w).size))).sum)))
+    }.toMap
+    val got = Graph.adamicAdar(raw.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === expected)
+  }
+
   test("ranks are partitioning-independent") {
     val edges = (1L to 30L).flatMap(i =>
       Seq((i, i % 7 + 100L), (i % 7 + 100L, i)))
