@@ -70,6 +70,28 @@ object ExtensionQueries {
     s.read.parquet(path)
   }
 
+  /** Part co-occurrence edges (a < b) from lineitem baskets, one row per
+    * (order, pair) occurrence — the input of the triangle/Adamic-Adar
+    * queries. Basket formulation: group to per-order sorted DISTINCT
+    * part arrays (collect_set dedups within the key, so no separate
+    * global distinct pass), then enumerate ordered pairs scan-local with
+    * an indexed-slice HOF. One 600k-row shuffle replaces the staged
+    * self-join's two (distinct + join re-shuffle after the checkpoint
+    * erased partitioning). At 100 TB the per-basket state is bounded by
+    * the max basket size — the standard market-basket contract; a
+    * pathological mega-basket would need the pair count capped upstream
+    * either way, since it's quadratic in ANY pair-enumeration scheme. */
+  private def coOccurrencePairs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      .groupBy("k")
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+           transform(slice(ps, i + 2, size(ps)),
+             y -> struct(x AS a, y AS b))))""")).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sources / sinks (S4-S8) ------------------------------------------
     "q_s_csv_roundtrip" -> ((s, d) =>
@@ -331,17 +353,8 @@ object ExtensionQueries {
     // parts that ship in the same order form an edge; triangles measure
     // how clique-ish purchasing is. Degree-ordered orientation keeps the
     // wedge join subquadratic at hub nodes — see Graph.triangleCount.
-    "q_triangle_count" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-        .distinct()
-        .localCheckpoint() // self-joined: stage the distinct once
-      val pairs = li.as("x")
-        .join(li.as("y"),
-          col("x.k") === col("y.k") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b"))
-      Graph.triangleCount(pairs, "a", "b")
-    }),
+    "q_triangle_count" -> ((s, d) =>
+      Graph.triangleCount(coOccurrencePairs(s, d), "a", "b")),
 
     // Adamic–Adar edge confidence over the SUPPORT-FILTERED
     // co-occurrence graph: pairs must co-occur in ≥2 orders (the
@@ -350,14 +363,8 @@ object ExtensionQueries {
     // graph build does before analytics); AA then scores how strongly
     // each surviving edge is backed by shared (rare) neighbors
     "q_adamic_adar" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-        .distinct()
-        .localCheckpoint()
-      val pairs = li.as("x")
-        .join(li.as("y"),
-          col("x.k") === col("y.k") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      val pairs = coOccurrencePairs(s, d)
+        .groupBy("a", "b")
         .agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= 2)
         .select("a", "b")
