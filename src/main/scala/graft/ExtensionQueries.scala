@@ -380,6 +380,15 @@ object ExtensionQueries {
         .orderBy(col("score_micro").desc, col("doc_id"))
         .limit(100)),
 
+    // ---- model-based language/quality classification ----------------------
+    // train multinomial NB on the md5-half of docs, batch-score ALL of
+    // them — the learned counterpart of the heuristic q_text_langid
+    "q_nb_langid" -> ((s, d) =>
+      Importance.naiveBayes(t(s, d, "documents"), "doc_id", "text",
+        labelCol = "lang",
+        trainPred = Text.splitBucket(col("doc_id"), 100) < 50,
+        buckets = 256)),
+
     // ---- weighted sampling without replacement (A-ES) ---------------------
     // length-weighted reproducible draw of 20 docs per language
     "q_weighted_sample" -> ((s, d) =>
@@ -445,6 +454,13 @@ object ExtensionQueries {
     "q_domain_cap" -> ((s, d) =>
       Text.domainCap(t(s, d, "documents"), "doc_id", "source", cap = 20)
         .select("doc_id", "source")),
+
+    // per-source TOKEN quota (docs differ in length, so a doc cap is the
+    // wrong mix unit): md5-order prefix per source until 1200 tokens
+    "q_token_budget_mix" -> ((s, d) =>
+      Text.tokenBudgetMix(t(s, d, "documents"), "doc_id", "text",
+          "source", budgetTokens = 1200L)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")),
 
     // semantic dedup: within-cluster cosine pairs, keep each chain's
     // lowest id (clusters = the stored label; kmeansCells when absent)
@@ -1468,6 +1484,69 @@ object ExtensionQueries {
                 round((ln(n_tokens) - clnc_micro / 1000000.0 / n_tokens)
                   * 10000) / 10000 AS entropy
          FROM agg""",
+
+    // mirrors naiveBayes exactly: same tokenizer, same md5 train split,
+    // same add-1 grid over (bucket × class), micros at the ln boundary,
+    // argmax tie-break on class DESC (the max(struct) order)
+    "q_nb_langid" ->
+      """WITH tf AS (
+           SELECT doc_id, lang AS cls,
+                  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                    % 100) < 50 AS is_train,
+                  (('0x' || substr(md5(tok), 1, 8))::BIGINT % 256)::INT
+                    AS bucket
+           FROM (SELECT doc_id, lang,
+                        unnest(string_split_regex(trim(regexp_replace(
+                          lower(text), '[^a-z0-9\s]+', ' ', 'g')),
+                          '\s+')) AS tok
+                 FROM documents)),
+         classes AS (SELECT cls, COUNT(*) AS cn,
+                            COUNT(DISTINCT doc_id) AS cdocs
+                     FROM tf WHERE is_train GROUP BY cls),
+         td AS (SELECT CAST(SUM(cdocs) AS DOUBLE) AS td FROM classes),
+         bc AS (SELECT bucket, cls, COUNT(*) AS n
+                FROM tf WHERE is_train GROUP BY bucket, cls),
+         grid AS (SELECT b.bucket, c.cls,
+                         CAST(round(ln((COALESCE(bc.n, 0) + 1.0) /
+                           (c.cn + 256.0)) * 1000000) AS BIGINT) AS w_micro
+                  FROM (SELECT DISTINCT bucket FROM tf) b
+                  CROSS JOIN classes c
+                  LEFT JOIN bc ON bc.bucket = b.bucket AND bc.cls = c.cls),
+         prior AS (SELECT cls,
+                          CAST(round(ln(cdocs / td.td) * 1000000)
+                            AS BIGINT) AS prior_micro
+                   FROM classes, td),
+         hist AS (SELECT doc_id, bucket, COUNT(*) AS n
+                  FROM tf GROUP BY doc_id, bucket),
+         sc AS (SELECT h.doc_id, g.cls,
+                       CAST(SUM(h.n) AS BIGINT) AS n_tokens,
+                       CAST(SUM(h.n * g.w_micro) AS BIGINT) AS ll_micro
+                FROM hist h JOIN grid g ON h.bucket = g.bucket
+                GROUP BY h.doc_id, g.cls),
+         fin AS (SELECT sc.doc_id, sc.cls, sc.n_tokens,
+                        sc.ll_micro + p.prior_micro AS score_micro,
+                        row_number() OVER (PARTITION BY sc.doc_id
+                          ORDER BY sc.ll_micro + p.prior_micro DESC,
+                                   sc.cls DESC) AS rk
+                 FROM sc JOIN prior p ON sc.cls = p.cls)
+         SELECT doc_id, n_tokens, cls AS pred,
+                CAST(score_micro AS BIGINT) AS score_micro
+         FROM fin WHERE rk = 1""",
+
+    "q_token_budget_mix" ->
+      """WITH t0 AS (
+           SELECT doc_id, source,
+                  CAST(len(string_split_regex(trim(text), '\s+'))
+                    AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY source
+                        ORDER BY md5(doc_id::VARCHAR), doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum_tokens
+               FROM t0)
+         SELECT doc_id, source, n_tokens, cum_tokens
+         FROM c WHERE cum_tokens <= 1200""",
 
     "q_dsir_score" ->
       """WITH tf AS (

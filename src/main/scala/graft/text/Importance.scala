@@ -73,4 +73,81 @@ object Importance {
       .agg(sum(col("n")).as("n_tokens"),
         sum(col("n") * col("lam_micro")).as("score_micro"))
   }
+
+  /** Multiclass hashed-feature multinomial Naive Bayes: count-train on
+    * the rows matching `trainPred`, batch-score EVERY row with integer-
+    * micros log-posteriors, return the argmax class per doc — the
+    * train-a-classifier-then-filter shape of model-based quality /
+    * language filtering (fastText-style linear inference; NB because
+    * count training is pure aggregation, no gradient loop).
+    *
+    * Distributed shape: one tokenize pass staged once; the model is a
+    * (B·C)-row table (hashed buckets × classes, add-1 smoothed
+    * conditional log-probs + class-prior log-probs, all snapped to
+    * integer micros at the `ln` boundary) — bounded by construction, so
+    * it broadcast-joins onto the per-(doc,bucket) histogram no matter
+    * the corpus size. Scoring is an integer dot product + argmax, and
+    * the micro-snapped sums make the argmax deterministic cross-engine
+    * (ties break on class name ascending).
+    *
+    * @param labelCol  class label column (e.g. lang)
+    * @param trainPred rows used to fit counts (e.g. an md5-bucket split
+    *                  from [[Text.splitBucket]]); scoring covers all rows
+    * @return (idCol, n_tokens, pred, score_micro) — score is the
+    *         unnormalized log-posterior of the winning class
+    */
+  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                 labelCol: String, trainPred: Column,
+                 buckets: Int = 256): DataFrame = {
+    val tf = docs
+      .select(col(idCol), col(labelCol).as("cls"),
+        trainPred.as("is_train"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), col("cls"), col("is_train"),
+        tokBucket(col("tok"), buckets).as("bucket"))
+      .localCheckpoint()
+
+    // class totals over the training slice: token mass + doc-count prior
+    val classes = tf.filter(col("is_train"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("cn"),
+        countDistinct(col(idCol)).as("cdocs"))
+    val totalDocs = classes.agg(sum(col("cdocs")).cast("double").as("td"))
+    // dense (bucket × class) grid so every class scores every token:
+    // absent counts take the smoothing floor ln(1/(cn+B)), not a dropped
+    // term — the grid is B·C rows, small by construction
+    val bcCounts = tf.filter(col("is_train"))
+      .groupBy("bucket", "cls").agg(count(lit(1)).as("n"))
+    val grid = tf.select(col("bucket")).distinct()
+      .crossJoin(broadcast(classes.select(col("cls"), col("cn"))))
+      .join(bcCounts, Seq("bucket", "cls"), "left")
+      .select(col("bucket"), col("cls"),
+        round(log((coalesce(col("n"), lit(0L)).cast("double") + 1.0d) /
+          (col("cn").cast("double") + buckets.toDouble)) * 1e6)
+          .cast("long").as("w_micro"))
+    val prior = classes.crossJoin(broadcast(totalDocs))
+      .select(col("cls"),
+        round(log(col("cdocs").cast("double") / col("td")) * 1e6)
+          .cast("long").as("prior_micro"))
+
+    // per-(doc,bucket) histogram ⋈ broadcast grid → C scores per doc →
+    // argmax as one max(struct) partial agg: integer scores compare
+    // exactly and ties fall to class name DESC — deterministic and
+    // mirrorable in SQL (row_number over score desc, cls desc)
+    val scored = tf.groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(grid), Seq("bucket"))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("w_micro")).as("ll_micro"))
+      .join(broadcast(prior), Seq("cls"))
+      .select(col(idCol), col("cls"), col("n_tokens"),
+        (col("ll_micro") + col("prior_micro")).as("score_micro"))
+    scored.groupBy(col(idCol))
+      .agg(max(struct(col("score_micro"), col("cls"),
+        col("n_tokens"))).as("best"))
+      .select(col(idCol), col("best.n_tokens").as("n_tokens"),
+        col("best.cls").as("pred"),
+        col("best.score_micro").as("score_micro"))
+  }
 }

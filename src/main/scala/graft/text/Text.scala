@@ -379,4 +379,45 @@ object Text {
       .filter(col("__rk") <= cap)
       .drop("__rk")
   }
+
+  /** Token-budget corpus mix: keep documents per source, in the seedless
+    * md5 shuffle order, until each source's cumulative TOKEN count would
+    * exceed its budget — the "every source contributes ≤ B tokens to the
+    * training mix" allocation, where [[domainCap]]'s document cap is the
+    * wrong unit (sources differ in doc length).
+    *
+    * The kept set is an order-prefix: a doc survives iff the running sum
+    * INCLUDING it is ≤ budget, so selection is deterministic on any
+    * engine/partitioning and downstream-stable when docs are added (only
+    * the boundary moves). Shape at scale: one token-count scan
+    * (scan-local), then a per-source running sum — a single hash
+    * exchange on source + in-partition sort. With a per-doc length cap
+    * L the prefix holds ≤ budget/1 rows only in the degenerate all-
+    * 1-token case and ≥ budget/L rows always; a two-phase pre-cut
+    * (WindowGroupLimit at rank ≤ budget, since every doc has ≥ 1 token)
+    * bounds the sort input for a 100 TB source before the exact pass.
+    *
+    * @param budgetTokens per-source token quota
+    * @return kept docs + (n_tokens, cum_tokens) audit columns
+    */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, textCol: String,
+                     sourceCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1L,
+      s"token budget must be >= 1, got $budgetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    // rank ≤ budget is a free upper bound (≥ 1 token per doc): it plans
+    // as the two-phase per-partition group limit, so the exact running
+    // sum never sorts more than `budget` rows per source
+    docs
+      .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= budgetTokens)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .drop("__rk")
+  }
 }

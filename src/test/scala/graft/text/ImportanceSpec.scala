@@ -40,4 +40,53 @@ class ImportanceSpec extends SparkSpec {
     val nTokens = a.map(r => r._1 -> r._2).toMap
     assert(nTokens(0L) === 6L && nTokens(10L) === 6L)
   }
+
+  test("naive bayes recovers the class of held-out lookalikes") {
+    // train on the 4 exemplars, score everything (trainPred excludes the
+    // probes); each probe's vocabulary leans hard to one class
+    val out = Importance.naiveBayes(docs, "doc_id", "text",
+        labelCol = "lang", trainPred = col("doc_id") < 10L, buckets = 64)
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out(10L) === "en", s"wiki-ish probe must classify en: $out")
+    assert(out(11L) === "de", s"spam-ish probe must classify de: $out")
+    assert(out.size === 6, "every doc gets scored, trained or not")
+  }
+
+  test("naive bayes matches a driver-side model on the same counts") {
+    val buckets = 64
+    def bkt(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+    }
+    val rows = docs.as[(Long, String, String)].collect()
+    val toks = rows.map { case (id, lang, text) =>
+      (id, lang, text.toLowerCase.replaceAll("[^a-z0-9\\s]+", " ")
+        .trim.split("\\s+").toSeq.map(bkt))
+    }
+    val train = toks.filter(_._1 < 10L)
+    val classes = train.groupBy(_._2).view.mapValues(ds =>
+      (ds.map(_._3.size).sum.toLong, ds.size.toLong)).toMap
+    val totalDocs = classes.values.map(_._2).sum.toDouble
+    val bcCounts = train.flatMap(d => d._3.map(b => (b, d._2)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def w(b: Int, c: String): Long =
+      math.round(math.log((bcCounts.getOrElse((b, c), 0L) + 1.0) /
+        (classes(c)._1 + buckets.toDouble)) * 1e6)
+    def prior(c: String): Long =
+      math.round(math.log(classes(c)._2 / totalDocs) * 1e6)
+    val expected = toks.map { case (id, _, bs) =>
+      val scores = classes.keys.map(c =>
+        (bs.map(w(_, c)).sum + prior(c), c)).toSeq
+      val best = scores.maxBy(identity) // score, then class DESC — the
+      id -> ((bs.size.toLong, best._2, best._1)) // max(struct) order
+    }.toMap
+    val got = Importance.naiveBayes(docs, "doc_id", "text",
+        labelCol = "lang", trainPred = col("doc_id") < 10L, buckets = 64)
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === expected)
+  }
 }

@@ -320,4 +320,32 @@ class TextSpec extends SparkSpec {
       "source", cap = 10).count()
     assert(small === 5)
   }
+
+  test("tokenBudgetMix keeps the md5-order prefix within each budget") {
+    // doc i has i%5+1 tokens; budget 8 per source
+    val docs = (0L until 40L).map(i =>
+      (i, s"src${i % 4}", Seq.fill((i % 5).toInt + 1)("tok").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = Text.tokenBudgetMix(docs, "doc_id", "text", "source", 8L)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    // replicate: per source, sort by (md5(id), id), prefix while cum <= 8
+    def h(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = (0L until 40L).map(i => (i, s"src${i % 4}", i % 5 + 1))
+      .groupBy(_._2).values.flatMap { g =>
+        val sorted = g.sortBy(r => (h(r._1), r._1))
+        val cums = sorted.scanLeft(0L)(_ + _._3).tail
+        sorted.zip(cums).takeWhile(_._2 <= 8L)
+          .map { case ((id, src, n), c) => (id, src, n, c) }
+      }.toSet
+    assert(got.toSet === expected)
+    assert(got.groupBy(_._2).values.forall(_.map(_._3).sum <= 8L))
+    // layout-independent
+    val again = Text.tokenBudgetMix(docs.repartition(7), "doc_id", "text",
+      "source", 8L).select("doc_id", "source", "n_tokens", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    assert(again.toSet === got.toSet)
+  }
 }
