@@ -456,10 +456,10 @@ object ExtensionQueries {
         .select("doc_id", "source")),
 
     // per-source TOKEN quota (docs differ in length, so a doc cap is the
-    // wrong mix unit): md5-order prefix per source until 1200 tokens
+    // wrong mix unit): md5-order prefix per source until 900 tokens
     "q_token_budget_mix" -> ((s, d) =>
       Text.tokenBudgetMix(t(s, d, "documents"), "doc_id", "text",
-          "source", budgetTokens = 1200L)
+          "source", budgetTokens = 900L)
         .select("doc_id", "source", "n_tokens", "cum_tokens")),
 
     // semantic dedup: within-cluster cosine pairs, keep each chain's
@@ -1546,7 +1546,7 @@ object ExtensionQueries {
                         AS cum_tokens
                FROM t0)
          SELECT doc_id, source, n_tokens, cum_tokens
-         FROM c WHERE cum_tokens <= 1200""",
+         FROM c WHERE cum_tokens <= 900""",
 
     "q_dsir_score" ->
       """WITH tf AS (

@@ -347,6 +347,35 @@ object ScaleSmoke {
         .filter(col("hit")).count()
     }
 
+    timed("naive bayes train+score") {
+      // rows/50 docs × 20 tokens, 8 classes: count-training is two
+      // map-side-combined aggs; the 4096×8 weight grid + 8-row prior
+      // broadcast onto the per-(doc,bucket) histogram — no shuffle ever
+      // carries more than the histogram, regardless of corpus size
+      val docs = spark.range(rows / 50).select(col("id").as("doc_id"),
+        concat(lit("c"), (col("id") % 8)).as("cls"),
+        array_join(transform(sequence(lit(1), lit(20)), j =>
+          concat(lit("t"), pmod(col("id") * j + col("id") % 8,
+            lit(50021)))), " ").as("text"))
+      graft.text.Importance.naiveBayes(docs, "doc_id", "text", "cls",
+          trainPred = col("doc_id") % 2 === 0, buckets = 4096)
+        .filter(col("pred") === concat(lit("c"), col("doc_id") % 8))
+        .count()
+    }
+
+    timed("token budget mix") {
+      // rows/50 docs over 1000 sources, 900-token quota each: the rank
+      // pre-cut group-limits per partition before any sort sees a full
+      // source — kept rows ≈ 1000 × (900 / avg_len)
+      val docs = spark.range(rows / 50).select(col("id").as("doc_id"),
+        concat(lit("s"), col("id") % 1000).as("source"),
+        array_join(transform(sequence(lit(1),
+          (col("id") % 40 + 10).cast("int")), j =>
+          concat(lit("w"), j)), " ").as("text"))
+      graft.text.Text.tokenBudgetMix(docs, "doc_id", "text", "source",
+        budgetTokens = 900L).count()
+    }
+
     timed("connected components") {
       // rows/50 edges forming ten-node chains — the diameter-bound case
       // for label propagation; pointer doubling collapses a 10-hop chain

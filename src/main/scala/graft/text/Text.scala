@@ -396,6 +396,11 @@ object Text {
     * 1-token case and ≥ budget/L rows always; a two-phase pre-cut
     * (WindowGroupLimit at rank ≤ budget, since every doc has ≥ 1 token)
     * bounds the sort input for a 100 TB source before the exact pass.
+    * Note: Spark only compiles the rank filter to a WindowGroupLimit
+    * when the bound is ≤ spark.sql.window.group.limit.threshold
+    * (default 1000) — raise that conf for larger budgets, or the
+    * pre-cut degrades to a plain post-window filter (still correct,
+    * but the first sort sees the whole source).
     *
     * @param budgetTokens per-source token quota
     * @return kept docs + (n_tokens, cum_tokens) audit columns

@@ -311,6 +311,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ExistingRDD"), plan.take(3000))
   }
 
+  test("naive bayes scoring broadcasts the model grid, no cross product") {
+    val plan = SparkEntry.queries("q_nb_langid")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the B×C weight grid and the C-row prior must both ship broadcast;
+    // the doc histogram side never re-shuffles for the model join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"token aggs must combine map-side:\n${plan.take(3000)}")
+  }
+
+  test("tokenBudgetMix pre-cuts with a two-phase group limit") {
+    val plan = SparkEntry.queries("q_token_budget_mix")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the rank ≤ budget cut must run per-partition BEFORE the exchange
+    // (WindowGroupLimit twice: partial then final), so a 100 TB source
+    // never sorts more than `budget` rows globally
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(plan.indexOf("WindowGroupLimit") !=
+      plan.lastIndexOf("WindowGroupLimit"),
+      s"expected partial+final WindowGroupLimit:\n${plan.take(3000)}")
+  }
+
   test("aggregation combines map-side before the exchange") {
     val plan = Tables.t(spark, sf, "lineitem")
       .groupBy("l_returnflag")
