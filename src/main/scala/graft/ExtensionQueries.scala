@@ -389,6 +389,11 @@ object ExtensionQueries {
         trainPred = Text.splitBucket(col("doc_id"), 100) < 50,
         buckets = 256)),
 
+    // ---- per-source distribution drift (KL vs the corpus) -----------------
+    "q_source_kl" -> ((s, d) =>
+      Importance.sourceDivergence(t(s, d, "documents"), "source", "text",
+        buckets = 256)),
+
     // ---- weighted sampling without replacement (A-ES) ---------------------
     // length-weighted reproducible draw of 20 docs per language
     "q_weighted_sample" -> ((s, d) =>
@@ -1532,6 +1537,38 @@ object ExtensionQueries {
          SELECT doc_id, n_tokens, cls AS pred,
                 CAST(score_micro AS BIGINT) AS score_micro
          FROM fin WHERE rk = 1""",
+
+    "q_source_kl" ->
+      """WITH tf AS (
+           SELECT src,
+                  (('0x' || substr(md5(tok), 1, 8))::BIGINT % 256)::INT
+                    AS bucket
+           FROM (SELECT source AS src,
+                        unnest(string_split_regex(trim(regexp_replace(
+                          lower(text), '[^a-z0-9\s]+', ' ', 'g')),
+                          '\s+')) AS tok
+                 FROM documents)),
+         sb AS (SELECT src, bucket, COUNT(*) AS c
+                FROM tf GROUP BY 1, 2),
+         per_src AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n_s
+                     FROM sb GROUP BY 1),
+         per_bucket AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cb
+                        FROM sb GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM sb),
+         grid AS (
+           SELECT s.src, s.n_s, COALESCE(sb.c, 0) + 1 AS cp,
+                  CAST(round((ln((COALESCE(sb.c, 0) + 1.0) /
+                    (s.n_s + 256.0)) - ln((b.cb + 1.0) /
+                    (t.n_total + 256.0))) * 1000000) AS BIGINT)
+                    AS lr_micro
+           FROM per_bucket b
+           CROSS JOIN per_src s
+           LEFT JOIN sb ON sb.src = s.src AND sb.bucket = b.bucket
+           CROSS JOIN tot t)
+         SELECT src AS source, MAX(n_s) AS n_tokens,
+                round(CAST(SUM(cp * lr_micro) AS DOUBLE) /
+                  (MAX(n_s) + 256.0) / 1000000.0 * 10000) / 10000 AS kl
+         FROM grid GROUP BY src""",
 
     "q_token_budget_mix" ->
       """WITH t0 AS (

@@ -150,4 +150,53 @@ object Importance {
         col("best.cls").as("pred"),
         col("best.score_micro").as("score_micro"))
   }
+
+  /** Per-source distribution drift: KL(source ‖ corpus) over hashed
+    * unigram buckets — the "did one feed go bad / shift under us" check
+    * a continuously-ingesting corpus runs per snapshot (high KL = the
+    * source's token distribution no longer looks like the pool:
+    * boilerplate floods, language flips, spam injection).
+    *
+    * Everything derives from ONE (source × bucket) count aggregation —
+    * the only shuffle that sees token volume; the corpus marginal, the
+    * per-source totals, and the dense (bucket × source) smoothing grid
+    * are all re-aggregations of that ≤ B·S-row table. Add-1 smoothing
+    * keeps every log finite; log-ratios snap to integer micros so the
+    * per-source sum is exact, with ONE double division + 4dp round at
+    * the very end (the roundDouble cross-engine mirror).
+    *
+    * KL_s = Σ_b P_s(b)·ln(P_s(b)/Q(b)),  P_s(b) = (c_sb+1)/(n_s+B),
+    * Q(b) = (c_b+1)/(N+B), summed over the full B-bucket grid.
+    *
+    * @return (sourceCol, n_tokens, kl) — kl in nats, 4dp
+    */
+  def sourceDivergence(docs: DataFrame, sourceCol: String,
+                       textCol: String, buckets: Int = 256): DataFrame = {
+    val sb = docs
+      .select(col(sourceCol).as("src"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy(col("src"), tokBucket(col("tok"), buckets).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // tiny (≤ B·S rows); feeds four re-aggregations
+    val perSrc = sb.groupBy("src").agg(sum(col("c")).as("n_s"))
+    val perBucket = sb.groupBy("bucket").agg(sum(col("c")).as("cb"))
+    val total = sb.agg(sum(col("c")).as("n_total"))
+    // dense grid: every source scores every observed bucket (absent
+    // counts take the smoothing floor, not a dropped term)
+    val grid = perBucket.crossJoin(broadcast(perSrc))
+      .join(sb, Seq("src", "bucket"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("src"), col("n_s"),
+        (coalesce(col("c"), lit(0L)) + 1L).as("cp"),
+        round((log((coalesce(col("c"), lit(0L)).cast("double") + 1.0d) /
+                 (col("n_s").cast("double") + buckets.toDouble)) -
+               log((col("cb").cast("double") + 1.0d) /
+                 (col("n_total").cast("double") + buckets.toDouble)))
+          * 1e6).cast("long").as("lr_micro"))
+    grid.groupBy(col("src").as(sourceCol))
+      .agg(max(col("n_s")).as("n_tokens"),
+        (round(sum(col("cp") * col("lr_micro")) /
+          (max(col("n_s")) + lit(buckets.toLong)).cast("double") /
+          1e6 * 1e4) / 1e4).as("kl"))
+  }
 }

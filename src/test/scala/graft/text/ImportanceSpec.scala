@@ -89,4 +89,29 @@ class ImportanceSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(got === expected)
   }
+
+  test("source KL: identical sources sit at ~0, an outlier stands out") {
+    // two sources drawn from the same vocabulary, one from a disjoint
+    // one — its KL vs the corpus must dominate
+    val docs = Seq(
+      (0L, "sA", "alpha beta gamma delta alpha beta"),
+      (1L, "sA", "beta gamma delta alpha"),
+      (2L, "sB", "alpha beta gamma delta gamma delta"),
+      (3L, "sB", "delta alpha beta gamma"),
+      (4L, "sC", "zork quux blarg zork quux blarg zork quux")
+    ).toDF("doc_id", "source", "text")
+    val kl = Importance.sourceDivergence(docs, "source", "text",
+        buckets = 64)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(kl("sC") > kl("sA") && kl("sC") > kl("sB"),
+      s"disjoint-vocab source must have the largest divergence: $kl")
+    assert(kl("sA") < 0.2 && kl("sB") < 0.2,
+      s"pool-like sources must sit near zero: $kl")
+    // layout-independent (the one shuffle is a hash agg)
+    val again = Importance.sourceDivergence(docs.repartition(7),
+        "source", "text", buckets = 64)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(again === kl)
+  }
 }
