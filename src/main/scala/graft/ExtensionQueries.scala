@@ -873,6 +873,40 @@ object ExtensionQueries {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
     }),
 
+    // ---- temperature-based resampling (the n^α multilingual rule) ---------
+    // keep probability ∝ (n_l)^0.7 share of a T-doc target — upweights
+    // low-resource languages relative to proportional sampling without
+    // the distortion of equal-share (q_corpus_mix). The pow/normalize
+    // happens in doubles but snaps to integer micros BEFORE the
+    // threshold math, so the kept set stays engine-exact; thresholds
+    // are md5 buckets of 10⁴ like every deterministic sampler here.
+    "q_tempered_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_orig"))
+      val tot = byLang.agg(
+        sum(pow(col("n_orig").cast("double"), 0.7d)).as("w_total"),
+        sum(col("n_orig")).as("n_total"))
+      val thresholds = byLang.crossJoin(broadcast(tot))
+        .withColumn("share_micro",
+          round(pow(col("n_orig").cast("double"), 0.7d) /
+            col("w_total") * 1e6).cast("long"))
+        // target T = n_total/2 docs overall; per-lang quota in integer
+        // math from the snapped share. (T·share·10⁴) div (10⁶·n) reduces
+        // exactly to (T·share) div (100·n) — same rational, same floor —
+        // which keeps the product inside long range up to 10¹² docs
+        .withColumn("threshold",
+          least(lit(10000L), expr(
+            "((n_total div 2) * share_micro) div (100 * n_orig)")))
+        .select("lang", "n_orig", "share_micro", "threshold")
+      val kept = docs
+        .join(broadcast(thresholds), Seq("lang"))
+        .filter(Text.splitBucket(col("doc_id"), 10000) < col("threshold"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      thresholds.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_orig"), col("share_micro"),
+          col("threshold"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    }),
+
     // ---- ranked-distribution window functions (§2.8 completeness) ---------
     "q_window_percent" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -2769,6 +2803,31 @@ object ExtensionQueries {
                         ::BIGINT % 10000) < threshold
                   GROUP BY lang)
          SELECT t.lang, t.n_orig, t.threshold,
+                COALESCE(k.n_kept, 0) AS n_kept
+         FROM thr t LEFT JOIN kept k ON t.lang = k.lang""",
+
+    "q_tempered_mix" ->
+      """WITH by_lang AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_orig
+           FROM documents GROUP BY lang),
+         tot AS (SELECT SUM(power(n_orig, 0.7)) AS w_total,
+                        CAST(SUM(n_orig) AS BIGINT) AS n_total
+                 FROM by_lang),
+         thr AS (SELECT lang, n_orig,
+                        CAST(round(power(n_orig, 0.7) / w_total * 1000000)
+                          AS BIGINT) AS share_micro,
+                        least(10000,
+                          ((n_total // 2) *
+                           CAST(round(power(n_orig, 0.7) / w_total
+                             * 1000000) AS BIGINT)) // (100 * n_orig))
+                          AS threshold
+                 FROM by_lang, tot),
+         kept AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+                  FROM documents d JOIN thr USING (lang)
+                  WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))
+                        ::BIGINT % 10000) < threshold
+                  GROUP BY lang)
+         SELECT t.lang, t.n_orig, t.share_micro, t.threshold,
                 COALESCE(k.n_kept, 0) AS n_kept
          FROM thr t LEFT JOIN kept k ON t.lang = k.lang""",
 

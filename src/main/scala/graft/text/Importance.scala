@@ -94,7 +94,9 @@ object Importance {
     * @param trainPred rows used to fit counts (e.g. an md5-bucket split
     *                  from [[Text.splitBucket]]); scoring covers all rows
     * @return (idCol, n_tokens, pred, score_micro) — score is the
-    *         unnormalized log-posterior of the winning class
+    *         unnormalized log-posterior of the winning class. An EMPTY
+    *         training slice yields an empty result (no model → nothing
+    *         scored), not an error — callers gate on output count.
     */
   def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
                  labelCol: String, trainPred: Column,

@@ -90,6 +90,31 @@ class ImportanceSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("naive bayes: empty training slice yields a defined empty result") {
+    val out = Importance.naiveBayes(docs, "doc_id", "text",
+      labelCol = "lang", trainPred = lit(false), buckets = 64)
+    assert(out.count() === 0L,
+      "no training rows -> no model -> no scored rows (documented)")
+  }
+
+  test("naive bayes: single-class training predicts that class for all") {
+    val out = Importance.naiveBayes(docs, "doc_id", "text",
+        labelCol = "lang", trainPred = col("lang") === "en",
+        buckets = 64)
+      .as[(Long, Long, String, Long)].collect()
+    assert(out.length === 6 && out.forall(_._3 === "en"))
+  }
+
+  test("source KL: a single source diverges exactly 0 from the corpus") {
+    // one source IS the corpus: P == Q bucket-for-bucket, smoothing and
+    // all, so every snapped log-ratio is exactly 0
+    val one = docs.filter(col("doc_id") < 2L)
+      .select(col("doc_id"), lit("only").as("source"), col("text"))
+    val kl = Importance.sourceDivergence(one, "source", "text",
+      buckets = 64).as[(String, Long, Double)].head()
+    assert(kl._3 === 0.0, s"single source must have zero drift: $kl")
+  }
+
   test("source KL: identical sources sit at ~0, an outlier stands out") {
     // two sources drawn from the same vocabulary, one from a disjoint
     // one — its KL vs the corpus must dominate

@@ -347,5 +347,13 @@ class TextSpec extends SparkSpec {
       "source", 8L).select("doc_id", "source", "n_tokens", "cum_tokens")
       .as[(Long, String, Long, Long)].collect()
     assert(again.toSet === got.toSet)
+    // boundary: a cum landing EXACTLY on the budget is kept (<=); a
+    // budget below every doc length yields an empty (defined) result
+    val two = Seq((1L, "s", "a b c"), (2L, "s", "d e f"))
+      .toDF("doc_id", "source", "text")
+    val exact = Text.tokenBudgetMix(two, "doc_id", "text", "source", 6L)
+    assert(exact.count() === 2L, "cum == budget keeps the boundary doc")
+    val tiny = Text.tokenBudgetMix(two, "doc_id", "text", "source", 2L)
+    assert(tiny.count() === 0L)
   }
 }
