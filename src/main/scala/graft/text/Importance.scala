@@ -88,7 +88,7 @@ object Importance {
     * it broadcast-joins onto the per-(doc,bucket) histogram no matter
     * the corpus size. Scoring is an integer dot product + argmax, and
     * the micro-snapped sums make the argmax deterministic cross-engine
-    * (ties break on class name ascending).
+    * (ties break on class name DESCENDING — the max(struct) order).
     *
     * @param labelCol  class label column (e.g. lang)
     * @param trainPred rows used to fit counts (e.g. an md5-bucket split
