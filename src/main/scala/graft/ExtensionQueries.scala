@@ -882,14 +882,22 @@ object ExtensionQueries {
     // are md5 buckets of 10⁴ like every deterministic sampler here.
     "q_tempered_mix" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_orig"))
+      val byLang = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_orig"))
+        // snap each pow to micros BEFORE summing: the total becomes an
+        // integer sum (associative, partition-order-free) instead of an
+        // order-dependent double agg that could differ from the
+        // oracle's summation order in the last ulp
+        .withColumn("w_micro",
+          round(pow(col("n_orig").cast("double"), 0.7d) * 1e6)
+            .cast("long"))
       val tot = byLang.agg(
-        sum(pow(col("n_orig").cast("double"), 0.7d)).as("w_total"),
+        sum(col("w_micro")).as("wt_micro"),
         sum(col("n_orig")).as("n_total"))
       val thresholds = byLang.crossJoin(broadcast(tot))
         .withColumn("share_micro",
-          round(pow(col("n_orig").cast("double"), 0.7d) /
-            col("w_total") * 1e6).cast("long"))
+          round(col("w_micro").cast("double") /
+            col("wt_micro").cast("double") * 1e6).cast("long"))
         // target T = n_total/2 docs overall; per-lang quota in integer
         // math from the snapped share. (T·share·10⁴) div (10⁶·n) reduces
         // exactly to (T·share) div (100·n) — same rational, same floor —
@@ -1589,13 +1597,17 @@ object ExtensionQueries {
          per_bucket AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cb
                         FROM sb GROUP BY 1),
          tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM sb),
+         all_buckets AS (
+           SELECT ab.bucket::INT AS bucket, COALESCE(pb.cb, 0) AS cb
+           FROM range(0, 256) ab(bucket)
+           LEFT JOIN per_bucket pb ON pb.bucket = ab.bucket),
          grid AS (
            SELECT s.src, s.n_s, COALESCE(sb.c, 0) + 1 AS cp,
                   CAST(round((ln((COALESCE(sb.c, 0) + 1.0) /
                     (s.n_s + 256.0)) - ln((b.cb + 1.0) /
                     (t.n_total + 256.0))) * 1000000) AS BIGINT)
                     AS lr_micro
-           FROM per_bucket b
+           FROM all_buckets b
            CROSS JOIN per_src s
            LEFT JOIN sb ON sb.src = s.src AND sb.bucket = b.bucket
            CROSS JOIN tot t)
@@ -1607,15 +1619,15 @@ object ExtensionQueries {
     "q_token_budget_mix" ->
       """WITH t0 AS (
            SELECT doc_id, source,
-                  CAST(len(string_split_regex(trim(text), '\s+'))
-                    AS BIGINT) AS n_tokens
+                  COALESCE(CAST(len(string_split_regex(trim(text),
+                    '\s+')) AS BIGINT), 0) AS n_tokens
            FROM documents),
          c AS (SELECT doc_id, source, n_tokens,
                       SUM(n_tokens) OVER (PARTITION BY source
                         ORDER BY md5(doc_id::VARCHAR), doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS cum_tokens
-               FROM t0)
+               FROM t0 WHERE n_tokens >= 1)
          SELECT doc_id, source, n_tokens, cum_tokens
          FROM c WHERE cum_tokens <= 900""",
 
@@ -2808,17 +2820,19 @@ object ExtensionQueries {
 
     "q_tempered_mix" ->
       """WITH by_lang AS (
-           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_orig
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_orig,
+                  CAST(round(power(COUNT(*), 0.7) * 1000000) AS BIGINT)
+                    AS w_micro
            FROM documents GROUP BY lang),
-         tot AS (SELECT SUM(power(n_orig, 0.7)) AS w_total,
+         tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS wt_micro,
                         CAST(SUM(n_orig) AS BIGINT) AS n_total
                  FROM by_lang),
          thr AS (SELECT lang, n_orig,
-                        CAST(round(power(n_orig, 0.7) / w_total * 1000000)
-                          AS BIGINT) AS share_micro,
+                        CAST(round(w_micro / CAST(wt_micro AS DOUBLE)
+                          * 1000000) AS BIGINT) AS share_micro,
                         least(10000,
                           ((n_total // 2) *
-                           CAST(round(power(n_orig, 0.7) / w_total
+                           CAST(round(w_micro / CAST(wt_micro AS DOUBLE)
                              * 1000000) AS BIGINT)) // (100 * n_orig))
                           AS threshold
                  FROM by_lang, tot),

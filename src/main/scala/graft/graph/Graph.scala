@@ -114,8 +114,9 @@ object Graph {
     * between a web-scale graph finishing and not.
     *
     * Shape: degree agg (one shuffle) → oriented edges staged once →
-    * wedge self-join on the pivot (shuffle) → closing-edge semi-join
-    * (shuffle). No driver state, no cross product (PlanSpec-pinned).
+    * sorted out-neighbor adjacency (one groupBy) → per-edge native
+    * `graft_overlap` intersection — the wedge table is never
+    * materialized. No driver state, no cross product (PlanSpec-pinned).
     *
     * @return single row (n_triangles: long)
     */
@@ -181,12 +182,14 @@ object Graph {
         sum(col("w_micro")).as("aa_micro"))
   }
 
-  private case class Staged(und: DataFrame, deg: DataFrame,
-                            oriented: DataFrame)
+  private case class Staged(deg: DataFrame, oriented: DataFrame)
 
   /** Normalize to distinct undirected lo<hi pairs, compute degrees, and
     * orient each edge from its lower-(degree, id) endpoint — shared by
-    * the triangle-family operators. */
+    * the triangle-family operators. Both returned frames are staged:
+    * deg is read twice by the orientation joins AND again by
+    * [[adamicAdar]]'s contribution weighting — without its own
+    * checkpoint that last use would re-run the 2E-row degree union. */
   private def orientAndStage(edges: DataFrame, aCol: String,
                              bCol: String): Staged = {
     val und = edges.select(
@@ -198,6 +201,7 @@ object Graph {
     val deg = und.select(col("lo").as("v"))
       .union(und.select(col("hi").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val withDeg = und
       .join(deg.withColumnRenamed("v", "lo")
         .withColumnRenamed("d", "d_lo"), "lo")
@@ -211,7 +215,7 @@ object Graph {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
-    Staged(und, deg, oriented)
+    Staged(deg, oriented)
   }
 
   /** Every oriented edge (u,v) with both endpoints' sorted out-neighbor

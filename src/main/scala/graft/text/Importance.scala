@@ -183,9 +183,18 @@ object Importance {
     val perSrc = sb.groupBy("src").agg(sum(col("c")).as("n_s"))
     val perBucket = sb.groupBy("bucket").agg(sum(col("c")).as("cb"))
     val total = sb.agg(sum(col("c")).as("n_total"))
-    // dense grid: every source scores every observed bucket (absent
-    // counts take the smoothing floor, not a dropped term)
-    val grid = perBucket.crossJoin(broadcast(perSrc))
+    // dense grid over ALL B buckets (not just observed ones): a bucket
+    // unseen corpus-wide still contributes its strictly positive
+    // smoothing term (1/(n_s+B))·ln((N+B)/(n_s+B)) to every source, so
+    // the sum really is the documented full-support KL — dropping the
+    // unseen tail would systematically understate drift exactly for the
+    // low-volume sources the monitor exists to flag
+    val allBuckets = docs.sparkSession.range(buckets.toLong)
+      .select(col("id").cast("int").as("bucket"))
+    val grid = allBuckets
+      .join(perBucket, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("cb"), lit(0L)).as("cb"))
+      .crossJoin(broadcast(perSrc))
       .join(sb, Seq("src", "bucket"), "left")
       .crossJoin(broadcast(total))
       .select(col("src"), col("n_s"),

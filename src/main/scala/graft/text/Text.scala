@@ -412,11 +412,16 @@ object Text {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    // rank ≤ budget is a free upper bound (≥ 1 token per doc): it plans
-    // as the two-phase per-partition group limit, so the exact running
-    // sum never sorts more than `budget` rows per source
+    // token-less docs (NULL text) are EXCLUDED up front: they contribute
+    // nothing to a token mix, and dropping them is what makes "every
+    // ranked doc has ≥ 1 token" true — the invariant the rank ≤ budget
+    // pre-cut needs to be a sound upper bound (a NULL row would consume
+    // a rank slot without consuming budget and could push a legitimate
+    // doc past the cut)
     docs
-      .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("n_tokens",
+        coalesce(tokenCount(col(textCol)).cast("long"), lit(0L)))
+      .filter(col("n_tokens") >= 1L)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= budgetTokens)
       .withColumn("cum_tokens", sum(col("n_tokens")).over(
