@@ -363,6 +363,20 @@ object ScaleSmoke {
         .count()
     }
 
+    timed("source KL drift") {
+      // rows/50 docs × 20 tokens over 1000 sources: the only
+      // token-volume shuffle is the (source, bucket) count agg; the
+      // dense 4096-bucket × 1000-source smoothing grid re-aggregates
+      // that bounded table
+      val docs = spark.range(rows / 50).select(col("id").as("doc_id"),
+        concat(lit("s"), col("id") % 1000).as("source"),
+        array_join(transform(sequence(lit(1), lit(20)), j =>
+          concat(lit("t"), pmod(col("id") * j + col("id") % 1000,
+            lit(50021)))), " ").as("text"))
+      graft.text.Importance.sourceDivergence(docs, "source", "text",
+        buckets = 4096).filter(col("kl") >= 0.0).count()
+    }
+
     timed("token budget mix") {
       // rows/50 docs over 1000 sources, 900-token quota each: the rank
       // pre-cut group-limits per partition before any sort sees a full
