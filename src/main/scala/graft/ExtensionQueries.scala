@@ -704,6 +704,16 @@ object ExtensionQueries {
       Streams.enrichStream(s, d, ckpt)
     }),
 
+    // Spark 4 transformWithState sessionization (typed ValueState +
+    // RocksDB, the post-fMGWS arbitrary-state API) — same oracle as the
+    // batch q_sessionize, so the driver sees the new API path green
+    "q_stream_sessionize_tws" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_tws").toString
+      Streams.sessionizeStreamTws(s, d, ckpt, gapMinutes = 30)
+        .select("user_id", "session_start", "n_events", "sum_value")
+    }),
+
     // stream-stream interval join: click→purchase attribution within 6h
     "q_stream_join" -> ((s, d) => {
       val ckpt = java.nio.file.Files
@@ -2598,6 +2608,28 @@ object ExtensionQueries {
          FROM s GROUP BY user_id, session_no""",
 
     "q_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, value, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR floor(epoch(ts))::BIGINT -
+                               floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts, value,
+                  SUM(is_new) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_no
+           FROM g)
+         SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
+         FROM s GROUP BY user_id, session_no""",
+
+    // same sessions, computed by the transformWithState path
+    "q_stream_sessionize_tws" ->
       """WITH g AS (
            SELECT user_id, ts, value, event_id,
                   CASE WHEN lag(ts) OVER w IS NULL

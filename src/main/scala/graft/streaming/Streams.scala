@@ -408,4 +408,96 @@ object Streams {
     q.awaitTermination()
     spark.table(sinkName)
   }
+
+  /** The same sessionization on Spark 4's `transformWithState` — the
+    * current-generation arbitrary-state API (typed state variables with
+    * optional TTL, timers, multiple states per key) that supersedes
+    * `flatMapGroupsWithState`. Semantically identical to
+    * [[sessionizeStream]]; `StreamsSpec` asserts all three
+    * implementations (batch windows, fMGWS, TWS) produce equal results.
+    *
+    * TWS requires the RocksDB state store provider — which is also the
+    * right choice at scale (state off-heap per partition); the TTL hook
+    * (`TTLConfig`) is where a production pipeline bounds abandoned-key
+    * state when running continuously rather than AvailableNow. */
+  def sessionizeStreamTws(spark: SparkSession, dir: String,
+                          checkpoint: String, gapMinutes: Int)
+  : DataFrame = {
+    val sess = statefulSession(spark, 0, rocksDb = true)
+    import sess.implicits._
+    val schema = sess.read.parquet(s"$dir/events.parquet").schema
+
+    val events = sess.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[SessionEvent]
+
+    val sessions = events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60L),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+
+    val sinkName = "graft_tws_sessions_" + math.abs(checkpoint.hashCode)
+    val q = sessions.toDF().writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sess.table(sinkName)
+  }
+
+  /** Per-user session folder for [[sessionizeStreamTws]]: one
+    * `ValueState[SessionState]` per key, the same gap-cut fold as the
+    * fMGWS closure. TTL is NONE here (AvailableNow drains the input and
+    * the final flush clears state); a continuous deployment would pass
+    * `TTLConfig(Duration.ofHours(...))` to bound abandoned keys. */
+  private class SessionProcessor(gapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessionEvent, Session] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+    : Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long,
+        rows: Iterator[SessionEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+    : Iterator[Session] = {
+      def flush(s: SessionState): Session =
+        Session(userId, s.start, s.n, s.sumCents / 100.0)
+      def cents(v: Double): Long = math.round(v * 100.0)
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos))
+      var out = List.empty[Session]
+      var cur = if (st.exists()) Some(st.get()) else None
+      sorted.foreach { e =>
+        val sec = Math.floorDiv(e.ts.getTime, 1000L)
+        cur match {
+          case Some(s) if sec - s.lastSec <= gapSec =>
+            cur = Some(s.copy(lastSec = sec, n = s.n + 1,
+              sumCents = s.sumCents + cents(e.value)))
+          case Some(s) =>
+            out ::= flush(s)
+            cur = Some(SessionState(e.ts, sec, 1, cents(e.value)))
+          case None =>
+            cur = Some(SessionState(e.ts, sec, 1, cents(e.value)))
+        }
+      }
+      // AvailableNow on a static file: each key sees all its events in
+      // one invocation — flush the open session and drop the state
+      cur.foreach { s => out ::= flush(s); st.clear() }
+      out.reverseIterator
+    }
+  }
 }

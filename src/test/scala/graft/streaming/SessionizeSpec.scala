@@ -24,4 +24,23 @@ class SessionizeSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch.nonEmpty)
   }
+
+  test("transformWithState sessionization equals batch and fMGWS") {
+    // the Spark 4 arbitrary-state API must reproduce the same sessions
+    // as both the legacy stateful API and the batch windows
+    val dir = "/root/testdata/sf0.001"
+    val ckpt = Files.createTempDirectory("graft_tws_spec").toString
+
+    val batch = Streams.sessionizeBatch(
+      Tables.events(spark, dir)
+        .select("event_id", "user_id", "ts", "value"), gapMinutes = 30)
+      .collect().toSet
+    val tws = Streams
+      .sessionizeStreamTws(spark, dir, ckpt, gapMinutes = 30)
+      .select("user_id", "session_start", "n_events", "sum_value")
+      .collect().toSet
+
+    assert(tws === batch)
+    assert(batch.nonEmpty)
+  }
 }
