@@ -1172,6 +1172,29 @@ object ExtensionQueries {
     })
   )
 
+  /** Shared by q_sessionize and q_stream_sessionize_tws: the batch and
+    * transformWithState paths must match the SAME oracle byte-for-byte. */
+  private val sessionizeOracle: String =
+    """WITH g AS (
+         SELECT user_id, ts, value, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR floor(epoch(ts))::BIGINT -
+                             floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (
+         SELECT user_id, ts, value,
+                SUM(is_new) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_no
+         FROM g)
+       SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_value
+       FROM s GROUP BY user_id, session_no"""
+
   def oracleSql: Map[String, String] = Map(
     "q_s_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
@@ -2607,48 +2630,11 @@ object ExtensionQueries {
                   AS sum_value
          FROM s GROUP BY user_id, session_no""",
 
-    "q_sessionize" ->
-      """WITH g AS (
-           SELECT user_id, ts, value, event_id,
-                  CASE WHEN lag(ts) OVER w IS NULL
-                            OR floor(epoch(ts))::BIGINT -
-                               floor(epoch(lag(ts) OVER w))::BIGINT > 1800
-                       THEN 1 ELSE 0 END AS is_new
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         s AS (
-           SELECT user_id, ts, value,
-                  SUM(is_new) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS session_no
-           FROM g)
-         SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                  AS sum_value
-         FROM s GROUP BY user_id, session_no""",
+    "q_sessionize" -> sessionizeOracle,
 
-    // same sessions, computed by the transformWithState path
-    "q_stream_sessionize_tws" ->
-      """WITH g AS (
-           SELECT user_id, ts, value, event_id,
-                  CASE WHEN lag(ts) OVER w IS NULL
-                            OR floor(epoch(ts))::BIGINT -
-                               floor(epoch(lag(ts) OVER w))::BIGINT > 1800
-                       THEN 1 ELSE 0 END AS is_new
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         s AS (
-           SELECT user_id, ts, value,
-                  SUM(is_new) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS session_no
-           FROM g)
-         SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                  AS sum_value
-         FROM s GROUP BY user_id, session_no""",
+    // same sessions, computed by the transformWithState path — ONE
+    // shared SQL constant, so the "same oracle" guarantee can't drift
+    "q_stream_sessionize_tws" -> sessionizeOracle,
 
     "q_text_tfidf" ->
       """WITH toks AS (

@@ -351,6 +351,39 @@ object Streams {
     * `session_window` aggregation has the same property). Equality with
     * `sessionizeBatch` is tested in SessionizeSpec.
     */
+  /** THE session-cut fold, shared by the fMGWS and transformWithState
+    * implementations so the two stateful APIs are provably computing
+    * the same thing: sort the key's events by event time (nanos
+    * tie-break), cut when the floor-seconds gap exceeds `gapSec`, and
+    * flush the trailing OPEN session too — the single-drain-batch
+    * contract both streaming callers operate under (each key sees all
+    * its events in one invocation; see their scaladocs). */
+  private def foldSessions(userId: Long, evs: Iterator[SessionEvent],
+                           prior: Option[SessionState], gapSec: Long)
+  : List[Session] = {
+    def flush(st: SessionState): Session =
+      Session(userId, st.start, st.n, st.sumCents / 100.0)
+    def cents(v: Double): Long = math.round(v * 100.0)
+    val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos))
+    var out = List.empty[Session]
+    var cur = prior
+    sorted.foreach { e =>
+      val sec = Math.floorDiv(e.ts.getTime, 1000L)
+      cur match {
+        case Some(st) if sec - st.lastSec <= gapSec =>
+          cur = Some(st.copy(lastSec = sec, n = st.n + 1,
+            sumCents = st.sumCents + cents(e.value)))
+        case Some(st) =>
+          out ::= flush(st)
+          cur = Some(SessionState(e.ts, sec, 1, cents(e.value)))
+        case None =>
+          cur = Some(SessionState(e.ts, sec, 1, cents(e.value)))
+      }
+    }
+    cur.foreach(st => out ::= flush(st))
+    out.reverse
+  }
+
   def sessionizeStream(spark: SparkSession, dir: String, checkpoint: String,
                        gapMinutes: Int): DataFrame = {
     import spark.implicits._
@@ -365,10 +398,6 @@ object Streams {
       .select(col("user_id"), col("ts"), col("value"))
       .as[SessionEvent]
 
-    def flush(userId: Long, st: SessionState): Session =
-      Session(userId, st.start, st.n, st.sumCents / 100.0)
-    def cents(v: Double): Long = math.round(v * 100.0)
-
     val sessions = events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
@@ -376,25 +405,9 @@ object Streams {
         (userId, evs, state: GroupState[SessionState]) =>
           // AvailableNow on a static file: each group sees all its events
           // in one invocation; sort by event time and cut on gaps.
-          val sorted = evs.toSeq
-            .sortBy(e => (e.ts.getTime, e.ts.getNanos))
-          var out = List.empty[Session]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val sec = Math.floorDiv(e.ts.getTime, 1000L)
-            cur match {
-              case Some(st) if sec - st.lastSec <= gapSec =>
-                cur = Some(st.copy(lastSec = sec, n = st.n + 1,
-                  sumCents = st.sumCents + cents(e.value)))
-              case Some(st) =>
-                out ::= flush(userId, st)
-                cur = Some(SessionState(e.ts, sec, 1, cents(e.value)))
-              case None =>
-                cur = Some(SessionState(e.ts, sec, 1, cents(e.value)))
-            }
-          }
-          cur.foreach { st => out ::= flush(userId, st); state.remove() }
-          out.reverseIterator
+          val out = foldSessions(userId, evs, state.getOption, gapSec)
+          state.remove()
+          out.iterator
       }
 
     val sinkName = "graft_sessions_" + math.abs(checkpoint.hashCode)
@@ -413,13 +426,23 @@ object Streams {
     * current-generation arbitrary-state API (typed state variables with
     * optional TTL, timers, multiple states per key) that supersedes
     * `flatMapGroupsWithState`. Semantically identical to
-    * [[sessionizeStream]]; `StreamsSpec` asserts all three
-    * implementations (batch windows, fMGWS, TWS) produce equal results.
+    * [[sessionizeStream]]: both run the shared [[foldSessions]], and
+    * `SessionizeSpec` asserts all three implementations (batch windows,
+    * fMGWS, TWS) produce equal results.
     *
-    * TWS requires the RocksDB state store provider — which is also the
-    * right choice at scale (state off-heap per partition); the TTL hook
-    * (`TTLConfig`) is where a production pipeline bounds abandoned-key
-    * state when running continuously rather than AvailableNow. */
+    * SCOPE: like the fMGWS version, this operates under the
+    * single-drain-batch contract — AvailableNow over the static table
+    * delivers each key's events in one invocation, so the trailing open
+    * session is flushed and state never outlives the batch (hence
+    * `TTLConfig.NONE` and no `update` call). A continuously-running
+    * deployment needs the event-time-timer shape instead: watermark the
+    * stream, `update` the open session, register a timer at
+    * lastSec + gap, and emit from `handleExpiredTimer` — the API used
+    * here supports all of it; this query deliberately keeps the
+    * batch-parity contract so it can share the batch oracle.
+    *
+    * TWS requires the RocksDB state store provider — also the right
+    * choice at scale (state lives off-heap per partition). */
   def sessionizeStreamTws(spark: SparkSession, dir: String,
                           checkpoint: String, gapMinutes: Int)
   : DataFrame = {
@@ -454,10 +477,11 @@ object Streams {
   }
 
   /** Per-user session folder for [[sessionizeStreamTws]]: one
-    * `ValueState[SessionState]` per key, the same gap-cut fold as the
-    * fMGWS closure. TTL is NONE here (AvailableNow drains the input and
-    * the final flush clears state); a continuous deployment would pass
-    * `TTLConfig(Duration.ofHours(...))` to bound abandoned keys. */
+    * `ValueState[SessionState]` per key around the shared
+    * [[foldSessions]]. Under the single-drain-batch contract the state
+    * read always misses and the fold's trailing flush makes `clear` the
+    * only write — see [[sessionizeStreamTws]] for the timer-based shape
+    * a continuous deployment would use instead. */
   private class SessionProcessor(gapSec: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, SessionEvent, Session] {
@@ -475,29 +499,10 @@ object Streams {
         rows: Iterator[SessionEvent],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
     : Iterator[Session] = {
-      def flush(s: SessionState): Session =
-        Session(userId, s.start, s.n, s.sumCents / 100.0)
-      def cents(v: Double): Long = math.round(v * 100.0)
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos))
-      var out = List.empty[Session]
-      var cur = if (st.exists()) Some(st.get()) else None
-      sorted.foreach { e =>
-        val sec = Math.floorDiv(e.ts.getTime, 1000L)
-        cur match {
-          case Some(s) if sec - s.lastSec <= gapSec =>
-            cur = Some(s.copy(lastSec = sec, n = s.n + 1,
-              sumCents = s.sumCents + cents(e.value)))
-          case Some(s) =>
-            out ::= flush(s)
-            cur = Some(SessionState(e.ts, sec, 1, cents(e.value)))
-          case None =>
-            cur = Some(SessionState(e.ts, sec, 1, cents(e.value)))
-        }
-      }
-      // AvailableNow on a static file: each key sees all its events in
-      // one invocation — flush the open session and drop the state
-      cur.foreach { s => out ::= flush(s); st.clear() }
-      out.reverseIterator
+      val prior = if (st.exists()) Some(st.get()) else None
+      val out = foldSessions(userId, rows, prior, gapSec)
+      st.clear()
+      out.iterator
     }
   }
 }
