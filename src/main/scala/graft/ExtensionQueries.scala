@@ -214,6 +214,18 @@ object ExtensionQueries {
           org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
         .select(col("event_id"), element_at(col("m"), "k").as("k_val"))),
 
+    // Spark 4 VARIANT path for the same payload: parse once to the
+    // binary variant encoding, then TYPED path extraction — unlike
+    // from_json this needs no up-front schema, which is the 100 TB
+    // semistructured-ingest story (schema drift lands as variant, not
+    // as a quarantine batch). Absent paths are NULL, not errors.
+    "q_json_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k_val"),
+          expr("variant_get(v, '$.absent', 'bigint')").as("absent_val"))),
+
     // ---- text analysis -----------------------------------------------------
     "q_text_token_stats" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -1238,6 +1250,13 @@ object ExtensionQueries {
     "q_json_props" ->
       """SELECT event_id,
                 json_extract_string(props, '$.k')::INT AS k_val
+         FROM events""",
+
+    "q_json_variant" ->
+      """SELECT event_id,
+                json_extract_string(props, '$.k')::BIGINT AS k_val,
+                json_extract_string(props, '$.absent')::BIGINT
+                  AS absent_val
          FROM events""",
 
     "q_text_token_stats" ->
