@@ -334,23 +334,6 @@ object Streams {
       .drop("session_no")
   }
 
-  /** Streaming sessionization via `flatMapGroupsWithState` — the custom-
-    * state rung of the streaming surface (SURVEY.md §2.9 extension). State
-    * per user is O(1) (current session accumulator); sessions emit when a
-    * gap-exceeding event arrives, and every open session flushes at the
-    * end of the catchup invocation.
-    *
-    * SCOPE: this is the CATCHUP form — it treats the available data as
-    * complete, which is exactly the reference's backfill semantic, and it
-    * requires each user's full history in one invocation (guaranteed here:
-    * the events table is one file, so Trigger.AvailableNow delivers one
-    * micro-batch). A perpetual stream must instead hold the open session
-    * in state across batches and flush on an event-time timeout — and
-    * then sessions still inside the watermark at shutdown are
-    * unemittable BY DESIGN (they might yet grow; the built-in
-    * `session_window` aggregation has the same property). Equality with
-    * `sessionizeBatch` is tested in SessionizeSpec.
-    */
   /** THE session-cut fold, shared by the fMGWS and transformWithState
     * implementations so the two stateful APIs are provably computing
     * the same thing: sort the key's events by event time (nanos
@@ -384,21 +367,46 @@ object Streams {
     out.reverse
   }
 
-  def sessionizeStream(spark: SparkSession, dir: String, checkpoint: String,
-                       gapMinutes: Int): DataFrame = {
-    import spark.implicits._
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val gapSec = gapMinutes * 60L
-
-    val events = spark.readStream
+  /** The events table as a typed stream — the ONE place the nanos→micros
+    * conversion and file-glob live, so the fMGWS and TWS sessionizers
+    * cannot drift in input preparation (the step the three-way equality
+    * spec does not isolate). */
+  private def sessionEventStream(sess: SparkSession, dir: String)
+  : Dataset[SessionEvent] = {
+    import sess.implicits._
+    val schema = sess.read.parquet(s"$dir/events.parquet").schema
+    sess.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select(col("user_id"), col("ts"), col("value"))
       .as[SessionEvent]
+  }
 
-    val sessions = events
+  /** Streaming sessionization via `flatMapGroupsWithState` — the custom-
+    * state rung of the streaming surface (SURVEY.md §2.9 extension). State
+    * per user is O(1) (current session accumulator); sessions emit when a
+    * gap-exceeding event arrives, and every open session flushes at the
+    * end of the catchup invocation.
+    *
+    * SCOPE: this is the CATCHUP form — it treats the available data as
+    * complete, which is exactly the reference's backfill semantic, and it
+    * requires each user's full history in one invocation (guaranteed here:
+    * the events table is one file, so Trigger.AvailableNow delivers one
+    * micro-batch). A perpetual stream must instead hold the open session
+    * in state across batches and flush on an event-time timeout — and
+    * then sessions still inside the watermark at shutdown are
+    * unemittable BY DESIGN (they might yet grow; the built-in
+    * `session_window` aggregation has the same property). Equality with
+    * `sessionizeBatch` is tested in SessionizeSpec.
+    */
+  def sessionizeStream(spark: SparkSession, dir: String, checkpoint: String,
+                       gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    val gapSec = gapMinutes * 60L
+
+    val sessions = sessionEventStream(spark, dir)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -448,17 +456,8 @@ object Streams {
   : DataFrame = {
     val sess = statefulSession(spark, 0, rocksDb = true)
     import sess.implicits._
-    val schema = sess.read.parquet(s"$dir/events.parquet").schema
 
-    val events = sess.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .select(col("user_id"), col("ts"), col("value"))
-      .as[SessionEvent]
-
-    val sessions = events
+    val sessions = sessionEventStream(sess, dir)
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor(gapMinutes * 60L),
         org.apache.spark.sql.streaming.TimeMode.None(),
