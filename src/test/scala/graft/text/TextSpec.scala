@@ -355,5 +355,14 @@ class TextSpec extends SparkSpec {
     assert(exact.count() === 2L, "cum == budget keeps the boundary doc")
     val tiny = Text.tokenBudgetMix(two, "doc_id", "text", "source", 2L)
     assert(tiny.count() === 0L)
+    // NULL-text docs are excluded and must NOT consume rank slots: with
+    // budget 3, the NULL doc (whatever its md5 rank) cannot displace
+    // either real doc from the prefix cut
+    val withNull = Seq((1L, "s", "a b c"), (2L, "s", null),
+      (3L, "s", "d e f")).toDF("doc_id", "source", "text")
+    val kept = Text.tokenBudgetMix(withNull, "doc_id", "text", "source",
+      3L).select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(2L) && kept.size === 1,
+      s"one real doc fits the 3-token budget, the NULL doc never: $kept")
   }
 }
