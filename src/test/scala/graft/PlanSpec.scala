@@ -334,6 +334,19 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit:\n${plan.take(3000)}")
   }
 
+  test("source KL: only the count agg sees token volume, no cartesian") {
+    val plan = SparkEntry.queries("q_source_kl")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the (source, bucket) count must combine map-side; the marginals
+    // and grid work on the checkpointed bounded table (ExistingRDD);
+    // the tiny broadcast crosses must never become a real cartesian
+    // of anything token-sized
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"token count must combine map-side:\n${plan.take(3000)}")
+    assert(plan.contains("ExistingRDD"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("aggregation combines map-side before the exchange") {
     val plan = Tables.t(spark, sf, "lineitem")
       .groupBy("l_returnflag")
