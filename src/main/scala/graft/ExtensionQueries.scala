@@ -621,6 +621,46 @@ object ExtensionQueries {
         nProbe = 3)
     }),
 
+    // population covariance of the 64-dim embedding matrix: ONE
+    // distributed moment pass (exact decimal sums, map-side combined),
+    // then a bounded d²-row finish — the training pass behind PCA
+    "q_emb_covariance" -> ((s, d) =>
+      Similarity.covariance(t(s, d, "embeddings"), "embedding", dim = 64)
+        .select(col("i"), col("j"), round(col("cov"), 10).as("cov"))),
+
+    // PCA projection: top-4 principal axes from the covariance above
+    // (driver-side d×d Jacobi — legal: d² values regardless of corpus
+    // size), embeddings projected by one broadcast, no corpus shuffle.
+    // No SQL twin (iterative eigensolver); PcaSpec pins the math.
+    "q_pca_project" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val comps = Similarity.pcaComponents(emb, "embedding", dim = 64,
+        k = 4)
+      Similarity.pcaProject(emb, "vec_id", "embedding", dim = 64, comps)
+        .select(col("vec_id"), col("component"),
+          round(col("coord"), 6).as("coord"))
+    }),
+
+    // int8 scalar quantization: per-dim (min,max) calibration in one
+    // map-side-combined pass, then scan-local encode against the
+    // broadcast params — the 4× storage shrink for a quantized ANN index
+    "q_emb_int8_codes" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.int8Quantize(emb, "vec_id", "embedding",
+        Similarity.int8QuantParams(emb, "embedding", dim = 64))
+        .select(col("vec_id"),
+          array_join(transform(col("codes"), _.cast("string")), "|")
+            .as("codes"))
+    }),
+
+    // quantization quality gate: corpus (n, mean_mse, max_mse) of the
+    // int8 reconstruction — one scan, decimal-sum deterministic
+    "q_emb_int8_stats" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.int8ReconError(emb, "vec_id", "embedding", dim = 64,
+        Similarity.int8QuantParams(emb, "embedding", dim = 64))
+    }),
+
     // ---- multimodal --------------------------------------------------------
     "q_mm_decode" -> ((s, d) => {
       import s.implicits._
@@ -810,39 +850,17 @@ object ExtensionQueries {
     // 0.7·bigram MLE + 0.3·unigram backoff, scored against the corpus's
     // own counts. Integer-micros at the ln boundary (associative sums);
     // the token/bigram/vocab frames are each staged once and reused.
-    "q_bigram_logprob" -> ((s, d) => {
-      val toked = t(s, d, "documents")
-        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-        .localCheckpoint()
-      val bg = toked.filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(t) - 1),
-             i -> struct(element_at(t, i) AS w1,
-                         element_at(t, i + 1) AS w2))""")).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .localCheckpoint()
-      val uni = toked.select(explode(col("t")).as("w"))
-      val u = uni.groupBy("w").agg(count(lit(1)).as("uc"))
-        .localCheckpoint()
-      val tot = uni.agg(count(lit(1)).cast("double").as("t_total"))
-      val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
-      bg.join(bc, Seq("w1", "w2"))
-        .join(u.select(col("w").as("w1"), col("uc").as("u1")), Seq("w1"))
-        .join(u.select(col("w").as("w2"), col("uc").as("u2")), Seq("w2"))
-        .crossJoin(broadcast(tot))
-        .select(col("doc_id"),
-          round(log(lit(0.7) *
-              (col("bc").cast("double") / col("u1").cast("double")) +
-            lit(0.3) *
-              (col("u2").cast("double") / col("t_total"))) * 1e6)
-            .cast("long").as("lp_micro"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(col("lp_micro")).as("lp_sum_micro"))
+    "q_bigram_logprob" -> ((s, d) =>
+      Text.bigramLogprobMicro(t(s, d, "documents"), "doc_id", "text")
         .withColumn("avg_logprob",
           round((col("lp_sum_micro") / lit(1e6) / col("n_bigrams"))
-            * 1e4) / 1e4)
-    }),
+            * 1e4) / 1e4)),
+
+    // CCNet head/middle/tail cut of the same bigram LM score: exact
+    // distributed rank (range sort + zipWithIndex), integer tercile
+    // cutoffs — no interpolated threshold to diverge cross-engine
+    "q_ppl_buckets" -> ((s, d) =>
+      Text.perplexityBuckets(t(s, d, "documents"), "doc_id", "text")),
 
     // ---- sliding-window chunking (tokenize-and-chunk with overlap) --------
     "q_chunk_overlap" -> ((s, d) =>
@@ -2482,6 +2500,88 @@ object ExtensionQueries {
                 round(score, 6) AS pq_score
          FROM ranked WHERE rnk <= 5""",
 
+    // Same moment sums as Similarity.momentSums — exact DECIMAL(28,12)
+    // per-term rounding and sums, then the identical fixed-order double
+    // finish (Σxy − ΣxΣy/n)/n, rounded at 10dp on both engines.
+    "q_emb_covariance" ->
+      """WITH v AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS e
+                    FROM embeddings),
+         p AS (
+           SELECT a.j::INT AS i, b.j::INT AS j,
+                  sum(CAST(e[a.j + 1] * e[b.j + 1]
+                      AS DECIMAL(28,12))) AS sxy
+           FROM v, range(0, 64) a(j), range(0, 64) b(j)
+           WHERE a.j <= b.j
+           GROUP BY 1, 2),
+         m AS (
+           SELECT a.j::INT AS i,
+                  sum(CAST(e[a.j + 1] AS DECIMAL(28,12))) AS sx
+           FROM v, range(0, 64) a(j)
+           GROUP BY 1),
+         n AS (SELECT count(*)::DOUBLE AS n FROM v)
+         SELECT p.i, p.j,
+                round((sxy::DOUBLE - mi.sx::DOUBLE * mj.sx::DOUBLE / n.n)
+                      / n.n, 10) AS cov
+         FROM p
+         JOIN m mi ON p.i = mi.i
+         JOIN m mj ON p.j = mj.i
+         CROSS JOIN n""",
+
+    // Mirrors Similarity.int8Quantize: per-dim min/max over the float
+    // values (cast to double — monotone, so identical), scale =
+    // (max−min)/255, code = floor((x−min)/scale + 0.5) − 128. floor of
+    // the shared double expression is the tie rule on both engines.
+    "q_emb_int8_codes" ->
+      """WITH v AS (SELECT vec_id,
+                           list_transform(embedding, x -> x::DOUBLE) AS e
+                    FROM embeddings),
+         p AS (
+           SELECT t.j::INT AS i, min(e[t.j + 1]) AS mn,
+                  max(e[t.j + 1]) AS mx
+           FROM v, range(0, 64) t(j)
+           GROUP BY 1),
+         pa AS (SELECT i, mn, (mx - mn) / 255.0 AS sc FROM p),
+         c AS (
+           SELECT vec_id, pa.i,
+                  CASE WHEN sc > 0
+                       THEN floor((e[pa.i + 1] - mn) / sc + 0.5) - 128
+                       ELSE 0 END AS code
+           FROM v CROSS JOIN pa)
+         SELECT vec_id,
+                string_agg(code::INT::VARCHAR, '|' ORDER BY i) AS codes
+         FROM c GROUP BY vec_id""",
+
+    // Mirrors Similarity.int8ReconError. The per-vector error sum uses
+    // list_dot_product(el, el) — the same sequential ascending-index
+    // double accumulation as Spark's aggregate() over the array — and
+    // the corpus mean goes through an exact DECIMAL(28,12) sum.
+    "q_emb_int8_stats" ->
+      """WITH v AS (SELECT vec_id,
+                           list_transform(embedding, x -> x::DOUBLE) AS e
+                    FROM embeddings),
+         p AS (
+           SELECT t.j::INT AS i, min(e[t.j + 1]) AS mn,
+                  max(e[t.j + 1]) AS mx
+           FROM v, range(0, 64) t(j)
+           GROUP BY 1),
+         pa AS (SELECT i, mn, (mx - mn) / 255.0 AS sc FROM p),
+         errv AS (
+           SELECT vec_id,
+                  list(e[pa.i + 1] -
+                       (mn + (CASE WHEN sc > 0
+                              THEN floor((e[pa.i + 1] - mn) / sc + 0.5)
+                              ELSE 0 END) * sc)
+                       ORDER BY pa.i) AS el
+           FROM v CROSS JOIN pa
+           GROUP BY vec_id),
+         m AS (SELECT vec_id, list_dot_product(el, el) / 64 AS mse
+               FROM errv)
+         SELECT count(*)::BIGINT AS n_vectors,
+                round(sum(CAST(mse AS DECIMAL(28,12)))::DOUBLE
+                      / count(*), 10) AS mean_mse,
+                round(max(mse), 10) AS max_mse
+         FROM m""",
+
     "q_ann_pq" ->
       """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
          sv AS (
@@ -2789,6 +2889,53 @@ object ExtensionQueries {
                 round((CAST(SUM(lp_micro) AS BIGINT) / 1000000.0
                   / COUNT(*)) * 10000) / 10000 AS avg_logprob
          FROM scored GROUP BY doc_id""",
+
+    // Mirrors Text.perplexityBuckets: the q_bigram_logprob score CTEs,
+    // nll = −avg_logprob (same 4dp snap), rank by (nll, doc_id), and
+    // integer tercile cutoffs ceil(n/3), ceil(2n/3) on the 1-based rank.
+    "q_ppl_buckets" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
+           FROM documents),
+         bg AS (
+           SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM toks WHERE len(t) >= 2)),
+         uni AS (SELECT unnest(t) AS w FROM toks),
+         u AS (SELECT w, COUNT(*) AS uc FROM uni GROUP BY w),
+         tot AS (SELECT COUNT(*)::DOUBLE AS t_total FROM uni),
+         bc AS (SELECT w1, w2, COUNT(*) AS nbc FROM bg GROUP BY w1, w2),
+         scored AS (
+           SELECT bg.doc_id,
+                  CAST(round(ln(0.7 * (bc.nbc / u1.uc) +
+                               0.3 * (u2.uc / tot.t_total)) * 1000000)
+                    AS BIGINT) AS lp_micro
+           FROM bg
+           JOIN bc USING (w1, w2)
+           JOIN u u1 ON bg.w1 = u1.w
+           JOIN u u2 ON bg.w2 = u2.w, tot),
+         lp AS (
+           SELECT doc_id, COUNT(*) AS nb,
+                  CAST(SUM(lp_micro) AS BIGINT) AS s
+           FROM scored GROUP BY doc_id),
+         nl AS (
+           SELECT doc_id,
+                  round((s / 1000000.0 / nb) * 10000) / 10000 * -1.0
+                    AS nll
+           FROM lp),
+         rk AS (
+           SELECT doc_id, nll,
+                  row_number() OVER (ORDER BY nll, doc_id) AS rank,
+                  count(*) OVER () AS n
+           FROM nl)
+         SELECT doc_id, nll, rank::BIGINT AS rank,
+                CASE WHEN rank <= ceil(n / 3.0) THEN 'head'
+                     WHEN rank <= ceil(2.0 * n / 3.0) THEN 'middle'
+                     ELSE 'tail' END AS ppl_bucket
+         FROM rk""",
 
     "q_chunk_overlap" ->
       """WITH toks AS (

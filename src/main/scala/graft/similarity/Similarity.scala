@@ -569,4 +569,235 @@ object Similarity {
     v.select(col("vec_id"), col("cell"))
       .join(drops, Seq("vec_id"), "left_anti")
   }
+
+  // ---- PCA over the embedding column ---------------------------------
+
+  /** Raw-moment sums of the embedding matrix in ONE distributed pass:
+    * for every dim pair i ≤ j the co-moment Σ xᵢxⱼ, for every dim the
+    * first moment Σ xᵢ (tagged j = −1), and the row count (tagged
+    * i = j = −1). The upper-triangle expansion is scan-local (a
+    * higher-order-function literal array per row, d(d+1)/2 + d + 1
+    * elements) and the groupBy is map-side combined, so the shuffle
+    * carries ~2k rows per partition regardless of corpus size — the
+    * standard moment-sketch shape for distributed covariance/PCA.
+    *
+    * Sums are exact `decimal(28,12)` so partition order cannot move a
+    * bit — the covariance matrix derived from them is bit-identical
+    * across engines and runs (SURVEY.md §5 determinism rules). */
+  def momentSums(vectors: DataFrame, embCol: String, dim: Int)
+  : DataFrame = {
+    val emb = col(embCol)
+    val x = (i: Column) => element_at(emb, i + 1).cast("double")
+    val dec = (c: Column) => c.cast("decimal(28,12)")
+    val tri = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"), dec(x(i) * x(j)).as("p")))))
+    val firsts = transform(sequence(lit(0), lit(dim - 1)), i =>
+      struct(i.as("i"), lit(-1).as("j"), dec(x(i)).as("p")))
+    val cnt = array(struct(lit(-1).as("i"), lit(-1).as("j"),
+      dec(lit(1.0)).as("p")))
+    vectors
+      .select(explode(concat(cnt, firsts, tri)).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).as("s"))
+  }
+
+  /** Population covariance matrix as (i, j, cov) upper-triangle rows,
+    * finished from [[momentSums]]: cov = (Σxy − ΣxΣy/n)/n. The finish
+    * joins only the ~d²/2-row sums table with its own d-row margin —
+    * bounded work after the single corpus pass. The double arithmetic
+    * is written in one fixed order so an oracle computing the same
+    * expression reproduces it bit-for-bit. */
+  def covariance(vectors: DataFrame, embCol: String, dim: Int)
+  : DataFrame = {
+    val sums = momentSums(vectors, embCol, dim).localCheckpoint()
+    val n = sums.filter(col("i") === -1 && col("j") === -1)
+      .select(col("s").cast("double").as("n"))
+    val margin = sums.filter(col("i") >= 0 && col("j") === -1)
+      .select(col("i").as("k"), col("s").cast("double").as("m"))
+    sums.filter(col("j") >= 0)
+      .join(broadcast(margin).withColumnRenamed("m", "s_i"),
+        col("i") === col("k")).drop("k")
+      .join(broadcast(margin).withColumnRenamed("m", "s_j"),
+        col("j") === col("k")).drop("k")
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        ((col("s").cast("double") - col("s_i") * col("s_j") / col("n"))
+          / col("n")).as("cov"))
+  }
+
+  /** Eigendecomposition of the d×d covariance matrix by cyclic Jacobi
+    * rotations, on the DRIVER — legitimate because the matrix is d²
+    * values no matter the corpus size (the distributed work is the one
+    * moment pass). Deterministic: fixed sweep order, fixed convergence
+    * bound, descending-eigenvalue sort with index tie-break. Returns
+    * (eigenvalues, eigenvectors as columns). */
+  private[graft] def jacobiEigen(a: Array[Array[Double]])
+  : (Array[Double], Array[Array[Double]]) = {
+    val d = a.length
+    val m = Array.tabulate(d, d)((i, j) => a(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    def off(): Double = {
+      var s = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) s += m(i)(j) * m(i)(j)
+      s
+    }
+    while (off() > 1e-22 && sweep < 64) {
+      for (p <- 0 until d; q <- p + 1 until d if math.abs(m(p)(q)) > 0) {
+        val theta = (m(q)(q) - m(p)(p)) / (2.0 * m(p)(q))
+        // sign(0) must be +1 here: θ = 0 is the exact-45° rotation,
+        // not the identity (math.signum(0.0) would zero it out)
+        val t = (if (theta >= 0) 1.0 else -1.0) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (k <- 0 until d) {
+          val mkp = m(k)(p); val mkq = m(k)(q)
+          m(k)(p) = c * mkp - s * mkq
+          m(k)(q) = s * mkp + c * mkq
+        }
+        for (k <- 0 until d) {
+          val mpk = m(p)(k); val mqk = m(q)(k)
+          m(p)(k) = c * mpk - s * mqk
+          m(q)(k) = s * mpk + c * mqk
+        }
+        for (k <- 0 until d) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-m(i)(i), i))
+    (order.map(i => m(i)(i)).toArray,
+      order.map(i => (0 until d).map(k => v(k)(i)).toArray).toArray)
+  }
+
+  /** Principal components of the embedding column: one distributed
+    * moment pass ([[covariance]]), a driver-side d×d Jacobi eigen, and
+    * the top-k components returned as a k-row frame
+    * (component, eigenvalue, axis: Array[Double]). */
+  def pcaComponents(vectors: DataFrame, embCol: String, dim: Int, k: Int)
+  : DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cov = covariance(vectors, embCol, dim).collect()
+    val a = Array.ofDim[Double](dim, dim)
+    cov.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val c = r.getDouble(2)
+      a(i)(j) = c; a(j)(i) = c
+    }
+    val (eig, vecs) = jacobiEigen(a)
+    (0 until k).map(i => (i, eig(i), vecs(i).toSeq))
+      .toDF("component", "eigenvalue", "axis")
+  }
+
+  // ---- int8 scalar quantization --------------------------------------
+
+  /** Per-dimension (min, max) of the embedding matrix — the calibration
+    * pass for scalar quantization. One scan with a scan-local explode to
+    * (dim, value) pairs; the groupBy is map-side combined so the shuffle
+    * carries d rows per partition regardless of corpus size. Values stay
+    * float (parquet storage type) so both engines see identical inputs. */
+  def int8QuantParams(vectors: DataFrame, embCol: String, dim: Int)
+  : DataFrame =
+    vectors
+      .select(posexplode(col(embCol)).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).cast("double").as("mn"),
+        max(col("x")).cast("double").as("mx"))
+
+  /** Params folded into ONE broadcastable row of (mins, scales) arrays,
+    * scale = (max − min)/255 (0 for a constant dimension — its code is
+    * pinned to 0 and reconstruction returns the constant). */
+  private def int8ParamArrays(params: DataFrame): DataFrame =
+    params
+      .select(col("i"), col("mn"),
+        ((col("mx") - col("mn")) / 255.0).as("sc"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("sc"))))
+        .as("ps"))
+      .select(
+        transform(col("ps"), p => p.getField("mn")).as("mns"),
+        transform(col("ps"), p => p.getField("sc")).as("scs"))
+
+  /** Asymmetric int8 codes: code = floor((x − min)/scale + 0.5) − 128,
+    * one tinyint per dimension. floor(z + 0.5) — not round() — so both
+    * engines share one unambiguous tie rule. Scan-local: the only
+    * non-scan work is the broadcast of the d-element param row. */
+  def int8Quantize(vectors: DataFrame, idCol: String, embCol: String,
+                   params: DataFrame): DataFrame =
+    vectors
+      .crossJoin(broadcast(int8ParamArrays(params)))
+      .select(col(idCol),
+        zip_with(col(embCol),
+          zip_with(col("mns"), col("scs"), (m, s) => struct(
+            m.as("mn"), s.as("sc"))),
+          (x, p) => when(p.getField("sc") > 0.0,
+            floor((x.cast("double") - p.getField("mn"))
+              / p.getField("sc") + 0.5) - 128)
+            .otherwise(0).cast("tinyint")).as("codes"))
+
+  /** Corpus-level reconstruction-error report for the int8 codebook:
+    * per-vector squared error of x̂ = min + (code + 128)·scale against x,
+    * aggregated to (n_vectors, mean_mse, max_mse) — the quality gate a
+    * quantized ANN index is admitted under. All arithmetic is
+    * fixed-order double, reproducible cross-engine. */
+  def int8ReconError(vectors: DataFrame, idCol: String, embCol: String,
+                     dim: Int, params: DataFrame): DataFrame =
+    vectors
+      .crossJoin(broadcast(int8ParamArrays(params)))
+      .select(col(idCol),
+        (aggregate(
+          zip_with(col(embCol),
+            zip_with(col("mns"), col("scs"), (m, s) => struct(
+              m.as("mn"), s.as("sc"))),
+            (x, p) => {
+              val xd = x.cast("double")
+              val code = when(p.getField("sc") > 0.0,
+                floor((xd - p.getField("mn")) / p.getField("sc") + 0.5))
+                .otherwise(0.0)
+              val xhat = p.getField("mn") + code * p.getField("sc")
+              val e = xd - xhat
+              e * e
+            }),
+          lit(0.0), (acc, v) => acc + v) / dim).as("mse"))
+      .agg(count(lit(1)).as("n_vectors"),
+        // mean via an exact decimal sum — partition order cannot move
+        // a bit (max is order-free already)
+        round(sum(col("mse").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 10).as("mean_mse"),
+        round(max(col("mse")), 10).as("max_mse"))
+
+  /** Project embeddings onto the given components (broadcast k·d rows):
+    * output (id, component, coord) with coord = ⟨x − μ, axis⟩. The mean
+    * is taken distributedly in the same pass shape as [[momentSums]].
+    * Projection itself is scan-local — one broadcast join, no shuffle of
+    * the corpus. */
+  def pcaProject(vectors: DataFrame, idCol: String, embCol: String,
+                 dim: Int, components: DataFrame): DataFrame = {
+    // element-wise mean via the exact decimal margin of momentSums —
+    // a d-row frame folded into ONE array row for the broadcast
+    val margin = momentSums(vectors, embCol, dim)
+    val nRow = margin.filter(col("i") === -1 && col("j") === -1)
+      .select(col("s").cast("double").as("n"))
+    val mu = margin.filter(col("i") >= 0 && col("j") === -1)
+      .crossJoin(broadcast(nRow))
+      .select(col("i"), (col("s").cast("double") / col("n")).as("mu"))
+      .groupBy().agg(array_sort(collect_list(struct(col("i"), col("mu"))))
+        .as("pairs"))
+      .select(transform(col("pairs"), p => p.getField("mu")).as("mu"))
+    vectors
+      .crossJoin(broadcast(mu))
+      .crossJoin(broadcast(components.select(col("component"),
+        col("axis"))))
+      .select(col(idCol), col("component"),
+        aggregate(zip_with(
+          zip_with(col(embCol), col("mu"),
+            (x, m) => x.cast("double") - m),
+          col("axis"), (cx, ax) => cx * ax),
+          lit(0.0), (acc, p) => acc + p).as("coord"))
+  }
 }

@@ -254,6 +254,86 @@ object Text {
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
   }
 
+  /** Per-doc interpolated-bigram LM score — the shape of a CCNet/KenLM
+    * perplexity filter: p(w2|w1) = 0.7·bigram MLE + 0.3·unigram backoff,
+    * scored against the corpus's own counts. Per-token logprobs are
+    * snapped to integer micros at the ln boundary so the per-doc sum is
+    * associative (independent of partition order and of 1-ulp ln()
+    * divergence between engines). Returns (doc_id, n_bigrams,
+    * lp_sum_micro); docs with < 2 tokens have no bigrams and drop out.
+    *
+    * Shape at scale: the token/bigram/vocab frames are staged once and
+    * reused; counts are map-side-combined groupBys; the score join
+    * shuffles on token keys (bounded by vocabulary, not corpus). */
+  def bigramLogprobMicro(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val toked = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .localCheckpoint()
+    val bg = toked.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+           i -> struct(element_at(t, i) AS w1,
+                       element_at(t, i + 1) AS w2))""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint()
+    val uni = toked.select(explode(col("t")).as("w"))
+    val u = uni.groupBy("w").agg(count(lit(1)).as("uc"))
+      .localCheckpoint()
+    val tot = uni.agg(count(lit(1)).cast("double").as("t_total"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    bg.join(bc, Seq("w1", "w2"))
+      .join(u.select(col("w").as("w1"), col("uc").as("u1")), Seq("w1"))
+      .join(u.select(col("w").as("w2"), col("uc").as("u2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(log(lit(0.7) *
+            (col("bc").cast("double") / col("u1").cast("double")) +
+          lit(0.3) *
+            (col("u2").cast("double") / col("t_total"))) * 1e6)
+          .cast("long").as("lp_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp_micro")).as("lp_sum_micro"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. '19): score every
+    * doc with the corpus bigram LM ([[bigramLogprobMicro]]), rank by
+    * per-bigram negative log-likelihood ascending (low nll ≈ low
+    * perplexity = cleanest), and cut the ranking into head / middle /
+    * tail thirds. Rank-based cuts — not interpolated-percentile
+    * thresholds — so the tercile boundary is exact integer math on both
+    * engines (an interpolated threshold can land on a 4dp boundary and
+    * round apart cross-engine). Ties order by doc_id, deterministically.
+    *
+    * Shape at scale: the global rank is a distributed range sort +
+    * `zipWithIndex` (partition sizes and per-partition offsets — the
+    * [[graft.dedup.Dedup.ngramJaccardPairs]] dictionary idiom), NEVER a
+    * single-partition window; the two cutoff ranks are driver scalars
+    * and the bucket label is scan-local. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val spark = docs.sparkSession
+    val nll = bigramLogprobMicro(docs, idCol, textCol)
+      .select(col("doc_id"),
+        (round((col("lp_sum_micro") / lit(1e6) / col("n_bigrams"))
+          * 1e4) / 1e4 * lit(-1.0)).as("nll"))
+    val n = nll.count()
+    val r1 = math.ceil(n / 3.0).toLong
+    val r2 = math.ceil(2.0 * n / 3.0).toLong
+    val ranked = spark.createDataFrame(
+      nll.sort("nll", "doc_id").rdd.zipWithIndex.map {
+        case (row, idx) => org.apache.spark.sql.Row.fromSeq(
+          row.toSeq :+ (idx + 1L))
+      },
+      nll.schema.add("rank", org.apache.spark.sql.types.LongType,
+        nullable = false))
+    ranked.withColumn("ppl_bucket",
+      when(col("rank") <= r1, lit("head"))
+        .when(col("rank") <= r2, lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
   /** Per-group percentile quality gate: keep rows whose `metric` is at or
     * above their group's p-th percentile — the "top quartile per
     * language" corpus cut. The threshold is the EXACT interpolated
