@@ -503,6 +503,13 @@ object ExtensionQueries {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), k = 3,
         threshold = 0.5)),
 
+    // asymmetric near-dup: ordered pairs where ≥ half of A's shingles
+    // appear in B — catches a short doc embedded in a long one, which
+    // the symmetric Jaccard threshold misses
+    "q_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), k = 3,
+        threshold = 0.5)),
+
     // daily-ingest dedup: "new arrivals" (every 17th doc) probed against
     // the remaining corpus via the banded index — candidates are
     // new×corpus only, never corpus×corpus
@@ -628,18 +635,16 @@ object ExtensionQueries {
       Similarity.covariance(t(s, d, "embeddings"), "embedding", dim = 64)
         .select(col("i"), col("j"), round(col("cov"), 10).as("cov"))),
 
-    // PCA projection: top-4 principal axes from the covariance above
-    // (driver-side d×d Jacobi — legal: d² values regardless of corpus
-    // size), embeddings projected by one broadcast, no corpus shuffle.
-    // No SQL twin (iterative eigensolver); PcaSpec pins the math.
-    "q_pca_project" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val comps = Similarity.pcaComponents(emb, "embedding", dim = 64,
-        k = 4)
-      Similarity.pcaProject(emb, "vec_id", "embedding", dim = 64, comps)
+    // PCA fit + project in ONE corpus pass: the staged moment sums feed
+    // covariance (→ driver-side d×d Jacobi — legal: d² values regardless
+    // of corpus size) AND the centering mean; projection is one
+    // broadcast, no corpus shuffle. No SQL twin (iterative eigensolver);
+    // PcaSpec pins the math.
+    "q_pca_project" -> ((s, d) =>
+      Similarity.pcaProjectFitted(t(s, d, "embeddings"), "vec_id",
+        "embedding", dim = 64, k = 4)
         .select(col("vec_id"), col("component"),
-          round(col("coord"), 6).as("coord"))
-    }),
+          round(col("coord"), 6).as("coord"))),
 
     // int8 scalar quantization: per-dim (min,max) calibration in one
     // map-side-combined pass, then scan-local encode against the
@@ -660,6 +665,38 @@ object ExtensionQueries {
       Similarity.int8ReconError(emb, "vec_id", "embedding", dim = 64,
         Similarity.int8QuantParams(emb, "embedding", dim = 64))
     }),
+
+    // asymmetric int8 ANN: full-precision queries against the
+    // int8-coded corpus — the stored side streams one tinyint per dim
+    "q_ann_int8" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val params = Similarity.int8QuantParams(emb, "embedding", dim = 64)
+      Similarity.int8TopK(emb.filter(col("vec_id") < 10),
+        Similarity.int8Quantize(emb, "vec_id", "embedding", params),
+        params, k = 5)
+    }),
+
+    // the eval harness the quantized index is admitted under: per-query
+    // recall@5 of int8 search vs the exact brute-force answer
+    "q_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val params = Similarity.int8QuantParams(emb, "embedding", dim = 64)
+      Similarity.annRecall(
+        Similarity.bruteForceTopK(q, emb, k = 5),
+        Similarity.int8TopK(q,
+          Similarity.int8Quantize(emb, "vec_id", "embedding", params),
+          params, k = 5))
+    }),
+
+    // Johnson-Lindenstrauss ±1 projection to 8 dims: md5-derived sign
+    // matrix (engine-regenerable, no RNG state), one broadcast,
+    // scan-local — the train-free cheap shrink before LSH/clustering
+    "q_rp_project" -> ((s, d) =>
+      Similarity.rpProject(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, k = 8)
+        .select(col("vec_id"), col("component"),
+          round(col("coord"), 6).as("coord"))),
 
     // ---- multimodal --------------------------------------------------------
     "q_mm_decode" -> ((s, d) => {
@@ -1170,6 +1207,19 @@ object ExtensionQueries {
           round(col("tf") * log(lit(n.toDouble) / col("df")), 4)
             .as("tfidf"))
     }),
+
+    // ---- sparse all-pairs doc similarity (tf-idf inverted index) ----------
+    // every pair with tf-idf cosine ≥ 0.7 over a 1-in-10 doc sample —
+    // the pair dot products flow through the term inverted index, so
+    // only co-occurring terms generate work (no dense n² scoring). The
+    // synthetic corpus's 31-term vocabulary makes every doc-pair share
+    // terms, hence the sample; real corpora get selectivity from
+    // maxDfFrac pruning instead (here 1.0 — a cut would empty a 31-term
+    // vocab where every term tops 50% df).
+    "q_tfidf_pairs" -> ((s, d) =>
+      Text.tfidfCosinePairs(
+        t(s, d, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", maxDfFrac = 1.0, threshold = 0.7)),
 
     // ---- within-doc repetition quality gate -------------------------------
     "q_text_repetition" -> ((s, d) =>
@@ -2105,6 +2155,66 @@ object ExtensionQueries {
           WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
                   len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5""",
 
+    // Mirrors Dedup.containmentPairs: same distinct-shingle staging as
+    // the jaccard twin, asymmetric |A∩B|/|A| over ORDERED pairs
+    "q_containment_pairs" ->
+      """WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(regexp_replace(lower(text),
+                     '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS tk
+            FROM documents),
+          staged AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(tk) - 2),
+                     i -> array_to_string(tk[i:i+2], ' '))) AS grams
+            FROM t WHERE len(tk) >= 3)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                   len(a.grams), 6) AS containment
+          FROM staged a JOIN staged b ON a.doc_id <> b.doc_id
+          WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+                  len(a.grams) >= 0.5""",
+
+    // Mirrors Text.tfidfCosinePairs on the 1-in-10 sample: weights
+    // snapped to integer 1e-4 units at the ln boundary, exact HUGEINT
+    // dot/norm sums through the term inverted index, double cosine
+    "q_tfidf_pairs" ->
+      """WITH sub AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+          toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(regexp_replace(
+                     lower(text), '[^a-z0-9\s]+', ' ', 'g')), '\s+'))
+                     AS tok
+            FROM sub),
+          tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+                 FROM toks GROUP BY 1, 2),
+          df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*)::BIGINT AS n FROM sub),
+          w AS (
+            SELECT doc_id, tok,
+                   CAST(round(tf * ln(n / df::DOUBLE) * 1e4) AS BIGINT)
+                     AS w
+            FROM tf JOIN df USING (tok), n
+            WHERE df <= 1.0 * n),
+          norms AS (SELECT doc_id, sum((w * w)::HUGEINT) AS n2
+                    FROM w GROUP BY 1),
+          dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   sum((a.w * b.w)::HUGEINT) AS dot
+            FROM w a JOIN w b USING (tok)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          cos AS (
+            SELECT doc_a, doc_b,
+                   dot::DOUBLE / (sqrt(na.n2::DOUBLE) *
+                     sqrt(nb.n2::DOUBLE)) AS cos
+            FROM dots
+            JOIN norms na ON doc_a = na.doc_id
+            JOIN norms nb ON doc_b = nb.doc_id)
+          SELECT doc_a, doc_b, round(cos, 6) AS cos
+          FROM cos WHERE cos >= 0.7""",
+
     "q_dedup_simhash_pairs" ->
       s"""WITH tok AS (
             SELECT doc_id, len($dTokens) AS n_toks,
@@ -2581,6 +2691,113 @@ object ExtensionQueries {
                       / count(*), 10) AS mean_mse,
                 round(max(mse), 10) AS max_mse
          FROM m""",
+
+    // Mirrors Similarity.int8TopK: the q_emb_int8_codes calibration
+    // CTEs, reconstruction x̂ = mn + floor((x−mn)/sc + 0.5)·sc as an
+    // ascending-index DOUBLE list, then the annSql scoring shape with
+    // the corpus side reconstructed. list_dot_product on DOUBLE[] is
+    // the same sequential accumulation as the Spark HOF dot.
+    "q_ann_int8" ->
+      """WITH v AS (SELECT vec_id,
+                           list_transform(embedding, x -> x::DOUBLE) AS e
+                    FROM embeddings),
+         p AS (
+           SELECT t.j::INT AS i, min(e[t.j + 1]) AS mn,
+                  max(e[t.j + 1]) AS mx
+           FROM v, range(0, 64) t(j)
+           GROUP BY 1),
+         pa AS (SELECT i, mn, (mx - mn) / 255.0 AS sc FROM p),
+         r AS (
+           SELECT vec_id,
+                  list(mn + (CASE WHEN sc > 0
+                             THEN floor((e[pa.i + 1] - mn) / sc + 0.5)
+                             ELSE 0 END) * sc ORDER BY pa.i) AS xhat
+           FROM v CROSS JOIN pa
+           GROUP BY vec_id),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_dot_product(q.e, c.xhat) /
+                    (sqrt(list_dot_product(q.e, q.e)) *
+                     sqrt(list_dot_product(c.xhat, c.xhat))) AS cos
+           FROM v q JOIN r c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10)
+         SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos
+         FROM (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rnk
+               FROM scored)
+         WHERE rnk <= 5""",
+
+    // Mirrors Similarity.annRecall over (exact bruteforce, int8) top-5:
+    // exact side = annSql's scoring, approx side = the q_ann_int8
+    // reconstruction, recall = hits / k per query
+    "q_ann_recall" ->
+      """WITH v AS (SELECT vec_id,
+                           list_transform(embedding, x -> x::DOUBLE) AS e
+                    FROM embeddings),
+         p AS (
+           SELECT t.j::INT AS i, min(e[t.j + 1]) AS mn,
+                  max(e[t.j + 1]) AS mx
+           FROM v, range(0, 64) t(j)
+           GROUP BY 1),
+         pa AS (SELECT i, mn, (mx - mn) / 255.0 AS sc FROM p),
+         r AS (
+           SELECT vec_id,
+                  list(mn + (CASE WHEN sc > 0
+                             THEN floor((e[pa.i + 1] - mn) / sc + 0.5)
+                             ELSE 0 END) * sc ORDER BY pa.i) AS xhat
+           FROM v CROSS JOIN pa
+           GROUP BY vec_id),
+         exact AS (
+           SELECT query_id, neighbor_id
+           FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY list_dot_product(q.e, c.e) /
+                            (sqrt(list_dot_product(q.e, q.e)) *
+                             sqrt(list_dot_product(c.e, c.e))) DESC,
+                          c.vec_id ASC) AS rnk
+                 FROM v q JOIN v c ON c.vec_id <> q.vec_id
+                 WHERE q.vec_id < 10)
+           WHERE rnk <= 5),
+         approx AS (
+           SELECT query_id, neighbor_id
+           FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY list_dot_product(q.e, c.xhat) /
+                            (sqrt(list_dot_product(q.e, q.e)) *
+                             sqrt(list_dot_product(c.xhat, c.xhat))) DESC,
+                          c.vec_id ASC) AS rnk
+                 FROM v q JOIN r c ON c.vec_id <> q.vec_id
+                 WHERE q.vec_id < 10)
+           WHERE rnk <= 5)
+         SELECT e.query_id, count(*)::BIGINT AS n_exact,
+                sum(CASE WHEN a.neighbor_id IS NOT NULL
+                    THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+                round(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+                  AS recall
+         FROM exact e
+         LEFT JOIN approx a
+           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         GROUP BY e.query_id""",
+
+    // Mirrors Similarity.rpProject: the ±1 sign matrix regenerated from
+    // md5("i_j") first-nibble parity, dot via ascending-index DOUBLE
+    // list, scaled by the same IEEE sqrt(8)
+    "q_rp_project" ->
+      """WITH v AS (SELECT vec_id,
+                           list_transform(embedding, x -> x::DOUBLE) AS e
+                    FROM embeddings),
+         m AS (
+           SELECT t.j::INT AS component,
+                  list_transform(range(0, 64), i ->
+                    ((('0x' || substr(md5(i::VARCHAR || '_' ||
+                        t.j::VARCHAR), 1, 1))::INT % 2) * 2 - 1)::DOUBLE)
+                    AS axis
+           FROM range(0, 8) t(j))
+         SELECT vec_id, component,
+                round(list_dot_product(e, axis) / sqrt(8.0), 6) AS coord
+         FROM v CROSS JOIN m""",
 
     "q_ann_pq" ->
       """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),

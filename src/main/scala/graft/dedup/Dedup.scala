@@ -439,6 +439,44 @@ object Dedup {
         .agg(max(col("hit")).as("bloom_hit"))
   }
 
+  /** Shared staging for the exact set-similarity joins
+    * ([[ngramJaccardPairs]], [[containmentPairs]]): each doc's DISTINCT
+    * k-shingles dictionary-encoded to a dense long id ranked by
+    * (df, gram) ascending — AllPairs/PPJoin's canonical ordering — and
+    * returned as (doc_id, ids: sorted array<long>).
+    *
+    * The rank is computed distributed (sortBy + zipWithIndex — partition
+    * sizes + per-partition offsets, never a single-partition window);
+    * encoding makes the candidate-join key an 8-byte long and the verify
+    * arrays array<long>, ~8× less data in flight than raw grams. The
+    * result is checkpointed: every caller reads it at least three ways
+    * (prefix/index explode + both verify sides). */
+  private def dfRankedIdSets(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // materialize once: the dictionary build and the encode join read the
+    // same gram sets. Spread the checkpoint across the cluster first —
+    // the source may be a handful of row groups (testdata: ONE), and
+    // downstream stages inherit the checkpoint's partitioning.
+    val par = spark.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par)
+      docs.repartition(par) else docs
+    // graft_shingles emits each doc's DISTINCT k-grams (set semantics)
+    val sets = spread.select(col("doc_id"),
+      Text.shingles(Text.tokens(col("text")), k).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .localCheckpoint()
+    val dict = sets.select(explode(col("grams")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .sort("df", "g").select("g").as[String].rdd
+      .zipWithIndex.toDF("g", "gid")
+    sets.select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(dict, Seq("g"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("gid"))).as("ids"))
+      .localCheckpoint()
+  }
+
   /** n-gram (word k-shingle) Jaccard near-dup pairs: ALL pairs with
     * J(A, B) ≥ threshold, by EXACT prefix filtering (SSJoin/AllPairs) —
     * no heuristic blocking, no unbounded self-join.
@@ -473,34 +511,8 @@ object Dedup {
   : DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // materialize once: the dictionary build and the encode join read the
-    // same gram sets. Spread the checkpoint across the cluster first —
-    // the source may be a handful of row groups (testdata: ONE), and
-    // downstream stages inherit the checkpoint's partitioning.
-    val par = spark.sparkContext.defaultParallelism
-    val spread = if (docs.rdd.getNumPartitions < par)
-      docs.repartition(par) else docs
-    // graft_shingles emits each doc's DISTINCT k-grams (set semantics)
-    val sets = spread.select(col("doc_id"),
-      Text.shingles(Text.tokens(col("text")), k).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .localCheckpoint()
-    // dense rank of every distinct gram in (df, gram) order, computed
-    // distributed: sort the vocabulary, then zipWithIndex (partition
-    // sizes + per-partition offsets — no single-partition exchange).
-    val dict = sets.select(explode(col("grams")).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("df"))
-      .sort("df", "g").select("g").as[String].rdd
-      .zipWithIndex.toDF("g", "gid")
-    // encode: doc → sorted array of gram ids (ascending id = ascending
-    // df). Read three ways (prefix explode + both verify sides).
-    val enc = sets.select(col("doc_id"), explode(col("grams")).as("g"))
-      .join(dict, Seq("g"))
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(col("gid"))).as("ids"))
-      .localCheckpoint()
+    import docs.sparkSession.implicits._
+    val enc = dfRankedIdSets(docs, k)
     // ε-relaxed prefix length: ceil(t·n) computed on a float product that
     // lands ulp-high would shorten the prefix and DROP a true pair; the
     // slack only ever lengthens it by one
@@ -553,6 +565,69 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
         .as("jaccard"))
+  }
+
+  /** Shingle containment pairs: every ORDERED pair with
+    * C(A→B) = |A∩B| / |A| ≥ threshold, A ≠ B — the asymmetric near-dup
+    * relation ("A is mostly inside B") that Jaccard misses when a short
+    * doc is embedded in a long one, and the primitive behind
+    * quote/boilerplate detection and sub-document contamination.
+    *
+    * Exact, via the containment variant of prefix filtering: if
+    * c ≥ t·|A| the smallest common gram (df-ascending dictionary order,
+    * [[dfRankedIdSets]]) sits in A's first |A| − ⌈t·|A|⌉ + 1 grams, so
+    * joining A-PREFIXES against B's FULL inverted index yields a
+    * lossless candidate superset. Unlike the Jaccard join there is no
+    * size-ratio cut on the B side (B may be arbitrarily large); the
+    * per-row cuts are |B| ≥ t·|A| (overlap ≤ |B|) and the positional
+    * bound 1 + min(n_a−i_a, n_b−i_b) ≥ t·n_a, both valid on the
+    * smallest-common-gram row that the lemma guarantees survives, both
+    * ε-relaxed so float rounding can only ADMIT. The B-side explode is
+    * the corpus inverted index — its high-df postings meet only
+    * A-prefixes that contain that gram, and prefixes hold each doc's
+    * RAREST grams, so stop-phrase df² blowup never materializes. */
+  def containmentPairs(docs: DataFrame, k: Int, threshold: Double,
+                       broadcastBytesLimit: Long = 256L << 20)
+  : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    import docs.sparkSession.implicits._
+    val enc = dfRankedIdSets(docs, k)
+    val prefLen = (size(col("ids")) -
+      ceil(lit(threshold) * size(col("ids")) - lit(1e-9)) + 1).cast("int")
+    val pref = enc.select(col("doc_id"), size(col("ids")).as("n"),
+      posexplode(slice(col("ids"), lit(1), prefLen)))
+      .select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+        (col("pos") + 1).as("i_a"), col("col").as("gid"))
+    val index = enc.select(col("doc_id"), size(col("ids")).as("n"),
+      posexplode(col("ids")))
+      .select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+        (col("pos") + 1).as("i_b"), col("col").as("gid"))
+    val reqOverlap = lit(threshold) * col("n_a") - lit(1e-9)
+    val cands = pref.join(index, Seq("gid"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("n_b").cast("double") >= reqOverlap)
+      .filter((lit(1) + least(col("n_a") - col("i_a"),
+        col("n_b") - col("i_b"))).cast("double") >= reqOverlap)
+      .select("doc_a", "doc_b")
+      .distinct()
+    val (nDocs, totalIds) = enc
+      .agg(count(lit(1)), sum(size(col("ids"))))
+      .as[(Long, Option[Long])].head()
+    val estBytes = nDocs * 32L + totalIds.getOrElse(0L) * 8L
+    def verifySide(keyName: String, idsName: String): DataFrame = {
+      val f = enc.toDF(keyName, idsName)
+      if (estBytes <= broadcastBytesLimit) broadcast(f) else f
+    }
+    cands
+      .join(verifySide("doc_a", "ids_a"), Seq("doc_a"))
+      .join(verifySide("doc_b", "ids_b"), Seq("doc_b"))
+      .withColumn("c", call_function("graft_overlap",
+        col("ids_a"), col("ids_b")).cast("double"))
+      .withColumn("containment", col("c") / size(col("ids_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("containment"), 6)
+        .as("containment"))
   }
 
   /** Connected components over a duplicate-pair graph — the step that

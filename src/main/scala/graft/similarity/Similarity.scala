@@ -609,8 +609,14 @@ object Similarity {
     * is written in one fixed order so an oracle computing the same
     * expression reproduces it bit-for-bit. */
   def covariance(vectors: DataFrame, embCol: String, dim: Int)
-  : DataFrame = {
-    val sums = momentSums(vectors, embCol, dim).localCheckpoint()
+  : DataFrame =
+    covarianceFromSums(momentSums(vectors, embCol, dim).localCheckpoint())
+
+  /** The bounded d²-row covariance finish over an already-staged
+    * [[momentSums]] frame — split out so a caller needing BOTH the
+    * covariance and the mean (PCA fit + project) pays for one corpus
+    * pass, not two. */
+  private def covarianceFromSums(sums: DataFrame): DataFrame = {
     val n = sums.filter(col("i") === -1 && col("j") === -1)
       .select(col("s").cast("double").as("n"))
     val margin = sums.filter(col("i") >= 0 && col("j") === -1)
@@ -624,6 +630,19 @@ object Similarity {
       .select(col("i"), col("j"),
         ((col("s").cast("double") - col("s_i") * col("s_j") / col("n"))
           / col("n")).as("cov"))
+  }
+
+  /** Element-wise mean as ONE broadcastable array row, from a staged
+    * [[momentSums]] frame (the exact decimal margin / n). */
+  private def meanFromSums(sums: DataFrame): DataFrame = {
+    val nRow = sums.filter(col("i") === -1 && col("j") === -1)
+      .select(col("s").cast("double").as("n"))
+    sums.filter(col("i") >= 0 && col("j") === -1)
+      .crossJoin(broadcast(nRow))
+      .select(col("i"), (col("s").cast("double") / col("n")).as("mu"))
+      .groupBy().agg(array_sort(collect_list(struct(col("i"), col("mu"))))
+        .as("pairs"))
+      .select(transform(col("pairs"), p => p.getField("mu")).as("mu"))
   }
 
   /** Eigendecomposition of the d×d covariance matrix by cyclic Jacobi
@@ -675,23 +694,40 @@ object Similarity {
       order.map(i => (0 until d).map(k => v(k)(i)).toArray).toArray)
   }
 
-  /** Principal components of the embedding column: one distributed
-    * moment pass ([[covariance]]), a driver-side d×d Jacobi eigen, and
-    * the top-k components returned as a k-row frame
-    * (component, eigenvalue, axis: Array[Double]). */
-  def pcaComponents(vectors: DataFrame, embCol: String, dim: Int, k: Int)
+  /** Driver-side Jacobi finish over an (i, j, cov) upper-triangle frame
+    * — legal at any corpus size: the matrix is d² values. */
+  private def componentsFromCovariance(cov: DataFrame, dim: Int, k: Int)
   : DataFrame = {
-    val spark = vectors.sparkSession
+    val spark = cov.sparkSession
     import spark.implicits._
-    val cov = covariance(vectors, embCol, dim).collect()
     val a = Array.ofDim[Double](dim, dim)
-    cov.foreach { r =>
+    cov.collect().foreach { r =>
       val i = r.getInt(0); val j = r.getInt(1); val c = r.getDouble(2)
       a(i)(j) = c; a(j)(i) = c
     }
     val (eig, vecs) = jacobiEigen(a)
     (0 until k).map(i => (i, eig(i), vecs(i).toSeq))
       .toDF("component", "eigenvalue", "axis")
+  }
+
+  /** Principal components of the embedding column: one distributed
+    * moment pass ([[covariance]]), a driver-side d×d Jacobi eigen, and
+    * the top-k components returned as a k-row frame
+    * (component, eigenvalue, axis: Array[Double]). */
+  def pcaComponents(vectors: DataFrame, embCol: String, dim: Int, k: Int)
+  : DataFrame =
+    componentsFromCovariance(covariance(vectors, embCol, dim), dim, k)
+
+  /** Fit + project in ONE corpus pass: the staged moment sums feed both
+    * the covariance (→ components) and the mean (→ centering), so the
+    * full train-and-apply PCA costs a single distributed scan plus the
+    * bounded finishes — the shape [[pcaComponents]] + [[pcaProject]]
+    * called separately would pay twice for. */
+  def pcaProjectFitted(vectors: DataFrame, idCol: String, embCol: String,
+                       dim: Int, k: Int): DataFrame = {
+    val sums = momentSums(vectors, embCol, dim).localCheckpoint()
+    val comps = componentsFromCovariance(covarianceFromSums(sums), dim, k)
+    projectOn(vectors, idCol, embCol, meanFromSums(sums), comps)
   }
 
   // ---- int8 scalar quantization --------------------------------------
@@ -777,18 +813,18 @@ object Similarity {
     * Projection itself is scan-local — one broadcast join, no shuffle of
     * the corpus. */
   def pcaProject(vectors: DataFrame, idCol: String, embCol: String,
-                 dim: Int, components: DataFrame): DataFrame = {
+                 dim: Int, components: DataFrame): DataFrame =
     // element-wise mean via the exact decimal margin of momentSums —
     // a d-row frame folded into ONE array row for the broadcast
-    val margin = momentSums(vectors, embCol, dim)
-    val nRow = margin.filter(col("i") === -1 && col("j") === -1)
-      .select(col("s").cast("double").as("n"))
-    val mu = margin.filter(col("i") >= 0 && col("j") === -1)
-      .crossJoin(broadcast(nRow))
-      .select(col("i"), (col("s").cast("double") / col("n")).as("mu"))
-      .groupBy().agg(array_sort(collect_list(struct(col("i"), col("mu"))))
-        .as("pairs"))
-      .select(transform(col("pairs"), p => p.getField("mu")).as("mu"))
+    projectOn(vectors, idCol, embCol,
+      meanFromSums(momentSums(vectors, embCol, dim)), components)
+
+  /** Scan-local projection against broadcast mean + components:
+    * (id, component, coord) with coord = ⟨x − μ, axis⟩ — one broadcast
+    * join, no shuffle of the corpus. */
+  private def projectOn(vectors: DataFrame, idCol: String,
+                        embCol: String, mu: DataFrame,
+                        components: DataFrame): DataFrame =
     vectors
       .crossJoin(broadcast(mu))
       .crossJoin(broadcast(components.select(col("component"),
@@ -799,5 +835,112 @@ object Similarity {
             (x, m) => x.cast("double") - m),
           col("axis"), (cx, ax) => cx * ax),
           lit(0.0), (acc, p) => acc + p).as("coord"))
+
+  // ---- search over the int8 index ------------------------------------
+
+  /** Reconstruct x̂ = min + (code + 128)·scale from int8 codes — the
+    * decode half of the [[int8Quantize]] contract, scan-local against
+    * the broadcast d-element param row. A constant dimension (scale 0,
+    * code pinned 0) reconstructs exactly to the constant. Output is
+    * `array<double>` so downstream distance math is double precision
+    * end-to-end. */
+  def int8Reconstruct(codes: DataFrame, idCol: String,
+                      params: DataFrame): DataFrame =
+    codes
+      .crossJoin(broadcast(int8ParamArrays(params)))
+      .select(col(idCol),
+        zip_with(col("codes"),
+          zip_with(col("mns"), col("scs"), (m, s) => struct(
+            m.as("mn"), s.as("sc"))),
+          (c, p) => p.getField("mn") +
+            (c.cast("double") + 128.0) * p.getField("sc")).as("xhat"))
+
+  /** Asymmetric int8 ANN: full-precision queries scored against the
+    * int8-reconstructed corpus — the memory-bound regime where the
+    * quantized index earns its 4× footprint shrink (the stored side is
+    * one tinyint per dimension; only the broadcast query set is float).
+    * Same contract and tie rule as [[bruteForceTopK]]; scores use the
+    * sequential-ascending double dot so an oracle reconstructing the
+    * same codes reproduces them bit-for-bit. At scale the codes frame
+    * IS the persisted index — the scan streams codes, never raw
+    * vectors, and only k rows per (query, partition) survive the
+    * window's partial top-k. */
+  def int8TopK(queries: DataFrame, codes: DataFrame, params: DataFrame,
+               k: Int): DataFrame = {
+    val recon = int8Reconstruct(codes, "vec_id", params)
+      .select(col("vec_id").as("neighbor_id"), col("xhat"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    // graft_dot is float-only; the reconstructed side must stay double
+    // (a float round-trip would diverge from the oracle's decode), so
+    // the mixed dot goes through the HOF form — same accumulation order
+    val qd = transform(col("q_emb"), x => x.cast("double"))
+    val scored = recon.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dotHof(qd, col("xhat")) /
+        (sqrt(dotHof(qd, qd)) *
+          sqrt(dotHof(col("xhat"), col("xhat")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Recall@k of an approximate ANN result against the exact one — the
+    * eval harness a quantized/partitioned index is admitted under.
+    * Both inputs carry (query_id, neighbor_id) rows (rank columns are
+    * ignored); output is one row per query: (query_id, n_exact, n_hit,
+    * recall). Queries the approximate index missed entirely still
+    * appear (left join from the exact side), with recall 0. The join
+    * keys are (query, neighbor) ids — a few k rows per query, so at any
+    * scale this is a cheap co-partitioned join on the query id. */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"),
+      lit(1).as("__hit"))
+    e.join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 6))
+  }
+
+  // ---- Johnson-Lindenstrauss random projection -----------------------
+
+  /** Sign matrix for a JL random projection, built from md5 so any
+    * engine regenerates it bit-identically from (dim, k) alone — no
+    * RNG state to ship. Row j is the j-th output axis:
+    * axis[i] = +1 if the first md5 nibble of "i_j" is odd else −1.
+    * k rows of d doubles — broadcast-sized by construction. */
+  def rpSignMatrix(spark: org.apache.spark.sql.SparkSession, dim: Int,
+                   k: Int): DataFrame =
+    spark.range(k)
+      .select(col("id").cast("int").as("component"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (conv(substring(md5(concat_ws("_", i.cast("string"),
+            col("id").cast("string")).cast("binary")), 1, 1), 16, 10)
+            .cast("int") % 2 * 2 - 1).cast("double")).as("axis"))
+
+  /** Johnson-Lindenstrauss projection to k dims: coord =
+    * ⟨x, axis⟩ / √k against the broadcast [[rpSignMatrix]] — the cheap,
+    * data-independent dimensionality reduction used to shrink
+    * embeddings before LSH or clustering (Achlioptas '01 ±1 variant).
+    * Scan-local per row: one broadcast join, no corpus shuffle, and
+    * unlike PCA no training pass at all. */
+  def rpProject(vectors: DataFrame, idCol: String, embCol: String,
+                dim: Int, k: Int): DataFrame = {
+    val m = rpSignMatrix(vectors.sparkSession, dim, k)
+    vectors
+      .crossJoin(broadcast(m))
+      .select(col(idCol), col("component"),
+        (aggregate(zip_with(col(embCol), col("axis"),
+          (x, s) => x.cast("double") * s),
+          lit(0.0), (acc, p) => acc + p) /
+          math.sqrt(k.toDouble)).as("coord"))
   }
 }

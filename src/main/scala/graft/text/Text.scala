@@ -413,6 +413,66 @@ object Text {
       .select(col("doc_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Sparse all-pairs document similarity over tf-idf vectors: every
+    * unordered pair with cosine ≥ threshold, computed through the
+    * corpus INVERTED INDEX — the pair dot product Σ w_a(t)·w_b(t) only
+    * has terms where both docs contain t, so a self-join of the
+    * (doc, term, weight) frame on the term key generates exactly the
+    * nonzero contributions and no dense d×d work exists anywhere
+    * (the Elsayed et al. '08 MapReduce pairwise-similarity shape).
+    *
+    * `maxDfFrac` prunes terms with df > maxDfFrac·N BEFORE the pair
+    * join — the scale guard: a term in f·N docs alone fans out (f·N)²
+    * candidate rows, and such stop-terms carry near-zero idf anyway.
+    * The cut is part of the operator's contract (weights and norms are
+    * computed on the pruned vocabulary), not a lossy approximation of
+    * an unpruned answer.
+    *
+    * Determinism: weights tf·ln(N/df) are snapped to integer 1e-4 units
+    * at the ln boundary, so dot products and norms are exact integer
+    * sums (order-free, decimal accumulators); with tf ≤ ~10³ the
+    * squares stay < 2⁵³ and the final double cosine is reproduced
+    * bit-for-bit by any engine. */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       maxDfFrac: Double, threshold: Double)
+  : DataFrame = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"cosine threshold must be in (0, 1], got $threshold")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    // weights on the pruned vocabulary, integer 1e-4 units; staged once
+    // (the pair join reads it twice, the norms once)
+    val w = tf.join(df_, Seq("tok"))
+      .filter(col("df") <= lit(maxDfFrac * n))
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")) * 1e4)
+          .cast("long").as("w"))
+      .localCheckpoint()
+    val norms = w.groupBy("doc_id")
+      .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
+    val dots = w.toDF("doc_a", "tok", "w_a")
+      .join(w.toDF("doc_b", "tok", "w_b"), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum((col("w_a") * col("w_b")).cast("decimal(38,0)"))
+        .as("dot"))
+    // norms are one row per doc — corpus-sized, so NO broadcast hint
+    // (the semDedup lesson); AQE picks from the measured size
+    dots
+      .join(norms.toDF("doc_a", "n2_a"), Seq("doc_a"))
+      .join(norms.toDF("doc_b", "n2_b"), Seq("doc_b"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("n2_a").cast("double")) *
+          sqrt(col("n2_b").cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. '09): merge any number of
     * ranked retrieval lists into one consensus ranking by
     * score(d) = Σ_lists 1/(k0 + rank_list(d)) — the standard hybrid
