@@ -11,11 +11,14 @@ import graft.ops.{exprs, windows}
   * shapes hold when the data stops being toy-sized: shuffles stay bounded,
   * partial aggs stay partial, nothing collects to the driver.
   *
-  * Usage: sbt "runMain graft.ScaleSmoke [rows]"   (default 50M)
+  * Usage: sbt "runMain graft.ScaleSmoke [rows] [nameSubstring...]"
+  * (default 50M, all smokes; trailing args restrict to smokes whose
+  * name contains any of them — dev use)
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val rows = if (args.nonEmpty) args(0).toLong else 50000000L
+    val only = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,11 +30,12 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def timed(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[scale] $name%-28s rows=$n%12d  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-    }
+    def timed(name: String)(f: => Long): Unit =
+      if (only.isEmpty || only.exists(name.contains)) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[scale] $name%-28s rows=$n%12d  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
 
     // fact table: rows × (key ~ rows/50, seq, value, flag)
     val fact = spark.range(rows).select(
@@ -399,6 +403,76 @@ object ScaleSmoke {
         .select(col("id").as("a"), (col("id") + 1).as("b"))
       graft.dedup.Dedup.connectedComponents(e, "a", "b")
         .filter(col("is_canonical")).count()
+    }
+
+    // rows/50 (default 1M) synthetic 64-dim float vectors, shared by the
+    // vector-op smokes below
+    def vecs64 = spark.range(rows / 50).select(col("id").as("vec_id"),
+      array((0 until 64).map(j =>
+        (((col("id") + 1) * (j + 3)) % 997).cast("float") / 997f): _*)
+        .as("embedding"))
+
+    timed("pca fit+project 1 pass") {
+      // the d(d+1)/2-element scan-local expansion must stay map-side
+      // combined: shuffle carries ~2k rows/partition, the d×d eigen is
+      // driver-bounded, the projection one broadcast — the whole fit +
+      // apply is a single corpus pass plus scan-local work
+      graft.similarity.Similarity.pcaProjectFitted(
+        vecs64, "vec_id", "embedding", dim = 64, k = 4)
+        .filter(col("coord") > 1e9).count() // impossible: forces full eval
+    }
+
+    timed("int8 quantize + search") {
+      // calibration (d-row shuffle), scan-local encode of the full
+      // corpus, then 8 queries against the reconstructed codes — the
+      // corpus side streams codes, never raw floats; per-partition
+      // top-k bounds the window input
+      val s = graft.similarity.Similarity
+      val params = s.int8QuantParams(vecs64, "embedding", dim = 64)
+      s.int8TopK(vecs64.filter(col("vec_id") < 8),
+        s.int8Quantize(vecs64, "vec_id", "embedding", params),
+        params, k = 5).count()
+    }
+
+    timed("jl projection 64→8") {
+      // broadcast sign matrix, scan-local dot — no shuffle at all until
+      // the count's final agg
+      graft.similarity.Similarity.rpProject(
+        vecs64, "vec_id", "embedding", dim = 64, k = 8)
+        .filter(col("coord") > 1e9).count()
+    }
+
+    timed("containment pairs (prefix)") {
+      // same planted near-dup corpus as the jaccard smoke: the
+      // asymmetric join's B-side inverted index is corpus-token-sized
+      // but meets only rare A-prefix grams — candidate-bounded, not
+      // quadratic, at ~40× the sf0.1 corpus
+      val nd = rows / 250
+      val docs = spark.range(nd).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 40).map(j =>
+            concat(lit(s"w${j}_"),
+              (((col("id") / 2).cast("long") * (j + 7)) % 9973)
+                .cast("string"))) :+
+            concat(lit("tail_"), (col("id") % 2).cast("string")): _*)
+          .as("text"))
+      graft.dedup.Dedup.containmentPairs(docs, k = 3, threshold = 0.5)
+        .count()
+    }
+
+    timed("tfidf pairs (inverted idx)") {
+      // rows/500 docs over a 10k-term vocabulary with planted dup pairs;
+      // df pruning caps any term's posting list, so the pair join's
+      // fan-out is Σ df² over SURVIVING terms — bounded by construction
+      val nd = rows / 500
+      val docs = spark.range(nd).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 20).map(j =>
+            concat(lit(s"t${j}_"),
+              (((col("id") / 2).cast("long") * (j + 11)) % 499)
+                .cast("string"))): _*).as("text"))
+      graft.text.Text.tfidfCosinePairs(docs, "doc_id", "text",
+        maxDfFrac = 0.01, threshold = 0.8).count()
     }
 
     spark.stop()

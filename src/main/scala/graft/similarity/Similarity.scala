@@ -873,13 +873,18 @@ object Similarity {
       col("embedding").as("q_emb"))
     // graft_dot is float-only; the reconstructed side must stay double
     // (a float round-trip would diverge from the oracle's decode), so
-    // the mixed dot goes through the HOF form — same accumulation order
+    // the mixed dot goes through the HOF form — same accumulation order.
+    // Zero-norm rows (no direction → no cosine) are excluded explicitly
+    // rather than left to divide by zero under ANSI — the ivfPqTopK
+    // an2=0 lesson.
     val qd = transform(col("q_emb"), x => x.cast("double"))
     val scored = recon.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qn2", dotHof(qd, qd))
+      .withColumn("cn2", dotHof(col("xhat"), col("xhat")))
+      .filter(col("qn2") > 0.0 && col("cn2") > 0.0)
       .withColumn("cos", dotHof(qd, col("xhat")) /
-        (sqrt(dotHof(qd, qd)) *
-          sqrt(dotHof(col("xhat"), col("xhat")))))
+        (sqrt(col("qn2")) * sqrt(col("cn2"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -301,6 +301,51 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("might_contain"), plan.take(3000))
   }
 
+  test("containment / tfidf pair generators never plan a cross product") {
+    // same guarantee as the round-3 pair generators: the asymmetric
+    // containment join (A-prefix × B-inverted-index) and the tf-idf
+    // inverted-index pair join are equi-joins on derived keys end to end
+    Seq("q_containment_pairs", "q_tfidf_pairs").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a cross product:\n${plan.take(2000)}")
+    }
+  }
+
+  test("moment sums combine map-side; covariance finish joins broadcast") {
+    // the PCA/covariance contract: the only corpus-sized work is one
+    // scan + partial-agg (the d²/2-element expansion combines map-side,
+    // so the exchange carries ~2k rows per partition)…
+    val emb = Tables.t(spark, sf, "embeddings")
+    val sums = graft.similarity.Similarity
+      .momentSums(emb, "embedding", dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(sums.contains("partial_sum"),
+      s"moment sums must combine map-side:\n${sums.take(3000)}")
+    // …and the finish works on the CHECKPOINTED bounded sums table
+    // (ExistingRDD), joining its broadcast d-row margin — never a
+    // corpus-sized shuffle join (the 1-row n cross is broadcast too)
+    val plan = SparkEntry.queries("q_emb_covariance")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("int8 encode never shuffles the corpus (scan-local vs broadcast params)") {
+    // calibration is a d-row partial agg; the encode side's only
+    // non-scan work is the single-row param broadcast — a sort-merge
+    // join anywhere means the corpus got shuffled for a 64-element map
+    val plan = SparkEntry.queries("q_emb_int8_codes")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") && plan.contains("partial_max"),
+      s"calibration must combine map-side:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("pagerank iterations reuse a staged edge list, no cross product") {
     val plan = SparkEntry.queries("q_pagerank")(spark, sf)
       .queryExecution.executedPlan.toString
