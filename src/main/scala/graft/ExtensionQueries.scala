@@ -698,6 +698,14 @@ object ExtensionQueries {
         .select(col("vec_id"), col("component"),
           round(col("coord"), 6).as("coord"))),
 
+    // two-stage retrieval: coarse top-20 in the 8-dim JL space, exact
+    // rerank to top-5 — recall errors can only be coarse-cut misses
+    "q_ann_rp_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.rpRerankTopK(emb.filter(col("vec_id") < 10), emb,
+        dim = 64, kProj = 8, coarseK = 20, k = 5)
+    }),
+
     // ---- multimodal --------------------------------------------------------
     "q_mm_decode" -> ((s, d) => {
       import s.implicits._
@@ -2798,6 +2806,57 @@ object ExtensionQueries {
          SELECT vec_id, component,
                 round(list_dot_product(e, axis) / sqrt(8.0), 6) AS coord
          FROM v CROSS JOIN m""",
+
+    // Mirrors Similarity.rpRerankTopK: q_rp_project's matrix + per-vec
+    // projection list (ordered by component — same ascending fold),
+    // coarse rank ≤ 20 on projected cosine, exact rerank ≤ 5
+    "q_ann_rp_rerank" ->
+      """WITH v AS (SELECT vec_id,
+                           list_transform(embedding, x -> x::DOUBLE) AS e
+                    FROM embeddings),
+         m AS (
+           SELECT t.j::INT AS component,
+                  list_transform(range(0, 64), i ->
+                    ((('0x' || substr(md5(i::VARCHAR || '_' ||
+                        t.j::VARCHAR), 1, 1))::INT % 2) * 2 - 1)::DOUBLE)
+                    AS axis
+           FROM range(0, 8) t(j)),
+         pv AS (
+           SELECT vec_id,
+                  list(list_dot_product(e, axis) / sqrt(8.0)
+                       ORDER BY component) AS p
+           FROM v CROSS JOIN m
+           GROUP BY vec_id),
+         coarse AS (
+           SELECT query_id, neighbor_id
+           FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY list_dot_product(qp.p, cp.p) /
+                            (sqrt(list_dot_product(qp.p, qp.p)) *
+                             sqrt(list_dot_product(cp.p, cp.p))) DESC,
+                          c.vec_id ASC) AS crnk
+                 FROM v q
+                 JOIN v c ON c.vec_id <> q.vec_id
+                 JOIN pv qp ON qp.vec_id = q.vec_id
+                 JOIN pv cp ON cp.vec_id = c.vec_id
+                 WHERE q.vec_id < 10
+                   AND list_dot_product(qp.p, qp.p) > 0
+                   AND list_dot_product(cp.p, cp.p) > 0)
+           WHERE crnk <= 20)
+         SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos
+         FROM (SELECT co.query_id, co.neighbor_id,
+                      list_dot_product(q.e, c.e) /
+                        (sqrt(list_dot_product(q.e, q.e)) *
+                         sqrt(list_dot_product(c.e, c.e))) AS cos,
+                      row_number() OVER (PARTITION BY co.query_id
+                        ORDER BY list_dot_product(q.e, c.e) /
+                          (sqrt(list_dot_product(q.e, q.e)) *
+                           sqrt(list_dot_product(c.e, c.e))) DESC,
+                        co.neighbor_id ASC) AS rnk
+               FROM coarse co
+               JOIN v q ON q.vec_id = co.query_id
+               JOIN v c ON c.vec_id = co.neighbor_id)
+         WHERE rnk <= 5""",
 
     "q_ann_pq" ->
       """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),

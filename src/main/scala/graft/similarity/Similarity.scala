@@ -730,6 +730,30 @@ object Similarity {
     projectOn(vectors, idCol, embCol, meanFromSums(sums), comps)
   }
 
+  /** The lake-scale PCA recipe: fit (moments → covariance → eigen →
+    * mean) on a DETERMINISTIC md5-keyed sample of the corpus, then
+    * project EVERY vector. The d²-element moment expansion — the only
+    * corpus-proportional cost of the fit — shrinks by 1/sampleFrac
+    * while the projection stays one scan-local broadcast pass over the
+    * full data. The sample is keyed on md5(id), not rand(): the same
+    * rows are chosen on any cluster size, any partitioning, any rerun
+    * (the [[graft.text.Text.stratifiedSample]] determinism rule).
+    * Covariance concentrates at O(1/√(sample size)) — callers size
+    * sampleFrac to the axis precision they need, not to the corpus. */
+  def pcaProjectSampleFitted(vectors: DataFrame, idCol: String,
+                             embCol: String, dim: Int, k: Int,
+                             sampleFrac: Double): DataFrame = {
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0,
+      s"sampleFrac must be in (0, 1], got $sampleFrac")
+    val bucket = conv(substring(md5(col(idCol).cast("string")
+      .cast("binary")), 1, 6), 16, 10).cast("long")
+    val fitRows = vectors.filter(
+      bucket < lit((sampleFrac * (1L << 24)).toLong))
+    val sums = momentSums(fitRows, embCol, dim).localCheckpoint()
+    val comps = componentsFromCovariance(covarianceFromSums(sums), dim, k)
+    projectOn(vectors, idCol, embCol, meanFromSums(sums), comps)
+  }
+
   // ---- int8 scalar quantization --------------------------------------
 
   /** Per-dimension (min, max) of the embedding matrix — the calibration
@@ -947,5 +971,66 @@ object Similarity {
           (x, s) => x.cast("double") * s),
           lit(0.0), (acc, p) => acc + p) /
           math.sqrt(k.toDouble)).as("coord"))
+  }
+
+  /** Two-stage retrieval through the JL space: coarse top-`coarseK` by
+    * cosine over `kProj`-dim projections (distance math on kProj
+    * doubles instead of dim floats — the memory/compute shrink), then
+    * EXACT rerank of only those candidates in full precision. The
+    * production recall dial: coarseK/k trades recall against coarse
+    * cost, and because the final scoring is exact, errors can only come
+    * from a true neighbor missing the coarse cut — never from ranking
+    * among candidates.
+    *
+    * Shape at scale: projections are scan-local ([[rpProject]]'s
+    * broadcast sign matrix, folded to one array row); the coarse pass
+    * streams kProj-double rows with per-partition top-k before the
+    * exchange; the rerank joins only |queries|·coarseK rows back to the
+    * corpus — a co-partitioned id join, not a scan. Zero-projection
+    * rows (possible by sign cancellation even for nonzero x) are
+    * excluded from the coarse pool explicitly rather than dividing by
+    * zero under ANSI. */
+  def rpRerankTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
+                   kProj: Int, coarseK: Int, k: Int): DataFrame = {
+    val m = rpSignMatrix(corpus.sparkSession, dim, kProj)
+      .groupBy().agg(array_sort(collect_list(
+        struct(col("component"), col("axis")))).as("ps"))
+      .select(transform(col("ps"), p => p.getField("axis")).as("axes"))
+    def proj(df: DataFrame, idName: String, projName: String) =
+      df.crossJoin(broadcast(m))
+        .select(col("vec_id").as(idName),
+          transform(col("axes"), ax =>
+            aggregate(zip_with(col("embedding"), ax,
+              (x, s) => x.cast("double") * s),
+              lit(0.0), (acc, p) => acc + p) /
+              math.sqrt(kProj.toDouble)).as(projName))
+    val cp = proj(corpus, "neighbor_id", "c_proj")
+    val qp = proj(queries, "query_id", "q_proj")
+    val wCoarse = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id").asc)
+    val coarse = cp.crossJoin(broadcast(qp))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qn2", dotHof(col("q_proj"), col("q_proj")))
+      .withColumn("cn2", dotHof(col("c_proj"), col("c_proj")))
+      .filter(col("qn2") > 0.0 && col("cn2") > 0.0)
+      .withColumn("pcos", dotHof(col("q_proj"), col("c_proj")) /
+        (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("crnk", row_number().over(wCoarse))
+      .filter(col("crnk") <= coarseK)
+      .select("query_id", "neighbor_id")
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    coarse
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos"))
   }
 }

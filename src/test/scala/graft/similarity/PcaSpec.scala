@@ -57,6 +57,26 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(ax(2)) < 1e-9)
   }
 
+  test("sampled fit at frac 1.0 ≡ full fit; sample is deterministic") {
+    val full = Similarity
+      .pcaProjectFitted(vecs, "vec_id", "embedding", dim = 3, k = 1)
+      .as[(Long, Int, Double)].collect().toSet
+    val sampled = Similarity.pcaProjectSampleFitted(
+      vecs, "vec_id", "embedding", dim = 3, k = 1, sampleFrac = 1.0)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(sampled === full)
+    // a partial sample still projects EVERY vector, on axes fit from
+    // the md5-chosen subset — rerun-identical
+    val s1 = Similarity.pcaProjectSampleFitted(
+      vecs, "vec_id", "embedding", dim = 3, k = 1, sampleFrac = 0.6)
+      .as[(Long, Int, Double)].collect().toSet
+    val s2 = Similarity.pcaProjectSampleFitted(
+      vecs, "vec_id", "embedding", dim = 3, k = 1, sampleFrac = 0.6)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(s1 === s2)
+    assert(s1.map(_._1) === (0L until 4L).toSet)
+  }
+
   test("pcaProject coords are centered with variance = eigenvalue") {
     val comps = Similarity.pcaComponents(vecs, "embedding", dim = 3, k = 1)
     val coords = Similarity

@@ -38,6 +38,23 @@ class RpProjectSpec extends SparkSpec {
     }
   }
 
+  test("rpRerankTopK with full-width coarse pool ≡ exact brute force") {
+    // coarseK ≥ corpus: every candidate survives the coarse cut, so the
+    // exact rerank must reproduce bruteForceTopK verbatim — the recall
+    // contract's boundary case
+    val vecs = (0L until 12L).map(i => (i, Array.tabulate(16)(j =>
+      (((i + 1) * (j + 3)) % 17).toFloat / 17f + 0.01f)))
+      .toSeq.toDF("vec_id", "embedding")
+    import org.apache.spark.sql.functions.col
+    val q = vecs.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(q, vecs, k = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val rerank = Similarity.rpRerankTopK(q, vecs, dim = 16, kProj = 8,
+      coarseK = 12, k = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(rerank === exact)
+  }
+
   test("rpProject preserves norms in expectation (JL sanity)") {
     // a 64-dim unit vector's projected squared norm should be near 1
     // for the ±1/√k ensemble; with k=16 the concentration is loose, so
