@@ -777,16 +777,22 @@ object ExtensionQueries {
 
     // stream → foreachBatch upsert → lake table: final table is the
     // latest event per user (ts in epoch micros for the cross-engine
-    // compare; the raw column is nanos-as-long under this session)
+    // compare; the upsert keeps the file's raw ts column, which is
+    // nanos-as-long in the old testdata generation and TIMESTAMP_NTZ in
+    // the current one — branch on what the table actually carries)
     "q_stream_upsert" -> ((s, d) => {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ckpt_up").toString
       val tbl = java.nio.file.Files
         .createTempDirectory("graft_cdc_tbl").toString
-      Streams.upsertStreamToTable(s, d, ckpt, tbl,
+      val res = Streams.upsertStreamToTable(s, d, ckpt, tbl,
         keys = Seq("user_id"), versionCol = "ts")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
-          col("event_id"), col("event_type"), col("value"))
+      val tsUs = res.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      res.select(col("user_id"), tsUs.as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
     }),
 
     "q_stream_dedup" -> ((s, d) => {

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Catalog of the driver-provided testdata tables (TESTDATA.md).
   *
@@ -25,16 +26,28 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with a usable TimestampType `ts`.
+  /** `events` with a usable TimestampType `ts`, whatever the file stored.
     *
-    * The testdata's events.parquet stores `ts` as parquet TIMESTAMP(NANOS),
-    * which Spark's vectorized reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench) so the
-    * column arrives as nanosecond longs, converted here to microsecond
-    * timestamps via integer division (`div` keeps it exact — a double
-    * roundtrip would lose precision above 2^53).
+    * The driver has shipped two generations of events.parquet: an older one
+    * with `ts` as parquet TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * only accepts as nanosecond longs under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench) — and
+    * the current one with plain `timestamp[us]`, which arrives as
+    * TIMESTAMP_NTZ (Spark 4 infers NTZ for non-UTC-adjusted micros).
+    * Normalizing here, keyed on the schema Spark actually read, keeps every
+    * downstream query on session-zone TimestampType regardless of the file
+    * generation: longs are nanos → `timestamp_micros(ns div 1000)` (integer
+    * `div` stays exact above 2^53 where a double roundtrip would not), and
+    * NTZ casts to TimestampType (identity on wall-clock values — sessions
+    * pin `spark.sql.session.timeZone=UTC`, matching DuckDB's naive reading
+    * of the same file).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
+  }
 }

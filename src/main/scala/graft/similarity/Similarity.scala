@@ -726,8 +726,23 @@ object Similarity {
   def pcaProjectFitted(vectors: DataFrame, idCol: String, embCol: String,
                        dim: Int, k: Int): DataFrame = {
     val sums = momentSums(vectors, embCol, dim).localCheckpoint()
+    requireFitRows(sums, "pcaProjectFitted")
     val comps = componentsFromCovariance(covarianceFromSums(sums), dim, k)
     projectOn(vectors, idCol, embCol, meanFromSums(sums), comps)
+  }
+
+  /** Row count of a staged [[momentSums]] frame (its i=j=−1 cell),
+    * enforced positive. Without this, an empty fit set flows through as
+    * an EMPTY mean array, `zip_with` null-pads against it, and every
+    * projected coordinate comes out silently null — the failure a
+    * too-thin deterministic sample (or an empty corpus) must surface as
+    * an error, not as a null-filled result. The sums frame is already
+    * checkpointed, so the one-row collect is a bounded no-scan job. */
+  private def requireFitRows(sums: DataFrame, what: String): Unit = {
+    val n = sums.filter(col("i") === -1 && col("j") === -1)
+      .select(col("s").cast("double")).collect()
+      .headOption.map(_.getDouble(0)).getOrElse(0.0)
+    require(n > 0, s"$what: the PCA fit set is empty")
   }
 
   /** The lake-scale PCA recipe: fit (moments → covariance → eigen →
@@ -750,6 +765,8 @@ object Similarity {
     val fitRows = vectors.filter(
       bucket < lit((sampleFrac * (1L << 24)).toLong))
     val sums = momentSums(fitRows, embCol, dim).localCheckpoint()
+    requireFitRows(sums,
+      s"pcaProjectSampleFitted(sampleFrac=$sampleFrac)")
     val comps = componentsFromCovariance(covarianceFromSums(sums), dim, k)
     projectOn(vectors, idCol, embCol, meanFromSums(sums), comps)
   }

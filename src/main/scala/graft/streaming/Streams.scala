@@ -19,6 +19,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Event-time normalization for the streaming sources — same contract as
+    * [[graft.Tables.events]], applied to a streaming DataFrame: older
+    * testdata ships `ts` as nanosecond longs (TIMESTAMP(NANOS) under
+    * `nanosAsLong`), current testdata as `timestamp[us]` arriving
+    * TIMESTAMP_NTZ; both land on session-zone TimestampType so watermarks
+    * and windows see identical event time across file generations. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   /** Stateful queries keep one state store PER shuffle partition per
     * stateful operator (a stream-stream join keeps four), and every
     * store checkpoints delta files each micro-batch — so the per-batch
@@ -69,9 +84,8 @@ object Streams {
       // table out of the scale-factor dir
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
-    val agg = stream
+    val agg = normalizeTs(stream)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
@@ -120,12 +134,11 @@ object Streams {
                   rocksDb: Boolean = false): DataFrame = {
     val sess = statefulSession(spark, statePartitions, rocksDb)
     val schema = sess.read.parquet(s"$dir/events.parquet").schema
-    val deduped = sess.readStream
+    val deduped = normalizeTs(sess.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(dir))
       .select(col("user_id"), col("event_type"), col("ts"))
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -207,12 +220,11 @@ object Streams {
     } else spark
     val schema = sess.read.option("pathGlobFilter", glob)
       .parquet(dir).schema
-    def side(tpe: String) = sess.readStream
+    def side(tpe: String) = normalizeTs(sess.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", glob)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(dir))
       .filter(col("event_type") === tpe)
     val left = side(leftType)
       .select(col("event_id").as("left_id"), col("user_id"),
@@ -375,11 +387,10 @@ object Streams {
   : Dataset[SessionEvent] = {
     import sess.implicits._
     val schema = sess.read.parquet(s"$dir/events.parquet").schema
-    sess.readStream
+    normalizeTs(sess.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(dir))
       .select(col("user_id"), col("ts"), col("value"))
       .as[SessionEvent]
   }

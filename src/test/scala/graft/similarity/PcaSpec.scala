@@ -66,15 +66,29 @@ class PcaSpec extends SparkSpec {
       .as[(Long, Int, Double)].collect().toSet
     assert(sampled === full)
     // a partial sample still projects EVERY vector, on axes fit from
-    // the md5-chosen subset — rerun-identical
+    // the md5-chosen subset — rerun-identical. 0.8 is the smallest
+    // round frac whose md5 buckets admit any of these 4 ids (it picks
+    // ids 1 and 2); the data is rank-1 so the subset fit still
+    // projects all rows onto the same axis.
     val s1 = Similarity.pcaProjectSampleFitted(
-      vecs, "vec_id", "embedding", dim = 3, k = 1, sampleFrac = 0.6)
+      vecs, "vec_id", "embedding", dim = 3, k = 1, sampleFrac = 0.8)
       .as[(Long, Int, Double)].collect().toSet
     val s2 = Similarity.pcaProjectSampleFitted(
-      vecs, "vec_id", "embedding", dim = 3, k = 1, sampleFrac = 0.6)
+      vecs, "vec_id", "embedding", dim = 3, k = 1, sampleFrac = 0.8)
       .as[(Long, Int, Double)].collect().toSet
     assert(s1 === s2)
     assert(s1.map(_._1) === (0L until 4L).toSet)
+  }
+
+  test("an empty fit sample fails loudly, not with null coords") {
+    // at frac 0.6 the md5 buckets of ids 0..3 all miss the cut — the
+    // fit set is empty, which must surface as an error instead of a
+    // null-filled projection
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pcaProjectSampleFitted(
+        vecs, "vec_id", "embedding", dim = 3, k = 1, sampleFrac = 0.6)
+    }
+    assert(e.getMessage.contains("fit set is empty"))
   }
 
   test("pcaProject coords are centered with variance = eigenvalue") {

@@ -117,15 +117,18 @@ class StreamsSpec extends SparkSpec {
     }
     val ckpt = Files.createTempDirectory("graft_ckpt_up_spec").toString
     val tbl = Files.createTempDirectory("graft_cdc_tbl_spec").toString
+    // the upsert keeps the file's raw ts; compare as epoch micros so
+    // the assertion is independent of the file's timestamp encoding
+    val tsUs = unix_micros(col("ts").cast("timestamp")).as("ts_us")
     val got = Streams.upsertStreamToTable(spark, tmp, ckpt, tbl,
       keys = Seq("user_id"), versionCol = "ts", glob = "*.parquet")
-      .select("user_id", "ts", "event_id", "event_type")
+      .select(col("user_id"), tsUs, col("event_id"), col("event_type"))
       .as[(Long, Long, Long, String)].collect().toSet
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts").desc)
     val want = spark.read.parquet(s"$dir/events.parquet")
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("user_id", "ts", "event_id", "event_type")
+      .select(col("user_id"), tsUs, col("event_id"), col("event_type"))
       .as[(Long, Long, Long, String)].collect().toSet
     assert(got === want)
     // superseded snapshots are retired: exactly one version remains
