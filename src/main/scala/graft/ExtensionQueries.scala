@@ -7,7 +7,7 @@ import graft.dedup.Dedup
 import graft.graph.Graph
 import graft.multimodal.Multimodal
 import graft.ops.{analytics, asof, rangejoin, timeseries}
-import graft.similarity.Similarity
+import graft.similarity.{LabelEval, Similarity}
 import graft.sources.{Layout, StagedSources}
 import graft.streaming.Streams
 import graft.text.{Importance, Packing, Text}
@@ -583,6 +583,33 @@ object ExtensionQueries {
 
     "q_ann_kmeans" -> ((s, d) =>
       Similarity.kmeansCells(t(s, d, "embeddings"), k = 4, iters = 2)),
+
+    // ---- label-supervised eval (LabelEval) — the quality harness over
+    // the labeled eval slice: embedding-space classifiers + clustering
+    // agreement against the ground-truth `label` column ----------------
+
+    // nearest-centroid classification: fit per-label centroids and
+    // classify every vector, emitting per-row correctness
+    "q_label_centroid_classify" -> ((s, d) =>
+      LabelEval.nearestCentroidClassify(
+        t(s, d, "embeddings"), "vec_id", "embedding", "label")),
+
+    // leave-one-out kNN (k=5, cosine) majority-vote classification,
+    // reduced to the per-class accuracy report
+    "q_knn_classify" -> ((s, d) =>
+      LabelEval.classReport(
+        LabelEval.knnClassify(
+          t(s, d, "embeddings"), "vec_id", "embedding", "label", k = 5))),
+
+    // purity of the LEARNED kmeans cells against ground-truth labels:
+    // per-cell size, majority label, majority count
+    "q_cluster_purity" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      LabelEval.clusterPurity(
+        Similarity.kmeansCells(emb, k = 4, iters = 2),
+        emb.select(col("vec_id"), col("label")),
+        "vec_id", "cell", "label")
+    }),
 
     // PQ encode: 64-dim vectors → 4 subspace codes from a codebook of
     // 8 centroids per subspace (deterministic per-subspace Lloyd,
@@ -2386,6 +2413,130 @@ object ExtensionQueries {
                                        ORDER BY d, cell) AS rn
              FROM d2) WHERE rn = 1)
          SELECT vec_id, cell FROM a2""",
+
+    // Mirrors LabelEval.nearestCentroidClassify: per-label mean through
+    // an exact DECIMAL(28,12) sum (bit-stable across engines), then
+    // argmin of -2<x,c>+<c,c> with distance ties toward the lower label.
+    // Centroids round through FLOAT (the kmeans convention) and both dot
+    // operands are DOUBLE[] per the list_dot_product accumulation rule.
+    "q_label_centroid_classify" ->
+      """WITH v AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> x::DOUBLE) AS e
+                    FROM embeddings),
+         c AS (
+           SELECT label AS cand, list(mu ORDER BY j) AS c FROM (
+             SELECT label, t.j AS j,
+                    sum(CAST(e[t.j + 1] AS DECIMAL(28,12)))::DOUBLE
+                      / count(*) AS mu
+             FROM v, range(0, 64) t(j)
+             GROUP BY label, t.j)
+           GROUP BY label),
+         d AS (
+           SELECT v.vec_id, v.label, c.cand,
+                  -2 * list_dot_product(v.e, (c.c::FLOAT[])::DOUBLE[])
+                    + list_dot_product((c.c::FLOAT[])::DOUBLE[],
+                        (c.c::FLOAT[])::DOUBLE[]) AS d
+           FROM v CROSS JOIN c)
+         SELECT vec_id, label, cand AS pred,
+                (label = cand)::INT AS correct
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cand) AS rn
+               FROM d)
+         WHERE rn = 1""",
+
+    // Mirrors LabelEval.knnClassify + classReport: leave-one-out kNN
+    // (k=5, cosine over DOUBLE[]), neighbor ties by similarity desc then
+    // id asc, vote ties by count desc then label asc, reduced to the
+    // per-class accuracy report.
+    "q_knn_classify" ->
+      """WITH v AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> x::DOUBLE) AS e
+                    FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS qid, a.label AS qlabel,
+                  b.vec_id AS nid, b.label AS nlabel,
+                  list_dot_product(a.e, b.e) /
+                    (sqrt(list_dot_product(a.e, a.e)) *
+                     sqrt(list_dot_product(b.e, b.e))) AS cos
+           FROM v a JOIN v b ON a.vec_id <> b.vec_id
+           WHERE list_dot_product(a.e, a.e) > 0
+             AND list_dot_product(b.e, b.e) > 0),
+         t AS (
+           SELECT qid, qlabel, nlabel FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, nid) AS rn
+             FROM p)
+           WHERE rn <= 5),
+         votes AS (
+           SELECT qid, qlabel, nlabel, count(*) AS votes
+           FROM t GROUP BY 1, 2, 3),
+         pred AS (
+           SELECT qid, qlabel, nlabel AS pred FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+                                          ORDER BY votes DESC, nlabel)
+                         AS rn
+             FROM votes)
+           WHERE rn = 1)
+         SELECT qlabel AS label, count(*)::BIGINT AS n,
+                sum((qlabel = pred)::INT)::BIGINT AS n_correct,
+                round(sum((qlabel = pred)::INT)::DOUBLE / count(*), 6)
+                  AS acc
+         FROM pred GROUP BY qlabel""",
+
+    // q_ann_kmeans's unrolled-Lloyd chain, finished with the
+    // LabelEval.clusterPurity suffix: per-cell size, majority label
+    // (ties toward the lower label), majority count.
+    "q_cluster_purity" ->
+      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         c0 AS (
+           SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell,
+                  e::DOUBLE[] AS c
+           FROM v ORDER BY vec_id LIMIT 4),
+         d1 AS (
+           SELECT v.vec_id, c0.cell,
+                  -2 * list_dot_product(v.e::DOUBLE[],
+                         (c0.c::FLOAT[])::DOUBLE[])
+                    + list_dot_product((c0.c::FLOAT[])::DOUBLE[],
+                        (c0.c::FLOAT[])::DOUBLE[]) AS d
+           FROM v CROSS JOIN c0),
+         a1 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d, cell) AS rn
+             FROM d1) WHERE rn = 1),
+         m1 AS (
+           SELECT cell, list(s ORDER BY j) AS c FROM (
+             SELECT a1.cell, j, sum(v.e[j]::DOUBLE) / count(*) AS s
+             FROM v JOIN a1 USING (vec_id), range(1, 65) t(j)
+             GROUP BY a1.cell, j)
+           GROUP BY cell),
+         d2 AS (
+           SELECT v.vec_id, m1.cell,
+                  -2 * list_dot_product(v.e::DOUBLE[],
+                         (m1.c::FLOAT[])::DOUBLE[])
+                    + list_dot_product((m1.c::FLOAT[])::DOUBLE[],
+                        (m1.c::FLOAT[])::DOUBLE[]) AS d
+           FROM v CROSS JOIN m1),
+         a2 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d, cell) AS rn
+             FROM d2) WHERE rn = 1),
+         g AS (
+           SELECT a2.cell, emb.label, count(*) AS cnt
+           FROM a2 JOIN embeddings emb USING (vec_id)
+           GROUP BY 1, 2),
+         m AS (
+           SELECT cell, label AS majority_label, cnt AS n_majority FROM (
+             SELECT *, row_number() OVER (PARTITION BY cell
+                                          ORDER BY cnt DESC, label) AS rn
+             FROM g)
+           WHERE rn = 1)
+         SELECT s.cell, s.n, m.majority_label, m.n_majority
+         FROM (SELECT cell, sum(cnt)::BIGINT AS n FROM g GROUP BY cell) s
+         JOIN m USING (cell)""",
 
     // shared structure with q_ann_pq: per-subspace Lloyd (init = 8
     // lowest-id vectors' subvectors, one update round), float-rounded

@@ -442,6 +442,17 @@ object ScaleSmoke {
         .filter(col("coord") > 1e9).count()
     }
 
+    timed("nearest-centroid classify") {
+      // labeled-eval classifier at corpus scale: the fit is one
+      // |labels|·d-row map-side-combined agg, classification is pure
+      // map work over the single broadcast centroid row — the corpus
+      // never shuffles, so this runs at scan speed
+      graft.similarity.LabelEval.nearestCentroidClassify(
+        vecs64.withColumn("label", (col("vec_id") % 10).cast("int")),
+        "vec_id", "embedding", "label")
+        .filter(col("correct") < 0).count() // impossible: forces full eval
+    }
+
     timed("containment pairs (prefix)") {
       // same planted near-dup corpus as the jaccard smoke: the
       // asymmetric join's B-side inverted index is corpus-token-sized

@@ -1,0 +1,156 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Label-supervised embedding evaluation — the quality harness a
+  * training-data pipeline runs over a labeled eval slice: embedding-space
+  * classifiers (nearest-centroid, leave-one-out kNN) and clustering
+  * agreement (purity). The reference has no labeled-eval surface; this
+  * extends the ANN/clustering stack (SURVEY.md §2 extensions) the same way
+  * `annRecall` does for retrieval — measure the index you just built.
+  *
+  * Scale contract: labels exist on CURATED eval sets, not the 100 TB
+  * corpus, so the quadratic kNN evaluator is bounded by the eval-set size
+  * by construction. Everything else is one scan + a bounded (|labels|·d)
+  * shuffle or broadcast. All tie-breaks and fold orders are pinned so a
+  * SQL oracle reproduces results bit-for-bit.
+  */
+object LabelEval {
+
+  /** Per-label mean embedding: (label, centroid array<double>).
+    *
+    * One scan-local posexplode to (label, dim, x) and one map-side
+    * combined groupBy — the shuffle carries |labels|·d rows per
+    * partition regardless of corpus size. Sums go through exact
+    * `decimal(28,12)` (the [[Similarity.momentSums]] rule) so the means
+    * are bit-identical across partition orders and engines. */
+  def labelCentroids(vectors: DataFrame, embCol: String,
+                     labelCol: String): DataFrame =
+    vectors
+      .select(col(labelCol).as("label"),
+        posexplode(col(embCol)).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("x").cast("double").cast("decimal(28,12)")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("i"),
+        (col("sx").cast("double") / col("n")).as("mu"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), col("mu"))))
+        .as("ps"))
+      .select(col("label"),
+        transform(col("ps"), p => p.getField("mu")).as("centroid"))
+
+  /** Nearest-centroid classification of every vector against the
+    * per-label centroids fit on the same frame: (id, label, pred,
+    * correct). The |labels| centroids fold into ONE broadcast row of
+    * (label, centroid) structs, so classification is pure map work —
+    * `array_min` over per-centroid (distance, label) structs picks
+    * argmin of −2⟨x,c⟩+⟨c,c⟩ (the [[Similarity.kmeansCells]] identity;
+    * ⟨x,x⟩ is constant per row) with ties toward the lower label, and
+    * the corpus never shuffles: the only exchange anywhere is the
+    * |labels|·d-row centroid fit. Centroids round through float before
+    * the distance math — the precision a float-stored centroid file
+    * would give, and the kmeans cross-engine convention. */
+  def nearestCentroidClassify(vectors: DataFrame, idCol: String,
+                              embCol: String, labelCol: String)
+  : DataFrame = {
+    val cRow = labelCentroids(vectors, embCol, labelCol)
+      .select(col("label").as("cand"),
+        col("centroid").cast("array<float>").as("centroid"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("cand"), col("centroid"))))
+        .as("cands"))
+    val scored = transform(col("cands"), c =>
+      struct((Similarity.dot(col(embCol), c.getField("centroid")) * -2 +
+        Similarity.dot(c.getField("centroid"), c.getField("centroid")))
+        .as("d"),
+        c.getField("cand").as("cand")))
+    vectors
+      .select(col(idCol), col(labelCol).as("label"), col(embCol))
+      .crossJoin(broadcast(cRow))
+      .withColumn("m", array_min(scored))
+      .select(col(idCol), col("label"), col("m.cand").as("pred"),
+        (col("label") === col("m.cand")).cast("int").as("correct"))
+  }
+
+  /** Leave-one-out k-nearest-neighbor classification over the labeled
+    * eval set: each vector is classified by the majority label of its k
+    * nearest OTHER vectors (cosine), ties broken by vote count desc then
+    * label asc; neighbor rank ties by similarity desc then id asc.
+    * Output (id, label, pred, correct).
+    *
+    * Deliberately exact/quadratic: this is the EVAL harness, bounded by
+    * the labeled set size (labels live on curated slices, not the
+    * corpus). For an approximate variant at larger eval sizes, generate
+    * neighbors with [[Similarity.ivfTopK]]/[[Similarity.rpRerankTopK]]
+    * and feed them to [[knnVote]]. */
+  def knnClassify(vectors: DataFrame, idCol: String, embCol: String,
+                  labelCol: String, k: Int): DataFrame = {
+    val a = vectors.select(col(idCol).as("qid"),
+      col(labelCol).as("qlabel"), col(embCol).as("qe"))
+    val b = vectors.select(col(idCol).as("nid"),
+      col(labelCol).as("nlabel"), col(embCol).as("ne"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    // zero-norm rows have no direction, hence no cosine: excluded on
+    // both sides explicitly rather than left to divide by zero under
+    // ANSI (the int8TopK rule)
+    val topk = a.crossJoin(b)
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("qn2", Similarity.dot(col("qe"), col("qe")))
+      .withColumn("nn2", Similarity.dot(col("ne"), col("ne")))
+      .filter(col("qn2") > 0.0 && col("nn2") > 0.0)
+      .withColumn("cos", Similarity.dot(col("qe"), col("ne")) /
+        (sqrt(col("qn2")) * sqrt(col("nn2"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("qlabel"), col("nlabel"))
+    knnVote(topk)
+  }
+
+  /** Majority vote over (qid, qlabel, nlabel) neighbor rows — the finish
+    * of [[knnClassify]], split out so an approximate neighbor generator
+    * can reuse it. Vote ties break by count desc, then label asc. */
+  def knnVote(neighbors: DataFrame): DataFrame =
+    neighbors
+      .groupBy(col("qid"), col("qlabel"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(min(struct((-col("votes")).as("nv"), col("nlabel")))
+        .as("m"))
+      .select(col("qid").as("vec_id"), col("qlabel").as("label"),
+        col("m.nlabel").as("pred"),
+        (col("qlabel") === col("m.nlabel")).cast("int").as("correct"))
+
+  /** Per-class report over (label, correct) prediction rows:
+    * (label, n, n_correct, acc). `acc` is rounded to 6dp so the
+    * cross-engine hash cannot hinge on a division's last ulp. */
+  def classReport(pred: DataFrame): DataFrame =
+    pred
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("correct").cast("long")).as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n"), 6).as("acc"))
+
+  /** Clustering↔label agreement: for each cell of an assignment
+    * (id, cell) joined to ground-truth (id, label), the cell size, its
+    * majority label (ties toward the lower label) and that label's
+    * count — the per-cell rows behind purity
+    * Σ max-label-count / N. Two map-side-combined aggregations; the
+    * shuffle carries |cells|·|labels| rows at most. */
+  def clusterPurity(cells: DataFrame, labels: DataFrame,
+                    idCol: String, cellCol: String, labelCol: String)
+  : DataFrame =
+    cells.join(labels, idCol)
+      .groupBy(col(cellCol), col(labelCol))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(cellCol))
+      .agg(sum(col("cnt")).as("n"),
+        min(struct((-col("cnt")).as("nc"), col(labelCol))).as("m"))
+      .select(col(cellCol), col("n"),
+        col("m").getField(labelCol).as("majority_label"),
+        (-col("m.nc")).as("n_majority"))
+}

@@ -346,6 +346,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("nearest-centroid classify never shuffles the corpus") {
+    // the fit is a |labels|·d-row map-side-combined agg; classification
+    // is a fold over ONE broadcast row of centroids — a sort-merge join
+    // or cartesian anywhere means the corpus got shuffled to compare
+    // against 10 centroids
+    val plan = SparkEntry.queries("q_label_centroid_classify")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"),
+      s"centroid fit must combine map-side:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("cluster purity shuffles only (cell,label) pair counts") {
+    // after the id-keyed join of assignment to truth, both aggregations
+    // must combine map-side: the exchanges carry |cells|·|labels| rows
+    // per partition, not the corpus
+    val plan = SparkEntry.queries("q_cluster_purity")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"pair counting must combine map-side:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("pagerank iterations reuse a staged edge list, no cross product") {
     val plan = SparkEntry.queries("q_pagerank")(spark, sf)
       .queryExecution.executedPlan.toString

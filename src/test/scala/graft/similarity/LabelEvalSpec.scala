@@ -1,0 +1,105 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the label-supervised eval stack: per-label centroids,
+  * nearest-centroid + LOO-kNN classification, cluster purity — each
+  * with its documented tie rule on hand-sized data. */
+class LabelEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two directional clusters (cosine-separable AND euclidean-separable):
+  // label 0 points along (1,0), label 1 along (0,1); no zero vectors
+  private def vecs = Seq(
+    (0L, Array(10.0f, 0.0f), 0),
+    (1L, Array(9.0f, 1.0f), 0),
+    (2L, Array(10.0f, -1.0f), 0),
+    (3L, Array(0.0f, 10.0f), 1),
+    (4L, Array(1.0f, 9.0f), 1),
+    (5L, Array(-1.0f, 10.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("labelCentroids is the per-label elementwise mean") {
+    val c = LabelEval.labelCentroids(vecs, "embedding", "label")
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(c(0) === Seq(29.0 / 3.0, 0.0))
+    assert(c(1) === Seq(0.0, 29.0 / 3.0))
+  }
+
+  test("nearestCentroidClassify is perfect on separable clusters") {
+    val got = LabelEval.nearestCentroidClassify(
+      vecs, "vec_id", "embedding", "label")
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1)
+    assert(got.length === 6)
+    assert(got.forall { case (_, l, p, c) => l === p && c === 1 })
+  }
+
+  test("centroid distance ties break toward the lower label") {
+    // identical point sets under both labels → identical centroids →
+    // every distance ties exactly → every pred must be the LOWER label
+    val dup = Seq(
+      (0L, Array(2.0f, 0.0f), 0), (1L, Array(0.0f, 2.0f), 0),
+      (2L, Array(5.0f, 5.0f), 0),
+      (3L, Array(2.0f, 0.0f), 1), (4L, Array(0.0f, 2.0f), 1),
+      (5L, Array(5.0f, 5.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = LabelEval.nearestCentroidClassify(
+      dup, "vec_id", "embedding", "label")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(got.forall(_._3 === 0))
+    assert(got.filter(_._2 === 0).forall(_._4 === 1))
+    assert(got.filter(_._2 === 1).forall(_._4 === 0))
+  }
+
+  test("knnClassify LOO majority vote; vote ties to the lower label") {
+    val got = LabelEval.knnClassify(
+      vecs, "vec_id", "embedding", "label", k = 3)
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1)
+    // each point's top-3 other neighbors hold 2 same-cluster votes
+    assert(got.length === 6)
+    assert(got.forall { case (_, l, p, c) => l === p && c === 1 })
+    // explicit vote tie: one vote per label → the LOWER label wins
+    val votesTie = Seq(
+      ("q", 1, 2), ("q", 1, 0)
+    ).toDF("qid", "qlabel", "nlabel")
+    val v = LabelEval.knnVote(votesTie)
+      .select("pred").as[Int].head()
+    assert(v === 0)
+  }
+
+  test("knnClassify excludes zero-norm vectors from the cosine space") {
+    val withZero = vecs.union(
+      Seq((9L, Array(0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val got = LabelEval.knnClassify(
+      withZero, "vec_id", "embedding", "label", k = 3)
+      .as[(Long, Int, Int, Int)].collect()
+    // the zero vector has no direction: it is neither classified nor
+    // voted for, and the others still classify perfectly
+    assert(got.map(_._1).toSet === (0L until 6L).toSet)
+    assert(got.forall { case (_, l, p, c) => l === p && c === 1 })
+  }
+
+  test("classReport aggregates per-class accuracy") {
+    val pred = Seq((0, 1), (0, 1), (0, 0), (1, 1))
+      .toDF("label", "correct")
+    val rep = LabelEval.classReport(pred)
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rep(0) === ((0, 3L, 2L, 0.666667)))
+    assert(rep(1) === ((1, 1L, 1L, 1.0)))
+  }
+
+  test("clusterPurity reports size + majority per cell, ties low") {
+    val cells = Seq((0L, 0), (1L, 0), (2L, 0), (3L, 1), (4L, 1),
+      (5L, 1), (6L, 1)).toDF("vec_id", "cell")
+    val labels = Seq((0L, 7), (1L, 7), (2L, 8), (3L, 5), (4L, 5),
+      (5L, 6), (6L, 6)).toDF("vec_id", "label")
+    val got = LabelEval.clusterPurity(cells, labels,
+      "vec_id", "cell", "label")
+      .as[(Int, Long, Int, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((0, 3L, 7, 2L)))
+    // cell 1: labels 5 and 6 tie at 2 each → majority is the LOWER (5)
+    assert(got(1) === ((1, 4L, 5, 2L)))
+  }
+}
