@@ -61,8 +61,12 @@ object LabelEval {
       .groupBy()
       .agg(array_sort(collect_list(struct(col("cand"), col("centroid"))))
         .as("cands"))
+    // graft_dot is float-typed; the row side casts through float too (a
+    // no-op on a float-stored corpus, and the same rounding convention
+    // for a synthetic double-typed frame)
+    val x = col(embCol).cast("array<float>")
     val scored = transform(col("cands"), c =>
-      struct((Similarity.dot(col(embCol), c.getField("centroid")) * -2 +
+      struct((Similarity.dot(x, c.getField("centroid")) * -2 +
         Similarity.dot(c.getField("centroid"), c.getField("centroid")))
         .as("d"),
         c.getField("cand").as("cand")))
@@ -88,9 +92,11 @@ object LabelEval {
   def knnClassify(vectors: DataFrame, idCol: String, embCol: String,
                   labelCol: String, k: Int): DataFrame = {
     val a = vectors.select(col(idCol).as("qid"),
-      col(labelCol).as("qlabel"), col(embCol).as("qe"))
+      col(labelCol).as("qlabel"),
+      col(embCol).cast("array<float>").as("qe"))
     val b = vectors.select(col(idCol).as("nid"),
-      col(labelCol).as("nlabel"), col(embCol).as("ne"))
+      col(labelCol).as("nlabel"),
+      col(embCol).cast("array<float>").as("ne"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
