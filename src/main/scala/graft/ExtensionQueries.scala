@@ -601,6 +601,18 @@ object ExtensionQueries {
         LabelEval.knnClassify(
           t(s, d, "embeddings"), "vec_id", "embedding", "label", k = 5))),
 
+    // confusion matrix of the nearest-centroid classifier
+    "q_confusion_matrix" -> ((s, d) =>
+      LabelEval.confusionMatrix(
+        LabelEval.nearestCentroidClassify(
+          t(s, d, "embeddings"), "vec_id", "embedding", "label"))),
+
+    // noisy-label filter: per-row distance to own-label centroid,
+    // z-scored within the label
+    "q_label_outliers" -> ((s, d) =>
+      LabelEval.labelOutliers(
+        t(s, d, "embeddings"), "vec_id", "embedding", "label")),
+
     // purity of the LEARNED kmeans cells against ground-truth labels:
     // per-cell size, majority label, majority count
     "q_cluster_purity" -> ((s, d) => {
@@ -2443,6 +2455,78 @@ object ExtensionQueries {
                                             ORDER BY d, cand) AS rn
                FROM d)
          WHERE rn = 1""",
+
+    // q_label_centroid_classify's argmin chain, grouped to the
+    // |labels|² confusion counts
+    "q_confusion_matrix" ->
+      """WITH v AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> x::DOUBLE) AS e
+                    FROM embeddings),
+         c AS (
+           SELECT label AS cand, list(mu ORDER BY j) AS c FROM (
+             SELECT label, t.j AS j,
+                    sum(CAST(e[t.j + 1] AS DECIMAL(28,12)))::DOUBLE
+                      / count(*) AS mu
+             FROM v, range(0, 64) t(j)
+             GROUP BY label, t.j)
+           GROUP BY label),
+         d AS (
+           SELECT v.vec_id, v.label, c.cand,
+                  -2 * list_dot_product(v.e, (c.c::FLOAT[])::DOUBLE[])
+                    + list_dot_product((c.c::FLOAT[])::DOUBLE[],
+                        (c.c::FLOAT[])::DOUBLE[]) AS d
+           FROM v CROSS JOIN c),
+         p AS (
+           SELECT vec_id, label, cand AS pred
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, cand) AS rn
+                 FROM d)
+           WHERE rn = 1)
+         SELECT label, pred, count(*)::BIGINT AS n
+         FROM p GROUP BY label, pred""",
+
+    // Mirrors LabelEval.labelOutliers: euclidean distance to the OWN
+    // label's float-rounded centroid, z-scored against the label's
+    // population stats (exact decimal moment sums); sd = 0 → z = 0.
+    "q_label_outliers" ->
+      """WITH v AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> x::DOUBLE) AS e
+                    FROM embeddings),
+         c AS (
+           SELECT label, list(mu ORDER BY j) AS c FROM (
+             SELECT label, t.j AS j,
+                    sum(CAST(e[t.j + 1] AS DECIMAL(28,12)))::DOUBLE
+                      / count(*) AS mu
+             FROM v, range(0, 64) t(j)
+             GROUP BY label, t.j)
+           GROUP BY label),
+         sc AS (
+           SELECT v.vec_id, v.label,
+                  sqrt(greatest(
+                    list_dot_product(v.e, v.e)
+                      - list_dot_product(v.e, (c.c::FLOAT[])::DOUBLE[]) * 2
+                      + list_dot_product((c.c::FLOAT[])::DOUBLE[],
+                          (c.c::FLOAT[])::DOUBLE[]),
+                    0)) AS dist
+           FROM v JOIN c USING (label)),
+         st AS (
+           SELECT label,
+                  sum(CAST(dist AS DECIMAL(28,12)))::DOUBLE / count(*)
+                    AS mu,
+                  sqrt(greatest(
+                    sum(CAST(dist * dist AS DECIMAL(28,12)))::DOUBLE
+                        / count(*)
+                      - (sum(CAST(dist AS DECIMAL(28,12)))::DOUBLE
+                          / count(*))
+                        * (sum(CAST(dist AS DECIMAL(28,12)))::DOUBLE
+                            / count(*)),
+                    0)) AS sd
+           FROM sc GROUP BY label)
+         SELECT sc.vec_id, sc.label, round(sc.dist, 6) AS dist,
+                round(CASE WHEN st.sd > 0
+                           THEN (sc.dist - st.mu) / st.sd
+                           ELSE 0.0 END, 4) AS z
+         FROM sc JOIN st USING (label)""",
 
     // Mirrors LabelEval.knnClassify + classReport: leave-one-out kNN
     // (k=5, cosine over DOUBLE[]), neighbor ties by similarity desc then

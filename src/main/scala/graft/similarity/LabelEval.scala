@@ -130,6 +130,61 @@ object LabelEval {
         col("m.nlabel").as("pred"),
         (col("qlabel") === col("m.nlabel")).cast("int").as("correct"))
 
+  /** Confusion matrix over (label, pred) prediction rows:
+    * (label, pred, n) — one map-side-combined aggregation, at most
+    * |labels|² output rows. */
+  def confusionMatrix(pred: DataFrame): DataFrame =
+    pred.groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Distance-to-own-centroid outlier score — the noisy-label /
+    * outlier-sample filter over a labeled slice: each row's euclidean
+    * distance to ITS label's centroid, z-scored against that label's
+    * population distance distribution. Output (id, label, dist, z),
+    * dist rounded 6dp and z 4dp AFTER the math (the robustOutliers
+    * rounding rule).
+    *
+    * Two corpus passes (centroid fit; distance scan) plus two bounded
+    * |labels|-row broadcasts — no corpus shuffle: the distance scan
+    * joins the broadcast centroid on the label column, and the
+    * per-label moment agg carries 2 rows per (partition, label). A
+    * single-row label (sd = 0) z-scores to 0 rather than dividing by
+    * zero. */
+  def labelOutliers(vectors: DataFrame, idCol: String, embCol: String,
+                    labelCol: String): DataFrame = {
+    val cents = labelCentroids(vectors, embCol, labelCol)
+      .select(col("label"),
+        col("centroid").cast("array<float>").as("centroid"))
+    val x = col(embCol).cast("array<float>")
+    val dist = sqrt(greatest(
+      Similarity.dot(x, x) - Similarity.dot(x, col("centroid")) * 2 +
+        Similarity.dot(col("centroid"), col("centroid")),
+      lit(0.0))) // float rounding can push an exact-zero slightly negative
+    val scored = vectors
+      .select(col(idCol), col(labelCol).as("label"), col(embCol))
+      .join(broadcast(cents), "label")
+      .withColumn("dist", dist)
+      .select(col(idCol), col("label"), col("dist"))
+    val stats = scored
+      .groupBy(col("label"))
+      .agg(sum(col("dist").cast("decimal(28,12)")).as("s1"),
+        sum((col("dist") * col("dist")).cast("decimal(28,12)")).as("s2"),
+        count(lit(1)).as("n"))
+      .select(col("label"),
+        (col("s1").cast("double") / col("n")).as("mu"),
+        sqrt(greatest(
+          col("s2").cast("double") / col("n") -
+            (col("s1").cast("double") / col("n")) *
+            (col("s1").cast("double") / col("n")),
+          lit(0.0))).as("sd"))
+    scored.join(broadcast(stats), "label")
+      .select(col(idCol), col("label"),
+        round(col("dist"), 6).as("dist"),
+        round(when(col("sd") > 0.0,
+          (col("dist") - col("mu")) / col("sd")).otherwise(0.0), 4)
+          .as("z"))
+  }
+
   /** Per-class report over (label, correct) prediction rows:
     * (label, n, n_correct, acc). `acc` is rounded to 6dp so the
     * cross-engine hash cannot hinge on a division's last ulp. */

@@ -90,6 +90,30 @@ class LabelEvalSpec extends SparkSpec {
     assert(rep(1) === ((1, 1L, 1L, 1.0)))
   }
 
+  test("confusionMatrix counts (label, pred) pairs") {
+    val pred = Seq((0, 0), (0, 0), (0, 1), (1, 1))
+      .toDF("label", "pred")
+    val got = LabelEval.confusionMatrix(pred)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(got === Set((0, 0, 2L), (0, 1, 1L), (1, 1, 1L)))
+  }
+
+  test("labelOutliers z-scores within the label; sd=0 label scores 0") {
+    // label 0: 1-D points 0, 2, 10 → centroid 4, dists 4/2/6,
+    //   mu=4, sd=sqrt(8/3); label 1: two identical points → sd=0
+    val pts = Seq(
+      (0L, Array(0.0f), 0), (1L, Array(2.0f), 0), (2L, Array(10.0f), 0),
+      (3L, Array(5.0f), 1), (4L, Array(5.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = LabelEval.labelOutliers(pts, "vec_id", "embedding", "label")
+      .as[(Long, Int, Double, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got(0L) === ((4.0, 0.0)))
+    assert(got(1L) === ((2.0, -1.2247)))
+    assert(got(2L) === ((6.0, 1.2247)))
+    assert(got(3L) === ((0.0, 0.0)) && got(4L) === ((0.0, 0.0)))
+  }
+
   test("clusterPurity reports size + majority per cell, ties low") {
     val cells = Seq((0L, 0), (1L, 0), (2L, 0), (3L, 1), (4L, 1),
       (5L, 1), (6L, 1)).toDF("vec_id", "cell")
