@@ -583,7 +583,16 @@ object Similarity {
     *
     * Sums are exact `decimal(28,12)` so partition order cannot move a
     * bit — the covariance matrix derived from them is bit-identical
-    * across engines and runs (SURVEY.md §5 determinism rules). */
+    * across engines and runs (SURVEY.md §5 determinism rules).
+    *
+    * The d(d+1)/2 expansion costs ~2k interpreted-HOF struct builds and
+    * decimal adds PER ROW, so the pass must actually parallelize: a
+    * small/staged frame often arrives as ONE scan partition (single
+    * parquet row group), which would serialize the whole expansion on
+    * one core (measured 6 s for 2k×64-dim rows). Spread under-
+    * partitioned input first — the pre-shuffle is pruned to the
+    * embedding column, and at lake scale (partitions ≥ cores) it is a
+    * no-op, the same guard as [[kmeansCells]]. */
   def momentSums(vectors: DataFrame, embCol: String, dim: Int)
   : DataFrame = {
     val emb = col(embCol)
@@ -596,53 +605,59 @@ object Similarity {
       struct(i.as("i"), lit(-1).as("j"), dec(x(i)).as("p")))
     val cnt = array(struct(lit(-1).as("i"), lit(-1).as("j"),
       dec(lit(1.0)).as("p")))
-    vectors
+    val pruned = vectors.select(emb)
+    val par = vectors.sparkSession.sparkContext.defaultParallelism
+    val src = if (pruned.rdd.getNumPartitions < par)
+      pruned.repartition(par) else pruned
+    src
       .select(explode(concat(cnt, firsts, tri)).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum(col("t.p")).as("s"))
   }
 
-  /** Population covariance matrix as (i, j, cov) upper-triangle rows,
-    * finished from [[momentSums]]: cov = (Σxy − ΣxΣy/n)/n. The finish
-    * joins only the ~d²/2-row sums table with its own d-row margin —
-    * bounded work after the single corpus pass. The double arithmetic
-    * is written in one fixed order so an oracle computing the same
-    * expression reproduces it bit-for-bit. */
-  def covariance(vectors: DataFrame, embCol: String, dim: Int)
-  : DataFrame =
-    covarianceFromSums(momentSums(vectors, embCol, dim).localCheckpoint())
+  /** The collected, driver-finished form of a [[momentSums]] pass:
+    * row count, element-wise mean, and upper-triangle covariance. The
+    * sums frame is ≤ d(d+1)/2 + d + 1 rows at ANY corpus size, so the
+    * collect is bounded by the same argument that makes the d×d Jacobi
+    * legal — and finishing on the driver turns what used to be 4-5
+    * broadcast-join jobs (checkpoint, n, margin, cov, mean) into ONE
+    * distributed job (the moment pass inside the collect) plus local
+    * arithmetic. All double expressions keep the fixed evaluation
+    * order of the previous SQL-form finish — (Σxy − ΣxΣy/n)/n, Σx/n —
+    * so oracles and earlier rounds reproduce them bit-for-bit. */
+  private case class MomentFinish(n: Double, mean: Array[Double],
+                                  cov: Seq[(Int, Int, Double)])
 
-  /** The bounded d²-row covariance finish over an already-staged
-    * [[momentSums]] frame — split out so a caller needing BOTH the
-    * covariance and the mean (PCA fit + project) pays for one corpus
-    * pass, not two. */
-  private def covarianceFromSums(sums: DataFrame): DataFrame = {
-    val n = sums.filter(col("i") === -1 && col("j") === -1)
-      .select(col("s").cast("double").as("n"))
-    val margin = sums.filter(col("i") >= 0 && col("j") === -1)
-      .select(col("i").as("k"), col("s").cast("double").as("m"))
-    sums.filter(col("j") >= 0)
-      .join(broadcast(margin).withColumnRenamed("m", "s_i"),
-        col("i") === col("k")).drop("k")
-      .join(broadcast(margin).withColumnRenamed("m", "s_j"),
-        col("j") === col("k")).drop("k")
-      .crossJoin(broadcast(n))
-      .select(col("i"), col("j"),
-        ((col("s").cast("double") - col("s_i") * col("s_j") / col("n"))
-          / col("n")).as("cov"))
+  private def finishSums(vectors: DataFrame, embCol: String, dim: Int)
+  : MomentFinish = {
+    val rows = momentSums(vectors, embCol, dim).collect()
+    var n = 0.0
+    val margin = Array.ofDim[Double](dim)
+    val tri = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, java.math.BigDecimal)]
+    rows.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val s = r.getDecimal(2)
+      if (i == -1 && j == -1) n = s.doubleValue
+      else if (j == -1) margin(i) = s.doubleValue
+      else tri += ((i, j, s))
+    }
+    val cov = tri.sortBy(t => (t._1, t._2)).map { case (i, j, s) =>
+      (i, j, (s.doubleValue - margin(i) * margin(j) / n) / n)
+    }.toSeq
+    MomentFinish(n, margin.map(_ / n), cov)
   }
 
-  /** Element-wise mean as ONE broadcastable array row, from a staged
-    * [[momentSums]] frame (the exact decimal margin / n). */
-  private def meanFromSums(sums: DataFrame): DataFrame = {
-    val nRow = sums.filter(col("i") === -1 && col("j") === -1)
-      .select(col("s").cast("double").as("n"))
-    sums.filter(col("i") >= 0 && col("j") === -1)
-      .crossJoin(broadcast(nRow))
-      .select(col("i"), (col("s").cast("double") / col("n")).as("mu"))
-      .groupBy().agg(array_sort(collect_list(struct(col("i"), col("mu"))))
-        .as("pairs"))
-      .select(transform(col("pairs"), p => p.getField("mu")).as("mu"))
+  /** Population covariance matrix as (i, j, cov) upper-triangle rows:
+    * one distributed moment pass ([[momentSums]]), finished on the
+    * driver over the collected d²-bounded sums (see [[finishSums]]).
+    * cov = (Σxy − ΣxΣy/n)/n in a fixed evaluation order so an oracle
+    * computing the same expression reproduces it bit-for-bit. */
+  def covariance(vectors: DataFrame, embCol: String, dim: Int)
+  : DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    finishSums(vectors, embCol, dim).cov.toDF("i", "j", "cov")
   }
 
   /** Eigendecomposition of the d×d covariance matrix by cyclic Jacobi
@@ -696,53 +711,50 @@ object Similarity {
 
   /** Driver-side Jacobi finish over an (i, j, cov) upper-triangle frame
     * — legal at any corpus size: the matrix is d² values. */
-  private def componentsFromCovariance(cov: DataFrame, dim: Int, k: Int)
-  : DataFrame = {
-    val spark = cov.sparkSession
+  /** Driver-side Jacobi finish over the collected upper-triangle
+    * covariance — legal at any corpus size: the matrix is d² values. */
+  private def componentsFromTri(spark: org.apache.spark.sql.SparkSession,
+                                cov: Seq[(Int, Int, Double)],
+                                dim: Int, k: Int): DataFrame = {
     import spark.implicits._
     val a = Array.ofDim[Double](dim, dim)
-    cov.collect().foreach { r =>
-      val i = r.getInt(0); val j = r.getInt(1); val c = r.getDouble(2)
-      a(i)(j) = c; a(j)(i) = c
-    }
+    cov.foreach { case (i, j, c) => a(i)(j) = c; a(j)(i) = c }
     val (eig, vecs) = jacobiEigen(a)
     (0 until k).map(i => (i, eig(i), vecs(i).toSeq))
       .toDF("component", "eigenvalue", "axis")
   }
 
+  /** The element-wise mean as a ONE-row local frame — the broadcast
+    * side of the projection, costing no distributed job at all. */
+  private def muFrame(spark: org.apache.spark.sql.SparkSession,
+                      mean: Array[Double]): DataFrame = {
+    import spark.implicits._
+    Seq(Tuple1(mean.toSeq)).toDF("mu")
+  }
+
   /** Principal components of the embedding column: one distributed
-    * moment pass ([[covariance]]), a driver-side d×d Jacobi eigen, and
-    * the top-k components returned as a k-row frame
+    * moment pass finished on the driver ([[finishSums]]), a d×d Jacobi
+    * eigen, and the top-k components returned as a k-row frame
     * (component, eigenvalue, axis: Array[Double]). */
   def pcaComponents(vectors: DataFrame, embCol: String, dim: Int, k: Int)
   : DataFrame =
-    componentsFromCovariance(covariance(vectors, embCol, dim), dim, k)
+    componentsFromTri(vectors.sparkSession,
+      finishSums(vectors, embCol, dim).cov, dim, k)
 
-  /** Fit + project in ONE corpus pass: the staged moment sums feed both
-    * the covariance (→ components) and the mean (→ centering), so the
-    * full train-and-apply PCA costs a single distributed scan plus the
-    * bounded finishes — the shape [[pcaComponents]] + [[pcaProject]]
-    * called separately would pay twice for. */
+  /** Fit + project in ONE corpus pass: the collected moment sums feed
+    * both the covariance (→ components) and the mean (→ centering), so
+    * the full train-and-apply PCA costs a single distributed scan plus
+    * driver arithmetic — the shape [[pcaComponents]] + [[pcaProject]]
+    * called separately would pay twice for. An empty fit set fails
+    * loudly: it would otherwise surface as an empty mean array that
+    * `zip_with` null-pads, silently nulling every coordinate. */
   def pcaProjectFitted(vectors: DataFrame, idCol: String, embCol: String,
                        dim: Int, k: Int): DataFrame = {
-    val sums = momentSums(vectors, embCol, dim).localCheckpoint()
-    requireFitRows(sums, "pcaProjectFitted")
-    val comps = componentsFromCovariance(covarianceFromSums(sums), dim, k)
-    projectOn(vectors, idCol, embCol, meanFromSums(sums), comps)
-  }
-
-  /** Row count of a staged [[momentSums]] frame (its i=j=−1 cell),
-    * enforced positive. Without this, an empty fit set flows through as
-    * an EMPTY mean array, `zip_with` null-pads against it, and every
-    * projected coordinate comes out silently null — the failure a
-    * too-thin deterministic sample (or an empty corpus) must surface as
-    * an error, not as a null-filled result. The sums frame is already
-    * checkpointed, so the one-row collect is a bounded no-scan job. */
-  private def requireFitRows(sums: DataFrame, what: String): Unit = {
-    val n = sums.filter(col("i") === -1 && col("j") === -1)
-      .select(col("s").cast("double")).collect()
-      .headOption.map(_.getDouble(0)).getOrElse(0.0)
-    require(n > 0, s"$what: the PCA fit set is empty")
+    val f = finishSums(vectors, embCol, dim)
+    require(f.n > 0, "pcaProjectFitted: the PCA fit set is empty")
+    val spark = vectors.sparkSession
+    projectOn(vectors, idCol, embCol, muFrame(spark, f.mean),
+      componentsFromTri(spark, f.cov, dim, k))
   }
 
   /** The lake-scale PCA recipe: fit (moments → covariance → eigen →
@@ -764,11 +776,13 @@ object Similarity {
       .cast("binary")), 1, 6), 16, 10).cast("long")
     val fitRows = vectors.filter(
       bucket < lit((sampleFrac * (1L << 24)).toLong))
-    val sums = momentSums(fitRows, embCol, dim).localCheckpoint()
-    requireFitRows(sums,
-      s"pcaProjectSampleFitted(sampleFrac=$sampleFrac)")
-    val comps = componentsFromCovariance(covarianceFromSums(sums), dim, k)
-    projectOn(vectors, idCol, embCol, meanFromSums(sums), comps)
+    val f = finishSums(fitRows, embCol, dim)
+    require(f.n > 0,
+      s"pcaProjectSampleFitted(sampleFrac=$sampleFrac): " +
+        "the PCA fit set is empty")
+    val spark = vectors.sparkSession
+    projectOn(vectors, idCol, embCol, muFrame(spark, f.mean),
+      componentsFromTri(spark, f.cov, dim, k))
   }
 
   // ---- int8 scalar quantization --------------------------------------
@@ -850,15 +864,14 @@ object Similarity {
 
   /** Project embeddings onto the given components (broadcast k·d rows):
     * output (id, component, coord) with coord = ⟨x − μ, axis⟩. The mean
-    * is taken distributedly in the same pass shape as [[momentSums]].
-    * Projection itself is scan-local — one broadcast join, no shuffle of
-    * the corpus. */
+    * comes from one [[momentSums]] pass finished on the driver (exact
+    * decimal margin / n). Projection itself is scan-local — one
+    * broadcast join, no shuffle of the corpus. */
   def pcaProject(vectors: DataFrame, idCol: String, embCol: String,
                  dim: Int, components: DataFrame): DataFrame =
-    // element-wise mean via the exact decimal margin of momentSums —
-    // a d-row frame folded into ONE array row for the broadcast
     projectOn(vectors, idCol, embCol,
-      meanFromSums(momentSums(vectors, embCol, dim)), components)
+      muFrame(vectors.sparkSession,
+        finishSums(vectors, embCol, dim).mean), components)
 
   /** Scan-local projection against broadcast mean + components:
     * (id, component, coord) with coord = ⟨x − μ, axis⟩ — one broadcast

@@ -324,13 +324,12 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(sums.contains("partial_sum"),
       s"moment sums must combine map-side:\n${sums.take(3000)}")
-    // …and the finish works on the CHECKPOINTED bounded sums table
-    // (ExistingRDD), joining its broadcast d-row margin — never a
-    // corpus-sized shuffle join (the 1-row n cross is broadcast too)
+    // …and the finish is DRIVER arithmetic over the collected
+    // d²-bounded sums (the Jacobi-legality argument): the query plan is
+    // just the local result — no second distributed pass, no join
     val plan = SparkEntry.queries("q_emb_covariance")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("ExistingRDD"), plan.take(3000))
-    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("LocalTableScan"), plan.take(3000))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("SortMergeJoin"), plan.take(3000))
   }
