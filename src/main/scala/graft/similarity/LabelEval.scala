@@ -84,35 +84,57 @@ object LabelEval {
     * label asc; neighbor rank ties by similarity desc then id asc.
     * Output (id, label, pred, correct).
     *
-    * Deliberately exact/quadratic: this is the EVAL harness, bounded by
-    * the labeled set size (labels live on curated slices, not the
-    * corpus). For an approximate variant at larger eval sizes, generate
-    * neighbors with [[Similarity.ivfTopK]]/[[Similarity.rpRerankTopK]]
-    * and feed them to [[knnVote]]. */
+    * Deliberately exact/quadratic in FLOPs — but not in shuffle: the
+    * candidate set rides in one broadcast row and each query's top-k is
+    * a scan-local sort, so the whole evaluation is a single map pass
+    * plus the tiny vote aggregation. Bounded by the labeled set size
+    * (labels live on curated slices, not the corpus). For an
+    * approximate variant at larger eval sizes, generate neighbors with
+    * [[Similarity.ivfTopK]]/[[Similarity.rpRerankTopK]] and feed them
+    * to [[knnVote]]. */
   def knnClassify(vectors: DataFrame, idCol: String, embCol: String,
                   labelCol: String, k: Int): DataFrame = {
-    val a = vectors.select(col(idCol).as("qid"),
-      col(labelCol).as("qlabel"),
-      col(embCol).cast("array<float>").as("qe"))
-    val b = vectors.select(col(idCol).as("nid"),
-      col(labelCol).as("nlabel"),
-      col(embCol).cast("array<float>").as("ne"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid").asc)
     // zero-norm rows have no direction, hence no cosine: excluded on
     // both sides explicitly rather than left to divide by zero under
     // ANSI (the int8TopK rule)
-    val topk = a.crossJoin(b)
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("qn2", Similarity.dot(col("qe"), col("qe")))
-      .withColumn("nn2", Similarity.dot(col("ne"), col("ne")))
-      .filter(col("qn2") > 0.0 && col("nn2") > 0.0)
-      .withColumn("cos", Similarity.dot(col("qe"), col("ne")) /
-        (sqrt(col("qn2")) * sqrt(col("nn2"))))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("qlabel"), col("nlabel"))
+    // spread the query side: per-query work is |eval set| dots + a
+    // sort, and a single-row-group source would serialize it all on
+    // one core
+    val a = Similarity.spread(
+      vectors.select(col(idCol).as("qid"),
+        col(labelCol).as("qlabel"),
+        col(embCol).cast("array<float>").as("qe"))
+        .filter(Similarity.dot(col("qe"), col("qe")) > 0.0))
+    // the labeled eval set is broadcast-sized by contract, so ALL
+    // candidates (with their norms precomputed) fold into ONE broadcast
+    // row, and the per-query top-k is a scan-local array_sort + slice —
+    // no 4M-row window shuffle. Sorting struct(−cos, nid) is exactly
+    // the (cos desc, nid asc) neighbor tie rule.
+    val cands = vectors.select(col(idCol).as("nid"),
+      col(labelCol).as("nlabel"),
+      col(embCol).cast("array<float>").as("ne"))
+      .filter(Similarity.dot(col("ne"), col("ne")) > 0.0)
+      .select(col("nid"), col("nlabel"), col("ne"),
+        sqrt(Similarity.dot(col("ne"), col("ne"))).as("nn"))
+      .groupBy()
+      .agg(collect_list(struct(col("nid"), col("nlabel"), col("ne"),
+        col("nn"))).as("cands"))
+    // project each candidate to a 3-field struct FIRST (so the filter
+    // and sort never copy the 64-float vectors), and hoist the query
+    // norm to a column (a lambda would re-evaluate it per candidate)
+    val scored = filter(
+      transform(col("cands"), c => struct(
+        (-(Similarity.dot(col("qe"), c.getField("ne")) /
+          (col("qn") * c.getField("nn")))).as("negcos"),
+        c.getField("nid").as("nid"),
+        c.getField("nlabel").as("nlabel"))),
+      t => t.getField("nid") =!= col("qid"))
+    val topk = a
+      .withColumn("qn", sqrt(Similarity.dot(col("qe"), col("qe"))))
+      .crossJoin(broadcast(cands))
+      .select(col("qid"), col("qlabel"),
+        explode(slice(array_sort(scored), 1, k)).as("t"))
+      .select(col("qid"), col("qlabel"), col("t.nlabel").as("nlabel"))
     knnVote(topk)
   }
 

@@ -32,6 +32,16 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
+  /** Spread an under-partitioned frame across the cluster's cores —
+    * the guard every compute-heavy scan-local pass needs in front of a
+    * small/staged source that arrives as ONE scan partition (single
+    * parquet row group): without it the whole pass serializes on one
+    * core. A no-op at lake scale, where partitions ≥ cores. */
+  private[similarity] def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Higher-order-function formulation of [[dot]]: works on a vanilla
     * session with no extensions, at interpreted-lambda speed. */
   def dotHof(a: Column, b: Column): Column =
@@ -605,11 +615,7 @@ object Similarity {
       struct(i.as("i"), lit(-1).as("j"), dec(x(i)).as("p")))
     val cnt = array(struct(lit(-1).as("i"), lit(-1).as("j"),
       dec(lit(1.0)).as("p")))
-    val pruned = vectors.select(emb)
-    val par = vectors.sparkSession.sparkContext.defaultParallelism
-    val src = if (pruned.rdd.getNumPartitions < par)
-      pruned.repartition(par) else pruned
-    src
+    spread(vectors.select(emb))
       .select(explode(concat(cnt, firsts, tri)).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum(col("t.p")).as("s"))

@@ -359,6 +359,17 @@ class PlanSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("LOO kNN eval plans as a broadcast fold — no window shuffle") {
+    // the candidate set rides in ONE broadcast row; per-query top-k is
+    // a scan-local array_sort — a Window or sort-merge join anywhere
+    // means the n² pair stream got shuffled
+    val plan = SparkEntry.queries("q_knn_classify")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+      plan.take(3000))
+  }
+
   test("cluster purity shuffles only (cell,label) pair counts") {
     // after the id-keyed join of assignment to truth, both aggregations
     // must combine map-side: the exchanges carry |cells|·|labels| rows
