@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.graph.Graph
 import graft.multimodal.Multimodal
-import graft.ops.{analytics, asof, rangejoin, timeseries}
+import graft.ops.{analytics, asof, baskets, rangejoin, timeseries}
 import graft.similarity.{LabelEval, Similarity}
 import graft.sources.{Layout, StagedSources}
 import graft.streaming.Streams
@@ -384,6 +384,17 @@ object ExtensionQueries {
         .orderBy(col("aa_micro").desc, col("node_a"), col("node_b"))
         .limit(50)
     }),
+
+    // ---- market-basket association rules ----------------------------------
+    // confidence/lift for parts co-purchased in ≥2 orders — the rule
+    // view of the same basket machinery behind the co-occurrence graph
+    "q_assoc_rules" -> ((s, d) =>
+      baskets.associationRules(
+        t(s, d, "lineitem").select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")),
+        "basket", "item", minSupport = 2)
+        .orderBy(col("lift_micro").desc, col("ante"), col("cons"))
+        .limit(50)),
 
     // ---- DSIR importance scoring (select-like-the-target) -----------------
     "q_dsir_score" -> ((s, d) =>
@@ -1611,6 +1622,28 @@ object ExtensionQueries {
                      AND u IN (SELECT u FROM bench))
           SELECT (SELECT COUNT(*) FROM cont)::BIGINT AS n_contaminated,
                  TRUE AS no_false_neg, TRUE AS fp_ok""",
+
+    // Mirrors ops.baskets.associationRules: distinct incidence, basket
+    // self-join pair supports (a < b), min-support cut, both rule
+    // directions, micros snapped straight from the counts.
+    "q_assoc_rules" ->
+      """WITH inc AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i
+                      FROM lineitem),
+         sup AS (SELECT i, count(*) AS sup FROM inc GROUP BY i),
+         n AS (SELECT count(DISTINCT k) AS n FROM inc),
+         p AS (SELECT a.i AS a, b.i AS b, count(*) AS ps
+               FROM inc a JOIN inc b ON a.k = b.k AND a.i < b.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         r AS (SELECT a AS ante, b AS cons, ps FROM p
+               UNION ALL SELECT b, a, ps FROM p)
+         SELECT r.ante, r.cons, r.ps AS pair_support,
+                round(1000000.0 * r.ps / sa.sup)::BIGINT AS conf_micro,
+                round(1000000.0 * r.ps * n.n
+                      / (sa.sup * sc.sup))::BIGINT AS lift_micro
+         FROM r JOIN sup sa ON r.ante = sa.i
+                JOIN sup sc ON r.cons = sc.i
+                CROSS JOIN n
+         ORDER BY lift_micro DESC, ante, cons LIMIT 50""",
 
     "q_pagerank" ->
       """WITH e0 AS (

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining — the classic co-occurrence
+  * analytics layer (Agrawal & Srikant '94 shapes) over (basket, item)
+  * rows, powering the same basket machinery as the co-occurrence graph
+  * queries but surfacing RULES (confidence / lift) instead of edges.
+  *
+  * Scale shape: one shuffle to fold baskets into sorted item sets, a
+  * scan-local pair expansion bounded by basket size (the upper-triangle
+  * slice idiom — never |basket|² structs for the symmetric closure), a
+  * map-side-combined pair count, and bounded joins against the |items|
+  * support table. Nothing touches the driver; the N-baskets scalar
+  * rides a one-row broadcast. */
+object baskets {
+
+  /** Distinct (basket, item) incidence — the normalized input every
+    * stage shares. */
+  private def incidence(b: DataFrame, basketCol: String, itemCol: String)
+  : DataFrame =
+    b.select(col(basketCol).as("k"), col(itemCol).cast("long").as("i"))
+      .distinct()
+
+  /** Unordered co-occurring pair supports: (a, b, pair_support) with
+    * a < b, counting BASKETS containing both. The expansion works on
+    * the per-basket sorted item set and emits only the upper triangle,
+    * so a basket of m items costs m(m−1)/2 rows — the inherent output
+    * of pair mining — with the groupBy combined map-side. */
+  def pairSupports(b: DataFrame, basketCol: String, itemCol: String)
+  : DataFrame =
+    incidence(b, basketCol, itemCol)
+      .groupBy(col("k"))
+      .agg(sort_array(collect_set(col("i"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+           transform(slice(ps, i + 2, size(ps)),
+             y -> struct(x AS a, y AS b))))""")).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("pair_support"))
+
+  /** Association rules for every DIRECTED pair whose unordered support
+    * clears `minSupport`: (ante, cons, pair_support, conf_micro,
+    * lift_micro) with conf = sup(ab)/sup(ante) and
+    * lift = sup(ab)·N / (sup(ante)·sup(cons)), both snapped to integer
+    * micros straight from the counts (one rounding, not compounded) so
+    * the result is order-independent and oracle-exact — the
+    * [[graft.graph.Graph.adamicAdar]] micros rule.
+    *
+    * The support cut happens BEFORE the direction fan-out and the
+    * support joins, so downstream work is bounded by surviving rules,
+    * not raw pairs; the item-support joins are plain equi-joins AQE
+    * sizes itself (broadcast when the item dimension is small). */
+  def associationRules(b: DataFrame, basketCol: String, itemCol: String,
+                       minSupport: Long): DataFrame = {
+    val inc = incidence(b, basketCol, itemCol)
+    val itemSup = inc.groupBy(col("i")).agg(count(lit(1)).as("sup"))
+    val nBaskets = inc.select(col("k")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val pairs = pairSupports(b, basketCol, itemCol)
+      .filter(col("pair_support") >= minSupport)
+    pairs
+      .select(explode(array(
+        struct(col("a").as("ante"), col("b").as("cons"),
+          col("pair_support")),
+        struct(col("b").as("ante"), col("a").as("cons"),
+          col("pair_support")))).as("r"))
+      .select(col("r.ante").as("ante"), col("r.cons").as("cons"),
+        col("r.pair_support").as("pair_support"))
+      .join(itemSup.select(col("i").as("ante"), col("sup").as("sup_a")),
+        "ante")
+      .join(itemSup.select(col("i").as("cons"), col("sup").as("sup_c")),
+        "cons")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("ante"), col("cons"), col("pair_support"),
+        expr("cast(round(1000000.0 * pair_support / sup_a) as bigint)")
+          .as("conf_micro"),
+        expr("""cast(round(1000000.0 * pair_support * n
+                           / (sup_a * sup_c)) as bigint)""")
+          .as("lift_micro"))
+  }
+}

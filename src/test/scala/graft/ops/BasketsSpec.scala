@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Pins the association-rule math on a hand-computed basket set. */
+class BasketsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // b1:{1,2,3} b2:{1,2} b3:{1,3} b4:{2,4}  (with a duplicate (b1,1)
+  // row to prove incidence is distinct)
+  private def b = Seq(
+    (10L, 1L), (10L, 2L), (10L, 3L), (10L, 1L),
+    (20L, 1L), (20L, 2L),
+    (30L, 1L), (30L, 3L),
+    (40L, 2L), (40L, 4L)
+  ).toDF("basket", "item")
+
+  test("pairSupports counts baskets per unordered pair, a < b") {
+    val got = baskets.pairSupports(b, "basket", "item")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 1L),
+      (2L, 4L, 1L)))
+  }
+
+  test("associationRules: hand-computed confidence and lift in micros") {
+    // N=4; sup: 1→3, 2→3, 3→2, 4→1; surviving pairs (min 2): (1,2),(1,3)
+    val got = baskets.associationRules(b, "basket", "item",
+      minSupport = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      // 1→2: conf 2/3, lift 2·4/(3·3)
+      (1L, 2L, 2L, 666667L, 888889L),
+      (2L, 1L, 2L, 666667L, 888889L),
+      // 1→3: conf 2/3; 3→1: conf 2/2; lift 2·4/(3·2)
+      (1L, 3L, 2L, 666667L, 1333333L),
+      (3L, 1L, 2L, 1000000L, 1333333L)))
+  }
+}
