@@ -442,6 +442,19 @@ object ScaleSmoke {
         .filter(col("coord") > 1e9).count()
     }
 
+    timed("association rules") {
+      // market-basket rules at 10M incidence rows (1M baskets × ~10
+      // items): the pair expansion is bounded by basket size (m²/2 per
+      // basket), supports combine map-side, and the min-support cut
+      // lands before the direction fan-out and joins
+      val inc = spark.range(rows / 5).select(
+        (col("id") / 10).cast("long").as("basket"),
+        // ~100k item vocabulary with skew: small ids recur everywhere
+        (col("id") * 2654435761L % 100003L).as("item"))
+      graft.ops.baskets.associationRules(inc, "basket", "item",
+        minSupport = 3).count()
+    }
+
     timed("nearest-centroid classify") {
       // labeled-eval classifier at corpus scale: the fit is one
       // |labels|·d-row map-side-combined agg, classification is pure

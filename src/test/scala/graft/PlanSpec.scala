@@ -381,6 +381,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("association rules: pair counts combine map-side, no cross product") {
+    val plan = SparkEntry.queries("q_assoc_rules")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"pair supports must combine map-side:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("pagerank iterations reuse a staged edge list, no cross product") {
     val plan = SparkEntry.queries("q_pagerank")(spark, sf)
       .queryExecution.executedPlan.toString
