@@ -612,6 +612,12 @@ object ExtensionQueries {
         LabelEval.knnClassify(
           t(s, d, "embeddings"), "vec_id", "embedding", "label", k = 5))),
 
+    // contrastive negative pairs: k deterministic md5-keyed draws per
+    // anchor, self/same-label collisions dropped
+    "q_negative_pairs" -> ((s, d) =>
+      LabelEval.negativePairs(
+        t(s, d, "embeddings"), "vec_id", "label", k = 4)),
+
     // confusion matrix of the nearest-centroid classifier
     "q_confusion_matrix" -> ((s, d) =>
       LabelEval.confusionMatrix(
@@ -2488,6 +2494,24 @@ object ExtensionQueries {
                                             ORDER BY d, cand) AS rn
                FROM d)
          WHERE rn = 1""",
+
+    // Mirrors LabelEval.negativePairs: rank = dense row_number over
+    // vec_id, draw rank = first-8-hex md5(anchor_j) mod N, self and
+    // same-label draws dropped.
+    "q_negative_pairs" ->
+      """WITH r AS (SELECT vec_id AS nid, label AS nlabel,
+                           row_number() OVER (ORDER BY vec_id) - 1
+                             AS rank
+                    FROM embeddings),
+         n AS (SELECT count(*) AS n FROM embeddings),
+         d AS (SELECT e.vec_id AS anchor, e.label AS alabel, j.j AS j,
+                      ('0x' || substr(md5(e.vec_id::VARCHAR || '_' ||
+                        j.j::VARCHAR), 1, 8))::BIGINT % n.n AS rank
+               FROM embeddings e CROSS JOIN range(0, 4) j(j)
+               CROSS JOIN n)
+         SELECT d.anchor, d.j, r.nid AS negative
+         FROM d JOIN r USING (rank)
+         WHERE r.nid <> d.anchor AND r.nlabel <> d.alabel""",
 
     // q_label_centroid_classify's argmin chain, grouped to the
     // |labels|² confusion counts

@@ -152,6 +152,47 @@ object LabelEval {
         col("m.nlabel").as("pred"),
         (col("qlabel") === col("m.nlabel")).cast("int").as("correct"))
 
+  /** Deterministic label-aware negative sampling — the contrastive-
+    * training pair generator: for every anchor row, k with-replacement
+    * uniform draws over the corpus, keyed on md5(anchor, draw) so the
+    * SAME pairs come back on any cluster size, partitioning, or rerun
+    * (the stratifiedSample determinism rule). Draws that land on the
+    * anchor itself or on a same-label row are dropped — they are not
+    * negatives — so an anchor yields ≤ k pairs. Output
+    * (anchor, j, negative), j = the draw index.
+    *
+    * Scale shape: the id→rank table is a distributed range sort +
+    * zipWithIndex (the perplexityBuckets idiom — never a single-
+    * partition window), the k-draw fan-out is scan-local, and the
+    * draw→candidate resolution is ONE equi-join on rank. The corpus
+    * count is the only driver scalar. */
+  def negativePairs(vectors: DataFrame, idCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = vectors.sparkSession
+    val base = vectors.select(col(idCol).cast("long").as("nid"),
+      col(labelCol).as("nlabel"))
+    val ranked = spark.createDataFrame(
+      base.sort("nid").rdd.zipWithIndex.map { case (row, idx) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+      },
+      base.schema.add("rank",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val n = ranked.count()
+    vectors
+      .select(col(idCol).cast("long").as("anchor"),
+        col(labelCol).as("alabel"))
+      .select(col("anchor"), col("alabel"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("j"))
+      .withColumn("rank",
+        conv(substring(md5(concat_ws("_", col("anchor"), col("j"))
+          .cast("binary")), 1, 8), 16, 10).cast("long") % n)
+      .join(ranked, "rank")
+      .filter(col("nid") =!= col("anchor") &&
+        col("nlabel") =!= col("alabel"))
+      .select(col("anchor"), col("j"), col("nid").as("negative"))
+  }
+
   /** Confusion matrix over (label, pred) prediction rows:
     * (label, pred, n) — one map-side-combined aggregation, at most
     * |labels|² output rows. */

@@ -81,6 +81,24 @@ class LabelEvalSpec extends SparkSpec {
     assert(got.forall { case (_, l, p, c) => l === p && c === 1 })
   }
 
+  test("negativePairs: deterministic, never self or same-label") {
+    val p1 = LabelEval.negativePairs(vecs, "vec_id", "label", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val p2 = LabelEval.negativePairs(vecs, "vec_id", "label", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(p1 === p2)                       // rerun-identical
+    assert(p1.nonEmpty)
+    val labels = Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1,
+      5L -> 1)
+    p1.foreach { case (a, j, neg) =>
+      assert(neg !== a)
+      assert(labels(neg) !== labels(a))     // a true negative
+      assert(j >= 0 && j < 3)
+    }
+    // at most k draws per anchor
+    assert(p1.groupBy(_._1).values.map(_.size).max <= 3)
+  }
+
   test("classReport aggregates per-class accuracy") {
     val pred = Seq((0, 1), (0, 1), (0, 0), (1, 1))
       .toDF("label", "correct")
