@@ -179,6 +179,7 @@ object LabelEval {
       base.schema.add("rank",
         org.apache.spark.sql.types.LongType, nullable = false))
     val n = ranked.count()
+    require(n > 0, "negativePairs: the corpus is empty — nothing to draw")
     vectors
       .select(col(idCol).cast("long").as("anchor"),
         col(labelCol).as("alabel"))
