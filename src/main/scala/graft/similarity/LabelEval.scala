@@ -216,9 +216,19 @@ object LabelEval {
     * zero. */
   def labelOutliers(vectors: DataFrame, idCol: String, embCol: String,
                     labelCol: String): DataFrame = {
-    val cents = labelCentroids(vectors, embCol, labelCol)
+    val spark = vectors.sparkSession
+    // bounded-frame localization: collect an L-row frame and re-emit it
+    // as a LocalRelation with the same schema, so downstream broadcasts
+    // don't re-run the corpus scan that produced it (the finishSums
+    // boundedness rule, type-generic via Row)
+    def localize(df: DataFrame): DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+    // the centroid table is |labels| rows — collect it once so the two
+    // downstream corpus passes (stats, emit) don't each re-run the fit
+    // scan inside their broadcast
+    val centsLocal = localize(labelCentroids(vectors, embCol, labelCol)
       .select(col("label"),
-        col("centroid").cast("array<float>").as("centroid"))
+        col("centroid").cast("array<float>").as("centroid")))
     val x = col(embCol).cast("array<float>")
     val dist = sqrt(greatest(
       Similarity.dot(x, x) - Similarity.dot(x, col("centroid")) * 2 +
@@ -226,10 +236,13 @@ object LabelEval {
       lit(0.0))) // float rounding can push an exact-zero slightly negative
     val scored = vectors
       .select(col(idCol), col(labelCol).as("label"), col(embCol))
-      .join(broadcast(cents), "label")
+      .join(broadcast(centsLocal), "label")
       .withColumn("dist", dist)
       .select(col(idCol), col("label"), col("dist"))
-    val stats = scored
+    // per-label moments are |labels| rows too: one corpus pass,
+    // collected, re-emitted as a local broadcast side — the whole
+    // operator is exactly three corpus scans (fit, stats, emit)
+    val statsLocal = localize(scored
       .groupBy(col("label"))
       .agg(sum(col("dist").cast("decimal(28,12)")).as("s1"),
         sum((col("dist") * col("dist")).cast("decimal(28,12)")).as("s2"),
@@ -240,8 +253,8 @@ object LabelEval {
           col("s2").cast("double") / col("n") -
             (col("s1").cast("double") / col("n")) *
             (col("s1").cast("double") / col("n")),
-          lit(0.0))).as("sd"))
-    scored.join(broadcast(stats), "label")
+          lit(0.0))).as("sd")))
+    scored.join(broadcast(statsLocal), "label")
       .select(col(idCol), col("label"),
         round(col("dist"), 6).as("dist"),
         round(when(col("sd") > 0.0,
