@@ -1319,7 +1319,14 @@ object ExtensionQueries {
         .select(col("doc_id"),
           round(col("n_oov").cast("double") / col("n_toks"), 6)
             .as("oov_rate"))
-    })
+    }),
+
+    // CCNet/RefinedWeb-style boilerplate strip: 4-token chunks occurring
+    // in >= 3 distinct docs are dropped everywhere, survivors re-join in
+    // document order; returns cleaned text + audit counts
+    "q_boilerplate_strip" -> ((s, d) =>
+      Text.stripBoilerplate(t(s, d, "documents"), "doc_id", "text",
+        chunkTokens = 4, minDocs = 3))
   )
 
   /** Shared by q_sessionize and q_stream_sessionize_tws: the batch and
@@ -3908,7 +3915,35 @@ object ExtensionQueries {
                 round(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
                       / COUNT(*), 6) AS oov_rate
          FROM tf t LEFT JOIN vocab v ON t.tok = v.tok
-         GROUP BY t.doc_id"""
+         GROUP BY t.doc_id""",
+
+    // mirrors stripBoilerplate: non-overlapping 4-token chunks, df over
+    // DISTINCT docs, >= 3 docs => dropped everywhere, string_agg with
+    // ORDER BY ci restores document order (NULLed boiler chunks are
+    // skipped without a separator; all-dropped docs coalesce to '')
+    "q_boilerplate_strip" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
+           FROM documents),
+         ch AS (
+           SELECT doc_id, i AS ci,
+                  array_to_string(t[i*4 + 1 : i*4 + 4], ' ') AS chunk
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(0,
+                          CAST(ceil(len(t) / 4.0) AS INT) - 1)) AS i
+                 FROM tok)),
+         df AS (SELECT chunk, count(DISTINCT doc_id) AS nd
+                FROM ch GROUP BY chunk),
+         fl AS (SELECT doc_id, ci, chunk, nd >= 3 AS boiler
+                FROM ch JOIN df USING (chunk))
+         SELECT doc_id, count(*)::BIGINT AS n_chunks,
+                sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT
+                  AS n_dropped,
+                coalesce(string_agg(CASE WHEN NOT boiler THEN chunk END,
+                  ' ' ORDER BY ci), '') AS clean_text
+         FROM fl GROUP BY doc_id"""
   )
 
   /** DuckDB twin of Similarity.hyperplaneBucket + cosine pair filter.

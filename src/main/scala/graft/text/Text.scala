@@ -520,6 +520,61 @@ object Text {
       .drop("__rk")
   }
 
+  /** CCNet-style boilerplate removal by cross-document unit dedup
+    * (Wenzek et al. '19 dedup lines across shards before LM filtering;
+    * RefinedWeb strips nav/footer lines the same way). The unit here is
+    * a non-overlapping `chunkTokens`-token chunk (the corpus has no
+    * newlines, so chunks stand in for lines; the operator is
+    * unit-agnostic — swap the chunker for a `split(text, '\n')` on real
+    * web text). A chunk value is boilerplate iff it occurs in
+    * ≥ `minDocs` DISTINCT documents; every occurrence is dropped and
+    * the survivors re-join in original order.
+    *
+    * Returns (doc_id, n_chunks, n_dropped, clean_text) — the cleaned
+    * corpus plus the audit counts a pipeline cuts on.
+    *
+    * Shape at scale: chunking is scan-local (one sequence+slice per
+    * doc); the document-frequency count collapses within-doc repeats
+    * map-side FIRST (distinct (doc, hash) pairs) so the df exchange
+    * carries ≤ one 8-byte key per distinct chunk per doc; the flag
+    * join-back and the per-doc reassembly are the only corpus-volume
+    * shuffles (2 total). No self-join, no driver state. The
+    * collect_list buffer is bounded by a single document's chunk count,
+    * exactly like the reassembly in sequence packing. */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       chunkTokens: Int, minDocs: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunk width must be >= 1, got $chunkTokens")
+    require(minDocs >= 2, s"boilerplate needs minDocs >= 2, got $minDocs")
+    val k = chunkTokens
+    // ceil(n/k) chunks; the trailing partial chunk is kept (slice clamps)
+    // so reconstruction of a boilerplate-free doc is lossless
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, cast(ceil(size(t) / $k.0) as int) - 1),
+            i -> struct(i as ci,
+                        array_join(slice(t, i * $k + 1, $k), ' ')
+                          as chunk))""")).as("c"))
+      .select(col("doc_id"), col("c.ci").as("ci"),
+        col("c.chunk").as("chunk"), xxhash64(col("c.chunk")).as("h"))
+      .localCheckpoint() // read twice: df count + flag join-back
+    val boiler = chunks.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("h"), lit(1).as("is_boiler"))
+    chunks.join(boiler, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_boiler").isNotNull, 1).otherwise(0))
+          .cast("bigint").as("n_dropped"),
+        // collect_list skips NULLs, so boilerplate chunks vanish here;
+        // array_sort on (ci, chunk) structs restores document order
+        array_join(transform(
+          array_sort(collect_list(when(col("is_boiler").isNull,
+            struct(col("ci"), col("chunk"))))),
+          c => c.getField("chunk")), " ").as("clean_text"))
+  }
+
   /** Token-budget corpus mix: keep documents per source, in the seedless
     * md5 shuffle order, until each source's cumulative TOKEN count would
     * exceed its budget — the "every source contributes ≤ B tokens to the

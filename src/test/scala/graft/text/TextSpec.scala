@@ -365,4 +365,36 @@ class TextSpec extends SparkSpec {
     assert(!kept.contains(2L) && kept.size === 1,
       s"one real doc fits the 3-token budget, the NULL doc never: $kept")
   }
+
+  test("stripBoilerplate drops cross-doc chunks, keeps document order") {
+    // chunk width 2: "subscribe now" is in all 3 docs → boilerplate at
+    // minDocs=3; "alpha beta" repeats within doc 1 only → kept (df
+    // counts DISTINCT docs, not occurrences)
+    val docs = Seq(
+      (1L, "alpha beta subscribe now alpha beta gamma delta"),
+      (2L, "subscribe now epsilon zeta"),
+      (3L, "eta theta subscribe now"))
+      .toDF("doc_id", "text")
+    val got = Text.stripBoilerplate(docs, "doc_id", "text",
+      chunkTokens = 2, minDocs = 3)
+      .select("doc_id", "n_chunks", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((4L, 1L, "alpha beta alpha beta gamma delta")))
+    assert(got(2L) === ((2L, 1L, "epsilon zeta")))
+    assert(got(3L) === ((2L, 1L, "eta theta")))
+    // a doc that is ALL boilerplate reconstructs to the empty string
+    val all = Seq((1L, "subscribe now"), (2L, "subscribe now"))
+      .toDF("doc_id", "text")
+    val cleaned = Text.stripBoilerplate(all, "doc_id", "text", 2, 2)
+      .select("clean_text").as[String].collect()
+    assert(cleaned.forall(_ === ""))
+    // trailing partial chunk (length < k) participates like any other
+    val part = Seq((1L, "a b c"), (2L, "z z c"), (3L, "q q c"))
+      .toDF("doc_id", "text")
+    val p = Text.stripBoilerplate(part, "doc_id", "text", 2, 3)
+      .filter(col("doc_id") === 1L)
+      .select("n_dropped", "clean_text").as[(Long, String)].head()
+    assert(p === ((1L, "a b")), "the 1-token tail chunk 'c' is shared")
+  }
 }
