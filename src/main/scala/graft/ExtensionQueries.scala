@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.graph.Graph
 import graft.multimodal.Multimodal
-import graft.ops.{analytics, asof, baskets, rangejoin, timeseries}
+import graft.ops.{analytics, asof, baskets, expectations, rangejoin, timeseries}
 import graft.similarity.{LabelEval, Similarity}
 import graft.sources.{Layout, StagedSources}
 import graft.streaming.Streams
@@ -1326,7 +1326,24 @@ object ExtensionQueries {
     // document order; returns cleaned text + audit counts
     "q_boilerplate_strip" -> ((s, d) =>
       Text.stripBoilerplate(t(s, d, "documents"), "doc_id", "text",
-        chunkTokens = 4, minDocs = 3))
+        chunkTokens = 4, minDocs = 3)),
+
+    // Deequ-style publish gate on orders: 6 constraints, ONE aggregation
+    // pass (key uniqueness, FK completeness, status domain, priority
+    // format, price bounds, decimal-sum mean band)
+    "q_expectations" -> ((s, d) => {
+      import expectations._
+      validate(t(s, d, "orders"), Seq(
+        Check("o_orderkey_unique", uniqueness(col("o_orderkey")), 1.0, 1.0),
+        Check("o_custkey_complete", completeness(col("o_custkey")), 1.0, 1.0),
+        Check("o_orderstatus_domain",
+          inSetRate(col("o_orderstatus"), Seq("F", "O", "P")), 1.0, 1.0),
+        Check("o_orderpriority_format",
+          matchRate(col("o_orderpriority"), "^[1-5]-[A-Z ]+$"), 1.0, 1.0),
+        Check("o_totalprice_min", min(col("o_totalprice")), 0.0, 1e9),
+        Check("o_totalprice_mean", mean(col("o_totalprice")),
+          200000.0, 300000.0)))
+    })
   )
 
   /** Shared by q_sessionize and q_stream_sessionize_tws: the batch and
@@ -3943,7 +3960,39 @@ object ExtensionQueries {
                   AS n_dropped,
                 coalesce(string_agg(CASE WHEN NOT boiler THEN chunk END,
                   ' ' ORDER BY ci), '') AS clean_text
-         FROM fl GROUP BY doc_id"""
+         FROM fl GROUP BY doc_id""",
+
+    // mirrors expectations.validate: same metric definitions (integer-
+    // count ratios; decimal(18,2) sum cast to double before the divide),
+    // 6dp rounding, [lo,hi] inclusive bands; literals cast to DOUBLE so
+    // the hash compares float-to-float
+    "q_expectations" ->
+      """WITH m AS (
+           SELECT
+             round(count(DISTINCT o_orderkey)::DOUBLE /
+               count(o_orderkey), 6) AS m0,
+             round(avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0::DOUBLE
+               ELSE 0.0::DOUBLE END), 6) AS m1,
+             round(avg(CASE WHEN o_orderstatus IS NULL THEN NULL
+               WHEN o_orderstatus IN ('F','O','P') THEN 1.0::DOUBLE
+               ELSE 0.0::DOUBLE END), 6) AS m2,
+             round(avg(CASE WHEN o_orderpriority IS NULL THEN NULL
+               WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+               THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) AS m3,
+             round(min(o_totalprice), 6) AS m4,
+             round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DOUBLE) / count(o_totalprice), 6) AS m5
+           FROM orders)
+         SELECT c."check", c.metric, c.lo, c.hi,
+                c.metric >= c.lo AND c.metric <= c.hi AS ok
+         FROM m, LATERAL (VALUES
+           ('o_orderkey_unique', m0, 1.0::DOUBLE, 1.0::DOUBLE),
+           ('o_custkey_complete', m1, 1.0::DOUBLE, 1.0::DOUBLE),
+           ('o_orderstatus_domain', m2, 1.0::DOUBLE, 1.0::DOUBLE),
+           ('o_orderpriority_format', m3, 1.0::DOUBLE, 1.0::DOUBLE),
+           ('o_totalprice_min', m4, 0.0::DOUBLE, 1e9::DOUBLE),
+           ('o_totalprice_mean', m5, 200000.0::DOUBLE, 300000.0::DOUBLE))
+           AS c("check", metric, lo, hi)"""
   )
 
   /** DuckDB twin of Similarity.hyperplaneBucket + cosine pair filter.
