@@ -1328,6 +1328,17 @@ object ExtensionQueries {
       Text.stripBoilerplate(t(s, d, "documents"), "doc_id", "text",
         chunkTokens = 4, minDocs = 3)),
 
+    // canonical cleaning pass: the corpus is re-dirtied deterministically
+    // (decomposed accent + a BEL control char spliced into every "table")
+    // so the NFC + control-strip + collapse pipeline is exercised for
+    // real — both engines inject the identical bytes and must emit the
+    // identical canonical text
+    "q_text_clean" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Text.cleanText(regexp_replace(col("text"), "table",
+          "ta\u0301ble\u0007")).as("clean"))
+        .withColumn("n_chars_clean", length(col("clean")))),
+
     // Deequ-style publish gate on orders: 6 constraints, ONE aggregation
     // pass (key uniqueness, FK completeness, status domain, priority
     // format, price bounds, decimal-sum mean band)
@@ -3961,6 +3972,22 @@ object ExtensionQueries {
                 coalesce(string_agg(CASE WHEN NOT boiler THEN chunk END,
                   ' ' ORDER BY ci), '') AS clean_text
          FROM fl GROUP BY doc_id""",
+
+    // mirrors cleanText over the same deterministic re-dirtying: both
+    // engines splice 'a'+U+0301 (decomposed accent) + BEL into every
+    // "table", then NFC-compose (utf8proc here, java.text.Normalizer in
+    // Spark — same UAX #15 algorithm), strip Cc/Cf to spaces, collapse
+    // whitespace, trim
+    "q_text_clean" ->
+      """SELECT doc_id, clean, length(clean)::INT AS n_chars_clean
+         FROM (
+           SELECT doc_id,
+                  trim(regexp_replace(regexp_replace(
+                    nfc_normalize(replace(text, 'table',
+                      'ta' || chr(769) || 'ble' || chr(7))),
+                    '[\p{Cc}\p{Cf}]', ' ', 'g'),
+                    '\s+', ' ', 'g')) AS clean
+           FROM documents)""",
 
     // mirrors expectations.validate: same metric definitions (integer-
     // count ratios; decimal(18,2) sum cast to double before the divide),

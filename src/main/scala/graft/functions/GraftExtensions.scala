@@ -80,6 +80,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),
       (children: Seq[Expression]) =>
         ZOrderKey(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[Nfc].getName, "graft_nfc"),
+      (children: Seq[Expression]) => Nfc(children.head)))
     ext.injectOptimizerRule(_ => RewriteDotProduct())
   }
 }

@@ -520,6 +520,19 @@ object Text {
       .drop("__rk")
   }
 
+  /** Canonical text cleaning for scraped corpora, the pass that runs
+    * BEFORE dedup/shingling so byte-different-but-canonically-equal
+    * documents collide: (1) Unicode NFC composition (native
+    * [[graft.functions.Nfc]] — Spark has no built-in), (2) control and
+    * format characters (C0/C1, zero-width joiners, BOMs — `\p{Cc}\p{Cf}`)
+    * to spaces, (3) whitespace runs collapsed, (4) trim. Pure scan-local
+    * expressions; the NFC fast path is a no-alloc `isNormalized` probe,
+    * so overwhelmingly-ASCII corpora pay one table lookup per char. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      call_function("graft_nfc", text),
+      "[\\p{Cc}\\p{Cf}]", " "), "\\s+", " "))
+
   /** CCNet-style boilerplate removal by cross-document unit dedup
     * (Wenzek et al. '19 dedup lines across shards before LM filtering;
     * RefinedWeb strips nav/footer lines the same way). The unit here is

@@ -366,6 +366,29 @@ class TextSpec extends SparkSpec {
       s"one real doc fits the 3-token budget, the NULL doc never: $kept")
   }
 
+  test("graft_nfc composes decomposed forms; cleanText canonicalizes") {
+    // decomposed e + U+0301 composes to the single-codepoint é
+    val nfc = Seq("cafe\u0301").toDF("s")
+      .select(call_function("graft_nfc", col("s")).as("n"))
+      .as[String].head()
+    assert(nfc === "café" && nfc.length === 4)
+    // already-NFC input is unchanged (fast path)
+    val id = Seq("plain ascii", "café").toDF("s")
+      .select(call_function("graft_nfc", col("s")).as("n"))
+      .as[String].collect()
+    assert(id === Array("plain ascii", "café"))
+    // null propagates
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(call_function("graft_nfc", col("s")).as("n"))
+      .collect().head
+    assert(n.isNullAt(0))
+    // cleanText: NFC + control/format strip + whitespace collapse + trim
+    val cleaned = Seq("\u0007 a\u0301b\u200b  c \t d \u0000")
+      .toDF("s").select(Text.cleanText(col("s")).as("c"))
+      .as[String].head()
+    assert(cleaned === "áb c d")
+  }
+
   test("stripBoilerplate drops cross-doc chunks, keeps document order") {
     // chunk width 2: "subscribe now" is in all 3 docs → boilerplate at
     // minDocs=3; "alpha beta" repeats within doc 1 only → kept (df
