@@ -1339,6 +1339,14 @@ object ExtensionQueries {
           "ta\u0301ble\u0007")).as("clean"))
         .withColumn("n_chars_clean", length(col("clean")))),
 
+    // Gopher rule report: per-doc metrics + conjunctive keep verdict
+    // (word-count band, mean word length, symbol ratio, alpha fraction,
+    // distinct-stopword floor)
+    "q_gopher_rules" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Text.gopherFlags(col("text"), minWords = 50).as("g"))
+        .select(col("doc_id"), col("g.*"))),
+
     // Deequ-style publish gate on orders: 6 constraints, ONE aggregation
     // pass (key uniqueness, FK completeness, status domain, priority
     // format, price bounds, decimal-sum mean band)
@@ -3988,6 +3996,40 @@ object ExtensionQueries {
                     '[\p{Cc}\p{Cf}]', ' ', 'g'),
                     '\s+', ' ', 'g')) AS clean
            FROM documents)""",
+
+    // mirrors gopherFlags: raw whitespace words, integer-count divisions
+    // (bit-equal cross-engine, so the UNROUNDED band compares in `keep`
+    // cannot straddle an ulp), 6dp display rounding only
+    "q_gopher_rules" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  len(string_split_regex(trim(text), '\s+'))::BIGINT
+                    AS n_words,
+                  length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                    AS non_ws,
+                  (length(text) - length(regexp_replace(text,
+                    '#|\.\.\.|…', '', 'g')))::DOUBLE AS symbols,
+                  len(list_filter(string_split_regex(trim(text), '\s+'),
+                    w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                    AS n_alpha,
+                  len(list_intersect(list_distinct(string_split_regex(
+                    trim(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ',
+                    'g')), '\s+')),
+                    ['the','be','to','of','and','that','have','with']))
+                    ::INT AS n_stop
+           FROM documents)
+         SELECT doc_id, n_words,
+                round(non_ws / greatest(n_words, 1), 6) AS mean_word_len,
+                round(symbols / greatest(n_words, 1), 6) AS symbol_ratio,
+                round(n_alpha / greatest(n_words, 1), 6) AS alpha_frac,
+                n_stop,
+                (n_words >= 50 AND n_words <= 100000
+                 AND non_ws / greatest(n_words, 1) >= 3.0
+                 AND non_ws / greatest(n_words, 1) <= 10.0
+                 AND symbols / greatest(n_words, 1) <= 0.1
+                 AND n_alpha / greatest(n_words, 1) >= 0.8
+                 AND n_stop >= 2) AS keep
+         FROM m""",
 
     // mirrors expectations.validate: same metric definitions (integer-
     // count ratios; decimal(18,2) sum cast to double before the divide),

@@ -533,6 +533,45 @@ object Text {
       call_function("graft_nfc", text),
       "[\\p{Cc}\\p{Cf}]", " "), "\\s+", " "))
 
+  /** Gopher-style document quality rules (Rae et al. '21 §A1.1, the
+    * repetition axis lives in [[repetitionRatio]]): per-doc rule metrics
+    * plus the conjunctive keep verdict. Raw whitespace words (not the
+    * normalized token view) are the unit, as in the paper. Pure
+    * scan-local expressions; the only lambda is the alpha-word filter
+    * (bounded by doc length, interpreted per token — measured noise next
+    * to the regex scans).
+    *
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [3, 10] chars
+    *   - symbol-to-word ratio (# and ellipsis) ≤ 0.1
+    *   - ≥ 80% of words contain an alphabetic character
+    *   - ≥ 2 distinct stopwords of the classic 8-word list
+    */
+  def gopherFlags(text: Column, minWords: Int = 50,
+                  maxWords: Int = 100000): Column = {
+    val words = split(trim(text), "\\s+")
+    val nWords = size(words).cast("double")
+    val nonWs = length(regexp_replace(text, "\\s+", "")).cast("double")
+    val meanLen = nonWs / greatest(nWords, lit(1.0))
+    val symbols = (length(text) -
+      length(regexp_replace(text, "#|\\.\\.\\.|…", ""))).cast("double")
+    val symbolRatio = symbols / greatest(nWords, lit(1.0))
+    val alphaFrac = size(filter(words, w => w.rlike("[A-Za-z]")))
+      .cast("double") / greatest(nWords, lit(1.0))
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = size(array_intersect(tokenSet(text),
+      array(stops.map(lit): _*)))
+    struct(
+      nWords.cast("long").as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      nStop.as("n_stop"),
+      (nWords >= minWords && nWords <= maxWords &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symbolRatio <= 0.1 && alphaFrac >= 0.8 && nStop >= 2).as("keep"))
+  }
+
   /** CCNet-style boilerplate removal by cross-document unit dedup
     * (Wenzek et al. '19 dedup lines across shards before LM filtering;
     * RefinedWeb strips nav/footer lines the same way). The unit here is

@@ -389,6 +389,28 @@ class TextSpec extends SparkSpec {
     assert(cleaned === "áb c d")
   }
 
+  test("gopherFlags computes rule metrics and the conjunctive verdict") {
+    val good = ("the cat and the dog have fun with all of that " * 5).trim
+    val short_ = "the of and"
+    val symbols = "the of # ... # ... # ... and # that with have be"
+    val numeric = "the of and that " + (1 to 60).map(_.toString)
+      .mkString(" ")
+    val rows = Seq((1L, good), (2L, short_), (3L, symbols), (4L, numeric))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Text.gopherFlags(col("text"),
+        minWords = 10).as("g"))
+      .select(col("doc_id"), col("g.*"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Boolean]("keep"),
+      s"clean prose passes: ${rows(1L)}")
+    assert(!rows(2L).getAs[Boolean]("keep"), "below the word-count floor")
+    assert(!rows(3L).getAs[Boolean]("keep"), "symbol ratio above 0.1")
+    assert(rows(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!rows(4L).getAs[Boolean]("keep"), "alpha fraction below 0.8")
+    assert(rows(4L).getAs[Double]("alpha_frac") < 0.8)
+    assert(rows(1L).getAs[Int]("n_stop") >= 2)
+  }
+
   test("stripBoilerplate drops cross-doc chunks, keeps document order") {
     // chunk width 2: "subscribe now" is in all 3 docs → boilerplate at
     // minDocs=3; "alpha beta" repeats within doc 1 only → kept (df
