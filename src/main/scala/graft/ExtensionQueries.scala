@@ -10,7 +10,7 @@ import graft.ops.{analytics, asof, baskets, expectations, rangejoin, timeseries}
 import graft.similarity.{LabelEval, Similarity}
 import graft.sources.{Layout, StagedSources}
 import graft.streaming.Streams
-import graft.text.{Importance, Packing, Text}
+import graft.text.{Bpe, Importance, Packing, Text}
 
 /** Extension surface beyond reference parity: large-scale training-data
   * pipeline operators (dedup, similarity search, text analysis, multimodal,
@@ -1338,6 +1338,18 @@ object ExtensionQueries {
         Text.cleanText(regexp_replace(col("text"), "table",
           "ta\u0301ble\u0007")).as("clean"))
         .withColumn("n_chars_clean", length(col("clean")))),
+
+    // BPE merge induction, 3 rounds: the corpus is scanned ONCE (word-
+    // frequency groupBy); every round then aggregates the vocab table
+    // and collects a single argmax row
+    "q_bpe_merges" -> ((s, d) =>
+      Bpe.bpeTrain(t(s, d, "documents"), "doc_id", "text", rounds = 3)),
+
+    // positional-index phrase search: postings filtered to the 2 phrase
+    // terms before any shuffle, one aligned-position intersection join
+    "q_phrase_search" -> ((s, d) =>
+      Text.phraseSearch(t(s, d, "documents"), "doc_id", "text",
+        "value table")),
 
     // Gopher rule report: per-doc metrics + conjunctive keep verdict
     // (word-count band, mean word length, symbol ratio, alpha fraction,
@@ -3996,6 +4008,67 @@ object ExtensionQueries {
                     '[\p{Cc}\p{Cf}]', ' ', 'g'),
                     '\s+', ' ', 'g')) AS clean
            FROM documents)""",
+
+    // mirrors bpeTrain with the 3 rounds unrolled: same wrapped-segment
+    // representation, same weighted adjacent-pair counts, same
+    // (n DESC, pair ASC) argmax, same literal replace whose left-to-
+    // right non-overlapping semantics is the greedy BPE fold
+    "q_bpe_merges" ->
+      """WITH v0 AS (
+           SELECT w, count(*)::BIGINT AS c,
+                  regexp_replace(w, '(.)', '(\1)', 'g') AS seg
+           FROM (SELECT unnest(string_split_regex(trim(regexp_replace(
+                   lower(text), '[^a-z0-9\s]+', ' ', 'g')), '\s+')) AS w
+                 FROM documents)
+           WHERE length(w) >= 1 GROUP BY w),
+         p1 AS (
+           SELECT unnest(list_transform(generate_series(1, len(s)-1),
+                    i -> s[i] || ' ' || s[i+1])) AS p, c
+           FROM (SELECT c, string_split(seg[2:-2], ')(') AS s FROM v0)),
+         a1 AS (SELECT p, sum(c)::BIGINT AS n FROM p1 GROUP BY p),
+         m1 AS (SELECT split_part(p, ' ', 1) AS l,
+                       split_part(p, ' ', 2) AS r, n
+                FROM a1 ORDER BY n DESC, p LIMIT 1),
+         v1 AS (SELECT w, c, replace(seg, '('||m1.l||')('||m1.r||')',
+                  '('||m1.l||m1.r||')') AS seg FROM v0, m1),
+         p2 AS (
+           SELECT unnest(list_transform(generate_series(1, len(s)-1),
+                    i -> s[i] || ' ' || s[i+1])) AS p, c
+           FROM (SELECT c, string_split(seg[2:-2], ')(') AS s FROM v1)),
+         a2 AS (SELECT p, sum(c)::BIGINT AS n FROM p2 GROUP BY p),
+         m2 AS (SELECT split_part(p, ' ', 1) AS l,
+                       split_part(p, ' ', 2) AS r, n
+                FROM a2 ORDER BY n DESC, p LIMIT 1),
+         v2 AS (SELECT w, c, replace(seg, '('||m2.l||')('||m2.r||')',
+                  '('||m2.l||m2.r||')') AS seg FROM v1, m2),
+         p3 AS (
+           SELECT unnest(list_transform(generate_series(1, len(s)-1),
+                    i -> s[i] || ' ' || s[i+1])) AS p, c
+           FROM (SELECT c, string_split(seg[2:-2], ')(') AS s FROM v2)),
+         a3 AS (SELECT p, sum(c)::BIGINT AS n FROM p3 GROUP BY p),
+         m3 AS (SELECT split_part(p, ' ', 1) AS l,
+                       split_part(p, ' ', 2) AS r, n
+                FROM a3 ORDER BY n DESC, p LIMIT 1)
+         SELECT 1 AS round, l AS "left", r AS "right", l || r AS merged,
+                n AS weight FROM m1
+         UNION ALL SELECT 2, l, r, l || r, n FROM m2
+         UNION ALL SELECT 3, l, r, l || r, n FROM m3""",
+
+    // mirrors phraseSearch: every aligned window start where the token
+    // sequence equals the phrase; overlapping matches count
+    "q_phrase_search" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  len(list_filter(generate_series(1, len(t) - 1),
+                    i -> t[i] = 'value' AND t[i+1] = 'table'))::BIGINT
+                    AS n_matches
+           FROM tok)
+         SELECT doc_id, n_matches FROM c WHERE n_matches >= 1""",
 
     // mirrors gopherFlags: raw whitespace words, integer-count divisions
     // (bit-equal cross-engine, so the UNROUNDED band compares in `keep`

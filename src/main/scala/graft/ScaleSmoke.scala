@@ -183,6 +183,25 @@ object ScaleSmoke {
         .filter(col("dup_ratio") > 0.5).count()
     }
 
+    timed("boilerplate strip") {
+      // rows/250 (default 200k) 40-token docs; every doc carries the
+      // same 4-token banner at chunk 0 (global boilerplate) and a
+      // per-doc-unique body. Exercises the full pipeline: scan-local
+      // chunking, distinct-(doc,hash) collapse, df cut, flag join-back,
+      // ordered reassembly — the only corpus-volume exchanges are the
+      // flag join and the per-doc regroup, both linear.
+      val nd = rows / 250
+      val docs = spark.range(nd).select(col("id").as("doc_id"),
+        concat(lit("subscribe to our newsletter "),
+          concat_ws(" ", (0 until 36).map(j =>
+            concat(lit(s"b${j}_"),
+              ((col("id") * (j + 11)) % 999983).cast("string"))): _*))
+          .as("text"))
+      val out = graft.text.Text.stripBoilerplate(docs, "doc_id", "text",
+        chunkTokens = 4, minDocs = 1000)
+      out.filter(col("n_dropped") >= 1).count()
+    }
+
     timed("snapshot diff (full outer)") {
       // two 50M-row snapshot versions: ~10% keys removed, ~10% added,
       // ~3% changed — one full-outer shuffle join on the key, the audit

@@ -413,6 +413,40 @@ object Text {
       .select(col("doc_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Exact phrase search through a POSITIONAL inverted index — the
+    * operator behind `"multi word query"` retrieval: postings are
+    * (doc, position) lists per term, and a phrase hit is an
+    * intersection of the m term posting lists with positions offset
+    * 0..m-1 (the classic positional-index phrase algorithm, as in
+    * Lucene/Manning-IR §2.4). Returns (doc_id, n_matches) for docs with
+    * ≥ 1 occurrence; overlapping matches all count.
+    *
+    * Shape at scale: the position explode is scan-local and FILTERED to
+    * the m phrase terms before any exchange (like [[bm25TopK]]'s
+    * occurrence cut, volume = matching postings, not corpus tokens);
+    * each of the m−1 intersection joins shuffles only the surviving
+    * posting rows on (doc, aligned position). Rare-first join order
+    * doesn't matter here because every join key includes the position —
+    * fan-out per key is ≤ 1 row. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: String): DataFrame = {
+    val terms = phrase.toLowerCase
+      .replaceAll("[^a-z0-9\\s]+", " ").trim.split("\\s+").toSeq
+    require(terms.nonEmpty && terms.head.nonEmpty,
+      s"phrase has no tokens: '$phrase'")
+    val post = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(col("tok").isInCollection(terms.distinct))
+      .localCheckpoint() // each term's postings slice reads this once
+    val starts = terms.zipWithIndex.map { case (term, i) =>
+      post.filter(col("tok") === term)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }.reduce(_.join(_, Seq("doc_id", "start")))
+    starts.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Sparse all-pairs document similarity over tf-idf vectors: every
     * unordered pair with cosine ≥ threshold, computed through the
     * corpus INVERTED INDEX — the pair dot product Σ w_a(t)·w_b(t) only

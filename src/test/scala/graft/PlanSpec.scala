@@ -435,6 +435,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("boilerplate strip: no cross product, df count combines map-side") {
+    val plan = SparkEntry.queries("q_boilerplate_strip")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the distinct (doc, hash) collapse must partial-aggregate before
+    // its exchange — the df count shuffles keys, not chunk occurrences
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("expectations suite is ONE scan — no joins, no second pass") {
+    val plan = SparkEntry.queries("q_expectations")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = plan.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet")
+    assert(scans === 1, s"expected a single table scan, got $scans:\n" +
+      plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
   test("aggregation combines map-side before the exchange") {
     val plan = Tables.t(spark, sf, "lineitem")
       .groupBy("l_returnflag")

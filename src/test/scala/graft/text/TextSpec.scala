@@ -389,6 +389,25 @@ class TextSpec extends SparkSpec {
     assert(cleaned === "áb c d")
   }
 
+  test("phraseSearch counts aligned positional matches, incl. overlap") {
+    val docs = Seq(
+      (1L, "the quick brown fox and the quick brown dog"),
+      (2L, "quick the brown"),       // terms present, order wrong
+      (3L, "a a a a"),               // overlapping self-phrase
+      (4L, "nothing here"))
+      .toDF("doc_id", "text")
+    val got = Text.phraseSearch(docs, "doc_id", "text", "the quick brown")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L), s"unexpected: $got")
+    val overlap = Text.phraseSearch(docs, "doc_id", "text", "a a")
+      .as[(Long, Long)].collect().toMap
+    assert(overlap === Map(3L -> 3L), "overlapping starts all count")
+    // punctuation/case in the phrase normalizes like document text
+    val norm = Text.phraseSearch(docs, "doc_id", "text", "The QUICK, brown!")
+      .as[(Long, Long)].collect().toMap
+    assert(norm === Map(1L -> 2L))
+  }
+
   test("gopherFlags computes rule metrics and the conjunctive verdict") {
     val good = ("the cat and the dog have fun with all of that " * 5).trim
     val short_ = "the of and"
