@@ -1345,6 +1345,21 @@ object ExtensionQueries {
     "q_bpe_merges" -> ((s, d) =>
       Bpe.bpeTrain(t(s, d, "documents"), "doc_id", "text", rounds = 3)),
 
+    // the apply half of BPE: train 3 merges (vocab-table rounds), then
+    // segment the corpus scan-local with the learned replace chain and
+    // report the top-20 symbol frequencies — train + tokenize end to end
+    "q_bpe_tokenize" -> ((s, d) => {
+      val merges = Bpe.bpeTrain(t(s, d, "documents"), "doc_id", "text",
+        rounds = 3).orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      t(s, d, "documents")
+        .select(explode(Text.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 1)
+        .select(explode(Bpe.bpeSegmentWord(col("w"), merges)).as("sym"))
+        .groupBy("sym").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("sym")).limit(20)
+    }),
+
     // positional-index phrase search: postings filtered to the 2 phrase
     // terms before any shuffle, one aligned-position intersection join
     "q_phrase_search" -> ((s, d) =>
@@ -4053,6 +4068,51 @@ object ExtensionQueries {
                 n AS weight FROM m1
          UNION ALL SELECT 2, l, r, l || r, n FROM m2
          UNION ALL SELECT 3, l, r, l || r, n FROM m3""",
+
+    // same train chain as q_bpe_merges, then the apply half on the
+    // weighted vocab (≡ segmenting every occurrence): top-20 symbols
+    "q_bpe_tokenize" ->
+      """WITH v0 AS (
+           SELECT w, count(*)::BIGINT AS c,
+                  regexp_replace(w, '(.)', '(\1)', 'g') AS seg
+           FROM (SELECT unnest(string_split_regex(trim(regexp_replace(
+                   lower(text), '[^a-z0-9\s]+', ' ', 'g')), '\s+')) AS w
+                 FROM documents)
+           WHERE length(w) >= 1 GROUP BY w),
+         p1 AS (
+           SELECT unnest(list_transform(generate_series(1, len(s)-1),
+                    i -> s[i] || ' ' || s[i+1])) AS p, c
+           FROM (SELECT c, string_split(seg[2:-2], ')(') AS s FROM v0)),
+         a1 AS (SELECT p, sum(c)::BIGINT AS n FROM p1 GROUP BY p),
+         m1 AS (SELECT split_part(p, ' ', 1) AS l,
+                       split_part(p, ' ', 2) AS r, n
+                FROM a1 ORDER BY n DESC, p LIMIT 1),
+         v1 AS (SELECT w, c, replace(seg, '('||m1.l||')('||m1.r||')',
+                  '('||m1.l||m1.r||')') AS seg FROM v0, m1),
+         p2 AS (
+           SELECT unnest(list_transform(generate_series(1, len(s)-1),
+                    i -> s[i] || ' ' || s[i+1])) AS p, c
+           FROM (SELECT c, string_split(seg[2:-2], ')(') AS s FROM v1)),
+         a2 AS (SELECT p, sum(c)::BIGINT AS n FROM p2 GROUP BY p),
+         m2 AS (SELECT split_part(p, ' ', 1) AS l,
+                       split_part(p, ' ', 2) AS r, n
+                FROM a2 ORDER BY n DESC, p LIMIT 1),
+         v2 AS (SELECT w, c, replace(seg, '('||m2.l||')('||m2.r||')',
+                  '('||m2.l||m2.r||')') AS seg FROM v1, m2),
+         p3 AS (
+           SELECT unnest(list_transform(generate_series(1, len(s)-1),
+                    i -> s[i] || ' ' || s[i+1])) AS p, c
+           FROM (SELECT c, string_split(seg[2:-2], ')(') AS s FROM v2)),
+         a3 AS (SELECT p, sum(c)::BIGINT AS n FROM p3 GROUP BY p),
+         m3 AS (SELECT split_part(p, ' ', 1) AS l,
+                       split_part(p, ' ', 2) AS r, n
+                FROM a3 ORDER BY n DESC, p LIMIT 1),
+         v3 AS (SELECT w, c, replace(seg, '('||m3.l||')('||m3.r||')',
+                  '('||m3.l||m3.r||')') AS seg FROM v2, m3)
+         SELECT sym, sum(c)::BIGINT AS n
+         FROM (SELECT c, unnest(string_split(seg[2:-2], ')(')) AS sym
+               FROM v3)
+         GROUP BY sym ORDER BY n DESC, sym LIMIT 20""",
 
     // mirrors phraseSearch: every aligned window start where the token
     // sequence equals the phrase; overlapping matches count
