@@ -455,6 +455,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(3000))
   }
 
+  test("phrase search: postings cut to phrase terms before any exchange") {
+    val df = SparkEntry.queries("q_phrase_search")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the explode+term-cut ran inside the postings checkpoint (the plan
+    // reads ExistingRDD); each intersection side re-filters to its term
+    // and the final per-doc count combines map-side
+    assert(plan.contains("ExistingRDD"), plan.take(3000))
+    assert(plan.contains("Filter ((tok#"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("BPE rounds run on the vocab table, corpus scanned once") {
+    val df = graft.text.Bpe.bpeTrain(
+      Tables.t(spark, sf, "documents"), "doc_id", "text", rounds = 2)
+    // bpeTrain materializes per round; the returned merges frame is a
+    // LocalRelation built from ≤ rounds driver rows — nothing
+    // corpus-sized survives into the result plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") || plan.contains("LocalRelation"),
+      plan.take(2000))
+  }
+
   test("aggregation combines map-side before the exchange") {
     val plan = Tables.t(spark, sf, "lineitem")
       .groupBy("l_returnflag")
