@@ -1339,6 +1339,17 @@ object ExtensionQueries {
           "ta\u0301ble\u0007")).as("clean"))
         .withColumn("n_chars_clean", length(col("clean")))),
 
+    // corpus-level overlap report: containment(a,b) = |Sa∩Sb|/|Sa| over
+    // distinct 3-shingles per source — which sources duplicate which
+    "q_source_overlap" -> ((s, d) =>
+      Text.sourceOverlap(t(s, d, "documents"), "source", "text", k = 3)),
+
+    // the removal half of substring dedup (dupSpans is the report):
+    // 4-token spans shared by >= 2 docs are cut from every carrier,
+    // overlapping spans union as position sets, survivors reassemble
+    "q_span_scrub" -> ((s, d) =>
+      Text.spanScrub(t(s, d, "documents"), "doc_id", "text", k = 4)),
+
     // BPE merge induction, 3 rounds: the corpus is scanned ONCE (word-
     // frequency groupBy); every round then aggregates the vocab table
     // and collects a single argmax row
@@ -4023,6 +4034,66 @@ object ExtensionQueries {
                     '[\p{Cc}\p{Cf}]', ' ', 'g'),
                     '\s+', ' ', 'g')) AS clean
            FROM documents)""",
+
+    // mirrors sourceOverlap: distinct (source, shingle) pairs, pairwise
+    // intersection counts via the per-shingle source set, containment
+    // normalized by the left side's set size
+    "q_source_overlap" ->
+      """WITH tok AS (
+           SELECT source, string_split_regex(trim(regexp_replace(
+             lower(text), '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS g
+           FROM (SELECT source, t,
+                        unnest(generate_series(1, len(t) - 2)) AS i
+                 FROM tok)),
+         sizes AS (SELECT source, count(*)::BIGINT AS n
+                   FROM sh GROUP BY source),
+         pairs AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+                  count(*)::BIGINT AS n_shared
+           FROM sh a JOIN sh b ON a.g = b.g AND a.source <> b.source
+           GROUP BY 1, 2)
+         SELECT src_a, src_b, n_shared,
+                round(n_shared::DOUBLE / n, 6) AS containment
+         FROM pairs JOIN sizes ON pairs.src_a = sizes.source""",
+
+    // mirrors spanScrub in 1-based positions: dup windows mark their k
+    // positions per carrier doc, distinct position set, anti-join,
+    // ordered reassembly; fully-scrubbed docs coalesce to ''
+    "q_span_scrub" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
+           FROM documents),
+         w AS (
+           SELECT doc_id, i, array_to_string(t[i:i+3], ' ') AS w
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t) - 3)) AS i
+                 FROM tok)),
+         d AS (SELECT w FROM (
+                 SELECT w, count(DISTINCT doc_id) AS nd FROM w GROUP BY w)
+               WHERE nd >= 2),
+         rp AS (SELECT DISTINCT doc_id, p FROM (
+                  SELECT doc_id, unnest(generate_series(i, i + 3)) AS p
+                  FROM w JOIN d USING (w))),
+         tp AS (SELECT doc_id, p, t[p] AS tok
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, len(t))) AS p
+                      FROM tok)),
+         kept AS (SELECT tp.doc_id, tp.p, tp.tok
+                  FROM tp LEFT JOIN rp
+                    ON tp.doc_id = rp.doc_id AND tp.p = rp.p
+                  WHERE rp.p IS NULL),
+         agg AS (SELECT doc_id, count(*)::BIGINT AS cnt,
+                        string_agg(tok, ' ' ORDER BY p) AS s
+                 FROM kept GROUP BY doc_id)
+         SELECT tok.doc_id, len(t)::BIGINT AS n_tokens,
+                (len(t) - coalesce(cnt, 0))::BIGINT AS n_removed,
+                coalesce(s, '') AS scrubbed
+         FROM tok LEFT JOIN agg USING (doc_id)""",
 
     // mirrors bpeTrain with the 3 rounds unrolled: same wrapped-segment
     // representation, same weighted adjacent-pair counts, same

@@ -81,6 +81,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         ZOrderKey(children(0), children(1), children(2))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_tri_products"),
+      new ExpressionInfo(classOf[TriProducts].getName,
+        "graft_tri_products"),
+      (children: Seq[Expression]) => TriProducts(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[Nfc].getName, "graft_nfc"),
       (children: Seq[Expression]) => Nfc(children.head)))

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Second-moment product vector of an embedding — the per-row map step
+  * of a covariance/PCA moment pass, fused into ONE native loop:
+  * `[1.0, x_0..x_{d-1}, x_0x_0, x_0x_1, .., x_{d-1}x_{d-1}]`
+  * (count, margins, then the upper triangle row-major) — length
+  * 1 + d + d(d+1)/2.
+  *
+  * Replaces the interpreted nested-`transform` formulation whose
+  * per-element lambda + struct + decimal construction dominated the
+  * moment pass (measured 8-11 s cold / 3.5 s warm at d=64 on 2000 rows;
+  * the arithmetic itself is microseconds). Products are computed in
+  * double (each float·float product is exactly representable, so the
+  * downstream decimal cast sees bit-identical values to the HOF form).
+  *
+  * Null elements are not expected (embeddings are dense); a null array
+  * returns null via the UnaryExpression null-safety contract.
+  */
+case class TriProducts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_tri_products expects array<float|double>, got ${t.sql}")
+  }
+
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_tri_products"
+
+  override def nullSafeEval(input: Any): Any =
+    TriProducts.eval(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TriProducts.eval($c, $isFloat)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object TriProducts {
+  /** Called from generated code. */
+  def eval(arr: ArrayData, isFloat: Boolean): ArrayData = {
+    val d = arr.numElements()
+    val x = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      x(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Any](1 + d + d * (d + 1) / 2)
+    out(0) = 1.0d
+    i = 0
+    while (i < d) { out(1 + i) = x(i); i += 1 }
+    var k = 1 + d
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        out(k) = x(i) * x(j)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -583,42 +583,36 @@ object Similarity {
   // ---- PCA over the embedding column ---------------------------------
 
   /** Raw-moment sums of the embedding matrix in ONE distributed pass:
-    * for every dim pair i ≤ j the co-moment Σ xᵢxⱼ, for every dim the
-    * first moment Σ xᵢ (tagged j = −1), and the row count (tagged
-    * i = j = −1). The upper-triangle expansion is scan-local (a
-    * higher-order-function literal array per row, d(d+1)/2 + d + 1
-    * elements) and the groupBy is map-side combined, so the shuffle
-    * carries ~2k rows per partition regardless of corpus size — the
-    * standard moment-sketch shape for distributed covariance/PCA.
+    * the row count, every first moment Σ xᵢ, and every co-moment
+    * Σ xᵢxⱼ (i ≤ j), keyed by their index in the native
+    * [[graft.functions.TriProducts]] layout
+    * (0 = count, 1..d = margins, then the triangle row-major). The
+    * per-row expansion is ONE fused native loop (it replaced a nested
+    * interpreted-`transform` whose per-element lambda + struct +
+    * decimal builds took 8-11 s cold / 3.5 s warm at d=64 — the
+    * arithmetic is microseconds); the groupBy is map-side combined, so
+    * the shuffle carries ~2k rows per partition regardless of corpus
+    * size — the standard moment-sketch shape for distributed
+    * covariance/PCA.
     *
-    * Sums are exact `decimal(28,12)` so partition order cannot move a
-    * bit — the covariance matrix derived from them is bit-identical
-    * across engines and runs (SURVEY.md §5 determinism rules).
+    * Products are doubles (each float·float product is exactly
+    * representable) cast to exact `decimal(28,12)` at the aggregate
+    * boundary — bit-identical to the previous formulation, so the
+    * covariance oracle reproduces unchanged (SURVEY.md §5 determinism
+    * rules).
     *
-    * The d(d+1)/2 expansion costs ~2k interpreted-HOF struct builds and
-    * decimal adds PER ROW, so the pass must actually parallelize: a
-    * small/staged frame often arrives as ONE scan partition (single
-    * parquet row group), which would serialize the whole expansion on
-    * one core (measured 6 s for 2k×64-dim rows). Spread under-
-    * partitioned input first — the pre-shuffle is pruned to the
-    * embedding column, and at lake scale (partitions ≥ cores) it is a
-    * no-op, the same guard as [[kmeansCells]]. */
+    * A small/staged frame often arrives as ONE scan partition (single
+    * parquet row group), which would serialize the expansion on one
+    * core. Spread under-partitioned input first — pruned to the
+    * embedding column; at lake scale (partitions ≥ cores) the spread is
+    * a no-op, the same guard as [[kmeansCells]]. */
   def momentSums(vectors: DataFrame, embCol: String, dim: Int)
   : DataFrame = {
-    val emb = col(embCol)
-    val x = (i: Column) => element_at(emb, i + 1).cast("double")
-    val dec = (c: Column) => c.cast("decimal(28,12)")
-    val tri = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-      transform(sequence(i, lit(dim - 1)), j =>
-        struct(i.as("i"), j.as("j"), dec(x(i) * x(j)).as("p")))))
-    val firsts = transform(sequence(lit(0), lit(dim - 1)), i =>
-      struct(i.as("i"), lit(-1).as("j"), dec(x(i)).as("p")))
-    val cnt = array(struct(lit(-1).as("i"), lit(-1).as("j"),
-      dec(lit(1.0)).as("p")))
-    spread(vectors.select(emb))
-      .select(explode(concat(cnt, firsts, tri)).as("t"))
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(sum(col("t.p")).as("s"))
+    spread(vectors.select(col(embCol)))
+      .select(posexplode(call_function("graft_tri_products",
+        col(embCol))).as(Seq("idx", "p")))
+      .groupBy("idx")
+      .agg(sum(col("p").cast("decimal(28,12)")).as("s"))
   }
 
   /** The collected, driver-finished form of a [[momentSums]] pass:
@@ -641,12 +635,20 @@ object Similarity {
     val margin = Array.ofDim[Double](dim)
     val tri = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, java.math.BigDecimal)]
+    // decode the TriProducts layout: 0 = count, 1..d = margins, then
+    // the upper triangle row-major (row i starts at
+    // 1 + d + i·d − i(i−1)/2)
     rows.foreach { r =>
-      val i = r.getInt(0); val j = r.getInt(1)
-      val s = r.getDecimal(2)
-      if (i == -1 && j == -1) n = s.doubleValue
-      else if (j == -1) margin(i) = s.doubleValue
-      else tri += ((i, j, s))
+      val idx = r.getInt(0)
+      val s = r.getDecimal(1)
+      if (idx == 0) n = s.doubleValue
+      else if (idx <= dim) margin(idx - 1) = s.doubleValue
+      else {
+        var t = idx - 1 - dim
+        var i = 0
+        while (t >= dim - i) { t -= dim - i; i += 1 }
+        tri += ((i, i + t, s))
+      }
     }
     val cov = tri.sortBy(t => (t._1, t._2)).map { case (i, j, s) =>
       (i, j, (s.doubleValue - margin(i) * margin(j) / n) / n)

@@ -254,6 +254,95 @@ object Text {
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
   }
 
+  /** The REMOVAL half of substring-level dedup ([[dupSpans]] is the
+    * reporting half; Lee et al. '21 cut the duplicated spans, not the
+    * documents): every k-token window occurring in ≥ 2 distinct docs
+    * marks its k token positions for removal in EVERY doc carrying it;
+    * overlapping dup windows union naturally (position-set semantics);
+    * survivors reassemble in order. Returns (doc_id, n_tokens,
+    * n_removed, scrubbed) where `scrubbed` is the normalized-token text
+    * (the operator runs downstream of [[cleanText]], where token text
+    * IS the document).
+    *
+    * Shape at scale: windows explode scan-local (native spans), the df
+    * count collapses distinct (doc, hash) pairs map-side first, and the
+    * interval → position fan-out is |dup windows|·k — bounded by the
+    * duplicated mass, not the corpus. The anti-join and the per-doc
+    * regroup are the only corpus-volume exchanges. The collect_list
+    * buffer is bounded by one document's length. */
+  def spanScrub(docs: DataFrame, idCol: String, textCol: String, k: Int)
+  : DataFrame = {
+    require(k >= 1, s"span width k must be >= 1, got $k")
+    val toked = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("t"))
+      .localCheckpoint() // windows + the position explode both read it
+    val wins = toked
+      .select(col("doc_id"),
+        posexplode(shingleSpans(col("t"), k)).as(Seq("wi", "w")))
+      .select(col("doc_id"), col("wi"), xxhash64(col("w")).as("wh"))
+      .localCheckpoint() // df count + dup join-back
+    val dup = wins.select("doc_id", "wh").distinct()
+      .groupBy("wh").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("wh"))
+    val removePos = wins.join(dup, Seq("wh"))
+      .select(col("doc_id"),
+        explode(sequence(col("wi"), col("wi") + k - 1)).as("pos"))
+      .distinct()
+    toked
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .join(removePos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          c => c.getField("tok")), " ").as("scrubbed"))
+      .join(toked.select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens")), Seq("doc_id"),
+        "right")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+  }
+
+  /** Cross-source shingle-containment matrix: for every ordered source
+    * pair (a,b), the fraction of a's distinct k-shingles that also occur
+    * in b — the corpus-level overlap/contamination report (which crawl
+    * snapshots or vendors duplicate each other, which benchmark split
+    * leaks into which training source). Asymmetric by design:
+    * containment(a,b) = |Sa ∩ Sb| / |Sa|.
+    *
+    * Shape at scale: shingles explode scan-local and collapse to
+    * distinct (source, hash) pairs map-side; the intersection counts
+    * come from ONE groupBy per hash with a collect_set bounded by
+    * |sources| (10s-100s in any real corpus — never corpus-sized) and a
+    * scan-local pair fan-out of that set (Σ m² rows, m ≤ |sources|) —
+    * no shingle-keyed self-join anywhere. Only |sources|² result rows
+    * leave the final agg. */
+  def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"shingle width must be >= 1, got $k")
+    val sh = docs
+      .select(col(sourceCol).as("src"),
+        explode(shingles(tokens(col(textCol)), k)).as("g"))
+      .select(col("src"), xxhash64(col("g")).as("h"))
+      .distinct()
+      .localCheckpoint() // set sizes + intersections both read it
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = sh.groupBy("h").agg(collect_set(col("src")).as("ss"))
+      .select(explode(col("ss")).as("src_a"), col("ss"))
+      .select(col("src_a"), explode(col("ss")).as("src_b"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("src").as("src_a"), col("n").as("n_a")),
+        Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_a"), 6)
+          .as("containment"))
+  }
+
   /** Per-doc interpolated-bigram LM score — the shape of a CCNet/KenLM
     * perplexity filter: p(w2|w1) = 0.7·bigram MLE + 0.3·unigram backoff,
     * scored against the corpus's own counts. Per-token logprobs are

@@ -408,6 +408,48 @@ class TextSpec extends SparkSpec {
     assert(norm === Map(1L -> 2L))
   }
 
+  test("sourceOverlap computes asymmetric containment per source pair") {
+    // A: 2 shingles {a b c, b c d}; B: 3 shingles, shares both of A's;
+    // C: disjoint → no (A,C)/(B,C) rows at all
+    val docs = Seq(
+      ("A", "a b c d"),
+      ("B", "a b c d e"),
+      ("C", "x y z w"))
+      .toDF("source", "text")
+    val got = Text.sourceOverlap(docs, "source", "text", k = 3)
+      .select("src_a", "src_b", "n_shared", "containment")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === Map(
+      ("A", "B") -> ((2L, 1.0)),      // all of A appears in B
+      ("B", "A") -> ((2L, 0.666667)))) // 2 of B's 3
+  }
+
+  test("spanScrub cuts shared spans, unions overlaps, keeps the rest") {
+    // docs 1+2 share "p q r s"; doc 1 additionally overlaps it with
+    // "q r s t" shared with doc 3 → doc 1 removes the UNION p..t
+    val docs = Seq(
+      (1L, "a b p q r s t c"),
+      (2L, "x p q r s y"),
+      (3L, "q r s t z z2 z3"),
+      (4L, "all alone here nothing shared"))
+      .toDF("doc_id", "text")
+    val got = Text.spanScrub(docs, "doc_id", "text", k = 4)
+      .select("doc_id", "n_tokens", "n_removed", "scrubbed")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((8L, 5L, "a b c")))
+    assert(got(2L) === ((6L, 4L, "x y")))
+    assert(got(3L) === ((7L, 4L, "z z2 z3")))
+    assert(got(4L) === ((5L, 0L, "all alone here nothing shared")))
+    // a doc that is ONE shared span scrubs to empty, not a missing row
+    val all = Seq((1L, "p q r s"), (2L, "p q r s"))
+      .toDF("doc_id", "text")
+    val empty = Text.spanScrub(all, "doc_id", "text", 4)
+      .select("n_removed", "scrubbed").as[(Long, String)].collect()
+    assert(empty.forall(_ === ((4L, ""))))
+  }
+
   test("gopherFlags computes rule metrics and the conjunctive verdict") {
     val good = ("the cat and the dog have fun with all of that " * 5).trim
     val short_ = "the of and"
