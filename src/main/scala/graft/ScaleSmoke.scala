@@ -202,6 +202,46 @@ object ScaleSmoke {
       out.filter(col("n_dropped") >= 1).count()
     }
 
+    timed("span scrub removal") {
+      // same planted shape as the dup-span stats smoke: doc pairs
+      // 2k/2k+1 share their whole 40-token text (every window dup),
+      // odd-salted docs unique — exercises the interval fan-out
+      // (|dup windows|·k), the position anti-join, and the ordered
+      // reassembly at rows/500 docs (default 100k).
+      val nd = rows / 500
+      val docs = spark.range(nd).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 40).map(j =>
+            concat(lit(s"w${j}_"),
+              (((col("id") / 2).cast("long") * (j + 7)) % 9973)
+                .cast("string"))): _*).as("text"))
+      graft.text.Text.spanScrub(docs, "doc_id", "text", k = 4)
+        .filter(col("n_removed") > 0).count()
+    }
+
+    timed("source overlap matrix") {
+      // rows/50 (default 1M) docs across 40 sources, 12 tokens each;
+      // sources 2b and 2b+1 draw consecutive runs from the same
+      // 997-token ring (disjoint across bands), so exactly the 40
+      // within-band ordered pairs overlap. The distinct (source,
+      // shingle) collapse is the only token-volume work; the pair
+      // fan-out is Σ m² over per-shingle source sets (m ≤ 40).
+      val nd = rows / 50
+      // integer band: `/` on Columns is DOUBLE division, so floor+cast
+      val band = floor((col("id") % 40) / lit(2)).cast("long")
+      val docs = spark.range(nd).select(
+        concat(lit("s"), (col("id") % 40).cast("string")).as("source"),
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit("t"), (band * 10000 +
+            (floor(col("id") / 40).cast("long") + j) % 997)
+            .cast("string"))): _*).as("text"))
+      val m = graft.text.Text.sourceOverlap(docs, "source", "text", k = 3)
+        .localCheckpoint()
+      require(m.count() == 40,
+        s"expected the 40 planted within-band pairs, got ${m.count()}")
+      m.count()
+    }
+
     timed("snapshot diff (full outer)") {
       // two 50M-row snapshot versions: ~10% keys removed, ~10% added,
       // ~3% changed — one full-outer shuffle join on the key, the audit

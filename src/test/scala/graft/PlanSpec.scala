@@ -479,6 +479,25 @@ class PlanSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("span scrub: no cross product, bounded fan-out joins only") {
+    val plan = SparkEntry.queries("q_span_scrub")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("source overlap: set-based intersections, no shingle self-join") {
+    val plan = SparkEntry.queries("q_source_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the per-shingle source set replaces a shingle-keyed self-join:
+    // collect_set appears, and no join keys on the shingle hash
+    assert(plan.contains("collect_set"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin [h#"),
+      s"shingle-keyed self-join crept back:\n${plan.take(3000)}")
+  }
+
   test("aggregation combines map-side before the exchange") {
     val plan = Tables.t(spark, sf, "lineitem")
       .groupBy("l_returnflag")
