@@ -1385,6 +1385,17 @@ object ExtensionQueries {
         Text.gopherFlags(col("text"), minWords = 50).as("g"))
         .select(col("doc_id"), col("g.*"))),
 
+    // group-wise publish gate: every SOURCE must satisfy the contract
+    // (row-count band, text completeness, mean-length band) — one
+    // map-side-combined groupBy, |sources|·|checks| report rows
+    "q_expectations_by" -> ((s, d) => {
+      import expectations._
+      validateBy(t(s, d, "documents"), Seq("source"), Seq(
+        Check("doc_count", count(lit(1)).cast("double"), 20.0, 30.0),
+        Check("text_complete", completeness(col("text")), 1.0, 1.0),
+        Check("mean_chars", mean(col("n_chars")), 100.0, 600.0)))
+    }),
+
     // Deequ-style publish gate on orders: 6 constraints, ONE aggregation
     // pass (key uniqueness, FK completeness, status domain, priority
     // format, price bounds, decimal-sum mean band)
@@ -4234,6 +4245,24 @@ object ExtensionQueries {
                  AND n_alpha / greatest(n_words, 1) >= 0.8
                  AND n_stop >= 2) AS keep
          FROM m""",
+
+    // mirrors validateBy grouped on source: same metrics per group
+    "q_expectations_by" ->
+      """WITH m AS (
+           SELECT source,
+             round(count(*)::DOUBLE, 6) AS m0,
+             round(avg(CASE WHEN text IS NOT NULL THEN 1.0::DOUBLE
+               ELSE 0.0::DOUBLE END), 6) AS m1,
+             round(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+               / count(n_chars), 6) AS m2
+           FROM documents GROUP BY source)
+         SELECT source, c."check", c.metric, c.lo, c.hi,
+                c.metric >= c.lo AND c.metric <= c.hi AS ok
+         FROM m, LATERAL (VALUES
+           ('doc_count', m0, 20.0::DOUBLE, 30.0::DOUBLE),
+           ('text_complete', m1, 1.0::DOUBLE, 1.0::DOUBLE),
+           ('mean_chars', m2, 100.0::DOUBLE, 600.0::DOUBLE))
+           AS c("check", metric, lo, hi)""",
 
     // mirrors expectations.validate: same metric definitions (integer-
     // count ratios; decimal(18,2) sum cast to double before the divide),

@@ -68,22 +68,34 @@ object expectations {
 
   /** Evaluate the suite: one aggregation pass, then explode the 1-row
     * result into (check, metric, lo, hi, ok) rows. */
-  def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
+  def validate(df: DataFrame, checks: Seq[Check]): DataFrame =
+    validateBy(df, Seq.empty, checks)
+
+  /** Group-wise suite: the same one-pass evaluation per `groupCols`
+    * value — "every source/partition must satisfy the contract"
+    * (per-partition row-count bands, per-source completeness). One
+    * map-side-combined groupBy regardless of suite size; the report is
+    * |groups|·|checks| rows. */
+  def validateBy(df: DataFrame, groupCols: Seq[String],
+                 checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "validate needs at least one check")
     require(checks.map(_.name).distinct.size == checks.size,
       "check names must be unique")
     val cols = checks.zipWithIndex.map { case (c, i) =>
       round(c.metric.cast("double"), 6).as(s"__m$i")
     }
-    val agged = df.agg(cols.head, cols.tail: _*)
+    val agged =
+      if (groupCols.isEmpty) df.agg(cols.head, cols.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
     val rows = array(checks.zipWithIndex.map { case (c, i) =>
       struct(lit(c.name).as("check"), col(s"__m$i").as("metric"),
         lit(c.lo).as("lo"), lit(c.hi).as("hi"))
     }: _*)
-    agged.select(explode(rows).as("c"))
-      .select(col("c.check").as("check"), col("c.metric").as("metric"),
+    agged.select(groupCols.map(col) :+ explode(rows).as("c"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("c.check").as("check"), col("c.metric").as("metric"),
         col("c.lo").as("lo"), col("c.hi").as("hi"),
         (col("c.metric") >= col("c.lo") &&
-          col("c.metric") <= col("c.hi")).as("ok"))
+          col("c.metric") <= col("c.hi")).as("ok")): _*)
   }
 }

@@ -42,6 +42,20 @@ class ExpectationsSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("validateBy emits a per-group verdict row per check") {
+    val grouped = Seq(("a", 1.0), ("a", 3.0), ("b", 100.0))
+      .toDF("g", "v")
+    val rep = validateBy(grouped, Seq("g"), Seq(
+      Check("rows", count(lit(1)).cast("double"), 2.0, 10.0),
+      Check("v_mean", mean(col("v")), 0.0, 50.0)))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getBoolean(5)))).toMap
+    assert(rep(("a", "rows")) === ((2.0, true)))
+    assert(rep(("b", "rows")) === ((1.0, false)))
+    assert(rep(("a", "v_mean")) === ((2.0, true)))
+    assert(rep(("b", "v_mean")) === ((100.0, false)))
+  }
+
   test("approxUniqueness tracks exact within sketch tolerance") {
     val big = spark.range(0, 10000).toDF("id")
     val r = validate(big, Seq(
