@@ -857,6 +857,24 @@ object ExtensionQueries {
       Streams.dedupStream(s, d, ckpt, statePartitions = 8)
     }),
 
+    // validated ingest: per-ROW contract routing (known event type,
+    // value in [0,400], non-null user) — published vs quarantined;
+    // row-level gates are batch-slicing-invariant, so the end state
+    // matches the plain batch filter the oracle runs
+    "q_stream_validate" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_rv").toString
+      val good = java.nio.file.Files
+        .createTempDirectory("graft_rv_good").toString
+      val bad = java.nio.file.Files
+        .createTempDirectory("graft_rv_bad").toString
+      Streams.routeValidated(s, d, ckpt, good, bad,
+        col("event_type").isInCollection(
+          Seq("click", "view", "purchase", "signup")) &&
+          col("value") >= 0 && col("value") <= 400 &&
+          col("user_id").isNotNull)
+    }),
+
     "q_stream_enrich" -> ((s, d) => {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ckpt_en").toString
@@ -3467,6 +3485,21 @@ object ExtensionQueries {
       """SELECT event_id, event_type, n_name
          FROM events JOIN nation ON user_id % 25 = n_nationkey""",
 
+    // per-row routing ≡ a batch filter: NULL-predicate rows quarantine
+    // (CASE lands in ELSE), sums through decimal(18,2)
+    "q_stream_validate" ->
+      """WITH f AS (
+           SELECT CASE WHEN event_type IN
+                         ('click','view','purchase','signup')
+                        AND value >= 0 AND value <= 400
+                        AND user_id IS NOT NULL
+                  THEN 'published' ELSE 'quarantined' END AS side, value
+           FROM events)
+         SELECT side, count(*)::BIGINT AS n_rows,
+                CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))),
+                  0) AS DOUBLE) AS sum_value
+         FROM f GROUP BY side""",
+
     "q_s_orc_roundtrip" -> "SELECT * FROM nation",
 
     "q_s_json_roundtrip" -> "SELECT * FROM supplier",
@@ -4009,8 +4042,9 @@ object ExtensionQueries {
     "q_boilerplate_strip" ->
       """WITH tok AS (
            SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
+                  string_split_regex(trim(regexp_replace(
+                    lower(coalesce(text, '')), '[^a-z0-9\s]+', ' ',
+                    'g')), '\s+') AS t
            FROM documents),
          ch AS (
            SELECT doc_id, i AS ci,
@@ -4076,8 +4110,9 @@ object ExtensionQueries {
     "q_span_scrub" ->
       """WITH tok AS (
            SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
+                  string_split_regex(trim(regexp_replace(
+                    lower(coalesce(text, '')), '[^a-z0-9\s]+', ' ',
+                    'g')), '\s+') AS t
            FROM documents),
          w AS (
            SELECT doc_id, i, array_to_string(t[i:i+3], ' ') AS w

@@ -325,6 +325,62 @@ object Streams {
       .getOrElse(emptyTable)
   }
 
+  /** Validated ingest: route every streamed row through a per-ROW
+    * contract predicate — passing rows append to the published table,
+    * failing (or null-predicate) rows to the quarantine — the streaming
+    * front door of the [[graft.ops.expectations]] surface. Row-level
+    * routing is invariant under batch slicing (unlike batch-level
+    * accept/reject), so the end state is deterministic for any
+    * maxFilesPerTrigger and matches a plain batch filter — which is
+    * exactly what the oracle computes.
+    *
+    * Restart note: the appends are at-least-once on crash-replay (the
+    * production shape routes into a transactional sink the way
+    * [[upsertStreamToTable]]'s snapshot chain does for merges);
+    * AvailableNow single-run semantics are exact.
+    *
+    * Returns per-side (side, n_rows, sum_value) audit rows, summed
+    * through decimal(18,2) so batch slicing cannot move a bit. */
+  def routeValidated(spark: SparkSession, dir: String, checkpoint: String,
+                     goodPath: String, badPath: String,
+                     pred: org.apache.spark.sql.Column,
+                     glob: String = "events.parquet"): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val ok = coalesce(pred, lit(false))
+        batch.filter(ok).write.mode("append").parquet(goodPath)
+        batch.filter(!ok).write.mode("append").parquet(badPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def side(path: String, tag: String): DataFrame = {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val df =
+        if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+          spark.read.schema(schema).parquet(path)
+        else spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      df.agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("value").cast("decimal(18,2)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)"))
+          .cast("double").as("sum_value"))
+        .select(lit(tag).as("side"), col("n_rows"), col("sum_value"))
+    }
+    side(goodPath, "published").unionAll(side(badPath, "quarantined"))
+  }
+
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -273,8 +273,10 @@ object Text {
   def spanScrub(docs: DataFrame, idCol: String, textCol: String, k: Int)
   : DataFrame = {
     require(k >= 1, s"span width k must be >= 1, got $k")
+    // NULL text → empty: the doc keeps its report row (n_tokens counts
+    // the one empty token) instead of vanishing through the explode
     val toked = docs.select(col(idCol).as("doc_id"),
-      tokens(col(textCol)).as("t"))
+      tokens(coalesce(col(textCol), lit(""))).as("t"))
       .localCheckpoint() // windows + the position explode both read it
     val wins = toked
       .select(col("doc_id"),
@@ -722,9 +724,13 @@ object Text {
     require(minDocs >= 2, s"boilerplate needs minDocs >= 2, got $minDocs")
     val k = chunkTokens
     // ceil(n/k) chunks; the trailing partial chunk is kept (slice clamps)
-    // so reconstruction of a boilerplate-free doc is lossless
+    // so reconstruction of a boilerplate-free doc is lossless. NULL text
+    // is treated as empty (the doc still appears, with its one empty
+    // chunk) — without the coalesce the explode would silently DROP the
+    // doc from the report.
     val chunks = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col(idCol).as("doc_id"),
+        tokens(coalesce(col(textCol), lit(""))).as("t"))
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, cast(ceil(size(t) / $k.0) as int) - 1),
             i -> struct(i as ci,

@@ -495,6 +495,12 @@ class TextSpec extends SparkSpec {
     val cleaned = Text.stripBoilerplate(all, "doc_id", "text", 2, 2)
       .select("clean_text").as[String].collect()
     assert(cleaned.forall(_ === ""))
+    // NULL text keeps its report row (treated as empty), never dropped
+    val withNull = Seq((1L, "x y"), (2L, null)).toDF("doc_id", "text")
+    val nn = Text.stripBoilerplate(withNull, "doc_id", "text", 2, 2)
+    assert(nn.count() === 2L)
+    val sn = Text.spanScrub(withNull, "doc_id", "text", 4)
+    assert(sn.count() === 2L)
     // trailing partial chunk (length < k) participates like any other
     val part = Seq((1L, "a b c"), (2L, "z z c"), (3L, "q q c"))
       .toDF("doc_id", "text")
