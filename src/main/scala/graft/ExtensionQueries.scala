@@ -1795,7 +1795,7 @@ object ExtensionQueries {
                        (150000000000 // nn.n) +
                          (85 * COALESCE(s3.insum, 0)) // 100 AS r
                 FROM nodes n LEFT JOIN s3 USING (node), nn)
-         SELECT node, r AS rank_micro FROM r3
+         SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3
          ORDER BY rank_micro DESC, node LIMIT 20""",
 
     "q_triangle_count" ->
@@ -1950,7 +1950,8 @@ object ExtensionQueries {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS cum_tokens
                FROM t0 WHERE n_tokens >= 1)
-         SELECT doc_id, source, n_tokens, cum_tokens
+         SELECT doc_id, source, n_tokens,
+                CAST(cum_tokens AS BIGINT) AS cum_tokens
          FROM c WHERE cum_tokens <= 900""",
 
     "q_dsir_score" ->
