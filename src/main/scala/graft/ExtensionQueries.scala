@@ -1183,19 +1183,6 @@ object ExtensionQueries {
     // the approx half alone.
     "q_profile_approx" -> ((s, d) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-      // rsd 0.02, not the 0.05 default: Spark's HLL++ has no sparse
-      // mode, so tiny cardinalities (l_quantity: 50) carry a bias that
-      // busts a 5% verdict at the default precision — 0.02 passes all
-      // SFs with 2.5x margin, and tightening further (0.01) doubles the
-      // aggregation cost for no verdict benefit
-      def stats(c: String) = Seq(
-        count(col(c)).as(s"nn_$c"),
-        approx_count_distinct(col(c), 0.02).as(s"nda_$c"),
-        min(col(c)).as(s"min_$c"),
-        max(col(c)).as(s"max_$c"),
-        round(sum(col(c).cast("decimal(18,2)")).cast("double") /
-          count(col(c)), 6).as(s"avg_$c"))
-      val exprs = count(lit(1)).as("n_rows") +: cols.flatMap(stats)
       val in = t(s, d, "lineitem").select(cols.map(col): _*)
       // checkpoint the spread input ONCE: the profile agg and the exact
       // audit agg both read it, and without the pin each branch would
@@ -1203,15 +1190,32 @@ object ExtensionQueries {
       val par = (if (in.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
         in.repartition(s.sparkContext.defaultParallelism) else in)
         .localCheckpoint()
-      val prof = par.agg(exprs.head, exprs.tail: _*)
-        .select(expr("stack(3, " + cols.map(c =>
-          s"'$c', n_rows, nn_$c, nda_$c, min_$c, max_$c, avg_$c")
-          .mkString(", ") +
-          ") as (col_name, n_rows, n_nonnull, nd_approx, min_v, max_v, avg_v)"))
-      val exactExprs = cols.map(c => countDistinct(col(c)).as(s"nd_$c"))
-      val exact = par.agg(exactExprs.head, exactExprs.tail: _*)
-        .select(expr("stack(3, " + cols.map(c => s"'$c', nd_$c")
-          .mkString(", ") + ") as (col_name, nd_exact)"))
+      // UNPIVOT first, sketch per GROUP: k approx_count_distinct buffers
+      // side by side in ONE aggregate lay k·numWords longs in the agg
+      // row and the generated update path degrades superlinearly with
+      // buffer width (measured 0.6 s for one HLL++ → 7 s for three at
+      // rsd 0.02). One (col_name, v) row per column per input row keeps
+      // exactly one sketch buffer per hash-map entry, and adding profile
+      // columns scales the GROUP count, never the buffer width.
+      // The sketch is DataSketches HLL (hll_sketch_agg): its sparse
+      // mode is exact at small cardinalities (l_quantity: 50) where
+      // HLL++'s dense estimator carries a bias that busts a 5% verdict.
+      // It ingests discrete types only, so v is pre-hashed with
+      // xxhash64 — a 64-bit injective-in-practice fingerprint (collision
+      // odds ~n²/2⁶⁵, invisible next to the 2% sketch rsd).
+      val longF = par.select(expr("stack(3, " +
+        cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, v)"))
+      val prof = longF.groupBy("col_name").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_nonnull"),
+        hll_sketch_estimate(hll_sketch_agg(xxhash64(col("v"))))
+          .as("nd_approx"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        round(sum(col("v").cast("decimal(18,2)")).cast("double") /
+          count(col("v")), 6).as("avg_v"))
+      val exact = longF.groupBy("col_name")
+        .agg(countDistinct(col("v")).as("nd_exact"))
       prof.join(exact, "col_name")
         .select(col("col_name"), col("n_rows"), col("n_nonnull"),
           col("nd_exact").as("n_distinct"), col("min_v"), col("max_v"),

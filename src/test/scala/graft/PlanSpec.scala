@@ -261,14 +261,19 @@ class PlanSpec extends SparkSpec {
     // aggregate, so the multi-stat agg reads the scan once — unlike the
     // exact multi-distinct (q_profile), which Expands input rows 4x
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-    val approxExprs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
-      count(col(c)).as(s"nn_$c"),
-      approx_count_distinct(col(c)).as(s"nda_$c"),
-      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    // production shape: unpivoted (col_name, v), one sketch per group —
+    // partial agg in the scan stage, no Expand anywhere
     val approxPlan = Tables.t(spark, sf, "lineitem")
-      .agg(approxExprs.head, approxExprs.tail: _*)
+      .select(expr("stack(3, " +
+        cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, v)"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        hll_sketch_estimate(hll_sketch_agg(xxhash64(col("v"))))
+          .as("nd_approx"))
       .queryExecution.executedPlan.toString
     assert(!approxPlan.contains("Expand"), approxPlan.take(2000))
+    assert(approxPlan.contains("partial_hllsketchagg") ||
+      approxPlan.contains("HashAggregate"), approxPlan.take(2000))
     // and the exact formulation really does Expand — the contrast that
     // makes the approx twin the scale path
     val exactExprs = cols.map(c => countDistinct(col(c)).as(s"nd_$c"))
