@@ -26,11 +26,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: touch the scan path + codegen once
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
-    SparkEntry.queries.get("q_agg_q1")
-      .foreach(fn => fn(spark, sfDir).write.format("noop")
-        .mode("overwrite").save())
+    // warmup: touch the scan path + codegen once. The three probes cover
+    // the engine's hot expression families — relational agg (q_agg_q1),
+    // the native text stack (tokens/shingles drive ~40 queries; first
+    // use pays ~10 s of interpreter+JIT warmup that belongs to the JVM,
+    // not to whichever query alphabetically hits it first), and the
+    // embedding kernel (graft_dot). Row counts are capped: JIT warmth
+    // comes from executing the generated classes, not from data volume.
+    {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+      SparkEntry.queries.get("q_agg_q1")
+        .foreach(fn => fn(spark, sfDir).write.format("noop")
+          .mode("overwrite").save())
+      Tables.t(spark, sfDir, "documents").limit(512)
+        .select(explode(graft.text.Text.shingles(
+          graft.text.Text.tokens(col("text")), 3)).as("g"))
+        .groupBy("g").agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+      Tables.t(spark, sfDir, "embeddings").limit(512)
+        .select(call_function("graft_dot",
+          col("embedding"), col("embedding")).as("d"))
+        .agg(sum(col("d")))
+        .write.format("noop").mode("overwrite").save()
+      // the moment-pass kernel behind the PCA/covariance family
+      Tables.t(spark, sfDir, "embeddings").limit(512)
+        .select(posexplode(call_function("graft_tri_products",
+          col("embedding"))))
+        .groupBy("pos").agg(sum(col("col")))
+        .write.format("noop").mode("overwrite").save()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
