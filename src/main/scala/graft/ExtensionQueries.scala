@@ -240,6 +240,36 @@ object ExtensionQueries {
         col("doc_id"), col("lang"),
         Text.langId(col("text")).as("pred_lang"))),
 
+    // Unicode-script composition + dominant class — the pre-langid
+    // routing signal and mojibake detector (Text.scriptCounts)
+    "q_script_mix" -> ((s, d) => {
+      val cs = Seq("latin", "digit", "space", "cyrillic", "cjk", "other")
+      val sc = t(s, d, "documents")
+        .select(col("doc_id"),
+          Text.scriptCounts(col("text")).as("sc"))
+      val mx = greatest(cs.map(c => col(s"sc.$c")): _*)
+      // dominant = FIRST class in fixed order hitting the max count —
+      // deterministic, and the same CASE unrolls in the SQL twin
+      val dominant = cs.tail.foldLeft(
+        when(col(s"sc.${cs.head}") === mx, lit(cs.head))) {
+        case (acc, c) => acc.when(col(s"sc.$c") === mx, lit(c))
+      }
+      sc.select(col("doc_id") +:
+        col("sc.n_chars").cast("long").as("n_chars") +:
+        cs.map(c => col(s"sc.$c").cast("long").as(c)) :+
+        dominant.as("dominant"): _*)
+    }),
+
+    // k-anonymity release gate over quasi-identifiers (nation, segment,
+    // balance bucket): rare combinations are generalized to '*' before
+    // the table can leave the enclave — ops.relational.kAnonymity
+    "q_k_anonymity" -> ((s, d) =>
+      graft.ops.relational.kAnonymity(
+        t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
+          col("c_mktsegment"),
+          floor(col("c_acctbal") / 500).cast("long").as("bal_bucket")),
+        Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5)),
+
     "q_text_quality" -> ((s, d) =>
       t(s, d, "documents")
         .withColumn("q", Text.qualityScore(col("text")))
@@ -383,6 +413,20 @@ object ExtensionQueries {
       Graph.adamicAdar(pairs, "a", "b")
         .orderBy(col("aa_micro").desc, col("node_a"), col("node_b"))
         .limit(50)
+    }),
+
+    // deterministic synchronous label propagation (2 rounds) over the
+    // same customer↔supplier trade graph PageRank scores — the
+    // community view (which trading neighborhoods exist) next to
+    // PageRank's importance view and CC's reachability view
+    "q_label_propagation" -> ((s, d) => {
+      val e = t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("a"),
+          (col("l_suppkey") + lit(10000000L)).as("b"))
+        .distinct()
+      Graph.labelPropagation(e, "a", "b", rounds = 2)
     }),
 
     // ---- market-basket association rules ----------------------------------
@@ -621,6 +665,14 @@ object ExtensionQueries {
     // confusion matrix of the nearest-centroid classifier
     "q_confusion_matrix" -> ((s, d) =>
       LabelEval.confusionMatrix(
+        LabelEval.nearestCentroidClassify(
+          t(s, d, "embeddings"), "vec_id", "embedding", "label"))),
+
+    // chance-corrected agreement of the same classifier — one scalar
+    // row for the eval dashboard where the confusion matrix is the
+    // drill-down
+    "q_cohens_kappa" -> ((s, d) =>
+      LabelEval.cohensKappa(
         LabelEval.nearestCentroidClassify(
           t(s, d, "embeddings"), "vec_id", "embedding", "label"))),
 
@@ -1520,6 +1572,63 @@ object ExtensionQueries {
                  length(text) AS len_chars
           FROM documents""",
 
+    // explicit BMP ranges so RE2 (\x{..}) and java.util.regex (\u..)
+    // compile the identical character classes; counts are exact ints,
+    // dominant is the first class in fixed order reaching the max
+    "q_script_mix" ->
+      """WITH sc AS (SELECT doc_id, COALESCE(text, '') AS tx
+                     FROM documents),
+         c AS (SELECT doc_id,
+                 CAST(length(tx) AS BIGINT) AS n_chars,
+                 CAST(length(tx) - length(regexp_replace(tx,
+                   '[A-Za-z]', '', 'g')) AS BIGINT) AS latin,
+                 CAST(length(tx) - length(regexp_replace(tx,
+                   '[0-9]', '', 'g')) AS BIGINT) AS digit,
+                 CAST(length(tx) - length(regexp_replace(tx,
+                   '[ \t\n\r]', '', 'g')) AS BIGINT) AS space,
+                 CAST(length(tx) - length(regexp_replace(tx,
+                   '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT)
+                   AS cyrillic,
+                 CAST(length(tx) - length(regexp_replace(tx,
+                   '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]',
+                   '', 'g')) AS BIGINT) AS cjk
+               FROM sc),
+         o AS (SELECT *,
+                 n_chars - latin - digit - space - cyrillic - cjk
+                   AS other,
+                 greatest(latin, digit, space, cyrillic, cjk,
+                   n_chars - latin - digit - space - cyrillic - cjk)
+                   AS m
+               FROM c)
+         SELECT doc_id, n_chars, latin, digit, space, cyrillic, cjk,
+                other,
+                CASE WHEN latin = m THEN 'latin'
+                     WHEN digit = m THEN 'digit'
+                     WHEN space = m THEN 'space'
+                     WHEN cyrillic = m THEN 'cyrillic'
+                     WHEN cjk = m THEN 'cjk'
+                     ELSE 'other' END AS dominant
+         FROM o""",
+
+    "q_k_anonymity" ->
+      """WITH t0 AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+                            CAST(floor(c_acctbal / 500) AS BIGINT)
+                              AS bal_bucket
+                     FROM customer),
+         g AS (SELECT *, COUNT(*) OVER (PARTITION BY c_nationkey,
+                 c_mktsegment, bal_bucket) AS grp_n FROM t0)
+         SELECT c_custkey,
+                CASE WHEN grp_n < 5 THEN '*'
+                     ELSE CAST(c_nationkey AS VARCHAR) END
+                  AS c_nationkey,
+                CASE WHEN grp_n < 5 THEN '*'
+                     ELSE c_mktsegment END AS c_mktsegment,
+                CASE WHEN grp_n < 5 THEN '*'
+                     ELSE CAST(bal_bucket AS VARCHAR) END AS bal_bucket,
+                grp_n < 5 AS suppressed,
+                CAST(grp_n AS BIGINT) AS grp_n
+         FROM g""",
+
     "q_text_langid" -> {
       val langRows = Text.stopwords.toSeq.sortBy(_._1).map {
         case (lang, words) =>
@@ -1801,6 +1910,30 @@ object ExtensionQueries {
                 FROM nodes n LEFT JOIN s3 USING (node), nn)
          SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3
          ORDER BY rank_micro DESC, node LIMIT 20""",
+
+    // the same 2 synchronous rounds unrolled: argmax neighbor label by
+    // (count DESC, label ASC) each round, labels seeded with node ids
+    "q_label_propagation" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM e0
+               UNION SELECT b, a FROM e0),
+         l0 AS (SELECT DISTINCT src AS node, src AS community FROM e),
+         r1 AS (SELECT node, community FROM (
+                  SELECT e.dst AS node, l.community, COUNT(*) AS c,
+                         ROW_NUMBER() OVER (PARTITION BY e.dst
+                           ORDER BY COUNT(*) DESC, l.community) AS rn
+                  FROM e JOIN l0 l ON e.src = l.node
+                  GROUP BY e.dst, l.community) WHERE rn = 1),
+         r2 AS (SELECT node, community FROM (
+                  SELECT e.dst AS node, l.community, COUNT(*) AS c,
+                         ROW_NUMBER() OVER (PARTITION BY e.dst
+                           ORDER BY COUNT(*) DESC, l.community) AS rn
+                  FROM e JOIN r1 l ON e.src = l.node
+                  GROUP BY e.dst, l.community) WHERE rn = 1)
+         SELECT CAST(node AS BIGINT) AS node,
+                CAST(community AS BIGINT) AS community FROM r2""",
 
     "q_triangle_count" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
@@ -2656,6 +2789,49 @@ object ExtensionQueries {
            WHERE rn = 1)
          SELECT label, pred, count(*)::BIGINT AS n
          FROM p GROUP BY label, pred""",
+
+    // same classifier CTEs as q_confusion_matrix, then the kappa
+    // arithmetic on the bounded confusion matrix
+    "q_cohens_kappa" ->
+      """WITH v AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> x::DOUBLE) AS e
+                    FROM embeddings),
+         c AS (
+           SELECT label AS cand, list(mu ORDER BY j) AS c FROM (
+             SELECT label, t.j AS j,
+                    sum(CAST(e[t.j + 1] AS DECIMAL(28,12)))::DOUBLE
+                      / count(*) AS mu
+             FROM v, range(0, 64) t(j)
+             GROUP BY label, t.j)
+           GROUP BY label),
+         d AS (
+           SELECT v.vec_id, v.label, c.cand,
+                  -2 * list_dot_product(v.e, (c.c::FLOAT[])::DOUBLE[])
+                    + list_dot_product((c.c::FLOAT[])::DOUBLE[],
+                        (c.c::FLOAT[])::DOUBLE[]) AS d
+           FROM v CROSS JOIN c),
+         p AS (
+           SELECT vec_id, label, cand AS pred
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, cand) AS rn
+                 FROM d)
+           WHERE rn = 1),
+         m AS (SELECT label, pred, count(*)::BIGINT AS n
+               FROM p GROUP BY label, pred),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                        CAST(SUM(CASE WHEN label = pred THEN n
+                                      ELSE 0 END) AS BIGINT) AS agree
+                 FROM m),
+         rw AS (SELECT label, SUM(n) AS rn FROM m GROUP BY label),
+         cl AS (SELECT pred, SUM(n) AS cn FROM m GROUP BY pred),
+         x AS (SELECT CAST(SUM(rn * cn) AS BIGINT) AS crs
+               FROM rw JOIN cl ON rw.label = cl.pred)
+         SELECT round(agree::DOUBLE / nn, 6) AS po,
+                round(crs::DOUBLE / (nn * nn), 6) AS pe,
+                round((agree::DOUBLE / nn - crs::DOUBLE / (nn * nn)) /
+                  nullif(1.0 - crs::DOUBLE / (nn * nn), 0.0), 6)
+                  AS kappa
+         FROM tot, x""",
 
     // Mirrors LabelEval.labelOutliers: euclidean distance to the OWN
     // label's float-rounded centroid, z-scored against the label's

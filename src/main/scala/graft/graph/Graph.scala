@@ -185,6 +185,54 @@ object Graph {
         sum(col("w_micro")).as("aa_micro"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. '07), k fixed
+    * rounds — community detection for duplicate-cluster neighborhoods
+    * and source-graph segmentation, the cheap precursor to modularity
+    * methods at corpus scale.
+    *
+    * Deterministic variant: labels start as the node id; each round
+    * every node adopts the most frequent label among its NEIGHBORS
+    * (count descending, label ascending on ties — no RNG, no async
+    * order dependence), so results are reproducible across
+    * partitionings and the DuckDB oracle can unroll the same rounds.
+    *
+    * Shape per round: one shuffle keying messages by dst, one count
+    * agg, one per-node argmax (window over the node — bounded by the
+    * node's distinct incident labels, ≤ degree). Rounds are
+    * checkpointed like [[pageRank]]'s. Input is symmetrized here, so
+    * every node that appears has ≥1 neighbor.
+    *
+    * @return (node: long, community: long)
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e0 = edges.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val e = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node")
+      .orderBy(col("c").desc, col("community").asc)
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels, e("src") === labels("node"))
+        .select(e("dst").as("node"), col("community"))
+        .groupBy("node", "community")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("community"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   private case class Staged(deg: DataFrame, oriented: DataFrame)
 
   /** Normalize to distinct undirected lo<hi pairs, compute degrees, and

@@ -189,4 +189,37 @@ object relational {
         coalesce(col(s"o.$k"), col(s"n.$k")).as(k)) :+
         col("change_type"): _*)
   }
+
+  /** k-anonymity suppression gate (Sweeney '02): rows whose
+    * quasi-identifier combination occurs fewer than k times have those
+    * columns masked to "*" — the release gate for training data carrying
+    * indirect identifiers (a rare attribute combination re-identifies
+    * even with direct identifiers stripped).
+    *
+    * One window count over the quasi-identifier key — the same single
+    * shuffle a groupBy+join would cost, with no second scan. Masking
+    * keeps the row (and its non-quasi payload) in the corpus; callers
+    * who must DROP instead filter on the emitted `suppressed` flag.
+    * Quasi columns are compared null-safely (window partitioning groups
+    * nulls together), and masked values are cast to string — masking is
+    * a domain generalization, so the output column type is the
+    * generalized (string) domain.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long)
+  : DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs quasi-identifier cols")
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    val n = count(lit(1)).over(w)
+    val withN = df.withColumn("__grp_n", n)
+    val keep = df.columns.filterNot(quasiCols.contains).toSeq
+    withN.select(
+      keep.map(col) ++
+        quasiCols.map(c =>
+          when(col("__grp_n") < k, lit("*"))
+            .otherwise(col(c).cast("string")).as(c)) :+
+        (col("__grp_n") < k).as("suppressed") :+
+        col("__grp_n").as("grp_n"): _*)
+  }
 }

@@ -201,6 +201,42 @@ object LabelEval {
     pred.groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n"))
 
+  /** Cohen's kappa (Cohen '60) over a (label, pred) frame: agreement
+    * corrected for chance, κ = (p_o − p_e) / (1 − p_e) with
+    * p_e = Σ_c (row_c/N)(col_c/N) — the standard chance-corrected
+    * quality score for annotator/classifier agreement on a labeled
+    * slice (accuracy alone inflates under skewed label marginals).
+    *
+    * One count agg over (label, pred) — the |classes|² confusion matrix
+    * — then the marginal products on that bounded frame; the corpus is
+    * read once and nothing label-cardinality-unbounded reaches the
+    * driver. All ratios are double over exact bigint counts (products
+    * of counts < 2⁵³ stay integer-exact), rounded 6dp at the boundary.
+    * Perfect chance agreement (p_e = 1, degenerate one-class data)
+    * yields κ = null rather than 0/0.
+    *
+    * @return one row (po, pe, kappa) rounded 6dp
+    */
+  def cohensKappa(pred: DataFrame): DataFrame = {
+    val cm = confusionMatrix(pred).localCheckpoint()
+    val tot = cm.agg(sum(col("n")).as("nn"),
+      sum(when(col("label") === col("pred"), col("n")).otherwise(0L))
+        .as("agree"))
+    val rows = cm.groupBy("label").agg(sum(col("n")).as("rn"))
+    val cols_ = cm.groupBy("pred").agg(sum(col("n")).as("cn"))
+    val pe = rows.join(cols_, col("label") === col("pred"))
+      .agg(sum(col("rn") * col("cn")).as("cross"))
+    tot.crossJoin(pe)
+      .select(
+        round(col("agree").cast("double") / col("nn"), 6).as("po"),
+        round(col("cross").cast("double") / (col("nn") * col("nn")), 6)
+          .as("pe"),
+        round((col("agree").cast("double") / col("nn") -
+          col("cross").cast("double") / (col("nn") * col("nn"))) /
+          nullif(lit(1.0) - col("cross").cast("double") /
+            (col("nn") * col("nn")), lit(0.0)), 6).as("kappa"))
+  }
+
   /** Distance-to-own-centroid outlier score — the noisy-label /
     * outlier-sample filter over a labeled slice: each row's euclidean
     * distance to ITS label's centroid, z-scored against that label's

@@ -80,6 +80,31 @@ object Text {
     }.getField("lang")
   }
 
+  /** Unicode-script composition of a document: counts of Latin, digit,
+    * whitespace, Cyrillic, CJK and other characters as a struct — the
+    * routing signal multilingual pipelines apply BEFORE language id
+    * (script is a hard prior: a Cyrillic-dominant doc never enters the
+    * Latin langid path) and the mojibake/binary-junk detector (high
+    * `other` ratio on a supposedly-Latin source). Explicit BMP
+    * code-point ranges, not \\p{Script=} classes, so the DuckDB twin
+    * (RE2) and Spark (java.util.regex) compile the identical automaton.
+    * Scan-local: length/regexp_replace only, no shuffle, null text
+    * counts as empty. */
+  def scriptCounts(text: Column): Column = {
+    val tx = coalesce(text, lit(""))
+    def cnt(cls: String) =
+      (length(tx) - length(regexp_replace(tx, cls, ""))).as("c")
+    val latin = cnt("[A-Za-z]")
+    val digit = cnt("[0-9]")
+    val space = cnt("[ \\t\\n\\r]")
+    val cyr = cnt("[\\u0400-\\u04FF]")
+    val cjk = cnt("[\\u4E00-\\u9FFF\\u3040-\\u30FF\\uAC00-\\uD7AF]")
+    struct(length(tx).as("n_chars"), latin.as("latin"),
+      digit.as("digit"), space.as("space"), cyr.as("cyrillic"),
+      cjk.as("cjk"),
+      (length(tx) - latin - digit - space - cyr - cjk).as("other"))
+  }
+
   /** Quality scoring: mean word length, punctuation ratio, stopword ratio,
     * char count — the standard cheap quality filters (cf. Gopher/C4 rules).
     */

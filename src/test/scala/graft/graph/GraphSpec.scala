@@ -125,4 +125,48 @@ class GraphSpec extends SparkSpec {
       "src", "dst", 3).as[(Long, Long)].collect().toMap
     assert(a === b)
   }
+
+  test("label propagation: two cliques bridged by one edge separate") {
+    // K4 on {1..4}, K4 on {11..14}, bridge 4—11: after 2 rounds every
+    // clique member should carry its clique's min id as community
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) ++ Seq((4L, 11L))
+    val got = Graph.labelPropagation(edges.toDF("a", "b"), "a", "b", 2)
+      .as[(Long, Long)].collect().toMap
+    val left = Seq(1L, 2L, 3L, 4L).map(got)
+    val right = Seq(11L, 12L, 13L, 14L).map(got)
+    assert(left.distinct.size === 1, s"left clique split: $got")
+    assert(right.distinct.size === 1, s"right clique split: $got")
+    assert(left.head !== right.head, s"cliques merged: $got")
+  }
+
+  test("label propagation matches a driver-side sync replica") {
+    // deterministic contract: argmax neighbor label, (count desc,
+    // label asc) tie-break, labels seeded with node ids
+    val edges = (1L to 24L).map(i => (i, i % 6 + 200L)) ++
+      Seq((200L, 201L), (202L, 203L), (204L, 205L))
+    def replica(rounds: Int): Map[Long, Long] = {
+      val sym = (edges ++ edges.map(_.swap)).distinct
+      val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lbl = nbrs.keys.map(v => v -> v).toMap
+      for (_ <- 1 to rounds) {
+        lbl = nbrs.map { case (v, ns) =>
+          val counts = ns.map(lbl).groupBy(identity).view
+            .mapValues(_.size).toSeq
+          v -> counts.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      lbl
+    }
+    val got = Graph
+      .labelPropagation(edges.toDF("a", "b"), "a", "b", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === replica(3))
+    val gotRepart = Graph.labelPropagation(
+      edges.toDF("a", "b").repartition(7), "a", "b", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(gotRepart === replica(3))
+  }
 }

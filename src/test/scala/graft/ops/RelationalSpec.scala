@@ -188,4 +188,35 @@ class RelationalSpec extends SparkSpec {
     assert(got === Map(1L -> "unchanged", 2L -> "changed",
       3L -> "changed", 4L -> "removed", 5L -> "added"))
   }
+
+  test("kAnonymity masks quasi-identifier groups below k") {
+    val df = Seq(
+      // group (10, "A"): 3 rows — survives k=3
+      (1L, 10, "A"), (2L, 10, "A"), (3L, 10, "A"),
+      // group (10, "B"): 2 rows — suppressed at k=3
+      (4L, 10, "B"), (5L, 10, "B"),
+      // group (20, "A"): 1 row — suppressed
+      (6L, 20, "A")).toDF("id", "zip", "seg")
+    val got = relational.kAnonymity(df, Seq("zip", "seg"), 3)
+      .select("id", "zip", "seg", "suppressed", "grp_n")
+      .as[(Long, String, String, Boolean, Long)].collect()
+      .sortBy(_._1)
+    assert(got.take(3).forall(r => r._2 == "10" && r._3 == "A" &&
+      !r._4 && r._5 == 3L))
+    assert(got.drop(3).forall(r => r._2 == "*" && r._3 == "*" && r._4))
+    // non-quasi payload survives untouched, all rows kept
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("kAnonymity groups null quasi values together") {
+    val df = Seq((1L, Option.empty[Int]), (2L, None), (3L, None),
+      (4L, Some(7))).toDF("id", "zip")
+    val got = relational.kAnonymity(df, Seq("zip"), 3)
+      .select("id", "suppressed", "grp_n")
+      .as[(Long, Boolean, Long)].collect().sortBy(_._1)
+    // the three null-zip rows form one group of 3 (not suppressed);
+    // the lone zip=7 row is
+    assert(got.map(r => (r._2, r._3)).toSeq ===
+      Seq((false, 3L), (false, 3L), (false, 3L), (true, 1L)))
+  }
 }

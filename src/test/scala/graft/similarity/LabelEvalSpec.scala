@@ -144,4 +144,28 @@ class LabelEvalSpec extends SparkSpec {
     // cell 1: labels 5 and 6 tie at 2 each → majority is the LOWER (5)
     assert(got(1) === ((1, 4L, 5, 2L)))
   }
+
+  test("cohensKappa matches the hand-computed textbook example") {
+    // classic 2x2: a=20 agree-yes, d=15 agree-no, b=5, c=10 → N=50,
+    // po=0.7, pe=(30*25 + 20*25)/2500 = 0.5, kappa = 0.4
+    val pred = (Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n")))
+      .zipWithIndex.map { case ((l, p), i) => (i.toLong, l, p) }
+      .toDF("vec_id", "label", "pred")
+    val r = LabelEval.cohensKappa(pred)
+      .as[(Double, Double, Double)].head()
+    assert(r === ((0.7, 0.5, 0.4)))
+  }
+
+  test("cohensKappa: perfect agreement is 1, degenerate pe=1 is null") {
+    val perfect = Seq((1L, "a", "a"), (2L, "b", "b"), (3L, "a", "a"))
+      .toDF("vec_id", "label", "pred")
+    assert(LabelEval.cohensKappa(perfect)
+      .select("kappa").as[Double].head() === 1.0)
+    // one class on both sides: pe = 1 → kappa undefined (null), not 0/0
+    val degen = Seq((1L, "a", "a"), (2L, "a", "a"))
+      .toDF("vec_id", "label", "pred")
+    assert(LabelEval.cohensKappa(degen)
+      .select("kappa").as[Option[Double]].head().isEmpty)
+  }
 }

@@ -509,4 +509,23 @@ class TextSpec extends SparkSpec {
       .select("n_dropped", "clean_text").as[(Long, String)].head()
     assert(p === ((1L, "a b")), "the 1-token tail chunk 'c' is shared")
   }
+
+  test("scriptCounts classifies planted multi-script text") {
+    val df = Seq(
+      (1L, "hello world 42"),
+      (2L, "\u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"),     // Cyrillic
+      (3L, "\u4f60\u597d\u4e16\u754c \u3053\u3093\u306b\u3061\u306f"),      // CJK + kana
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      Text.scriptCounts(col("text")).as("sc"))
+      .select(col("doc_id"), col("sc.n_chars"), col("sc.latin"),
+        col("sc.digit"), col("sc.space"), col("sc.cyrillic"),
+        col("sc.cjk"), col("sc.other"))
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int)]
+      .collect().sortBy(_._1)
+    assert(got(0) === ((1L, 14, 10, 2, 2, 0, 0, 0)))
+    assert(got(1) === ((2L, 10, 0, 0, 1, 9, 0, 0)))
+    assert(got(2) === ((3L, 10, 0, 0, 1, 0, 9, 0)))
+    assert(got(3) === ((4L, 0, 0, 0, 0, 0, 0, 0))) // null text = empty
+  }
 }
