@@ -396,6 +396,37 @@ object ScaleSmoke {
       1L
     }
 
+    timed("label propagation 2 rounds") {
+      // rows/100 ring-ish edges over rows/500 nodes in 1000 disjoint
+      // blocks (planted communities): per round one message shuffle +
+      // one (node,label) count agg + a per-node argmax window bounded
+      // by degree — no round ever exceeds edge volume
+      val n = rows / 500
+      val blk = n / 1000
+      val e = spark.range(rows / 100).select(
+        (col("id") % n).as("a"),
+        // neighbor within the same block → communities stay planted
+        ((col("id") % n) - ((col("id") % n) % blk) +
+          ((col("id") * 7919) % blk)).as("b"))
+        .filter(col("a") =!= col("b"))
+      graft.graph.Graph.labelPropagation(e, "a", "b", rounds = 2)
+        .select(countDistinct(col("community"))).head().getLong(0)
+    }
+
+    timed("k-anonymity window gate") {
+      // full fact volume through ONE hash-partitioned window count on
+      // the quasi key; skewed group sizes — 6/7 of rows land in ~1000
+      // fat groups, 1/7 in per-key groups of ~7 rows that fall below
+      // k=100 and must come back masked
+      graft.ops.relational.kAnonymity(
+        fact.select(col("k").as("id"),
+          when(col("f") === 0, col("k")).otherwise(col("k") % 1000)
+            .as("q1"),
+          col("f").cast("string").as("q2")),
+        Seq("q1", "q2"), k = 100)
+        .filter(col("suppressed")).count()
+    }
+
     timed("bloom probe scan-local") {
       // 1M-entry bloom built once (bounded bytes), then a scan-local
       // might_contain over every fact row — the decontamination shape

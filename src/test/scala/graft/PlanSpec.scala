@@ -515,4 +515,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.indexOf("partial_sum") > plan.indexOf("Exchange"),
       plan.take(2000))
   }
+
+  test("kAnonymity is one window pass: single exchange, no join") {
+    val plan = relational.kAnonymity(
+      Tables.t(spark, sf, "customer").select(col("c_custkey"),
+        col("c_nationkey"), col("c_mktsegment")),
+      Seq("c_nationkey", "c_mktsegment"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Join"),
+      s"suppression gate should not need a join:\n${plan.take(2000)}")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected exactly one shuffle (the quasi-key window):\n${plan.take(3000)}")
+  }
+
+  test("scriptCounts stays scan-local (no exchange)") {
+    val plan = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.text.Text.scriptCounts(col("text")).as("sc"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"script counting must not shuffle:\n${plan.take(2000)}")
+  }
+
+  test("label propagation round shape: no cartesian product") {
+    val e = Tables.t(spark, sf, "orders").limit(200)
+      .select(col("o_custkey").as("a"),
+        (col("o_orderkey") % 97 + 10000000L).as("b"))
+    val plan = graft.graph.Graph.labelPropagation(e, "a", "b", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
