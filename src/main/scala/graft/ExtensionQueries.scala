@@ -240,6 +240,23 @@ object ExtensionQueries {
         col("doc_id"), col("lang"),
         Text.langId(col("text")).as("pred_lang"))),
 
+    // compression-ratio quality signal (functions.DeflateLen): the
+    // deflate length itself is zlib-build-specific, so the oracle row
+    // carries the portable verdicts — zlib's worst-case bound holds,
+    // and natural text ≥100 bytes compresses below 0.9 — while the
+    // discriminative behavior (repetitive ≪ prose ≪ noise) is pinned
+    // in DeflateLenSpec
+    "q_compression_ratio" -> ((s, d) => {
+      val tx = coalesce(col("text"), lit(""))
+      val nb = octet_length(tx).cast("long")
+      val dl = call_function("graft_deflate_len", tx)
+      t(s, d, "documents").select(
+        col("doc_id"), nb.as("n_bytes"),
+        (dl <= nb + lit(64L)).as("ok_bound"),
+        (nb < 100L || dl.cast("double") < nb * lit(0.9))
+          .as("ok_compresses"))
+    }),
+
     // Unicode-script composition + dominant class — the pre-langid
     // routing signal and mojibake detector (Text.scriptCounts)
     "q_script_mix" -> ((s, d) => {
@@ -1571,6 +1588,17 @@ object ExtensionQueries {
                    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
                  length(text) AS len_chars
           FROM documents""",
+
+    // DuckDB has no deflate: the twin computes the portable half
+    // (byte counts) and asserts the verdicts the Spark side derives
+    // from the actual compression — hash matches iff both bounds hold
+    // for every document
+    "q_compression_ratio" ->
+      """SELECT doc_id,
+                CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes,
+                TRUE AS ok_bound,
+                TRUE AS ok_compresses
+         FROM documents""",
 
     // explicit BMP ranges so RE2 (\x{..}) and java.util.regex (\u..)
     // compile the identical character classes; counts are exact ints,

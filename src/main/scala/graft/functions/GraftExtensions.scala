@@ -89,6 +89,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[Nfc].getName, "graft_nfc"),
       (children: Seq[Expression]) => Nfc(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName,
+        "graft_deflate_len"),
+      (children: Seq[Expression]) => DeflateLen(children.head)))
     ext.injectOptimizerRule(_ => RewriteDotProduct())
   }
 }
