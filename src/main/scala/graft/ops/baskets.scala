@@ -30,7 +30,10 @@ object baskets {
     * of pair mining — with the groupBy combined map-side. */
   def pairSupports(b: DataFrame, basketCol: String, itemCol: String)
   : DataFrame =
-    incidence(b, basketCol, itemCol)
+    pairSupportsFromIncidence(incidence(b, basketCol, itemCol))
+
+  private def pairSupportsFromIncidence(inc: DataFrame): DataFrame =
+    inc
       .groupBy(col("k"))
       .agg(sort_array(collect_set(col("i"))).as("ps"))
       .select(explode(expr(
@@ -54,11 +57,14 @@ object baskets {
     * sizes itself (broadcast when the item dimension is small). */
   def associationRules(b: DataFrame, basketCol: String, itemCol: String,
                        minSupport: Long): DataFrame = {
-    val inc = incidence(b, basketCol, itemCol)
+    // staged: the incidence distinct is the raw-volume shuffle, and
+    // THREE consumers read it (item supports, basket count, pair
+    // expansion) — without the pin each would re-run it
+    val inc = incidence(b, basketCol, itemCol).localCheckpoint()
     val itemSup = inc.groupBy(col("i")).agg(count(lit(1)).as("sup"))
     val nBaskets = inc.select(col("k")).distinct()
       .agg(count(lit(1)).as("n"))
-    val pairs = pairSupports(b, basketCol, itemCol)
+    val pairs = pairSupportsFromIncidence(inc)
       .filter(col("pair_support") >= minSupport)
     pairs
       .select(explode(array(
@@ -76,8 +82,11 @@ object baskets {
       .select(col("ante"), col("cons"), col("pair_support"),
         expr("cast(round(1000000.0 * pair_support / sup_a) as bigint)")
           .as("conf_micro"),
+        // sup_a * sup_c evaluated in DOUBLE: the bigint product
+        // overflows past ~3e9 baskets, and counts this size are exact
+        // in double anyway (< 2^53)
         expr("""cast(round(1000000.0 * pair_support * n
-                           / (sup_a * sup_c)) as bigint)""")
+                           / (cast(sup_a as double) * sup_c)) as bigint)""")
           .as("lift_micro"))
   }
 }

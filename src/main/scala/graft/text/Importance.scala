@@ -117,10 +117,15 @@ object Importance {
     val totalDocs = classes.agg(sum(col("cdocs")).cast("double").as("td"))
     // dense (bucket × class) grid so every class scores every token:
     // absent counts take the smoothing floor ln(1/(cn+B)), not a dropped
-    // term — the grid is B·C rows, small by construction
+    // term — the grid is B·C rows, small by construction. Buckets come
+    // from range(B), not a distinct over the token stream: the values
+    // are identical (a bucket no document carries never joins a
+    // histogram row), and range skips a full-volume scan+shuffle that
+    // existed only to enumerate ≤ B values
     val bcCounts = tf.filter(col("is_train"))
       .groupBy("bucket", "cls").agg(count(lit(1)).as("n"))
-    val grid = tf.select(col("bucket")).distinct()
+    val grid = docs.sparkSession.range(buckets.toLong)
+      .select(col("id").cast("int").as("bucket"))
       .crossJoin(broadcast(classes.select(col("cls"), col("cn"))))
       .join(bcCounts, Seq("bucket", "cls"), "left")
       .select(col("bucket"), col("cls"),
