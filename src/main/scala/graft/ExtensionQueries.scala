@@ -264,6 +264,18 @@ object ExtensionQueries {
         col("doc_id"), col("lang"),
         Text.langId(col("text")).as("pred_lang"))),
 
+    // recency-weighted per-user engagement: integer-micros decay snap
+    // keeps the weighted sum associative — ops.timeseries.decayedSum
+    "q_decayed_agg" -> ((s, d) =>
+      graft.ops.timeseries.decayedSum(Tables.events(s, d), "user_id",
+        "ts", "value", halflifeSec = 86400L)),
+
+    // cross-scorer calibration: percent-rank n_chars within each
+    // source, keep the per-source top quarter — Text.rankNormalize
+    "q_rank_norm" -> ((s, d) =>
+      Text.rankNormalize(t(s, d, "documents"), "source",
+        col("n_chars"), "doc_id", keepTop = 0.25)),
+
     // compression-ratio quality signal (functions.DeflateLen): the
     // deflate length itself is zlib-build-specific, so the oracle row
     // carries the portable verdicts — zlib's worst-case bound holds,
@@ -3745,6 +3757,31 @@ object ExtensionQueries {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_price
          FROM orders GROUP BY o_orderpriority""",
+
+    // mirrors ops.timeseries.decayedSum exactly: integer-micros age,
+    // micro-snapped pow, cents × micros integer products summed in
+    // exact arithmetic (DuckDB hugeint), one double division + 4dp
+    "q_decayed_agg" ->
+      """WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
+         w AS (SELECT e.user_id,
+                      CAST(round(e.value * 100) AS BIGINT) *
+                        CAST(round(pow(2.0,
+                          -((epoch_us(mx.tmax) - epoch_us(e.ts))
+                             / 1000000.0) / 86400.0) * 1000000)
+                          AS BIGINT) AS wv
+               FROM events e, mx)
+         SELECT user_id, COUNT(*)::BIGINT AS n_events,
+                round(CAST(SUM(wv) AS DOUBLE) / 100000000.0 * 10000)
+                  / 10000 AS decayed_value
+         FROM w GROUP BY user_id""",
+
+    "q_rank_norm" ->
+      """SELECT doc_id, source, n_chars AS metric,
+                round(percent_rank() OVER (PARTITION BY source
+                  ORDER BY n_chars, doc_id), 6) AS pct,
+                round(percent_rank() OVER (PARTITION BY source
+                  ORDER BY n_chars, doc_id), 6) >= 0.75 AS keep
+         FROM documents""",
 
     "q_gap_fill" ->
       """WITH daily AS (

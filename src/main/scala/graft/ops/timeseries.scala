@@ -62,4 +62,41 @@ object timeseries {
         .when(nextV.isNull, prevV)
         .otherwise(interp))
   }
+
+  /** Exponentially time-decayed per-key aggregate: each event's value
+    * weighted by 2^(−age/halflife) relative to the stream's latest
+    * timestamp — the standard recency-weighted engagement/volume score
+    * (a month-old event at halflife=1d is noise; yesterday's counts
+    * half). One groupBy after a one-row broadcast of the global max
+    * timestamp.
+    *
+    * Determinism across engines/partitionings: the decay factor is
+    * snapped to integer MICROS at the `pow` boundary (the ln-micros
+    * rule), the value to integer cents, so the weighted sum is a sum of
+    * exact integer products carried in decimal(38,0) — associative, no
+    * float tail — with ONE double division + 4dp round at the end.
+    *
+    * @param halflifeSec decay half-life in seconds
+    * @return (keyCol, n_events, decayed_value) — 4dp
+    */
+  def decayedSum(events: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, halflifeSec: Long): DataFrame = {
+    require(halflifeSec > 0, s"halflife must be > 0: $halflifeSec")
+    val tmax = events.agg(max(col(tsCol)).as("tmax"))
+    // age in integer MICROseconds: unix_timestamp would FLOOR to
+    // seconds while other engines round, so sub-second timestamps
+    // diverge — micros are exact on both sides
+    val age = unix_micros(col("tmax")) - unix_micros(col(tsCol))
+    val decayMicro = round(
+      pow(lit(2.0), -(age.cast("double") / 1e6) / halflifeSec.toDouble)
+        * 1e6).cast("long")
+    val valueCents = round(col(valueCol) * 100).cast("long")
+    events.crossJoin(broadcast(tmax))
+      .select(col(keyCol),
+        (valueCents * decayMicro).cast("decimal(38,0)").as("wv"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        (round(sum(col("wv")).cast("double") / 1e8 * 1e4) / 1e4)
+          .as("decayed_value"))
+  }
 }

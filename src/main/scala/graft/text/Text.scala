@@ -80,6 +80,32 @@ object Text {
     }.getField("lang")
   }
 
+  /** Within-group rank normalization of a quality metric: percent_rank
+    * of each row inside its group (orderBy (metric, id) — fully
+    * deterministic under ties), plus a keep flag for the top `keepTop`
+    * share PER GROUP. The cross-scorer calibration step of corpus
+    * selection: heterogeneous sources score on incomparable scales, so
+    * selection quotas operate on within-source ranks, never raw scores
+    * (otherwise one generous scorer floods the mix — the bias
+    * [[domainCap]] limits by COUNT, this removes at the SCORE level).
+    *
+    * One window shuffle on the group key; at 100 TB that is the same
+    * exchange any per-source statistic costs.
+    */
+  def rankNormalize(df: DataFrame, groupCol: String, metric: Column,
+                    idCol: String, keepTop: Double): DataFrame = {
+    require(keepTop > 0.0 && keepTop <= 1.0,
+      s"keepTop must be in (0, 1]: $keepTop")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__metric"), col(idCol))
+    df.withColumn("__metric", metric)
+      .withColumn("pct", round(percent_rank().over(w), 6))
+      .select(col(idCol), col(groupCol),
+        col("__metric").as("metric"), col("pct"),
+        (col("pct") >= lit(1.0) - lit(keepTop)).as("keep"))
+  }
+
   /** Unicode-script composition of a document: counts of Latin, digit,
     * whitespace, Cyrillic, CJK and other characters as a struct — the
     * routing signal multilingual pipelines apply BEFORE language id

@@ -73,4 +73,31 @@ class TimeseriesSpec extends SparkSpec {
       (2L, "2024-02-01", 5.0), (2L, "2024-02-02", 5.0),
       (2L, "2024-02-03", 5.0)))
   }
+
+  test("decayedSum halves a value per halflife, exact at snap points") {
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-10 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2026-01-09 00:00:00") // 1 hl
+    val ts2 = java.sql.Timestamp.valueOf("2026-01-08 00:00:00") // 2 hl
+    val df = Seq(("u1", ts0, 100.0), ("u1", ts1, 100.0),
+      ("u2", ts2, 100.0)).toDF("user_id", "ts", "value")
+    val got = timeseries.decayedSum(df, "user_id", "ts", "value", 86400L)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    // u1: 100·1 + 100·0.5 = 150; u2: 100·0.25 = 25
+    assert(got === Seq(("u1", 2L, 150.0), ("u2", 1L, 25.0)))
+  }
+
+  test("decayedSum is partitioning-independent (integer products)") {
+    val base = java.time.Instant.parse("2026-01-10T00:00:00Z")
+    val rows = (0 until 500).map(i => ("u" + i % 7,
+      java.sql.Timestamp.from(base.minusSeconds(i * 977L)),
+      (i % 89) / 7.0))
+    val a = timeseries.decayedSum(rows.toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", 3600L)
+      .as[(String, Long, Double)].collect().toSet
+    val b = timeseries.decayedSum(
+      rows.toDF("user_id", "ts", "value").repartition(13),
+      "user_id", "ts", "value", 3600L)
+      .as[(String, Long, Double)].collect().toSet
+    assert(a === b)
+  }
 }

@@ -528,4 +528,22 @@ class TextSpec extends SparkSpec {
     assert(got(2) === ((3L, 10, 0, 0, 1, 0, 9, 0)))
     assert(got(3) === ((4L, 0, 0, 0, 0, 0, 0, 0))) // null text = empty
   }
+
+  test("rankNormalize keeps the top share per group, ties by id") {
+    val df = (1 to 8).map(i => (i.toLong, "s" + (i % 2), i * 10))
+      .toDF("doc_id", "source", "score")
+    val got = Text.rankNormalize(df, "source", col("score"), "doc_id",
+      keepTop = 0.25)
+      .as[(Long, String, Int, Double, Boolean)].collect()
+    // 4 docs per source, percent_rank in {0, 1/3, 2/3, 1}; keepTop=.25
+    // keeps only pct >= 0.75 — the single best doc per source
+    assert(got.count(_._5) === 2)
+    assert(got.filter(_._5).map(_._1).sorted.toSeq === Seq(7L, 8L))
+    // all-tied metric: rank falls back to doc_id order, deterministic
+    val tied = (1 to 4).map(i => (i.toLong, "s", 5)).toDF("doc_id", "source", "score")
+    val t2 = Text.rankNormalize(tied, "source", col("score"), "doc_id",
+      keepTop = 0.5)
+      .as[(Long, String, Int, Double, Boolean)].collect()
+    assert(t2.filter(_._5).map(_._1).sorted.toSeq === Seq(3L, 4L))
+  }
 }
