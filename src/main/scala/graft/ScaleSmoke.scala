@@ -413,11 +413,13 @@ object ScaleSmoke {
         .select(countDistinct(col("community"))).head().getLong(0)
     }
 
-    timed("k-anonymity window gate") {
-      // full fact volume through ONE hash-partitioned window count on
-      // the quasi key; skewed group sizes — 6/7 of rows land in ~1000
-      // fat groups, 1/7 in per-key groups of ~7 rows that fall below
-      // k=100 and must come back masked
+    timed("k-anonymity count-join gate") {
+      // fact volume through a map-side-combined quasi-key count + a
+      // null-safe join-back (deliberately NOT a window: a window
+      // buffers each group in one task and a dominant quasi value
+      // becomes a straggler). Skewed group sizes — 6/7 of rows land in
+      // ~1000 fat groups, 1/7 in per-key groups of ~7 rows that fall
+      // below k=100 and must come back masked
       graft.ops.relational.kAnonymity(
         fact.select(col("k").as("id"),
           when(col("f") === 0, col("k")).otherwise(col("k") % 1000)

@@ -196,30 +196,36 @@ object relational {
     * indirect identifiers (a rare attribute combination re-identifies
     * even with direct identifiers stripped).
     *
-    * One window count over the quasi-identifier key — the same single
-    * shuffle a groupBy+join would cost, with no second scan. Masking
-    * keeps the row (and its non-quasi payload) in the corpus; callers
-    * who must DROP instead filter on the emitted `suppressed` flag.
-    * Quasi columns are compared null-safely (window partitioning groups
-    * nulls together), and masked values are cast to string — masking is
-    * a domain generalization, so the output column type is the
-    * generalized (string) domain.
+    * Shape: a map-side-combined groupBy over the quasi key, then a
+    * null-safe (`<=>`) hash join of the |groups|-row count table back
+    * onto the rows — NOT a `count over (partition by quasi)` window:
+    * the window form buffers every group in one task, so a degenerate
+    * quasi column (all null, one dominant value) turns into a single
+    * straggler at lake scale, while the join form streams and AQE can
+    * skew-split it. Nulls group together on both sides (groupBy and
+    * `<=>` share that semantics), matching the window behavior.
+    * Masked values are cast to string — masking is a domain
+    * generalization, so the output column type is the generalized
+    * (string) domain.
     */
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long)
   : DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymity needs quasi-identifier cols")
     require(k >= 1, s"k must be >= 1: $k")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(quasiCols.map(col): _*)
-    val n = count(lit(1)).over(w)
-    val withN = df.withColumn("__grp_n", n)
+    val counts = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__grp_n"))
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")) :+
+        col("__grp_n"): _*)
+    val cond = quasiCols.map(c => df(c) <=> counts(s"__q_$c"))
+      .reduce(_ && _)
     val keep = df.columns.filterNot(quasiCols.contains).toSeq
-    withN.select(
-      keep.map(col) ++
-        quasiCols.map(c =>
-          when(col("__grp_n") < k, lit("*"))
-            .otherwise(col(c).cast("string")).as(c)) :+
-        (col("__grp_n") < k).as("suppressed") :+
-        col("__grp_n").as("grp_n"): _*)
+    df.join(counts, cond)
+      .select(
+        keep.map(col) ++
+          quasiCols.map(c =>
+            when(col("__grp_n") < k, lit("*"))
+              .otherwise(col(c).cast("string")).as(c)) :+
+          (col("__grp_n") < k).as("suppressed") :+
+          col("__grp_n").as("grp_n"): _*)
   }
 }
