@@ -4551,7 +4551,8 @@ object ExtensionQueries {
                / count(n_chars), 6) AS m2
            FROM documents GROUP BY source)
          SELECT source, c."check", c.metric, c.lo, c.hi,
-                c.metric >= c.lo AND c.metric <= c.hi AS ok
+                COALESCE(c.metric >= c.lo AND c.metric <= c.hi,
+                  FALSE) AS ok
          FROM m, LATERAL (VALUES
            ('doc_count', m0, 20.0::DOUBLE, 30.0::DOUBLE),
            ('text_complete', m1, 1.0::DOUBLE, 1.0::DOUBLE),
@@ -4580,7 +4581,8 @@ object ExtensionQueries {
                AS DOUBLE) / count(o_totalprice), 6) AS m5
            FROM orders)
          SELECT c."check", c.metric, c.lo, c.hi,
-                c.metric >= c.lo AND c.metric <= c.hi AS ok
+                COALESCE(c.metric >= c.lo AND c.metric <= c.hi,
+                  FALSE) AS ok
          FROM m, LATERAL (VALUES
            ('o_orderkey_unique', m0, 1.0::DOUBLE, 1.0::DOUBLE),
            ('o_custkey_complete', m1, 1.0::DOUBLE, 1.0::DOUBLE),

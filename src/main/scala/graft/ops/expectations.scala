@@ -95,7 +95,10 @@ object expectations {
       .select(groupCols.map(col) ++ Seq(
         col("c.check").as("check"), col("c.metric").as("metric"),
         col("c.lo").as("lo"), col("c.hi").as("hi"),
-        (col("c.metric") >= col("c.lo") &&
-          col("c.metric") <= col("c.hi")).as("ok")): _*)
+        // fail CLOSED: a null metric (e.g. matchRate over an all-null
+        // column) is a failed check, not an unknown — a release gate
+        // must not wave through what it could not measure
+        coalesce(col("c.metric") >= col("c.lo") &&
+          col("c.metric") <= col("c.hi"), lit(false)).as("ok")): _*)
   }
 }
