@@ -429,6 +429,22 @@ object ScaleSmoke {
         .filter(col("suppressed")).count()
     }
 
+    timed("rank-normalize mega-group") {
+      // 90% of rows in ONE source: the windowed percent_rank would put
+      // 45M rows in a single task; the range-partition + offset-lift
+      // form spreads the sort and only ships (partition × group) offset
+      // rows. Keep-quota output on the dominant group proves the global
+      // rank survived the lift.
+      val docs = spark.range(rows).select(col("id").as("doc_id"),
+        when(col("id") % 10 < 9, lit("mega"))
+          .otherwise(concat(lit("s"), (col("id") % 97).cast("string")))
+          .as("source"),
+        (col("id") % 100003).cast("double").as("score"))
+      graft.text.Text.rankNormalize(docs, "source", col("score"),
+        "doc_id", keepTop = 0.01)
+        .filter(col("keep")).count()
+    }
+
     timed("bloom probe scan-local") {
       // 1M-entry bloom built once (bounded bytes), then a scan-local
       // might_contain over every fact row — the decontamination shape

@@ -97,13 +97,40 @@ object Text {
     require(keepTop > 0.0 && keepTop <= 1.0,
       s"keepTop must be in (0, 1]: $keepTop")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol))
+    // NOT `percent_rank over (partition by group)`: that window buffers
+    // every group in ONE task, so a dominant source (half the corpus)
+    // becomes a straggler no AQE rule can split. Instead: range-
+    // partition by the FULL (group, metric, id) sort key — load-
+    // balanced even when one group dominates — rank within each
+    // physical partition (bounded), and lift to the global within-group
+    // rank by adding per-(partition, group) row-count offsets (the
+    // Packing offset trick; the offsets table is ≤ partitions·groups
+    // rows). percent_rank then reconstructs as (rank−1)/(n_g−1),
+    // identical to the window form incl. the single-row-group → 0 case.
+    val staged = df.withColumn("__metric", metric)
+      .repartitionByRange(col(groupCol), col("__metric"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("__pid"), col(groupCol))
       .orderBy(col("__metric"), col(idCol))
-    df.withColumn("__metric", metric)
-      .withColumn("pct", round(percent_rank().over(w), 6))
+    val inPart = staged.withColumn("__rk_in", row_number().over(wIn))
+    val partCounts = staged.groupBy(col("__pid"), col(groupCol))
+      .agg(count(lit(1)).as("__pn"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // one row per (partition, group): the running-offset window and the
+    // group totals are bounded by that cardinality, never by row volume
+    val offsets = partCounts
+      .withColumn("__off", coalesce(sum(col("__pn")).over(wOff), lit(0L)))
+      .withColumn("__ng", sum(col("__pn")).over(
+        Window.partitionBy(col(groupCol))))
+      .select(col("__pid"), col(groupCol), col("__off"), col("__ng"))
+    val pct = when(col("__ng") > 1L,
+      round((col("__rk_in") + col("__off") - 1L).cast("double") /
+        (col("__ng") - 1L), 6)).otherwise(lit(0.0))
+    inPart.join(broadcast(offsets), Seq("__pid", groupCol))
       .select(col(idCol), col(groupCol),
-        col("__metric").as("metric"), col("pct"),
-        (col("pct") >= lit(1.0) - lit(keepTop)).as("keep"))
+        col("__metric").as("metric"), pct.as("pct"),
+        (pct >= lit(1.0) - lit(keepTop)).as("keep"))
   }
 
   /** Unicode-script composition of a document: counts of Latin, digit,

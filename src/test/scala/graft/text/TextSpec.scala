@@ -546,4 +546,26 @@ class TextSpec extends SparkSpec {
       .as[(Long, String, Int, Double, Boolean)].collect()
     assert(t2.filter(_._5).map(_._1).sorted.toSeq === Seq(3L, 4L))
   }
+
+  test("rankNormalize equals the plain window form on skewed groups") {
+    import org.apache.spark.sql.expressions.Window
+    // one dominant group (70% of rows), several small ones, forced
+    // through multiple partitions — the offset-lift must reproduce the
+    // single-task window's percent_rank exactly
+    val rows = (1 to 700).map(i => (i.toLong, "big", (i * 7) % 53)) ++
+      (1 to 300).map(i => ((1000 + i).toLong, "s" + (i % 5), i % 11))
+    val df = rows.toDF("doc_id", "source", "score").repartition(7)
+    val got = Text.rankNormalize(df, "source", col("score"), "doc_id",
+      keepTop = 0.1)
+      .as[(Long, String, Int, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score"), col("doc_id"))
+    val ref = df.withColumn("pct", round(percent_rank().over(w), 6))
+      .select(col("doc_id"), col("pct"),
+        (col("pct") >= 0.9).as("keep"))
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === ref)
+  }
 }
