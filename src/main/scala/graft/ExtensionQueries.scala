@@ -280,6 +280,23 @@ object ExtensionQueries {
         col("doc_id"), col("lang"),
         Text.langId(col("text")).as("pred_lang"))),
 
+    // per-supplier shipment-volume trend: OLS from exact integer
+    // moment sums — ops.analytics.groupTrend
+    "q_trend" -> ((s, d) =>
+      analytics.groupTrend(t(s, d, "lineitem"), "l_suppkey",
+        datediff(col("l_shipdate").cast("date"),
+          to_date(lit("1992-01-01"))),
+        col("l_quantity"))),
+
+    // corpus-mix concentration: Gini over per-source token mass —
+    // ops.analytics.giniConcentration on the aggregated source table
+    "q_gini_sources" -> ((s, d) =>
+      analytics.giniConcentration(
+        t(s, d, "documents").groupBy("source")
+          .agg(sum(coalesce(Text.tokenCount(col("text")).cast("long"),
+            lit(0L))).as("tok")),
+        "source", "tok")),
+
     // recency-weighted per-user engagement: integer-micros decay snap
     // keeps the weighted sum associative — ops.timeseries.decayedSum
     "q_decayed_agg" -> ((s, d) =>
@@ -3773,6 +3790,54 @@ object ExtensionQueries {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_price
          FROM orders GROUP BY o_orderpriority""",
+
+    // identical closed-form OLS over the same exact integer moment
+    // sums (x days, y cents); all casts to DOUBLE mirror the Spark
+    // side so the one division is bit-identical
+    "q_trend" ->
+      """WITH t0 AS (
+           SELECT l_suppkey,
+                  CAST(datediff('day', DATE '1992-01-01',
+                    CAST(l_shipdate AS DATE)) AS BIGINT) AS x,
+                  CAST(round(l_quantity * 100) AS BIGINT) AS yc
+           FROM lineitem),
+         m AS (SELECT l_suppkey,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(x) AS DOUBLE) AS sx,
+                      CAST(SUM(yc) AS DOUBLE) AS sy,
+                      CAST(SUM(x * yc) AS DOUBLE) AS sxy,
+                      CAST(SUM(x * x) AS DOUBLE) AS sxx
+               FROM t0 GROUP BY 1)
+         SELECT l_suppkey, n,
+                CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0.0
+                  THEN round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+                    (CAST(n AS DOUBLE) * sxx - sx * sx) / 100.0, 6)
+                END AS slope,
+                CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0.0
+                  THEN round((sy -
+                    (CAST(n AS DOUBLE) * sxy - sx * sy) /
+                      (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) /
+                    CAST(n AS DOUBLE) / 100.0, 6)
+                END AS intercept
+         FROM m""",
+
+    // same sorted-rank Gini over per-source whitespace token mass
+    "q_gini_sources" ->
+      """WITH w AS (
+           SELECT source,
+                  SUM(COALESCE(CAST(len(string_split_regex(trim(text),
+                    '\s+')) AS BIGINT), 0)) AS tok
+           FROM documents GROUP BY source),
+         r AS (SELECT tok,
+                      ROW_NUMBER() OVER (ORDER BY tok, source) AS i
+               FROM w)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                CAST(SUM(tok) AS BIGINT) AS total_weight,
+                round(2.0 * CAST(SUM(i * tok) AS DOUBLE) /
+                  (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(tok) AS DOUBLE))
+                  - (COUNT(*) + 1)::DOUBLE / COUNT(*)::DOUBLE, 6)
+                  AS gini
+         FROM r""",
 
     // mirrors ops.timeseries.decayedSum exactly: integer-micros age,
     // micro-snapped pow, cents × micros integer products summed in

@@ -147,4 +147,74 @@ object analytics {
       .select((idCols :+ groupCol :+ valueCol).map(col) :+
         col("robust_z"): _*)
   }
+
+  /** Group-wise least-squares trend: OLS slope + intercept of y over x
+    * per key, from ONE map-side-combined aggregation of exact integer
+    * moment sums — the "is this supplier's volume drifting" fit that a
+    * per-group `regr_slope` would compute with an order-dependent
+    * double tail. x is an integer regressor (e.g. days since an
+    * epoch), y is snapped to integer cents before the moments, so all
+    * five sums are exact (carried in decimal(38,0) — bigint would
+    * overflow the product sums at lake row counts) and the closed-form
+    * slope/intercept are ONE deterministic double division each, 6dp.
+    * A degenerate group (all x equal, denominator 0) yields null
+    * slope/intercept rather than ±Inf.
+    *
+    * @return (keyCol, n, slope, intercept) — slope/intercept in y
+    *         units per x unit, 6dp
+    */
+  def groupTrend(df: DataFrame, keyCol: String, x: Column, y: Column)
+  : DataFrame = {
+    val xi = x.cast("long")
+    val yc = round(y * 100).cast("long")
+    val agged = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(xi.cast("decimal(38,0)")).as("sx"),
+      sum(yc.cast("decimal(38,0)")).as("sy"),
+      sum((xi * yc).cast("decimal(38,0)")).as("sxy"),
+      sum((xi * xi).cast("decimal(38,0)")).as("sxx"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double")
+    val denom = nD * col("sxx").cast("double") - sxD * sxD
+    val slopeCents = (nD * col("sxy").cast("double") - sxD * syD) / denom
+    val slope = when(denom =!= 0.0, round(slopeCents / 100.0, 6))
+    val intercept = when(denom =!= 0.0,
+      round((syD - slopeCents * sxD) / nD / 100.0, 6))
+    agged.select(col(keyCol), col("n"), slope.as("slope"),
+      intercept.as("intercept"))
+  }
+
+  /** Gini coefficient of a weight column over its rows — the corpus-mix
+    * concentration report (how unevenly do sources contribute tokens;
+    * 0 = perfectly even, →1 = one source is the corpus). Standard
+    * sorted-rank form G = 2·Σ i·w_i / (n·Σw) − (n+1)/n over weights
+    * ascending (ties broken by the key for determinism). The sort runs
+    * over |groups| rows — the input here is an AGGREGATED per-group
+    * weight table, so the single-partition window is bounded by group
+    * cardinality, never row volume. Exact integer products; one double
+    * division, 6dp.
+    *
+    * @return one row (n_groups, total_weight, gini); empty/zero-mass
+    *         input yields null gini
+    */
+  def giniConcentration(weights: DataFrame, keyCol: String,
+                        weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(weightCol), col(keyCol))
+    weights
+      .withColumn("__i", row_number().over(w).cast("decimal(38,0)"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col(weightCol).cast("decimal(38,0)")).as("total_weight"),
+        sum(col("__i") * col(weightCol).cast("decimal(38,0)"))
+          .as("__iw"))
+      .select(col("n_groups"),
+        col("total_weight").cast("bigint").as("total_weight"),
+        when(col("n_groups") > 0 && col("total_weight") > 0,
+          round(lit(2.0) * col("__iw").cast("double") /
+            (col("n_groups").cast("double") *
+              col("total_weight").cast("double")) -
+            (col("n_groups") + 1).cast("double") /
+              col("n_groups").cast("double"), 6)).as("gini"))
+  }
 }

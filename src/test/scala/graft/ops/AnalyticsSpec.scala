@@ -127,4 +127,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(analytics.robustOutliers(calm, "grp", "v", Seq("id")).count()
       === 0)
   }
+
+  test("groupTrend recovers an exact line and nulls degenerate groups") {
+    // g1: y = 2x + 3 exactly; g2: noisy around slope 0; g3: single x
+    val rows = (0 to 10).map(x => ("g1", x, 2.0 * x + 3.0)) ++
+      Seq(("g2", 0, 1.0), ("g2", 1, -1.0), ("g2", 2, 1.0),
+        ("g2", 3, -1.0)) ++
+      Seq(("g3", 5, 9.0), ("g3", 5, 11.0))
+    val got = analytics.groupTrend(rows.toDF("k", "x", "y"), "k",
+      col("x"), col("y"))
+      .as[(String, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("g1") === ((11L, Some(2.0), Some(3.0))))
+    assert(math.abs(got("g2")._2.get - -0.4) < 1e-9)
+    // all x equal: denominator 0 -> null fit, not infinity
+    assert(got("g3") === ((2L, None, None)))
+  }
+
+  test("giniConcentration: 0 when even, (n-1)/n when one group owns all") {
+    val even = Seq(("a", 100L), ("b", 100L), ("c", 100L), ("d", 100L))
+    assert(analytics.giniConcentration(even.toDF("k", "w"), "k", "w")
+      .select("gini").as[Double].head() === 0.0)
+    val solo = Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 400L))
+    assert(analytics.giniConcentration(solo.toDF("k", "w"), "k", "w")
+      .select("gini").as[Double].head() === 0.75)
+    val empty = Seq.empty[(String, Long)].toDF("k", "w")
+    assert(analytics.giniConcentration(empty, "k", "w")
+      .select("gini").as[Option[Double]].head().isEmpty)
+  }
 }
