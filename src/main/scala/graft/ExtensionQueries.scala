@@ -280,6 +280,11 @@ object ExtensionQueries {
         col("doc_id"), col("lang"),
         Text.langId(col("text")).as("pred_lang"))),
 
+    // the datasheet a published corpus ships with — Text.dataCard
+    "q_data_card" -> ((s, d) =>
+      Text.dataCard(t(s, d, "documents"), "doc_id", "text", "lang",
+        "source")),
+
     // per-supplier shipment-volume trend: OLS from exact integer
     // moment sums — ops.analytics.groupTrend
     "q_trend" -> ((s, d) =>
@@ -3790,6 +3795,45 @@ object ExtensionQueries {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_price
          FROM orders GROUP BY o_orderpriority""",
+
+    "q_data_card" ->
+      """WITH t0 AS (
+           SELECT doc_id, lang, source, COALESCE(text, '') AS tx,
+                  COALESCE(CAST(len(string_split_regex(trim(text),
+                    '\s+')) AS BIGINT), 0) AS toks
+           FROM documents),
+         b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(toks) AS BIGINT) AS n_tokens,
+                      CAST(SUM(length(tx)) AS BIGINT) AS n_chars,
+                      CAST(COUNT(DISTINCT source) AS BIGINT)
+                        AS n_sources,
+                      CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                      CAST(SUM(CASE WHEN length(tx) = 0 THEN 1
+                               ELSE 0 END) AS BIGINT) AS n_empty,
+                      CAST(COUNT(DISTINCT md5(tx)) AS BIGINT)
+                        AS n_distinct_text
+               FROM t0),
+         ts AS (SELECT MAX(c) AS top_c FROM
+                  (SELECT COUNT(*) AS c FROM t0 GROUP BY source)),
+         q AS (SELECT quantile_cont(CAST(toks AS DOUBLE), 0.5) AS p50
+               FROM t0)
+         SELECT m.metric, m.value FROM b, ts, q,
+           LATERAL (VALUES
+             ('n_docs', CAST(n_docs AS DOUBLE)),
+             ('n_tokens', CAST(n_tokens AS DOUBLE)),
+             ('n_chars', CAST(n_chars AS DOUBLE)),
+             ('n_sources', CAST(n_sources AS DOUBLE)),
+             ('n_langs', CAST(n_langs AS DOUBLE)),
+             ('empty_rate', round(CAST(n_empty AS DOUBLE) /
+                CAST(n_docs AS DOUBLE), 6)),
+             ('mean_doc_tokens', round(CAST(n_tokens AS DOUBLE) /
+                CAST(n_docs AS DOUBLE), 6)),
+             ('exact_dup_rate', round(1.0 -
+                CAST(n_distinct_text AS DOUBLE) /
+                CAST(n_docs AS DOUBLE), 6)),
+             ('p50_doc_tokens', round(p50, 4)),
+             ('top_source_share', round(CAST(top_c AS DOUBLE) /
+                CAST(n_docs AS DOUBLE), 6))) AS m(metric, value)""",
 
     // identical closed-form OLS over the same exact integer moment
     // sums (x days, y cents); all casts to DOUBLE mirror the Spark

@@ -80,6 +80,58 @@ object Text {
     }.getField("lang")
   }
 
+  /** Corpus data card (Gebru et al. '21 datasheet shape): the headline
+    * statistics a published training corpus ships with, as one
+    * long-format (metric, value) frame — volume (docs/tokens/chars),
+    * composition (sources/langs, top-source share), hygiene (empty
+    * rate, exact-dup rate) and shape (mean + exact median doc tokens).
+    *
+    * Cost: one multi-distinct aggregate over the corpus (Expand ×4 —
+    * the audit-grade exact pass; a 100 TB run swaps the distincts for
+    * sketches, see q_profile_approx's pattern), one |sources|-bounded
+    * count agg, and the spillable exact-percentile pass. All ratios
+    * are integer divisions rounded 6dp; the median carries the
+    * quantile 4dp rule. */
+  def dataCard(docs: DataFrame, idCol: String, textCol: String,
+               langCol: String, sourceCol: String): DataFrame = {
+    val tx = coalesce(col(textCol), lit(""))
+    val toks = coalesce(tokenCount(col(textCol)).cast("long"), lit(0L))
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(toks).as("n_tokens"),
+      sum(length(tx).cast("long")).as("n_chars"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      countDistinct(col(langCol)).as("n_langs"),
+      sum(when(length(tx) === 0, 1L).otherwise(0L)).as("n_empty"),
+      countDistinct(md5(tx)).as("n_distinct_text"))
+    val topShare = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("top_c"))
+    val p50 = graft.ops.quantiles.exactPercentiles(
+      docs.select(lit(1).as("__g"), toks.as("__toks")), "__g", "__toks",
+      Seq("p50" -> 0.5)).select(col("p50"))
+    val nD = col("n_docs").cast("double")
+    base.crossJoin(broadcast(topShare)).crossJoin(broadcast(p50))
+      .select(explode(array(Seq(
+        "n_docs" -> col("n_docs").cast("double"),
+        "n_tokens" -> col("n_tokens").cast("double"),
+        "n_chars" -> col("n_chars").cast("double"),
+        "n_sources" -> col("n_sources").cast("double"),
+        "n_langs" -> col("n_langs").cast("double"),
+        "empty_rate" -> round(col("n_empty").cast("double") / nD, 6),
+        "mean_doc_tokens" ->
+          round(col("n_tokens").cast("double") / nD, 6),
+        "exact_dup_rate" -> round(lit(1.0) -
+          col("n_distinct_text").cast("double") / nD, 6),
+        "p50_doc_tokens" -> round(col("p50"), 4),
+        "top_source_share" ->
+          round(col("top_c").cast("double") / nD, 6)).map {
+          case (name, v) => struct(lit(name).as("metric"),
+            v.as("value"))
+        }: _*)).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+  }
+
   /** Within-group rank normalization of a quality metric: percent_rank
     * of each row inside its group (orderBy (metric, id) — fully
     * deterministic under ties), plus a keep flag for the top `keepTop`
@@ -89,8 +141,10 @@ object Text {
     * (otherwise one generous scorer floods the mix — the bias
     * [[domainCap]] limits by COUNT, this removes at the SCORE level).
     *
-    * One window shuffle on the group key; at 100 TB that is the same
-    * exchange any per-source statistic costs.
+    * Two bounded shuffles: a load-balanced range partition over the
+    * full sort key, then a (partition-id, group) re-key whose cells
+    * never exceed one range-partition's rows — see the skew note in
+    * the body.
     */
   def rankNormalize(df: DataFrame, groupCol: String, metric: Column,
                     idCol: String, keepTop: Double): DataFrame = {
