@@ -568,4 +568,24 @@ class TextSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got === ref)
   }
+
+  test("dataCard computes the datasheet on a hand-built corpus") {
+    val docs = Seq(
+      (1L, "one two three", "en", "sA"),
+      (2L, "one two three", "en", "sA"),   // exact dup of 1
+      (3L, "four five", "fr", "sB"),
+      (4L, "", "en", "sB"),                // empty
+      (5L, null.asInstanceOf[String], "en", "sC")) // null = empty
+      .toDF("doc_id", "text", "lang", "source")
+    val card = Text.dataCard(docs, "doc_id", "text", "lang", "source")
+      .as[(String, Double)].collect().toMap
+    assert(card("n_docs") === 5.0)
+    // tokens: 3 + 3 + 2 + 1 ("" splits to one empty token) + 0 (null)
+    assert(card("n_tokens") === 9.0)
+    assert(card("n_sources") === 3.0 && card("n_langs") === 2.0)
+    assert(card("empty_rate") === 0.4)      // docs 4 and 5
+    assert(card("exact_dup_rate") === 0.4)  // 3 distinct texts: null and "" collapse
+    assert(card("top_source_share") === 0.4) // sA and sB tie at 2/5
+    assert(card("p50_doc_tokens") === 2.0)  // sorted [0,1,2,3,3]
+  }
 }
