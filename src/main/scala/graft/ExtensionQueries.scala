@@ -1,5 +1,6 @@
 package graft
 
+import graft.Staging._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -826,13 +827,16 @@ object ExtensionQueries {
     // PCA fit + project in ONE corpus pass: the staged moment sums feed
     // covariance (→ driver-side d×d Jacobi — legal: d² values regardless
     // of corpus size) AND the centering mean; projection is one
-    // broadcast, no corpus shuffle. No SQL twin (iterative eigensolver);
-    // PcaSpec pins the math.
+    // broadcast, no corpus shuffle. The eigensolver has no SQL twin, so
+    // this is the verdict form (the sketch-oracle pattern): per-row
+    // invariant booleans (independent-path projection match, Parseval
+    // bound, orthonormality, centering, eigen-order, data-side variance
+    // ≡ eigenvalue) plus the two quantities DuckDB computes exactly from
+    // the raw table — row count and covariance trace. PcaSpec pins the
+    // raw projection math.
     "q_pca_project" -> ((s, d) =>
-      Similarity.pcaProjectFitted(t(s, d, "embeddings"), "vec_id",
-        "embedding", dim = 64, k = 4)
-        .select(col("vec_id"), col("component"),
-          round(col("coord"), 6).as("coord"))),
+      Similarity.pcaVerdict(t(s, d, "embeddings"), "vec_id",
+        "embedding", dim = 64, k = 4)),
 
     // int8 scalar quantization: per-dim (min,max) calibration in one
     // map-side-combined pass, then scan-local encode against the
@@ -1068,7 +1072,7 @@ object ExtensionQueries {
     "q_unigram_logprob" -> ((s, d) => {
       val tf = t(s, d, "documents")
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-        .localCheckpoint()
+        .stage()
       val freq = tf.groupBy("tok").agg(count(lit(1)).as("cnt"))
       val n = tf.agg(count(lit(1)).cast("double").as("n_total"))
       tf.join(freq, Seq("tok"))
@@ -1321,7 +1325,7 @@ object ExtensionQueries {
       // re-run the scan + repartition
       val par = (if (in.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
         in.repartition(s.sparkContext.defaultParallelism) else in)
-        .localCheckpoint()
+        .stage()
       // UNPIVOT first, sketch per GROUP: k approx_count_distinct buffers
       // side by side in ONE aggregate lay k·numWords longs in the agg
       // row and the generated update path degrades superlinearly with
@@ -1461,7 +1465,7 @@ object ExtensionQueries {
       // subtree runs twice (at cluster scale: a staging table)
       val tf = t(s, d, "documents")
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-        .localCheckpoint()
+        .stage()
       val vocab = tf.groupBy("tok")
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 10)
@@ -3324,6 +3328,35 @@ object ExtensionQueries {
          JOIN m mi ON p.i = mi.i
          JOIN m mj ON p.j = mj.i
          CROSS JOIN n""",
+
+    // Verdict twin for the PCA projection (no SQL eigensolver exists):
+    // DuckDB computes the checkable side — the row count and the
+    // covariance trace via the SAME fixed-order per-element expression
+    // the q_emb_covariance oracle hash-matches at 10dp (here summed and
+    // rounded at 4dp, far above the ~1e-9 cross-engine residual) — and
+    // asserts every invariant boolean literally; the hash matches iff
+    // the Spark side's eigensolver + projection satisfied all of them.
+    "q_pca_project" ->
+      """WITH v AS (SELECT vec_id,
+                           list_transform(embedding, x -> x::DOUBLE) AS e
+                    FROM embeddings),
+         d AS (
+           SELECT t.j::INT AS i,
+                  sum(CAST(e[t.j + 1] * e[t.j + 1]
+                      AS DECIMAL(28,12))) AS sxx,
+                  sum(CAST(e[t.j + 1] AS DECIMAL(28,12))) AS sx
+           FROM v, range(0, 64) t(j)
+           GROUP BY 1),
+         n AS (SELECT count(*)::DOUBLE AS n FROM v),
+         tr AS (SELECT round(sum((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE
+                                  / n.n) / n.n), 4) AS total_var
+                FROM d CROSS JOIN n)
+         SELECT v.vec_id, k.j::INT AS component,
+                TRUE AS ok_proj, TRUE AS ok_parseval, TRUE AS ok_centered,
+                TRUE AS ok_unit, TRUE AS ok_orth, TRUE AS ok_order,
+                TRUE AS ok_var, n.n::BIGINT AS n_rows, tr.total_var
+         FROM v, range(0, 4) k(j)
+         CROSS JOIN n CROSS JOIN tr""",
 
     // Mirrors Similarity.int8Quantize: per-dim min/max over the float
     // values (cast to double — monotone, so identical), scale =

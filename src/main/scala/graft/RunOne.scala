@@ -1,5 +1,6 @@
 package graft
 
+import graft.Staging._
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: run a single named query, print timing and optionally the
@@ -51,7 +52,7 @@ object RunOne {
           array_sort(graft.text.Text.shingles(
             graft.text.Text.tokens(col("text")), 3)).as("grams"))
           .filter(size(col("grams")) > 0)
-          .localCheckpoint()
+          .stage()
         val prefLen = (size(col("grams")) -
           ceil(lit(0.5) * size(col("grams"))) + 1).cast("int")
         val pref = staged.select(col("doc_id"),
@@ -68,7 +69,7 @@ object RunOne {
         import org.apache.spark.sql.functions._
         val fps = graft.dedup.Dedup.simhash(
           Tables.t(s, d, "documents"), "doc_id", "text", 16)
-          .localCheckpoint()
+          .stage()
         graft.dedup.Dedup.bandedHammingPairs(fps, "doc_id", "simhash",
           16, 3)
       })

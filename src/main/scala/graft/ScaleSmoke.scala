@@ -1,5 +1,6 @@
 package graft
 
+import graft.Staging._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -236,7 +237,7 @@ object ScaleSmoke {
             (floor(col("id") / 40).cast("long") + j) % 997)
             .cast("string"))): _*).as("text"))
       val m = graft.text.Text.sourceOverlap(docs, "source", "text", k = 3)
-        .localCheckpoint()
+        .stage()
       require(m.count() == 40,
         s"expected the 40 planted within-band pairs, got ${m.count()}")
       m.count()

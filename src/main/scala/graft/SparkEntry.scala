@@ -1,5 +1,6 @@
 package graft
 
+import graft.Staging._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -303,7 +304,7 @@ object SparkEntry {
       // vocabulary-sized (≪ token stream) and read twice (bounds join +
       // true-top-5) — pin it so the tokenize+count runs once
       val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+        .stage()
       val bounds = sketch.join(exact, Seq("tok"), "left")
         .agg(count(lit(1)).as("n_reported"),
           (sum(when(col("cnt") <= col("est") &&

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.Staging._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -112,7 +113,7 @@ object Dedup {
         .as("jaccard"))
   }
 
-  /** Per-doc distinct shingle sets, materialized once (`localCheckpoint`)
+  /** Per-doc distinct shingle sets, materialized once (`Staging.stage`)
     * so pipelines that need them in several subtrees — signature
     * generation AND candidate verification — don't re-run the tokenize +
     * shingle work per subtree. At cluster scale the same role is played
@@ -121,7 +122,7 @@ object Dedup {
   : DataFrame =
     docs.select(col(idCol).as("doc_id"),
       Text.shingles(Text.tokens(col(textCol)), k).as("shset"))
-      .localCheckpoint()
+      .stage()
 
   /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidates →
     * exact-Jaccard verification, over one shared shingle materialization.
@@ -164,7 +165,7 @@ object Dedup {
     // banded: (doc_id, band, bucket), 1 row per doc·band — checkpointed so
     // the candidate self-join's two sides don't each recompute the
     // md5-heavy signatures
-    val banded = bandedBuckets(sets, numPerms, numBands).localCheckpoint()
+    val banded = bandedBuckets(sets, numPerms, numBands).stage()
     val cands = lshCandidates(banded)
 
     cands
@@ -257,7 +258,7 @@ object Dedup {
                    bits: Int, maxHamming: Int): DataFrame = {
     // checkpointed: the band explode and both join sides read the
     // fingerprints; without it the md5 loop runs once per subtree
-    val fps = simhash(docs, idCol, textCol, bits).localCheckpoint()
+    val fps = simhash(docs, idCol, textCol, bits).stage()
     bandedHammingPairs(fps, "doc_id", "simhash", bits, maxHamming)
   }
 
@@ -279,7 +280,7 @@ object Dedup {
     val nBands = maxHamming + 1
     require(bits >= nBands, s"need at least $nBands bits for $nBands bands")
     val ids = fps.select(col(idCol).as("__id"), col(fpCol).as("__fp"))
-    val distinctF = ids.select(col("__fp")).distinct().localCheckpoint()
+    val distinctF = ids.select(col("__fp")).distinct().stage()
     // distribute bits over bands as evenly as possible, MSB first
     val widths = Array.tabulate(nBands)(b =>
       bits / nBands + (if (b < bits % nBands) 1 else 0))
@@ -465,7 +466,7 @@ object Dedup {
     val sets = spread.select(col("doc_id"),
       Text.shingles(Text.tokens(col("text")), k).as("grams"))
       .filter(size(col("grams")) > 0)
-      .localCheckpoint()
+      .stage()
     val dict = sets.select(explode(col("grams")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
       .sort("df", "g").select("g").as[String].rdd
@@ -474,7 +475,7 @@ object Dedup {
       .join(dict, Seq("g"))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(col("gid"))).as("ids"))
-      .localCheckpoint()
+      .stage()
   }
 
   /** n-gram (word k-shingle) Jaccard near-dup pairs: ALL pairs with
@@ -642,7 +643,7 @@ object Dedup {
     * pointer-doubling shortcut that collapses a chain of length d in
     * O(log d) rounds instead of O(d) — near-dup graphs are mostly
     * cliques, but chained near-dups otherwise make round count
-    * data-dependent). Each round's result is `localCheckpoint`ed:
+    * data-dependent). Each round's result is `Staging.stage`d:
     * iterative plans otherwise stack lineage until planning dominates.
     *
     * Convergence is detected from sum(comp): labels only ever decrease,
@@ -667,7 +668,7 @@ object Dedup {
         struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
+      .stage()
 
     // coalesce: sum over zero rows is null — an empty pair table (corpus
     // with no near-dups) must converge on the first iteration, not NPE
@@ -681,7 +682,7 @@ object Dedup {
     var labels = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("mind"))
       .select(col("id"), least(col("id"), col("mind")).as("comp"))
-      .localCheckpoint()
+      .stage()
     var prevSum = checksum(labels)
     var converged = false
     while (!converged) {
@@ -695,7 +696,7 @@ object Dedup {
       val next = viaNeighbors.union(viaLabel).union(labels)
         .groupBy("id")
         .agg(min("comp").as("comp"))
-        .localCheckpoint()
+        .stage()
       val s = checksum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.Staging._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -36,7 +37,7 @@ object Graph {
     * shuffle on src), contributions re-keyed and summed per `dst` (one
     * shuffle on dst), left-join back onto the node set so in-degree-0
     * nodes keep their teleport share. Edges + degrees are staged ONCE
-    * (`localCheckpoint`) and reused by every iteration; each iteration
+    * (`Staging.stage`) and reused by every iteration; each iteration
     * is checkpointed so lineage stays flat — the driver never sees a
     * row. At 100 TB the edge list partitioning on `src` is reused
     * across all k ranks⋈edges joins.
@@ -55,11 +56,11 @@ object Graph {
     // and the iteration join all read it
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-      .localCheckpoint()
+      .stage()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .stage()
     // one bounded scalar on the driver (like Lloyd's k centroids) — the
     // teleport term needs N inside an integer expression
     val n = nodes.count()
@@ -97,7 +98,7 @@ object Graph {
           (lit(teleport) +
             expr(s"($dampingPct * coalesce(in_sum, 0L)) div 100"))
             .as("rank_micro"))
-        .localCheckpoint()
+        .stage()
     }
     eDeg.unpersist()
     ranks
@@ -213,10 +214,10 @@ object Graph {
     val e = e0.select(col("a").as("src"), col("b").as("dst"))
       .union(e0.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .stage()
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("community"))
-      .localCheckpoint()
+      .stage()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("node")
       .orderBy(col("c").desc, col("community").asc)
@@ -228,7 +229,7 @@ object Graph {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("node"), col("community"))
-        .localCheckpoint()
+        .stage()
     }
     labels
   }
@@ -248,11 +249,11 @@ object Graph {
       greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct()
-      .localCheckpoint()
+      .stage()
     val deg = und.select(col("lo").as("v"))
       .union(und.select(col("hi").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-      .localCheckpoint()
+      .stage()
     val withDeg = und
       .join(deg.withColumnRenamed("v", "lo")
         .withColumnRenamed("d", "d_lo"), "lo")
@@ -265,7 +266,7 @@ object Graph {
         .otherwise(struct(col("hi").as("src"), col("lo").as("dst")))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
+      .stage()
     Staged(deg, oriented)
   }
 
@@ -278,7 +279,7 @@ object Graph {
     // pass at sf0.1
     val adj = g.oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-      .localCheckpoint()
+      .stage()
     val emptyNbrs = array().cast("array<long>")
     g.oriented
       .join(adj.select(col("src").as("u"), col("nbrs").as("nu")),

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Staging._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -60,7 +61,7 @@ object baskets {
     // staged: the incidence distinct is the raw-volume shuffle, and
     // THREE consumers read it (item supports, basket count, pair
     // expansion) — without the pin each would re-run it
-    val inc = incidence(b, basketCol, itemCol).localCheckpoint()
+    val inc = incidence(b, basketCol, itemCol).stage()
     val itemSup = inc.groupBy(col("i")).agg(count(lit(1)).as("sup"))
     val nBaskets = inc.select(col("k")).distinct()
       .agg(count(lit(1)).as("n"))

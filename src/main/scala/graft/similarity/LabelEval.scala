@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.Staging._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -218,7 +219,7 @@ object LabelEval {
     * @return one row (po, pe, kappa) rounded 6dp
     */
   def cohensKappa(pred: DataFrame): DataFrame = {
-    val cm = confusionMatrix(pred).localCheckpoint()
+    val cm = confusionMatrix(pred).stage()
     val tot = cm.agg(sum(col("n")).as("nn"),
       sum(when(col("label") === col("pred"), col("n")).otherwise(0L))
         .as("agree"))

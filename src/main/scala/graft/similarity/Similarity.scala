@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.Staging._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -174,7 +175,7 @@ object Similarity {
     val par = spark.sparkContext.defaultParallelism
     val v0 = vectors.select(col("vec_id"), col("embedding"))
     val v = (if (v0.rdd.getNumPartitions < par) v0.repartition(par)
-             else v0).localCheckpoint()
+             else v0).stage()
 
     import spark.implicits._
 
@@ -235,7 +236,7 @@ object Similarity {
           slice(col("embedding"), j * subLen + 1, subLen).as("sv"))): _*))
         .as("x"))
       .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
-      .localCheckpoint()
+      .stage()
   }
 
   /** Per-subspace deterministic Lloyd codebook: `ksub` centroids per
@@ -487,7 +488,7 @@ object Similarity {
     val staged = vectors.select(col("vec_id"), col("embedding"),
       call_function("graft_lsh_buckets", col("embedding"),
         lit(numTables), lit(planesPerTable)).as("buckets"))
-      .localCheckpoint()
+      .stage()
     val tabled = staged.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val cands = tabled.select(col("tbl"), col("bucket"),
@@ -554,7 +555,7 @@ object Similarity {
     val salted = v.join(sizes, Seq("cell"))
       .withColumn("__salt",
         pmod(xxhash64(col("vec_id")), col("__s")).cast("int"))
-      .localCheckpoint()
+      .stage()
     val aSide = salted
       .withColumn("__j",
         explode(sequence(col("__salt"), col("__s") - 1)))
@@ -791,6 +792,99 @@ object Similarity {
     val spark = vectors.sparkSession
     projectOn(vectors, idCol, embCol, muFrame(spark, f.mean),
       componentsFromTri(spark, f.cov, dim, k))
+  }
+
+  /** Verdict form of the PCA fit+project — the oracle surface for an
+    * operator whose core (the Jacobi eigensolver) has no SQL twin.
+    * Same pattern as the approximation-sketch verdicts (SURVEY.md §5):
+    * the output carries (a) quantities BOTH engines compute exactly
+    * from the raw table — the row count and the total variance
+    * (= covariance trace, the same fixed-order per-element expression
+    * the `q_emb_covariance` oracle already hash-matches at 10 dp) —
+    * and (b) the PCA invariants as booleans the DuckDB twin asserts
+    * literally, so the hash matches iff every invariant held:
+    *
+    *  - `ok_proj`      per row: the projected coordinate equals the
+    *                   independent expansion x·Vₖ − μ·Vₖ (different
+    *                   association than projectOn's (x−μ)·Vₖ) within ε
+    *  - `ok_parseval`  per vector: Σₖ coordₖ² ≤ ‖x−μ‖² + ε (projection
+    *                   onto an orthonormal basis cannot exceed the norm)
+    *  - `ok_centered`  per component: |mean(coord)| ≤ ε
+    *  - `ok_unit`      per component: |‖Vₖ‖ − 1| ≤ ε
+    *  - `ok_orth`      all pairwise |Vᵢ·Vⱼ| ≤ ε (driver, k² dots)
+    *  - `ok_order`     eigenvalues descending
+    *  - `ok_var`       per component: |popvar(coord) − λₖ| within a
+    *                   relative bound — ties the DATA-side variance of
+    *                   the projected output back to the eigensolver
+    *
+    * Scale shape: one moment pass (shared with the fit), one scan-local
+    * projection pass against the broadcast axes, per-component stats via
+    * a map-side-combined groupBy broadcast back (k rows — never a
+    * k-partition window), and a per-vector window keyed on the id (as
+    * many groups as rows, so it hash-partitions evenly). */
+  def pcaVerdict(vectors: DataFrame, idCol: String, embCol: String,
+                 dim: Int, k: Int): DataFrame = {
+    val f = finishSums(vectors, embCol, dim)
+    require(f.n > 0, "pcaVerdict: the PCA fit set is empty")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val a = Array.ofDim[Double](dim, dim)
+    f.cov.foreach { case (i, j, c) => a(i)(j) = c; a(j)(i) = c }
+    val (eig, vecs) = jacobiEigen(a)
+    def dotL(u: Array[Double], v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < u.length) { s += u(i) * v(i); i += 1 }
+      s
+    }
+    val eps = 1e-9
+    val okOrth = (0 until k).forall(i => (i + 1 until k).forall(j =>
+      math.abs(dotL(vecs(i), vecs(j))) <= eps))
+    val okOrder = (1 until k).forall(i => eig(i) <= eig(i - 1) + eps)
+    // trace in ascending-dim order — f.cov is (i,j)-sorted, so the diag
+    // filter preserves it; the oracle sums the same 10dp-stable elements
+    val trace = f.cov.collect { case (i, j, c) if i == j => c }.sum
+    val tolVar = 1e-6 * math.max(1.0, math.abs(eig(0)))
+    val comps = (0 until k).map { i =>
+      (i, eig(i), vecs(i).toSeq, dotL(f.mean, vecs(i)),
+        math.abs(math.sqrt(dotL(vecs(i), vecs(i))) - 1.0) <= eps)
+    }.toDF("component", "eigenvalue", "axis", "mua", "ok_unit")
+    val base = vectors
+      .crossJoin(broadcast(muFrame(spark, f.mean)))
+      .select(col(idCol), col(embCol),
+        zip_with(col(embCol), col("mu"),
+          (x, m) => x.cast("double") - m).as("cx"))
+      .select(col(idCol), col(embCol), col("cx"),
+        aggregate(zip_with(col("cx"), col("cx"), (p, q) => p * q),
+          lit(0.0), (acc, p) => acc + p).as("nx2"))
+    val rows = base.crossJoin(broadcast(comps))
+      .select(col(idCol), col("component"), col("eigenvalue"),
+        col("ok_unit"), col("nx2"),
+        aggregate(zip_with(col("cx"), col("axis"), (c, ax) => c * ax),
+          lit(0.0), (acc, p) => acc + p).as("coord"),
+        (aggregate(zip_with(col(embCol), col("axis"),
+          (x, ax) => x.cast("double") * ax),
+          lit(0.0), (acc, p) => acc + p) - col("mua")).as("xa_centered"))
+    val compStats = rows.groupBy("component")
+      .agg(sum(col("coord")).as("sum_c"),
+        sum(col("coord") * col("coord")).as("sum_c2"))
+    val wVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    rows
+      .join(broadcast(compStats), Seq("component"))
+      .withColumn("par_c2",
+        sum(col("coord") * col("coord")).over(wVec))
+      .select(col(idCol), col("component"),
+        (abs(col("coord") - col("xa_centered")) <= lit(eps)).as("ok_proj"),
+        (col("par_c2") <= col("nx2") + lit(eps)).as("ok_parseval"),
+        (abs(col("sum_c") / lit(f.n)) <= lit(eps)).as("ok_centered"),
+        col("ok_unit"),
+        lit(okOrth).as("ok_orth"),
+        lit(okOrder).as("ok_order"),
+        (abs(col("sum_c2") / lit(f.n) -
+          (col("sum_c") / lit(f.n)) * (col("sum_c") / lit(f.n)) -
+          col("eigenvalue")) <= lit(tolVar)).as("ok_var"),
+        lit(f.n.toLong).as("n_rows"),
+        round(lit(trace), 4).as("total_var"))
   }
 
   // ---- int8 scalar quantization --------------------------------------

@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.Staging._
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -81,7 +82,7 @@ object StagedSources {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(tmp)
-      .localCheckpoint()
+      .stage()
   }
 
   /** Schema evolution at the lake: two parquet batches written under

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.Staging._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
@@ -41,7 +42,7 @@ object Bpe {
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("c"))
       .withColumn("seg", regexp_replace(col("w"), "(.)", "($1)"))
-      .localCheckpoint()
+      .stage()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -63,7 +64,7 @@ object Bpe {
         merges += ((r, l, rt, l + rt, n))
         vocab = vocab.withColumn("seg",
           expr(s"replace(seg, '($l)($rt)', '($l$rt)')"))
-          .localCheckpoint()
+          .stage()
         r += 1
       }
     }

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.Staging._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -48,7 +49,7 @@ object Importance {
         explode(Text.tokens(col(textCol))).as("tok"))
       .select(col(idCol), col("is_target"),
         tokBucket(col("tok"), buckets).as("bucket"))
-      .localCheckpoint()
+      .stage()
 
     // B-row side: add-1 smoothed log-ratio per bucket, snapped to micros
     val counts = tf.groupBy("bucket")
@@ -107,7 +108,7 @@ object Importance {
         explode(Text.tokens(col(textCol))).as("tok"))
       .select(col(idCol), col("cls"), col("is_train"),
         tokBucket(col("tok"), buckets).as("bucket"))
-      .localCheckpoint()
+      .stage()
 
     // class totals over the training slice: token mass + doc-count prior
     val classes = tf.filter(col("is_train"))
@@ -184,7 +185,7 @@ object Importance {
         explode(Text.tokens(col(textCol))).as("tok"))
       .groupBy(col("src"), tokBucket(col("tok"), buckets).as("bucket"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // tiny (≤ B·S rows); feeds four re-aggregations
+      .stage() // tiny (≤ B·S rows); feeds four re-aggregations
     val perSrc = sb.groupBy("src").agg(sum(col("c")).as("n_s"))
     val perBucket = sb.groupBy("bucket").agg(sum(col("c")).as("cb"))
     val total = sb.agg(sum(col("c")).as("n_total"))

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.Staging._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -372,7 +373,7 @@ object Text {
         explode(shingleSpans(tokens(col(textCol)), k)).as("w"))
       .groupBy(col("doc_id"), xxhash64(col("w")).as("wh"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .stage()
     val dup = perDoc.groupBy("wh")
       .agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2)
@@ -409,12 +410,12 @@ object Text {
     // the one empty token) instead of vanishing through the explode
     val toked = docs.select(col(idCol).as("doc_id"),
       tokens(coalesce(col(textCol), lit(""))).as("t"))
-      .localCheckpoint() // windows + the position explode both read it
+      .stage() // windows + the position explode both read it
     val wins = toked
       .select(col("doc_id"),
         posexplode(shingleSpans(col("t"), k)).as(Seq("wi", "w")))
       .select(col("doc_id"), col("wi"), xxhash64(col("w")).as("wh"))
-      .localCheckpoint() // df count + dup join-back
+      .stage() // df count + dup join-back
     val dup = wins.select("doc_id", "wh").distinct()
       .groupBy("wh").agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2)
@@ -462,7 +463,7 @@ object Text {
         explode(shingles(tokens(col(textCol)), k)).as("g"))
       .select(col("src"), xxhash64(col("g")).as("h"))
       .distinct()
-      .localCheckpoint() // set sizes + intersections both read it
+      .stage() // set sizes + intersections both read it
     val sizes = sh.groupBy("src").agg(count(lit(1)).as("n"))
     val inter = sh.groupBy("h").agg(collect_set(col("src")).as("ss"))
       .select(explode(col("ss")).as("src_a"), col("ss"))
@@ -492,17 +493,17 @@ object Text {
   : DataFrame = {
     val toked = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
-      .localCheckpoint()
+      .stage()
     val bg = toked.filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(t) - 1),
            i -> struct(element_at(t, i) AS w1,
                        element_at(t, i + 1) AS w2))""")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .localCheckpoint()
+      .stage()
     val uni = toked.select(explode(col("t")).as("w"))
     val u = uni.groupBy("w").agg(count(lit(1)).as("uc"))
-      .localCheckpoint()
+      .stage()
     val tot = uni.agg(count(lit(1)).cast("double").as("t_total"))
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
     bg.join(bc, Seq("w1", "w2"))
@@ -604,7 +605,7 @@ object Text {
     // regex runs three times over the corpus
     val toks = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("toks"))
-      .localCheckpoint()
+      .stage()
     val lens = toks.select(col("doc_id"), size(col("toks")).as("dl"))
     val occ = toks
       .select(col("doc_id"), explode(col("toks")).as("tok"))
@@ -661,7 +662,7 @@ object Text {
       .select(col(idCol).as("doc_id"),
         posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
       .filter(col("tok").isInCollection(terms.distinct))
-      .localCheckpoint() // each term's postings slice reads this once
+      .stage() // each term's postings slice reads this once
     val starts = terms.zipWithIndex.map { case (term, i) =>
       post.filter(col("tok") === term)
         .select(col("doc_id"), (col("pos") - i).as("start"))
@@ -709,7 +710,7 @@ object Text {
       .select(col("doc_id"), col("tok"),
         round(col("tf") * log(lit(n.toDouble) / col("df")) * 1e4)
           .cast("long").as("w"))
-      .localCheckpoint()
+      .stage()
     val norms = w.groupBy("doc_id")
       .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
     val dots = w.toDF("doc_a", "tok", "w_a")
@@ -870,7 +871,7 @@ object Text {
                           as chunk))""")).as("c"))
       .select(col("doc_id"), col("c.ci").as("ci"),
         col("c.chunk").as("chunk"), xxhash64(col("c.chunk")).as("h"))
-      .localCheckpoint() // read twice: df count + flag join-back
+      .stage() // read twice: df count + flag join-back
     val boiler = chunks.select("doc_id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= minDocs)

@@ -91,6 +91,21 @@ class PcaSpec extends SparkSpec {
     assert(e.getMessage.contains("fit set is empty"))
   }
 
+  test("pcaVerdict: every invariant boolean holds and anchors match") {
+    val out = Similarity
+      .pcaVerdict(vecs, "vec_id", "embedding", dim = 3, k = 2)
+      .collect()
+    assert(out.length === 8) // 4 vecs × 2 components
+    val bools = Seq("ok_proj", "ok_parseval", "ok_centered", "ok_unit",
+      "ok_orth", "ok_order", "ok_var")
+    out.foreach { r =>
+      bools.foreach(b => assert(r.getAs[Boolean](b), s"$b on $r"))
+      assert(r.getAs[Long]("n_rows") === 4L)
+      // total variance = trace = 1.25 + 5.0 + 0.0, rounded at 4dp
+      assert(r.getAs[Double]("total_var") === 6.25)
+    }
+  }
+
   test("pcaProject coords are centered with variance = eigenvalue") {
     val comps = Similarity.pcaComponents(vecs, "embedding", dim = 3, k = 1)
     val coords = Similarity
