@@ -327,7 +327,12 @@ object ExtensionQueries {
       val dl = call_function("graft_deflate_len", tx)
       t(s, d, "documents").select(
         col("doc_id"), nb.as("n_bytes"),
-        (dl <= nb + lit(64L)).as("ok_bound"),
+        // size-proportional slack: zlib's documented worst case grows
+        // with input (compressBound ≈ n + n/1000 + 13 — 5 bytes per
+        // stored block), so a flat +64 would under-cover incompressible
+        // documents beyond ~50 KB
+        (dl <= nb + floor(nb / lit(1000L)).cast("long") + lit(64L))
+          .as("ok_bound"),
         (nb < 100L || dl.cast("double") < nb * lit(0.9))
           .as("ok_compresses"))
     }),
@@ -1344,7 +1349,11 @@ object ExtensionQueries {
       val prof = longF.groupBy("col_name").agg(
         count(lit(1)).as("n_rows"),
         count(col("v")).as("n_nonnull"),
-        hll_sketch_estimate(hll_sketch_agg(xxhash64(col("v"))))
+        // null-guarded: xxhash64(NULL) returns the seed (42L), not
+        // null, so an unguarded hash would count null rows as one
+        // extra distinct value where countDistinct ignores them
+        hll_sketch_estimate(hll_sketch_agg(
+          when(col("v").isNotNull, xxhash64(col("v")))))
           .as("nd_approx"),
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"),
@@ -2011,7 +2020,8 @@ object ExtensionQueries {
     "q_label_propagation" ->
       """WITH e0 AS (
            SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_custkey <> l_suppkey + 10000000),
          e AS (SELECT a AS src, b AS dst FROM e0
                UNION SELECT b, a FROM e0),
          l0 AS (SELECT DISTINCT src AS node, src AS community FROM e),

@@ -25,6 +25,8 @@ object Graph {
   /** Fixed-point scale: total rank mass ≈ 1e12 ("rank picos"). */
   val Scale: Long = 1000000000000L
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** PageRank over a directed edge list, k fixed iterations.
     *
     * Contract: every node that appears anywhere must have out-degree
@@ -47,7 +49,47 @@ object Graph {
     * @return (node: long, rank_micro: long) — rank scaled by [[Scale]]
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int, dampingPct: Int = 85): DataFrame = {
+               iterations: Int, dampingPct: Int = 85): DataFrame =
+    runPageRank(edges, srcCol, dstCol, iterations, dampingPct,
+      stopOnFixpoint = false)._1
+
+  /** [[pageRank]] with convergence-based stopping: runs until the
+    * integer rank vector reaches its fixpoint (or `maxIterations`),
+    * detected by an UNCHANGED checksum over the (node, rank) pairs —
+    * one scan-local hash-sum aggregation per round, the same pattern
+    * [[graft.dedup.Dedup.connectedComponents]] stops with. Exact
+    * integer arithmetic is what makes the fixpoint well-defined: once
+    * two consecutive rank vectors are identical, every later iteration
+    * reproduces them, so early-stop ≡ any longer fixed run
+    * (`GraphSpec` pins the equivalence). Caveat: `div` truncation can
+    * trap irregular graphs in a ±1-unit limit CYCLE instead of a
+    * period-1 fixpoint — there the cap is the honest stop (ranks are
+    * then within a pico of stationary anyway). Iterations run are
+    * logged and returned so callers can record convergence behavior. */
+  def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                        maxIterations: Int = 50, dampingPct: Int = 85)
+  : (DataFrame, Int) = {
+    val (ranks, iters) = runPageRank(edges, srcCol, dstCol,
+      maxIterations, dampingPct, stopOnFixpoint = true)
+    (ranks, iters)
+  }
+
+  /** Checksum of an integer-valued per-node state frame: the sum of
+    * each row's 64-bit hash, exact in decimal. Consecutive-round
+    * equality means the state reached its fixpoint (collision odds
+    * ~2⁻⁶⁴ per comparison); costs one map-side-combined aggregation —
+    * no extra shuffle, no driver-side rows beyond the one scalar. */
+  private def stateChecksum(state: DataFrame, cols: Seq[String])
+  : java.math.BigDecimal =
+    state.agg(coalesce(
+        sum(xxhash64(cols.map(col): _*).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")))
+      .head().getDecimal(0)
+
+  private def runPageRank(edges: DataFrame, srcCol: String,
+                          dstCol: String, iterations: Int,
+                          dampingPct: Int, stopOnFixpoint: Boolean)
+  : (DataFrame, Int) = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100]: $dampingPct")
@@ -67,7 +109,7 @@ object Graph {
     // empty graph: no nodes to rank (the CC empty-pair-table case) —
     // return the empty frame instead of dividing by zero below
     if (n == 0L)
-      return nodes.select(col("node"), lit(0L).as("rank_micro"))
+      return (nodes.select(col("node"), lit(0L).as("rank_micro")), 0)
     // (1 - d) * SCALE / N in pure integer: ((100 - d) * SCALE div 100) div N
     val teleport = ((100L - dampingPct) * Scale / 100L) / n
 
@@ -87,7 +129,10 @@ object Graph {
     // depth, while per-round checkpoints keep every job the same small
     // shape and the lineage flat at ANY iteration count
     var ranks = nodes.select(col("node"), lit(Scale / n).as("rank_micro"))
-    for (_ <- 1 to iterations) {
+    var prevSum: java.math.BigDecimal = null
+    var iter = 0
+    var converged = false
+    while (iter < iterations && !converged) {
       val contrib = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(eDeg("dst").as("node"),
           expr("rank_micro div out").as("c"))
@@ -99,9 +144,18 @@ object Graph {
             expr(s"($dampingPct * coalesce(in_sum, 0L)) div 100"))
             .as("rank_micro"))
         .stage()
+      iter += 1
+      if (stopOnFixpoint) {
+        val s = stateChecksum(ranks, Seq("node", "rank_micro"))
+        converged = prevSum != null && s.compareTo(prevSum) == 0
+        prevSum = s
+      }
     }
     eDeg.unpersist()
-    ranks
+    if (stopOnFixpoint)
+      log.info(s"pageRankConverged: fixpoint after $iter iterations " +
+        s"(cap $iterations)")
+    (ranks, iter)
   }
 
   /** Global triangle count over an UNDIRECTED edge list (one row per
@@ -206,7 +260,33 @@ object Graph {
     * @return (node: long, community: long)
     */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
-                       rounds: Int): DataFrame = {
+                       rounds: Int): DataFrame =
+    runLabelPropagation(edges, aCol, bCol, rounds,
+      stopOnFixpoint = false)._1
+
+  /** [[labelPropagation]] with convergence-based stopping: rounds run
+    * until the (node, community) assignment repeats — the same
+    * consecutive-round checksum stop as [[pageRankConverged]] — or
+    * `maxRounds` caps it (synchronous LP can 2-cycle on bipartite
+    * structures, where no fixpoint exists and the cap is the honest
+    * stop). The deterministic argmax tie-break makes rounds pure
+    * functions of the previous assignment, so a repeated assignment
+    * proves every later round reproduces it and early-stop ≡ any
+    * longer run (`GraphSpec` pins it). */
+  def labelPropagationConverged(edges: DataFrame, aCol: String,
+                                bCol: String, maxRounds: Int = 50)
+  : (DataFrame, Int) = {
+    val (labels, iters) = runLabelPropagation(edges, aCol, bCol,
+      maxRounds, stopOnFixpoint = true)
+    log.info(s"labelPropagationConverged: stable after $iters rounds " +
+      s"(cap $maxRounds)")
+    (labels, iters)
+  }
+
+  private def runLabelPropagation(edges: DataFrame, aCol: String,
+                                  bCol: String, rounds: Int,
+                                  stopOnFixpoint: Boolean)
+  : (DataFrame, Int) = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val e0 = edges.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b"))
@@ -221,7 +301,12 @@ object Graph {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("node")
       .orderBy(col("c").desc, col("community").asc)
-    for (_ <- 1 to rounds) {
+    var prevSum: java.math.BigDecimal =
+      if (stopOnFixpoint) stateChecksum(labels, Seq("node", "community"))
+      else null
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
       labels = e.join(labels, e("src") === labels("node"))
         .select(e("dst").as("node"), col("community"))
         .groupBy("node", "community")
@@ -230,8 +315,14 @@ object Graph {
         .filter(col("rn") === 1)
         .select(col("node"), col("community"))
         .stage()
+      round += 1
+      if (stopOnFixpoint) {
+        val s = stateChecksum(labels, Seq("node", "community"))
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+      }
     }
-    labels
+    (labels, round)
   }
 
   private case class Staged(deg: DataFrame, oriented: DataFrame)

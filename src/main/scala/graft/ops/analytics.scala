@@ -19,31 +19,59 @@ object analytics {
     * iff they have an event of stage k STRICTLY AFTER their first
     * qualifying event of stage k-1 (the classic first-touch funnel).
     *
-    * Plan shape: stage 0 is one groupBy(user); each later stage is a
-    * filter + equi-join on user against the previous (shrinking) stage
-    * frame + groupBy(user). k stages = k shuffles on one key; at 100 TB
-    * the stage frames after the first hop are small enough that AQE
-    * turns the joins into broadcasts.
+    * Plan shape — ONE scan, one shuffle: the events table is filtered
+    * to the stage set once, grouped by user (the single shuffle), and
+    * each user's (ts, stage) list is folded in ascending-ts order into
+    * the k reach timestamps. The fold computes exactly the recursive
+    * definition tₖ = min{stage-k ts > tₖ₋₁}: processing in ascending
+    * order means tₖ₋₁ is final before any event that could qualify for
+    * stage k arrives, and equal-ts events can never qualify under the
+    * strict `>` in either formulation, so tie order is irrelevant
+    * (AnalyticsSpec pins both properties and the scan count). The
+    * former k-pass shape — one filter-scan + user-key shuffle PER
+    * stage — read the events table k times; a 10-stage funnel over
+    * 100 TB of events is 10 full scans vs this one. Per-user state is
+    * that user's stage events only (the same bound a sessionizer
+    * carries), never the corpus.
     *
-    * @return one row per stage: (stage_idx, stage, n_users)
+    * @return one row per non-empty stage: (stage_idx, stage, n_users)
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val first = events.filter(col(typeCol) === stages.head)
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__prev"))
-    val reached = stages.indices.drop(1).scanLeft(first) { (prev, i) =>
-      events.filter(col(typeCol) === stages(i))
-        .join(prev, Seq(userCol))
-        .filter(col(tsCol) > col("__prev"))
-        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__prev"))
-    }
-    reached.zipWithIndex.map { case (f, i) =>
-      f.select(lit(i).as("stage_idx"), lit(stages(i)).as("stage"),
-        col(userCol))
-    }.reduce(_.unionByName(_))
-      .groupBy("stage_idx", "stage")
+    val k = stages.size
+    val tsType = events.select(col(tsCol)).schema.head.dataType
+    // 1-based array_position over the stage literal → 0-based stage idx
+    val stageIdx =
+      (array_position(typedLit(stages), col(typeCol)) - 1).cast("int")
+    val folded = events
+      .filter(col(typeCol).isin(stages: _*))
+      .select(col(userCol),
+        struct(col(tsCol).as("ts"), stageIdx.as("idx")).as("__e"))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("__e"))).as("__evs"))
+      .select(col(userCol),
+        aggregate(col("__evs"),
+          array_repeat(lit(null).cast(tsType), k),
+          (acc, e) => transform(acc, (t, i) =>
+            // keep a reach time once set; otherwise this event sets
+            // slot i iff it is that stage and strictly after the
+            // previous stage's reach (slot 0 needs no predecessor —
+            // the when() keeps element_at(acc, 0) unevaluated)
+            coalesce(t,
+              when(e.getField("idx") === i &&
+                when(i === 0, lit(true))
+                  .otherwise(e.getField("ts") > element_at(acc, i)),
+                e.getField("ts")))))
+          .as("__reach"))
+    folded
+      .select(posexplode(col("__reach")).as(Seq("stage_idx", "__t")))
+      .filter(col("__t").isNotNull)
+      .groupBy(col("stage_idx"))
       .agg(count(lit(1)).as("n_users"))
+      .select(col("stage_idx"),
+        element_at(typedLit(stages), col("stage_idx") + 1).as("stage"),
+        col("n_users"))
   }
 
   /** Cohort retention grid: users are assigned to the cohort of their
@@ -154,8 +182,10 @@ object analytics {
     * per-group `regr_slope` would compute with an order-dependent
     * double tail. x is an integer regressor (e.g. days since an
     * epoch), y is snapped to integer cents before the moments, so all
-    * five sums are exact (carried in decimal(38,0) — bigint would
-    * overflow the product sums at lake row counts) and the closed-form
+    * five sums are exact: the products are evaluated IN decimal(38,0)
+    * (never in long, whose x² would wrap for a caller passing unix
+    * seconds/micros as x), and decimal(38,0) sums don't overflow at
+    * lake row counts. The closed-form
     * slope/intercept are ONE deterministic double division each, 6dp.
     * A degenerate group (all x equal, denominator 0) yields null
     * slope/intercept rather than ±Inf.
@@ -171,8 +201,12 @@ object analytics {
       count(lit(1)).as("n"),
       sum(xi.cast("decimal(38,0)")).as("sx"),
       sum(yc.cast("decimal(38,0)")).as("sy"),
-      sum((xi * yc).cast("decimal(38,0)")).as("sxy"),
-      sum((xi * xi).cast("decimal(38,0)")).as("sxx"))
+      // cast BEFORE multiplying: a long×long product would silently
+      // wrap for large regressors (unix micros squared ≈ 2.9e33 ≫
+      // Long.Max) — decimal(38,0)×decimal(38,0) holds any long×long
+      // product exactly (≤ 8.5e37 < 10³⁸)
+      sum(xi.cast("decimal(38,0)") * yc.cast("decimal(38,0)")).as("sxy"),
+      sum(xi.cast("decimal(38,0)") * xi.cast("decimal(38,0)")).as("sxx"))
     val nD = col("n").cast("double")
     val sxD = col("sx").cast("double")
     val syD = col("sy").cast("double")

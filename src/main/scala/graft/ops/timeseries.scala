@@ -93,7 +93,10 @@ object timeseries {
     val valueCents = round(col(valueCol) * 100).cast("long")
     events.crossJoin(broadcast(tmax))
       .select(col(keyCol),
-        (valueCents * decayMicro).cast("decimal(38,0)").as("wv"))
+        // decimal product, not long: valueCents×decayMicro wraps long
+        // for values ≳ 9e12 cents; decimal(38,0) is exact for any pair
+        (valueCents.cast("decimal(38,0)") *
+          decayMicro.cast("decimal(38,0)")).as("wv"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
         (round(sum(col("wv")).cast("double") / 1e8 * 1e4) / 1e4)

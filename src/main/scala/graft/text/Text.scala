@@ -162,9 +162,15 @@ object Text {
     // Packing offset trick; the offsets table is ≤ partitions·groups
     // rows). percent_rank then reconstructs as (rank−1)/(n_g−1),
     // identical to the window form incl. the single-row-group → 0 case.
+    // pinned ONCE: __pid is read by two independent consumers (the
+    // in-partition ranking and the per-(pid, group) counts) — without
+    // the materialization their correctness would hinge on exchange
+    // reuse giving both the same physical partitioning, which AQE or
+    // reuseExchange=false can silently break
     val staged = df.withColumn("__metric", metric)
       .repartitionByRange(col(groupCol), col("__metric"), col(idCol))
       .withColumn("__pid", spark_partition_id())
+      .stage()
     val wIn = Window.partitionBy(col("__pid"), col(groupCol))
       .orderBy(col("__metric"), col(idCol))
     val inPart = staged.withColumn("__rk_in", row_number().over(wIn))

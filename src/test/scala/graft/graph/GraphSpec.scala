@@ -169,4 +169,35 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(gotRepart === replica(3))
   }
+
+  test("pageRankConverged: early-stop equals a longer fixed run") {
+    // symmetric 2-regular ring → uniform rank is an EXACT integer
+    // fixpoint (every div divides evenly), so the checksum stop must
+    // land on it; irregular graphs can ±1-unit limit-cycle instead,
+    // where the iteration cap is the honest stop
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val edges = ring ++ ring.map(_.swap)
+    val (ranksDf, iters) = Graph.pageRankConverged(
+      edges.toDF("src", "dst"), "src", "dst", maxIterations = 60)
+    val converged = ranksDf.as[(Long, Long)].collect().toMap
+    assert(iters < 60, s"no fixpoint within the cap (ran $iters)")
+    // running well past the detected fixpoint reproduces it exactly
+    assert(converged === run(edges, iters + 10))
+    assert(converged === refPageRank(edges, iters + 10))
+  }
+
+  test("labelPropagationConverged: stable assignment equals fixed run") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = clique(Seq(1L, 2L, 3L, 4L, 5L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) ++ Seq((5L, 11L))
+    val (df, rounds) = Graph.labelPropagationConverged(
+      edges.toDF("a", "b"), "a", "b", maxRounds = 40)
+    val got = df.as[(Long, Long)].collect().toMap
+    assert(rounds < 40, s"no stable assignment within the cap ($rounds)")
+    val fixed = Graph
+      .labelPropagation(edges.toDF("a", "b"), "a", "b", rounds + 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === fixed)
+  }
 }

@@ -53,6 +53,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Set(("view", 1L), ("click", 1L)))
   }
 
+  test("funnel reads the events table exactly once") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val got = analytics.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+    // the single-scan contract: one source leaf in the plan, where the
+    // per-stage join form had one scan per stage
+    val leaves = got.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size === 1, s"expected 1 scan, got:\n$leaves")
+    // and it still funnels monotonically on real data
+    val rows = got.collect().map(r => (r.getInt(0), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === rows.indices.toSeq)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.reverse.toSeq,
+      "stage counts must be non-increasing")
+  }
+
   test("cohort grid: every user lands in offset 0; totals reconcile") {
     val dir = "/root/testdata/sf0.001"
     val ev = graft.Tables.events(spark, dir)
