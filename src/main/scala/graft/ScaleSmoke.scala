@@ -29,6 +29,11 @@ object ScaleSmoke {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // opt-in reliable-checkpoint mode (Staging.stage routes on this):
+    // lets the smokes measure the durable-staging cost delta a real
+    // cluster pays for executor-loss recoverability
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     import spark.implicits._
 
     def timed(name: String)(f: => Long): Unit =
@@ -365,6 +370,28 @@ object ScaleSmoke {
         .filter(col("a") =!= col("b"))
       val sym = e0.select(col("a").as("src"), col("b").as("dst"))
         .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      graft.graph.Graph.pageRank(sym, "src", "dst", iterations = 3)
+        .filter(col("rank_micro") > 0).count()
+    }
+
+    timed("trade edges + pagerank") {
+      // the q_pagerank family END-TO-END at ~10× the sf0.1 bench
+      // volume: build the distinct bipartite trade edge list from a
+      // synthetic orders⋈lineitem join (the expensive upstream the
+      // bench queries materialize once per snapshot), symmetrize, rank.
+      // Shape: one equi-join shuffle + one distinct + the staged
+      // 3-iteration loop — nothing quadratic, driver sees one count
+      val orders = spark.range(rows / 10).select(col("id").as("ok"),
+        (col("id") % (rows / 40)).as("cust"))
+      val lines = spark.range(rows / 4).select(
+        (col("id") % (rows / 10)).as("ok"),
+        ((col("id") * 6007) % 1000).as("supp"))
+      val edges = orders.join(lines, "ok")
+        .select(col("cust").as("a"),
+          (col("supp") + lit(10000000L)).as("b"))
+        .distinct()
+      val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
       graft.graph.Graph.pageRank(sym, "src", "dst", iterations = 3)
         .filter(col("rank_micro") > 0).count()
     }

@@ -32,6 +32,27 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     parityOracleSql ++ ExtensionQueries.oracleSql
 
+  // Exact (p50, p90) of l_extendedprice per l_returnflag, computed ONCE
+  // per (session, sf dir) and shared by q_agg_percentile (its whole
+  // output) and q_approx_percentile (its verdict's exact side) — the
+  // sharedPqCodebook precedent. The collect is 3 rows (one per return
+  // flag — bounded by group cardinality, not data volume).
+  private val exactPctCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, Seq[(String, Double, Double)]]()
+
+  private def sharedExactPct(s: SparkSession, d: String): DataFrame = {
+    val rows = exactPctCache.computeIfAbsent(s.hashCode + "|" + d, _ =>
+      graft.ops.quantiles.exactPercentiles(
+        t(s, d, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .toSeq)
+    import s.implicits._
+    rows.toDF("l_returnflag", "p50", "p90")
+  }
+
   private def parityQueries
   : Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.2 projections -------------------------------------------------
@@ -330,9 +351,7 @@ object SparkEntry {
           .as("a50"),
         percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
           .as("a90"))
-      val exact = graft.ops.quantiles.exactPercentiles(
-        t(s, d, "lineitem"), "l_returnflag", "l_extendedprice",
-        Seq("p50" -> 0.5, "p90" -> 0.9))
+      val exact = sharedExactPct(s, d)
       approx.join(exact, "l_returnflag")
         .select(col("l_returnflag"),
           round(col("p50"), 4).as("p50"),
@@ -419,9 +438,7 @@ object SparkEntry {
     // sketch-based approx_percentile is the cheap 100 TB path, exercised
     // rows-only like HLL
     "q_agg_percentile" -> ((s, d) =>
-      graft.ops.quantiles.exactPercentiles(
-        t(s, d, "lineitem"), "l_returnflag", "l_extendedprice",
-        Seq("p50" -> 0.5, "p90" -> 0.9))
+      sharedExactPct(s, d)
         .select(col("l_returnflag"),
           round(col("p50"), 4).as("p50"),
           round(col("p90"), 4).as("p90"))),

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -58,30 +59,79 @@ class StagedPagesTable(path: String) extends Table with SupportsRead {
 }
 
 class StagedPagesScanBuilder(path: String)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
 
   private var required: StructType = StagedPagesSource.schema
+  private var pushed: Array[sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new StagedPagesScan(path, required)
+  /** Page-name predicates prune whole PAGES at planning time — the
+    * DSV2 analog of parquet partition pruning: a query over one letter
+    * page plans ONE input partition instead of listing-and-filtering
+    * all of them. Every filter is also returned as residual, so Spark
+    * re-applies it post-scan — pruning is purely a partition-
+    * elimination optimization and can never change results. */
+  override def pushFilters(filters: Array[sources.Filter])
+  : Array[sources.Filter] = {
+    pushed = filters.filter(StagedPagesScan.pageEvaluable)
+    filters
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = new StagedPagesScan(path, required, pushed)
 }
 
 case class PagePartition(file: String) extends InputPartition
 
-class StagedPagesScan(path: String, required: StructType)
+object StagedPagesScan {
+  import org.apache.spark.sql.sources._
+
+  /** Which filters the scan can evaluate against a page NAME alone. */
+  private[sources] def pageEvaluable(f: Filter): Boolean = f match {
+    case EqualTo("page", _: String) => true
+    case In("page", _) => true
+    case StringStartsWith("page", _) => true
+    case StringEndsWith("page", _) => true
+    case StringContains("page", _) => true
+    case Not(EqualTo("page", _: String)) => true
+    case _ => false
+  }
+
+  private[sources] def keepPage(pushed: Array[Filter], name: String)
+  : Boolean = pushed.forall {
+    case EqualTo("page", v: String) => name == v
+    case In("page", vs) => vs.exists {
+      case v: String => name == v
+      case _ => false
+    }
+    case StringStartsWith("page", p: String) => name.startsWith(p)
+    case StringEndsWith("page", s: String) => name.endsWith(s)
+    case StringContains("page", s: String) => name.contains(s)
+    case Not(EqualTo("page", v: String)) => name != v
+    case _ => true
+  }
+}
+
+class StagedPagesScan(path: String, required: StructType,
+                      pushed: Array[sources.Filter] = Array.empty)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"StagedPages path=$path cols=${required.fieldNames.mkString(",")}"
+    s"StagedPages path=$path cols=${required.fieldNames.mkString(",")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
     val pages = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.isFile).map(_.getAbsolutePath).sorted
+      .filter(_.isFile)
+      .filter(f => StagedPagesScan.keepPage(pushed, f.getName))
+      .map(_.getAbsolutePath).sorted
     pages.map(PagePartition.apply: String => InputPartition)
   }
 

@@ -42,6 +42,39 @@ class StagedPagesSpec extends SparkSpec {
       Array("row1", "row2", "row3", "row4", "row5", "row6"))
   }
 
+  test("staged-pages: page filters push down and prune partitions") {
+    val dir = writePages()
+    def read() = spark.read.format("staged-pages")
+      .option("path", dir).load()
+
+    // equality: one surviving page → ONE planned partition
+    val eq = read().filter(col("page") === "page_b.txt")
+    assert(eq.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [EqualTo(page,page_b.txt)"),
+      eq.queryExecution.executedPlan.toString)
+    assert(eq.rdd.getNumPartitions === 1)
+    assert(eq.select("line").as[String].collect() === Array("row3"))
+
+    // IN-list prunes to its members; prefix match prunes none here
+    val in = read().filter(col("page").isin("page_a.txt", "page_c.txt"))
+    assert(in.rdd.getNumPartitions === 2)
+    assert(in.count() === 5)
+
+    // a non-page filter is NOT claimed pushed, and results are exact
+    // (every filter is also re-applied post-scan)
+    val lineF = read().filter(col("line") === "row4")
+    assert(!lineF.queryExecution.executedPlan.toString
+      .contains("EqualTo(line"), "line filters are not page-evaluable")
+    assert(lineF.count() === 1)
+
+    // conjunction: page prefix + line predicate — page side prunes
+    val both = read()
+      .filter(col("page").startsWith("page_c") && col("line") =!= "row5")
+    assert(both.rdd.getNumPartitions === 1)
+    assert(both.select("line").as[String].collect().sorted ===
+      Array("row4", "row6"))
+  }
+
   test("staged-pages composes with the anchor-extract pattern (S3)") {
     val dir = Files.createTempDirectory("graft_html")
     Files.write(dir.resolve("p1.html"),
