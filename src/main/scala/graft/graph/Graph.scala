@@ -298,22 +298,27 @@ object Graph {
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("community"))
       .stage()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("node")
-      .orderBy(col("c").desc, col("community").asc)
     var prevSum: java.math.BigDecimal =
       if (stopOnFixpoint) stateChecksum(labels, Seq("node", "community"))
       else null
     var round = 0
     var converged = false
     while (round < rounds && !converged) {
+      // argmax by (count DESC, community ASC) as a hash-aggregate
+      // max_by — (c, −community) is strictly ordered within a node
+      // (community is unique per (node, community) group), so this is
+      // exactly the old row_number()-over-window pick without the
+      // window's per-node sort pass (two hash aggs per round instead
+      // of agg + sort-window; GraphSpec's sync-replica test pins the
+      // tie-break either way)
       labels = e.join(labels, e("src") === labels("node"))
         .select(e("dst").as("node"), col("community"))
         .groupBy("node", "community")
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("community"))
+        .groupBy("node")
+        .agg(max_by(col("community"),
+          struct(col("c"), (-col("community")).as("nc")))
+          .as("community"))
         .stage()
       round += 1
       if (stopOnFixpoint) {
