@@ -32,10 +32,25 @@ object Staging {
   implicit class StageOps(private val df: DataFrame) extends AnyVal {
     /** Materialize `df` now and cut its lineage: reliable `checkpoint()`
       * when the session has a checkpoint dir, `localCheckpoint()`
-      * otherwise. See [[Staging]] for the cluster-scale rationale. */
+      * otherwise. See [[Staging]] for the cluster-scale rationale.
+      *
+      * The reliable path persists BEFORE checkpointing: a bare
+      * `checkpoint()` runs the materializing action and then a second
+      * job that RE-COMPUTES the whole unpersisted subtree to write the
+      * checkpoint files (the recomputation RDD.checkpoint's own scaladoc
+      * warns about) — persist makes the write job a cache read, and the
+      * cache is dropped as soon as the files are down. Deployments
+      * should also set `spark.cleaner.referenceTracking.cleanCheckpoints
+      * =true` so superseded per-iteration checkpoints are deleted when
+      * their frames are garbage-collected; without it, reliable
+      * checkpoint data accumulates for the application's lifetime
+      * (Spark never cleans it by default). */
     def stage(): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint()
-      else df.localCheckpoint()
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+        val pinned = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try pinned.checkpoint()
+        finally pinned.unpersist(blocking = false)
+      } else df.localCheckpoint()
   }
 }

@@ -31,8 +31,11 @@ object analytics {
     * former k-pass shape — one filter-scan + user-key shuffle PER
     * stage — read the events table k times; a 10-stage funnel over
     * 100 TB of events is 10 full scans vs this one. Per-user state is
-    * that user's stage events only (the same bound a sessionizer
-    * carries), never the corpus.
+    * that user's stage events only (the same bound every per-entity
+    * stateful op — sessionization, SCD2 — carries), never the corpus;
+    * as with those ops, a degenerate hot key (bot traffic, a null/
+    * default user id with millions of events) concentrates one
+    * aggregation buffer and belongs filtered or capped upstream.
     *
     * @return one row per non-empty stage: (stage_idx, stage, n_users)
     */
@@ -41,13 +44,10 @@ object analytics {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val k = stages.size
     val tsType = events.select(col(tsCol)).schema.head.dataType
-    // 1-based array_position over the stage literal → 0-based stage idx
-    val stageIdx =
-      (array_position(typedLit(stages), col(typeCol)) - 1).cast("int")
     val folded = events
       .filter(col(typeCol).isin(stages: _*))
       .select(col(userCol),
-        struct(col(tsCol).as("ts"), stageIdx.as("idx")).as("__e"))
+        struct(col(tsCol).as("ts"), col(typeCol).as("tp")).as("__e"))
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(col("__e"))).as("__evs"))
       .select(col(userCol),
@@ -55,11 +55,15 @@ object analytics {
           array_repeat(lit(null).cast(tsType), k),
           (acc, e) => transform(acc, (t, i) =>
             // keep a reach time once set; otherwise this event sets
-            // slot i iff it is that stage and strictly after the
-            // previous stage's reach (slot 0 needs no predecessor —
-            // the when() keeps element_at(acc, 0) unevaluated)
+            // slot i iff it is slot i's stage NAME (compared per slot,
+            // not via a type→index map, so a stage may legitimately
+            // repeat — "view, click, view" re-engagement funnels) and
+            // it is strictly after the previous stage's reach (slot 0
+            // needs no predecessor — the when() keeps
+            // element_at(acc, 0) unevaluated)
             coalesce(t,
-              when(e.getField("idx") === i &&
+              when(e.getField("tp") === element_at(typedLit(stages),
+                  i + 1) &&
                 when(i === 0, lit(true))
                   .otherwise(e.getField("ts") > element_at(acc, i)),
                 e.getField("ts")))))
@@ -184,8 +188,8 @@ object analytics {
     * epoch), y is snapped to integer cents before the moments, so all
     * five sums are exact: the products are evaluated IN decimal(38,0)
     * (never in long, whose x² would wrap for a caller passing unix
-    * seconds/micros as x), and decimal(38,0) sums don't overflow at
-    * lake row counts. The closed-form
+    * seconds/micros as x), and a decimal sum that somehow exceeds 38
+    * digits fails loudly under ANSI rather than wrapping. The closed-form
     * slope/intercept are ONE deterministic double division each, 6dp.
     * A degenerate group (all x equal, denominator 0) yields null
     * slope/intercept rather than ±Inf.
@@ -204,7 +208,10 @@ object analytics {
       // cast BEFORE multiplying: a long×long product would silently
       // wrap for large regressors (unix micros squared ≈ 2.9e33 ≫
       // Long.Max) — decimal(38,0)×decimal(38,0) holds any long×long
-      // product exactly (≤ 8.5e37 < 10³⁸)
+      // product exactly (≤ 8.5e37 < 10³⁸). The decimal SUM can still
+      // exceed 38 digits for extreme regressor × group-size combos
+      // (micros² × ≥3.4e7 rows/group); under the session's default
+      // ANSI mode that fails LOUDLY (ARITHMETIC_OVERFLOW), never wraps
       sum(xi.cast("decimal(38,0)") * yc.cast("decimal(38,0)")).as("sxy"),
       sum(xi.cast("decimal(38,0)") * xi.cast("decimal(38,0)")).as("sxx"))
     val nD = col("n").cast("double")

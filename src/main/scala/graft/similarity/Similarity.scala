@@ -722,13 +722,22 @@ object Similarity {
     * — legal at any corpus size: the matrix is d² values. */
   /** Driver-side Jacobi finish over the collected upper-triangle
     * covariance — legal at any corpus size: the matrix is d² values. */
+  /** Mirror-fill the (i ≤ j) triangle into the full symmetric matrix
+    * and eigendecompose — the one fit step shared by the component
+    * frame and the verdict (a private seam so the two can never
+    * diverge on layout or ordering). */
+  private def eigenFromTri(cov: Seq[(Int, Int, Double)], dim: Int)
+  : (Array[Double], Array[Array[Double]]) = {
+    val a = Array.ofDim[Double](dim, dim)
+    cov.foreach { case (i, j, c) => a(i)(j) = c; a(j)(i) = c }
+    jacobiEigen(a)
+  }
+
   private def componentsFromTri(spark: org.apache.spark.sql.SparkSession,
                                 cov: Seq[(Int, Int, Double)],
                                 dim: Int, k: Int): DataFrame = {
     import spark.implicits._
-    val a = Array.ofDim[Double](dim, dim)
-    cov.foreach { case (i, j, c) => a(i)(j) = c; a(j)(i) = c }
-    val (eig, vecs) = jacobiEigen(a)
+    val (eig, vecs) = eigenFromTri(cov, dim)
     (0 until k).map(i => (i, eig(i), vecs(i).toSeq))
       .toDF("component", "eigenvalue", "axis")
   }
@@ -828,9 +837,7 @@ object Similarity {
     require(f.n > 0, "pcaVerdict: the PCA fit set is empty")
     val spark = vectors.sparkSession
     import spark.implicits._
-    val a = Array.ofDim[Double](dim, dim)
-    f.cov.foreach { case (i, j, c) => a(i)(j) = c; a(j)(i) = c }
-    val (eig, vecs) = jacobiEigen(a)
+    val (eig, vecs) = eigenFromTri(f.cov, dim)
     def dotL(u: Array[Double], v: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < u.length) { s += u(i) * v(i); i += 1 }
@@ -856,6 +863,9 @@ object Similarity {
       .select(col(idCol), col(embCol), col("cx"),
         aggregate(zip_with(col("cx"), col("cx"), (p, q) => p * q),
           lit(0.0), (acc, p) => acc + p).as("nx2"))
+    // staged: TWO consumers (the per-component stats aggregation and
+    // the final verdict join) read this projection pass — without the
+    // pin the corpus-proportional dot products would run twice
     val rows = base.crossJoin(broadcast(comps))
       .select(col(idCol), col("component"), col("eigenvalue"),
         col("ok_unit"), col("nx2"),
@@ -864,6 +874,7 @@ object Similarity {
         (aggregate(zip_with(col(embCol), col("axis"),
           (x, ax) => x.cast("double") * ax),
           lit(0.0), (acc, p) => acc + p) - col("mua")).as("xa_centered"))
+      .stage()
     val compStats = rows.groupBy("component")
       .agg(sum(col("coord")).as("sum_c"),
         sum(col("coord") * col("coord")).as("sum_c2"))

@@ -53,6 +53,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Set(("view", 1L), ("click", 1L)))
   }
 
+  test("funnel supports repeated stage names (re-engagement)") {
+    val ev = Seq(
+      // u1: view → click → view again — completes view,click,view
+      (1L, "view", ts("2024-01-01 09:00:00")),
+      (1L, "click", ts("2024-01-01 10:00:00")),
+      (1L, "view", ts("2024-01-01 11:00:00")),
+      // u2: view → click, never views again — stops at stage 1
+      (2L, "view", ts("2024-01-01 09:00:00")),
+      (2L, "click", ts("2024-01-01 10:00:00")),
+      // u3: single view — its one event cannot fill two view slots
+      (3L, "view", ts("2024-01-01 09:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = analytics.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "view"))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    assert(got === Set((0, 3L), (1, 2L), (2, 1L)))
+  }
+
   test("funnel reads the events table exactly once") {
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val got = analytics.funnel(ev, "user_id", "event_type", "ts",
