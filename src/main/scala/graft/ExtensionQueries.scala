@@ -4358,7 +4358,8 @@ object ExtensionQueries {
          SELECT event_id, grp AS event_type, v AS value,
                 round(0.6745 * (v - m) / md, 4) AS robust_z
          FROM dev JOIN mad USING (grp)
-         WHERE abs(round(0.6745 * (v - m) / md, 4)) > 3.5""",
+         WHERE md <> 0
+           AND abs(round(0.6745 * (v - m) / md, 4)) > 3.5""",
 
     "q_fuzzy_join" ->
       """WITH typos AS (

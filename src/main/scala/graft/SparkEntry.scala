@@ -1274,16 +1274,24 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
 
     // nulls encode as a chr(0) sentinel on BOTH engines (concat_ws alone
-    // would skip null columns; '||' would null the whole row hash out)
+    // would skip null columns; '||' would null the whole row hash out);
+    // every value is length-prefixed (len:value) so separator chars
+    // inside values cannot shift field boundaries
     "q_dataset_fingerprint" ->
-      """SELECT count(*)::BIGINT AS n_rows,
+      """WITH e AS (SELECT
+           coalesce(doc_id::VARCHAR, chr(0)) AS c1,
+           coalesce(lang, chr(0)) AS c2,
+           coalesce(source, chr(0)) AS c3,
+           coalesce(n_chars::VARCHAR, chr(0)) AS c4
+         FROM documents)
+         SELECT count(*)::BIGINT AS n_rows,
                 (SUM(('0x' || substr(md5(
-                     coalesce(doc_id::VARCHAR, chr(0)) || '|'
-                     || coalesce(lang, chr(0)) || '|'
-                     || coalesce(source, chr(0)) || '|'
-                     || coalesce(n_chars::VARCHAR, chr(0))), 1, 15))::BIGINT)
+                     length(c1)::VARCHAR || ':' || c1 || '|'
+                     || length(c2)::VARCHAR || ':' || c2 || '|'
+                     || length(c3)::VARCHAR || ':' || c3 || '|'
+                     || length(c4)::VARCHAR || ':' || c4), 1, 15))::BIGINT)
                  % (2::HUGEINT ^ 60)::HUGEINT)::VARCHAR AS content_hash
-         FROM documents""",
+         FROM e""",
 
     // the merged summary must equal a from-scratch aggregate — the whole
     // point of the incremental-maintenance contract

@@ -115,10 +115,17 @@ object analytics {
                     tsCol: String, orderCols: Seq[Column],
                     attrCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    // null-safe change detection: `prev =!= attr` evaluates to NULL
+    // (not true) on a value→null transition, silently dropping that
+    // change point, and `prev IS NULL` both marks the first row AND
+    // fires on every row after a null attr (splitting a null run into
+    // one interval per row). A lag'd constant disambiguates "first
+    // row" from "previous attr was null", and <=> compares null-safely
     val changes = history
       .withColumn("__prev_attr", lag(col(attrCol), 1).over(w))
-      .filter(col("__prev_attr").isNull ||
-        col("__prev_attr") =!= col(attrCol))
+      .withColumn("__first", lag(lit(1), 1).over(w).isNull)
+      .filter(col("__first") ||
+        !(col("__prev_attr") <=> col(attrCol)))
     changes
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .select(col(keyCol), col(attrCol),
@@ -172,9 +179,16 @@ object analytics {
       Seq(("__mad", 0.5)))
       .withColumn("__mad", roundDouble(col("__mad"), 4))
     dev.join(broadcast(mad), Seq(groupCol))
+      // MAD = 0 (≥ half the group identical) leaves the modified
+      // z-score undefined — null it (no flags from that group) instead
+      // of dividing by zero, which the session's default ANSI mode
+      // raises as a job-killing error. Constant-majority groups are
+      // unscoreable by this estimator; callers screening them should
+      // gate on a dispersion check first
       .withColumn("robust_z",
-        roundDouble(lit(0.6745) * (col(valueCol) - col("__med")) /
-          col("__mad"), 4))
+        when(col("__mad") =!= 0.0,
+          roundDouble(lit(0.6745) * (col(valueCol) - col("__med")) /
+            col("__mad"), 4)))
       .filter(abs(col("robust_z")) > zThresh)
       .select((idCols :+ groupCol :+ valueCol).map(col) :+
         col("robust_z"): _*)
@@ -201,7 +215,12 @@ object analytics {
   : DataFrame = {
     val xi = x.cast("long")
     val yc = round(y * 100).cast("long")
-    val agged = df.groupBy(col(keyCol)).agg(
+    // the fit is over OBSERVED (x, y) pairs: a null on either side must
+    // drop the whole row, or n counts rows the moment sums skipped and
+    // the closed-form slope/intercept fit no subset of the data
+    val agged = df
+      .filter(xi.isNotNull && yc.isNotNull)
+      .groupBy(col(keyCol)).agg(
       count(lit(1)).as("n"),
       sum(xi.cast("decimal(38,0)")).as("sx"),
       sum(yc.cast("decimal(38,0)")).as("sy"),

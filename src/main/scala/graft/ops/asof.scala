@@ -27,20 +27,27 @@ object asof {
     val l = left
       .withColumn("__ts", col(leftTs).cast("timestamp"))
       .withColumn("__is_left", lit(1))
+    // the payload travels as ONE struct, not per-column: a right row
+    // whose payload FIELD is legitimately null must still win the fill
+    // (attach the null, as a real as-of join would) — per-column
+    // last(ignoreNulls) would skip it and resurrect a superseded older
+    // value. The struct itself is non-null for every right row, so the
+    // fill distinguishes "no match yet" (null struct) from "matched a
+    // null value" (non-null struct, null field).
     val r = right
-      .select(Seq(col(key), col(rightTs).cast("timestamp").as("__ts"),
-        lit(0).as("__is_left")) ++ payload.map(col): _*)
+      .select(col(key), col(rightTs).cast("timestamp").as("__ts"),
+        lit(0).as("__is_left"),
+        struct(payload.map(col): _*).as("__pay"))
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts"), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    filled
+    unioned
+      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
-      .drop("__ts", "__is_left")
+      .select(left.columns.map(col) ++
+        payload.map(p => col(s"__pay.$p").as(p)): _*)
   }
 }

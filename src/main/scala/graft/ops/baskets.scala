@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
 object baskets {
 
   /** Distinct (basket, item) incidence — the normalized input every
-    * stage shares. */
+    * stage shares. Items keep their SOURCE type (any orderable type
+    * works for the sorted-set pairing): a hard numeric cast here would
+    * crash string SKUs under the session's default ANSI mode — or,
+    * with ANSI off, silently null every item. */
   private def incidence(b: DataFrame, basketCol: String, itemCol: String)
   : DataFrame =
-    b.select(col(basketCol).as("k"), col(itemCol).cast("long").as("i"))
+    b.select(col(basketCol).as("k"), col(itemCol).as("i"))
       .distinct()
 
   /** Unordered co-occurring pair supports: (a, b, pair_support) with

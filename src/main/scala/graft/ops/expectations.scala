@@ -36,16 +36,23 @@ object expectations {
   def completeness(c: Column): Column =
     avg(when(c.isNotNull, 1.0d).otherwise(0.0d))
 
+  /** Zero-denominator-safe ratio: NULL (→ the fail-closed path in
+    * [[validateBy]]) instead of the DIVIDE_BY_ZERO error the session's
+    * default ANSI mode raises — an all-null column must fail its
+    * uniqueness/mean check, not abort the whole release gate. */
+  private def ratio(num: Column, denom: Column): Column =
+    when(denom > 0, num / denom)
+
   /** Distinct-to-total ratio over non-null values — 1.0 means unique. */
   def uniqueness(c: Column): Column =
-    count_distinct(c).cast("double") /
-      sum(when(c.isNotNull, 1L).otherwise(0L)).cast("double")
+    ratio(count_distinct(c).cast("double"),
+      sum(when(c.isNotNull, 1L).otherwise(0L)).cast("double"))
 
   /** HLL uniqueness for the no-Expand scale path (±~2.3% std error at
     * the default rsd) — band must absorb the sketch error. */
   def approxUniqueness(c: Column): Column =
-    approx_count_distinct(c).cast("double") /
-      sum(when(c.isNotNull, 1L).otherwise(0L)).cast("double")
+    ratio(approx_count_distinct(c).cast("double"),
+      sum(when(c.isNotNull, 1L).otherwise(0L)).cast("double"))
 
   /** Fraction of non-null values matching a Java/RE2-common regex
     * (keep patterns to character classes both engines agree on). */
@@ -64,7 +71,8 @@ object expectations {
     * associative, so Spark's and any other engine's reduction order
     * produce the identical double. */
   def mean(c: Column): Column =
-    sum(c.cast("decimal(18,2)")).cast("double") / count(c)
+    ratio(sum(c.cast("decimal(18,2)")).cast("double"),
+      count(c).cast("double"))
 
   /** Evaluate the suite: one aggregation pass, then explode the 1-row
     * result into (check, metric, lo, hi, ok) rows. */

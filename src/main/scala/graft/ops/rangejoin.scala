@@ -36,6 +36,12 @@ object rangejoin {
     val p = points.withColumn("__bin",
       (col(pointTs).cast("timestamp").cast("long") / binSeconds).cast("long"))
     val i = intervals
+      // empty/inverted intervals (end <= start) can match nothing, but
+      // an UNGUARDED sequence(sbin, ebin) with ebin < sbin silently
+      // generates a DESCENDING step — one corrupt zero-default end
+      // would explode onto every bin between the epochs (tens of
+      // millions of rows) before the containment filter discards them
+      .filter(col(endTs) > col(startTs))
       .withColumn("__sbin", (col(startTs).cast("timestamp").cast("long") / binSeconds)
         .cast("long"))
       .withColumn("__ebin",

@@ -109,10 +109,19 @@ object relational {
     * alone drops null columns, which would collide rows that differ only
     * in WHICH column is null — (a,NULL,b) vs (a,b,NULL). The sentinel
     * cannot appear in sane text data; callers with NUL-bearing strings
-    * should pre-escape. */
+    * should pre-escape. Each value is additionally LENGTH-PREFIXED
+    * (`len:value`) before joining, so a separator character inside a
+    * value cannot shift field boundaries. */
   def datasetFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "fingerprint needs at least one column")
-    val enc = cols.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+    // length-prefix (`len:value`) so a separator character inside a
+    // value cannot shift field boundaries - without it ("a|b", "c") and
+    // ("a", "b|c") encode identically, defeating the single-row-change
+    // guarantee
+    val enc = cols.map { c =>
+      val v = coalesce(col(c).cast("string"), lit("\u0000"))
+      concat(length(v).cast("string"), lit(":"), v)
+    }
     val rowHash = conv(substring(
       md5(concat_ws("|", enc: _*)),
       1, 15), 16, 10).cast("decimal(38,0)")

@@ -60,6 +60,11 @@ object timeseries {
       when(v.isNotNull, v)
         .when(prevV.isNull, nextV)
         .when(nextV.isNull, prevV)
+        // duplicate-day inputs can put a null row BETWEEN two observed
+        // rows of the same day: prevD = nextD makes the slope 0/0 —
+        // take the day's observed value instead of an ANSI
+        // DIVIDE_BY_ZERO abort
+        .when(datediff(nextD, prevD) === 0, prevV)
         .otherwise(interp))
   }
 
@@ -99,7 +104,7 @@ object timeseries {
           decayMicro.cast("decimal(38,0)")).as("wv"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
-        (round(sum(col("wv")).cast("double") / 1e8 * 1e4) / 1e4)
+        analytics.roundDouble(sum(col("wv")).cast("double") / 1e8, 4)
           .as("decayed_value"))
   }
 }

@@ -87,6 +87,51 @@ class AnalyticsSpec extends SparkSpec {
       "stage counts must be non-increasing")
   }
 
+  test("scd2 handles null attribute values as real interval states") {
+    val h = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 100L, Some("A")),
+      (1L, ts("2024-01-02 00:00:00"), 101L, Option.empty[String]),
+      (1L, ts("2024-01-03 00:00:00"), 102L, Option.empty[String]),
+      (1L, ts("2024-01-04 00:00:00"), 103L, Some("A"))
+    ).toDF("k", "t", "seq", "attr")
+    val got = analytics.scd2Intervals(h, "k", "t",
+      Seq(col("t"), col("seq")), "attr")
+      .collect()
+      .map(r => (r.getString(1), r.getTimestamp(2), r.isNullAt(3)))
+    // three intervals: A (to day2), the null RUN (one interval, to
+    // day4), A again (current) - a value->null change must not vanish
+    // and a null run must not split per row
+    assert(got.length === 3, got.mkString(","))
+    assert(got.count(_._1 == null) === 1)
+  }
+
+  test("robust outliers: a MAD=0 group yields no flags, not a crash") {
+    val df = Seq(
+      ("g", 10.0, 1L), ("g", 10.0, 2L), ("g", 10.0, 3L),
+      ("g", 10.0, 4L), ("g", 500.0, 5L),
+      // a healthy group so the scan has normal work too
+      ("h", 1.0, 6L), ("h", 2.0, 7L), ("h", 3.0, 8L)
+    ).toDF("grp", "v", "id")
+    val got = analytics.robustOutliers(df, "grp", "v", Seq("id"))
+      .collect()
+    assert(got.isEmpty) // degenerate group skipped; h has no outliers
+  }
+
+  test("groupTrend ignores null x/y rows instead of skewing the fit") {
+    val df = Seq(
+      ("k", Some(0L), Some(1.0)),
+      ("k", Some(1L), Some(3.0)),
+      ("k", Some(2L), Option.empty[Double]),
+      ("k", Option.empty[Long], Some(9.0))
+    ).toDF("key", "x", "y")
+    val got = analytics.groupTrend(df, "key", col("x"), col("y"))
+      .collect().head
+    // only the 2 observed pairs fit: slope 2, intercept 1, n = 2
+    assert(got.getLong(1) === 2L)
+    assert(math.abs(got.getDouble(2) - 2.0) < 1e-9)
+    assert(math.abs(got.getDouble(3) - 1.0) < 1e-9)
+  }
+
   test("cohort grid: every user lands in offset 0; totals reconcile") {
     val dir = "/root/testdata/sf0.001"
     val ev = graft.Tables.events(spark, dir)

@@ -65,4 +65,20 @@ class AsofSpec extends SparkSpec {
       (3L, Some(200L), Some(3.0)),
       (4L, Some(101L), Some(2.0)))) // inclusive: right row at equal ts wins
   }
+
+  test("a matched right row's NULL payload is attached, not skipped") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, 1, ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "uk", "ts")
+    val right = Seq(
+      (1, ts("2024-01-01 10:00:00"), Some(5.0)),
+      (1, ts("2024-01-01 11:00:00"), Option.empty[Double])
+    ).toDF("uk", "rts", "price")
+    val got = asof.asOfJoin(left, right, "uk", "ts", "rts", Seq("price"))
+      .select("event_id", "price")
+      .as[(Long, Option[Double])].collect().toSet
+    // the 11:00 row is the as-of match; its null price must win over
+    // the superseded 10:00 value
+    assert(got === Set((1L, None)))
+  }
 }

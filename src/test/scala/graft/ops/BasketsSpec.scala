@@ -35,4 +35,15 @@ class BasketsSpec extends SparkSpec {
       (1L, 3L, 2L, 666667L, 1333333L),
       (3L, 1L, 2L, 1000000L, 1333333L)))
   }
+
+  test("string item ids (SKUs) mine pairs without a numeric cast") {
+    val sku = Seq(
+      (10L, "SKU-A"), (10L, "SKU-B"),
+      (20L, "SKU-A"), (20L, "SKU-B"),
+      (30L, "SKU-A")
+    ).toDF("basket", "sku")
+    val got = baskets.pairSupports(sku, "basket", "sku")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("SKU-A", "SKU-B", 2L)))
+  }
 }

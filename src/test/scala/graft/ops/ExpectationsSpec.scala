@@ -64,4 +64,14 @@ class ExpectationsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
     assert(r("exact") && r("approx"))
   }
+
+  test("all-null / empty inputs fail closed, never DIVIDE_BY_ZERO") {
+    val allNull = Seq.fill(3)(Option.empty[Double]).toDF("v")
+    val r = validate(allNull, Seq(
+      Check("u", uniqueness(col("v")), 0.9, 1.0),
+      Check("au", approxUniqueness(col("v")), 0.9, 1.0),
+      Check("m", mean(col("v")), 0.0, 100.0)))
+      .collect().map(x => x.getString(0) -> x.getBoolean(4)).toMap
+    assert(r === Map("u" -> false, "au" -> false, "m" -> false))
+  }
 }

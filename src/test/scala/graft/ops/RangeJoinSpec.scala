@@ -47,4 +47,24 @@ class RangeJoinSpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("inverted/empty intervals are dropped, not exploded") {
+    import org.apache.spark.sql.functions._
+    val points = Seq(1700000100L).toDF("p")
+      .select(col("p").cast("timestamp").as("pts"))
+    // one sane interval, one zero-width, one INVERTED with a 1970
+    // end - the inverted one would explode onto ~28M descending bins
+    // without the guard (sequence() silently switches to step -1)
+    val intervals = Seq(
+      (1L, 1700000000L, 1700003000L),
+      (2L, 1700000000L, 1700000000L),
+      (3L, 1700000000L, 0L)
+    ).toDF("iid", "s0", "e0")
+      .select(col("iid"), col("s0").cast("timestamp").as("s"),
+        col("e0").cast("timestamp").as("e"))
+    val got = rangejoin.binnedRangeJoin(points, "pts",
+      intervals, "s", "e", binSeconds = 3000L)
+      .select("iid").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
 }

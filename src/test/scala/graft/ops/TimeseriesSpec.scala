@@ -100,4 +100,19 @@ class TimeseriesSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet
     assert(a === b)
   }
+
+  test("interpolate survives a null row sharing its day with values") {
+    import java.sql.Date
+    val rows = Seq(
+      ("k", Date.valueOf("2024-01-05"), Some(1.0)),
+      ("k", Date.valueOf("2024-01-05"), Option.empty[Double]),
+      ("k", Date.valueOf("2024-01-05"), Some(2.0))
+    ).toDF("key", "day", "v")
+    // prevD = nextD makes the slope 0/0 - the guard takes the day's
+    // observed value instead of an ANSI DIVIDE_BY_ZERO abort
+    val got = timeseries.interpolateLinear(rows, "key", "day", "v")
+      .select("v").as[Option[Double]].collect()
+    assert(got.length === 3)
+    assert(!got.contains(None))
+  }
 }
