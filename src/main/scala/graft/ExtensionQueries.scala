@@ -1757,7 +1757,7 @@ object ExtensionQueries {
       """SELECT doc_id,
                 len(string_split_regex(trim(text), '\s+'))::BIGINT
                   AS n_tokens,
-                round(length(text)::DOUBLE /
+                round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
                   greatest(len(string_split_regex(trim(text), '\s+')), 1),
                   6) AS mean_word_len,
                 round((length(text) - length(regexp_replace(text,
@@ -1765,12 +1765,12 @@ object ExtensionQueries {
                   greatest(length(text), 1), 6) AS punct_ratio
          FROM documents""",
 
-    // mean_word_len mirrors Text.qualityScore: length(raw text) over
-    // greatest(whitespace tokens of the RAW trimmed text, 1)
+    // mean_word_len mirrors Text.qualityScore: NON-WHITESPACE chars
+    // over greatest(whitespace tokens of the RAW trimmed text, 1)
     "q_quality_gate" ->
       """WITH m AS (
            SELECT doc_id, lang,
-                  length(text)::DOUBLE /
+                  length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
                     greatest(len(string_split_regex(trim(text),
                       '\s+')), 1)::DOUBLE AS mwl
            FROM documents),
@@ -2289,7 +2289,7 @@ object ExtensionQueries {
     "q_corpus_prep2" ->
       """WITH m AS (
            SELECT doc_id, lang, source, n_chars, text,
-                  length(text)::DOUBLE /
+                  length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
                     greatest(len(string_split_regex(trim(text),
                       '\s+')), 1)::DOUBLE AS mwl
            FROM documents),
@@ -3842,8 +3842,9 @@ object ExtensionQueries {
     "q_data_card" ->
       """WITH t0 AS (
            SELECT doc_id, lang, source, COALESCE(text, '') AS tx,
-                  COALESCE(CAST(len(string_split_regex(trim(text),
-                    '\s+')) AS BIGINT), 0) AS toks
+                  CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
+                       ELSE COALESCE(CAST(len(string_split_regex(
+                         trim(text), '\s+')) AS BIGINT), 0) END AS toks
            FROM documents),
          b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                       CAST(SUM(toks) AS BIGINT) AS n_tokens,
@@ -4527,10 +4528,17 @@ object ExtensionQueries {
            SELECT a.source AS src_a, b.source AS src_b,
                   count(*)::BIGINT AS n_shared
            FROM sh a JOIN sh b ON a.g = b.g AND a.source <> b.source
-           GROUP BY 1, 2)
-         SELECT src_a, src_b, n_shared,
-                round(n_shared::DOUBLE / n, 6) AS containment
-         FROM pairs JOIN sizes ON pairs.src_a = sizes.source""",
+           GROUP BY 1, 2),
+         universe AS (
+           SELECT x.source AS src_a, y.source AS src_b
+           FROM sizes x JOIN sizes y ON x.source <> y.source)
+         SELECT u.src_a, u.src_b,
+                COALESCE(n_shared, 0)::BIGINT AS n_shared,
+                round(COALESCE(n_shared, 0)::DOUBLE / n, 6)
+                  AS containment
+         FROM universe u
+         LEFT JOIN pairs p ON u.src_a = p.src_a AND u.src_b = p.src_b
+         JOIN sizes ON u.src_a = sizes.source""",
 
     // mirrors spanScrub in 1-based positions: dup windows mark their k
     // positions per carrier doc, distinct position set, anti-join,
@@ -4685,8 +4693,8 @@ object ExtensionQueries {
                     AS n_words,
                   length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
                     AS non_ws,
-                  (length(text) - length(regexp_replace(text,
-                    '#|\.\.\.|…', '', 'g')))::DOUBLE AS symbols,
+                  len(regexp_extract_all(text,
+                    '#|\.\.\.|…'))::DOUBLE AS symbols,
                   len(list_filter(string_split_regex(trim(text), '\s+'),
                     w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
                     AS n_alpha,

@@ -44,9 +44,14 @@ object Importance {
   def dsirScoreMicro(docs: DataFrame, idCol: String, textCol: String,
                      isTarget: Column, buckets: Int = 256): DataFrame = {
     // one tokenize pass feeds both the distribution fit and the scoring
+    // tok =!= "" drops the one phantom token split("") yields for an
+    // empty/whitespace doc — empty docs must contribute NO token mass
+    // to the fitted distributions (null text already vanishes via
+    // explode; both re-enter the output through the restore join below)
     val tf = docs
       .select(col(idCol), isTarget.as("is_target"),
         explode(Text.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
       .select(col(idCol), col("is_target"),
         tokBucket(col("tok"), buckets).as("bucket"))
       .stage()
@@ -67,12 +72,19 @@ object Importance {
           .cast("long").as("lam_micro"))
 
     // per-(doc, bucket) histogram ⋈ broadcast λ — integer dot product
-    tf.groupBy(col(idCol), col("bucket"))
+    val scored = tf.groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("n"))
       .join(broadcast(lambda), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sum(col("n")).as("n_tokens"),
         sum(col("n") * col("lam_micro")).as("score_micro"))
+    // the contract says EVERY doc: null/empty-text docs have no token
+    // rows and would vanish via the explode — restore them with zero
+    // tokens and a zero (= neutral) importance score
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
   }
 
   /** Multiclass hashed-feature multinomial Naive Bayes: count-train on
@@ -102,10 +114,12 @@ object Importance {
   def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
                  labelCol: String, trainPred: Column,
                  buckets: Int = 256): DataFrame = {
+    // tok =!= "": same phantom-empty-token rule as dsirScoreMicro
     val tf = docs
       .select(col(idCol), col(labelCol).as("cls"),
         trainPred.as("is_train"),
         explode(Text.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
       .select(col(idCol), col("cls"), col("is_train"),
         tokBucket(col("tok"), buckets).as("bucket"))
       .stage()
@@ -151,12 +165,29 @@ object Importance {
       .join(broadcast(prior), Seq("cls"))
       .select(col(idCol), col("cls"), col("n_tokens"),
         (col("ll_micro") + col("prior_micro")).as("score_micro"))
-    scored.groupBy(col(idCol))
+    val argmax = scored.groupBy(col(idCol))
       .agg(max(struct(col("score_micro"), col("cls"),
         col("n_tokens"))).as("best"))
       .select(col(idCol), col("best.n_tokens").as("n_tokens"),
         col("best.cls").as("pred"),
         col("best.score_micro").as("score_micro"))
+    // batch-score EVERY row: a tokenless doc (null/empty text) has no
+    // histogram rows, so its posterior is the class prior alone —
+    // restore it with the prior argmax (same max(struct) tie rule)
+    val priorBest = prior
+      .agg(max(struct(col("prior_micro"), col("cls"))).as("pb"))
+      .select(col("pb.cls").as("__p_pred"),
+        col("pb.prior_micro").as("__p_score"))
+    docs.select(col(idCol)).join(argmax, Seq(idCol), "left")
+      .crossJoin(broadcast(priorBest))
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("pred"), col("__p_pred")).as("pred"),
+        coalesce(col("score_micro"), col("__p_score")).as("score_micro"))
+      // an EMPTY training slice means no model: prior argmax is null
+      // too, and the documented contract is an empty result, not a
+      // frame of null predictions
+      .filter(col("pred").isNotNull)
   }
 
   /** Per-source distribution drift: KL(source ‖ corpus) over hashed

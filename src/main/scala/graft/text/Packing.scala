@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.Staging._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,10 +43,16 @@ object Packing {
     // numPartitions > 0 pins the range-partition count (specs use it to
     // force a genuinely multi-partition run that AQE would coalesce at
     // test scale); 0 defers to spark.sql.shuffle.partitions
+    // pinned ONCE: __pid is read by two independent consumers (the
+    // in-partition running sum and the per-partition offsets) — the
+    // same hazard Text.rankNormalize documents; without the
+    // materialization their agreement hinges on exchange reuse, which
+    // AQE or reuseExchange=false can silently break
     val parted = (if (numPartitions > 0)
         docs.repartitionByRange(numPartitions, col(idCol))
       else docs.repartitionByRange(col(idCol)))
       .withColumn("__pid", spark_partition_id())
+      .stage()
     val wIn = Window.partitionBy("__pid").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val inPart = parted.withColumn("__cum_in",

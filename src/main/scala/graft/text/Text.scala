@@ -96,7 +96,12 @@ object Text {
   def dataCard(docs: DataFrame, idCol: String, textCol: String,
                langCol: String, sourceCol: String): DataFrame = {
     val tx = coalesce(col(textCol), lit(""))
-    val toks = coalesce(tokenCount(col(textCol)).cast("long"), lit(0L))
+    // an empty/whitespace-only text must count 0 tokens, not the one
+    // phantom token split("") yields — otherwise a doc counted in
+    // n_empty simultaneously contributes token volume, and the same
+    // "no content" doc changes n_tokens depending on NULL vs ""
+    val toks = when(length(trim(tx)) === 0, lit(0L))
+      .otherwise(coalesce(tokenCount(col(textCol)).cast("long"), lit(0L)))
     val base = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(toks).as("n_tokens"),
@@ -219,16 +224,19 @@ object Text {
       (length(tx) - latin - digit - space - cyr - cjk).as("other"))
   }
 
-  /** Quality scoring: mean word length, punctuation ratio, stopword ratio,
-    * char count — the standard cheap quality filters (cf. Gopher/C4 rules).
-    */
+  /** Quality scoring: token count, mean word length, punctuation ratio
+    * — the standard cheap quality filters (cf. Gopher/C4 rules).
+    * mean_word_len divides NON-WHITESPACE characters by the token
+    * count (dividing the full length would inflate every word by ~1
+    * separator char — `gopherFlags` computes the same metric). */
   def qualityScore(text: Column): Column = {
     val nChars = length(text).cast("double")
     val nTokens = tokenCount(text).cast("double")
     val punct =
       (nChars - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))) /
         greatest(nChars, lit(1.0))
-    val meanWordLen = nChars / greatest(nTokens, lit(1.0))
+    val nonWs = length(regexp_replace(text, "\\s", "")).cast("double")
+    val meanWordLen = nonWs / greatest(nTokens, lit(1.0))
     struct(nTokens.as("n_tokens"), meanWordLen.as("mean_word_len"),
       punct.as("punct_ratio"))
   }
@@ -330,11 +338,19 @@ object Text {
   def weightedSample(df: DataFrame, id: Column, weight: Column,
                      stratum: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // A-ES requires strictly positive weights and a non-null id: a null
+    // id hashes to a NULL key (which Spark's ascending sort ranks
+    // FIRST — deterministic selection of exactly the garbage rows) and
+    // a zero/negative weight flips the key's sign, inverting selection
+    // odds. Such rows are ineligible by definition — drop them rather
+    // than let them poison the sample
+    val eligible = df.filter(id.isNotNull &&
+      weight.isNotNull && weight.cast("double") > 0.0)
     // 32-bit md5 prefix → u in (0,1); +0.5 keeps ln away from 0
     val u = (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("double") + 0.5d) / 4294967296.0d
     val key = -log(u) / weight.cast("double")
-    df.withColumn("es_key", key)
+    eligible.withColumn("es_key", key)
       .withColumn("rn", row_number().over(
         Window.partitionBy(stratum).orderBy(col("es_key"), id)))
       .filter(col("rn") <= k)
@@ -384,13 +400,24 @@ object Text {
       .agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2)
       .select(col("wh"), lit(1).as("is_dup"))
-    perDoc.join(dup, Seq("wh"), "left")
+    val counted = perDoc.join(dup, Seq("wh"), "left")
       .groupBy("doc_id")
       .agg(sum(col("c")).cast("bigint").as("n_windows"),
         sum(when(col("is_dup").isNotNull, col("c")).otherwise(lit(0)))
           .cast("bigint").as("n_dup_windows"))
+    // docs with fewer than k tokens have ZERO windows and would vanish
+    // from the report via the explode — join them back with zero
+    // counts (dup_ratio 0: nothing to duplicate), the same "every doc
+    // appears" contract the sibling spanScrub keeps
+    docs.select(col(idCol).as("doc_id"))
+      .join(counted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
       .withColumn("dup_ratio",
-        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+        when(col("n_windows") > 0,
+          round(col("n_dup_windows").cast("double") / col("n_windows"),
+            6)).otherwise(lit(0.0)))
   }
 
   /** The REMOVAL half of substring-level dedup ([[dupSpans]] is the
@@ -476,12 +503,21 @@ object Text {
       .select(col("src_a"), explode(col("ss")).as("src_b"))
       .filter(col("src_a") =!= col("src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
-    inter
+    // EVERY ordered pair appears, including disjoint ones at zero —
+    // a report matrix with missing cells is indistinguishable from
+    // "not computed". The pair universe is |sources|², tiny vs corpus
+    val srcs = sizes.select(col("src"))
+    val allPairs = srcs.select(col("src").as("src_a"))
+      .crossJoin(srcs.select(col("src").as("src_b")))
+      .filter(col("src_a") =!= col("src_b"))
+    allPairs
+      .join(inter, Seq("src_a", "src_b"), "left")
       .join(sizes.select(col("src").as("src_a"), col("n").as("n_a")),
         Seq("src_a"))
-      .select(col("src_a"), col("src_b"), col("n_shared"),
-        round(col("n_shared").cast("double") / col("n_a"), 6)
-          .as("containment"))
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_a"), 6).as("containment"))
   }
 
   /** Per-doc interpolated-bigram LM score — the shape of a CCNet/KenLM
@@ -544,10 +580,14 @@ object Text {
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String)
   : DataFrame = {
     val spark = docs.sparkSession
+    // staged: the expensive bigram-LM frame is consumed by count(),
+    // the zipWithIndex partition-size job, AND the ranked output — the
+    // pin keeps the corpus-volume joins to one execution
     val nll = bigramLogprobMicro(docs, idCol, textCol)
       .select(col("doc_id"),
         (round((col("lp_sum_micro") / lit(1e6) / col("n_bigrams"))
           * 1e4) / 1e4 * lit(-1.0)).as("nll"))
+      .stage()
     val n = nll.count()
     val r1 = math.ceil(n / 3.0).toLong
     val r2 = math.ceil(2.0 * n / 3.0).toLong
@@ -580,7 +620,9 @@ object Text {
   def percentileGate(df: DataFrame, groupCol: String, metric: Column,
                      p: Double): DataFrame = {
     require(p >= 0.0 && p <= 1.0, s"percentile must be in [0,1], got $p")
-    val staged = df.withColumn("__metric", metric)
+    // materialized (as the name promises): the metric expression and
+    // its input are read by BOTH the percentile pass and the join side
+    val staged = df.withColumn("__metric", metric).stage()
     val thresholds = graft.ops.quantiles.exactPercentiles(
       staged, groupCol, "__metric", Seq("__thr" -> p))
     staged.join(broadcast(thresholds), Seq(groupCol))
@@ -817,8 +859,11 @@ object Text {
     val nWords = size(words).cast("double")
     val nonWs = length(regexp_replace(text, "\\s+", "")).cast("double")
     val meanLen = nonWs / greatest(nWords, lit(1.0))
-    val symbols = (length(text) -
-      length(regexp_replace(text, "#|\\.\\.\\.|…", ""))).cast("double")
+    // symbol OCCURRENCES, not characters: the cited Gopher rule is
+    // occurrence-based — counting chars would weigh an ASCII '...' 3x
+    // its Unicode '…' equivalent and filter ASCII sources ~3x harder
+    val symbols =
+      regexp_count(text, lit("#|\\.\\.\\.|…")).cast("double")
     val symbolRatio = symbols / greatest(nWords, lit(1.0))
     val alphaFrac = size(filter(words, w => w.rlike("[A-Za-z]")))
       .cast("double") / greatest(nWords, lit(1.0))

@@ -185,7 +185,7 @@ class TextSpec extends SparkSpec {
       (1L, "alpha beta gamma delta"),        // shares "alpha beta gamma" w/ 2
       (2L, "alpha beta gamma epsilon"),
       (3L, "zeta eta theta zeta eta theta"), // repeats internally only
-      (4L, "one two")                        // shorter than k → excluded
+      (4L, "one two")                // shorter than k → zero windows
     ).toDF("doc_id", "text")
     val got = Text.dupSpans(docs, "doc_id", "text", k = 3)
       .as[(Long, Long, Long, Double)].collect()
@@ -194,7 +194,9 @@ class TextSpec extends SparkSpec {
     assert(got(2L) === ((2L, 1L, 0.5)))
     // doc 3's repeated span lives in ONE doc → ndocs=1 → not duplicated
     assert(got(3L) === ((4L, 0L, 0.0)))
-    assert(!got.contains(4L))
+    // short docs stay in the report with zero counts (the every-doc
+    // contract spanScrub keeps), never vanish
+    assert(got(4L) === ((0L, 0L, 0.0)))
   }
 
   test("percentileGate keeps rows at/above the per-group threshold") {
@@ -266,10 +268,9 @@ class TextSpec extends SparkSpec {
         val docsPerSpan = wmap.toSeq
           .flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
           .groupBy(_._1).map { case (w, xs) => w -> xs.size }
-        val expected = wmap.collect {
-          case (id, ws) if ws.nonEmpty =>
-            val dup = ws.count(w => docsPerSpan(w) >= 2)
-            id -> ((ws.size.toLong, dup.toLong))
+        val expected = wmap.map { case (id, ws) =>
+          val dup = ws.count(w => docsPerSpan(w) >= 2)
+          id -> ((ws.size.toLong, dup.toLong))
         }
         val got = Text.dupSpans(docs.toDF("doc_id", "text"),
           "doc_id", "text", k)
@@ -410,7 +411,8 @@ class TextSpec extends SparkSpec {
 
   test("sourceOverlap computes asymmetric containment per source pair") {
     // A: 2 shingles {a b c, b c d}; B: 3 shingles, shares both of A's;
-    // C: disjoint → no (A,C)/(B,C) rows at all
+    // C: disjoint → its pairs appear at ZERO (a matrix cell that is
+    // absent is indistinguishable from "not computed")
     val docs = Seq(
       ("A", "a b c d"),
       ("B", "a b c d e"),
@@ -422,7 +424,9 @@ class TextSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
     assert(got === Map(
       ("A", "B") -> ((2L, 1.0)),      // all of A appears in B
-      ("B", "A") -> ((2L, 0.666667)))) // 2 of B's 3
+      ("B", "A") -> ((2L, 0.666667)), // 2 of B's 3
+      ("A", "C") -> ((0L, 0.0)), ("C", "A") -> ((0L, 0.0)),
+      ("B", "C") -> ((0L, 0.0)), ("C", "B") -> ((0L, 0.0))))
   }
 
   test("spanScrub cuts shared spans, unions overlaps, keeps the rest") {
@@ -580,12 +584,12 @@ class TextSpec extends SparkSpec {
     val card = Text.dataCard(docs, "doc_id", "text", "lang", "source")
       .as[(String, Double)].collect().toMap
     assert(card("n_docs") === 5.0)
-    // tokens: 3 + 3 + 2 + 1 ("" splits to one empty token) + 0 (null)
-    assert(card("n_tokens") === 9.0)
+    // tokens: 3 + 3 + 2 + 0 (empty counts ZERO tokens) + 0 (null)
+    assert(card("n_tokens") === 8.0)
     assert(card("n_sources") === 3.0 && card("n_langs") === 2.0)
     assert(card("empty_rate") === 0.4)      // docs 4 and 5
     assert(card("exact_dup_rate") === 0.4)  // 3 distinct texts: null and "" collapse
     assert(card("top_source_share") === 0.4) // sA and sB tie at 2/5
-    assert(card("p50_doc_tokens") === 2.0)  // sorted [0,1,2,3,3]
+    assert(card("p50_doc_tokens") === 2.0)  // sorted [0,0,2,3,3]
   }
 }
