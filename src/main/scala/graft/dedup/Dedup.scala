@@ -98,19 +98,40 @@ object Dedup {
                     textCol: String, threshold: Double): DataFrame = {
     val units = docs.select(col(idCol).as("jid"),
       Text.shingles(Text.tokens(col(textCol)), 3).as("jset"))
-    pairs
+    jaccardVerifyTail(pairs
       .join(units.select(col("jid").as("doc_a"), col("jset").as("set_a")),
         Seq("doc_a"))
       .join(units.select(col("jid").as("doc_b"), col("jset").as("set_b")),
-        Seq("doc_b"))
-      .filter(least(size(col("set_a")), size(col("set_b"))).cast("double") /
-        greatest(size(col("set_a")), size(col("set_b"))) >= threshold)
-      .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
+        Seq("doc_b")), threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
         .as("jaccard"))
+  }
+
+  /** Shared exact-Jaccard verify tail over a joined pair frame carrying
+    * (set_a, set_b): empty-pair NaN guard (both sets empty → 0/0 = NaN,
+    * and NaN >= threshold is TRUE in Spark — a pair of shingle-less
+    * docs must emit nothing), lossless size-ratio prefilter
+    * (J(a,b) ≤ min/max), exact jaccard, threshold. One copy for the
+    * three verify sites so the guard and prefilter can never diverge. */
+  private def jaccardVerifyTail(joined: DataFrame, threshold: Double)
+  : DataFrame = {
+    // the guards live INSIDE when() expressions, not separate filters:
+    // Catalyst may merge/reorder filter predicates, so a preceding
+    // size-check filter does not stop the ratio division from being
+    // evaluated on a 0-size row — which under the default ANSI mode is
+    // a job-killing DIVIDE_BY_ZERO. when() keeps the division
+    // unevaluated; the NULL it yields fails every >= threshold
+    val maxSize = greatest(size(col("set_a")), size(col("set_b")))
+    val sizeRatio = when(maxSize > 0,
+      least(size(col("set_a")), size(col("set_b"))).cast("double") /
+        maxSize)
+    val unionSize = size(array_union(col("set_a"), col("set_b")))
+    joined
+      .filter(sizeRatio >= threshold)
+      .withColumn("jaccard", when(unionSize > 0,
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          unionSize.cast("double")))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Per-doc distinct shingle sets, materialized once (`Staging.stage`)
@@ -143,6 +164,14 @@ object Dedup {
     * treats the corpus side's table as that stored index. */
   def bandedBuckets(sets: DataFrame, numPerms: Int, numBands: Int)
   : DataFrame = {
+    // loud validation: a non-divisible config would silently DROP the
+    // trailing numPerms % numBands signature values from every bucket
+    // (recall below the configured (b,r) curve), and numBands >
+    // numPerms would md5 an empty slice — every doc in one bucket, a
+    // full O(n²) candidate cross product
+    require(numBands >= 1 && numBands <= numPerms &&
+      numPerms % numBands == 0,
+      s"numBands ($numBands) must divide numPerms ($numPerms)")
     val rowsPerBand = numPerms / numBands
     sets
       .filter(size(col("shset")) > 0)
@@ -168,17 +197,11 @@ object Dedup {
     val banded = bandedBuckets(sets, numPerms, numBands).stage()
     val cands = lshCandidates(banded)
 
-    cands
+    jaccardVerifyTail(cands
       .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")),
         Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")),
-        Seq("doc_b"))
-      .filter(least(size(col("set_a")), size(col("set_b"))).cast("double") /
-        greatest(size(col("set_a")), size(col("set_b"))) >= threshold)
-      .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
+        Seq("doc_b")), threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
         .as("jaccard"))
   }
@@ -362,17 +385,11 @@ object Dedup {
         Seq("band", "bucket"))
       .select("new_id", "corpus_id")
       .distinct()
-    cands
+    jaccardVerifyTail(cands
       .join(newSets.select(col("doc_id").as("new_id"),
         col("shset").as("set_a")), Seq("new_id"))
       .join(corpusSets.select(col("doc_id").as("corpus_id"),
-        col("shset").as("set_b")), Seq("corpus_id"))
-      .filter(least(size(col("set_a")), size(col("set_b"))).cast("double") /
-        greatest(size(col("set_a")), size(col("set_b"))) >= threshold)
-      .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
+        col("shset").as("set_b")), Seq("corpus_id")), threshold)
       .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6)
         .as("jaccard"))
   }
@@ -429,15 +446,53 @@ object Dedup {
         lit(expectedShingles), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val trainU = units(train)
-    if (bf == null) // empty benchmark: nothing can be contaminated
-      trainU.groupBy(col(idCol)).agg(lit(false).as("bloom_hit"))
-    else
-      trainU
-        .select(col(idCol),
-          call_function("graft_might_contain", lit(bf),
-            xxhash64(col("u"))).as("hit"))
-        .groupBy(col(idCol))
-        .agg(max(col("hit")).as("bloom_hit"))
+    val flagged =
+      if (bf == null) // empty benchmark: nothing can be contaminated
+        trainU.groupBy(col(idCol)).agg(lit(false).as("bloom_hit"))
+      else
+        trainU
+          .select(col(idCol),
+            call_function("graft_might_contain", lit(bf),
+              xxhash64(col("u"))).as("hit"))
+          .groupBy(col(idCol))
+          .agg(max(col("hit")).as("bloom_hit"))
+    // the contract is a row for EVERY train doc: a doc with fewer than
+    // k tokens has no shingles, vanishes through the explode, and can
+    // share nothing with the benchmark — restore it as clean
+    train.select(col(idCol)).join(flagged, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("bloom_hit"), lit(false)).as("bloom_hit"))
+  }
+
+  /** Shared verify-join front for the exact set-similarity operators:
+    * attaches both candidates' sorted id arrays and the native
+    * `graft_overlap` merge-count. The doc→ids map is broadcast into
+    * BOTH joins WHEN IT FITS — the staged frame has no stats, so AQE
+    * can't make this call itself, and the shuffle alternative ships
+    * each candidate's two id arrays through two exchanges while the map
+    * is ~100× smaller. The hint is gated on a measured size estimate
+    * (the staging makes the two-number agg a cheap local read): an
+    * un-broadcastable lake-scale corpus takes the shuffle join — same
+    * pairs, no driver/executor OOM from a forced build side. ONE copy
+    * for jaccard + containment so the size formula cannot diverge. */
+  private def overlapVerified(cands: DataFrame, enc: DataFrame,
+                              broadcastBytesLimit: Long): DataFrame = {
+    import enc.sparkSession.implicits._
+    val (nDocs, totalIds) = enc
+      .agg(count(lit(1)), sum(size(col("ids"))))
+      .as[(Long, Option[Long])].head()
+    val estBytes = nDocs * 32L + totalIds.getOrElse(0L) * 8L
+    def verifySide(keyName: String, idsName: String): DataFrame = {
+      val f = enc.toDF(keyName, idsName)
+      if (estBytes <= broadcastBytesLimit) broadcast(f) else f
+    }
+    cands
+      .join(verifySide("doc_a", "ids_a"), Seq("doc_a"))
+      .join(verifySide("doc_b", "ids_b"), Seq("doc_b"))
+      // native merge-count over the (sorted) id arrays; |A∪B| follows
+      // as |A|+|B|−c, so no per-row set builds anywhere in the verify
+      .withColumn("c", call_function("graft_overlap",
+        col("ids_a"), col("ids_b")).cast("double"))
   }
 
   /** Shared staging for the exact set-similarity joins
@@ -459,11 +514,9 @@ object Dedup {
     // same gram sets. Spread the checkpoint across the cluster first —
     // the source may be a handful of row groups (testdata: ONE), and
     // downstream stages inherit the checkpoint's partitioning.
-    val par = spark.sparkContext.defaultParallelism
-    val spread = if (docs.rdd.getNumPartitions < par)
-      docs.repartition(par) else docs
+    val spreadDocs = graft.similarity.Similarity.spread(docs)
     // graft_shingles emits each doc's DISTINCT k-grams (set semantics)
-    val sets = spread.select(col("doc_id"),
+    val sets = spreadDocs.select(col("doc_id"),
       Text.shingles(Text.tokens(col("text")), k).as("grams"))
       .filter(size(col("grams")) > 0)
       .stage()
@@ -538,29 +591,7 @@ object Dedup {
         col("n_b") - col("i_b"))).cast("double") >= reqOverlap)
       .select("doc_a", "doc_b")
       .distinct()
-    // broadcast the doc→ids map into BOTH verify joins WHEN IT FITS: the
-    // checkpointed frame has no stats, so AQE can't make this call
-    // itself, and the shuffle alternative ships each candidate's two id
-    // arrays through two exchanges while the map itself is ~100×
-    // smaller. The hint is gated on a measured size estimate (the
-    // checkpoint makes the two-number agg a cheap local read): an
-    // un-broadcastable lake-scale corpus takes the shuffle join — same
-    // pairs, no driver/executor OOM from a forced build side.
-    val (nDocs, totalIds) = enc
-      .agg(count(lit(1)), sum(size(col("ids"))))
-      .as[(Long, Option[Long])].head()
-    val estBytes = nDocs * 32L + totalIds.getOrElse(0L) * 8L
-    def verifySide(keyName: String, idsName: String): DataFrame = {
-      val f = enc.toDF(keyName, idsName)
-      if (estBytes <= broadcastBytesLimit) broadcast(f) else f
-    }
-    cands
-      .join(verifySide("doc_a", "ids_a"), Seq("doc_a"))
-      .join(verifySide("doc_b", "ids_b"), Seq("doc_b"))
-      // native merge-count over the (sorted) id arrays; |A∪B| follows
-      // as |A|+|B|−c, so no per-row set builds anywhere in the verify
-      .withColumn("c", call_function("graft_overlap",
-        col("ids_a"), col("ids_b")).cast("double"))
+    overlapVerified(cands, enc, broadcastBytesLimit)
       .withColumn("jaccard", col("c") /
         (size(col("ids_a")) + size(col("ids_b")) - col("c")))
       .filter(col("jaccard") >= threshold)
@@ -612,19 +643,7 @@ object Dedup {
         col("n_b") - col("i_b"))).cast("double") >= reqOverlap)
       .select("doc_a", "doc_b")
       .distinct()
-    val (nDocs, totalIds) = enc
-      .agg(count(lit(1)), sum(size(col("ids"))))
-      .as[(Long, Option[Long])].head()
-    val estBytes = nDocs * 32L + totalIds.getOrElse(0L) * 8L
-    def verifySide(keyName: String, idsName: String): DataFrame = {
-      val f = enc.toDF(keyName, idsName)
-      if (estBytes <= broadcastBytesLimit) broadcast(f) else f
-    }
-    cands
-      .join(verifySide("doc_a", "ids_a"), Seq("doc_a"))
-      .join(verifySide("doc_b", "ids_b"), Seq("doc_b"))
-      .withColumn("c", call_function("graft_overlap",
-        col("ids_a"), col("ids_b")).cast("double"))
+    overlapVerified(cands, enc, broadcastBytesLimit)
       .withColumn("containment", col("c") / size(col("ids_a")))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("containment"), 6)

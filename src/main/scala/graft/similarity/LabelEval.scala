@@ -173,12 +173,15 @@ object LabelEval {
     val spark = vectors.sparkSession
     val base = vectors.select(col(idCol).cast("long").as("nid"),
       col(labelCol).as("nlabel"))
+    // staged: count(), zipWithIndex's internal offset job, and the
+    // draw join would each re-run the corpus-wide range sort otherwise
     val ranked = spark.createDataFrame(
       base.sort("nid").rdd.zipWithIndex.map { case (row, idx) =>
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
       },
       base.schema.add("rank",
         org.apache.spark.sql.types.LongType, nullable = false))
+      .stage()
     val n = ranked.count()
     require(n > 0, "negativePairs: the corpus is empty — nothing to draw")
     vectors

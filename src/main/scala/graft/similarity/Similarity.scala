@@ -38,7 +38,7 @@ object Similarity {
     * small/staged source that arrives as ONE scan partition (single
     * parquet row group): without it the whole pass serializes on one
     * core. A no-op at lake scale, where partitions ≥ cores. */
-  private[similarity] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
@@ -52,8 +52,18 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** NULL-safe cosine: a zero-norm side yields NULL, never 0/0 —
+    * which under the session's default ANSI mode is a job-killing
+    * DIVIDE_BY_ZERO (and with ANSI off a NaN that sorts ABOVE every
+    * real score and passes any >= threshold). NULL fails every
+    * comparison and sorts last, so zero vectors fall out of rankings
+    * and pair filters by construction; rankers still filter
+    * `isNotNull` explicitly so a sparse candidate set can't rank
+    * them. */
+  def cosine(a: Column, b: Column): Column = {
+    val np = norm(a) * norm(b)
+    when(np > 0, dot(a, b) / np)
+  }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), ties broken by corpus id. */
@@ -66,6 +76,8 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      // null cos = a zero-norm side (see cosine): must not be ranked
+      .filter(col("cos").isNotNull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -89,6 +101,8 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      // null cos = a zero-norm side (see cosine): must not be ranked
+      .filter(col("cos").isNotNull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -146,6 +160,8 @@ object Similarity {
       .join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      // null cos = a zero-norm side (see cosine): must not be ranked
+      .filter(col("cos").isNotNull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -172,10 +188,8 @@ object Similarity {
     // spread them across the cluster once and pin the result so each
     // iteration starts from the spread copy instead of the (possibly
     // one-row-group) source scan
-    val par = spark.sparkContext.defaultParallelism
-    val v0 = vectors.select(col("vec_id"), col("embedding"))
-    val v = (if (v0.rdd.getNumPartitions < par) v0.repartition(par)
-             else v0).stage()
+    val v = spread(vectors.select(col("vec_id"), col("embedding")))
+      .stage()
 
     import spark.implicits._
 
@@ -227,10 +241,7 @@ object Similarity {
   def pqSubvectors(vectors: DataFrame, dim: Int, m: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subLen = dim / m
-    val spark = vectors.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val v0 = vectors.select(col("vec_id"), col("embedding"))
-    val v = if (v0.rdd.getNumPartitions < par) v0.repartition(par) else v0
+    val v = spread(vectors.select(col("vec_id"), col("embedding")))
     v.select(col("vec_id"), explode(array((0 until m).map(j =>
         struct(lit(j).as("sub"),
           slice(col("embedding"), j * subLen + 1, subLen).as("sv"))): _*))
@@ -341,7 +352,10 @@ object Similarity {
       // 0/0 → NaN misrank (NaN sorts above every real score in Spark's
       // descending order)
       .filter(col("an2_micro") > 0)
-      .join(broadcast(qn), Seq("query_id"))
+      // qnorm > 0: a zero-norm QUERY would score NaN for every
+      // neighbor (the mirror of the an2 > 0 corpus-side guard; int8TopK
+      // filters both sides the same way)
+      .join(broadcast(qn.filter(col("qnorm") > 0)), Seq("query_id"))
       .withColumn("score", (col("adot_micro") / 1e6) /
         (col("qnorm") * sqrt(col("an2_micro") / 1e6)))
       .withColumnRenamed("vec_id", "neighbor_id")
@@ -392,7 +406,10 @@ object Similarity {
       // same zero-norm guard as pqTopK: an2 = 0 ⇒ no direction ⇒ drop
       // rather than 0/0 → NaN (which would sort above real scores)
       .filter(col("an2_micro") > 0)
-      .join(broadcast(qn), Seq("query_id"))
+      // qnorm > 0: a zero-norm QUERY would score NaN for every
+      // neighbor (the mirror of the an2 > 0 corpus-side guard; int8TopK
+      // filters both sides the same way)
+      .join(broadcast(qn.filter(col("qnorm") > 0)), Seq("query_id"))
       .withColumn("score", (col("adot_micro") / 1e6) /
         (col("qnorm") * sqrt(col("an2_micro") / 1e6)))
       .withColumnRenamed("vec_id", "neighbor_id")
@@ -504,6 +521,8 @@ object Similarity {
       .join(staged.select(col("vec_id").as("vec_b"),
         col("embedding").as("emb_b")), Seq("vec_b"))
       .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      // a zero-norm vector (bucket '111…', colliding with everything)
+      // has NULL cosine, which fails >= — no pair emitted
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
@@ -569,6 +588,9 @@ object Similarity {
       // cross blocks (i<j) hold disjoint rows — every pair is new; the
       // diagonal (i=j) is a self-join — halve it by id order
       .filter(col("__i") < col("__j") || col("id_a") < col("id_b"))
+      // a zero-norm side gives NULL cosine (see cosine), which fails
+      // >= — one zero embedding can no longer "duplicate" (and delete)
+      // every higher id in its cell
       .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
     // every dropped vector is the higher id of ≥1 qualifying pair (in
     // cross blocks the salt order is unrelated to id order, so take
@@ -1171,6 +1193,8 @@ object Similarity {
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))), Seq("query_id"))
       .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      // null cos = a zero-norm side (see cosine): must not be ranked
+      .filter(col("cos").isNotNull)
       .withColumn("rnk", row_number().over(wExact))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),

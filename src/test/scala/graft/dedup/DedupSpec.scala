@@ -350,4 +350,36 @@ class DedupSpec extends SparkSpec {
       "text", k = 5).as[(Long, Boolean)].collect()
     assert(flagged.forall(!_._2))
   }
+
+  test("bloom contamination reports EVERY train doc, even sub-k ones") {
+    val trainDf = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "too short")   // < k tokens: no shingles, still a row
+    ).toDF("doc_id", "text")
+    val benchDf = Seq((9L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.bloomContaminated(trainDf, benchDf, "doc_id",
+      "text", k = 5).as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> false))
+  }
+
+  test("bandedBuckets rejects a non-divisible (perms, bands) config") {
+    val sets = Seq((1L, Seq("a b c"))).toDF("doc_id", "shset")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bandedBuckets(sets, numPerms = 10, numBands = 4)
+    }
+    assert(e.getMessage.contains("must divide"))
+    intercept[IllegalArgumentException] {
+      Dedup.bandedBuckets(sets, numPerms = 4, numBands = 5)
+    }
+  }
+
+  test("verifyJaccard emits nothing for a shingle-less pair") {
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    // both docs have < 3 tokens → empty shingle sets → 0/0 would be
+    // NaN (or an ANSI divide error); the guard must emit no row
+    val got = Dedup.verifyJaccard(pairs, docs, "doc_id", "text", 0.5)
+    assert(got.count() === 0)
+  }
 }

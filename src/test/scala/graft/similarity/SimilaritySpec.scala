@@ -322,4 +322,35 @@ class SimilaritySpec extends SparkSpec {
     // direction family
     assert((0L until 40L).toSet.subsetOf(salted))
   }
+
+  test("zero-norm vectors never rank, pair, or dedup (NaN guards)") {
+    // cosine with a zero vector is 0/0 = NaN, which Spark sorts ABOVE
+    // every real score AND treats as >= any threshold — each operator
+    // must exclude it, not let it top every ranking / delete its cell
+    val withZero = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f), 0),  // the hazard
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+
+    val bf = Similarity.bruteForceTopK(
+      withZero.filter(col("vec_id") === 1L), withZero, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!bf.contains(0L), s"zero vector ranked: $bf")
+
+    val sem = Similarity.semDedup(withZero, "label", threshold = 0.9,
+      maxBlock = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(sem.contains(1L) || sem.contains(2L),
+      "zero vector must not 'duplicate' its whole cell")
+    assert(sem.contains(0L), "a zero vector matches nothing, so stays")
+    assert(sem.contains(3L))
+
+    val pairs = Similarity.cosineNearDupPairs(withZero, dim = 3,
+      numTables = 4, planesPerTable = 4, threshold = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 == 0L || p._2 == 0L),
+      s"zero vector paired: $pairs")
+  }
 }
