@@ -27,11 +27,16 @@ object CorpusStats {
       override def merge(a: Moments, b: Moments): Moments =
         Moments(a.n + b.n, a.sum + b.sum, a.sumSq + b.sumSq)
 
-      override def finish(m: Moments): Stats = {
-        val n = m.n.toDouble
-        val mean = m.sum / n
-        Stats(m.n, mean, m.sumSq / n - mean * mean)
-      }
+      override def finish(m: Moments): Stats =
+        // empty input: 0/0 would yield NaN stats that silently poison
+        // any downstream comparison (NaN != NaN) — zeros are the
+        // well-defined empty-corpus answer
+        if (m.n == 0L) Stats(0L, 0.0, 0.0)
+        else {
+          val n = m.n.toDouble
+          val mean = m.sum / n
+          Stats(m.n, mean, m.sumSq / n - mean * mean)
+        }
 
       override def bufferEncoder: Encoder[Moments] = Encoders.product
       override def outputEncoder: Encoder[Stats] = Encoders.product

@@ -71,16 +71,16 @@ case class SortedOverlap(left: Expression, right: Expression)
 object OverlapOps {
   /** Called from generated code: two-pointer merge count over sorted
     * arrays. Null elements (none are produced by the shingle pipeline)
-    * sort first in array_sort — skip them on both sides. */
+    * sort LAST in Spark's `array_sort` — the merge stops at the first
+    * null on either side (everything after it is null too), so a null
+    * element can never reach the comparator. */
   def count(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
     var j = 0
     var c = 0
-    while (i < na && a.isNullAt(i)) i += 1
-    while (j < nb && b.isNullAt(j)) j += 1
-    while (i < na && j < nb) {
+    while (i < na && j < nb && !a.isNullAt(i) && !b.isNullAt(j)) {
       val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
@@ -96,9 +96,7 @@ object OverlapOps {
     var i = 0
     var j = 0
     var c = 0
-    while (i < na && a.isNullAt(i)) i += 1
-    while (j < nb && b.isNullAt(j)) j += 1
-    while (i < na && j < nb) {
+    while (i < na && j < nb && !a.isNullAt(i) && !b.isNullAt(j)) {
       val va = a.getLong(i)
       val vb = b.getLong(j)
       if (va == vb) { c += 1; i += 1; j += 1 }

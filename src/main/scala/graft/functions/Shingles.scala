@@ -270,10 +270,15 @@ case class SimhashFp(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, NOT a fixed local: with non-nullable inputs the
+      // snippet is emitted unbraced, so two graft_simhash calls in one
+      // stage would declare the same variable twice — a Janino compile
+      // error and a silent whole-stage interpreted fallback
+      val res = ctx.freshName("simhashRes")
       s"""
-         |Object simhashRes = graft.functions.SimhashOps.compute($a, $b);
-         |if (simhashRes == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((Long) simhashRes).longValue(); }
+         |Object $res = graft.functions.SimhashOps.compute($a, $b);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $res).longValue(); }
        """.stripMargin
     })
 
@@ -371,12 +376,21 @@ object MinhashOps {
     if (min == null) null else hex(min)
   }
 
+  // the per-permutation "i:" prefix bytes are identical across rows —
+  // building them per row in the hottest text-side loop allocated
+  // millions of short-lived arrays (the HyperplaneOps cache pattern)
+  private val prefixCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Byte]]]
+  private def prefixes(numPerms: Int): Array[Array[Byte]] =
+    prefixCache.getOrElseUpdate(numPerms,
+      Array.tabulate(numPerms)(i => (i + ":").getBytes))
+
   /** Called from generated code. Null for an empty shingle array. */
   def compute(shingles: ArrayData, numPerms: Int): ArrayData = {
     val n = shingles.numElements()
     if (n == 0) return null
     val md = Md5Local.get()
-    val prefixes = Array.tabulate(numPerms)(i => (i + ":").getBytes)
+    val prefixes = this.prefixes(numPerms)
     val mins = new Array[Array[Byte]](numPerms)
     var u = 0
     while (u < n) {

@@ -57,16 +57,25 @@ object Layout {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val fs = new org.apache.hadoop.fs.Path(inPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
-      .filter(_.getPath.getName.endsWith(".parquet"))
+    // RECURSIVE listing: a partitioned layout nests its files under
+    // key=value dirs — a top-level listStatus would see only
+    // directories, size the table at 0 bytes, and collapse a multi-GB
+    // table into ONE output file
+    def parquetFiles(p: org.apache.hadoop.fs.Path)
+    : Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) parquetFiles(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+        else Seq.empty
+      }
+    val parts = parquetFiles(new org.apache.hadoop.fs.Path(inPath))
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
       .toInt
     spark.read.parquet(inPath)
       .repartition(nOut)
       .write.mode("overwrite").parquet(outPath)
-    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
-      .count(_.getPath.getName.endsWith(".parquet"))
+    val after = parquetFiles(new org.apache.hadoop.fs.Path(outPath)).size
     (parts.length, after)
   }
 

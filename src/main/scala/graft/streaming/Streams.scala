@@ -213,11 +213,7 @@ object Streams {
     // instead of inheriting the batch shuffle default; the partition
     // count is baked into the checkpoint on first run either way, so it
     // is a per-pipeline knob, not a global.
-    val sess = if (statePartitions > 0) {
-      val ns = spark.newSession()
-      ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-      ns
-    } else spark
+    val sess = statefulSession(spark, statePartitions)
     val schema = sess.read.option("pathGlobFilter", glob)
       .parquet(dir).schema
     def side(tpe: String) = normalizeTs(sess.readStream
@@ -306,14 +302,42 @@ object Streams {
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        val prev = latestVersion()
-        val base = prev.map(v => spark.read.parquet(s"$tablePath/v_$v"))
-          .getOrElse(emptyTable)
-        graft.ops.relational
-          .upsertLatest(base, batch.toDF(), keys, versionCol)
-          .write.mode("overwrite").parquet(s"$tablePath/v_$batchId")
-        prev.foreach(v => fs.delete(
-          new org.apache.hadoop.fs.Path(s"$tablePath/v_$v"), true))
+        // crash-replay safety: after a crash between the v_<batchId>
+        // write and the offset commit, this batch is REDELIVERED with
+        // the same id while v_<batchId> is already the latest snapshot.
+        // Naively merging "latest" would then lazily READ the same dir
+        // the overwrite targets (overwrite deletes it first →
+        // FileNotFoundException and the only snapshot is gone). Two
+        // rules make replay safe: the merge base is the latest version
+        // STRICTLY BELOW this batch id, and a complete (committed)
+        // v_<batchId> short-circuits — the work is already durable.
+        val committed = new org.apache.hadoop.fs.Path(
+          s"$tablePath/v_$batchId/_SUCCESS")
+        if (!fs.exists(committed)) {
+          val versions =
+            (if (fs.exists(hadoopPath)) fs.listStatus(hadoopPath).toSeq
+             else Seq.empty)
+              .filter(st => st.isDirectory &&
+                st.getPath.getName.startsWith("v_"))
+              .map(_.getPath.getName.stripPrefix("v_").toLong)
+          val base = versions.filter(_ < batchId).sorted.lastOption
+            .map(v => spark.read.parquet(s"$tablePath/v_$v"))
+            .getOrElse(emptyTable)
+          graft.ops.relational
+            .upsertLatest(base, batch.toDF(), keys, versionCol)
+            .write.mode("overwrite").parquet(s"$tablePath/v_$batchId")
+        }
+        // superseded (or partial, > batchId is impossible under
+        // AvailableNow's monotone ids) snapshots go only AFTER the new
+        // one is durable
+        (if (fs.exists(hadoopPath)) fs.listStatus(hadoopPath).toSeq
+         else Seq.empty)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("v_"))
+          .map(_.getPath.getName.stripPrefix("v_").toLong)
+          .filter(_ < batchId)
+          .foreach(v => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$tablePath/v_$v"), true))
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -356,8 +380,13 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
                        _: Long) =>
         val ok = coalesce(pred, lit(false))
-        batch.filter(ok).write.mode("append").parquet(goodPath)
-        batch.filter(!ok).write.mode("append").parquet(badPath)
+        // pinned: the published and quarantine writes would otherwise
+        // each re-read the batch's source files — 2× input I/O per batch
+        val pinned = batch.persist()
+        try {
+          pinned.filter(ok).write.mode("append").parquet(goodPath)
+          pinned.filter(!ok).write.mode("append").parquet(badPath)
+        } finally pinned.unpersist(blocking = false)
         ()
       }
       .option("checkpointLocation", checkpoint)

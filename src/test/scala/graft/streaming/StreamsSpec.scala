@@ -135,6 +135,33 @@ class StreamsSpec extends SparkSpec {
     val versions = new java.io.File(tbl).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v_"))
     assert(versions.length === 1)
+
+    // crash-replay: delete the LAST commit marker so the restart
+    // redelivers the final batch with the same batchId while its
+    // v_<id> snapshot already exists — the replay must neither read
+    // the dir it overwrites nor delete the fresh snapshot
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete())
+    // the local FS keeps a .crc sibling per file; a stale one would
+    // fail the re-commit's rename (a local-FS test artifact — HDFS/
+    // object stores have no such sibling)
+    val crc = new java.io.File(s"$ckpt/commits",
+      s".${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    // fresh session: the original session's StreamingQueryManager still
+    // holds this checkpoint's registration (a real crash-restart is a
+    // new driver process)
+    val replayed = Streams.upsertStreamToTable(spark.newSession(), tmp,
+      ckpt, tbl, keys = Seq("user_id"), versionCol = "ts",
+      glob = "*.parquet")
+      .select(col("user_id"), tsUs, col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(replayed === want, "crash-replay must reproduce the table")
+    val versionsAfter = new java.io.File(tbl).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+    assert(versionsAfter.length === 1)
   }
 
   private def batchIntervalJoin(dir: String) = {
