@@ -33,7 +33,10 @@ object Bench {
     // not to whichever query alphabetically hits it first), and the
     // embedding kernel (graft_dot). Row counts are capped: JIT warmth
     // comes from executing the generated classes, not from data volume.
-    {
+    // guarded like the measured loop: a missing table or extension
+    // failure in warmup must degrade to a cold first query, not abort
+    // the bench before the JSON line is emitted
+    try {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/nation.parquet").count()
       SparkEntry.queries.get("q_agg_q1")
@@ -55,6 +58,9 @@ object Bench {
           col("embedding"))))
         .groupBy("pos").agg(sum(col("col")))
         .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed (continuing cold): " +
+        e.getMessage)
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {

@@ -45,7 +45,11 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
-      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // FLOOR division, not `div` (which truncates toward zero): a
+      // pre-epoch nano timestamp would otherwise land one micro late
+      // (-1500 div 1000 = -1, floor = -2) and cross bucket boundaries
+      case LongType         => raw.withColumn("ts",
+        expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _                => raw
     }

@@ -438,30 +438,30 @@ object Dedup {
                         idCol: String, textCol: String, k: Int,
                         expectedShingles: Long = 1000000L,
                         numBits: Long = 1L << 23): DataFrame = {
-    def units(df: DataFrame) =
-      df.select(col(idCol),
+    val bf = benchmark
+      .select(col(idCol),
         explode(Text.shingles(Text.tokens(col(textCol)), k)).as("u"))
-    val bf = units(benchmark)
       .agg(call_function("graft_bloom_agg", xxhash64(col("u")),
         lit(expectedShingles), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    val trainU = units(train)
-    val flagged =
-      if (bf == null) // empty benchmark: nothing can be contaminated
-        trainU.groupBy(col(idCol)).agg(lit(false).as("bloom_hit"))
-      else
-        trainU
-          .select(col(idCol),
+    // explode_OUTER: a train doc with fewer than k tokens has no
+    // shingles and would vanish through a plain explode — the contract
+    // is a row for EVERY train doc, and a shingle-less doc can share
+    // nothing, so its null unit row scores a guarded false (the guard
+    // matters: xxhash64(NULL) returns the seed, which could spuriously
+    // probe true). Keeps the probe scan-local — no restore join.
+    val trainU = train.select(col(idCol),
+      explode_outer(Text.shingles(Text.tokens(col(textCol)), k)).as("u"))
+    if (bf == null) // empty benchmark: nothing can be contaminated
+      trainU.groupBy(col(idCol)).agg(lit(false).as("bloom_hit"))
+    else
+      trainU
+        .select(col(idCol),
+          when(col("u").isNotNull,
             call_function("graft_might_contain", lit(bf),
-              xxhash64(col("u"))).as("hit"))
-          .groupBy(col(idCol))
-          .agg(max(col("hit")).as("bloom_hit"))
-    // the contract is a row for EVERY train doc: a doc with fewer than
-    // k tokens has no shingles, vanishes through the explode, and can
-    // share nothing with the benchmark — restore it as clean
-    train.select(col(idCol)).join(flagged, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("bloom_hit"), lit(false)).as("bloom_hit"))
+              xxhash64(col("u")))).otherwise(lit(false)).as("hit"))
+        .groupBy(col(idCol))
+        .agg(max(col("hit")).as("bloom_hit"))
   }
 
   /** Shared verify-join front for the exact set-similarity operators:

@@ -152,9 +152,15 @@ object Graph {
       }
     }
     eDeg.unpersist()
-    if (stopOnFixpoint)
-      log.info(s"pageRankConverged: fixpoint after $iter iterations " +
-        s"(cap $iterations)")
+    if (stopOnFixpoint) {
+      if (converged)
+        log.info(s"pageRankConverged: fixpoint after $iter iterations " +
+          s"(cap $iterations)")
+      else
+        log.info(s"pageRankConverged: cap $iterations reached WITHOUT " +
+          "a fixpoint (integer limit cycle) — ranks are within one " +
+          "unit of stationary")
+    }
     (ranks, iter)
   }
 
@@ -275,13 +281,9 @@ object Graph {
     * longer run (`GraphSpec` pins it). */
   def labelPropagationConverged(edges: DataFrame, aCol: String,
                                 bCol: String, maxRounds: Int = 50)
-  : (DataFrame, Int) = {
-    val (labels, iters) = runLabelPropagation(edges, aCol, bCol,
-      maxRounds, stopOnFixpoint = true)
-    log.info(s"labelPropagationConverged: stable after $iters rounds " +
-      s"(cap $maxRounds)")
-    (labels, iters)
-  }
+  : (DataFrame, Int) =
+    runLabelPropagation(edges, aCol, bCol, maxRounds,
+      stopOnFixpoint = true)
 
   private def runLabelPropagation(edges: DataFrame, aCol: String,
                                   bCol: String, rounds: Int,
@@ -291,10 +293,16 @@ object Graph {
     val e0 = edges.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
+    // like pageRank's eDeg: persist WITH a visible src partitioning
+    // (stage()'s checkpoint would erase outputPartitioning), so each
+    // round's edges⋈labels join exchanges only the node-sized labels
+    // side — the E-row edge list is shuffled exactly once, not once
+    // per round
     val e = e0.select(col("a").as("src"), col("b").as("dst"))
       .union(e0.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
-      .stage()
+      .repartition(col("src"))
+      .persist()
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("community"))
       .stage()
@@ -327,6 +335,15 @@ object Graph {
         prevSum = s
       }
     }
+    if (stopOnFixpoint) {
+      if (converged)
+        log.info(s"labelPropagationConverged: stable after $round " +
+          s"rounds (cap $rounds)")
+      else
+        log.info(s"labelPropagationConverged: cap $rounds reached " +
+          "WITHOUT a stable assignment (synchronous LP can 2-cycle)")
+    }
+    e.unpersist()
     (labels, round)
   }
 

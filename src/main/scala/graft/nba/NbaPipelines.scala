@@ -84,10 +84,16 @@ object NbaPipelines {
     * clock parse (M1) + header-row filter (F5), period counter (W1),
     * score parse (M3) + forward-fill seeded 0-0 (W2), duplicate null-out
     * (M9), deterministic play ids (M7). */
-  def cleanPlayByPlay(games: DataFrame, rawPbp: DataFrame): DataFrame = {
-    val manifest = games.select(col("game_id"),
+  /** The gameKey manifest both raw-table joins share: the key format
+    * is a JOIN CONTRACT with the scraped tables — one copy so a format
+    * change cannot silently desync the two pipelines' manifests. */
+  private def gameManifest(games: DataFrame): DataFrame =
+    games.select(col("game_id"),
       concat_ws("|", col("gameDate"), col("awayTeam"), col("homeTeam"))
         .as("gameKey"))
+
+  def cleanPlayByPlay(games: DataFrame, rawPbp: DataFrame): DataFrame = {
+    val manifest = gameManifest(games)
     val w = windows.running(Seq(col("game_id")), Seq(col("seq")))
 
     rawPbp
@@ -104,6 +110,9 @@ object NbaPipelines {
         windows.forwardFill(col("parsedScore.home"), w, lit(0)))
       .withColumn("event_away",
         exprs.nullOutWhen(col("eventAway"),
+          // the reference's TWO-branch rule (playByplay.py:68-74):
+          // null when equal to the companion column OR when the
+          // companion is null/None — not equality alone
           col("eventAway") === col("eventHome") ||
             col("eventHome").isNull))                                // M9
       .select(col("game_id"),
@@ -117,9 +126,7 @@ object NbaPipelines {
     * forward-fill from the 'Reserves'/'Team Totals' markers (W3), then
     * drop the marker rows themselves (F6). */
   def cleanBoxScores(games: DataFrame, rawBox: DataFrame): DataFrame = {
-    val manifest = games.select(col("game_id"),
-      concat_ws("|", col("gameDate"), col("awayTeam"), col("homeTeam"))
-        .as("gameKey"))
+    val manifest = gameManifest(games)
     val w = windows.running(Seq(col("game_id"), col("teamName")),
       Seq(col("seq")))
 
@@ -146,6 +153,10 @@ object NbaPipelines {
         exprs.seasonStartYear(col("season")))                        // M2
       .filter(col("g_reg").try_cast("int").isNotNull)                // F4
       .withColumn("coachType",
+        // the reference classifies BEFORE its isNumber mask, but the
+        // mask keeps only int-parsable g_reg — so the surviving rows
+        // are all "Head Coach" there too; filter-then-classify is
+        // output-equivalent and skips classifying dropped rows
         exprs.classifyCoach(col("g_reg"), col("role"),
           "Player Development"))                                     // M6
       .select(col("coachName"), col("seasonStartYear"), col("tm"),

@@ -74,15 +74,17 @@ object Pipelines {
     * `scrape_data_to_gcs.py:199-207`): looped page scan accumulated by
     * union (S2/A1), pattern filter on the season string (F3),
     * numeric-parse filter (F4), season split (M2), conditional classify
-    * (M6). The per-page loop becomes a union of page slices that Catalyst
-    * collapses back into one scan.
+    * (M6). The reference's per-page loop is a union of disjoint key
+    * slices of ONE table — semantically the table itself, so the load
+    * is a single scan here (a literal union of pmod filters would plan
+    * FOUR FileScans of the same file: no Catalyst rule merges union
+    * branches, and pmod never reaches parquet — 3 wasted full reads at
+    * lake scale). The page-loop SHAPE — one planned partition per page
+    * — lives where it belongs: the staged-pages DSV2 source (S2), and
+    * the union-with-missing-columns operator is exercised by A1.
     */
   def e1FullLoadPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val part = t(spark, dir, "part")
-    // four "letter pages" of the directory scan, unioned like pd.concat
-    val pages = (0 until 4).map(i =>
-      part.filter(pmod(col("p_partkey"), lit(4)) === i))
-    relational.unionAll(pages)
+    t(spark, dir, "part")
       .withColumn("season_raw",
         when(col("p_partkey") % 11 === 0, lit("Career"))
           .otherwise(concat((col("p_size") + 1990).cast("string"), lit("-"),
@@ -204,19 +206,27 @@ object Pipelines {
     * map-side combine.
     */
   def corpusPrep(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.text.Text
-
     val docs = t(spark, dir, "documents")
     val gated = docs
       .withColumn("q", Text.qualityScore(col("text")))
       .filter(col("q.n_tokens") >= 20 && col("q.punct_ratio") < 0.2)
-    val canonical = gated
+    dedupSplitAccounting(gated)
+  }
+
+  /** Shared tail of both corpus-prep pipelines: exact-dedup canonical
+    * selection (min doc_id per content fingerprint), deterministic
+    * 90/5/5 md5-bucket split, per-(split, lang) accounting. ONE copy so
+    * the dedup rule and split thresholds cannot diverge between v1 and
+    * v2. */
+  private def dedupSplitAccounting(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.Text
+    df
       .withColumn("fp", Text.exactFingerprint(col("text")))
       .withColumn("keep_id",
         min(col("doc_id")).over(Window.partitionBy("fp")))
       .filter(col("doc_id") === col("keep_id"))
-    canonical
       .withColumn("split",
         when(Text.splitBucket(col("doc_id"), 100) < 90, "train")
           .when(Text.splitBucket(col("doc_id"), 100) < 95, "val")
@@ -244,17 +254,6 @@ object Pipelines {
     val gated = Text.percentileGate(docs, "lang",
       Text.qualityScore(col("text")).getField("mean_word_len"), p = 0.25)
     val capped = Text.domainCap(gated, "doc_id", "source", cap = 100)
-    val canonical = capped
-      .withColumn("fp", Text.exactFingerprint(col("text")))
-      .withColumn("keep_id",
-        min(col("doc_id")).over(Window.partitionBy("fp")))
-      .filter(col("doc_id") === col("keep_id"))
-    canonical
-      .withColumn("split",
-        when(Text.splitBucket(col("doc_id"), 100) < 90, "train")
-          .when(Text.splitBucket(col("doc_id"), 100) < 95, "val")
-          .otherwise("test"))
-      .groupBy("split", "lang")
-      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    dedupSplitAccounting(capped)
   }
 }

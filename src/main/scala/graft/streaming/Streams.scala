@@ -28,7 +28,10 @@ object Streams {
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // floor division (see Tables.events): pre-epoch nanos must not
+        // truncate toward zero
+        df.withColumn("ts",
+          expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df

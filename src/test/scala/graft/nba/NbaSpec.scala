@@ -140,4 +140,22 @@ class NbaSpec extends SparkSpec {
       .select("playerName", "salary").as[(String, Double)].collect()
     assert(got === Array(("M. Jordan", 3.014e7)))
   }
+
+  test("NbaSchemas raw schemas are the cleaners' live input contract") {
+    // each cleaner must ANALYZE against an empty frame of the declared
+    // raw schema — a column the pipeline references but the schema
+    // lacks (or vice-versa drift) fails here instead of at a CSV edge
+    def empty(s: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+    val games = NbaPipelines.cleanGames(
+      empty(NbaSchemas.gamesRaw), playoffStarts)
+    assert(games.count() === 0)
+    assert(NbaPipelines.cleanPlayByPlay(games,
+      empty(NbaSchemas.playByPlayRaw)).count() === 0)
+    assert(NbaPipelines.cleanBoxScores(games,
+      empty(NbaSchemas.boxScoresRaw)).count() === 0)
+    assert(NbaPipelines.cleanCoaches(
+      empty(NbaSchemas.coachesRaw)).count() === 0)
+  }
 }
