@@ -916,11 +916,19 @@ object ExtensionQueries {
       Multimodal.frameSample(
         Multimodal.mediaFromDocuments(s, t(s, d, "documents")), stride = 64)),
 
+    // checksum is oracle-checked only for UNTRUNCATED payloads: DuckDB
+    // has no hash-of-byte-slice (md5/sha256 take VARCHAR, and a 256-byte
+    // prefix can split a UTF-8 character), so truncated rows carry a
+    // marker; sizes are verified for every row either way
     "q_mm_resize" -> ((s, d) => {
       import s.implicits._
       Multimodal.resizeStub(
         Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
           .as[Multimodal.MediaRow], width = 16, height = 16).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("n_bytes_in"), col("n_bytes"),
+          when(col("n_bytes_in") <= 256L, col("checksum"))
+            .otherwise(lit("truncated")).as("checksum"))
     }),
 
     "q_mm_features" -> ((s, d) => {
@@ -3661,45 +3669,68 @@ object ExtensionQueries {
                 round(score, 6) AS pq_score
          FROM ranked WHERE rnk <= 5""",
 
+    // BYTE semantics throughout (the payload is the utf-8 encoding):
+    // sizes via strlen (bytes, not chars), width/height from the first
+    // two BYTES & 0x7f via hex pairs — ascii(substr(...)) would read
+    // code points and diverge on the first non-ASCII character
     "q_mm_decode" ->
-      """SELECT doc_id AS media_id,
+      """WITH m AS (SELECT doc_id, coalesce(text, '') AS tx,
+                           hex(encode(coalesce(text, ''))) AS hx
+                    FROM documents)
+         SELECT doc_id AS media_id,
                 CASE WHEN doc_id % 3 = 0 THEN 'image'
                      WHEN doc_id % 3 = 1 THEN 'audio'
                      ELSE 'video' END AS kind,
-                length(text)::BIGINT AS n_bytes,
-                16 + ascii(substr(text, 1, 1)) AS width,
-                16 + ascii(substr(text, 2, 1)) AS height,
-                md5(text) AS checksum
-         FROM documents""",
+                strlen(tx)::BIGINT AS n_bytes,
+                16 + CASE WHEN strlen(tx) >= 1 THEN
+                  ('0x' || substr(hx, 1, 2))::INT & 127 ELSE 0 END
+                  AS width,
+                16 + CASE WHEN strlen(tx) >= 2 THEN
+                  ('0x' || substr(hx, 3, 2))::INT & 127 ELSE 0 END
+                  AS height,
+                md5(tx) AS checksum
+         FROM m""",
 
+    // byte lengths (strlen); zero-byte payloads emit NO frames
     "q_mm_frames" ->
       """SELECT doc_id AS media_id,
                 CASE WHEN doc_id % 3 = 0 THEN 'image'
                      WHEN doc_id % 3 = 1 THEN 'audio'
                      ELSE 'video' END AS kind,
                 unnest(generate_series(0,
-                  greatest((length(text) // 64)::INT - 1, 0))) AS frame_idx,
+                  greatest((strlen(coalesce(text, '')) // 64)::INT - 1,
+                           0))) AS frame_idx,
                 unnest(generate_series(0,
-                  greatest((length(text) // 64)::INT - 1, 0))) * 64
-                  AS frame_off
-         FROM documents""",
+                  greatest((strlen(coalesce(text, '')) // 64)::INT - 1,
+                           0))) * 64 AS frame_off
+         FROM documents
+         WHERE strlen(coalesce(text, '')) > 0""",
 
+    // byte sizes; checksum asserted only for untruncated payloads (see
+    // the Spark side's comment — no hash-of-byte-slice in DuckDB)
     "q_mm_resize" ->
-      """SELECT doc_id AS media_id,
+      """WITH m AS (SELECT doc_id, coalesce(text, '') AS tx
+                    FROM documents)
+         SELECT doc_id AS media_id,
                 CASE WHEN doc_id % 3 = 0 THEN 'image'
                      WHEN doc_id % 3 = 1 THEN 'audio'
                      ELSE 'video' END AS kind,
                 16 AS width, 16 AS height,
-                least(length(text), 256)::BIGINT AS n_bytes,
-                md5(substr(text, 1, 256)) AS checksum
-         FROM documents""",
+                strlen(tx)::BIGINT AS n_bytes_in,
+                least(strlen(tx), 256)::BIGINT AS n_bytes,
+                CASE WHEN strlen(tx) <= 256 THEN md5(tx)
+                     ELSE 'truncated' END AS checksum
+         FROM m""",
 
+    // one bin per BYTE of the utf-8 payload (hex-pair decode), not per
+    // character code point — matches featureStub's (b & 0xff) % bins
     "q_mm_features" ->
       """WITH per AS (
            SELECT doc_id, bin, COUNT(*) AS cnt FROM (
              SELECT doc_id,
-                    ascii(substr(text,
-                      unnest(generate_series(1, length(text))), 1))
+                    ('0x' || substr(hex(encode(coalesce(text, ''))),
+                      2 * unnest(generate_series(1,
+                        strlen(coalesce(text, '')))) - 1, 2))::INT
                       % 8 AS bin
              FROM documents)
            GROUP BY doc_id, bin),

@@ -469,7 +469,9 @@ object SparkEntry {
           .otherwise(col("o_orderpriority")).as("prio"))
         .distinct()
         .withColumn("prio_rank",
-          coalesce(substring(col("prio"), 1, 1).cast("int"), lit(0)))
+          // try_cast like the twin's TRY_CAST: a non-digit priority
+          // prefix must rank 0, not raise ANSI CAST_INVALID_INPUT
+          coalesce(substring(col("prio"), 1, 1).try_cast("int"), lit(0)))
       o.join(dim, o("prio") <=> dim("prio"))
         .groupBy("prio_rank")
         .agg(count(lit(1)).as("cnt"))
@@ -818,7 +820,7 @@ object SparkEntry {
       t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
       s.sql("""
         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-               CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+               CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS total_qty
         FROM customer_v
         JOIN orders_v ON c_custkey = o_custkey
         JOIN lineitem_v ON o_orderkey = l_orderkey
@@ -1024,9 +1026,12 @@ object SparkEntry {
          WHERE c_custkey IN
            (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)""",
 
+    // NOT EXISTS, not NOT IN: one NULL o_custkey would make NOT IN
+    // vacuously empty while Spark's left_anti keeps non-matching rows
     "q_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey)""",
 
     "q_a1_union_missing" ->
       """SELECT c_name AS name, c_acctbal AS acctbal,
@@ -1487,9 +1492,11 @@ object SparkEntry {
          ORDER BY revenue DESC, c_custkey ASC
          LIMIT 20""",
 
+    // FLOOR before the cast on BOTH engines: a bare double->BIGINT cast
+    // truncates in Spark but rounds in DuckDB (2.6 -> 2 vs 3)
     "q_sql_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-                CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+                CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS total_qty
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey

@@ -47,20 +47,24 @@ object Multimodal {
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition codec init would go here (amortized, like a Pandas
-      // UDF's per-batch setup)
+      // per-partition codec init (amortized, like a Pandas UDF's
+      // per-batch setup) — one digest instance per task, never per row
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val (w, h) = FakeCodec.decode(r.payload)
+        md.reset()
         MediaMeta(r.media_id, r.kind, r.payload.length.toLong, w, h,
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(r.payload).map("%02x".format(_)).mkString)
+          md.digest(r.payload).map("%02x".format(_)).mkString)
       }
     }
   }
 
-  /** Resized envelope: fixed target dimensions + truncated payload. */
+  /** Resized envelope: fixed target dimensions + truncated payload.
+    * `n_bytes_in` records the source size (what a real resize logs) —
+    * and lets the oracle distinguish truncated from exact-fit rows. */
   case class MediaResized(media_id: Long, kind: String, width: Int,
-                          height: Int, n_bytes: Long, checksum: String)
+                          height: Int, n_bytes_in: Long, n_bytes: Long,
+                          checksum: String)
 
   /** Byte-histogram "feature vector" (the stub for a CNN/CLIP embedding
     * step): counts per bin, dense, fixed length. Raw counts rather than
@@ -75,15 +79,20 @@ object Multimodal {
   def resizeStub(media: Dataset[MediaRow], width: Int, height: Int)
   : Dataset[MediaResized] = {
     import media.sparkSession.implicits._
-    val target = width * height
+    // LONG target: 65536×65536 overflows Int to 0 and would silently
+    // truncate every payload to empty instead of keeping them whole
+    val target = width.toLong * height.toLong
+    require(target > 0, s"resize target must be positive: ${width}x$height")
     media.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val out =
-          if (r.payload.length > target) r.payload.take(target)
+          if (r.payload.length > target)
+            r.payload.take(target.min(Int.MaxValue).toInt)
           else r.payload
         md.reset()
-        MediaResized(r.media_id, r.kind, width, height, out.length.toLong,
+        MediaResized(r.media_id, r.kind, width, height,
+          r.payload.length.toLong, out.length.toLong,
           md.digest(out).map("%02x".format(_)).mkString)
       }
     }
@@ -109,6 +118,10 @@ object Multimodal {
   def frameSample(media: DataFrame, stride: Int): DataFrame =
     media
       .withColumn("n_bytes", length(col("payload")).cast("bigint"))
+      // a zero-byte payload has no windows: without the filter the
+      // greatest(..., 0) floor would fabricate one phantom frame at
+      // offset 0 for every empty asset
+      .filter(col("n_bytes") > 0)
       .withColumn("frame_idx",
         explode(sequence(lit(0),
           greatest((col("n_bytes") / stride).cast("int") - 1, lit(0)))))
@@ -124,5 +137,8 @@ object Multimodal {
       when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio")
         .otherwise("video").as("kind"),
-      encode(col("text"), "utf-8").cast("binary").as("payload"))
+      // null-safe: a NULL text would NPE every typed codec stub —
+      // an absent payload is an EMPTY payload here (both engines agree)
+      encode(coalesce(col("text"), lit("")), "utf-8").cast("binary")
+        .as("payload"))
 }

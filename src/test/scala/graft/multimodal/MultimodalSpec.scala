@@ -51,4 +51,41 @@ class MultimodalSpec extends SparkSpec {
     // 'a'=97 → bin 1; each of a..h lands in a distinct bin of 8
     assert(f.forall(_ === 1L))
   }
+
+  test("byte semantics, null text, empty payloads, overflow guard") {
+    import org.apache.spark.sql.functions._
+    // non-ASCII + null + empty corpus: the codec surface is BYTES
+    val docs = Seq(
+      (0L, "é"),                  // 2 utf-8 bytes: 0xC3 0xA9
+      (1L, null.asInstanceOf[String]),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+      .as[Multimodal.MediaRow]
+    val meta = Multimodal.decodeMeta(media).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(meta(0L).n_bytes === 2L)          // bytes, not 1 char
+    assert(meta(0L).width === 16 + (0xC3 & 0x7f))
+    assert(meta(0L).height === 16 + (0xA9 & 0x7f))
+    assert(meta(1L).n_bytes === 0L)          // null text = empty payload
+    assert(meta(2L).n_bytes === 0L)
+
+    // per-BYTE histogram: 'é' lands 0xC3%8=3 and 0xA9%8=1
+    val f = Multimodal.featureStub(media, bins = 8).collect()
+      .map(m => m.media_id -> m.features).toMap
+    assert(f(0L).sum === 2L)
+    assert(f(0L)(3) === 1L && f(0L)(1) === 1L)
+
+    // empty payloads emit NO phantom frame
+    val frames = Multimodal.frameSample(
+      Multimodal.mediaFromDocuments(spark, docs), stride = 64)
+    assert(frames.count() === 1L)            // only doc 0, frame 0
+    assert(frames.select("media_id").as[Long].head() === 0L)
+
+    // 65536x65536 must not Int-overflow to a zero target
+    val big = Multimodal.resizeStub(media, 65536, 65536).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(big(0L).n_bytes === 2L)           // untouched, not truncated
+    assert(big(0L).n_bytes_in === 2L)
+  }
 }
