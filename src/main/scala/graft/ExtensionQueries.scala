@@ -372,8 +372,8 @@ object ExtensionQueries {
         .withColumn("q", Text.qualityScore(col("text")))
         .select(col("doc_id"),
           col("q.n_tokens").cast("bigint").as("n_tokens"),
-          round(col("q.mean_word_len"), 6).as("mean_word_len"),
-          round(col("q.punct_ratio"), 6).as("punct_ratio"))),
+          graft.ops.analytics.roundDouble(col("q.mean_word_len"), 6).as("mean_word_len"),
+          graft.ops.analytics.roundDouble(col("q.punct_ratio"), 6).as("punct_ratio"))),
 
     "q_text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -827,7 +827,8 @@ object ExtensionQueries {
     // then a bounded d²-row finish — the training pass behind PCA
     "q_emb_covariance" -> ((s, d) =>
       Similarity.covariance(t(s, d, "embeddings"), "embedding", dim = 64)
-        .select(col("i"), col("j"), round(col("cov"), 10).as("cov"))),
+        .select(col("i"), col("j"),
+          graft.ops.analytics.roundDouble(col("cov"), 10).as("cov"))),
 
     // PCA fit + project in ONE corpus pass: the staged moment sums feed
     // covariance (→ driver-side d×d Jacobi — legal: d² values regardless
@@ -1097,7 +1098,7 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_tokens"),
           sum(col("lp_micro")).as("lp_sum_micro"))
         .withColumn("avg_logprob",
-          round(col("lp_sum_micro") / lit(1e6) / col("n_tokens"), 4))
+          graft.ops.analytics.roundDouble(col("lp_sum_micro") / lit(1e6) / col("n_tokens"), 4))
     }),
 
     // per-doc token-distribution Shannon entropy — the "repeated-token
@@ -1160,7 +1161,7 @@ object ExtensionQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"), sum(col("kept")).as("n_kept"))
         .withColumn("kept_ratio",
-          round(col("n_kept") / col("n_chunks"), 6))
+          graft.ops.analytics.roundDouble(col("n_kept") / col("n_chunks"), 6))
     }),
 
     // ---- corpus mixing: reweight languages to an equal-share target -------
@@ -1251,7 +1252,7 @@ object ExtensionQueries {
       val dense = timeseries.fillDailyGaps(daily, "user_id", "day",
         Seq("v" -> lit(null).cast("double")))
       timeseries.interpolateLinear(dense, "user_id", "day", "v")
-        .withColumn("v", round(col("v"), 6))
+        .withColumn("v", graft.ops.analytics.roundDouble(col("v"), 6))
     }),
 
     // ---- time-series: trailing 7-day window stats over the dense series ---
@@ -1449,7 +1450,8 @@ object ExtensionQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("tok"), col("tf"),
-          round(col("tf") * log(lit(n.toDouble) / col("df")), 4)
+          graft.ops.analytics.roundDouble(
+            col("tf") * log(lit(n.toDouble) / col("df")), 4)
             .as("tfidf"))
     }),
 
@@ -1492,7 +1494,7 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_toks"),
           sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
         .select(col("doc_id"),
-          round(col("n_oov").cast("double") / col("n_toks"), 6)
+          graft.ops.analytics.roundDouble(col("n_oov").cast("double") / col("n_toks"), 6)
             .as("oov_rate"))
     }),
 
@@ -1652,16 +1654,28 @@ object ExtensionQueries {
            AND ts < window_start + INTERVAL 2 HOUR
          GROUP BY window_start, event_type""",
 
+    // integer-guarded extraction: a hard ::INT on json_extract_string
+    // ERRORS the whole oracle on non-numeric payloads and silently
+    // coerces quoted/"1.5" values where Spark's typed parse yields
+    // NULL — extract the RAW json and cast only integer literals
     "q_json_props" ->
       """SELECT event_id,
-                json_extract_string(props, '$.k')::INT AS k_val
+                CASE WHEN json_extract(props, '$.k')::VARCHAR
+                       SIMILAR TO '-?[0-9]+'
+                     THEN json_extract(props, '$.k')::VARCHAR::INT
+                END AS k_val
          FROM events""",
 
     "q_json_variant" ->
       """SELECT event_id,
-                json_extract_string(props, '$.k')::BIGINT AS k_val,
-                json_extract_string(props, '$.absent')::BIGINT
-                  AS absent_val
+                CASE WHEN json_extract(props, '$.k')::VARCHAR
+                       SIMILAR TO '-?[0-9]+'
+                     THEN json_extract(props, '$.k')::VARCHAR::BIGINT
+                END AS k_val,
+                CASE WHEN json_extract(props, '$.absent')::VARCHAR
+                       SIMILAR TO '-?[0-9]+'
+                     THEN json_extract(props, '$.absent')::VARCHAR::BIGINT
+                END AS absent_val
          FROM events""",
 
     "q_text_token_stats" ->
@@ -1676,7 +1690,11 @@ object ExtensionQueries {
     // DuckDB has no deflate: the twin computes the portable half
     // (byte counts) and asserts the verdicts the Spark side derives
     // from the actual compression — hash matches iff both bounds hold
-    // for every document
+    // for every document. ok_bound is backed by zlib's worst-case
+    // guarantee at any input; ok_compresses is a CORPUS-SCOPED quality
+    // expectation (natural text ≥100 bytes deflates below 0.9) — on a
+    // high-entropy corpus (base64/hex blobs) its failing is the signal
+    // working, and the oracle row is expected to flag it
     "q_compression_ratio" ->
       """SELECT doc_id,
                 CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes,
@@ -2239,6 +2257,9 @@ object ExtensionQueries {
          GROUP BY doc_id
          ORDER BY score_micro DESC, doc_id LIMIT 100""",
 
+    // eligibility mirrors Text.weightedSample: A-ES needs a non-null
+    // id and a strictly positive weight (a negative weight would flip
+    // the key sign and rank FIRST)
     "q_weighted_sample" ->
       """SELECT doc_id, lang, n_chars FROM (
            SELECT doc_id, lang, n_chars,
@@ -2247,7 +2268,8 @@ object ExtensionQueries {
                           ::BIGINT)::DOUBLE + 0.5) / 4294967296.0)
                       / n_chars::DOUBLE,
                     doc_id) AS rn
-           FROM documents)
+           FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars > 0)
          WHERE rn <= 20""",
 
     "q_dedup_exact" ->
@@ -2382,13 +2404,21 @@ object ExtensionQueries {
            FROM (SELECT doc_id, toks,
                         unnest(generate_series(1, len(toks) - 3)) AS i
                  FROM tok)),
-         d AS (SELECT w, count(DISTINCT doc_id) AS nd FROM w GROUP BY w)
-         SELECT doc_id, count(*)::BIGINT AS n_windows,
-                sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT
-                  AS n_dup_windows,
-                round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
-                  / count(*), 6) AS dup_ratio
-         FROM w JOIN d USING (w) GROUP BY doc_id""",
+         d AS (SELECT w, count(DISTINCT doc_id) AS nd FROM w GROUP BY w),
+         per AS (
+           SELECT doc_id, count(*)::BIGINT AS n_windows,
+                  sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT
+                    AS n_dup_windows
+           FROM w JOIN d USING (w) GROUP BY doc_id)
+         -- every doc appears: sub-k docs join back at zero, matching
+         -- the Spark side's every-doc contract
+         SELECT t.doc_id,
+                COALESCE(n_windows, 0)::BIGINT AS n_windows,
+                COALESCE(n_dup_windows, 0)::BIGINT AS n_dup_windows,
+                CASE WHEN COALESCE(n_windows, 0) > 0
+                     THEN round(n_dup_windows::DOUBLE / n_windows, 6)
+                     ELSE 0.0 END AS dup_ratio
+         FROM tok t LEFT JOIN per USING (doc_id)""",
 
     "q_domain_cap" ->
       """SELECT doc_id, source FROM (
@@ -3841,10 +3871,17 @@ object ExtensionQueries {
                         AND user_id IS NOT NULL
                   THEN 'published' ELSE 'quarantined' END AS side, value
            FROM events)
-         SELECT side, count(*)::BIGINT AS n_rows,
-                CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))),
-                  0) AS DOUBLE) AS sum_value
-         FROM f GROUP BY side""",
+         , agg AS (
+           SELECT side, count(*)::BIGINT AS n_rows,
+                  CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))),
+                    0) AS DOUBLE) AS sum_value
+           FROM f GROUP BY side)
+         -- both sides ALWAYS appear (zero row if a class is empty),
+         -- matching routeValidated's one-row-per-side contract
+         SELECT s.side, COALESCE(n_rows, 0)::BIGINT AS n_rows,
+                COALESCE(sum_value, 0.0) AS sum_value
+         FROM (VALUES ('published'), ('quarantined')) s(side)
+         LEFT JOIN agg ON agg.side = s.side""",
 
     "q_s_orc_roundtrip" -> "SELECT * FROM nation",
 
@@ -3919,7 +3956,10 @@ object ExtensionQueries {
                   CAST(datediff('day', DATE '1992-01-01',
                     CAST(l_shipdate AS DATE)) AS BIGINT) AS x,
                   CAST(round(l_quantity * 100) AS BIGINT) AS yc
-           FROM lineitem),
+           FROM lineitem
+           -- null x/y rows are dropped like groupTrend's filter, so n
+           -- counts exactly the rows the moment sums cover
+           WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL),
          m AS (SELECT l_suppkey,
                       CAST(COUNT(*) AS BIGINT) AS n,
                       CAST(SUM(x) AS DOUBLE) AS sx,
@@ -4275,8 +4315,11 @@ object ExtensionQueries {
                 GROUP BY 1)
          SELECT 0 AS stage_idx, 'view' AS stage,
                 CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+           HAVING COUNT(*) > 0
          UNION ALL SELECT 1, 'click', CAST(COUNT(*) AS BIGINT) FROM s1
-         UNION ALL SELECT 2, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s2""",
+           HAVING COUNT(*) > 0
+         UNION ALL SELECT 2, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s2
+           HAVING COUNT(*) > 0""",
 
     "q_cohort" ->
       """WITH activity AS (
@@ -4293,13 +4336,17 @@ object ExtensionQueries {
     "q_scd2" ->
       """WITH ordered AS (
            SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
-                  lag(o_orderpriority) OVER w AS prev_attr
+                  lag(o_orderpriority) OVER w AS prev_attr,
+                  lag(1) OVER w AS prev_marker
            FROM orders
            WINDOW w AS (PARTITION BY o_custkey
                         ORDER BY o_orderdate, o_orderkey)),
+         -- null-safe change detection like the Spark side: the lag'd
+         -- constant marks the true first row, and IS DISTINCT FROM
+         -- treats value<->NULL transitions as real change points
          changes AS (SELECT * FROM ordered
-                     WHERE prev_attr IS NULL
-                        OR prev_attr <> o_orderpriority)
+                     WHERE prev_marker IS NULL
+                        OR prev_attr IS DISTINCT FROM o_orderpriority)
          SELECT o_custkey, o_orderpriority,
                 o_orderdate AS valid_from,
                 lead(o_orderdate) OVER w AS valid_to,

@@ -20,9 +20,17 @@ object Text {
   /** Distinct token set (for Jaccard/minhash). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
+  /** The whitespace class shared with every DuckDB twin: EXPLICIT, not
+    * `\s` — Java's `\s` includes vertical tab (U+000B), RE2's does
+    * not, so a `\s`-based raw tokenizer would split on VT only on the
+    * Spark side. (The normalized [[tokens]] path is immune: its
+    * `[^a-z0-9\s]+`→space rewrite hits VT symmetrically on both
+    * engines.) */
+  private[graft] val WsClass = "[ \\t\\n\\f\\r]"
+
   /** Token count — whitespace tokens of the raw text. */
   def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    size(split(trim(text), WsClass + "+"))
 
   /** Word k-shingles over the token array (n-gram units for dedup):
     * the native [[graft.functions.Shingles]] expression — one fused,
@@ -233,9 +241,11 @@ object Text {
     val nChars = length(text).cast("double")
     val nTokens = tokenCount(text).cast("double")
     val punct =
-      (nChars - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))) /
+      (nChars - length(regexp_replace(text,
+        "[^a-zA-Z0-9 \\t\\n\\f\\r]", ""))) /
         greatest(nChars, lit(1.0))
-    val nonWs = length(regexp_replace(text, "\\s", "")).cast("double")
+    val nonWs =
+      length(regexp_replace(text, WsClass, "")).cast("double")
     val meanWordLen = nonWs / greatest(nTokens, lit(1.0))
     struct(nTokens.as("n_tokens"), meanWordLen.as("mean_word_len"),
       punct.as("punct_ratio"))
@@ -278,7 +288,7 @@ object Text {
     * tokenizers, without a learned merge table). */
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text),
-      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]"), lit(0)))
 
   /** Deterministic hash-bucket in [0, buckets) for train/val/test splits:
     * stable across runs, engines, and cluster sizes (md5 of the id — no
@@ -855,9 +865,10 @@ object Text {
     */
   def gopherFlags(text: Column, minWords: Int = 50,
                   maxWords: Int = 100000): Column = {
-    val words = split(trim(text), "\\s+")
+    val words = split(trim(text), WsClass + "+")
     val nWords = size(words).cast("double")
-    val nonWs = length(regexp_replace(text, "\\s+", "")).cast("double")
+    val nonWs =
+      length(regexp_replace(text, WsClass + "+", "")).cast("double")
     val meanLen = nonWs / greatest(nWords, lit(1.0))
     // symbol OCCURRENCES, not characters: the cited Gopher rule is
     // occurrence-based — counting chars would weigh an ASCII '...' 3x
