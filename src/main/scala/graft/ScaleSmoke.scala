@@ -243,9 +243,14 @@ object ScaleSmoke {
             .cast("string"))): _*).as("text"))
       val m = graft.text.Text.sourceOverlap(docs, "source", "text", k = 3)
         .stage()
-      require(m.count() == 40,
-        s"expected the 40 planted within-band pairs, got ${m.count()}")
-      m.count()
+      // full 40×39 ordered matrix (disjoint pairs appear at ZERO);
+      // exactly the 40 planted within-band pairs share shingles
+      require(m.count() == 40L * 39L,
+        s"expected the full 1560-pair matrix, got ${m.count()}")
+      val shared = m.filter(col("n_shared") > 0).count()
+      require(shared == 40,
+        s"expected the 40 planted within-band pairs, got $shared")
+      shared
     }
 
     timed("snapshot diff (full outer)") {
