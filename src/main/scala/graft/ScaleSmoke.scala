@@ -401,6 +401,22 @@ object ScaleSmoke {
         .filter(col("rank_micro") > 0).count()
     }
 
+    timed("pagerank converged stop") {
+      // the checksum-convergence dial on a REGULAR graph (uniform rank
+      // is an exact integer fixpoint): the loop must stop well before
+      // the cap instead of paying 30 fixed iterations — the per-round
+      // cost saved is the whole point of the stop at lake scale
+      val n = rows / 500
+      val ring = spark.range(n).select(col("id").as("src"),
+        ((col("id") + 1) % n).as("dst"))
+      val sym = ring.select(col("src"), col("dst"))
+        .union(ring.select(col("dst").as("src"), col("src").as("dst")))
+      val (ranks, iters) = graft.graph.Graph.pageRankConverged(
+        sym, "src", "dst", maxIterations = 30)
+      require(iters < 30, s"no fixpoint within the cap ($iters)")
+      ranks.filter(col("rank_micro") > 0).count()
+    }
+
     timed("dsir score (hashed ngrams)") {
       // rows/50 docs × 20 tokens: two token-bucket aggs (map-side
       // combined) + one broadcast of the 4096-row λ table
