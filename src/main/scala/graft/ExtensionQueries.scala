@@ -2390,9 +2390,9 @@ object ExtensionQueries {
          FROM s GROUP BY split, lang""",
 
     // non-distinct positional window twin of dTokens: unnest a
-    // generate_series over window starts (docs shorter than k windows
-    // drop out on both sides — generate_series is empty, and the native
-    // expression returns an empty array that explode eliminates)
+    // generate_series over window starts; docs shorter than k tokens
+    // have no windows and JOIN BACK AT ZERO on both sides (the
+    // every-doc contract)
     "q_dup_spans" ->
       """WITH tok AS (
            SELECT doc_id,
