@@ -1457,12 +1457,14 @@ object ExtensionQueries {
 
     // ---- sparse all-pairs doc similarity (tf-idf inverted index) ----------
     // every pair with tf-idf cosine ≥ 0.7 over a 1-in-10 doc sample —
-    // the pair dot products flow through the term inverted index, so
-    // only co-occurring terms generate work (no dense n² scoring). The
-    // synthetic corpus's 31-term vocabulary makes every doc-pair share
-    // terms, hence the sample; real corpora get selectivity from
-    // maxDfFrac pruning instead (here 1.0 — a cut would empty a 31-term
-    // vocab where every term tops 50% df).
+    // candidate pairs come from AllPairs PREFIX filtering (each doc's
+    // rarest terms, suffix-norm bounded — lossless, Text.tfidfCandidates),
+    // so a stop-token's df² posting fan-out never materializes; the
+    // exact integer dot is computed only for candidates. maxDfFrac stays
+    // 1.0 as a modeling choice (a df cut would empty the synthetic
+    // 31-term vocab where every term tops 50% df); the sample keeps the
+    // TRUE OUTPUT small — at cos ≥ 0.7 most same-template doc pairs in
+    // this corpus genuinely qualify, and output size is irreducible.
     "q_tfidf_pairs" -> ((s, d) =>
       Text.tfidfCosinePairs(
         t(s, d, "documents").filter(col("doc_id") % 10 === 0),

@@ -656,6 +656,38 @@ object ScaleSmoke {
         maxDfFrac = 0.01, threshold = 0.8).count()
     }
 
+    timed("tfidf pairs (stop-token)") {
+      // the df² adversary with NO df pruning (maxDfFrac = 1.0): one
+      // stop token spans 50% of docs, so a naive postings self-join
+      // fans out (nd/2)² rows on that token alone. The prefix filter
+      // must exclude it from every prefix (near-zero idf → near-zero
+      // suffix energy), leaving candidates ≈ the planted pairs: doc
+      // 2i and 2i+1 share 6 unique rare tokens (cos ≈ 1)
+      val nd = rows / 500
+      val docs = spark.range(nd).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          // no '_' in the tokens: the tokenizer splits on it
+          (0 until 6).map(j =>
+            concat(lit(s"r${j}x"),
+              (col("id") / 2).cast("long").cast("string"))) :+
+            when(col("id") % 2 === 0, lit("the")).otherwise(lit("")):
+            _*).as("text"))
+      val w = graft.text.Text.tfidfWeights(docs, "doc_id", "text",
+        maxDfFrac = 1.0)
+      val cands = graft.text.Text.tfidfCandidates(w, threshold = 0.8)
+        .count()
+      // candidate volume must be output-bound (≈ nd/2 planted pairs),
+      // NOT df²-bound ((nd/2)² from the stop token's posting list)
+      require(cands < nd,
+        s"prefix filter leaked the stop token: $cands candidates " +
+          s"for $nd docs (df² would be ${nd / 2}²)")
+      val found = graft.text.Text.tfidfCosinePairs(docs, "doc_id",
+        "text", maxDfFrac = 1.0, threshold = 0.8).count()
+      require(found == nd / 2,
+        s"expected ${nd / 2} planted pairs, got $found")
+      cands
+    }
+
     spark.stop()
   }
 }

@@ -729,20 +729,95 @@ object Text {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** Staged (doc_id, tok, df, w, suf2, n2) weight frame shared by the
+    * candidate and verify phases of [[tfidfCosinePairs]]: integer-unit
+    * tf-idf weights on the `maxDfFrac`-pruned vocabulary, each row's
+    * squared-suffix-norm `suf2` = Σ w² over the doc's terms from this
+    * one onward in the GLOBAL (df asc, tok asc) term order, and the
+    * doc's total squared norm `n2`. Exposed package-private so the
+    * stop-token ScaleSmoke can count candidates directly. */
+  private[graft] def tfidfWeights(docs: DataFrame, idCol: String,
+                                  textCol: String, maxDfFrac: Double)
+  : DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    // suffix squared norms under the global order: per-doc window, a few
+    // hundred terms per partition key — never a single-partition sort
+    val suffix = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("tok"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    tf.join(df_, Seq("tok"))
+      .filter(col("df") <= lit(maxDfFrac * n))
+      .select(col("doc_id"), col("tok"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")) * 1e4)
+          .cast("long").as("w"))
+      .withColumn("suf2",
+        sum((col("w") * col("w")).cast("decimal(38,0)")).over(suffix))
+      .withColumn("n2",
+        sum((col("w") * col("w")).cast("decimal(38,0)"))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id")))
+      .stage()
+  }
+
+  /** Lossless candidate pairs for [[tfidfCosinePairs]] via AllPairs
+    * prefix filtering (Bayardo et al. '07) adapted to exact integer
+    * weights. A term position j of doc d is PREFIX iff the suffix norm
+    * from j on satisfies √(suf2/n2) ≥ t: by Cauchy–Schwarz the common
+    * terms of any qualifying pair — all of which sit at or after the
+    * smallest common term g in BOTH docs' (df asc, tok asc) orderings —
+    * contribute dot ≤ √suf2_a(g)·√suf2_b(g), so cos ≥ t forces g into
+    * both prefixes, and a prefix×prefix equi-join on the term is a
+    * candidate SUPERSET. The per-row pair bound
+    * suf2_a·suf2_b ≥ t²·n2_a·n2_b (valid on the g row the lemma
+    * guarantees survives) cuts further; both tests are ε-relaxed so
+    * float rounding can only ADMIT a candidate, never drop a true pair.
+    * Prefixes hold each doc's RAREST terms (df-ascending order puts the
+    * high-idf, high-energy weights first), so a stop-token in half the
+    * corpus carries near-zero suffix energy, never enters a prefix, and
+    * its df² fan-out never materializes. */
+  private[graft] def tfidfCandidates(w: DataFrame, threshold: Double)
+  : DataFrame = {
+    val pref = w.filter(col("suf2").cast("double") >=
+      lit(threshold * threshold) * col("n2").cast("double") *
+        lit(1.0 - 1e-9))
+    pref.select(col("tok"), col("doc_id").as("doc_a"),
+        col("suf2").as("s2_a"), col("n2").as("n2_a"))
+      .join(pref.select(col("tok"), col("doc_id").as("doc_b"),
+        col("suf2").as("s2_b"), col("n2").as("n2_b")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("s2_a").cast("double") * col("s2_b").cast("double") >=
+        lit(threshold * threshold) * col("n2_a").cast("double") *
+          col("n2_b").cast("double") * lit(1.0 - 1e-9))
+      // n2 is functional on doc_id, so carrying it through the distinct
+      // keeps cardinality = |pairs| and saves the verify phase a
+      // separate norms aggregation + two corpus-sized joins
+      .select("doc_a", "doc_b", "n2_a", "n2_b")
+      .distinct()
+  }
+
   /** Sparse all-pairs document similarity over tf-idf vectors: every
     * unordered pair with cosine ≥ threshold, computed through the
     * corpus INVERTED INDEX — the pair dot product Σ w_a(t)·w_b(t) only
-    * has terms where both docs contain t, so a self-join of the
-    * (doc, term, weight) frame on the term key generates exactly the
-    * nonzero contributions and no dense d×d work exists anywhere
-    * (the Elsayed et al. '08 MapReduce pairwise-similarity shape).
+    * has terms where both docs contain t, so joins on the term key
+    * generate exactly the nonzero contributions and no dense d×d work
+    * exists anywhere (the Elsayed et al. '08 pairwise-similarity shape,
+    * hardened with AllPairs prefix filtering, [[tfidfCandidates]]):
+    * the candidate join touches only each doc's low-df PREFIX terms —
+    * a stop-token spanning half the corpus would otherwise fan out
+    * (n/2)² rows on its posting list alone — and the exact dot is then
+    * computed only for surviving candidate pairs. Lossless: the result
+    * set is identical to the naive full postings self-join.
     *
-    * `maxDfFrac` prunes terms with df > maxDfFrac·N BEFORE the pair
-    * join — the scale guard: a term in f·N docs alone fans out (f·N)²
-    * candidate rows, and such stop-terms carry near-zero idf anyway.
-    * The cut is part of the operator's contract (weights and norms are
-    * computed on the pruned vocabulary), not a lossy approximation of
-    * an unpruned answer.
+    * `maxDfFrac` prunes terms with df > maxDfFrac·N from the VOCABULARY
+    * (weights and norms are computed on the pruned vocabulary — part of
+    * the operator's contract, not an approximation); with prefix
+    * filtering it is no longer load-bearing for scale, just a modeling
+    * knob for dropping stop-terms from the similarity definition.
     *
     * Determinism: weights tf·ln(N/df) are snapped to integer 1e-4 units
     * at the ln boundary, so dot products and norms are exact integer
@@ -756,32 +831,21 @@ object Text {
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     require(threshold > 0.0 && threshold <= 1.0,
       s"cosine threshold must be in (0, 1], got $threshold")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("tok"))
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val n = docs.count()
-    // weights on the pruned vocabulary, integer 1e-4 units; staged once
-    // (the pair join reads it twice, the norms once)
-    val w = tf.join(df_, Seq("tok"))
-      .filter(col("df") <= lit(maxDfFrac * n))
-      .select(col("doc_id"), col("tok"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")) * 1e4)
-          .cast("long").as("w"))
-      .stage()
-    val norms = w.groupBy("doc_id")
-      .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
-    val dots = w.toDF("doc_a", "tok", "w_a")
-      .join(w.toDF("doc_b", "tok", "w_b"), Seq("tok"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    val w = tfidfWeights(docs, idCol, textCol, maxDfFrac)
+    val cands = tfidfCandidates(w, threshold)
+    // exact verify: the inverted index restricted to candidate pairs —
+    // fan-out is |cands|·|terms(a)| then the (doc_b, tok) equi-join
+    // keeps only true intersections, so volume is candidate-bounded,
+    // never df²
+    val dots = cands
+      .join(w.select(col("doc_id").as("doc_a"), col("tok"),
+        col("w").as("w_a")), Seq("doc_a"))
+      .join(w.select(col("doc_id").as("doc_b"), col("tok"),
+        col("w").as("w_b")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b", "n2_a", "n2_b")
       .agg(sum((col("w_a") * col("w_b")).cast("decimal(38,0)"))
         .as("dot"))
-    // norms are one row per doc — corpus-sized, so NO broadcast hint
-    // (the semDedup lesson); AQE picks from the measured size
     dots
-      .join(norms.toDF("doc_a", "n2_a"), Seq("doc_a"))
-      .join(norms.toDF("doc_b", "n2_b"), Seq("doc_b"))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("n2_a").cast("double")) *
           sqrt(col("n2_b").cast("double"))))
