@@ -63,34 +63,52 @@ object Bench {
         e.getMessage)
     }
 
+    // repeats per query (default 3): run 1 is the cold-plan number every
+    // prior round graded (codegen compile + cold shuffle), runs 2+ are
+    // plan-warm re-executions. The MEDIAN separates a real plan
+    // regression (all runs slow) from one-off host noise (cold run slow,
+    // warm runs fine) — the round-6 ANN "regression" was exactly such an
+    // artifact (driver cold 4.6 s vs builder runs 3.1-3.5 s, warm 0.7 s).
+    val runsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+      .max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        val times = (1 to runsPer).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite")
+            .save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          // release per-query state: localCheckpoint blocks (dedup sets,
+          // CC labels) and cached frames otherwise pin JVM memory across
+          // all ~100 queries, and the accumulated heap pressure GC-stalls
+          // whatever runs late in the alphabet (q_unpivot hit 18 s under
+          // it). Nothing re-reads a finished query's plan, so dropping
+          // the blocks is safe. Clearing BETWEEN repeats keeps every run
+          // cold-cache (only the JIT/codegen warmth differs).
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.valuesIterator
+            .foreach(_.unpersist(blocking = false))
+          // GC outside the timed section: without it a full collection of
+          // the PREVIOUS query's garbage lands inside whichever query runs
+          // next (q_agg_q1 measured 8.9 s after the percentile sort's
+          // churn, vs 1.0 s isolated) — queries should pay for their own
+          // allocation, not their alphabetical predecessor's.
+          System.gc()
+          sec
         }
-        val sec = (System.nanoTime() - t0) / 1e9
-        // release per-query state: localCheckpoint blocks (dedup sets,
-        // CC labels) and cached frames otherwise pin JVM memory across
-        // all ~100 queries, and the accumulated heap pressure GC-stalls
-        // whatever runs late in the alphabet (q_unpivot hit 18 s under
-        // it). Nothing re-reads a finished query's plan, so dropping the
-        // blocks is safe.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.valuesIterator
-          .foreach(_.unpersist(blocking = false))
-        // GC outside the timed section: without it a full collection of
-        // the PREVIOUS query's garbage lands inside whichever query runs
-        // next (q_agg_q1 measured 8.9 s after the percentile sort's churn,
-        // vs 1.0 s isolated) — queries should pay for their own
-        // allocation, not their alphabetical predecessor's.
-        System.gc()
-        name -> sec
+        name -> times
     }
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val total = results.map(_._2).sum
+    def med(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    // headline total stays the sum of FIRST (cold) runs — the same
+    // methodology as every prior round and BASELINE.md, so cross-round
+    // ratios remain comparable; med/min live in the detail file
+    val total = results.map(_._2.head).sum
+    val medTotal = results.map(r => med(r._2)).sum
     // The driver keeps only the LAST 2000 chars of the log, and with
     // 100+ queries the full per-query map alone is ~2.7 KB — every
     // prior round's line was front-truncated and recorded parsed:null.
@@ -98,13 +116,17 @@ object Bench {
     // the stdout line carries the slowest queries that fit a ~1700-char
     // budget (they are the ones worth grading; the omitted remainder is
     // summarized by count + seconds so the total still reconciles).
-    val detail = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    val detail = results.map { case (k, ts) =>
+      s"\"" + k + "\":{\"first\":" + f3(ts.head) +
+        ",\"med\":" + f3(med(ts)) + ",\"min\":" + f3(ts.min) +
+        ",\"runs\":[" + ts.map(f3).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
     val detailPath = java.nio.file.Paths.get("bench_detail.json")
     java.nio.file.Files.write(detailPath,
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$detail,"value":${f3(total)}}
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs_per_query":$runsPer,"queries":$detail,"med_total":${f3(medTotal)},"value":${f3(total)}}
 """.getBytes("UTF-8"))
-    val byTime = results.sortBy(-_._2)
+    val firsts = results.map { case (k, ts) => k -> ts.head }
+    val byTime = firsts.sortBy(-_._2)
     // 1200, not 1500: round-4's line was pushed out of the driver's
     // 2000-char tail window by Spark SHUTDOWN logging printed after it —
     // the line must fit the window together with whatever trails it
@@ -126,7 +148,7 @@ object Bench {
     // survives even a mid-line cut.
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(s"""{"metric":"total","unit":"sec","n_queries":${results.size},"queries":$qs,"omitted_fastest":$omitted,"omitted_sec":${f3(omittedSec)},"detail":"bench_detail.json","sf":"$sfDir","value":${f3(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","n_queries":${results.size},"queries":$qs,"omitted_fastest":$omitted,"omitted_sec":${f3(omittedSec)},"detail":"bench_detail.json","sf":"$sfDir","runs_per_query":$runsPer,"med_total":${f3(medTotal)},"value":${f3(total)}}""")
     System.out.flush()
   }
 }

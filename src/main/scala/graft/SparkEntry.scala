@@ -932,6 +932,150 @@ object SparkEntry {
         GROUP BY c_nationkey""")
     }),
 
+    // TPC-H Q2 shape: minimum-cost supplier per part via a CORRELATED
+    // MIN subquery over the same 4-way join the outer query runs —
+    // Catalyst must decorrelate to an aggregate + join (PlanSpec guards
+    // no nested-loop/cartesian). partsupp stand-in: the distinct
+    // (part, supplier) pairs of lineitem, supplycost = min line price.
+    // Order keys (s_name, p_partkey) make the LIMIT cut deterministic.
+    "q_sql_q2" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part_v")
+      t(s, d, "supplier").createOrReplaceTempView("supplier_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      t(s, d, "nation").createOrReplaceTempView("nation_v")
+      t(s, d, "region").createOrReplaceTempView("region_v")
+      s.sql("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 MIN(CAST(l_extendedprice AS DECIMAL(18,2)))
+                   AS ps_supplycost
+          FROM lineitem_v GROUP BY l_partkey, l_suppkey)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+               CAST(ps_supplycost AS DOUBLE) AS supplycost
+        FROM part_v, ps, supplier_v, nation_v, region_v
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND p_size = 15 AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+            SELECT MIN(ps2.ps_supplycost)
+            FROM ps ps2, supplier_v s2, nation_v n2, region_v r2
+            WHERE ps2.ps_partkey = p_partkey
+              AND s2.s_suppkey = ps2.ps_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey
+              AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100""")
+    }),
+
+    // TPC-H Q9 shape: product-line profit by nation and year — the
+    // 6-way join + expression rollup. Profit = revenue − supplycost·qty
+    // with the Q2 partsupp stand-in; all decimal until the final cast.
+    "q_sql_q9" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part_v")
+      t(s, d, "supplier").createOrReplaceTempView("supplier_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      t(s, d, "nation").createOrReplaceTempView("nation_v")
+      s.sql("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 MIN(CAST(l_extendedprice AS DECIMAL(18,2)))
+                   AS ps_supplycost
+          FROM lineitem_v GROUP BY l_partkey, l_suppkey)
+        SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        FROM (
+          SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                   - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))
+                   AS amount
+          FROM part_v
+          JOIN lineitem_v ON p_partkey = l_partkey
+          JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+          JOIN supplier_v ON s_suppkey = l_suppkey
+          JOIN orders_v ON o_orderkey = l_orderkey
+          JOIN nation_v ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%red%') profit
+        GROUP BY nation, o_year""")
+    }),
+
+    // TPC-H Q11 shape: important-stock cut — a grouped value against a
+    // scalar-subquery threshold over the SAME CTE. The fraction is
+    // scale-free (value > 1.5× the average part value) and
+    // cross-multiplied into exact integer·decimal math (the q22 trick),
+    // so no float-threshold boundary flake.
+    "q_sql_q11" -> ((s, d) => {
+      t(s, d, "supplier").createOrReplaceTempView("supplier_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      t(s, d, "nation").createOrReplaceTempView("nation_v")
+      t(s, d, "region").createOrReplaceTempView("region_v")
+      s.sql("""
+        WITH val AS (
+          SELECT l_partkey AS ps_partkey,
+                 SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,4))) AS v
+          FROM lineitem_v
+          JOIN supplier_v ON s_suppkey = l_suppkey
+          JOIN nation_v ON s_nationkey = n_nationkey
+          JOIN region_v ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+          GROUP BY l_partkey)
+        SELECT ps_partkey, CAST(v AS DOUBLE) AS part_value
+        FROM val, (SELECT SUM(v) AS tot, COUNT(*) AS cnt FROM val)
+        WHERE v * cnt * 10 > 15 * tot""")
+    }),
+
+    // TPC-H Q16 shape: supplier diversity per part attribute —
+    // COUNT(DISTINCT) under a NOT IN anti-subquery ("complaints" =
+    // negative account balance; the subquery key is non-null so NOT IN
+    // and NOT EXISTS agree on both engines).
+    "q_sql_q16" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part_v")
+      t(s, d, "supplier").createOrReplaceTempView("supplier_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier_v WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size""")
+    }),
+
+    // TPC-H Q20 shape: the nested-semi-join stress — IN over a derived
+    // table whose rows are themselves filtered by an IN subquery AND a
+    // CORRELATED scalar aggregate (suppliers whose all-time shipped
+    // quantity of a 'red%' part is more than 2× what that (part,
+    // supplier) pair shipped in 1996). PlanSpec guards decorrelation.
+    "q_sql_q20" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part_v")
+      t(s, d, "supplier").createOrReplaceTempView("supplier_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      t(s, d, "nation").createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT s_suppkey, s_name
+        FROM supplier_v JOIN nation_v ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_11')
+          AND s_suppkey IN (
+            SELECT ps.l_suppkey FROM (
+              SELECT l_partkey, l_suppkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+              FROM lineitem_v GROUP BY l_partkey, l_suppkey) ps
+            WHERE ps.l_partkey IN (
+              SELECT p_partkey FROM part_v WHERE p_name LIKE 'red%')
+            AND ps.total_qty > (
+              SELECT 2 * COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))),
+                CAST(0 AS DECIMAL(18,2)))
+              FROM lineitem_v l2
+              WHERE l2.l_partkey = ps.l_partkey
+                AND l2.l_suppkey = ps.l_suppkey
+                AND l2.l_shipdate >= DATE '1996-01-01'
+                AND l2.l_shipdate < DATE '1997-01-01'))""")
+    }),
+
     // S9 warehouse path: saveAsTable into the session catalog, read back
     // via spark.table — the BigQuery-external-table analog
     "q_s9_catalog_roundtrip" -> ((s, d) => {
@@ -1569,6 +1713,96 @@ object SparkEntry {
              WHERE o_custkey = c_custkey
                AND o_orderdate >= DATE '1999-01-01')
          GROUP BY c_nationkey""",
+
+    "q_sql_q2" ->
+      """WITH ps AS (
+           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                  MIN(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS ps_supplycost
+           FROM lineitem GROUP BY l_partkey, l_suppkey)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+                CAST(ps_supplycost AS DOUBLE) AS supplycost
+         FROM part, ps, supplier, nation, region
+         WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+           AND p_size = 15 AND s_nationkey = n_nationkey
+           AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+           AND ps_supplycost = (
+             SELECT MIN(ps2.ps_supplycost)
+             FROM ps ps2, supplier s2, nation n2, region r2
+             WHERE ps2.ps_partkey = p_partkey
+               AND s2.s_suppkey = ps2.ps_suppkey
+               AND s2.s_nationkey = n2.n_nationkey
+               AND n2.n_regionkey = r2.r_regionkey
+               AND r2.r_name = 'EUROPE')
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         LIMIT 100""",
+
+    "q_sql_q9" ->
+      """WITH ps AS (
+           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                  MIN(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS ps_supplycost
+           FROM lineitem GROUP BY l_partkey, l_suppkey)
+         SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+         FROM (
+           SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+                  CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                    - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))
+                    AS amount
+           FROM part
+           JOIN lineitem ON p_partkey = l_partkey
+           JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE p_name LIKE '%red%') profit
+         GROUP BY nation, o_year""",
+
+    "q_sql_q11" ->
+      """WITH val AS (
+           SELECT l_partkey AS ps_partkey,
+                  SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))) AS v
+           FROM lineitem
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'
+           GROUP BY l_partkey)
+         SELECT ps_partkey, CAST(v AS DOUBLE) AS part_value
+         FROM val, (SELECT SUM(v) AS tot, COUNT(*) AS cnt FROM val) t
+         WHERE v * cnt * 10 > 15 * tot""",
+
+    "q_sql_q16" ->
+      """SELECT p_brand, p_type, p_size,
+                COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#5'
+           AND p_type NOT LIKE 'PROMO%'
+           AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+           AND l_suppkey NOT IN (
+             SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size""",
+
+    "q_sql_q20" ->
+      """SELECT s_suppkey, s_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name IN ('NATION_3', 'NATION_11')
+           AND s_suppkey IN (
+             SELECT ps.l_suppkey FROM (
+               SELECT l_partkey, l_suppkey,
+                      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+               FROM lineitem GROUP BY l_partkey, l_suppkey) ps
+             WHERE ps.l_partkey IN (
+               SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+             AND ps.total_qty > (
+               SELECT 2 * COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))),
+                 CAST(0 AS DECIMAL(18,2)))
+               FROM lineitem l2
+               WHERE l2.l_partkey = ps.l_partkey
+                 AND l2.l_suppkey = ps.l_suppkey
+                 AND l2.l_shipdate >= DATE '1996-01-01'
+                 AND l2.l_shipdate < DATE '1997-01-01'))""",
 
     "q_agg_percentile" ->
       """SELECT l_returnflag,

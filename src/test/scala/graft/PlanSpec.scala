@@ -163,6 +163,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("correlated min / nested semi (Q2/Q9/Q11/Q16/Q20) decorrelate") {
+    // Q2's correlated MIN over a 4-way join, Q20's IN containing a
+    // correlated scalar aggregate, Q11's scalar-subquery threshold,
+    // Q16's NOT IN anti subquery: each must rewrite to aggregate +
+    // (semi/anti) hash joins — nested-loop re-execution per outer row
+    // is the difference between a 100 TB plan and no plan. (Q11 joins
+    // its ONE-ROW totals aggregate and Q16's null-aware NOT IN builds
+    // against the tiny complaints list — both legitimately plan a
+    // BroadcastNestedLoopJoin whose build side is O(1) rows, so they
+    // only forbid CartesianProduct.)
+    Seq("q_sql_q2", "q_sql_q9", "q_sql_q20").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q did not decorrelate:\n${plan.take(2000)}")
+    }
+    Seq("q_sql_q11", "q_sql_q16").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q plans a cross product:\n${plan.take(2000)}")
+    }
+  }
+
   test("bm25TopK: bounded top-k, broadcast stats, no global sort") {
     val df = SparkEntry.queries("q_bm25_topk")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
