@@ -483,6 +483,16 @@ object ExtensionQueries {
         .limit(20)
     }),
 
+    // the honest DIRECTED variant: customer→supplier edges are NOT
+    // symmetrized, so every supplier is a dangling sink — the
+    // per-round sink-mass redistribution (Graph.runPageRank) is what
+    // keeps total rank conserved; the twin unrolls the same integer
+    // iterations including the sink term
+    "q_pagerank_directed" -> ((s, d) =>
+      Graph.pageRank(sharedTradeEdges(s, d), "a", "b", iterations = 2)
+        .orderBy(col("rank_micro").desc, col("node"))
+        .limit(20)),
+
     // ---- triangle count (clustering structure of the co-occurrence graph) -
     // parts that ship in the same order form an edge; triangles measure
     // how clique-ish purchasing is. Degree-ordered orientation keeps the
@@ -2041,6 +2051,49 @@ object ExtensionQueries {
                          (85 * COALESCE(s3.insum, 0)) // 100 AS r
                 FROM nodes n LEFT JOIN s3 USING (node), nn)
          SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3
+         ORDER BY rank_micro DESC, node LIMIT 20""",
+
+    // directed PageRank with dangling-sink redistribution: sinks
+    // (suppliers — no out-edges) pool their rank each round and every
+    // node gets share = sink_sum // n added to its in-sum before
+    // damping, mirroring Graph.runPageRank's integer formulation
+    "q_pagerank_directed" ->
+      """WITH e AS (
+           SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         nodes AS (SELECT src AS node FROM e
+                   UNION SELECT dst FROM e),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         deg AS (SELECT src, COUNT(*) AS outd FROM e GROUP BY src),
+         flag AS (SELECT node,
+                         EXISTS (SELECT 1 FROM deg WHERE deg.src = node)
+                           AS has_out
+                  FROM nodes),
+         r0 AS (SELECT node, has_out, 1000000000000 // n AS r
+                FROM flag, nn),
+         sh0 AS (SELECT (SELECT COALESCE(SUM(r), 0) FROM r0
+                         WHERE NOT has_out) // n AS share FROM nn),
+         i1 AS (SELECT e.dst AS node, SUM(r0.r // deg.outd) AS insum
+                FROM e JOIN r0 ON e.src = r0.node
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+         r1 AS (SELECT f.node, f.has_out,
+                       (150000000000 // nn.n) +
+                         (85 * (COALESCE(i1.insum, 0) + sh0.share)) // 100
+                         AS r
+                FROM flag f LEFT JOIN i1 USING (node), nn, sh0),
+         sh1 AS (SELECT (SELECT COALESCE(SUM(r), 0) FROM r1
+                         WHERE NOT has_out) // n AS share FROM nn),
+         i2 AS (SELECT e.dst AS node, SUM(r1.r // deg.outd) AS insum
+                FROM e JOIN r1 ON e.src = r1.node
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+         r2 AS (SELECT f.node, f.has_out,
+                       (150000000000 // nn.n) +
+                         (85 * (COALESCE(i2.insum, 0) + sh1.share)) // 100
+                         AS r
+                FROM flag f LEFT JOIN i2 USING (node), nn, sh1)
+         SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r2
          ORDER BY rank_micro DESC, node LIMIT 20""",
 
     // the same 2 synchronous rounds unrolled: argmax neighbor label by

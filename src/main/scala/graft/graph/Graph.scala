@@ -29,11 +29,19 @@ object Graph {
 
   /** PageRank over a directed edge list, k fixed iterations.
     *
-    * Contract: every node that appears anywhere must have out-degree
-    * ≥ 1 (no dangling mass). Symmetrized graphs (each edge in both
-    * directions, the usual shape for host-graph quality ranking)
-    * satisfy this by construction; callers with genuinely directed
-    * graphs must add sink handling before calling.
+    * DANGLING NODES (out-degree 0) are handled honestly: their rank
+    * mass is redistributed uniformly each iteration (the standard
+    * stochastic-matrix patch, Page et al. '99 §2.5) — every node's
+    * update becomes teleport + d·(in_sum + S div N) div 100 where S is
+    * the previous round's total sink rank. A genuinely directed graph
+    * (real web/host crawl) therefore conserves total rank mass instead
+    * of silently leaking it; GraphSpec pins conservation to within one
+    * truncation unit per node. Symmetrized graphs have no sinks, the
+    * sink term is provably zero, and the loop skips the per-round sink
+    * aggregation entirely — bit-identical to the pre-sink formulation.
+    * When sinks exist the cost is ONE scalar aggregation per round
+    * (same class as the convergence checksum); no extra join — the
+    * sink flag rides the staged node set.
     *
     * Shape per iteration: ranks ⋈ out-degreed edges on `src` (one
     * shuffle on src), contributions re-keyed and summed per `dst` (one
@@ -121,6 +129,19 @@ object Graph {
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out"))
     val eDeg = e.join(outDeg, "src").repartition(col("src")).persist()
 
+    // dangling-node flag staged onto the node set ONCE: nodes absent
+    // from outDeg are sinks whose mass must be redistributed. nSinks is
+    // one bounded driver scalar; when it is 0 (symmetrized graphs) the
+    // per-round sink aggregation never runs and the update expression
+    // is the sink-free one, unchanged to the bit.
+    val flagged = nodes
+      .join(outDeg.select(col("src").as("node"),
+        lit(true).as("has_out")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("has_out"), lit(false)).as("has_out"))
+      .stage()
+    val nSinks = flagged.filter(!col("has_out")).count()
+
     // each iteration is checkpointed (the Pregel pattern, same as CC's
     // rounds): measured at sf0.1 the per-round materialization runs the
     // 3-iteration loop in ~3 s where the single fused lazy plan took
@@ -128,20 +149,30 @@ object Graph {
     // tree together and the optimizer/AQE cost grows superlinearly with
     // depth, while per-round checkpoints keep every job the same small
     // shape and the lineage flat at ANY iteration count
-    var ranks = nodes.select(col("node"), lit(Scale / n).as("rank_micro"))
+    var ranks = flagged.select(col("node"), col("has_out"),
+      lit(Scale / n).as("rank_micro"))
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
     while (iter < iterations && !converged) {
+      // previous round's sink mass, shared out per node — one scalar
+      // aggregation over the already-staged ranks, sinks-only graphs pay
+      // it, symmetrized graphs never do
+      val sinkShare: Long =
+        if (nSinks == 0L) 0L
+        else ranks.filter(!col("has_out"))
+          .agg(coalesce(sum(col("rank_micro")), lit(0L)))
+          .head().getLong(0) / n
       val contrib = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(eDeg("dst").as("node"),
           expr("rank_micro div out").as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("in_sum"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
+      ranks = flagged.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("has_out"),
           (lit(teleport) +
-            expr(s"($dampingPct * coalesce(in_sum, 0L)) div 100"))
+            expr(s"($dampingPct * (coalesce(in_sum, 0L) + $sinkShare))" +
+              " div 100"))
             .as("rank_micro"))
         .stage()
       iter += 1
@@ -161,7 +192,7 @@ object Graph {
           "a fixpoint (integer limit cycle) — ranks are within one " +
           "unit of stationary")
     }
-    (ranks, iter)
+    (ranks.select(col("node"), col("rank_micro")), iter)
   }
 
   /** Global triangle count over an UNDIRECTED edge list (one row per

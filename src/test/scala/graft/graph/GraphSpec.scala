@@ -19,10 +19,14 @@ class GraphSpec extends SparkSpec {
     val teleport = ((100L - dPct) * S / 100L) / n
     var r = nodes.map(_ -> S / n).toMap
     for (_ <- 1 to iters) {
+      // dangling mass: sinks' rank shared uniformly (floor), like the
+      // engine's per-round sink aggregation; 0 on symmetrized graphs
+      val share = nodes.filterNot(out.contains).map(r).sum / n
       val in = edges.groupBy(_._2).view.mapValues(
         _.map(e => r(e._1) / out(e._1)).sum).toMap
       r = nodes.map(v =>
-        v -> (teleport + dPct * in.getOrElse(v, 0L) / 100L)).toMap
+        v -> (teleport + dPct * (in.getOrElse(v, 0L) + share) / 100L))
+        .toMap
     }
     r
   }
@@ -53,6 +57,29 @@ class GraphSpec extends SparkSpec {
       .filter(e => e._1 != e._2).distinct
     val sym = (base ++ base.map(_.swap)).distinct
     assert(run(sym, 3) === refPageRank(sym, 3))
+  }
+
+  test("directed graph with sinks: matches reference, conserves mass") {
+    // a genuinely directed crawl-shaped graph: two hub pages linking
+    // out to leaf pages that link nowhere — without sink redistribution
+    // ~d of the leaves' mass would vanish every round
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L),
+      (10L, 11L), (1L, 2L))
+    val r = run(edges, 4)
+    assert(r === refPageRank(edges, 4))
+    val total = r.values.sum
+    // redistribution keeps total rank within truncation slack of S;
+    // the leak WITHOUT it would be ~d·(sink mass) ≈ 0.3·S per round
+    assert(total <= S && total > S - 1000L,
+      s"directed mass not conserved: $total vs $S")
+  }
+
+  test("random directed graph with sinks matches the reference") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 80).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2).distinct
+    assert(run(base, 3) === refPageRank(base, 3))
   }
 
   test("empty edge list yields an empty ranking, not a crash") {
