@@ -1017,6 +1017,19 @@ object ExtensionQueries {
       Streams.dedupStream(s, d, ckpt, statePartitions = 8)
     }),
 
+    // streaming LSH near-dup dedup: arriving docs (every 17th) probe
+    // the STATIC banded index over the rest of the corpus, one keep/drop
+    // decision per doc — decisions are batch-slicing-invariant, so the
+    // oracle is the batch incremental pass folded to per-doc counts
+    "q_stream_dedup_lsh" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_lsh").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_lsh_dec").toString + "/decisions"
+      Streams.lshDedupStream(s, d, ckpt, out,
+        numPerms = 8, numBands = 4, threshold = 0.8)
+    }),
+
     // validated ingest: per-ROW contract routing (known event type,
     // value in [0,400], non-null user) — published vs quarantined;
     // row-level gates are batch-slicing-invariant, so the end state
@@ -3901,6 +3914,52 @@ object ExtensionQueries {
 
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // same minhash/band machinery as q_dedup_incremental, folded to the
+    // per-arrival keep/drop decision the stream emits
+    "q_stream_dedup_lsh" ->
+      s"""WITH tk AS (
+            SELECT doc_id,
+                   string_split_regex(trim(regexp_replace(lower(text),
+                     '[^a-z0-9\\s]+', ' ', 'g')), '\\s+') AS tk
+            FROM documents),
+          sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(tk) - 2),
+                     i -> array_to_string(tk[i:i+2], ' '))) AS shset
+            FROM tk),
+          units AS (SELECT doc_id, unnest(shset) AS u FROM sh),
+          vocab AS (SELECT DISTINCT u FROM units),
+          vh AS (
+            SELECT u, i AS perm, md5(i::VARCHAR || ':' || u) AS h
+            FROM vocab CROSS JOIN range(8) r(i)),
+          mh AS (
+            SELECT doc_id, perm, min(h) AS mh
+            FROM units JOIN vh USING (u)
+            GROUP BY doc_id, perm),
+          band AS (
+            SELECT doc_id, (perm // 2)::INT AS band,
+                   md5(string_agg(mh, ',' ORDER BY perm)) AS bucket
+            FROM mh GROUP BY doc_id, perm // 2),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+            FROM band a JOIN band b
+              ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.doc_id % 17 = 0 AND b.doc_id % 17 <> 0),
+          dup AS (
+            SELECT new_id, count(*)::BIGINT AS n_dups
+            FROM cand
+            JOIN sh sa ON cand.new_id = sa.doc_id
+            JOIN sh sb ON cand.corpus_id = sb.doc_id
+            WHERE len(list_intersect(sa.shset, sb.shset))::DOUBLE /
+                    len(list_distinct(list_concat(sa.shset, sb.shset)))
+                    >= 0.8
+            GROUP BY new_id)
+          SELECT d.doc_id, dup.new_id IS NULL AS keep,
+                 COALESCE(dup.n_dups, 0)::BIGINT AS n_dups
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) d
+          LEFT JOIN dup ON d.doc_id = dup.new_id""",
 
     // latest-wins upsert ground truth: last event per user by ts
     // ((user_id, ts) is unique in the events table)

@@ -376,11 +376,28 @@ object Dedup {
   def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
                           idCol: String, textCol: String, numPerms: Int,
                           numBands: Int, threshold: Double): DataFrame = {
-    val newSets = shingleSets(newDocs, idCol, textCol, 3)
     val corpusSets = shingleSets(corpus, idCol, textCol, 3)
+    incrementalNearDupsIndexed(newDocs,
+      corpusSets, bandedBuckets(corpusSets, numPerms, numBands),
+      idCol, textCol, numPerms, numBands, threshold)
+  }
+
+  /** [[incrementalNearDups]] against a PREBUILT index: `corpusSets` and
+    * `corpusIndex` are the persisted (doc_id, shset) + (doc_id, band,
+    * bucket) tables a production pipeline maintains at rest — built
+    * once, probed by every arrival batch ([[graft.streaming.Streams
+    * .lshDedupStream]] is the streaming front door). Per call, only the
+    * NEW side computes signatures; the corpus is only ever equi-joined. */
+  def incrementalNearDupsIndexed(newDocs: DataFrame,
+                                 corpusSets: DataFrame,
+                                 corpusIndex: DataFrame,
+                                 idCol: String, textCol: String,
+                                 numPerms: Int, numBands: Int,
+                                 threshold: Double): DataFrame = {
+    val newSets = shingleSets(newDocs, idCol, textCol, 3)
     val cands = bandedBuckets(newSets, numPerms, numBands)
       .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
-      .join(bandedBuckets(corpusSets, numPerms, numBands)
+      .join(corpusIndex
         .select(col("band"), col("bucket"), col("doc_id").as("corpus_id")),
         Seq("band", "bucket"))
       .select("new_id", "corpus_id")

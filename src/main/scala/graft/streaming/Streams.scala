@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Staging._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -411,6 +412,73 @@ object Streams {
         .select(lit(tag).as("side"), col("n_rows"), col("sum_value"))
     }
     side(goodPath, "published").unionAll(side(badPath, "quarantined"))
+  }
+
+  /** Streaming MinHash-LSH near-dup dedup — the production shape for
+    * CONTINUOUS corpus ingestion: arriving documents probe a STATIC
+    * banded index (the at-rest (doc_id, shset) + (doc_id, band, bucket)
+    * tables [[graft.dedup.Dedup.bandedBuckets]] persists at ingest,
+    * here staged once before the stream starts) and emit a keep/drop
+    * decision per document. Each micro-batch runs the new×corpus
+    * candidate equi-join + exact-Jaccard verify of
+    * [[graft.dedup.Dedup.incrementalNearDupsIndexed]] inside
+    * foreachBatch — candidates are new×corpus only, never
+    * corpus×corpus, so per-batch cost scales with |batch|·bands plus
+    * matched buckets no matter how large the indexed corpus is.
+    *
+    * A document's decision depends only on its own shingles and the
+    * static index, so the end state is invariant under batch slicing
+    * (the maxFilesPerTrigger=1 equality spec) and equals the batch
+    * [[graft.dedup.Dedup.incrementalNearDups]] run — which is what the
+    * oracle computes. Stream-vs-stream duplicates are BY DESIGN left to
+    * the next index rebuild (same contract as the batch incremental
+    * pass; deduping arrivals against each other would make results
+    * batch-slicing-dependent). Appends are at-least-once on
+    * crash-replay (the [[routeValidated]] caveat); AvailableNow
+    * single-run semantics are exact.
+    *
+    * @return (doc_id, keep, n_dups) for every streamed document */
+  def lshDedupStream(spark: SparkSession, dir: String, checkpoint: String,
+                     outPath: String, numPerms: Int, numBands: Int,
+                     threshold: Double,
+                     glob: String = "documents.parquet"): DataFrame = {
+    import graft.dedup.Dedup
+    val docs = spark.read.option("pathGlobFilter", glob).parquet(dir)
+    val schema = docs.schema
+    // the persisted dedup index, built once — every batch probes it
+    val corpusSets = Dedup.shingleSets(
+      docs.filter(col("doc_id") % 17 =!= 0), "doc_id", "text", 3)
+    val corpusIndex = Dedup.bandedBuckets(corpusSets, numPerms, numBands)
+      .stage()
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .filter(col("doc_id") % 17 === 0)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val arrivals = batch.toDF().persist()
+        try {
+          val dups = Dedup.incrementalNearDupsIndexed(arrivals,
+            corpusSets, corpusIndex, "doc_id", "text",
+            numPerms, numBands, threshold)
+            .groupBy(col("new_id").as("doc_id"))
+            .agg(count(lit(1)).as("n_dups"))
+          arrivals.select(col("doc_id"))
+            .join(dups, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_dups").isNull.as("keep"),
+              coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+            .write.mode("append").parquet(outPath)
+        } finally arrivals.unpersist(blocking = false)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
   }
 
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {

@@ -96,6 +96,51 @@ class StreamsSpec extends SparkSpec {
     assert(slicedEn.length === n)
   }
 
+  test("streaming LSH dedup: 3 sliced batches equal the batch incremental pass") {
+    // arrivals split across 3 files → 3 foreachBatch probes of the same
+    // static banded index; decisions depend only on each doc's shingles
+    // vs the index, so the union of per-batch decisions must equal the
+    // single batch incrementalNearDups run folded to keep/drop rows
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft_lsh_slices").toString
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .orderBy("doc_id")
+    val n = raw.count()
+    val chunks = raw.collect().grouped((n / 3 + 1).toInt).toSeq
+    val schema = raw.schema
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val staging = Files.createTempDirectory(s"graft_lsh_st_$i").toString
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/docs_$i.parquet"))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_lsh_sl").toString
+    val out = Files.createTempDirectory("graft_lsh_out").toString + "/dec"
+    val sliced = Streams.lshDedupStream(spark, tmp, ckpt, out,
+      numPerms = 8, numBands = 4, threshold = 0.8, glob = "*.parquet")
+      .collect()
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val arrivals = docs.filter(col("doc_id") % 17 === 0)
+    val dups = graft.dedup.Dedup.incrementalNearDups(arrivals,
+      docs.filter(col("doc_id") % 17 =!= 0), "doc_id", "text",
+      numPerms = 8, numBands = 4, threshold = 0.8)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    val batch = arrivals.select(col("doc_id"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_dups").isNull.as("keep"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .collect()
+    assert(sliced.length === batch.length, "one decision per arrival")
+    assert(sliced.toSet === batch.toSet)
+    assert(batch.exists(r => !r.getBoolean(1)),
+      "fixture must contain at least one dropped near-dup")
+  }
+
   test("foreachBatch upsert across 3 micro-batches equals the batch table") {
     // 3 time-ordered slices → 3 foreachBatch merges into the versioned
     // table; the final snapshot must equal the batch latest-per-user
