@@ -54,4 +54,20 @@ object Staging {
         df.checkpoint()
       else df.localCheckpoint()
   }
+
+  /** [[StageOps.stage]] with piggybacked metrics: the given aggregate
+    * columns ride the checkpoint's OWN materialization job as an
+    * `observe()`, so iterative loops read their convergence checksums /
+    * sink sums without a separate aggregation scan per round (at 100 TB
+    * that extra scan per iteration is a whole pass over the state
+    * frame). Both staging modes complete observations — checkpoint and
+    * localCheckpoint each run through a query action. Returns the
+    * staged frame plus the observed metric row keyed by alias. */
+  def stageObserved(df: DataFrame, metrics: org.apache.spark.sql.Column*)
+  : (DataFrame, Map[String, Any]) = {
+    require(metrics.nonEmpty, "stageObserved needs at least one metric")
+    val obs = org.apache.spark.sql.Observation()
+    val staged = df.observe(obs, metrics.head, metrics.tail: _*).stage()
+    (staged, obs.get)
+  }
 }

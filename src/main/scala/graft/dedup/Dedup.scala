@@ -707,19 +707,22 @@ object Dedup {
       .stage()
 
     // coalesce: sum over zero rows is null — an empty pair table (corpus
-    // with no near-dups) must converge on the first iteration, not NPE
-    def checksum(labels: DataFrame): java.math.BigDecimal =
-      labels.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")))
-        .head().getDecimal(0)
+    // with no near-dups) must converge on the first iteration, not NPE.
+    // The checksum rides each round's OWN staging job as an observe()
+    // metric (Staging.stageObserved) — labels only ever decrease, so an
+    // unchanged sum is a fixpoint, and detection costs zero extra jobs.
+    def ckMetric = coalesce(sum(col("comp").cast("decimal(38,0)")),
+      lit(0).cast("decimal(38,0)")).as("ck")
 
     // every vertex appears as src (sym is symmetric), so one groupBy
     // seeds each vertex with min(self, all neighbors)
-    var labels = sym.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("mind"))
-      .select(col("id"), least(col("id"), col("mind")).as("comp"))
-      .stage()
-    var prevSum = checksum(labels)
+    val (seed, seedRow) = graft.Staging.stageObserved(
+      sym.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("mind"))
+        .select(col("id"), least(col("id"), col("mind")).as("comp")),
+      ckMetric)
+    var labels = seed
+    var prevSum = seedRow("ck").asInstanceOf[java.math.BigDecimal]
     var converged = false
     while (!converged) {
       // labels of my neighbors; label of my label (comp values are vertex
@@ -729,11 +732,12 @@ object Dedup {
       val viaLabel = labels.as("l1")
         .join(labels.as("l2"), col("l1.comp") === col("l2.id"))
         .select(col("l1.id").as("id"), col("l2.comp").as("comp"))
-      val next = viaNeighbors.union(viaLabel).union(labels)
-        .groupBy("id")
-        .agg(min("comp").as("comp"))
-        .stage()
-      val s = checksum(next)
+      val (next, row) = graft.Staging.stageObserved(
+        viaNeighbors.union(viaLabel).union(labels)
+          .groupBy("id")
+          .agg(min("comp").as("comp")),
+        ckMetric)
+      val s = row("ck").asInstanceOf[java.math.BigDecimal]
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next

@@ -82,17 +82,18 @@ object Graph {
     (ranks, iters)
   }
 
-  /** Checksum of an integer-valued per-node state frame: the sum of
-    * each row's 64-bit hash, exact in decimal. Consecutive-round
+  /** Checksum metric for an integer-valued per-node state frame: the
+    * sum of each row's 64-bit hash, exact in decimal. Consecutive-round
     * equality means the state reached its fixpoint (collision odds
-    * ~2⁻⁶⁴ per comparison); costs one map-side-combined aggregation —
-    * no extra shuffle, no driver-side rows beyond the one scalar. */
-  private def stateChecksum(state: DataFrame, cols: Seq[String])
-  : java.math.BigDecimal =
-    state.agg(coalesce(
-        sum(xxhash64(cols.map(col): _*).cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")))
-      .head().getDecimal(0)
+    * ~2⁻⁶⁴ per comparison). Attached as an `observe()` metric on each
+    * round's OWN staging action ([[graft.Staging.stageObserved]]), so
+    * fixpoint detection costs zero extra jobs — previously a separate
+    * aggregation scan ran per round. */
+  private def checksumMetric(cols: Seq[String])
+  : org.apache.spark.sql.Column =
+    coalesce(
+      sum(xxhash64(cols.map(col): _*).cast("decimal(38,0)")),
+      lit(0).cast("decimal(38,0)")).as("ck")
 
   private def runPageRank(edges: DataFrame, srcCol: String,
                           dstCol: String, iterations: Int,
@@ -151,36 +152,47 @@ object Graph {
     // shape and the lineage flat at ANY iteration count
     var ranks = flagged.select(col("node"), col("has_out"),
       lit(Scale / n).as("rank_micro"))
+    // initial sink mass in closed form — ranks start uniform, so no job
+    var sinkSum: Long = nSinks * (Scale / n)
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
     while (iter < iterations && !converged) {
-      // previous round's sink mass, shared out per node — one scalar
-      // aggregation over the already-staged ranks, sinks-only graphs pay
-      // it, symmetrized graphs never do
-      val sinkShare: Long =
-        if (nSinks == 0L) 0L
-        else ranks.filter(!col("has_out"))
-          .agg(coalesce(sum(col("rank_micro")), lit(0L)))
-          .head().getLong(0) / n
+      // previous round's sink mass shared out per node: carried by the
+      // previous staging action's observation (zero extra jobs);
+      // symmetrized graphs have sinkSum = 0 throughout
+      val sinkShare: Long = if (nSinks == 0L) 0L else sinkSum / n
       val contrib = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(eDeg("dst").as("node"),
           expr("rank_micro div out").as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("in_sum"))
-      ranks = flagged.join(contrib, Seq("node"), "left")
+      val next = flagged.join(contrib, Seq("node"), "left")
         .select(col("node"), col("has_out"),
           (lit(teleport) +
             expr(s"($dampingPct * (coalesce(in_sum, 0L) + $sinkShare))" +
               " div 100"))
             .as("rank_micro"))
-        .stage()
+      // fixpoint checksum and next sink sum both ride the round's own
+      // checkpoint job as observe() metrics — the loop runs exactly one
+      // job per iteration regardless of convergence mode or sinks
+      if (stopOnFixpoint || nSinks > 0L) {
+        val metrics =
+          (if (stopOnFixpoint)
+            Seq(checksumMetric(Seq("node", "rank_micro"))) else Nil) ++
+          (if (nSinks > 0L)
+            Seq(coalesce(sum(when(!col("has_out"), col("rank_micro"))),
+              lit(0L)).cast("long").as("sink_sum")) else Nil)
+        val (staged, row) = graft.Staging.stageObserved(next, metrics: _*)
+        ranks = staged
+        if (nSinks > 0L) sinkSum = row("sink_sum").asInstanceOf[Long]
+        if (stopOnFixpoint) {
+          val s = row("ck").asInstanceOf[java.math.BigDecimal]
+          converged = prevSum != null && s.compareTo(prevSum) == 0
+          prevSum = s
+        }
+      } else ranks = next.stage()
       iter += 1
-      if (stopOnFixpoint) {
-        val s = stateChecksum(ranks, Seq("node", "rank_micro"))
-        converged = prevSum != null && s.compareTo(prevSum) == 0
-        prevSum = s
-      }
     }
     eDeg.unpersist()
     if (stopOnFixpoint) {
@@ -334,12 +346,17 @@ object Graph {
       .distinct()
       .repartition(col("src"))
       .persist()
-    var labels = e.select(col("src").as("node")).distinct()
+    val seed = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("community"))
-      .stage()
-    var prevSum: java.math.BigDecimal =
-      if (stopOnFixpoint) stateChecksum(labels, Seq("node", "community"))
-      else null
+    // the seed checksum rides the seed's own staging job too
+    var prevSum: java.math.BigDecimal = null
+    var labels =
+      if (stopOnFixpoint) {
+        val (staged, row) = graft.Staging.stageObserved(seed,
+          checksumMetric(Seq("node", "community")))
+        prevSum = row("ck").asInstanceOf[java.math.BigDecimal]
+        staged
+      } else seed.stage()
     var round = 0
     var converged = false
     while (round < rounds && !converged) {
@@ -350,7 +367,7 @@ object Graph {
       // window's per-node sort pass (two hash aggs per round instead
       // of agg + sort-window; GraphSpec's sync-replica test pins the
       // tie-break either way)
-      labels = e.join(labels, e("src") === labels("node"))
+      val next = e.join(labels, e("src") === labels("node"))
         .select(e("dst").as("node"), col("community"))
         .groupBy("node", "community")
         .agg(count(lit(1)).as("c"))
@@ -358,13 +375,15 @@ object Graph {
         .agg(max_by(col("community"),
           struct(col("c"), (-col("community")).as("nc")))
           .as("community"))
-        .stage()
-      round += 1
       if (stopOnFixpoint) {
-        val s = stateChecksum(labels, Seq("node", "community"))
+        val (staged, row) = graft.Staging.stageObserved(next,
+          checksumMetric(Seq("node", "community")))
+        labels = staged
+        val s = row("ck").asInstanceOf[java.math.BigDecimal]
         converged = s.compareTo(prevSum) == 0
         prevSum = s
-      }
+      } else labels = next.stage()
+      round += 1
     }
     if (stopOnFixpoint) {
       if (converged)

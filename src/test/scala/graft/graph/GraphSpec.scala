@@ -82,6 +82,42 @@ class GraphSpec extends SparkSpec {
     assert(run(base, 3) === refPageRank(base, 3))
   }
 
+  test("fixpoint detection adds zero jobs (checksum rides the stage)") {
+    // the convergence checksum and the sink sum are observe() metrics
+    // on each round's own checkpoint job (Staging.stageObserved) — a
+    // converged-mode run must schedule NO more jobs than a fixed-mode
+    // run of the same round count (pre-refactor it paid one extra
+    // aggregation job per round, a whole state-frame scan at 100 TB)
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 80).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2).distinct.toDF("src", "dst")
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    def jobs(f: => Unit): Int = {
+      spark.sparkContext.addSparkListener(l); counter.set(0)
+      f
+      // listener events are async — give the bus a beat to drain
+      Thread.sleep(300)
+      spark.sparkContext.removeSparkListener(l); counter.get()
+    }
+    Graph.pageRank(edges, "src", "dst", 3).count() // warm codegen/AQE
+    val fixed = jobs(Graph.pageRank(edges, "src", "dst", 3).count())
+    val conv = jobs {
+      val (r, it) = Graph.pageRankConverged(edges, "src", "dst",
+        maxIterations = 3)
+      assert(it === 3, "graph must not converge early for a fair count")
+      r.count(); ()
+    }
+    assert(conv <= fixed,
+      s"fixpoint detection scheduled extra jobs: $conv vs $fixed")
+  }
+
   test("empty edge list yields an empty ranking, not a crash") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graph.pageRank(empty, "src", "dst", 3).count() === 0L)
