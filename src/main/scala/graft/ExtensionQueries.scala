@@ -517,6 +517,19 @@ object ExtensionQueries {
         .limit(50)
     }),
 
+    // weighted AA over the same graph with co-occurrence SUPPORT as the
+    // edge weight — shared context counts by how strongly both
+    // endpoints connect to it, discounted by its total strength
+    "q_adamic_adar_weighted" -> ((s, d) => {
+      val pairs = coOccurrencePairs(s, d)
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+      Graph.adamicAdarWeighted(pairs, "a", "b", "sup")
+        .orderBy(col("aa_micro").desc, col("node_a"), col("node_b"))
+        .limit(50)
+    }),
+
     // deterministic synchronous label propagation (2 rounds) over the
     // same customer↔supplier trade graph PageRank scores — the
     // community view (which trading neighborhoods exist) next to
@@ -2167,6 +2180,41 @@ object ExtensionQueries {
          sc AS (SELECT node_a, node_b,
                        CAST(round(1000000 / ln(d)) AS BIGINT) AS wm
                 FROM contrib JOIN deg ON contrib.o = deg.v)
+         SELECT node_a, node_b, COUNT(*)::BIGINT AS common_neighbors,
+                CAST(SUM(wm) AS BIGINT) AS aa_micro
+         FROM sc GROUP BY node_a, node_b
+         ORDER BY aa_micro DESC, node_a, node_b LIMIT 50""",
+
+    // weighted AA: same triangle enumeration, contribution
+    // (w(u,z)+w(v,z))·5e5/ln(1+strength(z)) snapped to integer micros
+    "q_adamic_adar_weighted" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+                     FROM lineitem),
+         pairs AS (SELECT x.p AS a, y.p AS b,
+                          LEAST(COUNT(*), 1000000)::BIGINT AS w
+                   FROM li x JOIN li y ON x.k = y.k AND x.p < y.p
+                   GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
+         st AS (SELECT v, SUM(w) AS s
+                FROM (SELECT a AS v, w FROM pairs
+                      UNION ALL SELECT b, w FROM pairs)
+                GROUP BY v),
+         tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS z
+                 FROM pairs e1
+                 JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+                 JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
+         contrib AS (
+           SELECT u AS node_a, v AS node_b, z AS o FROM tri
+           UNION ALL SELECT u, z, v FROM tri
+           UNION ALL SELECT v, z, u FROM tri),
+         sc AS (SELECT node_a, node_b,
+                       CAST(round((wa.w + wb.w) * 500000
+                         / ln(1 + st.s)) AS BIGINT) AS wm
+                FROM contrib
+                JOIN pairs wa ON wa.a = LEAST(node_a, o)
+                             AND wa.b = GREATEST(node_a, o)
+                JOIN pairs wb ON wb.a = LEAST(node_b, o)
+                             AND wb.b = GREATEST(node_b, o)
+                JOIN st ON st.v = o)
          SELECT node_a, node_b, COUNT(*)::BIGINT AS common_neighbors,
                 CAST(SUM(wm) AS BIGINT) AS aa_micro
          FROM sc GROUP BY node_a, node_b

@@ -289,6 +289,72 @@ object Graph {
         sum(col("w_micro")).as("aa_micro"))
   }
 
+  /** WEIGHTED Adamic–Adar for every edge of an undirected weighted
+    * graph — the form link-prediction pipelines actually consume when
+    * edges carry evidence counts (co-occurrence support, interaction
+    * frequency):
+    *
+    *   AA_w(u,v) = Σ_{z ∈ N(u)∩N(v)} (w(u,z) + w(v,z)) / (2·ln(1+s(z)))
+    *
+    * (the Murata–Moriyasu '07 weighted extension: a shared neighbor
+    * counts by how strongly BOTH endpoints connect to it, discounted by
+    * its total strength s(z) = Σ incident weights — the weighted analog
+    * of the 1/ln(deg) rarity discount).
+    *
+    * Same degree-ordered triangle enumeration as [[adamicAdar]]; the
+    * weight lookups are two equi-joins of the output-bound contribution
+    * rows against the canonical edge-weight table plus one against node
+    * strengths. Integer convention: input weights are capped at 1e6
+    * (so (w+w)·5e5 stays < 2⁵³ through the double rounding) and each
+    * contribution snaps to integer micros before the per-edge sum —
+    * order-independent, oracle-exact. Parallel duplicate edges resolve
+    * by MAX weight; z always has s(z) ≥ 2 so ln(1+s) > 0.
+    *
+    * @return (node_a, node_b, common_neighbors, aa_micro) per edge that
+    *         closes ≥1 triangle; node_a < node_b
+    */
+  def adamicAdarWeighted(edges: DataFrame, aCol: String, bCol: String,
+                         wCol: String): DataFrame = {
+    val w = edges.select(
+        least(col(aCol), col(bCol)).cast("long").as("x"),
+        greatest(col(aCol), col(bCol)).cast("long").as("y"),
+        least(col(wCol).cast("long"), lit(1000000L)).as("w"))
+      .filter(col("x") =!= col("y") && col("w") > 0)
+      .groupBy("x", "y").agg(max(col("w")).as("w"))
+      .stage()
+    val strength = w.select(col("x").as("v"), col("w"))
+      .union(w.select(col("y").as("v"), col("w")))
+      .groupBy("v").agg(sum(col("w")).as("s"))
+    val g = orientAndStage(w, "x", "y")
+    val tris = edgesWithOutNbrs(g)
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("nu"), col("nv"))).as("z"))
+    val contrib = tris.select(explode(array(
+        struct(least(col("src"), col("dst")).as("x"),
+          greatest(col("src"), col("dst")).as("y"), col("z").as("o")),
+        struct(least(col("src"), col("z")).as("x"),
+          greatest(col("src"), col("z")).as("y"), col("dst").as("o")),
+        struct(least(col("dst"), col("z")).as("x"),
+          greatest(col("dst"), col("z")).as("y"), col("src").as("o"))))
+        .as("c"))
+      .select(col("c.x").as("node_a"), col("c.y").as("node_b"),
+        col("c.o").as("o"))
+    contrib
+      .withColumn("a1", least(col("node_a"), col("o")))
+      .withColumn("b1", greatest(col("node_a"), col("o")))
+      .withColumn("a2", least(col("node_b"), col("o")))
+      .withColumn("b2", greatest(col("node_b"), col("o")))
+      .join(w.toDF("a1", "b1", "w_ao"), Seq("a1", "b1"))
+      .join(w.toDF("a2", "b2", "w_bo"), Seq("a2", "b2"))
+      .join(strength.toDF("o", "s"), Seq("o"))
+      .select(col("node_a"), col("node_b"),
+        expr("cast(round((w_ao + w_bo) * 500000 / ln(1 + s)) as bigint)")
+          .as("wm"))
+      .groupBy("node_a", "node_b")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("wm")).as("aa_micro"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. '07), k fixed
     * rounds — community detection for duplicate-cluster neighborhoods
     * and source-graph segmentation, the cheap precursor to modularity

@@ -82,6 +82,37 @@ class GraphSpec extends SparkSpec {
     assert(run(base, 3) === refPageRank(base, 3))
   }
 
+  test("weighted adamic-adar matches driver-side brute force") {
+    val rnd = new scala.util.Random(11)
+    val raw = (0 until 120).map(_ => (rnd.nextInt(12).toLong,
+      rnd.nextInt(12).toLong, (rnd.nextInt(5) + 1).toLong))
+      .filter(e => e._1 != e._2)
+    // driver-side replica: canonical max-weight dedup, strengths,
+    // per-edge sum over common neighbors of (w_uz+w_vz)·5e5/ln(1+s(z))
+    val canon = raw.map { case (a, b, w) =>
+      (math.min(a, b), math.max(a, b), w)
+    }.groupBy(t => (t._1, t._2)).map { case ((x, y), ts) =>
+      (x, y, ts.map(_._3).max)
+    }.toSeq
+    val adj = canon.flatMap { case (x, y, w) =>
+      Seq((x, (y, w)), (y, (x, w)))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toMap).toMap
+    val s = adj.view.mapValues(_.values.sum).toMap
+    val expected = canon.flatMap { case (x, y, _) =>
+      val common = adj(x).keySet & adj(y).keySet
+      if (common.isEmpty) None
+      else Some(((x, y), (common.size.toLong,
+        common.toSeq.map(z => math.round((adj(x)(z) + adj(y)(z)) *
+          500000.0 / math.log(1.0 + s(z)))).sum)))
+    }.toMap
+    val got = Graph.adamicAdarWeighted(raw.toDF("a", "b", "w"),
+        "a", "b", "w")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+  }
+
   test("fixpoint detection adds zero jobs (checksum rides the stage)") {
     // the convergence checksum and the sink sum are observe() metrics
     // on each round's own checkpoint job (Staging.stageObserved) — a
