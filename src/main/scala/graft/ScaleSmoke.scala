@@ -401,6 +401,28 @@ object ScaleSmoke {
         .filter(col("rank_micro") > 0).count()
     }
 
+    timed("pagerank directed sinks") {
+      // the directed crawl shape at scale: the same trade edges NOT
+      // symmetrized, so every supplier node is a dangling sink holding
+      // ~half the graph's rank each round. Sink redistribution must
+      // cost zero extra jobs (sink sum rides the round's checkpoint
+      // observation) and conserve total mass — checked to within one
+      // truncation unit per node
+      val n = rows / 500
+      val e = spark.range(rows / 100).select(
+        (col("id") % n).as("src"),
+        (((col("id") * 7919) % n) + n).as("dst"))
+      val ranks = graft.graph.Graph.pageRank(e, "src", "dst",
+        iterations = 3)
+      val (total, cnt) = ranks
+        .agg(sum(col("rank_micro")), count(lit(1)))
+        .as[(Long, Long)].head()
+      require(total <= graft.graph.Graph.Scale &&
+        total > graft.graph.Graph.Scale - cnt * 4,
+        s"directed mass not conserved: $total of ${graft.graph.Graph.Scale} over $cnt nodes")
+      cnt
+    }
+
     timed("pagerank converged stop") {
       // the checksum-convergence dial on a REGULAR graph (uniform rank
       // is an exact integer fixpoint): the loop must stop well before
