@@ -118,7 +118,8 @@ object StagedPagesScan {
 
 class StagedPagesScan(path: String, required: StructType,
                       pushed: Array[sources.Filter] = Array.empty)
-  extends Scan with Batch {
+  extends Scan with Batch
+  with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -126,17 +127,61 @@ class StagedPagesScan(path: String, required: StructType,
     s"StagedPages path=$path cols=${required.fieldNames.mkString(",")} " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
+  /** RUNTIME page pruning — the DSV2 analog of dynamic partition
+    * pruning: when this table joins a dimension whose selective filter
+    * only resolves at execution (Catalyst's PartitionPruning plants a
+    * DynamicPruningSubquery on `page`), the subquery's surviving keys
+    * arrive here as an IN filter BEFORE partitions are planned, and
+    * non-matching pages are never opened. At the reference's real
+    * shape — thousands of season/letter pages joined to a handful of
+    * selected seasons — this is the difference between fetching one
+    * page and fetching the site. Runtime filters can only REMOVE
+    * partitions (Spark re-applies the join itself), so correctness
+    * never depends on them. */
+  private var runtime: Array[sources.Filter] = Array.empty
+
+  override def filterAttributes()
+  : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("page"))
+
+  override def filter(filters: Array[sources.Filter]): Unit =
+    runtime = filters.filter(StagedPagesScan.pageEvaluable)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
     val pages = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.isFile)
-      .filter(f => StagedPagesScan.keepPage(pushed, f.getName))
+      .filter(f => StagedPagesScan.keepPage(pushed ++ runtime, f.getName))
       .map(_.getAbsolutePath).sorted
     pages.map(PagePartition.apply: String => InputPartition)
   }
 
+  // pagesRead surfaces in the SQL UI / executedPlan metrics, so tests
+  // (and operators) can assert how many pages the scan ACTUALLY opened
+  // — planning-time and runtime pruning are otherwise invisible once
+  // AQE wraps the scan
+  override def supportedCustomMetrics()
+  : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new PagesReadMetric)
+
   override def createReaderFactory(): PartitionReaderFactory =
     new PageReaderFactory(required.fieldNames)
+}
+
+class PagesReadMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "pagesRead"
+  override def description(): String = "pages read"
+}
+
+object PageReaderFactory {
+  /** Pages opened in THIS JVM since start — the local-mode diagnostic
+    * behind the pruning specs (the `pagesRead` CustomMetric is the
+    * cluster-facing copy in the SQL UI; a driver-side test cannot
+    * reliably reach the executed AQE stage's accumulators). Monotonic;
+    * tests diff before/after. */
+  val pagesOpened = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 class PageReaderFactory(cols: Array[String])
@@ -144,6 +189,7 @@ class PageReaderFactory(cols: Array[String])
 
   override def createReader(partition: InputPartition)
   : PartitionReader[InternalRow] = {
+    PageReaderFactory.pagesOpened.incrementAndGet()
     val file = partition.asInstanceOf[PagePartition].file
     new PartitionReader[InternalRow] {
       private val pageName = new java.io.File(file).getName
@@ -165,6 +211,13 @@ class PageReaderFactory(cols: Array[String])
         }
         InternalRow.fromSeq(values.toIndexedSeq)
       }
+
+      override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+          override def name(): String = "pagesRead"
+          override def value(): Long = 1L
+        })
 
       override def close(): Unit = ()
     }

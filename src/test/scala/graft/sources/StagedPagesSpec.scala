@@ -75,6 +75,37 @@ class StagedPagesSpec extends SparkSpec {
       Array("row4", "row6"))
   }
 
+  test("staged-pages: join-driven runtime filtering prunes pages") {
+    // dynamic partition pruning for the V2 source: joining against a
+    // dimension whose filter only resolves at execution must plant a
+    // DynamicPruningSubquery on `page`, and its surviving key set must
+    // reach StagedPagesScan.filter() BEFORE partitions are planned —
+    // the pagesRead custom metric proves non-matching pages were never
+    // opened, not merely filtered after the read
+    val dir = writePages()
+    val fact = spark.read.format("staged-pages")
+      .option("path", dir).load()
+    // the dim must be a real SCAN: a local Seq constant-folds its
+    // filter into the LocalRelation, leaving no selective Filter node
+    // for PartitionPruning to key on
+    val dimPath = Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("page_b.txt", "keep"), ("page_x.txt", "other"))
+      .toDF("p", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    val joined = fact.join(dim, fact("page") === dim("p"))
+    // the DynamicPruningSubquery must be PLANTED on the scan...
+    val planned = joined.queryExecution.executedPlan.toString
+    assert(planned.contains("dynamicpruning"),
+      s"no runtime filter planted:\n$planned")
+    // ...and at execution only the one surviving page may be OPENED
+    val before = PageReaderFactory.pagesOpened.get()
+    val rows = joined.select("line").as[String].collect()
+    assert(rows === Array("row3"))
+    val opened = PageReaderFactory.pagesOpened.get() - before
+    assert(opened === 1L,
+      s"runtime filter did not prune: opened $opened of 3 pages")
+  }
+
   test("staged-pages composes with the anchor-extract pattern (S3)") {
     val dir = Files.createTempDirectory("graft_html")
     Files.write(dir.resolve("p1.html"),
