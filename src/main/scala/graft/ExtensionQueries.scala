@@ -967,6 +967,20 @@ object ExtensionQueries {
             .as("features"))
     }),
 
+    // ---- image near-dup pairs via perceptual hash -------------------------
+    // cross-modality dedup: 64-bit average-hash fingerprints from the
+    // codec stub, pairs via the lossless pigeonhole band join — no
+    // image ever compares against all others
+    "q_mm_phash_pairs" -> ((s, d) => {
+      import s.implicits._
+      val fps = Multimodal.aHashStub(
+        Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
+          .filter(col("kind") === "image").as[Multimodal.MediaRow],
+        bins = 64).toDF()
+      graft.dedup.Dedup.bandedHammingPairs(fps, "media_id", "phash",
+        bits = 64, maxHamming = 1)
+    }),
+
     // ---- S3 anchor-extract parity: regex extract-all + explode ------------
     "q_s3_regex_extract" -> ((s, d) =>
       t(s, d, "documents")
@@ -3890,6 +3904,40 @@ object ExtensionQueries {
                      ELSE 'video' END AS kind,
                 array_to_string(list(cnt ORDER BY bin), ',') AS features
          FROM dense GROUP BY doc_id""",
+
+    // aHash fingerprints as 64-char bit strings (cnt·64 > n per bin,
+    // MSB-first), naive all-pairs hamming as the ground truth for the
+    // banded generator
+    "q_mm_phash_pairs" ->
+      """WITH img AS (SELECT doc_id AS media_id, coalesce(text, '') AS t
+                      FROM documents WHERE doc_id % 3 = 0),
+         byt AS (SELECT media_id,
+                        ('0x' || substr(hex(encode(t)),
+                          2 * unnest(generate_series(1,
+                            octet_length(encode(t)))) - 1, 2))::INT % 64
+                          AS bin
+                 FROM img),
+         per AS (SELECT media_id, bin, COUNT(*) AS cnt
+                 FROM byt GROUP BY media_id, bin),
+         tot AS (SELECT media_id, octet_length(encode(t))::BIGINT AS n
+                 FROM img),
+         dense AS (SELECT i.media_id, r.b AS bin, COALESCE(p.cnt, 0) AS cnt
+                   FROM img i CROSS JOIN range(64) r(b)
+                   LEFT JOIN per p ON p.media_id = i.media_id
+                                  AND p.bin = r.b),
+         fp AS (SELECT d.media_id,
+                       string_agg(CASE WHEN d.cnt * 64 > t.n
+                                  THEN '1' ELSE '0' END,
+                         '' ORDER BY d.bin) AS bits
+                FROM dense d JOIN tot t USING (media_id)
+                GROUP BY d.media_id)
+         SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+                len(list_filter(generate_series(1, 64),
+                  i -> substr(a.bits, i, 1) <> substr(b.bits, i, 1)))::INT
+                  AS hamming
+         FROM fp a JOIN fp b ON a.media_id < b.media_id
+         WHERE len(list_filter(generate_series(1, 64),
+                 i -> substr(a.bits, i, 1) <> substr(b.bits, i, 1))) <= 1""",
 
     "q_s3_regex_extract" ->
       """SELECT href, COUNT(*) AS n

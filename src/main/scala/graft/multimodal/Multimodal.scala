@@ -112,6 +112,41 @@ object Multimodal {
     }
   }
 
+  /** Perceptual fingerprint row: 64-bit average-hash of the payload. */
+  case class MediaHash(media_id: Long, kind: String, phash: Long)
+
+  /** Perceptual-hash stub (average-hash): bit j — MSB-first over `bins`
+    * histogram bins — is set iff bin j's byte count STRICTLY exceeds
+    * the uniform share (cnt_j · bins > n_bytes, integer
+    * cross-multiplied so the threshold is engine-exact). The real
+    * operator aHashes an 8×8 grayscale downsample; the stub aHashes
+    * the byte histogram — same shape: a fixed-width fingerprint whose
+    * hamming distance measures payload similarity, computed
+    * partition-local in the codec pass. Feeds
+    * [[graft.dedup.Dedup.bandedHammingPairs]] for image near-dup
+    * pairs without any all-pairs comparison. Use bins = 64 when
+    * banding: narrower widths leave constant-zero trailing bits that
+    * degrade a trailing band's selectivity (pass bits = bins there). */
+  def aHashStub(media: Dataset[MediaRow], bins: Int = 64)
+  : Dataset[MediaHash] = {
+    require(bins >= 1 && bins <= 64, s"aHash bins must be 1..64: $bins")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val counts = new Array[Long](bins)
+        r.payload.foreach(b => counts((b & 0xff) % bins) += 1)
+        val n = r.payload.length.toLong
+        var fp = 0L
+        var j = 0
+        while (j < bins) {
+          if (counts(j) * bins > n) fp |= 1L << (bins - 1 - j)
+          j += 1
+        }
+        MediaHash(r.media_id, r.kind, fp)
+      }
+    }
+  }
+
   /** Frame-sample stub: pick every `stride`-th byte window as a "frame" —
     * the plumbing (explode to one row per frame with an index) matches what
     * real video frame extraction produces. */

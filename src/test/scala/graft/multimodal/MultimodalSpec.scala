@@ -52,6 +52,37 @@ class MultimodalSpec extends SparkSpec {
     assert(f.forall(_ === 1L))
   }
 
+  test("aHashStub: bit semantics + banded pairs equal brute force") {
+    // bit j (MSB-first) set iff cnt_j*bins strictly exceeds n_bytes
+    val skew = Array.fill(10)(0x00.toByte) ++ Array[Byte](0x01)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", skew),
+      Multimodal.MediaRow(2L, "image", skew),                // identical
+      Multimodal.MediaRow(3L, "image", skew :+ 0x02.toByte), // 1 bit off
+      Multimodal.MediaRow(4L, "image",
+        Array.tabulate(64)(i => i.toByte)),                  // uniform: all 0
+      Multimodal.MediaRow(5L, "image", Array[Byte]()))       // empty: all 0
+      .toDS()
+    val fps = Multimodal.aHashStub(media, bins = 64).collect()
+      .map(h => h.media_id -> h.phash).toMap
+    // 10/11 zeros + 1/11 of 0x01: bins 0 and 1 both over 1/64 share
+    assert(fps(1L) === ((1L << 63) | (1L << 62)), fps(1L).toBinaryString)
+    assert(fps(2L) === fps(1L))
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) === 1)
+    // exactly-uniform and empty payloads have NO strictly-over bins
+    assert(fps(4L) === 0L && fps(5L) === 0L)
+
+    val pairs = graft.dedup.Dedup.bandedHammingPairs(
+      Multimodal.aHashStub(media, bins = 64).toDF(),
+      "media_id", "phash", bits = 64, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      a <- 1L to 5L; b <- (a + 1) to 5L
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 1
+    } yield (a, b, h)).toSet
+    assert(pairs === brute)
+  }
+
   test("byte semantics, null text, empty payloads, overflow guard") {
     import org.apache.spark.sql.functions._
     // non-ASCII + null + empty corpus: the codec surface is BYTES
