@@ -467,6 +467,83 @@ object ScaleSmoke {
       1L
     }
 
+    timed("weighted adamic-adar (hub)") {
+      // the hub adversary with support weights: degree orientation caps
+      // wedge fan-out exactly as in the unweighted case, and the
+      // weight/strength lookups are output-bound equi-joins — weighted
+      // scoring must not reopen the hub's d² wedge space. NOTE the
+      // sparser graph than the COUNT smoke: AA ENUMERATES triangles
+      // (×3 contribution rows), so its honest work is Θ(#triangles) —
+      // avg degree ~5 keeps that at a few million, while the count
+      // smoke's degree-20 graph holds ~10⁸ triangles that a counting
+      // merge-scan absorbs but an enumeration must materialize
+      val n = rows / 250
+      val rand = spark.range(rows / 100).select(
+        (col("id") % n).as("a"), ((col("id") * 7919) % n).as("b"),
+        (col("id") % 5 + 1).as("w"))
+      val hub = spark.range(10000L).select(
+        lit(n).as("a"), ((col("id") * 101) % n).as("b"), lit(2L).as("w"))
+      graft.graph.Graph.adamicAdarWeighted(rand.union(hub), "a", "b", "w")
+        .filter(col("aa_micro") > 0).count()
+    }
+
+    timed("phash banded pairs") {
+      // image dedup at rows/2500 media rows: 64-bit average-hash in the
+      // codec pass, pigeonhole band join over DISTINCT fingerprints.
+      // RAW md5 bytes (unhex) give each PAIR KEY a uniform 0..255 byte
+      // distribution hovering at the aHash threshold, so fingerprints
+      // are high-entropy and docs pairwise-distinct (text payloads
+      // collapse every histogram onto one fingerprint, whose
+      // identical-fp expansion is the true-output quadratic); planted
+      // pairs (2i, 2i+1) share bytes → hamming 0. The pair count must
+      // be planted-dominated, not distribution noise
+      import spark.implicits._
+      val nm = rows / 2500
+      val key = (col("id") / 2).cast("long").cast("string")
+      val media = spark.range(nm).select(col("id").as("media_id"),
+        lit("image").as("kind"),
+        unhex(concat(md5(key), md5(concat(key, lit("x"))),
+          md5(concat(key, lit("y"))), md5(concat(key, lit("z")))))
+          .as("payload"))
+        .as[graft.multimodal.Multimodal.MediaRow]
+      val fps = graft.multimodal.Multimodal.aHashStub(media, bins = 64)
+        .toDF()
+      val cnt = graft.dedup.Dedup.bandedHammingPairs(fps, "media_id",
+        "phash", bits = 64, maxHamming = 1).count()
+      require(cnt >= nm / 2 && cnt < 20 * nm,
+        s"phash pairs not planted-dominated: $cnt for $nm media")
+      cnt
+    }
+
+    timed("streaming lsh dedup probe") {
+      // continuous-ingestion dedup at rows/500 docs: arrivals stream in
+      // and probe the STATIC banded index per micro-batch; per-batch
+      // cost is |batch|·bands + matched buckets, independent of corpus
+      // size. Planted near-dups: doc 17k shares text with doc 17k+1
+      import spark.implicits._
+      val nd = rows / 500
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lsh_smoke").toString
+      spark.range(nd).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 12).map(j => concat(lit(s"w${j}x"),
+            ((col("id") - col("id") % 17 % 2) * (j * 37 + 11))
+              .cast("string"))): _*).as("text"))
+        .coalesce(4).write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_lsh_smoke_ck").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_lsh_smoke_out").toString + "/dec"
+      val dec = graft.streaming.Streams.lshDedupStream(spark,
+        s"$tmp/documents.parquet", ckpt, out,
+        numPerms = 8, numBands = 4, threshold = 0.8,
+        glob = "*.parquet")
+      val dropped = dec.filter(!col("keep")).count()
+      require(dropped > 0, "planted near-dups must be dropped")
+      dec.count()
+    }
+
     timed("label propagation 2 rounds") {
       // rows/100 ring-ish edges over rows/500 nodes in 1000 disjoint
       // blocks (planted communities): per round one message shuffle +
