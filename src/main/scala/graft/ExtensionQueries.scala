@@ -981,6 +981,23 @@ object ExtensionQueries {
         bits = 64, maxHamming = 1)
     }),
 
+    // the production form of image dedup: pair hits → connected
+    // components → keep one canonical image per cluster. Pair output
+    // is quadratic in an identical-fingerprint cluster by definition;
+    // the KEEP decision is linear in the corpus, which is what a
+    // 100 TB pipeline persists
+    "q_mm_phash_keep" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
+        .filter(col("kind") === "image")
+      val fps = Multimodal.aHashStub(
+        media.as[Multimodal.MediaRow], bins = 64).toDF()
+      val pairs = graft.dedup.Dedup.bandedHammingPairs(fps, "media_id",
+        "phash", bits = 64, maxHamming = 1)
+      graft.dedup.Dedup.keepCanonical(media.select("media_id"),
+        "media_id", pairs, "doc_a", "doc_b")
+    }),
+
     // ---- S3 anchor-extract parity: regex extract-all + explode ------------
     "q_s3_regex_extract" -> ((s, d) =>
       t(s, d, "documents")
@@ -3938,6 +3955,50 @@ object ExtensionQueries {
          FROM fp a JOIN fp b ON a.media_id < b.media_id
          WHERE len(list_filter(generate_series(1, 64),
                  i -> substr(a.bits, i, 1) <> substr(b.bits, i, 1))) <= 1""",
+
+    // pair graph → recursive reachability → min-id component →
+    // keep = canonical or unpaired (the q_dedup_components pattern
+    // over the phash edges)
+    "q_mm_phash_keep" ->
+      """WITH RECURSIVE
+         img AS (SELECT doc_id AS media_id, coalesce(text, '') AS t
+                 FROM documents WHERE doc_id % 3 = 0),
+         byt AS (SELECT media_id,
+                        ('0x' || substr(hex(encode(t)),
+                          2 * unnest(generate_series(1,
+                            octet_length(encode(t)))) - 1, 2))::INT % 64
+                          AS bin
+                 FROM img),
+         per AS (SELECT media_id, bin, COUNT(*) AS cnt
+                 FROM byt GROUP BY media_id, bin),
+         tot AS (SELECT media_id, octet_length(encode(t))::BIGINT AS n
+                 FROM img),
+         dense AS (SELECT i.media_id, r.b AS bin, COALESCE(p.cnt, 0) AS cnt
+                   FROM img i CROSS JOIN range(64) r(b)
+                   LEFT JOIN per p ON p.media_id = i.media_id
+                                  AND p.bin = r.b),
+         fp AS (SELECT d.media_id,
+                       string_agg(CASE WHEN d.cnt * 64 > t.n
+                                  THEN '1' ELSE '0' END,
+                         '' ORDER BY d.bin) AS bits
+                FROM dense d JOIN tot t USING (media_id)
+                GROUP BY d.media_id),
+         prs AS (SELECT a.media_id AS doc_a, b.media_id AS doc_b
+                 FROM fp a JOIN fp b ON a.media_id < b.media_id
+                 WHERE len(list_filter(generate_series(1, 64),
+                     i -> substr(a.bits, i, 1) <> substr(b.bits, i, 1)))
+                     <= 1),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                   UNION SELECT doc_b, doc_a FROM prs),
+         reach(id, comp) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+         comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+         SELECT media_id FROM img i
+         WHERE NOT EXISTS (
+           SELECT 1 FROM comp c
+           WHERE c.id = i.media_id AND c.id <> c.comp)""",
 
     "q_s3_regex_extract" ->
       """SELECT href, COUNT(*) AS n
