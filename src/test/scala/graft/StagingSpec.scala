@@ -61,4 +61,27 @@ class StagingSpec extends SparkSpec {
       assert(ccReliable === ccLocal)
     }
   }
+
+  test("stageObserved: metrics complete under BOTH staging modes") {
+    // the iterative loops read their convergence checksums from the
+    // staging action's own observation — that contract must hold for
+    // localCheckpoint AND reliable checkpoint, or a cluster deploy
+    // would block forever on Observation.get
+    import org.apache.spark.sql.functions._
+    def run(): (Long, java.math.BigDecimal) = {
+      val (staged, row) = Staging.stageObserved(
+        spark.range(1000).toDF("x"),
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("x")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("ck"))
+      assert(staged.count() === 1000L)
+      (row("n").asInstanceOf[Long],
+        row("ck").asInstanceOf[java.math.BigDecimal])
+    }
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    val (nL, ckL) = run()
+    val (nR, ckR) = withCheckpointDir(run())
+    assert(nL === 1000L && nR === 1000L)
+    assert(ckL === ckR, "checksum metric must be mode-independent")
+  }
 }
