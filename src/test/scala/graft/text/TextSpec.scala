@@ -282,6 +282,67 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("tfidfCosinePairs prefix filter is LOSSLESS vs naive all-pairs") {
+    // the core claim of the AllPairs rewrite: candidates from the
+    // suffix-norm prefix join + per-row bound produce EXACTLY the
+    // naive postings-self-join result. Random corpora over a small
+    // vocab force heavy term sharing (every pair co-occurs — the shape
+    // where a lossy prefix would drop true pairs); weights/norms/cos
+    // are recomputed in plain Scala with the same integer snap
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val genDocs: Gen[List[String]] = Gen.listOfN(10,
+      Gen.choose(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var tested = 0
+    (0 until 12).foreach { i =>
+      genDocs(Gen.Parameters.default, Seed(100L + i)).foreach { texts =>
+        val toks = texts.zipWithIndex.map { case (t, id) =>
+          id.toLong -> t.split("\\s+").toSeq
+        }
+        val n = toks.size
+        val tf = toks.map { case (id, ts) =>
+          id -> ts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        }.toMap
+        val df = tf.values.flatMap(_.keys).groupBy(identity).view
+          .mapValues(_.size).toMap
+        // a token in EVERY doc has weight 0; an all-zero doc's cosine
+        // is NaN with engine-specific compare semantics — out of scope
+        // for the losslessness property, so skip those corpora
+        if (!df.values.exists(_ == n)) {
+          tested += 1
+          val w = tf.map { case (id, m) =>
+            id -> m.map { case (tok, f) =>
+              tok -> math.round(f * math.log(n.toDouble / df(tok)) * 1e4)
+            }
+          }
+          val n2 = w.view.mapValues(
+            _.values.map(x => BigInt(x) * BigInt(x)).sum).toMap
+          val expected = (for {
+            a <- 0L until n; b <- (a + 1) until n
+            dot = w(a).keySet.intersect(w(b).keySet).toSeq
+              .map(t => BigInt(w(a)(t)) * BigInt(w(b)(t))).sum
+            cos = dot.toDouble /
+              (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble))
+            if cos >= 0.5
+          } yield (a, b) -> round6(cos)).toMap
+          val got = Text.tfidfCosinePairs(
+            texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+              .toDF("doc_id", "text"),
+            "doc_id", "text", maxDfFrac = 1.0, threshold = 0.5)
+            .as[(Long, Long, Double)].collect()
+            .map(r => (r._1, r._2) -> r._3).toMap
+          assert(got === expected, s"seed ${100 + i}")
+        }
+      }
+    }
+    assert(tested >= 6, s"too many corpora skipped: $tested of 12")
+  }
+
   test("weightedSample matches the A-ES formula computed on the driver") {
     val rows = (1L to 200L).map(i => (i, s"s${i % 3}", 50L + i * 7 % 400))
     val df = rows.toDF("doc_id", "stratum", "w")
