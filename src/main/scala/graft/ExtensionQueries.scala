@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.graph.Graph
 import graft.multimodal.Multimodal
-import graft.ops.{analytics, asof, baskets, expectations, rangejoin, timeseries}
+import graft.ops.{analytics, asof, baskets, expectations, rangejoin, sweepline, timeseries}
 import graft.similarity.{LabelEval, Similarity}
 import graft.sources.{Layout, StagedSources}
 import graft.streaming.Streams
@@ -236,6 +236,41 @@ object ExtensionQueries {
         binSeconds = 5L * 24 * 3600, extraKeys = Seq("shard"))
         .select("l_orderkey", "l_linenumber", "o_orderkey")
     }),
+
+    // ---- interval × interval overlap join ---------------------------------
+    // two-sided binned equi rewrite: pairs of 30-day order windows (same
+    // customer shard) that overlap in time. The start-bin ownership
+    // predicate dedups multi-bin pairs without a second shuffle. Unlike
+    // the point-interval join above, candidates are minimized at bin ≈
+    // interval length (each side lands on ≤ 2 bins): 30d bins measured
+    // 1.34 s warm vs 1.75 s at 10d bins (sf0.1); correctness is
+    // bin-independent (RangeJoinSpec sweeps 1h/1d/30d widths).
+    "q_interval_overlap" -> ((s, d) => {
+      def side(par: Int, tag: String) =
+        t(s, d, "orders").filter(col("o_orderkey") % 2 === par)
+          .select(col("o_orderkey").as(s"${tag}_key"),
+            col("o_orderdate").as(s"${tag}_start"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+              .as(s"${tag}_end"),
+            (col("o_custkey") % 200).as("shard"))
+      rangejoin.intervalOverlapJoin(
+        side(0, "a"), "a_start", "a_end",
+        side(1, "b"), "b_start", "b_end",
+        binSeconds = 30L * 24 * 3600, extraKeys = Seq("shard"))
+        .select("a_key", "b_key")
+    }),
+
+    // ---- sweep-line peak concurrency --------------------------------------
+    // max simultaneously-open 30-day order windows per priority, via the
+    // distributed prefix sum in ops.sweepline — no single-partition
+    // window anywhere, the only global object is the (key, month-bucket)
+    // offset table
+    "q_concurrency_peak" -> ((s, d) =>
+      sweepline.peakConcurrency(
+        t(s, d, "orders").select(col("o_orderpriority").as("pri"),
+          col("o_orderdate").as("o_start"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("o_end")),
+        "pri", "o_start", "o_end", bucketSeconds = 32L * 24 * 3600)),
 
     // ---- sliding-window aggregation (§2.9 extension) ----------------------
     "q_sliding_window" -> ((s, d) =>
@@ -1710,6 +1745,33 @@ object ExtensionQueries {
            ON l_partkey % 200 = o_orderkey % 200
               AND o_orderdate <= l_shipdate
               AND l_shipdate < o_orderdate + INTERVAL 30 DAY""",
+
+    "q_interval_overlap" ->
+      """SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key
+         FROM orders a JOIN orders b
+           ON a.o_custkey % 200 = b.o_custkey % 200
+              AND a.o_orderdate < b.o_orderdate + INTERVAL 30 DAY
+              AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+         WHERE a.o_orderkey % 2 = 0 AND b.o_orderkey % 2 = 1""",
+
+    "q_concurrency_peak" ->
+      """WITH b AS (
+           SELECT o_orderpriority AS pri, o_orderdate AS ts, 1 AS d
+           FROM orders
+           UNION ALL
+           SELECT o_orderpriority, o_orderdate + INTERVAL 30 DAY, -1
+           FROM orders),
+         n AS (SELECT pri, ts, SUM(d) AS delta FROM b GROUP BY pri, ts),
+         r AS (SELECT pri, ts,
+                 SUM(delta) OVER (PARTITION BY pri ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running
+               FROM n),
+         m AS (SELECT pri, MAX(running) AS peak FROM r GROUP BY pri)
+         SELECT r.pri, CAST(m.peak AS BIGINT) AS peak,
+                MIN(r.ts) AS peak_ts
+         FROM r JOIN m ON r.pri = m.pri AND r.running = m.peak
+         GROUP BY r.pri, m.peak""",
 
     "q_sliding_window" ->
       """SELECT window_start, event_type, COUNT(*) AS cnt,

@@ -53,4 +53,42 @@ object rangejoin {
       .filter(col(startTs) <= col(pointTs) && col(pointTs) < col(endTs))
       .drop("__bin")
   }
+
+  /** Interval × interval overlap join (`aStart < bEnd && bStart < aEnd`,
+    * half-open intervals) as an EQUI join on time bins — the two-sided
+    * generalization of [[binnedRangeJoin]].
+    *
+    * Both sides explode onto every bin they cover and hash-join on the
+    * bin id. A pair overlapping k shared bins would surface k times, so
+    * instead of a distinct (a second shuffle over the full candidate
+    * set) each pair is kept only in the bin that OWNS it: the bin
+    * containing the overlap's start, `floor(max(aStart, bStart) / w)`.
+    * That bin is covered by both intervals whenever they truly overlap,
+    * so exactly one joined row survives per matching pair — dedup costs
+    * one scan-local predicate, not an exchange.
+    *
+    * Column names must be disjoint across the two inputs (same contract
+    * as a plain join).
+    */
+  def intervalOverlapJoin(a: DataFrame, aStart: String, aEnd: String,
+                          b: DataFrame, bStart: String, bEnd: String,
+                          binSeconds: Long,
+                          extraKeys: Seq[String] = Nil): DataFrame = {
+    def binned(df: DataFrame, s: String, e: String, tag: String): DataFrame =
+      df.filter(col(e) > col(s)) // see the inverted-interval guard above
+        .withColumn(s"__${tag}s",
+          (col(s).cast("timestamp").cast("long") / binSeconds).cast("long"))
+        .withColumn(s"__${tag}e",
+          ((col(e).cast("timestamp").cast("long") - 1) / binSeconds)
+            .cast("long"))
+        .withColumn("__bin",
+          explode(sequence(col(s"__${tag}s"), col(s"__${tag}e"))))
+        .drop(s"__${tag}e")
+    val ab = binned(a, aStart, aEnd, "a")
+    val bb = binned(b, bStart, bEnd, "b")
+    ab.join(bb, "__bin" +: extraKeys)
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+        col("__bin") === greatest(col("__as"), col("__bs")))
+      .drop("__bin", "__as", "__bs")
+  }
 }

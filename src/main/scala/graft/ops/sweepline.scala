@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Staging._
+
+/** Sweep-line concurrency: how many intervals are open at once, per key
+  * — peak concurrent sessions, open orders, in-flight requests.
+  *
+  * The classic formulation turns every interval into two boundary
+  * events (+1 at start, −1 at end), sorts them, and takes a running
+  * sum. A naive Spark translation puts the running sum in a window
+  * partitioned only by the key — so one task must sort and scan a
+  * key's ENTIRE boundary stream, which for a low-cardinality key
+  * (or a global profile) is a single-partition bottleneck that dies
+  * long before 100 TB.
+  *
+  * This implementation distributes the prefix sum instead, with a
+  * DATA-INDEPENDENT time bucket as the inner partition:
+  *
+  *   1. boundaries are combined per (key, ts) — net delta, one shuffle;
+  *   2. per (key, bucket) partial sums are aggregated — the bucket is a
+  *      fixed time slice (e.g. a month), so this table is tiny:
+  *      |keys| × |slices in the data's span|;
+  *   3. each bucket's EXCLUSIVE prefix (sum of all earlier buckets) is
+  *      computed by a window over that tiny table and broadcast-joined
+  *      back;
+  *   4. the running count at a boundary = bucket offset + a running sum
+  *      windowed WITHIN (key, bucket) — every window partition is
+  *      bounded by one time slice of one key, regardless of how many
+  *      rows a key has in total.
+  *
+  * Net: the full boundary stream is never sorted in one task; the only
+  * global object is the (key, bucket) offset table.
+  */
+object sweepline {
+
+  /** Per-boundary running concurrency for half-open intervals
+    * `[startCol, endCol)`. Output: key, ts, running (number open at
+    * and after `ts`, until the next boundary).
+    *
+    * @param bucketSeconds width of the inner prefix-sum slice; any
+    *        value works (correctness is bucket-independent), size it so
+    *        one key's boundaries within a slice fit a task comfortably.
+    */
+  def concurrency(intervals: DataFrame, keyCol: String,
+                  startCol: String, endCol: String,
+                  bucketSeconds: Long): DataFrame = {
+    val k = col(keyCol)
+    val opens = intervals.select(k,
+      col(startCol).cast("timestamp").as("ts"), lit(1L).as("d"))
+    val closes = intervals.select(k,
+      col(endCol).cast("timestamp").as("ts"), lit(-1L).as("d"))
+    // net delta per boundary instant: an end meeting a start at the
+    // same ts cancels first, matching half-open semantics exactly.
+    // Staged: the frame feeds BOTH the bucket-sum aggregate and the
+    // final join — without the cut each consumer would re-run the
+    // union + aggregate from the scans (two extra full passes at scale;
+    // the r7 plan audit showed 4 parquet scans for 2 inputs)
+    val deltas = opens.unionAll(closes)
+      .groupBy(k, col("ts"))
+      .agg(sum(col("d")).as("delta"))
+      .withColumn("__bucket",
+        (col("ts").cast("long") / bucketSeconds).cast("long"))
+      .stage()
+    val bucketSums = deltas.groupBy(k, col("__bucket"))
+      .agg(sum(col("delta")).as("__bsum"))
+    val offsetWin = Window.partitionBy(k).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketSums
+      .withColumn("__offset",
+        coalesce(sum(col("__bsum")).over(offsetWin), lit(0L)))
+      .drop("__bsum")
+    val innerWin = Window.partitionBy(k, col("__bucket")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.join(broadcast(offsets), Seq(keyCol, "__bucket"))
+      .withColumn("running",
+        col("__offset") + sum(col("delta")).over(innerWin))
+      .select(k, col("ts"), col("running"))
+  }
+
+  /** Peak concurrency per key: the maximum number of simultaneously
+    * open intervals and the EARLIEST boundary instant that reaches it
+    * (deterministic tie-break — max on (running, −epoch) picks the
+    * first time the peak is hit).
+    */
+  def peakConcurrency(intervals: DataFrame, keyCol: String,
+                      startCol: String, endCol: String,
+                      bucketSeconds: Long): DataFrame = {
+    concurrency(intervals, keyCol, startCol, endCol, bucketSeconds)
+      .groupBy(col(keyCol))
+      .agg(max(struct(col("running"),
+        (-col("ts").cast("long")).as("__negts"), col("ts"))).as("m"))
+      .select(col(keyCol), col("m.running").as("peak"),
+        col("m.ts").as("peak_ts"))
+  }
+}

@@ -67,4 +67,60 @@ class RangeJoinSpec extends SparkSpec {
       .select("iid").as[Long].collect().toSeq
     assert(got === Seq(1L))
   }
+
+  private def ivs(n: Int, seed: Long, tag: String) = {
+    val rows = (1 to n).map { i =>
+      val start = 1700000000L + (i * seed) % (40L * 86400)
+      val len = 1800L + (i * 31L * seed) % (9L * 86400)
+      (i.toLong, start, start + len)
+    }
+    rows.toDF(s"${tag}id", s"${tag}s0", s"${tag}e0")
+      .select(col(s"${tag}id"),
+        col(s"${tag}s0").cast("timestamp").as(s"${tag}s"),
+        col(s"${tag}e0").cast("timestamp").as(s"${tag}e"))
+  }
+
+  test("intervalOverlapJoin ≡ naive, exactly once per pair, any bin width") {
+    val a = ivs(300, 7919L, "a")
+    val b = ivs(240, 104729L, "b")
+    val naive = a.join(b,
+      col("as") < col("be") && col("bs") < col("ae"))
+      .select("aid", "bid").as[(Long, Long)].collect().sorted
+    assert(naive.nonEmpty)
+    // widths well below / near / far above max interval length — the
+    // ownership predicate must dedup multi-bin pairs in every regime
+    for (bin <- Seq(3600L, 86400L, 30L * 86400)) {
+      val got = rangejoin.intervalOverlapJoin(a, "as", "ae", b, "bs", "be",
+        binSeconds = bin).select("aid", "bid")
+        .as[(Long, Long)].collect()
+      assert(got.length === got.distinct.length, s"dup pairs at bin=$bin")
+      assert(got.sorted === naive, s"bin=$bin")
+    }
+  }
+
+  test("intervalOverlapJoin plans as an equi join, not a nested loop") {
+    val a = ivs(50, 7919L, "a")
+    val b = ivs(50, 104729L, "b")
+    val plan = rangejoin.intervalOverlapJoin(a, "as", "ae", b, "bs", "be",
+      binSeconds = 86400L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("intervalOverlapJoin drops inverted/empty intervals on both sides") {
+    val bad = Seq((1L, 1700000000L, 1700003000L), // sane
+      (2L, 1700000000L, 1700000000L), // empty
+      (3L, 1700000000L, 0L)) // inverted
+      .toDF("aid", "s0", "e0")
+      .select(col("aid"), col("s0").cast("timestamp").as("as"),
+        col("e0").cast("timestamp").as("ae"))
+    val other = Seq((9L, 1700000000L, 1700010000L))
+      .toDF("bid", "t0", "u0")
+      .select(col("bid"), col("t0").cast("timestamp").as("bs"),
+        col("u0").cast("timestamp").as("be"))
+    val got = rangejoin.intervalOverlapJoin(bad, "as", "ae",
+      other, "bs", "be", binSeconds = 600L)
+      .select("aid").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
 }
