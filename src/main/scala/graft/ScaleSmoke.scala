@@ -787,6 +787,51 @@ object ScaleSmoke {
       cands
     }
 
+    timed("sweepline 1-key concurrency") {
+      // the adversary for a naive running-sum window: EVERY interval
+      // under one key, so Window.partitionBy(key) would sort the whole
+      // 2·n boundary stream in a single task. The bucketed prefix sum
+      // must hold its inner partitions to one day of one key. Cross-
+      // check at full scale: the sweep's running count at the last
+      // boundary <= a probe instant must equal a brute scan-and-count
+      // of intervals open at that instant.
+      val n = rows / 5
+      val span = 90L * 86400
+      val iv = spark.range(n).select(lit("g").as("key"),
+        (lit(1700000000L) + (col("id") * 7919L) % span)
+          .cast("timestamp").as("s"),
+        (lit(1700000000L) + (col("id") * 7919L) % span + 3600L +
+          (col("id") * 104729L) % 82800L).cast("timestamp").as("e"))
+      val probe = 1700000000L + 40L * 86400
+      val run = graft.ops.sweepline.concurrency(iv, "key", "s", "e",
+          bucketSeconds = 86400L)
+        .filter(col("ts").cast("long") <= probe)
+        .agg(max(struct(col("ts"), col("running"))).as("m"))
+        .select(col("m.running")).as[Long].head()
+      val brute = iv.filter(col("s").cast("long") <= probe &&
+        col("e").cast("long") > probe).count()
+      require(run == brute, s"sweep says $run open at probe, brute $brute")
+      run
+    }
+
+    timed("interval overlap planted") {
+      // n interval pairs on a shared timeline: a_i = [100i, 100i+50),
+      // b_i = [100i+25, 100i+75) — each b overlaps exactly its own a,
+      // so the binned join with ownership dedup must return exactly n
+      // rows, never a multi-bin duplicate
+      val n = rows / 10
+      val a = spark.range(n).select(col("id").as("a_id"),
+        (lit(1700000000L) + col("id") * 100L).cast("timestamp").as("as"),
+        (lit(1700000050L) + col("id") * 100L).cast("timestamp").as("ae"))
+      val b = spark.range(n).select(col("id").as("b_id"),
+        (lit(1700000025L) + col("id") * 100L).cast("timestamp").as("bs"),
+        (lit(1700000075L) + col("id") * 100L).cast("timestamp").as("be"))
+      val got = graft.ops.rangejoin.intervalOverlapJoin(
+        a, "as", "ae", b, "bs", "be", binSeconds = 64L).count()
+      require(got == n, s"expected $n planted overlaps, got $got")
+      got
+    }
+
     spark.stop()
   }
 }
