@@ -1151,6 +1151,16 @@ object ExtensionQueries {
         statePartitions = 8)
     }),
 
+    // LEFT OUTER stream-stream interval join: every click emits, matched
+    // or null-padded — outer state flushed by a far-future punctuation
+    // sentinel (see Streams.intervalJoinStreamsOuter)
+    "q_stream_join_outer" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_sjo").toString
+      Streams.intervalJoinStreamsOuter(s, d, ckpt, "click", "purchase", 6,
+        statePartitions = 8)
+    }),
+
     // ---- sequence packing (concat-then-chunk into context windows) --------
     "q_pack_sequences" -> ((s, d) =>
       Packing.packManifest(
@@ -4800,6 +4810,17 @@ object ExtensionQueries {
            ON c.user_id = p.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR""",
+
+    "q_stream_join_outer" ->
+      """SELECT c.event_id AS left_id, p.event_id AS right_id,
+                c.user_id,
+                epoch_us(c.ts) AS left_us, epoch_us(p.ts) AS right_us,
+                p.value
+         FROM events c LEFT JOIN events p
+           ON c.user_id = p.user_id
+          AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+         WHERE c.event_type = 'click'""",
 
     "q_pack_sequences" ->
       """WITH toks AS (

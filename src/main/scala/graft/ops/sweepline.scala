@@ -75,7 +75,13 @@ object sweepline {
       .drop("__bsum")
     val innerWin = Window.partitionBy(k, col("__bucket")).orderBy(col("ts"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas.join(broadcast(offsets), Seq(keyCol, "__bucket"))
+    // no broadcast hint: at high key cardinality the offset table is
+    // |keys|·|buckets| rows — forcing a broadcast would collect it to
+    // the driver. AQE still broadcasts when it measures small; when it
+    // doesn't, the shuffle join lands on (key, bucket) — exactly the
+    // partitioning the running-sum window needs, so the exchange is
+    // shared, not added
+    deltas.join(offsets, Seq(keyCol, "__bucket"))
       .withColumn("running",
         col("__offset") + sum(col("delta")).over(innerWin))
       .select(k, col("ts"), col("running"))

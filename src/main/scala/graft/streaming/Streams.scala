@@ -209,7 +209,8 @@ object Streams {
                           checkpoint: String, leftType: String,
                           rightType: String, windowHours: Int,
                           glob: String = "events.parquet",
-                          statePartitions: Int = 0): DataFrame = {
+                          statePartitions: Int = 0,
+                          joinType: String = "inner"): DataFrame = {
     // A stream-stream join keeps FOUR state stores per shuffle partition
     // (two per side), each checkpointing delta files every batch — the
     // per-batch floor is dominated by state-store count, not data. Size
@@ -220,26 +221,47 @@ object Streams {
     val sess = statefulSession(spark, statePartitions)
     val schema = sess.read.option("pathGlobFilter", glob)
       .parquet(dir).schema
-    def side(tpe: String) = normalizeTs(sess.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", glob)
-      .parquet(dir))
-      .filter(col("event_type") === tpe)
-    val left = side(leftType)
+    // each type filter also passes its side's punctuation rows: the
+    // optimizer pushes the filter BELOW the EventTimeWatermark operator
+    // into the scan (verified via the checkpoint's batchWatermarkMs —
+    // a filtered-out sentinel never advances the watermark), so closure
+    // punctuation must survive the filter. Sentinel types are PER SIDE
+    // (`__sentinel_l` / `__sentinel_r`, 30 days apart) so a left
+    // sentinel can never satisfy the 6h/`windowHours` time constraint
+    // against a right one — a shared type would self-match (same row
+    // read by both sides, identical ts trivially inside the window).
+    def side(tpe: String, sentinelType: String) = normalizeTs(
+      sess.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", glob)
+        .parquet(dir))
+      .withWatermark("ts", "1 day")
+      .filter(col("event_type") === tpe ||
+        col("event_type") === sentinelType)
+    val left = side(leftType, "__sentinel_l")
       .select(col("event_id").as("left_id"), col("user_id"),
-        col("ts").as("left_ts"))
-      .withWatermark("left_ts", "1 day")
-    val right = side(rightType)
+        col("ts").as("left_ts"), col("event_type").as("l_type"))
+    val right = side(rightType, "__sentinel_r")
       .select(col("event_id").as("right_id"),
         col("user_id").as("r_user_id"), col("ts").as("right_ts"),
         col("value"))
-      .withWatermark("right_ts", "1 day")
 
     val joined = left.join(right,
       expr(s"""user_id = r_user_id AND
                right_ts >= left_ts AND
-               right_ts <= left_ts + interval $windowHours hours"""))
+               right_ts <= left_ts + interval $windowHours hours"""),
+      joinType)
+      // drop the left-side sentinel copies (always unmatched — the
+      // 30-day l/r sentinel gap keeps them outside every window). The
+      // predicate must mention BOTH sides: a left-only
+      // `l_type != '__sentinel_l'` is pushed through the outer join
+      // BELOW the left watermark node (filters push through
+      // EventTimeWatermark), which blinds that operator to the
+      // punctuation and pins the min-policy global watermark forever —
+      // found via the executed micro-batch plan
+      .filter(!(col("l_type") === "__sentinel_l" &&
+        col("right_id").isNull))
       .select(col("left_id"), col("right_id"), col("user_id"),
         expr("unix_micros(left_ts)").as("left_us"),
         expr("unix_micros(right_ts)").as("right_us"), col("value"))
@@ -254,6 +276,72 @@ object Streams {
       .start()
     q.awaitTermination()
     sess.table(sinkName)
+  }
+
+  /** LEFT OUTER stream-stream interval join over a finite input: every
+    * `leftType` event emits, matched rows with their `rightType` payload
+    * and unmatched rows null-padded. An outer stream join only releases
+    * an unmatched row once the watermark proves no future match can
+    * arrive — so on a finite file the rows inside the last
+    * (delay + window) would stay buffered forever. The standard closure
+    * idiom is a PUNCTUATION event: the input is staged with sentinel
+    * rows of a third event type, years past the data's max ts, which
+    * advance both sides' watermarks (they sit upstream of the type
+    * filter) beyond every open window. TWO sentinel files are needed,
+    * not one: a batch's eviction runs against the watermark committed
+    * by the PREVIOUS batch, and `AvailableNow` stops at the last
+    * prepared offset without running a trailing no-data batch — so
+    * sentinel #1 raises the watermark past every window and sentinel
+    * #2's batch performs the flush (verified against the checkpoint
+    * offset log: one sentinel leaves the tail's unmatched rows in
+    * state). The sentinels never reach the join itself. Result ≡ the
+    * batch LEFT JOIN, exactly.
+    */
+  def intervalJoinStreamsOuter(spark: SparkSession, dir: String,
+                               checkpoint: String, leftType: String,
+                               rightType: String, windowHours: Int,
+                               statePartitions: Int = 0): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staged = Files.createTempDirectory("graft_sj_outer")
+    val evDst = staged.resolve("0_events.parquet")
+    Files.copy(Paths.get(dir, "events.parquet"), evDst,
+      StandardCopyOption.REPLACE_EXISTING)
+    // sentinel built FROM the copied file so its physical ts type
+    // matches whichever generation the testdata ships (long nanos vs
+    // timestamp[us]) — mixed types in one directory would break the
+    // shared read schema
+    val raw = spark.read.parquet(evDst.toString)
+    val tsIsLong =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    def farTs(days: Long) =
+      if (tsIsLong) col("ts") + lit(days * 86400 * 1000000000L)
+      else col("ts") + expr(s"INTERVAL $days DAYS")
+    // the file source replays oldest-modTime-first: pin the order so
+    // the sentinels form the LAST micro-batches (a sentinel-first
+    // replay would watermark every real event into the late-drop path)
+    val now = System.currentTimeMillis()
+    evDst.toFile.setLastModified(now - 600000)
+    Seq(1 -> 3650L, 2 -> 7300L).foreach { case (i, days) =>
+      val sentinelStage = Files.createTempDirectory(s"graft_sj_sent$i")
+      val template = raw.orderBy(col("ts").desc).limit(1)
+      // one row per side in the SAME file, so a single sentinel batch
+      // advances both watermark operators (min policy); the 30-day l/r
+      // offset keeps the pair outside any plausible join window
+      template.withColumn("ts", farTs(days))
+        .withColumn("event_type", lit("__sentinel_l"))
+        .unionAll(template.withColumn("ts", farTs(days + 30))
+          .withColumn("event_type", lit("__sentinel_r")))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(sentinelStage.toString)
+      val part = new java.io.File(sentinelStage.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val sentDst = staged.resolve(s"${i}_sentinel.parquet")
+      Files.move(part.toPath, sentDst)
+      sentDst.toFile.setLastModified(now + i * 600000L)
+    }
+    intervalJoinStreams(spark, staged.toString, checkpoint, leftType,
+      rightType, windowHours, glob = "*.parquet",
+      statePartitions = statePartitions, joinType = "leftOuter")
   }
 
   /** CDC stream → latest-wins lake table: every micro-batch is merged
