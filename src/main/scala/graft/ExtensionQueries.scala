@@ -1158,7 +1158,7 @@ object ExtensionQueries {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ckpt_sjo").toString
       Streams.intervalJoinStreamsOuter(s, d, ckpt, "click", "purchase", 6,
-        statePartitions = 8)
+        statePartitions = 4)
     }),
 
     // ---- sequence packing (concat-then-chunk into context windows) --------
