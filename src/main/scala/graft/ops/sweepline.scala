@@ -97,8 +97,11 @@ object sweepline {
                       bucketSeconds: Long): DataFrame = {
     concurrency(intervals, keyCol, startCol, endCol, bucketSeconds)
       .groupBy(col(keyCol))
+      // negate MICROS, not a seconds cast: a seconds tie-break would
+      // pick the later of two same-second boundaries instead of the
+      // earliest instant at the peak
       .agg(max(struct(col("running"),
-        (-col("ts").cast("long")).as("__negts"), col("ts"))).as("m"))
+        (-expr("unix_micros(ts)")).as("__negts"), col("ts"))).as("m"))
       .select(col(keyCol), col("m.running").as("peak"),
         col("m.ts").as("peak_ts"))
   }

@@ -81,6 +81,26 @@ class SweeplineSpec extends SparkSpec {
     assert(peak._3.getTime === 100000L * 1000) // earliest instant at peak
   }
 
+  test("peak tie within one second resolves to the earliest microsecond") {
+    // two disjoint intervals, both reaching the peak (1), starting
+    // 200µs and 700µs into the same second — a seconds-granular
+    // tie-break would report the later start
+    def us(micros: Long) = {
+      val t = new Timestamp(micros / 1000)
+      t.setNanos((micros % 1000000).toInt * 1000)
+      t
+    }
+    val base = 100000L * 1000000
+    val df = Seq(
+      ("k", us(base + 200), us(base + 400)),
+      ("k", us(base + 700), us(base + 900)))
+      .toDF("key", "s", "e")
+    val peak = sweepline.peakConcurrency(df, "key", "s", "e", 60L)
+      .as[(String, Long, Timestamp)].collect().head
+    assert(peak._2 === 1L)
+    assert(peak._3 === us(base + 200))
+  }
+
   test("no single-partition window: inner sort is keyed by (key, bucket)") {
     val df = intervals(50)
     val plan = sweepline.concurrency(df, "key", "s", "e", 86400L)
