@@ -301,6 +301,9 @@ object Streams {
                                checkpoint: String, leftType: String,
                                rightType: String, windowHours: Int,
                                statePartitions: Int = 0): DataFrame = {
+    require(windowHours < 30 * 24,
+      s"windowHours=$windowHours must stay under the 30-day l/r " +
+        "sentinel offset or the punctuation rows could join each other")
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val staged = Files.createTempDirectory("graft_sj_outer")
     val evDst = staged.resolve("0_events.parquet")
