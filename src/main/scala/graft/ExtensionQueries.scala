@@ -1161,6 +1161,15 @@ object ExtensionQueries {
         statePartitions = 4)
     }),
 
+    // FULL OUTER stream-stream interval join: unmatched purchases also
+    // emit, null-padded on the click side
+    "q_stream_join_full" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_sjf").toString
+      Streams.intervalJoinStreamsOuter(s, d, ckpt, "click", "purchase", 6,
+        statePartitions = 4, joinType = "fullOuter")
+    }),
+
     // ---- sequence packing (concat-then-chunk into context windows) --------
     "q_pack_sequences" -> ((s, d) =>
       Packing.packManifest(
@@ -4821,6 +4830,19 @@ object ExtensionQueries {
           AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
          WHERE c.event_type = 'click'""",
+
+    "q_stream_join_full" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+            p AS (SELECT event_id, user_id, ts, value FROM events
+                    WHERE event_type = 'purchase')
+         SELECT c.event_id AS left_id, p.event_id AS right_id,
+                c.user_id AS user_id,
+                epoch_us(c.ts) AS left_us, epoch_us(p.ts) AS right_us,
+                p.value
+         FROM c FULL JOIN p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR""",
 
     "q_pack_sequences" ->
       """WITH toks AS (

@@ -245,23 +245,28 @@ object Streams {
     val right = side(rightType, "__sentinel_r")
       .select(col("event_id").as("right_id"),
         col("user_id").as("r_user_id"), col("ts").as("right_ts"),
-        col("value"))
+        col("value"), col("event_type").as("r_type"))
 
     val joined = left.join(right,
       expr(s"""user_id = r_user_id AND
                right_ts >= left_ts AND
                right_ts <= left_ts + interval $windowHours hours"""),
       joinType)
-      // drop the left-side sentinel copies (always unmatched — the
-      // 30-day l/r sentinel gap keeps them outside every window). The
-      // predicate must mention BOTH sides: a left-only
-      // `l_type != '__sentinel_l'` is pushed through the outer join
-      // BELOW the left watermark node (filters push through
-      // EventTimeWatermark), which blinds that operator to the
+      // drop the sentinel copies (always unmatched — the 30-day l/r
+      // sentinel gap keeps them outside every window): left-side
+      // sentinels surface under leftOuter/fullOuter, right-side under
+      // fullOuter. Each predicate must mention BOTH sides: a
+      // single-side `l_type != '__sentinel_l'` is pushed through the
+      // outer join BELOW that side's watermark node (filters push
+      // through EventTimeWatermark), which blinds the operator to the
       // punctuation and pins the min-policy global watermark forever —
-      // found via the executed micro-batch plan
+      // found via the executed micro-batch plan. The null checks also
+      // make both predicates null-tolerant, so real unmatched rows
+      // (null-padded on the other side) pass.
       .filter(!(col("l_type") === "__sentinel_l" &&
         col("right_id").isNull))
+      .filter(!(col("r_type") === "__sentinel_r" &&
+        col("left_id").isNull))
       .select(col("left_id"), col("right_id"), col("user_id"),
         expr("unix_micros(left_ts)").as("left_us"),
         expr("unix_micros(right_ts)").as("right_us"), col("value"))
@@ -278,9 +283,11 @@ object Streams {
     sess.table(sinkName)
   }
 
-  /** LEFT OUTER stream-stream interval join over a finite input: every
-    * `leftType` event emits, matched rows with their `rightType` payload
-    * and unmatched rows null-padded. An outer stream join only releases
+  /** OUTER stream-stream interval join over a finite input (leftOuter
+    * default; fullOuter also supported): every `leftType` event emits,
+    * matched rows with their `rightType` payload and unmatched rows
+    * null-padded — under fullOuter, unmatched `rightType` events emit
+    * null-padded too. An outer stream join only releases
     * an unmatched row once the watermark proves no future match can
     * arrive — so on a finite file the rows inside the last
     * (delay + window) would stay buffered forever. The standard closure
@@ -300,7 +307,9 @@ object Streams {
   def intervalJoinStreamsOuter(spark: SparkSession, dir: String,
                                checkpoint: String, leftType: String,
                                rightType: String, windowHours: Int,
-                               statePartitions: Int = 0): DataFrame = {
+                               statePartitions: Int = 0,
+                               joinType: String = "leftOuter")
+  : DataFrame = {
     require(windowHours < 30 * 24,
       s"windowHours=$windowHours must stay under the 30-day l/r " +
         "sentinel offset or the punctuation rows could join each other")
@@ -344,7 +353,7 @@ object Streams {
     }
     intervalJoinStreams(spark, staged.toString, checkpoint, leftType,
       rightType, windowHours, glob = "*.parquet",
-      statePartitions = statePartitions, joinType = "leftOuter")
+      statePartitions = statePartitions, joinType = joinType)
   }
 
   /** CDC stream → latest-wins lake table: every micro-batch is merged

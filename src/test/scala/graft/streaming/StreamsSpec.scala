@@ -268,6 +268,36 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.length > streamed.count(!_.isNullAt(1)))
   }
 
+  test("full-outer stream-stream join equals the batch full join") {
+    val dir = "/root/testdata/sf0.001"
+    val ckpt = Files.createTempDirectory("graft_ckpt_sjf_spec").toString
+    val streamed = Streams
+      .intervalJoinStreamsOuter(spark, dir, ckpt, "click", "purchase", 6,
+        joinType = "fullOuter")
+      .collect()
+    val ev = graft.Tables.events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("left_id"), col("user_id"),
+        col("ts").as("left_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("right_id"),
+        col("user_id").as("r_user_id"), col("ts").as("right_ts"),
+        col("value"))
+    val batch = c.join(p, col("user_id") === col("r_user_id") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") <= col("left_ts") + expr("interval 6 hours"),
+        "fullOuter")
+      .select(col("left_id"), col("right_id"), col("user_id"),
+        expr("unix_micros(left_ts)").as("left_us"),
+        expr("unix_micros(right_ts)").as("right_us"), col("value"))
+      .collect()
+    assert(streamed.toSet === batch.toSet)
+    // both null-padded populations are present: clicks without a
+    // purchase AND purchases without a click
+    assert(streamed.count(_.isNullAt(1)) > 0)
+    assert(streamed.count(_.isNullAt(0)) > 0)
+  }
+
   test("stream-stream join across 3 micro-batches buffers state correctly") {
     // time-ordered slices: a click in batch i can only match a purchase
     // in batch i or i+1, so the join's left-side state must survive the
