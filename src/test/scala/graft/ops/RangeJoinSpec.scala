@@ -98,6 +98,41 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("property: random interval sets ≡ naive overlap join") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genSide: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(1700000000L, 1700000000L + 20L * 86400)
+        len <- Gen.choose(1L, 3L * 86400)
+      } yield (s, s + len))
+    } yield rows.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+    val genBin = Gen.oneOf(600L, 3600L, 86400L, 10L * 86400)
+    (0 until 12).foreach { seed =>
+      val sample = (for {
+        as <- genSide; bs <- genSide; bin <- genBin
+      } yield (as, bs, bin))
+        .apply(Gen.Parameters.default, Seed(seed.toLong))
+      sample.foreach { case (as, bs, bin) =>
+        def mk(rows: List[(Long, Long, Long)], tag: String) =
+          rows.toDF(s"${tag}id", s"${tag}s0", s"${tag}e0")
+            .select(col(s"${tag}id"),
+              col(s"${tag}s0").cast("timestamp").as(s"${tag}s"),
+              col(s"${tag}e0").cast("timestamp").as(s"${tag}e"))
+        val naive = (for {
+          (ai, s1, e1) <- as; (bi, s2, e2) <- bs
+          if s1 < e2 && s2 < e1
+        } yield (ai, bi)).sorted
+        val got = rangejoin.intervalOverlapJoin(
+          mk(as, "a"), "as", "ae", mk(bs, "b"), "bs", "be", bin)
+          .select("aid", "bid").as[(Long, Long)].collect()
+        assert(got.length === got.distinct.length, s"dups seed=$seed")
+        assert(got.sorted.toList === naive, s"seed=$seed bin=$bin")
+      }
+    }
+  }
+
   test("intervalOverlapJoin plans as an equi join, not a nested loop") {
     val a = ivs(50, 7919L, "a")
     val b = ivs(50, 104729L, "b")

@@ -101,6 +101,39 @@ class SweeplineSpec extends SparkSpec {
     assert(peak._3 === us(base + 200))
   }
 
+  test("property: random interval sets ≡ driver sweep, random buckets") {
+    // plain-scalacheck sampling loop, same idiom as WindowsSpec (the
+    // scalatestplus bridge isn't on the offline classpath)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genIntervals: Gen[List[(String, Long, Long)]] = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        s <- Gen.choose(1700000000L, 1700000000L + 30L * 86400)
+        len <- Gen.choose(1L, 5L * 86400)
+      } yield (k, s, s + len))
+    } yield rows
+    val genBucket = Gen.oneOf(3600L, 86400L, 7L * 86400, 365L * 86400)
+    (0 until 12).foreach { i =>
+      val sample = (for {
+        ivsList <- genIntervals
+        bucket <- genBucket
+      } yield (ivsList, bucket))
+        .apply(Gen.Parameters.default, Seed(i.toLong))
+      sample.foreach { case (rows, bucket) =>
+        val df = rows.map { case (k, s, e) =>
+          (k, new Timestamp(s * 1000), new Timestamp(e * 1000))
+        }.toDF("key", "s", "e")
+        val got = sweepline.peakConcurrency(df, "key", "s", "e", bucket)
+          .collect()
+          .map(r => r.getString(0) ->
+            (r.getLong(1), r.getTimestamp(2).getTime / 1000)).toMap
+        assert(got === naivePeaks(rows), s"seed=$i bucket=$bucket")
+      }
+    }
+  }
+
   test("no single-partition window: inner sort is keyed by (key, bucket)") {
     val df = intervals(50)
     val plan = sweepline.concurrency(df, "key", "s", "e", 86400L)
