@@ -565,6 +565,46 @@ object ExtensionQueries {
         .limit(50)
     }),
 
+    // ---- HITS hubs & authorities over the DIRECTED trade graph ------------
+    // customers point at suppliers, so hub mass concentrates on
+    // customers and authority mass on suppliers — the bipartite
+    // centrality PageRank's symmetric formulation can't separate.
+    // Integer fixed-point with per-round L1 normalization; the twin
+    // unrolls the same 2 iterations in HUGEINT arithmetic
+    "q_hits" -> ((s, d) =>
+      Graph.hits(sharedTradeEdges(s, d), "a", "b", iterations = 2)
+        .orderBy(col("auth_micro").desc, col("node"))
+        .limit(20)),
+
+    // ---- neighborhood Jaccard (normalized common-neighbors) ---------------
+    // the scale-free sibling of Adamic–Adar over the same
+    // support-filtered co-occurrence graph: how much of two parts'
+    // combined neighborhoods is shared — output-bound triangle
+    // enumeration, micros snapped by floor division
+    "q_graph_jaccard" -> ((s, d) => {
+      val pairs = coOccurrencePairs(s, d)
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select("a", "b")
+      Graph.neighborhoodJaccard(pairs, "a", "b")
+        .orderBy(col("jaccard_micro").desc, col("node_a"), col("node_b"))
+        .limit(50)
+    }),
+
+    // ---- k-core peel (dense-subgraph curation filter) ---------------------
+    // 3 synchronous peel rounds at k=3 over the support-filtered
+    // co-occurrence graph: drop weakly-embedded parts round by round;
+    // the twin unrolls the identical rounds, so the cap is exact
+    "q_kcore" -> ((s, d) => {
+      val pairs = coOccurrencePairs(s, d)
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select("a", "b")
+      Graph.kCorePeel(pairs, "a", "b", k = 3, rounds = 3)
+    }),
+
     // deterministic synchronous label propagation (2 rounds) over the
     // same customer↔supplier trade graph PageRank scores — the
     // community view (which trading neighborhoods exist) next to
@@ -2331,6 +2371,119 @@ object ExtensionQueries {
                 CAST(SUM(wm) AS BIGINT) AS aa_micro
          FROM sc GROUP BY node_a, node_b
          ORDER BY aa_micro DESC, node_a, node_b LIMIT 50""",
+
+    // HITS unrolled 2 iterations: integer scores, L1-normalized to 1e12
+    // per round in HUGEINT (raw·1e12 exceeds BIGINT), floor division
+    // matching Spark's decimal div — same update order (auth from hubs,
+    // then hubs from auths) as Graph.hits
+    "q_hits" ->
+      """WITH e AS (
+           SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         h0 AS (SELECT node, 1000000000000 // n AS s FROM nodes, nn),
+         a1r AS (SELECT e.dst AS node, SUM(h0.s) AS raw
+                 FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst),
+         a1t AS (SELECT SUM(raw)::HUGEINT AS t FROM a1r),
+         a1 AS (SELECT node,
+                       (raw::HUGEINT * 1000000000000) // t AS s
+                FROM a1r, a1t),
+         h1r AS (SELECT e.src AS node, SUM(a1.s) AS raw
+                 FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+         h1t AS (SELECT SUM(raw)::HUGEINT AS t FROM h1r),
+         h1 AS (SELECT node,
+                       (raw::HUGEINT * 1000000000000) // t AS s
+                FROM h1r, h1t),
+         a2r AS (SELECT e.dst AS node, SUM(h1.s) AS raw
+                 FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+         a2t AS (SELECT SUM(raw)::HUGEINT AS t FROM a2r),
+         a2 AS (SELECT node,
+                       (raw::HUGEINT * 1000000000000) // t AS s
+                FROM a2r, a2t),
+         h2r AS (SELECT e.src AS node, SUM(a2.s) AS raw
+                 FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+         h2t AS (SELECT SUM(raw)::HUGEINT AS t FROM h2r),
+         h2 AS (SELECT node,
+                       (raw::HUGEINT * 1000000000000) // t AS s
+                FROM h2r, h2t)
+         SELECT n.node,
+                CAST(COALESCE(h2.s, 0) AS BIGINT) AS hub_micro,
+                CAST(COALESCE(a2.s, 0) AS BIGINT) AS auth_micro
+         FROM nodes n
+         LEFT JOIN h2 ON h2.node = n.node
+         LEFT JOIN a2 ON a2.node = n.node
+         ORDER BY auth_micro DESC, n.node LIMIT 20""",
+
+    // same triangle enumeration as q_adamic_adar; the per-edge common
+    // count normalizes by inclusion–exclusion union, floor-divided
+    // micros on both engines
+    "q_graph_jaccard" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+                     FROM lineitem),
+         pairs AS (SELECT x.p AS a, y.p AS b
+                   FROM li x JOIN li y ON x.k = y.k AND x.p < y.p
+                   GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
+         deg AS (SELECT v, COUNT(*) AS d
+                 FROM (SELECT a AS v FROM pairs
+                       UNION ALL SELECT b FROM pairs)
+                 GROUP BY v),
+         tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                 FROM pairs e1
+                 JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+                 JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
+         contrib AS (
+           SELECT u AS node_a, v AS node_b FROM tri
+           UNION ALL SELECT u, w FROM tri
+           UNION ALL SELECT v, w FROM tri),
+         cnt AS (SELECT node_a, node_b, COUNT(*) AS common_neighbors
+                 FROM contrib GROUP BY node_a, node_b)
+         SELECT node_a, node_b,
+                CAST(common_neighbors AS BIGINT) AS common_neighbors,
+                (common_neighbors * 1000000)
+                  // (da.d + db.d - common_neighbors) AS jaccard_micro
+         FROM cnt
+         JOIN deg da ON da.v = cnt.node_a
+         JOIN deg db ON db.v = cnt.node_b
+         ORDER BY jaccard_micro DESC, node_a, node_b LIMIT 50""",
+
+    // 3 synchronous peel rounds at k=3, unrolled: degrees over the
+    // surviving subgraph, keep >= k, filter edges to kept×kept;
+    // output = round-3 survivors with their final-subgraph degree
+    // (0 if every remaining neighbor fell)
+    "q_kcore" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+                     FROM lineitem),
+         e0 AS (SELECT x.p AS lo, y.p AS hi
+                FROM li x JOIN li y ON x.k = y.k AND x.p < y.p
+                GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
+         d1 AS (SELECT v AS node, COUNT(*) AS degree
+                FROM (SELECT lo AS v FROM e0
+                      UNION ALL SELECT hi FROM e0) GROUP BY v),
+         k1 AS (SELECT node FROM d1 WHERE degree >= 3),
+         e1 AS (SELECT lo, hi FROM e0
+                WHERE lo IN (SELECT node FROM k1)
+                  AND hi IN (SELECT node FROM k1)),
+         d2 AS (SELECT v AS node, COUNT(*) AS degree
+                FROM (SELECT lo AS v FROM e1
+                      UNION ALL SELECT hi FROM e1) GROUP BY v),
+         k2 AS (SELECT node FROM d2 WHERE degree >= 3),
+         e2 AS (SELECT lo, hi FROM e1
+                WHERE lo IN (SELECT node FROM k2)
+                  AND hi IN (SELECT node FROM k2)),
+         d3 AS (SELECT v AS node, COUNT(*) AS degree
+                FROM (SELECT lo AS v FROM e2
+                      UNION ALL SELECT hi FROM e2) GROUP BY v),
+         k3 AS (SELECT node FROM d3 WHERE degree >= 3),
+         e3 AS (SELECT lo, hi FROM e2
+                WHERE lo IN (SELECT node FROM k3)
+                  AND hi IN (SELECT node FROM k3)),
+         df AS (SELECT v AS node, COUNT(*) AS degree
+                FROM (SELECT lo AS v FROM e3
+                      UNION ALL SELECT hi FROM e3) GROUP BY v)
+         SELECT k3.node,
+                CAST(COALESCE(df.degree, 0) AS BIGINT) AS degree
+         FROM k3 LEFT JOIN df USING (node)""",
 
     "q_text_entropy" ->
       """WITH tf AS (

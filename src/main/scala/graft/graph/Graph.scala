@@ -518,4 +518,212 @@ object Graph {
       .select(col("src"), col("dst"), col("nu"),
         coalesce(col("nv0"), emptyNbrs).as("nv"))
   }
+
+  /** HITS hubs & authorities (Kleinberg '99), k fixed iterations over a
+    * DIRECTED edge list — the companion centrality to [[pageRank]] for
+    * bipartite-flavored link structure (customers→suppliers,
+    * pages→resources): a good HUB points at good authorities, a good
+    * AUTHORITY is pointed at by good hubs.
+    *
+    * Integer fixed-point like [[pageRank]]: scores are "rank picos"
+    * summing to [[Scale]] after each L1 normalization, so the update is
+    * associative-exact and the DuckDB oracle unrolls the same
+    * iterations in HUGEINT arithmetic. The normalizing division uses
+    * decimal(38,0) internally (score·Scale can exceed 2⁶³ before the
+    * divide) and floor-divides, losing ≤1 pico per node per round.
+    *
+    * Shape per iteration: hubs join edges on src → sum per dst (one
+    * shuffle pair) for authorities; authorities join edges on dst → sum
+    * per src for hubs. The edge list is persisted with a visible
+    * partitioning per direction so iterations exchange only the
+    * node-sized score frames; each round's normalizing total rides the
+    * round's OWN staging action as an `observe` metric — zero extra
+    * jobs. Rounds are checkpointed (the Pregel pattern; see
+    * [[pageRank]]'s measured rationale).
+    *
+    * @return (node: long, hub_micro: long, auth_micro: long) — both
+    *         scores scaled so each column sums to ≈[[Scale]]; nodes
+    *         with no in-edges have auth 0, no out-edges hub 0
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .distinct()
+    // two persisted copies, each pre-partitioned on ITS iteration join
+    // key — the E-row list is shuffled once per direction total, not
+    // once per round
+    val eBySrc = e0.repartition(col("src")).persist()
+    val eByDst = e0.repartition(col("dst")).persist()
+    val nodes = eBySrc.select(col("src").as("node"))
+      .union(eBySrc.select(col("dst").as("node")))
+      .distinct()
+      .stage()
+    val n = nodes.count()
+    if (n == 0L) {
+      eBySrc.unpersist(); eByDst.unpersist()
+      return nodes.select(col("node"), lit(0L).as("hub_micro"),
+        lit(0L).as("auth_micro"))
+    }
+    var hubs = nodes.select(col("node"), lit(Scale / n).as("score"))
+    var auths: DataFrame = null
+    var iter = 0
+    while (iter < iterations) {
+      // authorities: sum of in-neighbor hub scores, then L1-normalize.
+      // Sums run in decimal(38,0): a raw in-sum can exceed 2⁶³ on a
+      // hub-heavy graph (indeg·Scale), exactly why DuckDB's SUM(BIGINT)
+      // returns HUGEINT — the decimal keeps the two engines bit-equal
+      val aRaw = eBySrc.join(hubs, eBySrc("src") === hubs("node"))
+        .groupBy(eBySrc("dst").as("node"))
+        .agg(sum(col("score").cast("decimal(38,0)")).as("raw"))
+      val (aStaged, aRow) = graft.Staging.stageObserved(aRaw,
+        coalesce(sum(col("raw").cast("decimal(38,0)")),
+          lit(1).cast("decimal(38,0)")).as("total"))
+      val aTotal = aRow("total").asInstanceOf[java.math.BigDecimal]
+        .toBigInteger.toString
+      auths = aStaged.select(col("node"),
+        expr(s"cast((cast(raw as decimal(38,0)) * ${Scale}L)" +
+          s" div ${aTotal} as long)").as("score"))
+      // hubs: sum of out-neighbor authority scores, then L1-normalize
+      val hRaw = eByDst.join(auths, eByDst("dst") === auths("node"))
+        .groupBy(eByDst("src").as("node"))
+        .agg(sum(col("score").cast("decimal(38,0)")).as("raw"))
+      val (hStaged, hRow) = graft.Staging.stageObserved(hRaw,
+        coalesce(sum(col("raw").cast("decimal(38,0)")),
+          lit(1).cast("decimal(38,0)")).as("total"))
+      val hTotal = hRow("total").asInstanceOf[java.math.BigDecimal]
+        .toBigInteger.toString
+      hubs = hStaged.select(col("node"),
+        expr(s"cast((cast(raw as decimal(38,0)) * ${Scale}L)" +
+          s" div ${hTotal} as long)").as("score"))
+      iter += 1
+    }
+    val out = nodes
+      .join(hubs.select(col("node"), col("score").as("hub_micro")),
+        Seq("node"), "left")
+      .join(auths.select(col("node"), col("score").as("auth_micro")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub_micro"), lit(0L)).as("hub_micro"),
+        coalesce(col("auth_micro"), lit(0L)).as("auth_micro"))
+      .stage()
+    eBySrc.unpersist(); eByDst.unpersist()
+    out
+  }
+
+  /** Neighborhood Jaccard similarity for every EDGE of an undirected
+    * graph: J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| — the normalized
+    * common-neighbors link-prediction feature ([[adamicAdar]]'s
+    * scale-free sibling; Liben-Nowell & Kleinberg '03).
+    *
+    * |N(u)∪N(v)| = deg(u)+deg(v)−common by inclusion–exclusion (open
+    * neighborhoods: u∈N(v) and v∈N(u), so the union includes both
+    * endpoints; the denominator is ≥2 for any edge). Snapped to integer
+    * micros by floor division so the result is oracle-exact.
+    *
+    * Same degree-ordered triangle enumeration as [[adamicAdar]]: each
+    * triangle surfaces once at its pivot and feeds its three edges, so
+    * work is output-bound (3·|triangles| rows) and hub wedges stay
+    * subquadratic by orientation. Edges closing zero triangles are
+    * omitted (their Jaccard is 0) — the output is bounded by the
+    * triangle count, not E.
+    *
+    * @return (node_a, node_b, common_neighbors, jaccard_micro) per edge
+    *         with ≥1 common neighbor; node_a < node_b
+    */
+  def neighborhoodJaccard(edges: DataFrame, aCol: String, bCol: String)
+  : DataFrame = {
+    val g = orientAndStage(edges, aCol, bCol)
+    val tris = edgesWithOutNbrs(g)
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    val contrib = tris.select(explode(array(
+        struct(least(col("src"), col("dst")).as("x"),
+          greatest(col("src"), col("dst")).as("y")),
+        struct(least(col("src"), col("w")).as("x"),
+          greatest(col("src"), col("w")).as("y")),
+        struct(least(col("dst"), col("w")).as("x"),
+          greatest(col("dst"), col("w")).as("y"))))
+        .as("c"))
+      .select(col("c.x").as("node_a"), col("c.y").as("node_b"))
+    contrib
+      .groupBy("node_a", "node_b")
+      .agg(count(lit(1)).as("common_neighbors"))
+      .join(g.deg.select(col("v").as("node_a"), col("d").as("da")),
+        Seq("node_a"))
+      .join(g.deg.select(col("v").as("node_b"), col("d").as("db")),
+        Seq("node_b"))
+      .select(col("node_a"), col("node_b"), col("common_neighbors"),
+        expr("(common_neighbors * 1000000L)" +
+          " div (da + db - common_neighbors)").as("jaccard_micro"))
+  }
+
+  /** k-core peeling, synchronous rounds: repeatedly remove every node
+    * whose degree in the SURVIVING subgraph is < k — the standard
+    * coreness filter for "keep only densely embedded sources" in
+    * crawl-graph curation (Seidman '83; Batagelj–Zaveršnik).
+    *
+    * Runs exactly `rounds` synchronous peel rounds, stopping early iff
+    * the surviving-node set repeats (peeling is a pure function of the
+    * surviving subgraph, so a repeated set proves the fixpoint — same
+    * consecutive-round checksum stop as [[pageRankConverged]], riding
+    * each round's own staging action). With `rounds` large enough this
+    * IS the k-core; with a cap it is the k-round peel, and the DuckDB
+    * oracle unrolls the same rounds so either way is exact.
+    *
+    * Shape per round: degree agg over surviving edges (one shuffle),
+    * semi-join edges against surviving nodes on both endpoints. Rounds
+    * are checkpointed; the driver sees one checksum scalar per round.
+    *
+    * @return (node: long, degree: long) for nodes surviving all rounds,
+    *         degree counted in the final surviving subgraph
+    */
+  def kCorePeel(edges: DataFrame, aCol: String, bCol: String, k: Int,
+                rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    var e = edges.select(
+      least(col(aCol).cast("long"), col(bCol).cast("long")).as("lo"),
+      greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .stage()
+    var round = 0
+    var converged = false
+    var prevSum: java.math.BigDecimal = null
+    var survivors: DataFrame = null
+    while (round < rounds && !converged) {
+      val deg = e.select(col("lo").as("node"))
+        .union(e.select(col("hi").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val keep = deg.filter(col("degree") >= k)
+        .select(col("node"))
+      val (kept, row) = graft.Staging.stageObserved(keep,
+        checksumMetric(Seq("node")))
+      val s = row("ck").asInstanceOf[java.math.BigDecimal]
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      survivors = kept
+      if (!converged) {
+        e = e.join(kept.select(col("node").as("lo")), Seq("lo"),
+            "left_semi")
+          .join(kept.select(col("node").as("hi")), Seq("hi"),
+            "left_semi")
+          .stage()
+      }
+      round += 1
+    }
+    if (converged)
+      log.info(s"kCorePeel: fixpoint after $round rounds (cap $rounds)")
+    // final degrees over the surviving subgraph; survivors of the last
+    // peel whose remaining edges were all removed (the OTHER endpoint
+    // fell) have degree 0 — they'd fall in a later round; the round
+    // cap is part of the contract
+    val deg = e.select(col("lo").as("node"))
+      .union(e.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    survivors.join(deg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("degree"), lit(0L)).as("degree"))
+  }
 }

@@ -294,4 +294,137 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === fixed)
   }
+
+  /** Driver-side replica of the integer HITS iteration (BigInt floor
+    * arithmetic — the spec oracle for exact scores). */
+  private def refHits(edges: Seq[(Long, Long)], iters: Int)
+  : Map[Long, (Long, Long)] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    val sb = BigInt(S)
+    var hub = nodes.map(_ -> BigInt(S / n)).toMap
+    var auth = Map.empty[Long, BigInt]
+    def normalize(raw: Map[Long, BigInt]): Map[Long, BigInt] = {
+      val t = raw.values.sum
+      raw.view.mapValues(v => v * sb / t).toMap
+    }
+    for (_ <- 1 to iters) {
+      auth = normalize(edges.groupBy(_._2).view
+        .mapValues(_.map(e => hub(e._1)).sum).toMap)
+      hub = normalize(edges.groupBy(_._1).view
+        .mapValues(_.map(e => auth(e._2)).sum).toMap)
+    }
+    nodes.map(v => v -> (
+      hub.getOrElse(v, BigInt(0)).toLong,
+      auth.getOrElse(v, BigInt(0)).toLong)).toMap
+  }
+
+  test("hits: bipartite star separates hubs from authorities") {
+    // 1,2,3 point at 10; 1 also points at 11 — 10 is the authority,
+    // 1 is the strongest hub (it reaches both authorities)
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
+    val got = Graph.hits(edges.toDF("s", "d"), "s", "d", 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(10L)._2 > got(11L)._2, s"10 must out-authority 11: $got")
+    assert(Seq(2L, 3L).forall(v => got(1L)._1 > got(v)._1),
+      s"1 must be the top hub: $got")
+    // pure hubs have auth 0; pure authorities have hub 0
+    assert(Seq(1L, 2L, 3L).forall(v => got(v)._2 == 0L))
+    assert(Seq(10L, 11L).forall(v => got(v)._1 == 0L))
+    assert(got === refHits(edges, 2))
+  }
+
+  test("hits matches the BigInt reference on a random directed graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 80).map(_ =>
+      (rnd.nextInt(12).toLong, (12 + rnd.nextInt(8)).toLong))
+      .distinct
+    val got = Graph.hits(edges.toDF("s", "d"), "s", "d", 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === refHits(edges, 3))
+    // each L1-normalized score column sums to Scale minus floor dust
+    val hubSum = got.values.map(_._1).sum
+    val authSum = got.values.map(_._2).sum
+    assert(hubSum <= S && hubSum > S - got.size,
+      s"hub mass drifted: $hubSum")
+    assert(authSum <= S && authSum > S - got.size,
+      s"auth mass drifted: $authSum")
+  }
+
+  test("neighborhood jaccard matches brute force on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 70).map(_ =>
+      (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val expected = edges.flatMap { case (a, b) =>
+      val common = (nbrs(a) & nbrs(b)).size.toLong
+      if (common == 0) None
+      else Some((a, b) -> (common,
+        common * 1000000L / (nbrs(a).size + nbrs(b).size - common)))
+    }.toMap
+    val got = Graph.neighborhoodJaccard(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got === expected)
+  }
+
+  test("kcore: pendant peels off, triangle survives at k=2") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val got = Graph.kCorePeel(edges.toDF("a", "b"), "a", "b",
+        k = 2, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kcore peel matches a driver-side synchronous replica") {
+    def refPeel(edges: Seq[(Long, Long)], k: Int, rounds: Int)
+    : Map[Long, Long] = {
+      var e = edges.filter(p => p._1 != p._2)
+        .map(p => (p._1 min p._2, p._1 max p._2)).distinct
+      var kept = Set.empty[Long]
+      var prev: Option[Set[Long]] = None
+      var r = 0
+      var converged = false
+      while (r < rounds && !converged) {
+        val deg = (e.map(_._1) ++ e.map(_._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        kept = deg.filter(_._2 >= k).keySet
+        converged = prev.contains(kept)
+        prev = Some(kept)
+        if (!converged)
+          e = e.filter(p => kept(p._1) && kept(p._2))
+        r += 1
+      }
+      val deg = (e.map(_._1) ++ e.map(_._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      kept.map(v => v -> deg.getOrElse(v, 0L)).toMap
+    }
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 90).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2).distinct
+    for (rounds <- Seq(1, 2, 3)) {
+      val got = Graph.kCorePeel(edges.toDF("a", "b"), "a", "b",
+          k = 3, rounds = rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(got === refPeel(edges, 3, rounds), s"rounds=$rounds")
+    }
+  }
+
+  test("kcore fixpoint early-stop equals a much longer run") {
+    val rnd = new scala.util.Random(31)
+    val edges = (0 until 120).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2).distinct
+    def runRounds(r: Int) =
+      Graph.kCorePeel(edges.toDF("a", "b"), "a", "b", k = 3, rounds = r)
+        .as[(Long, Long)].collect().toMap
+    // 30 rounds is far past convergence on 25 nodes; 40 must agree
+    assert(runRounds(30) === runRounds(40))
+  }
 }
