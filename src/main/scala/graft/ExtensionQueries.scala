@@ -260,6 +260,42 @@ object ExtensionQueries {
         .select("a_key", "b_key")
     }),
 
+    // ---- Allen interval-algebra classification ----------------------------
+    // every CONTACT pair of order windows (10/20/30-day lengths so all
+    // 11 relations occur at date granularity) classified into Allen's
+    // relation — inclusive-end binning catches boundary-only `meets`
+    // pairs; output is the relation census
+    "q_allen_relations" -> ((s, d) => {
+      def side(par: Int, tag: String) =
+        t(s, d, "orders").filter(col("o_orderkey") % 2 === par)
+          .select(col("o_orderkey").as(s"${tag}_key"),
+            col("o_orderdate").as(s"${tag}_start"),
+            date_add(col("o_orderdate"),
+              ((col("o_orderkey") % 3 + 1) * 10).cast("int"))
+              .as(s"${tag}_end"),
+            (col("o_custkey") % 200).as("shard"))
+      rangejoin.allenRelations(
+        side(0, "a"), "a_start", "a_end",
+        side(1, "b"), "b_start", "b_end",
+        binSeconds = 30L * 24 * 3600, extraKeys = Seq("shard"))
+        .groupBy("relation")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("relation")
+    }),
+
+    // ---- time-weighted average (TWAP) -------------------------------------
+    // per-priority mean order price weighted by how long each order
+    // window stays open (1–60 days keyed off the orderkey) — integer
+    // cents × exact epoch seconds, one hash aggregate
+    "q_time_weighted_avg" -> ((s, d) =>
+      timeseries.timeWeightedAvg(
+        t(s, d, "orders").select(col("o_orderpriority").as("pri"),
+          col("o_orderdate").as("w_start"),
+          date_add(col("o_orderdate"),
+            (col("o_orderkey") % 60 + 1).cast("int")).as("w_end"),
+          col("o_totalprice").as("price")),
+        "pri", "w_start", "w_end", "price")),
+
     // ---- sweep-line peak concurrency --------------------------------------
     // max simultaneously-open 30-day order windows per priority, via the
     // distributed prefix sum in ops.sweepline — no single-partition
@@ -1812,6 +1848,55 @@ object ExtensionQueries {
               AND a.o_orderdate < b.o_orderdate + INTERVAL 30 DAY
               AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
          WHERE a.o_orderkey % 2 = 0 AND b.o_orderkey % 2 = 1""",
+
+    // identical WHEN chain as rangejoin.allenRelations — each arm
+    // mutually exclusive with every earlier arm; closed contact
+    // predicate admits boundary-only meets/met_by pairs
+    "q_allen_relations" ->
+      """WITH a AS (SELECT o_orderdate AS a_start,
+                           o_orderdate +
+                             to_days(((o_orderkey % 3 + 1) * 10)::INT)
+                             AS a_end,
+                           o_custkey % 200 AS shard
+                    FROM orders WHERE o_orderkey % 2 = 0),
+         b AS (SELECT o_orderdate AS b_start,
+                      o_orderdate +
+                        to_days(((o_orderkey % 3 + 1) * 10)::INT)
+                        AS b_end,
+                      o_custkey % 200 AS shard
+               FROM orders WHERE o_orderkey % 2 = 1),
+         pairs AS (
+           SELECT CASE
+             WHEN a_start = b_start AND a_end = b_end THEN 'equals'
+             WHEN a_end = b_start THEN 'meets'
+             WHEN b_end = a_start THEN 'met_by'
+             WHEN a_start = b_start AND a_end < b_end THEN 'starts'
+             WHEN a_start = b_start THEN 'started_by'
+             WHEN a_end = b_end AND a_start > b_start THEN 'finishes'
+             WHEN a_end = b_end THEN 'finished_by'
+             WHEN a_start > b_start AND a_end < b_end THEN 'during'
+             WHEN a_start < b_start AND a_end > b_end THEN 'contains'
+             WHEN a_start < b_start THEN 'overlaps'
+             ELSE 'overlapped_by' END AS relation
+           FROM a JOIN b ON a.shard = b.shard
+             AND a_start <= b_end AND b_start <= a_end)
+         SELECT relation, COUNT(*) AS n_pairs
+         FROM pairs GROUP BY relation ORDER BY relation""",
+
+    // duration in exact seconds is (days)·86400 — UTC day arithmetic
+    // has no DST — so the twin skips the timestamp round-trip;
+    // HUGEINT products mirror the engine's decimal(38,0) staging
+    "q_time_weighted_avg" ->
+      """WITH iv AS (
+           SELECT o_orderpriority AS pri,
+                  (o_orderkey % 60 + 1) * 86400 AS dur,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+         SELECT pri, COUNT(*) AS n_intervals,
+                CAST(SUM(dur) AS BIGINT) AS total_seconds,
+                CAST(SUM(cents::HUGEINT * dur) // SUM(dur)::HUGEINT
+                  AS BIGINT) AS twa_cents
+         FROM iv GROUP BY pri""",
 
     "q_concurrency_peak" ->
       """WITH b AS (

@@ -91,4 +91,61 @@ object rangejoin {
         col("__bin") === greatest(col("__as"), col("__bs")))
       .drop("__bin", "__as", "__bs")
   }
+
+  /** Allen's interval algebra (Allen '83): join every pair of intervals
+    * in CONTACT (sharing at least a boundary instant — everything except
+    * `before`/`after`, which are unbounded and excluded by design) and
+    * classify the pair into one of the 11 contact relations:
+    * equals, meets, met_by, starts, started_by, finishes, finished_by,
+    * during, contains, overlaps, overlapped_by.
+    *
+    * Same binned equi-join machinery as [[intervalOverlapJoin]] with two
+    * deltas: the end-bin is INCLUSIVE (`floor(end / w)`, not `end − 1`)
+    * so a `meets` pair whose only shared instant is the boundary still
+    * lands on a common bin, and the pairing predicate is the closed
+    * contact test `aStart <= bEnd && bStart <= aEnd`. The ownership bin
+    * is the one holding the contact start `max(aStart, bStart)` — both
+    * sides cover it whenever the pair is in contact, so each pair
+    * survives exactly once without a distinct pass. The relation itself
+    * is one scan-local CASE over the four boundary comparisons.
+    *
+    * The WHEN chain tests relations in a fixed order (equality shapes
+    * first, then containment, then plain overlap) — each arm's guard is
+    * mutually exclusive with every earlier arm, and the DuckDB twin
+    * mirrors the identical chain.
+    */
+  def allenRelations(a: DataFrame, aStart: String, aEnd: String,
+                     b: DataFrame, bStart: String, bEnd: String,
+                     binSeconds: Long,
+                     extraKeys: Seq[String] = Nil): DataFrame = {
+    def binned(df: DataFrame, s: String, e: String, tag: String): DataFrame =
+      df.filter(col(e) > col(s))
+        .withColumn(s"__${tag}s",
+          (col(s).cast("timestamp").cast("long") / binSeconds).cast("long"))
+        .withColumn(s"__${tag}e",
+          (col(e).cast("timestamp").cast("long") / binSeconds).cast("long"))
+        .withColumn("__bin",
+          explode(sequence(col(s"__${tag}s"), col(s"__${tag}e"))))
+        .drop(s"__${tag}e")
+    val ab = binned(a, aStart, aEnd, "a")
+    val bb = binned(b, bStart, bEnd, "b")
+    val (aS, aE, bS, bE) = (col(aStart), col(aEnd), col(bStart), col(bEnd))
+    val relation =
+      when(aS === bS && aE === bE, "equals")
+        .when(aE === bS, "meets")
+        .when(bE === aS, "met_by")
+        .when(aS === bS && aE < bE, "starts")
+        .when(aS === bS, "started_by")
+        .when(aE === bE && aS > bS, "finishes")
+        .when(aE === bE, "finished_by")
+        .when(aS > bS && aE < bE, "during")
+        .when(aS < bS && aE > bE, "contains")
+        .when(aS < bS, "overlaps")
+        .otherwise("overlapped_by")
+    ab.join(bb, "__bin" +: extraKeys)
+      .filter(aS <= bE && bS <= aE &&
+        col("__bin") === greatest(col("__as"), col("__bs")))
+      .withColumn("relation", relation)
+      .drop("__bin", "__as", "__bs")
+  }
 }

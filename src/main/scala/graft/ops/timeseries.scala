@@ -107,4 +107,41 @@ object timeseries {
         analytics.roundDouble(sum(col("wv")).cast("double") / 1e8, 4)
           .as("decayed_value"))
   }
+
+  /** Time-weighted average of an interval-valued series, per key: each
+    * interval's value counts proportionally to how long it was in
+    * force — the correct mean for prices/rates/levels held over
+    * varying spans, where a row-weighted AVG over-counts short blips
+    * (the standard TWAP formulation).
+    *
+    * Entirely scan-local + one hash aggregate: duration in exact epoch
+    * seconds (timestamp-cast longs, session pinned UTC), value snapped
+    * to integer cents, the value·duration products summed in
+    * decimal(38,0) (a year-long interval × a large price overflows
+    * long), one integral division at the end — associative, shuffle =
+    * |keys| rows, oracle-exact at any partitioning.
+    *
+    * Empty/inverted intervals (end <= start) carry no time mass and are
+    * dropped, matching [[graft.ops.rangejoin]]'s guard.
+    *
+    * @return (keyCol, n_intervals, total_seconds, twa_cents) —
+    *         twa_cents = Σ(cents·dur) div Σ(dur), floor
+    */
+  def timeWeightedAvg(intervals: DataFrame, keyCol: String,
+                      startCol: String, endCol: String,
+                      valueCol: String): DataFrame = {
+    val dur = (col(endCol).cast("timestamp").cast("long") -
+      col(startCol).cast("timestamp").cast("long"))
+    val cents = round(col(valueCol) * 100).cast("long")
+    intervals
+      .filter(dur > 0)
+      .select(col(keyCol), dur.as("__dur"), cents.as("__cents"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__dur")).as("total_seconds"),
+        expr("""cast(sum(cast(__cents as decimal(38,0)) *
+                        cast(__dur as decimal(38,0)))
+                  div sum(cast(__dur as decimal(38,0))) as long)""")
+          .as("twa_cents"))
+  }
 }

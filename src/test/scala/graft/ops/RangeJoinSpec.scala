@@ -158,4 +158,87 @@ class RangeJoinSpec extends SparkSpec {
       .select("aid").as[Long].collect().toSeq
     assert(got === Seq(1L))
   }
+
+  /** Driver-side replica of the Allen WHEN chain — the spec oracle. */
+  private def allenRef(aS: Long, aE: Long, bS: Long, bE: Long): String =
+    if (aS == bS && aE == bE) "equals"
+    else if (aE == bS) "meets"
+    else if (bE == aS) "met_by"
+    else if (aS == bS && aE < bE) "starts"
+    else if (aS == bS) "started_by"
+    else if (aE == bE && aS > bS) "finishes"
+    else if (aE == bE) "finished_by"
+    else if (aS > bS && aE < bE) "during"
+    else if (aS < bS && aE > bE) "contains"
+    else if (aS < bS) "overlaps"
+    else "overlapped_by"
+
+  test("allenRelations: one crafted pair per contact relation") {
+    val base = 1700000000L
+    // b is fixed [100, 200); one a interval per relation
+    val cases = Seq(
+      (1L, 100L, 200L, "equals"), (2L, 50L, 100L, "meets"),
+      (3L, 200L, 250L, "met_by"), (4L, 100L, 150L, "starts"),
+      (5L, 100L, 260L, "started_by"), (6L, 150L, 200L, "finishes"),
+      (7L, 50L, 200L, "finished_by"), (8L, 120L, 180L, "during"),
+      (9L, 50L, 260L, "contains"), (10L, 50L, 150L, "overlaps"),
+      (11L, 150L, 260L, "overlapped_by"),
+      // no contact: strictly before / after — must NOT pair
+      (12L, 10L, 90L, ""), (13L, 210L, 260L, ""))
+    val a = cases.map { case (id, s, e, _) =>
+        (id, base + s * 60, base + e * 60) }
+      .toDF("aid", "s0", "e0")
+      .select(col("aid"), col("s0").cast("timestamp").as("as"),
+        col("e0").cast("timestamp").as("ae"))
+    val b = Seq((99L, base + 100 * 60, base + 200 * 60))
+      .toDF("bid", "t0", "u0")
+      .select(col("bid"), col("t0").cast("timestamp").as("bs"),
+        col("u0").cast("timestamp").as("be"))
+    for (bin <- Seq(600L, 3600L, 7200L)) {
+      val got = rangejoin.allenRelations(a, "as", "ae", b, "bs", "be",
+          binSeconds = bin)
+        .select("aid", "relation").as[(Long, String)].collect().toMap
+      val expected = cases.filter(_._4.nonEmpty)
+        .map(c => c._1 -> c._4).toMap
+      assert(got === expected, s"bin=$bin")
+    }
+  }
+
+  test("property: random interval sets ≡ naive Allen classification") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // hour-grid starts/lengths so equality relations genuinely occur
+    val genSide: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.choose(1, 35)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(0L, 72L)
+        len <- Gen.choose(1L, 24L)
+      } yield (1700000000L + s * 3600, 1700000000L + (s + len) * 3600))
+    } yield rows.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+    val genBin = Gen.oneOf(600L, 3600L, 86400L, 10L * 86400)
+    (0 until 10).foreach { seed =>
+      val sample = (for {
+        as <- genSide; bs <- genSide; bin <- genBin
+      } yield (as, bs, bin))
+        .apply(Gen.Parameters.default, Seed(seed.toLong))
+      sample.foreach { case (as, bs, bin) =>
+        def mk(rows: List[(Long, Long, Long)], tag: String) =
+          rows.toDF(s"${tag}id", s"${tag}s0", s"${tag}e0")
+            .select(col(s"${tag}id"),
+              col(s"${tag}s0").cast("timestamp").as(s"${tag}s"),
+              col(s"${tag}e0").cast("timestamp").as(s"${tag}e"))
+        val naive = (for {
+          (ai, s1, e1) <- as; (bi, s2, e2) <- bs
+          if s1 <= e2 && s2 <= e1
+        } yield ((ai, bi), allenRef(s1, e1, s2, e2))).sortBy(_._1)
+        val got = rangejoin.allenRelations(
+            mk(as, "a"), "as", "ae", mk(bs, "b"), "bs", "be", bin)
+          .select("aid", "bid", "relation")
+          .as[(Long, Long, String)].collect()
+          .map(r => ((r._1, r._2), r._3))
+        assert(got.length === got.distinct.length, s"dups seed=$seed")
+        assert(got.sortBy(_._1).toList === naive, s"seed=$seed bin=$bin")
+      }
+    }
+  }
 }

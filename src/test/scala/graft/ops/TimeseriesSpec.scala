@@ -115,4 +115,42 @@ class TimeseriesSpec extends SparkSpec {
     assert(got.length === 3)
     assert(!got.contains(None))
   }
+
+  test("timeWeightedAvg: hand-computed TWAP, inverted spans dropped") {
+    val base = 1700000000L
+    val rows = Seq(
+      // key x: 10.00 for 100 s, 20.00 for 300 s →
+      //        (1000·100 + 2000·300) / 400 = 1750 cents
+      ("x", base, base + 100, 10.00),
+      ("x", base + 100, base + 400, 20.00),
+      // key y: single interval → its own price
+      ("y", base, base + 50, 7.77),
+      // inverted + empty spans carry no time mass
+      ("y", base + 99, base + 99, 99.99),
+      ("y", base + 99, base + 9, 99.99))
+      .toDF("k", "s0", "e0", "price")
+      .select(col("k"), col("s0").cast("timestamp").as("s"),
+        col("e0").cast("timestamp").as("e"), col("price"))
+    val got = timeseries.timeWeightedAvg(rows, "k", "s", "e", "price")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === Map(
+      "x" -> (2L, 400L, 1750L),
+      "y" -> (1L, 50L, 777L)))
+  }
+
+  test("timeWeightedAvg is partitioning-independent (integer products)") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 500).map { i =>
+      val s = 1700000000L + rnd.nextInt(100000)
+      (s"k${i % 3}", s, s + 1 + rnd.nextInt(500000),
+        rnd.nextInt(1000000) / 100.0)
+    }.toDF("k", "s0", "e0", "price")
+      .select(col("k"), col("s0").cast("timestamp").as("s"),
+        col("e0").cast("timestamp").as("e"), col("price"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      timeseries.timeWeightedAvg(df, "k", "s", "e", "price")
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(run(rows.repartition(1)) === run(rows.repartition(13)))
+  }
 }
