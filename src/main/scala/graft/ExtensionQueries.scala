@@ -1185,6 +1185,18 @@ object ExtensionQueries {
         numPerms = 8, numBands = 4, threshold = 0.8)
     }),
 
+    // streaming heavy hitters: exact per-(day, type, user) counts
+    // maintained incrementally, top-5 ranked at read time — ranking is
+    // not incremental-safe, so the cut is a batch view over the
+    // aggregate (the production split)
+    "q_stream_topk" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_topk").toString
+      Streams.topKStream(s, d, ckpt, k = 5, statePartitions = 8)
+        .select(to_date(col("day")).as("day"), col("event_type"),
+          col("user_id"), col("cnt"))
+    }),
+
     // validated ingest: per-ROW contract routing (known event type,
     // value in [0,400], non-null user) — published vs quarantined;
     // row-level gates are batch-slicing-invariant, so the end state
@@ -4390,6 +4402,20 @@ object ExtensionQueries {
 
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // the stream's end-state counts equal the batch groupBy; the rank
+    // cut uses the same (cnt DESC, user_id ASC) tie-break
+    "q_stream_topk" ->
+      """WITH c AS (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                  event_type, user_id, COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2, 3)
+         SELECT day, event_type, user_id, cnt FROM (
+           SELECT day, event_type, user_id, cnt,
+                  ROW_NUMBER() OVER (PARTITION BY day, event_type
+                    ORDER BY cnt DESC, user_id) AS rn
+           FROM c)
+         WHERE rn <= 5""",
 
     // same minhash/band machinery as q_dedup_incremental, folded to the
     // per-arrival keep/drop decision the stream emits

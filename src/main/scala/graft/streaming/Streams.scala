@@ -160,6 +160,63 @@ object Streams {
     sess.table(sinkName)
   }
 
+  /** Streaming per-window top-k heavy hitters: maintain exact running
+    * counts per (day, event_type, user_id) over the stream, then rank
+    * the top `k` users per (day, event_type) at read time — the
+    * continuous "who dominates each slice" monitor (abuse/hot-key
+    * detection over an ingest feed).
+    *
+    * The streaming half is ONLY the incremental aggregation — ranking
+    * is not an incremental-safe operator (a late row can reorder any
+    * prefix), so the row_number cut runs as a BATCH query over the
+    * aggregate's result table. That is the production split: the
+    * stream maintains the counts, the dashboard ranks on read. State
+    * is the exact per-key count map — sharded by the state-partition
+    * hash across executors, RocksDB-backed when it outgrows heap (the
+    * [[dedupStream]] knobs); an approximate space-bounded variant is
+    * the batch `HeavyHitters` sketch, this is its exact streaming
+    * sibling.
+    *
+    * Tie-break: (cnt DESC, user_id ASC) — deterministic, mirrored by
+    * the twin.
+    *
+    * @return (day, event_type, user_id, cnt) — top k per (day, type)
+    */
+  def topKStream(spark: SparkSession, dir: String, checkpoint: String,
+                 k: Int, statePartitions: Int = 0,
+                 rocksDb: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val sess = statefulSession(spark, statePartitions, rocksDb)
+    val schema = sess.read.parquet(s"$dir/events.parquet").schema
+    val counts = normalizeTs(sess.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir))
+      .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"),
+        col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win.start").as("day"), col("event_type"),
+        col("user_id"), col("cnt"))
+
+    val sinkName = "graft_topk_stream_" + math.abs(checkpoint.hashCode)
+    val q = counts.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day"), col("event_type"))
+      .orderBy(col("cnt").desc, col("user_id"))
+    sess.table(sinkName)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Stream-static enrichment join: the event stream joined to a static
     * dimension table. Stateless — no watermark, no state store; Spark
     * broadcasts the static side into every micro-batch, so at 100 TB/day

@@ -341,4 +341,25 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.length === batch.length)
     assert(streamed.toSet === batch.toSet)
   }
+
+  test("streaming top-k heavy hitters equals the batch rank") {
+    val dir = "/root/testdata/sf0.001"
+    val ckpt = Files.createTempDirectory("graft_ckpt_topk_spec").toString
+    val streamed = Streams.topKStream(spark, dir, ckpt, k = 3)
+      .select(to_date(col("day")).as("day"), col("event_type"),
+        col("user_id"), col("cnt"))
+      .collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day"), col("event_type"))
+      .orderBy(col("cnt").desc, col("user_id"))
+    val batch = Tables.events(spark, dir)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"),
+        col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.toSet === batch.toSet)
+  }
 }
