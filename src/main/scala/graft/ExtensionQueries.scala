@@ -840,6 +840,15 @@ object ExtensionQueries {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
     }),
 
+    // exact MIPS: raw inner-product ranking (magnitude carries signal —
+    // the two-tower recommendation objective); the norm-augmentation
+    // reduction that routes MIPS through the cosine/LSH stack is
+    // spec-pinned in SimilaritySpec
+    "q_ann_mips" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.mipsTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+    }),
+
     "q_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, "label", k = 5)
@@ -3228,6 +3237,25 @@ object ExtensionQueries {
     "q_embedding_buckets" -> embeddingBucketsSql(4, 6),
 
     "q_ann_bruteforce" -> annSql("c.vec_id <> q.vec_id", "q.vec_id < 10"),
+
+    // raw dot-product ranking; DOUBLE[] casts for the same reason as
+    // annSql (FLOAT accumulation flips near-ties)
+    "q_ann_mips" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_dot_product(q.emb, c.emb) AS ip
+           FROM v q JOIN v c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10)
+         SELECT query_id, neighbor_id, rnk, round(ip, 6) AS ip
+         FROM (SELECT query_id, neighbor_id, ip,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY ip DESC, neighbor_id ASC) AS rnk
+               FROM scored)
+         WHERE rnk <= 5""",
 
     "q_ann_ivf" ->
       annSql("c.vec_id <> q.vec_id AND c.label = q.label", "q.vec_id < 20"),

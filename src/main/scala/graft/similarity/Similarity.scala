@@ -65,6 +65,64 @@ object Similarity {
     when(np > 0, dot(a, b) / np)
   }
 
+  /** Exact maximum-inner-product top-k (MIPS): for each query vector,
+    * the k corpus vectors with the largest RAW dot product — the
+    * retrieval objective when magnitudes carry signal (learned
+    * two-tower recommendation embeddings, unnormalized scorers), where
+    * cosine's normalization would erase exactly the component the
+    * model trained into the norm.
+    *
+    * Same scan shape as [[bruteForceTopK]]: queries broadcast, corpus
+    * streamed once, per-query top-k window — at lake scale the corpus
+    * side never shuffles and the output is |queries|·k.
+    *
+    * @return (query_id, neighbor_id, rnk, ip) — ip rounded 6dp
+    */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int)
+  : DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("ip", dot(col("q_emb"), col("c_emb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("ip"), 6).as("ip"))
+  }
+
+  /** Norm-augmentation reduction MIPS → cosine (Neyshabur–Srebro '15):
+    * append one coordinate sqrt(M² − ‖x‖²) to every CORPUS vector
+    * (M = the corpus max norm, one bounded scalar agg) and a 0 to every
+    * QUERY vector. Every augmented corpus vector then has norm exactly
+    * M, so cosine(q⁺, x⁺) = ⟨q, x⟩ / (‖q‖·M) — a per-query monotone
+    * transform of the inner product. Inner-product order becomes
+    * cosine order, and the ENTIRE cosine stack (LSH buckets, IVF
+    * cells, PQ codes) serves MIPS unchanged — the scale path for
+    * recommendation-style retrieval. `SimilaritySpec` pins
+    * top-k(augmented cosine) ≡ top-k(exact MIPS).
+    *
+    * @return (corpus', queries') with the augmented `embedding` columns
+    */
+  def mipsAugment(queries: DataFrame, corpus: DataFrame)
+  : (DataFrame, DataFrame) = {
+    // one scalar on the driver (the Lloyd's-centroid class of collect)
+    val m2 = corpus.agg(max(dot(col("embedding"), col("embedding"))))
+      .head.getDouble(0)
+    val corpusAug = corpus.withColumn("embedding",
+      concat(col("embedding"), array(
+        sqrt(greatest(lit(m2) - dot(col("embedding"), col("embedding")),
+          lit(0.0))).cast("float"))))
+    val queriesAug = queries.withColumn("embedding",
+      concat(col("embedding"), array(lit(0.0f))))
+    (queriesAug, corpusAug)
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), ties broken by corpus id. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int)

@@ -353,4 +353,44 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 0L || p._2 == 0L),
       s"zero vector paired: $pairs")
   }
+
+  test("mipsTopK ranks by raw inner product, not cosine") {
+    // 1 has HIGHER cosine to the query than 2 (aligned) but 2's
+    // magnitude wins the inner product — MIPS and cosine must disagree
+    val q = Seq((100L, Array(1.0f, 0.0f), 9)).toDF(
+      "vec_id", "embedding", "label")
+    val corp = Seq(
+      (1L, Array(1.0f, 0.0f), 0),      // cos 1.0, ip 1.0
+      (2L, Array(5.0f, 3.0f), 0),      // cos ~0.86, ip 5.0
+      (3L, Array(0.0f, 2.0f), 1))      // ip 0
+      .toDF("vec_id", "embedding", "label")
+    val mips = Similarity.mipsTopK(q, corp, k = 3)
+      .select("neighbor_id", "rnk").as[(Long, Int)].collect().toSet
+    assert(mips === Set((2L, 1), (1L, 2), (3L, 3)))
+    val cos = Similarity.bruteForceTopK(q, corp, k = 3)
+      .select("neighbor_id", "rnk").as[(Long, Int)].collect().toSet
+    assert(cos === Set((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("norm augmentation: cosine over augmented vectors ≡ exact MIPS") {
+    val rnd = new scala.util.Random(17)
+    val corp = (0L until 60L).map(i =>
+      (i, Array.fill(8)((rnd.nextDouble() * 4 - 2).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val qs = corp.filter(col("vec_id") < 6)
+    val exact = Similarity.mipsTopK(qs, corp, k = 5)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val (qAug, cAug) = Similarity.mipsAugment(qs, corp)
+    // every augmented corpus vector must have norm = corpus max norm
+    val norms = cAug
+      .select(Similarity.norm(col("embedding")).as("n"))
+      .as[Double].collect()
+    assert(norms.max - norms.min < 1e-3,
+      s"augmented norms not constant: ${norms.min}..${norms.max}")
+    val viaCos = Similarity.bruteForceTopK(qAug, cAug, k = 5)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaCos === exact)
+  }
 }
