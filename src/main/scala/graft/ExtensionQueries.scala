@@ -702,6 +702,22 @@ object ExtensionQueries {
           numPerms = 8, numBands = 4, threshold = 0.8),
         "doc_a", "doc_b")),
 
+    // ---- entity resolution: golden-record survivorship --------------------
+    // the full ER recipe over documents-as-entities: LSH blocking →
+    // match pairs → connected components as entity clusters → ONE
+    // golden record per entity under deterministic survivorship rules
+    // (entity id = cluster min, representative = most-complete member
+    // with id tie-break, completeness stats aggregated). Singleton docs
+    // are their own entity via the left join, so the output is a full
+    // registry, not just the merged clusters.
+    "q_entity_golden" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.goldenRecords(docs, "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          numPerms = 8, numBands = 4, threshold = 0.8),
+        "doc_a", "doc_b", completenessCol = "n_chars")
+    }),
+
     // corpus-level near-dup dedup: minhash pairs → components → keep one
     // doc per cluster, pass untouched docs through
     "q_dedup_keep" -> ((s, d) => {
@@ -2954,6 +2970,36 @@ object ExtensionQueries {
           SELECT id AS doc_id, min(comp) AS comp,
                  (id = min(comp)) AS is_canonical
           FROM reach GROUP BY id""",
+
+    // components as in q_dedup_components, then per-entity survivorship:
+    // representative = (n_chars DESC, doc_id ASC) first member — the
+    // same (max_by struct) rule the engine applies
+    "q_entity_golden" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                    UNION SELECT doc_b, doc_a FROM mh_pairs),
+          reach(id, comp) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+          cmp AS (SELECT id AS doc_id, min(comp) AS comp
+                  FROM reach GROUP BY id),
+          assigned AS (
+            SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS entity_id,
+                   d.n_chars
+            FROM documents d LEFT JOIN cmp c ON d.doc_id = c.doc_id),
+          rep AS (
+            SELECT entity_id, doc_id AS rep_doc_id FROM (
+              SELECT entity_id, doc_id,
+                     row_number() OVER (PARTITION BY entity_id
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM assigned) WHERE rn = 1)
+          SELECT a.entity_id, COUNT(*) AS n_members,
+                 MAX(a.n_chars) AS max_n_chars,
+                 CAST(SUM(a.n_chars) AS BIGINT) AS sum_n_chars,
+                 MIN(r.rep_doc_id) AS rep_doc_id
+          FROM assigned a JOIN rep r ON a.entity_id = r.entity_id
+          GROUP BY a.entity_id""",
 
     "q_dedup_simhash" ->
       s"""WITH tok AS (

@@ -760,4 +760,41 @@ object Dedup {
       .select(col("doc_id").as("__drop_id"))
     docs.join(drop, docs(idCol) === col("__drop_id"), "left_anti")
   }
+
+  /** Entity-resolution golden records: assign every record to its
+    * duplicate-cluster entity (singletons are their own entity) and
+    * collapse each entity to ONE row under deterministic survivorship
+    * rules — the merge step every MDM/ER pipeline runs after matching
+    * (match pairs in, registry out).
+    *
+    * Survivorship here: entity id = cluster min id, representative =
+    * the most-complete member (`completenessCol` DESC, id ASC — the
+    * "longest record wins" rule), plus membership/completeness stats.
+    * All picks are total orders, so the registry is deterministic
+    * across partitionings and engines.
+    *
+    * Shape: [[connectedComponents]] (staged fixpoint rounds) + one left
+    * join to assign + one hash aggregate — the aggregate's `max_by`
+    * avoids a per-entity sort window, so the merge is map-side
+    * combinable and the shuffle is |entities| rows.
+    *
+    * @return (entity_id, n_members, max_<completeness>, sum_<...>,
+    *         rep_<id>) — one row per entity over the FULL corpus
+    */
+  def goldenRecords(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    aCol: String, bCol: String,
+                    completenessCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .select(col("doc_id").as(idCol), col("comp"))
+    docs.join(comps, Seq(idCol), "left")
+      .withColumn("entity_id",
+        coalesce(col("comp"), col(idCol).cast("long")))
+      .groupBy("entity_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(col(completenessCol)).as(s"max_$completenessCol"),
+        sum(col(completenessCol)).as(s"sum_$completenessCol"),
+        max_by(col(idCol),
+          struct(col(completenessCol), (-col(idCol)).as("nid")))
+          .as(s"rep_$idCol"))
+  }
 }

@@ -382,4 +382,28 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.verifyJaccard(pairs, docs, "doc_id", "text", 0.5)
     assert(got.count() === 0)
   }
+
+  test("goldenRecords: survivorship merge, singletons pass through") {
+    // cluster {1,2,3} (chain pairs), singleton 9. Completeness: 3 wins
+    // the representative pick; 1 is the entity id (cluster min)
+    val docs = Seq((1L, 10), (2L, 30), (3L, 30), (9L, 5))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.goldenRecords(docs, "doc_id", pairs,
+        "doc_a", "doc_b", "n_chars")
+      .as[(Long, Long, Int, Long, Long)].collect().toSet
+    // rep tie at n_chars=30 between docs 2 and 3 → lower id (2) wins
+    assert(got === Set(
+      (1L, 3L, 30, 70L, 2L),
+      (9L, 1L, 5, 5L, 9L)))
+  }
+
+  test("goldenRecords with an empty pair table is one entity per doc") {
+    val docs = Seq((1L, 10), (2L, 20)).toDF("doc_id", "n_chars")
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = Dedup.goldenRecords(docs, "doc_id", empty,
+        "doc_a", "doc_b", "n_chars")
+      .as[(Long, Long, Int, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 10, 10L, 1L), (2L, 1L, 20, 20L, 2L)))
+  }
 }
