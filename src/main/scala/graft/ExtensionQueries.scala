@@ -296,6 +296,21 @@ object ExtensionQueries {
           col("o_totalprice").as("price")),
         "pri", "w_start", "w_end", "price")),
 
+    // ---- OHLC candle resample ---------------------------------------------
+    // daily bars per event type over the event stream: one hash agg,
+    // open/close via min_by/max_by on (ts, event_id) — no sort window
+    "q_ohlc_bars" -> ((s, d) =>
+      timeseries.ohlcBars(Tables.events(s, d), "event_type", "ts",
+          "value", "event_id", barSeconds = 86400L)
+        .orderBy("event_type", "bar_start")),
+
+    // ---- Markov next-event transition matrix ------------------------------
+    // P(next event type | current) per user journey, integer micros
+    "q_markov_transitions" -> ((s, d) =>
+      timeseries.transitionMatrix(Tables.events(s, d), "user_id", "ts",
+          "event_type", "event_id")
+        .orderBy("from_type", "to_type")),
+
     // ---- sweep-line peak concurrency --------------------------------------
     // max simultaneously-open 30-day order windows per priority, via the
     // distributed prefix sum in ops.sweepline — no single-partition
@@ -438,6 +453,16 @@ object ExtensionQueries {
           floor(col("c_acctbal") / 500).cast("long").as("bal_bucket")),
         Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5)),
 
+    // l-diversity homogeneity gate on top of the k-anonymity shape:
+    // a (nation, balance-bucket) group whose members all share one
+    // market segment leaks it — sensitive value masked, row flagged
+    "q_l_diversity" -> ((s, d) =>
+      graft.ops.relational.lDiversity(
+        t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") / 500).cast("long").as("bal_bucket"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "bal_bucket"), "c_mktsegment", l = 3)),
+
     "q_text_quality" -> ((s, d) =>
       t(s, d, "documents")
         .withColumn("q", Text.qualityScore(col("text")))
@@ -564,6 +589,22 @@ object ExtensionQueries {
         .orderBy(col("rank_micro").desc, col("node"))
         .limit(20)),
 
+    // edge-WEIGHTED directed PageRank: weight = lineitem count per
+    // (customer, supplier) lane, so rank follows trade VOLUME — the
+    // host-graph form where link multiplicity matters; suppliers are
+    // sinks, redistribution as in q_pagerank_directed
+    "q_pagerank_weighted" -> ((s, d) => {
+      val e = t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      Graph.pageRankWeighted(e, "src", "dst", "w", iterations = 2)
+        .orderBy(col("rank_micro").desc, col("node"))
+        .limit(20)
+    }),
+
     // ---- triangle count (clustering structure of the co-occurrence graph) -
     // parts that ship in the same order form an edge; triangles measure
     // how clique-ish purchasing is. Degree-ordered orientation keeps the
@@ -599,6 +640,39 @@ object ExtensionQueries {
       Graph.adamicAdarWeighted(pairs, "a", "b", "sup")
         .orderBy(col("aa_micro").desc, col("node_a"), col("node_b"))
         .limit(50)
+    }),
+
+    // ---- personalized PageRank (random walk with restart) -----------------
+    // teleport only to seed customers (every 10th custkey present in
+    // the graph) over the symmetrized trade graph — proximity-to-seeds
+    // scoring, the TrustRank-style whitelist expansion; 2 integer
+    // iterations, unrolled by the twin
+    "q_ppr" -> ((s, d) => {
+      val e = sharedTradeEdges(s, d)
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = sym.select(col("src").as("node")).distinct()
+        .filter(col("node") < 10000000L && col("node") % 10 === 0)
+      Graph.personalizedPageRank(sym, "src", "dst", seeds,
+          iterations = 2)
+        .orderBy(col("rank_micro").desc, col("node"))
+        .limit(20)
+    }),
+
+    // ---- multi-source BFS hop distance ------------------------------------
+    // "within k hops of the trusted seed set" — the hard-cutoff
+    // companion to q_ppr's smooth proximity score; per-level node count
+    // + id-sum checksums every distance exactly
+    "q_bfs_hops" -> ((s, d) => {
+      val e = sharedTradeEdges(s, d)
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = sym.select(col("src").as("node")).distinct()
+        .filter(col("node") < 10000000L && col("node") % 100 === 0)
+      Graph.bfsHops(sym, "src", "dst", seeds, maxHops = 3)
+        .groupBy("hops")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
+        .orderBy("hops")
     }),
 
     // ---- HITS hubs & authorities over the DIRECTED trade graph ------------
@@ -717,6 +791,17 @@ object ExtensionQueries {
           numPerms = 8, numBands = 4, threshold = 0.8),
         "doc_a", "doc_b", completenessCol = "n_chars")
     }),
+
+    // sorted-neighborhood ER blocking: customers sorted by zero-padded
+    // balance cents (decimal-exact — the double route can round apart
+    // cross-engine), window-5 pane pairs = near-balance match candidates
+    "q_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhoodPairs(
+        t(s, d, "customer").select(col("c_custkey"),
+          lpad(((col("c_acctbal").cast("decimal(18,2)") * 100)
+              .cast("long") + 1000000).cast("string"), 9, "0")
+            .as("bal_key")),
+        "c_custkey", "bal_key", window = 5)),
 
     // corpus-level near-dup dedup: minhash pairs → components → keep one
     // doc per cluster, pass untouched docs through
@@ -854,6 +939,17 @@ object ExtensionQueries {
     "q_ann_bruteforce" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+    }),
+
+    // reciprocal best match across the even/odd vec_id halves — the
+    // bitext-mining mutual-neighbor filter; pure composition of two
+    // top-1 passes + an id join
+    "q_mutual_knn" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.mutualBestMatch(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1))
+        .orderBy("a_id")
     }),
 
     // exact MIPS: raw inner-product ranking (magnitude carries signal —
@@ -1171,6 +1267,15 @@ object ExtensionQueries {
           col("cnt"), col("sum_value"))
     }),
 
+    // incremental OHLC candles: order-insensitive min_by/max_by state
+    // inside the windowed agg — same daily bars as the batch operator
+    "q_stream_ohlc" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_ohlc").toString
+      Streams.ohlcStream(s, d, ckpt, barSeconds = 86400L,
+        statePartitions = 8)
+    }),
+
     // stream → foreachBatch upsert → lake table: final table is the
     // latest event per user (ts in epoch micros for the cross-engine
     // compare; the upsert keeps the file's raw ts column, which is
@@ -1340,6 +1445,30 @@ object ExtensionQueries {
     // boilerplate). H = ln n − (Σ c·ln c)/n, with ln c snapped to
     // integer micros per distinct token so the weighted sum is exact
     // and order-independent. Two partial-agg shuffles, scan-local math.
+    // URL decomposition on deterministic synthetic URLs (the corpus
+    // carries no url column): host / registrable domain / tld / path
+    // depth / param count — the domainCap + quality-prior grouping keys
+    "q_url_features" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/"),
+            col("lang"), lit("/doc/"), (col("doc_id") % 50).cast("string"),
+            when(col("doc_id") % 3 === 0, lit("?ref=rss&utm=1"))
+              .when(col("doc_id") % 3 === 1, lit("?ref=feed"))
+              .otherwise(lit(""))).as("url"))
+        .select(col("doc_id"), Text.urlFeatures(col("url")).as("f"))
+        .select(col("doc_id"), col("f.host").as("host"),
+          col("f.domain").as("domain"), col("f.tld").as("tld"),
+          col("f.path_depth").as("path_depth"),
+          col("f.n_params").as("n_params"))),
+
+    // sliding-window PMI collocations — the word2vec/SGNS-shaped
+    // association score; window-bounded pair join, corpus totals baked
+    // in as driver scalars, ln at the integer-micros boundary
+    "q_pmi_pairs" -> ((s, d) =>
+      Text.pmiPairs(t(s, d, "documents"), "doc_id", "text",
+        window = 2, minCount = 5, topK = 50)),
+
     "q_text_entropy" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
@@ -1935,6 +2064,72 @@ object ExtensionQueries {
                   AS BIGINT) AS twa_cents
          FROM iv GROUP BY pri""",
 
+    // daily candles: open/close picked by (ts, event_id) rank, volume
+    // through decimal(18,2) so summation order can't diverge the hash
+    "q_ohlc_bars" ->
+      """WITH t0 AS (
+           SELECT event_type, event_id, ts, value,
+                  CAST(to_timestamp(CAST(floor(epoch(ts) / 86400)
+                    AS BIGINT) * 86400) AS TIMESTAMP) AS bar_start
+           FROM events),
+         w AS (SELECT *,
+                      row_number() OVER (PARTITION BY event_type,
+                        bar_start ORDER BY ts, event_id) AS rn_a,
+                      row_number() OVER (PARTITION BY event_type,
+                        bar_start ORDER BY ts DESC, event_id DESC)
+                        AS rn_d
+               FROM t0)
+         SELECT event_type, bar_start,
+                MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+                MAX(value) AS high,
+                MIN(value) AS low,
+                MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+                COUNT(*) AS n_ticks,
+                SUM(CAST(value AS DECIMAL(18,2))) AS volume
+         FROM w GROUP BY event_type, bar_start
+         ORDER BY event_type, bar_start""",
+
+    // the streaming candles land on the same epoch-aligned daily bars
+    // as the batch operator — identical oracle
+    "q_stream_ohlc" ->
+      """WITH t0 AS (
+           SELECT event_type, event_id, ts, value,
+                  CAST(to_timestamp(CAST(floor(epoch(ts) / 86400)
+                    AS BIGINT) * 86400) AS TIMESTAMP) AS bar_start
+           FROM events),
+         w AS (SELECT *,
+                      row_number() OVER (PARTITION BY event_type,
+                        bar_start ORDER BY ts, event_id) AS rn_a,
+                      row_number() OVER (PARTITION BY event_type,
+                        bar_start ORDER BY ts DESC, event_id DESC)
+                        AS rn_d
+               FROM t0)
+         SELECT event_type, bar_start,
+                MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+                MAX(value) AS high,
+                MIN(value) AS low,
+                MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+                COUNT(*) AS n_ticks,
+                SUM(CAST(value AS DECIMAL(18,2))) AS volume
+         FROM w GROUP BY event_type, bar_start""",
+
+    // per-user lead() step pairs; P(to|from) by integer floor division
+    "q_markov_transitions" ->
+      """WITH s AS (
+           SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS nxt
+           FROM events),
+         pc AS (SELECT event_type AS from_type, nxt AS to_type,
+                       COUNT(*) AS c
+                FROM s WHERE nxt IS NOT NULL
+                GROUP BY 1, 2),
+         ft AS (SELECT from_type, SUM(c) AS tot FROM pc GROUP BY 1)
+         SELECT pc.from_type, pc.to_type, pc.c,
+                CAST((pc.c * 1000000) // ft.tot AS BIGINT) AS p_micro
+         FROM pc JOIN ft USING (from_type)
+         ORDER BY from_type, to_type""",
+
     "q_concurrency_peak" ->
       """WITH b AS (
            SELECT o_orderpriority AS pri, o_orderdate AS ts, 1 AS d
@@ -2070,6 +2265,22 @@ object ExtensionQueries {
                 grp_n < 5 AS suppressed,
                 CAST(grp_n AS BIGINT) AS grp_n
          FROM g""",
+
+    "q_l_diversity" ->
+      """WITH t0 AS (SELECT c_custkey, c_nationkey,
+                            CAST(floor(c_acctbal / 500) AS BIGINT)
+                              AS bal_bucket,
+                            c_mktsegment
+                     FROM customer),
+         dv AS (SELECT c_nationkey, bal_bucket,
+                       COUNT(DISTINCT c_mktsegment) AS sens_diversity
+                FROM t0 GROUP BY c_nationkey, bal_bucket)
+         SELECT t0.c_custkey, t0.c_nationkey, t0.bal_bucket,
+                CASE WHEN dv.sens_diversity < 3 THEN '*'
+                     ELSE t0.c_mktsegment END AS c_mktsegment,
+                dv.sens_diversity < 3 AS at_risk,
+                CAST(dv.sens_diversity AS BIGINT) AS sens_diversity
+         FROM t0 JOIN dv USING (c_nationkey, bal_bucket)""",
 
     "q_text_langid" -> {
       val langRows = Text.stopwords.toSeq.sortBy(_._1).map {
@@ -2396,6 +2607,54 @@ object ExtensionQueries {
          SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r2
          ORDER BY rank_micro DESC, node LIMIT 20""",
 
+    // weighted directed PageRank unrolled 2 rounds: per-edge flow is
+    // r·w // wsum (HUGEINT product — r·w passes 2⁶³), sinks pool and
+    // redistribute as in q_pagerank_directed
+    "q_pagerank_weighted" ->
+      """WITH e AS (
+           SELECT o_custkey AS src, l_suppkey + 10000000 AS dst,
+                  COUNT(*) AS w
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2),
+         nodes AS (SELECT src AS node FROM e
+                   UNION SELECT dst FROM e),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         ws AS (SELECT src, SUM(w) AS wsum FROM e GROUP BY src),
+         flag AS (SELECT node,
+                         EXISTS (SELECT 1 FROM ws WHERE ws.src = node)
+                           AS has_out
+                  FROM nodes),
+         r0 AS (SELECT node, has_out, 1000000000000 // n AS r
+                FROM flag, nn),
+         sh0 AS (SELECT (SELECT COALESCE(SUM(r), 0) FROM r0
+                         WHERE NOT has_out) // n AS share FROM nn),
+         i1 AS (SELECT e.dst AS node,
+                       SUM((CAST(r0.r AS HUGEINT) * e.w) // ws.wsum)
+                         AS insum
+                FROM e JOIN r0 ON e.src = r0.node
+                       JOIN ws ON e.src = ws.src
+                GROUP BY e.dst),
+         r1 AS (SELECT f.node, f.has_out,
+                       (150000000000 // nn.n) +
+                         (85 * (COALESCE(i1.insum, 0) + sh0.share)) // 100
+                         AS r
+                FROM flag f LEFT JOIN i1 USING (node), nn, sh0),
+         sh1 AS (SELECT (SELECT COALESCE(SUM(r), 0) FROM r1
+                         WHERE NOT has_out) // n AS share FROM nn),
+         i2 AS (SELECT e.dst AS node,
+                       SUM((CAST(r1.r AS HUGEINT) * e.w) // ws.wsum)
+                         AS insum
+                FROM e JOIN r1 ON e.src = r1.node
+                       JOIN ws ON e.src = ws.src
+                GROUP BY e.dst),
+         r2 AS (SELECT f.node, f.has_out,
+                       (150000000000 // nn.n) +
+                         (85 * (COALESCE(i2.insum, 0) + sh1.share)) // 100
+                         AS r
+                FROM flag f LEFT JOIN i2 USING (node), nn, sh1)
+         SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r2
+         ORDER BY rank_micro DESC, node LIMIT 20""",
+
     // the same 2 synchronous rounds unrolled: argmax neighbor label by
     // (count DESC, label ASC) each round, labels seeded with node ids
     "q_label_propagation" ->
@@ -2493,6 +2752,72 @@ object ExtensionQueries {
                 CAST(SUM(wm) AS BIGINT) AS aa_micro
          FROM sc GROUP BY node_a, node_b
          ORDER BY aa_micro DESC, node_a, node_b LIMIT 50""",
+
+    // PPR unrolled 2 iterations: uniform Scale/N start, seed-only
+    // teleport (150e9 // |seeds|), symmetrized graph so no sink term
+    "q_ppr" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM e0
+               UNION ALL SELECT b, a FROM e0),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         deg AS (SELECT src, COUNT(*) AS outd FROM e GROUP BY src),
+         sd AS (SELECT node,
+                       (node < 10000000 AND node % 10 = 0) AS is_seed
+                FROM nodes),
+         ns AS (SELECT COUNT(*) AS k FROM sd WHERE is_seed),
+         tp AS (SELECT 150000000000 // k AS t FROM ns),
+         r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn),
+         s1 AS (SELECT e.dst AS node, SUM(r0.r // deg.outd) AS insum
+                FROM e JOIN r0 ON e.src = r0.node
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+         r1 AS (SELECT sd.node,
+                       (CASE WHEN sd.is_seed THEN tp.t ELSE 0 END) +
+                         (85 * COALESCE(s1.insum, 0)) // 100 AS r
+                FROM sd LEFT JOIN s1 USING (node), tp),
+         s2 AS (SELECT e.dst AS node, SUM(r1.r // deg.outd) AS insum
+                FROM e JOIN r1 ON e.src = r1.node
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+         r2 AS (SELECT sd.node,
+                       (CASE WHEN sd.is_seed THEN tp.t ELSE 0 END) +
+                         (85 * COALESCE(s2.insum, 0)) // 100 AS r
+                FROM sd LEFT JOIN s2 USING (node), tp)
+         SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r2
+         ORDER BY rank_micro DESC, node LIMIT 20""",
+
+    // BFS unrolled 3 hops over the symmetrized graph: d_{r+1} = new
+    // nodes reachable from d_r; per-level count + id sum
+    "q_bfs_hops" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM e0
+               UNION ALL SELECT b, a FROM e0),
+         d0 AS (SELECT DISTINCT src AS node FROM e
+                WHERE src < 10000000 AND src % 100 = 0),
+         d1 AS (SELECT DISTINCT e.dst AS node FROM e
+                JOIN d0 ON e.src = d0.node
+                WHERE e.dst NOT IN (SELECT node FROM d0)),
+         d2 AS (SELECT DISTINCT e.dst AS node FROM e
+                JOIN d1 ON e.src = d1.node
+                WHERE e.dst NOT IN (SELECT node FROM d0
+                                    UNION ALL SELECT node FROM d1)),
+         d3 AS (SELECT DISTINCT e.dst AS node FROM e
+                JOIN d2 ON e.src = d2.node
+                WHERE e.dst NOT IN (SELECT node FROM d0
+                                    UNION ALL SELECT node FROM d1
+                                    UNION ALL SELECT node FROM d2)),
+         allh AS (SELECT node, 0 AS hops FROM d0
+                  UNION ALL SELECT node, 1 FROM d1
+                  UNION ALL SELECT node, 2 FROM d2
+                  UNION ALL SELECT node, 3 FROM d3)
+         SELECT hops, COUNT(*) AS n_nodes,
+                CAST(SUM(node) AS BIGINT) AS node_sum
+         FROM allh GROUP BY hops ORDER BY hops""",
 
     // HITS unrolled 2 iterations: integer scores, L1-normalized to 1e12
     // per round in HUGEINT (raw·1e12 exceeds BIGINT), floor division
@@ -2606,6 +2931,68 @@ object ExtensionQueries {
          SELECT k3.node,
                 CAST(COALESCE(df.degree, 0) AS BIGINT) AS degree
          FROM k3 LEFT JOIN df USING (node)""",
+
+    // regexp-decomposed twin of parse_url on the same synthetic URLs;
+    // last-two-labels registrable domain via list_slice
+    "q_url_features" ->
+      """WITH u AS (SELECT doc_id,
+           'https://' || source || '.example.com/' || lang || '/doc/' ||
+           CAST(doc_id % 50 AS VARCHAR) ||
+           CASE WHEN doc_id % 3 = 0 THEN '?ref=rss&utm=1'
+                WHEN doc_id % 3 = 1 THEN '?ref=feed' ELSE '' END AS url
+           FROM documents),
+         p AS (SELECT doc_id,
+           lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) AS host,
+           coalesce(regexp_extract(url,
+             '^[a-z]+://[^/?#]+(/[^?#]*)', 1), '') AS path,
+           coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+           FROM u),
+         l AS (SELECT doc_id, host, string_split(host, '.') AS parts,
+                      path, q
+               FROM p)
+         SELECT doc_id, host,
+                array_to_string(list_slice(parts,
+                  greatest(len(parts) - 1, 1), len(parts)), '.')
+                  AS domain,
+                parts[len(parts)] AS tld,
+                CAST(len(list_filter(string_split(path, '/'),
+                  x -> x <> '')) AS INT) AS path_depth,
+                CAST(CASE WHEN q = '' THEN 0
+                     ELSE len(string_split(q, '&')) END AS INT)
+                  AS n_params
+         FROM l""",
+
+    // same tokenizer as q_text_entropy; positions via parallel unnest;
+    // identical left-assoc double expression inside ln on both engines
+    "q_pmi_pairs" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         tok AS (SELECT doc_id,
+                        unnest(range(1, len(toks) + 1)) AS pos,
+                        unnest(toks) AS tok
+                 FROM tk),
+         tot AS (SELECT COUNT(*) AS t FROM tok),
+         uni AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+         pr AS (SELECT least(a.tok, b.tok) AS tok_a,
+                       greatest(a.tok, b.tok) AS tok_b
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id
+                 AND b.pos - a.pos BETWEEN 1 AND 2),
+         pc AS (SELECT tok_a, tok_b, COUNT(*) AS c_ab
+                FROM pr GROUP BY tok_a, tok_b),
+         pt AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS p FROM pc)
+         SELECT tok_a, tok_b, c_ab,
+                CAST(round(ln((c_ab * 1.0 * t * t) /
+                  (p * 1.0 * ca.c * cb.c)) * 1000000) AS BIGINT)
+                  AS pmi_micro
+         FROM pc, tot, pt
+         JOIN uni ca ON pc.tok_a = ca.tok
+         JOIN uni cb ON pc.tok_b = cb.tok
+         WHERE c_ab >= 5
+         ORDER BY pmi_micro DESC, tok_a, tok_b LIMIT 50""",
 
     "q_text_entropy" ->
       """WITH tf AS (
@@ -3001,6 +3388,21 @@ object ExtensionQueries {
           FROM assigned a JOIN rep r ON a.entity_id = r.entity_id
           GROUP BY a.entity_id""",
 
+    // window-5 pane over the balance-cents sort; ties break by custkey
+    // — same order the distributed zipWithIndex rank uses
+    "q_sorted_neighborhood" ->
+      """WITH t0 AS (
+           SELECT c_custkey AS id,
+                  lpad(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                    AS BIGINT) + 1000000 AS VARCHAR), 9, '0') AS k
+           FROM customer),
+         r AS (SELECT id, k,
+                      row_number() OVER (ORDER BY k, id) AS rn
+               FROM t0)
+         SELECT a.id AS doc_a, b.id AS doc_b,
+                a.k AS key_a, b.k AS key_b
+         FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 4""",
+
     "q_dedup_simhash" ->
       s"""WITH tok AS (
             SELECT doc_id, len($dTokens) AS n_toks,
@@ -3283,6 +3685,8 @@ object ExtensionQueries {
     "q_embedding_buckets" -> embeddingBucketsSql(4, 6),
 
     "q_ann_bruteforce" -> annSql("c.vec_id <> q.vec_id", "q.vec_id < 10"),
+
+    "q_mutual_knn" -> mutualKnnSql,
 
     // raw dot-product ranking; DOUBLE[] casts for the same reason as
     // annSql (FLOAT accumulation flips near-ties)
@@ -5658,6 +6062,37 @@ object ExtensionQueries {
           FROM embeddings)
         SELECT vec_id, concat($parts) AS buckets FROM v"""
   }
+
+  /** Mutual top-1 across the even/odd embedding halves: both
+    * directions' row_number ranks must be 1; DOUBLE-cast dot products
+    * (the FLOAT accumulation gotcha) and the same id tie-breaks the
+    * engine uses. */
+  private val mutualKnnSql: String =
+    """WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE) AS emb
+          FROM embeddings),
+        a AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+        b AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+        sab AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 list_dot_product(a.emb, b.emb) /
+                   (sqrt(list_dot_product(a.emb, a.emb)) *
+                    sqrt(list_dot_product(b.emb, b.emb))) AS cos
+          FROM a JOIN b ON TRUE),
+        rab AS (SELECT a_id, b_id, cos,
+                       row_number() OVER (PARTITION BY a_id
+                         ORDER BY cos DESC, b_id ASC) AS r
+                FROM sab),
+        rba AS (SELECT a_id, b_id,
+                       row_number() OVER (PARTITION BY b_id
+                         ORDER BY cos DESC, a_id ASC) AS r
+                FROM sab)
+        SELECT rab.a_id, rab.b_id, round(rab.cos, 6) AS cos
+        FROM rab JOIN rba
+          ON rab.a_id = rba.a_id AND rab.b_id = rba.b_id
+        WHERE rab.r = 1 AND rba.r = 1
+        ORDER BY rab.a_id"""
 
   private def annSql(candCond: String, queryCond: String): String =
     s"""WITH v AS (

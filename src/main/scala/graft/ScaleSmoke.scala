@@ -832,6 +832,173 @@ object ScaleSmoke {
       got
     }
 
+    timed("allen relations planted") {
+      // same planted layout as the overlap smoke: every pair is in
+      // exactly the `overlaps` relation, and the inclusive-end binning
+      // must still produce exactly one row per pair
+      val n = rows / 10
+      val a = spark.range(n).select(col("id").as("a_id"),
+        (lit(1700000000L) + col("id") * 100L).cast("timestamp").as("as"),
+        (lit(1700000050L) + col("id") * 100L).cast("timestamp").as("ae"))
+      val b = spark.range(n).select(col("id").as("b_id"),
+        (lit(1700000025L) + col("id") * 100L).cast("timestamp").as("bs"),
+        (lit(1700000075L) + col("id") * 100L).cast("timestamp").as("be"))
+      val rel = graft.ops.rangejoin.allenRelations(
+          a, "as", "ae", b, "bs", "be", binSeconds = 64L)
+        .groupBy("relation").agg(count(lit(1)).as("c"))
+        .as[(String, Long)].collect().toMap
+      require(rel == Map("overlaps" -> n),
+        s"expected $n pure overlaps, got $rel")
+      n
+    }
+
+    timed("time-weighted avg mega-key") {
+      // ONE key holding every interval: the TWA aggregate must stay a
+      // plain hash agg (no per-key window, no sort) — planted constant
+      // value makes the expected TWA exact
+      val iv = spark.range(rows / 10).select(lit("k").as("k"),
+        (lit(1700000000L) + col("id") * 10L).cast("timestamp").as("s"),
+        (lit(1700000000L) + col("id") * 10L + (col("id") % 100L) + 1L)
+          .cast("timestamp").as("e"),
+        lit(42.5).as("price"))
+      val got = graft.ops.timeseries
+        .timeWeightedAvg(iv, "k", "s", "e", "price")
+        .select(col("twa_cents")).as[Long].head()
+      require(got == 4250L, s"constant-price TWA must be 4250, got $got")
+      rows / 10
+    }
+
+    timed("hits 2 iters (hub graph)") {
+      // bipartite customers→suppliers with a power-ish hub: supplier 0
+      // receives 10% of all edges, so its raw in-sum stresses the
+      // decimal normalization path; 2 iterations, zero driver state
+      // beyond the per-round observed totals
+      val e = spark.range(rows / 25).select(
+        (col("id") % (rows / 500)).as("src"),
+        when(col("id") % 10 === 0, lit(1000000000L))
+          .otherwise(lit(1000000000L) + (col("id") % 5000)).as("dst"))
+      val top = graft.graph.Graph.hits(e, "src", "dst", iterations = 2)
+        .orderBy(col("auth_micro").desc).limit(1)
+        .select("node").as[Long].head()
+      require(top == 1000000000L, s"hub supplier must top authority: $top")
+      rows / 25
+    }
+
+    timed("kcore peel 3 rounds") {
+      // ring + pendant mix: ring nodes keep degree 2 forever, pendant
+      // chains peel — survivor count is exactly the ring size
+      val n = rows / 100
+      val ring = spark.range(n).select(col("id").as("a"),
+        ((col("id") + 1) % n).as("b"))
+      val pendants = spark.range(n / 10).select(col("id").as("a"),
+        (col("id") + n * 10).as("b"))
+      val kept = graft.graph.Graph.kCorePeel(
+        ring.unionAll(pendants), "a", "b", k = 2, rounds = 3).count()
+      require(kept == n, s"ring of $n must survive k=2 peel, got $kept")
+      kept
+    }
+
+    timed("bfs frontier stays bounded") {
+      // a LONG chain (rows/50 nodes) probed 3 hops from node 0: every
+      // round's frontier is ONE node — if rounds were |V|-sized this
+      // would be 3 full scans of a multi-million-node state; planted
+      // answer is exactly hops 0..3
+      val n = rows / 50
+      val chain = spark.range(n - 1).select(col("id").as("s"),
+        (col("id") + 1).as("d"))
+      val got = graft.graph.Graph.bfsHops(chain, "s", "d",
+        Seq(0L).toDF("node"), maxHops = 3)
+      require(got.count() == 4L, "chain BFS must settle exactly 4 nodes")
+      n
+    }
+
+    timed("bfs early stop on star") {
+      // star: hop 1 reaches everything, round 2's frontier is empty —
+      // the observed n_new metric must stop the loop well before the
+      // 50-round cap (wall-time is the assertion here)
+      val n = rows / 50
+      val star = spark.range(n).select(lit(0L).as("s"),
+        (col("id") + 1).as("d"))
+      val cnt = graft.graph.Graph.bfsHops(star, "s", "d",
+        Seq(0L).toDF("node"), maxHops = 50).count()
+      require(cnt == n + 1, s"star BFS must reach all ${n + 1}: $cnt")
+      cnt
+    }
+
+    timed("weighted pagerank hub") {
+      // every source splits 1000:1 between supplier 7 and a spread
+      // supplier — rank must follow the weight, and the decimal
+      // product path must survive big rank·w values
+      val e = spark.range(rows / 25).select(
+        (col("id") % (rows / 500)).as("src"),
+        when(col("id") % 2 === 0, lit(1000000007L))
+          .otherwise(lit(1000000100L) + col("id") % 4000).as("dst"),
+        when(col("id") % 2 === 0, lit(1000L)).otherwise(lit(1L)).as("w"))
+      val top = graft.graph.Graph.pageRankWeighted(e, "src", "dst", "w",
+          iterations = 2)
+        .orderBy(col("rank_micro").desc).limit(1)
+        .select("node").as[Long].head()
+      require(top == 1000000007L, s"heavy-edge supplier must top: $top")
+      rows / 25
+    }
+
+    timed("sorted neighborhood skew") {
+      // ALL rows share one blocking key — the degenerate case where
+      // equi-blocking is n² but the sorted window stays n·(w−1)
+      val n = rows / 100
+      val docs = spark.range(n).select(col("id"), lit("same").as("k"))
+      val cnt = graft.dedup.Dedup
+        .sortedNeighborhoodPairs(docs, "id", "k", window = 5).count()
+      require(cnt == 4 * n - 10, s"window pairs must be 4n-10: $cnt")
+      cnt
+    }
+
+    timed("pmi window-bounded pairs") {
+      // planted collocation "qq zz" leads every doc; pair volume is
+      // n_tokens·window, and the planted pair must win the ranking
+      val docs = spark.range(rows / 500).select(col("id").as("doc_id"),
+        concat(lit("qq zz t"), (col("id") % 97).cast("string"),
+          lit(" t"), (col("id") % 89).cast("string"),
+          lit(" t"), (col("id") % 83).cast("string")).as("text"))
+      val top = graft.text.Text.pmiPairs(docs, "doc_id", "text",
+          window = 2, minCount = 5, topK = 1)
+        .select("tok_a", "tok_b").as[(String, String)].head()
+      require(top == ("qq", "zz"), s"planted collocation must top: $top")
+      rows / 500
+    }
+
+    timed("ohlc single hash agg") {
+      // one key, rows/50 ticks into ~1000 bars — no per-key sort
+      // window may exist, so a single hot key must still parallelize
+      val n = rows / 50
+      // bar-aligned base (1699999200 = 3600·472222): exactly 1000 bars
+      val ticks = spark.range(n).select(lit("k").as("k"),
+        (lit(1699999200L) + (col("id") % 1000) * 3600 + col("id") % 7)
+          .cast("timestamp").as("ts"),
+        col("id").as("tie"), (col("id") % 997).cast("double").as("v"))
+      val bars = graft.ops.timeseries
+        .ohlcBars(ticks, "k", "ts", "v", "tie", barSeconds = 3600L)
+      require(bars.count() == 1000L, "expected exactly 1000 bars")
+      n
+    }
+
+    timed("golden records merge") {
+      // clusters of 5 consecutive ids via chain pairs; survivorship
+      // must produce exactly n/5 entities with 5 members each
+      val n = rows / 100
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        (col("id") % 997).cast("int").as("n_chars"))
+      val pairs = spark.range(n).filter(col("id") % 5 =!= 4)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val ents = graft.dedup.Dedup.goldenRecords(docs, "doc_id", pairs,
+        "doc_a", "doc_b", "n_chars")
+      val (cnt, bad) = (ents.count(),
+        ents.filter(col("n_members") =!= 5).count())
+      require(cnt == n / 5 && bad == 0,
+        s"expected ${n / 5} 5-member entities, got $cnt ($bad wrong)")
+      cnt
+    }
+
     spark.stop()
   }
 }

@@ -797,4 +797,50 @@ object Dedup {
           struct(col(completenessCol), (-col(idCol)).as("nid")))
           .as(s"rep_$idCol"))
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo '95): sort the
+    * corpus by a similarity-preserving key, slide a `window`-row pane,
+    * and emit every pair that co-occupies a pane — the classic
+    * entity-resolution candidate generator when records lack a clean
+    * equi-join block (near-identical names/balances/dates land
+    * adjacent in the sort, so candidate volume is n·(window−1)
+    * regardless of value skew, where a hot equi-block would blow up
+    * quadratically). Feed the pairs to a match scorer and then
+    * [[goldenRecords]].
+    *
+    * The global position is a distributed range sort + `zipWithIndex`
+    * ([[dfRankedIdSets]]' dictionary idiom — partition sizes and
+    * per-partition offsets, NEVER a single-partition window), then one
+    * offset-explode equi-join on the rank: each row meets exactly its
+    * `window − 1` successors. Ties in the key order deterministically
+    * by id — same contract the oracle's `row_number` mirrors.
+    *
+    * @param keyCol sort-key column (string; build it with an
+    *               expression that places likely matches adjacently —
+    *               zero-padded numeric buckets, phonetic codes, name
+    *               prefixes)
+    * @return (doc_a, doc_b, key_a, key_b) with doc_a strictly earlier
+    *         in the sort order
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+                              keyCol: String, window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    val keyed = docs.select(col(idCol).as("doc_id"),
+      col(keyCol).cast("string").as("k"))
+    val ranked = docs.sparkSession.createDataFrame(
+      keyed.sort("k", "doc_id").rdd.zipWithIndex.map {
+        case (row, idx) => org.apache.spark.sql.Row.fromSeq(
+          row.toSeq :+ idx)
+      },
+      keyed.schema.add("rn", org.apache.spark.sql.types.LongType,
+        nullable = false))
+      .stage()
+    val left = ranked
+      .withColumn("off", explode(sequence(lit(1), lit(window - 1))))
+      .select(col("doc_id").as("doc_a"), col("k").as("key_a"),
+        (col("rn") + col("off")).as("rn"))
+    left.join(ranked.select(col("doc_id").as("doc_b"),
+        col("k").as("key_b"), col("rn")), Seq("rn"))
+      .select("doc_a", "doc_b", "key_a", "key_b")
+  }
 }

@@ -612,6 +612,169 @@ object Graph {
     out
   }
 
+  /** Personalized PageRank (random walk with restart): teleport mass
+    * flows ONLY to the seed set, so rank measures proximity to the
+    * seeds rather than global importance — the standard "expand from a
+    * trusted whitelist" scorer for crawl curation (TrustRank-style:
+    * seed the known-good hosts, keep what ranks near them).
+    *
+    * Same integer fixed-point as [[pageRank]] — ranks start uniform at
+    * Scale/N (documented contract, mirrored by the oracle), each round
+    * is teleport_i + d·(in_sum + sink_share) div 100 where teleport_i =
+    * ((100−d)·Scale/100)/|seeds| for seeds and 0 elsewhere; dangling
+    * mass redistributes uniformly as in [[pageRank]]. Seeds appearing
+    * nowhere in the edge list are ignored (they can hold no mass).
+    *
+    * Shape per iteration is identical to [[pageRank]]: the E-row edge
+    * list shuffles once total, the node-sized rank frame per round,
+    * sink totals ride each round's own staging action.
+    *
+    * @param seeds one column `node` (long-castable)
+    * @return (node: long, rank_micro: long)
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame,
+                           iterations: Int, dampingPct: Int = 85)
+  : DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100]: $dampingPct")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .stage()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .stage()
+    val n = nodes.count()
+    if (n == 0L)
+      return nodes.select(col("node"), lit(0L).as("rank_micro"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out"))
+    val eDeg = e.join(outDeg, "src").repartition(col("src")).persist()
+    val flagged = nodes
+      .join(outDeg.select(col("src").as("node"),
+        lit(true).as("has_out")), Seq("node"), "left")
+      .join(seeds.select(col("node").cast("long").as("node"))
+        .distinct().select(col("node"), lit(true).as("is_seed")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("has_out"), lit(false)).as("has_out"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .stage()
+    val nSinks = flagged.filter(!col("has_out")).count()
+    val nSeeds = flagged.filter(col("is_seed")).count()
+    require(nSeeds > 0, "no seed appears in the graph")
+    val teleportSeed = ((100L - dampingPct) * Scale / 100L) / nSeeds
+    var ranks = flagged.select(col("node"), col("has_out"),
+      col("is_seed"), lit(Scale / n).as("rank_micro"))
+    var sinkSum: Long = nSinks * (Scale / n)
+    var iter = 0
+    while (iter < iterations) {
+      val sinkShare: Long = if (nSinks == 0L) 0L else sinkSum / n
+      val contrib = eDeg.join(ranks, eDeg("src") === ranks("node"))
+        .select(eDeg("dst").as("node"),
+          expr("rank_micro div out").as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("in_sum"))
+      val next = flagged.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("has_out"), col("is_seed"),
+          (when(col("is_seed"), lit(teleportSeed)).otherwise(lit(0L)) +
+            expr(s"($dampingPct * (coalesce(in_sum, 0L) + $sinkShare))" +
+              " div 100"))
+            .as("rank_micro"))
+      if (nSinks > 0L) {
+        val (staged, row) = graft.Staging.stageObserved(next,
+          coalesce(sum(when(!col("has_out"), col("rank_micro"))),
+            lit(0L)).cast("long").as("sink_sum"))
+        ranks = staged
+        sinkSum = row("sink_sum").asInstanceOf[Long]
+      } else ranks = next.stage()
+      iter += 1
+    }
+    eDeg.unpersist()
+    ranks.select(col("node"), col("rank_micro"))
+  }
+
+  /** Edge-WEIGHTED PageRank: rank flows along each out-edge in
+    * proportion to its weight (contribution = rank·w div Σw(src))
+    * instead of uniformly — the form host/domain graphs actually ship
+    * (edge weight = link count / trade volume / co-occurrence count;
+    * a host linking a partner 10 000× and a footer once should not
+    * split rank 50/50). Parallel edges are pre-combined by summing
+    * weights; non-positive weights are dropped (a zero-weight edge is
+    * no edge, and it must not make its target "reachable").
+    *
+    * Same integer fixed-point + dangling-sink redistribution as
+    * [[pageRank]]; the per-edge product runs in decimal(38,0) (rank
+    * can reach Scale=1e12 and weights are unbounded longs — the raw
+    * product can pass 2⁶³; the QUOTIENT is ≤ rank so the summed
+    * in-flow stays long-ranged, mirroring DuckDB's HUGEINT sums).
+    * Per-iteration shape is identical to [[pageRank]]: weighted edges
+    * staged once pre-partitioned on src, one node-sized frame per
+    * round, sink totals ride each round's staging action.
+    *
+    * @return (node: long, rank_micro: long)
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iterations: Int,
+                       dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100]: $dampingPct")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .stage()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .stage()
+    val n = nodes.count()
+    if (n == 0L)
+      return nodes.select(col("node"), lit(0L).as("rank_micro"))
+    val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum"))
+    val eW = e.join(wsum, "src").repartition(col("src")).persist()
+    val flagged = nodes
+      .join(wsum.select(col("src").as("node"), lit(true).as("has_out")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("has_out"), lit(false)).as("has_out"))
+      .stage()
+    val nSinks = flagged.filter(!col("has_out")).count()
+    val teleport = (100L - dampingPct) * Scale / 100L / n
+    var ranks = flagged.select(col("node"), col("has_out"),
+      lit(Scale / n).as("rank_micro"))
+    var sinkSum: Long = nSinks * (Scale / n)
+    var iter = 0
+    while (iter < iterations) {
+      val sinkShare: Long = if (nSinks == 0L) 0L else sinkSum / n
+      val contrib = eW.join(ranks, eW("src") === ranks("node"))
+        .select(eW("dst").as("node"),
+          expr("cast((cast(rank_micro as decimal(38,0)) * w) div wsum" +
+            " as long)").as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("in_sum"))
+      val next = flagged.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("has_out"),
+          (lit(teleport) +
+            expr(s"($dampingPct * (coalesce(in_sum, 0L) + $sinkShare))" +
+              " div 100"))
+            .as("rank_micro"))
+      if (nSinks > 0L) {
+        val (staged, row) = graft.Staging.stageObserved(next,
+          coalesce(sum(when(!col("has_out"), col("rank_micro"))),
+            lit(0L)).cast("long").as("sink_sum"))
+        ranks = staged
+        sinkSum = row("sink_sum").asInstanceOf[Long]
+      } else ranks = next.stage()
+      iter += 1
+    }
+    eW.unpersist()
+    ranks.select(col("node"), col("rank_micro"))
+  }
+
   /** Neighborhood Jaccard similarity for every EDGE of an undirected
     * graph: J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| — the normalized
     * common-neighbors link-prediction feature ([[adamicAdar]]'s
@@ -725,5 +888,67 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("degree"))
     survivors.join(deg, Seq("node"), "left")
       .select(col("node"), coalesce(col("degree"), lit(0L)).as("degree"))
+  }
+
+  /** Multi-source BFS hop distance: the minimum number of directed
+    * edges from ANY seed to each reachable node — "how far is this
+    * page from the trusted whitelist", the reachability companion to
+    * [[personalizedPageRank]] (PPR weights proximity smoothly; BFS
+    * answers the hard cutoff "within k hops"). Crawl-frontier scoping,
+    * link-spam distance filters, and feature generation for ER all
+    * consume exactly this.
+    *
+    * Frontier-propagating rounds: a node's distance FINALIZES the round
+    * it is first reached (every in-path through later-reached nodes is
+    * strictly longer), so round r joins only the r-1-distance frontier
+    * against the edge list — contribution volume is out-edges-of-
+    * frontier, not all edges, and the loop stops as soon as a round
+    * reaches nobody new (the observed `n_new` metric rides the round's
+    * own staging action — no extra job). All-integer distances: exact,
+    * associative, oracle-unrollable.
+    *
+    * Shape per round: frontier ⋈ edges on `src` (edge list staged once,
+    * pre-partitioned on src so every round reuses the layout), min-agg
+    * on `dst`, anti-join against the settled set. At 100 TB the state
+    * is one (node, dist) row per REACHED node — never |V|·rounds.
+    *
+    * Unreached nodes are absent from the output (distance ∞); cap
+    * `maxHops` bounds the rounds on pathological diameters.
+    *
+    * @param seeds one column `node` (long-castable); seeds missing from
+    *              the graph still emit their 0-distance row
+    * @return (node: long, hops: int)
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .repartition(col("src")).stage()
+    var settled = seeds.select(col("node").cast("long").as("node"))
+      .distinct()
+      .select(col("node"), lit(0).as("hops"))
+      .stage()
+    if (settled.isEmpty) return settled
+    var frontier = settled
+    var hop = 0
+    while (hop < maxHops) {
+      val reached = e.join(frontier.select(col("node").as("src")),
+          Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(hop + 1).as("hops"))
+      val (stagedFrontier, row) = graft.Staging.stageObserved(reached,
+        count(lit(1)).as("n_new"))
+      frontier = stagedFrontier
+      if (row("n_new").asInstanceOf[Long] == 0L) {
+        log.info(s"bfsHops: frontier empty after ${hop + 1} rounds " +
+          s"(cap $maxHops)")
+        return settled
+      }
+      settled = settled.unionAll(frontier).stage()
+      hop += 1
+    }
+    settled
   }
 }

@@ -237,4 +237,42 @@ object relational {
           (col("__grp_n") < k).as("suppressed") :+
           col("__grp_n").as("grp_n"): _*)
   }
+
+  /** l-diversity release gate (Machanavajjhala et al. '07) — the
+    * homogeneity patch on [[kAnonymity]]: a quasi-identifier group can
+    * be k-anonymous yet still leak its SENSITIVE attribute when every
+    * member shares one value (the "everyone in this zip+age bucket has
+    * the same diagnosis" attack). A group passes only when its members
+    * span at least `l` distinct sensitive values; rows of failing
+    * groups get the sensitive value masked to "*" and flagged.
+    *
+    * Shape: distinct (quasi, sensitive) projection → map-side-combined
+    * groupBy for the per-group diversity (two-level agg, never a
+    * `count(distinct) over` window that buffers a group per task),
+    * then the same null-safe join-back as [[kAnonymity]]. Nulls: a
+    * null sensitive value counts as one distinct value (the projection
+    * `distinct` groups it), and null quasi values group together.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs quasi-identifier cols")
+    require(l >= 1, s"l must be >= 1: $l")
+    val div = df.select((quasiCols :+ sensitiveCol).map(col): _*)
+      .distinct()
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__div"))
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")) :+
+        col("__div"): _*)
+    val cond = quasiCols.map(c => df(c) <=> div(s"__q_$c"))
+      .reduce(_ && _)
+    val keep = df.columns.filterNot(_ == sensitiveCol).toSeq
+    df.join(div, cond)
+      .select(
+        keep.map(col) :+
+          when(col("__div") < l, lit("*"))
+            .otherwise(col(sensitiveCol).cast("string"))
+            .as(sensitiveCol) :+
+          (col("__div") < l).as("at_risk") :+
+          col("__div").as("sens_diversity"): _*)
+  }
 }

@@ -144,4 +144,72 @@ object timeseries {
                   div sum(cast(__dur as decimal(38,0))) as long)""")
           .as("twa_cents"))
   }
+
+  /** OHLC bar resampling: collapse a tick/event stream into fixed
+    * `barSeconds` candles per key — open/high/low/close plus tick count
+    * and decimal-exact volume, the standard time-series downsample
+    * before charting or sequence modeling.
+    *
+    * ONE hash aggregate: the bar id is scan-local epoch floor-division,
+    * open/close are `min_by`/`max_by` over the (ts, tie) event order —
+    * no per-key sort window, no per-bar buffering, so a hot key
+    * spreads across bars and AQE can split a hot bar. Tie-break:
+    * simultaneous ticks order by `tieCol` (use the event/sequence id;
+    * ts alone would make open/close nondeterministic).
+    *
+    * Volume sums route through decimal(18,2) — double summation order
+    * diverges across partitionings/engines, decimals are associative.
+    *
+    * @return (key, bar_start: timestamp, open, high, low, close,
+    *         n_ticks, volume: decimal)
+    */
+  def ohlcBars(ticks: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, tieCol: String,
+               barSeconds: Long): DataFrame = {
+    require(barSeconds >= 1, s"barSeconds must be >= 1: $barSeconds")
+    val ord = struct(col(tsCol), col(tieCol))
+    ticks
+      .withColumn("bar_start",
+        timestamp_seconds(
+          floor(unix_timestamp(col(tsCol)) / barSeconds) * barSeconds))
+      .groupBy(col(keyCol), col("bar_start"))
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n_ticks"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("volume"))
+  }
+
+  /** First-order Markov transition matrix over per-key event
+    * sequences: counts and probabilities of `type_a → type_b`
+    * consecutive steps — the session-flow / next-event model product
+    * analytics and sequence-corpus profiling consume ("after `error`,
+    * 34% of users retry").
+    *
+    * Per-key ordering is a hash-partitioned window (key is the
+    * partition key — scale-safe for human-scale sequences; a single
+    * synthetic mega-key would need session splitting upstream), then
+    * everything is two map-side-combined hash aggregates. Transition
+    * probability is integer micros by floor division — exact on both
+    *  engines.
+    *
+    * @param tieCol deterministic order for simultaneous events
+    * @return (from_type, to_type, c, p_micro) — P(to | from) in micros
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val steps = events
+      .withColumn("__nxt", lead(col(typeCol), 1).over(w))
+      .filter(col("__nxt").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__nxt").as("to_type"))
+      .agg(count(lit(1)).as("c"))
+    val totals = steps.groupBy("from_type").agg(sum(col("c")).as("tot"))
+    steps.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("c"),
+        expr("(c * 1000000L) div tot").as("p_micro"))
+  }
 }

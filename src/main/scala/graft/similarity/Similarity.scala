@@ -146,6 +146,34 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Reciprocal best match (mutual nearest neighbors): pairs (a, b)
+    * where b is a's cosine top-1 in B AND a is b's top-1 in A — the
+    * margin-free core of bitext / translation-pair mining (Artetxe &
+    * Schwenk '19 mine parallel sentences exactly this way: mutual
+    * neighbors across two languages' embedding spaces) and of
+    * cross-snapshot entity alignment. One-directional top-1 is noisy
+    * (hubs attract everything); mutuality is the cheap symmetric
+    * filter.
+    *
+    * Composition, not a new search: two [[bruteForceTopK]] passes and
+    * an id equi-join. At 100 TB swap in [[ivfTopK]] / the LSH stack
+    * for each direction and join their outputs the same way — the
+    * mutuality join is top-1-output-sized (≤ |A| + |B| rows), never
+    * corpus-sized.
+    *
+    * @return (a_id, b_id, cos) — cosine rounded 6dp as in the top-k ops
+    */
+  def mutualBestMatch(a: DataFrame, b: DataFrame): DataFrame = {
+    val ab = bruteForceTopK(a, b, 1)
+      .select(col("query_id").as("a_id"),
+        col("neighbor_id").as("b_id"), col("cos"))
+    val ba = bruteForceTopK(b, a, 1)
+      .select(col("neighbor_id").as("a_id"),
+        col("query_id").as("b_id"))
+    ab.join(ba, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
   /** IVF-style search: same contract as bruteForceTopK but candidates are
     * restricted to the query's coarse cell (`cellCol`). At scale the corpus
     * is partitioned/bucketed by the cell id, so each query probes one

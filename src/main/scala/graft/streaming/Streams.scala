@@ -109,6 +109,56 @@ object Streams {
     sess.table(sinkName)
   }
 
+  /** Streaming OHLC candles: the incremental twin of
+    * [[graft.ops.timeseries.ohlcBars]] — fixed `barSeconds` windows per
+    * event type, open/close picked by (ts, event_id) order with
+    * `min_by`/`max_by` INSIDE the windowed aggregation (order-
+    * insensitive state: each arriving row either improves the extreme
+    * or doesn't, so late/shuffled arrival can't change the result —
+    * that's what makes candles incremental-safe where ranking isn't,
+    * cf. [[topKStream]]). Watermark bounds state to one day of open
+    * bars; volume accumulates in decimal(18,2) so micro-batch slicing
+    * can't reorder a float sum. Spark's `window()` buckets are epoch-
+    * aligned — identical to the batch operator's floor-division bar id.
+    */
+  def ohlcStream(spark: SparkSession, dir: String, checkpoint: String,
+                 barSeconds: Long = 86400L,
+                 glob: String = "events.parquet",
+                 statePartitions: Int = 0): DataFrame = {
+    val sess = statefulSession(spark, statePartitions)
+    val schema = sess.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema
+    val stream = sess.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+    val ord = struct(col("ts"), col("event_id"))
+    val agg = normalizeTs(stream)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), s"$barSeconds seconds").as("win"),
+        col("event_type"))
+      .agg(min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n_ticks"),
+        sum(col("value").cast("decimal(18,2)")).as("volume"))
+      .select(col("event_type"), col("win.start").as("bar_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_ticks"), col("volume"))
+    val sinkName = "graft_ohlc_" + math.abs(checkpoint.hashCode)
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sess.table(sinkName)
+  }
+
   // ---- sessionization ------------------------------------------------------
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,

@@ -1065,4 +1065,94 @@ object Text {
       .filter(col("cum_tokens") <= budgetTokens)
       .drop("__rk")
   }
+
+  /** Pointwise mutual information over token co-occurrence pairs
+    * (Church & Hanks '90): PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) with
+    * p(a,b) estimated from sliding-window co-occurrences — the
+    * collocation / word-association scorer embedding pipelines
+    * (word2vec's SGNS objective is shifted PMI, Levy & Goldberg '14)
+    * and phrase-mining passes consume.
+    *
+    * Pair generation is WINDOW-BOUNDED, never per-doc all-pairs: each
+    * token row joins only its `window` successors via an offset
+    * explode + (doc, pos) equi-join, so candidate volume is
+    * n_tokens·window — linear in corpus size. Pairs are canonicalized
+    * unordered (least/greatest). The token frame is staged once and
+    * feeds the unigram counts, both join sides, and the total; corpus
+    * totals T and P are two bounded driver scalars baked into the
+    * scan-local PMI expression (ln in integer micros at the boundary,
+    * the [[graft.text.Text]] fixed-point convention — sums stay
+    * associative and the DuckDB oracle reproduces them bit-exactly).
+    *
+    * `minCount` prunes rare pairs BEFORE the unigram joins (the
+    * classic noisy-PMI guard: a 1-count pair of two rare words maxes
+    * the score).
+    *
+    * @return (tok_a, tok_b, c_ab, pmi_micro) — top `topK` by PMI
+    */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+               window: Int, minCount: Long, topK: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val tok = docs.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col(idCol).as("doc_id"), col("pos"), col("tok"))
+      .stage()
+    val t = tok.count()
+    val uni = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val left = tok
+      .withColumn("off", explode(sequence(lit(1), lit(window))))
+      .select(col("doc_id"), (col("pos") + col("off")).as("pos"),
+        col("tok").as("tok_l"))
+    val pc = left
+      .join(tok.select(col("doc_id"), col("pos"),
+        col("tok").as("tok_r")), Seq("doc_id", "pos"))
+      .select(least(col("tok_l"), col("tok_r")).as("tok_a"),
+        greatest(col("tok_l"), col("tok_r")).as("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+      .stage()
+    val p = pc.agg(coalesce(sum(col("c_ab")), lit(0L)).cast("long"))
+      .head.getLong(0)
+    pc.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("tok").as("tok_a"), col("c").as("c_a")),
+        Seq("tok_a"))
+      .join(uni.select(col("tok").as("tok_b"), col("c").as("c_b")),
+        Seq("tok_b"))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"),
+        expr(s"cast(round(ln((c_ab * 1e0 * $t * $t) / " +
+          s"($p * 1e0 * c_a * c_b)) * 1000000) as bigint)")
+          .as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+  }
+
+  /** URL decomposition for crawl curation: host, registrable domain,
+    * TLD, path depth, and query-parameter count — the grouping keys
+    * every web-corpus pipeline needs before [[domainCap]] (cap per
+    * registrable domain, not per full host, or `a.blogspot.com` /
+    * `b.blogspot.com` evade the cap) and TLD/depth quality priors
+    * (deep paths and tracking-param-heavy URLs skew boilerplate).
+    *
+    * Pure built-in Column expressions (parse_url + array ops) —
+    * codegen'd, scan-local, zero shuffle. The registrable domain is
+    * the last-two-labels heuristic: correct for generic TLDs, merges
+    * sibling subdomains; a public-suffix-list join is the extension
+    * point when ccTLD registries (`.co.uk`) matter.
+    *
+    * @return struct(host, domain, tld, path_depth: int, n_params: int)
+    */
+  def urlFeatures(url: Column): Column = {
+    val host = lower(parse_url(url, lit("HOST")))
+    val labels = split(host, "\\.")
+    val path = coalesce(parse_url(url, lit("PATH")), lit(""))
+    val query = coalesce(parse_url(url, lit("QUERY")), lit(""))
+    struct(
+      host.as("host"),
+      array_join(slice(labels, -least(size(labels), lit(2)),
+        least(size(labels), lit(2))), ".").as("domain"),
+      element_at(labels, -1).as("tld"),
+      size(filter(split(path, "/"), x => x =!= "")).as("path_depth"),
+      when(query === "", lit(0))
+        .otherwise(size(split(query, "&"))).as("n_params"))
+  }
 }

@@ -406,4 +406,30 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Int, Long, Long)].collect().toSet
     assert(got === Set((1L, 1L, 10, 10L, 1L), (2L, 1L, 20, 20L, 2L)))
   }
+
+  test("sortedNeighborhoodPairs emits exactly the window panes") {
+    // sort order by key then id: 30(c) 10(a) 20(a-tie…) — keys chosen
+    // so ties exercise the id tie-break: ids 10,20 share key "a"
+    val docs = Seq((10L, "a"), (20L, "a"), (30L, "0"), (40L, "b"))
+      .toDF("id", "k")
+    // sorted: 30("0"), 10("a"), 20("a"), 40("b")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "id", "k", window = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((30L, 10L), (30L, 20L), (10L, 20L),
+      (10L, 40L), (20L, 40L)))
+  }
+
+  test("sortedNeighborhoodPairs matches a driver replica") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1L to 60L).map(i => (i, s"k${rnd.nextInt(9)}"))
+    val got = Dedup.sortedNeighborhoodPairs(rows.toDF("id", "k"),
+        "id", "k", window = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sorted = rows.sortBy(r => (r._2, r._1)).map(_._1)
+    val want = sorted.indices.flatMap(i =>
+      (i + 1 until math.min(i + 4, sorted.length)).map(j =>
+        (sorted(i), sorted(j)))).toSet
+    assert(got === want)
+    assert(got.size === 57 * 3 + 2 + 1)
+  }
 }

@@ -295,6 +295,160 @@ class GraphSpec extends SparkSpec {
     assert(got === fixed)
   }
 
+  /** Driver-side replica of the integer PPR iteration. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+                     iters: Int, dPct: Long = 85L): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    val out = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val inGraph = seeds.filter(nodes.contains)
+    val tp = ((100L - dPct) * S / 100L) / inGraph.size
+    var r = nodes.map(_ -> S / n).toMap
+    for (_ <- 1 to iters) {
+      val share = nodes.filterNot(out.contains).map(r).sum / n
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map(e => r(e._1) / out(e._1)).sum).toMap
+      r = nodes.map(v =>
+        v -> ((if (inGraph(v)) tp else 0L) +
+          dPct * (in.getOrElse(v, 0L) + share) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalized pagerank: mass concentrates at the seed") {
+    // symmetric 4-ring — globally uniform, but seeding node 1 must
+    // break the tie in its favor
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val edges = ring ++ ring.map(_.swap)
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.personalizedPageRank(edges.toDF("s", "d"), "s", "d",
+        seeds, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === refPpr(edges, Set(1L), 3))
+    assert(Seq(2L, 3L, 4L).forall(v => got(1L) > got(v)),
+      s"seed must outrank: $got")
+  }
+
+  test("personalized pagerank matches the replica with sinks present") {
+    val rnd = new scala.util.Random(13)
+    val edges = (0 until 70).map(_ =>
+      (rnd.nextInt(15).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val seedSet = Set(1L, 3L, 5L)
+    val got = Graph.personalizedPageRank(edges.toDF("s", "d"), "s", "d",
+        seedSet.toSeq.toDF("node"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === refPpr(edges, seedSet, 3))
+  }
+
+  /** Driver-side multi-source BFS replica. */
+  private def refBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+                     maxHops: Int): Map[Long, Int] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    for (h <- 1 to maxHops if frontier.nonEmpty) {
+      val next = frontier.flatMap(adj.getOrElse(_, Nil))
+        .filterNot(dist.contains)
+      dist ++= next.map(_ -> h)
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfs hops: directed chain with a shortcut") {
+    // 1→2→3→4→5 plus shortcut 1→4: node 4 is 1 hop, 5 is 2 hops; the
+    // longer chain path must NOT overwrite the settled distance
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+    val got = Graph.bfsHops(edges.toDF("s", "d"), "s", "d",
+        Seq(1L).toDF("node"), maxHops = 10)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+  }
+
+  test("bfs hops matches the replica on a random multi-seed graph") {
+    val rnd = new scala.util.Random(29)
+    val edges = (0 until 80).map(_ =>
+      (rnd.nextInt(18).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val seeds = Set(0L, 7L, 24L)
+    for (cap <- Seq(0, 1, 2, 10)) {
+      val got = Graph.bfsHops(edges.toDF("s", "d"), "s", "d",
+          seeds.toSeq.toDF("node"), maxHops = cap)
+        .as[(Long, Int)].collect().toMap
+      assert(got === refBfs(edges, seeds, cap), s"cap=$cap")
+    }
+  }
+
+  test("bfs hops: seed absent from the graph still emits its row") {
+    val got = Graph.bfsHops(Seq((1L, 2L)).toDF("s", "d"), "s", "d",
+        Seq(99L).toDF("node"), maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(99L -> 0))
+  }
+
+  /** Driver-side replica of the integer weighted-PageRank iteration
+    * (BigInt at the per-edge product, floor division — the same
+    * decimal(38,0) route the engine takes). */
+  private def refWpr(edges: Seq[(Long, Long, Long)], iters: Int,
+                     dPct: Long = 85L): Map[Long, Long] = {
+    val comb = edges.filter(_._3 > 0)
+      .groupBy(e => (e._1, e._2)).view.mapValues(_.map(_._3).sum)
+      .toMap.toSeq.map { case ((s, d), w) => (s, d, w) }
+    val nodes = comb.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    val wsum = comb.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val tp = (100L - dPct) * S / 100L / n
+    var r = nodes.map(_ -> S / n).toMap
+    for (_ <- 1 to iters) {
+      val share = nodes.filterNot(wsum.contains).map(r).sum / n
+      val in = comb.groupBy(_._2).view.mapValues(_.map(e =>
+        (BigInt(r(e._1)) * e._3 / wsum(e._1)).toLong).sum).toMap
+      r = nodes.map(v =>
+        v -> (tp + dPct * (in.getOrElse(v, 0L) + share) / 100L)).toMap
+    }
+    r
+  }
+
+  test("weighted pagerank follows edge weight, not edge count") {
+    // a splits 90/10 between b and c; with uniform pageRank they'd tie
+    val edges = Seq((1L, 2L, 9L), (1L, 3L, 1L),
+      (2L, 1L, 1L), (3L, 1L, 1L))
+    val got = Graph.pageRankWeighted(edges.toDF("s", "d", "w"),
+        "s", "d", "w", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === refWpr(edges, 3))
+    assert(got(2L) > got(3L), s"heavier edge must win: $got")
+  }
+
+  test("weighted pagerank matches the replica with sinks and " +
+      "parallel edges") {
+    val rnd = new scala.util.Random(41)
+    val edges = (0 until 90).map(_ =>
+      (rnd.nextInt(14).toLong, rnd.nextInt(20).toLong,
+        (rnd.nextInt(5) + 1).toLong))
+      .filter(e => e._1 != e._2)
+    val got = Graph.pageRankWeighted(edges.toDF("s", "d", "w"),
+        "s", "d", "w", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === refWpr(edges, 3))
+  }
+
+  test("weighted pagerank with uniform weights equals pageRank") {
+    val rnd = new scala.util.Random(47)
+    val edges = (0 until 60).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val wtd = Graph.pageRankWeighted(
+        edges.map(e => (e._1, e._2, 1L)).toDF("s", "d", "w"),
+        "s", "d", "w", iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    val plain = Graph.pageRank(edges.toDF("s", "d"), "s", "d",
+        iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(wtd === plain)
+  }
+
   /** Driver-side replica of the integer HITS iteration (BigInt floor
     * arithmetic — the spec oracle for exact scores). */
   private def refHits(edges: Seq[(Long, Long)], iters: Int)

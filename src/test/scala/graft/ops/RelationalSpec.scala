@@ -219,4 +219,28 @@ class RelationalSpec extends SparkSpec {
     assert(got.map(r => (r._2, r._3)).toSeq ===
       Seq((false, 3L), (false, 3L), (false, 3L), (true, 1L)))
   }
+
+  test("lDiversity masks homogeneous sensitive groups") {
+    val df = Seq(
+      // zip 10: three members, two distinct diagnoses — passes l=2
+      (1L, 10, "flu"), (2L, 10, "flu"), (3L, 10, "cold"),
+      // zip 20: k-anonymous at k=2 but HOMOGENEOUS — fails l=2
+      (4L, 20, "hiv"), (5L, 20, "hiv")).toDF("id", "zip", "diag")
+    val got = relational.lDiversity(df, Seq("zip"), "diag", 2)
+      .select("id", "zip", "diag", "at_risk", "sens_diversity")
+      .as[(Long, Int, String, Boolean, Long)].collect().sortBy(_._1)
+    assert(got.take(3).forall(r => !r._4 && r._5 == 2L))
+    assert(got.take(3).map(_._3).toSeq === Seq("flu", "flu", "cold"))
+    // the leaking group: sensitive masked, quasi column left visible
+    assert(got.drop(3).forall(r =>
+      r._2 == 20 && r._3 == "*" && r._4 && r._5 == 1L))
+  }
+
+  test("lDiversity counts a null sensitive value as one value") {
+    val df = Seq((1L, 10, Option("a")), (2L, 10, None), (3L, 10, None))
+      .toDF("id", "zip", "diag")
+    val got = relational.lDiversity(df, Seq("zip"), "diag", 2)
+      .select("sens_diversity").as[Long].collect()
+    assert(got.toSeq === Seq(2L, 2L, 2L))
+  }
 }

@@ -153,4 +153,50 @@ class TimeseriesSpec extends SparkSpec {
         .as[(String, Long, Long, Long)].collect().sorted.toSeq
     assert(run(rows.repartition(1)) === run(rows.repartition(13)))
   }
+
+  test("ohlcBars picks open/close by (ts, tie) inside each bar") {
+    val base = 1700006400L // a bar boundary for 3600-s bars
+    val ticks = Seq(
+      // key "a", bar 0: ticks at +10(id2)=5.0, +10(id1)=3.0, +200=9.0
+      ("a", base + 10, 2L, 5.0),
+      ("a", base + 10, 1L, 3.0),   // same ts, lower id → the true open
+      ("a", base + 200, 3L, 9.0),
+      // key "a", bar 1: single tick
+      ("a", base + 3700, 4L, 7.0),
+      // key "b", bar 0
+      ("b", base + 50, 5L, 2.0))
+      .toDF("k", "epoch", "id", "v")
+      .select(col("k"), col("epoch").cast("timestamp").as("ts"),
+        col("id"), col("v"))
+    val got = timeseries.ohlcBars(ticks, "k", "ts", "v", "id", 3600L)
+      .select(col("k"), unix_timestamp(col("bar_start")).as("b"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_ticks"), col("volume").cast("double"))
+      .as[(String, Long, Double, Double, Double, Double, Long, Double)]
+      .collect().toSet
+    assert(got === Set(
+      ("a", base, 3.0, 9.0, 3.0, 9.0, 3L, 17.0),
+      ("a", base + 3600, 7.0, 7.0, 7.0, 7.0, 1L, 7.0),
+      ("b", base, 2.0, 2.0, 2.0, 2.0, 1L, 2.0)))
+  }
+
+  test("transitionMatrix counts per-key consecutive steps") {
+    // user 1: a→b→a→b ; user 2: b→b→c ; user 3 single event (no step)
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"),
+      (1L, 40L, 4L, "b"),
+      (2L, 10L, 5L, "b"), (2L, 20L, 6L, "b"), (2L, 30L, 7L, "c"),
+      (3L, 10L, 8L, "z"))
+      .toDF("u", "epoch", "id", "typ")
+      .select(col("u"), col("epoch").cast("timestamp").as("ts"),
+        col("id"), col("typ"))
+    val got = timeseries.transitionMatrix(ev, "u", "ts", "typ", "id")
+      .as[(String, String, Long, Long)].collect().toSet
+    // from a: 2×a→b (p=1); from b: b→a 1, b→b 1, b→c 1 (p=1/3 each)
+    assert(got === Set(
+      ("a", "b", 2L, 1000000L),
+      ("b", "a", 1L, 333333L),
+      ("b", "b", 1L, 333333L),
+      ("b", "c", 1L, 333333L)))
+  }
 }

@@ -393,4 +393,50 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(viaCos === exact)
   }
+
+  test("mutualBestMatch keeps only reciprocal top-1 pairs") {
+    // a1↔b1 mutual; a2's best is b1 (not reciprocated — b1 prefers a1);
+    // b2's best is a1 (not reciprocated) → exactly one pair survives
+    val a = Seq(
+      (2L, Array(1.0f, 0.0f)),          // a1: along x
+      (4L, Array(0.9f, 0.45f)))         // a2: leans x, closer to b1
+      .toDF("vec_id", "embedding")
+    val b = Seq(
+      (1L, Array(0.95f, 0.1f)),         // b1: nearest a1
+      (3L, Array(0.5f, 0.9f)))          // b2: diagonal-ish
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mutualBestMatch(a, b)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 1L)))
+  }
+
+  test("mutualBestMatch equals the two-direction driver replica") {
+    val rnd = new scala.util.Random(23)
+    def mk(ids: Range) = ids.map(i =>
+      (i.toLong, Array.fill(6)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val aRows = mk(0 until 30)
+    val bRows = mk(100 until 140)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val dx = x.map(_.toDouble); val dy = y.map(_.toDouble)
+      val d = dx.zip(dy).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(dx.map(v => v * v).sum) *
+        math.sqrt(dy.map(v => v * v).sum))
+    }
+    def best(src: Seq[(Long, Array[Float])],
+             dst: Seq[(Long, Array[Float])]): Map[Long, Long] =
+      src.map { case (i, v) =>
+        i -> dst.map { case (j, w) => (j, cos(v, w)) }
+          .minBy { case (j, c) => (-c, j) }._1
+      }.toMap
+    val ab = best(aRows, bRows); val ba = best(bRows, aRows)
+    val want = ab.collect {
+      case (ai, bi) if ba(bi) == ai => (ai, bi)
+    }.toSet
+    val got = Similarity.mutualBestMatch(
+        aRows.toDF("vec_id", "embedding"),
+        bRows.toDF("vec_id", "embedding"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }

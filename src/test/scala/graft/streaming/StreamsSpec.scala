@@ -29,6 +29,25 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.collect().toSet === batch.collect().toSet)
   }
 
+  test("streamed OHLC candles equal the batch ohlcBars result") {
+    val dir = "/root/testdata/sf0.001"
+    val ckpt = Files.createTempDirectory("graft_ckpt_ohlc_spec").toString
+    val streamed = Streams.ohlcStream(spark, dir, ckpt)
+      .select(col("event_type"), col("bar_start"), col("open"),
+        col("high"), col("low"), col("close"), col("n_ticks"),
+        col("volume").cast("double"))
+      .collect().toSet
+    val batch = graft.ops.timeseries.ohlcBars(
+        Tables.events(spark, dir), "event_type", "ts", "value",
+        "event_id", barSeconds = 86400L)
+      .select(col("event_type"), col("bar_start"), col("open"),
+        col("high"), col("low"), col("close"), col("n_ticks"),
+        col("volume").cast("double"))
+      .collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streamed dedup emits exactly the batch-distinct key set") {
     val dir = "/root/testdata/sf0.001"
     val ckpt = Files.createTempDirectory("graft_ckpt_dd_spec").toString

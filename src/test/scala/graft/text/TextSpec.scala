@@ -653,4 +653,51 @@ class TextSpec extends SparkSpec {
     assert(card("top_source_share") === 0.4) // sA and sB tie at 2/5
     assert(card("p50_doc_tokens") === 2.0)  // sorted [0,0,2,3,3]
   }
+
+  test("pmiPairs matches a driver replica on a hand-built corpus") {
+    val docs = Seq(
+      (1L, "new york new york city"),
+      (2L, "york new york times"),
+      (3L, "city times city new")).toDF("doc_id", "text")
+    val window = 2
+    // driver replica: same window pairing, same ln-micros rounding
+    val toks = Seq(Seq("new", "york", "new", "york", "city"),
+      Seq("york", "new", "york", "times"),
+      Seq("city", "times", "city", "new"))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val t = toks.map(_.size).sum
+    val rawPairs = toks.flatMap(ts => ts.indices.flatMap(i =>
+      (i + 1 to math.min(i + window, ts.length - 1)).map(j =>
+        if (ts(i) <= ts(j)) (ts(i), ts(j)) else (ts(j), ts(i)))))
+    val pc = rawPairs.groupBy(identity).view.mapValues(_.size).toMap
+    val p = rawPairs.size
+    val want = pc.filter(_._2 >= 2).map { case ((a, b), cab) =>
+      (a, b, cab.toLong,
+        math.round(math.log((cab * 1e0 * t * t) /
+          (p * 1e0 * uni(a) * uni(b))) * 1000000))
+    }.toSet
+    val got = Text.pmiPairs(docs, "doc_id", "text",
+        window = window, minCount = 2, topK = 100)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === want)
+    // sanity: the planted collocation ("new","york") must rank high
+    assert(pc(("new", "york")) >= 4)
+  }
+
+  test("urlFeatures decomposes hosts, domains, paths, and queries") {
+    val got = Seq(
+      "https://a.blogspot.example.com/en/doc/3?ref=rss&utm=1",
+      "http://example.org/",
+      "https://localhost/a/b/c/d",
+      "https://Example.COM/x?one=1")
+      .toDF("url")
+      .select(Text.urlFeatures(col("url")).as("f"))
+      .select("f.host", "f.domain", "f.tld", "f.path_depth", "f.n_params")
+      .as[(String, String, String, Int, Int)].collect().toSeq
+    assert(got === Seq(
+      ("a.blogspot.example.com", "example.com", "com", 3, 2),
+      ("example.org", "example.org", "org", 0, 0),
+      ("localhost", "localhost", "localhost", 4, 0),
+      ("example.com", "example.com", "com", 1, 1)))
+  }
 }
