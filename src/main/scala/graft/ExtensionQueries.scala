@@ -389,6 +389,12 @@ object ExtensionQueries {
             lit(0L))).as("tok")),
         "source", "tok")),
 
+    // χ² independence of (lang, source): is any crawl source quietly
+    // deciding a language's representation? One contingency agg,
+    // zero cells materialized, per-cell terms in integer micros
+    "q_chi2_assoc" -> ((s, d) =>
+      analytics.chiSquare(t(s, d, "documents"), "lang", "source")),
+
     // recency-weighted per-user engagement: integer-micros decay snap
     // keeps the weighted sum associative — ops.timeseries.decayedSum
     "q_decayed_agg" -> ((s, d) =>
@@ -659,6 +665,30 @@ object ExtensionQueries {
         .limit(20)
     }),
 
+    // ---- time-respecting reachability -------------------------------------
+    // contagion over the trade graph: an order at day t only spreads
+    // from parties already exposed by day t (non-decreasing timestamps)
+    // — static BFS overcounts; arrivals bucketed by ~year
+    "q_temporal_reach" -> ((s, d) => {
+      val e = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long").as("ts"))
+        .distinct()
+      val sym = e.unionAll(e.select(col("dst").as("src"),
+        col("src").as("dst"), col("ts")))
+      val seeds = sym.select(col("src").as("node")).distinct()
+        .filter(col("node") < 10000000L && col("node") % 100 === 0)
+      Graph.temporalReachability(sym, "src", "dst", "ts", seeds,
+          startTs = 0L, maxHops = 3)
+        .groupBy(expr("arrival div 365").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"),
+          min(col("arrival")).as("min_arrival"))
+        .orderBy("bucket")
+    }),
+
     // ---- multi-source BFS hop distance ------------------------------------
     // "within k hops of the trusted seed set" — the hard-cutoff
     // companion to q_ppr's smooth proximity score; per-level node count
@@ -790,6 +820,20 @@ object ExtensionQueries {
         Dedup.minhashLshPairs(docs, "doc_id", "text",
           numPerms = 8, numBands = 4, threshold = 0.8),
         "doc_a", "doc_b", completenessCol = "n_chars")
+    }),
+
+    // leakage-safe split: near-dup CLUSTERS (not docs) get hashed into
+    // train/val/test, so no near-copy pair can straddle the eval cut
+    "q_leakage_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.leakageSafeSplit(docs, "doc_id",
+          Dedup.minhashLshPairs(docs, "doc_id", "text",
+            numPerms = 8, numBands = 4, threshold = 0.8),
+          "doc_a", "doc_b", trainPct = 80, valPct = 10)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("n_chars")).as("n_chars"))
     }),
 
     // sorted-neighborhood ER blocking: customers sorted by zero-padded
@@ -1886,6 +1930,21 @@ object ExtensionQueries {
     "q_source_overlap" -> ((s, d) =>
       Text.sourceOverlap(t(s, d, "documents"), "source", "text", k = 3)),
 
+    // hashing-trick term frequencies: vocabulary-free 64-bucket sparse
+    // vectors, engine-portable md5 buckets
+    "q_hashing_tf" -> ((s, d) =>
+      Text.hashingTf(t(s, d, "documents"), "doc_id", "text",
+        numBuckets = 64)),
+
+    // KMV sketch overlap: the mergeable-profile form of source overlap
+    // — per-source 128 smallest md5-prefix shingle hashes, pairwise
+    // Jaccard + union-cardinality estimates, deterministic on both
+    // engines (the error is a property of the hash, not of randomness)
+    "q_kmv_overlap" -> ((s, d) =>
+      Text.kmvOverlap(t(s, d, "documents"), "source", "text",
+          shingleK = 3, k = 128)
+        .orderBy("src_a", "src_b")),
+
     // the removal half of substring dedup (dupSpans is the report):
     // 4-token spans shared by >= 2 docs are cut from every carrier,
     // overlapping spans union as position sets, survivors reassemble
@@ -2789,6 +2848,52 @@ object ExtensionQueries {
          SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r2
          ORDER BY rank_micro DESC, node LIMIT 20""",
 
+    // earliest-arrival relaxation unrolled 3 rounds (full relaxation ≡
+    // the engine's changed-only frontier — min is idempotent); explicit
+    // null-safe min merge, ts gate e.ts >= arrival
+    "q_temporal_reach" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst,
+                  date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+                    AS ts
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT src, dst, ts FROM e0
+               UNION ALL SELECT dst, src, ts FROM e0),
+         a0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS arrival
+                FROM e WHERE src < 10000000 AND src % 100 = 0),
+         c1 AS (SELECT e.dst AS node, MIN(e.ts) AS cand
+                FROM e JOIN a0 ON e.src = a0.node AND e.ts >= a0.arrival
+                GROUP BY 1),
+         a1 AS (SELECT COALESCE(a.node, c.node) AS node,
+                       CASE WHEN a.arrival IS NULL THEN c.cand
+                            WHEN c.cand IS NULL THEN a.arrival
+                            WHEN c.cand < a.arrival THEN c.cand
+                            ELSE a.arrival END AS arrival
+                FROM a0 a FULL OUTER JOIN c1 c ON a.node = c.node),
+         c2 AS (SELECT e.dst AS node, MIN(e.ts) AS cand
+                FROM e JOIN a1 ON e.src = a1.node AND e.ts >= a1.arrival
+                GROUP BY 1),
+         a2 AS (SELECT COALESCE(a.node, c.node) AS node,
+                       CASE WHEN a.arrival IS NULL THEN c.cand
+                            WHEN c.cand IS NULL THEN a.arrival
+                            WHEN c.cand < a.arrival THEN c.cand
+                            ELSE a.arrival END AS arrival
+                FROM a1 a FULL OUTER JOIN c2 c ON a.node = c.node),
+         c3 AS (SELECT e.dst AS node, MIN(e.ts) AS cand
+                FROM e JOIN a2 ON e.src = a2.node AND e.ts >= a2.arrival
+                GROUP BY 1),
+         a3 AS (SELECT COALESCE(a.node, c.node) AS node,
+                       CASE WHEN a.arrival IS NULL THEN c.cand
+                            WHEN c.cand IS NULL THEN a.arrival
+                            WHEN c.cand < a.arrival THEN c.cand
+                            ELSE a.arrival END AS arrival
+                FROM a2 a FULL OUTER JOIN c3 c ON a.node = c.node)
+         SELECT CAST(arrival // 365 AS BIGINT) AS bucket,
+                COUNT(*) AS n_nodes,
+                CAST(SUM(node) AS BIGINT) AS node_sum,
+                CAST(MIN(arrival) AS BIGINT) AS min_arrival
+         FROM a3 GROUP BY 1 ORDER BY 1""",
+
     // BFS unrolled 3 hops over the symmetrized graph: d_{r+1} = new
     // nodes reachable from d_r; per-level count + id sum
     "q_bfs_hops" ->
@@ -3387,6 +3492,34 @@ object ExtensionQueries {
                  MIN(r.rep_doc_id) AS rep_doc_id
           FROM assigned a JOIN rep r ON a.entity_id = r.entity_id
           GROUP BY a.entity_id""",
+
+    // same recursive-CTE components as q_entity_golden; split = md5
+    // bucket of the CLUSTER id, mirroring Text.splitBucket
+    "q_leakage_split" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                    UNION SELECT doc_b, doc_a FROM mh_pairs),
+          reach(id, comp) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+          cmp AS (SELECT id AS doc_id, min(comp) AS comp
+                  FROM reach GROUP BY id),
+          assigned AS (
+            SELECT d.doc_id, d.n_chars,
+                   COALESCE(c.comp, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cmp c ON d.doc_id = c.doc_id),
+          s AS (SELECT cluster_id, n_chars,
+                       ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                         1, 8))::BIGINT % 100 AS bucket
+                FROM assigned)
+          SELECT CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val'
+                      ELSE 'test' END AS split,
+                 COUNT(*) AS n_docs,
+                 COUNT(DISTINCT cluster_id) AS n_clusters,
+                 CAST(SUM(n_chars) AS BIGINT) AS n_chars
+          FROM s GROUP BY 1""",
 
     // window-5 pane over the balance-cents sort; ties break by custkey
     // — same order the distributed zipWithIndex rank uses
@@ -5092,6 +5225,29 @@ object ExtensionQueries {
                   AS gini
          FROM r""",
 
+    // identical left-assoc double expression per cell, micros summed
+    // exactly; margin cross join materializes observed-zero cells
+    "q_chi2_assoc" ->
+      """WITH o AS (SELECT lang AS a, source AS b, COUNT(*) AS o
+                    FROM documents GROUP BY 1, 2),
+         rt AS (SELECT a, SUM(o) AS rt FROM o GROUP BY 1),
+         ct AS (SELECT b, SUM(o) AS ct FROM o GROUP BY 1),
+         nn AS (SELECT SUM(o) AS n FROM o),
+         cells AS (SELECT rt.a, ct.b, COALESCE(o.o, 0) AS o,
+                          rt.rt, ct.ct, nn.n
+                   FROM rt CROSS JOIN ct CROSS JOIN nn
+                   LEFT JOIN o ON o.a = rt.a AND o.b = ct.b),
+         t AS (SELECT a, b, n,
+                      CAST(round(((o - rt * ct * 1.0 / n) *
+                        (o - rt * ct * 1.0 / n)) /
+                        (rt * ct * 1.0 / n) * 1000000) AS BIGINT) AS tm
+               FROM cells)
+         SELECT CAST(SUM(tm) AS BIGINT) AS chi2_micro,
+                (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
+                  AS dof,
+                CAST(MAX(n) AS BIGINT) AS n
+         FROM t""",
+
     // mirrors ops.timeseries.decayedSum exactly: integer-micros age,
     // micro-snapped pow, cents × micros integer products summed in
     // exact arithmetic (DuckDB hugeint), one double division + 4dp
@@ -5708,6 +5864,71 @@ object ExtensionQueries {
     // mirrors sourceOverlap: distinct (source, shingle) pairs, pairwise
     // intersection counts via the per-shingle source set, containment
     // normalized by the left side's set size
+    // same tokenizer + md5-prefix bucket; parallel lists ordered by
+    // bucket mirror the engine's sorted sparse vectors
+    "q_hashing_tf" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(regexp_replace(
+                    lower(text), '[^a-z0-9\s]+', ' ', 'g')), '\s+'))
+                    AS tok
+           FROM documents),
+         b AS (SELECT doc_id,
+                      ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64
+                        AS bucket
+               FROM tok),
+         c AS (SELECT doc_id, bucket, COUNT(*) AS c
+               FROM b GROUP BY 1, 2)
+         SELECT doc_id, list(bucket ORDER BY bucket) AS buckets,
+                list(c ORDER BY bucket) AS counts
+         FROM c GROUP BY doc_id""",
+
+    // same shingle + md5-prefix hash as the engine; per-source cut,
+    // per-pair union merge, identical integer estimators
+    "q_kmv_overlap" ->
+      """WITH tok AS (
+           SELECT source, string_split_regex(trim(regexp_replace(
+             lower(text), '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT source AS src,
+                  array_to_string(t[i:i+2], ' ') AS g
+           FROM (SELECT source, t,
+                        unnest(generate_series(1, len(t) - 2)) AS i
+                 FROM tok)),
+         hh AS (SELECT DISTINCT src,
+                       ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+                FROM sh),
+         sk AS (SELECT src, h FROM (
+                  SELECT src, h, row_number() OVER (PARTITION BY src
+                    ORDER BY h) AS r
+                  FROM hh) WHERE r <= 128),
+         srcs AS (SELECT DISTINCT src FROM sk),
+         pairs AS (SELECT a.src AS src_a, b.src AS src_b
+                   FROM srcs a JOIN srcs b ON a.src < b.src),
+         u AS (SELECT p.src_a, p.src_b, s.h,
+                      MAX(CASE WHEN s.src = p.src_a THEN 1 ELSE 0 END)
+                        AS in_a,
+                      MAX(CASE WHEN s.src = p.src_b THEN 1 ELSE 0 END)
+                        AS in_b
+               FROM pairs p JOIN sk s ON s.src IN (p.src_a, p.src_b)
+               GROUP BY 1, 2, 3),
+         r AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+                 ORDER BY h) AS rnk
+               FROM u),
+         agg AS (SELECT src_a, src_b, COUNT(*) AS k_used,
+                        SUM(in_a * in_b) AS est_inter, MAX(h) AS kth
+                 FROM r WHERE rnk <= 128 GROUP BY 1, 2)
+         SELECT src_a, src_b, CAST(k_used AS BIGINT) AS k_used,
+                CAST(est_inter AS BIGINT) AS est_inter,
+                CAST((est_inter * 1000000) // k_used AS BIGINT)
+                  AS est_jaccard_micro,
+                CAST(CASE WHEN k_used < 128 THEN k_used
+                     ELSE (CAST(k_used - 1 AS HUGEINT) *
+                       1152921504606846976) // kth END AS BIGINT)
+                  AS est_union
+         FROM agg ORDER BY src_a, src_b""",
+
     "q_source_overlap" ->
       """WITH tok AS (
            SELECT source, string_split_regex(trim(regexp_replace(

@@ -955,16 +955,22 @@ object ScaleSmoke {
 
     timed("pmi window-bounded pairs") {
       // planted collocation "qq zz" leads every doc; pair volume is
-      // n_tokens·window, and the planted pair must win the ranking
-      val docs = spark.range(rows / 500).select(col("id").as("doc_id"),
+      // n_tokens·window. Rare deterministic fillers TIE the planted
+      // pair on PMI (conditional probability 1 either way — the
+      // classic rare-pair bias), so the minCount guard is what
+      // isolates it: a filler pairs with zz from two slots (n/97 +
+      // n/89 ≈ 0.0215n), so above n/40 only the planted pair survives
+      val n = rows / 500
+      val docs = spark.range(n).select(col("id").as("doc_id"),
         concat(lit("qq zz t"), (col("id") % 97).cast("string"),
           lit(" t"), (col("id") % 89).cast("string"),
           lit(" t"), (col("id") % 83).cast("string")).as("text"))
-      val top = graft.text.Text.pmiPairs(docs, "doc_id", "text",
-          window = 2, minCount = 5, topK = 1)
-        .select("tok_a", "tok_b").as[(String, String)].head()
-      require(top == ("qq", "zz"), s"planted collocation must top: $top")
-      rows / 500
+      val got = graft.text.Text.pmiPairs(docs, "doc_id", "text",
+          window = 2, minCount = math.max(n / 40, 1), topK = 10)
+        .select("tok_a", "tok_b").as[(String, String)].collect().toSeq
+      require(got == Seq(("qq", "zz")),
+        s"minCount must isolate the planted collocation: $got")
+      n
     }
 
     timed("ohlc single hash agg") {

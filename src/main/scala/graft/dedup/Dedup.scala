@@ -798,6 +798,42 @@ object Dedup {
           .as(s"rep_$idCol"))
   }
 
+  /** Leakage-safe train/val/test split: assign each NEAR-DUP CLUSTER —
+    * not each document — to a split, so two near-copies of one page
+    * can never straddle train and test (the eval-contamination leak a
+    * per-doc hash split silently commits; cf. the dedup-then-split
+    * discipline in GPT-3/C4-style corpus prep). Singletons are their
+    * own cluster; the split is the deterministic md5 bucket of the
+    * CLUSTER id ([[graft.text.Text.splitBucket]]), so re-runs and
+    * engines agree and adding documents never reshuffles existing
+    * clusters across splits.
+    *
+    * Shape: [[connectedComponents]] over the match pairs (pair-table
+    * sized, pointer-doubled), one left join onto the corpus, then
+    * scan-local hashing — nothing corpus-quadratic.
+    *
+    * @param trainPct/valPct split percentages (test = remainder)
+    * @return docs + (cluster_id, split)
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String, bCol: String,
+                       trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: $trainPct/$valPct")
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .select(col("doc_id").as(idCol), col("comp"))
+    docs.join(comps, Seq(idCol), "left")
+      .withColumn("cluster_id",
+        coalesce(col("comp"), col(idCol).cast("long")))
+      .withColumn("__bucket",
+        graft.text.Text.splitBucket(col("cluster_id"), 100))
+      .withColumn("split",
+        when(col("__bucket") < trainPct, "train")
+          .when(col("__bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("comp", "__bucket")
+  }
+
   /** Sorted-neighborhood blocking (Hernández & Stolfo '95): sort the
     * corpus by a similarity-preserving key, slide a `window`-row pane,
     * and emit every pair that co-occupies a pane — the classic

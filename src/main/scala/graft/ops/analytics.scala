@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Staging._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -276,5 +277,46 @@ object analytics {
               col("total_weight").cast("double")) -
             (col("n_groups") + 1).cast("double") /
               col("n_groups").cast("double"), 6)).as("gini"))
+  }
+
+  /** Pearson χ² test of independence between two categorical columns —
+    * the data-quality alarm for "is language independent of source?"
+    * (a skewed cell means one crawl source is quietly deciding a
+    * language's representation) and for drift checks between dataset
+    * versions. Returns the statistic, not a p-value: the engine has no
+    * χ² CDF, and pipelines threshold the statistic against the dof
+    * anyway.
+    *
+    * ONE corpus-sized aggregate (the contingency groupBy, map-side
+    * combined); everything after runs on the |A|·|B| cell table —
+    * report-sized by definition (the crossJoins are margin×margin and
+    * margin×one-row, the audited bounded-frame pattern). ZERO cells
+    * (expected > 0, observed 0) are materialized via the margin cross
+    * join — dropping them understates χ², the classic mistake. The
+    * per-cell term lands as integer micros so the final sum is
+    * order-independent and engine-exact.
+    *
+    * @return one row: (chi2_micro, dof, n)
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val o = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+      .stage()
+    val rt = o.groupBy("a").agg(sum(col("o")).as("rt"))
+    val ct = o.groupBy("b").agg(sum(col("o")).as("ct"))
+    val nn = o.agg(sum(col("o")).as("n"))
+    rt.crossJoin(ct).crossJoin(nn)
+      .join(o, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("o"), lit(0L)).as("o"),
+        col("rt"), col("ct"), col("n"))
+      .withColumn("tm",
+        expr("cast(round(((o - rt * ct * 1.0 / n) * " +
+          "(o - rt * ct * 1.0 / n)) / (rt * ct * 1.0 / n) " +
+          "* 1000000) as bigint)"))
+      .agg(sum(col("tm")).cast("long").as("chi2_micro"),
+        ((countDistinct(col("a")) - 1) *
+          (countDistinct(col("b")) - 1)).as("dof"),
+        max(col("n")).cast("long").as("n"))
   }
 }

@@ -1126,6 +1126,113 @@ object Text {
       .limit(topK)
   }
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. '09):
+    * per-doc term frequencies bucketed into a fixed `numBuckets`-wide
+    * hashed feature space, emitted sparse as parallel (buckets, counts)
+    * arrays sorted by bucket — the vocabulary-free featurizer for
+    * linear classifiers / MinHash inputs at corpus scale (no dictionary
+    * build, no vocab shuffle, new tokens never resize anything).
+    *
+    * Scan-local hash + two map-side-combined aggregates; the per-doc
+    * collect_list is bounded by `numBuckets` by construction. The
+    * bucket hash is the engine-portable md5-prefix idiom
+    * ([[graft.ops.relational.datasetFingerprint]]), so the oracle
+    * reproduces the exact vectors.
+    *
+    * @return (doc_id, buckets: array<long>, counts: array<long>)
+    */
+  def hashingTf(docs: DataFrame, idCol: String, textCol: String,
+                numBuckets: Int): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1: $numBuckets")
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % numBuckets).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("bucket"), col("c"))))
+        .as("bc"))
+      .select(col("doc_id"),
+        expr("transform(bc, x -> x.bucket)").as("buckets"),
+        expr("transform(bc, x -> x.c)").as("counts"))
+  }
+
+  /** KMV (k-minimum-values) sketch overlap between sources (Beyer et
+    * al. '07): per source keep only the k SMALLEST 60-bit shingle
+    * hashes; any two sketches then estimate Jaccard and union
+    * cardinality from ≤2k values — the mergeable-profile form of
+    * [[sourceOverlap]]. The exact version re-reads the corpus per
+    * comparison; sketches are k·|sources| rows, persist with the
+    * profile, and compare in milliseconds — at 100 TB that's the only
+    * version that runs routinely (and sketches from disjoint
+    * partitions/dates merge by "union then re-cut at k").
+    *
+    * Estimator: for the merged union's k smallest values U_k,
+    * Ĵ = |U_k ∩ A ∩ B| / |U_k|; union cardinality (|U_k| − 1)·2⁶⁰ /
+    * max(U_k) when the sketch is full, exact when it holds the whole
+    * set. DETERMINISTIC approximation: the md5-prefix hash is the
+    * engine-portable [[graft.ops.relational.datasetFingerprint]]
+    * idiom, so the DuckDB oracle reproduces every estimate bit-exactly
+    * (the error bound is a property of the hash, ~1/√k relative).
+    *
+    * Shape: ONE corpus-sized distinct; the per-source cut is a
+    * hash-partitioned window (|sources| partitions), everything after
+    * runs on the k·|sources| sketch table; per-pair frames are ≤2k
+    * rows by construction.
+    *
+    * @return (src_a, src_b, k_used, est_inter, est_jaccard_micro,
+    *         est_union) for every unordered source pair
+    */
+  def kmvOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+                 shingleK: Int, k: Int): DataFrame = {
+    require(shingleK >= 1, s"shingle width must be >= 1: $shingleK")
+    require(k >= 2, s"sketch size must be >= 2: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("h")
+    val sk = docs
+      .select(col(sourceCol).as("src"),
+        explode(shingles(tokens(col(textCol)), shingleK)).as("g"))
+      .select(col("src"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+          .as("h"))
+      .distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .stage()
+    val srcs = sk.select("src").distinct()
+    val pairs = srcs.select(col("src").as("src_a"))
+      .crossJoin(srcs.select(col("src").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val ua = pairs.join(sk.select(col("src").as("src_a"), col("h")),
+        Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val ub = pairs.join(sk.select(col("src").as("src_b"), col("h")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_a", "src_b").orderBy("h")
+    ua.unionAll(ub)
+      .groupBy("src_a", "src_b", "h")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("rnk", row_number().over(pw))
+      .filter(col("rnk") <= k)
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("in_a") * col("in_b")).as("est_inter"),
+        max(col("h")).as("__kth"))
+      .select(col("src_a"), col("src_b"), col("k_used"),
+        col("est_inter"),
+        expr("(est_inter * 1000000L) div k_used")
+          .as("est_jaccard_micro"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(expr("cast((cast(k_used - 1 as decimal(38,0)) * " +
+            "1152921504606846976) div __kth as bigint)"))
+          .as("est_union"))
+  }
+
   /** URL decomposition for crawl curation: host, registrable domain,
     * TLD, path depth, and query-parameter count — the grouping keys
     * every web-corpus pipeline needs before [[domainCap]] (cap per

@@ -407,6 +407,38 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 1L, 10, 10L, 1L), (2L, 1L, 20, 20L, 2L)))
   }
 
+  test("leakageSafeSplit keeps every near-dup cluster in one split") {
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100
+    }
+    def splitOf(cluster: Long): String = {
+      val b = bucket(cluster)
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val docs = (1L to 40L).map((_, 10)).toDF("doc_id", "n_chars")
+    // clusters {1..4} and {20, 21}; the rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.leakageSafeSplit(docs, "doc_id", pairs,
+        "doc_a", "doc_b", trainPct = 80, valPct = 10)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    val byDoc = got.map(r => r._1 -> (r._2, r._3)).toMap
+    // cluster cohesion: min-id cluster labels, one split per cluster
+    Seq(1L, 2L, 3L, 4L).foreach(d =>
+      assert(byDoc(d) === ((1L, splitOf(1L))), s"doc $d"))
+    Seq(20L, 21L).foreach(d =>
+      assert(byDoc(d) === ((20L, splitOf(20L))), s"doc $d"))
+    // singletons hash on their own id
+    assert(byDoc(9L) === ((9L, splitOf(9L))))
+    assert(got.length === 40)
+    // the 100-bucket hash actually spreads: more than one split used
+    assert(got.map(_._3).distinct.length >= 2)
+  }
+
   test("sortedNeighborhoodPairs emits exactly the window panes") {
     // sort order by key then id: 30(c) 10(a) 20(a-tie…) — keys chosen
     // so ties exercise the id tie-break: ids 10,20 share key "a"

@@ -387,6 +387,59 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(99L -> 0))
   }
 
+  /** Driver-side earliest-arrival Bellman-Ford replica (full
+    * relaxation per round — equivalent to the engine's changed-only
+    * frontier, min being idempotent). */
+  private def refTemporal(edges: Seq[(Long, Long, Long)],
+                          seeds: Set[Long], start: Long,
+                          rounds: Int): Map[Long, Long] = {
+    var arr = seeds.map(_ -> start).toMap
+    for (_ <- 1 to rounds) {
+      val cand = edges.flatMap { case (s, d, t) =>
+        arr.get(s).filter(t >= _).map(_ => d -> t)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      arr = (arr.keySet ++ cand.keySet).map(v =>
+        v -> math.min(arr.getOrElse(v, Long.MaxValue),
+          cand.getOrElse(v, Long.MaxValue))).toMap
+    }
+    arr
+  }
+
+  test("temporal reachability refuses edges that fired too early") {
+    // 1 -(t=5)-> 2 -(t=3)-> 3: the second edge fired BEFORE the spread
+    // reaches node 2, so node 3 stays unreached; 2 -(t=9)-> 4 works
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 3L), (2L, 4L, 9L))
+    val got = Graph.temporalReachability(edges.toDF("s", "d", "ts"),
+        "s", "d", "ts", Seq(1L).toDF("node"), startTs = 0L, maxHops = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 5L, 4L -> 9L))
+  }
+
+  test("temporal reachability keeps the EARLIEST arrival") {
+    // two time-respecting routes to node 3: via 2 arriving t=7, and a
+    // direct late edge t=6 — the merge must keep 6
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 7L), (1L, 3L, 6L))
+    val got = Graph.temporalReachability(edges.toDF("s", "d", "ts"),
+        "s", "d", "ts", Seq(1L).toDF("node"), startTs = 0L, maxHops = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 2L, 3L -> 6L))
+  }
+
+  test("temporal reachability matches the replica per round cap") {
+    val rnd = new scala.util.Random(59)
+    val edges = (0 until 120).map(_ =>
+      (rnd.nextInt(15).toLong, rnd.nextInt(20).toLong,
+        rnd.nextInt(50).toLong)).filter(e => e._1 != e._2).distinct
+    val seeds = Set(0L, 5L)
+    for (cap <- Seq(0, 1, 2, 4)) {
+      val got = Graph.temporalReachability(edges.toDF("s", "d", "ts"),
+          "s", "d", "ts", seeds.toSeq.toDF("node"), startTs = 10L,
+          maxHops = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(got === refTemporal(edges, seeds, 10L, cap), s"cap=$cap")
+    }
+  }
+
   /** Driver-side replica of the integer weighted-PageRank iteration
     * (BigInt at the per-edge product, floor division — the same
     * decimal(38,0) route the engine takes). */

@@ -234,4 +234,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(analytics.giniConcentration(empty, "k", "w")
       .select("gini").as[Option[Double]].head().isEmpty)
   }
+
+  test("chiSquare is zero on an exactly independent table") {
+    // margins 6/3 × 6/3 over n=9: every E equals its O
+    val rows = Seq.fill(4)(("a1", "b1")) ++ Seq.fill(2)(("a1", "b2")) ++
+      Seq.fill(2)(("a2", "b1")) ++ Seq(("a2", "b2"))
+    val got = analytics.chiSquare(rows.toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Long)].head()
+    assert(got === ((0L, 1L, 9L)))
+  }
+
+  test("chiSquare materializes observed-zero cells") {
+    // perfectly dependent diagonal: every cell's E=1.5, χ² = 4·1.5 = 6
+    // — the two zero cells contribute half of it
+    val rows = Seq.fill(3)(("a1", "b1")) ++ Seq.fill(3)(("a2", "b2"))
+    val got = analytics.chiSquare(rows.toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Long)].head()
+    assert(got === ((6000000L, 1L, 6L)))
+  }
+
+  test("chiSquare matches a driver replica on a random table") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map(_ =>
+      (s"a${rnd.nextInt(4)}", s"b${rnd.nextInt(5)}"))
+    val o = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val as = rows.map(_._1).distinct.sorted
+    val bs = rows.map(_._2).distinct.sorted
+    val rt = as.map(a => a -> rows.count(_._1 == a).toLong).toMap
+    val ct = bs.map(b => b -> rows.count(_._2 == b).toLong).toMap
+    val n = rows.size.toLong
+    val want = as.flatMap(a => bs.map { b =>
+      val e = rt(a) * ct(b) * 1.0 / n
+      val d = o.getOrElse((a, b), 0L) - e
+      math.round(d * d / e * 1000000)
+    }).sum
+    val got = analytics.chiSquare(rows.toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Long)].head()
+    assert(got === ((want, (as.size - 1L) * (bs.size - 1L), n)))
+  }
 }

@@ -684,6 +684,54 @@ class TextSpec extends SparkSpec {
     assert(pc(("new", "york")) >= 4)
   }
 
+  test("hashingTf matches an md5 driver replica and conserves tokens") {
+    def bucket(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 64
+    }
+    val texts = Map(1L -> Seq("a", "b", "a", "c"),
+      2L -> Seq("xyz", "qq", "xyz"))
+    val docs = texts.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = Text.hashingTf(docs, "doc_id", "text", 64)
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    texts.foreach { case (id, ts) =>
+      val want = ts.groupBy(bucket).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val (bs, cs) = got(id)
+      assert(bs === want.map(_._1), s"doc $id buckets")
+      assert(cs === want.map(_._2), s"doc $id counts")
+      assert(cs.sum === ts.size.toLong, s"doc $id token conservation")
+    }
+  }
+
+  test("kmvOverlap is exact when the sketch holds the whole union") {
+    // 1-gram shingles: A={a,b,c,d}, B={c,d,e,f} → J=2/6, union 6
+    val docs = Seq(("A", "a b c d"), ("B", "c d e f"))
+      .toDF("source", "text")
+    val got = Text.kmvOverlap(docs, "source", "text",
+        shingleK = 1, k = 16)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("A", "B", 6L, 2L, 333333L, 6L)))
+  }
+
+  test("kmvOverlap estimates within the 1/sqrt(k) regime") {
+    // two 600-token vocabularies overlapping in 300 → J = 1/3,
+    // union 900. Deterministic md5 sketch: the estimate is fixed.
+    val a = (0 until 600).map(i => s"w$i").mkString(" ")
+    val b = (300 until 900).map(i => s"w$i").mkString(" ")
+    val got = Text.kmvOverlap(Seq(("A", a), ("B", b))
+        .toDF("source", "text"), "source", "text", shingleK = 1, k = 64)
+      .as[(String, String, Long, Long, Long, Long)].head()
+    val (kUsed, jMicro, union) = (got._3, got._5, got._6)
+    assert(kUsed === 64L)
+    assert(math.abs(jMicro / 1e6 - 1.0 / 3) < 0.15,
+      s"jaccard estimate off: $jMicro")
+    assert(union > 600 && union < 1350, s"union estimate off: $union")
+  }
+
   test("urlFeatures decomposes hosts, domains, paths, and queries") {
     val got = Seq(
       "https://a.blogspot.example.com/en/doc/3?ref=rss&utm=1",
