@@ -1311,6 +1311,17 @@ object ExtensionQueries {
           col("cnt"), col("sum_value"))
     }),
 
+    // incremental Markov transition counts: per-user fMGWS state holds
+    // the last event, batch-boundary steps included; probabilities are
+    // a read-time view (ranking/probability isn't incremental-safe,
+    // counts are)
+    "q_stream_markov" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_mkv").toString
+      Streams.markovStream(s, d, ckpt)
+        .orderBy("from_type", "to_type")
+    }),
+
     // incremental OHLC candles: order-insensitive min_by/max_by state
     // inside the windowed agg — same daily bars as the batch operator
     "q_stream_ohlc" -> ((s, d) => {
@@ -2171,6 +2182,24 @@ object ExtensionQueries {
                 COUNT(*) AS n_ticks,
                 SUM(CAST(value AS DECIMAL(18,2))) AS volume
          FROM w GROUP BY event_type, bar_start""",
+
+    // the streaming counts land on the same per-user step pairs as
+    // the batch operator — identical oracle
+    "q_stream_markov" ->
+      """WITH s AS (
+           SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS nxt
+           FROM events),
+         pc AS (SELECT event_type AS from_type, nxt AS to_type,
+                       COUNT(*) AS c
+                FROM s WHERE nxt IS NOT NULL
+                GROUP BY 1, 2),
+         ft AS (SELECT from_type, SUM(c) AS tot FROM pc GROUP BY 1)
+         SELECT pc.from_type, pc.to_type, pc.c,
+                CAST((pc.c * 1000000) // ft.tot AS BIGINT) AS p_micro
+         FROM pc JOIN ft USING (from_type)
+         ORDER BY from_type, to_type""",
 
     // per-user lead() step pairs; P(to|from) by integer floor division
     "q_markov_transitions" ->

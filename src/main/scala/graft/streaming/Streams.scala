@@ -804,6 +804,80 @@ object Streams {
     spark.table(sinkName)
   }
 
+  case class StepEvent(user_id: Long, ts: java.sql.Timestamp,
+                       event_id: Long, event_type: String)
+  case class LastEvent(millis: Long, nanos: Int, event_id: Long,
+                       event_type: String)
+  case class Step(from_type: String, to_type: String)
+
+  /** Streaming Markov transitions: the incremental twin of
+    * [[graft.ops.timeseries.transitionMatrix]]. Per-user
+    * `flatMapGroupsWithState` holds ONE row of state (the user's last
+    * event) and emits a (from, to) step per arriving event — so the
+    * transition COUNTS accumulate incrementally across micro-batches,
+    * including the step that straddles a batch boundary (the part a
+    * stateless per-batch lead() would drop). Probabilities are a
+    * read-time view over the counts, like [[topKStream]]'s ranking —
+    * P(to|from) isn't incremental-safe, counts are.
+    *
+    * Within an invocation events sort by (event-time millis, nanos,
+    * event_id) — exactly the batch operator's (ts, tie) order, so
+    * stream ≡ batch (StreamsSpec).
+    *
+    * @return (from_type, to_type, c, p_micro)
+    */
+  def markovStream(spark: SparkSession, dir: String, checkpoint: String,
+                   glob: String = "events.parquet"): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.option("pathGlobFilter", glob)
+      .parquet(dir).schema
+    val steps = normalizeTs(spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", glob)
+        .parquet(dir))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[StepEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Step](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, evs, state: GroupState[LastEvent]) =>
+          val sorted = evs.toSeq.sortBy(e =>
+            (e.ts.getTime, e.ts.getNanos, e.event_id))
+          val types = state.getOption.map(_.event_type).toSeq ++
+            sorted.map(_.event_type)
+          val out = types.sliding(2).collect {
+            case Seq(a, b) => Step(a, b)
+          }.toList
+          sorted.lastOption.foreach(e => state.update(LastEvent(
+            e.ts.getTime, e.ts.getNanos, e.event_id, e.event_type)))
+          out.iterator
+      }
+
+    val sinkName = "graft_markov_" + math.abs(checkpoint.hashCode)
+    val q = steps.toDF().writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // read-time view: per-from totals as a window sum over the counts
+    // (a counts⋈totals self-join over the SAME memory-sink relation
+    // hits Catalyst's conflicting-attribute check — and the window
+    // reuses the groupBy's hash partitioning, so it costs no shuffle)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy("from_type")
+    spark.table(sinkName)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum(col("c")).over(wTot))
+      .select(col("from_type"), col("to_type"), col("c"),
+        expr("(c * 1000000L) div tot").as("p_micro"))
+  }
+
   /** The same sessionization on Spark 4's `transformWithState` — the
     * current-generation arbitrary-state API (typed state variables with
     * optional TTL, timers, multiple states per key) that supersedes

@@ -48,6 +48,42 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streamed markov transitions equal the batch operator") {
+    val dir = "/root/testdata/sf0.001"
+    val ckpt = Files.createTempDirectory("graft_ckpt_mk_spec").toString
+    val streamed = Streams.markovStream(spark, dir, ckpt)
+      .as[(String, String, Long, Long)].collect().toSet
+    val batch = graft.ops.timeseries.transitionMatrix(
+        Tables.events(spark, dir), "user_id", "ts", "event_type",
+        "event_id")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("markov state carries the cross-batch boundary step") {
+    // one user, two time-ordered files: the a→b step exists ONLY as a
+    // batch-boundary handoff through fMGWS state
+    val tmp = Files.createTempDirectory("graft_mk_slices").toString
+    def file(i: Int, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val staging = Files.createTempDirectory(s"graft_mk_st_$i").toString
+      rows.toDF("event_id", "epoch", "user_id", "event_type")
+        .select(col("event_id"), col("epoch").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/ev_$i.parquet"))
+    }
+    file(0, Seq((1L, 1700000000L, 7L, "a")))
+    file(1, Seq((2L, 1700000100L, 7L, "b"), (3L, 1700000200L, 7L, "b")))
+    val ckpt = Files.createTempDirectory("graft_ckpt_mk_sl").toString
+    val got = Streams.markovStream(spark, tmp, ckpt, glob = "*.parquet")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === Set(("a", "b", 1L, 1000000L), ("b", "b", 1L, 1000000L)))
+  }
+
   test("streamed dedup emits exactly the batch-distinct key set") {
     val dir = "/root/testdata/sf0.001"
     val ckpt = Files.createTempDirectory("graft_ckpt_dd_spec").toString
