@@ -311,6 +311,53 @@ object ExtensionQueries {
           "event_type", "event_id")
         .orderBy("from_type", "to_type")),
 
+    // ---- CUSUM changepoint localization ------------------------------------
+    // per-user drift statistic, flag rows within 80% of the |CUSUM| peak;
+    // division-free integer math (n·Cₖ = n·prefixₖ − k·S in cents)
+    "q_cusum" -> ((s, d) =>
+      timeseries.cusumChangepoints(Tables.events(s, d), "user_id", "ts",
+          "event_id", "value", hotFrac10 = 8)
+        .orderBy("user_id", "k")),
+
+    // ---- seasonal hour-of-day profile --------------------------------------
+    // (event_type, hour) baseline + the single worst residual per cell;
+    // output bounded by |types|·24 rows at any corpus size
+    "q_seasonal" -> ((s, d) =>
+      timeseries.seasonalProfile(Tables.events(s, d), "event_type", "ts",
+          "event_id", "value")
+        .orderBy("series", "hr")),
+
+    // ---- 2-D Pareto skyline -------------------------------------------------
+    // parts not dominated on (size, price): per-size minima (bounded by
+    // size's value space) → tiny strict-prefix frontier → broadcast filter
+    "q_skyline" -> ((s, d) =>
+      analytics.skyline2(
+        t(s, d, "part").select(col("p_partkey"), col("p_size"),
+          col("p_retailprice").cast("decimal(18,2)").as("price")),
+        "p_size", "price")
+        .orderBy("p_partkey")),
+
+    // ---- Jaro-Winkler record linkage ---------------------------------------
+    // typo'd part names matched back to the canonical list: blocked
+    // equi-join on the first character, scored by the exact-rational
+    // native graft_jaro_winkler inside whole-stage codegen — never an
+    // unblocked all-pairs
+    "q_jaro_linkage" -> ((s, d) => {
+      val canon = t(s, d, "part").select(col("p_name").as("name"))
+        .distinct()
+      val typos = canon.select(
+        expr("concat(substr(name,1,1), substr(name,3,1), " +
+          "substr(name,2,1), substr(name,4))").as("t_name"))
+      typos.withColumn("blk", expr("substr(t_name,1,1)"))
+        .join(canon.withColumn("blk", expr("substr(name,1,1)")),
+          Seq("blk"))
+        .withColumn("jw", expr("graft_jaro_winkler(t_name, name)"))
+        .filter(col("jw") >= lit(880000L))
+        .select(col("t_name"), col("name").as("match_name"),
+          levenshtein(col("t_name"), col("name")).as("lev"))
+        .orderBy("t_name", "match_name")
+    }),
+
     // ---- sweep-line peak concurrency --------------------------------------
     // max simultaneously-open 30-day order windows per priority, via the
     // distributed prefix sum in ops.sweepline — no single-partition
@@ -2217,6 +2264,80 @@ object ExtensionQueries {
                 CAST((pc.c * 1000000) // ft.tot AS BIGINT) AS p_micro
          FROM pc JOIN ft USING (from_type)
          ORDER BY from_type, to_type""",
+
+    // per-user CUSUM scaled by n (exact integers), flag ≥80% of peak
+    "q_cusum" ->
+      """WITH c AS (
+           SELECT user_id, event_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS v_c,
+                  CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+                  SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    OVER w AS prefix,
+                  COUNT(*) OVER (PARTITION BY user_id) AS n,
+                  SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    OVER (PARTITION BY user_id) AS s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         f AS (SELECT *, n * prefix - k * s AS nc,
+                      MAX(ABS(n * prefix - k * s))
+                        OVER (PARTITION BY user_id) AS peak
+               FROM c)
+         SELECT user_id, event_id, k, v_c,
+                CAST((nc * 10000) // n AS BIGINT) AS cusum_micro
+         FROM f WHERE peak > 0 AND ABS(nc) * 10 >= peak * 8
+         ORDER BY user_id, k""",
+
+    // (type, hour) baseline; worst residual per cell by (|r·n| desc, id)
+    "q_seasonal" ->
+      """WITH c AS (
+           SELECT event_type AS series, EXTRACT(hour FROM ts) AS hr,
+                  event_id AS tie,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS v_c
+           FROM events),
+         st AS (SELECT series, hr, COUNT(*) AS n, SUM(v_c) AS s
+                FROM c GROUP BY 1, 2),
+         r AS (SELECT c.series, c.hr, c.tie, st.n, st.s,
+                      c.v_c * st.n - st.s AS rn,
+                      ROW_NUMBER() OVER (PARTITION BY c.series, c.hr
+                        ORDER BY ABS(c.v_c * st.n - st.s) DESC, c.tie)
+                        AS rk
+               FROM c JOIN st USING (series, hr))
+         SELECT series, hr, n,
+                CAST((s * 10000) // n AS BIGINT) AS mean_micro,
+                tie AS peak_tie,
+                CAST((rn * 10000) // n AS BIGINT) AS peak_res_micro
+         FROM r WHERE rk = 1
+         ORDER BY series, hr""",
+
+    // textbook NOT EXISTS dominance over (size, price)
+    "q_skyline" ->
+      """WITH pts AS (SELECT p_partkey, p_size,
+                             CAST(p_retailprice AS DECIMAL(18,2)) AS price
+                      FROM part)
+         SELECT p.p_partkey, p.p_size, p.price FROM pts p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts q
+           WHERE q.p_size <= p.p_size AND q.price <= p.price
+             AND (q.p_size < p.p_size OR q.price < p.price))
+         ORDER BY p_partkey""",
+
+    // first-char-blocked candidates, DuckDB's jaro_winkler as the gate
+    "q_jaro_linkage" ->
+      """WITH canon AS (SELECT DISTINCT p_name AS name FROM part),
+         typos AS (SELECT concat(substr(name, 1, 1), substr(name, 3, 1),
+                                 substr(name, 2, 1), substr(name, 4))
+                     AS t_name
+                   FROM canon),
+         cand AS (SELECT t.t_name, c.name
+                  FROM typos t JOIN canon c
+                    ON substr(t.t_name, 1, 1) = substr(c.name, 1, 1))
+         SELECT t_name, name AS match_name,
+                levenshtein(t_name, name) AS lev
+         FROM cand
+         WHERE jaro_winkler_similarity(t_name, name) >= 0.88
+         ORDER BY t_name, match_name""",
 
     "q_concurrency_peak" ->
       """WITH b AS (

@@ -94,6 +94,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DeflateLen].getName,
         "graft_deflate_len"),
       (children: Seq[Expression]) => DeflateLen(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerMicro].getName,
+        "graft_jaro_winkler"),
+      (children: Seq[Expression]) =>
+        JaroWinklerMicro(children.head, children(1))))
     ext.injectOptimizerRule(_ => RewriteDotProduct())
   }
 }

@@ -319,4 +319,37 @@ object analytics {
           (countDistinct(col("b")) - 1)).as("dof"),
         max(col("n")).cast("long").as("n"))
   }
+
+  /** 2-D Pareto skyline (minimize both dimensions): rows not dominated
+    * by any other row — q dominates p iff q ≤ p in both dims and q < p
+    * in at least one. The multi-objective shortlist product search and
+    * supplier ranking run ("no part is both smaller AND cheaper").
+    * Duplicate points co-survive (neither strictly beats the other),
+    * matching the textbook definition and the NOT EXISTS oracle.
+    *
+    * Plan shape — no all-pairs anything: (1) one hash aggregation
+    * shrinks the input to min(y) per distinct x — bounded by x's VALUE
+    * SPACE, not the row count; (2) the strict-prefix running min over
+    * that tiny frame localizes to one task; (3) the per-x thresholds
+    * broadcast back onto the scan, which keeps a row iff y equals its
+    * x's min and beats every smaller x's min. Survives any corpus size
+    * whose discrete dimension has bounded cardinality (sizes, grades,
+    * tiers); a continuous x needs quantization upstream.
+    */
+  def skyline2(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val minY = df.groupBy(col(xCol)).agg(min(col(yCol)).as("__my"))
+    // running min over strictly-smaller x: tiny frame (≤ |x values|),
+    // the single-task window is the reduction, not a bottleneck
+    val wPrev = Window.orderBy(col(xCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fronts = minY
+      .withColumn("__pm", min(col("__my")).over(wPrev))
+      // a per-x min survives iff no smaller x already achieved ≤ it
+      .filter(col("__pm").isNull || col("__my") < col("__pm"))
+      .select(col(xCol), col("__my"))
+    df.join(broadcast(fronts), Seq(xCol))
+      .filter(col(yCol) === col("__my"))
+      .drop("__my")
+  }
 }

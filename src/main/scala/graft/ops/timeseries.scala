@@ -212,4 +212,89 @@ object timeseries {
       .select(col("from_type"), col("to_type"), col("c"),
         expr("(c * 1000000L) div tot").as("p_micro"))
   }
+
+  /** CUSUM changepoint localization per key: the classic cumulative-sum
+    * drift statistic Cₖ = Σᵢ≤ₖ (vᵢ − μ) over each key's time-ordered
+    * values, flagging the points where |Cₖ| peaks — where the series'
+    * running mean shifted (metric drift, sensor steps, behavior
+    * changes). A key whose values hover around its mean keeps C near 0;
+    * a level shift makes |C| ramp to its maximum AT the change.
+    *
+    * Exactness: μ = S/n is a ratio, so everything is scaled by n to
+    * stay in integers — n·Cₖ = n·prefixₖ − k·S over cent-quantized
+    * values. The flag compares 10·|n·Cₖ| ≥ hotFrac10·max|n·Cₖ| (integer
+    * cross-multiplication, no division anywhere), and the reported
+    * `cusum_micro` floor-divides once at the output boundary — both
+    * engines floor identically.
+    *
+    * Plan shape: ONE shuffle on the key; the per-key n, S, prefix sums,
+    * and running max all ride the same hash-partitioned window. Keys
+    * are high-cardinality (users, not the handful of event types), so
+    * partitions stay human-scale at any corpus size.
+    *
+    * @param hotFrac10 flag threshold in tenths of the peak (8 = ≥80%)
+    * @return flagged rows: (key, tie, k, value_c, cusum_micro)
+    */
+  def cusumChangepoints(events: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, valueCol: String,
+                        hotFrac10: Int): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val wAll = Window.partitionBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cents = events.select(col(keyCol), col(tsCol), col(tieCol),
+      (col(valueCol).cast("decimal(18,2)") * lit(100))
+        .cast("long").as("v_c"))
+    cents
+      .withColumn("k", row_number().over(wOrd))
+      .withColumn("prefix", sum(col("v_c")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("v_c")).over(wAll))
+      // n·Cₖ in cents — exact integers throughout
+      .withColumn("nc", col("n") * col("prefix") - col("k") * col("s"))
+      .withColumn("peak", max(abs(col("nc"))).over(wAll))
+      .filter(col("peak") > 0 &&
+        abs(col("nc")) * 10 >= col("peak") * hotFrac10)
+      .select(col(keyCol), col(tieCol), col("k").cast("long").as("k"),
+        col("v_c"), expr("(nc * 10000L) div n").as("cusum_micro"))
+  }
+
+  /** Seasonal profile with peak-residual localization: for each
+    * (series, hour-of-day) cell, the cell's size, exact mean, and the
+    * single observation that deviates most from the cell baseline — the
+    * additive-seasonality decomposition consumed by anomaly triage
+    * ("checkout latency at 3am is 2× its seasonal norm, worst at event
+    * 17 231"). Output is one row per cell, bounded by |series|·24
+    * regardless of corpus size.
+    *
+    * Exactness: the baseline mean is S/n; residuals are compared scaled
+    * by n (rᵢ·n = vᵢ·n − S, integers in cents), and ties on |r·n| break
+    * to the smallest tie id via one `min(struct(−|rn|, tie))` hash
+    * aggregate — no window, no second shuffle: the whole operator is
+    * two map-side-combined hash aggregations on the (series, hour)
+    * cell key.
+    *
+    * @return (series, hour, n, mean_micro, peak_tie, peak_res_micro)
+    */
+  def seasonalProfile(events: DataFrame, seriesCol: String, tsCol: String,
+                      tieCol: String, valueCol: String): DataFrame = {
+    val cents = events.select(col(seriesCol).as("series"),
+      hour(col(tsCol)).as("hr"), col(tieCol).as("tie"),
+      (col(valueCol).cast("decimal(18,2)") * lit(100))
+        .cast("long").as("v_c"))
+    // residuals need the cell's own (n, s): aggregate the tiny cell
+    // stats (≤ |series|·24 rows) and broadcast them back onto the raw
+    // stream — never a per-cell collect
+    val stats = cents.groupBy("series", "hr")
+      .agg(count(lit(1)).as("n"), sum(col("v_c")).as("s"))
+    cents.join(broadcast(stats), Seq("series", "hr"))
+      .withColumn("rn", col("v_c") * col("n") - col("s"))
+      .groupBy("series", "hr")
+      .agg(max(col("n")).as("n"), max(col("s")).as("s_tot"),
+        min(struct(-abs(col("rn")), col("tie"), col("rn"))).as("m"))
+      .select(col("series"), col("hr"), col("n"),
+        expr("(s_tot * 10000L) div n").as("mean_micro"),
+        col("m.tie").as("peak_tie"),
+        expr("(m.rn * 10000L) div n").as("peak_res_micro"))
+  }
 }

@@ -272,4 +272,28 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(got === ((want, (as.size - 1L) * (bs.size - 1L), n)))
   }
+
+  test("skyline2 equals the naive dominance filter on random points") {
+    val rnd = new scala.util.Random(11)
+    val pts = (1L to 300L).map(id =>
+      (id, rnd.nextInt(12), rnd.nextInt(40).toLong))
+    val naive = pts.filter { case (_, px, py) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx <= px && qy <= py && (qx < px || qy < py)
+      }
+    }.toSet
+    val got = analytics.skyline2(pts.toDF("id", "x", "y"), "x", "y")
+      .select("id", "x", "y")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
+
+  test("skyline2 co-keeps duplicate points and an all-duplicates input") {
+    val dup = Seq((1L, 3, 5L), (2L, 3, 5L), (3L, 3, 5L))
+    val got = analytics.skyline2(dup.toDF("id", "x", "y"), "x", "y")
+      .select("id", "x", "y")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === dup.toSet)
+  }
 }

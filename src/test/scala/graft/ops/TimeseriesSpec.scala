@@ -199,4 +199,77 @@ class TimeseriesSpec extends SparkSpec {
       ("b", "b", 1L, 333333L),
       ("b", "c", 1L, 333333L)))
   }
+
+  test("cusumChangepoints peaks exactly at a planted level shift") {
+    // user 1: eight 10.00s then eight 20.00s — |CUSUM| peaks at k=8;
+    // user 2: constant series — every n·Cₖ is 0, nothing flagged
+    val rows =
+      (1 to 8).map(i => (1L, i.toLong, i.toLong, 10.0)) ++
+      (9 to 16).map(i => (1L, i.toLong, i.toLong, 20.0)) ++
+      (1 to 5).map(i => (2L, i.toLong, 100L + i, 7.0))
+    val ev = rows.toDF("u", "epoch", "id", "v")
+      .select(col("u"), col("epoch").cast("timestamp").as("ts"),
+        col("id"), col("v"))
+    val got = timeseries.cusumChangepoints(ev, "u", "ts", "id", "v",
+        hotFrac10 = 10)  // flag only the exact peak
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // peak: k=8, prefix=8000c, n=16, S=24000c → n·C = 16·8000−8·24000
+    // = −64000 → C = −4000c = −40.00 → −40 000 000 micro-dollars
+    assert(got.toSeq === Seq((1L, 8L, 8L, 1000L, -40000000L)))
+  }
+
+  test("cusum flags match the naive per-row definition") {
+    val rnd = new scala.util.Random(7)
+    val rows = for (u <- 1L to 5L; k <- 1L to 20L)
+      yield (u, k, u * 100 + k, math.round(rnd.nextDouble() * 1e4) / 1e2)
+    val ev = rows.toDF("u", "epoch", "id", "v")
+      .select(col("u"), col("epoch").cast("timestamp").as("ts"),
+        col("id"), col("v"))
+    val got = timeseries.cusumChangepoints(ev, "u", "ts", "id", "v", 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (u, g) =>
+      val vs = g.sortBy(_._2).map(r => math.round(r._4 * 100))
+      val n = vs.size.toLong
+      val s = vs.sum
+      val ncs = vs.inits.toSeq.reverse.tail.zipWithIndex.map {
+        case (pre, i) => (i + 1L, n * pre.sum - (i + 1) * s)
+      }
+      val peak = ncs.map(x => math.abs(x._2)).max
+      if (peak == 0) Seq.empty
+      else ncs.filter(x => math.abs(x._2) * 10 >= peak * 8).map {
+        case (k, nc) =>
+          (u, g.sortBy(_._2).apply(k.toInt - 1)._3, k,
+            vs(k.toInt - 1), floorDiv0(nc * 10000L, n))
+      }
+    }.toSet
+    assert(got === want)
+  }
+
+  // Spark's `div` truncates toward zero (matches DuckDB `//`)
+  private def floorDiv0(a: Long, b: Long): Long = a / b
+
+  test("seasonalProfile: exact cell means and worst residual, tie → min id") {
+    // cell (t, hour 0): values 1.00, 2.00, 4.00 → mean 7/3, worst
+    // residual 4.00 (rn = 400·3 − 700 = +500); cell (t, hour 1):
+    // symmetric ±3.00 around 5.00 — tie on |rn|, min id wins
+    val base = 1700000000L  // hour boundary-aligned epoch
+    val h0 = base - base % 86400
+    val ev = Seq(
+      ("t", h0 + 10, 1L, 1.0), ("t", h0 + 20, 2L, 2.0),
+      ("t", h0 + 30, 3L, 4.0),
+      ("t", h0 + 3600, 4L, 2.0), ("t", h0 + 3601, 5L, 8.0),
+      ("t", h0 + 3602, 6L, 5.0))
+      .toDF("typ", "epoch", "id", "v")
+      .select(col("typ"), col("epoch").cast("timestamp").as("ts"),
+        col("id"), col("v"))
+    val got = timeseries.seasonalProfile(ev, "typ", "ts", "id", "v")
+      .as[(String, Int, Long, Long, Long, Long)].collect().toSet
+    // h0: n=3, S=700c → mean 233.33c = 2 333 333 µ$; rn(4.00)=500c →
+    //   res 500/3 c = 1 666 666 µ$
+    // h1: n=3, S=1500c → mean 5 000 000 µ$; |rn|=900 twice → id 4,
+    //   rn=−900 → res −3 000 000 µ$
+    assert(got === Set(
+      ("t", 0, 3L, 2333333L, 3L, 1666666L),
+      ("t", 1, 3L, 5000000L, 4L, -3000000L)))
+  }
 }
