@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.graph.Graph
 import graft.multimodal.Multimodal
-import graft.ops.{analytics, asof, baskets, expectations, rangejoin, sweepline, timeseries}
+import graft.ops.{analytics, asof, baskets, expectations, rangejoin, sketches, sweepline, timeseries}
 import graft.similarity.{LabelEval, Similarity}
 import graft.sources.{Layout, StagedSources}
 import graft.streaming.Streams
@@ -326,6 +326,23 @@ object ExtensionQueries {
       timeseries.seasonalProfile(Tables.events(s, d), "event_type", "ts",
           "event_id", "value")
         .orderBy("series", "hr")),
+
+    // ---- count-min sketch ---------------------------------------------------
+    // mergeable 4×256 frequency sketch over user activity; top-25 keys by
+    // point estimate, true count alongside (est ≥ true, always) — the
+    // sketch is 1024 additive cells, broadcast at probe time
+    "q_cms_topk" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sketch = sketches.cmsBuild(ev, "user_id", depth = 4,
+        width = 256)
+      val est = sketches.cmsEstimate(sketch,
+        ev.select("user_id").distinct(), "user_id", depth = 4,
+        width = 256)
+      est.join(ev.groupBy("user_id").agg(count(lit(1)).as("true_c")),
+          Seq("user_id"))
+        .orderBy(desc("est"), col("user_id"))
+        .limit(25)
+    }),
 
     // ---- 2-D Pareto skyline -------------------------------------------------
     // parts not dominated on (size, price): per-size minima (bounded by
@@ -750,6 +767,28 @@ object ExtensionQueries {
         .groupBy("hops")
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
         .orderBy("hops")
+    }),
+
+    // ---- weighted single-source shortest paths ------------------------------
+    // min total quantity-cost from any seed customer over the symmetrized
+    // trade graph; changed-only Bellman-Ford frontier, integer weights
+    "q_sssp" -> ((s, d) => {
+      val e = t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("a"),
+          (col("l_suppkey") + 10000000L).as("b"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      val sym = e.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst"),
+          col("w")))
+      val seeds = sym.select(col("src").as("node")).distinct()
+        .filter(col("node") < 10000000L && col("node") % 100 === 0)
+      Graph.shortestPaths(sym, "src", "dst", "w", seeds, maxRounds = 4)
+        .groupBy(expr("dist div 5").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("node")).as("node_sum"), min(col("dist")).as("min_dist"))
+        .orderBy("bucket")
     }),
 
     // ---- HITS hubs & authorities over the DIRECTED trade graph ------------
@@ -2311,6 +2350,25 @@ object ExtensionQueries {
          FROM r WHERE rk = 1
          ORDER BY series, hr""",
 
+    // same salted-md5 cells; estimate = min over the key's 4 cells
+    "q_cms_topk" ->
+      """WITH keys AS (SELECT user_id, COUNT(*) AS true_c
+                       FROM events GROUP BY 1),
+         pairs AS (SELECT k.user_id, s.seed,
+                          ('0x' || substr(md5(s.seed::VARCHAR || ':' ||
+                            k.user_id::VARCHAR), 1, 8))::BIGINT % 256
+                            AS bucket
+                   FROM keys k, (SELECT unnest(range(4)) AS seed) s),
+         cells AS (SELECT p.seed, p.bucket, SUM(k.true_c) AS c
+                   FROM pairs p JOIN keys k USING (user_id)
+                   GROUP BY 1, 2),
+         est AS (SELECT p.user_id, MIN(c.c) AS est
+                 FROM pairs p JOIN cells c USING (seed, bucket)
+                 GROUP BY 1)
+         SELECT e.user_id, e.est, k.true_c
+         FROM est e JOIN keys k USING (user_id)
+         ORDER BY e.est DESC, e.user_id LIMIT 25""",
+
     // textbook NOT EXISTS dominance over (size, price)
     "q_skyline" ->
       """WITH pts AS (SELECT p_partkey, p_size,
@@ -3073,6 +3131,44 @@ object ExtensionQueries {
          SELECT hops, COUNT(*) AS n_nodes,
                 CAST(SUM(node) AS BIGINT) AS node_sum
          FROM allh GROUP BY hops ORDER BY hops""",
+
+    // Bellman-Ford unrolled 4 full-relaxation rounds — equivalent to the
+    // changed-only frontier (min is idempotent; unchanged nodes'
+    // contributions were already merged)
+    "q_sssp" ->
+      """WITH e0 AS (
+           SELECT o_custkey AS a, l_suppkey + 10000000 AS b,
+                  SUM(CAST(l_quantity AS BIGINT)) AS w
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2),
+         e AS (SELECT a AS src, b AS dst, w FROM e0
+               UNION ALL SELECT b, a, w FROM e0),
+         r0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+                FROM e WHERE src < 10000000 AND src % 100 = 0),
+         r1 AS (SELECT node, MIN(dist) AS dist FROM (
+                  SELECT node, dist FROM r0
+                  UNION ALL
+                  SELECT e.dst, r0.dist + e.w FROM r0
+                  JOIN e ON e.src = r0.node) GROUP BY 1),
+         r2 AS (SELECT node, MIN(dist) AS dist FROM (
+                  SELECT node, dist FROM r1
+                  UNION ALL
+                  SELECT e.dst, r1.dist + e.w FROM r1
+                  JOIN e ON e.src = r1.node) GROUP BY 1),
+         r3 AS (SELECT node, MIN(dist) AS dist FROM (
+                  SELECT node, dist FROM r2
+                  UNION ALL
+                  SELECT e.dst, r2.dist + e.w FROM r2
+                  JOIN e ON e.src = r2.node) GROUP BY 1),
+         r4 AS (SELECT node, MIN(dist) AS dist FROM (
+                  SELECT node, dist FROM r3
+                  UNION ALL
+                  SELECT e.dst, r3.dist + e.w FROM r3
+                  JOIN e ON e.src = r3.node) GROUP BY 1)
+         SELECT dist // 5 AS bucket, COUNT(*) AS n_nodes,
+                CAST(SUM(node) AS BIGINT) AS node_sum,
+                MIN(dist) AS min_dist
+         FROM r4 GROUP BY 1 ORDER BY 1""",
 
     // HITS unrolled 2 iterations: integer scores, L1-normalized to 1e12
     // per round in HUGEINT (raw·1e12 exceeds BIGINT), floor division

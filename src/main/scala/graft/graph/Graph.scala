@@ -960,6 +960,74 @@ object Graph {
     state
   }
 
+  /** Multi-source single-source-shortest-paths over non-negative
+    * INTEGER edge weights — the weighted companion to [[bfsHops]]
+    * ("cheapest total lead time / cost / latency from any seed"),
+    * the primitive under supply-chain cost attribution and
+    * weighted-proximity features.
+    *
+    * Distributed Bellman-Ford with a CHANGED-ONLY frontier, exactly
+    * the [[temporalReachability]] shape: state is one (node, dist)
+    * row per REACHED node; round k relaxes only edges out of nodes
+    * whose distance improved in round k−1 (candidate = dist(src) + w,
+    * min-merged into the state), and the loop stops the first round
+    * that improves nobody — the observed `n_changed` metric rides the
+    * round's own staging action, zero extra jobs. Frontier-only
+    * relaxation is lossless (an unchanged node's out-contributions
+    * were merged the round after it last changed; min is idempotent),
+    * and each round's state equals full Bellman-Ford's after the same
+    * number of rounds — which is what makes the unrolled SQL oracle
+    * possible. All-integer distances: exact, associative.
+    *
+    * At 100 TB: edge list staged once, pre-partitioned on `src`, so
+    * every round's join reuses the layout and only the node-sized
+    * frontier shuffles; state never exceeds one row per reached node.
+    *
+    * @param seeds     one column `node`; all seeds start at dist 0
+    * @param maxRounds cap on path length in edges (rounds)
+    * @return (node: long, dist: long) — min cost from any seed
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    wCol: String, seeds: DataFrame,
+                    maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0, s"maxRounds must be >= 0: $maxRounds")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      col(wCol).cast("long").as("w"))
+      .repartition(col("src")).stage()
+    var state = seeds.select(col("node").cast("long").as("node"))
+      .distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .stage()
+    if (state.isEmpty) return state
+    var frontier = state
+    var round = 0
+    while (round < maxRounds) {
+      val cand = e.join(frontier.select(col("node").as("src"),
+          col("dist").as("src_dist")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("src_dist") + col("w")).as("cand"))
+      val merged = state.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(col("dist"), col("cand")).as("dist"),
+          coalesce(col("cand") < col("dist"),
+            col("dist").isNull).as("changed"))
+      val (staged, row) = graft.Staging.stageObserved(merged,
+        coalesce(sum(when(col("changed"), 1L)), lit(0L)).cast("long")
+          .as("n_changed"))
+      state = staged.select(col("node"), col("dist"))
+      if (row("n_changed").asInstanceOf[Long] == 0L) {
+        log.info(s"shortestPaths: fixpoint after ${round + 1} rounds " +
+          s"(cap $maxRounds)")
+        return state
+      }
+      frontier = staged.filter(col("changed"))
+        .select(col("node"), col("dist"))
+      round += 1
+    }
+    state
+  }
+
   /** Multi-source BFS hop distance: the minimum number of directed
     * edges from ANY seed to each reachable node — "how far is this
     * page from the trusted whitelist", the reachability companion to

@@ -634,4 +634,53 @@ class GraphSpec extends SparkSpec {
     // 30 rounds is far past convergence on 25 nodes; 40 must agree
     assert(runRounds(30) === runRounds(40))
   }
+
+  test("shortestPaths: hand graph — cheaper 2-hop beats direct edge") {
+    // 1→2 w10 direct, but 1→3 w2 + 3→2 w3 = 5 is cheaper; 4 unreachable
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L),
+      (4L, 5L, 1L))
+    val got = Graph.shortestPaths(edges.toDF("s", "d", "w"), "s", "d",
+        "w", Seq(1L).toDF("node"), maxRounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 5L, 3L -> 2L))
+  }
+
+  test("shortestPaths equals naive Bellman-Ford on random graphs") {
+    val rnd = new scala.util.Random(17)
+    val edges = (0 until 150).map(_ => (rnd.nextInt(30).toLong,
+      rnd.nextInt(30).toLong, rnd.nextInt(9).toLong + 1))
+      .filter(e => e._1 != e._2).distinct
+    val seeds = Seq(0L, 7L)
+    def naive(rounds: Int): Map[Long, Long] = {
+      var dist = seeds.map(_ -> 0L).toMap
+      (0 until rounds).foreach { _ =>
+        val cand = edges.flatMap { case (s, d, w) =>
+          dist.get(s).map(ds => d -> (ds + w))
+        }.groupBy(_._1).map { case (n, cs) => n -> cs.map(_._2).min }
+        dist = (dist.keySet ++ cand.keySet).map { n =>
+          n -> math.min(dist.getOrElse(n, Long.MaxValue),
+            cand.getOrElse(n, Long.MaxValue))
+        }.toMap
+      }
+      dist
+    }
+    for (rounds <- Seq(1, 2, 4)) {
+      val got = Graph.shortestPaths(edges.toDF("s", "d", "w"), "s", "d",
+          "w", seeds.toDF("node"), maxRounds = rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(got === naive(rounds), s"rounds=$rounds")
+    }
+  }
+
+  test("shortestPaths fixpoint early-stop equals a longer run") {
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 100).map(_ => (rnd.nextInt(20).toLong,
+      rnd.nextInt(20).toLong, rnd.nextInt(5).toLong + 1))
+      .filter(e => e._1 != e._2).distinct
+    def run(r: Int) =
+      Graph.shortestPaths(edges.toDF("s", "d", "w"), "s", "d", "w",
+          Seq(0L).toDF("node"), maxRounds = r)
+        .as[(Long, Long)].collect().toMap
+    assert(run(25) === run(40))
+  }
 }

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(3)
+  private val items = (1 to 2000).map(_ =>
+    ("k" + rnd.nextInt(50)).hashCode.toLong % 97)
+
+  test("cms point estimates never under-count and are exact when wide") {
+    val df = items.toDF("k")
+    val truth = items.groupBy(identity).map { case (k, g) =>
+      k -> g.size.toLong
+    }
+    // narrow sketch: collisions expected, estimates must only inflate
+    val narrow = sketches.cmsEstimate(
+      sketches.cmsBuild(df, "k", depth = 4, width = 16),
+      df.distinct(), "k", depth = 4, width = 16)
+      .as[(Long, Long)].collect().toMap
+    truth.foreach { case (k, c) =>
+      assert(narrow(k) >= c, s"under-count at $k: ${narrow(k)} < $c")
+    }
+    // wide sketch: collision-free at this key count → exact
+    val wide = sketches.cmsEstimate(
+      sketches.cmsBuild(df, "k", depth = 4, width = 4096),
+      df.distinct(), "k", depth = 4, width = 4096)
+      .as[(Long, Long)].collect().toMap
+    truth.foreach { case (k, c) =>
+      assert(wide(k) === c, s"wide sketch inexact at $k")
+    }
+  }
+
+  test("cms sketches merge additively: shard-union equals whole-build") {
+    val (a, b) = items.splitAt(900)
+    val merged = sketches.cmsBuild(a.toDF("k"), "k", 4, 64)
+      .unionAll(sketches.cmsBuild(b.toDF("k"), "k", 4, 64))
+      .groupBy("seed", "bucket").agg(sum("c").as("c"))
+    val whole = sketches.cmsBuild(items.toDF("k"), "k", 4, 64)
+    val diff = merged.join(whole, Seq("seed", "bucket"), "full_outer")
+      .filter(merged("c") =!= whole("c") ||
+        merged("c").isNull || whole("c").isNull)
+    assert(diff.count() === 0)
+  }
+}
