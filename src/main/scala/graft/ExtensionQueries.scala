@@ -769,6 +769,44 @@ object ExtensionQueries {
         .orderBy("hops")
     }),
 
+    // ---- exact ROC-AUC by rank sum -------------------------------------------
+    // does event value predict 'purchase'? Mann-Whitney over cent-
+    // quantized scores, tie blocks exact — distinct-score frame, never a
+    // per-row rank
+    "q_auc_rank" -> ((s, d) =>
+      LabelEval.aucRank(
+        Tables.events(s, d).select(
+          (col("value").cast("decimal(18,2)") * lit(100))
+            .cast("long").as("score_c"),
+          (col("event_type") === "purchase").as("is_pos")),
+        "score_c", "is_pos")),
+
+    // ---- sequential 2-patterns ----------------------------------------------
+    // ∃ a-event before b-event per user — order-aware pair support, the
+    // GSP/PrefixSpan length-2 level; first/last extrema only, never events²
+    "q_seq_patterns" -> ((s, d) =>
+      baskets.sequentialPairs(Tables.events(s, d), "user_id",
+          "event_type", "ts", "event_id")
+        .orderBy("from_type", "to_type")),
+
+    // ---- harmonic centrality from landmarks ---------------------------------
+    // Σ_landmarks 1/d over per-landmark BFS distances (hops ≤ 3), top-30
+    // nodes — landmark state is k·reach rows, k sampled small
+    "q_harmonic" -> ((s, d) => {
+      val e = sharedTradeEdges(s, d)
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = sym.select(col("src").as("node")).distinct()
+        .filter(col("node") < 10000000L && col("node") % 500 === 0)
+      Graph.landmarkDistances(sym, "src", "dst", seeds, maxHops = 3)
+        .filter(col("hops") > 0)
+        .groupBy("node")
+        .agg(sum(expr("1000000 div hops")).as("h_micro"),
+          count(lit(1)).as("n_lm"))
+        .orderBy(desc("h_micro"), col("node"))
+        .limit(30)
+    }),
+
     // ---- weighted single-source shortest paths ------------------------------
     // min total quantity-cost from any seed customer over the symmetrized
     // trade graph; changed-only Bellman-Ford frontier, integer weights
@@ -3131,6 +3169,87 @@ object ExtensionQueries {
          SELECT hops, COUNT(*) AS n_nodes,
                 CAST(SUM(node) AS BIGINT) AS node_sum
          FROM allh GROUP BY hops ORDER BY hops""",
+
+    // rank-sum identity on distinct-score tie blocks; 2R⁺ stays integer
+    "q_auc_rank" ->
+      """WITH sc AS (
+           SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS s,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS pos
+           FROM events),
+         blk AS (SELECT s, COUNT(*) AS cnt, SUM(pos) AS pos
+                 FROM sc GROUP BY 1),
+         pre AS (SELECT s, cnt, pos,
+                        COALESCE(SUM(cnt) OVER (ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS cum
+                 FROM blk),
+         agg AS (SELECT SUM(pos * (2 * cum + cnt + 1)) AS r2,
+                        SUM(pos) AS p, SUM(cnt - pos) AS n
+                 FROM pre)
+         SELECT CAST(p AS BIGINT) AS p, CAST(n AS BIGINT) AS n,
+                CAST(((r2 - p * (p + 1)) * 1000000) // (2 * p * n)
+                  AS BIGINT) AS auc_micro
+         FROM agg""",
+
+    // first/last extrema per (user, type) via two row_numbers; pair join
+    // on the user key; floor-div micros over distinct-user count
+    "q_seq_patterns" ->
+      """WITH ord AS (
+           SELECT user_id AS k, event_type AS typ, ts, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS rf,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rl
+           FROM events),
+         ext AS (SELECT k, typ,
+                        MAX(CASE WHEN rf = 1 THEN ts END) AS f_ts,
+                        MAX(CASE WHEN rf = 1 THEN event_id END) AS f_tie,
+                        MAX(CASE WHEN rl = 1 THEN ts END) AS l_ts,
+                        MAX(CASE WHEN rl = 1 THEN event_id END) AS l_tie
+                 FROM ord GROUP BY 1, 2),
+         tot AS (SELECT COUNT(DISTINCT k) AS n_tot FROM ext),
+         p AS (SELECT a.typ AS from_type, b.typ AS to_type,
+                      COUNT(*) AS n_seq
+               FROM ext a JOIN ext b ON a.k = b.k AND a.typ <> b.typ
+               WHERE a.f_ts < b.l_ts
+                  OR (a.f_ts = b.l_ts AND a.f_tie < b.l_tie)
+               GROUP BY 1, 2)
+         SELECT from_type, to_type, n_seq,
+                CAST((n_seq * 1000000) // n_tot AS BIGINT)
+                  AS support_micro
+         FROM p, tot
+         ORDER BY from_type, to_type""",
+
+    // per-landmark BFS unrolled 3 rounds; harmonic = Σ 10⁶ // hops
+    "q_harmonic" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM e0
+               UNION ALL SELECT b, a FROM e0),
+         d0 AS (SELECT DISTINCT src AS lm, src AS node FROM e
+                WHERE src < 10000000 AND src % 500 = 0),
+         d1 AS (SELECT DISTINCT d0.lm, e.dst AS node
+                FROM d0 JOIN e ON e.src = d0.node
+                EXCEPT SELECT lm, node FROM d0),
+         d2 AS (SELECT DISTINCT d1.lm, e.dst AS node
+                FROM d1 JOIN e ON e.src = d1.node
+                EXCEPT (SELECT lm, node FROM d0
+                        UNION ALL SELECT lm, node FROM d1)),
+         d3 AS (SELECT DISTINCT d2.lm, e.dst AS node
+                FROM d2 JOIN e ON e.src = d2.node
+                EXCEPT (SELECT lm, node FROM d0
+                        UNION ALL SELECT lm, node FROM d1
+                        UNION ALL SELECT lm, node FROM d2)),
+         allh AS (SELECT lm, node, 1 AS hops FROM d1
+                  UNION ALL SELECT lm, node, 2 FROM d2
+                  UNION ALL SELECT lm, node, 3 FROM d3)
+         SELECT node, CAST(SUM(1000000 // hops) AS BIGINT) AS h_micro,
+                COUNT(*) AS n_lm
+         FROM allh GROUP BY 1
+         ORDER BY h_micro DESC, node LIMIT 30""",
 
     // Bellman-Ford unrolled 4 full-relaxation rounds — equivalent to the
     // changed-only frontier (min is idempotent; unchanged nodes'

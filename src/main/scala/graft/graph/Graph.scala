@@ -1028,6 +1028,57 @@ object Graph {
     state
   }
 
+  /** Per-landmark BFS distances: hop distance from EACH of k landmark
+    * nodes separately — the state behind landmark-based centrality and
+    * distance-oracle features (Potamias et al. '09): harmonic
+    * centrality Σ 1/d, closeness approximations, and "distance to the
+    * k trusted hubs" features all read off this frame.
+    *
+    * Same changed-frontier rounds as [[bfsHops]], with the landmark id
+    * carried through the traversal: state is one (lm, node, hops) row
+    * per (landmark, reached node) pair — k·reach rows, k bounded by the
+    * landmark SAMPLE (you pick tens of landmarks, not |V|). Each round
+    * joins the frontier against the once-staged src-partitioned edge
+    * list and anti-joins the settled set on (lm, node); the observed
+    * `n_new` stops the loop at fixpoint with zero extra jobs.
+    *
+    * @param seeds one column `node`: the landmarks (lm = the node)
+    * @return (lm: long, node: long, hops: int)
+    */
+  def landmarkDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                        seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .repartition(col("src")).stage()
+    var settled = seeds.select(col("node").cast("long").as("node"))
+      .distinct()
+      .select(col("node").as("lm"), col("node"), lit(0).as("hops"))
+      .stage()
+    if (settled.isEmpty) return settled
+    var frontier = settled
+    var hop = 0
+    while (hop < maxHops) {
+      val reached = e.join(frontier.select(col("lm"),
+          col("node").as("src")), Seq("src"))
+        .select(col("lm"), col("dst").as("node")).distinct()
+        .join(settled.select("lm", "node"), Seq("lm", "node"),
+          "left_anti")
+        .select(col("lm"), col("node"), lit(hop + 1).as("hops"))
+      val (stagedFrontier, row) = graft.Staging.stageObserved(reached,
+        count(lit(1)).as("n_new"))
+      frontier = stagedFrontier
+      if (row("n_new").asInstanceOf[Long] == 0L) {
+        log.info(s"landmarkDistances: frontier empty after ${hop + 1} " +
+          s"rounds (cap $maxHops)")
+        return settled
+      }
+      settled = settled.unionAll(frontier).stage()
+      hop += 1
+    }
+    settled
+  }
+
   /** Multi-source BFS hop distance: the minimum number of directed
     * edges from ANY seed to each reachable node — "how far is this
     * page from the trusted whitelist", the reachability companion to

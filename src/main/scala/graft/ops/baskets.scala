@@ -93,4 +93,45 @@ object baskets {
                            / (cast(sup_a as double) * sup_c)) as bigint)""")
           .as("lift_micro"))
   }
+
+  /** Sequential 2-patterns: for each ordered type pair (a → b), the
+    * number of sequences (users) where SOME a-event strictly precedes
+    * SOME b-event — the order-aware counterpart of [[pairSupports]]
+    * (co-occurrence ignores time; "signup before purchase" and
+    * "purchase before signup" are different patterns). The GSP/
+    * PrefixSpan length-2 support, which is the level every practical
+    * sequence-mining pass prunes on first.
+    *
+    * ∃ aᵢ ≺ bⱼ ⇔ first(a) ≺ last(b), so each (key, type) needs only
+    * its first and last occurrence under the (ts, tie) order: one hash
+    * agg shrinks the corpus to ≤ |keys|·|types| rows, and the per-key
+    * pair join is bounded by the TYPE space squared per key — never
+    * events². Support ratios are integer micros over the sequence
+    * count.
+    *
+    * @return (from_type, to_type, n_seq, support_micro)
+    */
+  def sequentialPairs(events: DataFrame, keyCol: String, typeCol: String,
+                      tsCol: String, tieCol: String): DataFrame = {
+    val ext = events.groupBy(col(keyCol).as("k"), col(typeCol).as("typ"))
+      .agg(min(struct(col(tsCol).as("ts"), col(tieCol).as("tie")))
+          .as("first"),
+        max(struct(col(tsCol).as("ts"), col(tieCol).as("tie")))
+          .as("last"))
+      .stage()
+    val tot = ext.agg(countDistinct(col("k")).as("n_tot"))
+    val a = ext.select(col("k"), col("typ").as("from_type"),
+      col("first"))
+    val b = ext.select(col("k"), col("typ").as("to_type"), col("last"))
+    a.join(b, Seq("k"))
+      .filter(col("from_type") =!= col("to_type") &&
+        (col("first.ts") < col("last.ts") ||
+          (col("first.ts") === col("last.ts") &&
+            col("first.tie") < col("last.tie"))))
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_seq"))
+      .crossJoin(broadcast(tot)) // one-row totals frame
+      .select(col("from_type"), col("to_type"), col("n_seq"),
+        expr("(n_seq * 1000000L) div n_tot").as("support_micro"))
+  }
 }

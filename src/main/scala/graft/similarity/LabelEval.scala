@@ -205,6 +205,46 @@ object LabelEval {
     pred.groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n"))
 
+  /** Exact ROC-AUC by the Mann-Whitney rank-sum identity:
+    * AUC = (R⁺ − P(P+1)/2)/(P·N) with R⁺ the sum of the positives'
+    * mid-ranks under ascending score — the standard threshold-free
+    * quality score for any scorer (quality filters, dedup confidences,
+    * rerankers) against a binary label.
+    *
+    * Tie handling is EXACT: ranks never materialize per row. One hash
+    * agg shrinks the corpus to (score, cnt, pos) per DISTINCT score —
+    * bounded by the score's value space (integer cents/micros), not the
+    * row count — then a prefix sum over that tiny frame gives each tie
+    * block's cumulative offset, and 2R⁺ = Σ pos·(2·cum + cnt + 1) stays
+    * in integers (mid-rank halves cancel against the factor 2). The
+    * single-task window over distinct scores is the reduction, not a
+    * bottleneck. Exact while 2R⁺·10⁶ < 2⁶³ (≈ 3·10⁹ scored rows);
+    * beyond that, swap the output step to decimal(38,0).
+    *
+    * @param scoreCol integer-quantized score (quantize upstream)
+    * @param posCol   boolean / 0-1 positive indicator
+    * @return one row (p, n, auc_micro); auc_micro null if P·N = 0
+    */
+  def aucRank(scored: DataFrame, scoreCol: String,
+              posCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = scored.groupBy(col(scoreCol).cast("long").as("s"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(posCol).cast("long")).as("pos"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .agg(
+        sum(col("pos") * (lit(2L) * col("cum") + col("cnt") + 1L))
+          .as("r2"),
+        sum(col("pos")).as("p"),
+        sum(col("cnt") - col("pos")).as("n"))
+      .select(col("p"), col("n"),
+        expr("((r2 - p * (p + 1)) * 1000000L) div (2 * p * n)")
+          .as("auc_micro"))
+  }
+
   /** Cohen's kappa (Cohen '60) over a (label, pred) frame: agreement
     * corrected for chance, κ = (p_o − p_e) / (1 − p_e) with
     * p_e = Σ_c (row_c/N)(col_c/N) — the standard chance-corrected

@@ -683,4 +683,37 @@ class GraphSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
     assert(run(25) === run(40))
   }
+
+  test("landmarkDistances keeps per-landmark hop counts separate") {
+    // path graph 1−2−3−4 (symmetrized); landmarks 1 and 4 see the same
+    // nodes at different distances
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (e0 ++ e0.map(_.swap)).toDF("s", "d")
+    val got = Graph.landmarkDistances(edges, "s", "d",
+        Seq(1L, 4L).toDF("node"), maxHops = 3)
+      .as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(
+      (1L, 1L) -> 0, (1L, 2L) -> 1, (1L, 3L) -> 2, (1L, 4L) -> 3,
+      (4L, 4L) -> 0, (4L, 3L) -> 1, (4L, 2L) -> 2, (4L, 1L) -> 3))
+  }
+
+  test("landmarkDistances equals per-landmark bfsHops on random graphs") {
+    val rnd = new scala.util.Random(41)
+    val edges = (0 until 120).map(_ =>
+      (rnd.nextInt(22).toLong, rnd.nextInt(22).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val lms = Seq(0L, 5L, 11L)
+    val got = Graph.landmarkDistances(edges.toDF("s", "d"), "s", "d",
+        lms.toDF("node"), maxHops = 4)
+      .as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val want = lms.flatMap { lm =>
+      Graph.bfsHops(edges.toDF("s", "d"), "s", "d",
+          Seq(lm).toDF("node"), maxHops = 4)
+        .as[(Long, Int)].collect()
+        .map { case (n, h) => (lm, n) -> h }
+    }.toMap
+    assert(got === want)
+  }
 }

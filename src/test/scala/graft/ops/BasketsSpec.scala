@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Pins the association-rule math on a hand-computed basket set. */
@@ -45,5 +47,25 @@ class BasketsSpec extends SparkSpec {
     val got = baskets.pairSupports(sku, "basket", "sku")
       .as[(String, String, Long)].collect().toSet
     assert(got === Set(("SKU-A", "SKU-B", 2L)))
+  }
+
+  test("sequentialPairs: order matters, interleaving counts, ties by id") {
+    val ev = Seq(
+      // u1: a@10, b@20 → a→b only
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"),
+      // u2: b@10, a@20, b@30 → a→b (a@20 ≺ b@30) AND b→a (b@10 ≺ a@20)
+      (2L, 10L, 3L, "b"), (2L, 20L, 4L, "a"), (2L, 30L, 5L, "b"),
+      // u3: a and b simultaneous, id 6 < 7 → a→b only (tie on id)
+      (3L, 10L, 6L, "a"), (3L, 10L, 7L, "b"),
+      // u4: single-type user — contributes to n_tot, no pairs
+      (4L, 10L, 8L, "c"))
+      .toDF("u", "epoch", "id", "typ")
+      .select(col("u"), col("epoch").cast("timestamp").as("ts"),
+        col("id"), col("typ"))
+    val got = baskets.sequentialPairs(ev, "u", "typ", "ts", "id")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", "b", 3L, 750000L),   // u1, u2, u3 of 4 sequences
+      ("b", "a", 1L, 250000L)))  // u2 only
   }
 }

@@ -168,4 +168,34 @@ class LabelEvalSpec extends SparkSpec {
     assert(LabelEval.cohensKappa(degen)
       .select("kappa").as[Option[Double]].head().isEmpty)
   }
+
+  test("aucRank: perfect, inverted, and tied scorers") {
+    def auc(rows: Seq[(Long, Boolean)]): Long =
+      LabelEval.aucRank(rows.toDF("score", "pos"), "score", "pos")
+        .select("auc_micro").as[Long].head()
+    // perfect separation → 1.0; inverted → 0.0
+    assert(auc(Seq((1L, false), (2L, false), (3L, true), (4L, true)))
+      === 1000000L)
+    assert(auc(Seq((4L, false), (3L, false), (2L, true), (1L, true)))
+      === 0L)
+    // all scores equal → every pair is a tie → 0.5 exactly
+    assert(auc(Seq((7L, true), (7L, false), (7L, true), (7L, false)))
+      === 500000L)
+  }
+
+  test("aucRank equals the naive pairwise probability on random data") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 400).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextBoolean()))
+    val posS = rows.filter(_._2).map(_._1)
+    val negS = rows.filterNot(_._2).map(_._1)
+    // AUC = P(pos > neg) + ½P(pos = neg) over all pos×neg pairs
+    val wins = posS.map(p => negS.count(_ < p).toLong).sum
+    val ties = posS.map(p => negS.count(_ == p).toLong).sum
+    val want = (wins * 2 + ties) * 1000000L /
+      (2L * posS.size * negS.size)
+    val got = LabelEval.aucRank(rows.toDF("score", "pos"),
+      "score", "pos").select("auc_micro").as[Long].head()
+    assert(got === want)
+  }
 }
