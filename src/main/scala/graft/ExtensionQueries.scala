@@ -1446,6 +1446,24 @@ object ExtensionQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // streaming count-min sketch: cells ARE the aggregation state
+    // (bounded d·w rows for any key cardinality); probe with the batch
+    // key list — same output and oracle as q_cms_topk, because the
+    // micro-batched sketch merges to the batch one by construction
+    "q_stream_cms" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_cms").toString
+      val sketch = Streams.cmsStream(s, d, ckpt, "user_id",
+        depth = 4, width = 256)
+      val ev = Tables.events(s, d)
+      sketches.cmsEstimate(sketch, ev.select("user_id").distinct(),
+          "user_id", depth = 4, width = 256)
+        .join(ev.groupBy("user_id").agg(count(lit(1)).as("true_c")),
+          Seq("user_id"))
+        .orderBy(desc("est"), col("user_id"))
+        .limit(25)
+    }),
+
     // incremental OHLC candles: order-insensitive min_by/max_by state
     // inside the windowed agg — same daily bars as the batch operator
     "q_stream_ohlc" -> ((s, d) => {
@@ -2324,6 +2342,26 @@ object ExtensionQueries {
                 CAST((pc.c * 1000000) // ft.tot AS BIGINT) AS p_micro
          FROM pc JOIN ft USING (from_type)
          ORDER BY from_type, to_type""",
+
+    // the micro-batched sketch merges to the batch sketch (additive
+    // cells), so the estimates share q_cms_topk's oracle
+    "q_stream_cms" ->
+      """WITH keys AS (SELECT user_id, COUNT(*) AS true_c
+                       FROM events GROUP BY 1),
+         pairs AS (SELECT k.user_id, s.seed,
+                          ('0x' || substr(md5(s.seed::VARCHAR || ':' ||
+                            k.user_id::VARCHAR), 1, 8))::BIGINT % 256
+                            AS bucket
+                   FROM keys k, (SELECT unnest(range(4)) AS seed) s),
+         cells AS (SELECT p.seed, p.bucket, SUM(k.true_c) AS c
+                   FROM pairs p JOIN keys k USING (user_id)
+                   GROUP BY 1, 2),
+         est AS (SELECT p.user_id, MIN(c.c) AS est
+                 FROM pairs p JOIN cells c USING (seed, bucket)
+                 GROUP BY 1)
+         SELECT e.user_id, e.est, k.true_c
+         FROM est e JOIN keys k USING (user_id)
+         ORDER BY e.est DESC, e.user_id LIMIT 25""",
 
     // per-user lead() step pairs; P(to|from) by integer floor division
     "q_markov_transitions" ->

@@ -26,29 +26,31 @@ object sketches {
       key.cast("string"))), 1, 8), 16, 10)
       .cast("bigint") % width).cast("bigint")
 
+  /** The d (seed, bucket) cells of one key, as an explodable array —
+    * shared by the batch builder and the streaming sketch maintainer. */
+  private[graft] def cellsOf(key: org.apache.spark.sql.Column,
+                             depth: Int, width: Int)
+  : org.apache.spark.sql.Column =
+    array((0 until depth).map(i =>
+      struct(lit(i).as("seed"), bucket(key, i, width).as("bucket"))): _*)
+
   /** Build the d×w sketch over one key column: ≤ depth·width rows of
     * (seed, bucket, c). One explode (depth small) + one hash agg with
     * map-side combine — a single shuffle of at most d·w rows per task.
     */
   def cmsBuild(df: DataFrame, keyCol: String, depth: Int,
-               width: Int): DataFrame = {
-    val cells = array((0 until depth).map(i =>
-      struct(lit(i).as("seed"),
-        bucket(col(keyCol), i, width).as("bucket"))): _*)
-    df.select(explode(cells).as("cell"))
+               width: Int): DataFrame =
+    df.select(explode(cellsOf(col(keyCol), depth, width)).as("cell"))
       .groupBy(col("cell.seed").as("seed"), col("cell.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
-  }
 
   /** Point-estimate each probe key against a built sketch: min of its
     * depth cells. The sketch is d·w rows — broadcast, never shuffled;
     * the probe side stays partitioned wherever it already lives. */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
                   depth: Int, width: Int): DataFrame = {
-    val cells = array((0 until depth).map(i =>
-      struct(lit(i).as("seed"),
-        bucket(col(keyCol), i, width).as("bucket"))): _*)
-    probes.select(col(keyCol), explode(cells).as("cell"))
+    probes.select(col(keyCol),
+        explode(cellsOf(col(keyCol), depth, width)).as("cell"))
       .select(col(keyCol), col("cell.seed").as("seed"),
         col("cell.bucket").as("bucket"))
       .join(broadcast(sketch), Seq("seed", "bucket"))

@@ -267,6 +267,48 @@ object Streams {
       .drop("__rn")
   }
 
+  /** Streaming count-min sketch: the d×w cell counts maintained as
+    * STREAMING-AGGREGATION STATE — each micro-batch's keys hash into
+    * their cells map-side and the state store adds them in, so the live
+    * sketch is queryable after every batch without ever re-scanning
+    * history. This is the canonical deployment of a mergeable sketch
+    * (the whole point of additive cells): state is bounded at d·w rows
+    * no matter how many distinct keys flow past, which is why it's safe
+    * as UNWINDOWED complete-mode aggregation where a per-key count
+    * would grow without bound.
+    *
+    * Returns the sketch cells; estimate with [[graft.ops.sketches
+    * .cmsEstimate]] — stream ≡ batch ([[graft.ops.sketches.cmsBuild]])
+    * is pinned by StreamsSpec, which is exactly the sketch's shard-
+    * merge property with micro-batches as the shards. */
+  def cmsStream(spark: SparkSession, dir: String, checkpoint: String,
+                keyCol: String, depth: Int, width: Int,
+                glob: String = "events.parquet"): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", glob)
+      .parquet(dir).schema
+    val cells = normalizeTs(spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", glob)
+        .parquet(dir))
+      .select(explode(graft.ops.sketches.cellsOf(col(keyCol), depth,
+        width)).as("cell"))
+      .groupBy(col("cell.seed").as("seed"),
+        col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+    val sinkName = "graft_cms_" + math.abs(checkpoint.hashCode)
+    val q = cells.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
   /** Stream-static enrichment join: the event stream joined to a static
     * dimension table. Stateless — no watermark, no state store; Spark
     * broadcasts the static side into every micro-batch, so at 100 TB/day

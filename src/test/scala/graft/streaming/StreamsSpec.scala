@@ -48,6 +48,19 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming cms cells equal the batch sketch (shard-merge)") {
+    val dir = "/root/testdata/sf0.001"
+    val ckpt = Files.createTempDirectory("graft_ckpt_cms_spec").toString
+    val streamed = Streams.cmsStream(spark, dir, ckpt, "user_id",
+        depth = 4, width = 64)
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = graft.ops.sketches.cmsBuild(
+        Tables.events(spark, dir), "user_id", depth = 4, width = 64)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streamed markov transitions equal the batch operator") {
     val dir = "/root/testdata/sf0.001"
     val ckpt = Files.createTempDirectory("graft_ckpt_mk_spec").toString
