@@ -682,6 +682,13 @@ object ExtensionQueries {
     "q_triangle_count" -> ((s, d) =>
       Graph.triangleCount(coOccurrencePairs(s, d), "a", "b")),
 
+    // ---- per-node local clustering coefficient ------------------------------
+    // 2T(w)/(d(d−1)) in integer micros over the co-occurrence graph —
+    // the node-level cohesion feature; work is output-bound (Σ triangles)
+    "q_clustering_coeff" -> ((s, d) =>
+      Graph.clusteringCoefficient(coOccurrencePairs(s, d), "a", "b")
+        .orderBy("node")),
+
     // Adamic–Adar edge confidence over the SUPPORT-FILTERED
     // co-occurrence graph: pairs must co-occur in ≥2 orders (the
     // market-basket min-support cut — at sf0.1 it collapses 1.2M raw
@@ -768,6 +775,36 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
         .orderBy("hops")
     }),
+
+    // ---- exact trimmed mean ---------------------------------------------------
+    // mean of the middle 80% per event type — distinct-value rank blocks,
+    // integer interval clipping, exact under any tie structure
+    "q_trimmed_mean" -> ((s, d) =>
+      analytics.trimmedMean(
+        Tables.events(s, d).select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * lit(100))
+            .cast("long").as("v_c")),
+        "event_type", "v_c", trimPct = 10)
+        .orderBy("g")),
+
+    // ---- calibration bins ------------------------------------------------------
+    // decile buckets of the score vs observed positive rate — the
+    // reliability-curve table every scorer eval reports next to AUC
+    "q_calibration" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          (col("value").cast("decimal(18,2)") * lit(100))
+            .cast("long").as("v_c"),
+          (col("event_type") === "purchase").cast("long").as("pos"))
+        .select(least(expr("v_c div 1000"), lit(9L)).as("bin"),
+          col("pos"), col("v_c"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          sum(col("v_c")).as("s"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          expr("(n_pos * 1000000L) div n").as("rate_micro"),
+          expr("(s * 10000L) div n").as("mean_score_micro"))
+        .orderBy("bin")),
 
     // ---- exact ROC-AUC by rank sum -------------------------------------------
     // does event value predict 'purchase'? Mann-Whitney over cent-
@@ -3033,6 +3070,31 @@ object ExtensionQueries {
          JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
          JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b""",
 
+    // triangles enumerated once (u<v<w), each credits all three corners
+    "q_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+                     FROM lineitem),
+         pairs AS (SELECT DISTINCT x.p AS a, y.p AS b
+                   FROM li x JOIN li y ON x.k = y.k AND x.p < y.p),
+         tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                 FROM pairs e1
+                 JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+                 JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
+         tn AS (SELECT node, COUNT(*) AS t FROM (
+                  SELECT u AS node FROM tri
+                  UNION ALL SELECT v FROM tri
+                  UNION ALL SELECT w FROM tri) GROUP BY 1),
+         deg AS (SELECT node, COUNT(*) AS d FROM (
+                   SELECT a AS node FROM pairs
+                   UNION ALL SELECT b FROM pairs) GROUP BY 1)
+         SELECT deg.node, deg.d AS degree, COALESCE(tn.t, 0) AS n_tri,
+                CASE WHEN deg.d >= 2
+                     THEN CAST((COALESCE(tn.t, 0) * 2000000)
+                               // (deg.d * (deg.d - 1)) AS BIGINT)
+                     ELSE 0 END AS cc_micro
+         FROM deg LEFT JOIN tn USING (node)
+         ORDER BY node""",
+
     // tri enumerates (u < v < w) once since pairs are canonical a<b and
     // e2.b > e1.b, so the three contribution arms are already (lo, hi)
     "q_adamic_adar" ->
@@ -3207,6 +3269,49 @@ object ExtensionQueries {
          SELECT hops, COUNT(*) AS n_nodes,
                 CAST(SUM(node) AS BIGINT) AS node_sum
          FROM allh GROUP BY hops ORDER BY hops""",
+
+    // distinct-value blocks clipped against the kept rank window
+    "q_trimmed_mean" ->
+      """WITH c AS (SELECT event_type AS g,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT) AS v
+                    FROM events),
+         blk AS (SELECT g, v, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
+         pre AS (SELECT g, v, cnt,
+                        COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS cum,
+                        SUM(cnt) OVER (PARTITION BY g) AS n
+                 FROM blk),
+         k AS (SELECT *, (n * 10) // 100 AS klo, n - (n * 10) // 100
+                 AS khi FROM pre),
+         kept AS (SELECT g,
+                         GREATEST(0, LEAST(cum + cnt, khi)
+                           - GREATEST(cum, klo)) AS kp,
+                         v, khi - klo AS m
+                  FROM k)
+         SELECT g, MAX(m) AS n_kept,
+                CAST((SUM(kp * v) * 1000000) // MAX(m) AS BIGINT)
+                  AS tmean_micro
+         FROM kept GROUP BY g HAVING MAX(m) > 0
+         ORDER BY g""",
+
+    // decile buckets of the cent-quantized score; rates in floor micros
+    "q_calibration" ->
+      """WITH c AS (SELECT LEAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT) // 1000, 9) AS bin,
+                           CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END AS pos,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT) AS v_c
+                    FROM events)
+         SELECT bin, COUNT(*) AS n,
+                CAST(SUM(pos) AS BIGINT) AS n_pos,
+                CAST((SUM(pos) * 1000000) // COUNT(*) AS BIGINT)
+                  AS rate_micro,
+                CAST((SUM(v_c) * 10000) // COUNT(*) AS BIGINT)
+                  AS mean_score_micro
+         FROM c GROUP BY bin ORDER BY bin""",
 
     // rank-sum identity on distinct-score tie blocks; 2R⁺ stays integer
     "q_auc_rank" ->

@@ -243,6 +243,39 @@ object Graph {
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient: cc(w) = 2·T(w)/(d(w)(d(w)−1))
+    * with T(w) the triangles through w — THE per-node cohesion feature
+    * (Watts & Strogatz '98): spam/bot accounts sit in sparse
+    * neighborhoods (cc → 0), organic communities in dense ones. The
+    * node-level refinement of [[triangleCount]]'s single scalar.
+    *
+    * Same degree-ordered orientation: each triangle {u,v,w} surfaces
+    * exactly once at its pivot edge's intersection, then credits all
+    * THREE corners — one explode to 3·T rows, one hash agg, one join
+    * back onto the degree table. Work is output-bound (Σ triangles),
+    * hubs stay cheap by orientation, and the coefficient floor-divides
+    * in integer micros (2·T·10⁶ / d(d−1)) — oracle-exact.
+    *
+    * @return (node, degree, n_tri, cc_micro); degree-1 nodes get 0
+    */
+  def clusteringCoefficient(edges: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val g = orientAndStage(edges, aCol, bCol)
+    val corners = edgesWithOutNbrs(g)
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      .select(explode(array(col("src"), col("dst"), col("w")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    g.deg
+      .join(corners, col("v") === col("node"), "left")
+      .select(col("v").as("node"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_tri"),
+        when(col("d") >= 2,
+          expr("(coalesce(t, 0L) * 2000000L) div (d * (d - 1))"))
+          .otherwise(lit(0L)).as("cc_micro"))
+  }
+
   /** Adamic–Adar link strength for every EDGE of an undirected graph:
     * AA(u,v) = Σ_{w ∈ N(u) ∩ N(v)} 1/ln(deg(w)) — the classic link-
     * prediction / edge-confidence feature (Adamic & Adar '03), scored

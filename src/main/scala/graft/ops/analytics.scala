@@ -320,6 +320,49 @@ object analytics {
         max(col("n")).cast("long").as("n"))
   }
 
+  /** Exact trimmed mean per group: the mean of the middle
+    * (100 − 2·trimPct)% by rank — the robust location estimate
+    * dashboards quote when outliers poison the plain mean, exact
+    * rather than the approximate-percentile clip.
+    *
+    * Ranks never materialize per row: one hash agg shrinks each group
+    * to its DISTINCT-value blocks (bounded by the value space —
+    * quantized cents/micros — not the row count), a prefix sum places
+    * each block on the rank axis, and each block keeps the overlap of
+    * its [cum, cum+cnt) rank span with the kept window [klo, khi) —
+    * pure integer interval clipping, so the result is exact for any
+    * tie structure and floor-divides once to micros at the boundary.
+    *
+    * @param valueCol integer-quantized values (quantize upstream)
+    * @return (group, n_kept, tmean_micro); empty kept window → no row
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  trimPct: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trimPct >= 0 && trimPct < 50, s"trimPct in [0,50): $trimPct")
+    val blocks = df.groupBy(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("g")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    blocks
+      .withColumn("cum", coalesce(sum(col("cnt")).over(wOrd), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("klo", expr(s"(n * ${trimPct}L) div 100"))
+      .withColumn("khi", col("n") - col("klo"))
+      .withColumn("kept", greatest(lit(0L),
+        least(col("cum") + col("cnt"), col("khi")) -
+          greatest(col("cum"), col("klo"))))
+      .groupBy("g")
+      .agg(sum(col("kept") * col("v")).as("s"),
+        max(col("khi") - col("klo")).as("m"))
+      .filter(col("m") > 0)
+      .select(col("g"), col("m").as("n_kept"),
+        expr("(s * 1000000L) div m").as("tmean_micro"))
+  }
+
   /** 2-D Pareto skyline (minimize both dimensions): rows not dominated
     * by any other row — q dominates p iff q ≤ p in both dims and q < p
     * in at least one. The multi-objective shortlist product search and

@@ -684,6 +684,26 @@ class GraphSpec extends SparkSpec {
     assert(run(25) === run(40))
   }
 
+  test("clusteringCoefficient equals the naive definition on random graphs") {
+    val rnd = new scala.util.Random(29)
+    val edges = (0 until 140).map(_ =>
+      (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = edges.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val want = adj.map { case (v, ns) =>
+      val d = ns.size.toLong
+      val t = ns.toSeq.combinations(2)
+        .count(p => adj(p(0)).contains(p(1))).toLong
+      (v, d, t, if (d >= 2) t * 2000000L / (d * (d - 1)) else 0L)
+    }.toSet
+    val got = Graph.clusteringCoefficient(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.exists(_._3 > 0), "random graph should close triangles")
+  }
+
   test("landmarkDistances keeps per-landmark hop counts separate") {
     // path graph 1−2−3−4 (symmetrized); landmarks 1 and 4 see the same
     // nodes at different distances

@@ -273,6 +273,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === ((want, (as.size - 1L) * (bs.size - 1L), n)))
   }
 
+  test("trimmedMean equals naive sort-and-drop, exact under ties") {
+    val rnd = new scala.util.Random(19)
+    for (n <- Seq(3, 10, 47, 200)) {
+      val vals = (1 to n).map(_ => rnd.nextInt(12).toLong - 3)
+      val df = vals.map(("g", _)).toDF("grp", "v")
+      val got = analytics.trimmedMean(df, "grp", "v", trimPct = 10)
+        .as[(String, Long, Long)].head()
+      val sorted = vals.sorted
+      val klo = n * 10 / 100
+      val kept = sorted.slice(klo, n - klo)
+      val want = ("g", kept.size.toLong,
+        kept.sum * 1000000L / kept.size)
+      assert(got === want, s"n=$n")
+    }
+  }
+
+  test("trimmedMean at 0% is the plain mean") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 6L)).toDF("grp", "v")
+    val got = analytics.trimmedMean(df, "grp", "v", 0)
+      .as[(String, Long, Long)].head()
+    assert(got === (("g", 3L, 3000000L)))
+  }
+
   test("skyline2 equals the naive dominance filter on random points") {
     val rnd = new scala.util.Random(11)
     val pts = (1L to 300L).map(id =>
