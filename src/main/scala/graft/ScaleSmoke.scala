@@ -1005,6 +1005,96 @@ object ScaleSmoke {
       cnt
     }
 
+    timed("cusum planted level shift") {
+      // rows/50 keys × 50 steps; even keys shift 10→20 at step 25, odd
+      // keys stay flat. Peak-only flags (hotFrac10=10) must land exactly
+      // one row per shifted key, all at the same step — proves the flag
+      // volume is |changed keys|, not rows
+      // key named "u": the operator's output contract itself carries a
+      // rank column named "k"
+      val ev = fact.select(col("k").as("u"),
+        col("seq").cast("long").as("t"),
+        (col("k") * 100 + col("seq")).as("tie"),
+        when(col("k") % 2 === 0 && col("seq") >= 25, 20.0)
+          .otherwise(10.0).as("v"))
+      val flags = graft.ops.timeseries.cusumChangepoints(
+        ev, "u", "t", "tie", "v", hotFrac10 = 10).stage()
+      val (n, ks, nk) = (flags.count(),
+        flags.select("u").distinct().count(),
+        flags.select(col("u") % 2).distinct().count())
+      require(n == ks && nk == 1,
+        s"expected one peak per shifted key: n=$n keys=$ks parities=$nk")
+      n
+    }
+
+    timed("skyline value-space bound") {
+      // 50M points over a 50-value discrete dim → output ≤ 50 however
+      // large the input; the frontier frame never exceeds |x values|
+      val pts = spark.range(rows).select(col("id").as("pid"),
+        (col("id") % 50).cast("int").as("x"),
+        ((col("id") * 2654435761L) % 1000003L).as("y"))
+      val sky = graft.ops.analytics.skyline2(pts, "x", "y")
+      val n = sky.count()
+      require(n > 0 && n <= 50, s"skyline blew past the value space: $n")
+      n
+    }
+
+    timed("cms sketch stays 4x1024") {
+      val keys = fact.select(col("k"))
+      val sk = graft.ops.sketches.cmsBuild(keys, "k", 4, 1024).stage()
+      require(sk.count() <= 4096, "sketch exceeded d*w cells")
+      val probes = spark.range(100).select((col("id") * 1000).as("k"))
+      val est = graft.ops.sketches.cmsEstimate(sk, probes, "k", 4, 1024)
+      val truth = keys.join(probes.select(col("k")), Seq("k"))
+        .groupBy("k").agg(count(lit(1)).as("true_c"))
+      val under = est.join(truth, Seq("k"))
+        .filter(col("est") < col("true_c")).count()
+      require(under == 0, s"cms under-counted $under probes")
+      est.count()
+    }
+
+    timed("auc rank tie blocks") {
+      // 50M rows collapse to 9973 distinct-score blocks before the
+      // single-task prefix sum — the rank axis never materializes
+      val scored = fact.select(col("v").cast("long").as("s"),
+        (col("f") === 0).as("pos"))
+      val r = graft.similarity.LabelEval.aucRank(scored, "s", "pos")
+        .select(col("p") + col("n")).as[Long].head()
+      require(r == rows, s"p+n=$r != $rows")
+      1L
+    }
+
+    timed("trimmed mean block clip") {
+      val g = fact.select((col("k") % 5).as("grp"),
+        col("v").cast("long").as("x"))
+      val tm = graft.ops.analytics.trimmedMean(g, "grp", "x", 10)
+      val n = tm.count()
+      require(n == 5, s"expected 5 groups, got $n")
+      n
+    }
+
+    timed("clustering coeff cliques") {
+      // rows/50 disjoint 4-cliques: every node must score exactly 1.0
+      // and work stays output-bound (6 edges, 4 corner rows per clique)
+      val c = spark.range(rows / 50)
+      val cliqueEdges = c.select(explode(expr(
+        """array(struct(id*4 AS a, id*4+1 AS b),
+                 struct(id*4 AS a, id*4+2 AS b),
+                 struct(id*4 AS a, id*4+3 AS b),
+                 struct(id*4+1 AS a, id*4+2 AS b),
+                 struct(id*4+1 AS a, id*4+3 AS b),
+                 struct(id*4+2 AS a, id*4+3 AS b))""")).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val cc = graft.graph.Graph.clusteringCoefficient(
+        cliqueEdges, "a", "b").stage()
+      val bad = cc.filter(col("cc_micro") =!= 1000000L ||
+        col("degree") =!= 3L).count()
+      val n = cc.count()
+      require(bad == 0 && n == (rows / 50) * 4,
+        s"clique cc wrong: n=$n bad=$bad")
+      n
+    }
+
     spark.stop()
   }
 }

@@ -242,21 +242,24 @@ object timeseries {
       .orderBy(col(tsCol), col(tieCol))
     val wAll = Window.partitionBy(col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // internals carry a __ prefix so no caller key/tie name collides
     val cents = events.select(col(keyCol), col(tsCol), col(tieCol),
       (col(valueCol).cast("decimal(18,2)") * lit(100))
-        .cast("long").as("v_c"))
+        .cast("long").as("__vc"))
     cents
-      .withColumn("k", row_number().over(wOrd))
-      .withColumn("prefix", sum(col("v_c")).over(wOrd))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("s", sum(col("v_c")).over(wAll))
+      .withColumn("__k", row_number().over(wOrd))
+      .withColumn("__prefix", sum(col("__vc")).over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col("__vc")).over(wAll))
       // n·Cₖ in cents — exact integers throughout
-      .withColumn("nc", col("n") * col("prefix") - col("k") * col("s"))
-      .withColumn("peak", max(abs(col("nc"))).over(wAll))
-      .filter(col("peak") > 0 &&
-        abs(col("nc")) * 10 >= col("peak") * hotFrac10)
-      .select(col(keyCol), col(tieCol), col("k").cast("long").as("k"),
-        col("v_c"), expr("(nc * 10000L) div n").as("cusum_micro"))
+      .withColumn("__nc",
+        col("__n") * col("__prefix") - col("__k") * col("__s"))
+      .withColumn("__peak", max(abs(col("__nc"))).over(wAll))
+      .filter(col("__peak") > 0 &&
+        abs(col("__nc")) * 10 >= col("__peak") * hotFrac10)
+      .select(col(keyCol), col(tieCol), col("__k").cast("long").as("k"),
+        col("__vc").as("v_c"),
+        expr("(__nc * 10000L) div __n").as("cusum_micro"))
   }
 
   /** Seasonal profile with peak-residual localization: for each
