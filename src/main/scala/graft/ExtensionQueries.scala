@@ -1975,6 +1975,63 @@ object ExtensionQueries {
             col("nd_exact") * lit(0.05)).as("nd_ok"))
     }),
 
+    // ---- embedding distribution drift ---------------------------------------
+    // per-dim mean shift between two snapshot halves — the embedding-
+    // space companion to q_source_kl's text drift: a re-embedded or
+    // contaminated corpus moves these means. One posexplode pass, exact
+    // decimal sums, the d-row frame finishes with fixed-order division
+    "q_emb_drift" -> ((s, d) => {
+      val g = t(s, d, "embeddings")
+        .select((col("vec_id") % 2 === 0).as("snap_a"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("dim", "snap_a")
+        .agg(sum(col("x").cast("double").cast("decimal(28,12)"))
+          .as("sx"), count(lit(1)).as("n"))
+        .stage()
+      val a = g.filter(col("snap_a")).select(col("dim"),
+        (col("sx").cast("double") / col("n")).as("ma"))
+      val b = g.filter(!col("snap_a")).select(col("dim"),
+        (col("sx").cast("double") / col("n")).as("mb"))
+      a.join(b, Seq("dim"))
+        .select(col("dim"), round(col("ma"), 6).as("mean_a"),
+          round(col("mb"), 6).as("mean_b"),
+          round(col("ma") - col("mb"), 6).as("delta"))
+        .orderBy("dim")
+    }),
+
+    // ---- rolling 7-day distinct users via mergeable HLL sketches ----------
+    // THE sketch-reuse pattern at 100 TB: one pass builds |days| daily
+    // sketches, every overlapping window UNIONS ≤7 of them instead of
+    // rescanning its rows — hll_union_agg is the mergeable half that
+    // approx_count_distinct (a one-shot scalar) can't express. The tiny
+    // calendar frame broadcasts into the range join; exact counts ride
+    // along for the bounded-error verdict the oracle asserts.
+    "q_rolling_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val daily = ev
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy("day")
+        .agg(hll_sketch_agg(xxhash64(col("user_id"))).as("sk"))
+        .stage()
+      val cal = daily.select(col("day").as("anchor"))
+      val est = cal.join(daily,
+          datediff(col("anchor"), col("day")).between(0, 6))
+        .groupBy("anchor")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+          count(lit(1)).as("n_days"))
+      val pairs = ev
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val exact = cal.join(pairs,
+          datediff(col("anchor"), col("day")).between(0, 6))
+        .groupBy("anchor")
+        .agg(countDistinct(col("user_id")).as("exact_7d"))
+      est.join(exact, Seq("anchor"))
+        .select(col("anchor").as("day"), col("n_days"), col("exact_7d"),
+          (abs(col("est") - col("exact_7d")) <=
+            col("exact_7d") * lit(0.05)).as("est_ok"))
+        .orderBy("day")
+    }),
+
     // ---- fixed-width histogram --------------------------------------------
     "q_histogram" -> ((s, d) =>
       t(s, d, "orders")
@@ -6169,6 +6226,40 @@ object ExtensionQueries {
                   AS DOUBLE) / COUNT(l_discount), 6),
                 TRUE
          FROM lineitem""",
+
+    // same float→double→decimal ladder and division order as the Spark
+    // side, so means match bit-for-bit before the 6dp round
+    "q_emb_drift" ->
+      """WITH v AS (SELECT (vec_id % 2 = 0) AS snap_a,
+                           list_transform(embedding, x -> x::DOUBLE) AS e
+                    FROM embeddings),
+         g AS (SELECT a.j::INT AS dim, snap_a,
+                      sum(CAST(e[a.j + 1] AS DECIMAL(28,12))) AS sx,
+                      count(*) AS n
+               FROM v, range(0, 64) a(j)
+               GROUP BY 1, 2)
+         SELECT ga.dim,
+                round(ga.sx::DOUBLE / ga.n, 6) AS mean_a,
+                round(gb.sx::DOUBLE / gb.n, 6) AS mean_b,
+                round(ga.sx::DOUBLE / ga.n - gb.sx::DOUBLE / gb.n, 6)
+                  AS delta
+         FROM g ga JOIN g gb
+           ON ga.dim = gb.dim AND ga.snap_a AND NOT gb.snap_a
+         ORDER BY ga.dim""",
+
+    // exact rolling distinct + the verdict the sketch must satisfy
+    "q_rolling_distinct" ->
+      """WITH pairs AS (SELECT DISTINCT
+                          CAST(date_trunc('day', ts) AS DATE) AS day,
+                          user_id
+                        FROM events),
+         days AS (SELECT DISTINCT day FROM pairs)
+         SELECT a.day AS day, COUNT(DISTINCT p.day) AS n_days,
+                COUNT(DISTINCT p.user_id) AS exact_7d,
+                TRUE AS est_ok
+         FROM days a JOIN pairs p
+           ON p.day BETWEEN a.day - 6 AND a.day
+         GROUP BY 1 ORDER BY 1""",
 
     "q_histogram" ->
       """SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt,

@@ -45,7 +45,8 @@ class CodegenOnlySpec extends SparkSpec {
         call_function("graft_zorder", lit(3L), lit(5L), lit(16)),
         call_function("graft_tri_products", emb),
         call_function("graft_nfc", col("text")),
-        call_function("graft_deflate_len", col("text")))
+        call_function("graft_deflate_len", col("text")),
+        call_function("graft_jaro_winkler", col("text"), lit("alpha")))
       val row = doc.select(exprs.zipWithIndex.map { case (e, i) =>
         e.as(s"e$i")
       }: _*).collect()
