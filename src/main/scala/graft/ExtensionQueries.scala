@@ -1975,6 +1975,48 @@ object ExtensionQueries {
             col("nd_exact") * lit(0.05)).as("nd_ok"))
     }),
 
+    // ---- longest activity streak (gaps-and-islands) --------------------------
+    // per-user longest run of consecutive active days: day − row_number
+    // is constant within a run — two hash aggs on the deduped (user, day)
+    // frame, per-user windows, ties break to the latest run
+    "q_streaks" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days
+        .withColumn("grp", expr("date_sub(day, row_number() over " +
+          "(partition by user_id order by day))"))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+        .groupBy("user_id")
+        .agg(max(struct(col("len"), col("start_day"))).as("m"))
+        .select(col("user_id"), col("m.len").as("best_len"),
+          col("m.start_day").as("best_start"))
+        .orderBy("user_id")
+    }),
+
+    // ---- period-over-period growth --------------------------------------------
+    // daily volume per event type vs 7 days earlier, growth in floor
+    // micros — lag over the pre-aggregated daily frame, never raw rows
+    "q_pop" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("prev", lag(col("cnt"), 7).over(w))
+        .withColumn("prev_day", lag(col("day"), 7).over(w))
+        // the calendar is dense in this corpus; guard anyway: a 7-row
+        // lag only IS week-over-week when the lagged row is 7 days back
+        .filter(col("prev").isNotNull &&
+          datediff(col("day"), col("prev_day")) === 7)
+        .select(col("event_type"), col("day"), col("cnt"), col("prev"),
+          expr("((cnt - prev) * 1000000L) div prev").as("wow_micro"))
+        .orderBy("event_type", "day")
+    }),
+
     // ---- embedding distribution drift ---------------------------------------
     // per-dim mean shift between two snapshot halves — the embedding-
     // space companion to q_source_kl's text drift: a re-embedded or
@@ -6226,6 +6268,40 @@ object ExtensionQueries {
                   AS DOUBLE) / COUNT(l_discount), 6),
                 TRUE
          FROM lineitem""",
+
+    // day − row_number constant within a run; ties → latest run
+    "q_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+                         CAST(date_trunc('day', ts) AS DATE) AS day
+                       FROM events),
+         i AS (SELECT user_id, day,
+                      day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY day) AS INT) AS grp
+               FROM days),
+         runs AS (SELECT user_id, grp, COUNT(*) AS len,
+                         MIN(day) AS start_day
+                  FROM i GROUP BY 1, 2),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY len DESC, start_day DESC) AS rk FROM runs)
+         SELECT user_id, len AS best_len, start_day AS best_start
+         FROM r WHERE rk = 1 ORDER BY user_id""",
+
+    // lag(7) on the daily frame, gated to a true 7-day gap
+    "q_pop" ->
+      """WITH daily AS (SELECT event_type,
+                          CAST(date_trunc('day', ts) AS DATE) AS day,
+                          COUNT(*) AS cnt
+                        FROM events GROUP BY 1, 2),
+         l AS (SELECT *, LAG(cnt, 7) OVER w AS prev,
+                      LAG(day, 7) OVER w AS prev_day
+               FROM daily
+               WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         SELECT event_type, day, cnt, prev,
+                CAST(((cnt - prev) * 1000000) // prev AS BIGINT)
+                  AS wow_micro
+         FROM l
+         WHERE prev IS NOT NULL AND day - prev_day = 7
+         ORDER BY event_type, day""",
 
     // same float→double→decimal ladder and division order as the Spark
     // side, so means match bit-for-bit before the 6dp round
