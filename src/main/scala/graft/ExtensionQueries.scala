@@ -344,6 +344,25 @@ object ExtensionQueries {
         .limit(25)
     }),
 
+    // ---- join-size estimation from sketches ----------------------------------
+    // |orders ⋈ lineitem| predicted by the CMS inner product — two 4×4096
+    // summaries, no scan of either input at estimate time; the exact size
+    // rides along. Deterministic buckets make even the ESTIMATE
+    // oracle-reproducible
+    "q_cms_join_size" -> ((s, d) => {
+      val ka = t(s, d, "orders").select(col("o_orderkey").as("k"))
+      val kb = t(s, d, "lineitem").select(col("l_orderkey").as("k"))
+      val est = sketches.cmsJoinSize(
+        sketches.cmsBuild(ka, "k", depth = 4, width = 4096),
+        sketches.cmsBuild(kb, "k", depth = 4, width = 4096))
+      val exact = ka.groupBy("k").agg(count(lit(1)).as("ca"))
+        .join(kb.groupBy("k").agg(count(lit(1)).as("cb")), Seq("k"))
+        .agg(sum(col("ca") * col("cb")).as("exact_join_size"))
+      est.crossJoin(exact) // two one-row frames
+        .select(col("est_join_size"), col("exact_join_size"),
+          (col("est_join_size") >= col("exact_join_size")).as("never_under"))
+    }),
+
     // ---- 2-D Pareto skyline -------------------------------------------------
     // parts not dominated on (size, price): per-size minima (bounded by
     // size's value space) → tiny strict-prefix frontier → broadcast filter
@@ -2561,6 +2580,36 @@ object ExtensionQueries {
                 CAST((rn * 10000) // n AS BIGINT) AS peak_res_micro
          FROM r WHERE rk = 1
          ORDER BY series, hr""",
+
+    // same salted-md5 cells; per-row inner products, MIN over rows
+    "q_cms_join_size" ->
+      """WITH ka AS (SELECT o_orderkey AS k, COUNT(*) AS c
+                     FROM orders GROUP BY 1),
+         kb AS (SELECT l_orderkey AS k, COUNT(*) AS c
+                FROM lineitem GROUP BY 1),
+         pa AS (SELECT s.seed,
+                       ('0x' || substr(md5(s.seed::VARCHAR || ':' ||
+                         ka.k::VARCHAR), 1, 8))::BIGINT % 4096 AS bucket,
+                       SUM(ka.c) AS ca
+                FROM ka, (SELECT unnest(range(4)) AS seed) s
+                GROUP BY 1, 2),
+         pb AS (SELECT s.seed,
+                       ('0x' || substr(md5(s.seed::VARCHAR || ':' ||
+                         kb.k::VARCHAR), 1, 8))::BIGINT % 4096 AS bucket,
+                       SUM(kb.c) AS cb
+                FROM kb, (SELECT unnest(range(4)) AS seed) s
+                GROUP BY 1, 2),
+         ip AS (SELECT pa.seed, SUM(pa.ca * pb.cb) AS ip
+                FROM pa JOIN pb USING (seed, bucket) GROUP BY 1),
+         ex AS (SELECT CAST(SUM(ka.c * kb.c) AS BIGINT)
+                  AS exact_join_size
+                FROM ka JOIN kb USING (k))
+         SELECT CAST((SELECT MIN(ip) FROM ip) AS BIGINT)
+                  AS est_join_size,
+                ex.exact_join_size,
+                (SELECT MIN(ip) FROM ip) >= ex.exact_join_size
+                  AS never_under
+         FROM ex""",
 
     // same salted-md5 cells; estimate = min over the key's 4 cells
     "q_cms_topk" ->

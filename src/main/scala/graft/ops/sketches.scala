@@ -44,6 +44,27 @@ object sketches {
       .groupBy(col("cell.seed").as("seed"), col("cell.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** Equi-join size estimate from two sketches (the AGMS/CMS inner
+    * product): per hash row, Σ_b cA(row,b)·cB(row,b) over-counts
+    * |A ⋈ B| by exactly the colliding cross terms, so MIN over the
+    * depth rows is the classic never-under estimate — the cardinality
+    * primitive a planner consults before picking join strategy /
+    * shuffle partitioning, from two d·w summaries and NO scan of
+    * either input. Deterministic buckets → the estimate itself is
+    * engine-reproducible, not just bounded.
+    *
+    * @return one row (est_join_size) — min over rows of the cell
+    *         inner product
+    */
+  def cmsJoinSize(sketchA: DataFrame, sketchB: DataFrame): DataFrame = {
+    val a = sketchA.select(col("seed"), col("bucket"), col("c").as("ca"))
+    val b = sketchB.select(col("seed"), col("bucket"), col("c").as("cb"))
+    a.join(b, Seq("seed", "bucket"))
+      .groupBy("seed")
+      .agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_join_size"))
+  }
+
   /** Point-estimate each probe key against a built sketch: min of its
     * depth cells. The sketch is d·w rows — broadcast, never shuffled;
     * the probe side stays partitioned wherever it already lives. */

@@ -34,6 +34,20 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("cms join-size estimate never under-counts; exact when wide") {
+    val a = items.toDF("k")
+    val b = items.filter(_ % 3 == 0).toDF("k")
+    val ca = items.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val cb = items.filter(_ % 3 == 0).groupBy(identity)
+      .map { case (k, g) => k -> g.size.toLong }
+    val exact = ca.map { case (k, c) => c * cb.getOrElse(k, 0L) }.sum
+    def est(w: Int): Long = sketches.cmsJoinSize(
+      sketches.cmsBuild(a, "k", 4, w), sketches.cmsBuild(b, "k", 4, w))
+      .as[Long].head()
+    assert(est(16) >= exact)      // narrow: collisions only inflate
+    assert(est(4096) === exact)   // wide: collision-free → exact
+  }
+
   test("cms sketches merge additively: shard-union equals whole-build") {
     val (a, b) = items.splitAt(900)
     val merged = sketches.cmsBuild(a.toDF("k"), "k", 4, 64)
