@@ -1994,6 +1994,59 @@ object ExtensionQueries {
             col("nd_exact") * lit(0.05)).as("nd_ok"))
     }),
 
+    // ---- vocabulary coverage curve --------------------------------------------
+    // smallest frequency-ranked vocabulary prefix covering 50/90/95/99%
+    // of token mass — the corpus-planning number behind vocab sizing and
+    // OOV budgeting. Window runs on the DISTINCT-TOKEN frame only
+    "q_vocab_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = t(s, d, "documents")
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("tok"))
+      val tot = freq.agg(sum(col("cnt")).as("n_total"))
+      freq
+        .withColumn("cum", sum(col("cnt"))
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(tot)) // one-row totals frame
+        .select(col("rk"), col("cum"), col("n_total"),
+          explode(array(lit(50), lit(90), lit(95), lit(99))).as("pct"))
+        .filter(col("cum") * 100 >= col("n_total") * col("pct"))
+        .groupBy("pct")
+        .agg(min(col("rk")).cast("long").as("k_tokens"),
+          max(col("n_total")).as("n_total"))
+        .orderBy("pct")
+    }),
+
+    // ---- inter-arrival burstiness ----------------------------------------------
+    // per-user gap mean + squared coefficient of variation in integer
+    // micros — the temporal-regularity feature behind bot screens (CV²≈1
+    // is Poisson, ≪1 metronomic, ≫1 bursty). Whole-second gaps; the
+    // two-step floor-div keeps everything inside long arithmetic for
+    // per-key spans up to ~3 years
+    "q_burstiness" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+        .withColumn("g", col("sec") - lag(col("sec"), 1).over(w))
+        .filter(col("g").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sx"),
+          sum(col("g") * col("g")).as("sxx"))
+        .filter(col("sx") > 0)
+        .select(col("user_id"), col("n_gaps"),
+          expr("(sx * 1000000L) div n_gaps").as("mean_gap_micro"),
+          expr("(n_gaps * sxx - sx * sx) div (sx * sx) * 1000000L + " +
+            "(((n_gaps * sxx - sx * sx) % (sx * sx)) * 1000000L) " +
+            "div (sx * sx)").as("cv2_micro"))
+        .orderBy("user_id")
+    }),
+
     // ---- longest activity streak (gaps-and-islands) --------------------------
     // per-user longest run of consecutive active days: day − row_number
     // is constant within a run — two hash aggs on the deduped (user, day)
@@ -6317,6 +6370,49 @@ object ExtensionQueries {
                   AS DOUBLE) / COUNT(l_discount), 6),
                 TRUE
          FROM lineitem""",
+
+    // frequency-ranked prefix sums on the distinct-token frame
+    "q_vocab_coverage" ->
+      s"""WITH tf AS (
+           SELECT unnest(string_split_regex(trim(regexp_replace(
+                    lower(text), '[^a-z0-9\\s]+', ' ', 'g')), '\\s+'))
+                    AS tok
+           FROM documents),
+         freq AS (SELECT tok, COUNT(*) AS cnt FROM tf GROUP BY 1),
+         r AS (SELECT cnt, tok,
+                      SUM(cnt) OVER (ORDER BY cnt DESC, tok) AS cum,
+                      ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk
+               FROM freq),
+         tot AS (SELECT SUM(cnt) AS n_total FROM freq)
+         SELECT p.pct, MIN(rk) AS k_tokens,
+                CAST(MAX(n_total) AS BIGINT) AS n_total
+         FROM r, tot, (SELECT unnest([50, 90, 95, 99]) AS pct) p
+         WHERE cum * 100 >= n_total * p.pct
+         GROUP BY 1 ORDER BY 1""",
+
+    // whole-second gaps; CV² by the same two-step floor division
+    "q_burstiness" ->
+      """WITH g0 AS (
+           SELECT user_id,
+                  epoch_us(ts) // 1000000 AS sec,
+                  LAG(epoch_us(ts) // 1000000, 1) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS prev_sec
+           FROM events),
+         g AS (SELECT user_id, sec - prev_sec AS g FROM g0
+               WHERE prev_sec IS NOT NULL),
+         a AS (SELECT user_id, COUNT(*) AS n_gaps,
+                      CAST(SUM(g) AS BIGINT) AS sx,
+                      CAST(SUM(g * g) AS BIGINT) AS sxx
+               FROM g GROUP BY 1)
+         SELECT user_id, n_gaps,
+                CAST((sx * 1000000) // n_gaps AS BIGINT)
+                  AS mean_gap_micro,
+                CAST((n_gaps * sxx - sx * sx) // (sx * sx) * 1000000
+                     + (((n_gaps * sxx - sx * sx) % (sx * sx))
+                        * 1000000) // (sx * sx) AS BIGINT) AS cv2_micro
+         FROM a WHERE sx > 0
+         ORDER BY user_id""",
 
     // day − row_number constant within a run; ties → latest run
     "q_streaks" ->
