@@ -986,6 +986,26 @@ object ExtensionQueries {
           numPerms = 8, numBands = 4, threshold = 0.8),
         "doc_a", "doc_b")),
 
+    // ---- LSH recall against exact-Jaccard truth -------------------------------
+    // measured recall of the banded MinHash pipeline vs the lossless
+    // prefix-filtered exact pairs — the index-quality eval that decides
+    // band/perm settings, the dedup twin of q_ann_recall. LSH output is
+    // a verified SUBSET of truth, so recall = |lsh| / |truth|
+    "q_lsh_recall" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val truth = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.8)
+        .select("doc_a", "doc_b")
+      val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          numPerms = 8, numBands = 4, threshold = 0.8)
+        .select("doc_a", "doc_b")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(got.join(truth, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_hit"))) // two one-row frames
+        .select(col("n_truth"), col("n_hit"),
+          expr("(n_hit * 1000000L) div nullif(n_truth, 0)")
+            .as("recall_micro"))
+    }),
+
     // ---- entity resolution: golden-record survivorship --------------------
     // the full ER recipe over documents-as-entities: LSH blocking →
     // match pairs → connected components as entity clusters → ONE
@@ -3989,6 +4009,26 @@ object ExtensionQueries {
     "q_dedup_minhash_lsh" ->
       s"""WITH $minhashPairCtes
           SELECT doc_a, doc_b, jaccard FROM mh_pairs""",
+
+    // truth = exact-jaccard all-pairs at the same 0.8 threshold and
+    // 3-token shingle unit; mh_pairs is the fragment's verified output
+    "q_lsh_recall" ->
+      s"""WITH $minhashPairCtes,
+          truth AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(a.shset) > 0 AND len(b.shset) > 0
+              AND len(list_intersect(a.shset, b.shset))::DOUBLE /
+                  len(list_distinct(list_concat(a.shset, b.shset)))
+                  >= 0.8),
+          nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+          nh AS (SELECT COUNT(*) AS n_hit
+                 FROM mh_pairs p JOIN truth t
+                   ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
+          SELECT nt.n_truth, nh.n_hit,
+                 CAST((nh.n_hit * 1000000) // NULLIF(nt.n_truth, 0)
+                   AS BIGINT) AS recall_micro
+          FROM nt, nh""",
 
     "q_dedup_keep" ->
       s"""WITH RECURSIVE $minhashPairCtes,
