@@ -1073,6 +1073,64 @@ object ScaleSmoke {
       n
     }
 
+    timed("seq patterns type-bounded") {
+      // 50M events, 8 types: the pair join is |types|² per key — output
+      // can never exceed 8·7 ordered pairs however many events flow in
+      val ev = fact.select(col("k").as("u"),
+        col("seq").cast("long").as("t"),
+        (col("k") * 100 + col("seq")).as("tie"),
+        concat(lit("t"), (col("k") + col("seq")) % 8).as("typ"))
+      val n = graft.ops.baskets.sequentialPairs(ev, "u", "typ", "t",
+        "tie").count()
+      require(n <= 56, s"pair fan-out exceeded the type space: $n")
+      n
+    }
+
+    timed("landmark state k x reach") {
+      // chain of rows/50 nodes, 3 landmarks, 4 hops: settled state must
+      // be exactly k·(maxHops+1) rows (each landmark reaches 4 ahead)
+      val chain = spark.range(rows / 50 - 1)
+        .select(col("id").as("s"), (col("id") + 1).as("d"))
+      val lms = Seq(0L, rows / 150, rows / 100).toDF("node")
+      val got = graft.graph.Graph.landmarkDistances(chain, "s", "d",
+        lms, maxHops = 4)
+      val n = got.count()
+      require(n == 15, s"expected 3 landmarks x 5 rows, got $n")
+      n
+    }
+
+    timed("rolling hll window reuse") {
+      // 50M rows over 64 synthetic days: 64 daily sketches built once,
+      // each window unions ≤7 — the estimate never rescans the rows
+      // uid modulus PRIME (999983) and coprime with the 64-day cycle:
+      // any modulus sharing a factor with 64 hands each day a disjoint
+      // uid slice (64 | 10⁶ — found the hard way) and the windows
+      // under-count by design instead of by error
+      val ev = spark.range(rows).select(
+        expr("date_add(date '2024-01-01', cast(id % 64 as int))")
+          .as("day"),
+        ((col("id") * 2654435761L) % 999983L).as("uid"))
+      val daily = ev.groupBy("day")
+        .agg(hll_sketch_agg(xxhash64(col("uid"))).as("sk")).stage()
+      val cal = daily.select(col("day").as("anchor"))
+      val est = cal.join(daily,
+          datediff(col("anchor"), col("day")).between(0, 6))
+        .groupBy("anchor")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      // coupon-collector expectation for a full 7-day window, with
+      // generous slack for edge windows + sketch error
+      val draws = 7.0 * rows / 64
+      val expect = 999983.0 * (1 - math.exp(-draws / 999983.0))
+      // only FULL windows carry 7 days of draws; the first six anchors
+      // are partial by construction
+      val bad = est.filter(col("anchor") >= lit("2024-01-07") &&
+        col("est") < (expect * 0.5).toLong).count()
+      val n = est.count()
+      require(n == 64 && bad == 0,
+        s"windows=$n under-estimates=$bad (expect ≈ ${expect.toLong})")
+      n
+    }
+
     timed("clustering coeff cliques") {
       // rows/50 disjoint 4-cliques: every node must score exactly 1.0
       // and work stays output-bound (6 edges, 4 corner rows per clique)
