@@ -350,13 +350,21 @@ object ExtensionQueries {
     // rides along. Deterministic buckets make even the ESTIMATE
     // oracle-reproducible
     "q_cms_join_size" -> ((s, d) => {
-      val ka = t(s, d, "orders").select(col("o_orderkey").as("k"))
-      val kb = t(s, d, "lineitem").select(col("l_orderkey").as("k"))
+      // ONE scan per input: the per-key count frames feed both the
+      // weighted sketch build and the exact-size branch (staged so the
+      // two consumers share the aggregation)
+      val ka = t(s, d, "orders")
+        .groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("ca")).stage()
+      val kb = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("cb")).stage()
       val est = sketches.cmsJoinSize(
-        sketches.cmsBuild(ka, "k", depth = 4, width = 4096),
-        sketches.cmsBuild(kb, "k", depth = 4, width = 4096))
-      val exact = ka.groupBy("k").agg(count(lit(1)).as("ca"))
-        .join(kb.groupBy("k").agg(count(lit(1)).as("cb")), Seq("k"))
+        sketches.cmsBuildWeighted(ka, "k", "ca", depth = 4,
+          width = 4096),
+        sketches.cmsBuildWeighted(kb, "k", "cb", depth = 4,
+          width = 4096))
+      val exact = ka.join(kb, Seq("k"))
         .agg(sum(col("ca") * col("cb")).as("exact_join_size"))
       est.crossJoin(exact) // two one-row frames
         .select(col("est_join_size"), col("exact_join_size"),

@@ -44,6 +44,19 @@ object sketches {
       .groupBy(col("cell.seed").as("seed"), col("cell.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** [[cmsBuild]] over a pre-aggregated (key, weight) frame: cells sum
+    * the weights instead of counting rows. Lets a caller that already
+    * holds per-key counts (dedup stats, join-size probes) sketch them
+    * without re-scanning the raw input — cmsBuild(raw) ≡
+    * cmsBuildWeighted(raw.groupBy(k).count). */
+  def cmsBuildWeighted(df: DataFrame, keyCol: String, weightCol: String,
+                       depth: Int, width: Int): DataFrame =
+    df.select(col(weightCol).as("__w"),
+        explode(cellsOf(col(keyCol), depth, width)).as("cell"))
+      .groupBy(col("cell.seed").as("seed"),
+        col("cell.bucket").as("bucket"))
+      .agg(sum(col("__w")).as("c"))
+
   /** Equi-join size estimate from two sketches (the AGMS/CMS inner
     * product): per hash row, Σ_b cA(row,b)·cB(row,b) over-counts
     * |A ⋈ B| by exactly the colliding cross terms, so MIN over the

@@ -34,6 +34,16 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("cmsBuildWeighted over key counts equals cmsBuild over raw rows") {
+    val raw = items.toDF("k")
+    val counted = raw.groupBy("k").agg(count(lit(1)).as("c"))
+    val a = sketches.cmsBuild(raw, "k", 4, 64)
+      .as[(Int, Long, Long)].collect().toSet
+    val b = sketches.cmsBuildWeighted(counted, "k", "c", 4, 64)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("cms join-size estimate never under-counts; exact when wide") {
     val a = items.toDF("k")
     val b = items.filter(_ % 3 == 0).toDF("k")
