@@ -1632,6 +1632,32 @@ object ExtensionQueries {
       Streams.enrichStream(s, d, ckpt)
     }),
 
+    // ---- stream-static SCD2 enrichment -------------------------------------
+    // each event joins the dimension VERSION valid at its event time
+    // (weekly tier intervals, deterministic); equi-join + range filter —
+    // stateless, dimension broadcast per micro-batch
+    "q_stream_scd2" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_scd2en").toString
+      val dim = s.range(150L * 5).select(
+        (col("id") % 150).as("user_id"),
+        (col("id") / 150).cast("int").as("k"))
+        .select(col("user_id"),
+          expr("timestamp(date_add(date '2024-01-01', k * 7))")
+            .as("valid_from"),
+          expr("timestamp(date_add(date '2024-01-01', (k + 1) * 7))")
+            .as("valid_to"),
+          ((col("user_id") + col("k")) % 3).cast("int").as("tier"))
+      Streams.temporalEnrichStream(s, d, ckpt, dim, "user_id",
+          "valid_from", "valid_to")
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum((col("value").cast("decimal(18,2)") * lit(100))
+            .cast("long")).as("v_sum_c"))
+        .orderBy("tier")
+    }),
+
     // Spark 4 transformWithState sessionization (typed ValueState +
     // RocksDB, the post-fMGWS arbitrary-state API) — same oracle as the
     // batch q_sessionize, so the driver sees the new API path green
@@ -5844,6 +5870,28 @@ object ExtensionQueries {
     "q_stream_enrich" ->
       """SELECT event_id, event_type, n_name
          FROM events JOIN nation ON user_id % 25 = n_nationkey""",
+
+    // the same weekly-tier dimension, batch-joined at event time
+    "q_stream_scd2" ->
+      """WITH dim AS (
+           SELECT u.user_id, k.k,
+                  (DATE '2024-01-01'
+                    + CAST(k.k * 7 AS INT))::TIMESTAMP AS vf,
+                  (DATE '2024-01-01'
+                    + CAST((k.k + 1) * 7 AS INT))::TIMESTAMP AS vt,
+                  CAST((u.user_id + k.k) % 3 AS INT) AS tier
+           FROM (SELECT unnest(range(150)) AS user_id) u,
+                (SELECT unnest(range(5)) AS k) k),
+         j AS (SELECT d.tier, e.user_id,
+                      CAST(CAST(e.value AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS v_c
+               FROM events e JOIN dim d
+                 ON e.user_id = d.user_id
+                    AND e.ts >= d.vf AND e.ts < d.vt)
+         SELECT tier, COUNT(*) AS n_events,
+                COUNT(DISTINCT user_id) AS n_users,
+                CAST(SUM(v_c) AS BIGINT) AS v_sum_c
+         FROM j GROUP BY tier ORDER BY tier""",
 
     // per-row routing ≡ a batch filter: NULL-predicate rows quarantine
     // (CASE lands in ELSE), sums through decimal(18,2)

@@ -309,6 +309,49 @@ object Streams {
     spark.table(sinkName)
   }
 
+  /** Stream-static TEMPORAL enrichment: each event picks up the
+    * dimension version VALID AT ITS EVENT TIME (`from ≤ ts < to`) — the
+    * streaming read side of an SCD2 dimension, the lookup every
+    * real-time pipeline does against slowly-changing reference data
+    * (price books, account tiers, model versions).
+    *
+    * Planned as a stateless stream-static EQUI join on the key (the
+    * dimension broadcasts into every micro-batch; the stream never
+    * shuffles) with the validity range as a post-join filter — row
+    * counts stay bounded by versions-per-key, and no state store or
+    * watermark is involved because the dimension side is at rest.
+    * Batch ≡ stream by construction (same join, same filter; spec'd).
+    *
+    * @param dim static dimension carrying keyCol + [fromCol, toCol)
+    * @return the enriched rows from the drained memory sink
+    */
+  def temporalEnrichStream(spark: SparkSession, dir: String,
+                           checkpoint: String, dim: DataFrame,
+                           keyCol: String, fromCol: String,
+                           toCol: String,
+                           glob: String = "events.parquet"): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", glob)
+      .parquet(dir).schema
+    val enriched = normalizeTs(spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", glob)
+        .parquet(dir))
+      .join(dim, Seq(keyCol))
+      .filter(col("ts") >= col(fromCol) && col("ts") < col(toCol))
+
+    val sinkName = "graft_scd2en_" + math.abs(checkpoint.hashCode)
+    val q = enriched.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
   /** Stream-static enrichment join: the event stream joined to a static
     * dimension table. Stateless — no watermark, no state store; Spark
     * broadcasts the static side into every micro-batch, so at 100 TB/day

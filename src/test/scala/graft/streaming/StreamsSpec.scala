@@ -48,6 +48,35 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("temporal enrich stream equals the batch at-event-time join") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val ckpt = Files.createTempDirectory("graft_ckpt_scd2_spec").toString
+    val dim = spark.range(150L * 5).select(
+      (col("id") % 150).as("user_id"),
+      (col("id") / 150).cast("int").as("k"))
+      .select(col("user_id"),
+        expr("timestamp(date_add(date '2024-01-01', k * 7))")
+          .as("valid_from"),
+        expr("timestamp(date_add(date '2024-01-01', (k + 1) * 7))")
+          .as("valid_to"),
+        ((col("user_id") + col("k")) % 3).cast("int").as("tier"))
+    val streamed = Streams.temporalEnrichStream(spark, dir, ckpt, dim,
+        "user_id", "valid_from", "valid_to")
+      .select(col("event_id"), col("tier"))
+      .as[(Long, Int)].collect().toSet
+    val batch = Tables.events(spark, dir)
+      .join(dim, Seq("user_id"))
+      .filter(col("ts") >= col("valid_from") &&
+        col("ts") < col("valid_to"))
+      .select(col("event_id"), col("tier"))
+      .as[(Long, Int)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // at-event-time semantics: every event matches exactly ONE version
+    assert(streamed.size === streamed.map(_._1).size)
+  }
+
   test("streaming cms cells equal the batch sketch (shard-merge)") {
     val dir = "/root/testdata/sf0.001"
     val ckpt = Files.createTempDirectory("graft_ckpt_cms_spec").toString
