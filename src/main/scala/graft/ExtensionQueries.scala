@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.graph.Graph
 import graft.multimodal.Multimodal
-import graft.ops.{analytics, asof, baskets, expectations, rangejoin, sketches, sweepline, timeseries}
+import graft.ops.{analytics, asof, baskets, expectations, rangejoin, sketches, sweepline, timeseries, windows}
 import graft.similarity.{LabelEval, Similarity}
-import graft.sources.{Layout, StagedSources}
+import graft.sources.{HtmlTables, Layout, StagedSources}
 import graft.streaming.Streams
 import graft.text.{Bpe, Importance, Packing, Text}
 
@@ -140,6 +140,34 @@ object ExtensionQueries {
 
     "q_s_orc_roundtrip" -> ((s, d) =>
       StagedSources.orcRoundTrip(s, t(s, d, "nation"))),
+
+    // ---- S1/P6: literal HTML <table> parse --------------------------------
+    // one rendered page per region (the S2 multi-page shape), each with
+    // a colspan'd 2-LEVEL header (the coaches.py:49-53 case), pushed
+    // through the scan-local read_html analog, header-flattened, pivoted
+    // back to typed columns — the oracle checks the exact round-trip
+    "q_s1_html_table" -> ((s, d) => {
+      val pages = t(s, d, "nation")
+        .select(col("n_regionkey").as("page"),
+          struct(col("n_nationkey"), col("n_name")).as("r"))
+        .groupBy("page")
+        .agg(array_sort(collect_list(col("r"))).as("rs"))
+        .select(col("page"),
+          HtmlTables.renderPage(Seq(
+            Seq("nation" -> 2, "geo" -> 1),
+            Seq("key" -> 1, "name" -> 1, "region" -> 1)))(
+            transform(col("rs"), r => array(
+              r.getField("n_nationkey").cast("string"),
+              r.getField("n_name"),
+              col("page").cast("string")))).as("html"))
+      val long = HtmlTables.table(pages, "page", "html", headerRows = 2)
+      HtmlTables.pivot(long,
+          Seq("nation_key", "nation_name", "geo_region"))
+        .select(col("nation_key").cast("long").as("n_nationkey"),
+          col("nation_name").as("n_name"),
+          col("geo_region").cast("long").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
 
     "q_s_json_roundtrip" -> ((s, d) =>
       StagedSources.jsonRoundTrip(s, t(s, d, "supplier"))),
@@ -298,10 +326,20 @@ object ExtensionQueries {
 
     // ---- OHLC candle resample ---------------------------------------------
     // daily bars per event type over the event stream: one hash agg,
-    // open/close via min_by/max_by on (ts, event_id) — no sort window
+    // open/close via min_by/max_by on (ts, event_id) — no sort window.
+    // Integer-cent tick values in, so every output cell is BIGINT
+    // (DOUBLE/DECIMAL bars survive a byte compare but not a
+    // pandas-path one: DuckDB DECIMAL lands as float64, parquet
+    // DECIMAL as Decimal objects)
     "q_ohlc_bars" -> ((s, d) =>
-      timeseries.ohlcBars(Tables.events(s, d), "event_type", "ts",
-          "value", "event_id", barSeconds = 86400L)
+      timeseries.ohlcBars(
+        Tables.events(s, d).withColumn("value_c",
+          (col("value").cast("decimal(18,2)") * 100).cast("long")),
+        "event_type", "ts", "value_c", "event_id", barSeconds = 86400L)
+        .select(col("event_type"), col("bar_start"),
+          col("open").as("open_c"), col("high").as("high_c"),
+          col("low").as("low_c"), col("close").as("close_c"),
+          col("n_ticks"), col("volume").cast("long").as("volume_c"))
         .orderBy("event_type", "bar_start")),
 
     // ---- Markov next-event transition matrix ------------------------------
@@ -377,8 +415,9 @@ object ExtensionQueries {
     "q_skyline" -> ((s, d) =>
       analytics.skyline2(
         t(s, d, "part").select(col("p_partkey"), col("p_size"),
-          col("p_retailprice").cast("decimal(18,2)").as("price")),
-        "p_size", "price")
+          (col("p_retailprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("price_c")),
+        "p_size", "price_c")
         .orderBy("p_partkey")),
 
     // ---- Jaro-Winkler record linkage ---------------------------------------
@@ -1549,12 +1588,19 @@ object ExtensionQueries {
     }),
 
     // incremental OHLC candles: order-insensitive min_by/max_by state
-    // inside the windowed agg — same daily bars as the batch operator
+    // inside the windowed agg — same daily integer-cent bars as the
+    // batch operator (BIGINT-only cells, harness-canonicalizable)
     "q_stream_ohlc" -> ((s, d) => {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ckpt_ohlc").toString
       Streams.ohlcStream(s, d, ckpt, barSeconds = 86400L,
-        statePartitions = 8)
+          statePartitions = 8,
+          valueExpr = (col("value").cast("decimal(18,2)") * 100)
+            .cast("long"))
+        .select(col("event_type"), col("bar_start"),
+          col("open").as("open_c"), col("high").as("high_c"),
+          col("low").as("low_c"), col("close").as("close_c"),
+          col("n_ticks"), col("volume").cast("long").as("volume_c"))
     }),
 
     // stream → foreachBatch upsert → lake table: final table is the
@@ -2051,19 +2097,17 @@ object ExtensionQueries {
     // ---- vocabulary coverage curve --------------------------------------------
     // smallest frequency-ranked vocabulary prefix covering 50/90/95/99%
     // of token mass — the corpus-planning number behind vocab sizing and
-    // OOV budgeting. Window runs on the DISTINCT-TOKEN frame only
+    // OOV budgeting. The running sum over the distinct-token frame is
+    // the DISTRIBUTED two-level prefix sum (at 100 TB the vocabulary is
+    // 10⁸–10⁹ rows — a global `Window.orderBy` would funnel all of it
+    // through one task)
     "q_vocab_coverage" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val freq = t(s, d, "documents")
         .select(explode(Text.tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("cnt").desc, col("tok"))
       val tot = freq.agg(sum(col("cnt")).as("n_total"))
-      freq
-        .withColumn("cum", sum(col("cnt"))
-          .over(w.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)))
-        .withColumn("rk", row_number().over(w))
+      windows.distributedPrefixSum(freq,
+          Seq(col("cnt").desc, col("tok")), col("cnt"), "cum", "rk")
         .crossJoin(broadcast(tot)) // one-row totals frame
         .select(col("rk"), col("cum"), col("n_total"),
           explode(array(lit(50), lit(90), lit(95), lit(99))).as("pct"))
@@ -2346,10 +2390,11 @@ object ExtensionQueries {
       Text.sourceOverlap(t(s, d, "documents"), "source", "text", k = 3)),
 
     // hashing-trick term frequencies: vocabulary-free 64-bucket sparse
-    // vectors, engine-portable md5 buckets
+    // COO rows (doc_id, bucket, tf), engine-portable md5 buckets
     "q_hashing_tf" -> ((s, d) =>
       Text.hashingTf(t(s, d, "documents"), "doc_id", "text",
-        numBuckets = 64)),
+        numBuckets = 64)
+        .orderBy("doc_id", "bucket")),
 
     // KMV sketch overlap: the mergeable-profile form of source overlap
     // — per-source 128 smallest md5-prefix shingle hashes, pairwise
@@ -2457,6 +2502,12 @@ object ExtensionQueries {
     "q_s_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
+    // the parse is exact, so the round-trip restores the table verbatim
+    "q_s1_html_table" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+
     "q_s8_partitioned_sink" ->
       """SELECT l_returnflag, COUNT(*) AS cnt,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
@@ -2538,11 +2589,14 @@ object ExtensionQueries {
                   AS BIGINT) AS twa_cents
          FROM iv GROUP BY pri""",
 
-    // daily candles: open/close picked by (ts, event_id) rank, volume
-    // through decimal(18,2) so summation order can't diverge the hash
+    // daily candles: open/close picked by (ts, event_id) rank; every
+    // value cell is integer cents so both engines' results land in
+    // pandas as int64 (no DOUBLE repr / DECIMAL-object divergence)
     "q_ohlc_bars" ->
       """WITH t0 AS (
-           SELECT event_type, event_id, ts, value,
+           SELECT event_type, event_id, ts,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS v_c,
                   CAST(to_timestamp(CAST(floor(epoch(ts) / 86400)
                     AS BIGINT) * 86400) AS TIMESTAMP) AS bar_start
            FROM events),
@@ -2554,12 +2608,14 @@ object ExtensionQueries {
                         AS rn_d
                FROM t0)
          SELECT event_type, bar_start,
-                MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
-                MAX(value) AS high,
-                MIN(value) AS low,
-                MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+                CAST(MAX(CASE WHEN rn_a = 1 THEN v_c END) AS BIGINT)
+                  AS open_c,
+                CAST(MAX(v_c) AS BIGINT) AS high_c,
+                CAST(MIN(v_c) AS BIGINT) AS low_c,
+                CAST(MAX(CASE WHEN rn_d = 1 THEN v_c END) AS BIGINT)
+                  AS close_c,
                 COUNT(*) AS n_ticks,
-                SUM(CAST(value AS DECIMAL(18,2))) AS volume
+                CAST(SUM(v_c) AS BIGINT) AS volume_c
          FROM w GROUP BY event_type, bar_start
          ORDER BY event_type, bar_start""",
 
@@ -2567,7 +2623,9 @@ object ExtensionQueries {
     // as the batch operator — identical oracle
     "q_stream_ohlc" ->
       """WITH t0 AS (
-           SELECT event_type, event_id, ts, value,
+           SELECT event_type, event_id, ts,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS v_c,
                   CAST(to_timestamp(CAST(floor(epoch(ts) / 86400)
                     AS BIGINT) * 86400) AS TIMESTAMP) AS bar_start
            FROM events),
@@ -2579,12 +2637,14 @@ object ExtensionQueries {
                         AS rn_d
                FROM t0)
          SELECT event_type, bar_start,
-                MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
-                MAX(value) AS high,
-                MIN(value) AS low,
-                MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+                CAST(MAX(CASE WHEN rn_a = 1 THEN v_c END) AS BIGINT)
+                  AS open_c,
+                CAST(MAX(v_c) AS BIGINT) AS high_c,
+                CAST(MIN(v_c) AS BIGINT) AS low_c,
+                CAST(MAX(CASE WHEN rn_d = 1 THEN v_c END) AS BIGINT)
+                  AS close_c,
                 COUNT(*) AS n_ticks,
-                SUM(CAST(value AS DECIMAL(18,2))) AS volume
+                CAST(SUM(v_c) AS BIGINT) AS volume_c
          FROM w GROUP BY event_type, bar_start""",
 
     // the streaming counts land on the same per-user step pairs as
@@ -2621,7 +2681,7 @@ object ExtensionQueries {
          est AS (SELECT p.user_id, MIN(c.c) AS est
                  FROM pairs p JOIN cells c USING (seed, bucket)
                  GROUP BY 1)
-         SELECT e.user_id, e.est, k.true_c
+         SELECT e.user_id, CAST(e.est AS BIGINT) AS est, k.true_c
          FROM est e JOIN keys k USING (user_id)
          ORDER BY e.est DESC, e.user_id LIMIT 25""",
 
@@ -2733,20 +2793,21 @@ object ExtensionQueries {
          est AS (SELECT p.user_id, MIN(c.c) AS est
                  FROM pairs p JOIN cells c USING (seed, bucket)
                  GROUP BY 1)
-         SELECT e.user_id, e.est, k.true_c
+         SELECT e.user_id, CAST(e.est AS BIGINT) AS est, k.true_c
          FROM est e JOIN keys k USING (user_id)
          ORDER BY e.est DESC, e.user_id LIMIT 25""",
 
-    // textbook NOT EXISTS dominance over (size, price)
+    // textbook NOT EXISTS dominance over (size, integer-cent price)
     "q_skyline" ->
       """WITH pts AS (SELECT p_partkey, p_size,
-                             CAST(p_retailprice AS DECIMAL(18,2)) AS price
+                             CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                               * 100 AS BIGINT) AS price_c
                       FROM part)
-         SELECT p.p_partkey, p.p_size, p.price FROM pts p
+         SELECT p.p_partkey, p.p_size, p.price_c FROM pts p
          WHERE NOT EXISTS (
            SELECT 1 FROM pts q
-           WHERE q.p_size <= p.p_size AND q.price <= p.price
-             AND (q.p_size < p.p_size OR q.price < p.price))
+           WHERE q.p_size <= p.p_size AND q.price_c <= p.price_c
+             AND (q.p_size < p.p_size OR q.price_c < p.price_c))
          ORDER BY p_partkey""",
 
     // first-char-blocked candidates, DuckDB's jaro_winkler as the gate
@@ -3545,7 +3606,7 @@ object ExtensionQueries {
                            - GREATEST(cum, klo)) AS kp,
                          v, khi - klo AS m
                   FROM k)
-         SELECT g, MAX(m) AS n_kept,
+         SELECT g, CAST(MAX(m) AS BIGINT) AS n_kept,
                 CAST((SUM(kp * v) * 1000000) // MAX(m) AS BIGINT)
                   AS tmean_micro
          FROM kept GROUP BY g HAVING MAX(m) > 0
@@ -3682,9 +3743,9 @@ object ExtensionQueries {
                   UNION ALL
                   SELECT e.dst, r3.dist + e.w FROM r3
                   JOIN e ON e.src = r3.node) GROUP BY 1)
-         SELECT dist // 5 AS bucket, COUNT(*) AS n_nodes,
+         SELECT CAST(dist // 5 AS BIGINT) AS bucket, COUNT(*) AS n_nodes,
                 CAST(SUM(node) AS BIGINT) AS node_sum,
-                MIN(dist) AS min_dist
+                CAST(MIN(dist) AS BIGINT) AS min_dist
          FROM r4 GROUP BY 1 ORDER BY 1""",
 
     // HITS unrolled 2 iterations: integer scores, L1-normalized to 1e12
@@ -6780,8 +6841,8 @@ object ExtensionQueries {
     // mirrors sourceOverlap: distinct (source, shingle) pairs, pairwise
     // intersection counts via the per-shingle source set, containment
     // normalized by the left side's set size
-    // same tokenizer + md5-prefix bucket; parallel lists ordered by
-    // bucket mirror the engine's sorted sparse vectors
+    // same tokenizer + md5-prefix bucket; sparse COO cells (scalar
+    // columns only — array cells defeat the harness's row sort)
     "q_hashing_tf" ->
       """WITH tok AS (
            SELECT doc_id,
@@ -6792,12 +6853,10 @@ object ExtensionQueries {
          b AS (SELECT doc_id,
                       ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64
                         AS bucket
-               FROM tok),
-         c AS (SELECT doc_id, bucket, COUNT(*) AS c
-               FROM b GROUP BY 1, 2)
-         SELECT doc_id, list(bucket ORDER BY bucket) AS buckets,
-                list(c ORDER BY bucket) AS counts
-         FROM c GROUP BY doc_id""",
+               FROM tok)
+         SELECT doc_id, bucket, COUNT(*) AS tf
+         FROM b GROUP BY 1, 2
+         ORDER BY doc_id, bucket""",
 
     // same shingle + md5-prefix hash as the engine; per-source cut,
     // per-pair union merge, identical integer estimators

@@ -55,12 +55,28 @@ object baskets {
     * the result is order-independent and oracle-exact — the
     * [[graft.graph.Graph.adamicAdar]] micros rule.
     *
+    * Skew guards, in order:
+    *  - LOSSLESS Apriori prefilter: only items with item support ≥
+    *    `minSupport` enter the pair expansion (a pair's support is
+    *    bounded by either item's support, so dropped items can never
+    *    reach the cut) — a null-like sentinel SKU that appears once
+    *    per basket dies here, before it can inflate any basket.
+    *  - `maxBasketItems` (opt-in): baskets still holding more than
+    *    this many FREQUENT items after the prefilter are DROPPED
+    *    whole. This one changes semantics — pairs lose those baskets'
+    *    contribution — and is the standard practice for corpus-scale
+    *    mining where one boilerplate mega-basket (a crawler session, a
+    *    catalog-wide order) would otherwise buffer the whole basket in
+    *    one aggregation row and land its m²/2 expansion on one task.
+    *    Default 0 = off; the oracle models the exact (cap-off) form.
+    *
     * The support cut happens BEFORE the direction fan-out and the
     * support joins, so downstream work is bounded by surviving rules,
     * not raw pairs; the item-support joins are plain equi-joins AQE
     * sizes itself (broadcast when the item dimension is small). */
   def associationRules(b: DataFrame, basketCol: String, itemCol: String,
-                       minSupport: Long): DataFrame = {
+                       minSupport: Long,
+                       maxBasketItems: Int = 0): DataFrame = {
     // staged: the incidence distinct is the raw-volume shuffle, and
     // THREE consumers read it (item supports, basket count, pair
     // expansion) — without the pin each would re-run it
@@ -68,7 +84,15 @@ object baskets {
     val itemSup = inc.groupBy(col("i")).agg(count(lit(1)).as("sup"))
     val nBaskets = inc.select(col("k")).distinct()
       .agg(count(lit(1)).as("n"))
-    val pairs = pairSupportsFromIncidence(inc)
+    val freqInc = inc.join(
+      itemSup.filter(col("sup") >= minSupport).select(col("i")), "i")
+    val capped =
+      if (maxBasketItems <= 0) freqInc
+      else freqInc.withColumn("__bn",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("k"))))
+        .filter(col("__bn") <= maxBasketItems).drop("__bn")
+    val pairs = pairSupportsFromIncidence(capped)
       .filter(col("pair_support") >= minSupport)
     pairs
       .select(explode(array(

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import graft.Staging._
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
@@ -42,4 +43,63 @@ object windows {
   def markerFill(markerValue: Column, w: WindowSpec,
                  default: Column): Column =
     coalesce(last(markerValue, ignoreNulls = true).over(w), default)
+
+  /** Distributed global running sum + rank: the two-level rewrite of
+    * `Window.orderBy(order…)` with NO partition key — which Spark
+    * executes by funnelling the ENTIRE frame through one task (the
+    * `WindowExec: No Partition Defined` warning). Here:
+    *
+    *  1. range-partition by the full `order` key — a real exchange that
+    *     load-balances even when the frame is the whole corpus;
+    *  2. a window PARTITIONED by `spark_partition_id()` computes the
+    *     in-partition inclusive running sum and row number (each task
+    *     sorts only its own range);
+    *  3. per-partition totals (one row per partition) get a running
+    *     offset on a frame bounded by the PARTITION COUNT, then
+    *     broadcast back.
+    *
+    * The result is exactly `sum(value) over (order by order…)` and
+    * `row_number() over (order by order…)` for any data size — the
+    * single-task frame left anywhere is ≤ `spark.sql.shuffle.partitions`
+    * rows. `order` must be a total order (unique key) for `rankName`
+    * to be deterministic; descending columns (`col.desc`) are fine.
+    *
+    * The range-partitioned frame is staged once because two consumers
+    * (the in-partition window and the offsets aggregate) must see the
+    * SAME physical partitioning — the [[graft.text.Packing]] /
+    * `Text.rankNormalize` exchange-reuse hazard.
+    *
+    * @param value summed column (long); rank is independent of it
+    * @return df + `cumName` (inclusive running sum) + `rankName`
+    *         (1-based global rank)
+    */
+  def distributedPrefixSum(df: DataFrame, order: Seq[Column],
+                           value: Column, cumName: String = "cum",
+                           rankName: String = "rk",
+                           numPartitions: Int = 0): DataFrame = {
+    val withV = df.withColumn("__psv", value)
+    val parted = (if (numPartitions > 0)
+        withV.repartitionByRange(numPartitions, order: _*)
+      else withV.repartitionByRange(order: _*))
+      .withColumn("__pid", spark_partition_id())
+      .stage()
+    val wIn = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val inPart = parted
+      .withColumn("__cum_in", sum(col("__psv")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__rk_in", row_number().over(wIn))
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(sum(col("__psv")).as("__pt"), count(lit(1)).as("__pc"))
+      .withColumn("__voff",
+        coalesce(sum(col("__pt")).over(wOff), lit(0L)))
+      .withColumn("__coff",
+        coalesce(sum(col("__pc")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__voff"), col("__coff"))
+    inPart.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(cumName, col("__cum_in") + col("__voff"))
+      .withColumn(rankName, col("__rk_in") + col("__coff"))
+      .drop("__pid", "__psv", "__cum_in", "__rk_in", "__voff", "__coff")
+  }
 }

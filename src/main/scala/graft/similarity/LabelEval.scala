@@ -214,12 +214,15 @@ object LabelEval {
     * Tie handling is EXACT: ranks never materialize per row. One hash
     * agg shrinks the corpus to (score, cnt, pos) per DISTINCT score —
     * bounded by the score's value space (integer cents/micros), not the
-    * row count — then a prefix sum over that tiny frame gives each tie
+    * row count — then a prefix sum over that frame gives each tie
     * block's cumulative offset, and 2R⁺ = Σ pos·(2·cum + cnt + 1) stays
     * in integers (mid-rank halves cancel against the factor 2). The
-    * single-task window over distinct scores is the reduction, not a
-    * bottleneck. Exact while 2R⁺·10⁶ < 2⁶³ (≈ 3·10⁹ scored rows);
-    * beyond that, swap the output step to decimal(38,0).
+    * prefix sum is the DISTRIBUTED two-level form
+    * ([[graft.ops.windows.distributedPrefixSum]]): a finely-quantized
+    * score over a wide range is millions of distinct values, and a
+    * global `Window.orderBy` would push all of them through one task.
+    * Exact while 2R⁺·10⁶ < 2⁶³ (≈ 3·10⁹ scored rows); beyond that,
+    * swap the output step to decimal(38,0).
     *
     * @param scoreCol integer-quantized score (quantize upstream)
     * @param posCol   boolean / 0-1 positive indicator
@@ -227,14 +230,13 @@ object LabelEval {
     */
   def aucRank(scored: DataFrame, scoreCol: String,
               posCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val byScore = scored.groupBy(col(scoreCol).cast("long").as("s"))
       .agg(count(lit(1)).as("cnt"),
         sum(col(posCol).cast("long")).as("pos"))
-    val w = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    byScore
-      .withColumn("cum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    graft.ops.windows.distributedPrefixSum(byScore, Seq(col("s")),
+        col("cnt"), cumName = "cum_incl", rankName = "__rk")
+      // exclusive prefix (rows strictly below the tie block)
+      .withColumn("cum", col("cum_incl") - col("cnt"))
       .agg(
         sum(col("pos") * (lit(2L) * col("cum") + col("cnt") + 1L))
           .as("r2"),

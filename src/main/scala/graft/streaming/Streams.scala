@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Staging._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -116,15 +116,27 @@ object Streams {
     * insensitive state: each arriving row either improves the extreme
     * or doesn't, so late/shuffled arrival can't change the result —
     * that's what makes candles incremental-safe where ranking isn't,
-    * cf. [[topKStream]]). Watermark bounds state to one day of open
-    * bars; volume accumulates in decimal(18,2) so micro-batch slicing
-    * can't reorder a float sum. Spark's `window()` buckets are epoch-
-    * aligned — identical to the batch operator's floor-division bar id.
+    * cf. [[topKStream]]). Volume accumulates in decimal(18,2) so
+    * micro-batch slicing can't reorder a float sum. Spark's `window()`
+    * buckets are epoch-aligned — identical to the batch operator's
+    * floor-division bar id.
+    *
+    * State note: this runs in `complete` output mode (the memory-sink
+    * harness replays the whole candle table per trigger), and in
+    * complete mode Spark retains ALL aggregation state — the watermark
+    * below is inert. A continuous production deployment that needs
+    * bounded state should switch to `update` mode with an upsert sink
+    * (cf. [[upsertStreamToTable]]); then the 1-day watermark evicts
+    * closed bars and state is one day of open bars.
+    *
+    * @param valueExpr tick-value projection (default raw `value`);
+    *   pass an integer-cents cast for exact cross-engine bars
     */
   def ohlcStream(spark: SparkSession, dir: String, checkpoint: String,
                  barSeconds: Long = 86400L,
                  glob: String = "events.parquet",
-                 statePartitions: Int = 0): DataFrame = {
+                 statePartitions: Int = 0,
+                 valueExpr: Column = col("value")): DataFrame = {
     val sess = statefulSession(spark, statePartitions)
     val schema = sess.read.option("pathGlobFilter", glob).parquet(dir)
       .schema
@@ -135,15 +147,16 @@ object Streams {
       .parquet(dir)
     val ord = struct(col("ts"), col("event_id"))
     val agg = normalizeTs(stream)
+      .withColumn("__v", valueExpr)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), s"$barSeconds seconds").as("win"),
         col("event_type"))
-      .agg(min_by(col("value"), ord).as("open"),
-        max(col("value")).as("high"),
-        min(col("value")).as("low"),
-        max_by(col("value"), ord).as("close"),
+      .agg(min_by(col("__v"), ord).as("open"),
+        max(col("__v")).as("high"),
+        min(col("__v")).as("low"),
+        max_by(col("__v"), ord).as("close"),
         count(lit(1)).as("n_ticks"),
-        sum(col("value").cast("decimal(18,2)")).as("volume"))
+        sum(col("__v").cast("decimal(18,2)")).as("volume"))
       .select(col("event_type"), col("win.start").as("bar_start"),
         col("open"), col("high"), col("low"), col("close"),
         col("n_ticks"), col("volume"))

@@ -1128,18 +1128,22 @@ object Text {
 
   /** Feature hashing (the "hashing trick", Weinberger et al. '09):
     * per-doc term frequencies bucketed into a fixed `numBuckets`-wide
-    * hashed feature space, emitted sparse as parallel (buckets, counts)
-    * arrays sorted by bucket — the vocabulary-free featurizer for
-    * linear classifiers / MinHash inputs at corpus scale (no dictionary
-    * build, no vocab shuffle, new tokens never resize anything).
+    * hashed feature space, emitted as sparse COO rows (doc_id, bucket,
+    * tf) — the vocabulary-free featurizer for linear classifiers /
+    * MinHash inputs at corpus scale (no dictionary build, no vocab
+    * shuffle, new tokens never resize anything). The exploded-row form
+    * is deliberate: it stays joinable/aggregable downstream without
+    * array surgery, and every cell is a scalar (array columns defeat
+    * row-wise canonicalization in pandas-style comparison harnesses);
+    * `collect_list(struct(bucket, tf))` reassembles dense vectors
+    * per-doc when a consumer wants them, bounded by `numBuckets`.
     *
-    * Scan-local hash + two map-side-combined aggregates; the per-doc
-    * collect_list is bounded by `numBuckets` by construction. The
-    * bucket hash is the engine-portable md5-prefix idiom
+    * Scan-local hash + one map-side-combined aggregate. The bucket
+    * hash is the engine-portable md5-prefix idiom
     * ([[graft.ops.relational.datasetFingerprint]]), so the oracle
-    * reproduces the exact vectors.
+    * reproduces the exact cells.
     *
-    * @return (doc_id, buckets: array<long>, counts: array<long>)
+    * @return (doc_id, bucket, tf) sparse rows, tf >= 1
     */
   def hashingTf(docs: DataFrame, idCol: String, textCol: String,
                 numBuckets: Int): DataFrame = {
@@ -1149,13 +1153,7 @@ object Text {
       .select(col("doc_id"),
         (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
           % numBuckets).as("bucket"))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("bucket"), col("c"))))
-        .as("bc"))
-      .select(col("doc_id"),
-        expr("transform(bc, x -> x.bucket)").as("buckets"),
-        expr("transform(bc, x -> x.c)").as("counts"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
   }
 
   /** KMV (k-minimum-values) sketch overlap between sources (Beyer et

@@ -114,4 +114,57 @@ class WindowsSpec extends SparkSpec {
       }
     }
   }
+
+  test("distributedPrefixSum ≡ global Window.orderBy (asc and desc)") {
+    import org.apache.spark.sql.expressions.Window
+    forAll(Gen.listOfN(60, Gen.zip(Gen.choose(-50L, 50L),
+      Gen.choose(1L, 9L)))) { rows =>
+      whenever(rows.nonEmpty) {
+        // unique total order: (v, uid)
+        val df = rows.zipWithIndex
+          .map { case ((v, c), i) => (v, c, i.toLong) }
+          .toDF("v", "c", "uid")
+        for (ord <- Seq(Seq(col("v"), col("uid")),
+            Seq(col("v").desc, col("uid")))) {
+          val w = Window.orderBy(ord: _*)
+          val want = df
+            .withColumn("cum", sum(col("c")).over(
+              w.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)))
+            .withColumn("rk", row_number().over(w).cast("long"))
+            .select("uid", "cum", "rk")
+            .as[(Long, Long, Long)].collect().toSet
+          // numPartitions=5 forces a genuinely multi-partition run that
+          // AQE would coalesce at this scale
+          val got = windows.distributedPrefixSum(df, ord, col("c"),
+              numPartitions = 5)
+            .select("uid", "cum", "rk")
+            .as[(Long, Long, Long)].collect().toSet
+          assert(got === want)
+        }
+      }
+    }
+  }
+
+  test("distributedPrefixSum leaves no unpartitioned data-sized window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
+    val df = (1L to 100L).map(i => (i, i % 7)).toDF("uid", "c")
+    val plan = windows.distributedPrefixSum(df,
+        Seq(col("c").desc, col("uid")), col("c"), numPartitions = 5)
+      .queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWin => w }
+    assert(wins.nonEmpty)
+    // every data-sized window partitions by __pid; the only global-order
+    // window allowed is the per-partition-totals offset frame, whose
+    // input is an Aggregate grouped on __pid (≤ partition-count rows)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val overAggOnPid = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.exists(
+            _.toString.contains("__pid")) => a
+      }
+      assert(overAggOnPid.nonEmpty,
+        s"unpartitioned window over row data:\n$w")
+    }
+  }
 }

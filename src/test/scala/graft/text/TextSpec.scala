@@ -695,15 +695,15 @@ class TextSpec extends SparkSpec {
     val docs = texts.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) }
       .toDF("doc_id", "text")
     val got = Text.hashingTf(docs, "doc_id", "text", 64)
-      .as[(Long, Seq[Long], Seq[Long])].collect()
-      .map(r => r._1 -> (r._2, r._3)).toMap
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).sortBy(_._1)).toMap
     texts.foreach { case (id, ts) =>
       val want = ts.groupBy(bucket).view.mapValues(_.size.toLong)
         .toSeq.sortBy(_._1)
-      val (bs, cs) = got(id)
-      assert(bs === want.map(_._1), s"doc $id buckets")
-      assert(cs === want.map(_._2), s"doc $id counts")
-      assert(cs.sum === ts.size.toLong, s"doc $id token conservation")
+      assert(got(id) === want, s"doc $id sparse cells")
+      assert(got(id).map(_._2).sum === ts.size.toLong,
+        s"doc $id token conservation")
     }
   }
 
