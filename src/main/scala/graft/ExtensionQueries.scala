@@ -1521,6 +1521,35 @@ object ExtensionQueries {
         "media_id", pairs, "doc_a", "doc_b")
     }),
 
+    // ---- real image codec (javax.imageio): decode on actual pixels --------
+    // deterministic grayscale PNGs encoded per partition, decoded back
+    // through ImageIO — dims, integer pixel sums, floor-micros mean and
+    // the real-pixel 8×8 aHash, every cell reproducible by the oracle
+    // from the closed pixel formula
+    "q_mm_decode_real" -> ((s, d) =>
+      Multimodal.decodeImageMeta(
+        Multimodal.syntheticImages(s, t(s, d, "documents"))).toDF()
+        .orderBy("media_id")),
+
+    // real nearest-neighbor resize to 8×8: decode → integer sample grid
+    // → re-encode; no interpolation, so pixel-exact cross-engine
+    "q_mm_resize_real" -> ((s, d) =>
+      Multimodal.resizeImage(
+        Multimodal.syntheticImages(s, t(s, d, "documents")),
+        w2 = 8, h2 = 8).toDF()
+        .orderBy("media_id")),
+
+    // near-dup image pairs over REAL-pixel aHashes (planted identical
+    // images share an `id div 6` seed) through the same lossless
+    // pigeonhole band join as the byte-stub pipeline
+    "q_mm_phash_real_pairs" -> ((s, d) => {
+      val fps = Multimodal.decodeImageMeta(
+        Multimodal.syntheticImages(s, t(s, d, "documents"))).toDF()
+        .select(col("media_id"), col("ahash"))
+      graft.dedup.Dedup.bandedHammingPairs(fps, "media_id", "ahash",
+        bits = 64, maxHamming = 1)
+    }),
+
     // ---- S3 anchor-extract parity: regex extract-all + explode ------------
     "q_s3_regex_extract" -> ((s, d) =>
       t(s, d, "documents")
@@ -5707,6 +5736,113 @@ object ExtensionQueries {
                      ELSE 'video' END AS kind,
                 array_to_string(list(cnt ORDER BY bin), ',') AS features
          FROM dense GROUP BY doc_id""",
+
+    // the real-codec image pipeline: the twin never decodes a PNG — it
+    // recomputes every pixel from the closed generator formula
+    // p(x,y) = (7x+13y+31·(id div 6)) mod 256, which the PNG round-trip
+    // preserves exactly (gray8 PNG is lossless). Dims ≤ 23×15, so the
+    // pixel frame is a bounded cross join; the aHash bit rule is the
+    // integer cross-multiply, MSB packed via HUGEINT then wrapped to
+    // signed 64-bit
+    "q_mm_decode_real" ->
+      """WITH img AS (SELECT doc_id AS media_id, doc_id // 6 AS seed,
+                             (8 + (doc_id // 6) % 16)::INT AS w,
+                             (8 + (doc_id // 6) % 8)::INT AS h
+                      FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT i.media_id, i.w, i.h, xs.x::INT AS x,
+                       ys.y::INT AS y,
+                       ((7 * xs.x + 13 * ys.y + 31 * i.seed)
+                         % 256)::BIGINT AS p
+                FROM img i
+                CROSS JOIN range(23) xs(x) CROSS JOIN range(15) ys(y)
+                WHERE xs.x < i.w AND ys.y < i.h),
+         agg AS (SELECT media_id, w, h, COUNT(*)::BIGINT AS n_pixels,
+                        SUM(p)::BIGINT AS sum_gray
+                 FROM px GROUP BY 1, 2, 3),
+         blk AS (SELECT media_id, (y * 8 // h) * 8 + (x * 8 // w) AS b,
+                        SUM(p)::BIGINT AS bs, COUNT(*)::BIGINT AS bc
+                 FROM px GROUP BY 1, 2),
+         fp AS (SELECT bl.media_id,
+                       SUM(CASE WHEN bl.bs * a.n_pixels
+                                     > a.sum_gray * bl.bc
+                           THEN (1::HUGEINT << (63 - bl.b))
+                           ELSE 0::HUGEINT END) AS u
+                FROM blk bl JOIN agg a USING (media_id) GROUP BY 1)
+         SELECT a.media_id, a.w AS width, a.h AS height, a.n_pixels,
+                a.sum_gray,
+                CAST((a.sum_gray * 1000000) // a.n_pixels AS BIGINT)
+                  AS mean_gray_micro,
+                CAST(CASE WHEN f.u >= 9223372036854775808::HUGEINT
+                     THEN f.u - 18446744073709551616::HUGEINT
+                     ELSE f.u END AS BIGINT) AS ahash
+         FROM agg a JOIN fp f USING (media_id)
+         ORDER BY a.media_id""",
+
+    // nearest-neighbor 8×8: resized pixel (x,y) samples source pixel
+    // (x·w div 8, y·h div 8); blocks of an 8×8 aHash are single pixels
+    "q_mm_resize_real" ->
+      """WITH img AS (SELECT doc_id AS media_id, doc_id // 6 AS seed,
+                             (8 + (doc_id // 6) % 16)::INT AS w,
+                             (8 + (doc_id // 6) % 8)::INT AS h
+                      FROM documents WHERE doc_id % 3 = 0),
+         rp AS (SELECT i.media_id, xs.x::INT AS x, ys.y::INT AS y,
+                       ((7 * ((xs.x * i.w) // 8)
+                         + 13 * ((ys.y * i.h) // 8)
+                         + 31 * i.seed) % 256)::BIGINT AS p
+                FROM img i
+                CROSS JOIN range(8) xs(x) CROSS JOIN range(8) ys(y)),
+         agg AS (SELECT media_id, COUNT(*)::BIGINT AS n_pixels,
+                        SUM(p)::BIGINT AS sum_gray
+                 FROM rp GROUP BY 1),
+         fp AS (SELECT r.media_id,
+                       SUM(CASE WHEN r.p * a.n_pixels > a.sum_gray
+                           THEN (1::HUGEINT << (63 - (r.y * 8 + r.x)))
+                           ELSE 0::HUGEINT END) AS u
+                FROM rp r JOIN agg a USING (media_id) GROUP BY 1)
+         SELECT a.media_id, 8 AS width, 8 AS height, a.n_pixels,
+                a.sum_gray,
+                CAST((a.sum_gray * 1000000) // a.n_pixels AS BIGINT)
+                  AS mean_gray_micro,
+                CAST(CASE WHEN f.u >= 9223372036854775808::HUGEINT
+                     THEN f.u - 18446744073709551616::HUGEINT
+                     ELSE f.u END AS BIGINT) AS ahash
+         FROM agg a JOIN fp f USING (media_id)
+         ORDER BY a.media_id""",
+
+    // real-pixel aHash pairs: the same fingerprint CTE, then naive
+    // all-pairs hamming ≤ 1 as ground truth for the banded generator
+    "q_mm_phash_real_pairs" ->
+      """WITH img AS (SELECT doc_id AS media_id, doc_id // 6 AS seed,
+                             (8 + (doc_id // 6) % 16)::INT AS w,
+                             (8 + (doc_id // 6) % 8)::INT AS h
+                      FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT i.media_id, i.w, i.h, xs.x::INT AS x,
+                       ys.y::INT AS y,
+                       ((7 * xs.x + 13 * ys.y + 31 * i.seed)
+                         % 256)::BIGINT AS p
+                FROM img i
+                CROSS JOIN range(23) xs(x) CROSS JOIN range(15) ys(y)
+                WHERE xs.x < i.w AND ys.y < i.h),
+         agg AS (SELECT media_id, COUNT(*)::BIGINT AS n, SUM(p)::BIGINT
+                   AS tot
+                 FROM px GROUP BY 1),
+         blk AS (SELECT media_id, (y * 8 // h) * 8 + (x * 8 // w) AS b,
+                        SUM(p)::BIGINT AS bs, COUNT(*)::BIGINT AS bc
+                 FROM px GROUP BY 1, 2),
+         fp AS (SELECT bl.media_id,
+                       CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                            THEN u - 18446744073709551616::HUGEINT
+                            ELSE u END AS BIGINT) AS ahash
+                FROM (SELECT bl.media_id,
+                             SUM(CASE WHEN bl.bs * a.n > a.tot * bl.bc
+                                 THEN (1::HUGEINT << (63 - bl.b))
+                                 ELSE 0::HUGEINT END) AS u
+                      FROM blk bl JOIN agg a USING (media_id)
+                      GROUP BY 1) bl)
+         SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+                bit_count(xor(a.ahash, b.ahash))::INT AS hamming
+         FROM fp a JOIN fp b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.ahash, b.ahash)) <= 1""",
 
     // aHash fingerprints as 64-char bit strings (cnt·64 > n per bin,
     // MSB-first), naive all-pairs hamming as the ground truth for the

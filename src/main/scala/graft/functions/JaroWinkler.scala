@@ -103,23 +103,37 @@ object JaroWinklerMicro {
     }
 
     val mm = m.toLong
-    val n = 2L * mm * mm * l2 + 2L * mm * mm * l1 +
-      (2L * mm - tHalf) * l1 * l2
-    val d = 6L * l1.toLong * l2 * mm
 
     var l = 0
     while (l < 4 && l < l1 && l < l2 && s.charAt(l) == t.charAt(l)) l += 1
 
-    val boosted = 10L * n > 7L * d && l > 0
-    // ⌊10⁶·N/D⌋ or ⌊10⁶·((10−ℓ)N + ℓD)/(10D)⌋; values are positive, so
-    // Long division IS floor. BigInt only when 10⁶·num could overflow.
-    if (boosted) {
-      val num = (10L - l) * n + l * d
-      if (num <= 9000000000000L) num * 1000000L / (10L * d)
-      else (BigInt(num) * 1000000 / (BigInt(d) * 10)).toLong
+    // N ≤ 6L³ and the boost gate needs 10N: past L ≈ 4·10⁵ chars the
+    // Long terms overflow SILENTLY (wrong score, not an error), so the
+    // whole N/D construction — gate included — switches to BigInt there.
+    // Below the cutoff 10N ≤ 60L³ < 2⁶³ holds, so Long is exact.
+    if (math.max(l1, l2) > 400000) {
+      val bn = BigInt(2) * mm * mm * l2 + BigInt(2) * mm * mm * l1 +
+        BigInt(2 * mm - tHalf) * l1 * l2
+      val bd = BigInt(6) * l1 * l2 * mm
+      val boosted = bn * 10 > bd * 7 && l > 0
+      if (boosted) ((bn * (10 - l) + bd * l) * 1000000 / (bd * 10)).toLong
+      else (bn * 1000000 / bd).toLong
     } else {
-      if (n <= 9000000000000L) n * 1000000L / d
-      else (BigInt(n) * 1000000 / BigInt(d)).toLong
+      val n = 2L * mm * mm * l2 + 2L * mm * mm * l1 +
+        (2L * mm - tHalf) * l1 * l2
+      val d = 6L * l1.toLong * l2 * mm
+      val boosted = 10L * n > 7L * d && l > 0
+      // ⌊10⁶·N/D⌋ or ⌊10⁶·((10−ℓ)N + ℓD)/(10D)⌋; values are positive,
+      // so Long division IS floor. BigInt only when 10⁶·num could
+      // overflow.
+      if (boosted) {
+        val num = (10L - l) * n + l * d
+        if (num <= 9000000000000L) num * 1000000L / (10L * d)
+        else (BigInt(num) * 1000000 / (BigInt(d) * 10)).toLong
+      } else {
+        if (n <= 9000000000000L) n * 1000000L / d
+        else (BigInt(n) * 1000000 / BigInt(d)).toLong
+      }
     }
   }
 }

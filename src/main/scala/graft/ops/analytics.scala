@@ -296,6 +296,17 @@ object analytics {
     * per-cell term lands as integer micros so the final sum is
     * order-independent and engine-exact.
     *
+    * Precision caveat — weaker than the fully-integer neighbors here:
+    * the per-cell term (o − rt·ct/n)²/(rt·ct/n) is DOUBLE arithmetic
+    * rounded half-up to micros, and a term landing exactly on a .5
+    * micro boundary could round differently on an engine whose double
+    * path differs in the last bit. The exact-rational form
+    * ⌊10⁶·(o·n − rt·ct)²/(n·rt·ct)⌋ needs ~n⁴·10⁶ headroom — past
+    * decimal(38,0)/HUGEINT at ~10⁸ rows — so at corpus scale the
+    * double term is the correct trade; a χ² statistic is itself an
+    * asymptotic quantity, and a 1-micro wobble is far below its
+    * interpretive resolution.
+    *
     * @return one row: (chi2_micro, dof, n)
     */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {

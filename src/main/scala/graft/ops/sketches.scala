@@ -66,16 +66,39 @@ object sketches {
     * either input. Deterministic buckets → the estimate itself is
     * engine-reproducible, not just bounded.
     *
+    * PRECONDITION: both sketches must have been built with the SAME
+    * depth AND width. A depth mismatch is caught here (differing seed
+    * counts → `raise_error` at execution, never a silent number). A
+    * WIDTH mismatch is NOT detectable from the cells alone — the
+    * bucket spaces overlap and join cleanly — and returns a
+    * meaningless estimate; the width contract stays with the caller,
+    * which is why [[cmsBuild]]/[[cmsBuildWeighted]] take explicit
+    * parameters rather than defaulting them.
+    *
     * @return one row (est_join_size) — min over rows of the cell
     *         inner product
     */
   def cmsJoinSize(sketchA: DataFrame, sketchB: DataFrame): DataFrame = {
+    import graft.Staging._
+    // staged: each d·w-row sketch feeds TWO consumers (the cell join
+    // and its depth count) — without the pin the upstream build agg
+    // would run twice
     val a = sketchA.select(col("seed"), col("bucket"), col("c").as("ca"))
+      .stage()
     val b = sketchB.select(col("seed"), col("bucket"), col("c").as("cb"))
-    a.join(b, Seq("seed", "bucket"))
+      .stage()
+    val est = a.join(b, Seq("seed", "bucket"))
       .groupBy("seed")
       .agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min(col("ip")).as("est_join_size"))
+      .agg(min(col("ip")).as("__est"))
+    val da = a.agg(countDistinct(col("seed")).as("__da"))
+    val db = b.agg(countDistinct(col("seed")).as("__db"))
+    est.crossJoin(da).crossJoin(db) // three one-row frames
+      .select(when(col("__da") =!= col("__db"),
+        raise_error(format_string(
+          "cmsJoinSize: sketches built with different depths (%s vs %s seeds)",
+          col("__da"), col("__db"))).cast("bigint"))
+        .otherwise(col("__est")).as("est_join_size"))
   }
 
   /** Point-estimate each probe key against a built sketch: min of its

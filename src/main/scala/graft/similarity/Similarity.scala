@@ -155,19 +155,47 @@ object Similarity {
     * (hubs attract everything); mutuality is the cheap symmetric
     * filter.
     *
-    * Composition, not a new search: two [[bruteForceTopK]] passes and
-    * an id equi-join. At 100 TB swap in [[ivfTopK]] / the LSH stack
-    * for each direction and join their outputs the same way — the
-    * mutuality join is top-1-output-sized (≤ |A| + |B| rows), never
+    * Composition, not a new search: two top-1 passes and an id
+    * equi-join. At 100 TB swap in [[ivfTopK]] / the LSH stack for each
+    * direction and join their outputs the same way — the mutuality
+    * join is top-1-output-sized (≤ |A| + |B| rows), never
     * corpus-sized.
+    *
+    * `crossCollection = true` (the default) means A's and B's id
+    * spaces are UNRELATED: an id shared by both frames is a
+    * coincidence (or the same entity across snapshots — the alignment
+    * case) and must still be matchable, so no self-exclusion is
+    * applied. Set it false only when A and B are the SAME collection
+    * and a vector must not match itself — the [[bruteForceTopK]]
+    * `neighbor_id =!= query_id` rule.
     *
     * @return (a_id, b_id, cos) — cosine rounded 6dp as in the top-k ops
     */
-  def mutualBestMatch(a: DataFrame, b: DataFrame): DataFrame = {
-    val ab = bruteForceTopK(a, b, 1)
+  def mutualBestMatch(a: DataFrame, b: DataFrame,
+                      crossCollection: Boolean = true): DataFrame = {
+    def top1(queries: DataFrame, corpus: DataFrame): DataFrame = {
+      if (!crossCollection) bruteForceTopK(queries, corpus, 1)
+      else {
+        val q = queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"))
+        val c = corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("c_emb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        c.crossJoin(broadcast(q))
+          .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+          .filter(col("cos").isNotNull)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 1)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"))
+      }
+    }
+    val ab = top1(a, b)
       .select(col("query_id").as("a_id"),
         col("neighbor_id").as("b_id"), col("cos"))
-    val ba = bruteForceTopK(b, a, 1)
+    val ba = top1(b, a)
       .select(col("neighbor_id").as("a_id"),
         col("query_id").as("b_id"))
     ab.join(ba, Seq("a_id", "b_id"))

@@ -98,4 +98,25 @@ class JaroWinklerSpec extends SparkSpec {
       .as[Long].head()
     assert(r === 961111L)
   }
+
+  test("inputs past the Long-safe cutoff route through exact BigInt") {
+    // l2 > 400000 forces the BigInt N/D branch; s's 5 chars all match
+    // t's prefix inside the window, so the outer loop stays O(l1·window)
+    val s = "abcde"
+    val t = "abcde" + ("z" * 399997)
+    val got = JaroWinklerMicro.jwMicro(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.unsafe.types.UTF8String.fromString(t))
+    // independent BigInt replica of the rational: m=5, tHalf=0, ℓ=4
+    val (l1, l2, m) = (BigInt(5), BigInt(400002), BigInt(5))
+    val n = 2 * m * m * l2 + 2 * m * m * l1 + 2 * m * l1 * l2
+    val d = 6 * l1 * l2 * m
+    val boosted = n * 10 > d * 7
+    val want =
+      if (boosted) ((n * 6 + d * 4) * 1000000 / (d * 10)).toLong
+      else (n * 1000000 / d).toLong
+    assert(got === want)
+    // and the score is the sane one: jaro ≈ (1 + 5/400002 + 1)/3
+    assert(got >= 666000L && got <= 778000L)
+  }
 }

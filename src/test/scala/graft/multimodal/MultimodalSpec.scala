@@ -119,4 +119,49 @@ class MultimodalSpec extends SparkSpec {
     assert(big(0L).n_bytes === 2L)           // untouched, not truncated
     assert(big(0L).n_bytes_in === 2L)
   }
+
+  test("ImageCodec: gray8 PNG encode/decode is pixel-exact") {
+    val (w, h) = (13, 9)
+    def pix(x: Int, y: Int): Int = (5 * x + 11 * y + 3) % 256
+    val png = Multimodal.ImageCodec.encodeGrayPng(w, h, pix)
+    // a real PNG signature, not a stub envelope
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+    val (dw, dh, px) = Multimodal.ImageCodec.decodeGray(png)
+    assert((dw, dh) === ((w, h)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(px(y * w + x) === pix(x, y), s"pixel ($x,$y)")
+  }
+
+  test("ImageCodec.aHash: known 8x8 pattern, strict-mean bit rule") {
+    // top half 200, bottom half 10: mean 105 → top 32 bits set
+    val px = Array.tabulate(64)(i => if (i < 32) 200 else 10)
+    val fp = Multimodal.ImageCodec.aHash(8, 8, px)
+    assert(fp === 0xFFFFFFFF00000000L)
+    // uniform image: no block STRICTLY exceeds the mean → 0
+    assert(Multimodal.ImageCodec.aHash(8, 8, Array.fill(64)(77)) === 0L)
+  }
+
+  test("decodeImageMeta + resizeImage on the synthetic corpus") {
+    val docs = Seq((0L, "x"), (3L, "y"), (6L, "z"), (7L, "skip"))
+      .toDF("doc_id", "text")
+    val metas = Multimodal.decodeImageMeta(
+        Multimodal.syntheticImages(spark, docs))
+      .collect().map(m => m.media_id -> m).toMap
+    assert(metas.keySet === Set(0L, 3L, 6L))
+    // ids 0 and 3 share seed 0: identical images; id 6 is seed 1
+    assert(metas(0L).ahash === metas(3L).ahash)
+    assert(metas(0L).width === 8 && metas(0L).height === 8)
+    assert(metas(6L).width === 9 && metas(6L).height === 9)
+    // sum_gray replays the formula
+    val want0 = (for (y <- 0 until 8; x <- 0 until 8)
+      yield (7 * x + 13 * y) % 256).map(_.toLong).sum
+    assert(metas(0L).sum_gray === want0)
+    assert(metas(0L).mean_gray_micro === want0 * 1000000L / 64)
+    // resize of an already-8x8 image is identity
+    val rz = Multimodal.resizeImage(
+        Multimodal.syntheticImages(spark, docs), 8, 8)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(rz(0L).sum_gray === metas(0L).sum_gray)
+    assert(rz(0L).ahash === metas(0L).ahash)
+  }
 }

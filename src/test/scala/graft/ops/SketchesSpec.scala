@@ -58,6 +58,20 @@ class SketchesSpec extends SparkSpec {
     assert(est(4096) === exact)   // wide: collision-free → exact
   }
 
+  test("cmsJoinSize raises on a depth mismatch, never a silent number") {
+    val a = items.toDF("k")
+    val ex = intercept[Exception] {
+      sketches.cmsJoinSize(
+        sketches.cmsBuild(a, "k", depth = 4, width = 64),
+        sketches.cmsBuild(a, "k", depth = 8, width = 64))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("different depths")), ex.toString)
+  }
+
   test("cms sketches merge additively: shard-union equals whole-build") {
     val (a, b) = items.splitAt(900)
     val merged = sketches.cmsBuild(a.toDF("k"), "k", 4, 64)

@@ -439,4 +439,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("mutualBestMatch crossCollection: shared id values still match") {
+    // cross-snapshot entity alignment: the same entity KEEPS its id, so
+    // the (7,7) match is the signal — a self-exclusion filter would
+    // silently drop exactly the most likely pairs
+    val a = Seq((7L, Array(1.0f, 0.0f)), (8L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((7L, Array(0.99f, 0.05f)), (9L, Array(0.1f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mutualBestMatch(a, b)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((7L, 7L), (8L, 9L)))
+    // same-collection mode: id 7 must NOT match itself
+    val self = Similarity.mutualBestMatch(a, b,
+        crossCollection = false)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!self.contains((7L, 7L)))
+  }
 }
