@@ -71,7 +71,14 @@ object Bench {
     // artifact (driver cold 4.6 s vs builder runs 3.1-3.5 s, warm 0.7 s).
     val runsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
       .max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // dev-only subset filter (comma-separated names); the driver sets
+    // nothing and always benches the full surface
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map {
       case (name, fn) =>
         val times = (1 to runsPer).map { _ =>
           val t0 = System.nanoTime()

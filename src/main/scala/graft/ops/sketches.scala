@@ -43,6 +43,9 @@ object sketches {
     df.select(explode(cellsOf(col(keyCol), depth, width)).as("cell"))
       .groupBy(col("cell.seed").as("seed"), col("cell.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
+      // shape metadata as literal columns: zero storage beyond d·w rows,
+      // lets consumers (cmsJoinSize) validate compatibility in-plan
+      .withColumn("__depth", lit(depth)).withColumn("__width", lit(width))
 
   /** [[cmsBuild]] over a pre-aggregated (key, weight) frame: cells sum
     * the weights instead of counting rows. Lets a caller that already
@@ -56,6 +59,7 @@ object sketches {
       .groupBy(col("cell.seed").as("seed"),
         col("cell.bucket").as("bucket"))
       .agg(sum(col("__w")).as("c"))
+      .withColumn("__depth", lit(depth)).withColumn("__width", lit(width))
 
   /** Equi-join size estimate from two sketches (the AGMS/CMS inner
     * product): per hash row, Σ_b cA(row,b)·cB(row,b) over-counts
@@ -67,38 +71,42 @@ object sketches {
     * engine-reproducible, not just bounded.
     *
     * PRECONDITION: both sketches must have been built with the SAME
-    * depth AND width. A depth mismatch is caught here (differing seed
-    * counts → `raise_error` at execution, never a silent number). A
-    * WIDTH mismatch is NOT detectable from the cells alone — the
-    * bucket spaces overlap and join cleanly — and returns a
-    * meaningless estimate; the width contract stays with the caller,
-    * which is why [[cmsBuild]]/[[cmsBuildWeighted]] take explicit
-    * parameters rather than defaulting them.
+    * depth AND width. [[cmsBuild]]/[[cmsBuildWeighted]] stamp their
+    * shape as literal `__depth`/`__width` columns; when both inputs
+    * carry them, any joined cell from mismatched shapes fires
+    * `raise_error` at execution — a free per-row comparison of two
+    * literals, never an extra scan, and never a silent
+    * plausible-looking estimate. Hand-built or merged sketch frames
+    * without the stamps skip the guard and inherit the precondition
+    * unchecked (a shape mismatch there can return a meaningless
+    * number — re-stamp with `lit` columns to keep the check).
     *
     * @return one row (est_join_size) — min over rows of the cell
     *         inner product
     */
   def cmsJoinSize(sketchA: DataFrame, sketchB: DataFrame): DataFrame = {
-    import graft.Staging._
-    // staged: each d·w-row sketch feeds TWO consumers (the cell join
-    // and its depth count) — without the pin the upstream build agg
-    // would run twice
-    val a = sketchA.select(col("seed"), col("bucket"), col("c").as("ca"))
-      .stage()
-    val b = sketchB.select(col("seed"), col("bucket"), col("c").as("cb"))
-      .stage()
-    val est = a.join(b, Seq("seed", "bucket"))
+    val stamped = Seq(sketchA, sketchB).forall(s =>
+      s.columns.contains("__depth") && s.columns.contains("__width"))
+    val a = sketchA.select(col("seed"), col("bucket"),
+      col("c").as("ca"),
+      (if (stamped) concat_ws("x", col("__depth"), col("__width"))
+       else lit(null)).as("__shape_a"))
+    val b = sketchB.select(col("seed"), col("bucket"),
+      col("c").as("cb"),
+      (if (stamped) concat_ws("x", col("__depth"), col("__width"))
+       else lit(null)).as("__shape_b"))
+    val cell =
+      if (stamped)
+        when(col("__shape_a") =!= col("__shape_b"),
+          raise_error(format_string(
+            "cmsJoinSize: sketch shape mismatch (%s vs %s)",
+            col("__shape_a"), col("__shape_b"))).cast("bigint"))
+          .otherwise(col("ca") * col("cb"))
+      else col("ca") * col("cb")
+    a.join(b, Seq("seed", "bucket"))
       .groupBy("seed")
-      .agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min(col("ip")).as("__est"))
-    val da = a.agg(countDistinct(col("seed")).as("__da"))
-    val db = b.agg(countDistinct(col("seed")).as("__db"))
-    est.crossJoin(da).crossJoin(db) // three one-row frames
-      .select(when(col("__da") =!= col("__db"),
-        raise_error(format_string(
-          "cmsJoinSize: sketches built with different depths (%s vs %s seeds)",
-          col("__da"), col("__db"))).cast("bigint"))
-        .otherwise(col("__est")).as("est_join_size"))
+      .agg(sum(cell).as("ip"))
+      .agg(min(col("ip")).as("est_join_size"))
   }
 
   /** Point-estimate each probe key against a built sketch: min of its

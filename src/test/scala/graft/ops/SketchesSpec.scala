@@ -38,8 +38,10 @@ class SketchesSpec extends SparkSpec {
     val raw = items.toDF("k")
     val counted = raw.groupBy("k").agg(count(lit(1)).as("c"))
     val a = sketches.cmsBuild(raw, "k", 4, 64)
+      .select("seed", "bucket", "c")
       .as[(Int, Long, Long)].collect().toSet
     val b = sketches.cmsBuildWeighted(counted, "k", "c", 4, 64)
+      .select("seed", "bucket", "c")
       .as[(Int, Long, Long)].collect().toSet
     assert(a === b)
   }
@@ -58,18 +60,29 @@ class SketchesSpec extends SparkSpec {
     assert(est(4096) === exact)   // wide: collision-free → exact
   }
 
-  test("cmsJoinSize raises on a depth mismatch, never a silent number") {
+  test("cmsJoinSize raises on a shape mismatch, never a silent number") {
     val a = items.toDF("k")
-    val ex = intercept[Exception] {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    val exDepth = intercept[Exception] {
       sketches.cmsJoinSize(
         sketches.cmsBuild(a, "k", depth = 4, width = 64),
         sketches.cmsBuild(a, "k", depth = 8, width = 64))
         .collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e =>
-        Option(e.getMessage).toSeq ++ msgs(e.getCause))
-    assert(msgs(ex).exists(_.contains("different depths")), ex.toString)
+    assert(msgs(exDepth).exists(_.contains("shape mismatch")),
+      exDepth.toString)
+    // width mismatch too — undetectable from the cells, caught by the
+    // literal stamps
+    val exWidth = intercept[Exception] {
+      sketches.cmsJoinSize(
+        sketches.cmsBuild(a, "k", depth = 4, width = 64),
+        sketches.cmsBuild(a, "k", depth = 4, width = 128))
+        .collect()
+    }
+    assert(msgs(exWidth).exists(_.contains("shape mismatch")),
+      exWidth.toString)
   }
 
   test("cms sketches merge additively: shard-union equals whole-build") {

@@ -85,6 +85,7 @@ class StreamsSpec extends SparkSpec {
       .as[(Int, Long, Long)].collect().toSet
     val batch = graft.ops.sketches.cmsBuild(
         Tables.events(spark, dir), "user_id", depth = 4, width = 64)
+      .select("seed", "bucket", "c")
       .as[(Int, Long, Long)].collect().toSet
     assert(streamed === batch)
     assert(streamed.nonEmpty)
