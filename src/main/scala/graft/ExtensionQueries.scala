@@ -1550,6 +1550,23 @@ object ExtensionQueries {
         bits = 64, maxHamming = 1)
     }),
 
+    // ---- real audio codec (javax.sound.sampled): WAV PCM16 decode ---------
+    // deterministic WAVs encoded per partition, decoded back through
+    // AudioSystem — integer energy sums, peak, strict zero crossings,
+    // every cell reproducible by the oracle from the sample formula
+    "q_mm_audio_decode" -> ((s, d) =>
+      Multimodal.decodeAudioMeta(
+        Multimodal.syntheticAudio(s, t(s, d, "documents"))).toDF()
+        .orderBy("media_id")),
+
+    // real windowed frame features over the decoded signal: per-frame
+    // energy + peak — frame sampling with actual DSP content
+    "q_mm_audio_frames" -> ((s, d) =>
+      Multimodal.audioFrames(
+        Multimodal.syntheticAudio(s, t(s, d, "documents")),
+        frameLen = 64).toDF()
+        .orderBy("media_id", "frame_idx")),
+
     // ---- S3 anchor-extract parity: regex extract-all + explode ------------
     "q_s3_regex_extract" -> ((s, d) =>
       t(s, d, "documents")
@@ -5736,6 +5753,49 @@ object ExtensionQueries {
                      ELSE 'video' END AS kind,
                 array_to_string(list(cnt ORDER BY bin), ',') AS features
          FROM dense GROUP BY doc_id""",
+
+    // the real-codec audio pipeline: the twin never decodes a WAV — it
+    // replays the closed sample generator s(i) = ((7i²+13i+31·id) mod
+    // 65536) − 32768 that the PCM16 round trip preserves exactly
+    "q_mm_audio_decode" ->
+      """WITH aud AS (SELECT doc_id AS media_id,
+                             256 + 64 * (doc_id % 7) AS n
+                      FROM documents WHERE doc_id % 3 = 1),
+         sm AS (SELECT a.media_id, t.i::BIGINT AS i,
+                       ((7 * t.i * t.i + 13 * t.i + 31 * a.media_id)
+                         % 65536) - 32768 AS s
+                FROM aud a CROSS JOIN range(640) t(i)
+                WHERE t.i < a.n),
+         lagged AS (SELECT media_id, s,
+                           lag(s) OVER (PARTITION BY media_id
+                                        ORDER BY i) AS prev
+                    FROM sm)
+         SELECT media_id, 8000 AS sample_rate,
+                COUNT(*)::BIGINT AS n_samples,
+                SUM(ABS(s))::BIGINT AS sum_abs,
+                SUM(s * s)::BIGINT AS sum_sq,
+                MAX(ABS(s))::INT AS peak_abs,
+                (COUNT(*) FILTER (WHERE s * prev < 0))::BIGINT
+                  AS zero_crossings
+         FROM lagged GROUP BY media_id
+         ORDER BY media_id""",
+
+    // 64-sample frames; every synthetic length is a multiple of 64
+    "q_mm_audio_frames" ->
+      """WITH aud AS (SELECT doc_id AS media_id,
+                             256 + 64 * (doc_id % 7) AS n
+                      FROM documents WHERE doc_id % 3 = 1),
+         sm AS (SELECT a.media_id, t.i::BIGINT AS i,
+                       ((7 * t.i * t.i + 13 * t.i + 31 * a.media_id)
+                         % 65536) - 32768 AS s
+                FROM aud a CROSS JOIN range(640) t(i)
+                WHERE t.i < a.n)
+         SELECT media_id, (i // 64)::INT AS frame_idx,
+                COUNT(*)::INT AS n,
+                SUM(ABS(s))::BIGINT AS sum_abs,
+                MAX(ABS(s))::INT AS peak_abs
+         FROM sm GROUP BY media_id, i // 64
+         ORDER BY media_id, frame_idx""",
 
     // the real-codec image pipeline: the twin never decodes a PNG — it
     // recomputes every pixel from the closed generator formula

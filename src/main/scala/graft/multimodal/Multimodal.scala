@@ -322,6 +322,153 @@ object Multimodal {
     }
   }
 
+  // ---- real audio codec (javax.sound.sampled, pure JVM) --------------------
+
+  /** One audio asset: id + WAV payload bytes. */
+  case class AudioRow(media_id: Long, payload: Array[Byte])
+
+  /** Decoded audio metadata — integer-exact features only (abs/square
+    * sums, strict-sign zero crossings) so a SQL twin that knows the
+    * sample source reproduces every cell; RMS/dB stay derivable
+    * downstream from sum_sq without forcing a float here. */
+  case class AudioMeta(media_id: Long, sample_rate: Int, n_samples: Long,
+                       sum_abs: Long, sum_sq: Long, peak_abs: Int,
+                       zero_crossings: Long)
+
+  /** Per-frame audio features: the frame-sample analog with real DSP
+    * content (windowed energy), one row per fixed-length frame. */
+  case class AudioFrame(media_id: Long, frame_idx: Int, n: Int,
+                        sum_abs: Long, peak_abs: Int)
+
+  /** Real audio codec on `javax.sound.sampled` — WAV PCM16 mono,
+    * little-endian, lossless round trip, no native libs. Same seam and
+    * batch shape as [[ImageCodec]]. */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Encode signed 16-bit mono PCM samples as a WAV container. */
+    def encodeWavPcm16(sampleRate: Int, samples: Array[Short])
+    : Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1,
+        /* signed = */ true, /* bigEndian = */ false)
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt,
+        samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode a WAV payload → (sampleRate, PCM16 samples). */
+    def decodePcm16(payload: Array[Byte]): (Int, Array[Short]) = {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono PCM, got $fmt")
+      val bytes = in.readAllBytes()
+      val n = bytes.length / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      if (fmt.isBigEndian)
+        while (i < n) {
+          samples(i) = (((bytes(2 * i) & 0xff) << 8) |
+            (bytes(2 * i + 1) & 0xff)).toShort
+          i += 1
+        }
+      else
+        while (i < n) {
+          samples(i) = (((bytes(2 * i + 1) & 0xff) << 8) |
+            (bytes(2 * i) & 0xff)).toShort
+          i += 1
+        }
+      (math.round(fmt.getSampleRate), samples)
+    }
+  }
+
+  /** Synthetic audio corpus from the documents table: one WAV per
+    * audio-kind doc, samples from the closed formula
+    * `s(i) = ((7i² + 13i + 31·id) mod 65536) − 32768` over
+    * `n = 256 + 64·(id mod 7)` samples at 8 kHz — real encoded WAV
+    * bytes, SQL-replayable sample values (the PCM16 round trip is
+    * lossless). Encode runs in `mapPartitions`. */
+  def syntheticAudio(spark: SparkSession, docs: DataFrame)
+  : Dataset[AudioRow] = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (256 + 64 * (id % 7)).toInt
+          val samples = Array.tabulate(n) { i =>
+            (((7L * i * i + 13L * i + 31L * id) % 65536L) - 32768L)
+              .toShort
+          }
+          AudioRow(id, AudioCodec.encodeWavPcm16(8000, samples))
+        }
+      }
+  }
+
+  /** Real decode: WAV bytes → rate, counts, energy sums, peak, strict
+    * zero crossings (s_i·s_{i−1} < 0). Partition-local. */
+  def decodeAudioMeta(audio: Dataset[AudioRow]): Dataset[AudioMeta] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, s) = AudioCodec.decodePcm16(r.payload)
+        var sumAbs = 0L
+        var sumSq = 0L
+        var peak = 0
+        var zc = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toInt
+          val a = math.abs(v)
+          sumAbs += a
+          sumSq += v.toLong * v
+          if (a > peak) peak = a
+          if (i > 0 && v.toLong * s(i - 1) < 0) zc += 1
+          i += 1
+        }
+        AudioMeta(r.media_id, rate, s.length.toLong, sumAbs, sumSq,
+          peak, zc)
+      }
+    }
+  }
+
+  /** Real windowed frame features: fixed `frameLen`-sample frames
+    * (tail partial frame kept), per-frame energy + peak — the audio
+    * counterpart of [[frameSample]] with actual signal content. */
+  def audioFrames(audio: Dataset[AudioRow], frameLen: Int)
+  : Dataset[AudioFrame] = {
+    require(frameLen >= 1, s"frameLen must be >= 1: $frameLen")
+    import audio.sparkSession.implicits._
+    audio.flatMap { r =>
+      val (_, s) = AudioCodec.decodePcm16(r.payload)
+      (0 until (s.length + frameLen - 1) / frameLen).map { f =>
+        val lo = f * frameLen
+        val hi = math.min(lo + frameLen, s.length)
+        var sumAbs = 0L
+        var peak = 0
+        var i = lo
+        while (i < hi) {
+          val a = math.abs(s(i).toInt)
+          sumAbs += a
+          if (a > peak) peak = a
+          i += 1
+        }
+        AudioFrame(r.media_id, f, hi - lo, sumAbs, peak)
+      }
+    }
+  }
+
   /** Real nearest-neighbor resize: decode, sample
     * `out(x,y) = in(⌊x·w/w2⌋, ⌊y·h/h2⌋)`, re-encode PNG — exact (no
     * interpolation, so no JVM-version float wobble) and therefore

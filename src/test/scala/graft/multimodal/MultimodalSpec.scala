@@ -164,4 +164,43 @@ class MultimodalSpec extends SparkSpec {
     assert(rz(0L).sum_gray === metas(0L).sum_gray)
     assert(rz(0L).ahash === metas(0L).ahash)
   }
+
+  test("AudioCodec: WAV PCM16 encode/decode is sample-exact") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val wav = Multimodal.AudioCodec.encodeWavPcm16(8000, samples)
+    // a real RIFF/WAVE container, not a stub envelope
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val (rate, got) = Multimodal.AudioCodec.decodePcm16(wav)
+    assert(rate === 8000)
+    assert(got.toSeq === samples.toSeq)
+  }
+
+  test("decodeAudioMeta + audioFrames on the synthetic corpus") {
+    val docs = Seq((1L, "a"), (4L, "b"), (6L, "not-audio"))
+      .toDF("doc_id", "text")
+    val metas = Multimodal.decodeAudioMeta(
+        Multimodal.syntheticAudio(spark, docs))
+      .collect().map(m => m.media_id -> m).toMap
+    assert(metas.keySet === Set(1L, 4L))
+    // replay the closed formula for id=1: n = 256 + 64*(1%7) = 320
+    val s1 = (0 until 320).map(i =>
+      ((7L * i * i + 13L * i + 31L) % 65536L - 32768L).toInt)
+    val m1 = metas(1L)
+    assert(m1.sample_rate === 8000)
+    assert(m1.n_samples === 320L)
+    assert(m1.sum_abs === s1.map(v => math.abs(v).toLong).sum)
+    assert(m1.sum_sq === s1.map(v => v.toLong * v).sum)
+    assert(m1.peak_abs === s1.map(math.abs).max)
+    assert(m1.zero_crossings ===
+      s1.sliding(2).count(p => p(0).toLong * p(1) < 0).toLong)
+    // frames tile the signal exactly; frame sums rebuild the total
+    val frames = Multimodal.audioFrames(
+        Multimodal.syntheticAudio(spark, docs), frameLen = 64)
+      .collect().filter(_.media_id == 1L).sortBy(_.frame_idx)
+    assert(frames.length === 5)
+    assert(frames.map(_.n).toSeq === Seq.fill(5)(64))
+    assert(frames.map(_.sum_abs).sum === m1.sum_abs)
+    assert(frames.map(_.peak_abs).max === m1.peak_abs)
+  }
 }
