@@ -1153,6 +1153,62 @@ object ScaleSmoke {
       n
     }
 
+    // the two-level global prefix sum: full-corpus total order with no
+    // single-task window — the only unpartitioned frame is the ≤cpus-row
+    // offsets table. Checks the closed-form answer on the unique key.
+    timed("distributed prefix sum") {
+      val ps = windows.distributedPrefixSum(
+        spark.range(rows).select(col("id"), lit(1L).as("one")),
+        Seq(col("id")), col("one"))
+      // for order by id with value 1: cum == rk == id+1 — verify on a
+      // 1-in-1M sample plus the global max
+      val bad = ps.filter(col("id") % 1000000 === 0 &&
+        (col("cum") =!= col("id") + 1 || col("rk") =!= col("id") + 1))
+        .count()
+      val mx = ps.agg(max(col("cum"))).head.getLong(0)
+      require(bad == 0 && mx == rows, s"prefix sum wrong: bad=$bad mx=$mx")
+      rows
+    }
+
+    // HTML parse is scan-local string work: pages render and parse in
+    // the same task, no exchange anywhere — throughput is the measure
+    timed("html table parse") {
+      val pages = spark.range(rows / 500).select(
+        col("id").as("page"),
+        graft.sources.HtmlTables.renderPage(Seq(
+          Seq("g" -> 2), Seq("a" -> 1, "b" -> 1)))(
+          expr("transform(sequence(0, 19), i -> " +
+            "array(cast(id AS STRING), cast(i AS STRING)))")).as("html"))
+      val cells = graft.sources.HtmlTables
+        .table(pages, "page", "html", headerRows = 2)
+      val n = cells.count()
+      require(n == (rows / 500) * 20 * 2, s"cell count wrong: $n")
+      n
+    }
+
+    // real codecs are partition-local mapPartitions seams: encode+decode
+    // round trips per task, zero shuffle — images then audio
+    timed("imageio codec throughput") {
+      import spark.implicits._
+      val ids = spark.range(rows / 5000)
+        .select((col("id") * 3).as("doc_id"), lit("x").as("text"))
+      val metas = graft.multimodal.Multimodal.decodeImageMeta(
+        graft.multimodal.Multimodal.syntheticImages(spark, ids))
+      val n = metas.filter(col("width") >= 8).count()
+      require(n == rows / 5000, s"image decode count wrong: $n")
+      n
+    }
+
+    timed("wav codec throughput") {
+      val ids = spark.range(rows / 5000)
+        .select((col("id") * 3 + 1).as("doc_id"), lit("x").as("text"))
+      val metas = graft.multimodal.Multimodal.decodeAudioMeta(
+        graft.multimodal.Multimodal.syntheticAudio(spark, ids))
+      val n = metas.filter(col("n_samples") >= 256).count()
+      require(n == rows / 5000, s"audio decode count wrong: $n")
+      n
+    }
+
     spark.stop()
   }
 }
