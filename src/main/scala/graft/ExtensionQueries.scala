@@ -1550,6 +1550,17 @@ object ExtensionQueries {
         bits = 64, maxHamming = 1)
     }),
 
+    // ---- real video path: container demux + per-frame ImageIO decode ------
+    // stride-2 frame sampling with real pixel decode per frame:
+    // per-frame gray sums, real-pixel aHash, and the abs-pixel delta vs
+    // the previous frame (the scene-cut statistic) — all reproducible
+    // by the oracle from the closed frame-pixel formula
+    "q_mm_video_frames" -> ((s, d) =>
+      Multimodal.decodeVideoFrames(
+        Multimodal.syntheticVideos(s, t(s, d, "documents")),
+        stride = 2).toDF()
+        .orderBy("media_id", "frame_idx")),
+
     // ---- real audio codec (javax.sound.sampled): WAV PCM16 decode ---------
     // deterministic WAVs encoded per partition, decoded back through
     // AudioSystem — integer energy sums, peak, strict zero crossings,
@@ -5753,6 +5764,55 @@ object ExtensionQueries {
                      ELSE 'video' END AS kind,
                 array_to_string(list(cnt ORDER BY bin), ',') AS features
          FROM dense GROUP BY doc_id""",
+
+    // the real video path: the twin replays the per-frame pixel formula
+    // p(x,y,f) = (7x+13y+19f+31·id) mod 256 — dims ≤ 15×19, ≤ 7 frames,
+    // stride 2; delta vs the previous container frame (0 for frame 0)
+    "q_mm_video_frames" ->
+      """WITH vid AS (SELECT doc_id AS media_id,
+                             (8 + doc_id % 8)::INT AS w,
+                             (16 + doc_id % 4)::INT AS h,
+                             (4 + doc_id % 4)::INT AS nf
+                      FROM documents WHERE doc_id % 3 = 2),
+         fr AS (SELECT v.media_id, v.w, v.h, f.f::INT AS f
+                FROM vid v CROSS JOIN range(8) f(f)
+                WHERE f.f < v.nf AND f.f % 2 = 0),
+         px AS (SELECT r.media_id, r.f, r.w, r.h, xs.x::INT AS x,
+                       ys.y::INT AS y,
+                       ((7 * xs.x + 13 * ys.y + 19 * r.f
+                         + 31 * r.media_id) % 256)::BIGINT AS p,
+                       CASE WHEN r.f = 0 THEN 0
+                            ELSE ABS(((7 * xs.x + 13 * ys.y + 19 * r.f
+                                       + 31 * r.media_id) % 256)
+                                   - ((7 * xs.x + 13 * ys.y
+                                       + 19 * (r.f - 1)
+                                       + 31 * r.media_id) % 256))
+                       END::BIGINT AS dlt
+                FROM fr r
+                CROSS JOIN range(15) xs(x) CROSS JOIN range(19) ys(y)
+                WHERE xs.x < r.w AND ys.y < r.h),
+         agg AS (SELECT media_id, f, w, h, COUNT(*)::BIGINT AS n,
+                        SUM(p)::BIGINT AS sum_gray,
+                        SUM(dlt)::BIGINT AS delta_prev
+                 FROM px GROUP BY 1, 2, 3, 4),
+         blk AS (SELECT media_id, f,
+                        (y * 8 // h) * 8 + (x * 8 // w) AS b,
+                        SUM(p)::BIGINT AS bs, COUNT(*)::BIGINT AS bc
+                 FROM px GROUP BY 1, 2, 3),
+         fp AS (SELECT bl.media_id, bl.f,
+                       SUM(CASE WHEN bl.bs * a.n > a.sum_gray * bl.bc
+                           THEN (1::HUGEINT << (63 - bl.b))
+                           ELSE 0::HUGEINT END) AS u
+                FROM blk bl JOIN agg a USING (media_id, f)
+                GROUP BY 1, 2)
+         SELECT a.media_id, a.f AS frame_idx, a.w AS width,
+                a.h AS height, a.sum_gray,
+                CAST(CASE WHEN p.u >= 9223372036854775808::HUGEINT
+                     THEN p.u - 18446744073709551616::HUGEINT
+                     ELSE p.u END AS BIGINT) AS ahash,
+                a.delta_prev
+         FROM agg a JOIN fp p USING (media_id, f)
+         ORDER BY a.media_id, frame_idx""",
 
     // the real-codec audio pipeline: the twin never decodes a WAV — it
     // replays the closed sample generator s(i) = ((7i²+13i+31·id) mod

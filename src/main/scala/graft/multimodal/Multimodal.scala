@@ -322,6 +322,112 @@ object Multimodal {
     }
   }
 
+  // ---- real video path: container demux + per-frame image decode -----------
+
+  /** One video asset: id + container payload bytes. */
+  case class VideoRow(media_id: Long, payload: Array[Byte])
+
+  /** Per-frame decoded features — integer-exact (pixel sums, aHash,
+    * abs-delta vs previous frame for scene-cut scoring). */
+  case class VideoFrameMeta(media_id: Long, frame_idx: Int, width: Int,
+                            height: Int, sum_gray: Long, ahash: Long,
+                            delta_prev: Long)
+
+  /** Minimal length-prefixed frame container ("GVID"): magic + frame
+    * count + [int32 length][PNG bytes]·n. The JVM ships no real video
+    * DEMUXER/codec, so the container format is ours — but everything a
+    * video pipeline does AFTER demux is real here: per-frame ImageIO
+    * decode, stride sampling, per-frame fingerprints, frame-delta
+    * scene scoring, all partition-local. Swapping in an MP4 demuxer
+    * changes only [[demux]]. Big-endian via DataOutputStream. */
+  object VideoContainer {
+    private val Magic = Array[Byte]('G', 'V', 'I', 'D')
+
+    def mux(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.write(Magic)
+      out.writeInt(frames.size)
+      frames.foreach { f => out.writeInt(f.length); out.write(f) }
+      out.flush()
+      bos.toByteArray
+    }
+
+    def demux(payload: Array[Byte]): Seq[Array[Byte]] = {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(magic.sameElements(Magic), "not a GVID container")
+      val n = in.readInt()
+      (0 until n).map { _ =>
+        val len = in.readInt()
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        buf
+      }
+    }
+  }
+
+  /** Synthetic video corpus: one container per video-kind doc,
+    * `4 + id mod 4` gray8 PNG frames of `(8 + id mod 8)×(8 + id mod 4
+    * + 8)` pixels, frame f pixel `p(x,y,f) = (7x + 13y + 19f + 31·id)
+    * mod 256` — real encoded frames, SQL-replayable values. */
+  def syntheticVideos(spark: SparkSession, docs: DataFrame)
+  : Dataset[VideoRow] = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val w = (8 + id % 8).toInt
+          val h = (8 + id % 4).toInt + 8
+          val nf = (4 + id % 4).toInt
+          VideoRow(id, VideoContainer.mux((0 until nf).map { f =>
+            ImageCodec.encodeGrayPng(w, h,
+              (x, y) => ((7 * x + 13 * y + 19 * f + 31 * id) % 256).toInt)
+          }))
+        }
+      }
+  }
+
+  /** Real per-frame decode with stride sampling: demux the container,
+    * decode every `stride`-th frame (plus its container-predecessor),
+    * emit pixel sum, real-pixel aHash, and the abs-pixel delta against
+    * the previous CONTAINER frame — the scene-cut statistic (frame 0 →
+    * delta 0). Partition-local: codec setup once per task, one
+    * container in memory at a time. */
+  def decodeVideoFrames(videos: Dataset[VideoRow], stride: Int)
+  : Dataset[VideoFrameMeta] = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    import videos.sparkSession.implicits._
+    videos.flatMap { r =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val frames = VideoContainer.demux(r.payload)
+      frames.indices.collect {
+        case f if f % stride == 0 =>
+          val (w, h, px) = ImageCodec.decodeGray(frames(f))
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); i += 1 }
+          val delta =
+            if (f == 0) 0L
+            else {
+              val (_, _, prev) = ImageCodec.decodeGray(frames(f - 1))
+              var d = 0L
+              var j = 0
+              while (j < px.length) {
+                d += math.abs(px(j) - prev(j)); j += 1
+              }
+              d
+            }
+          VideoFrameMeta(r.media_id, f, w, h, sum,
+            ImageCodec.aHash(w, h, px), delta)
+      }
+    }
+  }
+
   // ---- real audio codec (javax.sound.sampled, pure JVM) --------------------
 
   /** One audio asset: id + WAV payload bytes. */

@@ -165,6 +165,41 @@ class MultimodalSpec extends SparkSpec {
     assert(rz(0L).ahash === metas(0L).ahash)
   }
 
+  test("VideoContainer: mux/demux round-trips frame payloads exactly") {
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](),
+      Array.tabulate(300)(_.toByte))
+    val got = Multimodal.VideoContainer.demux(
+      Multimodal.VideoContainer.mux(frames))
+    assert(got.size === 3)
+    frames.zip(got).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    intercept[Exception] {
+      Multimodal.VideoContainer.demux("not a container".getBytes)
+    }
+  }
+
+  test("decodeVideoFrames: stride sampling, pixel sums, scene delta") {
+    val docs = Seq((2L, "v"), (5L, "w"), (6L, "not-video"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.decodeVideoFrames(
+        Multimodal.syntheticVideos(spark, docs), stride = 2)
+      .collect().groupBy(_.media_id)
+    assert(got.keySet === Set(2L, 5L))
+    // id=2: w=10, h=18, nf=6 → sampled frames 0,2,4
+    val f2 = got(2L).sortBy(_.frame_idx)
+    assert(f2.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    assert(f2.forall(m => m.width === 10 && m.height === 18))
+    def pix(id: Long, f: Int)(x: Int, y: Int): Long =
+      (7 * x + 13 * y + 19 * f + 31 * id) % 256
+    val want0 = (for (y <- 0 until 18; x <- 0 until 10)
+      yield pix(2L, 0)(x, y)).sum
+    assert(f2(0).sum_gray === want0)
+    assert(f2(0).delta_prev === 0L)
+    // frame 2's delta is vs container frame 1, not vs sampled frame 0
+    val want2 = (for (y <- 0 until 18; x <- 0 until 10)
+      yield math.abs(pix(2L, 2)(x, y) - pix(2L, 1)(x, y))).sum
+    assert(f2(1).delta_prev === want2)
+  }
+
   test("AudioCodec: WAV PCM16 encode/decode is sample-exact") {
     val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
     val wav = Multimodal.AudioCodec.encodeWavPcm16(8000, samples)
