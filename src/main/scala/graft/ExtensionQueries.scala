@@ -1550,6 +1550,49 @@ object ExtensionQueries {
         bits = 64, maxHamming = 1)
     }),
 
+    // ---- S1+S2 composed: staged-pages DSv2 scan → literal HTML parse ------
+    // the reference's exact ingestion shape end-to-end: one page FILE
+    // per region on disk, the staged-pages source plans one input
+    // partition per page, each page's markup parses scan-locally into
+    // typed rows — a migrating user's full first step. The page writes
+    // are a |regions|-bounded fixture (the q_s_csv_roundtrip class of
+    // driver-side setup), not a data-path collect.
+    "q_s1_staged_pages" -> ((s, d) => {
+      val pages = t(s, d, "nation")
+        .select(col("n_regionkey").as("page"),
+          struct(col("n_nationkey"), col("n_name")).as("r"))
+        .groupBy("page")
+        .agg(array_sort(collect_list(col("r"))).as("rs"))
+        .select(col("page"),
+          HtmlTables.renderPage(Seq(
+            Seq("nation" -> 2, "geo" -> 1),
+            Seq("key" -> 1, "name" -> 1, "region" -> 1)))(
+            transform(col("rs"), r => array(
+              r.getField("n_nationkey").cast("string"),
+              r.getField("n_name"),
+              col("page").cast("string")))).as("html"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_html_pages")
+      pages.collect().foreach { r =>
+        java.nio.file.Files.write(
+          dir.resolve(s"region_${r.get(0)}.html"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+      // rendered pages are single-line, so (page file, line) is the
+      // whole document; page identity comes from the file name
+      val scanned = s.read.format("staged-pages")
+        .option("path", dir.toString).load()
+        .select(regexp_extract(col("page"), "region_(\\d+)\\.html", 1)
+          .cast("long").as("page"), col("line").as("html"))
+      HtmlTables.pivot(
+          HtmlTables.table(scanned, "page", "html", headerRows = 2),
+          Seq("nation_key", "nation_name", "geo_region"))
+        .select(col("nation_key").cast("long").as("n_nationkey"),
+          col("nation_name").as("n_name"),
+          col("geo_region").cast("long").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // ---- real video path: container demux + per-frame ImageIO decode ------
     // stride-2 frame sampling with real pixel decode per frame:
     // per-frame gray sums, real-pixel aHash, and the abs-pixel delta vs
@@ -2561,6 +2604,12 @@ object ExtensionQueries {
 
     // the parse is exact, so the round-trip restores the table verbatim
     "q_s1_html_table" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+
+    // same exact round trip, through the on-disk page files + DSv2 scan
+    "q_s1_staged_pages" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                 CAST(n_regionkey AS BIGINT) AS n_regionkey
          FROM nation ORDER BY n_nationkey""",
