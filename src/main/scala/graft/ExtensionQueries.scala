@@ -11,7 +11,7 @@ import graft.ops.{analytics, asof, baskets, expectations, rangejoin, sketches, s
 import graft.similarity.{LabelEval, Similarity}
 import graft.sources.{HtmlTables, Layout, StagedSources}
 import graft.streaming.Streams
-import graft.text.{Bpe, Importance, Packing, Text}
+import graft.text.{Bpe, Importance, Packing, SuffixArray, Text}
 
 /** Extension surface beyond reference parity: large-scale training-data
   * pipeline operators (dedup, similarity search, text analysis, multimodal,
@@ -1132,6 +1132,33 @@ object ExtensionQueries {
     // verbatim-repeated elsewhere in the corpus (4-token spans)
     "q_dup_spans" -> ((s, d) =>
       Text.dupSpans(t(s, d, "documents"), "doc_id", "text", k = 4)),
+
+    // ---- distributed suffix array (prefix doubling) --------------------
+    // the exact-substring-dedup index (Lee et al. 2022): every token
+    // position ranked in lexicographic suffix order; O(log maxDocLen)
+    // rounds of linear shuffles, dense re-ranks via the distributed
+    // prefix sum — no global window, no driver state beyond two observed
+    // scalars per round
+    "q_suffix_array" -> ((s, d) =>
+      SuffixArray.suffixArray(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("sa_rank")),
+
+    // adjacent-LCP index over the SA: consecutive suffix pairs sharing a
+    // >=4-token prefix (cap 8) — the raw repeated-span evidence, pairs
+    // adjacent in SA order so repeats surface WITHOUT any all-pairs step
+    "q_sa_lcp" -> ((s, d) =>
+      SuffixArray.lcpAdjacent(t(s, d, "documents"), "doc_id", "text",
+          cap = 8)
+        .filter(col("lcp") >= 4)
+        .orderBy("sa_rank")),
+
+    // per-doc EXACT substring dup report: positions whose 5-token span
+    // recurs anywhere in the corpus (SA-neighbor criterion) — the exact
+    // counterpart of q_dup_spans' fixed-width shingle approximation
+    "q_sa_dup_positions" -> ((s, d) =>
+      SuffixArray.dupPositions(t(s, d, "documents"), "doc_id", "text",
+          minLen = 5)
+        .orderBy("doc_id")),
 
     // per-source ceiling on the pretraining mix: ≤20 docs per domain,
     // deterministic md5-rank selection
@@ -4363,6 +4390,103 @@ object ExtensionQueries {
                 CASE WHEN COALESCE(n_windows, 0) > 0
                      THEN round(n_dup_windows::DOUBLE / n_windows, 6)
                      ELSE 0.0 END AS dup_ratio
+         FROM tok t LEFT JOIN per USING (doc_id)""",
+
+    // the twin materializes every suffix as a list slice and sorts —
+    // quadratic in memory at big SF but exact, and DuckDB list order is
+    // lexicographic shorter-prefix-first, the same contract prefix
+    // doubling implements with its rank-0 sentinel
+    "q_suffix_array" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         pos AS (
+           SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+                  toks
+           FROM tok)
+         SELECT doc_id, pos::BIGINT AS pos,
+                row_number() OVER (ORDER BY toks[pos:], doc_id, pos)
+                  ::BIGINT AS sa_rank
+         FROM pos""",
+
+    // capped LCP via monotone prefix equality: count of j in 1..cap with
+    // equal j-prefixes, clamped by both slice lengths (slices truncate,
+    // so an unclamped count would overrun on equal slices)
+    "q_sa_lcp" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         pos AS (
+           SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+                  toks
+           FROM tok),
+         sa AS (
+           SELECT doc_id, pos,
+                  row_number() OVER (ORDER BY toks[pos:], doc_id, pos)
+                    AS sa_rank,
+                  toks[pos:pos+7] AS w
+           FROM pos),
+         sl AS (
+           SELECT sa_rank, doc_id, pos, w,
+                  lead(doc_id) OVER win AS nxt_doc_id,
+                  lead(pos) OVER win AS nxt_pos,
+                  lead(w) OVER win AS w2
+           FROM sa WINDOW win AS (ORDER BY sa_rank)),
+         lc AS (
+           SELECT sa_rank::BIGINT AS sa_rank, doc_id,
+                  pos::BIGINT AS pos, nxt_doc_id,
+                  nxt_pos::BIGINT AS nxt_pos,
+                  least((SELECT count(*) FROM generate_series(1, 8) g(j)
+                         WHERE w[1:j] = w2[1:j]),
+                        len(w), len(w2))::BIGINT AS lcp
+           FROM sl WHERE nxt_doc_id IS NOT NULL)
+         SELECT * FROM lc WHERE lcp >= 4""",
+
+    // dup criterion: position's 5-token span recurs iff lcp with an
+    // SA NEIGHBOR >= 5 (equal-prefix suffixes are contiguous in SA
+    // order) — flag both sides of each qualifying adjacency
+    "q_sa_dup_positions" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         pos AS (
+           SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+                  toks
+           FROM tok),
+         sa AS (
+           SELECT doc_id, pos,
+                  row_number() OVER (ORDER BY toks[pos:], doc_id, pos)
+                    AS sa_rank,
+                  toks[pos:pos+4] AS w
+           FROM pos),
+         sl AS (
+           SELECT sa_rank, doc_id, pos, w,
+                  lead(doc_id) OVER win AS nxt_doc_id,
+                  lead(pos) OVER win AS nxt_pos,
+                  lead(w) OVER win AS w2
+           FROM sa WINDOW win AS (ORDER BY sa_rank)),
+         hits AS (
+           SELECT doc_id, pos, nxt_doc_id, nxt_pos
+           FROM sl
+           WHERE nxt_doc_id IS NOT NULL
+             AND least((SELECT count(*) FROM generate_series(1, 5) g(j)
+                        WHERE w[1:j] = w2[1:j]),
+                       len(w), len(w2)) >= 5),
+         dup AS (
+           SELECT doc_id, pos FROM hits
+           UNION
+           SELECT nxt_doc_id AS doc_id, nxt_pos AS pos FROM hits),
+         per AS (
+           SELECT doc_id, count(*)::BIGINT AS n_dup_positions
+           FROM dup GROUP BY doc_id)
+         SELECT t.doc_id, len(t.toks)::BIGINT AS n_positions,
+                COALESCE(n_dup_positions, 0)::BIGINT AS n_dup_positions
          FROM tok t LEFT JOIN per USING (doc_id)""",
 
     "q_domain_cap" ->
