@@ -5,9 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
-import graft.graph.Graph
+import graft.graph.{Graph, Walks}
 import graft.multimodal.Multimodal
-import graft.ops.{analytics, asof, baskets, expectations, rangejoin, sketches, sweepline, timeseries, windows}
+import graft.ops.{analytics, asof, baskets, expectations, qsketch, rangejoin, sketches, sweepline, timeseries, windows}
 import graft.similarity.{LabelEval, Similarity}
 import graft.sources.{HtmlTables, Layout, StagedSources}
 import graft.streaming.Streams
@@ -380,6 +380,43 @@ object ExtensionQueries {
           Seq("user_id"))
         .orderBy(desc("est"), col("user_id"))
         .limit(25)
+    }),
+
+    // ---- mergeable quantile sketch (HDR buckets) ---------------------------
+    // guaranteed-relative-error percentiles from a value-space-bounded
+    // bucket frame (top-6-bits truncation, pure integer bit math); the
+    // exact quantile rides along via a distributed per-value prefix sum
+    // and the ≤2^-5 containment bound is verified in-row
+    "q_quantile_sketch" -> ((s, d) =>
+      qsketch.quantileReport(
+        t(s, d, "lineitem").select(
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v")),
+        "v", s = 5, permilles = Seq(10, 250, 500, 750, 990))
+        .orderBy("q_permille")),
+
+    // the MERGE property, demonstrated: per-source sketches built
+    // independently (as shards/days would be), merged by count addition,
+    // then queried — same bound, same verification
+    "q_quantile_merge" -> ((s, d) => {
+      // per-shard sketches in ONE scan (group key = shard × bucket,
+      // exactly what independently-built shard sketches would hold) …
+      val perShard = t(s, d, "lineitem").select(
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v"),
+          (col("l_orderkey") % 4).as("shard"))
+        .select(col("shard"), qsketch.bucketLo(col("v"), 5).as("bkt_lo"))
+        .groupBy("shard", "bkt_lo").agg(count(lit(1)).as("cnt"))
+      // … merged by count addition — the whole point of the sketch
+      val merged = perShard.groupBy("bkt_lo")
+        .agg(sum(col("cnt")).as("cnt"))
+        .withColumn("bkt_hi", col("bkt_lo") +
+          call_function("shiftleft", lit(1L),
+            greatest((length(bin(col("bkt_lo"))) - 1)
+              .cast("int") - 5, lit(0))) - 1)
+      qsketch.quantiles(merged, Seq(500, 990))
+        .select(col("q_permille"), col("n"), col("est_lo"), col("est_hi"))
+        .orderBy("q_permille")
     }),
 
     // ---- join-size estimation from sketches ----------------------------------
@@ -840,6 +877,37 @@ object ExtensionQueries {
         .groupBy("hops")
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
         .orderBy("hops")
+    }),
+
+    // ---- deterministic random walks (DeepWalk corpus) ---------------------
+    // 2 walks × 4 steps from every node of the symmetrized trade graph;
+    // next hop = md5-argmin over neighbors (keyed choice, engine-
+    // reproducible). Per-step rollup keeps the output report-sized while
+    // checksumming every walk position
+    "q_random_walks" -> ((s, d) => {
+      val e = sharedTradeEdges(s, d)
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      Walks.randomWalks(sym, "src", "dst", walksPerNode = 2,
+          steps = 4)
+        .groupBy("step")
+        .agg(count(lit(1)).as("n_rows"), sum(col("node")).as("node_sum"),
+          countDistinct(col("node")).as("n_distinct"))
+        .orderBy("step")
+    }),
+
+    // skip-gram positive pairs from the walk corpus (window 2) — the
+    // actual node-embedding training set; top-100 by co-occurrence for
+    // a bounded report
+    "q_walk_pairs" -> ((s, d) => {
+      val e = sharedTradeEdges(s, d)
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      Walks.skipGramPairs(
+          Walks.randomWalks(sym, "src", "dst", walksPerNode = 2,
+            steps = 4), window = 2)
+        .orderBy(desc("n_cooc"), col("center"), col("context"))
+        .limit(100)
     }),
 
     // ---- exact trimmed mean ---------------------------------------------------
@@ -2881,6 +2949,89 @@ object ExtensionQueries {
          FROM r WHERE rk = 1
          ORDER BY series, hr""",
 
+    // HDR bucket = v truncated to its top 6 significant bits — pure
+    // integer bit math on both engines (bin()/shifts, no float log)
+    "q_quantile_sketch" ->
+      """WITH vals AS (
+           SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+           FROM lineitem),
+         b AS (
+           SELECT CASE WHEN length(bin(v)) - 6 > 0
+                       THEN length(bin(v)) - 6 ELSE 0 END AS sh, v
+           FROM vals),
+         sk AS (
+           SELECT (v >> sh) << sh AS bkt_lo,
+                  ((v >> sh) << sh) + (1::BIGINT << sh) - 1 AS bkt_hi,
+                  count(*)::BIGINT AS cnt
+           FROM b GROUP BY 1, 2),
+         cum AS (
+           SELECT bkt_lo, bkt_hi,
+                  sum(cnt) OVER (ORDER BY bkt_lo)::BIGINT AS cum
+           FROM sk),
+         n AS (SELECT sum(cnt)::BIGINT AS n FROM sk),
+         probes AS (
+           SELECT q_permille, n,
+                  ((q_permille * n + 999) // 1000)::BIGINT AS target
+           FROM (VALUES (10::BIGINT), (250::BIGINT), (500::BIGINT),
+                        (750::BIGINT), (990::BIGINT)) q(q_permille), n),
+         est AS (
+           SELECT q_permille, n, target,
+                  min(bkt_lo)::BIGINT AS est_lo,
+                  arg_min(bkt_hi, bkt_lo)::BIGINT AS est_hi
+           FROM probes JOIN cum ON cum >= target
+           GROUP BY 1, 2, 3),
+         pvc AS (
+           SELECT v, sum(c) OVER (ORDER BY v)::BIGINT AS cum
+           FROM (SELECT v, count(*)::BIGINT AS c FROM vals GROUP BY v)),
+         ex AS (
+           SELECT q_permille, n, est_lo, est_hi,
+                  min(v)::BIGINT AS exact_v
+           FROM est JOIN pvc ON pvc.cum >= est.target
+           GROUP BY 1, 2, 3, 4)
+         SELECT q_permille, n, est_lo, est_hi, exact_v,
+                exact_v BETWEEN est_lo AND est_hi AS within_bound
+         FROM ex ORDER BY q_permille""",
+
+    // shard sketches merge by count addition before the probe — the
+    // merged frame is identical to the direct build, which is the claim
+    "q_quantile_merge" ->
+      """WITH vals AS (
+           SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v,
+                  l_orderkey % 4 AS shard
+           FROM lineitem),
+         b AS (
+           SELECT shard,
+                  CASE WHEN length(bin(v)) - 6 > 0
+                       THEN length(bin(v)) - 6 ELSE 0 END AS sh, v
+           FROM vals),
+         per_shard AS (
+           SELECT shard, (v >> sh) << sh AS bkt_lo,
+                  count(*)::BIGINT AS cnt
+           FROM b GROUP BY 1, 2),
+         merged AS (
+           SELECT bkt_lo, sum(cnt)::BIGINT AS cnt,
+                  bkt_lo + (1::BIGINT <<
+                    (CASE WHEN length(bin(bkt_lo)) - 6 > 0
+                          THEN length(bin(bkt_lo)) - 6 ELSE 0 END)) - 1
+                    AS bkt_hi
+           FROM per_shard GROUP BY bkt_lo),
+         cum AS (
+           SELECT bkt_lo, bkt_hi,
+                  sum(cnt) OVER (ORDER BY bkt_lo)::BIGINT AS cum
+           FROM merged),
+         n AS (SELECT sum(cnt)::BIGINT AS n FROM merged),
+         probes AS (
+           SELECT q_permille, n,
+                  ((q_permille * n + 999) // 1000)::BIGINT AS target
+           FROM (VALUES (500::BIGINT), (990::BIGINT)) q(q_permille), n)
+         SELECT q_permille, n, min(bkt_lo)::BIGINT AS est_lo,
+                arg_min(bkt_hi, bkt_lo)::BIGINT AS est_hi
+         FROM probes JOIN cum ON cum >= target
+         GROUP BY q_permille, n
+         ORDER BY q_permille""",
+
     // same salted-md5 cells; per-row inner products, MIN over rows
     "q_cms_join_size" ->
       """WITH ka AS (SELECT o_orderkey AS k, COUNT(*) AS c
@@ -3718,6 +3869,73 @@ object ExtensionQueries {
          SELECT hops, COUNT(*) AS n_nodes,
                 CAST(SUM(node) AS BIGINT) AS node_sum
          FROM allh GROUP BY hops ORDER BY hops""",
+
+    // walk unrolled 4 steps; next hop = arg_min over neighbors of the
+    // keyed md5 — ties impossible (distinct dst ⇒ distinct digest input)
+    "q_random_walks" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM e0
+               UNION ALL SELECT b, a FROM e0),
+         w0 AS (SELECT DISTINCT src AS start, w.walk, src AS node
+                FROM e, (VALUES (0), (1)) w(walk)),
+         w1 AS (SELECT start, walk, arg_min(dst,
+                  md5(start || '|' || walk || '|1|' || dst)) AS node
+                FROM w0 JOIN e ON e.src = w0.node GROUP BY start, walk),
+         w2 AS (SELECT start, walk, arg_min(dst,
+                  md5(start || '|' || walk || '|2|' || dst)) AS node
+                FROM w1 JOIN e ON e.src = w1.node GROUP BY start, walk),
+         w3 AS (SELECT start, walk, arg_min(dst,
+                  md5(start || '|' || walk || '|3|' || dst)) AS node
+                FROM w2 JOIN e ON e.src = w2.node GROUP BY start, walk),
+         w4 AS (SELECT start, walk, arg_min(dst,
+                  md5(start || '|' || walk || '|4|' || dst)) AS node
+                FROM w3 JOIN e ON e.src = w3.node GROUP BY start, walk),
+         walks AS (
+           SELECT start, walk, 0 AS step, node FROM w0
+           UNION ALL SELECT start, walk, 1, node FROM w1
+           UNION ALL SELECT start, walk, 2, node FROM w2
+           UNION ALL SELECT start, walk, 3, node FROM w3
+           UNION ALL SELECT start, walk, 4, node FROM w4)
+         SELECT step::BIGINT AS step, count(*)::BIGINT AS n_rows,
+                sum(node)::BIGINT AS node_sum,
+                count(DISTINCT node)::BIGINT AS n_distinct
+         FROM walks GROUP BY step ORDER BY step""",
+
+    // same walk corpus, windowed self-join → co-occurrence pairs
+    "q_walk_pairs" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM e0
+               UNION ALL SELECT b, a FROM e0),
+         w0 AS (SELECT DISTINCT src AS start, w.walk, src AS node
+                FROM e, (VALUES (0), (1)) w(walk)),
+         w1 AS (SELECT start, walk, arg_min(dst,
+                  md5(start || '|' || walk || '|1|' || dst)) AS node
+                FROM w0 JOIN e ON e.src = w0.node GROUP BY start, walk),
+         w2 AS (SELECT start, walk, arg_min(dst,
+                  md5(start || '|' || walk || '|2|' || dst)) AS node
+                FROM w1 JOIN e ON e.src = w1.node GROUP BY start, walk),
+         w3 AS (SELECT start, walk, arg_min(dst,
+                  md5(start || '|' || walk || '|3|' || dst)) AS node
+                FROM w2 JOIN e ON e.src = w2.node GROUP BY start, walk),
+         w4 AS (SELECT start, walk, arg_min(dst,
+                  md5(start || '|' || walk || '|4|' || dst)) AS node
+                FROM w3 JOIN e ON e.src = w3.node GROUP BY start, walk),
+         walks AS (
+           SELECT start, walk, 0 AS step, node FROM w0
+           UNION ALL SELECT start, walk, 1, node FROM w1
+           UNION ALL SELECT start, walk, 2, node FROM w2
+           UNION ALL SELECT start, walk, 3, node FROM w3
+           UNION ALL SELECT start, walk, 4, node FROM w4)
+         SELECT a.node AS center, b.node AS context,
+                count(*)::BIGINT AS n_cooc
+         FROM walks a JOIN walks b USING (start, walk)
+         WHERE a.step <> b.step AND abs(a.step - b.step) <= 2
+         GROUP BY 1, 2
+         ORDER BY n_cooc DESC, center, context LIMIT 100""",
 
     // distinct-value blocks clipped against the kept rank window
     "q_trimmed_mean" ->
