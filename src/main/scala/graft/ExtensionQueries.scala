@@ -881,9 +881,10 @@ object ExtensionQueries {
 
     // ---- deterministic random walks (DeepWalk corpus) ---------------------
     // 2 walks × 4 steps from every node of the symmetrized trade graph;
-    // next hop = md5-argmin over neighbors (keyed choice, engine-
-    // reproducible). Per-step rollup keeps the output report-sized while
-    // checksumming every walk position
+    // next hop = rank md5(start|walk|t) mod degree over the rank-indexed
+    // adjacency — ONE adjacency probe per walk-step, no neighbor fan-out.
+    // Per-step rollup keeps the output report-sized while checksumming
+    // every walk position
     "q_random_walks" -> ((s, d) => {
       val e = sharedTradeEdges(s, d)
       val sym = e.select(col("a").as("src"), col("b").as("dst"))
@@ -3870,28 +3871,42 @@ object ExtensionQueries {
                 CAST(SUM(node) AS BIGINT) AS node_sum
          FROM allh GROUP BY hops ORDER BY hops""",
 
-    // walk unrolled 4 steps; next hop = arg_min over neighbors of the
-    // keyed md5 — ties impossible (distinct dst ⇒ distinct digest input)
+    // walk unrolled 4 steps over the rank-indexed adjacency; next hop =
+    // rank md5(start|walk|t) mod degree in dst order (same hex-prefix
+    // cast the CMS twins use)
     "q_random_walks" ->
       """WITH e0 AS (
            SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
          e AS (SELECT a AS src, b AS dst FROM e0
                UNION ALL SELECT b, a FROM e0),
+         adj AS (SELECT src, dst,
+                        row_number() OVER (PARTITION BY src
+                          ORDER BY dst) - 1 AS rk
+                 FROM e),
+         deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
          w0 AS (SELECT DISTINCT src AS start, w.walk, src AS node
                 FROM e, (VALUES (0), (1)) w(walk)),
-         w1 AS (SELECT start, walk, arg_min(dst,
-                  md5(start || '|' || walk || '|1|' || dst)) AS node
-                FROM w0 JOIN e ON e.src = w0.node GROUP BY start, walk),
-         w2 AS (SELECT start, walk, arg_min(dst,
-                  md5(start || '|' || walk || '|2|' || dst)) AS node
-                FROM w1 JOIN e ON e.src = w1.node GROUP BY start, walk),
-         w3 AS (SELECT start, walk, arg_min(dst,
-                  md5(start || '|' || walk || '|3|' || dst)) AS node
-                FROM w2 JOIN e ON e.src = w2.node GROUP BY start, walk),
-         w4 AS (SELECT start, walk, arg_min(dst,
-                  md5(start || '|' || walk || '|4|' || dst)) AS node
-                FROM w3 JOIN e ON e.src = w3.node GROUP BY start, walk),
+         w1 AS (SELECT start, walk, a.dst AS node
+                FROM w0 JOIN deg d ON d.src = w0.node
+                JOIN adj a ON a.src = w0.node AND a.rk =
+                  ('0x' || substr(md5(start || '|' || walk || '|1'),
+                   1, 8))::BIGINT % d.deg),
+         w2 AS (SELECT start, walk, a.dst AS node
+                FROM w1 JOIN deg d ON d.src = w1.node
+                JOIN adj a ON a.src = w1.node AND a.rk =
+                  ('0x' || substr(md5(start || '|' || walk || '|2'),
+                   1, 8))::BIGINT % d.deg),
+         w3 AS (SELECT start, walk, a.dst AS node
+                FROM w2 JOIN deg d ON d.src = w2.node
+                JOIN adj a ON a.src = w2.node AND a.rk =
+                  ('0x' || substr(md5(start || '|' || walk || '|3'),
+                   1, 8))::BIGINT % d.deg),
+         w4 AS (SELECT start, walk, a.dst AS node
+                FROM w3 JOIN deg d ON d.src = w3.node
+                JOIN adj a ON a.src = w3.node AND a.rk =
+                  ('0x' || substr(md5(start || '|' || walk || '|4'),
+                   1, 8))::BIGINT % d.deg),
          walks AS (
            SELECT start, walk, 0 AS step, node FROM w0
            UNION ALL SELECT start, walk, 1, node FROM w1
@@ -3910,20 +3925,33 @@ object ExtensionQueries {
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
          e AS (SELECT a AS src, b AS dst FROM e0
                UNION ALL SELECT b, a FROM e0),
+         adj AS (SELECT src, dst,
+                        row_number() OVER (PARTITION BY src
+                          ORDER BY dst) - 1 AS rk
+                 FROM e),
+         deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
          w0 AS (SELECT DISTINCT src AS start, w.walk, src AS node
                 FROM e, (VALUES (0), (1)) w(walk)),
-         w1 AS (SELECT start, walk, arg_min(dst,
-                  md5(start || '|' || walk || '|1|' || dst)) AS node
-                FROM w0 JOIN e ON e.src = w0.node GROUP BY start, walk),
-         w2 AS (SELECT start, walk, arg_min(dst,
-                  md5(start || '|' || walk || '|2|' || dst)) AS node
-                FROM w1 JOIN e ON e.src = w1.node GROUP BY start, walk),
-         w3 AS (SELECT start, walk, arg_min(dst,
-                  md5(start || '|' || walk || '|3|' || dst)) AS node
-                FROM w2 JOIN e ON e.src = w2.node GROUP BY start, walk),
-         w4 AS (SELECT start, walk, arg_min(dst,
-                  md5(start || '|' || walk || '|4|' || dst)) AS node
-                FROM w3 JOIN e ON e.src = w3.node GROUP BY start, walk),
+         w1 AS (SELECT start, walk, a.dst AS node
+                FROM w0 JOIN deg d ON d.src = w0.node
+                JOIN adj a ON a.src = w0.node AND a.rk =
+                  ('0x' || substr(md5(start || '|' || walk || '|1'),
+                   1, 8))::BIGINT % d.deg),
+         w2 AS (SELECT start, walk, a.dst AS node
+                FROM w1 JOIN deg d ON d.src = w1.node
+                JOIN adj a ON a.src = w1.node AND a.rk =
+                  ('0x' || substr(md5(start || '|' || walk || '|2'),
+                   1, 8))::BIGINT % d.deg),
+         w3 AS (SELECT start, walk, a.dst AS node
+                FROM w2 JOIN deg d ON d.src = w2.node
+                JOIN adj a ON a.src = w2.node AND a.rk =
+                  ('0x' || substr(md5(start || '|' || walk || '|3'),
+                   1, 8))::BIGINT % d.deg),
+         w4 AS (SELECT start, walk, a.dst AS node
+                FROM w3 JOIN deg d ON d.src = w3.node
+                JOIN adj a ON a.src = w3.node AND a.rk =
+                  ('0x' || substr(md5(start || '|' || walk || '|4'),
+                   1, 8))::BIGINT % d.deg),
          walks AS (
            SELECT start, walk, 0 AS step, node FROM w0
            UNION ALL SELECT start, walk, 1, node FROM w1

@@ -102,4 +102,49 @@ object windows {
       .withColumn(rankName, col("__rk_in") + col("__coff"))
       .drop("__pid", "__psv", "__cum_in", "__rk_in", "__voff", "__coff")
   }
+
+  /** Distributed global DENSE rank over `keys` — equal key tuples get
+    * equal rank, ranks are 1..#distinct with no gaps — WITHOUT the
+    * distinct → rank → join-back detour (three data-sized shuffles).
+    * One range exchange does it:
+    *
+    *  1. range-partition by `keys` — Spark's RangePartitioner sends
+    *     EQUAL keys to the same partition (boundaries come from a
+    *     sample, assignment is a binary search over them), so no key
+    *     group straddles a partition;
+    *  2. in-partition dense rank = running sum of the new-group
+    *     indicator (lag ≠ current);
+    *  3. per-partition distinct counts (a max over the computed
+    *     in-partition rank — rides the same staged frame, no extra
+    *     data shuffle) prefix-sum into offsets on a ≤#partitions frame,
+    *     broadcast back.
+    *
+    * The staged frame is the one materialization both consumers (the
+    * final projection and the offsets aggregate) read — same
+    * exchange-reuse rationale as [[distributedPrefixSum]].
+    */
+  def distributedDenseRank(df: DataFrame, keys: Seq[Column],
+                           rankName: String): DataFrame = {
+    val parted = df.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+    val ks = struct(keys: _*)
+    val inPart = parted
+      .withColumn("__new",
+        when(lag(ks, 1).over(wIn).isNull ||
+          lag(ks, 1).over(wIn) =!= ks, 1L).otherwise(0L))
+      .withColumn("__dr_in", sum(col("__new")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .stage()
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = inPart.groupBy(col("__pid"))
+      .agg(max(col("__dr_in")).as("__pk"))
+      .withColumn("__doff",
+        coalesce(sum(col("__pk")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__doff"))
+    inPart.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rankName, col("__dr_in") + col("__doff"))
+      .drop("__pid", "__new", "__dr_in", "__doff")
+  }
 }

@@ -46,49 +46,99 @@ object SuffixArray {
     * every rank is unique or the doubled span covers the longest
     * document, whichever comes first (convergence is observed on the
     * round's own checkpoint job — no extra scan per round). */
+  /** Tokens the initial rank covers per position — doubling then starts
+    * at this span, cutting two rounds vs single-token init (4 → 8 → …
+    * instead of 1 → 2 → 4 → …). */
+  private val initSpan = 4
+
   def ranks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toked = positions(docs, idCol, textCol).stage()
-    // round 0: dense rank of the single token — a vocab-sized sort,
-    // distributed (the vocabulary is the ONLY frame this touches)
-    val vocab = windows.distributedPrefixSum(
-        toked.select(col("tok")).distinct(), Seq(col("tok")), lit(0L),
-        cumName = "__c", rankName = "r")
-      .select(col("tok"), col("r"))
+    // round 0: dense rank of the leading 4-token window. Missing
+    // positions are NULL leads, and Spark's ascending order puts NULLS
+    // FIRST — exactly the shorter-suffix-sorts-first contract (NULL
+    // cannot collide with any real token, unlike a sentinel string).
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = positions(docs, idCol, textCol)
+      .select(col("doc_id"), col("pos"),
+        struct(col("tok") +: (1 until initSpan).map(i =>
+          lead(col("tok"), i).over(wDoc).as(s"t$i")): _*).as("g"))
     val (first, m0) = stageObserved(
-      toked.join(vocab, Seq("tok")).select(col("doc_id"), col("pos"),
-        col("r").cast("long").as("r")),
+      windows.distributedDenseRank(grams, Seq(col("g")), rankName = "r")
+        .select(col("doc_id"), col("pos"), col("r"))
+        // keep round state clustered by doc_id: the shift self-join's
+        // ClusteredDistribution((doc_id, pos)) is satisfied by the
+        // subset partitioning, so each round's join needs NO exchange
+        .repartition(col("doc_id")),
       count(lit(1)).as("n"), max(col("r")).as("k"),
       max(col("pos")).as("maxlen"))
     var cur = first
     val n = m0("n").asInstanceOf[Long]
     val maxLen = m0("maxlen").asInstanceOf[Long]
     var distinctRanks = m0("k").asInstanceOf[Long]
-    var d = 1L
-    while (d < maxLen && distinctRanks < n) {
-      // rank of the suffix 2^k positions later, same doc (0 = none):
-      // one equi-join on (doc_id, pos) — the shifted copy is the same
-      // frame, so both sides hash-partition on the same key
-      val shifted = cur.select(col("doc_id"), (col("pos") - d).as("pos"),
-        col("r").as("r2"))
+    var covered = initSpan.toLong
+    while (covered < maxLen && distinctRanks < n) {
+      // rank of the suffix `covered` positions later, same doc
+      // (0 = none): both join sides derive from the SAME doc_id-
+      // partitioned staged frame — zero exchanges here
+      val shifted = cur.select(col("doc_id"),
+        (col("pos") - covered).as("pos"), col("r").as("r2"))
       val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
         .select(col("doc_id"), col("pos"), col("r"),
           coalesce(col("r2"), lit(0L)).as("r2"))
-      // dense re-rank of the (r, r2) key space — distinct pairs only,
-      // ranked by the distributed prefix sum (no global window)
-      val keys = windows.distributedPrefixSum(
-          paired.select(col("r"), col("r2")).distinct(),
-          Seq(col("r"), col("r2")), lit(0L),
-          cumName = "__c", rankName = "nr")
-        .select(col("r"), col("r2"), col("nr").cast("long").as("nr"))
+      // dense re-rank of the (r, r2) pairs: r is last round's dense
+      // rank 1..K with K ON THE DRIVER (observed), so the range bucket
+      // is plain arithmetic — no repartitionByRange, whose hidden
+      // per-round SAMPLING job re-executes the whole join subtree
       val (staged, m) = stageObserved(
-        paired.join(keys, Seq("r", "r2"))
-          .select(col("doc_id"), col("pos"), col("nr").as("r")),
+        denseRankBucketed(paired, distinctRanks, rankName = "nr")
+          .select(col("doc_id"), col("pos"), col("nr").as("r"))
+          .repartition(col("doc_id")),
         max(col("r")).as("k"))
       cur = staged
       distinctRanks = m("k").asInstanceOf[Long]
-      d *= 2
+      covered *= 2
     }
     cur
+  }
+
+  /** Dense rank of (r, r2) pairs where r ∈ 1..`k` is ALREADY a dense
+    * rank — the prefix-doubling inner loop. The order bucket is
+    * arithmetic on r (⌊(r−1)·P/k⌋): contiguous r ranges land in the
+    * same bucket, equal pairs can never straddle buckets, and unlike
+    * `repartitionByRange` no sampling pass over the input is needed.
+    * One hash exchange on the bucket; in-bucket dense rank + bucket
+    * offsets exactly as [[windows.distributedDenseRank]]. Bucket skew
+    * is bounded by the duplicate-suffix mass of the corpus (each r
+    * group is one equivalence class of suffixes). */
+  private def denseRankBucketed(df: DataFrame, k: Long,
+                                rankName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = math.max(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt, 1)
+    val parted = df
+      .withColumn("__b", // integer DIV — Column./ on longs is DOUBLE
+        expr(s"CAST(((r - 1) * $p) DIV ${math.max(k, 1L)} AS BIGINT)"))
+      .repartition(p, col("__b"))
+    val wIn = Window.partitionBy(col("__b"))
+      .orderBy(col("r"), col("r2"))
+    val ks = struct(col("r"), col("r2"))
+    val inPart = parted
+      .withColumn("__new",
+        when(lag(ks, 1).over(wIn).isNull ||
+          lag(ks, 1).over(wIn) =!= ks, 1L).otherwise(0L))
+      .withColumn("__dr_in", sum(col("__new")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .stage()
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = inPart.groupBy(col("__b"))
+      .agg(max(col("__dr_in")).as("__pk"))
+      .withColumn("__doff",
+        coalesce(sum(col("__pk")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__doff"))
+    inPart.join(broadcast(offsets), Seq("__b"))
+      .withColumn(rankName, col("__dr_in") + col("__doff"))
+      .drop("__b", "__new", "__dr_in", "__doff")
   }
 
   /** The suffix array itself: every (doc_id, pos) with its 1-based global

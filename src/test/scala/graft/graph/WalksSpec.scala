@@ -15,24 +15,27 @@ class WalksSpec extends SparkSpec {
     (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L))
   private val sym = edges ++ edges.map { case (a, b) => (b, a) }
 
-  /** Brute-force walk model mirroring the md5-argmin hop rule. */
+  /** Brute-force walk model mirroring the hash-mod-degree hop rule:
+    * rank md5("start|w|t") mod degree among neighbors in dst order. */
   private def bruteWalks(walksPerNode: Int, steps: Int)
   : Seq[(Long, Long, Long, Long)] = {
     val adj = sym.distinct.groupBy(_._1).map { case (k, v) =>
-      (k, v.map(_._2)) }
+      (k, v.map(_._2).sorted) }
     val nodes = sym.map(_._1).distinct.sorted
     for {
       start <- nodes
       w <- 0 until walksPerNode
       walk = Iterator.iterate((0L, start)) { case (t, cur) =>
         val nbrs = adj(cur)
-        (t + 1, nbrs.minBy(v => md5hex(s"$start|$w|${t + 1}|$v")))
+        val h = java.lang.Long.parseLong(
+          md5hex(s"$start|$w|${t + 1}").take(8), 16)
+        (t + 1, nbrs((h % nbrs.length).toInt))
       }.take(steps + 1).toSeq
       (t, node) <- walk
     } yield (start, w.toLong, t, node)
   }
 
-  test("randomWalks reproduces the md5-argmin hop rule exactly") {
+  test("randomWalks reproduces the hash-mod-degree hop rule exactly") {
     val df = sym.toDF("src", "dst")
     val got = Walks.randomWalks(df, "src", "dst", walksPerNode = 2,
         steps = 3)

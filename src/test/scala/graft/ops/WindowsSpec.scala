@@ -167,4 +167,24 @@ class WindowsSpec extends SparkSpec {
         s"unpartitioned window over row data:\n$w")
     }
   }
+
+  test("distributedDenseRank ≡ global dense_rank, incl. all-equal keys") {
+    val rows = (1L to 500L).map(i => ((i * 37) % 11, (i * 13) % 5, i))
+    val df = rows.toDF("a", "b", "uid")
+    val got = windows.distributedDenseRank(df,
+        Seq(col("a"), col("b")), rankName = "dr")
+      .select("a", "b", "uid", "dr")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._3)
+    val want = {
+      val order = rows.map(r => (r._1, r._2)).distinct.sorted
+        .zipWithIndex.map { case (k, i) => (k, i + 1L) }.toMap
+      rows.map(r => (r._1, r._2, r._3, order((r._1, r._2))))
+    }
+    assert(got === want)
+    // degenerate single-group frame still ranks (and ranks 1)
+    val one = windows.distributedDenseRank(
+        Seq.fill(50)(7L).toDF("a"), Seq(col("a")), "dr")
+      .select("dr").as[Long].collect()
+    assert(one.length === 50 && one.forall(_ == 1L))
+  }
 }
