@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.graph.{Graph, Walks}
 import graft.multimodal.Multimodal
-import graft.ops.{analytics, asof, baskets, expectations, qsketch, rangejoin, sketches, sweepline, timeseries, windows}
+import graft.ops.{analytics, asof, baskets, expectations, exprs, qsketch, rangejoin, sketches, sweepline, timeseries, windows}
 import graft.similarity.{LabelEval, Similarity}
 import graft.sources.{HtmlTables, Layout, StagedSources}
 import graft.streaming.Streams
@@ -471,6 +471,29 @@ object ExtensionQueries {
       typos.withColumn("blk", expr("substr(t_name,1,1)"))
         .join(canon.withColumn("blk", expr("substr(name,1,1)")),
           Seq("blk"))
+        .withColumn("jw", expr("graft_jaro_winkler(t_name, name)"))
+        .filter(col("jw") >= lit(880000L))
+        .select(col("t_name"), col("name").as("match_name"),
+          levenshtein(col("t_name"), col("name")).as("lev"))
+        .orderBy("t_name", "match_name")
+    }),
+
+    // ---- phonetic blocking linkage -----------------------------------------
+    // same typo'd-names task, but candidates block on the SOUNDEX of the
+    // first word (exprs.soundexKey — scan-local fold, zero shuffle to
+    // key) instead of the first character: the classic phonetic blocking
+    // strategy, scored by the same exact-rational Jaro-Winkler gate
+    "q_phonetic_linkage" -> ((s, d) => {
+      val canon = t(s, d, "part").select(col("p_name").as("name"))
+        .distinct()
+        .withColumn("skey",
+          exprs.soundexKey(split(col("name"), " ").getItem(0)))
+      val typos = canon.select(
+        expr("concat(substr(name,1,1), substr(name,3,1), " +
+          "substr(name,2,1), substr(name,4))").as("t_name"))
+        .withColumn("skey",
+          exprs.soundexKey(split(col("t_name"), " ").getItem(0)))
+      typos.join(canon, Seq("skey"))
         .withColumn("jw", expr("graft_jaro_winkler(t_name, name)"))
         .filter(col("jw") >= lit(880000L))
         .select(col("t_name"), col("name").as("match_name"),
@@ -1783,6 +1806,26 @@ object ExtensionQueries {
         .limit(25)
     }),
 
+    // streaming quantile sketch: HDR bucket counts as bounded
+    // complete-mode agg state (≤64·2^5 rows at any cardinality);
+    // micro-batches are the shards, so stream ≡ batch IS the merge
+    // property — the oracle is the batch bucket math over the same
+    // events
+    "q_stream_quantile" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_qsk").toString
+      val sk = Streams.quantileSketchStream(s, d, ckpt,
+          (col("value").cast("decimal(18,2)") * 100).cast("long"), 5)
+        .withColumn("bkt_hi", col("bkt_lo") +
+          call_function("shiftleft", lit(1L),
+            greatest((length(bin(col("bkt_lo"))) - 1)
+              .cast("int") - 5, lit(0))) - 1)
+      qsketch.quantiles(sk, Seq(500, 990))
+        .select(col("q_permille"), col("n"), col("est_lo"),
+          col("est_hi"))
+        .orderBy("q_permille")
+    }),
+
     // incremental OHLC candles: order-insensitive min_by/max_by state
     // inside the windowed agg — same daily integer-cent bars as the
     // batch operator (BIGINT-only cells, harness-canonicalizable)
@@ -2994,6 +3037,37 @@ object ExtensionQueries {
                 exact_v BETWEEN est_lo AND est_hi AS within_bound
          FROM ex ORDER BY q_permille""",
 
+    // stream ≡ batch: the micro-batched bucket counts merge to the
+    // whole-corpus sketch, so the batch bucket math is the oracle
+    "q_stream_quantile" ->
+      """WITH vals AS (
+           SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS v
+           FROM events),
+         b AS (
+           SELECT CASE WHEN length(bin(v)) - 6 > 0
+                       THEN length(bin(v)) - 6 ELSE 0 END AS sh, v
+           FROM vals),
+         sk AS (
+           SELECT (v >> sh) << sh AS bkt_lo,
+                  ((v >> sh) << sh) + (1::BIGINT << sh) - 1 AS bkt_hi,
+                  count(*)::BIGINT AS cnt
+           FROM b GROUP BY 1, 2),
+         cum AS (
+           SELECT bkt_lo, bkt_hi,
+                  sum(cnt) OVER (ORDER BY bkt_lo)::BIGINT AS cum
+           FROM sk),
+         n AS (SELECT sum(cnt)::BIGINT AS n FROM sk),
+         probes AS (
+           SELECT q_permille, n,
+                  ((q_permille * n + 999) // 1000)::BIGINT AS target
+           FROM (VALUES (500::BIGINT), (990::BIGINT)) q(q_permille), n)
+         SELECT q_permille, n, min(bkt_lo)::BIGINT AS est_lo,
+                arg_min(bkt_hi, bkt_lo)::BIGINT AS est_hi
+         FROM probes JOIN cum ON cum >= target
+         GROUP BY q_permille, n
+         ORDER BY q_permille""",
+
     // shard sketches merge by count addition before the probe — the
     // merged frame is identical to the direct build, which is the claim
     "q_quantile_merge" ->
@@ -3108,6 +3182,74 @@ object ExtensionQueries {
          SELECT t_name, name AS match_name,
                 levenshtein(t_name, name) AS lev
          FROM cand
+         WHERE jaro_winkler_similarity(t_name, name) >= 0.88
+         ORDER BY t_name, match_name""",
+
+    // same fold as exprs.soundexKey, expressed with an explode + the
+    // last-non-transparent-class window: translate table, h/w='9'
+    // transparent, vowels='0' reset, first-3-kept-digits, rpad
+    "q_phonetic_linkage" ->
+      """WITH canon AS (SELECT DISTINCT p_name AS name FROM part),
+         typos AS (SELECT concat(substr(name, 1, 1), substr(name, 3, 1),
+                                 substr(name, 2, 1), substr(name, 4))
+                     AS t_name
+                   FROM canon),
+         cw AS (SELECT name, split_part(name, ' ', 1) AS w FROM canon),
+         cdg AS (SELECT name, w,
+                        translate(w, 'abcdefghijklmnopqrstuvwxyz',
+                          '01230129022455012623019202') AS ds
+                 FROM cw),
+         cch AS (SELECT name, w,
+                        unnest(generate_series(1, length(ds))) AS i, ds
+                 FROM cdg),
+         cpv AS (SELECT name, w, i, substr(ds, i, 1) AS d,
+                        last_value(CASE WHEN substr(ds, i, 1) <> '9'
+                          THEN substr(ds, i, 1) END IGNORE NULLS)
+                          OVER (PARTITION BY name ORDER BY i
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev
+                 FROM cch),
+         ckp AS (SELECT name, d,
+                        row_number() OVER (PARTITION BY name
+                          ORDER BY i) AS rn
+                 FROM cpv
+                 WHERE i > 1 AND d BETWEEN '1' AND '6'
+                   AND (prev IS NULL OR d <> prev)),
+         csk AS (SELECT w2.name, rpad(substr(w2.w, 1, 1) ||
+                        coalesce(string_agg(k.d, '' ORDER BY k.rn)
+                          FILTER (k.rn <= 3), ''), 4, '0') AS skey
+                 FROM cw w2 LEFT JOIN ckp k USING (name)
+                 GROUP BY w2.name, w2.w),
+         tw AS (SELECT t_name, split_part(t_name, ' ', 1) AS w
+                FROM typos),
+         tdg AS (SELECT t_name, w,
+                        translate(w, 'abcdefghijklmnopqrstuvwxyz',
+                          '01230129022455012623019202') AS ds
+                 FROM tw),
+         tch AS (SELECT t_name, w,
+                        unnest(generate_series(1, length(ds))) AS i, ds
+                 FROM tdg),
+         tpv AS (SELECT t_name, w, i, substr(ds, i, 1) AS d,
+                        last_value(CASE WHEN substr(ds, i, 1) <> '9'
+                          THEN substr(ds, i, 1) END IGNORE NULLS)
+                          OVER (PARTITION BY t_name ORDER BY i
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev
+                 FROM tch),
+         tkp AS (SELECT t_name, d,
+                        row_number() OVER (PARTITION BY t_name
+                          ORDER BY i) AS rn
+                 FROM tpv
+                 WHERE i > 1 AND d BETWEEN '1' AND '6'
+                   AND (prev IS NULL OR d <> prev)),
+         tsk AS (SELECT w2.t_name, rpad(substr(w2.w, 1, 1) ||
+                        coalesce(string_agg(k.d, '' ORDER BY k.rn)
+                          FILTER (k.rn <= 3), ''), 4, '0') AS skey
+                 FROM tw w2 LEFT JOIN tkp k USING (t_name)
+                 GROUP BY w2.t_name, w2.w)
+         SELECT t_name, name AS match_name,
+                levenshtein(t_name, name) AS lev
+         FROM tsk JOIN csk USING (skey)
          WHERE jaro_winkler_similarity(t_name, name) >= 0.88
          ORDER BY t_name, match_name""",
 

@@ -1209,6 +1209,56 @@ object ScaleSmoke {
       n
     }
 
+    // suffix array at rows/10 token positions: synthetic docs of 40
+    // tokens over a 997-word vocab (prime — decorrelated from the doc
+    // cycle) with every 7th doc a verbatim dup of its predecessor, so
+    // terminal rank ties exist and the loop runs its full depth. The
+    // permutation invariant checks the build end to end.
+    timed("suffix array prefix doubling") {
+      val nDocs = rows / 10 / 40
+      val base = col("id") -
+        when(col("id") % 7 === 0 && col("id") > 0, 1L).otherwise(0L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(j =>
+          concat(lit("w"), (base * 40 + j) % 997)): _*).as("text"))
+      val sa = graft.text.SuffixArray.suffixArray(docs, "doc_id", "text")
+      val n = sa.agg(count(lit(1)).as("c"),
+          max(col("sa_rank")).as("m"), min(col("sa_rank")).as("lo"))
+        .filter(col("c") === col("m") && col("lo") === 1L)
+        .head().getLong(0)
+      require(n == nDocs * 40, s"sa permutation broken: $n")
+      n
+    }
+
+    // random walks on a hub-heavy graph: rank-indexed hops mean a hub
+    // with rows/500 neighbors costs a walk ONE probe, not a fan-out —
+    // walk-step row count stays exactly linear in walks
+    timed("random walks hub probe") {
+      val hubEdges = spark.range(rows / 500)
+        .select(lit(0L).as("src"), (col("id") + 1).as("dst"))
+      val chain = spark.range(rows / 500)
+        .select((col("id") + 1).as("src"),
+          ((col("id") + 1) % (rows / 500) + 1).as("dst"))
+      val e = hubEdges.union(chain)
+        .union(hubEdges.select(col("dst").as("src"), col("src").as("dst")))
+      val walks = graft.graph.Walks.randomWalks(e, "src", "dst",
+        walksPerNode = 1, steps = 3)
+      val n = walks.count()
+      require(n <= (rows / 500 + 1) * 4, s"walk state superlinear: $n")
+      n
+    }
+
+    // quantile sketch: bucket frame stays value-space bounded (<= 64*2^5)
+    // no matter the row count; the bound verdict must hold at size
+    timed("quantile sketch bounded") {
+      val rep = graft.ops.qsketch.quantileReport(
+        fact.select((col("v").cast("long") * col("k") % 999983L + 1L)
+          .as("x")), "x", s = 5, permilles = Seq(10, 500, 990))
+      val ok = rep.filter(col("within_bound")).count()
+      require(ok == 3, s"quantile bound violated: $ok/3")
+      ok
+    }
+
     spark.stop()
   }
 }

@@ -61,4 +61,30 @@ object exprs {
     when(games.try_cast("int").isNotNull, lit("Head Coach"))
       .when(role === sentinel, role)
       .otherwise(concat(split(role, "Coach").getItem(0), lit("Coach")))
+
+  /** Classic American Soundex of a lowercase word, as a scan-local
+    * aggregate-HOF fold (codegen'd, zero shuffle) — the PHONETIC
+    * blocking key for record linkage (complements the Jaro-Winkler
+    * scorer: block phonetically, score lexically).
+    *
+    * One `translate` maps every letter to its consonant class
+    * ('9' = h/w, transparent; '0' = vowel, resets adjacency), then the
+    * fold keeps a digit iff it is 1-6 and differs from the previous
+    * non-transparent class — the textbook rules, verified against the
+    * canonical robert/rupert/ashcraft/tymczak/pfister vectors in
+    * ExprsSpec. */
+  def soundexKey(word: Column): Column = {
+    val digits = translate(word, "abcdefghijklmnopqrstuvwxyz",
+      "01230129022455012623019202")
+    aggregate(
+      split(substring(digits, 2, 1000000), ""),
+      struct(substring(digits, 1, 1).as("prev"),
+        substring(word, 1, 1).as("key")),
+      (acc, d) => struct(
+        when(d === "9", acc("prev")).otherwise(d).as("prev"),
+        when(d.between("1", "6") && d =!= acc("prev") &&
+          length(acc("key")) < 4, concat(acc("key"), d))
+          .otherwise(acc("key")).as("key")),
+      acc => rpad(acc("key"), 4, "0"))
+  }
 }

@@ -322,6 +322,42 @@ object Streams {
     spark.table(sinkName)
   }
 
+  /** Streaming mergeable quantile sketch: the HDR bucket counts of
+    * [[graft.ops.qsketch]] ARE the aggregation state — ≤ 64·2^s rows no
+    * matter how many values flow past (value-space bounded, exactly the
+    * CMS argument), so unwindowed complete-mode aggregation is safe
+    * where a per-value count would grow without bound. Micro-batches
+    * are the sketch's shards; stream ≡ batch IS the merge property.
+    * Returns the bucket frame; probe with [[graft.ops.qsketch
+    * .quantiles]]. */
+  def quantileSketchStream(spark: SparkSession, dir: String,
+                           checkpoint: String, valueExpr: Column,
+                           s: Int, glob: String = "events.parquet")
+  : DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", glob)
+      .parquet(dir).schema
+    val lo = graft.ops.qsketch.bucketLo(valueExpr, s)
+    val buckets = normalizeTs(spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", glob)
+        .parquet(dir))
+      .select(lo.as("bkt_lo"))
+      .groupBy("bkt_lo")
+      .agg(count(lit(1)).as("cnt"))
+
+    val sinkName = "graft_qsk_" + math.abs(checkpoint.hashCode)
+    val q = buckets.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
   /** Stream-static TEMPORAL enrichment: each event picks up the
     * dimension version VALID AT ITS EVENT TIME (`from ≤ ts < to`) — the
     * streaming read side of an SCD2 dimension, the lookup every

@@ -64,4 +64,18 @@ class ExprsSpec extends SparkSpec {
       .select(exprs.boolFlag(col("x") < 5).as("f"))
     assert(df.as[Int].collect().toSeq === Seq(1, 0))
   }
+
+  test("soundexKey matches the canonical Soundex vectors") {
+    // the standard published test vectors, incl. the h/w-transparent
+    // (ashcraft) and first-letter-duplicate (pfister) rules
+    val want = Map(
+      "robert" -> "r163", "rupert" -> "r163", "ashcraft" -> "a261",
+      "ashcroft" -> "a261", "tymczak" -> "t522", "pfister" -> "p236",
+      "honeyman" -> "h555", "blue" -> "b400", "a" -> "a000",
+      "wu" -> "w000")
+    val got = want.keys.toSeq.toDF("w")
+      .select(col("w"), exprs.soundexKey(col("w")).as("k"))
+      .as[(String, String)].collect().toMap
+    want.foreach { case (w, k) => assert(got(w) === k, s"soundex($w)") }
+  }
 }
