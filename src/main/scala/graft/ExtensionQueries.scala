@@ -342,6 +342,19 @@ object ExtensionQueries {
           col("n_ticks"), col("volume").cast("long").as("volume_c"))
         .orderBy("event_type", "bar_start")),
 
+    // ---- randomized response (Warner local-DP collection) -----------------
+    // the sensitive bit (order value > $250) is collected under f=0.25
+    // randomized response (per-row ε≈1.9) and the per-cohort count is
+    // debiased exactly; keyed-hash draws make the privatized report
+    // itself deterministic, so the oracle checks mechanism + estimator
+    "q_randomized_response" -> ((s, d) =>
+      analytics.randomizedResponse(
+        Tables.events(s, d).withColumn("cohort", col("user_id") % 8),
+        "cohort", "event_id",
+        (col("value").cast("decimal(18,2)") * 100).cast("long") > 25000L,
+        fMicro = 250000L)
+        .orderBy("cohort")),
+
     // ---- Markov next-event transition matrix ------------------------------
     // P(next event type | current) per user journey, integer micros
     "q_markov_transitions" -> ((s, d) =>
@@ -2992,6 +3005,31 @@ object ExtensionQueries {
                 CAST((rn * 10000) // n AS BIGINT) AS peak_res_micro
          FROM r WHERE rk = 1
          ORDER BY series, hr""",
+
+    // same keyed-hash draws (hex-prefix cast), integer-exact debias;
+    // // is safe: the numerator is positive at any realistic rate
+    "q_randomized_response" ->
+      """WITH r AS (
+           SELECT user_id % 8 AS cohort,
+                  CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                         AS BIGINT) > 25000 THEN 1 ELSE 0 END AS bit,
+                  ('0x' || substr(md5('rr_flip|' || event_id), 1, 8))
+                    ::BIGINT % 1000000 AS flip,
+                  ('0x' || substr(md5('rr_coin|' || event_id), 1, 8))
+                    ::BIGINT % 1000000 AS coin
+           FROM events),
+         g AS (
+           SELECT cohort, count(*)::BIGINT AS n,
+                  sum(CASE WHEN flip < 250000
+                           THEN CASE WHEN coin < 500000 THEN 1 ELSE 0 END
+                           ELSE bit END)::BIGINT AS observed,
+                  sum(bit)::BIGINT AS true_c
+           FROM r GROUP BY cohort)
+         SELECT cohort, n, observed,
+                CAST((observed * 2000000 - 250000 * n) * 1000 //
+                  (2 * (1000000 - 250000)) AS BIGINT) AS est_milli,
+                true_c
+         FROM g ORDER BY cohort""",
 
     // HDR bucket = v truncated to its top 6 significant bits — pure
     // integer bit math on both engines (bin()/shifts, no float log)

@@ -406,4 +406,43 @@ object analytics {
       .filter(col(yCol) === col("__my"))
       .drop("__my")
   }
+
+  /** Randomized response (Warner 1965) — the classic LOCAL
+    * differential-privacy mechanism for collecting a sensitive bit:
+    * each row reports its true bit with probability 1−f and a fair
+    * coin with probability f, giving per-row ε = ln((1−f/2)/(f/2)).
+    * The aggregate debiases exactly: E[observed] = (1−f)·T + f·n/2, so
+    * T̂ = (observed − f·n/2)/(1−f).
+    *
+    * The "randomness" here is the keyed-hash idiom the engine uses
+    * everywhere determinism is required (walks, sampling, CMS): two
+    * independent md5 draws per row id — reproducible on any engine, so
+    * the privatized report itself is oracle-checkable. Everything is
+    * scan-local + one groupBy; the estimate is integer milli-units via
+    * DIV (no float division to diverge).
+    *
+    * @param fMicro flip probability in micros (even, so f·n/2 is
+    *               integer-exact); e.g. 250000 = f 0.25, ε ≈ 1.9
+    * @return per group: n, observed, est_milli (debiased count ×1000),
+    *         true_c alongside for the accuracy story */
+  def randomizedResponse(df: DataFrame, groupCol: String, idCol: String,
+                         bit: Column, fMicro: Long): DataFrame = {
+    require(fMicro > 0 && fMicro < 1000000 && fMicro % 2 == 0,
+      s"fMicro must be an even micro-probability, got $fMicro")
+    def draw(salt: String): Column =
+      conv(substring(md5(concat_ws("|", lit(salt),
+        col(idCol).cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+    val reported = when(draw("rr_flip") < fMicro,
+      (draw("rr_coin") < 500000L).cast("long"))
+      .otherwise(bit.cast("long"))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(reported).as("observed"),
+        sum(bit.cast("long")).as("true_c"))
+      .select(col(groupCol), col("n"), col("observed"),
+        expr(s"CAST((observed * 2000000 - $fMicro * n) * 1000 DIV " +
+          s"(2 * (1000000 - $fMicro)) AS BIGINT)").as("est_milli"),
+        col("true_c"))
+  }
 }

@@ -319,4 +319,34 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(got === dup.toSet)
   }
+
+  test("randomizedResponse reproduces the hand-modeled mechanism") {
+    def draw(salt: String, id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(h, 16) % 1000000L
+    }
+    val f = 250000L
+    val rows = (0L until 400L).map(i => (i % 4, i, i % 3 == 0))
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val obs = rs.map { case (_, id, bit) =>
+        if (draw("rr_flip", id) < f) {
+          if (draw("rr_coin", id) < 500000L) 1L else 0L
+        } else if (bit) 1L else 0L
+      }.sum
+      val n = rs.size.toLong
+      val est = (obs * 2000000L - f * n) * 1000L / (2L * (1000000L - f))
+      (g, n, obs, est, rs.count(_._3).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = analytics.randomizedResponse(
+        rows.toDF("g", "id", "bit"), "g", "id", col("bit"), f)
+      .orderBy("g")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === want)
+    // debiased estimate lands near the truth (the accuracy story)
+    got.foreach { case (_, n, _, est, t) =>
+      assert(math.abs(est / 1000.0 - t) <= n * 0.2, s"estimator drift")
+    }
+  }
 }
