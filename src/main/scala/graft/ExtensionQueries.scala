@@ -342,6 +342,31 @@ object ExtensionQueries {
           col("n_ticks"), col("volume").cast("long").as("volume_c"))
         .orderBy("event_type", "bar_start")),
 
+    // ---- t-closeness release gate ------------------------------------------
+    // the privacy trio's third gate: per (nation, balance-bucket) group,
+    // variational distance between the group's market-segment mix and
+    // the table-wide one, micro-quantized (overflow-safe at any N);
+    // releasable iff t <= 0.30
+    "q_t_closeness" -> ((s, d) =>
+      graft.ops.relational.tCloseness(
+        t(s, d, "customer").select(col("c_nationkey"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_bucket"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "bal_bucket"), "c_mktsegment",
+        tMicro = 300000L)
+        .orderBy("c_nationkey", "bal_bucket")),
+
+    // ---- out-of-fold target encoding ---------------------------------------
+    // leakage-safe categorical feature: fold-k rows get their
+    // category's label mean computed WITHOUT fold k; deterministic
+    // md5 folds, |categories|x5 output
+    "q_target_encoding" -> ((s, d) =>
+      analytics.targetEncoding(t(s, d, "orders"), "o_orderpriority",
+          "o_orderkey",
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+          nFolds = 5)
+        .orderBy("o_orderpriority", "fold")),
+
     // ---- randomized response (Warner local-DP collection) -----------------
     // the sensitive bit (order value > $250) is collected under f=0.25
     // randomized response (per-row ε≈1.9) and the per-cohort count is
@@ -3005,6 +3030,66 @@ object ExtensionQueries {
                 CAST((rn * 10000) // n AS BIGINT) AS peak_res_micro
          FROM r WHERE rk = 1
          ORDER BY series, hr""",
+
+    // dense group × segment grid (zero cells count), micro-quantized
+    // p/q, one truncating halving — overflow-free at any table size
+    "q_t_closeness" ->
+      """WITH base AS (
+           SELECT c_nationkey,
+                  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+                  c_mktsegment
+           FROM customer),
+         cells AS (
+           SELECT c_nationkey, bal_bucket, c_mktsegment,
+                  count(*)::BIGINT AS c
+           FROM base GROUP BY 1, 2, 3),
+         n AS (SELECT sum(c)::BIGINT AS n FROM cells),
+         global AS (
+           SELECT c_mktsegment,
+                  ((sum(c) * 1000000) // n.n)::BIGINT AS qm
+           FROM cells, n GROUP BY c_mktsegment, n.n),
+         totals AS (
+           SELECT c_nationkey, bal_bucket, sum(c)::BIGINT AS ng
+           FROM cells GROUP BY 1, 2),
+         grid AS (
+           SELECT t.c_nationkey, t.bal_bucket, t.ng, g.c_mktsegment,
+                  g.qm, COALESCE(c.c, 0)::BIGINT AS c
+           FROM totals t CROSS JOIN global g
+           LEFT JOIN cells c USING (c_nationkey, bal_bucket,
+             c_mktsegment))
+         SELECT c_nationkey, bal_bucket, ng AS n_group,
+                (sum(abs((c * 1000000) // ng - qm)) // 2)::BIGINT
+                  AS t_micro,
+                (sum(abs((c * 1000000) // ng - qm)) // 2)::BIGINT
+                  <= 300000 AS releasable
+         FROM grid
+         GROUP BY c_nationkey, bal_bucket, ng
+         ORDER BY c_nationkey, bal_bucket""",
+
+    // same md5 fold assignment; out-of-fold mean in integer micros
+    "q_target_encoding" ->
+      """WITH f AS (
+           SELECT o_orderpriority,
+                  ('0x' || substr(md5('te|' || o_orderkey), 1, 8))
+                    ::BIGINT % 5 AS fold,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS y
+           FROM orders),
+         pf AS (
+           SELECT o_orderpriority, fold, sum(y)::BIGINT AS s,
+                  count(*)::BIGINT AS n_fold
+           FROM f GROUP BY 1, 2),
+         pc AS (
+           SELECT o_orderpriority, sum(s)::BIGINT AS st,
+                  sum(n_fold)::BIGINT AS ct
+           FROM pf GROUP BY 1)
+         SELECT pf.o_orderpriority, pf.fold, pf.n_fold,
+                CASE WHEN pc.ct > pf.n_fold
+                     THEN (((pc.st - pf.s) * 1000000)
+                           // (pc.ct - pf.n_fold))::BIGINT
+                     END AS enc_micro
+         FROM pf JOIN pc USING (o_orderpriority)
+         ORDER BY o_orderpriority, fold""",
 
     // same keyed-hash draws (hex-prefix cast), integer-exact debias;
     // // is safe: the numerator is positive at any realistic rate

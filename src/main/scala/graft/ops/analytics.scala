@@ -425,6 +425,40 @@ object analytics {
     *               integer-exact); e.g. 250000 = f 0.25, ε ≈ 1.9
     * @return per group: n, observed, est_milli (debiased count ×1000),
     *         true_c alongside for the accuracy story */
+  /** Out-of-fold target encoding — the leakage-safe categorical
+    * feature every tabular-ML pipeline builds: rows in fold k receive
+    * their category's label mean computed WITHOUT fold k (so a row
+    * never sees its own label). The fold is a keyed md5 draw
+    * (deterministic, engine-reproducible); the encoding table is one
+    * (category × fold) aggregate plus a category rollup — two
+    * map-side-combinable shuffles, output bounded by |categories|·folds.
+    *
+    * Integer micro-units via truncating DIV; label sums must stay
+    * below 2^63/10^6 per category — rescale the label unit upstream
+    * if a category's label mass approaches 9·10^12. Single-fold
+    * categories (nothing out-of-fold) encode as NULL rather than a
+    * fabricated prior. */
+  def targetEncoding(df: DataFrame, catCol: String, idCol: String,
+                     label: Column, nFolds: Int): DataFrame = {
+    require(nFolds >= 2, s"need >= 2 folds, got $nFolds")
+    val fold = conv(substring(md5(concat_ws("|", lit("te"),
+      col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") % nFolds
+    val perFold = df
+      .select(col(catCol), fold.as("fold"), label.as("__y"))
+      .groupBy(col(catCol), col("fold"))
+      .agg(sum(col("__y")).cast("long").as("__s"),
+        count(lit(1)).as("__c"))
+      .stage() // the category rollup reads it too
+    val perCat = perFold.groupBy(col(catCol))
+      .agg(sum(col("__s")).as("__st"), sum(col("__c")).as("__ct"))
+    perFold.join(broadcast(perCat), Seq(catCol))
+      .select(col(catCol), col("fold"), col("__c").as("n_fold"),
+        when(col("__ct") > col("__c"), expr(
+          "CAST((__st - __s) * 1000000 DIV (__ct - __c) AS BIGINT)"))
+          .as("enc_micro"))
+  }
+
   def randomizedResponse(df: DataFrame, groupCol: String, idCol: String,
                          bit: Column, fMicro: Long): DataFrame = {
     require(fMicro > 0 && fMicro < 1000000 && fMicro % 2 == 0,

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Staging._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -274,5 +275,52 @@ object relational {
             .as(sensitiveCol) :+
           (col("__div") < l).as("at_risk") :+
           col("__div").as("sens_diversity"): _*)
+  }
+
+  /** t-closeness (Li et al. 2007) for a CATEGORICAL sensitive
+    * attribute: per quasi-identifier group, the variational distance
+    * ½·Σ|p_i − q_i| between the group's sensitive distribution and the
+    * table-wide one — the release gate that catches what l-diversity
+    * misses (a group can be diverse yet skewed).
+    *
+    * Distributions are micro-quantized FIRST (p_micro = c·10^6 DIV n_g,
+    * a deterministic truncation both engines share), then compared —
+    * so every product stays ≤ 10^6·count and nothing approaches the
+    * n_g·N cross-products that would overflow int64 on a 10^12-row
+    * table. Quantization error is ≤ |domain|·10^−6/2 — far below any
+    * useful threshold — and, crucially, bit-identical everywhere.
+    *
+    * Plan: one (quasi × sensitive) count, one sensitive-marginal count
+    * (broadcast — bounded by the sensitive domain), one group rollup.
+    * A group missing a sensitive value entirely contributes that
+    * value's full global mass via the marginal-side union. No window,
+    * no driver state; the output is one row per group. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, tMicro: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs quasi-identifier cols")
+    require(tMicro >= 0, s"tMicro must be >= 0: $tMicro")
+    val cells = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .stage() // marginals + the dense grid below all read it
+    val global = cells.groupBy(col(sensitiveCol))
+      .agg(sum(col("__c")).as("__gq"))
+      .crossJoin(broadcast(
+        cells.agg(sum(col("__c")).cast("long").as("__n"))))
+      .select(col(sensitiveCol), expr(
+        "CAST(__gq * 1000000 DIV __n AS BIGINT)").as("__qm"))
+    val totals = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__ng"))
+    // dense (group × sensitive-domain) grid: zero-count cells still
+    // contribute |0 − q_i| — build it from the group list × the
+    // broadcast domain, then left-join the observed counts
+    totals.crossJoin(broadcast(global))
+      .join(cells, quasiCols :+ sensitiveCol, "left")
+      .withColumn("__pm", expr(
+        "CAST(COALESCE(__c, 0) * 1000000 DIV __ng AS BIGINT)"))
+      .groupBy((quasiCols.map(col) :+
+        col("__ng").cast("long").as("n_group")): _*)
+      .agg(expr("CAST(sum(abs(__pm - __qm)) DIV 2 AS BIGINT)")
+        .as("t_micro"))
+      .withColumn("releasable", col("t_micro") <= tMicro)
   }
 }

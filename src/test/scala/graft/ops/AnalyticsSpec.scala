@@ -349,4 +349,39 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(est / 1000.0 - t) <= n * 0.2, s"estimator drift")
     }
   }
+
+  test("targetEncoding excludes exactly the row's own fold") {
+    def fold(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"te|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(h, 16) % 3
+    }
+    val rows = (0L until 90L).map(i => (if (i < 60) "x" else "y", i,
+      i * 10 + 7))
+    val want = rows.groupBy(r => (r._1, fold(r._2))).map {
+      case ((cat, f), in) =>
+        val all = rows.filter(_._1 == cat)
+        val out = all.filterNot(r => fold(r._2) == f)
+        (cat, f, in.size.toLong,
+          if (out.isEmpty) None
+          else Some(out.map(_._3).sum * 1000000L / out.size))
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = analytics.targetEncoding(rows.toDF("cat", "id", "y"),
+        "cat", "id", col("y"), nFolds = 3)
+      .orderBy("cat", "fold")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(got === want)
+  }
+
+  test("targetEncoding single-fold category encodes as null") {
+    // one row -> its fold holds the whole category: nothing out-of-fold
+    val df = Seq(("solo", 1L, 100L), ("big", 2L, 10L), ("big", 3L, 20L),
+      ("big", 4L, 30L), ("big", 5L, 40L), ("big", 6L, 50L))
+      .toDF("cat", "id", "y")
+    val solo = analytics.targetEncoding(df, "cat", "id", col("y"), 5)
+      .filter(col("cat") === "solo")
+      .select("enc_micro").as[Option[Long]].collect()
+    assert(solo.toSeq === Seq(None))
+  }
 }

@@ -243,4 +243,33 @@ class RelationalSpec extends SparkSpec {
       .select("sens_diversity").as[Long].collect()
     assert(got.toSeq === Seq(2L, 2L, 2L))
   }
+
+  test("tCloseness matches the hand-computed variational distance") {
+    // global mix: a 4/8, b 3/8, c 1/8 → qm = 500000, 375000, 125000
+    val rows = Seq(
+      (10, "a"), (10, "a"), (10, "a"), (10, "b"),          // skewed grp
+      (20, "a"), (20, "b"), (20, "b"), (20, "c"))          // balanced
+    val df = rows.toDF("zip", "seg")
+    val got = relational.tCloseness(df, Seq("zip"), "seg",
+        tMicro = 200000L)
+      .orderBy("zip")
+      .select("zip", "n_group", "t_micro", "releasable")
+      .as[(Int, Long, Long, Boolean)].collect().toSeq
+    // grp 10: p = (750000, 250000, 0); Σ|p−q| = 250000+125000+125000
+    //   → t = 250000 (not releasable at 0.2)
+    // grp 20: p = (250000, 500000, 250000); Σ = 250000+125000+125000
+    //   → t = 250000 — same distance, symmetric check
+    assert(got === Seq((10, 4L, 250000L, false),
+      (20, 4L, 250000L, false)))
+  }
+
+  test("tCloseness: identical-mix groups score zero and release") {
+    val rows = for (z <- Seq(1, 2); s <- Seq("a", "a", "b"))
+      yield (z, s)
+    val got = relational.tCloseness(rows.toDF("zip", "seg"),
+        Seq("zip"), "seg", tMicro = 0L)
+      .select("t_micro", "releasable")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(got === Seq((0L, true), (0L, true)))
+  }
 }
