@@ -168,6 +168,24 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("distributedDenseRank leaves no unpartitioned data-sized window") {
+    val df = (1L to 100L).map(i => (i % 13, i % 3)).toDF("a", "b")
+    val plan = windows.distributedDenseRank(df,
+        Seq(col("a"), col("b")), rankName = "dr")
+      .queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWin => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val overAggOnPid = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.exists(
+            _.toString.contains("__pid")) => a
+      }
+      assert(overAggOnPid.nonEmpty,
+        s"unpartitioned window over row data:\n$w")
+    }
+  }
+
   test("distributedDenseRank ≡ global dense_rank, incl. all-equal keys") {
     val rows = (1L to 500L).map(i => ((i * 37) % 11, (i * 13) % 5, i))
     val df = rows.toDF("a", "b", "uid")
