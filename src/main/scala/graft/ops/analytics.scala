@@ -262,7 +262,8 @@ object analytics {
   def giniConcentration(weights: DataFrame, keyCol: String,
                         weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(weightCol), col(keyCol))
+    val w = Window.partitionBy(pmod(col(weightCol), lit(1)))
+      .orderBy(col(weightCol), col(keyCol))
     weights
       .withColumn("__i", row_number().over(w).cast("decimal(38,0)"))
       .agg(count(lit(1)).as("n_groups"),
@@ -395,7 +396,7 @@ object analytics {
     val minY = df.groupBy(col(xCol)).agg(min(col(yCol)).as("__my"))
     // running min over strictly-smaller x: tiny frame (≤ |x values|),
     // the single-task window is the reduction, not a bottleneck
-    val wPrev = Window.orderBy(col(xCol))
+    val wPrev = Window.partitionBy(pmod(col(xCol), lit(1))).orderBy(col(xCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val fronts = minY
       .withColumn("__pm", min(col("__my")).over(wPrev))

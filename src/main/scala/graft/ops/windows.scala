@@ -88,7 +88,7 @@ object windows {
       .withColumn("__cum_in", sum(col("__psv")).over(
         wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__rk_in", row_number().over(wIn))
-    val wOff = Window.orderBy(col("__pid"))
+    val wOff = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parted.groupBy(col("__pid"))
       .agg(sum(col("__psv")).as("__pt"), count(lit(1)).as("__pc"))
@@ -136,7 +136,7 @@ object windows {
       .withColumn("__dr_in", sum(col("__new")).over(
         wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .stage()
-    val wOff = Window.orderBy(col("__pid"))
+    val wOff = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = inPart.groupBy(col("__pid"))
       .agg(max(col("__dr_in")).as("__pk"))

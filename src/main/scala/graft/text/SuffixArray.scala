@@ -40,17 +40,17 @@ object SuffixArray {
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         col("tok"))
 
+  /** Tokens the initial rank covers per position — doubling then starts
+    * at this span, cutting two rounds vs single-token init (4 → 8 → …
+    * instead of 1 → 2 → 4 → …). */
+  private val initSpan = 4
+
   /** Final prefix-doubling equivalence ranks: (doc_id, pos, r) where
     * r is equal iff the full suffixes are equal token sequences, and
     * r's order IS lexicographic suffix order. Rounds run until either
     * every rank is unique or the doubled span covers the longest
     * document, whichever comes first (convergence is observed on the
     * round's own checkpoint job — no extra scan per round). */
-  /** Tokens the initial rank covers per position — doubling then starts
-    * at this span, cutting two rounds vs single-token init (4 → 8 → …
-    * instead of 1 → 2 → 4 → …). */
-  private val initSpan = 4
-
   def ranks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // round 0: dense rank of the leading 4-token window. Missing
     // positions are NULL leads, and Spark's ascending order puts NULLS
@@ -129,7 +129,7 @@ object SuffixArray {
       .withColumn("__dr_in", sum(col("__new")).over(
         wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .stage()
-    val wOff = Window.orderBy(col("__b"))
+    val wOff = Window.partitionBy(pmod(col("__b"), lit(1))).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = inPart.groupBy(col("__b"))
       .agg(max(col("__dr_in")).as("__pk"))

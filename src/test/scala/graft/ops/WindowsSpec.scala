@@ -169,6 +169,7 @@ class WindowsSpec extends SparkSpec {
   }
 
   test("distributedDenseRank leaves no unpartitioned data-sized window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
     val df = (1L to 100L).map(i => (i % 13, i % 3)).toDF("a", "b")
     val plan = windows.distributedDenseRank(df,
         Seq(col("a"), col("b")), rankName = "dr")
