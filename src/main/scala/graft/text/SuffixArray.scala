@@ -15,14 +15,14 @@ import graft.ops.windows
   * fixed width).
   *
   * Scale shape (the whole point): a corpus of n token positions is ranked
-  * in ceil(log2 maxDocLen) rounds; each round is ONE key-partitioned
-  * self-join on (doc, pos) plus ONE dense re-rank of the (rank, rank')
-  * pairs via [[windows.distributedPrefixSum]] — every stage shuffles on a
-  * data-sized key, nothing funnels through a single task, and each round's
-  * state is staged (reliable-checkpoint-aware) so lineage stays flat. At
-  * 100 TB that is ~20 rounds of linear shuffles; the only driver-side
-  * values are two scalars per round (observed metrics riding the
-  * checkpoint job, no extra pass).
+  * in ceil(log2 maxDocLen) rounds; each round is ONE exchange-free
+  * self-join on (doc, pos) (round state stays doc-clustered) plus ONE
+  * dense re-rank of the (rank, rank') pairs via [[denseRankBucketed]] —
+  * every stage shuffles on a data-sized key, nothing funnels through a
+  * single task, and each round's state is staged (reliable-checkpoint-
+  * aware) so lineage stays flat. At 100 TB that is ~20 rounds of linear
+  * shuffles; the only driver-side values are two scalars per round
+  * (observed metrics riding the checkpoint job, no extra pass).
   *
   * Suffixes do not cross document boundaries (the corpus is a document
   * SET, not one string); a missing continuation ranks below every real
