@@ -1446,6 +1446,14 @@ object ExtensionQueries {
         LabelEval.knnClassify(
           t(s, d, "embeddings"), "vec_id", "embedding", "label", k = 5))),
 
+    // exact-integer NDCG@5 over labeled retrieval: literal micro
+    // discount table (no runtime log), truncating milli ratio — the
+    // ranking-quality companion to q_knn_classify / q_auc_rank
+    "q_ndcg" -> ((s, d) =>
+      LabelEval.ndcgAtK(t(s, d, "embeddings"), "vec_id", "embedding",
+          "label", k = 5, col("vec_id") < 50)
+        .orderBy("query_id")),
+
     // contrastive negative pairs: k deterministic md5-keyed draws per
     // anchor, self/same-label collisions dropped
     "q_negative_pairs" -> ((s, d) =>
@@ -5404,6 +5412,50 @@ object ExtensionQueries {
     "q_embedding_buckets" -> embeddingBucketsSql(4, 6),
 
     "q_ann_bruteforce" -> annSql("c.vec_id <> q.vec_id", "q.vec_id < 10"),
+
+    // same neighbor definition as annSql; literal discount table and
+    // its prefix sums, truncating milli division
+    "q_ndcg" ->
+      """WITH v AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, q.label AS ql,
+                  c.vec_id AS neighbor_id, c.label AS nl,
+                  list_dot_product(q.emb, c.emb) /
+                    (sqrt(list_dot_product(q.emb, q.emb)) *
+                     sqrt(list_dot_product(c.emb, c.emb))) AS cos
+           FROM v q JOIN v c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 50),
+         top AS (
+           SELECT query_id, ql, nl,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rnk
+           FROM scored),
+         w(rnk, w) AS (VALUES (1, 1000000), (2, 630930), (3, 500000),
+                              (4, 430677), (5, 386853)),
+         per AS (
+           SELECT query_id,
+                  sum(CASE WHEN ql = nl THEN w.w ELSE 0 END)::BIGINT
+                    AS dcg_micro,
+                  sum(CASE WHEN ql = nl THEN 1 ELSE 0 END)::BIGINT
+                    AS n_rel
+           FROM top JOIN w USING (rnk)
+           WHERE top.rnk <= 5
+           GROUP BY query_id),
+         fin AS (
+           SELECT query_id, n_rel, dcg_micro,
+                  (CASE n_rel WHEN 1 THEN 1000000 WHEN 2 THEN 1630930
+                        WHEN 3 THEN 2130930 WHEN 4 THEN 2561607
+                        WHEN 5 THEN 2948460 ELSE 0 END)::BIGINT
+                    AS idcg_micro
+           FROM per)
+         SELECT query_id, n_rel, dcg_micro, idcg_micro,
+                CASE WHEN idcg_micro > 0
+                     THEN (dcg_micro * 1000 // idcg_micro)::BIGINT
+                     ELSE 0 END AS ndcg_milli
+         FROM fin ORDER BY query_id""",
 
     "q_mutual_knn" -> mutualKnnSql,
 

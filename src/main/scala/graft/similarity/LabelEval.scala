@@ -373,4 +373,52 @@ object LabelEval {
       .select(col(cellCol), col("n"),
         col("m").getField(labelCol).as("majority_label"),
         (-col("m.nc")).as("n_majority"))
+
+  /** NDCG@k discount weights in micros: round(10^6 / log2(i+1)) for
+    * rank i = 1..10, PRECOMPUTED literals — no runtime log whose libm
+    * rounding could differ between engines; the SQL twin embeds the
+    * same table. */
+  private val ndcgW = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** Exact-integer NDCG@k for labeled retrieval evaluation: per query
+    * vector, the top-k cosine neighbors ([[Similarity.bruteForceTopK]]
+    * order: cos desc, id asc) are relevant iff they share the query's
+    * label; DCG uses the literal micro discount table, IDCG is its
+    * prefix sum at n_rel (binary relevance puts all hits first), and
+    * the ratio is a truncating milli-unit division — every output cell
+    * BIGINT, the retrieval-metrics companion to the kNN class report
+    * and the AUC rank test. Cost: one k-bounded neighbor frame + two
+    * label joins + one hash agg. */
+  def ndcgAtK(vectors: DataFrame, idCol: String, embCol: String,
+              labelCol: String, k: Int, queryPred: Column): DataFrame = {
+    require(k >= 1 && k <= ndcgW.size,
+      s"k must be in [1,${ndcgW.size}], got $k")
+    val wArr = array(ndcgW.take(k).map(lit): _*)
+    val cumArr = array(ndcgW.take(k).scanLeft(0L)(_ + _).tail
+      .map(lit): _*)
+    val base = vectors.select(col(idCol).as("vec_id"),
+      col(embCol).as("embedding"), col(labelCol).as("__lab"))
+    val labels = base.select(col("vec_id"), col("__lab"))
+    val nbrs = Similarity.bruteForceTopK(
+      base.filter(queryPred), base, k)
+    nbrs
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("__lab").as("ql")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("__lab").as("nl")), Seq("neighbor_id"))
+      .withColumn("rel", (col("ql") === col("nl")).cast("long"))
+      .groupBy("query_id")
+      .agg(sum(when(col("rel") === 1,
+          element_at(wArr, col("rnk").cast("int"))).otherwise(0L))
+          .as("dcg_micro"),
+        sum(col("rel")).as("n_rel"))
+      .withColumn("idcg_micro", when(col("n_rel") > 0,
+        element_at(cumArr, col("n_rel").cast("int"))).otherwise(0L))
+      .withColumn("ndcg_milli", when(col("idcg_micro") > 0,
+        expr("CAST(dcg_micro * 1000 DIV idcg_micro AS BIGINT)"))
+        .otherwise(0L))
+      .select(col("query_id"), col("n_rel"), col("dcg_micro"),
+        col("idcg_micro"), col("ndcg_milli"))
+  }
 }

@@ -198,4 +198,44 @@ class LabelEvalSpec extends SparkSpec {
       "score", "pos").select("auc_micro").as[Long].head()
     assert(got === want)
   }
+
+  test("ndcgAtK matches a hand-computed binary-relevance NDCG") {
+    // 2-D unit-ish vectors: queries 0,1 of label 0; the neighbor order
+    // by cosine is hand-derivable. w = [1000000, 630930, 500000]
+    val vs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.8f, 0.3f), 1),
+      (3L, Seq(0.0f, 1.0f), 0),
+      (4L, Seq(-1.0f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = LabelEval.ndcgAtK(vs, "vec_id", "embedding", "label",
+        k = 3, col("vec_id") < 2)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // brute-force the expectation with plain Scala cosine
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val all = Seq((0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.8f, 0.3f), 1), (3L, Seq(0.0f, 1.0f), 0),
+      (4L, Seq(-1.0f, 0.1f), 1))
+    val w = Seq(1000000L, 630930L, 500000L)
+    val cum = w.scanLeft(0L)(_ + _).tail
+    val want = (0L to 1L).map { q =>
+      val (_, qe, qlab) = all.find(_._1 == q).get
+      val nbrs = all.filter(_._1 != q)
+        .map(v => (v._1, cos(qe, v._2), v._3))
+        .sortBy { case (id, c, _) => (-c, id) }.take(3)
+      val rels = nbrs.map(_._3 == qlab)
+      val dcg = rels.zip(w).collect { case (true, wi) => wi }.sum
+      val nRel = rels.count(identity).toLong
+      val idcg = if (nRel > 0) cum(nRel.toInt - 1) else 0L
+      val ndcg = if (idcg > 0) dcg * 1000L / idcg else 0L
+      (q, nRel, dcg, idcg, ndcg)
+    }
+    assert(got === want)
+  }
 }
