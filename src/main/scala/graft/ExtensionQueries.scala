@@ -1454,6 +1454,13 @@ object ExtensionQueries {
           "label", k = 5, col("vec_id") < 50)
         .orderBy("query_id")),
 
+    // MRR@5 first-hit companion: 10^6 / rank of the first same-label
+    // neighbor, 0 when the top-5 has none
+    "q_mrr" -> ((s, d) =>
+      LabelEval.mrrAtK(t(s, d, "embeddings"), "vec_id", "embedding",
+          "label", k = 5, col("vec_id") < 50)
+        .orderBy("query_id")),
+
     // contrastive negative pairs: k deterministic md5-keyed draws per
     // anchor, self/same-label collisions dropped
     "q_negative_pairs" -> ((s, d) =>
@@ -5412,6 +5419,34 @@ object ExtensionQueries {
     "q_embedding_buckets" -> embeddingBucketsSql(4, 6),
 
     "q_ann_bruteforce" -> annSql("c.vec_id <> q.vec_id", "q.vec_id < 10"),
+
+    // first same-label rank per query, reciprocal in truncating micros
+    "q_mrr" ->
+      """WITH v AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, q.label AS ql,
+                  c.vec_id AS neighbor_id, c.label AS nl,
+                  list_dot_product(q.emb, c.emb) /
+                    (sqrt(list_dot_product(q.emb, q.emb)) *
+                     sqrt(list_dot_product(c.emb, c.emb))) AS cos
+           FROM v q JOIN v c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 50),
+         top AS (
+           SELECT query_id, ql, nl,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rnk
+           FROM scored),
+         per AS (
+           SELECT query_id,
+                  min(CASE WHEN ql = nl THEN rnk END) AS fr
+           FROM top WHERE rnk <= 5 GROUP BY query_id)
+         SELECT query_id,
+                COALESCE(fr, 0)::BIGINT AS first_rel_rnk,
+                COALESCE((1000000 // fr), 0)::BIGINT AS rr_micro
+         FROM per ORDER BY query_id""",
 
     // same neighbor definition as annSql; literal discount table and
     // its prefix sums, truncating milli division

@@ -390,6 +390,32 @@ object LabelEval {
     * BIGINT, the retrieval-metrics companion to the kNN class report
     * and the AUC rank test. Cost: one k-bounded neighbor frame + two
     * label joins + one hash agg. */
+  /** MRR@k companion to [[ndcgAtK]]: per query, 10^6 / rank of the
+    * FIRST label-matching neighbor (0 when none in the top k) — the
+    * first-hit metric retrieval dashboards pair with NDCG. Micros are
+    * exact for every rank ≤ 10^6 (truncating DIV, engine-identical);
+    * same neighbor contract, one min aggregate. */
+  def mrrAtK(vectors: DataFrame, idCol: String, embCol: String,
+             labelCol: String, k: Int, queryPred: Column): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = vectors.select(col(idCol).as("vec_id"),
+      col(embCol).as("embedding"), col(labelCol).as("__lab"))
+    val labels = base.select(col("vec_id"), col("__lab"))
+    Similarity.bruteForceTopK(base.filter(queryPred), base, k)
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("__lab").as("ql")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("__lab").as("nl")), Seq("neighbor_id"))
+      .groupBy("query_id")
+      .agg(min(when(col("ql") === col("nl"), col("rnk")))
+        .as("first_rel_rnk"))
+      .select(col("query_id"),
+        coalesce(col("first_rel_rnk"), lit(0L)).cast("long")
+          .as("first_rel_rnk"),
+        coalesce(expr("CAST(1000000 DIV first_rel_rnk AS BIGINT)"),
+          lit(0L)).as("rr_micro"))
+  }
+
   def ndcgAtK(vectors: DataFrame, idCol: String, embCol: String,
               labelCol: String, k: Int, queryPred: Column): DataFrame = {
     require(k >= 1 && k <= ndcgW.size,

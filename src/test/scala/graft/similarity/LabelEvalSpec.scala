@@ -238,4 +238,23 @@ class LabelEvalSpec extends SparkSpec {
     }
     assert(got === want)
   }
+
+  test("mrrAtK finds the first same-label rank, 0 when absent") {
+    val vs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f), 1),
+      (2L, Seq(0.8f, 0.3f), 0),
+      (3L, Seq(0.0f, 1.0f), 1),
+      (4L, Seq(-1.0f, 0.1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = LabelEval.mrrAtK(vs, "vec_id", "embedding", "label",
+        k = 2, col("vec_id") === 0 || col("vec_id") === 4)
+      .orderBy("query_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // q0 (label 0): neighbors by cos desc = 1 (lab 1), 2 (lab 0) ->
+    //   first hit rank 2, rr 500000
+    // q4 (label 2): top-2 neighbors are 3 then 2 (labels 1, 0) ->
+    //   no hit, rr 0
+    assert(got === Seq((0L, 2L, 500000L), (4L, 0L, 0L)))
+  }
 }
