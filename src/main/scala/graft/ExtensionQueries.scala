@@ -118,6 +118,27 @@ object ExtensionQueries {
              y -> struct(x AS a, y AS b))))""")).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
 
+  // The suffix array at rest: a production corpus SA is a MATERIALIZED
+  // index (built once per snapshot — it is literally the artifact Lee
+  // et al. 2022 persist for exact-substring dedup), consumed by every
+  // downstream pass (LCP, dup report, scrub). Built once per (session,
+  // sf dir), written to a local parquet (distributed — never
+  // collected), re-read by each consumer. q_suffix_array deliberately
+  // does NOT use this: measuring the build is that query's job (the
+  // q_pq_codes convention).
+  private val saCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedSuffixArray(s: SparkSession, d: String): DataFrame = {
+    val path = saCache.computeIfAbsent(s.hashCode + "|" + d, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_sa_index").toString + "/sa"
+      SuffixArray.suffixArray(t(s, d, "documents"), "doc_id", "text")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   // materialized like sharedTradeEdges: the co-occurrence edge list is
   // the same built-once-per-snapshot graph artifact, read at rest by
   // the triangle-family analytics
@@ -739,7 +760,7 @@ object ExtensionQueries {
         // rank over the (rounded) returned score — 20 rows, so the
         // unpartitioned window is a constant-size frame
         .withColumn("rank", row_number().over(
-          Window.partitionBy(pmod(col("doc_id"), lit(1)))
+          Window.partitionBy(graft.ops.windows.boundedGlobal(col("doc_id")))
             .orderBy(col("score").desc, col("doc_id"))))
         .select(col("doc_id"), col("rank"))
       val emb = t(s, d, "embeddings")
@@ -1274,22 +1295,50 @@ object ExtensionQueries {
       SuffixArray.suffixArray(t(s, d, "documents"), "doc_id", "text")
         .orderBy("sa_rank")),
 
-    // adjacent-LCP index over the SA: consecutive suffix pairs sharing a
-    // >=4-token prefix (cap 8) — the raw repeated-span evidence, pairs
-    // adjacent in SA order so repeats surface WITHOUT any all-pairs step
+    // adjacent-LCP index over the AT-REST SA (sharedSuffixArray — the
+    // persisted index a production dedup reads, not a per-query
+    // rebuild): consecutive suffix pairs sharing a >=4-token prefix
+    // (cap 8) — the raw repeated-span evidence, pairs adjacent in SA
+    // order so repeats surface WITHOUT any all-pairs step
     "q_sa_lcp" -> ((s, d) =>
-      SuffixArray.lcpAdjacent(t(s, d, "documents"), "doc_id", "text",
-          cap = 8)
+      SuffixArray.lcpFrom(sharedSuffixArray(s, d),
+          t(s, d, "documents"), "doc_id", "text", cap = 8)
         .filter(col("lcp") >= 4)
         .orderBy("sa_rank")),
 
     // per-doc EXACT substring dup report: positions whose 5-token span
     // recurs anywhere in the corpus (SA-neighbor criterion) — the exact
-    // counterpart of q_dup_spans' fixed-width shingle approximation
+    // counterpart of q_dup_spans' fixed-width shingle approximation;
+    // reads the at-rest SA
     "q_sa_dup_positions" -> ((s, d) =>
-      SuffixArray.dupPositions(t(s, d, "documents"), "doc_id", "text",
-          minLen = 5)
+      SuffixArray.dupPositionsFrom(sharedSuffixArray(s, d),
+          t(s, d, "documents"), "doc_id", "text", minLen = 5)
         .orderBy("doc_id")),
+
+    // exact substring REMOVAL (the other half of Lee et al. 2022):
+    // maximal duplicated spans from the LCP index (gaps-and-islands
+    // merge of flagged positions), scrubbed out; survivors emitted as
+    // contiguous SEGMENTS so no fabricated juxtaposition crosses a cut
+    "q_sa_scrub" -> ((s, d) =>
+      SuffixArray.scrubSegments(sharedSuffixArray(s, d),
+          t(s, d, "documents"), "doc_id", "text", minLen = 5)
+        .orderBy("doc_id", "seg_id")),
+
+    // the scrub guarantee, PROVEN in-query: rebuild the SA over the
+    // scrubbed segment corpus and count duplicated positions — exactly
+    // zero by construction (every kept position's 5-gram was corpus-
+    // unique), so the oracle hash locks the end-to-end exactness claim,
+    // not just the plumbing (the within_bound convention)
+    "q_sa_scrub_verify" -> ((s, d) => {
+      val segs = SuffixArray.scrubSegments(sharedSuffixArray(s, d),
+          t(s, d, "documents"), "doc_id", "text", minLen = 5)
+        .select(concat_ws("#", col("doc_id"), col("seg_id"))
+          .as("seg_key"), col("seg_text"))
+      SuffixArray.dupPositions(segs, "seg_key", "seg_text", minLen = 5)
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("n_positions")).as("n_kept_tokens"),
+          sum(col("n_dup_positions")).as("n_dup_after_scrub"))
+    }),
 
     // per-source ceiling on the pretraining mix: ≤20 docs per domain,
     // deterministic md5-rank selection
@@ -3107,8 +3156,10 @@ object ExtensionQueries {
          FROM pf JOIN pc USING (o_orderpriority)
          ORDER BY o_orderpriority, fold""",
 
-    // same keyed-hash draws (hex-prefix cast), integer-exact debias;
-    // // is safe: the numerator is positive at any realistic rate
+    // same keyed-hash draws (hex-prefix cast), integer-exact debias in
+    // HUGEINT (the engine side uses decimal(38,0)) so observed·2e9·1e3
+    // cannot overflow int64 at huge groups; // is safe: the numerator
+    // is positive at any realistic rate
     "q_randomized_response" ->
       """WITH r AS (
            SELECT user_id % 8 AS cohort,
@@ -3127,8 +3178,9 @@ object ExtensionQueries {
                   sum(bit)::BIGINT AS true_c
            FROM r GROUP BY cohort)
          SELECT cohort, n, observed,
-                CAST((observed * 2000000 - 250000 * n) * 1000 //
-                  (2 * (1000000 - 250000)) AS BIGINT) AS est_milli,
+                CAST((observed::HUGEINT * 2000000 - 250000::HUGEINT * n)
+                  * 1000 // (2 * (1000000 - 250000)) AS BIGINT)
+                  AS est_milli,
                 true_c
          FROM g ORDER BY cohort""",
 
@@ -5015,6 +5067,142 @@ object ExtensionQueries {
          SELECT t.doc_id, len(t.toks)::BIGINT AS n_positions,
                 COALESCE(n_dup_positions, 0)::BIGINT AS n_dup_positions
          FROM tok t LEFT JOIN per USING (doc_id)""",
+
+    // INDEPENDENT formulation of the engine's SA-neighbor criterion: a
+    // position is duplicated iff its 5-gram occurs >=2 times in the
+    // corpus (equal-prefix suffixes are SA-adjacent, so the two are
+    // provably the same set); islands merge flagged covers into maximal
+    // spans, survivors emit as contiguous segments
+    "q_sa_scrub" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         pos AS (
+           SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+                  toks
+           FROM tok),
+         g AS (
+           SELECT doc_id, pos,
+                  array_to_string(toks[pos:pos+4], ' ') AS gram
+           FROM pos WHERE pos + 4 <= len(toks)),
+         dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         marks AS (SELECT doc_id, pos FROM g
+                   WHERE gram IN (SELECT gram FROM dupg)),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos > lag(pos) OVER w + 5
+                       THEN 1 ELSE 0 END AS ni
+           FROM marks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         isl2 AS (
+           SELECT doc_id, pos,
+                  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM isl),
+         spans AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+           FROM isl2 GROUP BY doc_id, grp),
+         lens AS (SELECT doc_id, len(toks) AS n, toks FROM tok),
+         sp2 AS (
+           SELECT doc_id, s, e,
+                  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s),
+                    0) AS pe,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY s)
+                    AS rn,
+                  count(*) OVER (PARTITION BY doc_id) AS nsp
+           FROM spans),
+         pre AS (SELECT doc_id, pe + 1 AS seg_start, s - 1 AS seg_end
+                 FROM sp2 WHERE s - 1 >= pe + 1),
+         tl AS (SELECT sp2.doc_id, e + 1 AS seg_start, n AS seg_end
+                FROM sp2 JOIN lens USING (doc_id)
+                WHERE rn = nsp AND n >= e + 1),
+         whole AS (SELECT doc_id, 1 AS seg_start, n AS seg_end
+                   FROM lens
+                   WHERE n >= 1
+                     AND doc_id NOT IN (SELECT doc_id FROM spans)),
+         segs AS (SELECT * FROM pre UNION ALL SELECT * FROM tl
+                  UNION ALL SELECT * FROM whole)
+         SELECT s.doc_id,
+                row_number() OVER (PARTITION BY s.doc_id
+                  ORDER BY s.seg_start)::BIGINT AS seg_id,
+                s.seg_start::BIGINT AS seg_start,
+                (s.seg_end - s.seg_start + 1)::BIGINT AS n_seg_tokens,
+                array_to_string(l.toks[s.seg_start:s.seg_end], ' ')
+                  AS seg_text
+         FROM segs s JOIN lens l USING (doc_id)
+         ORDER BY doc_id, seg_id""",
+
+    // the guarantee itself: re-run gram-dup detection over the scrubbed
+    // segment corpus — n_dup_after_scrub is 0 by construction, and the
+    // oracle recomputes it independently rather than trusting the claim
+    "q_sa_scrub_verify" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         pos AS (
+           SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+                  toks
+           FROM tok),
+         g AS (
+           SELECT doc_id, pos,
+                  array_to_string(toks[pos:pos+4], ' ') AS gram
+           FROM pos WHERE pos + 4 <= len(toks)),
+         dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         marks AS (SELECT doc_id, pos FROM g
+                   WHERE gram IN (SELECT gram FROM dupg)),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos > lag(pos) OVER w + 5
+                       THEN 1 ELSE 0 END AS ni
+           FROM marks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         isl2 AS (
+           SELECT doc_id, pos,
+                  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM isl),
+         spans AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+           FROM isl2 GROUP BY doc_id, grp),
+         lens AS (SELECT doc_id, len(toks) AS n, toks FROM tok),
+         sp2 AS (
+           SELECT doc_id, s, e,
+                  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s),
+                    0) AS pe,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY s)
+                    AS rn,
+                  count(*) OVER (PARTITION BY doc_id) AS nsp
+           FROM spans),
+         pre AS (SELECT doc_id, pe + 1 AS seg_start, s - 1 AS seg_end
+                 FROM sp2 WHERE s - 1 >= pe + 1),
+         tl AS (SELECT sp2.doc_id, e + 1 AS seg_start, n AS seg_end
+                FROM sp2 JOIN lens USING (doc_id)
+                WHERE rn = nsp AND n >= e + 1),
+         whole AS (SELECT doc_id, 1 AS seg_start, n AS seg_end
+                   FROM lens
+                   WHERE n >= 1
+                     AND doc_id NOT IN (SELECT doc_id FROM spans)),
+         segs AS (SELECT * FROM pre UNION ALL SELECT * FROM tl
+                  UNION ALL SELECT * FROM whole),
+         segdocs AS (
+           SELECT l.toks[s.seg_start:s.seg_end] AS stoks
+           FROM segs s JOIN lens l USING (doc_id)),
+         spos AS (
+           SELECT stoks, unnest(generate_series(1, len(stoks))) AS p
+           FROM segdocs),
+         sg AS (
+           SELECT array_to_string(stoks[p:p+4], ' ') AS gram
+           FROM spos WHERE p + 4 <= len(stoks)),
+         sdup AS (SELECT gram FROM sg GROUP BY gram
+                  HAVING count(*) >= 2)
+         SELECT (SELECT count(*) FROM segdocs)::BIGINT AS n_segments,
+                (SELECT sum(len(stoks)) FROM segdocs)::BIGINT
+                  AS n_kept_tokens,
+                (SELECT count(*) FROM sg
+                 WHERE gram IN (SELECT gram FROM sdup))::BIGINT
+                  AS n_dup_after_scrub""",
 
     "q_domain_cap" ->
       """SELECT doc_id, source FROM (

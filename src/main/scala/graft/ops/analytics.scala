@@ -250,22 +250,25 @@ object analytics {
     * concentration report (how unevenly do sources contribute tokens;
     * 0 = perfectly even, →1 = one source is the corpus). Standard
     * sorted-rank form G = 2·Σ i·w_i / (n·Σw) − (n+1)/n over weights
-    * ascending (ties broken by the key for determinism). The sort runs
-    * over |groups| rows — the input here is an AGGREGATED per-group
-    * weight table, so the single-partition window is bounded by group
-    * cardinality, never row volume. Exact integer products; one double
-    * division, 6dp.
+    * ascending (ties broken by the key for determinism).
+    *
+    * The global rank comes from [[windows.distributedPrefixSum]] — a
+    * range exchange plus per-partition windows — NOT a single-partition
+    * sort: the operator is generic over whatever grouping the caller
+    * aggregated to, and the natural 100 TB inputs (Gini over domains or
+    * URL hosts) have 10⁷–10⁸ groups, far past what one task should sort.
+    * Exact integer products; one double division, 6dp.
     *
     * @return one row (n_groups, total_weight, gini); empty/zero-mass
     *         input yields null gini
     */
   def giniConcentration(weights: DataFrame, keyCol: String,
                         weightCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(pmod(col(weightCol), lit(1)))
-      .orderBy(col(weightCol), col(keyCol))
-    weights
-      .withColumn("__i", row_number().over(w).cast("decimal(38,0)"))
+    windows.distributedPrefixSum(
+        weights.select(col(keyCol), col(weightCol)),
+        Seq(col(weightCol), col(keyCol)), lit(0L),
+        cumName = "__c", rankName = "__rk")
+      .withColumn("__i", col("__rk").cast("decimal(38,0)"))
       .agg(count(lit(1)).as("n_groups"),
         sum(col(weightCol).cast("decimal(38,0)")).as("total_weight"),
         sum(col("__i") * col(weightCol).cast("decimal(38,0)"))
@@ -396,7 +399,7 @@ object analytics {
     val minY = df.groupBy(col(xCol)).agg(min(col(yCol)).as("__my"))
     // running min over strictly-smaller x: tiny frame (≤ |x values|),
     // the single-task window is the reduction, not a bottleneck
-    val wPrev = Window.partitionBy(pmod(col(xCol), lit(1))).orderBy(col(xCol))
+    val wPrev = Window.partitionBy(windows.boundedGlobal(col(xCol))).orderBy(col(xCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val fronts = minY
       .withColumn("__pm", min(col("__my")).over(wPrev))
@@ -408,24 +411,6 @@ object analytics {
       .drop("__my")
   }
 
-  /** Randomized response (Warner 1965) — the classic LOCAL
-    * differential-privacy mechanism for collecting a sensitive bit:
-    * each row reports its true bit with probability 1−f and a fair
-    * coin with probability f, giving per-row ε = ln((1−f/2)/(f/2)).
-    * The aggregate debiases exactly: E[observed] = (1−f)·T + f·n/2, so
-    * T̂ = (observed − f·n/2)/(1−f).
-    *
-    * The "randomness" here is the keyed-hash idiom the engine uses
-    * everywhere determinism is required (walks, sampling, CMS): two
-    * independent md5 draws per row id — reproducible on any engine, so
-    * the privatized report itself is oracle-checkable. Everything is
-    * scan-local + one groupBy; the estimate is integer milli-units via
-    * DIV (no float division to diverge).
-    *
-    * @param fMicro flip probability in micros (even, so f·n/2 is
-    *               integer-exact); e.g. 250000 = f 0.25, ε ≈ 1.9
-    * @return per group: n, observed, est_milli (debiased count ×1000),
-    *         true_c alongside for the accuracy story */
   /** Out-of-fold target encoding — the leakage-safe categorical
     * feature every tabular-ML pipeline builds: rows in fold k receive
     * their category's label mean computed WITHOUT fold k (so a row
@@ -460,6 +445,29 @@ object analytics {
           .as("enc_micro"))
   }
 
+  /** Randomized response (Warner 1965) — the ESTIMATOR of the classic
+    * local-DP mechanism for collecting a sensitive bit: each row reports
+    * its true bit with probability 1−f and a fair coin with probability
+    * f; the aggregate debiases exactly (E[observed] = (1−f)·T + f·n/2,
+    * so T̂ = (observed − f·n/2)/(1−f)).
+    *
+    * NOT a usable privacy mechanism — a deterministic DEMONSTRATION of
+    * the estimator: the "coin flips" are keyed md5 draws of the PUBLIC
+    * row id (so anyone holding the ids can replay every draw and invert
+    * every reported bit), and the output emits `true_c` (the exact
+    * sensitive count) beside the estimate for the accuracy story. Real
+    * local DP needs client-side secret randomness; what this operator
+    * demonstrates — and what the oracle verifies — is the debiasing
+    * arithmetic and the mechanism's shape, engine-reproducibly.
+    * Everything is scan-local + one groupBy; the estimate is integer
+    * milli-units via DIV (no float division to diverge), computed in
+    * decimal(38,0) so the intermediate `observed·2·10⁶·10³` cannot
+    * overflow int64 even at trillion-row groups.
+    *
+    * @param fMicro flip probability in micros (even, so f·n/2 is
+    *               integer-exact); e.g. 250000 = f 0.25
+    * @return per group: n, observed, est_milli (debiased count ×1000),
+    *         true_c alongside for the accuracy story */
   def randomizedResponse(df: DataFrame, groupCol: String, idCol: String,
                          bit: Column, fMicro: Long): DataFrame = {
     require(fMicro > 0 && fMicro < 1000000 && fMicro % 2 == 0,
@@ -476,7 +484,10 @@ object analytics {
         sum(reported).as("observed"),
         sum(bit.cast("long")).as("true_c"))
       .select(col(groupCol), col("n"), col("observed"),
-        expr(s"CAST((observed * 2000000 - $fMicro * n) * 1000 DIV " +
+        // decimal(38,0) intermediates: observed·2e6·1e3 passes 2^63 at
+        // ~4.6e9 rows/group; decimal holds it exactly to ~10^29 rows
+        expr(s"CAST((CAST(observed AS DECIMAL(38,0)) * 2000000 - " +
+          s"CAST($fMicro AS DECIMAL(38,0)) * n) * 1000 DIV " +
           s"(2 * (1000000 - $fMicro)) AS BIGINT)").as("est_milli"),
         col("true_c"))
   }

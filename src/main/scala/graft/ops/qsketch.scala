@@ -71,7 +71,7 @@ object qsketch {
     // window over ≤ 64·2^s bucket rows — bounded by the VALUE SPACE,
     // not the data (same justification as the skyline frontier)
     val cum = sketch.withColumn("cum",
-        sum(col("cnt")).over(Window.partitionBy(pmod(col("bkt_lo"), lit(1))).orderBy(col("bkt_lo"))
+        sum(col("cnt")).over(Window.partitionBy(windows.boundedGlobal(col("bkt_lo"))).orderBy(col("bkt_lo"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .stage() // n and every permille probe read it
     val n = cum.agg(sum(col("cnt")).cast("long").as("n"))

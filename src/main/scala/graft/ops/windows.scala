@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object windows {
 
+  /** Type-independent constant partition key for a window whose frame is
+    * KNOWN to be bounded (≤ partition count / value space) — `pmod(x, 1)`
+    * keeps Catalyst from folding the key away (which re-raises the
+    * `No Partition Defined` warning), and the explicit bigint cast makes
+    * the constant 0 for ANY input type: a raw `pmod(x, 1)` on a double or
+    * decimal column is the FRACTIONAL PART, silently splitting the
+    * "global" window into many partitions and restarting every running
+    * aggregate. Every bounded-frame window in the engine routes through
+    * here so the idiom cannot be mis-instantiated again. */
+  def boundedGlobal(c: Column): Column = pmod(c.cast("bigint"), lit(1))
+
   /** Running frame over (part, order) — the common spec for W1-W3. */
   def running(part: Seq[Column], order: Seq[Column]): WindowSpec =
     Window.partitionBy(part: _*).orderBy(order: _*)
@@ -88,7 +99,7 @@ object windows {
       .withColumn("__cum_in", sum(col("__psv")).over(
         wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__rk_in", row_number().over(wIn))
-    val wOff = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+    val wOff = Window.partitionBy(boundedGlobal(col("__pid"))).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parted.groupBy(col("__pid"))
       .agg(sum(col("__psv")).as("__pt"), count(lit(1)).as("__pc"))
@@ -136,7 +147,7 @@ object windows {
       .withColumn("__dr_in", sum(col("__new")).over(
         wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .stage()
-    val wOff = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+    val wOff = Window.partitionBy(boundedGlobal(col("__pid"))).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = inPart.groupBy(col("__pid"))
       .agg(max(col("__dr_in")).as("__pk"))

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.ops.windows
 import graft.Staging._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -60,7 +61,7 @@ object Packing {
 
     // one row per partition; the running sum over partition ids runs on
     // a single task by construction, which is fine at that cardinality
-    val wOff = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+    val wOff = Window.partitionBy(windows.boundedGlobal(col("__pid"))).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parted.groupBy(col("__pid"))
       .agg(sum(col(tokCol)).as("__ptot"))

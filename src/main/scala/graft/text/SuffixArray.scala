@@ -129,7 +129,7 @@ object SuffixArray {
       .withColumn("__dr_in", sum(col("__new")).over(
         wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .stage()
-    val wOff = Window.partitionBy(pmod(col("__b"), lit(1))).orderBy(col("__b"))
+    val wOff = Window.partitionBy(windows.boundedGlobal(col("__b"))).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = inPart.groupBy(col("__b"))
       .agg(max(col("__dr_in")).as("__pk"))
@@ -168,9 +168,19 @@ object SuffixArray {
     * slices ride a broadcast-or-shuffle join back to the docs frame.
     * Output: (sa_rank, doc_id, pos, nxt_doc_id, nxt_pos, lcp). */
   def lcpAdjacent(docs: DataFrame, idCol: String, textCol: String,
-                  cap: Int): DataFrame = {
+                  cap: Int): DataFrame =
+    lcpFrom(suffixArray(docs, idCol, textCol), docs, idCol, textCol, cap)
+
+  /** [[lcpAdjacent]] over a PREBUILT suffix array — the at-rest-index
+    * path: a production SA is materialized once per corpus snapshot
+    * (it IS the dedup index Lee et al. persist) and every downstream
+    * consumer (LCP, dup report, scrub) reads it, rather than re-running
+    * ~log₂(maxDocLen) prefix-doubling rounds per query. `sa` must carry
+    * (doc_id, pos, sa_rank) as produced by [[suffixArray]] over the SAME
+    * docs frame. */
+  def lcpFrom(sa: DataFrame, docs: DataFrame, idCol: String,
+              textCol: String, cap: Int): DataFrame = {
     require(cap >= 1, s"lcp cap must be >= 1, got $cap")
-    val sa = suffixArray(docs, idCol, textCol)
     val toks = docs.select(col(idCol).as("doc_id"),
       Text.tokens(col(textCol)).as("t"))
     val sliced = sa.join(toks, Seq("doc_id"))
@@ -194,19 +204,113 @@ object SuffixArray {
     * order, so only neighbors need comparing — never all pairs).
     * Output: (doc_id, n_positions, n_dup_positions) for every doc. */
   def dupPositions(docs: DataFrame, idCol: String, textCol: String,
-                   minLen: Int): DataFrame = {
-    val lcp = lcpAdjacent(docs, idCol, textCol, cap = minLen)
-      .filter(col("lcp") >= minLen)
-      .stage() // read twice: once per adjacency direction
-    val hits = lcp.select(col("doc_id"), col("pos"))
-      .union(lcp.select(col("nxt_doc_id").as("doc_id"),
-        col("nxt_pos").as("pos")))
-      .distinct()
+                   minLen: Int): DataFrame =
+    dupPositionsFrom(suffixArray(docs, idCol, textCol), docs, idCol,
+      textCol, minLen)
+
+  /** [[dupPositions]] over a prebuilt suffix array (see [[lcpFrom]]). */
+  def dupPositionsFrom(sa: DataFrame, docs: DataFrame, idCol: String,
+                       textCol: String, minLen: Int): DataFrame = {
+    val hits = dupPositionRows(sa, docs, idCol, textCol, minLen)
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_positions"))
     positions(docs, idCol, textCol)
       .groupBy("doc_id").agg(count(lit(1)).as("n_positions"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_positions"),
         coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"))
+  }
+
+  /** The raw duplicated positions behind [[dupPositions]]: every
+    * (doc_id, pos) whose `minLen`-token span recurs anywhere in the
+    * corpus — both sides of each qualifying SA adjacency, distinct. */
+  private def dupPositionRows(sa: DataFrame, docs: DataFrame,
+                              idCol: String, textCol: String,
+                              minLen: Int): DataFrame = {
+    val lcp = lcpFrom(sa, docs, idCol, textCol, cap = minLen)
+      .filter(col("lcp") >= minLen)
+      .stage() // read twice: once per adjacency direction
+    lcp.select(col("doc_id"), col("pos"))
+      .union(lcp.select(col("nxt_doc_id").as("doc_id"),
+        col("nxt_pos").as("pos")))
+      .distinct()
+  }
+
+  /** Maximal duplicated token SPANS per document — the removal half of
+    * the Lee et al. 2022 exact-substring pipeline: every duplicated
+    * position p covers tokens [p, p+minLen−1]; overlapping/adjacent
+    * covers merge into maximal spans by the classic gaps-and-islands
+    * fold (a new island starts when the gap to the previous flagged
+    * position exceeds minLen). The merge window is PER DOCUMENT (the
+    * per-key shuffle every W-operator uses) — nothing global.
+    * Output: (doc_id, span_start, span_end), 1-based inclusive. */
+  def dupSpansExact(sa: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPositionRows(sa, docs, idCol, textCol, minLen)
+      .withColumn("__ni",
+        when(lag(col("pos"), 1).over(wDoc).isNull ||
+          col("pos") > lag(col("pos"), 1).over(wDoc) + minLen, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__ni")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (minLen - 1)).as("span_end"))
+      .drop("__isl")
+  }
+
+  /** Exact substring SCRUB: remove every maximal duplicated span and
+    * emit the surviving text as contiguous SEGMENTS — one row per
+    * maximal kept interval, never re-joined across a cut (concatenating
+    * across a removed gap would fabricate token juxtapositions that
+    * never existed). By construction every position inside a kept
+    * segment had a corpus-unique `minLen`-gram, so the segment corpus
+    * contains NO ≥minLen span occurring twice — the end-to-end
+    * guarantee [[graft.text.Text.dupSpans]]'s fixed-width shingles only
+    * approximate. Output: (doc_id, seg_id, seg_start, n_seg_tokens,
+    * seg_text); a document with no duplicated span survives as one
+    * whole segment. */
+  def scrubSegments(sa: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = dupSpansExact(sa, docs, idCol, textCol, minLen)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Text.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), col("__t"), size(col("__t")).as("__n"))
+      .stage() // three consumers: pre/tail segments + whole-doc case
+    // kept interval BEFORE each span: (prev span end, span start)
+    val sp = spans
+      .withColumn("__pe",
+        coalesce(lag(col("span_end"), 1).over(wDoc), lit(0L)))
+      .withColumn("__rn", row_number().over(wDoc))
+      .withColumn("__nsp",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .stage() // pre + tail both read it
+    val pre = sp.filter(col("span_start") - 1 >= col("__pe") + 1)
+      .select(col("doc_id"), (col("__pe") + 1).as("seg_start"),
+        (col("span_start") - 1).as("seg_end"))
+    val tail = sp.filter(col("__rn") === col("__nsp"))
+      .join(toks, Seq("doc_id"))
+      .filter(col("__n") >= col("span_end") + 1)
+      .select(col("doc_id"), (col("span_end") + 1).as("seg_start"),
+        col("__n").cast("long").as("seg_end"))
+    val whole = toks
+      .join(spans.select("doc_id").distinct(), Seq("doc_id"),
+        "left_anti")
+      .filter(col("__n") >= 1)
+      .select(col("doc_id"), lit(1L).as("seg_start"),
+        col("__n").cast("long").as("seg_end"))
+    val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("seg_start"))
+    pre.union(tail).union(whole)
+      .join(toks, Seq("doc_id"))
+      .select(col("doc_id"),
+        row_number().over(wSeg).cast("long").as("seg_id"),
+        col("seg_start"),
+        (col("seg_end") - col("seg_start") + 1).as("n_seg_tokens"),
+        array_join(slice(col("__t"), col("seg_start").cast("int"),
+          (col("seg_end") - col("seg_start") + 1).cast("int")), " ")
+          .as("seg_text"))
   }
 }

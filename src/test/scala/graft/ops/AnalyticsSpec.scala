@@ -235,6 +235,24 @@ class AnalyticsSpec extends SparkSpec {
       .select("gini").as[Option[Double]].head().isEmpty)
   }
 
+  test("giniConcentration ranks via a range exchange, never one task") {
+    val weights = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "w")
+    val q = analytics.giniConcentration(weights, "k", "w")
+    // the rank must come from the two-level prefix-sum rewrite (the
+    // in-partition window keyed by spark_partition_id over the staged
+    // range-partitioned frame — the range exchange itself runs inside
+    // the stage job, before the plan string), and the logical plan must
+    // contain NO unpartitioned window (the single-task funnel this
+    // operator used to have for its global row_number)
+    val phys = q.queryExecution.executedPlan.toString
+    assert(phys.contains("windowspecdefinition(__pid"), phys.take(3000))
+    val globalWindows = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty)
+  }
+
   test("chiSquare is zero on an exactly independent table") {
     // margins 6/3 × 6/3 over n=9: every E equals its O
     val rows = Seq.fill(4)(("a1", "b1")) ++ Seq.fill(2)(("a1", "b2")) ++

@@ -97,4 +97,78 @@ class SuffixArraySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got === want)
   }
+
+  /** Brute dup-position set: start positions whose full minLen-token
+    * span occurs at >=2 (doc, pos) starting points corpus-wide. */
+  private def bruteDupPositions(docs: Seq[(Long, String)], minLen: Int)
+  : Set[(Long, Int)] = {
+    val toks = docs.map { case (id, t) =>
+      (id, t.toLowerCase.replaceAll("[^a-z0-9\\s]+", " ").trim
+        .split("\\s+").toSeq)
+    }
+    val allSufs = for {
+      (id, ts) <- toks
+      p <- 1 to ts.length
+    } yield (id, p, ts.drop(p - 1).take(minLen))
+    allSufs.groupBy(_._3).filter { case (k, v) =>
+      k.size == minLen && v.size >= 2
+    }.values.flatten.map(s => (s._1, s._2)).toSet
+  }
+
+  test("dupSpansExact merges flagged covers into maximal spans") {
+    val minLen = 3
+    val df = corpus.toDF("doc_id", "text")
+    val dupKeys = bruteDupPositions(corpus, minLen)
+    // brute interval union per doc: covered = ∪ [p, p+minLen-1]
+    val want = dupKeys.groupBy(_._1).flatMap { case (id, ps) =>
+      val covered = ps.flatMap(p => p._2 until p._2 + minLen).toSet
+      // maximal runs of covered positions
+      val sorted = covered.toSeq.sorted
+      sorted.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.map { case (s, e) => (id, s.toLong, e.toLong) }
+    }.toSet
+    val sa = SuffixArray.suffixArray(df, "doc_id", "text")
+    val got = SuffixArray.dupSpansExact(sa, df, "doc_id", "text", minLen)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty, "fixture must contain duplicated spans")
+  }
+
+  test("scrubSegments: survivors carry NO minLen-gram occurring twice") {
+    val minLen = 3
+    val df = corpus.toDF("doc_id", "text")
+    val sa = SuffixArray.suffixArray(df, "doc_id", "text")
+    val segs = SuffixArray.scrubSegments(sa, df, "doc_id", "text", minLen)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(segs.nonEmpty)
+    // segments reassemble to exactly the original minus merged spans
+    val dupKeys = bruteDupPositions(corpus, minLen)
+    val toks = corpus.map { case (id, t) =>
+      (id, t.toLowerCase.replaceAll("[^a-z0-9\\s]+", " ").trim
+        .split("\\s+").toSeq)
+    }.toMap
+    segs.foreach { case (id, _, start, n, text) =>
+      val ts = toks(id).slice(start.toInt - 1, start.toInt - 1 + n.toInt)
+      assert(text === ts.mkString(" "), s"doc $id seg at $start")
+      // no position inside a kept segment was flagged
+      (start.toInt until start.toInt + n.toInt).foreach { p =>
+        val covered = dupKeys.exists { case (did, dp) =>
+          did == id && p >= dp && p < dp + minLen
+        }
+        assert(!covered, s"kept position ($id,$p) was duplicated-covered")
+      }
+    }
+    // THE guarantee: across all segments, every minLen-gram is unique
+    val grams = segs.flatMap { case (id, segId, _, _, text) =>
+      val ts = text.split("\\s+").toSeq
+      ts.sliding(minLen).filter(_.size == minLen).map(_.mkString(" "))
+    }
+    assert(grams.groupBy(identity).forall(_._2.size == 1),
+      "a duplicated gram survived the scrub")
+    // a doc with no duplicated span survives whole
+    val seg0 = segs.filter(_._1 == 4L)
+    assert(seg0 === Seq((4L, 1L, 1L, 1L, "zz")))
+  }
 }
