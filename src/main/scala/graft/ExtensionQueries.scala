@@ -980,6 +980,29 @@ object ExtensionQueries {
         .orderBy("step")
     }),
 
+    // node2vec second-order biased walks (DFS-ish regime: w_ret 250 /
+    // w_common 1000 / w_far 2000 milli ≡ p=4, q=0.5) over the
+    // support-filtered co-occurrence graph (it has triangles, so all
+    // three weight classes actually fire — the bipartite trade graph
+    // never exercises the common class); deterministic truncated
+    // rejection, 4 attempts — constant probes per step, hub-proof
+    "q_node2vec_walks" -> ((s, d) => {
+      val pairs = coOccurrencePairs(s, d)
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select("a", "b")
+      val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      Walks.node2vecWalks(sym, "src", "dst", walksPerNode = 1,
+          steps = 3, wReturnMilli = 250L, wCommonMilli = 1000L,
+          wFarMilli = 2000L, maxAttempts = 4)
+        .groupBy("step")
+        .agg(count(lit(1)).as("n_rows"), sum(col("node")).as("node_sum"),
+          countDistinct(col("node")).as("n_distinct"))
+        .orderBy("step")
+    }),
+
     // skip-gram positive pairs from the walk corpus (window 2) — the
     // actual node-embedding training set; top-100 by co-occurrence for
     // a bounded report
@@ -4246,6 +4269,82 @@ object ExtensionQueries {
            UNION ALL SELECT start, walk, 2, node FROM w2
            UNION ALL SELECT start, walk, 3, node FROM w3
            UNION ALL SELECT start, walk, 4, node FROM w4)
+         SELECT step::BIGINT AS step, count(*)::BIGINT AS n_rows,
+                sum(node)::BIGINT AS node_sum,
+                count(DISTINCT node)::BIGINT AS n_distinct
+         FROM walks GROUP BY step ORDER BY step""",
+
+    // node2vec unrolled 3 steps: step 1 uniform, steps 2-3 pick the
+    // first of 4 keyed-hash rejection attempts (accept iff
+    // hash % 2000 < class weight; class = return / common-neighbor /
+    // far via one adjacency membership probe), fallback attempt 1
+    "q_node2vec_walks" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+                     FROM lineitem),
+         pairs AS (SELECT x.p AS a, y.p AS b
+                   FROM li x JOIN li y ON x.k = y.k AND x.p < y.p
+                   GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
+         e AS (SELECT a AS src, b AS dst FROM pairs
+               UNION ALL SELECT b, a FROM pairs),
+         adj AS (SELECT src, dst,
+                        row_number() OVER (PARTITION BY src
+                          ORDER BY dst) - 1 AS rk
+                 FROM e),
+         deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+         w0 AS (SELECT DISTINCT src AS start, 0 AS walk, src AS node
+                FROM e),
+         w1 AS (SELECT start, walk, w0.node AS prev, a.dst AS node
+                FROM w0 JOIN deg d ON d.src = w0.node
+                JOIN adj a ON a.src = w0.node AND a.rk =
+                  ('0x' || substr(md5(start || '|' || walk || '|1'),
+                   1, 8))::BIGINT % d.deg),
+         p2 AS (SELECT start, walk, prev, w1.node, t.att, a.dst AS cand
+                FROM w1 JOIN deg d ON d.src = w1.node
+                CROSS JOIN (VALUES (1), (2), (3), (4)) t(att)
+                JOIN adj a ON a.src = w1.node AND a.rk =
+                  ('0x' || substr(md5('n2vp|' || start || '|' || walk
+                   || '|2|' || att), 1, 8))::BIGINT % d.deg),
+         m2 AS (SELECT p2.*,
+                       CASE WHEN cand = prev THEN 250
+                            WHEN m.src IS NOT NULL THEN 1000
+                            ELSE 2000 END AS w
+                FROM p2 LEFT JOIN adj m
+                  ON m.src = p2.prev AND m.dst = p2.cand),
+         k2 AS (SELECT start, walk, node AS prev2, cand,
+                       CASE WHEN ('0x' || substr(md5('n2va|' || start
+                         || '|' || walk || '|2|' || att), 1, 8))::BIGINT
+                         % 2000 < w THEN att ELSE att + 4 END AS key
+                FROM m2),
+         w2 AS (SELECT start, walk, prev2 AS prev, cand AS node
+                FROM (SELECT *, row_number() OVER (PARTITION BY start,
+                        walk ORDER BY key) AS rn FROM k2)
+                WHERE rn = 1),
+         p3 AS (SELECT start, walk, prev, w2.node, t.att, a.dst AS cand
+                FROM w2 JOIN deg d ON d.src = w2.node
+                CROSS JOIN (VALUES (1), (2), (3), (4)) t(att)
+                JOIN adj a ON a.src = w2.node AND a.rk =
+                  ('0x' || substr(md5('n2vp|' || start || '|' || walk
+                   || '|3|' || att), 1, 8))::BIGINT % d.deg),
+         m3 AS (SELECT p3.*,
+                       CASE WHEN cand = prev THEN 250
+                            WHEN m.src IS NOT NULL THEN 1000
+                            ELSE 2000 END AS w
+                FROM p3 LEFT JOIN adj m
+                  ON m.src = p3.prev AND m.dst = p3.cand),
+         k3 AS (SELECT start, walk, cand,
+                       CASE WHEN ('0x' || substr(md5('n2va|' || start
+                         || '|' || walk || '|3|' || att), 1, 8))::BIGINT
+                         % 2000 < w THEN att ELSE att + 4 END AS key
+                FROM m3),
+         w3 AS (SELECT start, walk, cand AS node
+                FROM (SELECT *, row_number() OVER (PARTITION BY start,
+                        walk ORDER BY key) AS rn FROM k3)
+                WHERE rn = 1),
+         walks AS (
+           SELECT start, walk, 0 AS step, node FROM w0
+           UNION ALL SELECT start, walk, 1, node FROM w1
+           UNION ALL SELECT start, walk, 2, node FROM w2
+           UNION ALL SELECT start, walk, 3, node FROM w3)
          SELECT step::BIGINT AS step, count(*)::BIGINT AS n_rows,
                 sum(node)::BIGINT AS node_sum,
                 count(DISTINCT node)::BIGINT AS n_distinct

@@ -30,9 +30,10 @@ import graft.Staging.StageOps
 object Walks {
 
   /** Walk corpus: (start, walk, step, node) for step 0..steps, one walk
-    * per (node × walksPerNode). Walks stop early at sink nodes (no
-    * outgoing edge) — symmetrize the edges first if that is not
-    * intended. */
+    * per (node × walksPerNode) over EVERY distinct node (sources and
+    * sinks — a sink contributes its step-0 row and stops, so directed
+    * graphs get full node coverage in the corpus; on a symmetrized
+    * graph the seed set equals the source set and nothing changes). */
   def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
                   walksPerNode: Int, steps: Int): DataFrame = {
     require(walksPerNode >= 1, s"walksPerNode must be >= 1, got $walksPerNode")
@@ -50,7 +51,8 @@ object Walks {
       .agg(count(lit(1)).as("deg")).stage()
     val walkIds = broadcast(
       e.sparkSession.range(walksPerNode).toDF("walk"))
-    var frontier = adj.select(col("a_src").as("start")).distinct()
+    var frontier = e.select(col("src").as("start"))
+      .union(e.select(col("dst").as("start"))).distinct()
       .crossJoin(walkIds)
       .select(col("start"), col("walk"), col("start").as("node"))
       .stage()
@@ -67,6 +69,130 @@ object Walks {
         .select(col("start"), col("walk"), col("a_dst").as("node"))
         .stage()
       out = out.unionByName(frontier.withColumn("step", lit(t)))
+    }
+    out.select(col("start"), col("walk").cast("long").as("walk"),
+      col("step").cast("long").as("step"), col("node"))
+  }
+
+  /** node2vec walks (Grover & Leskovec 2016): second-order biased walks
+    * where the hop from `node` with previous node `prev` weights each
+    * neighbor v by 1/p if v = prev (return), 1 if v ∈ N(prev) (stay
+    * near), 1/q otherwise (move away) — here as integer milli-weights
+    * (`wReturnMilli`/`wCommonMilli`/`wFarMilli`), so p = 1000/wReturn
+    * and q = 1000/wFar when wCommon = 1000.
+    *
+    * The second-order bias is sampled by DETERMINISTIC TRUNCATED
+    * REJECTION (the KnightKing scheme, Yang et al. 2019 — the public
+    * answer to "weighted pick without fanning out by degree"): each
+    * step draws up to `maxAttempts` uniform proposals v_a from N(node)
+    * (one rank-indexed adjacency probe per attempt — a 10⁶-degree hub
+    * still costs attempts, not degree), classifies each with ONE edge-
+    * existence probe (prev→v_a ∈ E), and accepts attempt a iff a keyed
+    * hash mod max(w) falls below w(v_a); the first accepted attempt
+    * wins. If all attempts reject — probability ≤ (1 − min(w)/max(w))^
+    * maxAttempts per step — the walk falls back to attempt 1's uniform
+    * proposal, a documented truncation of the exact node2vec kernel
+    * (exact rejection loops unboundedly; a fixed attempt budget keeps
+    * every step a constant number of linear joins). All draws are keyed
+    * md5 of (walk identity, step, attempt), so the corpus is
+    * reproducible on any engine.
+    *
+    * Scale shape: per step, `maxAttempts` rows per live walk flow
+    * through two hash equi-joins (adjacency probe, edge-existence
+    * probe) and a per-walk min_by aggregation — linear in walks,
+    * hub-proof, no driver state. Step 1 has no `prev` and hops
+    * uniformly (the standard node2vec start).
+    *
+    * @return (start, walk, step, node) for step 0..steps, every
+    *         distinct node seeded (sinks stop after step 0)
+    */
+  def node2vecWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                    walksPerNode: Int, steps: Int,
+                    wReturnMilli: Long, wCommonMilli: Long,
+                    wFarMilli: Long, maxAttempts: Int = 4): DataFrame = {
+    require(walksPerNode >= 1, s"walksPerNode must be >= 1, got $walksPerNode")
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    require(Seq(wReturnMilli, wCommonMilli, wFarMilli).forall(_ >= 1),
+      "milli-weights must be >= 1")
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val wMax = Seq(wReturnMilli, wCommonMilli, wFarMilli).max
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val adj = e.withColumn("rk",
+        row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+      .select(col("src").as("a_src"), col("rk").cast("long").as("a_rk"),
+        col("dst").as("a_dst"))
+      .stage()
+    val deg = adj.groupBy(col("a_src").as("d_src"))
+      .agg(count(lit(1)).as("deg")).stage()
+    val walkIds = broadcast(
+      e.sparkSession.range(walksPerNode).toDF("walk"))
+    val starts = e.select(col("src").as("start"))
+      .union(e.select(col("dst").as("start"))).distinct()
+      .crossJoin(walkIds)
+      .stage()
+    var out = starts
+      .select(col("start"), col("walk"), lit(0).as("step"),
+        col("start").as("node"))
+    // step 1: uniform (no prev yet) — same keyed pick as randomWalks
+    var frontier = starts
+      .select(col("start"), col("walk"), col("start").as("node"))
+      .join(deg, col("node") === col("d_src"))
+      .withColumn("pick",
+        conv(substring(md5(concat_ws("|", col("start"), col("walk"),
+          lit(1))), 1, 8), 16, 10).cast("long") % col("deg"))
+      .join(adj, col("node") === col("a_src") &&
+        col("pick") === col("a_rk"))
+      .select(col("start"), col("walk"), col("node").as("prev"),
+        col("a_dst").as("node"))
+      .stage()
+    out = out.unionByName(frontier
+      .select(col("start"), col("walk"), lit(1).as("step"), col("node")))
+    for (t <- 2 to steps) {
+      val proposals = frontier
+        .join(deg, col("node") === col("d_src"))
+        .withColumn("att",
+          explode(sequence(lit(1), lit(maxAttempts))))
+        .withColumn("pick",
+          conv(substring(md5(concat_ws("|", lit("n2vp"), col("start"),
+            col("walk"), lit(t), col("att"))), 1, 8), 16, 10)
+            .cast("long") % col("deg"))
+        .join(adj, col("node") === col("a_src") &&
+          col("pick") === col("a_rk"))
+        .select(col("start"), col("walk"), col("prev"), col("node"),
+          col("att"), col("a_dst").as("cand"))
+      val marked = proposals
+        // ONE edge-existence probe classifies the proposal: is cand a
+        // neighbor of prev? (the common-neighbor class) — never a
+        // common-neighbor LIST materialization
+        .join(adj.select(col("a_src").as("m_src"),
+          col("a_dst").as("m_dst"), lit(1).as("m")),
+          col("prev") === col("m_src") && col("cand") === col("m_dst"),
+          "left")
+        .withColumn("w",
+          when(col("cand") === col("prev"), lit(wReturnMilli))
+            .when(col("m").isNotNull, lit(wCommonMilli))
+            .otherwise(lit(wFarMilli)))
+        .withColumn("acc",
+          conv(substring(md5(concat_ws("|", lit("n2va"), col("start"),
+            col("walk"), lit(t), col("att"))), 1, 8), 16, 10)
+            .cast("long") % wMax < col("w"))
+        // accepted attempts keep their index, rejected shift past the
+        // budget: per-walk keys are unique, so min_by is deterministic
+        // and the all-rejected fallback is attempt 1's proposal
+        .withColumn("key",
+          when(col("acc"), col("att"))
+            .otherwise(col("att") + maxAttempts))
+      frontier = marked.groupBy("start", "walk")
+        .agg(min_by(struct(col("node"), col("cand")), col("key"))
+          .as("sel"))
+        .select(col("start"), col("walk"), col("sel.node").as("prev"),
+          col("sel.cand").as("node"))
+        .stage()
+      out = out.unionByName(frontier
+        .select(col("start"), col("walk"), lit(t).as("step"),
+          col("node")))
     }
     out.select(col("start"), col("walk").cast("long").as("walk"),
       col("step").cast("long").as("step"), col("node"))
