@@ -139,6 +139,29 @@ object ExtensionQueries {
     s.read.parquet(path)
   }
 
+  // A sketch STORE: two per-shard CMS summaries serialized to binary-
+  // payload parquet files — the at-rest artifact a 100 TB deployment
+  // persists per day/shard and merges at query time without rescanning
+  // any input. Built once per (session, sf dir); the merge query reads
+  // the FILES, not the lineage.
+  private val sketchStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedSketchStore(s: SparkSession, d: String): String =
+    sketchStoreCache.computeIfAbsent(s.hashCode + "|" + d, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_sketch_store").toString
+      val ev = Tables.events(s, d)
+      Seq(0, 1).foreach { shard =>
+        sketches.cmsSerialize(
+          sketches.cmsBuild(ev.filter(col("event_id") % 2 === shard),
+            "user_id", depth = 4, width = 256),
+          depth = 4, width = 256)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/shard_$shard")
+      }
+      p
+    })
+
   // materialized like sharedTradeEdges: the co-occurrence edge list is
   // the same built-once-per-snapshot graph artifact, read at rest by
   // the triangle-family analytics
@@ -439,6 +462,23 @@ object ExtensionQueries {
           Seq("user_id"))
         .orderBy(desc("est"), col("user_id"))
         .limit(25)
+    }),
+
+    // ---- sketches AT REST: serialize → files → merge -----------------------
+    // two per-shard CMS blobs persisted by sharedSketchStore are read
+    // back as FILES, unpacked, and merged by cell addition; the cells
+    // must equal a single build over the whole table (additivity is
+    // the sketch contract), which is exactly what the oracle computes
+    "q_sketch_merge_at_rest" -> ((s, d) => {
+      val store = sharedSketchStore(s, d)
+      val merged = sketches.cmsMergeCells(
+        sketches.cmsDeserialize(s.read.parquet(s"$store/shard_0"),
+          depth = 4, width = 256),
+        sketches.cmsDeserialize(s.read.parquet(s"$store/shard_1"),
+          depth = 4, width = 256))
+      merged.select(col("seed").cast("bigint").as("seed"),
+          col("bucket").cast("bigint").as("bucket"), col("c"))
+        .orderBy("seed", "bucket")
     }),
 
     // ---- mergeable quantile sketch (HDR buckets) ---------------------------
@@ -3055,6 +3095,24 @@ object ExtensionQueries {
          SELECT e.user_id, CAST(e.est AS BIGINT) AS est, k.true_c
          FROM est e JOIN keys k USING (user_id)
          ORDER BY e.est DESC, e.user_id LIMIT 25""",
+
+    // additivity is the contract: the two persisted shard sketches merge
+    // to exactly the single-build cells over the whole table, which the
+    // twin computes directly (no serialization on the oracle side — an
+    // INDEPENDENT route to the same grid)
+    "q_sketch_merge_at_rest" ->
+      """WITH keys AS (SELECT user_id, COUNT(*) AS true_c
+                       FROM events GROUP BY 1),
+         pairs AS (SELECT k.user_id, s.seed,
+                          ('0x' || substr(md5(s.seed::VARCHAR || ':' ||
+                            k.user_id::VARCHAR), 1, 8))::BIGINT % 256
+                            AS bucket
+                   FROM keys k, (SELECT unnest(range(4)) AS seed) s)
+         SELECT p.seed::BIGINT AS seed, p.bucket::BIGINT AS bucket,
+                CAST(SUM(k.true_c) AS BIGINT) AS c
+         FROM pairs p JOIN keys k USING (user_id)
+         GROUP BY 1, 2
+         ORDER BY seed, bucket""",
 
     // per-user lead() step pairs; P(to|from) by integer floor division
     "q_markov_transitions" ->

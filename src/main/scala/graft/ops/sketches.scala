@@ -109,6 +109,67 @@ object sketches {
       .agg(min(col("ip")).as("est_join_size"))
   }
 
+  /** Serialize a CMS into ONE row with a BINARY payload — the at-rest
+    * form a sketch store persists per shard/day: the d×w grid packed
+    * dense as big-endian-style 8-byte cells (16 hex digits each,
+    * seed-major), `unhex`'d to a w·d·8-byte blob. Pure codegen HOFs
+    * (map lookup + transform + unhex), no driver collection; the frame
+    * in flight is ≤ d·w rows by construction, so the one-row aggregate
+    * is a report-sized reduction, not a data funnel. Shape rides along
+    * as (depth, width) columns for the deserializer's guard.
+    *
+    * Cell counts must fit in unsigned hex-16 (they are nonnegative
+    * longs — always true for counts). */
+  def cmsSerialize(sketch: DataFrame, depth: Int, width: Int)
+  : DataFrame =
+    sketch
+      .select((col("seed").cast("bigint") * width +
+        col("bucket").cast("bigint")).as("__i"), col("c"))
+      .agg(map_from_arrays(collect_list(col("__i")),
+        collect_list(col("c"))).as("__m"))
+      .select(lit(depth).as("depth"), lit(width).as("width"),
+        unhex(array_join(transform(
+          sequence(lit(0L), lit(depth.toLong * width - 1)),
+          i => lpad(hex(coalesce(element_at(col("__m"), i), lit(0L))),
+            16, "0")), "")).as("payload"))
+
+  /** Unpack an at-rest sketch blob back into sparse (seed, bucket, c)
+    * cells (zero cells dropped — the same sparse form [[cmsBuild]]
+    * emits), re-stamped with the shape columns. The (depth, width)
+    * args must match the persisted row's stamps; a mismatch raises at
+    * execution rather than decoding garbage. One scan-local explode of
+    * d·w cells per sketch row. */
+  def cmsDeserialize(serialized: DataFrame, depth: Int, width: Int)
+  : DataFrame =
+    serialized
+      .select(when(col("depth") =!= depth || col("width") =!= width,
+        raise_error(format_string(
+          s"cmsDeserialize: shape mismatch (stored %sx%s, asked " +
+            s"${depth}x$width)", col("depth"), col("width"))))
+        .otherwise(hex(col("payload"))).as("__h"))
+      .select(explode(transform(
+        sequence(lit(0L), lit(depth.toLong * width - 1)),
+        i => struct(i.as("i"),
+          conv(col("__h").substr((i * 16 + 1).cast("int"), lit(16)),
+            16, 10).cast("bigint").as("c")))).as("cell"))
+      .select(expr(s"cell.i DIV $width").as("seed"),
+        (col("cell.i") % width).as("bucket"), col("cell.c").as("c"))
+      .filter(col("c") > 0)
+      .withColumn("__depth", lit(depth)).withColumn("__width", lit(width))
+
+  /** Merge CMS sketches by cell addition — THE property the summary
+    * exists for: per-shard/per-day sketches built independently union
+    * into the corpus sketch with no rescan. Inputs are sparse cell
+    * frames ([[cmsBuild]] / [[cmsDeserialize]] output); the result is
+    * re-stamped from the first input's literal shape columns (all
+    * inputs must share one shape — deserializers/builders guarantee
+    * it). */
+  def cmsMergeCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("seed", "bucket")
+      .agg(sum(col("c")).as("c"), max(col("__depth")).as("__depth"),
+        max(col("__width")).as("__width"))
+
   /** Point-estimate each probe key against a built sketch: min of its
     * depth cells. The sketch is d·w rows — broadcast, never shuffled;
     * the probe side stays partitioned wherever it already lives. */

@@ -96,4 +96,49 @@ class SketchesSpec extends SparkSpec {
         merged("c").isNull || whole("c").isNull)
     assert(diff.count() === 0)
   }
+
+  test("serialize/deserialize round-trips the sketch exactly") {
+    val built = sketches.cmsBuild(items.toDF("k"), "k", 4, 64)
+    // rename before the join: `back` derives from `built`, and Spark's
+    // self-join ambiguity check rejects same-lineage column refs
+    val back = sketches.cmsDeserialize(
+      sketches.cmsSerialize(built, 4, 64), 4, 64)
+      .select(col("seed"), col("bucket"), col("c").as("c2"))
+    val diff = back.join(built, Seq("seed", "bucket"), "full_outer")
+      .filter(col("c2") =!= col("c") ||
+        col("c2").isNull || col("c").isNull)
+    assert(diff.count() === 0)
+    // the payload is one row of depth·width·8 bytes
+    val row = sketches.cmsSerialize(built, 4, 64).collect()
+    assert(row.length === 1)
+    assert(row.head.getAs[Array[Byte]]("payload").length === 4 * 64 * 8)
+  }
+
+  test("deserialize guards the stored shape stamps") {
+    val ser = sketches.cmsSerialize(
+      sketches.cmsBuild(items.toDF("k"), "k", 4, 64), 4, 64)
+    val ex = intercept[Exception] {
+      sketches.cmsDeserialize(ser, 4, 128).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(msgs(ex).exists(_.contains("shape mismatch")), ex.toString)
+  }
+
+  test("cmsMergeCells over deserialized at-rest shards equals whole-build") {
+    val (a, b) = items.splitAt(900)
+    def atRest(rows: Seq[Long]) = sketches.cmsDeserialize(
+      sketches.cmsSerialize(
+        sketches.cmsBuild(rows.toDF("k"), "k", 4, 64), 4, 64), 4, 64)
+    val merged = sketches.cmsMergeCells(atRest(a), atRest(b))
+    val whole = sketches.cmsBuild(items.toDF("k"), "k", 4, 64)
+    val diff = merged.join(whole, Seq("seed", "bucket"), "full_outer")
+      .filter(merged("c") =!= whole("c") ||
+        merged("c").isNull || whole("c").isNull)
+    assert(diff.count() === 0)
+    // merged cells still carry the shape stamps for cmsJoinSize's guard
+    assert(merged.columns.contains("__depth") &&
+      merged.columns.contains("__width"))
+  }
 }
