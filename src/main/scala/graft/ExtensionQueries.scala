@@ -2008,6 +2008,24 @@ object ExtensionQueries {
           col("n_ticks"), col("volume").cast("long").as("volume_c"))
     }),
 
+    // the PRODUCTION ohlc path: update mode + snapshot-chain upsert —
+    // the live watermark evicts closed bars from state; the final
+    // table equals complete mode because each bar's last update wins
+    "q_stream_ohlc_update" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_ohlc_u").toString
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft_ohlc_tbl").toString
+      Streams.ohlcStreamUpdate(s, d, ckpt, tbl, barSeconds = 86400L,
+          statePartitions = 8,
+          valueExpr = (col("value").cast("decimal(18,2)") * 100)
+            .cast("long"))
+        .select(col("event_type"), col("bar_start"),
+          col("open").as("open_c"), col("high").as("high_c"),
+          col("low").as("low_c"), col("close").as("close_c"),
+          col("n_ticks"), col("volume").cast("long").as("volume_c"))
+    }),
+
     // stream → foreachBatch upsert → lake table: final table is the
     // latest event per user (ts in epoch micros for the cross-engine
     // compare; the upsert keeps the file's raw ts column, which is
@@ -3033,6 +3051,34 @@ object ExtensionQueries {
     // the streaming candles land on the same epoch-aligned daily bars
     // as the batch operator — identical oracle
     "q_stream_ohlc" ->
+      """WITH t0 AS (
+           SELECT event_type, event_id, ts,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS v_c,
+                  CAST(to_timestamp(CAST(floor(epoch(ts) / 86400)
+                    AS BIGINT) * 86400) AS TIMESTAMP) AS bar_start
+           FROM events),
+         w AS (SELECT *,
+                      row_number() OVER (PARTITION BY event_type,
+                        bar_start ORDER BY ts, event_id) AS rn_a,
+                      row_number() OVER (PARTITION BY event_type,
+                        bar_start ORDER BY ts DESC, event_id DESC)
+                        AS rn_d
+               FROM t0)
+         SELECT event_type, bar_start,
+                CAST(MAX(CASE WHEN rn_a = 1 THEN v_c END) AS BIGINT)
+                  AS open_c,
+                CAST(MAX(v_c) AS BIGINT) AS high_c,
+                CAST(MIN(v_c) AS BIGINT) AS low_c,
+                CAST(MAX(CASE WHEN rn_d = 1 THEN v_c END) AS BIGINT)
+                  AS close_c,
+                COUNT(*) AS n_ticks,
+                CAST(SUM(v_c) AS BIGINT) AS volume_c
+         FROM w GROUP BY event_type, bar_start""",
+
+    // update mode + upsert lands on the identical bar table (each
+    // bar's last update wins) — same oracle as q_stream_ohlc
+    "q_stream_ohlc_update" ->
       """WITH t0 AS (
            SELECT event_type, event_id, ts,
                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)

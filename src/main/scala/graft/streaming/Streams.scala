@@ -124,29 +124,20 @@ object Streams {
     * State note: this runs in `complete` output mode (the memory-sink
     * harness replays the whole candle table per trigger), and in
     * complete mode Spark retains ALL aggregation state — the watermark
-    * below is inert. A continuous production deployment that needs
-    * bounded state should switch to `update` mode with an upsert sink
-    * (cf. [[upsertStreamToTable]]); then the 1-day watermark evicts
-    * closed bars and state is one day of open bars.
+    * below is inert. [[ohlcStreamUpdate]] IS the bounded-state
+    * production path: `update` mode + the snapshot-chain upsert sink,
+    * where the 1-day watermark evicts closed bars and state is one day
+    * of open bars.
     *
     * @param valueExpr tick-value projection (default raw `value`);
     *   pass an integer-cents cast for exact cross-engine bars
     */
-  def ohlcStream(spark: SparkSession, dir: String, checkpoint: String,
-                 barSeconds: Long = 86400L,
-                 glob: String = "events.parquet",
-                 statePartitions: Int = 0,
-                 valueExpr: Column = col("value")): DataFrame = {
-    val sess = statefulSession(spark, statePartitions)
-    val schema = sess.read.option("pathGlobFilter", glob).parquet(dir)
-      .schema
-    val stream = sess.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", glob)
-      .parquet(dir)
+  /** The shared OHLC windowed aggregation over a raw event stream —
+    * identical plan under both output modes. */
+  private def ohlcAgg(stream: DataFrame, barSeconds: Long,
+                      valueExpr: Column): DataFrame = {
     val ord = struct(col("ts"), col("event_id"))
-    val agg = normalizeTs(stream)
+    normalizeTs(stream)
       .withColumn("__v", valueExpr)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), s"$barSeconds seconds").as("win"),
@@ -160,6 +151,22 @@ object Streams {
       .select(col("event_type"), col("win.start").as("bar_start"),
         col("open"), col("high"), col("low"), col("close"),
         col("n_ticks"), col("volume"))
+  }
+
+  def ohlcStream(spark: SparkSession, dir: String, checkpoint: String,
+                 barSeconds: Long = 86400L,
+                 glob: String = "events.parquet",
+                 statePartitions: Int = 0,
+                 valueExpr: Column = col("value")): DataFrame = {
+    val sess = statefulSession(spark, statePartitions)
+    val schema = sess.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema
+    val stream = sess.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+    val agg = ohlcAgg(stream, barSeconds, valueExpr)
     val sinkName = "graft_ohlc_" + math.abs(checkpoint.hashCode)
     val q = agg.writeStream
       .format("memory")
@@ -170,6 +177,67 @@ object Streams {
       .start()
     q.awaitTermination()
     sess.table(sinkName)
+  }
+
+  /** The PRODUCTION deployment of [[ohlcStream]]: `update` output mode
+    * + the [[snapshotChainMerge]] upsert sink keyed by
+    * (event_type, bar_start), latest micro-batch wins. In update mode
+    * the 1-day watermark is LIVE — closed bars are emitted, merged
+    * into the table, and EVICTED from state, so a perpetual feed holds
+    * one day of open bars instead of the whole history (`complete`
+    * mode retains every bar ever seen; it exists for the memory-sink
+    * harness). The final table equals the complete-mode result on a
+    * catchup run because each bar's last update wins the upsert.
+    *
+    * Returns the current table; [[ohlcStreamUpdateStats]] also reports
+    * the final state-store row count, which StreamsSpec asserts stays
+    * below the total bar count on a multi-day multi-batch feed (the
+    * eviction actually happening, not just documented). */
+  def ohlcStreamUpdate(spark: SparkSession, dir: String,
+                       checkpoint: String, tablePath: String,
+                       barSeconds: Long = 86400L,
+                       glob: String = "events.parquet",
+                       statePartitions: Int = 0,
+                       valueExpr: Column = col("value")): DataFrame =
+    ohlcStreamUpdateStats(spark, dir, checkpoint, tablePath, barSeconds,
+      glob, statePartitions, valueExpr)._1
+
+  /** [[ohlcStreamUpdate]] plus the final state-store row count. */
+  def ohlcStreamUpdateStats(spark: SparkSession, dir: String,
+                            checkpoint: String, tablePath: String,
+                            barSeconds: Long = 86400L,
+                            glob: String = "events.parquet",
+                            statePartitions: Int = 0,
+                            valueExpr: Column = col("value"))
+  : (DataFrame, Long) = {
+    val sess = statefulSession(spark, statePartitions)
+    val schema = sess.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema
+    val stream = sess.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+    val agg = ohlcAgg(stream, barSeconds, valueExpr)
+    val tableSchema = agg.schema
+      .add("__bid", org.apache.spark.sql.types.LongType)
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        snapshotChainMerge(sess, tablePath, tableSchema,
+          keys = Seq("event_type", "bar_start"), versionCol = "__bid",
+          batch.toDF().withColumn("__bid", lit(batchId)), batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .lastOption.map(_.numRowsTotal).getOrElse(0L)
+    (latestSnapshot(sess, tablePath, tableSchema).drop("__bid"),
+      stateRows)
   }
 
   // ---- sessionization ------------------------------------------------------
@@ -616,6 +684,70 @@ object Streams {
     *
     * Returns the final table: the latest row per `keys` by `versionCol`.
     */
+  /** The reusable snapshot-chain MERGE sink: upsert one micro-batch
+    * into the versioned parquet table at `tablePath`, keyed by `keys`
+    * with latest-wins on `versionCol`. Shared by
+    * [[upsertStreamToTable]] (CDC rows) and [[ohlcStreamUpdate]]
+    * (update-mode aggregates). Crash-replay safety: after a crash
+    * between the v_<batchId> write and the offset commit, this batch
+    * is REDELIVERED with the same id while v_<batchId> is already the
+    * latest snapshot. Naively merging "latest" would then lazily READ
+    * the same dir the overwrite targets (overwrite deletes it first →
+    * FileNotFoundException and the only snapshot is gone). Two rules
+    * make replay safe: the merge base is the latest version STRICTLY
+    * BELOW this batch id, and a complete (committed) v_<batchId>
+    * short-circuits — the work is already durable. Superseded
+    * snapshots are retired only AFTER the new one is durable. */
+  private def snapshotChainMerge(spark: SparkSession, tablePath: String,
+                                 schema: org.apache.spark.sql.types.StructType,
+                                 keys: Seq[String], versionCol: String,
+                                 batch: DataFrame, batchId: Long): Unit = {
+    // Hadoop FS, not java.io: the snapshot chain must work on any
+    // warehouse filesystem (HDFS/object store), not just local disk
+    val hadoopPath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hadoopPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def versions(): Seq[Long] =
+      (if (fs.exists(hadoopPath)) fs.listStatus(hadoopPath).toSeq
+       else Seq.empty)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_"))
+        .map(_.getPath.getName.stripPrefix("v_").toLong)
+    val committed = new org.apache.hadoop.fs.Path(
+      s"$tablePath/v_$batchId/_SUCCESS")
+    if (!fs.exists(committed)) {
+      val base = versions().filter(_ < batchId).sorted.lastOption
+        .map(v => spark.read.parquet(s"$tablePath/v_$v"))
+        .getOrElse(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+      graft.ops.relational
+        .upsertLatest(base, batch, keys, versionCol)
+        .write.mode("overwrite").parquet(s"$tablePath/v_$batchId")
+    }
+    // superseded (or partial, > batchId is impossible under
+    // AvailableNow's monotone ids) snapshots go only AFTER the new
+    // one is durable
+    versions().filter(_ < batchId).foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$tablePath/v_$v"), true))
+  }
+
+  /** Read the current (highest-version) snapshot of a chain table, or
+    * an empty frame of `schema` when none exists yet. */
+  private def latestSnapshot(spark: SparkSession, tablePath: String,
+                             schema: org.apache.spark.sql.types.StructType)
+  : DataFrame = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hadoopPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    (if (fs.exists(hadoopPath)) fs.listStatus(hadoopPath).toSeq
+     else Seq.empty)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_"))
+      .map(_.getPath.getName.stripPrefix("v_").toLong)
+      .sorted.lastOption
+      .map(v => spark.read.parquet(s"$tablePath/v_$v"))
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+  }
+
   def upsertStreamToTable(spark: SparkSession, dir: String,
                           checkpoint: String, tablePath: String,
                           keys: Seq[String], versionCol: String,
@@ -627,71 +759,17 @@ object Streams {
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", glob)
       .parquet(dir)
-
-    // Hadoop FS, not java.io: the snapshot chain must work on any
-    // warehouse filesystem (HDFS/object store), not just local disk
-    val hadoopPath = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = hadoopPath.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-
-    def latestVersion(): Option[Long] =
-      (if (fs.exists(hadoopPath)) fs.listStatus(hadoopPath).toSeq
-       else Seq.empty)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_"))
-        .map(_.getPath.getName.stripPrefix("v_").toLong)
-        .sorted.lastOption
-
-    def emptyTable = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        // crash-replay safety: after a crash between the v_<batchId>
-        // write and the offset commit, this batch is REDELIVERED with
-        // the same id while v_<batchId> is already the latest snapshot.
-        // Naively merging "latest" would then lazily READ the same dir
-        // the overwrite targets (overwrite deletes it first →
-        // FileNotFoundException and the only snapshot is gone). Two
-        // rules make replay safe: the merge base is the latest version
-        // STRICTLY BELOW this batch id, and a complete (committed)
-        // v_<batchId> short-circuits — the work is already durable.
-        val committed = new org.apache.hadoop.fs.Path(
-          s"$tablePath/v_$batchId/_SUCCESS")
-        if (!fs.exists(committed)) {
-          val versions =
-            (if (fs.exists(hadoopPath)) fs.listStatus(hadoopPath).toSeq
-             else Seq.empty)
-              .filter(st => st.isDirectory &&
-                st.getPath.getName.startsWith("v_"))
-              .map(_.getPath.getName.stripPrefix("v_").toLong)
-          val base = versions.filter(_ < batchId).sorted.lastOption
-            .map(v => spark.read.parquet(s"$tablePath/v_$v"))
-            .getOrElse(emptyTable)
-          graft.ops.relational
-            .upsertLatest(base, batch.toDF(), keys, versionCol)
-            .write.mode("overwrite").parquet(s"$tablePath/v_$batchId")
-        }
-        // superseded (or partial, > batchId is impossible under
-        // AvailableNow's monotone ids) snapshots go only AFTER the new
-        // one is durable
-        (if (fs.exists(hadoopPath)) fs.listStatus(hadoopPath).toSeq
-         else Seq.empty)
-          .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith("v_"))
-          .map(_.getPath.getName.stripPrefix("v_").toLong)
-          .filter(_ < batchId)
-          .foreach(v => fs.delete(
-            new org.apache.hadoop.fs.Path(s"$tablePath/v_$v"), true))
-        ()
+        snapshotChainMerge(spark, tablePath, schema, keys, versionCol,
+          batch.toDF(), batchId)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    latestVersion()
-      .map(v => spark.read.parquet(s"$tablePath/v_$v"))
-      .getOrElse(emptyTable)
+    latestSnapshot(spark, tablePath, schema)
   }
 
   /** Validated ingest: route every streamed row through a per-ROW

@@ -239,6 +239,64 @@ class StreamsSpec extends SparkSpec {
       "fixture must contain at least one dropped near-dup")
   }
 
+  test("ohlc update mode: same bars as complete mode, state evicted") {
+    val dir = "/root/testdata/sf0.001"
+    // complete-mode reference
+    val ckptC = Files.createTempDirectory("graft_ckpt_oc").toString
+    val complete = Streams.ohlcStream(spark, dir, ckptC,
+        valueExpr = (col("value").cast("decimal(18,2)") * 100)
+          .cast("long"))
+      .collect().toSet
+    // update-mode + snapshot-chain upsert
+    val ckptU = Files.createTempDirectory("graft_ckpt_ou").toString
+    val tbl = Files.createTempDirectory("graft_ohlc_tbl_t").toString
+    val update = Streams.ohlcStreamUpdate(spark, dir, ckptU, tbl,
+        valueExpr = (col("value").cast("decimal(18,2)") * 100)
+          .cast("long"))
+      .select("event_type", "bar_start", "open", "high", "low",
+        "close", "n_ticks", "volume")
+      .collect().toSet
+    assert(update === complete)
+  }
+
+  test("ohlc update mode evicts closed bars from state across batches") {
+    // 4 time-ordered files spanning distinct days: with
+    // maxFilesPerTrigger=1 the watermark advances per batch, so bars
+    // more than 1 day behind the max seen event time age OUT of the
+    // state store — final state must hold fewer rows than total bars
+    val tmp = Files.createTempDirectory("graft_ohlc_days").toString
+    val days = 8
+    (0 until 4).foreach { i =>
+      val staging = Files.createTempDirectory(s"graft_ohlc_st_$i").toString
+      spark.range(i * 20, i * 20 + 20)
+        .select(col("id").as("event_id"),
+          (col("id") % 3).as("user_id"),
+          // type decorrelated from the day (id DIV 2, not id % 2 —
+          // correlated keys would collapse the bar grid)
+          expr("concat('t', CAST((id DIV 2) % 2 AS STRING))")
+            .as("event_type"),
+          // 2 distinct days per file, monotone across files
+          timestamp_seconds(lit(1704067200L) +
+            (col("id") % 2 + lit(i * 2)) * 86400 + col("id")).as("ts"),
+          (col("id") * 1.5).as("value"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/ev_$i.parquet"))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_oev").toString
+    val tbl = Files.createTempDirectory("graft_ohlc_tbl_ev").toString
+    val (table, stateRows) = Streams.ohlcStreamUpdateStats(spark, tmp,
+      ckpt, tbl, glob = "*.parquet")
+    val totalBars = table.count()
+    // all 8 days × 2 types of bars reached the table ...
+    assert(totalBars === days * 2L)
+    // ... but the state store holds only the un-evicted tail
+    assert(stateRows > 0L && stateRows < totalBars,
+      s"state $stateRows vs bars $totalBars — eviction did not happen")
+  }
+
   test("foreachBatch upsert across 3 micro-batches equals the batch table") {
     // 3 time-ordered slices → 3 foreachBatch merges into the versioned
     // table; the final snapshot must equal the batch latest-per-user
