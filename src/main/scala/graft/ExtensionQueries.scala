@@ -1538,6 +1538,46 @@ object ExtensionQueries {
         emb.filter(col("label") === 2), k = 5)
     }),
 
+    // filtered IVF with SELECTIVITY-WIDENED probing: nProbe scales by
+    // 1/selectivity (broad filter label>=5 → sel 0.5 → probe 2 cells
+    // instead of 1), centroids from the FULL stored assignment,
+    // candidates pre-filtered before any distance math
+    "q_ann_filtered_probe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfFilteredTopK(emb.filter(col("vec_id") < 10), emb,
+          emb.select(col("vec_id"), col("label").as("cell")), k = 5,
+          baseNProbe = 1, pred = col("label") >= 5)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // recall-under-filter at TWO selectivities against the exact
+    // filtered brute force: the tight filter (sel ~0.1) widens to all
+    // cells and recovers full recall; the broad one (sel ~0.5) probes 2
+    "q_ann_filtered_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cells = emb.select(col("vec_id"), col("label").as("cell"))
+      val qs = emb.filter(col("vec_id") < 10)
+      def rep(tag: String, pred: org.apache.spark.sql.Column) = {
+        val exact = Similarity.bruteForceTopK(qs, emb.filter(pred),
+          k = 5)
+        val approx = Similarity.ivfFilteredTopK(qs, emb, cells, k = 5,
+          baseNProbe = 1, pred)
+        Similarity.annRecall(exact, approx)
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("n_exact")).as("n_exact"),
+            sum(col("n_hit")).as("n_hit"))
+          .crossJoin(broadcast(
+            approx.agg(max(col("n_probe")).as("n_probe"))))
+          .select(lit(tag).as("sel_tag"), col("n_probe"),
+            col("n_queries"), col("n_exact"), col("n_hit"),
+            expr("CAST(n_hit * 1000000 DIV n_exact AS BIGINT)")
+              .as("recall_micro"))
+      }
+      rep("narrow", col("label") === 2)
+        .unionByName(rep("broad", col("label") >= 5))
+        .orderBy("sel_tag")
+    }),
+
     "q_ann_kmeans" -> ((s, d) =>
       Similarity.kmeansCells(t(s, d, "embeddings"), k = 4, iters = 2)),
 
@@ -5910,6 +5950,31 @@ object ExtensionQueries {
     "q_ann_filtered" ->
       annSql("c.vec_id <> q.vec_id AND c.label = 2", "q.vec_id < 10"),
 
+    // the widened-probe pipeline at the broad filter (sel 0.5 →
+    // nprobe 2); n_probe recomputed in-SQL from the same counts
+    "q_ann_filtered_probe" ->
+      ("WITH " + filteredProbeCtes("b", "c.label >= 5") +
+        """ SELECT query_id, neighbor_id, rnk, cos,
+                  (SELECT nprobe FROM npb) AS n_probe
+           FROM apb ORDER BY query_id, rnk"""),
+
+    // recall vs the exact filtered brute force at both selectivities;
+    // integer-micro recall, nothing float-summed
+    "q_ann_filtered_recall" ->
+      ("WITH " + filteredProbeCtes("n", "c.label = 2") + ", " +
+        filteredProbeCtes("b", "c.label >= 5") +
+        """ SELECT * FROM (
+             SELECT 'narrow' AS sel_tag, n_probe, n_queries, n_exact,
+                    n_hit,
+                    CAST(n_hit * 1000000 // n_exact AS BIGINT)
+                      AS recall_micro
+             FROM repn
+             UNION ALL
+             SELECT 'broad', n_probe, n_queries, n_exact, n_hit,
+                    CAST(n_hit * 1000000 // n_exact AS BIGINT)
+             FROM repb)
+           ORDER BY sel_tag"""),
+
     // q_ann_kmeans's unrolled-Lloyd CTE chain, then the q_semdedup
     // suffix on the LEARNED cells instead of the stored label
     "q_semdedup_kmeans" ->
@@ -8708,6 +8773,79 @@ object ExtensionQueries {
           ON rab.a_id = rba.a_id AND rab.b_id = rba.b_id
         WHERE rab.r = 1 AND rba.r = 1
         ORDER BY rab.a_id"""
+
+  /** The selectivity-widened filtered-IVF pipeline as DuckDB CTEs,
+    * name-suffixed so two instantiations (two predicates) can share one
+    * WITH clause. `predSql` references the corpus row as `c.label`.
+    * Mirrors [[Similarity.ivfFilteredTopK]]: nprobe =
+    * least(|cells|, ceil(total/pass)), centroids from the full
+    * assignment (float-rounded, double-accumulated — the engine's
+    * exact precision path), candidates pre-filtered. */
+  private def filteredProbeCtes(sfx: String, predSql: String): String =
+    s"""v$sfx AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> x::DOUBLE) AS emb
+          FROM embeddings),
+        sel$sfx AS (
+          SELECT count(*) AS total,
+                 count(CASE WHEN $predSql THEN 1 END) AS pass,
+                 count(DISTINCT c.label) AS ncells
+          FROM v$sfx c),
+        np$sfx AS (
+          SELECT LEAST(ncells, (total + pass - 1) // pass)::BIGINT
+                   AS nprobe
+          FROM sel$sfx),
+        cent$sfx AS (
+          SELECT label AS cell, list(s ORDER BY j) AS c FROM (
+            SELECT label, j, sum(emb[j]) / count(*) AS s
+            FROM v$sfx, range(1, 65) t(j) GROUP BY label, j)
+          GROUP BY label),
+        pr$sfx AS (
+          SELECT query_id, q_emb, cell FROM (
+            SELECT q.vec_id AS query_id, q.emb AS q_emb, cent$sfx.cell,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     -2 * list_dot_product(q.emb,
+                            (cent$sfx.c::FLOAT[])::DOUBLE[])
+                       + list_dot_product(
+                           (cent$sfx.c::FLOAT[])::DOUBLE[],
+                           (cent$sfx.c::FLOAT[])::DOUBLE[]),
+                     cent$sfx.cell) AS pr
+            FROM v$sfx q CROSS JOIN cent$sfx
+            WHERE q.vec_id < 10), np$sfx
+          WHERE pr <= nprobe),
+        ap$sfx AS (
+          SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos
+          FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rnk
+            FROM (
+              SELECT p.query_id, c.vec_id AS neighbor_id,
+                     list_dot_product(p.q_emb, c.emb) /
+                       (sqrt(list_dot_product(p.q_emb, p.q_emb)) *
+                        sqrt(list_dot_product(c.emb, c.emb))) AS cos
+              FROM pr$sfx p JOIN v$sfx c ON c.label = p.cell
+              WHERE ($predSql) AND c.vec_id <> p.query_id))
+          WHERE rnk <= 5),
+        ex$sfx AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_dot_product(q.emb, c.emb) /
+                       (sqrt(list_dot_product(q.emb, q.emb)) *
+                        sqrt(list_dot_product(c.emb, c.emb))) DESC,
+                       c.vec_id ASC) AS rnk
+            FROM v$sfx q JOIN v$sfx c
+              ON c.vec_id <> q.vec_id AND ($predSql)
+            WHERE q.vec_id < 10)
+          WHERE rnk <= 5),
+        rep$sfx AS (
+          SELECT (SELECT nprobe FROM np$sfx) AS n_probe,
+                 count(DISTINCT e.query_id)::BIGINT AS n_queries,
+                 count(*)::BIGINT AS n_exact,
+                 count(a.neighbor_id)::BIGINT AS n_hit
+          FROM ex$sfx e LEFT JOIN ap$sfx a
+            USING (query_id, neighbor_id))"""
 
   private def annSql(candCond: String, queryCond: String): String =
     s"""WITH v AS (

@@ -286,6 +286,55 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Filtered IVF search with SELECTIVITY-WIDENED probing — the
+    * standard filtered-ANN trick: a metadata predicate thins each
+    * probed cell to ~selectivity·|cell| candidates, so a fixed nProbe
+    * silently loses recall as the filter tightens; scaling the probe
+    * count by 1/selectivity restores the expected candidate volume
+    * (nProbe = min(|cells|, ⌈baseNProbe / sel⌉) — at very tight
+    * filters this degrades gracefully to scanning every cell of the
+    * filtered corpus, which is exactly the right answer there).
+    *
+    * The selectivity comes from ONE aggregate over the corpus (two
+    * scalars on the driver — at the lake this is a metadata/statistics
+    * lookup, not a scan); centroids derive from the FULL stored
+    * assignment (the index is built once, unfiltered), candidates are
+    * pre-filtered before any distance math so the predicate composes
+    * with the scan. Returns the exact top-k among candidates in the
+    * probed cells, plus the chosen `n_probe` as a column (the recall
+    * harness reports it). */
+  def ivfFilteredTopK(queries: DataFrame, corpus: DataFrame,
+                      cells: DataFrame, k: Int, baseNProbe: Int,
+                      pred: Column): DataFrame = {
+    val m = corpus.agg(count(lit(1)).cast("long"),
+      count(when(pred, 1)).cast("long")).head()
+    val (total, pass) = (m.getLong(0), m.getLong(1))
+    require(pass > 0, "filter matches no corpus vector")
+    // |cells| is the coarse-quantizer arity — bounded by construction
+    val nCells = cells.select("cell").distinct().count()
+    val nProbe = math.min(nCells,
+      (baseNProbe.toLong * total + pass - 1) / pass).toInt
+    val probes = rankedProbes(queries, corpus, cells, nProbe)
+    val cand = corpus.filter(pred).select(col("vec_id"), col("embedding"))
+      .join(cells, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding").as("c_emb"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      // null cos = a zero-norm side (see cosine): must not be ranked
+      .filter(col("cos").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos"),
+        lit(nProbe.toLong).as("n_probe"))
+  }
+
   /** Deterministic mini k-means coarse quantizer — builds the IVF cell
     * assignment when no precomputed cell column exists. Init is the k
     * lowest-id vectors (no RNG), each Lloyd iteration is one broadcast of

@@ -38,6 +38,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Set(1L, 4L)) // label-0 cell only
   }
 
+  test("ivfFilteredTopK widens probes with filter selectivity") {
+    // label 0 holds 3 of 5 vectors; filtering to it (sel 0.6) with
+    // base 1 gives nprobe = ceil(5/3) = 2; a 1-in-5 filter widens to
+    // min(|cells|, 5) = all 3 cells and must equal the filtered brute
+    // force exactly
+    val cells = vecs.select(col("vec_id"), col("label").as("cell"))
+    val q = vecs.filter(col("vec_id") === 2L)
+    val tight = Similarity.ivfFilteredTopK(q, vecs, cells, k = 2,
+      baseNProbe = 1, pred = col("vec_id") === 3L)
+    assert(tight.select("n_probe").distinct().as[Long].head() === 3L)
+    val exact = Similarity
+      .bruteForceTopK(q, vecs.filter(col("vec_id") === 3L), k = 2)
+      .select("query_id", "neighbor_id", "rnk").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(tight.select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet === exact)
+    val broad = Similarity.ivfFilteredTopK(q, vecs, cells, k = 2,
+      baseNProbe = 1, pred = col("label") === 0)
+    assert(broad.select("n_probe").distinct().as[Long].head() === 2L)
+  }
+
   test("kmeansCells groups the axis clusters and is deterministic") {
     val cells = Similarity.kmeansCells(vecs, k = 3, iters = 3)
       .as[(Long, Int)].collect().toMap
