@@ -158,7 +158,20 @@ object ExtensionQueries {
           depth = 4, width = 256)
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$p/shard_$shard")
+        // quantile-sketch shards: the bucket rows ARE the at-rest form
+        qsketch.build(
+          t(s, d, "lineitem").filter(col("l_orderkey") % 2 === shard)
+            .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("v")),
+          "v", s = 5)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/qsk_shard_$shard")
       }
+      // the decontamination index: benchmark shingles as one Bloom blob
+      graft.dedup.Dedup.bloomBuild(
+        t(s, d, "documents").filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", k = 5)
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/bloom_bench")
       p
     })
 
@@ -479,6 +492,53 @@ object ExtensionQueries {
       merged.select(col("seed").cast("bigint").as("seed"),
           col("bucket").cast("bigint").as("bucket"), col("c"))
         .orderBy("seed", "bucket")
+    }),
+
+    // the quantile-sketch twin of the same story: two persisted shard
+    // bucket files merge by count addition (bkt_hi recomputed from the
+    // lower bound's bit width) and answer quantile probes with the
+    // identical ≤2^-5 bound a direct whole-table build gives
+    "q_quantile_merge_at_rest" -> ((s, d) => {
+      val store = sharedSketchStore(s, d)
+      val merged = s.read.parquet(s"$store/qsk_shard_0")
+        .unionByName(s.read.parquet(s"$store/qsk_shard_1"))
+        .groupBy("bkt_lo").agg(sum(col("cnt")).as("cnt"))
+        .withColumn("bkt_hi", col("bkt_lo") +
+          call_function("shiftleft", lit(1L),
+            greatest((length(bin(col("bkt_lo"))) - 1)
+              .cast("int") - 5, lit(0))) - 1)
+      qsketch.quantiles(merged, Seq(250, 750, 990))
+        .select(col("q_permille"), col("n"), col("est_lo"),
+          col("est_hi"))
+        .orderBy("q_permille")
+    }),
+
+    // the decontamination INDEX at rest: the benchmark's Bloom blob is
+    // read back as a FILE and probed by the training corpus — the
+    // ingest-side deployment of q_bloom_contamination (same verdict
+    // shape: exact count hashed, sketch guarantees asserted in-row)
+    "q_bloom_at_rest" -> ((s, d) => {
+      val store = sharedSketchStore(s, d)
+      val docs = t(s, d, "documents")
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val flagged = Dedup.bloomProbe(
+        s.read.parquet(s"$store/bloom_bench"), train, "doc_id", "text",
+        k = 5)
+      val exact = Dedup.contamination(train,
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 5)
+        .select(col("train_id").as("doc_id"), lit(true).as("exact_hit"))
+      train.select("doc_id")
+        .join(flagged, Seq("doc_id"), "left")
+        .join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("bloom_hit"), lit(false)).as("bh"),
+          coalesce(col("exact_hit"), lit(false)).as("eh"))
+        .agg(
+          sum(when(col("eh"), 1L).otherwise(0L)).as("n_contaminated"),
+          (sum(when(col("eh") && !col("bh"), 1L).otherwise(0L)) === 0L)
+            .as("no_false_neg"),
+          (sum(when(col("bh") && !col("eh"), 1L).otherwise(0L)) * 20L <=
+            sum(when(!col("eh"), 1L).otherwise(0L))).as("fp_ok"))
     }),
 
     // ---- mergeable quantile sketch (HDR buckets) ---------------------------
@@ -3464,6 +3524,67 @@ object ExtensionQueries {
          FROM probes JOIN cum ON cum >= target
          GROUP BY q_permille, n
          ORDER BY q_permille""",
+
+    // additivity again: two persisted shard bucket files merge to the
+    // whole-table sketch, so the twin builds per-shard counts and
+    // merges them the same way (shard split irrelevant to the result)
+    "q_quantile_merge_at_rest" ->
+      """WITH vals AS (
+           SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v,
+                  l_orderkey % 2 AS shard
+           FROM lineitem),
+         b AS (
+           SELECT shard,
+                  CASE WHEN length(bin(v)) - 6 > 0
+                       THEN length(bin(v)) - 6 ELSE 0 END AS sh, v
+           FROM vals),
+         per_shard AS (
+           SELECT shard, (v >> sh) << sh AS bkt_lo,
+                  count(*)::BIGINT AS cnt
+           FROM b GROUP BY 1, 2),
+         merged AS (
+           SELECT bkt_lo, sum(cnt)::BIGINT AS cnt,
+                  bkt_lo + (1::BIGINT <<
+                    (CASE WHEN length(bin(bkt_lo)) - 6 > 0
+                          THEN length(bin(bkt_lo)) - 6 ELSE 0 END)) - 1
+                    AS bkt_hi
+           FROM per_shard GROUP BY bkt_lo),
+         cum AS (
+           SELECT bkt_lo, bkt_hi,
+                  sum(cnt) OVER (ORDER BY bkt_lo)::BIGINT AS cum
+           FROM merged),
+         n AS (SELECT sum(cnt)::BIGINT AS n FROM merged),
+         probes AS (
+           SELECT q_permille, n,
+                  ((q_permille * n + 999) // 1000)::BIGINT AS target
+           FROM (VALUES (250::BIGINT), (750::BIGINT), (990::BIGINT))
+                q(q_permille), n)
+         SELECT q_permille, n, min(bkt_lo)::BIGINT AS est_lo,
+                arg_min(bkt_hi, bkt_lo)::BIGINT AS est_hi
+         FROM probes JOIN cum ON cum >= target
+         GROUP BY q_permille, n
+         ORDER BY q_permille""",
+
+    // the at-rest probe decides identically to the in-session build
+    // (same blob bytes), so the exact-side twin is unchanged
+    "q_bloom_at_rest" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                     generate_series(1, len(string_split_regex(trim(
+                       regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
+                       'g')), '\\s+')) - 4),
+                     i -> array_to_string((string_split_regex(trim(
+                       regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
+                       'g')), '\\s+'))[i:i+4], ' ')))) AS u
+            FROM documents),
+          bench AS (SELECT DISTINCT u FROM sh WHERE doc_id % 97 = 0),
+          cont AS (SELECT DISTINCT doc_id FROM sh
+                   WHERE doc_id % 97 <> 0
+                     AND u IN (SELECT u FROM bench))
+          SELECT (SELECT COUNT(*) FROM cont)::BIGINT AS n_contaminated,
+                 TRUE AS no_false_neg, TRUE AS fp_ok""",
 
     // same salted-md5 cells; per-row inner products, MIN over rows
     "q_cms_join_size" ->

@@ -451,16 +451,48 @@ object Dedup {
     *
     * @return (idCol, bloom_hit: boolean) for every train doc
     */
-  def bloomContaminated(train: DataFrame, benchmark: DataFrame,
-                        idCol: String, textCol: String, k: Int,
-                        expectedShingles: Long = 1000000L,
-                        numBits: Long = 1L << 23): DataFrame = {
-    val bf = benchmark
+  /** Build the benchmark Bloom filter as a one-row FRAME (shingle_k,
+    * num_bits, bf binary) — the persistable decontamination INDEX: a
+    * production pipeline builds it once per benchmark release, writes
+    * the ~numBits/8-byte blob to the lake, and every training-data
+    * ingest probes the file ([[bloomProbe]]) without touching the
+    * benchmark corpus again. Empty benchmark → null bf (probe yields
+    * all-false). */
+  def bloomBuild(benchmark: DataFrame, idCol: String, textCol: String,
+                 k: Int, expectedShingles: Long = 1000000L,
+                 numBits: Long = 1L << 23): DataFrame =
+    benchmark
       .select(col(idCol),
         explode(Text.shingles(Text.tokens(col(textCol)), k)).as("u"))
       .agg(call_function("graft_bloom_agg", xxhash64(col("u")),
         lit(expectedShingles), lit(numBits)).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+      .select(lit(k).as("shingle_k"), lit(numBits).as("num_bits"),
+        col("bf"))
+
+  /** Probe every train doc against a built/persisted Bloom frame
+    * ([[bloomBuild]]'s output, possibly read back from the lake).
+    * The blob is ONE row of numBits/8 bytes — the bounded collect a
+    * broadcast filter is made of; the probe itself stays scan-local.
+    * Guards that the frame was built with the same shingle width. */
+  def bloomProbe(bloom: DataFrame, train: DataFrame, idCol: String,
+                 textCol: String, k: Int): DataFrame = {
+    val row = bloom.select(col("shingle_k"), col("bf")).head()
+    require(row.getInt(0) == k,
+      s"bloom index built with shingle_k=${row.getInt(0)}, probed with $k")
+    probeBits(row.getAs[Array[Byte]]("bf"), train, idCol, textCol, k)
+  }
+
+  def bloomContaminated(train: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String, k: Int,
+                        expectedShingles: Long = 1000000L,
+                        numBits: Long = 1L << 23): DataFrame = {
+    val bf = bloomBuild(benchmark, idCol, textCol, k, expectedShingles,
+      numBits).head().getAs[Array[Byte]]("bf")
+    probeBits(bf, train, idCol, textCol, k)
+  }
+
+  private def probeBits(bf: Array[Byte], train: DataFrame, idCol: String,
+                        textCol: String, k: Int): DataFrame = {
     // explode_OUTER: a train doc with fewer than k tokens has no
     // shingles and would vanish through a plain explode — the contract
     // is a row for EVERY train doc, and a shingle-less doc can share

@@ -342,6 +342,37 @@ class DedupSpec extends SparkSpec {
     assert(flagged === exact)
   }
 
+  test("bloom index round-trips through parquet (build ≡ at-rest probe)") {
+    val rnd = new scala.util.Random(11)
+    def words(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(300)}").mkString(" ")
+    val bench = (100L to 103L).map(i => (i, words(30)))
+    val train = (0L until 20L).map { i =>
+      val base = words(20)
+      if (i % 3 == 0)
+        (i, base + " " + bench((i % 4).toInt)._2.split(" ")
+          .slice(2, 7).mkString(" "))
+      else (i, base)
+    }
+    val trainDf = train.toDF("doc_id", "text")
+    val benchDf = bench.toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bloom_rt").toString + "/bf"
+    Dedup.bloomBuild(benchDf, "doc_id", "text", k = 5)
+      .write.mode("overwrite").parquet(path)
+    val atRest = Dedup.bloomProbe(spark.read.parquet(path), trainDf,
+      "doc_id", "text", k = 5).as[(Long, Boolean)].collect().toSet
+    val direct = Dedup.bloomContaminated(trainDf, benchDf, "doc_id",
+      "text", k = 5).as[(Long, Boolean)].collect().toSet
+    assert(atRest === direct)
+    assert(atRest.exists(_._2), "fixture must contain a planted hit")
+    // shingle-width guard: probing with the wrong k refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.bloomProbe(spark.read.parquet(path), trainDf, "doc_id",
+        "text", k = 4)
+    }
+    assert(ex.getMessage.contains("shingle_k"))
+  }
+
   test("bloom decontamination with an empty benchmark flags nothing") {
     val trainDf = Seq((1L, "some ordinary text with enough words here"))
       .toDF("doc_id", "text")
