@@ -175,6 +175,28 @@ object ExtensionQueries {
       p
     })
 
+  // The near-dup INDEX at rest: the (doc_id, shset) signature table and
+  // the (doc_id, band, bucket) banded-bucket table a production dedup
+  // maintains per corpus snapshot — persisted once as FILES, probed by
+  // every arrival batch without recomputing anything corpus-side
+  // (incrementalNearDupsIndexed's contract). Same split as
+  // q_dedup_incremental, so the file-backed probe must reproduce that
+  // query's in-lineage result exactly.
+  private val lshIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedLshIndex(s: SparkSession, d: String): String =
+    lshIndexCache.computeIfAbsent(s.hashCode + "|" + d, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_lsh_index").toString
+      val sets = Dedup.shingleSets(
+        t(s, d, "documents").filter(col("doc_id") % 17 =!= 0),
+        "doc_id", "text", 3)
+      sets.write.mode("overwrite").parquet(s"$p/sets")
+      Dedup.bandedBuckets(sets, numPerms = 8, numBands = 4)
+        .write.mode("overwrite").parquet(s"$p/buckets")
+      p
+    })
+
   // materialized like sharedTradeEdges: the co-occurrence edge list is
   // the same built-once-per-snapshot graph artifact, read at rest by
   // the triangle-family analytics
@@ -553,6 +575,40 @@ object ExtensionQueries {
             .cast("long").as("v")),
         "v", s = 5, permilles = Seq(10, 250, 500, 750, 990))
         .orderBy("q_permille")),
+
+    // per-GROUP percentiles off the sketch (latency-per-endpoint shape):
+    // group-keyed bucket frames, cumulative window partitioned by group
+    // (each frame value-space bounded), same per-group ≤2^-5 guarantee
+    "q_quantile_by_group" -> ((s, d) =>
+      qsketch.groupedQuantiles(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v")),
+        "l_returnflag", "v", s = 5, permilles = Seq(500, 990))
+        .orderBy("l_returnflag", "q_permille")),
+
+    // equi-depth feature discretization off the sketch: quartile
+    // boundaries from the bucket frame (est_hi at 250/500/750‰), bin =
+    // count of boundaries below the value — the boundary array is one
+    // broadcast row, the assignment a scan-local HOF
+    "q_quantile_bins" -> ((s, d) =>
+      qsketch.equiDepthBins(
+        t(s, d, "lineitem").select(
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v")),
+        "v", s = 5, nBins = 4)
+        .orderBy("bin")),
+
+    // winsorization (tail clipping) at sketch percentiles: clip to
+    // [est_lo(1%), est_hi(99%)] — certain to bracket the true
+    // quantiles — and report the audit row (counts clipped per tail,
+    // winsorized sum), all integer math
+    "q_winsorize" -> ((s, d) =>
+      qsketch.winsorize(
+        Tables.events(s, d).select(
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("long").as("v")),
+        "v", s = 5, loPermille = 10, hiPermille = 990)),
 
     // the MERGE property, demonstrated: per-source sketches built
     // independently (as shards/days would be), merged by count addition,
@@ -1463,6 +1519,35 @@ object ExtensionQueries {
           sum(col("n_dup_positions")).as("n_dup_after_scrub"))
     }),
 
+    // EXACT position-level decontamination off the at-rest SA: train
+    // positions whose 5-token span occurs verbatim in the benchmark
+    // subset (doc_id%97=0 — the q_bloom_at_rest split, upgraded from
+    // doc-level probabilistic to position-level exact). SA blocks with
+    // adjacent LCP >= 5: a train suffix is contaminated iff its block
+    // holds a benchmark suffix — three linear shuffles, never gram
+    // explosion, never all-pairs
+    "q_sa_decontaminate" -> ((s, d) =>
+      SuffixArray.contaminatedPositions(sharedSuffixArray(s, d),
+          t(s, d, "documents"), "doc_id", "text",
+          isBench = _ % 97 === 0, minLen = 5)
+        .orderBy("doc_id")),
+
+    // data-constrained mixing plan (Muennighoff et al. '23): waterfill
+    // milli-epochs across sources under a 63k-token budget with
+    // per-source repeat ceilings (2 or 3 epochs by source-name length) —
+    // closed-form breakpoint scan via the distributed prefix sum, exact
+    // integer/decimal arithmetic
+    "q_epoch_waterfill" -> ((s, d) =>
+      graft.text.Mixing.epochWaterfill(
+        t(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(sum(size(split(trim(col("text")), "\\s+")))
+            .cast("long").as("n_toks"))
+          .withColumn("cap_milli",
+            ((length(col("source")) % 3 + 1) * 1000).cast("long")),
+        "source", "n_toks", "cap_milli", budgetTokens = 63000L)
+        .orderBy("source")),
+
     // per-source ceiling on the pretraining mix: ≤20 docs per domain,
     // deterministic md5-rank selection
     "q_domain_cap" -> ((s, d) =>
@@ -1515,6 +1600,44 @@ object ExtensionQueries {
       Dedup.incrementalNearDups(
         docs.filter(col("doc_id") % 17 === 0),
         docs.filter(col("doc_id") % 17 =!= 0),
+        "doc_id", "text", numPerms = 8, numBands = 4, threshold = 0.8)
+    }),
+
+    // the daily-ingest cluster merge, end to end: yesterday's labels =
+    // CC over corpus-side pairs; today's edges = new×new LSH pairs plus
+    // new×corpus probes of the persisted index; incrementalComponents
+    // folds label stars + new edges — and must reproduce the
+    // from-scratch full-corpus CC exactly (the oracle recomputes it)
+    "q_dedup_cc_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+      val newDocs = docs.filter(col("doc_id") % 17 === 0)
+      val oldLabels = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(corpus, "doc_id", "text",
+          numPerms = 8, numBands = 4, threshold = 0.8),
+        "doc_a", "doc_b")
+      val store = sharedLshIndex(s, d)
+      val crossPairs = Dedup.incrementalNearDupsIndexed(newDocs,
+          s.read.parquet(s"$store/sets"),
+          s.read.parquet(s"$store/buckets"),
+          "doc_id", "text", numPerms = 8, numBands = 4, threshold = 0.8)
+        .select(col("new_id").as("a"), col("corpus_id").as("b"))
+      val newNew = Dedup.minhashLshPairs(newDocs, "doc_id", "text",
+          numPerms = 8, numBands = 4, threshold = 0.8)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      Dedup.incrementalComponents(oldLabels, "doc_id", "comp",
+        crossPairs.unionByName(newNew), "a", "b")
+    }),
+
+    // the same probe against the PERSISTED index files (sharedLshIndex):
+    // corpus signatures and banded buckets read at rest, only the new
+    // side computes anything — must equal q_dedup_incremental exactly
+    "q_lsh_index_at_rest" -> ((s, d) => {
+      val store = sharedLshIndex(s, d)
+      Dedup.incrementalNearDupsIndexed(
+        t(s, d, "documents").filter(col("doc_id") % 17 === 0),
+        s.read.parquet(s"$store/sets"),
+        s.read.parquet(s"$store/buckets"),
         "doc_id", "text", numPerms = 8, numBands = 4, threshold = 0.8)
     }),
 
@@ -3454,6 +3577,123 @@ object ExtensionQueries {
          SELECT q_permille, n, est_lo, est_hi, exact_v,
                 exact_v BETWEEN est_lo AND est_hi AS within_bound
          FROM ex ORDER BY q_permille""",
+
+    // the same bucket math with a group key threaded through every CTE
+    "q_quantile_by_group" ->
+      """WITH vals AS (
+           SELECT l_returnflag AS g,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+           FROM lineitem),
+         b AS (
+           SELECT g, CASE WHEN length(bin(v)) - 6 > 0
+                          THEN length(bin(v)) - 6 ELSE 0 END AS sh, v
+           FROM vals),
+         sk AS (
+           SELECT g, (v >> sh) << sh AS bkt_lo,
+                  ((v >> sh) << sh) + (1::BIGINT << sh) - 1 AS bkt_hi,
+                  count(*)::BIGINT AS cnt
+           FROM b GROUP BY 1, 2, 3),
+         cum AS (
+           SELECT g, bkt_lo, bkt_hi,
+                  sum(cnt) OVER (PARTITION BY g ORDER BY bkt_lo)::BIGINT
+                    AS cum
+           FROM sk),
+         n AS (SELECT g, sum(cnt)::BIGINT AS n FROM sk GROUP BY g),
+         probes AS (
+           SELECT g, q_permille, n,
+                  ((q_permille * n + 999) // 1000)::BIGINT AS target
+           FROM (VALUES (500::BIGINT), (990::BIGINT)) q(q_permille), n)
+         SELECT p.g AS l_returnflag, p.q_permille, p.n,
+                min(c.bkt_lo)::BIGINT AS est_lo,
+                arg_min(c.bkt_hi, c.bkt_lo)::BIGINT AS est_hi
+         FROM probes p JOIN cum c ON p.g = c.g AND c.cum >= p.target
+         GROUP BY 1, 2, 3
+         ORDER BY l_returnflag, q_permille""",
+
+    // same bucket math, then bin = count of quartile boundaries
+    // (est_hi at 250/500/750‰) strictly below the value
+    "q_quantile_bins" ->
+      """WITH vals AS (
+           SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+           FROM lineitem),
+         b AS (
+           SELECT CASE WHEN length(bin(v)) - 6 > 0
+                       THEN length(bin(v)) - 6 ELSE 0 END AS sh, v
+           FROM vals),
+         sk AS (
+           SELECT (v >> sh) << sh AS bkt_lo,
+                  ((v >> sh) << sh) + (1::BIGINT << sh) - 1 AS bkt_hi,
+                  count(*)::BIGINT AS cnt
+           FROM b GROUP BY 1, 2),
+         cum AS (
+           SELECT bkt_lo, bkt_hi,
+                  sum(cnt) OVER (ORDER BY bkt_lo)::BIGINT AS cum
+           FROM sk),
+         n AS (SELECT sum(cnt)::BIGINT AS n FROM sk),
+         probes AS (
+           SELECT q_permille, n,
+                  ((q_permille * n + 999) // 1000)::BIGINT AS target
+           FROM (VALUES (250::BIGINT), (500::BIGINT),
+                        (750::BIGINT)) q(q_permille), n),
+         est AS (
+           SELECT q_permille,
+                  arg_min(bkt_hi, bkt_lo)::BIGINT AS est_hi
+           FROM probes JOIN cum ON cum >= target
+           GROUP BY 1),
+         bounds AS (SELECT list(est_hi ORDER BY est_hi) AS bs FROM est),
+         binned AS (
+           SELECT v, len(list_filter(bs, x -> v > x))::BIGINT AS bin
+           FROM vals, bounds)
+         SELECT bin, count(*)::BIGINT AS cnt, min(v)::BIGINT AS min_v,
+                max(v)::BIGINT AS max_v
+         FROM binned GROUP BY bin ORDER BY bin""",
+
+    // same bucket math at 10/990‰, then one clip-and-count pass
+    "q_winsorize" ->
+      """WITH vals AS (
+           SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS v
+           FROM events),
+         b AS (
+           SELECT CASE WHEN length(bin(v)) - 6 > 0
+                       THEN length(bin(v)) - 6 ELSE 0 END AS sh, v
+           FROM vals),
+         sk AS (
+           SELECT (v >> sh) << sh AS bkt_lo,
+                  ((v >> sh) << sh) + (1::BIGINT << sh) - 1 AS bkt_hi,
+                  count(*)::BIGINT AS cnt
+           FROM b GROUP BY 1, 2),
+         cum AS (
+           SELECT bkt_lo, bkt_hi,
+                  sum(cnt) OVER (ORDER BY bkt_lo)::BIGINT AS cum
+           FROM sk),
+         n AS (SELECT sum(cnt)::BIGINT AS n FROM sk),
+         probes AS (
+           SELECT q_permille, n,
+                  ((q_permille * n + 999) // 1000)::BIGINT AS target
+           FROM (VALUES (10::BIGINT), (990::BIGINT)) q(q_permille), n),
+         est AS (
+           SELECT q_permille, min(bkt_lo)::BIGINT AS est_lo,
+                  arg_min(bkt_hi, bkt_lo)::BIGINT AS est_hi
+           FROM probes JOIN cum ON cum >= target
+           GROUP BY 1),
+         bounds AS (
+           SELECT min(CASE WHEN q_permille = 10 THEN est_lo END)
+                    ::BIGINT AS lo_bound,
+                  min(CASE WHEN q_permille = 990 THEN est_hi END)
+                    ::BIGINT AS hi_bound
+           FROM est)
+         SELECT count(*)::BIGINT AS n, lo_bound, hi_bound,
+                sum(CASE WHEN v < lo_bound THEN 1 ELSE 0 END)::BIGINT
+                  AS n_clipped_lo,
+                sum(CASE WHEN v > hi_bound THEN 1 ELSE 0 END)::BIGINT
+                  AS n_clipped_hi,
+                sum(greatest(least(v, hi_bound), lo_bound))::BIGINT
+                  AS sum_winsorized
+         FROM vals, bounds
+         GROUP BY lo_bound, hi_bound""",
 
     // stream ≡ batch: the micro-batched bucket counts merge to the
     // whole-corpus sketch, so the batch bucket math is the oracle
@@ -5568,6 +5808,60 @@ object ExtensionQueries {
                  WHERE gram IN (SELECT gram FROM sdup))::BIGINT
                   AS n_dup_after_scrub""",
 
+    // the same breakpoint scan in SQL: every row's exclusive-prefix
+    // candidate underestimates e*, the true breakpoint achieves it
+    "q_epoch_waterfill" ->
+      """WITH d AS (
+           SELECT source,
+                  len(string_split_regex(trim(text), '\s+'))::BIGINT
+                    AS nt
+           FROM documents),
+         src AS (
+           SELECT source AS src, sum(nt)::BIGINT AS n,
+                  (((length(source) % 3) + 1) * 1000)::BIGINT AS m
+           FROM d GROUP BY source),
+         pre AS (
+           SELECT src, n, m,
+                  sum(n::HUGEINT * m) OVER w - n::HUGEINT * m AS s_ex,
+                  sum(n::HUGEINT) OVER w - n AS t_ex
+           FROM src
+           WINDOW w AS (ORDER BY m, src
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         tot AS (SELECT sum(n)::HUGEINT AS ntot FROM src),
+         es AS (
+           SELECT max(((63000::HUGEINT * 1000 - s_ex) //
+             (ntot - t_ex))::BIGINT) AS e_star
+           FROM pre, tot)
+         SELECT src AS source, n AS n_tokens, m AS max_epochs_milli,
+                least(e_star, m)::BIGINT AS epochs_milli,
+                ((n::HUGEINT * least(e_star, m)) // 1000)::BIGINT
+                  AS alloc_tokens
+         FROM src, es ORDER BY source""",
+
+    // INDEPENDENT formulation of the engine's SA-block criterion: a
+    // train position is contaminated iff its 5-gram appears in some
+    // benchmark doc (equal-prefix suffixes share an SA block with every
+    // adjacent LCP >= 5, so the two are provably the same set)
+    "q_sa_decontaminate" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         pos AS (
+           SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+                  toks
+           FROM tok),
+         g AS (
+           SELECT doc_id, pos,
+                  array_to_string(toks[pos:pos+4], ' ') AS gram
+           FROM pos WHERE pos + 4 <= len(toks)),
+         bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+         SELECT doc_id, count(*)::BIGINT AS n_contaminated_positions
+         FROM g
+         WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM bg)
+         GROUP BY doc_id ORDER BY doc_id""",
+
     "q_domain_cap" ->
       """SELECT doc_id, source FROM (
            SELECT doc_id, source,
@@ -5605,6 +5899,22 @@ object ExtensionQueries {
     // min-label transitive closure over the minhash near-dup graph; the
     // UNION de-dupes (id, comp) rows so the recursion reaches a fixpoint
     "q_dedup_components" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                    UNION SELECT doc_b, doc_a FROM mh_pairs),
+          reach(id, comp) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
+          SELECT id AS doc_id, min(comp) AS comp,
+                 (id = min(comp)) AS is_canonical
+          FROM reach GROUP BY id""",
+
+    // the incremental merge must land on the SAME partition as a
+    // from-scratch CC over the whole corpus — the oracle IS the
+    // q_dedup_components recomputation (different engine formulation,
+    // identical fixpoint)
+    "q_dedup_cc_incremental" ->
       s"""WITH RECURSIVE $minhashPairCtes,
           edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
                     UNION SELECT doc_b, doc_a FROM mh_pairs),
@@ -5756,6 +6066,49 @@ object ExtensionQueries {
     // same signature/banding math as the minhash CTEs, with candidates
     // restricted to new(doc_id%17=0) × corpus(rest)
     "q_dedup_incremental" ->
+      s"""WITH tk AS (
+            SELECT doc_id,
+                   string_split_regex(trim(regexp_replace(lower(text),
+                     '[^a-z0-9\\s]+', ' ', 'g')), '\\s+') AS tk
+            FROM documents),
+          sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(tk) - 2),
+                     i -> array_to_string(tk[i:i+2], ' '))) AS shset
+            FROM tk),
+          units AS (SELECT doc_id, unnest(shset) AS u FROM sh),
+          vocab AS (SELECT DISTINCT u FROM units),
+          vh AS (
+            SELECT u, i AS perm, md5(i::VARCHAR || ':' || u) AS h
+            FROM vocab CROSS JOIN range(8) r(i)),
+          mh AS (
+            SELECT doc_id, perm, min(h) AS mh
+            FROM units JOIN vh USING (u)
+            GROUP BY doc_id, perm),
+          band AS (
+            SELECT doc_id, (perm // 2)::INT AS band,
+                   md5(string_agg(mh, ',' ORDER BY perm)) AS bucket
+            FROM mh GROUP BY doc_id, perm // 2),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+            FROM band a JOIN band b
+              ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.doc_id % 17 = 0 AND b.doc_id % 17 <> 0)
+          SELECT new_id, corpus_id,
+                 round(len(list_intersect(sa.shset, sb.shset))::DOUBLE /
+                   len(list_distinct(list_concat(sa.shset, sb.shset))), 6)
+                   AS jaccard
+          FROM cand
+          JOIN sh sa ON cand.new_id = sa.doc_id
+          JOIN sh sb ON cand.corpus_id = sb.doc_id
+          WHERE len(list_intersect(sa.shset, sb.shset))::DOUBLE /
+                  len(list_distinct(list_concat(sa.shset, sb.shset)))
+                  >= 0.8""",
+
+    // the file-backed index probe must reproduce q_dedup_incremental's
+    // result exactly — same signature/banding math, same split
+    "q_lsh_index_at_rest" ->
       s"""WITH tk AS (
             SELECT doc_id,
                    string_split_regex(trim(regexp_replace(lower(text),

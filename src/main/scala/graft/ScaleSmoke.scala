@@ -1259,6 +1259,55 @@ object ScaleSmoke {
       ok
     }
 
+    // per-group sketch: groups × value-space bounded frame — 100k
+    // groups over `rows` values, probe fan-out stays report-sized
+    timed("grouped quantile sketch") {
+      val got = graft.ops.qsketch.groupedQuantiles(
+        fact.select((col("k") % 100000L).as("g"),
+          (col("v").cast("long") * 31 % 999983L + 1L).as("x")),
+        "g", "x", s = 4, permilles = Seq(500, 990))
+      val n = got.count()
+      require(n == 200000L, s"expected 2 probes per group, got $n")
+      n
+    }
+
+    // waterfill: the breakpoint scan is two distributed prefix sums
+    // over a 5M-source frame — no single-task window, exact decimal
+    timed("epoch waterfill 5M sources") {
+      val nSrc = math.max(rows / 10, 1000L)
+      val srcs = spark.range(nSrc).select(col("id").as("s"),
+        (col("id") % 997L + 1L).as("n"),
+        ((col("id") % 5L + 1L) * 1000L).as("m"))
+      val plan = graft.text.Mixing.epochWaterfill(srcs, "s", "n", "m",
+        budgetTokens = nSrc * 499L * 2L)
+      val agg = plan.agg(
+        sum(col("alloc_tokens").cast("decimal(38,0)")).as("spent"),
+        count(lit(1)).as("c")).head()
+      val spent = agg.getDecimal(0)
+      require(agg.getLong(1) == nSrc, "every source must be planned")
+      // never overspends the budget (in whole tokens)
+      require(spent.compareTo(new java.math.BigDecimal(
+        nSrc * 499L * 2L)) <= 0, s"overspent: $spent")
+      agg.getLong(1)
+    }
+
+    // incremental CC: label stars + a planted merge chain converge in
+    // rounds bounded by the NEW chain's diameter — the at-rest history
+    // (rows/100 singleton clusters) never re-propagates
+    timed("incremental cc star merge") {
+      val nOld = rows / 100
+      val labels = spark.range(nOld).select(col("id").as("doc_id"),
+        (col("id") - col("id") % 2).as("comp")) // pairs (2k, 2k+1)
+      val newPairs = spark.range(50).select(
+        (col("id") * 2 + 1).as("a"), (col("id") * 2 + 2).as("b"))
+      val merged = graft.dedup.Dedup.incrementalComponents(
+        labels, "doc_id", "comp", newPairs, "a", "b")
+      // the planted chain merges docs 0..101 into comp 0
+      val big = merged.filter(col("comp") === 0L).count()
+      require(big == 102L, s"chain merge wrong: $big")
+      merged.count()
+    }
+
     spark.stop()
   }
 }

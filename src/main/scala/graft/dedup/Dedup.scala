@@ -778,6 +778,28 @@ object Dedup {
       (col("id") === col("comp")).as("is_canonical"))
   }
 
+  /** Incremental component maintenance — the daily-ingest half of
+    * cluster dedup: yesterday's (doc_id, comp) assignment is an AT-REST
+    * artifact; today's arrivals contribute only their new pairs (new×new
+    * plus new×corpus via the persisted LSH index), and the merged
+    * partition comes from running [[connectedComponents]] over the
+    * label STARS plus the new edges. CC(stars ∪ newPairs) =
+    * CC(oldPairs ∪ newPairs) — each star is its component collapsed to
+    * depth 1 — so the fixpoint converges in rounds bounded by the NEW
+    * merge chains' diameter, not the corpus's: the whole history never
+    * re-propagates. Self-label rows become self-loops, which the
+    * min-label fold ignores, so untouched singletons ride through.
+    * Returns the full updated (doc_id, comp, is_canonical). */
+  def incrementalComponents(labels: DataFrame, idCol: String,
+                            labelCol: String, newPairs: DataFrame,
+                            aCol: String, bCol: String): DataFrame =
+    connectedComponents(
+      labels.select(col(idCol).cast("long").as("__ia"),
+          col(labelCol).cast("long").as("__ib"))
+        .unionByName(newPairs.select(col(aCol).cast("long").as("__ia"),
+          col(bCol).cast("long").as("__ib"))),
+      "__ia", "__ib")
+
   /** Corpus-level dedup decision: drop every non-canonical member of a
     * duplicate component, keep everything else (docs with no dup edge
     * never enter the pair graph and pass through untouched). One

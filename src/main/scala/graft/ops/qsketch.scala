@@ -84,6 +84,103 @@ object qsketch {
         min_by(col("bkt_hi"), col("bkt_lo")).as("est_hi"))
   }
 
+  /** Per-GROUP quantile report — the grouped-percentile telemetry shape
+    * (latency per endpoint, length per language): the same integer
+    * bucket math as [[quantiles]], with every frame carrying the group
+    * key. The per-group sketch is ≤ 64·2^s rows (value-space bounded),
+    * the cumulative window partitions BY GROUP (each group's frame is
+    * report-sized; groups spread across the cluster), and the probe
+    * join fans out to ≤ |groups|·|permilles|·buckets rows — never
+    * data-sized. Same guarantee per group: the true quantile lies in
+    * [est_lo, est_hi], relative width ≤ 2^−s.
+    * @return (groupCol, q_permille, n, est_lo, est_hi) */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       s: Int, permilles: Seq[Int]): DataFrame = {
+    require(s >= 1 && s <= 20, s"sub-bucket bits s must be in [1,20], got $s")
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1,1000], got $permilles")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lo = bucketLo(col(valueCol), s)
+    val hi = lo +
+      call_function("shiftleft", lit(1L), shiftOf(col(valueCol), s)) - 1
+    val sk = df.select(col(groupCol).as("__g"), lo.as("bkt_lo"),
+        hi.as("bkt_hi"))
+      .groupBy("__g", "bkt_lo", "bkt_hi")
+      .agg(count(lit(1)).as("cnt"))
+    val wg = Window.partitionBy(col("__g")).orderBy(col("bkt_lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sk.withColumn("cum", sum(col("cnt")).over(wg))
+      .stage() // per-group n and every probe read it
+    val probes = cum.groupBy("__g")
+      .agg(sum(col("cnt")).cast("long").as("n"))
+      .crossJoin(broadcast(permilles.map(_.toLong).toDF("q_permille")))
+      .withColumn("target", targetRank)
+    probes.join(cum, Seq("__g"))
+      .filter(col("cum") >= col("target"))
+      .groupBy("__g", "q_permille", "n", "target")
+      .agg(min(col("bkt_lo")).as("est_lo"),
+        min_by(col("bkt_hi"), col("bkt_lo")).as("est_hi"))
+      .drop("target")
+      .withColumnRenamed("__g", groupCol)
+  }
+
+  /** Equi-depth binning (feature discretization) driven by the sketch:
+    * bin boundaries are the `est_hi` bucket bounds at permilles
+    * i·1000/nBins (i = 1..nBins−1), and a value's bin is the count of
+    * boundaries strictly below it — so bin populations are equal up to
+    * the sketch's ≤2^−s relative bucket width. The boundary frame is
+    * ≤ nBins−1 rows collapsed into ONE array row and broadcast; the
+    * assignment is a scan-local HOF (`filter` + `size`) — at 100 TB the
+    * only non-scan work is the value-space-bounded sketch groupBy.
+    * Output: (bin, cnt, min_v, max_v), one row per occupied bin. */
+  def equiDepthBins(df: DataFrame, valueCol: String, s: Int,
+                    nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2,1000], got $nBins")
+    val perms = (1 until nBins).map(i => (i * 1000) / nBins)
+    // est_hi is non-decreasing in the permille (the cum threshold only
+    // grows), so sorting by the bound itself reproduces permille order
+    val bounds = quantiles(build(df, valueCol, s), perms)
+      .agg(sort_array(collect_list(col("est_hi"))).as("__bs"))
+    df.select(col(valueCol).as("v"))
+      .crossJoin(broadcast(bounds))
+      .select(col("v"),
+        size(filter(col("__bs"), b => col("v") > b)).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+  }
+
+  /** Winsorization (tail clipping) at sketch-estimated percentiles: the
+    * lower bound is `est_lo` at `loPermille`, the upper `est_hi` at
+    * `hiPermille` — each certain to bracket the true quantile, so the
+    * clip is conservative on both tails. Pure integer math; the bound
+    * frame is 2 values broadcast, the clip scan-local. Output is the
+    * audit row a pipeline gate wants: (n, lo_bound, hi_bound,
+    * n_clipped_lo, n_clipped_hi, sum_winsorized). */
+  def winsorize(df: DataFrame, valueCol: String, s: Int,
+                loPermille: Int, hiPermille: Int): DataFrame = {
+    require(loPermille < hiPermille,
+      s"lo must be < hi, got $loPermille >= $hiPermille")
+    val q = quantiles(build(df, valueCol, s), Seq(loPermille, hiPermille))
+    val bounds = q.agg(
+      min(when(col("q_permille") === loPermille, col("est_lo")))
+        .as("lo_bound"),
+      min(when(col("q_permille") === hiPermille, col("est_hi")))
+        .as("hi_bound"))
+    df.select(col(valueCol).as("v"))
+      .crossJoin(broadcast(bounds))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo_bound")).as("lo_bound"),
+        min(col("hi_bound")).as("hi_bound"),
+        sum(when(col("v") < col("lo_bound"), 1L).otherwise(0L))
+          .as("n_clipped_lo"),
+        sum(when(col("v") > col("hi_bound"), 1L).otherwise(0L))
+          .as("n_clipped_hi"),
+        sum(greatest(least(col("v"), col("hi_bound")), col("lo_bound")))
+          .as("sum_winsorized"))
+  }
+
   /** End-to-end report with the bound VERIFIED against the exact
     * quantile (computed by a distributed per-value cumulative count —
     * no data-sized single-task window): per permille,

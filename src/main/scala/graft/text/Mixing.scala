@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.windows
+import graft.Staging.StageOps
+
+/** Corpus-mix planning under a token budget — the allocation half of
+  * data-constrained pretraining (Muennighoff et al. 2023, "Scaling
+  * Data-Constrained Language Models": repeated data is worth nearly as
+  * much as fresh data for a few epochs, so a fixed budget should
+  * waterfill epochs across sources up to per-source repeat ceilings).
+  */
+object Mixing {
+
+  /** Exact integer waterfilling: find the common milli-epoch level e*
+    * maximal such that Σ_s n_s · min(e*, M_s) ≤ B·1000 (token·millis),
+    * then allocate n_s · min(e*, M_s) to each source.
+    *
+    * Closed form without iteration: sort sources by ceiling; for each
+    * breakpoint r (sources 1..r−1 saturated) the affordable level is
+    * e_r = (B·1000 − S_{r−1}) DIV (N − T_{r−1}) with S/T the
+    * exclusive prefix sums of n·M and n. Every e_r UNDERESTIMATES e*
+    * (assuming the wrong saturation set only overstates cost), and the
+    * correct breakpoint achieves it — so e* = max_r e_r, one aggregate.
+    *
+    * Scale shape: two [[windows.distributedPrefixSum]] passes over the
+    * per-source frame (range exchanges — no single-task window even at
+    * 10⁷ domains), one scalar max, one broadcast back. Cumulative
+    * token·milli products are decimal(38,0) (they pass int64 around
+    * 10¹⁹ token·millis); divisions are `DIV`; everything is
+    * oracle-reproducible bit for bit.
+    *
+    * @param sources per-source frame
+    * @param srcCol  source key column
+    * @param tokCol  per-source fresh-token count (long, ≥ 1)
+    * @param capCol  per-source repeat ceiling in MILLI-epochs (long,
+    *                ≥ 1) — e.g. 4000 = at most 4 epochs
+    * @param budgetTokens total token budget B
+    * @return (srcCol, n_tokens, max_epochs_milli, epochs_milli,
+    *         alloc_tokens); epochs_milli = min(e*, M_s), alloc_tokens =
+    *         n_s·epochs_milli DIV 1000. A budget above every ceiling
+    *         saturates every source (e* ≥ max M). */
+  def epochWaterfill(sources: DataFrame, srcCol: String, tokCol: String,
+                     capCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budget must be >= 1, got $budgetTokens")
+    val base = sources.select(col(srcCol).as("src"),
+        col(tokCol).cast("long").as("n"),
+        col(capCol).cast("long").as("m"))
+      .stage() // prefix-sum pass + final projection both read it
+    // inclusive prefix sums in ceiling order (ties resolved by src —
+    // a total order, so both cums and every candidate are deterministic)
+    val withNm = base.withColumn("__nm",
+      col("n").cast("decimal(38,0)") * col("m"))
+    val s1 = windows.distributedPrefixSum(withNm,
+      Seq(col("m"), col("src")), col("__nm"), cumName = "__s",
+      rankName = "__r1")
+    val pre = windows.distributedPrefixSum(s1,
+        Seq(col("m"), col("src")), col("n"), cumName = "__t",
+        rankName = "__r2")
+      .drop("__r1", "__r2")
+    val tot = broadcast(base.agg(
+      sum(col("n")).cast("decimal(38,0)").as("__ntot")))
+    // per-row candidate from the EXCLUSIVE cums (this row not yet
+    // saturated): covers breakpoints 0..K−1; the divisor is ≥ n_row ≥ 1
+    val eStar = broadcast(pre.crossJoin(tot)
+      .select(expr(
+        s"CAST((CAST($budgetTokens AS DECIMAL(38,0)) * 1000 " +
+          "- (__s - __nm)) DIV " +
+          "(__ntot - (CAST(__t AS DECIMAL(38,0)) - n)) AS BIGINT)")
+        .as("__e"))
+      .agg(max(col("__e")).as("e_star")))
+    base.crossJoin(eStar)
+      .select(col("src").as(srcCol), col("n").as("n_tokens"),
+        col("m").as("max_epochs_milli"),
+        least(col("e_star"), col("m")).as("epochs_milli"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * least(e_star, m)) " +
+          "DIV 1000 AS BIGINT)").as("alloc_tokens"))
+  }
+}

@@ -235,6 +235,54 @@ object SuffixArray {
       .distinct()
   }
 
+  /** EXACT cross-corpus decontamination via the suffix array: for every
+    * non-benchmark ("train") document, the number of token positions
+    * whose `minLen`-token span also occurs verbatim in some benchmark
+    * document — the position-level exactness the Bloom/shingle probes
+    * ([[graft.dedup.Dedup.bloomContaminated]]) only answer at document
+    * granularity, and the reason Lee et al. 2022 persist the SA in the
+    * first place.
+    *
+    * SA-block criterion (exact, never all-pairs): split SA order into
+    * maximal BLOCKS where every adjacent LCP ≥ `minLen`. Since
+    * lcp(i, j) = min of the adjacent LCPs between them, two suffixes
+    * share a ≥`minLen` prefix iff they land in the same block — so a
+    * train position is contaminated iff its block contains a benchmark
+    * suffix. Plan shape: one adjacency join (the LCP index), one range
+    * exchange for the block ids ([[graft.ops.windows.distributedPrefixSum]]
+    * over the break indicators), one hash exchange on the block id for
+    * the contains-benchmark flag — three linear shuffles, driver-free.
+    *
+    * @param isBench corpus-tag predicate on the doc-id column (e.g.
+    *                `_ % 97 === 0`) — evaluated scan-local, no tag join
+    * @return (doc_id, n_contaminated_positions) per contaminated train
+    *         doc */
+  def contaminatedPositions(sa: DataFrame, docs: DataFrame, idCol: String,
+                            textCol: String, isBench: Column => Column,
+                            minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lcp = lcpFrom(sa, docs, idCol, textCol, cap = minLen)
+    // a block break sits BEFORE rank r+1 iff lcp(r, r+1) < minLen; the
+    // first rank (no predecessor) always starts a block
+    val withBreak = sa.join(
+        lcp.select((col("sa_rank") + 1).as("sa_rank"),
+          col("lcp").as("__pl")), Seq("sa_rank"), "left")
+      .withColumn("__brk",
+        when(col("__pl").isNull || col("__pl") < minLen, 1L)
+          .otherwise(0L))
+    val blocks = windows.distributedPrefixSum(withBreak,
+        Seq(col("sa_rank")), col("__brk"), cumName = "__blk",
+        rankName = "__r")
+      .select(col("doc_id"), col("__blk"),
+        when(isBench(col("doc_id")), 1L).otherwise(0L).as("__isb"))
+    blocks
+      .withColumn("__hasb",
+        max(col("__isb")).over(Window.partitionBy(col("__blk"))))
+      .filter(col("__isb") === 0L && col("__hasb") === 1L)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated_positions"))
+  }
+
   /** Maximal duplicated token SPANS per document — the removal half of
     * the Lee et al. 2022 exact-substring pipeline: every duplicated
     * position p covers tokens [p, p+minLen−1]; overlapping/adjacent

@@ -113,6 +113,48 @@ class DedupSpec extends SparkSpec {
     assert(inc.contains((0L, 1L)), "exact dup straddling the split")
   }
 
+  test("file-backed LSH index probe ≡ the in-lineage incremental path") {
+    val newDocs = docs.filter(col("doc_id") % 2 === 0)
+    val corpus = docs.filter(col("doc_id") % 2 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("lsh_index_spec").toString
+    val sets = Dedup.shingleSets(corpus, "doc_id", "text", 3)
+    sets.write.mode("overwrite").parquet(s"$dir/sets")
+    Dedup.bandedBuckets(sets, numPerms = 8, numBands = 4)
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    val atRest = Dedup.incrementalNearDupsIndexed(newDocs,
+        spark.read.parquet(s"$dir/sets"),
+        spark.read.parquet(s"$dir/buckets"),
+        "doc_id", "text", numPerms = 8, numBands = 4, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    val inline = Dedup.incrementalNearDups(newDocs, corpus, "doc_id",
+        "text", numPerms = 8, numBands = 4, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(atRest === inline)
+    assert(atRest.nonEmpty, "fixture must produce cross pairs")
+  }
+
+  test("incrementalComponents ≡ from-scratch CC after new edges merge") {
+    // old graph: {1,2,3} and {5,6} and {9,10}; new edges chain-merge
+    // {1..3}+{5,6} via 4, add fresh singleton pair (20,21), touch
+    // nothing in {9,10}
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 10L))
+      .toDF("a", "b")
+    val newPairs = Seq((3L, 4L), (4L, 5L), (20L, 21L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(oldPairs, "a", "b")
+    val inc = Dedup.incrementalComponents(labels, "doc_id", "comp",
+        newPairs, "a", "b")
+      .select("doc_id", "comp", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val scratch = Dedup.connectedComponents(
+        oldPairs.unionByName(newPairs), "a", "b")
+      .select("doc_id", "comp", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(inc === scratch)
+    assert(inc.contains((6L, 1L, false)), "components must have merged")
+    assert(inc.contains((9L, 9L, true)), "untouched cluster intact")
+  }
+
   test("banded simhash pairs ≡ blocked join when one block holds everything") {
     // the corpus shape that blows up heuristic blocking: every doc the
     // same lang and length bucket — ONE block, so the blocked join is a

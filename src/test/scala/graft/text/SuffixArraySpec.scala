@@ -136,6 +136,36 @@ class SuffixArraySpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must contain duplicated spans")
   }
 
+  test("contaminatedPositions: SA blocks equal the brute gram criterion") {
+    val minLen = 3
+    val df = corpus.toDF("doc_id", "text")
+    val sa = SuffixArray.suffixArray(df, "doc_id", "text")
+    // bench = even doc ids; brute truth: train positions whose
+    // minLen-gram occurs in ANY bench doc
+    val toks = corpus.map { case (id, t) =>
+      (id, t.toLowerCase.replaceAll("[^a-z0-9\\s]+", " ").trim
+        .split("\\s+").toSeq)
+    }
+    def grams(ts: Seq[String]) =
+      (1 to ts.length - minLen + 1).map(p =>
+        (p.toLong, ts.slice(p - 1, p - 1 + minLen).mkString(" ")))
+    val benchGrams = toks.filter(_._1 % 2 == 0)
+      .flatMap { case (_, ts) => grams(ts).map(_._2) }.toSet
+    val want = toks.filter(_._1 % 2 != 0).flatMap { case (id, ts) =>
+      val hits = grams(ts).count { case (_, g) => benchGrams(g) }
+      if (hits > 0) Some((id, hits.toLong)) else None
+    }.toMap
+    val got = SuffixArray.contaminatedPositions(sa, df, "doc_id",
+        "text", isBench = _ % 2 === 0, minLen = minLen)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must contain cross-corpus overlap")
+    // doc 3 (train) is an exact dup of bench doc... doc 3 is odd, its
+    // twin doc 1 is also odd — overlap must come from real shared spans
+    // (docs 1/3 share "a banana a" etc. only with each other: excluded)
+    assert(!got.contains(4L) && !got.contains(2L) && !got.contains(0L))
+  }
+
   test("scrubSegments: survivors carry NO minLen-gram occurring twice") {
     val minLen = 3
     val df = corpus.toDF("doc_id", "text")
