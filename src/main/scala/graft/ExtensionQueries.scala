@@ -2833,6 +2833,17 @@ object ExtensionQueries {
         .orderBy("event_type", "day")
     }),
 
+    // two-sample Kolmogorov-Smirnov drift, exact in integers: D between
+    // the purchase-event value distribution and everything else — the
+    // numerator is cross-multiplied cumulative counts (decimal(38,0)),
+    // so the statistic is engine-reproducible with no float CDF math
+    "q_ks_drift" -> ((s, d) =>
+      analytics.ksDrift(
+        Tables.events(s, d).select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("long").as("v")),
+        sideA = col("event_type") === "purchase", "v")),
+
     // ---- embedding distribution drift ---------------------------------------
     // per-dim mean shift between two snapshot halves — the embedding-
     // space companion to q_source_kl's text drift: a re-embedded or
@@ -8562,6 +8573,34 @@ object ExtensionQueries {
          FROM l
          WHERE prev IS NOT NULL AND day - prev_day = 7
          ORDER BY event_type, day""",
+
+    // the same jump-point evaluation: cumulative counts per distinct
+    // value, cross-multiplied in HUGEINT, micro-units via //
+    "q_ks_drift" ->
+      """WITH vals AS (
+           SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS v,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS a
+           FROM events),
+         pv AS (
+           SELECT v, sum(a)::BIGINT AS c1,
+                  sum(1 - a)::BIGINT AS c2
+           FROM vals GROUP BY v),
+         cums AS (
+           SELECT sum(c1) OVER w::HUGEINT AS cum1,
+                  sum(c2) OVER w::HUGEINT AS cum2
+           FROM pv WINDOW w AS (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
+                 FROM pv),
+         d AS (SELECT max(abs(cum1 * n2 - cum2 * n1)) AS dmax, n1, n2
+               FROM cums, tot GROUP BY n1, n2)
+         SELECT n1, n2,
+                CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                     ELSE CAST((dmax * 1000000) //
+                       (n1::HUGEINT * n2) AS BIGINT) END AS d_micro
+         FROM d""",
 
     // same float→double→decimal ladder and division order as the Spark
     // side, so means match bit-for-bit before the 6dp round

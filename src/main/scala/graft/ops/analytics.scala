@@ -445,6 +445,47 @@ object analytics {
           .as("enc_micro"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift, EXACT in integers: the KS
+    * statistic D = max_x |F₁(x) − F₂(x)| always attains its max at a
+    * jump point, so it is max over distinct values of
+    * |cum₁·n₂ − cum₂·n₁| / (n₁·n₂) — and the numerator is pure integer
+    * cross-multiplication (decimal(38,0), exact past 10¹⁸ rows a side),
+    * never a float CDF subtraction whose summation order could diverge
+    * between engines. The classic "did this week's distribution move"
+    * gate with none of PSI's binning/log choices.
+    *
+    * Shape: one per-value groupBy (value-space-bounded frame), both
+    * cumulative counts from ONE range exchange
+    * ([[windows.distributedPrefixSums]]), one scalar max. No data-sized
+    * window, no driver state.
+    *
+    * @param sideA membership predicate for sample 1 (sample 2 = rest)
+    * @return one row (n1, n2, d_micro): D in micro-units
+    *         (DIV — 0..1,000,000); null if either side is empty */
+  def ksDrift(df: DataFrame, sideA: Column, valueCol: String)
+  : DataFrame = {
+    val perValue = df
+      .select(col(valueCol).cast("long").as("v"),
+        when(sideA, 1L).otherwise(0L).as("__a"))
+      .groupBy("v")
+      .agg(sum(col("__a")).as("c1"),
+        sum(lit(1L) - col("__a")).as("c2"))
+    val cums = windows.distributedPrefixSums(perValue, Seq(col("v")),
+      Seq(col("c1"), col("c2")), Seq("cum1", "cum2"), rankName = "__r")
+    val tot = broadcast(perValue.agg(
+      coalesce(sum(col("c1")), lit(0L)).as("n1"),
+      coalesce(sum(col("c2")), lit(0L)).as("n2")))
+    cums.crossJoin(tot)
+      .groupBy("n1", "n2")
+      .agg(max(abs(col("cum1").cast("decimal(38,0)") * col("n2") -
+        col("cum2").cast("decimal(38,0)") * col("n1"))).as("__dmax"))
+      .select(col("n1"), col("n2"),
+        expr("CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE " +
+          "CAST((__dmax * 1000000) DIV " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT) END")
+          .as("d_micro"))
+  }
+
   /** Randomized response (Warner 1965) — the ESTIMATOR of the classic
     * local-DP mechanism for collecting a sensitive bit: each row reports
     * its true bit with probability 1−f and a fair coin with probability

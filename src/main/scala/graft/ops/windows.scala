@@ -87,31 +87,60 @@ object windows {
   def distributedPrefixSum(df: DataFrame, order: Seq[Column],
                            value: Column, cumName: String = "cum",
                            rankName: String = "rk",
-                           numPartitions: Int = 0): DataFrame = {
-    val withV = df.withColumn("__psv", value)
+                           numPartitions: Int = 0): DataFrame =
+    distributedPrefixSums(df, order, Seq(value), Seq(cumName), rankName,
+      numPartitions)
+
+  /** [[distributedPrefixSum]] for SEVERAL value columns at once: all
+    * running sums share the single range exchange and the single
+    * in-partition sort instead of paying one exchange each (a second
+    * sequential pass would also re-walk the first pass's window output
+    * in its sampling job). Sum types follow Spark's `sum` (longs stay
+    * long, decimals stay decimal). */
+  def distributedPrefixSums(df: DataFrame, order: Seq[Column],
+                            values: Seq[Column], cumNames: Seq[String],
+                            rankName: String = "rk",
+                            numPartitions: Int = 0): DataFrame = {
+    require(values.nonEmpty && values.length == cumNames.length,
+      s"need one cum name per value, got ${values.length} values / " +
+        s"${cumNames.length} names")
+    val vCols = values.indices.map(i => s"__psv$i")
+    val withV = values.zip(vCols).foldLeft(df) {
+      case (d, (v, n)) => d.withColumn(n, v) }
     val parted = (if (numPartitions > 0)
         withV.repartitionByRange(numPartitions, order: _*)
       else withV.repartitionByRange(order: _*))
       .withColumn("__pid", spark_partition_id())
       .stage()
     val wIn = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    val inPart = parted
-      .withColumn("__cum_in", sum(col("__psv")).over(
-        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__rk_in", row_number().over(wIn))
-    val wOff = Window.partitionBy(boundedGlobal(col("__pid"))).orderBy(col("__pid"))
+    val wRun = wIn.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val inPart = vCols.zipWithIndex.foldLeft(
+        parted.withColumn("__rk_in", row_number().over(wIn))) {
+      case (d, (n, i)) =>
+        d.withColumn(s"__cum_in$i", sum(col(n)).over(wRun)) }
+    val wOff = Window.partitionBy(boundedGlobal(col("__pid")))
+      .orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parted.groupBy(col("__pid"))
-      .agg(sum(col("__psv")).as("__pt"), count(lit(1)).as("__pc"))
-      .withColumn("__voff",
-        coalesce(sum(col("__pt")).over(wOff), lit(0L)))
+      .agg(count(lit(1)).as("__pc"),
+        vCols.zipWithIndex.map { case (n, i) =>
+          sum(col(n)).as(s"__pt$i") }: _*)
       .withColumn("__coff",
         coalesce(sum(col("__pc")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__voff"), col("__coff"))
-    inPart.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(cumName, col("__cum_in") + col("__voff"))
+    val offsets2 = vCols.indices.foldLeft(offsets) { case (d, i) =>
+        d.withColumn(s"__voff$i",
+          sum(col(s"__pt$i")).over(wOff)) }
+      .select(col("__pid") +: col("__coff") +:
+        vCols.indices.map(i => col(s"__voff$i")): _*)
+    val joined = inPart.join(broadcast(offsets2), Seq("__pid"))
       .withColumn(rankName, col("__rk_in") + col("__coff"))
-      .drop("__pid", "__psv", "__cum_in", "__rk_in", "__voff", "__coff")
+    cumNames.zipWithIndex.foldLeft(joined) { case (d, (cn, i)) =>
+        d.withColumn(cn, col(s"__cum_in$i") +
+          coalesce(col(s"__voff$i"), lit(0))) }
+      .drop("__pid" +: "__rk_in" +: "__coff" +:
+        vCols.indices.flatMap(i =>
+          Seq(s"__psv$i", s"__cum_in$i", s"__voff$i")): _*)
   }
 
   /** Distributed global DENSE rank over `keys` — equal key tuples get

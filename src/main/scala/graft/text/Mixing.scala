@@ -50,40 +50,16 @@ object Mixing {
         col(capCol).cast("long").as("m"))
       .stage() // prefix-sum pass + final projection both read it
     // BOTH inclusive prefix sums (token·millis and tokens) in ceiling
-    // order from ONE range exchange — the [[windows.distributedPrefixSum]]
-    // two-level rewrite, fused for two value columns (running it twice
-    // would pay a second exchange + sampling pass over the first's
-    // output). Ties resolved by src — a total order, so the cums and
-    // every candidate are deterministic.
+    // order from ONE range exchange ([[windows.distributedPrefixSums]]
+    // — running the singular version twice would pay a second exchange
+    // plus a sampling pass over the first's window output). Ties
+    // resolved by src — a total order, so the cums and every candidate
+    // are deterministic.
     val withNm = base.withColumn("__nm",
       col("n").cast("decimal(38,0)") * col("m"))
-    val order = Seq(col("m"), col("src"))
-    val parted = withNm.repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .stage() // in-partition window + per-partition offsets
-    val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(order: _*)
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val wOff = org.apache.spark.sql.expressions.Window
-      .partitionBy(windows.boundedGlobal(col("__pid")))
-      .orderBy(col("__pid"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, -1)
-    val offsets = parted.groupBy(col("__pid"))
-      .agg(sum(col("__nm")).as("__ps"), sum(col("n")).as("__pt"))
-      .withColumn("__soff", coalesce(sum(col("__ps")).over(wOff),
-        lit(0).cast("decimal(38,0)")))
-      .withColumn("__toff", coalesce(sum(col("__pt")).over(wOff),
-        lit(0L)))
-      .select(col("__pid"), col("__soff"), col("__toff"))
-    val pre = parted
-      .withColumn("__s_in", sum(col("__nm")).over(wIn))
-      .withColumn("__t_in", sum(col("n")).over(wIn))
-      .join(broadcast(offsets), Seq("__pid"))
-      .withColumn("__s", col("__s_in") + col("__soff"))
-      .withColumn("__t", col("__t_in") + col("__toff"))
+    val pre = windows.distributedPrefixSums(withNm,
+      Seq(col("m"), col("src")), Seq(col("__nm"), col("n")),
+      Seq("__s", "__t"), rankName = "__r")
     val tot = broadcast(base.agg(
       sum(col("n")).cast("decimal(38,0)").as("__ntot")))
     // per-row candidate from the EXCLUSIVE cums (this row not yet

@@ -402,4 +402,51 @@ class AnalyticsSpec extends SparkSpec {
       .select("enc_micro").as[Option[Long]].collect()
     assert(solo.toSeq === Seq(None))
   }
+
+  /** Brute-force two-sample KS in exact rationals (numerator units). */
+  private def bruteKsMicro(a: Seq[Long], b: Seq[Long]): Long = {
+    val xs = (a ++ b).distinct.sorted
+    val dmax = xs.map { x =>
+      (BigInt(a.count(_ <= x)) * b.size -
+        BigInt(b.count(_ <= x)) * a.size).abs
+    }.max
+    (dmax * 1000000 / (BigInt(a.size) * b.size)).toLong
+  }
+
+  test("ksDrift ≡ brute-force KS statistic at jump points") {
+    val a = Seq(1L, 2L, 2L, 3L, 7L, 9L, 12L, 15L)
+    val b = Seq(2L, 5L, 6L, 7L, 7L, 20L)
+    val df = (a.map((_, true)) ++ b.map((_, false))).toDF("v", "isa")
+    val Array((n1, n2, d)) = analytics.ksDrift(df, col("isa"), "v")
+      .as[(Long, Long, Long)].collect()
+    assert(n1 === a.size.toLong && n2 === b.size.toLong)
+    assert(d === bruteKsMicro(a, b))
+  }
+
+  test("ksDrift: identical samples 0, disjoint samples 1, fuzz") {
+    val same = Seq(3L, 5L, 5L, 9L)
+    val dfSame = (same.map((_, true)) ++ same.map((_, false)))
+      .toDF("v", "isa")
+    assert(analytics.ksDrift(dfSame, col("isa"), "v")
+      .select("d_micro").as[Long].head() === 0L)
+    val dfDisj = (Seq(1L, 2L).map((_, true)) ++
+      Seq(10L, 11L).map((_, false))).toDF("v", "isa")
+    assert(analytics.ksDrift(dfDisj, col("isa"), "v")
+      .select("d_micro").as[Long].head() === 1000000L)
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val a = Seq.fill(5 + rnd.nextInt(40))(rnd.nextInt(30).toLong)
+      val b = Seq.fill(5 + rnd.nextInt(40))(rnd.nextInt(30).toLong)
+      val df = (a.map((_, true)) ++ b.map((_, false))).toDF("v", "isa")
+      assert(analytics.ksDrift(df, col("isa"), "v")
+        .select("d_micro").as[Long].head() === bruteKsMicro(a, b))
+    }
+  }
+
+  test("ksDrift with an empty side yields a null statistic") {
+    val df = Seq((1L, true), (2L, true)).toDF("v", "isa")
+    val got = analytics.ksDrift(df, col("isa"), "v")
+      .select("d_micro").as[Option[Long]].collect()
+    assert(got.toSeq === Seq(None))
+  }
 }

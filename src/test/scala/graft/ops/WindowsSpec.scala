@@ -146,6 +146,30 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("distributedPrefixSums: several cums, one pass, mixed types") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 200).map(i =>
+      (i.toLong, (i * 7 % 13).toLong, (i * 3 % 5).toLong))
+      .toDF("uid", "x", "y")
+      .withColumn("xd", col("x").cast("decimal(38,0)") * 1000)
+    val w = Window.orderBy(col("uid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("cx", sum(col("x")).over(w))
+      .withColumn("cy", sum(col("y")).over(w))
+      .withColumn("cxd", sum(col("xd")).over(w))
+      .select(col("uid"), col("cx"), col("cy"),
+        col("cxd").cast("decimal(38,0)"))
+      .as[(Long, Long, Long, BigDecimal)].collect().toSet
+    val got = windows.distributedPrefixSums(df, Seq(col("uid")),
+        Seq(col("x"), col("y"), col("xd")), Seq("cx", "cy", "cxd"),
+        numPartitions = 7)
+      .select(col("uid"), col("cx"), col("cy"),
+        col("cxd").cast("decimal(38,0)"))
+      .as[(Long, Long, Long, BigDecimal)].collect().toSet
+    assert(got === want)
+  }
+
   test("distributedPrefixSum leaves no unpartitioned data-sized window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
     val df = (1L to 100L).map(i => (i, i % 7)).toDF("uid", "c")
