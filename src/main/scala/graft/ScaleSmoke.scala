@@ -1291,6 +1291,23 @@ object ScaleSmoke {
       agg.getLong(1)
     }
 
+    // exact KS at size: two planted uniforms offset by half their
+    // support have D = 0.5 EXACTLY — the integer cross-multiplication
+    // must land on 500000 micro on the nose, at any row count divisible
+    // by the support
+    timed("ks drift planted uniform") {
+      val n2 = (rows / 20000) * 10000 // both sides a multiple of 10k
+      val a = spark.range(n2).select((col("id") % 10000L).as("v"),
+        lit(true).as("isa"))
+      val b = spark.range(n2).select((col("id") % 10000L + 5000L).as("v"),
+        lit(false).as("isa"))
+      val got = graft.ops.analytics.ksDrift(a.unionByName(b),
+        col("isa"), "v").head()
+      require(got.getLong(2) == 500000L,
+        s"planted KS off: ${got.getLong(2)}")
+      got.getLong(0) + got.getLong(1)
+    }
+
     // incremental CC: label stars + a planted merge chain converge in
     // rounds bounded by the NEW chain's diameter — the at-rest history
     // (rows/100 singleton clusters) never re-propagates
