@@ -250,8 +250,12 @@ object SuffixArray {
     * train position is contaminated iff its block contains a benchmark
     * suffix. Plan shape: one adjacency join (the LCP index), one range
     * exchange for the block ids ([[graft.ops.windows.distributedPrefixSum]]
-    * over the break indicators), one hash exchange on the block id for
-    * the contains-benchmark flag — three linear shuffles, driver-free.
+    * over the break indicators), then the contains-benchmark flag as a
+    * partially-aggregated groupBy + hash join back (NOT a
+    * whole-partition window: a boilerplate span occurring 10⁷ times is
+    * ONE block, and map-side combine absorbs it where a window sort
+    * would funnel it through a single task) — linear shuffles only,
+    * driver-free.
     *
     * @param isBench corpus-tag predicate on the doc-id column (e.g.
     *                `_ % 97 === 0`) — evaluated scan-local, no tag join
@@ -260,7 +264,6 @@ object SuffixArray {
   def contaminatedPositions(sa: DataFrame, docs: DataFrame, idCol: String,
                             textCol: String, isBench: Column => Column,
                             minLen: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lcp = lcpFrom(sa, docs, idCol, textCol, cap = minLen)
     // a block break sits BEFORE rank r+1 iff lcp(r, r+1) < minLen; the
     // first rank (no predecessor) always starts a block
@@ -275,10 +278,13 @@ object SuffixArray {
         rankName = "__r")
       .select(col("doc_id"), col("__blk"),
         when(isBench(col("doc_id")), 1L).otherwise(0L).as("__isb"))
-    blocks
-      .withColumn("__hasb",
-        max(col("__isb")).over(Window.partitionBy(col("__blk"))))
-      .filter(col("__isb") === 0L && col("__hasb") === 1L)
+      .stage() // per-block flags + the probe side both read it
+    val benchBlocks = blocks.groupBy("__blk")
+      .agg(max(col("__isb")).as("__hasb"))
+      .filter(col("__hasb") === 1L)
+      .select("__blk")
+    blocks.filter(col("__isb") === 0L)
+      .join(benchBlocks, Seq("__blk"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_contaminated_positions"))
   }
