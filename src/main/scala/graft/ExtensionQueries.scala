@@ -49,6 +49,22 @@ object ExtensionQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  // The shared at-rest-artifact idiom: every built-once-per-(session,
+  // sf dir) artifact — index, graph, sketch store — routes through
+  // here so the cache key scheme and temp-dir policy live in ONE
+  // place. `build` writes whatever files it needs under the returned
+  // directory; consumers re-read them like the persisted artifacts
+  // they model (distributed — nothing is collected).
+  private def cachedArtifactDir(
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      s: SparkSession, d: String, prefix: String)(
+      build: String => Unit): String =
+    cache.computeIfAbsent(s.hashCode + "|" + d, _ => {
+      val p = java.nio.file.Files.createTempDirectory(prefix).toString
+      build(p)
+      p
+    })
+
   // The PQ-encoded corpus is the other half of a persisted IVF-PQ index:
   // search queries probe codes AT REST, they do not re-encode the corpus
   // per query. Encoded once per (session, sf dir) and written to a local
@@ -58,18 +74,14 @@ object ExtensionQueries {
   // is that query's job.
   private val pqCodesCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def sharedPqCodes(s: SparkSession, d: String): DataFrame = {
-    val path = pqCodesCache.computeIfAbsent(s.hashCode + "|" + d, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_pq_index").toString + "/codes"
+  private def sharedPqCodes(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(cachedArtifactDir(pqCodesCache, s, d,
+      "graft_pq_index") { p =>
       Similarity.pqAssign(
         Similarity.pqSubvectors(t(s, d, "embeddings"), dim = 64, m = 4),
         sharedPqCodebook(s, d))
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+        .write.mode("overwrite").parquet(s"$p/codes")
+    } + "/codes")
 
   // The customer↔supplier trade graph at rest: like sharedPqCodes, the
   // edge list of a production graph is a MATERIALIZED artifact (built
@@ -79,21 +91,17 @@ object ExtensionQueries {
   // parquet (distributed — never collected), re-read by each consumer.
   private val tradeEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def sharedTradeEdges(s: SparkSession, d: String): DataFrame = {
-    val path = tradeEdgeCache.computeIfAbsent(s.hashCode + "|" + d, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_trade_graph").toString + "/edges"
+  private def sharedTradeEdges(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(cachedArtifactDir(tradeEdgeCache, s, d,
+      "graft_trade_graph") { p =>
       t(s, d, "orders")
         .join(t(s, d, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("a"),
           (col("l_suppkey") + lit(10000000L)).as("b"))
         .distinct()
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+        .write.mode("overwrite").parquet(s"$p/edges")
+    } + "/edges")
 
   /** Part co-occurrence edges (a < b) from lineitem baskets, one row per
     * (order, pair) occurrence — the input of the triangle/Adamic-Adar
@@ -128,16 +136,12 @@ object ExtensionQueries {
   // q_pq_codes convention).
   private val saCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def sharedSuffixArray(s: SparkSession, d: String): DataFrame = {
-    val path = saCache.computeIfAbsent(s.hashCode + "|" + d, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_sa_index").toString + "/sa"
-      SuffixArray.suffixArray(t(s, d, "documents"), "doc_id", "text")
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+  private def sharedSuffixArray(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(cachedArtifactDir(saCache, s, d, "graft_sa_index") {
+      p =>
+        SuffixArray.suffixArray(t(s, d, "documents"), "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$p/sa")
+    } + "/sa")
 
   // A sketch STORE: two per-shard CMS summaries serialized to binary-
   // payload parquet files — the at-rest artifact a 100 TB deployment
@@ -147,9 +151,8 @@ object ExtensionQueries {
   private val sketchStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sharedSketchStore(s: SparkSession, d: String): String =
-    sketchStoreCache.computeIfAbsent(s.hashCode + "|" + d, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_sketch_store").toString
+    cachedArtifactDir(sketchStoreCache, s, d, "graft_sketch_store") {
+      p =>
       val ev = Tables.events(s, d)
       Seq(0, 1).foreach { shard =>
         sketches.cmsSerialize(
@@ -172,8 +175,7 @@ object ExtensionQueries {
         t(s, d, "documents").filter(col("doc_id") % 97 === 0),
         "doc_id", "text", k = 5)
         .coalesce(1).write.mode("overwrite").parquet(s"$p/bloom_bench")
-      p
-    })
+    }
 
   // The near-dup INDEX at rest: the (doc_id, shset) signature table and
   // the (doc_id, band, bucket) banded-bucket table a production dedup
@@ -185,32 +187,26 @@ object ExtensionQueries {
   private val lshIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sharedLshIndex(s: SparkSession, d: String): String =
-    lshIndexCache.computeIfAbsent(s.hashCode + "|" + d, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_lsh_index").toString
+    cachedArtifactDir(lshIndexCache, s, d, "graft_lsh_index") { p =>
       val sets = Dedup.shingleSets(
         t(s, d, "documents").filter(col("doc_id") % 17 =!= 0),
         "doc_id", "text", 3)
       sets.write.mode("overwrite").parquet(s"$p/sets")
       Dedup.bandedBuckets(sets, numPerms = 8, numBands = 4)
         .write.mode("overwrite").parquet(s"$p/buckets")
-      p
-    })
+    }
 
   // materialized like sharedTradeEdges: the co-occurrence edge list is
   // the same built-once-per-snapshot graph artifact, read at rest by
   // the triangle-family analytics
   private val coPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def coOccurrencePairs(s: SparkSession, d: String): DataFrame = {
-    val path = coPairsCache.computeIfAbsent(s.hashCode + "|" + d, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_co_graph").toString + "/pairs"
-      coOccurrencePairsPlan(s, d).write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+  private def coOccurrencePairs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(cachedArtifactDir(coPairsCache, s, d,
+      "graft_co_graph") { p =>
+      coOccurrencePairsPlan(s, d).write.mode("overwrite")
+        .parquet(s"$p/pairs")
+    } + "/pairs")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sources / sinks (S4-S8) ------------------------------------------

@@ -1296,6 +1296,8 @@ object ScaleSmoke {
     // must land on 500000 micro on the nose, at any row count divisible
     // by the support
     timed("ks drift planted uniform") {
+      require(rows >= 20000,
+        s"ks smoke needs rows >= 20000 for non-empty sides, got $rows")
       val n2 = (rows / 20000) * 10000 // both sides a multiple of 10k
       val a = spark.range(n2).select((col("id") % 10000L).as("v"),
         lit(true).as("isa"))

@@ -168,17 +168,22 @@ object qsketch {
         .as("lo_bound"),
       min(when(col("q_permille") === hiPermille, col("est_hi")))
         .as("hi_bound"))
+    // grouped on the (single) bound pair, not a global agg: an EMPTY
+    // input then yields zero rows — matching the SQL twin's GROUP BY —
+    // instead of one (n=0, null-bounds) row no oracle produces
     df.select(col(valueCol).as("v"))
       .crossJoin(broadcast(bounds))
+      .groupBy("lo_bound", "hi_bound")
       .agg(count(lit(1)).as("n"),
-        min(col("lo_bound")).as("lo_bound"),
-        min(col("hi_bound")).as("hi_bound"),
         sum(when(col("v") < col("lo_bound"), 1L).otherwise(0L))
           .as("n_clipped_lo"),
         sum(when(col("v") > col("hi_bound"), 1L).otherwise(0L))
           .as("n_clipped_hi"),
         sum(greatest(least(col("v"), col("hi_bound")), col("lo_bound")))
           .as("sum_winsorized"))
+      .select(col("n"), col("lo_bound"), col("hi_bound"),
+        col("n_clipped_lo"), col("n_clipped_hi"),
+        col("sum_winsorized"))
   }
 
   /** End-to-end report with the bound VERIFIED against the exact

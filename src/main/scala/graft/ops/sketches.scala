@@ -119,12 +119,20 @@ object sketches {
     * as (depth, width) columns for the deserializer's guard.
     *
     * Cell counts must fit in unsigned hex-16 (they are nonnegative
-    * longs — always true for counts). */
+    * longs — always true for counts). The (depth, width) args must
+    * match the sketch's own `__depth`/`__width` stamps — a mismatch
+    * raises at execution (the [[cmsDeserialize]] guard, mirrored):
+    * packing with the wrong width would alias cells into the same
+    * dense index and silently drop everything past depth·width. */
   def cmsSerialize(sketch: DataFrame, depth: Int, width: Int)
   : DataFrame =
     sketch
-      .select((col("seed").cast("bigint") * width +
-        col("bucket").cast("bigint")).as("__i"), col("c"))
+      .select(when(col("__depth") =!= depth || col("__width") =!= width,
+        raise_error(format_string(
+          s"cmsSerialize: shape mismatch (built %sx%s, asked " +
+            s"${depth}x$width)", col("__depth"), col("__width"))))
+        .otherwise((col("seed").cast("bigint") * width +
+          col("bucket").cast("bigint"))).as("__i"), col("c"))
       .agg(map_from_arrays(collect_list(col("__i")),
         collect_list(col("c"))).as("__m"))
       .select(lit(depth).as("depth"), lit(width).as("width"),

@@ -306,12 +306,17 @@ object Similarity {
   def ivfFilteredTopK(queries: DataFrame, corpus: DataFrame,
                       cells: DataFrame, k: Int, baseNProbe: Int,
                       pred: Column): DataFrame = {
-    val m = corpus.agg(count(lit(1)).cast("long"),
-      count(when(pred, 1)).cast("long")).head()
+    // ONE blocking job for all three scalars (total, pass, |cells|) —
+    // a separate cells.distinct().count() was a whole extra scan per
+    // call; the join is 1:1 (the assignment covers the stored corpus,
+    // and unassigned vectors could never be candidates anyway)
+    val m = corpus.join(cells, "vec_id")
+      .agg(count(lit(1)).cast("long"),
+        count(when(pred, 1)).cast("long"),
+        countDistinct(col("cell")).cast("long")).head()
     val (total, pass) = (m.getLong(0), m.getLong(1))
     require(pass > 0, "filter matches no corpus vector")
-    // |cells| is the coarse-quantizer arity — bounded by construction
-    val nCells = cells.select("cell").distinct().count()
+    val nCells = m.getLong(2)
     val nProbe = math.min(nCells,
       (baseNProbe.toLong * total + pass - 1) / pass).toInt
     val probes = rankedProbes(queries, corpus, cells, nProbe)
