@@ -2284,6 +2284,20 @@ object ExtensionQueries {
         numPerms = 8, numBands = 4, threshold = 0.8)
     }),
 
+    // ONLINE cluster maintenance: arrivals probe the LSH index, APPEND
+    // their signatures (so cross-batch pairs are never lost), and fold
+    // their new edges into the versioned labels snapshot via
+    // incrementalComponents — the final snapshot must equal the
+    // from-scratch full-corpus CC for ANY batch slicing
+    "q_stream_cc_maintain" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_ccm").toString
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_cc_store").toString
+      Streams.ccMaintainStream(s, d, ckpt, store,
+        numPerms = 8, numBands = 4, threshold = 0.8)
+    }),
+
     // streaming heavy hitters: exact per-(day, type, user) counts
     // maintained incrementally, top-5 ranked at read time — ranking is
     // not incremental-safe, so the cut is a batch view over the
@@ -5906,6 +5920,21 @@ object ExtensionQueries {
     // min-label transitive closure over the minhash near-dup graph; the
     // UNION de-dupes (id, comp) rows so the recursion reaches a fixpoint
     "q_dedup_components" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                    UNION SELECT doc_b, doc_a FROM mh_pairs),
+          reach(id, comp) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
+          SELECT id AS doc_id, min(comp) AS comp,
+                 (id = min(comp)) AS is_canonical
+          FROM reach GROUP BY id""",
+
+    // the online store's final snapshot ≡ the from-scratch full-corpus
+    // CC (pair discovery is exactly-once: at the later endpoint's
+    // batch through the grown index, or within-batch)
+    "q_stream_cc_maintain" ->
       s"""WITH RECURSIVE $minhashPairCtes,
           edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
                     UNION SELECT doc_b, doc_a FROM mh_pairs),

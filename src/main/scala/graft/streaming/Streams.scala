@@ -900,6 +900,121 @@ object Streams {
     spark.read.parquet(outPath)
   }
 
+  /** ONLINE dedup-cluster maintenance — the streaming deployment of
+    * [[graft.dedup.Dedup.incrementalComponents]] with a GROWING index:
+    * two at-rest stores, both updated per micro-batch.
+    *
+    *  - the LSH index (signature + banded-bucket parquet): arrivals
+    *    probe it for pairs against everything already ingested, then
+    *    APPEND their own signatures — so a doc arriving in batch 7
+    *    pairs with one from batch 3 through the index, and no
+    *    cross-batch pair is ever lost (unlike [[lshDedupStream]],
+    *    whose static index defers stream-vs-stream dups by contract);
+    *  - the labels table (doc_id, comp) as a versioned snapshot chain
+    *    (the [[upsertStreamToTable]] idiom): each batch folds its new
+    *    edges into the previous snapshot via `incrementalComponents`
+    *    (label stars + new pairs — rounds bounded by the NEW chains'
+    *    diameter) and commits `v_<batchId>`.
+    *
+    * Every pair among corpus ∪ arrivals is discovered exactly once —
+    * at the later endpoint's batch, or within-batch via the full LSH
+    * pass over the (small) batch — so the final snapshot equals the
+    * from-scratch [[graft.dedup.Dedup.connectedComponents]] over the
+    * whole corpus REGARDLESS of batch slicing (the oracle recomputes
+    * exactly that). Index appends go before the label commit, so a
+    * crash-replayed batch re-appends (duplicate index rows only fan
+    * out the candidate join, which distincts) but never skips growth;
+    * the `_SUCCESS` guard makes the label merge itself idempotent.
+    * AvailableNow single-run semantics are exact.
+    *
+    * @return the final labels (doc_id, comp, is_canonical) */
+  def ccMaintainStream(spark: SparkSession, dir: String,
+                       checkpoint: String, storePath: String,
+                       numPerms: Int, numBands: Int, threshold: Double,
+                       glob: String = "documents.parquet"): DataFrame = {
+    import graft.dedup.Dedup
+    val docs = spark.read.option("pathGlobFilter", glob).parquet(dir)
+    val schema = docs.schema
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    // seed the stores once: corpus-side index + corpus-side components
+    val sets0 = Dedup.shingleSets(corpus, "doc_id", "text", 3)
+    sets0.write.mode("overwrite").parquet(s"$storePath/sets")
+    Dedup.bandedBuckets(sets0, numPerms, numBands)
+      .write.mode("overwrite").parquet(s"$storePath/buckets")
+    val seedLabels = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(corpus, "doc_id", "text", numPerms,
+        numBands, threshold), "doc_a", "doc_b")
+      .select("doc_id", "comp")
+    val labelsPath = s"$storePath/labels"
+    val labelsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("comp",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .filter(col("doc_id") % 17 === 0)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val hadoopPath = new org.apache.hadoop.fs.Path(labelsPath)
+        val fs = hadoopPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        def versions(): Seq[Long] =
+          (if (fs.exists(hadoopPath)) fs.listStatus(hadoopPath).toSeq
+           else Seq.empty)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("v_"))
+            .map(_.getPath.getName.stripPrefix("v_").toLong)
+        val committed = new org.apache.hadoop.fs.Path(
+          s"$labelsPath/v_$batchId/_SUCCESS")
+        if (!fs.exists(committed)) {
+          val arrivals = batch.toDF().persist()
+          try {
+            // probe the CURRENT index (pre-growth: within-batch pairs
+            // come from the full LSH pass over the batch instead, so
+            // nothing is double-counted and nothing self-pairs)
+            val cross = Dedup.incrementalNearDupsIndexed(arrivals,
+                spark.read.parquet(s"$storePath/sets"),
+                spark.read.parquet(s"$storePath/buckets"),
+                "doc_id", "text", numPerms, numBands, threshold)
+              .select(col("new_id").as("a"), col("corpus_id").as("b"))
+            val within = Dedup.minhashLshPairs(arrivals, "doc_id",
+                "text", numPerms, numBands, threshold)
+              .select(col("doc_a").as("a"), col("doc_b").as("b"))
+            // grow the index BEFORE committing labels: a crash between
+            // the two re-runs the whole batch (dup appends are
+            // absorbed), the reverse order could skip growth forever
+            val arrSets = Dedup.shingleSets(arrivals, "doc_id",
+              "text", 3)
+            arrSets.write.mode("append").parquet(s"$storePath/sets")
+            Dedup.bandedBuckets(arrSets, numPerms, numBands)
+              .write.mode("append").parquet(s"$storePath/buckets")
+            val base = versions().filter(_ < batchId).sorted.lastOption
+              .map(v => spark.read.parquet(s"$labelsPath/v_$v"))
+              .getOrElse(seedLabels)
+            Dedup.incrementalComponents(base, "doc_id", "comp",
+                cross.unionByName(within), "a", "b")
+              .select(col("doc_id"), col("comp"))
+              .write.mode("overwrite").parquet(s"$labelsPath/v_$batchId")
+          } finally arrivals.unpersist(blocking = false)
+        }
+        versions().filter(_ < batchId).foreach(v => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$labelsPath/v_$v"), true))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    latestSnapshot(spark, labelsPath, labelsSchema)
+      .select(col("doc_id"), col("comp"),
+        (col("doc_id") === col("comp")).as("is_canonical"))
+  }
+
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

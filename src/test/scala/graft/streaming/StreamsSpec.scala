@@ -239,6 +239,47 @@ class StreamsSpec extends SparkSpec {
       "fixture must contain at least one dropped near-dup")
   }
 
+  test("cc maintain stream: 3 sliced batches converge to from-scratch CC") {
+    // the growing index makes cross-batch pairs discoverable, so the
+    // final labels snapshot must equal connectedComponents over the
+    // WHOLE corpus regardless of slicing — the property lshDedupStream
+    // explicitly does not have
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft_ccm_slices").toString
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .orderBy("doc_id")
+    val n = raw.count()
+    val chunks = raw.collect().grouped((n / 3 + 1).toInt).toSeq
+    val schema = raw.schema
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val staging = Files.createTempDirectory(s"graft_ccm_st_$i").toString
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/docs_$i.parquet"))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_ccm_sl").toString
+    val store = Files.createTempDirectory("graft_ccm_store").toString
+    val sliced = Streams.ccMaintainStream(spark, tmp, ckpt, store,
+        numPerms = 8, numBands = 4, threshold = 0.8, glob = "*.parquet")
+      .as[(Long, Long, Boolean)].collect().toSet
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val scratch = graft.dedup.Dedup.connectedComponents(
+        graft.dedup.Dedup.minhashLshPairs(docs, "doc_id", "text",
+          numPerms = 8, numBands = 4, threshold = 0.8),
+        "doc_a", "doc_b")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(sliced === scratch)
+    // the property only bites if some cluster actually straddles the
+    // corpus/arrival split
+    assert(scratch.exists { case (id, comp, _) =>
+      (id % 17 == 0) != (comp % 17 == 0) },
+      "fixture must contain a cluster straddling the split")
+  }
+
   test("ohlc update mode: same bars as complete mode, state evicted") {
     val dir = "/root/testdata/sf0.001"
     // complete-mode reference
