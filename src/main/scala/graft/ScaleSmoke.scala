@@ -1222,11 +1222,22 @@ object ScaleSmoke {
         concat_ws(" ", (0 until 40).map(j =>
           concat(lit("w"), (base * 40 + j) % 997)): _*).as("text"))
       val sa = graft.text.SuffixArray.suffixArray(docs, "doc_id", "text")
+        .stage() // permutation check + decontamination both read it
       val n = sa.agg(count(lit(1)).as("c"),
           max(col("sa_rank")).as("m"), min(col("sa_rank")).as("lo"))
         .filter(col("c") === col("m") && col("lo") === 1L)
         .head().getLong(0)
       require(n == nDocs * 40, s"sa permutation broken: $n")
+      // SA-block decontamination rides the SAME built index: every
+      // id%7==0 doc repeats its predecessor's token block (the planted
+      // dup), so with bench = the even docs, flagged train docs are
+      // exactly the odd members of planted pairs — block construction,
+      // prefix sum, and the flag join all at index scale, no gram
+      // explosion anywhere
+      val flagged = graft.text.SuffixArray.contaminatedPositions(
+          sa, docs, "doc_id", "text", isBench = _ % 2 === 0, minLen = 5)
+        .count()
+      require(flagged > 0, "planted cross-corpus dups must be flagged")
       n
     }
 
