@@ -2854,6 +2854,15 @@ object ExtensionQueries {
             .cast("long").as("v")),
         sideA = col("event_type") === "purchase", "v")),
 
+    // the integral companion: exact 1-D Wasserstein between the same
+    // two samples — "how much mass moved how far", in micro-cents
+    "q_emd_drift" -> ((s, d) =>
+      analytics.emdDrift(
+        Tables.events(s, d).select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("long").as("v")),
+        sideA = col("event_type") === "purchase", "v")),
+
     // ---- embedding distribution drift ---------------------------------------
     // per-dim mean shift between two snapshot halves — the embedding-
     // space companion to q_source_kl's text drift: a re-embedded or
@@ -8626,6 +8635,37 @@ object ExtensionQueries {
                      ELSE CAST((dmax * 1000000) //
                        (n1::HUGEINT * n2) AS BIGINT) END AS d_micro
          FROM d""",
+
+    // same jump-point cums; the step integral via lead(v) (the window
+    // is fine HERE — DuckDB is the small-scale oracle, the engine uses
+    // a rank self-join instead)
+    "q_emd_drift" ->
+      """WITH vals AS (
+           SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS v,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS a
+           FROM events),
+         pv AS (
+           SELECT v, sum(a)::BIGINT AS c1,
+                  sum(1 - a)::BIGINT AS c2
+           FROM vals GROUP BY v),
+         cums AS (
+           SELECT v, sum(c1) OVER w::HUGEINT AS cum1,
+                  sum(c2) OVER w::HUGEINT AS cum2,
+                  lead(v) OVER (ORDER BY v) AS vn
+           FROM pv WINDOW w AS (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
+                 FROM pv),
+         w AS (SELECT coalesce(sum(abs(cum1 * n2 - cum2 * n1)
+                 * (vn - v)), 0)::HUGEINT AS w1
+               FROM cums, tot WHERE vn IS NOT NULL)
+         SELECT n1, n2,
+                CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                     ELSE CAST((w1 * 1000000) //
+                       (n1::HUGEINT * n2) AS BIGINT) END AS w1_micro
+         FROM tot, w""",
 
     // same float→double→decimal ladder and division order as the Spark
     // side, so means match bit-for-bit before the 6dp round

@@ -486,6 +486,58 @@ object analytics {
           .as("d_micro"))
   }
 
+  /** Exact 1-D earth mover's distance (Wasserstein-1) between two
+    * samples — the INTEGRAL drift companion to [[ksDrift]]'s max:
+    * W₁ = ∫|F₁−F₂| dx = Σ over consecutive distinct values of
+    * |cum₁·n₂ − cum₂·n₁| · gap / (n₁·n₂), again pure integer
+    * cross-multiplication (KS says "somewhere the CDFs split by d";
+    * W₁ says "how much mass moved how far", in VALUE units — the one
+    * that notices a whole-distribution shift KS caps at its max).
+    *
+    * The step gap comes from a rank self-join on the
+    * [[graft.ops.windows.distributedPrefixSums]] rank (the
+    * SuffixArray adjacency idiom), NOT a global lead() window — so
+    * nothing is single-task at any distinct-value count. Sum terms are
+    * decimal(38,0): |cumdiff| ≤ n₁·n₂ ≈ 10²⁴ at 10¹² rows a side,
+    * times gaps summing to the value range, stays within 38 digits
+    * for any realistic unit choice.
+    *
+    * @param sideA membership predicate for sample 1 (sample 2 = rest)
+    * @return one row (n1, n2, w1_micro): W₁ in micro-VALUE-units
+    *         (DIV); null if either side is empty */
+  def emdDrift(df: DataFrame, sideA: Column, valueCol: String)
+  : DataFrame = {
+    val perValue = df
+      .select(col(valueCol).cast("long").as("v"),
+        when(sideA, 1L).otherwise(0L).as("__a"))
+      .groupBy("v")
+      .agg(sum(col("__a")).as("c1"),
+        sum(lit(1L) - col("__a")).as("c2"))
+    val cums = windows.distributedPrefixSums(perValue, Seq(col("v")),
+        Seq(col("c1"), col("c2")), Seq("cum1", "cum2"),
+        rankName = "__rk")
+      .stage() // both sides of the step-gap adjacency join read it
+    val nxt = cums.select((col("__rk") - 1).as("__rk"),
+      col("v").as("__vn"))
+    val tot = broadcast(perValue.agg(
+      coalesce(sum(col("c1")), lit(0L)).as("n1"),
+      coalesce(sum(col("c2")), lit(0L)).as("n2")))
+    // last value has no step, a single distinct value has no terms at
+    // all — the global agg still emits its one row (null sum → 0)
+    val w = cums.join(nxt, Seq("__rk")).crossJoin(tot)
+      .agg(coalesce(sum(abs(
+          col("cum1").cast("decimal(38,0)") * col("n2") -
+          col("cum2").cast("decimal(38,0)") * col("n1")) *
+        (col("__vn") - col("v"))), lit(0).cast("decimal(38,0)"))
+        .as("__w"))
+    tot.crossJoin(broadcast(w))
+      .select(col("n1"), col("n2"),
+        expr("CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE " +
+          "CAST((__w * 1000000) DIV " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT) END")
+          .as("w1_micro"))
+  }
+
   /** Randomized response (Warner 1965) — the ESTIMATOR of the classic
     * local-DP mechanism for collecting a sensitive bit: each row reports
     * its true bit with probability 1−f and a fair coin with probability

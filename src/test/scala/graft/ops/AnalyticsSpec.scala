@@ -443,6 +443,49 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  /** Brute-force 1-D Wasserstein in exact rationals (micro units). */
+  private def bruteEmdMicro(a: Seq[Long], b: Seq[Long]): Long = {
+    val xs = (a ++ b).distinct.sorted
+    val w = xs.zip(xs.tail).map { case (x, xn) =>
+      (BigInt(a.count(_ <= x)) * b.size -
+        BigInt(b.count(_ <= x)) * a.size).abs * (xn - x)
+    }.sum
+    (w * 1000000 / (BigInt(a.size) * b.size)).toLong
+  }
+
+  test("emdDrift ≡ brute-force W1; shifted uniform = the exact shift") {
+    val a = Seq(1L, 2L, 2L, 3L, 7L, 9L, 12L, 15L)
+    val b = Seq(2L, 5L, 6L, 7L, 7L, 20L)
+    val df = (a.map((_, true)) ++ b.map((_, false))).toDF("v", "isa")
+    val Array((n1, n2, w)) = analytics.emdDrift(df, col("isa"), "v")
+      .as[(Long, Long, Long)].collect()
+    assert(n1 === a.size.toLong && n2 === b.size.toLong)
+    assert(w === bruteEmdMicro(a, b))
+    // a uniform shifted by c has W1 = c exactly (in micro units)
+    val u = (0L until 50L)
+    val dfShift = (u.map((_, true)) ++ u.map(x => (x + 7L, false)))
+      .toDF("v", "isa")
+    assert(analytics.emdDrift(dfShift, col("isa"), "v")
+      .select("w1_micro").as[Long].head() === 7000000L)
+    // identical samples: zero; single shared value: zero, one row
+    val same = Seq(3L, 5L, 9L)
+    assert(analytics.emdDrift(
+      (same.map((_, true)) ++ same.map((_, false))).toDF("v", "isa"),
+      col("isa"), "v").select("w1_micro").as[Long].head() === 0L)
+    assert(analytics.emdDrift(
+      Seq((4L, true), (4L, false)).toDF("v", "isa"),
+      col("isa"), "v").select("w1_micro").as[Long].head() === 0L)
+    // fuzz
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val x = Seq.fill(4 + rnd.nextInt(30))(rnd.nextInt(40).toLong)
+      val y = Seq.fill(4 + rnd.nextInt(30))(rnd.nextInt(40).toLong)
+      val fz = (x.map((_, true)) ++ y.map((_, false))).toDF("v", "isa")
+      assert(analytics.emdDrift(fz, col("isa"), "v")
+        .select("w1_micro").as[Long].head() === bruteEmdMicro(x, y))
+    }
+  }
+
   test("ksDrift with an empty side yields a null statistic") {
     val df = Seq((1L, true), (2L, true)).toDF("v", "isa")
     val got = analytics.ksDrift(df, col("isa"), "v")
