@@ -170,6 +170,14 @@ object ExtensionQueries {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$p/qsk_shard_$shard")
       }
+      // per-shard DISTINCT-COUNT sketches: DataSketches HLL blobs, the
+      // mergeable COUNT(DISTINCT) half of the store
+      Seq(0, 1).foreach { shard =>
+        ev.filter(col("event_id") % 2 === shard)
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/hll_shard_$shard")
+      }
       // the decontamination index: benchmark shingles as one Bloom blob
       graft.dedup.Dedup.bloomBuild(
         t(s, d, "documents").filter(col("doc_id") % 97 === 0),
@@ -496,6 +504,7 @@ object ExtensionQueries {
     }),
 
     // ---- sketches AT REST: serialize → files → merge -----------------------
+    // (oracle for the HLL store rides below with its CMS/quantile kin)
     // two per-shard CMS blobs persisted by sharedSketchStore are read
     // back as FILES, unpacked, and merged by cell addition; the cells
     // must equal a single build over the whole table (additivity is
@@ -529,6 +538,24 @@ object ExtensionQueries {
         .select(col("q_permille"), col("n"), col("est_lo"),
           col("est_hi"))
         .orderBy("q_permille")
+    }),
+
+    // the distinct-count store at rest: two persisted per-shard HLL
+    // blobs union into the corpus COUNT(DISTINCT) with no rescan — the
+    // q_hll_partitioned verdict shape (exact count hashed, estimate
+    // bounded in-row)
+    "q_hll_at_rest" -> ((s, d) => {
+      val store = sharedSketchStore(s, d)
+      val est = s.read.parquet(s"$store/hll_shard_0")
+        .unionByName(s.read.parquet(s"$store/hll_shard_1"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+          .as("est_users"))
+      val exact = Tables.events(s, d)
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.crossJoin(exact)
+        .select(col("exact_users"),
+          (abs(col("est_users") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("ok"))
     }),
 
     // the decontamination INDEX at rest: the benchmark's Bloom blob is
@@ -8607,6 +8634,12 @@ object ExtensionQueries {
          FROM l
          WHERE prev IS NOT NULL AND day - prev_day = 7
          ORDER BY event_type, day""",
+
+    // sketch bytes are engine-specific → exact count hashed, estimate
+    // verdict asserted in-row (the q_hll_partitioned convention)
+    "q_hll_at_rest" ->
+      """SELECT count(DISTINCT user_id) AS exact_users, TRUE AS ok
+         FROM events""",
 
     // the same jump-point evaluation: cumulative counts per distinct
     // value, cross-multiplied in HUGEINT, micro-units via //
