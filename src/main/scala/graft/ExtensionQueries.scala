@@ -1571,6 +1571,14 @@ object ExtensionQueries {
         "source", "n_toks", "cap_milli", budgetTokens = 63000L)
         .orderBy("source")),
 
+    // per-doc longest shared prefix with ANY other doc (cap 8) off the
+    // at-rest SA — the KV-cache-sharing / template-detection report:
+    // only doc-start suffixes, only sort neighbors, never all pairs
+    "q_sa_prefix_overlap" -> ((s, d) =>
+      SuffixArray.docPrefixOverlap(sharedSuffixArray(s, d),
+          t(s, d, "documents"), "doc_id", "text", cap = 8)
+        .orderBy("doc_id")),
+
     // per-source ceiling on the pretraining mix: ≤20 docs per domain,
     // deterministic md5-rank selection
     "q_domain_cap" -> ((s, d) =>
@@ -5894,6 +5902,42 @@ object ExtensionQueries {
                 ((n::HUGEINT * least(e_star, m)) // 1000)::BIGINT
                   AS alloc_tokens
          FROM src, es ORDER BY source""",
+
+    // INDEPENDENT formulation: sort docs by their capped token prefix;
+    // the best match is a sort neighbor (min(lcp, cap) commutes with
+    // the max, so the capped sort agrees with the engine's full-suffix
+    // SA order on the reported value)
+    "q_sa_prefix_overlap" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         w AS (SELECT doc_id, toks[1:8] AS w FROM tok),
+         ord AS (
+           SELECT doc_id, w,
+                  row_number() OVER (ORDER BY w, doc_id) AS r
+           FROM w),
+         adj AS (
+           SELECT a.doc_id, a.w,
+                  lead(a.w) OVER (ORDER BY a.r) AS wn,
+                  lag(a.w) OVER (ORDER BY a.r) AS wp
+           FROM ord a),
+         lcp AS (
+           SELECT doc_id,
+                  greatest(
+                    coalesce((SELECT count(*)
+                              FROM generate_series(1, 8) g(j)
+                              WHERE j <= len(w) AND j <= len(wn)
+                                AND w[1:j] = wn[1:j]), 0),
+                    coalesce((SELECT count(*)
+                              FROM generate_series(1, 8) g(j)
+                              WHERE j <= len(w) AND j <= len(wp)
+                                AND w[1:j] = wp[1:j]), 0))::BIGINT
+                    AS shared_prefix_len
+           FROM adj)
+         SELECT doc_id, shared_prefix_len
+         FROM lcp ORDER BY doc_id""",
 
     // INDEPENDENT formulation of the engine's SA-block criterion: a
     // train position is contaminated iff its 5-gram appears in some

@@ -289,6 +289,42 @@ object SuffixArray {
       .agg(count(lit(1)).as("n_contaminated_positions"))
   }
 
+  /** Per-document longest SHARED PREFIX with any other document, capped
+    * at `cap` tokens — the KV-cache-sharing / template-detection
+    * report: serving stacks reuse a prefix cache across requests with
+    * common prompts, and a corpus whose docs share long prefixes is
+    * template-heavy. In sorted order the best prefix match is always a
+    * SORT NEIGHBOR (lcp to anything further is the min of the adjacent
+    * lcps between), so the answer needs only the doc-START suffixes of
+    * the (at-rest) SA, densely re-ranked, each compared to its two
+    * neighbors — never all pairs. min(·, cap) commutes with the max,
+    * so capping the compared slices loses nothing below the cap.
+    * Output: (doc_id, shared_prefix_len), one row per doc with ≥1
+    * token; a doc with no shared first token reports 0. */
+  def docPrefixOverlap(sa: DataFrame, docs: DataFrame, idCol: String,
+                       textCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val starts = windows.distributedPrefixSum(
+        sa.filter(col("pos") === 1L), Seq(col("sa_rank")), lit(0L),
+        cumName = "__c", rankName = "__r")
+      .select(col("doc_id"), col("__r"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      slice(Text.tokens(col(textCol)), 1, cap).as("w"))
+    val withW = starts.join(toks, Seq("doc_id"))
+      .stage() // self + both neighbor directions read it
+    val nxt = withW.select((col("__r") - 1).as("__r"),
+      col("w").as("__wn"))
+    val prv = withW.select((col("__r") + 1).as("__r"),
+      col("w").as("__wp"))
+    withW.join(nxt, Seq("__r"), "left")
+      .join(prv, Seq("__r"), "left")
+      .select(col("doc_id"),
+        greatest(
+          coalesce(commonPrefixLen(col("w"), col("__wn")), lit(0L)),
+          coalesce(commonPrefixLen(col("w"), col("__wp")), lit(0L)))
+          .as("shared_prefix_len"))
+  }
+
   /** Maximal duplicated token SPANS per document — the removal half of
     * the Lee et al. 2022 exact-substring pipeline: every duplicated
     * position p covers tokens [p, p+minLen−1]; overlapping/adjacent

@@ -136,6 +136,29 @@ class SuffixArraySpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must contain duplicated spans")
   }
 
+  test("docPrefixOverlap ≡ brute max-over-all-pairs capped prefix lcp") {
+    val cap = 4
+    val df = corpus.toDF("doc_id", "text")
+    val sa = SuffixArray.suffixArray(df, "doc_id", "text")
+    val toks = corpus.map { case (id, t) =>
+      (id, t.toLowerCase.replaceAll("[^a-z0-9\\s]+", " ").trim
+        .split("\\s+").toSeq.take(cap))
+    }
+    val want = toks.map { case (id, w) =>
+      val best = toks.filter(_._1 != id).map { case (_, w2) =>
+        bruteLcp(w, w2) }.max
+      (id, best.toLong)
+    }.toMap
+    val got = SuffixArray.docPrefixOverlap(sa, df, "doc_id", "text",
+        cap = cap)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // the fixture exercises both extremes: exact-dup docs 1/3 hit the
+    // cap, the singleton doc 4 shares nothing
+    assert(got(1L) === cap.toLong && got(3L) === cap.toLong)
+    assert(got(4L) === 0L)
+  }
+
   test("contaminatedPositions: SA blocks equal the brute gram criterion") {
     val minLen = 3
     val df = corpus.toDF("doc_id", "text")
