@@ -1579,6 +1579,16 @@ object ExtensionQueries {
           t(s, d, "documents"), "doc_id", "text", cap = 8)
         .orderBy("doc_id")),
 
+    // deterministic stride-interleaved training order: every prefix of
+    // the schedule holds every source at its corpus proportion ±O(1) —
+    // integer stride keys (k·T DIV n_s), md5 within-source order, the
+    // global position from the distributed prefix sum
+    "q_stride_schedule" -> ((s, d) =>
+      graft.text.Mixing.strideSchedule(
+        t(s, d, "documents").select("doc_id", "source"),
+        "source", "doc_id")
+        .orderBy("global_pos")),
+
     // per-source ceiling on the pretraining mix: ≤20 docs per domain,
     // deterministic md5-rank selection
     "q_domain_cap" -> ((s, d) =>
@@ -5872,6 +5882,27 @@ object ExtensionQueries {
                 (SELECT count(*) FROM sg
                  WHERE gram IN (SELECT gram FROM sdup))::BIGINT
                   AS n_dup_after_scrub""",
+
+    // same integer stride arithmetic; the global position is a plain
+    // ORDER BY over the (key, source, seq) total order
+    "q_stride_schedule" ->
+      """WITH seqd AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT
+                    AS src_seq
+           FROM documents),
+         ns AS (SELECT source, max(src_seq) AS n_s
+                FROM seqd GROUP BY source),
+         t AS (SELECT sum(n_s)::HUGEINT AS t FROM ns),
+         keyed AS (
+           SELECT doc_id, source, src_seq,
+                  ((src_seq::HUGEINT * t) // n_s)::BIGINT AS k
+           FROM seqd JOIN ns USING (source), t)
+         SELECT doc_id, source, src_seq,
+                row_number() OVER (ORDER BY k, source, src_seq)::BIGINT
+                  AS global_pos
+         FROM keyed ORDER BY global_pos""",
 
     // the same breakpoint scan in SQL: every row's exclusive-prefix
     // candidate underestimates e*, the true breakpoint achieves it

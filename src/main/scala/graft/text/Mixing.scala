@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.windows
@@ -77,5 +78,43 @@ object Mixing {
         least(col("e_star"), col("m")).as("epochs_milli"),
         expr("CAST((CAST(n AS DECIMAL(38,0)) * least(e_star, m)) " +
           "DIV 1000 AS BIGINT)").as("alloc_tokens"))
+  }
+
+  /** Deterministic STRIDE-INTERLEAVED training order — the dataloader
+    * schedule that keeps every source at its corpus proportion in
+    * EVERY prefix (classic stride scheduling: source s's k-th item
+    * targets global position ≈ k·T/n_s, so after any P scheduled items
+    * each source has contributed P·n_s/T ± O(1)) — the deterministic,
+    * resumable analog of shuffled proportional sampling, with no RNG
+    * to disagree between engines or runs.
+    *
+    * Integer-exact: within-source order is the md5 rank (the
+    * [[Text.domainCap]] idiom), the interleave key is k·T DIV n_s with
+    * ties broken by (source, k) — a total order — and the global
+    * position comes from [[graft.ops.windows.distributedPrefixSum]],
+    * so nothing is single-task at any corpus size.
+    *
+    * @return (idCol, srcCol, src_seq, global_pos), a permutation of
+    *         the input rows */
+  def strideSchedule(df: DataFrame, srcCol: String, idCol: String)
+  : DataFrame = {
+    val wSrc = Window.partitionBy(col("__src"))
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+    val seqd = df.select(col(idCol).as("__id"), col(srcCol).as("__src"))
+      .withColumn("__seq", row_number().over(wSrc).cast("long"))
+      .stage() // per-source sizes + the keyed frame both read it
+    val perSrc = broadcast(seqd.groupBy("__src")
+      .agg(max(col("__seq")).as("__ns")))
+    val tot = broadcast(perSrc.agg(sum(col("__ns")).as("__t")))
+    val keyed = seqd.join(perSrc, Seq("__src")).crossJoin(tot)
+      .withColumn("__key", // decimal product: seq·T can pass int64
+        expr("CAST((CAST(__seq AS DECIMAL(38,0)) * __t) DIV __ns " +
+          "AS BIGINT)"))
+    windows.distributedPrefixSum(keyed,
+        Seq(col("__key"), col("__src"), col("__seq")), lit(0L),
+        cumName = "__c", rankName = "global_pos")
+      .select(col("__id").as(idCol), col("__src").as(srcCol),
+        col("__seq").as("src_seq"),
+        col("global_pos").cast("long").as("global_pos"))
   }
 }

@@ -72,6 +72,37 @@ class MixingSpec extends SparkSpec {
     check(Seq(("only", 123L, 2500L)), budget = 200L)
   }
 
+  test("strideSchedule: permutation, determinism, bounded prefix drift") {
+    val rows = (0 until 120).map(i =>
+      (i.toLong, if (i % 6 == 0) "big" else if (i % 6 == 1) "mid"
+        else "small"))
+    // sizes: big 20, mid 20, small 80 → T = 120
+    val df = rows.toDF("id", "src")
+    val got = Mixing.strideSchedule(df, "src", "id")
+      .as[(Long, String, Long, Long)].collect()
+    // permutation of the input with a total global order
+    assert(got.length === rows.length)
+    assert(got.map(_._4).sorted.toSeq === (1L to rows.length).toSeq)
+    assert(got.map(_._1).toSet === rows.map(_._1).toSet)
+    // deterministic across runs
+    val again = Mixing.strideSchedule(df, "src", "id")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(again === got.toSet)
+    // stride guarantee: every prefix holds every source within O(1) of
+    // its proportion (allow 2 for the tie-packed ends)
+    val bySrc = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val t = rows.size.toDouble
+    val ordered = got.sortBy(_._4)
+    (1 to rows.length).foreach { p =>
+      val prefix = ordered.take(p)
+      bySrc.foreach { case (s, ns) =>
+        val cnt = prefix.count(_._2 == s)
+        assert(math.abs(cnt - p * ns / t) <= 2.0,
+          s"prefix $p drifted for $s: $cnt vs ${p * ns / t}")
+      }
+    }
+  }
+
   test("randomized fuzz against the brute-force definition") {
     val rnd = new scala.util.Random(42)
     (1 to 8).foreach { _ =>
