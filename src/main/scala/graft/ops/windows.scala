@@ -163,6 +163,85 @@ object windows {
     * final projection and the offsets aggregate) read — same
     * exchange-reuse rationale as [[distributedPrefixSum]].
     */
+  /** Distributed PER-GROUP running sum + rank — the grouped analog of
+    * [[distributedPrefixSum]], and the offset-lift rewrite of
+    * `Window.partitionBy(group).orderBy(order…)` for when one group can
+    * be a dominant share of the corpus (a pretraining source, a crawl
+    * domain): the naive window buffers each group in ONE task, so the
+    * big group becomes a straggler no AQE rule can split. Here:
+    *
+    *  1. range-partition by the FULL (group, order…) key — load-
+    *     balanced even when one group is half the data;
+    *  2. a window partitioned by `(spark_partition_id(), group)`
+    *     computes the in-partition per-group rank and running sum
+    *     (each task sorts only its own range);
+    *  3. per-(partition, group) counts/sums — a frame bounded by
+    *     #partitions·#groups rows, NOT by data volume — get running
+    *     offsets on a per-group frame of ≤ #partitions rows, then
+    *     join back (broadcast while the offsets frame is small; with
+    *     millions of groups Spark picks a hash join, and at that
+    *     cardinality groups are small enough that the plain window is
+    *     the right operator anyway — this helper exists for the
+    *     few-huge-groups regime).
+    *
+    * The range-partitioned frame is staged once because two consumers
+    * (the in-partition window and the offsets aggregate) must see the
+    * SAME physical partitioning — the `Text.rankNormalize`
+    * exchange-reuse hazard.
+    *
+    * `order` must be a total order WITHIN each group (include a unique
+    * tiebreak) for `rankName` to be deterministic.
+    *
+    * @param groupCols  group key column NAMES (join-back key)
+    * @param value      summed column (long); pass `lit(0L)` for
+    *                   rank-only use
+    * @param cumName    inclusive per-group running sum of `value`;
+    *                   null to omit
+    * @param totalName  per-group row count; null to omit
+    * @return df + rankName (1-based rank within group) [+ cumName]
+    *         [+ totalName] */
+  def groupedPrefixSum(df: DataFrame, groupCols: Seq[String],
+                       order: Seq[Column], value: Column,
+                       cumName: String = null,
+                       rankName: String = "rk",
+                       totalName: String = null): DataFrame = {
+    require(groupCols.nonEmpty, "groupedPrefixSum needs a group key")
+    val gCols = groupCols.map(col)
+    val parted = df.withColumn("__gpv", value)
+      .repartitionByRange(gCols ++ order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .stage()
+    val wIn = Window.partitionBy(col("__pid") +: gCols: _*)
+      .orderBy(order: _*)
+    val inPart = parted
+      .withColumn("__rk_in", row_number().over(wIn))
+      .withColumn("__cum_in", sum(col("__gpv")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // one row per (partition, group): every window below is bounded by
+    // that cardinality (≤ #partitions rows per group), never by volume
+    val wOff = Window.partitionBy(gCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("__pid") +: gCols: _*)
+      .agg(count(lit(1)).as("__pn"), sum(col("__gpv")).as("__pv"))
+      .withColumn("__coff", coalesce(sum(col("__pn")).over(wOff), lit(0L)))
+      .withColumn("__voff", sum(col("__pv")).over(wOff))
+      .withColumn("__ng", sum(col("__pn")).over(
+        Window.partitionBy(gCols: _*)))
+      .select(col("__pid") +: gCols :+ col("__coff") :+ col("__voff")
+        :+ col("__ng"): _*)
+    val joined = inPart.join(broadcast(offsets), "__pid" +: groupCols)
+      .withColumn(rankName, col("__rk_in") + col("__coff"))
+    val withCum =
+      if (cumName == null) joined
+      else joined.withColumn(cumName,
+        col("__cum_in") + coalesce(col("__voff"), lit(0)))
+    val withTot =
+      if (totalName == null) withCum
+      else withCum.withColumn(totalName, col("__ng"))
+    withTot.drop("__gpv", "__pid", "__rk_in", "__cum_in", "__coff",
+      "__voff", "__ng")
+  }
+
   def distributedDenseRank(df: DataFrame, keys: Seq[Column],
                            rankName: String): DataFrame = {
     val parted = df.repartitionByRange(keys: _*)

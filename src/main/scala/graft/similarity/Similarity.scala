@@ -302,20 +302,33 @@ object Similarity {
     * pre-filtered before any distance math so the predicate composes
     * with the scan. Returns the exact top-k among candidates in the
     * probed cells, plus the chosen `n_probe` as a column (the recall
-    * harness reports it). */
+    * harness reports it).
+    *
+    * PRECONDITION: `cells` is a TOTAL assignment — exactly one row per
+    * stored corpus vector. The selectivity scalars are computed over
+    * corpus ⋈ cells, so a PARTIAL assignment silently skews total/pass
+    * toward the assigned subset (unassigned vectors could never be
+    * candidates anyway, but the widening factor would be estimated on
+    * the wrong population). Duplicate assignment rows — the half of
+    * the invariant a broken index build actually produces — are
+    * checked loudly below at no extra scan. */
   def ivfFilteredTopK(queries: DataFrame, corpus: DataFrame,
                       cells: DataFrame, k: Int, baseNProbe: Int,
                       pred: Column): DataFrame = {
-    // ONE blocking job for all three scalars (total, pass, |cells|) —
-    // a separate cells.distinct().count() was a whole extra scan per
-    // call; the join is 1:1 (the assignment covers the stored corpus,
-    // and unassigned vectors could never be candidates anyway)
+    // ONE blocking job for all four scalars (total, pass, |cells|,
+    // distinct vecs) — a separate cells.distinct().count() was a whole
+    // extra scan per call
     val m = corpus.join(cells, "vec_id")
       .agg(count(lit(1)).cast("long"),
         count(when(pred, 1)).cast("long"),
-        countDistinct(col("cell")).cast("long")).head()
+        countDistinct(col("cell")).cast("long"),
+        countDistinct(col("vec_id")).cast("long")).head()
     val (total, pass) = (m.getLong(0), m.getLong(1))
     require(pass > 0, "filter matches no corpus vector")
+    require(m.getLong(3) == total,
+      s"cells assignment is not 1:1 over the corpus — ${total} joined " +
+        s"rows vs ${m.getLong(3)} distinct vec_ids (duplicate " +
+        "assignment rows would skew the selectivity scalars)")
     val nCells = m.getLong(2)
     val nProbe = math.min(nCells,
       (baseNProbe.toLong * total + pass - 1) / pass).toInt

@@ -976,12 +976,20 @@ object Streams {
           try {
             // probe the CURRENT index (pre-growth: within-batch pairs
             // come from the full LSH pass over the batch instead, so
-            // nothing is double-counted and nothing self-pairs)
+            // nothing is double-counted and nothing self-pairs).
+            // Staged EAGERLY so pre-growth semantics are enforced by
+            // execution order — without the materialization the probe
+            // would only run inside the label write, AFTER this batch
+            // appends its own signatures below, and correctness would
+            // hinge on spark.read having snapshotted the file listing
+            // at analysis time (an implicit InMemoryFileIndex timing
+            // assumption, not a contract)
             val cross = Dedup.incrementalNearDupsIndexed(arrivals,
                 spark.read.parquet(s"$storePath/sets"),
                 spark.read.parquet(s"$storePath/buckets"),
                 "doc_id", "text", numPerms, numBands, threshold)
               .select(col("new_id").as("a"), col("corpus_id").as("b"))
+              .stage()
             val within = Dedup.minhashLshPairs(arrivals, "doc_id",
                 "text", numPerms, numBands, threshold)
               .select(col("doc_a").as("a"), col("doc_b").as("b"))

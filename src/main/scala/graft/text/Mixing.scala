@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.windows
@@ -46,10 +45,25 @@ object Mixing {
   def epochWaterfill(sources: DataFrame, srcCol: String, tokCol: String,
                      capCol: String, budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 1, s"budget must be >= 1, got $budgetTokens")
-    val base = sources.select(col(srcCol).as("src"),
+    // loud validation of the documented n ≥ 1 / m ≥ 1 domain (the
+    // bandedBuckets convention): a zero-token source would drive a
+    // breakpoint divisor (__ntot − t_ex) to 0 — a silent NULL candidate
+    // under Spark's non-ANSI division while the DuckDB twin errors.
+    // The mins ride the stage's own materialization job (observe), so
+    // validation costs no extra pass.
+    val (base, m0) = graft.Staging.stageObserved(
+      sources.select(col(srcCol).as("src"),
         col(tokCol).cast("long").as("n"),
-        col(capCol).cast("long").as("m"))
-      .stage() // prefix-sum pass + final projection both read it
+        col(capCol).cast("long").as("m")),
+      count(lit(1)).as("cnt"), min(col("n")).as("minn"),
+      min(col("m")).as("minm"))
+    // prefix-sum pass + final projection both read the staged frame
+    require(m0("cnt").asInstanceOf[Long] >= 1L,
+      "epochWaterfill needs at least one source")
+    require(m0("minn").asInstanceOf[Long] >= 1L,
+      s"every source needs tokCol >= 1, got min ${m0("minn")}")
+    require(m0("minm").asInstanceOf[Long] >= 1L,
+      s"every source needs capCol >= 1 milli-epoch, got min ${m0("minm")}")
     // BOTH inclusive prefix sums (token·millis and tokens) in ceiling
     // order from ONE range exchange ([[windows.distributedPrefixSums]]
     // — running the singular version twice would pay a second exchange
@@ -90,23 +104,32 @@ object Mixing {
     *
     * Integer-exact: within-source order is the md5 rank (the
     * [[Text.domainCap]] idiom), the interleave key is k·T DIV n_s with
-    * ties broken by (source, k) — a total order — and the global
-    * position comes from [[graft.ops.windows.distributedPrefixSum]],
-    * so nothing is single-task at any corpus size.
+    * ties broken by (source, k) — a total order — and BOTH ranks are
+    * distributed: the per-source sequence via
+    * [[graft.ops.windows.groupedPrefixSum]] (a pretraining corpus has
+    * ~10–100 sources over billions of docs, so a window partitioned by
+    * source alone would funnel the dominant source through one task —
+    * precisely the straggler [[Text.rankNormalize]] documents) and the
+    * global position via
+    * [[graft.ops.windows.distributedPrefixSum]], so nothing is
+    * single-task at any corpus size.
     *
     * @return (idCol, srcCol, src_seq, global_pos), a permutation of
     *         the input rows */
   def strideSchedule(df: DataFrame, srcCol: String, idCol: String)
   : DataFrame = {
-    val wSrc = Window.partitionBy(col("__src"))
-      .orderBy(md5(col("__id").cast("string")), col("__id"))
-    val seqd = df.select(col(idCol).as("__id"), col(srcCol).as("__src"))
-      .withColumn("__seq", row_number().over(wSrc).cast("long"))
-      .stage() // per-source sizes + the keyed frame both read it
-    val perSrc = broadcast(seqd.groupBy("__src")
-      .agg(max(col("__seq")).as("__ns")))
-    val tot = broadcast(perSrc.agg(sum(col("__ns")).as("__t")))
-    val keyed = seqd.join(perSrc, Seq("__src")).crossJoin(tot)
+    val base = df.select(col(idCol).as("__id"), col(srcCol).as("__src"))
+      .withColumn("__h", md5(col("__id").cast("string")))
+    // per-source rank + source size in ONE offset-lifted pass (the
+    // source size rides the same bounded offsets frame — no separate
+    // per-source aggregate or join)
+    val seqd = windows.groupedPrefixSum(base, Seq("__src"),
+        Seq(col("__h"), col("__id")), lit(0L),
+        rankName = "__seq0", totalName = "__ns")
+      .withColumn("__seq", col("__seq0").cast("long"))
+    val tot = broadcast(
+      df.select(col(srcCol)).agg(count(lit(1)).as("__t")))
+    val keyed = seqd.crossJoin(tot)
       .withColumn("__key", // decimal product: seq·T can pass int64
         expr("CAST((CAST(__seq AS DECIMAL(38,0)) * __t) DIV __ns " +
           "AS BIGINT)"))

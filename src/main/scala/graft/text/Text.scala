@@ -888,16 +888,35 @@ object Text {
     * rank within each domain by (md5(id), id) and keep the first `cap` —
     * the same documents survive on any run, engine, or partitioning, and
     * the rank is a two-phase WindowGroupLimit (per-partition top-cap
-    * before the exchange), so a 100 TB domain never sorts globally. */
+    * before the exchange), so a 100 TB domain never sorts globally.
+    *
+    * Spark only compiles the rank filter to a WindowGroupLimit when the
+    * bound is ≤ `spark.sql.window.group.limit.threshold` (default
+    * 1000); above it the "pre-cut" silently degrades to a full
+    * per-domain window sort — so caps past the threshold route through
+    * the offset-lift rank ([[graft.ops.windows.groupedPrefixSum]])
+    * automatically instead: same selection bit for bit, and the
+    * dominant domain range-partitions instead of funnelling through
+    * one task. PlanSpec pins both shapes. */
   def domainCap(docs: DataFrame, idCol: String, domainCol: String,
                 cap: Int): DataFrame = {
     require(cap >= 1, s"domain cap must be >= 1, got $cap")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(domainCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    docs.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= cap)
-      .drop("__rk")
+    val threshold = docs.sparkSession.conf
+      .get("spark.sql.window.group.limit.threshold", "1000").toInt
+    if (cap <= threshold) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(domainCol))
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      docs.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= cap)
+        .drop("__rk")
+    } else
+      graft.ops.windows.groupedPrefixSum(
+          docs.withColumn("__h", md5(col(idCol).cast("string"))),
+          Seq(domainCol), Seq(col("__h"), col(idCol)), lit(0L),
+          rankName = "__rk")
+        .filter(col("__rk") <= cap)
+        .select(docs.columns.map(col): _*) // join-back reorders columns
   }
 
   /** Canonical text cleaning for scraped corpora, the pass that runs
@@ -1031,11 +1050,13 @@ object Text {
     * 1-token case and ≥ budget/L rows always; a two-phase pre-cut
     * (WindowGroupLimit at rank ≤ budget, since every doc has ≥ 1 token)
     * bounds the sort input for a 100 TB source before the exact pass.
-    * Note: Spark only compiles the rank filter to a WindowGroupLimit
-    * when the bound is ≤ spark.sql.window.group.limit.threshold
-    * (default 1000) — raise that conf for larger budgets, or the
-    * pre-cut degrades to a plain post-window filter (still correct,
-    * but the first sort sees the whole source).
+    * Spark only compiles the rank filter to a WindowGroupLimit when
+    * the bound is ≤ spark.sql.window.group.limit.threshold (default
+    * 1000) — budgets past the threshold therefore route through the
+    * distributed per-source running sum
+    * ([[graft.ops.windows.groupedPrefixSum]]) automatically: the same
+    * prefix bit for bit, with the dominant source range-partitioned
+    * instead of buffered in one task. PlanSpec pins both shapes.
     *
     * @param budgetTokens per-source token quota
     * @return kept docs + (n_tokens, cum_tokens) audit columns
@@ -1044,26 +1065,41 @@ object Text {
                      sourceCol: String, budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 1L,
       s"token budget must be >= 1, got $budgetTokens")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sourceCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
     // token-less docs (NULL text) are EXCLUDED up front: they contribute
     // nothing to a token mix, and dropping them is what makes "every
     // ranked doc has ≥ 1 token" true — the invariant the rank ≤ budget
     // pre-cut needs to be a sound upper bound (a NULL row would consume
     // a rank slot without consuming budget and could push a legitimate
     // doc past the cut)
-    docs
+    val counted = docs
       .withColumn("n_tokens",
         coalesce(tokenCount(col(textCol)).cast("long"), lit(0L)))
       .filter(col("n_tokens") >= 1L)
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= budgetTokens)
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)))
-      .filter(col("cum_tokens") <= budgetTokens)
-      .drop("__rk")
+    val threshold = docs.sparkSession.conf
+      .get("spark.sql.window.group.limit.threshold", "1000").toLong
+    if (budgetTokens <= threshold) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(sourceCol))
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      counted
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= budgetTokens)
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .filter(col("cum_tokens") <= budgetTokens)
+        .drop("__rk")
+    } else
+      // the offset-lift path needs no rank pre-cut: the running sum
+      // itself is distributed, so no task ever buffers a whole source
+      graft.ops.windows.groupedPrefixSum(
+          counted.withColumn("__h", md5(col(idCol).cast("string"))),
+          Seq(sourceCol), Seq(col("__h"), col(idCol)),
+          col("n_tokens"), cumName = "cum_tokens", rankName = "__rk")
+        .filter(col("cum_tokens") <= budgetTokens)
+        // join-back reorders columns; match the window path's schema
+        .select(docs.columns.map(col) :+ col("n_tokens")
+          :+ col("cum_tokens"): _*)
   }
 
   /** Pointwise mutual information over token co-occurrence pairs

@@ -211,6 +211,36 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("groupedPrefixSum ≡ per-group window (rank, cum, total), " +
+    "incl. dominant group") {
+    // 80% of rows in ONE group — the regime the offset-lift exists for
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      val g = if (rnd.nextInt(10) < 8) "big" else s"g${rnd.nextInt(3)}"
+      (i.toLong, g, rnd.nextInt(100).toLong)
+    }
+    val df = rows.toDF("id", "g", "v").repartition(5)
+    val got = windows.groupedPrefixSum(df, Seq("g"), Seq(col("id")),
+        col("v"), cumName = "cum", rankName = "rk", totalName = "ng")
+      .select(col("id"), col("g"), col("v"), col("rk").cast("long"),
+        col("cum").cast("long"), col("ng").cast("long"))
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    val expected = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(_._1)
+      val cums = sorted.scanLeft(0L)(_ + _._3).tail
+      sorted.zipWithIndex.zip(cums).map { case (((id, _, v), i), c) =>
+        (id, g, v, i + 1L, c, rs.size.toLong)
+      }
+    }.toSet
+    assert(got === expected)
+    // rank-only use (value = 0) keeps cum identically zero
+    val rankOnly = windows.groupedPrefixSum(df, Seq("g"), Seq(col("id")),
+        lit(0L), rankName = "rk")
+      .select(col("id"), col("rk").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(rankOnly === expected.map(r => (r._1, r._4)))
+  }
+
   test("distributedDenseRank ≡ global dense_rank, incl. all-equal keys") {
     val rows = (1L to 500L).map(i => ((i * 37) % 11, (i * 13) % 5, i))
     val df = rows.toDF("a", "b", "uid")

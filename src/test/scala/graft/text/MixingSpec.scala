@@ -103,6 +103,44 @@ class MixingSpec extends SparkSpec {
     }
   }
 
+  test("strideSchedule never windows by source alone (straggler guard)") {
+    // the 100 TB shape: ~10-100 sources over billions of docs, so ANY
+    // window partitioned solely by the source column funnels the
+    // dominant source through one task. Checked via a listener over
+    // every executed query — the per-source rank is computed inside an
+    // eagerly staged subtree a final-plan assertion cannot see.
+    val rows = (0 until 90).map(i =>
+      (i.toLong, if (i % 3 == 0) "big" else "small"))
+    val df = rows.toDF("id", "src")
+    val offending = graft.PlanGuards.sourceOnlyWindows(spark, "__src") {
+      Mixing.strideSchedule(df, "src", "id").collect()
+    }
+    assert(offending.isEmpty,
+      s"strideSchedule ran a source-partitioned window over corpus-" +
+        s"sized data:\n${offending.mkString("\n")}")
+  }
+
+  test("epochWaterfill rejects out-of-domain sources loudly") {
+    // a zero-token source drives a breakpoint divisor to 0 — silent
+    // NULL under Spark's non-ANSI division while the DuckDB twin
+    // errors; the domain is validated on the stage's own job
+    intercept[IllegalArgumentException] {
+      Mixing.epochWaterfill(
+        Seq(("a", 0L, 1000L), ("b", 5L, 1000L)).toDF("src", "n", "m"),
+        "src", "n", "m", budgetTokens = 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.epochWaterfill(
+        Seq(("a", 3L, 0L)).toDF("src", "n", "m"),
+        "src", "n", "m", budgetTokens = 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.epochWaterfill(
+        Seq.empty[(String, Long, Long)].toDF("src", "n", "m"),
+        "src", "n", "m", budgetTokens = 100L)
+    }
+  }
+
   test("randomized fuzz against the brute-force definition") {
     val rnd = new scala.util.Random(42)
     (1 to 8).foreach { _ =>

@@ -383,6 +383,57 @@ class TextSpec extends SparkSpec {
     assert(small === 5)
   }
 
+  test("domainCap past the WindowGroupLimit threshold: offset-lift, " +
+    "same selection") {
+    // above spark.sql.window.group.limit.threshold Spark cannot compile
+    // the rank filter to a WindowGroupLimit, so the cap must auto-route
+    // through groupedPrefixSum — identical kept set, identical schema,
+    // and NO window partitioned solely by the domain over corpus data
+    val docs = (0L until 200L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val expected = Text.domainCap(docs, "doc_id", "source", cap = 40)
+      .select("doc_id").as[Long].collect().toSet
+    spark.conf.set("spark.sql.window.group.limit.threshold", "10")
+    try {
+      val offending = graft.PlanGuards.sourceOnlyWindows(spark, "source") {
+        val routed = Text.domainCap(docs, "doc_id", "source", cap = 40)
+        assert(routed.columns.toSeq === docs.columns.toSeq)
+        assert(routed.select("doc_id").as[Long].collect().toSet
+          === expected)
+      }
+      assert(offending.isEmpty,
+        s"big-cap path ran a domain-partitioned window over corpus " +
+          s"data:\n${offending.mkString("\n")}")
+    } finally
+      spark.conf.unset("spark.sql.window.group.limit.threshold")
+  }
+
+  test("tokenBudgetMix past the threshold: distributed running sum, " +
+    "same prefix") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"src${i % 4}", Seq.fill((i % 5).toInt + 1)("tok").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val expected = Text.tokenBudgetMix(docs, "doc_id", "text", "source",
+        8L)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect().toSet
+    spark.conf.set("spark.sql.window.group.limit.threshold", "5")
+    try {
+      val offending = graft.PlanGuards.sourceOnlyWindows(spark, "source") {
+        val routed = Text.tokenBudgetMix(docs, "doc_id", "text",
+          "source", 8L)
+        assert(routed.columns.takeRight(2).toSeq
+          === Seq("n_tokens", "cum_tokens"))
+        assert(routed.select("doc_id", "source", "n_tokens", "cum_tokens")
+          .as[(Long, String, Long, Long)].collect().toSet === expected)
+      }
+      assert(offending.isEmpty,
+        s"big-budget path ran a source-partitioned window over corpus " +
+          s"data:\n${offending.mkString("\n")}")
+    } finally
+      spark.conf.unset("spark.sql.window.group.limit.threshold")
+  }
+
   test("tokenBudgetMix keeps the md5-order prefix within each budget") {
     // doc i has i%5+1 tokens; budget 8 per source
     val docs = (0L until 40L).map(i =>
