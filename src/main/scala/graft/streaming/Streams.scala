@@ -833,6 +833,34 @@ object Streams {
     side(goodPath, "published").unionAll(side(badPath, "quarantined"))
   }
 
+  /** Compact a grow-by-append parquet store IN PLACE once it holds
+    * more than `maxFiles` part files: snapshot the current file list,
+    * append ONE coalesced copy of their union, then delete the
+    * originals. Crash-safety needs no rename dance because every
+    * caller's store tolerates duplicate rows (the dedup index's
+    * candidate join distincts; replayed batches already re-append):
+    * dying between the append and the deletes only leaves absorbable
+    * duplicates, never data loss. Returns the post-call (file count,
+    * byte size) — the store-health metrics the caller records. */
+  private def compactStore(spark: SparkSession, dir: String,
+                           maxFiles: Int): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val before = parts()
+    if (before.length > maxFiles) {
+      spark.read.parquet(before.map(_.getPath.toString): _*)
+        .coalesce(math.max(1, maxFiles / 8))
+        .write.mode("append").parquet(dir)
+      before.foreach(st => fs.delete(st.getPath, false))
+    }
+    val after = parts()
+    (after.length.toLong, after.map(_.getLen).sum)
+  }
+
   /** Streaming MinHash-LSH near-dup dedup — the production shape for
     * CONTINUOUS corpus ingestion: arriving documents probe a STATIC
     * banded index (the at-rest (doc_id, shset) + (doc_id, band, bucket)
@@ -927,11 +955,27 @@ object Streams {
     * the `_SUCCESS` guard makes the label merge itself idempotent.
     * AvailableNow single-run semantics are exact.
     *
+    * STATE TIERING: the index is append-per-batch by design (dedup
+    * against all history needs all history), so unmanaged it
+    * fragments into one small file pair per batch — the classic
+    * streaming-ingest small-files problem. Each batch therefore (a)
+    * appends a metrics row (probe pair count, store file counts /
+    * bytes) to `$storePath/metrics` — the observability a production
+    * deployment alerts on — and (b) compacts either store in place
+    * once it exceeds `maxStoreFiles` part files ([[compactStore]]:
+    * append one coalesced copy, then delete the originals — crash-safe
+    * because duplicate index rows are absorbed by the candidate
+    * join's distinct, the same contract replayed batches rely on).
+    * Superseded label snapshots are already dropped per batch, so
+    * every store is bounded: labels ≤ 1 snapshot, index ≤
+    * maxStoreFiles + compaction-width files.
+    *
     * @return the final labels (doc_id, comp, is_canonical) */
   def ccMaintainStream(spark: SparkSession, dir: String,
                        checkpoint: String, storePath: String,
                        numPerms: Int, numBands: Int, threshold: Double,
-                       glob: String = "documents.parquet"): DataFrame = {
+                       glob: String = "documents.parquet",
+                       maxStoreFiles: Int = 32): DataFrame = {
     import graft.dedup.Dedup
     val docs = spark.read.option("pathGlobFilter", glob).parquet(dir)
     val schema = docs.schema
@@ -1008,6 +1052,19 @@ object Streams {
                 cross.unionByName(within), "a", "b")
               .select(col("doc_id"), col("comp"))
               .write.mode("overwrite").parquet(s"$labelsPath/v_$batchId")
+            // state tiering: per-batch store metrics + in-place
+            // compaction of the grow-by-append index (see scaladoc)
+            val nProbe = cross.count() // staged — a cached-count only
+            val (setsN, setsB) = compactStore(spark,
+              s"$storePath/sets", maxStoreFiles)
+            val (bktN, bktB) = compactStore(spark,
+              s"$storePath/buckets", maxStoreFiles)
+            import spark.implicits._
+            Seq((batchId, nProbe, setsN, setsB, bktN, bktB))
+              .toDF("batch_id", "n_probe_pairs", "n_sets_files",
+                "sets_bytes", "n_buckets_files", "buckets_bytes")
+              .coalesce(1)
+              .write.mode("append").parquet(s"$storePath/metrics")
           } finally arrivals.unpersist(blocking = false)
         }
         versions().filter(_ < batchId).foreach(v => fs.delete(

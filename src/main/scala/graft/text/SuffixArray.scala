@@ -235,6 +235,128 @@ object SuffixArray {
       .distinct()
   }
 
+  /** The raw duplicated positions behind a prebuilt SA's dup report —
+    * public so the position set can be persisted as an at-rest
+    * artifact next to the index (the incremental-maintenance inputs,
+    * see [[deltaDupPositions]]). */
+  def dupPositionRowsFrom(sa: DataFrame, docs: DataFrame, idCol: String,
+                          textCol: String, minLen: Int): DataFrame =
+    dupPositionRows(sa, docs, idCol, textCol, minLen)
+
+  /** The `minLen`-BLOCK membership table of a suffix-array snapshot:
+    * (doc_id, pos, gram) for every position with ≥ `minLen` tokens
+    * remaining, gram = the space-joined `minLen`-token slice. Equal
+    * grams ⟺ same SA block at adjacent-LCP ≥ `minLen` (lcp(i, j) is
+    * the min of the adjacent LCPs between i and j, so suffixes sharing
+    * a ≥minLen prefix are exactly the contiguous block — the
+    * [[contaminatedPositions]] partition), which makes this the
+    * persistable PROBE INDEX for incremental dedup: a delta batch
+    * tests block membership by one equi-join on the gram, no prefix
+    * doubling, no SA rebuild. Tokens never contain whitespace, so the
+    * space join is a bijection — gram string equality IS token-slice
+    * equality. Scan-local off the index + token arrays. */
+  def gramBlocks(sa: DataFrame, docs: DataFrame, idCol: String,
+                 textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Text.tokens(col(textCol)).as("__t"))
+    sa.join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        slice(col("__t"), col("pos").cast("int"), lit(minLen)).as("w"))
+      .filter(size(col("w")) === minLen)
+      .select(col("doc_id"), col("pos"),
+        array_join(col("w"), " ").as("gram"))
+  }
+
+  /** [[gramBlocks]] computed directly from a docs frame (no SA) — the
+    * DELTA side of the incremental path, where the batch has no index
+    * yet and the gram projection is one scan-local pass. */
+  private def gramsOf(docs: DataFrame, idCol: String, textCol: String,
+                      minLen: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Text.tokens(col(textCol)).as("__t"))
+    toks.select(col("doc_id"),
+        posexplode(col("__t")).as(Seq("p0", "tok")), col("__t"))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        slice(col("__t"), (col("p0") + 1).cast("int"), lit(minLen))
+          .as("w"))
+      .filter(size(col("w")) === minLen)
+      .select(col("doc_id"), col("pos"),
+        array_join(col("w"), " ").as("gram"))
+  }
+
+  /** INCREMENTAL maintenance of the exact-substring dup report: the
+    * merged per-doc report over corpus ∪ delta computed by PROBING the
+    * old snapshot's at-rest artifacts — never rebuilding the corpus SA
+    * (the delta analog of the dedup side's
+    * [[graft.dedup.Dedup.incrementalNearDupsIndexed]]). Exactness rests
+    * on the block criterion: a position is duplicated iff its
+    * `minLen`-gram occurs ≥ 2 times in the combined corpus, so the
+    * delta only has to change verdicts for grams IT contains —
+    * everything else is already answered by the old report.
+    *
+    *  - a DELTA position is duplicated iff its gram exists in the old
+    *    corpus (n_old ≥ 1) or recurs within the delta (n_new ≥ 2);
+    *  - an OLD position flips to duplicated iff its gram was
+    *    previously UNIQUE (n_old = 1) and the delta re-introduces it —
+    *    provably disjoint from the old dup set (those grams all have
+    *    n_old ≥ 2), so the union needs no dedup;
+    *  - every other old verdict is unchanged.
+    *
+    * Plan shape at 100 TB: the batch is scanned once (gram projection
+    * + per-doc totals); the two index files are each scanned ONCE with
+    * the batch's gram set broadcast into the probe (an equi-join —
+    * the index is never shuffled, and a bucketed-by-gram-hash layout
+    * would prune the scan itself); all remaining joins are
+    * batch-bounded. Per-batch cost is O(|delta| + matches + one index
+    * read), independent of how many deltas preceded it.
+    *
+    * @param gramPos   at-rest [[gramBlocks]] of the old snapshot
+    * @param gramStats at-rest (gram, n_occ) rollup of `gramPos`
+    * @param oldDup    at-rest [[dupPositionRowsFrom]] of the old corpus
+    * @param oldNPos   at-rest (doc_id, n_positions) of the old corpus
+    * @param delta     the arriving batch (idCol, textCol)
+    * @return (doc_id, n_positions, n_dup_positions) over old ∪ delta —
+    *         identical to [[dupPositions]] over the combined corpus */
+  def deltaDupPositions(gramPos: DataFrame, gramStats: DataFrame,
+                        oldDup: DataFrame, oldNPos: DataFrame,
+                        delta: DataFrame, idCol: String, textCol: String,
+                        minLen: Int): DataFrame = {
+    val dGram = gramsOf(delta, idCol, textCol, minLen)
+      .stage() // three consumers: agg, flag join, per-doc totals
+    val dAgg = dGram.groupBy("gram").agg(count(lit(1)).as("n_new"))
+    // old-side occurrence counts for EXACTLY the delta's grams: scan
+    // the stats file once with the (small) gram set broadcast — an
+    // inner probe first, then the left join runs on two batch-bounded
+    // frames (a direct left join would shuffle the whole index: a
+    // small LEFT side cannot be the broadcast build of an outer join)
+    val oldCnt = gramStats.join(broadcast(dAgg.select("gram")),
+      Seq("gram"))
+    val probed = dAgg.join(oldCnt, Seq("gram"), "left")
+      .select(col("gram"), col("n_new"),
+        coalesce(col("n_occ"), lit(0L)).as("n_old"))
+      .stage() // new-side flags + old-side probe both read it
+    val newDupCnt = dGram
+      .join(broadcast(probed
+        .filter(col("n_old") >= 1L || col("n_new") >= 2L)
+        .select("gram")), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("__nd"))
+    val newlyOld = gramPos
+      .join(broadcast(probed.filter(col("n_old") === 1L)
+        .select("gram")), Seq("gram"))
+      .select(col("doc_id"), col("pos"))
+    val oldDupCnt = oldDup.select(col("doc_id"), col("pos"))
+      .unionByName(newlyOld)
+      .groupBy("doc_id").agg(count(lit(1)).as("__nd"))
+    val dNPos = positions(delta, idCol, textCol)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_positions"))
+    oldNPos.select(col("doc_id"), col("n_positions"))
+      .join(oldDupCnt, Seq("doc_id"), "left")
+      .unionByName(dNPos.join(newDupCnt, Seq("doc_id"), "left"))
+      .select(col("doc_id"), col("n_positions"),
+        coalesce(col("__nd"), lit(0L)).as("n_dup_positions"))
+  }
+
   /** EXACT cross-corpus decontamination via the suffix array: for every
     * non-benchmark ("train") document, the number of token positions
     * whose `minLen`-token span also occurs verbatim in some benchmark

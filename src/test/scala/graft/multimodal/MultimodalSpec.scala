@@ -165,6 +165,34 @@ class MultimodalSpec extends SparkSpec {
     assert(rz(0L).ahash === metas(0L).ahash)
   }
 
+  test("imageFeatures: decoded-pixel histogram + gradient energy " +
+    "replay the formula") {
+    val docs = Seq((0L, "x"), (6L, "y"), (12L, "z"))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.imageFeatures(
+        Multimodal.syntheticImages(spark, docs), bins = 8)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.keySet === Set(0L, 6L, 12L))
+    Seq(0L, 6L, 12L).foreach { id =>
+      val seed = id / 6
+      val (w, h) = ((8 + seed % 16).toInt, (8 + seed % 8).toInt)
+      def p(x: Int, y: Int): Int = ((7 * x + 13 * y + 31 * seed) % 256).toInt
+      val pix = for (y <- 0 until h; x <- 0 until w) yield p(x, y)
+      val wantHist = (0 until 8).map(b =>
+        pix.count(v => v * 8 / 256 == b).toLong)
+      val wantE = (for (y <- 0 until h; x <- 0 until w) yield {
+        val eh = if (x + 1 < w) math.abs(p(x + 1, y) - p(x, y)) else 0
+        val ev = if (y + 1 < h) math.abs(p(x, y + 1) - p(x, y)) else 0
+        (eh + ev).toLong
+      }).sum
+      val f = feats(id)
+      assert(f.width === w && f.height === h)
+      assert(f.hist === wantHist, s"hist for id $id")
+      assert(f.edge_energy === wantE, s"edge energy for id $id")
+      assert(f.hist.sum === w.toLong * h)
+    }
+  }
+
   test("VideoContainer: mux/demux round-trips frame payloads exactly") {
     val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](),
       Array.tabulate(300)(_.toByte))

@@ -280,6 +280,58 @@ class StreamsSpec extends SparkSpec {
       "fixture must contain a cluster straddling the split")
   }
 
+  test("cc maintain stream: store stays compacted + metrics per batch") {
+    // the state-tiering contract: the index grows by append per batch
+    // (inherent — dedup against all history), but the store must not
+    // fragment without bound. 6 batches with maxStoreFiles=2 force
+    // compaction to fire repeatedly; labels must STILL equal the
+    // from-scratch CC (compaction only rewrites files, never data).
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft_ccm_cpt").toString
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .orderBy("doc_id")
+    val n = raw.count()
+    val chunks = raw.collect().grouped((n / 6 + 1).toInt).toSeq
+    val schema = raw.schema
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val staging = Files.createTempDirectory(s"graft_ccm_cst_$i").toString
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/docs_$i.parquet"))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_ccm_cpt").toString
+    val store = Files.createTempDirectory("graft_ccm_cpt_store").toString
+    val got = Streams.ccMaintainStream(spark, tmp, ckpt, store,
+        numPerms = 8, numBands = 4, threshold = 0.8, glob = "*.parquet",
+        maxStoreFiles = 2)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val scratch = graft.dedup.Dedup.connectedComponents(
+        graft.dedup.Dedup.minhashLshPairs(
+          spark.read.parquet(s"$dir/documents.parquet"), "doc_id",
+          "text", numPerms = 8, numBands = 4, threshold = 0.8),
+        "doc_a", "doc_b")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === scratch)
+    // bounded store: compaction keeps each index dir at or under the
+    // cap plus one compaction width — never one file pair per batch
+    def nParts(sub: String): Int = new java.io.File(s"$store/$sub")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nParts("sets") <= 3, s"sets fragmented: ${nParts("sets")}")
+    assert(nParts("buckets") <= 3,
+      s"buckets fragmented: ${nParts("buckets")}")
+    // one metrics row per arrival batch, counts monotone-ish sane
+    val metrics = spark.read.parquet(s"$store/metrics")
+    val mRows = metrics
+      .select("batch_id", "n_probe_pairs", "n_buckets_files")
+      .as[(Long, Long, Long)].collect()
+    assert(mRows.length >= chunks.length - 1,
+      s"metrics rows: ${mRows.length} for ${chunks.length} slices")
+    assert(mRows.forall(_._3 <= 3), "metrics recorded a fragmented store")
+  }
+
   test("ohlc update mode: same bars as complete mode, state evicted") {
     val dir = "/root/testdata/sf0.001"
     // complete-mode reference

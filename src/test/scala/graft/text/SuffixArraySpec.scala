@@ -115,6 +115,50 @@ class SuffixArraySpec extends SparkSpec {
     }.values.flatten.map(s => (s._1, s._2)).toSet
   }
 
+  test("deltaDupPositions ≡ from-scratch dupPositions over old ∪ delta") {
+    // the incremental contract: probing the old snapshot's at-rest
+    // artifacts (gram blocks, stats, dup set, totals) reproduces the
+    // full-rebuild report bit for bit — all three verdict paths fire
+    // here (delta-vs-old dup, within-delta dup, old position flipping
+    // to dup because a previously-unique gram was re-introduced)
+    val minLen = 3
+    val old = corpus
+    val delta = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // re-crawl of 0
+      (101L, "completely fresh tokens appear here twice"),
+      (102L, "completely fresh tokens appear here twice"),   // within-delta dup
+      (103L, "fox sleeps tonight alone"),  // re-introduces 2's unique tail? (no 3-gram match)
+      (104L, "nothing shared at all"))
+    val oldDf = old.toDF("doc_id", "text")
+    val deltaDf = delta.toDF("doc_id", "text")
+    val sa = SuffixArray.suffixArray(oldDf, "doc_id", "text")
+    val gramPos = SuffixArray.gramBlocks(sa, oldDf, "doc_id", "text",
+      minLen)
+    val gramStats = gramPos.groupBy("gram")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_occ"))
+    val oldDup = SuffixArray.dupPositionRowsFrom(sa, oldDf, "doc_id",
+      "text", minLen)
+    val oldNPos = SuffixArray.dupPositions(oldDf, "doc_id", "text",
+      minLen).select("doc_id", "n_positions")
+    val got = SuffixArray.deltaDupPositions(gramPos, gramStats, oldDup,
+        oldNPos, deltaDf, "doc_id", "text", minLen)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = SuffixArray.dupPositions(
+        oldDf.unionByName(deltaDf), "doc_id", "text", minLen)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === want)
+    // the old-flip path really fired: doc 0's positions must now be
+    // duplicated (its re-crawl is in the delta) though none were before
+    val before = SuffixArray.dupPositions(oldDf, "doc_id", "text",
+        minLen).filter($"doc_id" === 0L)
+      .as[(Long, Long, Long)].head()
+    val after = got.find(_._1 == 0L).get
+    assert(after._3 > before._3, s"doc 0: $before -> $after")
+  }
+
   test("dupSpansExact merges flagged covers into maximal spans") {
     val minLen = 3
     val df = corpus.toDF("doc_id", "text")
