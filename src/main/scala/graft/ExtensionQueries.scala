@@ -285,8 +285,9 @@ object ExtensionQueries {
   // The SA PROBE INDEX at rest — the incremental-maintenance artifact
   // set a production exact-substring dedup persists NEXT TO the SA so
   // delta batches never rebuild it: the minLen-block membership table
-  // (gramBlocks), its (gram, n_occ) rollup, the old corpus's dup
-  // position set, and per-doc position totals. Derived once per
+  // (gramBlocks), its (gram, n_occ) rollup, and the per-doc dup
+  // REPORT (so merging a delta patches report rows instead of
+  // re-aggregating corpus-sized position sets). Derived once per
   // (session, sf dir) FROM the at-rest SA.
   private val saDeltaCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -299,13 +300,9 @@ object ExtensionQueries {
       gp.write.mode("overwrite").parquet(s"$p/gram_positions")
       gp.groupBy("gram").agg(count(lit(1)).as("n_occ"))
         .write.mode("overwrite").parquet(s"$p/gram_stats")
-      SuffixArray.dupPositionRowsFrom(sa, docs, "doc_id", "text",
+      SuffixArray.dupPositionsFrom(sa, docs, "doc_id", "text",
           minLen = 5)
-        .write.mode("overwrite").parquet(s"$p/dup_positions")
-      docs.select(col("doc_id"),
-          size(Text.tokens(col("text"))).cast("long").as("n_positions"))
-        .filter(col("n_positions") >= 1L)
-        .write.mode("overwrite").parquet(s"$p/doc_npos")
+        .write.mode("overwrite").parquet(s"$p/dup_report")
     }
 
   // The scrubbed corpus's OWN at-rest suffix array: the scrub output
@@ -1668,8 +1665,7 @@ object ExtensionQueries {
       SuffixArray.deltaDupPositions(
           s.read.parquet(s"$p/gram_positions"),
           s.read.parquet(s"$p/gram_stats"),
-          s.read.parquet(s"$p/dup_positions"),
-          s.read.parquet(s"$p/doc_npos"),
+          s.read.parquet(s"$p/dup_report"),
           delta, "doc_id", "text", minLen = 5)
         .orderBy("doc_id")
     }),

@@ -1338,6 +1338,67 @@ object ScaleSmoke {
       merged.count()
     }
 
+    // grouped prefix sum under dominant-group skew: 90% of rows in ONE
+    // group — the pretraining-source regime strideSchedule/domainCap/
+    // tokenBudgetMix route through the offset-lift for; a window
+    // partitioned by the group alone would funnel 0.9·rows through a
+    // single task no AQE rule can split
+    timed("grouped prefix sum skew") {
+      val df = spark.range(rows).select(
+        when(col("id") % 10 < 9, lit("big"))
+          .otherwise(concat(lit("g"), col("id") % 97)).as("src"),
+        col("id").as("uid"),
+        (col("id") % 1000).as("v"))
+      val got = windows.groupedPrefixSum(df, Seq("src"), Seq(col("uid")),
+        col("v"), cumName = "cum", rankName = "rk", totalName = "ng")
+      val row = got.filter(col("src") === "big")
+        .agg(max(col("rk")).cast("long"), max(col("ng")).cast("long"),
+          count(lit(1))).head()
+      require(row.getLong(0) == row.getLong(2) &&
+        row.getLong(1) == row.getLong(2),
+        s"dominant-group rank/total off: $row")
+      row.getLong(2)
+    }
+
+    // SA delta probe: a 10k-doc batch merges into a corpus-scale dup
+    // report by probing the at-rest gram index — the probe line below
+    // must track the BATCH, not the corpus (index scanned once with
+    // the batch grams broadcast, report patched by a broadcast join)
+    timed("sa delta index+probe") {
+      val nDocs = rows / 10 // 10 tokens per doc
+      def mkDocs(ids: org.apache.spark.sql.DataFrame) = ids.select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0L), lit(9L)),
+          j => concat(lit("t"),
+            pmod(col("id") * 10 + j, lit(1000000L))))).as("text"))
+      val docs = mkDocs(spark.range(nDocs).toDF())
+      // token start values cover 0..1M−1 many times over, so every
+      // 5-gram recurs (~rows/1M times): old report = 6 dup positions
+      // per doc (starts 1..6), and no gram is unique — no flips
+      val saLike = spark.range(rows).select(
+        expr("id DIV 10").as("doc_id"), (col("id") % 10 + 1).as("pos"))
+      val gramPos = graft.text.SuffixArray.gramBlocks(saLike, docs,
+        "doc_id", "text", minLen = 5).stage()
+      val gramStats = gramPos.groupBy("gram")
+        .agg(count(lit(1)).as("n_occ")).stage()
+      val oldReport = docs.select(col("doc_id"),
+        lit(10L).as("n_positions"), lit(6L).as("n_dup_positions"))
+        .stage()
+      val delta = mkDocs(spark.range(nDocs, nDocs + 10000).toDF())
+      val t0 = System.nanoTime()
+      val merged = graft.text.SuffixArray.deltaDupPositions(gramPos,
+        gramStats, oldReport, delta, "doc_id", "text", minLen = 5)
+      // every delta gram exists in the old corpus → all 6 eligible
+      // positions of every delta doc are duplicated
+      val bad = merged.filter(col("doc_id") >= nDocs &&
+        col("n_dup_positions") =!= 6L).count()
+      val total = merged.count()
+      println(f"[scale] sa delta probe only          rows=$total%12d  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      require(bad == 0L, s"$bad delta docs mis-merged")
+      require(total == nDocs + 10000L, s"merged report rows: $total")
+      total
+    }
+
     spark.stop()
   }
 }

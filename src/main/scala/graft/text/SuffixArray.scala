@@ -307,19 +307,23 @@ object SuffixArray {
     * + per-doc totals); the two index files are each scanned ONCE with
     * the batch's gram set broadcast into the probe (an equi-join —
     * the index is never shuffled, and a bucketed-by-gram-hash layout
-    * would prune the scan itself); all remaining joins are
-    * batch-bounded. Per-batch cost is O(|delta| + matches + one index
-    * read), independent of how many deltas preceded it.
+    * would prune the scan itself); the old REPORT is patched by a
+    * broadcast join of the batch-bounded extras — it is re-emitted
+    * (this query's output is the full merged report) but never
+    * shuffled or re-aggregated. Per-batch COMPUTE is
+    * O(|delta| + matches + one index read), independent of how many
+    * deltas preceded it; a deployment that only wants the CHANGED rows
+    * keeps the extras/new frames and skips the re-emission.
     *
     * @param gramPos   at-rest [[gramBlocks]] of the old snapshot
     * @param gramStats at-rest (gram, n_occ) rollup of `gramPos`
-    * @param oldDup    at-rest [[dupPositionRowsFrom]] of the old corpus
-    * @param oldNPos   at-rest (doc_id, n_positions) of the old corpus
+    * @param oldReport at-rest [[dupPositionsFrom]] of the old corpus —
+    *                  (doc_id, n_positions, n_dup_positions)
     * @param delta     the arriving batch (idCol, textCol)
     * @return (doc_id, n_positions, n_dup_positions) over old ∪ delta —
     *         identical to [[dupPositions]] over the combined corpus */
   def deltaDupPositions(gramPos: DataFrame, gramStats: DataFrame,
-                        oldDup: DataFrame, oldNPos: DataFrame,
+                        oldReport: DataFrame,
                         delta: DataFrame, idCol: String, textCol: String,
                         minLen: Int): DataFrame = {
     val dGram = gramsOf(delta, idCol, textCol, minLen)
@@ -341,20 +345,25 @@ object SuffixArray {
         .filter(col("n_old") >= 1L || col("n_new") >= 2L)
         .select("gram")), Seq("gram"))
       .groupBy("doc_id").agg(count(lit(1)).as("__nd"))
-    val newlyOld = gramPos
+    // old positions flipping to duplicated: previously-UNIQUE grams
+    // (n_old = 1) the delta re-introduces — one position per such gram
+    // (that's what unique means), disjoint from the old dup counts
+    // (those grams all had n_old ≥ 2), so the report patch is pure
+    // addition; the extras frame is bounded by the BATCH's gram count
+    val extras = gramPos
       .join(broadcast(probed.filter(col("n_old") === 1L)
         .select("gram")), Seq("gram"))
-      .select(col("doc_id"), col("pos"))
-    val oldDupCnt = oldDup.select(col("doc_id"), col("pos"))
-      .unionByName(newlyOld)
-      .groupBy("doc_id").agg(count(lit(1)).as("__nd"))
+      .groupBy("doc_id").agg(count(lit(1)).as("__extra"))
     val dNPos = positions(delta, idCol, textCol)
       .groupBy("doc_id").agg(count(lit(1)).as("n_positions"))
-    oldNPos.select(col("doc_id"), col("n_positions"))
-      .join(oldDupCnt, Seq("doc_id"), "left")
-      .unionByName(dNPos.join(newDupCnt, Seq("doc_id"), "left"))
+    oldReport
+      .join(broadcast(extras), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_positions"),
-        coalesce(col("__nd"), lit(0L)).as("n_dup_positions"))
+        (col("n_dup_positions") + coalesce(col("__extra"), lit(0L)))
+          .as("n_dup_positions"))
+      .unionByName(dNPos.join(newDupCnt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_positions"),
+          coalesce(col("__nd"), lit(0L)).as("n_dup_positions")))
   }
 
   /** EXACT cross-corpus decontamination via the suffix array: for every

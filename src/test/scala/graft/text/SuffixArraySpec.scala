@@ -137,12 +137,10 @@ class SuffixArraySpec extends SparkSpec {
     val gramStats = gramPos.groupBy("gram")
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_occ"))
-    val oldDup = SuffixArray.dupPositionRowsFrom(sa, oldDf, "doc_id",
+    val oldReport = SuffixArray.dupPositionsFrom(sa, oldDf, "doc_id",
       "text", minLen)
-    val oldNPos = SuffixArray.dupPositions(oldDf, "doc_id", "text",
-      minLen).select("doc_id", "n_positions")
-    val got = SuffixArray.deltaDupPositions(gramPos, gramStats, oldDup,
-        oldNPos, deltaDf, "doc_id", "text", minLen)
+    val got = SuffixArray.deltaDupPositions(gramPos, gramStats,
+        oldReport, deltaDf, "doc_id", "text", minLen)
       .orderBy("doc_id")
       .as[(Long, Long, Long)].collect().toSeq
     val want = SuffixArray.dupPositions(
