@@ -221,11 +221,12 @@ object ExtensionQueries {
   // way a production graph engine materializes its adjacency (edges
   // are ingested once; rank/reach/centrality queries read the
   // artifact, they never re-derive it from the fact tables):
-  //   sym        symmetrized trade adjacency, degree-annotated
-  //              (src, dst, src_deg)
+  //   sym        symmetrized trade adjacency (src, dst)
   //   sym_w      symmetrized quantity-weighted adjacency (src, dst, w)
-  //   nodes      distinct node inventory (seed selection reads THIS,
-  //              not a distinct over the edge list per query)
+  //   degrees    the degree annotation, normalized into its own view
+  //              (node, degree) — the node inventory AND the degree
+  //              profile read THIS, never a distinct/groupBy over the
+  //              edge list per query
   //   co_support support-filtered co-occurrence graph (a, b, sup>=2) —
   //              the min-support cut the AA/jaccard/kcore/node2vec
   //              family was re-computing per query
@@ -237,10 +238,10 @@ object ExtensionQueries {
       val e = sharedTradeEdges(s, d)
       val sym = e.select(col("a").as("src"), col("b").as("dst"))
         .union(e.select(col("b").as("src"), col("a").as("dst")))
-      val deg = sym.groupBy("src").agg(count(lit(1)).as("src_deg"))
-      sym.join(deg, "src").write.mode("overwrite").parquet(s"$p/sym")
-      sym.select(col("src").as("node")).distinct()
-        .write.mode("overwrite").parquet(s"$p/nodes")
+      sym.write.mode("overwrite").parquet(s"$p/sym")
+      sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree"))
+        .write.mode("overwrite").parquet(s"$p/degrees")
       val ew = t(s, d, "orders")
         .join(t(s, d, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
@@ -258,11 +259,14 @@ object ExtensionQueries {
     }
   private def symAdjacency(s: SparkSession, d: String): DataFrame =
     s.read.parquet(graphSnapshotDir(s, d) + "/sym")
-      .select("src", "dst")
   private def weightedSymAdjacency(s: SparkSession, d: String): DataFrame =
     s.read.parquet(graphSnapshotDir(s, d) + "/sym_w")
+  private def graphDegrees(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(graphSnapshotDir(s, d) + "/degrees")
+  // node inventory = the degree view with the count pruned away at
+  // the parquet scan — no separate file, no distinct per query
   private def graphNodes(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(graphSnapshotDir(s, d) + "/nodes")
+    graphDegrees(s, d).select("node")
   private def coSupportGraph(s: SparkSession, d: String): DataFrame =
     s.read.parquet(graphSnapshotDir(s, d) + "/co_support")
 
@@ -1121,6 +1125,16 @@ object ExtensionQueries {
       Graph.pageRank(symAdjacency(s, d), "src", "dst", iterations = 3)
         .orderBy(col("rank_micro").desc, col("node"))
         .limit(20)),
+
+    // degree distribution off the snapshot's normalized degree view —
+    // the first report any graph build publishes (scale-freeness,
+    // hub count, isolated-node check); one bounded groupBy over the
+    // node-scale degrees file, the edge list never re-aggregated
+    "q_graph_degree_profile" -> ((s, d) =>
+      graphDegrees(s, d)
+        .groupBy("degree")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
+        .orderBy("degree")),
 
     // the honest DIRECTED variant: customer→supplier edges are NOT
     // symmetrized, so every supplier is a dangling sink — the
@@ -4546,6 +4560,19 @@ object ExtensionQueries {
                 JOIN sup sc ON r.cons = sc.i
                 CROSS JOIN n
          ORDER BY lift_micro DESC, ante, cons LIMIT 50""",
+
+    // degree histogram recomputed from the fact tables — what the
+    // engine reads pre-aggregated from the snapshot's degree view
+    "q_graph_degree_profile" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src FROM e0 UNION ALL SELECT b FROM e0),
+         deg AS (SELECT src AS node, COUNT(*)::BIGINT AS degree
+                 FROM e GROUP BY src)
+         SELECT degree, COUNT(*)::BIGINT AS n_nodes,
+                SUM(node)::BIGINT AS node_sum
+         FROM deg GROUP BY degree ORDER BY degree""",
 
     "q_pagerank" ->
       """WITH e0 AS (

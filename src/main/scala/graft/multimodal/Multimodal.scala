@@ -352,7 +352,13 @@ object Multimodal {
         val counts = new Array[Long](bins)
         var i = 0
         while (i < px.length) {
-          counts(px(i) * bins / 256) += 1
+          // decodeGray passes raw raster samples through: a 16-bit
+          // grayscale PNG yields values up to 65535, which would index
+          // past the bins array — saturate to the 8-bit range (the
+          // histogram is a tone signature; >8-bit depths clip to the
+          // top bin rather than crash)
+          val v = if (px(i) > 255) 255 else px(i)
+          counts(v * bins / 256) += 1
           i += 1
         }
         var e = 0L

@@ -143,26 +143,6 @@ object windows {
           Seq(s"__psv$i", s"__cum_in$i", s"__voff$i")): _*)
   }
 
-  /** Distributed global DENSE rank over `keys` — equal key tuples get
-    * equal rank, ranks are 1..#distinct with no gaps — WITHOUT the
-    * distinct → rank → join-back detour (three data-sized shuffles).
-    * One range exchange does it:
-    *
-    *  1. range-partition by `keys` — Spark's RangePartitioner sends
-    *     EQUAL keys to the same partition (boundaries come from a
-    *     sample, assignment is a binary search over them), so no key
-    *     group straddles a partition;
-    *  2. in-partition dense rank = running sum of the new-group
-    *     indicator (lag ≠ current);
-    *  3. per-partition distinct counts (a max over the computed
-    *     in-partition rank — rides the same staged frame, no extra
-    *     data shuffle) prefix-sum into offsets on a ≤#partitions frame,
-    *     broadcast back.
-    *
-    * The staged frame is the one materialization both consumers (the
-    * final projection and the offsets aggregate) read — same
-    * exchange-reuse rationale as [[distributedPrefixSum]].
-    */
   /** Distributed PER-GROUP running sum + rank — the grouped analog of
     * [[distributedPrefixSum]], and the offset-lift rewrite of
     * `Window.partitionBy(group).orderBy(order…)` for when one group can
@@ -178,11 +158,17 @@ object windows {
     *  3. per-(partition, group) counts/sums — a frame bounded by
     *     #partitions·#groups rows, NOT by data volume — get running
     *     offsets on a per-group frame of ≤ #partitions rows, then
-    *     join back (broadcast while the offsets frame is small; with
-    *     millions of groups Spark picks a hash join, and at that
-    *     cardinality groups are small enough that the plain window is
-    *     the right operator anyway — this helper exists for the
-    *     few-huge-groups regime).
+    *     join back NULL-SAFELY (`<=>`: a NULL group key is a regular
+    *     group to Window.partitionBy and groupBy, so the join-back
+    *     must not drop it — an equi-join would).
+    *
+    * CONTRACT: the offsets frame (#partitions·#groups rows) is
+    * broadcast — this helper is for the FEW-HUGE-GROUPS regime, where
+    * that product is small. With millions of tiny groups the plain
+    * per-group window is the right operator (no group dominates, so
+    * there is no straggler to lift away), and the broadcast here
+    * would hit Spark's hard broadcast limits; callers that auto-route
+    * (domainCap, tokenBudgetMix) document the same boundary.
     *
     * The range-partitioned frame is staged once because two consumers
     * (the in-partition window and the offsets aggregate) must see the
@@ -227,9 +213,15 @@ object windows {
       .withColumn("__voff", sum(col("__pv")).over(wOff))
       .withColumn("__ng", sum(col("__pn")).over(
         Window.partitionBy(gCols: _*)))
-      .select(col("__pid") +: gCols :+ col("__coff") :+ col("__voff")
-        :+ col("__ng"): _*)
-    val joined = inPart.join(broadcast(offsets), "__pid" +: groupCols)
+      .select(col("__pid").as("__opid") +:
+        groupCols.map(c => col(c).as(s"__og_$c")) :+ col("__coff") :+
+        col("__voff") :+ col("__ng"): _*)
+    // null-safe join-back: <=> on every group column, so NULL groups
+    // rank exactly as the window form ranks them
+    val cond = groupCols.foldLeft(
+      inPart("__pid") === offsets("__opid")) { (c, g) =>
+      c && (inPart(g) <=> offsets(s"__og_$g")) }
+    val joined = inPart.join(broadcast(offsets), cond)
       .withColumn(rankName, col("__rk_in") + col("__coff"))
     val withCum =
       if (cumName == null) joined
@@ -238,10 +230,31 @@ object windows {
     val withTot =
       if (totalName == null) withCum
       else withCum.withColumn(totalName, col("__ng"))
-    withTot.drop("__gpv", "__pid", "__rk_in", "__cum_in", "__coff",
-      "__voff", "__ng")
+    withTot.drop(Seq("__gpv", "__pid", "__opid", "__rk_in", "__cum_in",
+      "__coff", "__voff", "__ng") ++
+      groupCols.map(c => s"__og_$c"): _*)
   }
 
+  /** Distributed global DENSE rank over `keys` — equal key tuples get
+    * equal rank, ranks are 1..#distinct with no gaps — WITHOUT the
+    * distinct → rank → join-back detour (three data-sized shuffles).
+    * One range exchange does it:
+    *
+    *  1. range-partition by `keys` — Spark's RangePartitioner sends
+    *     EQUAL keys to the same partition (boundaries come from a
+    *     sample, assignment is a binary search over them), so no key
+    *     group straddles a partition;
+    *  2. in-partition dense rank = running sum of the new-group
+    *     indicator (lag ≠ current);
+    *  3. per-partition distinct counts (a max over the computed
+    *     in-partition rank — rides the same staged frame, no extra
+    *     data shuffle) prefix-sum into offsets on a ≤#partitions frame,
+    *     broadcast back.
+    *
+    * The staged frame is the one materialization both consumers (the
+    * final projection and the offsets aggregate) read — same
+    * exchange-reuse rationale as [[distributedPrefixSum]].
+    */
   def distributedDenseRank(df: DataFrame, keys: Seq[Column],
                            rankName: String): DataFrame = {
     val parted = df.repartitionByRange(keys: _*)

@@ -967,8 +967,8 @@ object Streams {
     * because duplicate index rows are absorbed by the candidate
     * join's distinct, the same contract replayed batches rely on).
     * Superseded label snapshots are already dropped per batch, so
-    * every store is bounded: labels ≤ 1 snapshot, index ≤
-    * maxStoreFiles + compaction-width files.
+    * every store is bounded: labels ≤ 1 snapshot, index AND the
+    * metrics table ≤ maxStoreFiles + compaction-width files each.
     *
     * @return the final labels (doc_id, comp, is_canonical) */
   def ccMaintainStream(spark: SparkSession, dir: String,
@@ -1065,6 +1065,11 @@ object Streams {
                 "sets_bytes", "n_buckets_files", "buckets_bytes")
               .coalesce(1)
               .write.mode("append").parquet(s"$storePath/metrics")
+            // the metrics table appends one file per batch too —
+            // compact it under the same cap (duplicated metric rows
+            // after a crash mid-compaction are harmless observability
+            // noise, the same absorption argument as the index)
+            compactStore(spark, s"$storePath/metrics", maxStoreFiles)
           } finally arrivals.unpersist(blocking = false)
         }
         versions().filter(_ < batchId).foreach(v => fs.delete(

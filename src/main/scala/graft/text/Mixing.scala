@@ -49,17 +49,23 @@ object Mixing {
     // bandedBuckets convention): a zero-token source would drive a
     // breakpoint divisor (__ntot − t_ex) to 0 — a silent NULL candidate
     // under Spark's non-ANSI division while the DuckDB twin errors.
-    // The mins ride the stage's own materialization job (observe), so
-    // validation costs no extra pass.
+    // NULLs are counted explicitly (min() would skip them, waving
+    // through the exact silent-NULL arithmetic the check exists to
+    // close). The scalars ride the stage's own materialization job
+    // (observe), so validation costs no extra pass.
     val (base, m0) = graft.Staging.stageObserved(
       sources.select(col(srcCol).as("src"),
         col(tokCol).cast("long").as("n"),
         col(capCol).cast("long").as("m")),
-      count(lit(1)).as("cnt"), min(col("n")).as("minn"),
-      min(col("m")).as("minm"))
+      count(lit(1)).as("cnt"),
+      count(when(col("n").isNull || col("m").isNull, 1)).as("nnull"),
+      min(col("n")).as("minn"), min(col("m")).as("minm"))
     // prefix-sum pass + final projection both read the staged frame
     require(m0("cnt").asInstanceOf[Long] >= 1L,
       "epochWaterfill needs at least one source")
+    require(m0("nnull").asInstanceOf[Long] == 0L,
+      s"${m0("nnull")} source rows have NULL tokCol/capCol (cast " +
+        "failure or missing value) — every source needs n >= 1, m >= 1")
     require(m0("minn").asInstanceOf[Long] >= 1L,
       s"every source needs tokCol >= 1, got min ${m0("minn")}")
     require(m0("minm").asInstanceOf[Long] >= 1L,
@@ -127,8 +133,10 @@ object Mixing {
         Seq(col("__h"), col("__id")), lit(0L),
         rankName = "__seq0", totalName = "__ns")
       .withColumn("__seq", col("__seq0").cast("long"))
-    val tot = broadcast(
-      df.select(col(srcCol)).agg(count(lit(1)).as("__t")))
+      .stage() // total-count pass + the keyed frame both read it
+    // T counted over the STAGED frame — counting the raw df would
+    // re-execute the caller's whole upstream lineage a second time
+    val tot = broadcast(seqd.agg(count(lit(1)).as("__t")))
     val keyed = seqd.crossJoin(tot)
       .withColumn("__key", // decimal product: seq·T can pass int64
         expr("CAST((CAST(__seq AS DECIMAL(38,0)) * __t) DIV __ns " +

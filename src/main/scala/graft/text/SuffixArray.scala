@@ -268,23 +268,6 @@ object SuffixArray {
         array_join(col("w"), " ").as("gram"))
   }
 
-  /** [[gramBlocks]] computed directly from a docs frame (no SA) — the
-    * DELTA side of the incremental path, where the batch has no index
-    * yet and the gram projection is one scan-local pass. */
-  private def gramsOf(docs: DataFrame, idCol: String, textCol: String,
-                      minLen: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      Text.tokens(col(textCol)).as("__t"))
-    toks.select(col("doc_id"),
-        posexplode(col("__t")).as(Seq("p0", "tok")), col("__t"))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        slice(col("__t"), (col("p0") + 1).cast("int"), lit(minLen))
-          .as("w"))
-      .filter(size(col("w")) === minLen)
-      .select(col("doc_id"), col("pos"),
-        array_join(col("w"), " ").as("gram"))
-  }
-
   /** INCREMENTAL maintenance of the exact-substring dup report: the
     * merged per-doc report over corpus ∪ delta computed by PROBING the
     * old snapshot's at-rest artifacts — never rebuilding the corpus SA
@@ -326,8 +309,22 @@ object SuffixArray {
                         oldReport: DataFrame,
                         delta: DataFrame, idCol: String, textCol: String,
                         minLen: Int): DataFrame = {
-    val dGram = gramsOf(delta, idCol, textCol, minLen)
-      .stage() // three consumers: agg, flag join, per-doc totals
+    // ONE tokenize pass over the batch: the staged tokens frame feeds
+    // both the gram projection and the per-doc totals (tokenizing
+    // twice would double the batch's scan+regex cost)
+    val dToks = delta.select(col(idCol).as("doc_id"),
+        Text.tokens(col(textCol)).as("__t"))
+      .stage()
+    val dGram = dToks
+      .select(col("doc_id"),
+        posexplode(col("__t")).as(Seq("p0", "tok")), col("__t"))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        slice(col("__t"), (col("p0") + 1).cast("int"), lit(minLen))
+          .as("w"))
+      .filter(size(col("w")) === minLen)
+      .select(col("doc_id"), col("pos"),
+        array_join(col("w"), " ").as("gram"))
+      .stage() // two consumers: the gram agg + the flag join
     val dAgg = dGram.groupBy("gram").agg(count(lit(1)).as("n_new"))
     // old-side occurrence counts for EXACTLY the delta's grams: scan
     // the stats file once with the (small) gram set broadcast — an
@@ -354,8 +351,13 @@ object SuffixArray {
       .join(broadcast(probed.filter(col("n_old") === 1L)
         .select("gram")), Seq("gram"))
       .groupBy("doc_id").agg(count(lit(1)).as("__extra"))
-    val dNPos = positions(delta, idCol, textCol)
-      .groupBy("doc_id").agg(count(lit(1)).as("n_positions"))
+    // per-doc totals off the SAME staged tokens frame (token count =
+    // position count; 0-token docs are absent, matching the
+    // positions-groupBy form in dupPositionsFrom)
+    val dNPos = dToks
+      .select(col("doc_id"), size(col("__t")).cast("long")
+        .as("n_positions"))
+      .filter(col("n_positions") >= 1L)
     oldReport
       .join(broadcast(extras), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_positions"),

@@ -3,7 +3,7 @@ package graft
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, UnaryNode, Window => LWindow}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
 
@@ -14,13 +14,27 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * plan inside `work`; the bus is drained before asserting. */
 object PlanGuards {
 
+  /** Is this window's DIRECT input (walking through unary
+    * project/filter/window nodes only) an aggregate keyed by the
+    * physical partition id? That is the offset-lift idiom's bounded
+    * per-(partition, group) counts frame — ≤ #partitions rows per
+    * group by construction — and the ONLY legitimate place a window
+    * partitioned solely by the group column may appear. Any broader
+    * exemption (e.g. "some Aggregate anywhere below") would wave
+    * through a per-doc aggregate that is still corpus-sized. */
+  private def overPartitionBoundedAgg(p: LogicalPlan): Boolean =
+    p match {
+      case a: Aggregate =>
+        a.groupingExpressions.exists(
+          _.references.exists(_.name == "__pid"))
+      case u: UnaryNode => overPartitionBoundedAgg(u.child)
+      case _ => false
+    }
+
   /** Runs `work` and returns every window partitioned SOLELY by
-    * `colName` over a NON-aggregated child that executed during it —
-    * the dominant-group straggler shape (one task buffers the biggest
-    * group). Windows above an Aggregate are exempt: the offset-lift
-    * idiom itself runs a per-group window over the bounded
-    * (partition, group) counts frame, which is ≤ #partitions rows per
-    * group by construction. */
+    * `colName` over non-partition-bounded data that executed during it
+    * — the dominant-group straggler shape (one task buffers the
+    * biggest group). */
   def sourceOnlyWindows(spark: SparkSession, colName: String)(
       work: => Unit): Seq[String] = {
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -32,10 +46,7 @@ object PlanGuards {
             if w.partitionSpec.size == 1 &&
               w.partitionSpec.head.references.toSeq.map(_.name) ==
                 Seq(colName) &&
-              !w.child.exists {
-                case _: Aggregate => true
-                case _ => false
-              } =>
+              !overPartitionBoundedAgg(w.child) =>
             seen.add(w.simpleString(300))
           case _ => ()
         }

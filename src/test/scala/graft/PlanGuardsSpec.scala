@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Self-test of the straggler plan guard: it must flag a window
+  * partitioned solely by the group column even when an aggregate sits
+  * below it (a per-record aggregate is still corpus-sized — the
+  * blindspot a subtree-wide "any Aggregate" exemption would open),
+  * and exempt ONLY the offset-lift idiom's window over the
+  * partition-id-keyed bounded counts frame. */
+class PlanGuardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flags a source-only window even above a corpus-sized aggregate") {
+    val df = (0 until 200).map(i =>
+      (i.toLong, if (i % 2 == 0) "big" else "small")).toDF("id", "src")
+    val offending = PlanGuards.sourceOnlyWindows(spark, "src") {
+      val agg = df.groupBy("id", "src").agg(count(lit(1)).as("n"))
+      agg.withColumn("rk", row_number().over(
+          Window.partitionBy("src").orderBy("id")))
+        .collect()
+    }
+    assert(offending.nonEmpty,
+      "a per-record aggregate below the window must NOT exempt it")
+  }
+
+  test("exempts the offset-lift's partition-bounded offsets window") {
+    val df = (0 until 200).map(i =>
+      (i.toLong, if (i % 2 == 0) "big" else "small")).toDF("id", "g")
+    val offending = PlanGuards.sourceOnlyWindows(spark, "g") {
+      graft.ops.windows.groupedPrefixSum(df, Seq("g"), Seq(col("id")),
+        lit(0L), rankName = "rk").collect()
+    }
+    assert(offending.isEmpty, offending.mkString("\n"))
+  }
+}

@@ -193,6 +193,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageFeatures saturates >8-bit samples instead of crashing") {
+    // a 16-bit grayscale PNG decodes to samples up to 65535; the
+    // histogram index must clamp to the top bin, not overrun the array
+    val img = new java.awt.image.BufferedImage(10, 10,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until 10; x <- 0 until 10)
+      raster.setSample(x, y, 0, if (x < 5) 70000 % 65536 else 100)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val rows = Seq(Multimodal.ImageRow(1L, out.toByteArray)).toDS()
+    val f = Multimodal.imageFeatures(rows, bins = 8).collect().head
+    assert(f.hist.sum === 100L)
+    assert(f.hist(7) === 50L, s"16-bit samples must clip to the top bin: ${f.hist}")
+    assert(f.hist(3) === 50L, s"8-bit-range samples bin normally: ${f.hist}")
+  }
+
   test("VideoContainer: mux/demux round-trips frame payloads exactly") {
     val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](),
       Array.tabulate(300)(_.toByte))

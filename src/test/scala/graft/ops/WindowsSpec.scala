@@ -241,6 +241,30 @@ class WindowsSpec extends SparkSpec {
     assert(rankOnly === expected.map(r => (r._1, r._4)))
   }
 
+  test("groupedPrefixSum keeps NULL group keys (window-form parity)") {
+    // Window.partitionBy and groupBy both treat NULL as a regular
+    // group; the offset join-back is null-safe (<=>) so NULL-group
+    // rows must survive with correct ranks, not silently drop
+    val rows: Seq[(Long, Option[String], Long)] =
+      Seq((1L, Some("a"), 5L), (2L, None, 3L), (3L, Some("a"), 2L),
+        (4L, None, 7L), (5L, None, 1L), (6L, Some("b"), 4L))
+    val df = rows.toDF("id", "g", "v").repartition(3)
+    val got = windows.groupedPrefixSum(df, Seq("g"), Seq(col("id")),
+        col("v"), cumName = "cum", rankName = "rk", totalName = "ng")
+      .select(col("id"), col("rk").cast("long"),
+        col("cum").cast("long"), col("ng").cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(_._1)
+      val cums = sorted.scanLeft(0L)(_ + _._3).tail
+      sorted.zipWithIndex.zip(cums).map { case (((id, _, _), i), c) =>
+        (id, i + 1L, c, rs.size.toLong)
+      }
+    }.toSet
+    assert(got === expected,
+      "NULL-group rows must rank exactly as the window form ranks them")
+  }
+
   test("distributedDenseRank ≡ global dense_rank, incl. all-equal keys") {
     val rows = (1L to 500L).map(i => ((i * 37) % 11, (i * 13) % 5, i))
     val df = rows.toDF("a", "b", "uid")

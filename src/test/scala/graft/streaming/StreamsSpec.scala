@@ -322,6 +322,8 @@ class StreamsSpec extends SparkSpec {
     assert(nParts("sets") <= 3, s"sets fragmented: ${nParts("sets")}")
     assert(nParts("buckets") <= 3,
       s"buckets fragmented: ${nParts("buckets")}")
+    assert(nParts("metrics") <= 3,
+      s"metrics table fragmented: ${nParts("metrics")}")
     // one metrics row per arrival batch, counts monotone-ish sane
     val metrics = spark.read.parquet(s"$store/metrics")
     val mRows = metrics
