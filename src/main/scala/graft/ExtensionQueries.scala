@@ -1136,6 +1136,36 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
         .orderBy("degree")),
 
+    // INCREMENTAL degree maintenance — the graph-family analog of
+    // q_sa_delta_dup's report patch: a delta edge batch (every 23rd
+    // customer re-appears under a new id, bringing its edges) merges
+    // into the at-rest degree view WITHOUT re-aggregating the edge
+    // list. Existing nodes patch by a broadcast join of the
+    // batch-bounded delta degrees (the degrees file is scanned, never
+    // shuffled); brand-new nodes append via an anti-join of two
+    // batch-bounded frames (the old side probed once with the delta's
+    // node set broadcast). The oracle recomputes every degree from
+    // scratch over the combined edge set.
+    "q_graph_delta_degree" -> ((s, d) => {
+      val e = sharedTradeEdges(s, d)
+      val deltaE = e.filter(col("a") % 23 === 0)
+        .select((col("a") + 20000000L).as("a"), col("b"))
+      val deltaDeg = deltaE.select(col("a").as("node"))
+        .unionAll(deltaE.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d_deg"))
+      val old = graphDegrees(s, d)
+      val oldMatches = old
+        .join(broadcast(deltaDeg.select("node")), Seq("node"))
+        .select("node")
+      val patched = old.join(broadcast(deltaDeg), Seq("node"), "left")
+        .select(col("node"),
+          (col("degree") + coalesce(col("d_deg"), lit(0L)))
+            .as("degree"))
+      val fresh = deltaDeg.join(oldMatches, Seq("node"), "left_anti")
+        .select(col("node"), col("d_deg").as("degree"))
+      patched.unionByName(fresh).orderBy("node")
+    }),
+
     // the honest DIRECTED variant: customer→supplier edges are NOT
     // symmetrized, so every supplier is a dangling sink — the
     // per-round sink-mass redistribution (Graph.runPageRank) is what
@@ -4573,6 +4603,19 @@ object ExtensionQueries {
          SELECT degree, COUNT(*)::BIGINT AS n_nodes,
                 SUM(node)::BIGINT AS node_sum
          FROM deg GROUP BY degree ORDER BY degree""",
+
+    // from-scratch recomputation over the COMBINED edge set — what the
+    // engine produces by patching the at-rest degree view
+    "q_graph_delta_degree" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         ed AS (SELECT a + 20000000 AS a, b FROM e0 WHERE a % 23 = 0),
+         allsym AS (
+           SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+           UNION ALL SELECT a FROM ed UNION ALL SELECT b FROM ed)
+         SELECT node, COUNT(*)::BIGINT AS degree
+         FROM allsym GROUP BY node ORDER BY node""",
 
     "q_pagerank" ->
       """WITH e0 AS (
