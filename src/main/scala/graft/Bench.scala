@@ -58,6 +58,15 @@ object Bench {
           col("embedding"))))
         .groupBy("pos").agg(sum(col("col")))
         .write.format("noop").mode("overwrite").save()
+      // pre-build every built-once-per-snapshot shared artifact (the
+      // at-rest SA + probe index, graph snapshot, walk corpus, LSH
+      // index, sketch store, PQ codes). They are snapshot-time costs
+      // by the repo's convention; left lazy they fire inside their
+      // first consumer's MEASURED run — the round-10 16-query
+      // regression cluster was exactly this bleed. The queries that
+      // deliberately measure their own builds (q_suffix_array,
+      // q_random_walks, q_pq_codes) don't read these caches.
+      SparkEntry.prebuildSharedArtifacts(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed (continuing cold): " +
         e.getMessage)

@@ -202,6 +202,66 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cos"))
   }
 
+  /** [[mutualBestMatch]] routed through the IVF cell machinery — the
+    * form that survives 100 TB. The brute-force composition above is
+    * O(|A|·|B|) with a corpus-half broadcast (fine as the small-SF
+    * oracle twin, fatal at scale); here each direction's top-1 is a
+    * multi-probe cell search instead:
+    *
+    *  - each side's stored `cellCol` assignment is the coarse
+    *    quantizer (the column a 100 TB ingest writes once and
+    *    partitions by — [[ivfTopK]]'s contract);
+    *  - probe ranking is [[rankedProbes]]: a |cells|-row centroid
+    *    broadcast, never a vector-frame broadcast;
+    *  - the candidate join is pinned SHUFFLE-side (`shuffle_hash`):
+    *    in mutual matching the "query" frame is itself a corpus half,
+    *    so broadcasting it — what [[ivfMultiProbe]] rightly does for
+    *    small query sets — would re-create exactly the corpus-half
+    *    broadcast this routing removes. Both sides co-partition on
+    *    the cell id, the partitioning a production deployment bakes
+    *    into the lake layout;
+    *  - per-direction top-1 is a partial-aggregable
+    *    `max(struct(cos, -id))` — map-side combine collapses each
+    *    scan partition to one row per query seen there, where a
+    *    row_number window would shuffle the full candidate set.
+    *
+    * Candidate volume is nProbe/|cells| of |A|·|B|; every shuffle is
+    * linear in the candidate set. The search is approximate exactly
+    * like [[ivfMultiProbe]] (recall vs the brute twin is spec-pinned);
+    * semantics are cross-collection (no self-exclusion — see
+    * [[mutualBestMatch]] on why shared id values must still match).
+    *
+    * @return (a_id, b_id, cos) — cosine rounded 6dp as in the top-k ops
+    */
+  def mutualBestMatchIndexed(a: DataFrame, b: DataFrame,
+                             cellCol: String, nProbe: Int): DataFrame = {
+    def top1(queries: DataFrame, corpus: DataFrame): DataFrame = {
+      val cells = corpus.select(col("vec_id"), col(cellCol).as("cell"))
+      val probes = rankedProbes(queries, corpus, cells, nProbe)
+      corpus.select(col("vec_id").as("neighbor_id"),
+          col(cellCol).as("cell"), col("embedding").as("c_emb"))
+        .join(probes.hint("shuffle_hash"), Seq("cell"))
+        .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+        // null cos = a zero-norm side (see cosine): must not be ranked
+        .filter(col("cos").isNotNull)
+        // top-1 = max(struct(cos, -id)): cos desc, id asc tie-break,
+        // identical to the row_number ordering the brute twin uses
+        .groupBy("query_id")
+        .agg(max(struct(col("cos"), (-col("neighbor_id")).as("nid")))
+          .as("m"))
+        .select(col("query_id"), (-col("m.nid")).as("neighbor_id"),
+          col("m.cos").as("cos"))
+    }
+    val ab = top1(a, b)
+      .select(col("query_id").as("a_id"),
+        col("neighbor_id").as("b_id"), col("cos"))
+    val ba = top1(b, a)
+      .select(col("neighbor_id").as("a_id"),
+        col("query_id").as("b_id"))
+    ab.join(ba, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** IVF-style search: same contract as bruteForceTopK but candidates are
     * restricted to the query's coarse cell (`cellCol`). At scale the corpus
     * is partitioned/bucketed by the cell id, so each query probes one

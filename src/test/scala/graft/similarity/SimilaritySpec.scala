@@ -478,4 +478,75 @@ class SimilaritySpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(!self.contains((7L, 7L)))
   }
+
+  test("mutualBestMatchIndexed: exact when every cell is probed, " +
+    "recall-bounded under the 2-probe budget, brute twin agrees on cos") {
+    val rnd = new scala.util.Random(41)
+    def mk(ids: Range) = ids.map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat),
+        i % 4))
+    val a = mk(0 until 60).toDF("vec_id", "embedding", "label")
+    val b = mk(100 until 160).toDF("vec_id", "embedding", "label")
+    val brute = Similarity.mutualBestMatch(a, b)
+      .select("a_id", "b_id", "cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // nProbe = |cells|: the index degrades gracefully to the exact
+    // search — byte-for-byte the brute twin
+    val full = Similarity.mutualBestMatchIndexed(a, b,
+        cellCol = "label", nProbe = 4)
+      .select("a_id", "b_id", "cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(full === brute)
+    assert(brute.nonEmpty)
+    // the bench budget (2 of 4 cells): every surviving pair's cos is
+    // the TRUE pair cosine (approximation only prunes candidates; it
+    // never mis-scores), and recall vs the twin stays useful — on this
+    // isotropic fixture the probe ranking is uninformative, so ≥ the
+    // ~(nProbe/|cells|)²-ish floor rather than near-1
+    val two = Similarity.mutualBestMatchIndexed(a, b,
+        cellCol = "label", nProbe = 2)
+      .select("a_id", "b_id", "cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    two.foreach { case (pair, c) =>
+      brute.get(pair).foreach(bc => assert(math.abs(bc - c) < 1e-9)) }
+    val recall = two.keySet.intersect(brute.keySet).size.toDouble /
+      brute.size
+    assert(recall > 0.05 && recall <= 1.0,
+      s"2-probe mutual recall $recall out of the plausible band")
+  }
+
+  test("mutualBestMatchIndexed plan: no cartesian product, no " +
+    "corpus-sized broadcast — only centroid-aggregate builds") {
+    val rnd = new scala.util.Random(7)
+    def mk(ids: Range) = ids.map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat),
+        i % 3))
+    val a = mk(0 until 40).toDF("vec_id", "embedding", "label")
+    val b = mk(100 until 140).toDF("vec_id", "embedding", "label")
+    val plan = Similarity.mutualBestMatchIndexed(a, b,
+      cellCol = "label", nProbe = 2).queryExecution.executedPlan
+    def all(p: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children.flatMap(all) ++ p.subqueries.flatMap(all))
+    val nodes = all(plan)
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      "indexed mutual match must never cross-join")
+    // the only nested-loop broadcasts allowed are the |cells|-row
+    // centroid frames (their build subtree aggregates; a corpus half
+    // broadcast — the quadratic plan this routing removed — would be a
+    // raw scan/project subtree with no Aggregate below the exchange)
+    nodes.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => j
+    }.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+          j.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight =>
+          j.right
+      }
+      assert(all(build).exists(_.nodeName.contains("Aggregate")),
+        s"non-aggregate broadcast build in indexed plan:\n$build")
+    }
+  }
 }
