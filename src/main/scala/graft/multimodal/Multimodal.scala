@@ -349,16 +349,21 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val (w, h, px) = ImageCodec.decodeGray(r.payload)
-        val counts = new Array[Long](bins)
+        // decodeGray passes raw raster samples through: a 16-bit
+        // grayscale PNG yields values up to 65535, which would index
+        // past the bins array — saturate to the 8-bit range ONCE, so
+        // BOTH features (tone histogram and gradient energy) see the
+        // same sample domain; clamping only the histogram would make
+        // two features of one decode disagree on >8-bit inputs
         var i = 0
         while (i < px.length) {
-          // decodeGray passes raw raster samples through: a 16-bit
-          // grayscale PNG yields values up to 65535, which would index
-          // past the bins array — saturate to the 8-bit range (the
-          // histogram is a tone signature; >8-bit depths clip to the
-          // top bin rather than crash)
-          val v = if (px(i) > 255) 255 else px(i)
-          counts(v * bins / 256) += 1
+          if (px(i) > 255) px(i) = 255
+          i += 1
+        }
+        val counts = new Array[Long](bins)
+        i = 0
+        while (i < px.length) {
+          counts(px(i) * bins / 256) += 1
           i += 1
         }
         var e = 0L

@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object windows {
 
+  /** Metadata key marking a column as a genuine `spark_partition_id()`
+    * product — written where [[groupedPrefixSum]] defines `__pid`, read
+    * by the test-side straggler plan guard to exempt the offset-lift's
+    * bounded offsets window. Attribute metadata survives checkpoints
+    * and self-join attribute re-instancing (both re-mint exprIds), so
+    * the guard can key on the DEFINITION rather than the attribute
+    * name a corpus column could coincidentally share. */
+  val PartitionIdMetaKey = "graft.spark_partition_id"
+  private[graft] val partitionIdMeta =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(PartitionIdMetaKey, true).build()
+
   /** Type-independent constant partition key for a window whose frame is
     * KNOWN to be bounded (≤ partition count / value space) — `pmod(x, 1)`
     * keeps Catalyst from folding the key away (which re-raises the
@@ -195,7 +207,14 @@ object windows {
     val gCols = groupCols.map(col)
     val parted = df.withColumn("__gpv", value)
       .repartitionByRange(gCols ++ order: _*)
-      .withColumn("__pid", spark_partition_id())
+      // the metadata marker is what the straggler plan guard keys its
+      // offsets-window exemption on: it identifies THIS column as a
+      // genuine spark_partition_id() product across checkpoints and
+      // self-join re-instancing (both of which re-mint exprIds), where
+      // a name match would also wave through any corpus column merely
+      // named __pid
+      .select(col("*"),
+        spark_partition_id().as("__pid", partitionIdMeta))
       .stage()
     val wIn = Window.partitionBy(col("__pid") +: gCols: _*)
       .orderBy(order: _*)

@@ -298,11 +298,22 @@ object SuffixArray {
     * deltas preceded it; a deployment that only wants the CHANGED rows
     * keeps the extras/new frames and skips the re-emission.
     *
+    * PRECONDITION (validated loudly): delta doc ids are DISJOINT from
+    * the old report's — the merge is a unionByName, not a keyed merge,
+    * so a re-crawl arriving under an EXISTING id would emit two rows
+    * for that doc and split its position accounting where the
+    * from-scratch rebuild emits one. Re-crawls must arrive under new
+    * ids (or retract the old row upstream first). The check is one
+    * scan of the doc-level report against the batch-bounded id set
+    * broadcast — report rows are per-DOC, so this is index-sized, not
+    * corpus-sized, and it rides before any output is produced.
+    *
     * @param gramPos   at-rest [[gramBlocks]] of the old snapshot
     * @param gramStats at-rest (gram, n_occ) rollup of `gramPos`
     * @param oldReport at-rest [[dupPositionsFrom]] of the old corpus —
     *                  (doc_id, n_positions, n_dup_positions)
-    * @param delta     the arriving batch (idCol, textCol)
+    * @param delta     the arriving batch (idCol, textCol); ids must
+    *                  not collide with `oldReport`'s (see above)
     * @return (doc_id, n_positions, n_dup_positions) over old ∪ delta —
     *         identical to [[dupPositions]] over the combined corpus */
   def deltaDupPositions(gramPos: DataFrame, gramStats: DataFrame,
@@ -315,6 +326,15 @@ object SuffixArray {
     val dToks = delta.select(col(idCol).as("doc_id"),
         Text.tokens(col(textCol)).as("__t"))
       .stage()
+    // disjoint-id precondition, checked loudly: the id set is batch-
+    // bounded (broadcast probe into the per-doc report), and a silent
+    // violation would split that doc's accounting across two rows
+    val collided = oldReport.join(
+        broadcast(dToks.select("doc_id").distinct()), Seq("doc_id"))
+      .limit(5).collect()
+    require(collided.isEmpty,
+      s"delta doc ids collide with the old report (re-crawls must " +
+        s"arrive under new ids): ${collided.map(_.get(0)).mkString(", ")}")
     val dGram = dToks
       .select(col("doc_id"),
         posexplode(col("__t")).as(Seq("p0", "tok")), col("__t"))

@@ -897,13 +897,24 @@ object Text {
     * the offset-lift rank ([[graft.ops.windows.groupedPrefixSum]])
     * automatically instead: same selection bit for bit, and the
     * dominant domain range-partitions instead of funnelling through
-    * one task. PlanSpec pins both shapes. */
+    * one task. PlanSpec pins both shapes.
+    *
+    * The offset-lift is for the FEW-HUGE-GROUPS regime only — its
+    * offsets frame (#domains·#partitions rows) is broadcast, so a
+    * high-cardinality domain column (millions of crawl domains) would
+    * blow the driver / Spark's 8 GB broadcast hard limit. The
+    * auto-route therefore gates on [[offsetLiftSafe]] (one
+    * approx-distinct aggregate — at the lake a column-statistics
+    * lookup, not a scan) and falls back to the plain per-domain window
+    * when domains are many: with no dominant group there is no
+    * straggler for the lift to fix, so slow-but-safe IS the right
+    * plan there. */
   def domainCap(docs: DataFrame, idCol: String, domainCol: String,
                 cap: Int): DataFrame = {
     require(cap >= 1, s"domain cap must be >= 1, got $cap")
     val threshold = docs.sparkSession.conf
       .get("spark.sql.window.group.limit.threshold", "1000").toInt
-    if (cap <= threshold) {
+    if (cap <= threshold || !offsetLiftSafe(docs, domainCol)) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(domainCol))
         .orderBy(md5(col(idCol).cast("string")), col(idCol))
@@ -917,6 +928,24 @@ object Text {
           rankName = "__rk")
         .filter(col("__rk") <= cap)
         .select(docs.columns.map(col): _*) // join-back reorders columns
+  }
+
+  /** Gate for the [[graft.ops.windows.groupedPrefixSum]] auto-routes
+    * ([[domainCap]], [[tokenBudgetMix]]): true iff the offset-lift's
+    * broadcast offsets frame (≤ #groups·#shuffle-partitions rows)
+    * stays comfortably under broadcast limits. One
+    * `approx_count_distinct` aggregate over the group column — the
+    * bounded-scalar class of collect (ivfFilteredTopK's selectivity
+    * scalars); a lake deployment answers it from column statistics.
+    * The 2²² ceiling (~4M offset rows ≈ low hundreds of MB) is far
+    * inside the 8 GB broadcast hard limit while still admitting every
+    * few-huge-groups workload the lift exists for. */
+  private def offsetLiftSafe(df: DataFrame, groupCol: String): Boolean = {
+    val groups = df.agg(approx_count_distinct(col(groupCol)))
+      .head.getLong(0)
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toLong
+    groups * parts <= (1L << 22)
   }
 
   /** Canonical text cleaning for scraped corpora, the pass that runs
@@ -1057,6 +1086,11 @@ object Text {
     * ([[graft.ops.windows.groupedPrefixSum]]) automatically: the same
     * prefix bit for bit, with the dominant source range-partitioned
     * instead of buffered in one task. PlanSpec pins both shapes.
+    * Like [[domainCap]], the auto-route gates on [[offsetLiftSafe]]:
+    * the lift's broadcast offsets frame is #sources·#partitions rows,
+    * so a high-cardinality source column falls back to the plain
+    * window (a mix with millions of sources has no dominant-source
+    * straggler for the lift to fix).
     *
     * @param budgetTokens per-source token quota
     * @return kept docs + (n_tokens, cum_tokens) audit columns
@@ -1077,7 +1111,9 @@ object Text {
       .filter(col("n_tokens") >= 1L)
     val threshold = docs.sparkSession.conf
       .get("spark.sql.window.group.limit.threshold", "1000").toLong
-    if (budgetTokens <= threshold) {
+    // gate on the RAW frame: the cardinality probe must not pay the
+    // token-count scan that `counted` carries
+    if (budgetTokens <= threshold || !offsetLiftSafe(docs, sourceCol)) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(sourceCol))
         .orderBy(md5(col(idCol).cast("string")), col(idCol))

@@ -21,12 +21,22 @@ object PlanGuards {
     * group by construction — and the ONLY legitimate place a window
     * partitioned solely by the group column may appear. Any broader
     * exemption (e.g. "some Aggregate anywhere below") would wave
-    * through a per-doc aggregate that is still corpus-sized. */
+    * through a per-doc aggregate that is still corpus-sized.
+    *
+    * "Keyed by the partition id" is checked by DEFINITION, not by
+    * name: the grouping attribute must carry the
+    * [[graft.ops.windows.PartitionIdMetaKey]] metadata marker written
+    * at the one place the engine aliases `spark_partition_id()`
+    * (attribute metadata survives checkpoints and self-join
+    * re-instancing, which both re-mint exprIds). A name match alone
+    * would wave through production code that groups a corpus-sized
+    * frame by its own column merely NAMED __pid — the exact blindspot
+    * class this guard exists to close. */
   private def overPartitionBoundedAgg(p: LogicalPlan): Boolean =
     p match {
       case a: Aggregate =>
-        a.groupingExpressions.exists(
-          _.references.exists(_.name == "__pid"))
+        a.groupingExpressions.exists(_.references.exists(r =>
+          r.metadata.contains(graft.ops.windows.PartitionIdMetaKey)))
       case u: UnaryNode => overPartitionBoundedAgg(u.child)
       case _ => false
     }
@@ -53,6 +63,11 @@ object PlanGuards {
       override def onFailure(funcName: String, qe: QueryExecution,
                              exception: Exception): Unit = ()
     }
+    // flush events from whatever executed BEFORE the guard: listener-
+    // bus delivery is async, so a backed-up bus would otherwise hand
+    // this listener plans from outside `work` (observed: a heavy
+    // preceding test leaked its windows into the next guard block)
+    org.apache.spark.grafttest.ListenerDrain.drain(spark.sparkContext)
     spark.listenerManager.register(listener)
     try {
       work

@@ -25,6 +25,23 @@ class PlanGuardsSpec extends SparkSpec {
       "a per-record aggregate below the window must NOT exempt it")
   }
 
+  test("a column merely NAMED __pid does not exempt a window") {
+    // the exemption is keyed by the spark_partition_id() DEFINITION
+    // (exprId), not the attribute name — production code grouping a
+    // corpus-sized frame by its own __pid column must still be flagged
+    val df = (0 until 200).map(i =>
+      (i.toLong, i.toLong % 7, if (i % 2 == 0) "big" else "small"))
+      .toDF("id", "__pid", "src")
+    val offending = PlanGuards.sourceOnlyWindows(spark, "src") {
+      val agg = df.groupBy("__pid", "src").agg(count(lit(1)).as("n"))
+      agg.withColumn("rk", row_number().over(
+          Window.partitionBy("src").orderBy("__pid")))
+        .collect()
+    }
+    assert(offending.nonEmpty,
+      "a name-only __pid grouping must NOT exempt the window")
+  }
+
   test("exempts the offset-lift's partition-bounded offsets window") {
     val df = (0 until 200).map(i =>
       (i.toLong, if (i % 2 == 0) "big" else "small")).toDF("id", "g")

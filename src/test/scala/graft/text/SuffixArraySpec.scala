@@ -157,6 +157,30 @@ class SuffixArraySpec extends SparkSpec {
     assert(after._3 > before._3, s"doc 0: $before -> $after")
   }
 
+  test("deltaDupPositions rejects delta ids colliding with the old " +
+    "report") {
+    // a re-crawl arriving under the SAME id would emit two rows for
+    // that doc (the merge is a union, not a keyed merge) and silently
+    // split its position accounting — the precondition must fail loud
+    val minLen = 3
+    val oldDf = corpus.toDF("doc_id", "text")
+    val sa = SuffixArray.suffixArray(oldDf, "doc_id", "text")
+    val gramPos = SuffixArray.gramBlocks(sa, oldDf, "doc_id", "text",
+      minLen)
+    val gramStats = gramPos.groupBy("gram")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_occ"))
+    val oldReport = SuffixArray.dupPositionsFrom(sa, oldDf, "doc_id",
+      "text", minLen)
+    val badDelta = Seq((corpus.head._1, "same id as the old corpus"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      SuffixArray.deltaDupPositions(gramPos, gramStats, oldReport,
+        badDelta, "doc_id", "text", minLen).collect()
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("dupSpansExact merges flagged covers into maximal spans") {
     val minLen = 3
     val df = corpus.toDF("doc_id", "text")

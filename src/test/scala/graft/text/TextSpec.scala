@@ -408,6 +408,29 @@ class TextSpec extends SparkSpec {
       spark.conf.unset("spark.sql.window.group.limit.threshold")
   }
 
+  test("domainCap offset-lift gates on group cardinality: many tiny " +
+    "domains fall back to the plain window") {
+    // the offset-lift broadcasts a #domains × #partitions offsets frame
+    // — sound only in the few-huge-groups regime. 200k one-row domains
+    // put the estimate past the 2^22 ceiling at any partition count the
+    // suite runs with, so the auto-route must keep the plain window
+    // (slow-but-safe: with no dominant domain there is no straggler).
+    val docs = spark.range(200000L)
+      .select(col("id").as("doc_id"),
+        concat(lit("dom"), col("id")).as("source"))
+    spark.conf.set("spark.sql.window.group.limit.threshold", "10")
+    try {
+      val capped = Text.domainCap(docs, "doc_id", "source", cap = 40)
+      assert(!capped.queryExecution.optimizedPlan.toString
+          .contains("spark_partition_id"),
+        "high-cardinality domain column took the offset-lift " +
+          "broadcast path")
+      // selection semantics unchanged: every 1-doc domain survives
+      assert(capped.count() === 200000L)
+    } finally
+      spark.conf.unset("spark.sql.window.group.limit.threshold")
+  }
+
   test("tokenBudgetMix past the threshold: distributed running sum, " +
     "same prefix") {
     val docs = (0L until 40L).map(i =>
