@@ -116,8 +116,16 @@ object ExtensionQueries {
     * either way, since it's quadratic in ANY pair-enumeration scheme. */
   private def coOccurrencePairsPlan(s: SparkSession, d: String)
   : DataFrame =
-    t(s, d, "lineitem")
-      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+    basketPairs(t(s, d, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")))
+
+  /** The basket→ordered-pairs kernel of [[coOccurrencePairsPlan]],
+    * reusable for DELTA baskets: (k, p) item rows → one (a < b) row
+    * per (basket, pair) occurrence. collect_set dedups items within a
+    * basket; pair enumeration is scan-local via the indexed-slice
+    * HOF. */
+  private def basketPairs(items: DataFrame): DataFrame =
+    items
       .groupBy("k")
       .agg(sort_array(collect_set(col("p"))).as("ps"))
       .select(explode(expr(
@@ -227,9 +235,15 @@ object ExtensionQueries {
   //              (node, degree) — the node inventory AND the degree
   //              profile read THIS, never a distinct/groupBy over the
   //              edge list per query
+  //   co_counts  the UNFILTERED co-occurrence rollup (a, b, sup) —
+  //              the maintenance base: a delta batch can flip a
+  //              sup=1 pair into the support graph, so the patch
+  //              idiom needs every count, not just the support cut
   //   co_support support-filtered co-occurrence graph (a, b, sup>=2) —
   //              the min-support cut the AA/jaccard/kcore/node2vec
-  //              family was re-computing per query
+  //              family was re-computing per query (derived from
+  //              co_counts at snapshot time; consumers keep reading
+  //              the small cut, maintenance reads the full rollup)
   private val graphSnapCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def graphSnapshotDir(s: SparkSession, d: String): String =
@@ -254,7 +268,10 @@ object ExtensionQueries {
         .write.mode("overwrite").parquet(s"$p/sym_w")
       coOccurrencePairs(s, d)
         .groupBy("a", "b").agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
+        .write.mode("overwrite").parquet(s"$p/co_counts")
+      // the support cut derives from the WRITTEN rollup (one cheap
+      // re-read beats re-aggregating the pair stream)
+      s.read.parquet(s"$p/co_counts").filter(col("sup") >= 2)
         .write.mode("overwrite").parquet(s"$p/co_support")
     }
   private def symAdjacency(s: SparkSession, d: String): DataFrame =
@@ -269,6 +286,8 @@ object ExtensionQueries {
     graphDegrees(s, d).select("node")
   private def coSupportGraph(s: SparkSession, d: String): DataFrame =
     s.read.parquet(graphSnapshotDir(s, d) + "/co_support")
+  private def coCountsGraph(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(graphSnapshotDir(s, d) + "/co_counts")
 
   // The DeepWalk corpus at rest: walk generation is a training-data
   // BUILD step (the corpus is consumed by skip-gram sampling, probing,
@@ -307,6 +326,21 @@ object ExtensionQueries {
       SuffixArray.dupPositionsFrom(sa, docs, "doc_id", "text",
           minLen = 5)
         .write.mode("overwrite").parquet(s"$p/dup_report")
+    }
+
+  // The STREAMING probe-store seed: seedProbeStore of the corpus-side
+  // slice (doc_id % 17 =!= 0 — the ccMaintainStream split), the
+  // snapshot a stream deployment RESTORES from instead of re-running
+  // the SA build at start-up. Shared read-only; each stream run
+  // copies it into its own mutable store (the store grows per batch).
+  private val saStreamSeedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def saStreamSeedDir(s: SparkSession, d: String): String =
+    cachedArtifactDir(saStreamSeedCache, s, d, "graft_sa_stream_seed") {
+      p =>
+      SuffixArray.seedProbeStore(
+        t(s, d, "documents").filter(col("doc_id") % 17 =!= 0),
+        "doc_id", "text", minLen = 5, p)
     }
 
   // The scrubbed corpus's OWN at-rest suffix array: the scrub output
@@ -350,6 +384,7 @@ object ExtensionQueries {
     sharedWalkCorpus(s, d)
     sharedSuffixArray(s, d)
     saProbeIndexDir(s, d)
+    saStreamSeedDir(s, d)
     sharedScrubbedSa(s, d)
     sharedLshIndex(s, d)
     sharedSketchStore(s, d)
@@ -1190,6 +1225,44 @@ object ExtensionQueries {
       patched.unionByName(fresh).orderBy("node")
     }),
 
+    // incremental maintenance of the SUPPORT graph: a delta batch of
+    // baskets (re-keyed %23 orders, plus shifted-part copies so both
+    // paths fire) patches the at-rest co_counts rollup — existing
+    // pairs increment via a broadcast join of the batch-bounded pair
+    // deltas (the rollup file is scanned, never shuffled; a sup=1
+    // pair the delta re-supports FLIPS into the support cut, which is
+    // why maintenance reads co_counts, not co_support), brand-new
+    // pairs append via an anti-join of two batch-bounded frames. The
+    // oracle recomputes the support graph from scratch over the
+    // combined basket set.
+    "q_graph_delta_support" -> ((s, d) => {
+      val base = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 23 === 0)
+        .select((col("l_orderkey") + 1000000000L).as("k"),
+          col("l_partkey").cast("long").as("p"))
+      val deltaItems = base.unionAll(
+        base.filter(col("p") % 2 === 0)
+          .select(col("k"), (col("p") + 30000000L).as("p")))
+      val deltaPairs = basketPairs(deltaItems)
+        .groupBy("a", "b").agg(count(lit(1)).as("d_sup"))
+      val old = coCountsGraph(s, d)
+        .select(col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"), col("sup"))
+      val oldMatches = old
+        .join(broadcast(deltaPairs.select("a", "b")), Seq("a", "b"))
+        .select("a", "b")
+      val patched = old
+        .join(broadcast(deltaPairs), Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          (col("sup") + coalesce(col("d_sup"), lit(0L))).as("sup"))
+      val fresh = deltaPairs
+        .join(oldMatches, Seq("a", "b"), "left_anti")
+        .select(col("a"), col("b"), col("d_sup").as("sup"))
+      patched.unionByName(fresh)
+        .filter(col("sup") >= 2)
+        .orderBy("a", "b")
+    }),
+
     // the honest DIRECTED variant: customer→supplier edges are NOT
     // symmetrized, so every supplier is a dangling sink — the
     // per-round sink-mass redistribution (Graph.runPageRank) is what
@@ -1968,6 +2041,18 @@ object ExtensionQueries {
         .orderBy("sel_tag")
     }),
 
+    // the nProbe tuning curve in ONE pass — probes ranked once at the
+    // max budget, candidates scored once, every budget admits pr <= b
+    // from the same scored frame; recall is against the exact
+    // brute-force truth the oracle recomputes independently
+    "q_ann_probe_frontier" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.probeFrontier(emb.filter(col("vec_id") < 10), emb,
+          emb.select(col("vec_id"), col("label").as("cell")), k = 5,
+          budgets = Seq(1, 2, 4, 8))
+        .orderBy("n_probe")
+    }),
+
     "q_ann_kmeans" -> ((s, d) =>
       Similarity.kmeansCells(t(s, d, "embeddings"), k = 4, iters = 2)),
 
@@ -2234,6 +2319,25 @@ object ExtensionQueries {
         "phash", bits = 64, maxHamming = 1)
       graft.dedup.Dedup.keepCanonical(media.select("media_id"),
         "media_id", pairs, "doc_a", "doc_b")
+    }),
+
+    // WIDENED-radius Hamming search over the same aHash fingerprints:
+    // pigeonhole banding stays lossless at ANY radius by construction
+    // (nBands = maxHamming + 1, so two fps within the radius agree on
+    // ≥ 1 band — DedupSpec pins the property across widths/radii);
+    // this query hash-locks the radius-3 cut against the oracle's
+    // exhaustive all-pairs twin
+    "q_mm_phash_radius" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
+        .filter(col("kind") === "image")
+      val fps = Multimodal.aHashStub(
+        media.as[Multimodal.MediaRow], bins = 64).toDF()
+      graft.dedup.Dedup.bandedHammingPairs(fps, "media_id", "phash",
+          bits = 64, maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("doc_a", "doc_b")
     }),
 
     // ---- real image codec (javax.imageio): decode on actual pixels --------
@@ -2519,6 +2623,22 @@ object ExtensionQueries {
         .createTempDirectory("graft_cc_store").toString
       Streams.ccMaintainStream(s, d, ckpt, store,
         numPerms = 8, numBands = 4, threshold = 0.8)
+    }),
+
+    // streaming EXACT-SUBSTRING maintenance: arrivals (every 17th doc)
+    // patch the at-rest dup report by probing the gram index — the
+    // corpus SA is never rebuilt, each batch appends its own grams so
+    // later batches dedup against everything before them. Oracle =
+    // the from-scratch gram-count dup report over corpus ∪ arrivals
+    // (the full table); batch-slicing invariance is spec-pinned.
+    "q_stream_sa_dup" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_sam").toString
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_sa_store").toString
+      Streams.saMaintainStream(s, d, ckpt, store, minLen = 5,
+          seedFrom = Some(saStreamSeedDir(s, d)))
+        .orderBy("doc_id")
     }),
 
     // streaming heavy hitters: exact per-(day, type, user) counts
@@ -4648,6 +4768,25 @@ object ExtensionQueries {
          SELECT node, COUNT(*)::BIGINT AS degree
          FROM allsym GROUP BY node ORDER BY node""",
 
+    // from-scratch support graph over the COMBINED basket set — what
+    // the engine produces by patching the at-rest co_counts rollup
+    "q_graph_delta_support" ->
+      """WITH items AS (
+           SELECT l_orderkey AS k, l_partkey AS p FROM lineitem
+           UNION ALL
+           SELECT l_orderkey + 1000000000, l_partkey
+           FROM lineitem WHERE l_orderkey % 23 = 0
+           UNION ALL
+           SELECT l_orderkey + 1000000000, l_partkey + 30000000
+           FROM lineitem
+           WHERE l_orderkey % 23 = 0 AND l_partkey % 2 = 0),
+         li AS (SELECT DISTINCT k, p FROM items),
+         cnt AS (SELECT x.p AS a, y.p AS b, COUNT(*) AS sup
+                 FROM li x JOIN li y ON x.k = y.k AND x.p < y.p
+                 GROUP BY 1, 2)
+         SELECT a::BIGINT AS a, b::BIGINT AS b, sup::BIGINT AS sup
+         FROM cnt WHERE sup >= 2 ORDER BY a, b""",
+
     "q_pagerank" ->
       """WITH e0 AS (
            SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
@@ -6211,6 +6350,33 @@ object ExtensionQueries {
          FROM tok t LEFT JOIN dup USING (doc_id)
          ORDER BY doc_id""",
 
+    // from-scratch gram-count dup report over the FULL table — the
+    // streamed corpus ∪ arrivals end state the maintenance loop must
+    // converge to regardless of batch slicing
+    "q_stream_sa_dup" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         pos AS (
+           SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+                  toks
+           FROM tok),
+         g AS (
+           SELECT doc_id, pos,
+                  array_to_string(toks[pos:pos+4], ' ') AS gram
+           FROM pos WHERE pos + 4 <= len(toks)),
+         cnt AS (SELECT gram, count(*) AS n FROM g GROUP BY gram),
+         dup AS (
+           SELECT doc_id, count(*)::BIGINT AS n_dup
+           FROM g JOIN cnt USING (gram) WHERE n >= 2
+           GROUP BY doc_id)
+         SELECT t.doc_id, len(t.toks)::BIGINT AS n_positions,
+                COALESCE(n_dup, 0)::BIGINT AS n_dup_positions
+         FROM tok t LEFT JOIN dup USING (doc_id)
+         ORDER BY doc_id""",
+
     // INDEPENDENT formulation of the engine's SA-block criterion: a
     // train position is contaminated iff its 5-gram appears in some
     // benchmark doc (equal-prefix suffixes share an SA block with every
@@ -6808,6 +6974,75 @@ object ExtensionQueries {
 
     "q_ann_ivf" ->
       annSql("c.vec_id <> q.vec_id AND c.label = q.label", "q.vec_id < 20"),
+
+    // probeFrontier mirror: centroids/probe ranks as in the engine
+    // (float-rounded, double-accumulated), every budget admits pr <=
+    // n_probe from ONE scored set, truth = exact brute-force top-5
+    "q_ann_probe_frontier" ->
+      """WITH v AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+         cent AS (
+           SELECT label AS cell, list(s ORDER BY j) AS c FROM (
+             SELECT label, j, sum(emb[j]) / count(*) AS s
+             FROM v, range(1, 65) t(j) GROUP BY label, j)
+           GROUP BY label),
+         pr AS (
+           SELECT query_id, q_emb, cell, pr FROM (
+             SELECT q.vec_id AS query_id, q.emb AS q_emb, cent.cell,
+                    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                      -2 * list_dot_product(q.emb,
+                             (cent.c::FLOAT[])::DOUBLE[])
+                        + list_dot_product(
+                            (cent.c::FLOAT[])::DOUBLE[],
+                            (cent.c::FLOAT[])::DOUBLE[]),
+                      cent.cell) AS pr
+             FROM v q CROSS JOIN cent
+             WHERE q.vec_id < 10)
+           WHERE pr <= 8),
+         b AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+         sc AS (
+           SELECT b.n_probe, p.query_id, c.vec_id AS neighbor_id,
+                  list_dot_product(p.q_emb, c.emb) /
+                    (sqrt(list_dot_product(p.q_emb, p.q_emb)) *
+                     sqrt(list_dot_product(c.emb, c.emb))) AS cos
+           FROM pr p
+           JOIN v c ON c.label = p.cell AND c.vec_id <> p.query_id
+           JOIN b ON p.pr <= b.n_probe),
+         ap AS (
+           SELECT n_probe, query_id, neighbor_id FROM (
+             SELECT n_probe, query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY n_probe, query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rnk
+             FROM sc)
+           WHERE rnk <= 5),
+         cand AS (SELECT n_probe, count(*) AS cs FROM sc GROUP BY 1),
+         ex AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_dot_product(q.emb, c.emb) /
+                        (sqrt(list_dot_product(q.emb, q.emb)) *
+                         sqrt(list_dot_product(c.emb, c.emb))) DESC,
+                        c.vec_id ASC) AS rnk
+             FROM v q JOIN v c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id < 10)
+           WHERE rnk <= 5),
+         exa AS (SELECT count(DISTINCT query_id) AS n_queries,
+                        count(*) AS n_exact FROM ex),
+         hits AS (SELECT n_probe, count(*) AS n_hit
+                  FROM ap JOIN ex USING (query_id, neighbor_id)
+                  GROUP BY 1)
+         SELECT cand.n_probe::BIGINT AS n_probe,
+                exa.n_queries::BIGINT AS n_queries,
+                exa.n_exact::BIGINT AS n_exact,
+                COALESCE(hits.n_hit, 0)::BIGINT AS n_hit,
+                CAST(COALESCE(hits.n_hit, 0) * 1000000 // exa.n_exact
+                  AS BIGINT) AS recall_micro,
+                cand.cs::BIGINT AS candidates_scanned
+         FROM cand LEFT JOIN hits USING (n_probe) CROSS JOIN exa
+         ORDER BY n_probe""",
 
     "q_ann_filtered" ->
       annSql("c.vec_id <> q.vec_id AND c.label = 2", "q.vec_id < 10"),
@@ -8173,6 +8408,40 @@ object ExtensionQueries {
          WHERE NOT EXISTS (
            SELECT 1 FROM comp c
            WHERE c.id = i.media_id AND c.id <> c.comp)""",
+
+    // exhaustive all-pairs twin of the banded radius-3 cut: same aHash
+    // bits CTE as q_mm_phash_keep, hamming by per-position compare
+    "q_mm_phash_radius" ->
+      """WITH img AS (SELECT doc_id AS media_id, coalesce(text, '') AS t
+                      FROM documents WHERE doc_id % 3 = 0),
+         byt AS (SELECT media_id,
+                        ('0x' || substr(hex(encode(t)),
+                          2 * unnest(generate_series(1,
+                            octet_length(encode(t)))) - 1, 2))::INT % 64
+                          AS bin
+                 FROM img),
+         per AS (SELECT media_id, bin, COUNT(*) AS cnt
+                 FROM byt GROUP BY media_id, bin),
+         tot AS (SELECT media_id, octet_length(encode(t))::BIGINT AS n
+                 FROM img),
+         dense AS (SELECT i.media_id, r.b AS bin, COALESCE(p.cnt, 0) AS cnt
+                   FROM img i CROSS JOIN range(64) r(b)
+                   LEFT JOIN per p ON p.media_id = i.media_id
+                                  AND p.bin = r.b),
+         fp AS (SELECT d.media_id,
+                       string_agg(CASE WHEN d.cnt * 64 > t.n
+                                  THEN '1' ELSE '0' END,
+                         '' ORDER BY d.bin) AS bits
+                FROM dense d JOIN tot t USING (media_id)
+                GROUP BY d.media_id),
+         prs AS (SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+                        len(list_filter(generate_series(1, 64),
+                          i -> substr(a.bits, i, 1)
+                               <> substr(b.bits, i, 1)))::BIGINT
+                          AS hamming
+                 FROM fp a JOIN fp b ON a.media_id < b.media_id)
+         SELECT doc_a, doc_b, hamming FROM prs
+         WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
 
     "q_s3_regex_extract" ->
       """SELECT href, COUNT(*) AS n

@@ -291,8 +291,9 @@ object Similarity {
     * search: derive each cell's centroid from the stored assignment
     * (posexplode + avg, reassembled in pos order — exactly what an IVF
     * index persists), broadcast the |cells| centroid rows, and keep each
-    * query's `nProbe` nearest cells. Returns (query_id, q_emb, cell),
-    * one row per probe. */
+    * query's `nProbe` nearest cells. Returns (query_id, q_emb, cell, pr)
+    * — one row per probe, `pr` = the cell's 1-based probe rank for that
+    * query (consumers that don't sweep budgets just ignore it). */
   private def rankedProbes(queries: DataFrame, corpus: DataFrame,
                            cells: DataFrame, nProbe: Int): DataFrame = {
     val cents = corpus.select(col("vec_id"), col("embedding"))
@@ -315,7 +316,7 @@ object Similarity {
       .withColumn("pd", qDist)
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cell"))
+      .select(col("query_id"), col("q_emb"), col("cell"), col("pr"))
   }
 
   /** Multi-probe IVF: each query searches its `nProbe` nearest cells
@@ -344,6 +345,78 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  /** Recall-vs-cost FRONTIER of multi-probe IVF in one pass — the
+    * curve a deployment actually tunes nProbe with: for each probe
+    * budget in `budgets`, recall@k against the exact brute-force truth
+    * plus the candidate volume that budget paid.
+    *
+    * One pass over the stored assignment: probe cells are ranked ONCE
+    * at max(budgets) (each probe keeps its rank `pr`), candidates are
+    * scored ONCE, and every budget b then reads the same scored frame
+    * through `pr <= b` — budgets share the centroid ranking and all
+    * distance math instead of re-running the search per point on the
+    * curve. At 100 TB the scored frame is |queries|·(probed cells)
+    * rows, the exact-truth side is the [[bruteForceTopK]] small-query
+    * broadcast scan, and the per-budget admission is a scan-local
+    * filter over an exploded budget column.
+    *
+    * @return one row per budget: (n_probe, n_queries, n_exact, n_hit,
+    *         recall_micro, candidates_scanned) — recall_micro =
+    *         n_hit·10⁶ DIV n_exact, integer-exact for oracle hashing
+    */
+  def probeFrontier(queries: DataFrame, corpus: DataFrame,
+                    cells: DataFrame, k: Int, budgets: Seq[Int])
+  : DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1),
+      s"probe budgets must be >= 1: $budgets")
+    val bs = budgets.distinct.sorted
+    val probes = rankedProbes(queries, corpus, cells, bs.max)
+    // query-set-bounded (|queries|·probed-cells candidates ·|budgets|
+    // admissions); staged because BOTH the per-budget top-k and the
+    // candidate-volume rollup read it
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .join(cells, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding").as("c_emb"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      // null cos = a zero-norm side (see cosine): must not be ranked
+      .filter(col("cos").isNotNull)
+      .withColumn("n_probe",
+        explode(array(bs.map(b => lit(b.toLong)): _*)))
+      .filter(col("pr") <= col("n_probe"))
+      .select(col("n_probe"), col("query_id"), col("neighbor_id"),
+        col("cos"))
+      .stage()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_probe"), col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val approx = scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("n_probe"), col("query_id"), col("neighbor_id"))
+    val candVolume = scored.groupBy("n_probe")
+      .agg(count(lit(1)).as("candidates_scanned"))
+    val exact = bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .stage() // truth side read by both scalar agg + hit join
+    val truth = broadcast(exact
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact")))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("n_probe").agg(count(lit(1)).as("n_hit"))
+    candVolume.join(hits, Seq("n_probe"), "left")
+      .crossJoin(truth)
+      .select(col("n_probe"), col("n_queries"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("candidates_scanned"))
+      .withColumn("recall_micro",
+        expr("CAST(n_hit * 1000000 DIV n_exact AS BIGINT)"))
+      .select(col("n_probe"), col("n_queries"), col("n_exact"),
+        col("n_hit"), col("recall_micro"), col("candidates_scanned"))
   }
 
   /** Filtered IVF search with SELECTIVITY-WIDENED probing — the

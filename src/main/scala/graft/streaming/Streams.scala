@@ -959,16 +959,21 @@ object Streams {
     * against all history needs all history), so unmanaged it
     * fragments into one small file pair per batch — the classic
     * streaming-ingest small-files problem. Each batch therefore (a)
-    * appends a metrics row (probe pair count, store file counts /
-    * bytes) to `$storePath/metrics` — the observability a production
+    * records a metrics row (probe pair count, store file counts /
+    * bytes) for `$storePath/metrics` — the observability a production
     * deployment alerts on — and (b) compacts either store in place
     * once it exceeds `maxStoreFiles` part files ([[compactStore]]:
     * append one coalesced copy, then delete the originals — crash-safe
     * because duplicate index rows are absorbed by the candidate
     * join's distinct, the same contract replayed batches rely on).
-    * Superseded label snapshots are already dropped per batch, so
-    * every store is bounded: labels ≤ 1 snapshot, index AND the
-    * metrics table ≤ maxStoreFiles + compaction-width files each.
+    * Metric rows are BUFFERED driver-side and flushed in bulk (every
+    * `maxStoreFiles` batches and at stream end) rather than written
+    * one tiny parquet per batch: the per-batch write job was pure
+    * small-files overhead, and losing an unflushed metrics window on
+    * a crash costs observability, never state. Superseded label
+    * snapshots are already dropped per batch, so every store is
+    * bounded: labels ≤ 1 snapshot, index AND the metrics table ≤
+    * maxStoreFiles + compaction-width files each.
     *
     * @return the final labels (doc_id, comp, is_canonical) */
   def ccMaintainStream(spark: SparkSession, dir: String,
@@ -1001,6 +1006,27 @@ object Streams {
       .option("pathGlobFilter", glob)
       .parquet(dir)
       .filter(col("doc_id") % 17 === 0)
+    // driver-side metrics buffer: rows accumulate per batch and flush
+    // in bulk (see STATE TIERING above). foreachBatch runs batches
+    // sequentially on the stream thread; the final flush happens
+    // after awaitTermination — synchronized for belt and braces.
+    val metricBuf = new scala.collection.mutable.ArrayBuffer[
+      (Long, Long, Long, Long, Long, Long)]()
+    def flushMetrics(): Unit = {
+      val rows = metricBuf.synchronized {
+        val r = metricBuf.toList; metricBuf.clear(); r
+      }
+      if (rows.nonEmpty) {
+        import spark.implicits._
+        rows.toDF("batch_id", "n_probe_pairs", "n_sets_files",
+            "sets_bytes", "n_buckets_files", "buckets_bytes")
+          .coalesce(1)
+          .write.mode("append").parquet(s"$storePath/metrics")
+        // bulk flushes still append one file each — same cap
+        compactStore(spark, s"$storePath/metrics", maxStoreFiles)
+        ()
+      }
+    }
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
@@ -1059,17 +1085,13 @@ object Streams {
               s"$storePath/sets", maxStoreFiles)
             val (bktN, bktB) = compactStore(spark,
               s"$storePath/buckets", maxStoreFiles)
-            import spark.implicits._
-            Seq((batchId, nProbe, setsN, setsB, bktN, bktB))
-              .toDF("batch_id", "n_probe_pairs", "n_sets_files",
-                "sets_bytes", "n_buckets_files", "buckets_bytes")
-              .coalesce(1)
-              .write.mode("append").parquet(s"$storePath/metrics")
-            // the metrics table appends one file per batch too —
-            // compact it under the same cap (duplicated metric rows
-            // after a crash mid-compaction are harmless observability
-            // noise, the same absorption argument as the index)
-            compactStore(spark, s"$storePath/metrics", maxStoreFiles)
+            // buffer the row; flush rides the compaction cadence so
+            // the metrics table never costs a write job per batch
+            val flushDue = metricBuf.synchronized {
+              metricBuf += ((batchId, nProbe, setsN, setsB, bktN, bktB))
+              metricBuf.size >= maxStoreFiles
+            }
+            if (flushDue) flushMetrics()
           } finally arrivals.unpersist(blocking = false)
         }
         versions().filter(_ < batchId).foreach(v => fs.delete(
@@ -1080,9 +1102,158 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    flushMetrics() // final flush: persist whatever the cadence buffered
     latestSnapshot(spark, labelsPath, labelsSchema)
       .select(col("doc_id"), col("comp"),
         (col("doc_id") === col("comp")).as("is_canonical"))
+  }
+
+  /** Streaming EXACT-SUBSTRING dedup maintenance — the foreachBatch
+    * form of [[graft.text.SuffixArray.deltaDupPositions]], the SA-side
+    * twin of [[ccMaintainStream]]: the corpus's at-rest probe index
+    * (gram membership log + per-shard stats rollups) is seeded once
+    * from the corpus SA; each arriving batch then PATCHES the per-doc
+    * dup report by probing the index — the corpus suffix array is
+    * never rebuilt — and appends its own grams so later batches dedup
+    * against everything before them.
+    *
+    * Per batch, in crash-safe order (all under the report version's
+    * `_SUCCESS` guard, so a committed batch never re-runs):
+    *
+    *  1. merged report = deltaDupPositions over the CURRENT store,
+    *     staged EAGERLY pre-growth (the [[ccMaintainStream]] lesson:
+    *     without materialization the probe would execute after step 2
+    *     appends the batch's own grams, and n_old would count the
+    *     batch against itself). Replay after a crash between 2 and 3
+    *     re-probes a store that already holds this batch's appends —
+    *     so the probe EXCLUDES the batch's own contribution
+    *     structurally: its doc ids are anti-joined out of the
+    *     membership log and its `shard_id` is filtered out of the
+    *     stats log, making the batch idempotent rather than
+    *     absorption-dependent;
+    *  2. grow the index: append the batch's [[graft.text.SuffixArray
+    *     .slidingGrams]] to the membership log and their per-gram
+    *     rollup (tagged `shard_id` = batchId) to the stats log, then
+    *     compact both under `maxStoreFiles` ([[compactStore]] —
+    *     duplicate log rows from at-least-once appends are absorbed
+    *     by deltaDupPositions' probe-side dedup);
+    *  3. commit the merged report as `v_<batchId>` and drop
+    *     superseded versions.
+    *
+    * A doc's verdict depends only on the set of documents ingested
+    * before or with it, so the final report is invariant under batch
+    * slicing and equals the from-scratch [[graft.text.SuffixArray
+    * .dupPositions]] over corpus ∪ arrivals — which is what the
+    * oracle computes (StreamsSpec pins the 3-slice ≡ batch equality).
+    *
+    * @param seedFrom optional at-rest probe-store snapshot
+    *                 ([[graft.text.SuffixArray.seedProbeStore]] of the
+    *                 SAME corpus slice): when set, the deployment's
+    *                 store is RESTORED by file copy — the production
+    *                 "start a stream from the corpus snapshot" path —
+    *                 instead of re-running the SA build here
+    * @return the final merged (doc_id, n_positions, n_dup_positions) */
+  def saMaintainStream(spark: SparkSession, dir: String,
+                       checkpoint: String, storePath: String,
+                       minLen: Int, glob: String = "documents.parquet",
+                       maxStoreFiles: Int = 32,
+                       seedFrom: Option[String] = None): DataFrame = {
+    import graft.text.SuffixArray
+    val docs = spark.read.option("pathGlobFilter", glob).parquet(dir)
+    val schema = docs.schema
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    // seed the store once — build from the corpus SA, or restore the
+    // prebuilt snapshot artifacts by file copy (the store is mutated
+    // per batch, so a SHARED snapshot is copied, never grown in place)
+    seedFrom match {
+      case Some(src) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        Seq("gram_positions", "gram_stats", "seed_report").foreach {
+          sub =>
+          val from = new org.apache.hadoop.fs.Path(s"$src/$sub")
+          val to = new org.apache.hadoop.fs.Path(s"$storePath/$sub")
+          org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(conf),
+            from, to.getFileSystem(conf), to, false, conf)
+        }
+      case None =>
+        SuffixArray.seedProbeStore(corpus, "doc_id", "text", minLen,
+          storePath)
+    }
+    val seedReport = spark.read.parquet(s"$storePath/seed_report")
+    val reportPath = s"$storePath/report"
+    val reportSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_positions",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_dup_positions",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .filter(col("doc_id") % 17 === 0)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val hadoopPath = new org.apache.hadoop.fs.Path(reportPath)
+        val fs = hadoopPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        def versions(): Seq[Long] =
+          (if (fs.exists(hadoopPath)) fs.listStatus(hadoopPath).toSeq
+           else Seq.empty)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("v_"))
+            .map(_.getPath.getName.stripPrefix("v_").toLong)
+        val committed = new org.apache.hadoop.fs.Path(
+          s"$reportPath/v_$batchId/_SUCCESS")
+        if (!fs.exists(committed)) {
+          val arrivals = batch.toDF().persist()
+          try {
+            val base = versions().filter(_ < batchId).sorted.lastOption
+              .map(v => spark.read.parquet(s"$reportPath/v_$v"))
+              .getOrElse(seedReport)
+            // probe views that structurally exclude THIS batch's own
+            // contribution (replay-safe — see scaladoc step 1); the
+            // anti-join build side is the batch-bounded id set
+            val arrIds = arrivals.select("doc_id").distinct()
+            val posView = spark.read
+              .parquet(s"$storePath/gram_positions")
+              .join(broadcast(arrIds), Seq("doc_id"), "left_anti")
+            val statsView = spark.read
+              .parquet(s"$storePath/gram_stats")
+              .filter(col("shard_id") =!= lit(batchId))
+            val merged = SuffixArray.deltaDupPositions(posView,
+                statsView, base, arrivals, "doc_id", "text", minLen)
+              .stage() // EAGER: must probe pre-growth
+            // grow the index BEFORE committing the report (a crash
+            // between the two replays the batch; the appends above
+            // are excluded from its re-probe, so replay is exact)
+            val bg = SuffixArray.slidingGrams(arrivals, "doc_id",
+              "text", minLen).stage()
+            bg.write.mode("append")
+              .parquet(s"$storePath/gram_positions")
+            bg.groupBy("gram").agg(count(lit(1)).as("n_occ"))
+              .withColumn("shard_id", lit(batchId))
+              .write.mode("append").parquet(s"$storePath/gram_stats")
+            compactStore(spark, s"$storePath/gram_positions",
+              maxStoreFiles)
+            compactStore(spark, s"$storePath/gram_stats",
+              maxStoreFiles)
+            merged.write.mode("overwrite")
+              .parquet(s"$reportPath/v_$batchId")
+          } finally arrivals.unpersist(blocking = false)
+        }
+        versions().filter(_ < batchId).foreach(v => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$reportPath/v_$v"), true))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    latestSnapshot(spark, reportPath, reportSchema)
   }
 
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {

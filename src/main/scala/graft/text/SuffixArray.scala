@@ -268,6 +268,47 @@ object SuffixArray {
         array_join(col("w"), " ").as("gram"))
   }
 
+  /** Build and persist the PROBE-STORE seed for a corpus snapshot —
+    * the three at-rest artifacts incremental/streaming exact-substring
+    * maintenance probes ([[deltaDupPositions]]): the gram membership
+    * log (`gram_positions`), its per-gram rollup tagged as seed shard
+    * -1 (`gram_stats` — the append-log form the streaming store grows
+    * in), and the corpus dup report (`seed_report`). One SA build
+    * feeds all three (staged — prefix doubling must not re-run per
+    * consumer). */
+  def seedProbeStore(corpus: DataFrame, idCol: String, textCol: String,
+                     minLen: Int, path: String): Unit = {
+    val sa = suffixArray(corpus, idCol, textCol).stage()
+    val gp = gramBlocks(sa, corpus, idCol, textCol, minLen).stage()
+    gp.write.mode("overwrite").parquet(s"$path/gram_positions")
+    gp.groupBy("gram").agg(count(lit(1)).as("n_occ"))
+      .withColumn("shard_id", lit(-1L))
+      .write.mode("overwrite").parquet(s"$path/gram_stats")
+    dupPositionsFrom(sa, corpus, idCol, textCol, minLen)
+      .write.mode("overwrite").parquet(s"$path/seed_report")
+  }
+
+  /** All sliding `minLen`-token grams of `docs` — (doc_id, pos, gram):
+    * the batch-side analog of [[gramBlocks]] (which derives the same
+    * rows from an at-rest SA), i.e. what an arriving delta contributes
+    * to the gram membership log. Scan-local. */
+  def slidingGrams(docs: DataFrame, idCol: String, textCol: String,
+                   minLen: Int): DataFrame =
+    slidingGramsFromTokens(docs.select(col(idCol).as("doc_id"),
+      Text.tokens(col(textCol)).as("__t")), minLen)
+
+  private def slidingGramsFromTokens(toks: DataFrame, minLen: Int)
+  : DataFrame =
+    toks
+      .select(col("doc_id"),
+        posexplode(col("__t")).as(Seq("p0", "tok")), col("__t"))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        slice(col("__t"), (col("p0") + 1).cast("int"), lit(minLen))
+          .as("w"))
+      .filter(size(col("w")) === minLen)
+      .select(col("doc_id"), col("pos"),
+        array_join(col("w"), " ").as("gram"))
+
   /** INCREMENTAL maintenance of the exact-substring dup report: the
     * merged per-doc report over corpus ∪ delta computed by PROBING the
     * old snapshot's at-rest artifacts — never rebuilding the corpus SA
@@ -308,8 +349,15 @@ object SuffixArray {
     * broadcast — report rows are per-DOC, so this is index-sized, not
     * corpus-sized, and it rides before any output is produced.
     *
-    * @param gramPos   at-rest [[gramBlocks]] of the old snapshot
-    * @param gramStats at-rest (gram, n_occ) rollup of `gramPos`
+    * @param gramPos   at-rest [[gramBlocks]] of the old snapshot; may
+    *                  be an append log grown by [[slidingGrams]]
+    *                  batches (duplicate rows from at-least-once
+    *                  appends are absorbed on probe)
+    * @param gramStats at-rest (gram, n_occ) rollup of `gramPos`; may
+    *                  be an append log of per-shard rollups — rows
+    *                  are summed per gram after the probe, and an
+    *                  optional `shard_id` column dedups replayed
+    *                  shards
     * @param oldReport at-rest [[dupPositionsFrom]] of the old corpus —
     *                  (doc_id, n_positions, n_dup_positions)
     * @param delta     the arriving batch (idCol, textCol); ids must
@@ -335,24 +383,27 @@ object SuffixArray {
     require(collided.isEmpty,
       s"delta doc ids collide with the old report (re-crawls must " +
         s"arrive under new ids): ${collided.map(_.get(0)).mkString(", ")}")
-    val dGram = dToks
-      .select(col("doc_id"),
-        posexplode(col("__t")).as(Seq("p0", "tok")), col("__t"))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        slice(col("__t"), (col("p0") + 1).cast("int"), lit(minLen))
-          .as("w"))
-      .filter(size(col("w")) === minLen)
-      .select(col("doc_id"), col("pos"),
-        array_join(col("w"), " ").as("gram"))
+    val dGram = slidingGramsFromTokens(dToks, minLen)
       .stage() // two consumers: the gram agg + the flag join
     val dAgg = dGram.groupBy("gram").agg(count(lit(1)).as("n_new"))
     // old-side occurrence counts for EXACTLY the delta's grams: scan
     // the stats file once with the (small) gram set broadcast — an
     // inner probe first, then the left join runs on two batch-bounded
     // frames (a direct left join would shuffle the whole index: a
-    // small LEFT side cannot be the broadcast build of an outer join)
-    val oldCnt = gramStats.join(broadcast(dAgg.select("gram")),
+    // small LEFT side cannot be the broadcast build of an outer join).
+    // The stats side may be an APPEND LOG of per-shard rollups (the
+    // streaming store's form): multiple rows per gram are summed after
+    // the probe — the sketch-store shard-merge contract — and a
+    // `shard_id` column, when present, dedups replayed shards first
+    // (at-least-once appends re-emit a whole shard verbatim).
+    val probedRaw = gramStats.join(broadcast(dAgg.select("gram")),
       Seq("gram"))
+    val deduped =
+      if (probedRaw.columns.contains("shard_id"))
+        probedRaw.dropDuplicates("gram", "shard_id")
+      else probedRaw
+    val oldCnt = deduped.groupBy("gram")
+      .agg(sum(col("n_occ")).as("n_occ"))
     val probed = dAgg.join(oldCnt, Seq("gram"), "left")
       .select(col("gram"), col("n_new"),
         coalesce(col("n_occ"), lit(0L)).as("n_old"))
@@ -370,6 +421,11 @@ object SuffixArray {
     val extras = gramPos
       .join(broadcast(probed.filter(col("n_old") === 1L)
         .select("gram")), Seq("gram"))
+      // batch-bounded dedup: the membership side may be an append log
+      // whose at-least-once appends replay exact duplicate rows; a
+      // (doc_id, pos) is one position regardless of how many log rows
+      // carry it
+      .dropDuplicates("doc_id", "pos")
       .groupBy("doc_id").agg(count(lit(1)).as("__extra"))
     // per-doc totals off the SAME staged tokens frame (token count =
     // position count; 0-token docs are absent, matching the

@@ -515,6 +515,31 @@ class SimilaritySpec extends SparkSpec {
       s"2-probe mutual recall $recall out of the plausible band")
   }
 
+  test("probeFrontier: recall and cost are monotone in the budget, " +
+    "full budget is exact") {
+    val rnd = new scala.util.Random(97)
+    val rows = (0 until 80).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat),
+        i % 4)).toDF("vec_id", "embedding", "label")
+    val cells = rows.select(col("vec_id"), col("label").as("cell"))
+    val fr = Similarity.probeFrontier(
+        rows.filter(col("vec_id") < 6), rows, cells, k = 3,
+        budgets = Seq(1, 2, 4))
+      .orderBy("n_probe")
+      .select("n_probe", "recall_micro", "candidates_scanned",
+        "n_exact", "n_hit")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(fr.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    // more probes never lose recall or scan fewer candidates
+    assert(fr.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      s"recall not monotone: ${fr.mkString(", ")}")
+    assert(fr.sliding(2).forall(p => p(0)._3 < p(1)._3),
+      s"candidate volume not increasing: ${fr.mkString(", ")}")
+    // budget = |cells| degrades to brute force: recall exactly 1
+    assert(fr.last._2 === 1000000L, s"full-budget recall: ${fr.last}")
+    assert(fr.last._4 === fr.last._5)
+  }
+
   test("mutualBestMatchIndexed plan: no cartesian product, no " +
     "corpus-sized broadcast — only centroid-aggregate builds") {
     val rnd = new scala.util.Random(7)

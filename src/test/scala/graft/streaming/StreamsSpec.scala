@@ -280,6 +280,51 @@ class StreamsSpec extends SparkSpec {
       "fixture must contain a cluster straddling the split")
   }
 
+  test("sa maintain stream: 3 sliced batches converge to from-scratch " +
+    "dup report") {
+    // the growing gram log makes cross-batch duplicates discoverable,
+    // so the final report must equal dupPositions over the WHOLE
+    // corpus regardless of slicing — and must survive forced
+    // compaction (maxStoreFiles = 2 over 3 batches fires it)
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft_sam_slices").toString
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .orderBy("doc_id")
+    val n = raw.count()
+    val chunks = raw.collect().grouped((n / 3 + 1).toInt).toSeq
+    val schema = raw.schema
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val staging = Files.createTempDirectory(s"graft_sam_st_$i").toString
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/docs_$i.parquet"))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_sam_sl").toString
+    val store = Files.createTempDirectory("graft_sam_store").toString
+    val sliced = Streams.saMaintainStream(spark, tmp, ckpt, store,
+        minLen = 5, glob = "*.parquet", maxStoreFiles = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val scratch = graft.text.SuffixArray.dupPositions(docs, "doc_id",
+        "text", minLen = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sliced === scratch)
+    // the property only bites if some duplicate straddles the
+    // corpus/arrival split
+    assert(scratch.exists { case (id, _, nd) => id % 17 == 0 && nd > 0 },
+      "fixture must contain an arrival-side duplicated doc")
+    // forced compaction kept the growing stores bounded
+    def nParts(sub: String): Int = new java.io.File(s"$store/$sub")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nParts("gram_positions") <= 3,
+      s"membership log fragmented: ${nParts("gram_positions")}")
+    assert(nParts("gram_stats") <= 3,
+      s"stats log fragmented: ${nParts("gram_stats")}")
+  }
+
   test("cc maintain stream: store stays compacted + metrics per batch") {
     // the state-tiering contract: the index grows by append per batch
     // (inherent — dedup against all history), but the store must not
