@@ -206,6 +206,24 @@ object Dedup {
         .as("jaccard"))
   }
 
+  /** Corpus-internal near-dup pairs FROM the at-rest index artifacts —
+    * [[minhashLshPairs]]' result when the (sets, banded-buckets) frames
+    * already exist: candidates from the bucket self-join, exact Jaccard
+    * from the STORED shingle sets. The corpus text is never
+    * re-tokenized or re-hashed — the whole point of persisting the
+    * index. [[incrementalNearDupsIndexed]] is the arrivals-probe side
+    * of the same artifacts; this is the corpus-internal twin (seeding
+    * a component store, periodic full-index audits). */
+  def nearDupPairsFromIndex(sets: DataFrame, buckets: DataFrame,
+                            threshold: Double): DataFrame =
+    jaccardVerifyTail(lshCandidates(buckets)
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("shset").as("set_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("shset").as("set_b")), Seq("doc_b")), threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
+        .as("jaccard"))
+
   /** SimHash fingerprint (Charikar '02), `bits`-wide: per token take bit
     * j of md5(token), sum over tokens, bit set iff count*2 > n_tokens.
     *
@@ -395,7 +413,24 @@ object Dedup {
                                  numPerms: Int, numBands: Int,
                                  threshold: Double): DataFrame = {
     val newSets = shingleSets(newDocs, idCol, textCol, 3)
-    val cands = bandedBuckets(newSets, numPerms, numBands)
+    incrementalNearDupsFromSets(newSets,
+      bandedBuckets(newSets, numPerms, numBands), corpusSets,
+      corpusIndex, threshold)
+  }
+
+  /** [[incrementalNearDupsIndexed]] when the ARRIVAL side's artifacts
+    * are already built too: a consumer that needs the batch's sets /
+    * banded buckets for several purposes (probe the corpus, pair the
+    * batch against itself, append to the at-rest index — exactly
+    * [[graft.streaming.Streams.ccMaintainStream]]'s batch body) builds
+    * them ONCE and passes them everywhere, instead of paying a
+    * tokenize+hash pass per consumer. */
+  def incrementalNearDupsFromSets(newSets: DataFrame,
+                                  newBanded: DataFrame,
+                                  corpusSets: DataFrame,
+                                  corpusIndex: DataFrame,
+                                  threshold: Double): DataFrame = {
+    val cands = newBanded
       .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
       .join(corpusIndex
         .select(col("band"), col("bucket"), col("doc_id").as("corpus_id")),

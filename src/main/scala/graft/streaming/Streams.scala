@@ -985,14 +985,18 @@ object Streams {
     val docs = spark.read.option("pathGlobFilter", glob).parquet(dir)
     val schema = docs.schema
     val corpus = docs.filter(col("doc_id") % 17 =!= 0)
-    // seed the stores once: corpus-side index + corpus-side components
+    // seed the stores once: corpus-side index + corpus-side components.
+    // ONE shingle pass feeds everything — the staged sets/buckets are
+    // written AND reused for the seed pairs via nearDupPairsFromIndex
+    // (minhashLshPairs here would re-tokenize + re-hash the corpus a
+    // second time for the exact same pairs)
     val sets0 = Dedup.shingleSets(corpus, "doc_id", "text", 3)
     sets0.write.mode("overwrite").parquet(s"$storePath/sets")
-    Dedup.bandedBuckets(sets0, numPerms, numBands)
-      .write.mode("overwrite").parquet(s"$storePath/buckets")
+    val banded0 = Dedup.bandedBuckets(sets0, numPerms, numBands).stage()
+    banded0.write.mode("overwrite").parquet(s"$storePath/buckets")
     val seedLabels = Dedup.connectedComponents(
-      Dedup.minhashLshPairs(corpus, "doc_id", "text", numPerms,
-        numBands, threshold), "doc_a", "doc_b")
+      Dedup.nearDupPairsFromIndex(sets0, banded0, threshold),
+      "doc_a", "doc_b")
       .select("doc_id", "comp")
     val labelsPath = s"$storePath/labels"
     val labelsSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -1054,23 +1058,27 @@ object Streams {
             // hinge on spark.read having snapshotted the file listing
             // at analysis time (an implicit InMemoryFileIndex timing
             // assumption, not a contract)
-            val cross = Dedup.incrementalNearDupsIndexed(arrivals,
+            // the batch's OWN artifacts built ONCE (staged) for every
+            // consumer — corpus probe, within-batch pairs, index
+            // growth; three tokenize+hash passes collapsed to one
+            val arrSets = Dedup.shingleSets(arrivals, "doc_id",
+              "text", 3)
+            val arrBanded = Dedup.bandedBuckets(arrSets, numPerms,
+              numBands).stage()
+            val cross = Dedup.incrementalNearDupsFromSets(arrSets,
+                arrBanded,
                 spark.read.parquet(s"$storePath/sets"),
-                spark.read.parquet(s"$storePath/buckets"),
-                "doc_id", "text", numPerms, numBands, threshold)
+                spark.read.parquet(s"$storePath/buckets"), threshold)
               .select(col("new_id").as("a"), col("corpus_id").as("b"))
               .stage()
-            val within = Dedup.minhashLshPairs(arrivals, "doc_id",
-                "text", numPerms, numBands, threshold)
+            val within = Dedup.nearDupPairsFromIndex(arrSets,
+                arrBanded, threshold)
               .select(col("doc_a").as("a"), col("doc_b").as("b"))
             // grow the index BEFORE committing labels: a crash between
             // the two re-runs the whole batch (dup appends are
             // absorbed), the reverse order could skip growth forever
-            val arrSets = Dedup.shingleSets(arrivals, "doc_id",
-              "text", 3)
             arrSets.write.mode("append").parquet(s"$storePath/sets")
-            Dedup.bandedBuckets(arrSets, numPerms, numBands)
-              .write.mode("append").parquet(s"$storePath/buckets")
+            arrBanded.write.mode("append").parquet(s"$storePath/buckets")
             val base = versions().filter(_ < batchId).sorted.lastOption
               .map(v => spark.read.parquet(s"$labelsPath/v_$v"))
               .getOrElse(seedLabels)
