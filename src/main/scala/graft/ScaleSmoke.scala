@@ -1399,6 +1399,90 @@ object ScaleSmoke {
       total
     }
 
+    // indexed mutual kNN: BOTH frames are corpus halves (every vector
+    // is a query), so the brute form is |A|·|B| — the banned plan.
+    // With 256 hash cells and nProbe=2 the candidate volume is
+    // ~2/256 of the cross product, nothing corpus-sized broadcasts,
+    // and the run must finish in seconds where brute force would be
+    // ~100k² dot products
+    timed("mutual knn indexed halves") {
+      val n = rows / 500
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        array((0 until 16).map(j =>
+          (pmod(col("id") * (j + 3), lit(997)) / 997d)
+            .cast("float")): _*)
+          .as("embedding"),
+        pmod(col("id") * 31, lit(256)).cast("int").as("cell"))
+        .stage()
+      graft.similarity.Similarity.mutualBestMatchIndexed(
+        vecs.filter(col("vec_id") % 2 === 0),
+        vecs.filter(col("vec_id") % 2 === 1),
+        cellCol = "cell", nProbe = 2).count()
+    }
+
+    // probe frontier: the scored frame is built ONCE at the max
+    // budget; every curve point reads it through pr <= b. Recall must
+    // be non-decreasing in the budget (the tuning-curve invariant)
+    timed("probe frontier 1M corpus") {
+      val n = rows / 50
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        array((0 until 16).map(j =>
+          (pmod(col("id") * (j + 3), lit(997)) / 997d)
+            .cast("float")): _*)
+          .as("embedding"))
+        .stage()
+      val cells = vecs.select(col("vec_id"),
+        pmod(col("vec_id") * 31, lit(64)).cast("int").as("cell"))
+      val fr = graft.similarity.Similarity.probeFrontier(
+          vecs.filter(col("vec_id") % (n / 100) === 0), vecs, cells,
+          k = 5, budgets = Seq(1, 2, 4, 8))
+        .orderBy("n_probe")
+        .select(col("recall_micro"), col("candidates_scanned"))
+        .collect()
+      require(fr.length == 4, s"budget rows: ${fr.length}")
+      require(fr.sliding(2).forall(p =>
+        p(0).getLong(0) <= p(1).getLong(0)), "recall not monotone")
+      fr.map(_.getLong(1)).sum
+    }
+
+    // support-graph delta patch: a 10k-basket delta merges into a
+    // corpus-scale at-rest pair rollup — the rollup is scanned once
+    // and patched by broadcast joins of batch-bounded deltas; the
+    // probe line must track the BATCH, never the rollup
+    timed("co-support delta patch") {
+      val oldCounts = spark.range(rows / 10).select(
+        (col("id") % 1000000L).as("a"),
+        (col("id") % 999983L + 1000000L).as("b"),
+        (col("id") % 3 + 1).as("sup")).stage()
+      // 10k delta baskets of 4 items each → ≤ 6 pairs per basket
+      val deltaItems = spark.range(40000).select(
+        expr("id DIV 4").as("k"),
+        when(col("id") % 4 < 2, col("id") % 1000000L)
+          .otherwise(col("id") % 999983L + 1000000L).as("p"))
+      val deltaPairs = deltaItems
+        .groupBy("k").agg(sort_array(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("d_sup"))
+      val t0 = System.nanoTime()
+      val oldMatches = oldCounts
+        .join(broadcast(deltaPairs.select("a", "b")), Seq("a", "b"))
+        .select("a", "b")
+      val patched = oldCounts
+        .join(broadcast(deltaPairs), Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          (col("sup") + coalesce(col("d_sup"), lit(0L))).as("sup"))
+      val fresh = deltaPairs.join(oldMatches, Seq("a", "b"), "left_anti")
+        .select(col("a"), col("b"), col("d_sup").as("sup"))
+      val out = patched.unionByName(fresh).filter(col("sup") >= 2)
+      val c = out.count()
+      println(f"[scale] co-support patch only       rows=$c%12d  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      c
+    }
+
     spark.stop()
   }
 }
