@@ -2041,6 +2041,40 @@ object ExtensionQueries {
         .orderBy("sel_tag")
     }),
 
+    // INCREMENTAL IVF maintenance: arrivals (every 7th vector,
+    // re-ingested under new ids) get the cell id the STORED index
+    // would give them — centroids derived from the existing
+    // assignment, argmin with the lower-cell tie-break — and the
+    // merged view is old ∪ assigned. No retrain per batch (that's a
+    // snapshot job); the oracle recomputes the centroids + argmin
+    // independently.
+    "q_ann_delta_assign" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cells = emb.select(col("vec_id"), col("label").as("cell"))
+      val arrivals = emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          col("embedding"))
+      cells
+        .unionByName(Similarity.assignToCells(arrivals, emb, cells))
+        .orderBy("vec_id")
+    }),
+
+    // margin-scored bitext mining (Artetxe–Schwenk ratio margin):
+    // each a's best b, scored by cos divided by the mean of both
+    // sides' k-neighbor-ball densities — the hub-correction that
+    // makes mined pairs comparable across the embedding space. Same
+    // index routing as q_mutual_knn (k-NN per direction through the
+    // cell-probed shuffle join); every post-search frame is
+    // top-k-output-sized.
+    "q_margin_mining" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.marginMiningIndexed(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          cellCol = "label", nProbe = 2, k = 4, minMargin = 0.0)
+        .orderBy("a_id")
+    }),
+
     // the nProbe tuning curve in ONE pass — probes ranked once at the
     // max budget, candidates scored once, every budget admits pr <= b
     // from the same scored frame; recall is against the exact
@@ -6953,6 +6987,41 @@ object ExtensionQueries {
 
     "q_mutual_knn" -> mutualKnnSql,
 
+    "q_margin_mining" -> marginMiningSql,
+
+    // merged assignment view: stored cells pass through, arrivals get
+    // the argmin over centroids derived from the stored assignment
+    // (float-rounded, the rankedProbes precision path), lower cell on
+    // ties
+    "q_ann_delta_assign" ->
+      """WITH v AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+         cent AS (
+           SELECT label AS cell, list(s ORDER BY j) AS c FROM (
+             SELECT label, j, sum(emb[j]) / count(*) AS s
+             FROM v, range(1, 65) t(j) GROUP BY label, j)
+           GROUP BY label),
+         arr AS (SELECT vec_id + 100000 AS vec_id, emb
+                 FROM v WHERE vec_id % 7 = 0),
+         asg AS (
+           SELECT vec_id, cell FROM (
+             SELECT a.vec_id, cent.cell,
+                    row_number() OVER (PARTITION BY a.vec_id
+                      ORDER BY -2 * list_dot_product(a.emb,
+                          (cent.c::FLOAT[])::DOUBLE[])
+                        + list_dot_product(
+                            (cent.c::FLOAT[])::DOUBLE[],
+                            (cent.c::FLOAT[])::DOUBLE[]),
+                        cent.cell) AS pr
+             FROM arr a CROSS JOIN cent)
+           WHERE pr = 1)
+         SELECT vec_id, cell FROM (
+           SELECT vec_id, label AS cell FROM v
+           UNION ALL SELECT vec_id, cell FROM asg)
+         ORDER BY vec_id""",
+
     // raw dot-product ranking; DOUBLE[] casts for the same reason as
     // annSql (FLOAT accumulation flips near-ties)
     "q_ann_mips" ->
@@ -10038,6 +10107,68 @@ object ExtensionQueries {
         FROM ab JOIN ba
           ON ab.query_id = ba.neighbor_id
          AND ab.neighbor_id = ba.query_id
+        ORDER BY a_id"""
+  }
+
+  /** Margin-scored mining mirror: the mutualKnnSql probe/centroid
+    * machinery at k=4 per direction, then the Artetxe–Schwenk ratio
+    * margin cos / ((den_a + den_b)/2) with the engine's zero-sum NULL
+    * guard and ≥ 0 filter. */
+  private val marginMiningSql: String = {
+    def topk(qs: String, cs: String): String =
+      s"""SELECT query_id, neighbor_id, rnk, cos FROM (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(p.q_emb, c.emb) /
+                     (sqrt(list_dot_product(p.q_emb, p.q_emb)) *
+                      sqrt(list_dot_product(c.emb, c.emb))) AS cos,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY list_dot_product(p.q_emb, c.emb) /
+                       (sqrt(list_dot_product(p.q_emb, p.q_emb)) *
+                        sqrt(list_dot_product(c.emb, c.emb))) DESC,
+                       c.vec_id ASC) AS rnk
+            FROM (SELECT query_id, q_emb, cell FROM (
+                    SELECT q.vec_id AS query_id, q.emb AS q_emb,
+                           ct.cell,
+                           row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY -2 * list_dot_product(q.emb,
+                                 (ct.c::FLOAT[])::DOUBLE[])
+                               + list_dot_product(
+                                   (ct.c::FLOAT[])::DOUBLE[],
+                                   (ct.c::FLOAT[])::DOUBLE[]),
+                               ct.cell) AS pr
+                    FROM $qs q CROSS JOIN cent$cs ct)
+                  WHERE pr <= 2) p
+            JOIN $cs c ON c.label = p.cell)
+          WHERE rnk <= 4"""
+    def cent(side: String): String =
+      s"""cent$side AS (
+            SELECT label AS cell, list(s ORDER BY j) AS c FROM (
+              SELECT label, j, sum(emb[j]) / count(*) AS s
+              FROM $side, range(1, 65) t(j) GROUP BY label, j)
+            GROUP BY label)"""
+    s"""WITH v AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> x::DOUBLE) AS emb
+          FROM embeddings),
+        a AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+        b AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+        ${cent("a")}, ${cent("b")},
+        tka AS (${topk("a", "b")}),
+        tkb AS (${topk("b", "a")}),
+        dena AS (SELECT query_id AS a_id, avg(cos) AS den_a
+                 FROM tka GROUP BY 1),
+        denb AS (SELECT query_id AS b_id, avg(cos) AS den_b
+                 FROM tkb GROUP BY 1),
+        best AS (SELECT query_id AS a_id, neighbor_id AS b_id, cos
+                 FROM tka WHERE rnk = 1),
+        scored AS (
+          SELECT a_id, b_id, cos,
+                 CASE WHEN den_a + den_b <> 0
+                      THEN cos / ((den_a + den_b) / 2) END AS margin
+          FROM best JOIN dena USING (a_id) JOIN denb USING (b_id))
+        SELECT a_id, b_id, round(cos, 6) AS cos,
+               round(margin, 6) AS margin
+        FROM scored WHERE margin >= 0.0
         ORDER BY a_id"""
   }
 

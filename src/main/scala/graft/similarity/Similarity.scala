@@ -262,6 +262,77 @@ object Similarity {
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Ratio-margin scoring for bitext mining (Artetxe & Schwenk '19,
+    * §4.2 "ratio" margin): for every a ∈ A, its best match b ∈ B
+    * scored by
+    *
+    *   margin(a,b) = cos(a,b) /
+    *     ((avgᵏ cos(a, NNₖ(a,B)) + avgᵏ cos(b, NNₖ(b,A))) / 2)
+    *
+    * — raw cosine over-fires on HUBS (vectors close to everything);
+    * dividing by the average similarity of each side's own k-neighbor
+    * ball normalizes exactly that density, which is why margin beats
+    * absolute-threshold mining in their benchmarks.
+    *
+    * Composition over the SAME index machinery as
+    * [[mutualBestMatchIndexed]]: one k-NN pass per direction through
+    * the cell-probed shuffle join (both frames are corpus halves —
+    * never broadcast), then the margin is pure arithmetic over the
+    * two top-k outputs: the per-vector denominator is a
+    * partial-aggregable avg over each side's top-k rows, joined back
+    * to the rank-1 pairs — every post-search frame is
+    * top-k-output-sized (≤ k·(|A|+|B|) rows).
+    *
+    * @return (a_id, b_id, cos, margin) — cos and margin rounded 6dp;
+    *         one row per a with margin ≥ `minMargin` (pass 0.0 to
+    *         keep all)
+    */
+  def marginMiningIndexed(a: DataFrame, b: DataFrame, cellCol: String,
+                          nProbe: Int, k: Int, minMargin: Double)
+  : DataFrame = {
+    def topK(queries: DataFrame, corpus: DataFrame): DataFrame = {
+      val cells = corpus.select(col("vec_id"), col(cellCol).as("cell"))
+      val probes = rankedProbes(queries, corpus, cells, nProbe)
+      val cand = corpus.select(col("vec_id").as("neighbor_id"),
+          col(cellCol).as("cell"), col("embedding").as("c_emb"))
+        .join(probes.hint("shuffle_hash"), Seq("cell"))
+        .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+        // null cos = a zero-norm side (see cosine): must not be ranked
+        .filter(col("cos").isNotNull)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      cand
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"),
+          col("cos"))
+    }
+    // both top-k outputs feed two consumers (best pair + denominator)
+    val ab = topK(a, b).stage()
+    val ba = topK(b, a).stage()
+    // per-vector k-ball density: avg cosine over the (up to k) found
+    // neighbors — partial-aggregable, top-k-output-sized
+    val denA = ab.groupBy(col("query_id").as("a_id"))
+      .agg(avg(col("cos")).as("den_a"))
+    val denB = ba.groupBy(col("query_id").as("b_id"))
+      .agg(avg(col("cos")).as("den_b"))
+    ab.filter(col("rnk") === 1)
+      .select(col("query_id").as("a_id"),
+        col("neighbor_id").as("b_id"), col("cos"))
+      .join(denA, Seq("a_id"))
+      .join(denB, Seq("b_id"))
+      // zero-sum denominator guard (the cosine NULL convention): a
+      // degenerate ball yields NULL, which fails the >= filter —
+      // never an ANSI DIVIDE_BY_ZERO
+      .withColumn("margin",
+        when(col("den_a") + col("den_b") =!= 0.0,
+          col("cos") / ((col("den_a") + col("den_b")) / 2)))
+      .filter(col("margin") >= minMargin)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"),
+        round(col("margin"), 6).as("margin"))
+  }
+
   /** IVF-style search: same contract as bruteForceTopK but candidates are
     * restricted to the query's coarse cell (`cellCol`). At scale the corpus
     * is partitioned/bucketed by the cell id, so each query probes one
@@ -485,6 +556,25 @@ object Similarity {
         round(col("cos"), 6).as("cos"),
         lit(nProbe.toLong).as("n_probe"))
   }
+
+  /** INCREMENTAL IVF assignment maintenance: give ARRIVING vectors the
+    * cell id the stored index would — centroids derive from the
+    * EXISTING assignment (exactly what the index persists; the same
+    * float-rounded, double-accumulated path as [[rankedProbes]]) and
+    * each arrival goes to its argmin cell, ties toward the lower cell
+    * id (the [[kmeansCells]] rule). The index is never retrained per
+    * batch — the standard IVF ingest contract (retrain / rebalance is
+    * a snapshot-time job, like the SA rebuild on the dedup side).
+    * Cost per batch: one |cells|-row centroid broadcast + one scan of
+    * the arrivals; the stored corpus is touched only by the bounded
+    * centroid aggregate.
+    *
+    * @return (vec_id, cell) for the arrivals — union with the stored
+    *         assignment for the merged index view */
+  def assignToCells(arrivals: DataFrame, corpus: DataFrame,
+                    cells: DataFrame): DataFrame =
+    rankedProbes(arrivals, corpus, cells, nProbe = 1)
+      .select(col("query_id").as("vec_id"), col("cell"))
 
   /** Deterministic mini k-means coarse quantizer — builds the IVF cell
     * assignment when no precomputed cell column exists. Init is the k

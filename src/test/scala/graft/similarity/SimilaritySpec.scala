@@ -515,6 +515,79 @@ class SimilaritySpec extends SparkSpec {
       s"2-probe mutual recall $recall out of the plausible band")
   }
 
+  test("marginMiningIndexed equals the ratio-margin driver replica " +
+    "at full probe budget") {
+    val rnd = new scala.util.Random(59)
+    def mk(ids: Range) = ids.map(i =>
+      (i.toLong, Array.fill(6)((rnd.nextDouble() * 2 - 1).toFloat),
+        i % 3))
+    val aRows = mk(0 until 24)
+    val bRows = mk(100 until 130)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val dx = x.map(_.toDouble); val dy = y.map(_.toDouble)
+      dx.zip(dy).map { case (p, q) => p * q }.sum /
+        (math.sqrt(dx.map(v => v * v).sum) *
+          math.sqrt(dy.map(v => v * v).sum))
+    }
+    val k = 4
+    def topk(src: Seq[(Long, Array[Float], Int)],
+             dst: Seq[(Long, Array[Float], Int)]) =
+      src.map { case (i, v, _) =>
+        i -> dst.map { case (j, w, _) => (j, cos(v, w)) }
+          .sortBy { case (j, c) => (-c, j) }.take(k)
+      }.toMap
+    val tka = topk(aRows, bRows); val tkb = topk(bRows, aRows)
+    val want = tka.flatMap { case (ai, nns) =>
+      val (bi, c) = nns.head
+      val den = (nns.map(_._2).sum / nns.size +
+        tkb(bi).map(_._2).sum / tkb(bi).size) / 2
+      val m = c / den
+      if (m >= 0.0) Some((ai, bi,
+        BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      else None
+    }.toSet
+    // nProbe = |cells| = 3: the search side is exact, so only the
+    // margin arithmetic is under test
+    val got = Similarity.marginMiningIndexed(
+        aRows.toDF("vec_id", "embedding", "label"),
+        bRows.toDF("vec_id", "embedding", "label"),
+        cellCol = "label", nProbe = 3, k = k, minMargin = 0.0)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2,
+        BigDecimal(r._3).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(r._4).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("assignToCells: arrivals get the stored index's argmin cell, " +
+    "lower cell on ties") {
+    val stored = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.1f, 0.9f), 1)).toDF("vec_id", "embedding", "label")
+    val cells = stored.select(col("vec_id"), col("label").as("cell"))
+    val arrivals = Seq(
+      (10L, Array(0.8f, 0.2f)),   // near cell 0's centroid
+      (11L, Array(0.05f, 0.95f))) // near cell 1's
+      .toDF("vec_id", "embedding")
+    val got = Similarity.assignToCells(arrivals, stored, cells)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(10L -> 0, 11L -> 1))
+    // exact tie (equidistant arrival) → lower cell id
+    val tied = Similarity.assignToCells(
+        Seq((12L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding"),
+        stored.select(col("vec_id"),
+          // symmetric stored vectors so the two centroids mirror
+          col("embedding"), col("label")),
+        cells)
+      .as[(Long, Int)].collect().toMap
+    assert(tied === Map(12L -> 0))
+  }
+
   test("probeFrontier: recall and cost are monotone in the budget, " +
     "full budget is exact") {
     val rnd = new scala.util.Random(97)
