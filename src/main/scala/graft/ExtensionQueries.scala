@@ -2059,6 +2059,18 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
+    // IVF index HEALTH: per-cell population + mean quantization error
+    // against the stored centroids — the drift report that decides
+    // when the snapshot-time retrain runs (assignToCells keeps
+    // ingesting until it trips). One corpus scan vs a |cells|-row
+    // broadcast.
+    "q_ann_index_health" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfHealth(emb,
+          emb.select(col("vec_id"), col("label").as("cell")))
+        .orderBy("cell")
+    }),
+
     // margin-scored bitext mining (Artetxe–Schwenk ratio margin):
     // each a's best b, scored by cos divided by the mean of both
     // sides' k-neighbor-ball densities — the hub-correction that
@@ -6988,6 +7000,30 @@ object ExtensionQueries {
     "q_mutual_knn" -> mutualKnnSql,
 
     "q_margin_mining" -> marginMiningSql,
+
+    // per-cell population + mean squared distance to the float-rounded
+    // stored centroid (the engine's exact precision path)
+    "q_ann_index_health" ->
+      """WITH v AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+         cent AS (
+           SELECT label AS cell, list(s ORDER BY j) AS c FROM (
+             SELECT label, j, sum(emb[j]) / count(*) AS s
+             FROM v, range(1, 65) t(j) GROUP BY label, j)
+           GROUP BY label),
+         d AS (
+           SELECT x.label AS cell,
+                  list_dot_product(x.emb, x.emb)
+                    - 2 * list_dot_product(x.emb,
+                        (cent.c::FLOAT[])::DOUBLE[])
+                    + list_dot_product((cent.c::FLOAT[])::DOUBLE[],
+                        (cent.c::FLOAT[])::DOUBLE[]) AS d2
+           FROM v x JOIN cent ON cent.cell = x.label)
+         SELECT cell, count(*)::BIGINT AS n_vecs,
+                round(avg(d2), 6) AS mean_d2
+         FROM d GROUP BY cell ORDER BY cell""",
 
     // merged assignment view: stored cells pass through, arrivals get
     // the argmin over centroids derived from the stored assignment

@@ -358,16 +358,14 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
-  /** Per-query ranked probe cells — the shared front half of multi-probe
-    * search: derive each cell's centroid from the stored assignment
-    * (posexplode + avg, reassembled in pos order — exactly what an IVF
-    * index persists), broadcast the |cells| centroid rows, and keep each
-    * query's `nProbe` nearest cells. Returns (query_id, q_emb, cell, pr)
-    * — one row per probe, `pr` = the cell's 1-based probe rank for that
-    * query (consumers that don't sweep budgets just ignore it). */
-  private def rankedProbes(queries: DataFrame, corpus: DataFrame,
-                           cells: DataFrame, nProbe: Int): DataFrame = {
-    val cents = corpus.select(col("vec_id"), col("embedding"))
+  /** Per-cell centroids derived from the stored assignment (posexplode
+    * + avg, reassembled in pos order — exactly what an IVF index
+    * persists): (cell, centroid ARRAY<DOUBLE>). Shared by the probe
+    * ranking, the incremental assignment, and the index-health
+    * report. */
+  private def centroidsOf(corpus: DataFrame, cells: DataFrame)
+  : DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
       .join(cells, "vec_id")
       .select(col("cell"), posexplode(col("embedding")))
       .groupBy("cell", "pos")
@@ -376,6 +374,16 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("centroid"))
+
+  /** Per-query ranked probe cells — the shared front half of multi-probe
+    * search: broadcast the |cells| centroid rows ([[centroidsOf]]) and
+    * keep each query's `nProbe` nearest cells. Returns
+    * (query_id, q_emb, cell, pr) — one row per probe, `pr` = the
+    * cell's 1-based probe rank for that query (consumers that don't
+    * sweep budgets just ignore it). */
+  private def rankedProbes(queries: DataFrame, corpus: DataFrame,
+                           cells: DataFrame, nProbe: Int): DataFrame = {
+    val cents = centroidsOf(corpus, cells)
     val qDist = dot(col("q_emb"), col("centroid").cast("array<float>")) *
       -2 + dot(col("centroid").cast("array<float>"),
         col("centroid").cast("array<float>"))
@@ -555,6 +563,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos"), 6).as("cos"),
         lit(nProbe.toLong).as("n_probe"))
+  }
+
+  /** IVF index HEALTH report — the retrain trigger a deployment
+    * monitors: per cell, its population and mean squared L2 distance
+    * to the stored centroid (quantization error). Drift shows up as
+    * (a) cell-size skew — a hot cell degrades every probe that ranks
+    * it — and (b) rising quantization error as the data distribution
+    * walks away from the centroids the quantizer was trained on; both
+    * are cheap scalars per cell, read off ONE corpus scan against the
+    * |cells|-row centroid broadcast (d² = ⟨x,x⟩ − 2⟨x,c⟩ + ⟨c,c⟩ —
+    * scan-local arithmetic, partial-aggregable rollup). When the
+    * report trips a threshold, [[kmeansCells]] retrains at
+    * snapshot time — never per batch ([[assignToCells]]'s contract).
+    *
+    * @return (cell, n_vecs, mean_d2) — mean_d2 rounded 6dp */
+  def ivfHealth(corpus: DataFrame, cells: DataFrame): DataFrame = {
+    val cents = centroidsOf(corpus, cells)
+    val cf = col("centroid").cast("array<float>")
+    corpus.select(col("vec_id"), col("embedding"))
+      .join(cells, "vec_id")
+      .join(broadcast(cents), Seq("cell"))
+      .withColumn("d2",
+        dot(col("embedding"), col("embedding"))
+          - dot(col("embedding"), cf) * 2 + dot(cf, cf))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("d2")), 6).as("mean_d2"))
   }
 
   /** INCREMENTAL IVF assignment maintenance: give ARRIVING vectors the

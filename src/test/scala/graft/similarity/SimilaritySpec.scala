@@ -562,6 +562,21 @@ class SimilaritySpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("ivfHealth: per-cell population and quantization error match " +
+    "hand computation") {
+    // cell 0: (1,0) and (0,1) → centroid (0.5, 0.5); d² = 0.5 each.
+    // cell 1: (2,0) alone → centroid (2,0); d² = 0.
+    val stored = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(2.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfHealth(stored,
+        stored.select(col("vec_id"), col("label").as("cell")))
+      .orderBy("cell")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got === Seq((0, 2L, 0.5), (1, 1L, 0.0)))
+  }
+
   test("assignToCells: arrivals get the stored index's argmin cell, " +
     "lower cell on ties") {
     val stored = Seq(
