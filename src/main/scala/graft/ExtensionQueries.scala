@@ -343,6 +343,22 @@ object ExtensionQueries {
         "doc_id", "text", minLen = 5, p)
     }
 
+  // The STREAMING IVF seed: the assignment + centroid tables of the
+  // corpus-side slice (vec_id % 9 =!= 0 — the annMaintainStream
+  // split), the snapshot a vector-ingest stream RESTORES from instead
+  // of re-deriving centroids at start-up. Shared read-only; each
+  // stream run copies it into its own mutable store (the assignment
+  // log grows per batch).
+  private val annStreamSeedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def annStreamSeedDir(s: SparkSession, d: String): String =
+    cachedArtifactDir(annStreamSeedCache, s, d, "graft_ann_stream_seed") {
+      p =>
+      Similarity.seedIvfStore(
+        t(s, d, "embeddings").filter(col("vec_id") % 9 =!= 0),
+        "label", p)
+    }
+
   // The scrubbed corpus's OWN at-rest suffix array: the scrub output
   // is itself a corpus snapshot, so its SA is materialized once like
   // sharedSuffixArray — the zero-dup proof query and any downstream
@@ -385,6 +401,7 @@ object ExtensionQueries {
     sharedSuffixArray(s, d)
     saProbeIndexDir(s, d)
     saStreamSeedDir(s, d)
+    annStreamSeedDir(s, d)
     sharedScrubbedSa(s, d)
     sharedLshIndex(s, d)
     sharedSketchStore(s, d)
@@ -1976,6 +1993,38 @@ object ExtensionQueries {
         .orderBy("a_id")
     }),
 
+    // k-NN GRAPH over the whole collection — each vector's top-3
+    // neighbors through the stored cell assignment (2-probe IVF; the
+    // corpus is both query set and corpus, so candidates route through
+    // the cell-co-partitioned shuffle join — nothing corpus-sized is
+    // broadcast, the q_mutual_knn discipline). The kNN graph is the
+    // input of every semantic-cluster analysis; the oracle mirrors the
+    // indexed pipeline CTE-for-CTE.
+    "q_knn_graph" -> ((s, d) =>
+      Similarity.knnGraphIndexed(t(s, d, "embeddings"), "label",
+          nProbe = 2, k = 3)
+        .orderBy("query_id", "rnk")),
+
+    // SEMANTIC CLUSTERS: mutual-kNN edges (b in a's top-3 AND a in
+    // b's top-3 — the hub-robust edge filter) over the indexed kNN
+    // graph, then connected components (the dedup CC machinery —
+    // min-label pointer doubling, O(log d) linear-shuffle rounds).
+    // The cluster map SemDeDup-style pipelines prune from. Vectors
+    // with no mutual edge are unclustered and absent, as in the
+    // pair-graph CC convention.
+    "q_semantic_clusters" -> ((s, d) => {
+      val g = Similarity.knnGraphIndexed(t(s, d, "embeddings"),
+        "label", nProbe = 2, k = 3)
+      val comps = graft.dedup.Dedup.connectedComponents(
+          Similarity.mutualKnnEdges(g), "a", "b")
+        .select(col("doc_id").as("vec_id"), col("comp"))
+      comps.join(
+          comps.groupBy("comp").agg(count(lit(1)).as("cluster_size")),
+          Seq("comp"))
+        .select(col("vec_id"), col("comp"), col("cluster_size"))
+        .orderBy("vec_id")
+    }),
+
     // exact MIPS: raw inner-product ranking (magnitude carries signal —
     // the two-tower recommendation objective); the norm-augmentation
     // reduction that routes MIPS through the cosine/LSH stack is
@@ -2685,6 +2734,24 @@ object ExtensionQueries {
       Streams.saMaintainStream(s, d, ckpt, store, minLen = 5,
           seedFrom = Some(saStreamSeedDir(s, d)))
         .orderBy("doc_id")
+    }),
+
+    // streaming IVF-assignment maintenance — the ANN member of the
+    // at-rest index-maintenance trio (CC labels, SA dup report, vector
+    // index): arrivals (every 9th vector, re-ingested under new ids)
+    // are assigned against the snapshot's FROZEN centroid table and
+    // appended to the assignment log; the corpus is never re-scanned,
+    // the quantizer never retrained per batch. Frozen-quantizer
+    // assignment is slicing-invariant, so the merged view equals the
+    // one-shot batch assignment the oracle recomputes.
+    "q_stream_ann_assign" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_annm").toString
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_ann_store").toString
+      Streams.annMaintainStream(s, d, ckpt, store,
+          seedFrom = Some(annStreamSeedDir(s, d)))
+        .orderBy("vec_id")
     }),
 
     // streaming heavy hitters: exact per-(day, type, user) counts
@@ -6999,7 +7066,44 @@ object ExtensionQueries {
 
     "q_mutual_knn" -> mutualKnnSql,
 
+    "q_knn_graph" -> knnGraphSql,
+
+    "q_semantic_clusters" -> semanticClustersSql,
+
     "q_margin_mining" -> marginMiningSql,
+
+    // frozen-quantizer streamed assignment ≡ one-shot batch assignment
+    // over corpus ∪ arrivals (centroids from the corpus slice only —
+    // the snapshot the stream restores from)
+    "q_stream_ann_assign" ->
+      """WITH v AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+         corp AS (SELECT * FROM v WHERE vec_id % 9 <> 0),
+         cent AS (
+           SELECT label AS cell, list(s ORDER BY j) AS c FROM (
+             SELECT label, j, sum(emb[j]) / count(*) AS s
+             FROM corp, range(1, 65) t(j) GROUP BY label, j)
+           GROUP BY label),
+         arr AS (SELECT vec_id + 200000 AS vec_id, emb
+                 FROM v WHERE vec_id % 9 = 0),
+         asg AS (
+           SELECT vec_id, cell FROM (
+             SELECT a.vec_id, cent.cell,
+                    row_number() OVER (PARTITION BY a.vec_id
+                      ORDER BY -2 * list_dot_product(a.emb,
+                          (cent.c::FLOAT[])::DOUBLE[])
+                        + list_dot_product(
+                            (cent.c::FLOAT[])::DOUBLE[],
+                            (cent.c::FLOAT[])::DOUBLE[]),
+                        cent.cell) AS pr
+             FROM arr a CROSS JOIN cent)
+           WHERE pr = 1)
+         SELECT vec_id, cell FROM (
+           SELECT vec_id, label AS cell FROM corp
+           UNION ALL SELECT vec_id, cell FROM asg)
+         ORDER BY vec_id""",
 
     // per-cell population + mean squared distance to the float-rounded
     // stored centroid (the engine's exact precision path)
@@ -10145,6 +10249,74 @@ object ExtensionQueries {
          AND ab.neighbor_id = ba.query_id
         ORDER BY a_id"""
   }
+
+  /** Indexed SELF-kNN mirror — the mutualKnnSql probe machinery with
+    * queries = corpus = the whole collection: centroids from the full
+    * stored assignment, 2 ranked probes per query, self-pairs
+    * excluded, top-3 by (cos DESC, id ASC). Shared by the kNN-graph
+    * query and the semantic-clusters composition. */
+  private val knnGraphCtes: String =
+    s"""v AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> x::DOUBLE) AS emb
+          FROM embeddings),
+        cent AS (
+          SELECT label AS cell, list(s ORDER BY j) AS c FROM (
+            SELECT label, j, sum(emb[j]) / count(*) AS s
+            FROM v, range(1, 65) t(j) GROUP BY label, j)
+          GROUP BY label),
+        knn AS (
+          SELECT query_id, neighbor_id, rnk, cos FROM (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(p.q_emb, c.emb) /
+                     (sqrt(list_dot_product(p.q_emb, p.q_emb)) *
+                      sqrt(list_dot_product(c.emb, c.emb))) AS cos,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY list_dot_product(p.q_emb, c.emb) /
+                       (sqrt(list_dot_product(p.q_emb, p.q_emb)) *
+                        sqrt(list_dot_product(c.emb, c.emb))) DESC,
+                       c.vec_id ASC) AS rnk
+            FROM (SELECT query_id, q_emb, cell FROM (
+                    SELECT q.vec_id AS query_id, q.emb AS q_emb,
+                           ct.cell,
+                           row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY -2 * list_dot_product(q.emb,
+                                 (ct.c::FLOAT[])::DOUBLE[])
+                               + list_dot_product(
+                                   (ct.c::FLOAT[])::DOUBLE[],
+                                   (ct.c::FLOAT[])::DOUBLE[]),
+                               ct.cell) AS pr
+                    FROM v q CROSS JOIN cent ct)
+                  WHERE pr <= 2) p
+            JOIN v c ON c.label = p.cell
+                    AND c.vec_id <> p.query_id)
+          WHERE rnk <= 3)"""
+
+  private val knnGraphSql: String =
+    s"""WITH $knnGraphCtes
+        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos
+        FROM knn ORDER BY query_id, rnk"""
+
+  /** Mutual-kNN semantic clusters: each direction contributes an
+    * unordered pair at most once, so mutual = count 2; components via
+    * the recursive min-label reach (the q_dedup_components idiom). */
+  private val semanticClustersSql: String =
+    s"""WITH RECURSIVE $knnGraphCtes,
+        mut AS (SELECT least(query_id, neighbor_id) AS a,
+                       greatest(query_id, neighbor_id) AS b
+                FROM knn GROUP BY 1, 2 HAVING count(*) = 2),
+        edges AS (SELECT a, b FROM mut UNION SELECT b, a FROM mut),
+        reach(id, comp) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+        cmp AS (SELECT id AS vec_id, min(comp) AS comp
+                FROM reach GROUP BY id),
+        cs AS (SELECT comp, count(*) AS cluster_size
+               FROM cmp GROUP BY comp)
+        SELECT cmp.vec_id, cmp.comp, cs.cluster_size
+        FROM cmp JOIN cs USING (comp)
+        ORDER BY vec_id"""
 
   /** Margin-scored mining mirror: the mutualKnnSql probe/centroid
     * machinery at k=4 per direction, then the Artetxe–Schwenk ratio

@@ -1483,6 +1483,44 @@ object ScaleSmoke {
       c
     }
 
+    // kNN GRAPH: the corpus is its own query set — the worst all-pairs
+    // temptation. Through 256 cells at nProbe=2 the candidate volume
+    // is ~2/256 of n², the top-k window partitions by query, and
+    // nothing corpus-sized broadcasts — brute force here would be
+    // ~100k² cosines
+    timed("knn graph indexed 100k") {
+      val n = rows / 500
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        array((0 until 16).map(j =>
+          (pmod(col("id") * (j + 3), lit(997)) / 997d)
+            .cast("float")): _*)
+          .as("embedding"),
+        pmod(col("id") * 31, lit(256)).cast("int").as("cell"))
+        .stage()
+      graft.similarity.Similarity.knnGraphIndexed(vecs, "cell",
+        nProbe = 2, k = 3).count()
+    }
+
+    // streaming-ingest assignment path: arrivals score against the
+    // FROZEN |cells|-row centroid table only — per-batch cost is
+    // |batch|·|cells| scan-local distance math, zero corpus access
+    // (the annMaintainStream per-batch kernel, here at 1M arrivals)
+    timed("frozen-centroid assign 1M") {
+      val cents = spark.range(256).select(
+        col("id").cast("int").as("cell"),
+        array((0 until 16).map(j =>
+          (pmod(col("id") * (j + 7), lit(997)) / 997d)): _*)
+          .as("centroid")).stage()
+      val arrivals = spark.range(rows / 50).select(
+        col("id").as("vec_id"),
+        array((0 until 16).map(j =>
+          (pmod(col("id") * (j + 3), lit(997)) / 997d)
+            .cast("float")): _*)
+          .as("embedding"))
+      graft.similarity.Similarity.assignToStoredCells(arrivals, cents)
+        .count()
+    }
+
     spark.stop()
   }
 }

@@ -611,6 +611,108 @@ object Similarity {
     rankedProbes(arrivals, corpus, cells, nProbe = 1)
       .select(col("query_id").as("vec_id"), col("cell"))
 
+  /** Persist the IVF index's TWO at-rest artifacts — the (vec_id, cell)
+    * assignment and the |cells|-row centroid table — under `path`
+    * (`assignment/`, `centroids/`). This is the snapshot a STREAMING
+    * ingest restores from ([[graft.streaming.Streams.annMaintainStream]]):
+    * arrivals are assigned against the STORED centroid frame, so per-batch
+    * cost is |batch|·|cells| scan-local distance math with no corpus
+    * access at all — the corpus contributes only once, here, at
+    * snapshot-build time. */
+  def seedIvfStore(corpus: DataFrame, cellCol: String,
+                   path: String): Unit = {
+    val cells = corpus.select(col("vec_id"), col(cellCol).as("cell"))
+    cells.write.mode("overwrite").parquet(s"$path/assignment")
+    centroidsOf(corpus.select(col("vec_id"), col("embedding")), cells)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** [[assignToCells]] against a STORED centroid frame (the
+    * `centroids/` table [[seedIvfStore]] writes) instead of deriving
+    * centroids from the corpus: the form a continuous ingest uses,
+    * where the corpus is not re-scanned per batch. Same math to the
+    * bit — float-rounded centroids, double accumulation, argmin with
+    * ties toward the lower cell id — so an arrival gets the identical
+    * cell either way (spec-pinned). Frozen-quantizer assignment is
+    * also what makes streamed results batch-slicing-invariant: a
+    * vector's cell depends only on itself and the snapshot.
+    *
+    * @return (vec_id, cell) for the arrivals */
+  def assignToStoredCells(arrivals: DataFrame,
+                          centroids: DataFrame): DataFrame = {
+    val cf = col("centroid").cast("array<float>")
+    val d = dot(col("embedding"), cf) * -2 + dot(cf, cf)
+    // argmin by (distance, cell) as a partial-aggregable min(struct):
+    // map-side combine collapses each scan partition to one row per
+    // vec_id seen there — a row_number window would shuffle the full
+    // |batch|·|cells| scored frame. Struct ordering is (pd, cell)
+    // lexicographic: the same distance-then-lower-cell rule as
+    // rankedProbes(nProbe = 1).
+    arrivals.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("pd", d)
+      .groupBy("vec_id")
+      .agg(min(struct(col("pd"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"))
+  }
+
+  /** k-NN GRAPH over ONE collection — every vector's k nearest OTHER
+    * vectors, routed through the stored IVF assignment. The kNN graph
+    * is the workhorse input of semantic-cluster analyses (SemDeDup-style
+    * cluster structure, mutual-kNN clustering, graph-based outlier
+    * scores), and it is the worst possible all-pairs temptation: the
+    * brute form is O(n²) over the whole corpus with the corpus itself
+    * as the "query set", so — exactly like [[mutualBestMatchIndexed]] —
+    * nothing corpus-sized may be broadcast or cross-joined. Probe
+    * ranking is [[rankedProbes]] (|cells|-row centroid broadcast), the
+    * candidate join is pinned `shuffle_hash` co-partitioned on the
+    * cell id, self-pairs are excluded, and the per-query top-k is a
+    * window over the candidate set (nProbe/|cells| of n² — linear
+    * shuffles only). With nProbe = |cells| this degrades gracefully to
+    * the exact self-kNN of [[bruteForceTopK]] (spec-pinned).
+    *
+    * @return (query_id, neighbor_id, rnk, cos) — cos rounded 6dp */
+  def knnGraphIndexed(vectors: DataFrame, cellCol: String, nProbe: Int,
+                      k: Int): DataFrame = {
+    val cells = vectors.select(col("vec_id"), col(cellCol).as("cell"))
+    val probes = rankedProbes(vectors, vectors, cells, nProbe)
+    val cand = vectors.select(col("vec_id").as("neighbor_id"),
+        col(cellCol).as("cell"), col("embedding").as("c_emb"))
+      .join(probes.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      // null cos = a zero-norm side (see cosine): must not be ranked
+      .filter(col("cos").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** MUTUAL edges of a kNN graph: unordered pairs {a, b} where b is in
+    * a's top-k AND a is in b's top-k — the standard edge filter that
+    * turns a directed kNN graph into the undirected graph semantic
+    * clustering runs connected components over (mutual-kNN clustering;
+    * hubs that everyone points at but that point elsewhere drop out).
+    * Each direction contributes the unordered pair at most once, so
+    * mutuality is exactly `count = 2` after canonical ordering — one
+    * linear groupBy over the (top-k-output-sized) graph, no self-join.
+    *
+    * @param g a [[knnGraphIndexed]] result (query_id, neighbor_id, …)
+    * @return (a, b) with a < b, one row per mutual pair */
+  def mutualKnnEdges(g: DataFrame): DataFrame =
+    g.select(
+        least(col("query_id"), col("neighbor_id")).as("a"),
+        greatest(col("query_id"), col("neighbor_id")).as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_dir"))
+      .filter(col("n_dir") === 2)
+      .select(col("a"), col("b"))
+
   /** Deterministic mini k-means coarse quantizer — builds the IVF cell
     * assignment when no precomputed cell column exists. Init is the k
     * lowest-id vectors (no RNG), each Lloyd iteration is one broadcast of

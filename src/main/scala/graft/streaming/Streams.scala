@@ -1264,6 +1264,100 @@ object Streams {
     latestSnapshot(spark, reportPath, reportSchema)
   }
 
+  /** Streaming IVF-ASSIGNMENT maintenance — the ANN-side member of the
+    * at-rest index-maintenance trio ([[ccMaintainStream]] for near-dup
+    * CC, [[saMaintainStream]] for exact substrings, this for the
+    * vector index): arriving vectors get the cell id the STORED index
+    * would give them ([[graft.similarity.Similarity.assignToStoredCells]]
+    * against the snapshot's frozen centroid table) and are appended to
+    * the assignment log — the corpus is never re-scanned, the
+    * quantizer never retrained per batch (retrain is a snapshot-time
+    * job, triggered when [[graft.similarity.Similarity.ivfHealth]]'s
+    * drift report trips — the standard IVF ingest contract).
+    *
+    * Per batch: one |cells|-row centroid broadcast + one scan of the
+    * batch (|batch|·|cells| distance math, scan-local), one append,
+    * and [[compactStore]] keeps the growing log under `maxStoreFiles`.
+    * Appends are at-least-once on crash replay; each appended row
+    * carries its batch's `shard_id` and the read side keeps one row
+    * per vec_id (frozen centroids make every replay produce the
+    * identical cell, so dedup-on-read absorbs duplicates exactly —
+    * the [[saMaintainStream]] gram-log convention).
+    *
+    * A vector's cell depends only on itself and the frozen snapshot,
+    * so the final merged view is invariant under batch slicing and
+    * equals the one-shot [[graft.similarity.Similarity.assignToCells]]
+    * batch run — which is what the oracle recomputes (StreamsSpec pins
+    * the 3-slice ≡ batch equality).
+    *
+    * @param seedFrom optional at-rest IVF snapshot
+    *                 ([[graft.similarity.Similarity.seedIvfStore]] of
+    *                 the SAME corpus slice): when set, the deployment's
+    *                 store is RESTORED by file copy — the production
+    *                 "start a stream from the index snapshot" path —
+    *                 instead of re-deriving centroids here
+    * @return the merged (vec_id, cell) view — stored corpus
+    *         assignment ∪ streamed arrivals */
+  def annMaintainStream(spark: SparkSession, dir: String,
+                        checkpoint: String, storePath: String,
+                        glob: String = "embeddings.parquet",
+                        maxStoreFiles: Int = 32,
+                        seedFrom: Option[String] = None): DataFrame = {
+    import graft.similarity.Similarity
+    val emb = spark.read.option("pathGlobFilter", glob).parquet(dir)
+    val schema = emb.schema
+    val corpus = emb.filter(col("vec_id") % 9 =!= 0)
+    // seed the store once — derive from the corpus, or restore the
+    // prebuilt snapshot by file copy (the store grows per batch, so a
+    // SHARED snapshot is copied, never mutated in place)
+    seedFrom match {
+      case Some(src) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        Seq("assignment", "centroids").foreach { sub =>
+          val from = new org.apache.hadoop.fs.Path(s"$src/$sub")
+          val to = new org.apache.hadoop.fs.Path(s"$storePath/$sub")
+          org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(conf),
+            from, to.getFileSystem(conf), to, false, conf)
+        }
+      case None =>
+        Similarity.seedIvfStore(corpus, "label", storePath)
+    }
+    val centroids = spark.read.parquet(s"$storePath/centroids")
+    val deltaPath = s"$storePath/assignment_delta"
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        Similarity.assignToStoredCells(batch.toDF(), centroids)
+          .withColumn("shard_id", lit(batchId))
+          .write.mode("append").parquet(deltaPath)
+        compactStore(spark, deltaPath, maxStoreFiles)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stored = spark.read.parquet(s"$storePath/assignment")
+      .select(col("vec_id"), col("cell"))
+    val hadoopDelta = new org.apache.hadoop.fs.Path(deltaPath)
+    val fs = hadoopDelta.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hadoopDelta)) stored // no arrivals streamed
+    else stored.unionByName(
+      spark.read.parquet(deltaPath)
+        // at-least-once append absorption: frozen centroids make
+        // every replay of a vec_id produce the identical cell
+        .dropDuplicates("vec_id")
+        .select(col("vec_id"), col("cell")))
+  }
+
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -662,4 +662,110 @@ class SimilaritySpec extends SparkSpec {
         s"non-aggregate broadcast build in indexed plan:\n$build")
     }
   }
+
+  test("knnGraphIndexed: exact self-kNN at full probe budget, " +
+    "true cosines + plausible recall at 2 probes") {
+    val rnd = new scala.util.Random(83)
+    val v = (0 until 80).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat),
+        i % 4)).toDF("vec_id", "embedding", "label")
+    // nProbe = |cells| degrades gracefully to the exact self-kNN:
+    // byte-for-byte bruteForceTopK with the corpus as the query set
+    val brute = Similarity.bruteForceTopK(v, v, k = 3)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val full = Similarity.knnGraphIndexed(v, "label", nProbe = 4, k = 3)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(full === brute)
+    assert(brute.nonEmpty)
+    // 2-probe budget: every emitted edge carries the TRUE cosine
+    // (pruning never mis-scores) and overall edge recall stays in the
+    // plausible band for an isotropic fixture (≥ ~nProbe/|cells|)
+    val bruteCos = brute.map(r => (r._1, r._2) -> r._4).toMap
+    val two = Similarity.knnGraphIndexed(v, "label", nProbe = 2, k = 3)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    two.foreach { case (q, n, c) =>
+      bruteCos.get((q, n)).foreach(bc => assert(math.abs(bc - c) < 1e-9))
+    }
+    val recall = two.map(r => (r._1, r._2)).toSet
+      .intersect(bruteCos.keySet).size.toDouble / bruteCos.size
+    assert(recall > 0.3 && recall <= 1.0,
+      s"2-probe kNN-graph recall $recall out of the plausible band")
+  }
+
+  test("mutualKnnEdges keeps exactly the reciprocal pairs, " +
+    "canonically ordered") {
+    val rnd = new scala.util.Random(97)
+    val v = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat),
+        i % 3)).toDF("vec_id", "embedding", "label")
+    val g = Similarity.knnGraphIndexed(v, "label", nProbe = 3, k = 3)
+    val dir = g.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val expected = dir.filter { case (a, b) =>
+      a < b && dir.contains((b, a)) }
+    val got = Similarity.mutualKnnEdges(g)
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must produce at least one mutual edge")
+    assert(got.forall { case (a, b) => a < b })
+  }
+
+  test("assignToStoredCells ≡ assignToCells: the frozen centroid file " +
+    "gives every arrival the identical cell") {
+    val rnd = new scala.util.Random(19)
+    val corpus = (0 until 50).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat),
+        i % 4)).toDF("vec_id", "embedding", "label")
+    val arrivals = (200 until 230).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ivf_seed").toString
+    Similarity.seedIvfStore(corpus, "label", store)
+    val stored = spark.read.parquet(s"$store/centroids")
+    val viaStore = Similarity.assignToStoredCells(arrivals, stored)
+      .as[(Long, Int)].collect().toSet
+    val viaCorpus = Similarity.assignToCells(arrivals, corpus,
+        corpus.select(col("vec_id"), col("label").as("cell")))
+      .as[(Long, Int)].collect().toSet
+    assert(viaStore === viaCorpus)
+    assert(viaStore.size === 30)
+    // the seeded assignment is the corpus's own (vec_id, cell) table
+    val asg = spark.read.parquet(s"$store/assignment")
+      .as[(Long, Int)].collect().toSet
+    assert(asg === corpus.select("vec_id", "label")
+      .as[(Long, Int)].collect().toSet)
+  }
+
+  test("knnGraphIndexed plan: no cartesian product, no corpus-sized " +
+    "broadcast — only centroid-aggregate builds") {
+    val rnd = new scala.util.Random(29)
+    val v = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat),
+        i % 3)).toDF("vec_id", "embedding", "label")
+    val plan = Similarity.knnGraphIndexed(v, "label", nProbe = 2, k = 3)
+      .queryExecution.executedPlan
+    def all(p: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children.flatMap(all) ++ p.subqueries.flatMap(all))
+    val nodes = all(plan)
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      "indexed kNN graph must never cross-join")
+    nodes.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => j
+    }.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+          j.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight =>
+          j.right
+      }
+      assert(all(build).exists(_.nodeName.contains("Aggregate")),
+        s"non-aggregate broadcast build in kNN-graph plan:\n$build")
+    }
+  }
 }

@@ -280,6 +280,52 @@ class StreamsSpec extends SparkSpec {
       "fixture must contain a cluster straddling the split")
   }
 
+  test("ann maintain stream: 3 sliced batches converge to the one-shot " +
+    "batch assignment") {
+    // frozen-quantizer assignment is slicing-invariant by design: the
+    // merged view after 3 micro-batches must equal corpus assignment ∪
+    // one-shot assignToCells over all arrivals — and the growing
+    // assignment log must survive forced compaction (maxStoreFiles = 2
+    // over 3 batches fires it)
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft_annm_slices").toString
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .orderBy("vec_id")
+    val n = raw.count()
+    val chunks = raw.collect().grouped((n / 3 + 1).toInt).toSeq
+    val schema = raw.schema
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val staging = Files.createTempDirectory(s"graft_annm_st_$i").toString
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/emb_$i.parquet"))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_annm_sl").toString
+    val store = Files.createTempDirectory("graft_annm_store").toString
+    val sliced = graft.streaming.Streams.annMaintainStream(spark, tmp,
+        ckpt, store, glob = "*.parquet", maxStoreFiles = 2)
+      .as[(Long, Int)].collect().toSet
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 9 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    val oneShot = corpus
+      .select(col("vec_id"), col("label").as("cell"))
+      .unionByName(graft.similarity.Similarity.assignToCells(arrivals,
+        corpus, corpus.select(col("vec_id"), col("label").as("cell"))))
+      .as[(Long, Int)].collect().toSet
+    assert(sliced === oneShot)
+    assert(sliced.exists { case (id, _) => id >= 200000L },
+      "fixture must stream at least one arrival")
+    // forced compaction kept the growing assignment log bounded
+    val nParts = new java.io.File(s"$store/assignment_delta")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nParts <= 3, s"assignment log fragmented: $nParts")
+  }
+
   test("sa maintain stream: 3 sliced batches converge to from-scratch " +
     "dup report") {
     // the growing gram log makes cross-batch duplicates discoverable,
