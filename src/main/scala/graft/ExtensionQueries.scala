@@ -2148,6 +2148,18 @@ object ExtensionQueries {
         .orderBy("n_probe")
     }),
 
+    // the matryoshka (prefix-dimension) tuning curve — recall@5 of
+    // searching only the first d coordinates vs the full-dim truth,
+    // for d ∈ {8,16,32,64} in one corpus pass (the dim-budget dial
+    // next to q_ann_probe_frontier's probe budget; d=64 anchors the
+    // curve at recall 1.0 by construction)
+    "q_ann_matryoshka" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.prefixDimRecall(emb.filter(col("vec_id") < 10), emb,
+          k = 5, dims = Seq(8, 16, 32, 64))
+        .orderBy("dim")
+    }),
+
     "q_ann_kmeans" -> ((s, d) =>
       Similarity.kmeansCells(t(s, d, "embeddings"), k = 4, iters = 2)),
 
@@ -7252,6 +7264,57 @@ object ExtensionQueries {
                 cand.cs::BIGINT AS candidates_scanned
          FROM cand LEFT JOIN hits USING (n_probe) CROSS JOIN exa
          ORDER BY n_probe""",
+
+    // prefixDimRecall mirror: per-dim cosine over list_slice prefixes
+    // of the SAME double-cast vectors, truth = exact full-dim top-5
+    "q_ann_matryoshka" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings),
+         dims(dim) AS (VALUES (8), (16), (32), (64)),
+         scored AS (
+           SELECT d.dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_dot_product(list_slice(q.e, 1, d.dim),
+                                   list_slice(c.e, 1, d.dim)) /
+                    (sqrt(list_dot_product(list_slice(q.e, 1, d.dim),
+                                           list_slice(q.e, 1, d.dim))) *
+                     sqrt(list_dot_product(list_slice(c.e, 1, d.dim),
+                                           list_slice(c.e, 1, d.dim))))
+                    AS cos
+           FROM v q JOIN v c ON c.vec_id <> q.vec_id
+           CROSS JOIN dims d
+           WHERE q.vec_id < 10),
+         ap AS (
+           SELECT dim, query_id, neighbor_id FROM (
+             SELECT dim, query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY dim, query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rnk
+             FROM scored)
+           WHERE rnk <= 5),
+         ex AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_dot_product(q.e, c.e) /
+                        (sqrt(list_dot_product(q.e, q.e)) *
+                         sqrt(list_dot_product(c.e, c.e))) DESC,
+                        c.vec_id ASC) AS rnk
+             FROM v q JOIN v c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id < 10)
+           WHERE rnk <= 5),
+         exa AS (SELECT count(DISTINCT query_id) AS n_queries,
+                        count(*) AS n_exact FROM ex),
+         hits AS (SELECT dim, count(*) AS n_hit
+                  FROM ap JOIN ex USING (query_id, neighbor_id)
+                  GROUP BY 1)
+         SELECT dims.dim, exa.n_queries::BIGINT AS n_queries,
+                exa.n_exact::BIGINT AS n_exact,
+                COALESCE(hits.n_hit, 0)::BIGINT AS n_hit,
+                CAST(COALESCE(hits.n_hit, 0) * 1000000 // exa.n_exact
+                  AS BIGINT) AS recall_micro
+         FROM dims LEFT JOIN hits USING (dim) CROSS JOIN exa
+         ORDER BY dim""",
 
     "q_ann_filtered" ->
       annSql("c.vec_id <> q.vec_id AND c.label = 2", "q.vec_id < 10"),

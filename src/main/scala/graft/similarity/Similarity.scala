@@ -290,6 +290,13 @@ object Similarity {
   def marginMiningIndexed(a: DataFrame, b: DataFrame, cellCol: String,
                           nProbe: Int, k: Int, minMargin: Double)
   : DataFrame = {
+    // per-query top-k via the bounded mergeable aggregator (the
+    // knnGraphIndexed discipline): both frames are corpus halves, so a
+    // row_number window would re-shuffle the full candidate blow-up —
+    // TopKAgg caps each scan partition at k rows per query instead
+    val rank = udaf(graft.functions.TopKAgg.topK(k),
+      org.apache.spark.sql.Encoders
+        .product[graft.functions.TopKAgg.Scored])
     def topK(queries: DataFrame, corpus: DataFrame): DataFrame = {
       val cells = corpus.select(col("vec_id"), col(cellCol).as("cell"))
       val probes = rankedProbes(queries, corpus, cells, nProbe)
@@ -299,14 +306,13 @@ object Similarity {
         .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
         // null cos = a zero-norm side (see cosine): must not be ranked
         .filter(col("cos").isNotNull)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
       cand
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-        .select(col("query_id"), col("neighbor_id"), col("rnk"),
-          col("cos"))
+        .groupBy("query_id")
+        .agg(rank(col("cos"), col("neighbor_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rnk"),
+          col("col.score").as("cos"))
     }
     // both top-k outputs feed two consumers (best pair + denominator)
     val ab = topK(a, b).stage()
@@ -498,6 +504,66 @@ object Similarity {
         col("n_hit"), col("recall_micro"), col("candidates_scanned"))
   }
 
+  /** Matryoshka (prefix-dimension) recall curve — the OTHER retrieval
+    * tuning dial next to [[probeFrontier]]'s probe budget: MRL-trained
+    * embeddings (Kusupati et al. '22; the truncation modern embedding
+    * APIs expose) keep their heads informative, so a deployment can
+    * search on the first d coordinates and pay d/dim of the distance
+    * math, storage, and cache footprint. This reports recall@k vs the
+    * full-dimension truth for each prefix length in one corpus pass:
+    * the (bounded) query set broadcasts once, each dim's cosine is
+    * scan-local slice+dot arithmetic over the SAME joined row, and the
+    * per-dim top-k windows partition by (dim, query) — top-k-output-
+    * sized frames after the scan, the probeFrontier shape. The largest
+    * dim anchors the curve: at d = full dimension the prefix search IS
+    * the exact search, so its recall_micro is 1_000_000 by
+    * construction (spec-pinned).
+    *
+    * @return (dim, n_queries, n_exact, n_hit, recall_micro), one row
+    *         per requested prefix length */
+  def prefixDimRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+                      dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1),
+      s"prefix dims must be >= 1: $dims")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val ds = dims.distinct.sorted
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dim", explode(array(ds.map(d => lit(d)): _*)))
+      .withColumn("cos", cosine(
+        slice(col("q_emb"), lit(1), col("dim")),
+        slice(col("c_emb"), lit(1), col("dim"))))
+      // null cos = a zero-norm side (see cosine): must not be ranked
+      .filter(col("cos").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dim"), col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val approx = scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("dim"), col("query_id"), col("neighbor_id"))
+    val exact = bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .stage() // truth side read by both scalar agg + hit join
+    val truth = broadcast(exact
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact")))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("dim").agg(count(lit(1)).as("n_hit"))
+    ds.toDF("dim")
+      .join(hits, Seq("dim"), "left")
+      .crossJoin(truth)
+      .select(col("dim"), col("n_queries"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_micro",
+        expr("CAST(n_hit * 1000000 DIV n_exact AS BIGINT)"))
+  }
+
   /** Filtered IVF search with SELECTIVITY-WIDENED probing — the
     * standard filtered-ANN trick: a metadata predicate thins each
     * probed cell to ~selectivity·|cell| candidates, so a fixed nProbe
@@ -666,14 +732,19 @@ object Similarity {
     * nothing corpus-sized may be broadcast or cross-joined. Probe
     * ranking is [[rankedProbes]] (|cells|-row centroid broadcast), the
     * candidate join is pinned `shuffle_hash` co-partitioned on the
-    * cell id, self-pairs are excluded, and the per-query top-k is a
-    * window over the candidate set (nProbe/|cells| of n² — linear
-    * shuffles only). With nProbe = |cells| this degrades gracefully to
-    * the exact self-kNN of [[bruteForceTopK]] (spec-pinned).
+    * cell id, self-pairs are excluded, and the per-query top-k is the
+    * BOUNDED mergeable aggregator [[graft.functions.TopKAgg]] — the
+    * max(struct) top-1 trick generalized to k: map-side combine caps
+    * every scan partition's contribution at k rows per query, so the
+    * ranking exchange moves ~the OUTPUT, not the nProbe/|cells|-of-n²
+    * candidate blow-up a row_number window would re-shuffle. With
+    * nProbe = |cells| this degrades gracefully to the exact self-kNN
+    * of [[bruteForceTopK]] (spec-pinned, including agg ≡ window).
     *
     * @return (query_id, neighbor_id, rnk, cos) — cos rounded 6dp */
   def knnGraphIndexed(vectors: DataFrame, cellCol: String, nProbe: Int,
                       k: Int): DataFrame = {
+    import graft.functions.TopKAgg
     val cells = vectors.select(col("vec_id"), col(cellCol).as("cell"))
     val probes = rankedProbes(vectors, vectors, cells, nProbe)
     val cand = vectors.select(col("vec_id").as("neighbor_id"),
@@ -683,14 +754,15 @@ object Similarity {
       .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
       // null cos = a zero-norm side (see cosine): must not be ranked
       .filter(col("cos").isNotNull)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val rank = udaf(TopKAgg.topK(k),
+      org.apache.spark.sql.Encoders.product[TopKAgg.Scored])
     cand
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("cos"), 6).as("cos"))
+      .groupBy("query_id")
+      .agg(rank(col("cos"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        round(col("col.score"), 6).as("cos"))
   }
 
   /** MUTUAL edges of a kNN graph: unordered pairs {a, b} where b is in

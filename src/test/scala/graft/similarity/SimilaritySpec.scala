@@ -740,6 +740,40 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int)].collect().toSet)
   }
 
+  test("prefixDimRecall: full-dim row is exact by construction, each " +
+    "dim row equals the pre-truncated brute force") {
+    val rnd = new scala.util.Random(61)
+    val v = (0 until 70).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = v.filter(col("vec_id") < 8)
+    val curve = Similarity.prefixDimRecall(q, v, k = 4,
+        dims = Seq(4, 8, 16))
+      .select("dim", "n_exact", "n_hit", "recall_micro")
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(curve.keySet === Set(4, 8, 16))
+    // d = full dimension: the prefix search IS the exact search
+    assert(curve(16)._4 === 1000000L)
+    curve.values.foreach { case (_, nEx, nHit, rm) =>
+      assert(nHit <= nEx && rm >= 0L && rm <= 1000000L)
+    }
+    // each dim's hits equal recall of a brute-force search over
+    // PRE-truncated vectors — the curve is the real dim-budget search,
+    // not an artifact of the one-pass formulation
+    val exact = Similarity.bruteForceTopK(q, v, k = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    Seq(4, 8).foreach { d =>
+      def trunc(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+      val truncTop = Similarity.bruteForceTopK(trunc(q), trunc(v), k = 4)
+        .select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().toSet
+      assert(curve(d)._3 === truncTop.intersect(exact).size.toLong,
+        s"dim=$d hits diverge from the pre-truncated brute force")
+    }
+  }
+
   test("knnGraphIndexed plan: no cartesian product, no corpus-sized " +
     "broadcast — only centroid-aggregate builds") {
     val rnd = new scala.util.Random(29)
