@@ -447,6 +447,38 @@ object ExtensionQueries {
     "q_s_json_roundtrip" -> ((s, d) =>
       StagedSources.jsonRoundTrip(s, t(s, d, "supplier"))),
 
+    // XML sink → scan round trip (Spark 4 built-in source; explicit
+    // rowTag, schema pinned at read — inference alphabetizes columns
+    // and costs a full extra pass)
+    "q_s_xml_roundtrip" -> ((s, d) =>
+      StagedSources.xmlRoundTrip(s, t(s, d, "region"))),
+
+    // RECURSIVE CTE through the spark.sql front door (Spark 4 WITH
+    // RECURSIVE, delta semantics — probed): the org-chart rollup shape
+    // over the decimal-digit hierarchy (parent = key DIV 10, roots
+    // < 10; key 0's self-edge excluded or the recursion never
+    // exhausts). Per root: subtree size, max depth, exact subtree
+    // balance in cents. The oracle runs DuckDB's recursive CTE over
+    // the same hierarchy — two engines' recursion agreeing row for row.
+    "q_sql_recursive" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_rv")
+      s.sql("""
+        WITH RECURSIVE anc(root, node, depth, bal) AS (
+          SELECT c_custkey, c_custkey, 0,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+          FROM customer_rv WHERE c_custkey < 10
+          UNION ALL
+          SELECT a.root, c.c_custkey, a.depth + 1,
+                 CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+          FROM anc a JOIN customer_rv c
+            ON c.c_custkey DIV 10 = a.node AND c.c_custkey >= 10
+        )
+        SELECT root, COUNT(*) AS n_nodes,
+               CAST(MAX(depth) AS BIGINT) AS max_depth,
+               SUM(bal) AS subtree_cents
+        FROM anc GROUP BY root ORDER BY root""")
+    }),
+
     // batch 0 wrote (key, name), batch 1 added s_nationkey; the merged
     // read must surface legacy rows with a null for the new column
     "q_s_schema_evolution" -> ((s, d) => {
@@ -8908,6 +8940,27 @@ object ExtensionQueries {
     "q_s_orc_roundtrip" -> "SELECT * FROM nation",
 
     "q_s_json_roundtrip" -> "SELECT * FROM supplier",
+
+    "q_s_xml_roundtrip" -> "SELECT * FROM region",
+
+    // DuckDB's recursive CTE over the same digit hierarchy — two
+    // engines' WITH RECURSIVE agreeing row for row (// is DuckDB's
+    // truncating integer division, Spark's DIV)
+    "q_sql_recursive" ->
+      """WITH RECURSIVE anc(root, node, depth, bal) AS (
+           SELECT c_custkey, c_custkey, 0,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           FROM customer WHERE c_custkey < 10
+           UNION ALL
+           SELECT a.root, c.c_custkey, a.depth + 1,
+                  CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           FROM anc a JOIN customer c
+             ON c.c_custkey // 10 = a.node AND c.c_custkey >= 10
+         )
+         SELECT root, COUNT(*)::BIGINT AS n_nodes,
+                CAST(MAX(depth) AS BIGINT) AS max_depth,
+                SUM(bal)::BIGINT AS subtree_cents
+         FROM anc GROUP BY root ORDER BY root""",
 
     "q_s_schema_evolution" ->
       """SELECT (s_suppkey % 2 = 0) AS legacy_rows,

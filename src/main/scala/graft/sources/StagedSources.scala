@@ -52,6 +52,21 @@ object StagedSources {
     spark.read.schema(df.schema).json(tmp)
   }
 
+  /** XML sink → scan round trip (Spark 4's built-in XML source — the
+    * feed format the reference's scraped pages are one unparse away
+    * from): explicit `rowTag`, schema pinned at read like the
+    * CSV/JSON edges — XML inference is a full extra pass AND
+    * alphabetizes columns, both wrong at 100 TB. */
+  def xmlRoundTrip(spark: SparkSession, df: DataFrame): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_xml").toString
+    df.write.mode("overwrite").option("rowTag", "row").xml(tmp)
+    spark.read.option("rowTag", "row")
+      // the reader TRIMS element text by default — a silent data change
+      // ("  spaced  " → "spaced"); a round trip must be exact
+      .option("ignoreSurroundingSpaces", "false")
+      .schema(df.schema).xml(tmp)
+  }
+
   /** Malformed-record quarantine: scan JSON lines in PERMISSIVE mode
     * with a declared schema + a `_corrupt_record` column — bad records
     * surface as rows (typed fields null, raw line captured) instead of

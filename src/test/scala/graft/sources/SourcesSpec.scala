@@ -40,6 +40,21 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().toSet === doubles.collect().toSet)
   }
 
+  test("XML round trip preserves schema, rows, and markup-hostile " +
+    "strings") {
+    // entities, angle brackets, and doubles must survive the markup
+    // round trip exactly — the writer escapes, the reader unescapes,
+    // and the pinned read schema keeps declared column order (XML
+    // inference alphabetizes)
+    val hostile = Seq((1L, "a<b&c>\"d'", 10.5),
+        (2L, "plain", 1.0 / 3.0), (3L, "  spaced  ", -0.0))
+      .toDF("id", "s", "v")
+    val back = StagedSources.xmlRoundTrip(spark, hostile)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      hostile.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().toSet === hostile.collect().toSet)
+  }
+
   test("PERMISSIVE quarantine: bad lines captured raw, good lines typed") {
     val rows = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w"))
       .toDF("k", "s")
