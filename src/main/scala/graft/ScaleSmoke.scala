@@ -27,6 +27,17 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // keep ObjectHashAggregate HASHING in the many-small-groups
+      // regime (the kNN-graph ranking: ~100k query groups per
+      // partition, k-row buffers): the default 128-group threshold
+      // falls back to SORT-based aggregation, which re-sorts the full
+      // candidate blow-up and erases the bounded aggregate's win
+      // (isolated probe: 4 s hashing vs 22 s sort-fallback vs 22 s
+      // row_number window on 40M candidates / 100k groups). Buffers
+      // are k·16 bytes, so a million hashed groups is ~tens of MB per
+      // partition — cheap insurance at this state size.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // opt-in reliable-checkpoint mode (Staging.stage routes on this):

@@ -100,6 +100,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_jaro_winkler"),
       (children: Seq[Expression]) =>
         JaroWinklerMicro(children.head, children(1))))
+    // bounded per-group top-k — the grouped TakeOrderedAndProject
+    // (native form of the TopKAgg Aggregator; equivalence spec-pinned)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKExpr].getName, "graft_topk"),
+      (children: Seq[Expression]) =>
+        TopKExpr(children(0), children(1), children(2))))
     ext.injectOptimizerRule(_ => RewriteDotProduct())
   }
 }

@@ -290,13 +290,10 @@ object Similarity {
   def marginMiningIndexed(a: DataFrame, b: DataFrame, cellCol: String,
                           nProbe: Int, k: Int, minMargin: Double)
   : DataFrame = {
-    // per-query top-k via the bounded mergeable aggregator (the
+    // per-query top-k via the bounded mergeable aggregate (the
     // knnGraphIndexed discipline): both frames are corpus halves, so a
     // row_number window would re-shuffle the full candidate blow-up —
-    // TopKAgg caps each scan partition at k rows per query instead
-    val rank = udaf(graft.functions.TopKAgg.topK(k),
-      org.apache.spark.sql.Encoders
-        .product[graft.functions.TopKAgg.Scored])
+    // graft_topk caps each scan partition at k rows per query instead
     def topK(queries: DataFrame, corpus: DataFrame): DataFrame = {
       val cells = corpus.select(col("vec_id"), col(cellCol).as("cell"))
       val probes = rankedProbes(queries, corpus, cells, nProbe)
@@ -308,7 +305,8 @@ object Similarity {
         .filter(col("cos").isNotNull)
       cand
         .groupBy("query_id")
-        .agg(rank(col("cos"), col("neighbor_id")).as("top"))
+        .agg(call_function("graft_topk", col("cos"),
+          col("neighbor_id"), lit(k)).as("top"))
         .select(col("query_id"), posexplode(col("top")))
         .select(col("query_id"), col("col.id").as("neighbor_id"),
           (col("pos") + 1).cast("int").as("rnk"),
@@ -733,18 +731,19 @@ object Similarity {
     * ranking is [[rankedProbes]] (|cells|-row centroid broadcast), the
     * candidate join is pinned `shuffle_hash` co-partitioned on the
     * cell id, self-pairs are excluded, and the per-query top-k is the
-    * BOUNDED mergeable aggregator [[graft.functions.TopKAgg]] — the
-    * max(struct) top-1 trick generalized to k: map-side combine caps
-    * every scan partition's contribution at k rows per query, so the
-    * ranking exchange moves ~the OUTPUT, not the nProbe/|cells|-of-n²
-    * candidate blow-up a row_number window would re-shuffle. With
+    * BOUNDED mergeable native aggregate `graft_topk`
+    * ([[graft.functions.TopKExpr]]) — the max(struct) top-1 trick
+    * generalized to k: map-side combine caps every scan partition's
+    * contribution at k rows per query, so the ranking exchange moves
+    * ~the OUTPUT, not the nProbe/|cells|-of-n² candidate blow-up a
+    * row_number window would re-shuffle ([[graft.functions.TopKAgg]]
+    * is the udaf twin; native ≡ udaf ≡ window spec-pinned). With
     * nProbe = |cells| this degrades gracefully to the exact self-kNN
-    * of [[bruteForceTopK]] (spec-pinned, including agg ≡ window).
+    * of [[bruteForceTopK]] (spec-pinned).
     *
     * @return (query_id, neighbor_id, rnk, cos) — cos rounded 6dp */
   def knnGraphIndexed(vectors: DataFrame, cellCol: String, nProbe: Int,
                       k: Int): DataFrame = {
-    import graft.functions.TopKAgg
     val cells = vectors.select(col("vec_id"), col(cellCol).as("cell"))
     val probes = rankedProbes(vectors, vectors, cells, nProbe)
     val cand = vectors.select(col("vec_id").as("neighbor_id"),
@@ -754,11 +753,13 @@ object Similarity {
       .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
       // null cos = a zero-norm side (see cosine): must not be ranked
       .filter(col("cos").isNotNull)
-    val rank = udaf(TopKAgg.topK(k),
-      org.apache.spark.sql.Encoders.product[TopKAgg.Scored])
     cand
       .groupBy("query_id")
-      .agg(rank(col("cos"), col("neighbor_id")).as("top"))
+      // native bounded top-k (graft_topk TypedImperativeAggregate —
+      // primitive-array buffers, byte-buffer partials; the udaf twin
+      // TopKAgg is the spec-pinned equivalence baseline)
+      .agg(call_function("graft_topk", col("cos"), col("neighbor_id"),
+        lit(k)).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rnk"),

@@ -33,6 +33,37 @@ class TopKAggSpec extends SparkSpec {
       .as[(Long, Long, Int, Double)].collect().toSet
   }
 
+  private def nativeTopK(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy("g")
+      .agg(call_function("graft_topk", col("score"), col("id"),
+        lit(k)).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.id").as("id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("col.score").as("score"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+
+  test("native graft_topk ≡ udaf Aggregator ≡ row_number window") {
+    // the engine path (TypedImperativeAggregate) must be bit-identical
+    // to both the udaf twin and the window, including null-score rows
+    // (skipped — the cosine NULL convention) and serialize/deserialize
+    // across the partial-merge exchange
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 600).map { i =>
+      (i % 6L, i.toLong,
+        if (i % 37 == 0) None else Some(rnd.nextInt(15) / 10.0))
+    }
+    val df = rows.toDF("g", "id", "score")
+      .select(col("g"), col("id"), col("score").cast("double"))
+      .repartition(11)
+    val nn = df.filter(col("score").isNotNull)
+    for (k <- Seq(1, 4, 300)) {
+      val native = nativeTopK(df, k) // nulls skipped inside the agg
+      assert(native === aggTopK(nn, k), s"native != udaf at k=$k")
+      assert(native === windowTopK(nn, k), s"native != window at k=$k")
+    }
+  }
+
   test("agg top-k ≡ row_number window, with exact ties and k > |group|") {
     val rnd = new scala.util.Random(31)
     // quantized scores force exact double ties; group 7 has fewer rows
