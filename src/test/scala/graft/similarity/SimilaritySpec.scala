@@ -639,9 +639,16 @@ class SimilaritySpec extends SparkSpec {
     val plan = Similarity.mutualBestMatchIndexed(a, b,
       cellCol = "label", nProbe = 2).queryExecution.executedPlan
     def all(p: org.apache.spark.sql.execution.SparkPlan)
-    : Seq[org.apache.spark.sql.execution.SparkPlan] =
-      p +: (p.children.flatMap(all) ++ p.subqueries.flatMap(all))
+    : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      // AQE wrapper: children is empty pre-execution — traverse the
+      // initial plan or every assertion below passes vacuously
+      case ad: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => ad +: all(ad.initialPlan)
+      case _ =>
+        p +: (p.children.flatMap(all) ++ p.subqueries.flatMap(all))
+    }
     val nodes = all(plan)
+    assert(nodes.length > 3, "plan traversal must see the real tree")
     assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
       "indexed mutual match must never cross-join")
     // the only nested-loop broadcasts allowed are the |cells|-row
@@ -783,8 +790,14 @@ class SimilaritySpec extends SparkSpec {
     val plan = Similarity.knnGraphIndexed(v, "label", nProbe = 2, k = 3)
       .queryExecution.executedPlan
     def all(p: org.apache.spark.sql.execution.SparkPlan)
-    : Seq[org.apache.spark.sql.execution.SparkPlan] =
-      p +: (p.children.flatMap(all) ++ p.subqueries.flatMap(all))
+    : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      // AQE wrapper: children is empty pre-execution — traverse the
+      // initial plan or every assertion below passes vacuously
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a +: all(a.initialPlan)
+      case _ =>
+        p +: (p.children.flatMap(all) ++ p.subqueries.flatMap(all))
+    }
     val nodes = all(plan)
     assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
       "indexed kNN graph must never cross-join")
@@ -800,6 +813,20 @@ class SimilaritySpec extends SparkSpec {
       }
       assert(all(build).exists(_.nodeName.contains("Aggregate")),
         s"non-aggregate broadcast build in kNN-graph plan:\n$build")
+    }
+    // the per-query ranking must stay the BOUNDED aggregate — a
+    // row_number window over the candidate set (what graft_topk
+    // replaced) would re-shuffle the full candidate blow-up. The probe
+    // ranking's |q|·|cells| WindowGroupLimit is the only window-class
+    // node allowed, and it never touches candidates.
+    val topkAggs = nodes.filter(n =>
+      n.nodeName.contains("ObjectHashAggregate") &&
+        n.toString.contains("graft_topk"))
+    assert(topkAggs.nonEmpty,
+      "kNN-graph ranking lost the bounded graft_topk aggregate")
+    nodes.filter(_.nodeName == "Window").foreach { w =>
+      assert(!w.toString.contains("cos"),
+        s"candidate-set window crept back into the kNN-graph plan:\n$w")
     }
   }
 }
