@@ -1290,6 +1290,14 @@ object Streams {
     * batch run — which is what the oracle recomputes (StreamsSpec pins
     * the 3-slice ≡ batch equality).
     *
+    * Precondition (the [[graft.text.SuffixArray.deltaDupPositions]]
+    * convention): arrival vec_ids are DISJOINT from the stored
+    * assignment's — a re-ingest arrives under a new id. A repeated id
+    * across batches is only exact when its embedding is unchanged
+    * (dedup-on-read keeps one row; frozen centroids make the cell
+    * identical); a changed embedding under an old id is an UPDATE,
+    * which belongs to the snapshot rebuild, not the append log.
+    *
     * @param seedFrom optional at-rest IVF snapshot
     *                 ([[graft.similarity.Similarity.seedIvfStore]] of
     *                 the SAME corpus slice): when set, the deployment's
