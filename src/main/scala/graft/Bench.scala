@@ -23,6 +23,17 @@ object Bench {
       // testdata events.parquet uses TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // keep ObjectHashAggregate HASHING in the many-small-groups
+      // regime (graft_topk's kNN-graph/margin rankings: one k-row
+      // buffer per query): the 128-group default falls back to
+      // SORT-based aggregation, which re-sorts the candidate blow-up
+      // and erases the bounded aggregate's win (isolated probe: ~4 s
+      // hashing vs ~22 s fallback at 40M candidates / 100k groups).
+      // Buffers are k·16 bytes — a million hashed groups is tens of
+      // MB per partition. Mirrored in Verify/RunOne/ScaleSmoke and
+      // the test session; pinned by TopKAggSpec's no-fallback spec.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

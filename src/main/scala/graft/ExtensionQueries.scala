@@ -7309,11 +7309,12 @@ object ExtensionQueries {
            SELECT d.dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
                   list_dot_product(list_slice(q.e, 1, d.dim),
                                    list_slice(c.e, 1, d.dim)) /
-                    (sqrt(list_dot_product(list_slice(q.e, 1, d.dim),
-                                           list_slice(q.e, 1, d.dim))) *
-                     sqrt(list_dot_product(list_slice(c.e, 1, d.dim),
-                                           list_slice(c.e, 1, d.dim))))
-                    AS cos
+                    NULLIF(
+                      sqrt(list_dot_product(list_slice(q.e, 1, d.dim),
+                                            list_slice(q.e, 1, d.dim))) *
+                      sqrt(list_dot_product(list_slice(c.e, 1, d.dim),
+                                            list_slice(c.e, 1, d.dim))),
+                      0) AS cos
            FROM v q JOIN v c ON c.vec_id <> q.vec_id
            CROSS JOIN dims d
            WHERE q.vec_id < 10),
@@ -7322,18 +7323,22 @@ object ExtensionQueries {
              SELECT dim, query_id, neighbor_id,
                     row_number() OVER (PARTITION BY dim, query_id
                       ORDER BY cos DESC, neighbor_id ASC) AS rnk
-             FROM scored)
+             FROM scored WHERE cos IS NOT NULL)
            WHERE rnk <= 5),
          ex AS (
            SELECT query_id, neighbor_id FROM (
-             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                    row_number() OVER (PARTITION BY q.vec_id
-                      ORDER BY list_dot_product(q.e, c.e) /
-                        (sqrt(list_dot_product(q.e, q.e)) *
-                         sqrt(list_dot_product(c.e, c.e))) DESC,
-                        c.vec_id ASC) AS rnk
-             FROM v q JOIN v c ON c.vec_id <> q.vec_id
-             WHERE q.vec_id < 10)
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rnk
+             FROM (SELECT q.vec_id AS query_id,
+                          c.vec_id AS neighbor_id,
+                          list_dot_product(q.e, c.e) /
+                            NULLIF(sqrt(list_dot_product(q.e, q.e)) *
+                                   sqrt(list_dot_product(c.e, c.e)), 0)
+                            AS cos
+                   FROM v q JOIN v c ON c.vec_id <> q.vec_id
+                   WHERE q.vec_id < 10)
+             WHERE cos IS NOT NULL)
            WHERE rnk <= 5),
          exa AS (SELECT count(DISTINCT query_id) AS n_queries,
                         count(*) AS n_exact FROM ex),

@@ -19,6 +19,10 @@ object RunOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // keep graft_topk's ObjectHashAggregate hashing past 128 groups
+      // (see Bench for the full rationale; pinned by TopKAggSpec)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

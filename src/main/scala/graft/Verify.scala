@@ -18,6 +18,10 @@ object Verify {
       // testdata events.parquet uses TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // keep graft_topk's ObjectHashAggregate hashing past 128 groups
+      // (see Bench for the full rationale; pinned by TopKAggSpec)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -34,9 +34,16 @@ object TopKAgg {
   final class Buf(var scores: Array[Double], var ids: Array[Long],
                   var n: Int) extends Serializable
 
-  /** true iff (s1, i1) ranks strictly better than (s2, i2). */
-  private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  /** true iff (s1, i1) ranks strictly better than (s2, i2), under
+    * Spark's DOUBLE ordering (NaN greatest and self-equal, -0.0 ==
+    * 0.0) — kept identical to [[TopKExpr.beats]] so the spec-pinned
+    * Aggregator ≡ native ≡ window equivalence holds for NaN scores. */
+  private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val n1 = java.lang.Double.isNaN(s1)
+    val n2 = java.lang.Double.isNaN(s2)
+    if (n1 || n2) (n1 && !n2) || (n1 == n2 && i1 < i2)
+    else s1 > s2 || (s1 == s2 && i1 < i2)
+  }
 
   def topK(k: Int): Aggregator[Scored, Buf, Seq[Scored]] = {
     require(k >= 1, s"top-k size must be >= 1, got $k")

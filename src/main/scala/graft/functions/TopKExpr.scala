@@ -78,9 +78,20 @@ case class TopKExpr(scoreChild: Expression, idChild: Expression,
     new TopKState(new Array[Double](k), new Array[Long](k), 0)
 
   /** true iff (s1, i1) ranks strictly better than (s2, i2) — the shared
-    * (score desc, id asc) ANN ordering, exact double comparisons. */
-  private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+    * (score desc, id asc) ANN ordering under Spark's DOUBLE semantics:
+    * NaN ranks above every value and equal to itself, -0.0 == 0.0. A
+    * raw `>` would make a NaN score never rank, silently breaking the
+    * spec-pinned `native ≡ row_number window` equivalence for NaN
+    * inputs — unreachable via the engine's null-guarded cosine, but
+    * graft_topk is a general registered SQL function.
+    * (`java.lang.Double.compare` alone would also be wrong: it orders
+    * -0.0 < 0.0, which Spark's comparisons treat as equal.) */
+  private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val n1 = java.lang.Double.isNaN(s1)
+    val n2 = java.lang.Double.isNaN(s2)
+    if (n1 || n2) (n1 && !n2) || (n1 == n2 && i1 < i2)
+    else s1 > s2 || (s1 == s2 && i1 < i2)
+  }
 
   private def insert(b: TopKState, score: Double, id: Long): Unit = {
     if (b.n < k || beats(score, id, b.scores(b.n - 1), b.ids(b.n - 1))) {

@@ -526,10 +526,20 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     val ds = dims.distinct.sorted
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"))
+    // a dim past the embedding length would be silently CLAMPED by
+    // slice(), emitting a duplicate full-dimension row mislabeled with
+    // the larger dim (and a bogus recall=1.0 anchor). The length is
+    // per-row data, not schema, so validate per row: assert_true
+    // inside a filter (a bare projected column could be pruned) —
+    // scan-local, fails the job loudly on the first short row.
+    def dimGuard(df: DataFrame, embCol: String): DataFrame =
+      df.filter(assert_true(size(col(embCol)) >= ds.last,
+        concat(lit(s"prefixDimRecall: requested dim ${ds.last} " +
+          "exceeds embedding length "), size(col(embCol)))).isNull)
+    val q = dimGuard(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")), "q_emb")
+    val c = dimGuard(corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb")), "c_emb")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("dim", explode(array(ds.map(d => lit(d)): _*)))

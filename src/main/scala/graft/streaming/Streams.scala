@@ -1324,8 +1324,17 @@ object Streams {
         Seq("assignment", "centroids").foreach { sub =>
           val from = new org.apache.hadoop.fs.Path(s"$src/$sub")
           val to = new org.apache.hadoop.fs.Path(s"$storePath/$sub")
+          val toFs = to.getFileSystem(conf)
+          // FileUtil.copy into an EXISTING directory nests the source
+          // under it (assignment/assignment) — a re-run against a
+          // populated store would silently corrupt the layout. Refuse
+          // loudly: restore targets a fresh store by definition.
+          require(!toFs.exists(to),
+            s"annMaintainStream: seedFrom restore target $to already " +
+              "exists — the store is populated; use a fresh storePath " +
+              "or drop seedFrom")
           org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(conf),
-            from, to.getFileSystem(conf), to, false, conf)
+            from, toFs, to, false, conf)
         }
       case None =>
         Similarity.seedIvfStore(corpus, "label", storePath)

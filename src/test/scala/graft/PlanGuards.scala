@@ -14,6 +14,39 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * plan inside `work`; the bus is drained before asserting. */
 object PlanGuards {
 
+  /** Every node of a physical plan, AQE-aware: `executedPlan` of an
+    * AQE query is an `AdaptiveSparkPlanExec` whose `children` is EMPTY
+    * — a naive `p.children` traversal sees one node and any guard
+    * written over it passes VACUOUSLY (the round-11 near-miss, fixed
+    * inline twice in SimilaritySpec; this is the shared form). Unwraps
+    * the adaptive root to its current physical plan (initial plan
+    * pre-execution, final plan after) and descends into subqueries.
+    *
+    * `minNodes` is a mandatory vacuousness pin: seeing fewer nodes
+    * than the guard author knows the real tree must contain fails
+    * loudly instead of green-lighting nothing. */
+  def physicalNodes(plan: org.apache.spark.sql.execution.SparkPlan,
+                    minNodes: Int = 4)
+  : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    def all(p: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a +: all(a.executedPlan)
+      // materialized AQE stages (Shuffle/Broadcast/ResultQueryStage)
+      // are LEAF nodes wrapping their stage plan — same trap as the
+      // adaptive root, hit on POST-execution traversals
+      case s: org.apache.spark.sql.execution.adaptive
+        .QueryStageExec => s +: all(s.plan)
+      case _ =>
+        p +: (p.children.flatMap(all) ++ p.subqueries.flatMap(all))
+    }
+    val nodes = all(plan)
+    require(nodes.length >= minNodes,
+      s"plan traversal saw only ${nodes.length} node(s) (< $minNodes)" +
+        s" — vacuous guard? root: ${plan.nodeName}")
+    nodes
+  }
+
   /** Is this window's DIRECT input (walking through unary
     * project/filter/window nodes only) an aggregate keyed by the
     * physical partition id? That is the offset-lift idiom's bounded

@@ -42,6 +42,29 @@ class PlanGuardsSpec extends SparkSpec {
       "a name-only __pid grouping must NOT exempt the window")
   }
 
+  test("physicalNodes unwraps the AQE root; the naive traversal it " +
+    "replaces is provably vacuous") {
+    val df = (0 until 100).map(i => (i % 5, i)).toDF("g", "v")
+      .groupBy("g").agg(sum(col("v")).as("s"))
+    val plan = df.queryExecution.executedPlan
+    // the trap the helper closes: the adaptive root reports NO
+    // children pre-execution, so a naive p.children walk sees exactly
+    // one node and any guard over it green-lights nothing
+    assert(plan.isInstanceOf[org.apache.spark.sql.execution.adaptive
+      .AdaptiveSparkPlanExec], "fixture must produce an AQE plan")
+    assert(plan.children.isEmpty,
+      "naive children traversal would see a single node here")
+    val nodes = PlanGuards.physicalNodes(plan)
+    assert(nodes.length > 3, "helper must see the real tree")
+    assert(nodes.exists(_.nodeName.contains("HashAggregate")),
+      s"real aggregate not reached: ${nodes.map(_.nodeName)}")
+    // the mandatory tree-size pin turns a too-small traversal into a
+    // loud failure instead of a vacuously green guard
+    intercept[IllegalArgumentException] {
+      PlanGuards.physicalNodes(plan, minNodes = nodes.length + 100)
+    }
+  }
+
   test("exempts the offset-lift's partition-bounded offsets window") {
     val df = (0 until 200).map(i =>
       (i.toLong, if (i % 2 == 0) "big" else "small")).toDF("id", "g")

@@ -638,17 +638,12 @@ class SimilaritySpec extends SparkSpec {
     val b = mk(100 until 140).toDF("vec_id", "embedding", "label")
     val plan = Similarity.mutualBestMatchIndexed(a, b,
       cellCol = "label", nProbe = 2).queryExecution.executedPlan
-    def all(p: org.apache.spark.sql.execution.SparkPlan)
-    : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      // AQE wrapper: children is empty pre-execution — traverse the
-      // initial plan or every assertion below passes vacuously
-      case ad: org.apache.spark.sql.execution.adaptive
-        .AdaptiveSparkPlanExec => ad +: all(ad.initialPlan)
-      case _ =>
-        p +: (p.children.flatMap(all) ++ p.subqueries.flatMap(all))
-    }
-    val nodes = all(plan)
-    assert(nodes.length > 3, "plan traversal must see the real tree")
+    // shared AQE-aware traversal (PlanGuards.physicalNodes): unwraps
+    // the adaptive root — whose children is empty pre-execution — and
+    // pins a minimum tree size so the guard can never pass vacuously
+    def all(p: org.apache.spark.sql.execution.SparkPlan) =
+      graft.PlanGuards.physicalNodes(p, minNodes = 1)
+    val nodes = graft.PlanGuards.physicalNodes(plan)
     assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
       "indexed mutual match must never cross-join")
     // the only nested-loop broadcasts allowed are the |cells|-row
@@ -781,6 +776,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("prefixDimRecall: a dim past the embedding length fails loudly " +
+    "instead of silently clamping") {
+    // slice() clamps an oversized prefix to the full vector, which
+    // would emit a duplicate full-dimension row mislabeled with the
+    // larger dim (and a bogus recall anchor) — the guard must turn
+    // that into a job failure naming the bad dim
+    val rnd = new scala.util.Random(11)
+    val v = (0 until 20).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = v.filter(col("vec_id") < 4)
+    val e = intercept[Exception] {
+      Similarity.prefixDimRecall(q, v, k = 3, dims = Seq(4, 16))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("exceeds embedding length")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
+  }
+
   test("knnGraphIndexed plan: no cartesian product, no corpus-sized " +
     "broadcast — only centroid-aggregate builds") {
     val rnd = new scala.util.Random(29)
@@ -789,16 +806,10 @@ class SimilaritySpec extends SparkSpec {
         i % 3)).toDF("vec_id", "embedding", "label")
     val plan = Similarity.knnGraphIndexed(v, "label", nProbe = 2, k = 3)
       .queryExecution.executedPlan
-    def all(p: org.apache.spark.sql.execution.SparkPlan)
-    : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      // AQE wrapper: children is empty pre-execution — traverse the
-      // initial plan or every assertion below passes vacuously
-      case a: org.apache.spark.sql.execution.adaptive
-        .AdaptiveSparkPlanExec => a +: all(a.initialPlan)
-      case _ =>
-        p +: (p.children.flatMap(all) ++ p.subqueries.flatMap(all))
-    }
-    val nodes = all(plan)
+    // shared AQE-aware traversal with the mandatory tree-size pin
+    def all(p: org.apache.spark.sql.execution.SparkPlan) =
+      graft.PlanGuards.physicalNodes(p, minNodes = 1)
+    val nodes = graft.PlanGuards.physicalNodes(plan)
     assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
       "indexed kNN graph must never cross-join")
     nodes.collect {

@@ -326,6 +326,26 @@ class StreamsSpec extends SparkSpec {
     assert(nParts <= 3, s"assignment log fragmented: $nParts")
   }
 
+  test("ann maintain stream: seedFrom refuses a populated store " +
+    "instead of nesting the snapshot inside it") {
+    // FileUtil.copy into an existing directory nests source under
+    // destination (assignment/assignment) — a silent layout
+    // corruption. The restore path must fail loudly before any
+    // stream state is created.
+    val dir = "/root/testdata/sf0.001"
+    val store = Files.createTempDirectory("graft_annm_populated")
+      .toString
+    Files.createDirectories(
+      java.nio.file.Paths.get(s"$store/assignment"))
+    val ckpt = Files.createTempDirectory("graft_ckpt_annm_pop").toString
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.annMaintainStream(spark, dir, ckpt,
+        store, seedFrom = Some("/nonexistent/snapshot"))
+    }
+    assert(e.getMessage.contains("already"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("sa maintain stream: 3 sliced batches converge to from-scratch " +
     "dup report") {
     // the growing gram log makes cross-batch duplicates discoverable,
