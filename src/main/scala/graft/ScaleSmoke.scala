@@ -1517,19 +1517,9 @@ object ScaleSmoke {
     // |batch|·|cells| scan-local distance math, zero corpus access
     // (the annMaintainStream per-batch kernel, here at 1M arrivals)
     timed("frozen-centroid assign 1M") {
-      val cents = spark.range(256).select(
-        col("id").cast("int").as("cell"),
-        array((0 until 16).map(j =>
-          (pmod(col("id") * (j + 7), lit(997)) / 997d)): _*)
-          .as("centroid")).stage()
-      val arrivals = spark.range(rows / 50).select(
-        col("id").as("vec_id"),
-        array((0 until 16).map(j =>
-          (pmod(col("id") * (j + 3), lit(997)) / 997d)
-            .cast("float")): _*)
-          .as("embedding"))
-      graft.similarity.Similarity.assignToStoredCells(arrivals, cents)
-        .count()
+      // the shared CODE-FROZEN calibration kernel (Calibration) —
+      // Bench embeds the same one and emits it as calib_sec
+      Calibration.frozenCentroid(spark, rows / 50)._2
     }
 
     spark.stop()
