@@ -2152,6 +2152,35 @@ object ExtensionQueries {
         .orderBy("cell")
     }),
 
+    // snapshot REBUILD-AND-SWAP — the retrain phase the health report
+    // gates, completing the lifecycle (seed → maintain → monitor →
+    // retrain): centroids recomputed from the CURRENT assignment (one
+    // Lloyd update), every vector re-assigned against the WRITTEN new
+    // centroids, snapshot swapped with a prev/ rollback copy. The
+    // gate is forced open here (threshold −1) for determinism — gate
+    // math and the no-op path are spec-pinned in SimilaritySpec. The
+    // output reads the SWAPPED store: exactly what an assignment-log
+    // consumer sees after retrain. Oracle recomputes the Lloyd step +
+    // float-rounded argmin from scratch.
+    "q_ann_rebuild" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_ann_rebuild").toString
+      Similarity.seedIvfStore(emb, "label", store)
+      val (rebuilt, _, _) = Similarity.rebuildIvfStore(
+        emb.select(col("vec_id"), col("embedding")), store,
+        maxMeanD2 = -1.0)
+      require(rebuilt, "forced health gate must trip")
+      s.read.parquet(s"$store/assignment")
+        .select(col("vec_id"), col("cell").as("cell_after"))
+        .join(emb.select(col("vec_id"),
+          col("label").as("cell_before")), Seq("vec_id"))
+        .select(col("vec_id"), col("cell_before"), col("cell_after"),
+          (col("cell_before") =!= col("cell_after")).cast("int")
+            .as("moved"))
+        .orderBy("vec_id")
+    }),
+
     // margin-scored bitext mining (Artetxe–Schwenk ratio margin):
     // each a's best b, scored by cos divided by the mean of both
     // sides' k-neighbor-ball densities — the hub-correction that
@@ -7204,6 +7233,38 @@ object ExtensionQueries {
          SELECT vec_id, cell FROM (
            SELECT vec_id, label AS cell FROM v
            UNION ALL SELECT vec_id, cell FROM asg)
+         ORDER BY vec_id""",
+
+    // rebuild-and-swap mirror: one Lloyd update from the label
+    // assignment (centroids = per-cell means), then EVERY vector
+    // re-assigned by the float-rounded argmin (lower cell on ties) —
+    // the from-scratch recomputation of what the swapped store holds
+    "q_ann_rebuild" ->
+      """WITH v AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+         cent AS (
+           SELECT label AS cell, list(s ORDER BY j) AS c FROM (
+             SELECT label, j, sum(emb[j]) / count(*) AS s
+             FROM v, range(1, 65) t(j) GROUP BY label, j)
+           GROUP BY label),
+         asg AS (
+           SELECT vec_id, cell FROM (
+             SELECT a.vec_id, cent.cell,
+                    row_number() OVER (PARTITION BY a.vec_id
+                      ORDER BY -2 * list_dot_product(a.emb,
+                          (cent.c::FLOAT[])::DOUBLE[])
+                        + list_dot_product(
+                            (cent.c::FLOAT[])::DOUBLE[],
+                            (cent.c::FLOAT[])::DOUBLE[]),
+                        cent.cell) AS pr
+             FROM v a CROSS JOIN cent)
+           WHERE pr = 1)
+         SELECT v.vec_id, v.label AS cell_before,
+                asg.cell AS cell_after,
+                CASE WHEN v.label <> asg.cell THEN 1 ELSE 0 END AS moved
+         FROM v JOIN asg USING (vec_id)
          ORDER BY vec_id""",
 
     // raw dot-product ranking; DOUBLE[] casts for the same reason as

@@ -730,6 +730,105 @@ object Similarity {
       .select(col("vec_id"), col("m.cell").as("cell"))
   }
 
+  /** Snapshot REBUILD-AND-SWAP — the retrain phase that completes the
+    * index lifecycle ([[seedIvfStore]] builds, [[assignToCells]] /
+    * [[graft.streaming.Streams.annMaintainStream]] maintain,
+    * [[ivfHealth]] monitors, THIS retrains): when the store's health
+    * crosses a threshold, recompute centroids from the CURRENT merged
+    * assignment (one Lloyd update — the standard IVF retrain step),
+    * re-assign every vector against the new centroids, and swap the
+    * at-rest snapshot.
+    *
+    * Health gate (computed against the STORED centroid table — the
+    * distances probes actually pay, not re-derived ones): corpus-wide
+    * mean squared quantization error and population skew
+    * (max cell / mean cell). Rebuild fires iff
+    * `meanD2 > maxMeanD2 || skew > maxSkew`; otherwise the store is
+    * untouched and (false, meanD2, skew) reports why.
+    *
+    * Swap protocol: the new `assignment/` + `centroids/` are STAGED
+    * fully under `rebuild_tmp/` (re-assignment runs against the
+    * WRITTEN tmp centroid file, so consumers replay bit-identically),
+    * then the old snapshot renames to `prev/` (kept for rollback) and
+    * the staged dirs rename into place — metadata-only moves, the
+    * grow-by-append analog of the
+    * [[graft.streaming.Streams]].compactStore convention. An
+    * `assignment_delta/` log, if present, is FOLDED into the merged
+    * assignment before retraining and retired to `prev/` with the
+    * snapshot it extended (precondition: log ids are disjoint from
+    * the base's — the annMaintainStream contract — and replay
+    * duplicates within the log are identical rows). The few-ms window
+    * between the two renames is documented, not hidden: a production
+    * deployment fronts the path with a catalog pointer; readers here
+    * are batch jobs that re-list on start.
+    *
+    * `vectors` must cover every assigned vec_id (the store persists
+    * no embeddings) — checked loudly before anything mutates.
+    *
+    * @return (rebuilt, mean_d2, skew) — the gate's inputs either way */
+  def rebuildIvfStore(vectors: DataFrame, storePath: String,
+                      maxMeanD2: Double,
+                      maxSkew: Double = Double.MaxValue)
+  : (Boolean, Double, Double) = {
+    val spark = vectors.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$storePath/$s")
+    val hasDelta = fs.exists(p("assignment_delta"))
+    val base = spark.read.parquet(s"$storePath/assignment")
+      .select(col("vec_id"), col("cell"))
+    // merged view: base ∪ delta log, one row per vec_id (crash-replay
+    // duplicates in the log are identical rows — frozen centroids —
+    // so min() absorbs them exactly)
+    val merged = (if (!hasDelta) base
+      else base.unionByName(
+        spark.read.parquet(s"$storePath/assignment_delta")
+          .select(col("vec_id"), col("cell"))))
+      .groupBy("vec_id").agg(min(col("cell")).as("cell"))
+    val uncovered = merged
+      .join(vectors.select("vec_id"), Seq("vec_id"), "left_anti").count()
+    require(uncovered == 0L,
+      s"rebuildIvfStore: $uncovered assigned vec_ids have no embedding " +
+        "row in `vectors` — a rebuild would silently drop them from " +
+        "the index")
+    // health against the STORED centroids — what probes actually pay
+    val storedCents = spark.read.parquet(s"$storePath/centroids")
+    val cf = col("centroid").cast("array<float>")
+    val perCell = vectors.select(col("vec_id"), col("embedding"))
+      .join(merged, "vec_id")
+      .join(broadcast(storedCents), Seq("cell"))
+      .withColumn("d2", dot(col("embedding"), col("embedding"))
+        - dot(col("embedding"), cf) * 2 + dot(cf, cf))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
+    val h = perCell
+      .agg((sum(col("sd2")) / sum(col("n"))).as("mean_d2"),
+        (max(col("n")) / avg(col("n"))).as("skew")).head()
+    val (meanD2, skew) = (h.getDouble(0), h.getDouble(1))
+    if (meanD2 <= maxMeanD2 && skew <= maxSkew)
+      return (false, meanD2, skew)
+    // STAGE the new snapshot fully before touching the live dirs
+    val tmp = s"$storePath/rebuild_tmp"
+    fs.delete(p("rebuild_tmp"), true)
+    centroidsOf(vectors.select(col("vec_id"), col("embedding")), merged)
+      .write.mode("overwrite").parquet(s"$tmp/centroids")
+    assignToStoredCells(vectors.select(col("vec_id"), col("embedding")),
+        spark.read.parquet(s"$tmp/centroids"))
+      .write.mode("overwrite").parquet(s"$tmp/assignment")
+    // SWAP: old snapshot → prev/ (rollback copy), staged → live
+    fs.delete(p("prev"), true)
+    fs.mkdirs(p("prev"))
+    Seq("assignment", "centroids").foreach(sub =>
+      fs.rename(p(sub), p(s"prev/$sub")))
+    if (hasDelta) fs.rename(p("assignment_delta"),
+      p("prev/assignment_delta")) // folded into the new snapshot
+    Seq("centroids", "assignment").foreach(sub =>
+      fs.rename(p(s"rebuild_tmp/$sub"), p(sub)))
+    fs.delete(p("rebuild_tmp"), true)
+    (true, meanD2, skew)
+  }
+
   /** k-NN GRAPH over ONE collection — every vector's k nearest OTHER
     * vectors, routed through the stored IVF assignment. The kNN graph
     * is the workhorse input of semantic-cluster analyses (SemDeDup-style

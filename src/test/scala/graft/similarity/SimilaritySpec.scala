@@ -742,6 +742,77 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int)].collect().toSet)
   }
 
+  test("rebuildIvfStore: health gate no-ops below thresholds, rebuilds " +
+    "and swaps above them, folds the delta log, keeps prev/ rollback") {
+    val rnd = new scala.util.Random(41)
+    def vecs(ids: Range) = ids.map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val v = vecs(0 until 60).zipWithIndex.map { case ((id, e), i) =>
+      (id, e, i % 4) }.toDF("vec_id", "embedding", "label")
+    val vOnly = v.select(col("vec_id"), col("embedding"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ivf_rebuild").toString
+    Similarity.seedIvfStore(v, "label", store)
+    val before = spark.read.parquet(s"$store/assignment")
+      .as[(Long, Int)].collect().toSet
+    // generous thresholds: gate holds, store untouched, health reported
+    val (r0, d0, s0) = Similarity.rebuildIvfStore(vOnly, store,
+      maxMeanD2 = 1e9, maxSkew = 1e9)
+    assert(!r0 && d0 > 0 && s0 >= 1.0)
+    assert(spark.read.parquet(s"$store/assignment")
+      .as[(Long, Int)].collect().toSet === before)
+    assert(!new java.io.File(s"$store/prev").exists(),
+      "a gated no-op must not create the rollback copy")
+    // expected rebuild = re-assignment against the CURRENT stored
+    // centroids (assignment unchanged since seed, so the Lloyd update
+    // reproduces them) — computed BEFORE the swap
+    val expected = Similarity.assignToStoredCells(vOnly,
+        spark.read.parquet(s"$store/centroids"))
+      .as[(Long, Int)].collect().toSet
+    val (r1, d1, _) = Similarity.rebuildIvfStore(vOnly, store,
+      maxMeanD2 = 0.0)
+    assert(r1 && math.abs(d1 - d0) < 1e-12,
+      "gate inputs must not depend on the thresholds")
+    val after = spark.read.parquet(s"$store/assignment")
+      .as[(Long, Int)].collect().toSet
+    assert(after === expected)
+    assert(after !== before,
+      "fixture must move at least one vector (label is not a Voronoi " +
+        "partition of its own centroids)")
+    assert(spark.read.parquet(s"$store/prev/assignment")
+      .as[(Long, Int)].collect().toSet === before,
+      "prev/ must hold the pre-swap snapshot")
+    // delta-log folding: arrivals assigned against the live snapshot
+    // land in the log; the next rebuild folds them into the merged
+    // assignment, retires the log to prev/, and RETRAINS the
+    // centroids (arrival mass shifts the means — consumers of the
+    // swapped snapshot see the new quantizer)
+    val arrivals = vecs(200 until 220).toDF("vec_id", "embedding")
+    Similarity.assignToStoredCells(arrivals,
+        spark.read.parquet(s"$store/centroids"))
+      .write.mode("append").parquet(s"$store/assignment_delta")
+    val centsBefore = spark.read.parquet(s"$store/centroids")
+      .as[(Int, Seq[Double])].collect().toMap
+    val (r2, _, _) = Similarity.rebuildIvfStore(
+      vOnly.unionByName(arrivals), store, maxMeanD2 = 0.0)
+    assert(r2)
+    val mergedAfter = spark.read.parquet(s"$store/assignment")
+    assert(mergedAfter.count() === 80L, "arrivals folded into the base")
+    assert(!new java.io.File(s"$store/assignment_delta").exists(),
+      "the folded delta log must retire with the snapshot it extended")
+    val centsAfter = spark.read.parquet(s"$store/centroids")
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(centsAfter.keySet === centsBefore.keySet)
+    assert(centsAfter.exists { case (c, e) => centsBefore(c) != e },
+      "arrival mass must shift at least one centroid")
+    // coverage precondition fails loudly: the store now holds arrival
+    // ids that vOnly cannot embed
+    val e = intercept[IllegalArgumentException] {
+      Similarity.rebuildIvfStore(vOnly, store, maxMeanD2 = 0.0)
+    }
+    assert(e.getMessage.contains("no embedding row"))
+  }
+
   test("prefixDimRecall: full-dim row is exact by construction, each " +
     "dim row equals the pre-truncated brute force") {
     val rnd = new scala.util.Random(61)
