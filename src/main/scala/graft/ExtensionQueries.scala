@@ -2827,6 +2827,25 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
+    // UNIFIED ingest topology: ONE arrivals stream maintains the whole
+    // at-rest index trio (CC labels, SA dup report, IVF assignment) in
+    // the SAME foreachBatch — at every batch boundary the three
+    // artifacts describe the same ingested prefix, the cross-index
+    // consistency three separate streams cannot pin. One corpus/
+    // arrival split (id % 17) across the trio. Output = one row per
+    // document with all three index verdicts; the oracle recomputes
+    // each from scratch (full-corpus CC, full-table dup report,
+    // frozen-quantizer assignment) and joins them.
+    "q_stream_ingest_trio" -> ((s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_trio").toString
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_trio_store").toString
+      Streams.ingestTrioStream(s, d, ckpt, store,
+          numPerms = 8, numBands = 4, threshold = 0.8, minLen = 5)
+        .orderBy("doc_id")
+    }),
+
     // streaming heavy hitters: exact per-(day, type, user) counts
     // maintained incrementally, top-5 ranked at read time — ranking is
     // not incremental-safe, so the cut is a batch view over the
@@ -6649,6 +6668,67 @@ object ExtensionQueries {
           SELECT id AS doc_id, min(comp) AS comp,
                  (id = min(comp)) AS is_canonical
           FROM reach GROUP BY id""",
+
+    // trio mirror: the three from-scratch computations — full-corpus
+    // CC over the minhash near-dup graph, the full-table 5-gram dup
+    // report (same tokenization CTE), and the frozen-quantizer
+    // assignment over the % 17 split — joined on doc_id = vec_id
+    "q_stream_ingest_trio" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                    UNION SELECT doc_b, doc_a FROM mh_pairs),
+          reach(id, comp) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+          cmp AS (SELECT id AS doc_id, min(comp) AS comp
+                  FROM reach GROUP BY id),
+          pos AS (
+            SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos,
+                   tk
+            FROM tk),
+          g AS (
+            SELECT doc_id, pos,
+                   array_to_string(tk[pos:pos+4], ' ') AS gram
+            FROM pos WHERE pos + 4 <= len(tk)),
+          cnt AS (SELECT gram, count(*) AS n FROM g GROUP BY gram),
+          dup AS (
+            SELECT doc_id, count(*)::BIGINT AS n_dup
+            FROM g JOIN cnt USING (gram) WHERE n >= 2
+            GROUP BY doc_id),
+          sa AS (
+            SELECT t.doc_id, len(t.tk)::BIGINT AS n_positions,
+                   COALESCE(n_dup, 0)::BIGINT AS n_dup_positions
+            FROM tk t LEFT JOIN dup USING (doc_id)),
+          v AS (SELECT vec_id, label,
+                       list_transform(embedding, x -> x::DOUBLE) AS emb
+                FROM embeddings),
+          corp AS (SELECT * FROM v WHERE vec_id % 17 <> 0),
+          cent AS (
+            SELECT label AS cell, list(s ORDER BY j) AS c FROM (
+              SELECT label, j, sum(emb[j]) / count(*) AS s
+              FROM corp, range(1, 65) t(j) GROUP BY label, j)
+            GROUP BY label),
+          arr AS (SELECT vec_id, emb FROM v WHERE vec_id % 17 = 0),
+          asg AS (
+            SELECT vec_id, cell FROM (
+              SELECT a.vec_id, cent.cell,
+                     row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY -2 * list_dot_product(a.emb,
+                           (cent.c::FLOAT[])::DOUBLE[])
+                         + list_dot_product(
+                             (cent.c::FLOAT[])::DOUBLE[],
+                             (cent.c::FLOAT[])::DOUBLE[]),
+                         cent.cell) AS pr
+              FROM arr a CROSS JOIN cent)
+            WHERE pr = 1),
+          ann AS (SELECT vec_id, label AS cell FROM corp
+                  UNION ALL SELECT vec_id, cell FROM asg)
+          SELECT sa.doc_id, COALESCE(cmp.comp, sa.doc_id) AS comp,
+                 sa.n_positions, sa.n_dup_positions, ann.cell
+          FROM sa JOIN ann ON ann.vec_id = sa.doc_id
+          LEFT JOIN cmp ON cmp.doc_id = sa.doc_id
+          ORDER BY sa.doc_id""",
 
     // the incremental merge must land on the SAME partition as a
     // from-scratch CC over the whole corpus — the oracle IS the

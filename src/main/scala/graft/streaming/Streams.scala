@@ -1375,6 +1375,213 @@ object Streams {
         .select(col("vec_id"), col("cell")))
   }
 
+  /** UNIFIED ingest topology — ONE arrivals stream whose foreachBatch
+    * maintains the whole at-rest index trio TOGETHER: near-dup CC
+    * labels ([[ccMaintainStream]]'s kernel), the exact-substring dup
+    * report ([[saMaintainStream]]'s), and the IVF assignment log
+    * ([[annMaintainStream]]'s). This is the shape a production
+    * pipeline actually runs: a document arrives ONCE (its text, plus
+    * its embedding joined from the static vector table on
+    * doc_id = vec_id — 1:1 in the testdata) and every index observes
+    * it in the SAME micro-batch, so at any batch boundary the three
+    * artifacts describe the SAME ingested prefix — the cross-index
+    * consistency three separate streams cannot pin (one could be a
+    * batch ahead of another).
+    *
+    * Store layout: `cc/{sets,buckets,labels}`,
+    * `sa/{gram_positions,gram_stats,seed_report,report}`,
+    * `ann/{assignment,centroids,assignment_delta}` — each exactly its
+    * single-stream counterpart's, so every at-rest consumer (the
+    * incremental probes, [[graft.similarity.Similarity
+    * .rebuildIvfStore]], the decontamination passes) reads a trio
+    * store unchanged.
+    *
+    * Per-batch crash-safety is inherited kernel-by-kernel: the ANN
+    * append is absorbable (frozen centroids; dedup-on-read), CC index
+    * growth precedes the guarded label commit (duplicate appends are
+    * absorbed by the candidate join's distinct), and the SA probe
+    * structurally excludes the batch's own contribution so replay is
+    * exact. All three final states are batch-slicing-invariant, so
+    * the merged view equals the from-scratch batch computation over
+    * corpus ∪ arrivals (StreamsSpec pins 3-slice ≡ batch for ALL
+    * THREE artifacts out of one run; the oracle recomputes the same).
+    *
+    * The corpus/arrival split is ONE rule across the trio — doc_id
+    * (= vec_id) % 17 — so ids are disjoint between the stored
+    * assignment and arrivals by construction (the
+    * [[annMaintainStream]] precondition, satisfied without re-keying).
+    *
+    * @return one row per document: (doc_id, comp, n_positions,
+    *         n_dup_positions, cell) — the CC label (own id when
+    *         unclustered), the SA dup report, and the IVF cell */
+  def ingestTrioStream(spark: SparkSession, dir: String,
+                       checkpoint: String, storePath: String,
+                       numPerms: Int, numBands: Int, threshold: Double,
+                       minLen: Int,
+                       glob: String = "documents.parquet",
+                       embPath: Option[String] = None,
+                       maxStoreFiles: Int = 32): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.similarity.Similarity
+    import graft.text.SuffixArray
+    val docs = spark.read.option("pathGlobFilter", glob).parquet(dir)
+    val schema = docs.schema
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    val emb = spark.read.parquet(
+      embPath.getOrElse(s"$dir/embeddings.parquet"))
+    // ---- seed the three stores from the corpus slice, once ----
+    val sets0 = Dedup.shingleSets(corpus, "doc_id", "text", 3)
+    sets0.write.mode("overwrite").parquet(s"$storePath/cc/sets")
+    val banded0 = Dedup.bandedBuckets(sets0, numPerms, numBands).stage()
+    banded0.write.mode("overwrite").parquet(s"$storePath/cc/buckets")
+    val seedLabels = Dedup.connectedComponents(
+      Dedup.nearDupPairsFromIndex(sets0, banded0, threshold),
+      "doc_a", "doc_b").select("doc_id", "comp")
+    SuffixArray.seedProbeStore(corpus, "doc_id", "text", minLen,
+      s"$storePath/sa")
+    val seedReport = spark.read.parquet(s"$storePath/sa/seed_report")
+    Similarity.seedIvfStore(emb.filter(col("vec_id") % 17 =!= 0),
+      "label", s"$storePath/ann")
+    val centroids = spark.read.parquet(s"$storePath/ann/centroids")
+    val labelsPath = s"$storePath/cc/labels"
+    val reportPath = s"$storePath/sa/report"
+    val deltaPath = s"$storePath/ann/assignment_delta"
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val labelsSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("comp", LongType)))
+    val reportSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_positions", LongType),
+      StructField("n_dup_positions", LongType)))
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .filter(col("doc_id") % 17 === 0)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        def versions(path: String): Seq[Long] = {
+          val hp = new org.apache.hadoop.fs.Path(path)
+          val fs = hp.getFileSystem(conf)
+          (if (fs.exists(hp)) fs.listStatus(hp).toSeq else Seq.empty)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("v_"))
+            .map(_.getPath.getName.stripPrefix("v_").toLong)
+        }
+        def committed(path: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(
+            s"$path/v_$batchId/_SUCCESS")
+          p.getFileSystem(conf).exists(p)
+        }
+        def dropSuperseded(path: String): Unit =
+          versions(path).filter(_ < batchId).foreach { v =>
+            val p = new org.apache.hadoop.fs.Path(s"$path/v_$v")
+            p.getFileSystem(conf).delete(p, true)
+          }
+        val arrivals = batch.toDF().persist()
+        try {
+          // ---- ANN kernel first (absorbable append — a crash after
+          // it replays the batch and dedup-on-read keeps one row) ----
+          val arrVecs = arrivals.select(col("doc_id").as("vec_id"))
+            .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+          Similarity.assignToStoredCells(arrVecs, centroids)
+            .withColumn("shard_id", lit(batchId))
+            .write.mode("append").parquet(deltaPath)
+          compactStore(spark, deltaPath, maxStoreFiles)
+          // ---- CC kernel ([[ccMaintainStream]], metrics-free) ----
+          if (!committed(labelsPath)) {
+            val arrSets = Dedup.shingleSets(arrivals, "doc_id",
+              "text", 3)
+            val arrBanded = Dedup.bandedBuckets(arrSets, numPerms,
+              numBands).stage()
+            // probe the PRE-GROWTH index, staged eagerly (execution
+            // order enforces pre-growth semantics — see the single)
+            val cross = Dedup.incrementalNearDupsFromSets(arrSets,
+                arrBanded,
+                spark.read.parquet(s"$storePath/cc/sets"),
+                spark.read.parquet(s"$storePath/cc/buckets"),
+                threshold)
+              .select(col("new_id").as("a"), col("corpus_id").as("b"))
+              .stage()
+            val within = Dedup.nearDupPairsFromIndex(arrSets,
+                arrBanded, threshold)
+              .select(col("doc_a").as("a"), col("doc_b").as("b"))
+            arrSets.write.mode("append")
+              .parquet(s"$storePath/cc/sets")
+            arrBanded.write.mode("append")
+              .parquet(s"$storePath/cc/buckets")
+            val base = versions(labelsPath).filter(_ < batchId)
+              .sorted.lastOption
+              .map(v => spark.read.parquet(s"$labelsPath/v_$v"))
+              .getOrElse(seedLabels)
+            Dedup.incrementalComponents(base, "doc_id", "comp",
+                cross.unionByName(within), "a", "b")
+              .select(col("doc_id"), col("comp"))
+              .write.mode("overwrite")
+              .parquet(s"$labelsPath/v_$batchId")
+            compactStore(spark, s"$storePath/cc/sets", maxStoreFiles)
+            compactStore(spark, s"$storePath/cc/buckets", maxStoreFiles)
+          }
+          dropSuperseded(labelsPath)
+          // ---- SA kernel ([[saMaintainStream]], replay-exact) ----
+          if (!committed(reportPath)) {
+            val base = versions(reportPath).filter(_ < batchId)
+              .sorted.lastOption
+              .map(v => spark.read.parquet(s"$reportPath/v_$v"))
+              .getOrElse(seedReport)
+            val arrIds = arrivals.select("doc_id").distinct()
+            val posView = spark.read
+              .parquet(s"$storePath/sa/gram_positions")
+              .join(broadcast(arrIds), Seq("doc_id"), "left_anti")
+            val statsView = spark.read
+              .parquet(s"$storePath/sa/gram_stats")
+              .filter(col("shard_id") =!= lit(batchId))
+            val merged = SuffixArray.deltaDupPositions(posView,
+                statsView, base, arrivals, "doc_id", "text", minLen)
+              .stage() // EAGER: must probe pre-growth
+            val bg = SuffixArray.slidingGrams(arrivals, "doc_id",
+              "text", minLen).stage()
+            bg.write.mode("append")
+              .parquet(s"$storePath/sa/gram_positions")
+            bg.groupBy("gram").agg(count(lit(1)).as("n_occ"))
+              .withColumn("shard_id", lit(batchId))
+              .write.mode("append").parquet(s"$storePath/sa/gram_stats")
+            compactStore(spark, s"$storePath/sa/gram_positions",
+              maxStoreFiles)
+            compactStore(spark, s"$storePath/sa/gram_stats",
+              maxStoreFiles)
+            merged.write.mode("overwrite")
+              .parquet(s"$reportPath/v_$batchId")
+          }
+          dropSuperseded(reportPath)
+        } finally arrivals.unpersist(blocking = false)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // ---- the consistent cross-index view ----
+    val labels = latestSnapshot(spark, labelsPath, labelsSchema)
+    val report = latestSnapshot(spark, reportPath, reportSchema)
+    val annStored = spark.read.parquet(s"$storePath/ann/assignment")
+      .select(col("vec_id"), col("cell"))
+    val hadoopDelta = new org.apache.hadoop.fs.Path(deltaPath)
+    val fs = hadoopDelta.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val annView = if (!fs.exists(hadoopDelta)) annStored
+      else annStored.unionByName(spark.read.parquet(deltaPath)
+        .dropDuplicates("vec_id").select(col("vec_id"), col("cell")))
+    report
+      .join(annView.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"),
+        col("n_positions"), col("n_dup_positions"), col("cell"))
+  }
+
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -346,6 +346,78 @@ class StreamsSpec extends SparkSpec {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("ingest trio stream: 3 sliced batches — all three at-rest " +
+    "artifacts converge to their from-scratch batch computations") {
+    // the batch-boundary consistency pin: ONE sliced arrivals stream
+    // drives all three indexes, and after it drains, EACH artifact
+    // (CC labels, SA dup report, IVF assignment) must equal its
+    // independent from-scratch batch truth — simultaneously, out of
+    // the same store
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft_trio_slices").toString
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .orderBy("doc_id")
+    val n = raw.count()
+    val chunks = raw.collect().grouped((n / 3 + 1).toInt).toSeq
+    val schema = raw.schema
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val staging = Files.createTempDirectory(s"graft_trio_st_$i")
+        .toString
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/docs_$i.parquet"))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_trio_sl").toString
+    val store = Files.createTempDirectory("graft_trio_store").toString
+    val sliced = graft.streaming.Streams.ingestTrioStream(spark, tmp,
+        ckpt, store, numPerms = 8, numBands = 4, threshold = 0.8,
+        minLen = 5, glob = "*.parquet",
+        embPath = Some(s"$dir/embeddings.parquet"), maxStoreFiles = 2)
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    // from-scratch truths, each computed independently
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ccTruth = graft.dedup.Dedup.connectedComponents(
+        graft.dedup.Dedup.minhashLshPairs(docs, "doc_id", "text",
+          numPerms = 8, numBands = 4, threshold = 0.8),
+        "doc_a", "doc_b")
+      .select(col("doc_id"), col("comp"))
+      .as[(Long, Long)].collect().toMap
+    val saTruth = graft.text.SuffixArray.dupPositions(docs, "doc_id",
+        "text", minLen = 5)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val corpus = emb.filter(col("vec_id") % 17 =!= 0)
+    val annTruth = corpus.select(col("vec_id"), col("label").as("cell"))
+      .unionByName(graft.similarity.Similarity.assignToCells(
+        emb.filter(col("vec_id") % 17 === 0), corpus,
+        corpus.select(col("vec_id"), col("label").as("cell"))))
+      .as[(Long, Int)].collect().toMap
+    val expected = saTruth.map { case (id, (np, nd)) =>
+      (id, ccTruth.getOrElse(id, id), np, nd, annTruth(id)) }.toSet
+    assert(sliced === expected)
+    assert(sliced.size === n)
+    // the consistency claim only bites if arrivals actually exercise
+    // each index: a cross-split CC cluster, an arrival-side dup, and
+    // at least one arrival assigned to some corpus-trained cell
+    assert(expected.exists { case (id, comp, _, _, _) =>
+      id % 17 == 0 && comp != id },
+      "fixture must cluster an arrival with the corpus")
+    assert(expected.exists { case (id, _, _, nd, _) =>
+      id % 17 == 0 && nd > 0 },
+      "fixture must contain an arrival-side duplicated doc")
+    assert(expected.exists { case (id, _, _, _, _) => id % 17 == 0 })
+    // the store keeps the single-stream layouts: every at-rest
+    // consumer of the singles reads a trio store unchanged
+    Seq("cc/sets", "cc/buckets", "sa/gram_positions", "sa/gram_stats",
+      "ann/assignment", "ann/centroids", "ann/assignment_delta")
+      .foreach(sub => assert(new java.io.File(s"$store/$sub").exists(),
+        s"missing trio store artifact $sub"))
+  }
+
   test("sa maintain stream: 3 sliced batches converge to from-scratch " +
     "dup report") {
     // the growing gram log makes cross-batch duplicates discoverable,
