@@ -25,7 +25,7 @@ object ExtensionQueries {
   // DuckDB token-set fragment mirroring Text.tokenSet (distinct order
   // differs between engines, but every consumer is order-insensitive:
   // sizes, mins, intersections).
-  private val dTokens =
+  private[graft] val dTokens =
     """list_distinct(string_split_regex(trim(regexp_replace(lower(text),
        '[^a-z0-9\s]+', ' ', 'g')), '\s+'))"""
 
@@ -34,10 +34,10 @@ object ExtensionQueries {
   // training result is m·ksub = 32 tiny rows, cached as collected rows
   // (not a persisted frame — the bench clears cached/checkpointed data
   // between queries) and rebuilt into a local DataFrame on each use.
-  private val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
+  private[graft] val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
     String, (org.apache.spark.sql.types.StructType,
       Array[org.apache.spark.sql.Row])]()
-  private def sharedPqCodebook(s: SparkSession, d: String): DataFrame = {
+  private[graft] def sharedPqCodebook(s: SparkSession, d: String): DataFrame = {
     val (schema, rows) = pqCbCache.computeIfAbsent(s.hashCode + "|" + d,
       _ => {
         val svs = Similarity.pqSubvectors(t(s, d, "embeddings"), dim = 64,
@@ -55,7 +55,7 @@ object ExtensionQueries {
   // place. `build` writes whatever files it needs under the returned
   // directory; consumers re-read them like the persisted artifacts
   // they model (distributed — nothing is collected).
-  private def cachedArtifactDir(
+  private[graft] def cachedArtifactDir(
       cache: java.util.concurrent.ConcurrentHashMap[String, String],
       s: SparkSession, d: String, prefix: String)(
       build: String => Unit): String =
@@ -72,9 +72,9 @@ object ExtensionQueries {
   // each search re-reads the file like the index it stands for.
   // q_pq_codes deliberately does NOT use this: measuring the encode cost
   // is that query's job.
-  private val pqCodesCache =
+  private[graft] val pqCodesCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def sharedPqCodes(s: SparkSession, d: String): DataFrame =
+  private[graft] def sharedPqCodes(s: SparkSession, d: String): DataFrame =
     s.read.parquet(cachedArtifactDir(pqCodesCache, s, d,
       "graft_pq_index") { p =>
       Similarity.pqAssign(
@@ -89,9 +89,9 @@ object ExtensionQueries {
   // reachability), not something each algorithm re-derives from the
   // fact tables. Built once per (session, sf dir), written to a local
   // parquet (distributed — never collected), re-read by each consumer.
-  private val tradeEdgeCache =
+  private[graft] val tradeEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def sharedTradeEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def sharedTradeEdges(s: SparkSession, d: String): DataFrame =
     s.read.parquet(cachedArtifactDir(tradeEdgeCache, s, d,
       "graft_trade_graph") { p =>
       t(s, d, "orders")
@@ -114,7 +114,7 @@ object ExtensionQueries {
     * the max basket size — the standard market-basket contract; a
     * pathological mega-basket would need the pair count capped upstream
     * either way, since it's quadratic in ANY pair-enumeration scheme. */
-  private def coOccurrencePairsPlan(s: SparkSession, d: String)
+  private[graft] def coOccurrencePairsPlan(s: SparkSession, d: String)
   : DataFrame =
     basketPairs(t(s, d, "lineitem")
       .select(col("l_orderkey").as("k"), col("l_partkey").as("p")))
@@ -124,7 +124,7 @@ object ExtensionQueries {
     * per (basket, pair) occurrence. collect_set dedups items within a
     * basket; pair enumeration is scan-local via the indexed-slice
     * HOF. */
-  private def basketPairs(items: DataFrame): DataFrame =
+  private[graft] def basketPairs(items: DataFrame): DataFrame =
     items
       .groupBy("k")
       .agg(sort_array(collect_set(col("p"))).as("ps"))
@@ -142,9 +142,9 @@ object ExtensionQueries {
   // collected), re-read by each consumer. q_suffix_array deliberately
   // does NOT use this: measuring the build is that query's job (the
   // q_pq_codes convention).
-  private val saCache =
+  private[graft] val saCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def sharedSuffixArray(s: SparkSession, d: String): DataFrame =
+  private[graft] def sharedSuffixArray(s: SparkSession, d: String): DataFrame =
     s.read.parquet(cachedArtifactDir(saCache, s, d, "graft_sa_index") {
       p =>
         SuffixArray.suffixArray(t(s, d, "documents"), "doc_id", "text")
@@ -156,9 +156,9 @@ object ExtensionQueries {
   // persists per day/shard and merges at query time without rescanning
   // any input. Built once per (session, sf dir); the merge query reads
   // the FILES, not the lineage.
-  private val sketchStoreCache =
+  private[graft] val sketchStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def sharedSketchStore(s: SparkSession, d: String): String =
+  private[graft] def sharedSketchStore(s: SparkSession, d: String): String =
     cachedArtifactDir(sketchStoreCache, s, d, "graft_sketch_store") {
       p =>
       val ev = Tables.events(s, d)
@@ -200,9 +200,9 @@ object ExtensionQueries {
   // (incrementalNearDupsIndexed's contract). Same split as
   // q_dedup_incremental, so the file-backed probe must reproduce that
   // query's in-lineage result exactly.
-  private val lshIndexCache =
+  private[graft] val lshIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def sharedLshIndex(s: SparkSession, d: String): String =
+  private[graft] def sharedLshIndex(s: SparkSession, d: String): String =
     cachedArtifactDir(lshIndexCache, s, d, "graft_lsh_index") { p =>
       val sets = Dedup.shingleSets(
         t(s, d, "documents").filter(col("doc_id") % 17 =!= 0),
@@ -215,9 +215,9 @@ object ExtensionQueries {
   // materialized like sharedTradeEdges: the co-occurrence edge list is
   // the same built-once-per-snapshot graph artifact, read at rest by
   // the triangle-family analytics
-  private val coPairsCache =
+  private[graft] val coPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def coOccurrencePairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def coOccurrencePairs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(cachedArtifactDir(coPairsCache, s, d,
       "graft_co_graph") { p =>
       coOccurrencePairsPlan(s, d).write.mode("overwrite")
@@ -244,9 +244,9 @@ object ExtensionQueries {
   //              family was re-computing per query (derived from
   //              co_counts at snapshot time; consumers keep reading
   //              the small cut, maintenance reads the full rollup)
-  private val graphSnapCache =
+  private[graft] val graphSnapCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def graphSnapshotDir(s: SparkSession, d: String): String =
+  private[graft] def graphSnapshotDir(s: SparkSession, d: String): String =
     cachedArtifactDir(graphSnapCache, s, d, "graft_graph_snapshot") {
       p =>
       val e = sharedTradeEdges(s, d)
@@ -274,19 +274,19 @@ object ExtensionQueries {
       s.read.parquet(s"$p/co_counts").filter(col("sup") >= 2)
         .write.mode("overwrite").parquet(s"$p/co_support")
     }
-  private def symAdjacency(s: SparkSession, d: String): DataFrame =
+  private[graft] def symAdjacency(s: SparkSession, d: String): DataFrame =
     s.read.parquet(graphSnapshotDir(s, d) + "/sym")
-  private def weightedSymAdjacency(s: SparkSession, d: String): DataFrame =
+  private[graft] def weightedSymAdjacency(s: SparkSession, d: String): DataFrame =
     s.read.parquet(graphSnapshotDir(s, d) + "/sym_w")
-  private def graphDegrees(s: SparkSession, d: String): DataFrame =
+  private[graft] def graphDegrees(s: SparkSession, d: String): DataFrame =
     s.read.parquet(graphSnapshotDir(s, d) + "/degrees")
   // node inventory = the degree view with the count pruned away at
   // the parquet scan — no separate file, no distinct per query
-  private def graphNodes(s: SparkSession, d: String): DataFrame =
+  private[graft] def graphNodes(s: SparkSession, d: String): DataFrame =
     graphDegrees(s, d).select("node")
-  private def coSupportGraph(s: SparkSession, d: String): DataFrame =
+  private[graft] def coSupportGraph(s: SparkSession, d: String): DataFrame =
     s.read.parquet(graphSnapshotDir(s, d) + "/co_support")
-  private def coCountsGraph(s: SparkSession, d: String): DataFrame =
+  private[graft] def coCountsGraph(s: SparkSession, d: String): DataFrame =
     s.read.parquet(graphSnapshotDir(s, d) + "/co_counts")
 
   // The DeepWalk corpus at rest: walk generation is a training-data
@@ -295,9 +295,9 @@ object ExtensionQueries {
   // snapshot like the suffix array. q_random_walks deliberately does
   // NOT read this: measuring the walk build is that query's job (the
   // q_suffix_array convention).
-  private val walkCache =
+  private[graft] val walkCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def sharedWalkCorpus(s: SparkSession, d: String): DataFrame =
+  private[graft] def sharedWalkCorpus(s: SparkSession, d: String): DataFrame =
     s.read.parquet(cachedArtifactDir(walkCache, s, d,
       "graft_walk_corpus") { p =>
       Walks.randomWalks(symAdjacency(s, d), "src", "dst",
@@ -312,9 +312,9 @@ object ExtensionQueries {
   // REPORT (so merging a delta patches report rows instead of
   // re-aggregating corpus-sized position sets). Derived once per
   // (session, sf dir) FROM the at-rest SA.
-  private val saDeltaCache =
+  private[graft] val saDeltaCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def saProbeIndexDir(s: SparkSession, d: String): String =
+  private[graft] def saProbeIndexDir(s: SparkSession, d: String): String =
     cachedArtifactDir(saDeltaCache, s, d, "graft_sa_probe_index") { p =>
       val docs = t(s, d, "documents")
       val sa = sharedSuffixArray(s, d)
@@ -333,9 +333,9 @@ object ExtensionQueries {
   // snapshot a stream deployment RESTORES from instead of re-running
   // the SA build at start-up. Shared read-only; each stream run
   // copies it into its own mutable store (the store grows per batch).
-  private val saStreamSeedCache =
+  private[graft] val saStreamSeedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def saStreamSeedDir(s: SparkSession, d: String): String =
+  private[graft] def saStreamSeedDir(s: SparkSession, d: String): String =
     cachedArtifactDir(saStreamSeedCache, s, d, "graft_sa_stream_seed") {
       p =>
       SuffixArray.seedProbeStore(
@@ -349,9 +349,9 @@ object ExtensionQueries {
   // of re-deriving centroids at start-up. Shared read-only; each
   // stream run copies it into its own mutable store (the assignment
   // log grows per batch).
-  private val annStreamSeedCache =
+  private[graft] val annStreamSeedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def annStreamSeedDir(s: SparkSession, d: String): String =
+  private[graft] def annStreamSeedDir(s: SparkSession, d: String): String =
     cachedArtifactDir(annStreamSeedCache, s, d, "graft_ann_stream_seed") {
       p =>
       Similarity.seedIvfStore(
@@ -364,9 +364,9 @@ object ExtensionQueries {
   // sharedSuffixArray — the zero-dup proof query and any downstream
   // consumer of the cleaned corpus read the same artifact instead of
   // re-running prefix doubling per query.
-  private val scrubSaCache =
+  private[graft] val scrubSaCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def sharedScrubbedSa(s: SparkSession, d: String)
+  private[graft] def sharedScrubbedSa(s: SparkSession, d: String)
   : (DataFrame, DataFrame) = {
     val p = cachedArtifactDir(scrubSaCache, s, d, "graft_scrub_sa") {
       p =>
@@ -408,3300 +408,25 @@ object ExtensionQueries {
     sharedPqCodes(s, d)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- sources / sinks (S4-S8) ------------------------------------------
-    "q_s_csv_roundtrip" -> ((s, d) =>
-      StagedSources.csvRoundTrip(s, t(s, d, "nation"))),
-
-    "q_s_orc_roundtrip" -> ((s, d) =>
-      StagedSources.orcRoundTrip(s, t(s, d, "nation"))),
-
-    // ---- S1/P6: literal HTML <table> parse --------------------------------
-    // one rendered page per region (the S2 multi-page shape), each with
-    // a colspan'd 2-LEVEL header (the coaches.py:49-53 case), pushed
-    // through the scan-local read_html analog, header-flattened, pivoted
-    // back to typed columns — the oracle checks the exact round-trip
-    "q_s1_html_table" -> ((s, d) => {
-      val pages = t(s, d, "nation")
-        .select(col("n_regionkey").as("page"),
-          struct(col("n_nationkey"), col("n_name")).as("r"))
-        .groupBy("page")
-        .agg(array_sort(collect_list(col("r"))).as("rs"))
-        .select(col("page"),
-          HtmlTables.renderPage(Seq(
-            Seq("nation" -> 2, "geo" -> 1),
-            Seq("key" -> 1, "name" -> 1, "region" -> 1)))(
-            transform(col("rs"), r => array(
-              r.getField("n_nationkey").cast("string"),
-              r.getField("n_name"),
-              col("page").cast("string")))).as("html"))
-      val long = HtmlTables.table(pages, "page", "html", headerRows = 2)
-      HtmlTables.pivot(long,
-          Seq("nation_key", "nation_name", "geo_region"))
-        .select(col("nation_key").cast("long").as("n_nationkey"),
-          col("nation_name").as("n_name"),
-          col("geo_region").cast("long").as("n_regionkey"))
-        .orderBy("n_nationkey")
-    }),
-
-    "q_s_json_roundtrip" -> ((s, d) =>
-      StagedSources.jsonRoundTrip(s, t(s, d, "supplier"))),
-
-    // XML sink → scan round trip (Spark 4 built-in source; explicit
-    // rowTag, schema pinned at read — inference alphabetizes columns
-    // and costs a full extra pass)
-    "q_s_xml_roundtrip" -> ((s, d) =>
-      StagedSources.xmlRoundTrip(s, t(s, d, "region"))),
-
-    // RECURSIVE CTE through the spark.sql front door (Spark 4 WITH
-    // RECURSIVE, delta semantics — probed): the org-chart rollup shape
-    // over the decimal-digit hierarchy (parent = key DIV 10, roots
-    // < 10; key 0's self-edge excluded or the recursion never
-    // exhausts). Per root: subtree size, max depth, exact subtree
-    // balance in cents. The oracle runs DuckDB's recursive CTE over
-    // the same hierarchy — two engines' recursion agreeing row for row.
-    "q_sql_recursive" -> ((s, d) => {
-      t(s, d, "customer").createOrReplaceTempView("customer_rv")
-      s.sql("""
-        WITH RECURSIVE anc(root, node, depth, bal) AS (
-          SELECT c_custkey, c_custkey, 0,
-                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
-          FROM customer_rv WHERE c_custkey < 10
-          UNION ALL
-          SELECT a.root, c.c_custkey, a.depth + 1,
-                 CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
-          FROM anc a JOIN customer_rv c
-            ON c.c_custkey DIV 10 = a.node AND c.c_custkey >= 10
-        )
-        SELECT root, COUNT(*) AS n_nodes,
-               CAST(MAX(depth) AS BIGINT) AS max_depth,
-               SUM(bal) AS subtree_cents
-        FROM anc GROUP BY root ORDER BY root""")
-    }),
-
-    // batch 0 wrote (key, name), batch 1 added s_nationkey; the merged
-    // read must surface legacy rows with a null for the new column
-    "q_s_schema_evolution" -> ((s, d) => {
-      val sup = t(s, d, "supplier")
-      StagedSources.evolvedRead(s,
-        sup.filter(col("s_suppkey") % 2 === 0)
-          .select("s_suppkey", "s_name"),
-        sup.filter(col("s_suppkey") % 2 =!= 0)
-          .select("s_suppkey", "s_name", "s_nationkey"))
-        .groupBy(col("s_nationkey").isNull.as("legacy_rows"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(coalesce(col("s_nationkey"), lit(0))).cast("bigint")
-            .as("sum_nk"))
-    }),
-
-    // every 7th supplier line is mangled before the scan; the PERMISSIVE
-    // read must quarantine exactly those and parse the rest
-    "q_s_quarantine" -> ((s, d) =>
-      StagedSources.permissiveJsonQuarantine(s,
-        t(s, d, "supplier").select("s_suppkey", "s_name", "s_nationkey"),
-        col("s_suppkey") % 7 === 0)
-        .groupBy(col("_corrupt_record").isNotNull.as("quarantined"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(coalesce(col("s_suppkey"), lit(0))).cast("bigint")
-            .as("sum_key"))),
-
-    // fragment orders into 64 micro-files, compact to ~4 MB targets, and
-    // aggregate the compacted copy — proves the maintenance rewrite is
-    // content-preserving (file-count/size bounds are asserted in
-    // LayoutSpec; the oracle can only see rows)
-    "q_s_compaction" -> ((s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_compact_q").toString
-      t(s, d, "orders").repartition(64)
-        .write.mode("overwrite").parquet(s"$tmp/frag")
-      Layout.compact(s, s"$tmp/frag", s"$tmp/compacted",
-        targetBytes = 4L * 1024 * 1024)
-      s.read.parquet(s"$tmp/compacted")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-            .as("sum_price"))
-    }),
-
-    "q_s8_partitioned_sink" -> ((s, d) =>
-      StagedSources.partitionedRoundTrip(s,
-        t(s, d, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag"),
-        "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
-            .as("sum_qty"))),
-
-    // ---- as-of join --------------------------------------------------------
-    "q_asof_join" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("event_id"), col("ts"),
-          (col("user_id") % 25).as("uk"))
-      // dedupe right side per (key, ts): keep max orderkey (ASOF ties)
-      val ord = t(s, d, "orders")
-        .select((col("o_custkey") % 25).as("uk"), col("o_orderdate"),
-          col("o_orderkey"), col("o_totalprice"))
-        .groupBy("uk", "o_orderdate")
-        .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("m"))
-        .select(col("uk"), col("o_orderdate"),
-          col("m.o_orderkey").as("o_orderkey"),
-          col("m.o_totalprice").as("o_totalprice"))
-      asof.asOfJoin(ev, ord,
-        key = "uk", leftTs = "ts", rightTs = "o_orderdate",
-        payload = Seq("o_orderkey", "o_totalprice"))
-        .select("event_id", "o_orderkey", "o_totalprice")
-    }),
-
-    // ---- range join (binned equi rewrite of the inequality join) ----------
-    "q_range_join" -> ((s, d) => {
-      val points = t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
-          (col("l_partkey") % 200).as("shard"))
-      val intervals = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderdate"),
-          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("o_end"),
-          (col("o_orderkey") % 200).as("shard"))
-      // bin width tunes candidate fan-out: candidates ∝ (bin + interval
-      // length), interval replication ∝ (length/bin + 1). 5d bins cut
-      // candidate pairs ~40% vs 30d for +20% interval rows (measured
-      // 4.5 s → 3.6 s warm at sf0.1); correctness is bin-independent
-      // (exact containment filter after the equi join — RangeJoinSpec)
-      rangejoin.binnedRangeJoin(points, "l_shipdate",
-        intervals, "o_orderdate", "o_end",
-        binSeconds = 5L * 24 * 3600, extraKeys = Seq("shard"))
-        .select("l_orderkey", "l_linenumber", "o_orderkey")
-    }),
-
-    // ---- interval × interval overlap join ---------------------------------
-    // two-sided binned equi rewrite: pairs of 30-day order windows (same
-    // customer shard) that overlap in time. The start-bin ownership
-    // predicate dedups multi-bin pairs without a second shuffle. Unlike
-    // the point-interval join above, candidates are minimized at bin ≈
-    // interval length (each side lands on ≤ 2 bins): 30d bins measured
-    // 1.34 s warm vs 1.75 s at 10d bins (sf0.1); correctness is
-    // bin-independent (RangeJoinSpec sweeps 1h/1d/30d widths).
-    "q_interval_overlap" -> ((s, d) => {
-      def side(par: Int, tag: String) =
-        t(s, d, "orders").filter(col("o_orderkey") % 2 === par)
-          .select(col("o_orderkey").as(s"${tag}_key"),
-            col("o_orderdate").as(s"${tag}_start"),
-            (col("o_orderdate") + expr("INTERVAL 30 DAYS"))
-              .as(s"${tag}_end"),
-            (col("o_custkey") % 200).as("shard"))
-      rangejoin.intervalOverlapJoin(
-        side(0, "a"), "a_start", "a_end",
-        side(1, "b"), "b_start", "b_end",
-        binSeconds = 30L * 24 * 3600, extraKeys = Seq("shard"))
-        .select("a_key", "b_key")
-    }),
-
-    // ---- Allen interval-algebra classification ----------------------------
-    // every CONTACT pair of order windows (10/20/30-day lengths so all
-    // 11 relations occur at date granularity) classified into Allen's
-    // relation — inclusive-end binning catches boundary-only `meets`
-    // pairs; output is the relation census
-    "q_allen_relations" -> ((s, d) => {
-      def side(par: Int, tag: String) =
-        t(s, d, "orders").filter(col("o_orderkey") % 2 === par)
-          .select(col("o_orderkey").as(s"${tag}_key"),
-            col("o_orderdate").as(s"${tag}_start"),
-            date_add(col("o_orderdate"),
-              ((col("o_orderkey") % 3 + 1) * 10).cast("int"))
-              .as(s"${tag}_end"),
-            (col("o_custkey") % 200).as("shard"))
-      rangejoin.allenRelations(
-        side(0, "a"), "a_start", "a_end",
-        side(1, "b"), "b_start", "b_end",
-        binSeconds = 30L * 24 * 3600, extraKeys = Seq("shard"))
-        .groupBy("relation")
-        .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("relation")
-    }),
-
-    // ---- time-weighted average (TWAP) -------------------------------------
-    // per-priority mean order price weighted by how long each order
-    // window stays open (1–60 days keyed off the orderkey) — integer
-    // cents × exact epoch seconds, one hash aggregate
-    "q_time_weighted_avg" -> ((s, d) =>
-      timeseries.timeWeightedAvg(
-        t(s, d, "orders").select(col("o_orderpriority").as("pri"),
-          col("o_orderdate").as("w_start"),
-          date_add(col("o_orderdate"),
-            (col("o_orderkey") % 60 + 1).cast("int")).as("w_end"),
-          col("o_totalprice").as("price")),
-        "pri", "w_start", "w_end", "price")),
-
-    // ---- OHLC candle resample ---------------------------------------------
-    // daily bars per event type over the event stream: one hash agg,
-    // open/close via min_by/max_by on (ts, event_id) — no sort window.
-    // Integer-cent tick values in, so every output cell is BIGINT
-    // (DOUBLE/DECIMAL bars survive a byte compare but not a
-    // pandas-path one: DuckDB DECIMAL lands as float64, parquet
-    // DECIMAL as Decimal objects)
-    "q_ohlc_bars" -> ((s, d) =>
-      timeseries.ohlcBars(
-        Tables.events(s, d).withColumn("value_c",
-          (col("value").cast("decimal(18,2)") * 100).cast("long")),
-        "event_type", "ts", "value_c", "event_id", barSeconds = 86400L)
-        .select(col("event_type"), col("bar_start"),
-          col("open").as("open_c"), col("high").as("high_c"),
-          col("low").as("low_c"), col("close").as("close_c"),
-          col("n_ticks"), col("volume").cast("long").as("volume_c"))
-        .orderBy("event_type", "bar_start")),
-
-    // ---- t-closeness release gate ------------------------------------------
-    // the privacy trio's third gate: per (nation, balance-bucket) group,
-    // variational distance between the group's market-segment mix and
-    // the table-wide one, micro-quantized (overflow-safe at any N);
-    // releasable iff t <= 0.30
-    "q_t_closeness" -> ((s, d) =>
-      graft.ops.relational.tCloseness(
-        t(s, d, "customer").select(col("c_nationkey"),
-          floor(col("c_acctbal") / 2000).cast("long").as("bal_bucket"),
-          col("c_mktsegment")),
-        Seq("c_nationkey", "bal_bucket"), "c_mktsegment",
-        tMicro = 300000L)
-        .orderBy("c_nationkey", "bal_bucket")),
-
-    // ---- out-of-fold target encoding ---------------------------------------
-    // leakage-safe categorical feature: fold-k rows get their
-    // category's label mean computed WITHOUT fold k; deterministic
-    // md5 folds, |categories|x5 output
-    "q_target_encoding" -> ((s, d) =>
-      analytics.targetEncoding(t(s, d, "orders"), "o_orderpriority",
-          "o_orderkey",
-          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
-          nFolds = 5)
-        .orderBy("o_orderpriority", "fold")),
-
-    // ---- randomized response (Warner local-DP collection) -----------------
-    // the sensitive bit (order value > $250) is collected under f=0.25
-    // randomized response (per-row ε≈1.9) and the per-cohort count is
-    // debiased exactly; keyed-hash draws make the privatized report
-    // itself deterministic, so the oracle checks mechanism + estimator
-    "q_randomized_response" -> ((s, d) =>
-      analytics.randomizedResponse(
-        Tables.events(s, d).withColumn("cohort", col("user_id") % 8),
-        "cohort", "event_id",
-        (col("value").cast("decimal(18,2)") * 100).cast("long") > 25000L,
-        fMicro = 250000L)
-        .orderBy("cohort")),
-
-    // ---- Markov next-event transition matrix ------------------------------
-    // P(next event type | current) per user journey, integer micros
-    "q_markov_transitions" -> ((s, d) =>
-      timeseries.transitionMatrix(Tables.events(s, d), "user_id", "ts",
-          "event_type", "event_id")
-        .orderBy("from_type", "to_type")),
-
-    // ---- CUSUM changepoint localization ------------------------------------
-    // per-user drift statistic, flag rows within 80% of the |CUSUM| peak;
-    // division-free integer math (n·Cₖ = n·prefixₖ − k·S in cents)
-    "q_cusum" -> ((s, d) =>
-      timeseries.cusumChangepoints(Tables.events(s, d), "user_id", "ts",
-          "event_id", "value", hotFrac10 = 8)
-        .orderBy("user_id", "k")),
-
-    // ---- seasonal hour-of-day profile --------------------------------------
-    // (event_type, hour) baseline + the single worst residual per cell;
-    // output bounded by |types|·24 rows at any corpus size
-    "q_seasonal" -> ((s, d) =>
-      timeseries.seasonalProfile(Tables.events(s, d), "event_type", "ts",
-          "event_id", "value")
-        .orderBy("series", "hr")),
-
-    // ---- count-min sketch ---------------------------------------------------
-    // mergeable 4×256 frequency sketch over user activity; top-25 keys by
-    // point estimate, true count alongside (est ≥ true, always) — the
-    // sketch is 1024 additive cells, broadcast at probe time
-    "q_cms_topk" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val sketch = sketches.cmsBuild(ev, "user_id", depth = 4,
-        width = 256)
-      val est = sketches.cmsEstimate(sketch,
-        ev.select("user_id").distinct(), "user_id", depth = 4,
-        width = 256)
-      est.join(ev.groupBy("user_id").agg(count(lit(1)).as("true_c")),
-          Seq("user_id"))
-        .orderBy(desc("est"), col("user_id"))
-        .limit(25)
-    }),
-
-    // ---- sketches AT REST: serialize → files → merge -----------------------
-    // (oracle for the HLL store rides below with its CMS/quantile kin)
-    // two per-shard CMS blobs persisted by sharedSketchStore are read
-    // back as FILES, unpacked, and merged by cell addition; the cells
-    // must equal a single build over the whole table (additivity is
-    // the sketch contract), which is exactly what the oracle computes
-    "q_sketch_merge_at_rest" -> ((s, d) => {
-      val store = sharedSketchStore(s, d)
-      val merged = sketches.cmsMergeCells(
-        sketches.cmsDeserialize(s.read.parquet(s"$store/shard_0"),
-          depth = 4, width = 256),
-        sketches.cmsDeserialize(s.read.parquet(s"$store/shard_1"),
-          depth = 4, width = 256))
-      merged.select(col("seed").cast("bigint").as("seed"),
-          col("bucket").cast("bigint").as("bucket"), col("c"))
-        .orderBy("seed", "bucket")
-    }),
-
-    // the quantile-sketch twin of the same story: two persisted shard
-    // bucket files merge by count addition (bkt_hi recomputed from the
-    // lower bound's bit width) and answer quantile probes with the
-    // identical ≤2^-5 bound a direct whole-table build gives
-    "q_quantile_merge_at_rest" -> ((s, d) => {
-      val store = sharedSketchStore(s, d)
-      val merged = s.read.parquet(s"$store/qsk_shard_0")
-        .unionByName(s.read.parquet(s"$store/qsk_shard_1"))
-        .groupBy("bkt_lo").agg(sum(col("cnt")).as("cnt"))
-        .withColumn("bkt_hi", col("bkt_lo") +
-          call_function("shiftleft", lit(1L),
-            greatest((length(bin(col("bkt_lo"))) - 1)
-              .cast("int") - 5, lit(0))) - 1)
-      qsketch.quantiles(merged, Seq(250, 750, 990))
-        .select(col("q_permille"), col("n"), col("est_lo"),
-          col("est_hi"))
-        .orderBy("q_permille")
-    }),
-
-    // the distinct-count store at rest: two persisted per-shard HLL
-    // blobs union into the corpus COUNT(DISTINCT) with no rescan — the
-    // q_hll_partitioned verdict shape (exact count hashed, estimate
-    // bounded in-row)
-    "q_hll_at_rest" -> ((s, d) => {
-      val store = sharedSketchStore(s, d)
-      val est = s.read.parquet(s"$store/hll_shard_0")
-        .unionByName(s.read.parquet(s"$store/hll_shard_1"))
-        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
-          .as("est_users"))
-      val exact = Tables.events(s, d)
-        .agg(countDistinct(col("user_id")).as("exact_users"))
-      est.crossJoin(exact)
-        .select(col("exact_users"),
-          (abs(col("est_users") - col("exact_users")) <=
-            col("exact_users") * lit(0.05)).as("ok"))
-    }),
-
-    // the decontamination INDEX at rest: the benchmark's Bloom blob is
-    // read back as a FILE and probed by the training corpus — the
-    // ingest-side deployment of q_bloom_contamination (same verdict
-    // shape: exact count hashed, sketch guarantees asserted in-row)
-    "q_bloom_at_rest" -> ((s, d) => {
-      val store = sharedSketchStore(s, d)
-      val docs = t(s, d, "documents")
-      val train = docs.filter(col("doc_id") % 97 =!= 0)
-      val flagged = Dedup.bloomProbe(
-        s.read.parquet(s"$store/bloom_bench"), train, "doc_id", "text",
-        k = 5)
-      val exact = Dedup.contamination(train,
-        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 5)
-        .select(col("train_id").as("doc_id"), lit(true).as("exact_hit"))
-      train.select("doc_id")
-        .join(flagged, Seq("doc_id"), "left")
-        .join(exact, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("bloom_hit"), lit(false)).as("bh"),
-          coalesce(col("exact_hit"), lit(false)).as("eh"))
-        .agg(
-          sum(when(col("eh"), 1L).otherwise(0L)).as("n_contaminated"),
-          (sum(when(col("eh") && !col("bh"), 1L).otherwise(0L)) === 0L)
-            .as("no_false_neg"),
-          (sum(when(col("bh") && !col("eh"), 1L).otherwise(0L)) * 20L <=
-            sum(when(!col("eh"), 1L).otherwise(0L))).as("fp_ok"))
-    }),
-
-    // ---- mergeable quantile sketch (HDR buckets) ---------------------------
-    // guaranteed-relative-error percentiles from a value-space-bounded
-    // bucket frame (top-6-bits truncation, pure integer bit math); the
-    // exact quantile rides along via a distributed per-value prefix sum
-    // and the ≤2^-5 containment bound is verified in-row
-    "q_quantile_sketch" -> ((s, d) =>
-      qsketch.quantileReport(
-        t(s, d, "lineitem").select(
-          (col("l_extendedprice").cast("decimal(18,2)") * 100)
-            .cast("long").as("v")),
-        "v", s = 5, permilles = Seq(10, 250, 500, 750, 990))
-        .orderBy("q_permille")),
-
-    // per-GROUP percentiles off the sketch (latency-per-endpoint shape):
-    // group-keyed bucket frames, cumulative window partitioned by group
-    // (each frame value-space bounded), same per-group ≤2^-5 guarantee
-    "q_quantile_by_group" -> ((s, d) =>
-      qsketch.groupedQuantiles(
-        t(s, d, "lineitem").select(col("l_returnflag"),
-          (col("l_extendedprice").cast("decimal(18,2)") * 100)
-            .cast("long").as("v")),
-        "l_returnflag", "v", s = 5, permilles = Seq(500, 990))
-        .orderBy("l_returnflag", "q_permille")),
-
-    // equi-depth feature discretization off the sketch: quartile
-    // boundaries from the bucket frame (est_hi at 250/500/750‰), bin =
-    // count of boundaries below the value — the boundary array is one
-    // broadcast row, the assignment a scan-local HOF
-    "q_quantile_bins" -> ((s, d) =>
-      qsketch.equiDepthBins(
-        t(s, d, "lineitem").select(
-          (col("l_extendedprice").cast("decimal(18,2)") * 100)
-            .cast("long").as("v")),
-        "v", s = 5, nBins = 4)
-        .orderBy("bin")),
-
-    // winsorization (tail clipping) at sketch percentiles: clip to
-    // [est_lo(1%), est_hi(99%)] — certain to bracket the true
-    // quantiles — and report the audit row (counts clipped per tail,
-    // winsorized sum), all integer math
-    "q_winsorize" -> ((s, d) =>
-      qsketch.winsorize(
-        Tables.events(s, d).select(
-          (col("value").cast("decimal(18,2)") * 100)
-            .cast("long").as("v")),
-        "v", s = 5, loPermille = 10, hiPermille = 990)),
-
-    // the MERGE property, demonstrated: per-source sketches built
-    // independently (as shards/days would be), merged by count addition,
-    // then queried — same bound, same verification
-    "q_quantile_merge" -> ((s, d) => {
-      // per-shard sketches in ONE scan (group key = shard × bucket,
-      // exactly what independently-built shard sketches would hold) …
-      val perShard = t(s, d, "lineitem").select(
-          (col("l_extendedprice").cast("decimal(18,2)") * 100)
-            .cast("long").as("v"),
-          (col("l_orderkey") % 4).as("shard"))
-        .select(col("shard"), qsketch.bucketLo(col("v"), 5).as("bkt_lo"))
-        .groupBy("shard", "bkt_lo").agg(count(lit(1)).as("cnt"))
-      // … merged by count addition — the whole point of the sketch
-      val merged = perShard.groupBy("bkt_lo")
-        .agg(sum(col("cnt")).as("cnt"))
-        .withColumn("bkt_hi", col("bkt_lo") +
-          call_function("shiftleft", lit(1L),
-            greatest((length(bin(col("bkt_lo"))) - 1)
-              .cast("int") - 5, lit(0))) - 1)
-      qsketch.quantiles(merged, Seq(500, 990))
-        .select(col("q_permille"), col("n"), col("est_lo"), col("est_hi"))
-        .orderBy("q_permille")
-    }),
-
-    // ---- join-size estimation from sketches ----------------------------------
-    // |orders ⋈ lineitem| predicted by the CMS inner product — two 4×4096
-    // summaries, no scan of either input at estimate time; the exact size
-    // rides along. Deterministic buckets make even the ESTIMATE
-    // oracle-reproducible
-    "q_cms_join_size" -> ((s, d) => {
-      // ONE scan per input: the per-key count frames feed both the
-      // weighted sketch build and the exact-size branch (staged so the
-      // two consumers share the aggregation)
-      val ka = t(s, d, "orders")
-        .groupBy(col("o_orderkey").as("k"))
-        .agg(count(lit(1)).as("ca")).stage()
-      val kb = t(s, d, "lineitem")
-        .groupBy(col("l_orderkey").as("k"))
-        .agg(count(lit(1)).as("cb")).stage()
-      val est = sketches.cmsJoinSize(
-        sketches.cmsBuildWeighted(ka, "k", "ca", depth = 4,
-          width = 4096),
-        sketches.cmsBuildWeighted(kb, "k", "cb", depth = 4,
-          width = 4096))
-      val exact = ka.join(kb, Seq("k"))
-        .agg(sum(col("ca") * col("cb")).as("exact_join_size"))
-      est.crossJoin(exact) // two one-row frames
-        .select(col("est_join_size"), col("exact_join_size"),
-          (col("est_join_size") >= col("exact_join_size")).as("never_under"))
-    }),
-
-    // ---- 2-D Pareto skyline -------------------------------------------------
-    // parts not dominated on (size, price): per-size minima (bounded by
-    // size's value space) → tiny strict-prefix frontier → broadcast filter
-    "q_skyline" -> ((s, d) =>
-      analytics.skyline2(
-        t(s, d, "part").select(col("p_partkey"), col("p_size"),
-          (col("p_retailprice").cast("decimal(18,2)") * 100)
-            .cast("long").as("price_c")),
-        "p_size", "price_c")
-        .orderBy("p_partkey")),
-
-    // ---- Jaro-Winkler record linkage ---------------------------------------
-    // typo'd part names matched back to the canonical list: blocked
-    // equi-join on the first character, scored by the exact-rational
-    // native graft_jaro_winkler inside whole-stage codegen — never an
-    // unblocked all-pairs
-    "q_jaro_linkage" -> ((s, d) => {
-      val canon = t(s, d, "part").select(col("p_name").as("name"))
-        .distinct()
-      val typos = canon.select(
-        expr("concat(substr(name,1,1), substr(name,3,1), " +
-          "substr(name,2,1), substr(name,4))").as("t_name"))
-      typos.withColumn("blk", expr("substr(t_name,1,1)"))
-        .join(canon.withColumn("blk", expr("substr(name,1,1)")),
-          Seq("blk"))
-        .withColumn("jw", expr("graft_jaro_winkler(t_name, name)"))
-        .filter(col("jw") >= lit(880000L))
-        .select(col("t_name"), col("name").as("match_name"),
-          levenshtein(col("t_name"), col("name")).as("lev"))
-        .orderBy("t_name", "match_name")
-    }),
-
-    // ---- phonetic blocking linkage -----------------------------------------
-    // same typo'd-names task, but candidates block on the SOUNDEX of the
-    // first word (exprs.soundexKey — scan-local fold, zero shuffle to
-    // key) instead of the first character: the classic phonetic blocking
-    // strategy, scored by the same exact-rational Jaro-Winkler gate
-    "q_phonetic_linkage" -> ((s, d) => {
-      val canon = t(s, d, "part").select(col("p_name").as("name"))
-        .distinct()
-        .withColumn("skey",
-          exprs.soundexKey(split(col("name"), " ").getItem(0)))
-      val typos = canon.select(
-        expr("concat(substr(name,1,1), substr(name,3,1), " +
-          "substr(name,2,1), substr(name,4))").as("t_name"))
-        .withColumn("skey",
-          exprs.soundexKey(split(col("t_name"), " ").getItem(0)))
-      typos.join(canon, Seq("skey"))
-        .withColumn("jw", expr("graft_jaro_winkler(t_name, name)"))
-        .filter(col("jw") >= lit(880000L))
-        .select(col("t_name"), col("name").as("match_name"),
-          levenshtein(col("t_name"), col("name")).as("lev"))
-        .orderBy("t_name", "match_name")
-    }),
-
-    // ---- sweep-line peak concurrency --------------------------------------
-    // max simultaneously-open 30-day order windows per priority, via the
-    // distributed prefix sum in ops.sweepline — no single-partition
-    // window anywhere, the only global object is the (key, month-bucket)
-    // offset table
-    "q_concurrency_peak" -> ((s, d) =>
-      sweepline.peakConcurrency(
-        t(s, d, "orders").select(col("o_orderpriority").as("pri"),
-          col("o_orderdate").as("o_start"),
-          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("o_end")),
-        "pri", "o_start", "o_end", bucketSeconds = 32L * 24 * 3600)),
-
-    // ---- sliding-window aggregation (§2.9 extension) ----------------------
-    "q_sliding_window" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "2 hours", "1 hour").as("win"),
-          col("event_type"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,2)")).cast("double")
-            .as("sum_value"))
-        .select(col("win.start").as("window_start"), col("event_type"),
-          col("cnt"), col("sum_value"))),
-
-    // ---- JSON props (events.props → typed) --------------------------------
-    "q_json_props" -> ((s, d) =>
-      Tables.events(s, d)
-        .withColumn("m", from_json(col("props"),
-          org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
-        .select(col("event_id"), element_at(col("m"), "k").as("k_val"))),
-
-    // Spark 4 VARIANT path for the same payload: parse once to the
-    // binary variant encoding, then TYPED path extraction — unlike
-    // from_json this needs no up-front schema, which is the 100 TB
-    // semistructured-ingest story (schema drift lands as variant, not
-    // as a quarantine batch). Absent paths are NULL, not errors.
-    "q_json_variant" -> ((s, d) =>
-      Tables.events(s, d)
-        .withColumn("v", parse_json(col("props")))
-        .select(col("event_id"),
-          expr("variant_get(v, '$.k', 'bigint')").as("k_val"),
-          expr("variant_get(v, '$.absent', 'bigint')").as("absent_val"))),
-
-    // ---- text analysis -----------------------------------------------------
-    "q_text_token_stats" -> ((s, d) =>
-      t(s, d, "documents").select(
-        col("doc_id"),
-        Text.tokenCount(col("text")).as("n_tokens"),
-        size(Text.tokenSet(col("text"))).as("n_distinct"),
-        Text.bpeishTokenCount(col("text")).as("n_bpe_tokens"),
-        length(col("text")).cast("bigint").as("len_chars"))),
-
-    "q_text_langid" -> ((s, d) =>
-      t(s, d, "documents").select(
-        col("doc_id"), col("lang"),
-        Text.langId(col("text")).as("pred_lang"))),
-
-    // the datasheet a published corpus ships with — Text.dataCard
-    "q_data_card" -> ((s, d) =>
-      Text.dataCard(t(s, d, "documents"), "doc_id", "text", "lang",
-        "source")),
-
-    // per-supplier shipment-volume trend: OLS from exact integer
-    // moment sums — ops.analytics.groupTrend
-    "q_trend" -> ((s, d) =>
-      analytics.groupTrend(t(s, d, "lineitem"), "l_suppkey",
-        datediff(col("l_shipdate").cast("date"),
-          to_date(lit("1992-01-01"))),
-        col("l_quantity"))),
-
-    // corpus-mix concentration: Gini over per-source token mass —
-    // ops.analytics.giniConcentration on the aggregated source table
-    "q_gini_sources" -> ((s, d) =>
-      analytics.giniConcentration(
-        t(s, d, "documents").groupBy("source")
-          .agg(sum(coalesce(Text.tokenCount(col("text")).cast("long"),
-            lit(0L))).as("tok")),
-        "source", "tok")),
-
-    // χ² independence of (lang, source): is any crawl source quietly
-    // deciding a language's representation? One contingency agg,
-    // zero cells materialized, per-cell terms in integer micros
-    "q_chi2_assoc" -> ((s, d) =>
-      analytics.chiSquare(t(s, d, "documents"), "lang", "source")),
-
-    // recency-weighted per-user engagement: integer-micros decay snap
-    // keeps the weighted sum associative — ops.timeseries.decayedSum
-    "q_decayed_agg" -> ((s, d) =>
-      graft.ops.timeseries.decayedSum(Tables.events(s, d), "user_id",
-        "ts", "value", halflifeSec = 86400L)),
-
-    // cross-scorer calibration: percent-rank n_chars within each
-    // source, keep the per-source top quarter — Text.rankNormalize
-    "q_rank_norm" -> ((s, d) =>
-      Text.rankNormalize(t(s, d, "documents"), "source",
-        col("n_chars"), "doc_id", keepTop = 0.25)),
-
-    // compression-ratio quality signal (functions.DeflateLen): the
-    // deflate length itself is zlib-build-specific, so the oracle row
-    // carries the portable verdicts — zlib's worst-case bound holds,
-    // and natural text ≥100 bytes compresses below 0.9 — while the
-    // discriminative behavior (repetitive ≪ prose ≪ noise) is pinned
-    // in DeflateLenSpec
-    "q_compression_ratio" -> ((s, d) => {
-      val tx = coalesce(col("text"), lit(""))
-      val nb = octet_length(tx).cast("long")
-      val dl = call_function("graft_deflate_len", tx)
-      t(s, d, "documents").select(
-        col("doc_id"), nb.as("n_bytes"),
-        // size-proportional slack: zlib's documented worst case grows
-        // with input (compressBound ≈ n + n/1000 + 13 — 5 bytes per
-        // stored block), so a flat +64 would under-cover incompressible
-        // documents beyond ~50 KB
-        (dl <= nb + floor(nb / lit(1000L)).cast("long") + lit(64L))
-          .as("ok_bound"),
-        (nb < 100L || dl.cast("double") < nb * lit(0.9))
-          .as("ok_compresses"))
-    }),
-
-    // Unicode-script composition + dominant class — the pre-langid
-    // routing signal and mojibake detector (Text.scriptCounts)
-    "q_script_mix" -> ((s, d) => {
-      val cs = Seq("latin", "digit", "space", "cyrillic", "cjk", "other")
-      val sc = t(s, d, "documents")
-        .select(col("doc_id"),
-          Text.scriptCounts(col("text")).as("sc"))
-      val mx = greatest(cs.map(c => col(s"sc.$c")): _*)
-      // dominant = FIRST class in fixed order hitting the max count —
-      // deterministic, and the same CASE unrolls in the SQL twin
-      val dominant = cs.tail.foldLeft(
-        when(col(s"sc.${cs.head}") === mx, lit(cs.head))) {
-        case (acc, c) => acc.when(col(s"sc.$c") === mx, lit(c))
-      }
-      sc.select(col("doc_id") +:
-        col("sc.n_chars").cast("long").as("n_chars") +:
-        cs.map(c => col(s"sc.$c").cast("long").as(c)) :+
-        dominant.as("dominant"): _*)
-    }),
-
-    // k-anonymity release gate over quasi-identifiers (nation, segment,
-    // balance bucket): rare combinations are generalized to '*' before
-    // the table can leave the enclave — ops.relational.kAnonymity
-    "q_k_anonymity" -> ((s, d) =>
-      graft.ops.relational.kAnonymity(
-        t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
-          col("c_mktsegment"),
-          floor(col("c_acctbal") / 500).cast("long").as("bal_bucket")),
-        Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5)),
-
-    // l-diversity homogeneity gate on top of the k-anonymity shape:
-    // a (nation, balance-bucket) group whose members all share one
-    // market segment leaks it — sensitive value masked, row flagged
-    "q_l_diversity" -> ((s, d) =>
-      graft.ops.relational.lDiversity(
-        t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
-          floor(col("c_acctbal") / 500).cast("long").as("bal_bucket"),
-          col("c_mktsegment")),
-        Seq("c_nationkey", "bal_bucket"), "c_mktsegment", l = 3)),
-
-    "q_text_quality" -> ((s, d) =>
-      t(s, d, "documents")
-        .withColumn("q", Text.qualityScore(col("text")))
-        .select(col("doc_id"),
-          col("q.n_tokens").cast("bigint").as("n_tokens"),
-          graft.ops.analytics.roundDouble(col("q.mean_word_len"), 6).as("mean_word_len"),
-          graft.ops.analytics.roundDouble(col("q.punct_ratio"), 6).as("punct_ratio"))),
-
-    "q_text_fingerprint" -> ((s, d) =>
-      t(s, d, "documents").select(
-        col("doc_id"),
-        Text.exactFingerprint(col("text")).as("fp_exact"),
-        Text.minShingleFingerprint(col("text"), 3).as("fp_minshingle"),
-        Text.rollingFingerprint(col("text")).as("fp_rolling"))),
-
-    // per-language top-quartile cut on mean word length — the
-    // percentile-gate corpus filter (threshold = exact interpolated p75)
-    "q_quality_gate" -> ((s, d) =>
-      Text.percentileGate(
-        t(s, d, "documents").select(col("doc_id"), col("lang"),
-          col("text")),
-        "lang",
-        Text.qualityScore(col("text")).getField("mean_word_len"),
-        p = 0.75)
-        .select("doc_id", "lang")),
-
-    // BM25 lexical retrieval: top-20 docs for a fixed query bag
-    "q_bm25_topk" -> ((s, d) =>
-      Text.bm25TopK(t(s, d, "documents"), "doc_id", "text",
-        Seq("spark", "vector", "window", "join"), k = 20)),
-
-    // hybrid retrieval: BM25 top-20 and brute-force ANN top-20 (query =
-    // vector 0; doc_id ↔ vec_id is the testdata's 1:1 key) fused by
-    // reciprocal rank — the lexical+vector consensus a RAG/retrieval
-    // pipeline serves
-    "q_hybrid_rrf" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val bm25 = Text.bm25TopK(t(s, d, "documents"), "doc_id", "text",
-        Seq("spark", "vector", "window", "join"), k = 20)
-        // rank over the (rounded) returned score — 20 rows, so the
-        // unpartitioned window is a constant-size frame
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(graft.ops.windows.boundedGlobal(col("doc_id")))
-            .orderBy(col("score").desc, col("doc_id"))))
-        .select(col("doc_id"), col("rank"))
-      val emb = t(s, d, "embeddings")
-      val ann = Similarity.bruteForceTopK(
-        emb.filter(col("vec_id") === 0), emb, k = 20)
-        .select(col("neighbor_id").as("doc_id"), col("rnk").as("rank"))
-      Text.rrfFuse(Seq(bm25, ann), "doc_id", "rank", k0 = 60, topK = 15)
-    }),
-
-    // ---- train/val/test split ---------------------------------------------
-    "q_train_split" -> ((s, d) =>
-      t(s, d, "documents")
-        .withColumn("bucket", Text.splitBucket(col("doc_id"), 100))
-        .withColumn("split",
-          when(col("bucket") < 90, "train")
-            .when(col("bucket") < 95, "val")
-            .otherwise("test"))
-        .groupBy("split")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("n_chars"))),
-
-    // ---- benchmark contamination ------------------------------------------
-    "q_contamination" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      Dedup.contamination(
-        train = docs.filter(col("doc_id") % 97 =!= 0),
-        benchmark = docs.filter(col("doc_id") % 97 === 0),
-        "doc_id", "text", k = 5)
-    }),
-
-    // Bloom-sketch decontamination, reduced to a driver-checkable
-    // verdict (the q_approx_* pattern): the exact contaminated count is
-    // oracle-compared as-is; the bloom side is asserted to miss nothing
-    // (the sketch's no-false-negative guarantee) and to stay under a 5%
-    // false-positive rate. The DuckDB twin computes the exact side and
-    // emits TRUE for both booleans, so the hash matches iff the sketch
-    // behaves.
-    "q_bloom_contamination" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val train = docs.filter(col("doc_id") % 97 =!= 0)
-      val bench = docs.filter(col("doc_id") % 97 === 0)
-      val flagged = Dedup.bloomContaminated(train, bench,
-        "doc_id", "text", k = 5)
-      val exact = Dedup.contamination(train, bench, "doc_id", "text",
-        k = 5)
-        .select(col("train_id").as("doc_id"), lit(true).as("exact_hit"))
-      train.select("doc_id")
-        .join(flagged, Seq("doc_id"), "left")
-        .join(exact, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("bloom_hit"), lit(false)).as("bh"),
-          coalesce(col("exact_hit"), lit(false)).as("eh"))
-        .agg(
-          sum(when(col("eh"), 1L).otherwise(0L)).as("n_contaminated"),
-          (sum(when(col("eh") && !col("bh"), 1L).otherwise(0L)) === 0L)
-            .as("no_false_neg"),
-          (sum(when(col("bh") && !col("eh"), 1L).otherwise(0L)) * 20L <=
-            sum(when(!col("eh"), 1L).otherwise(0L))).as("fp_ok"))
-    }),
-
-    // ---- graph quality prior (PageRank over the trade graph) --------------
-    // customer↔supplier edges from orders⋈lineitem, symmetrized (the
-    // host-graph shape: rank flows both ways, no dangling mass);
-    // supplier ids offset so the two key spaces can't collide. Integer
-    // fixed-point throughout — see graft.graph.Graph.
-    "q_pagerank" -> ((s, d) =>
-      Graph.pageRank(symAdjacency(s, d), "src", "dst", iterations = 3)
-        .orderBy(col("rank_micro").desc, col("node"))
-        .limit(20)),
-
-    // degree distribution off the snapshot's normalized degree view —
-    // the first report any graph build publishes (scale-freeness,
-    // hub count, isolated-node check); one bounded groupBy over the
-    // node-scale degrees file, the edge list never re-aggregated
-    "q_graph_degree_profile" -> ((s, d) =>
-      graphDegrees(s, d)
-        .groupBy("degree")
-        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
-        .orderBy("degree")),
-
-    // INCREMENTAL degree maintenance — the graph-family analog of
-    // q_sa_delta_dup's report patch: a delta edge batch (every 23rd
-    // customer re-appears under a new id, bringing its edges) merges
-    // into the at-rest degree view WITHOUT re-aggregating the edge
-    // list. Existing nodes patch by a broadcast join of the
-    // batch-bounded delta degrees (the degrees file is scanned, never
-    // shuffled); brand-new nodes append via an anti-join of two
-    // batch-bounded frames (the old side probed once with the delta's
-    // node set broadcast). The oracle recomputes every degree from
-    // scratch over the combined edge set.
-    "q_graph_delta_degree" -> ((s, d) => {
-      val e = sharedTradeEdges(s, d)
-      val deltaE = e.filter(col("a") % 23 === 0)
-        .select((col("a") + 20000000L).as("a"), col("b"))
-      val deltaDeg = deltaE.select(col("a").as("node"))
-        .unionAll(deltaE.select(col("b").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("d_deg"))
-      val old = graphDegrees(s, d)
-      val oldMatches = old
-        .join(broadcast(deltaDeg.select("node")), Seq("node"))
-        .select("node")
-      val patched = old.join(broadcast(deltaDeg), Seq("node"), "left")
-        .select(col("node"),
-          (col("degree") + coalesce(col("d_deg"), lit(0L)))
-            .as("degree"))
-      val fresh = deltaDeg.join(oldMatches, Seq("node"), "left_anti")
-        .select(col("node"), col("d_deg").as("degree"))
-      patched.unionByName(fresh).orderBy("node")
-    }),
-
-    // incremental maintenance of the SUPPORT graph: a delta batch of
-    // baskets (re-keyed %23 orders, plus shifted-part copies so both
-    // paths fire) patches the at-rest co_counts rollup — existing
-    // pairs increment via a broadcast join of the batch-bounded pair
-    // deltas (the rollup file is scanned, never shuffled; a sup=1
-    // pair the delta re-supports FLIPS into the support cut, which is
-    // why maintenance reads co_counts, not co_support), brand-new
-    // pairs append via an anti-join of two batch-bounded frames. The
-    // oracle recomputes the support graph from scratch over the
-    // combined basket set.
-    "q_graph_delta_support" -> ((s, d) => {
-      val base = t(s, d, "lineitem")
-        .filter(col("l_orderkey") % 23 === 0)
-        .select((col("l_orderkey") + 1000000000L).as("k"),
-          col("l_partkey").cast("long").as("p"))
-      val deltaItems = base.unionAll(
-        base.filter(col("p") % 2 === 0)
-          .select(col("k"), (col("p") + 30000000L).as("p")))
-      val deltaPairs = basketPairs(deltaItems)
-        .groupBy("a", "b").agg(count(lit(1)).as("d_sup"))
-      val old = coCountsGraph(s, d)
-        .select(col("a").cast("long").as("a"),
-          col("b").cast("long").as("b"), col("sup"))
-      val oldMatches = old
-        .join(broadcast(deltaPairs.select("a", "b")), Seq("a", "b"))
-        .select("a", "b")
-      val patched = old
-        .join(broadcast(deltaPairs), Seq("a", "b"), "left")
-        .select(col("a"), col("b"),
-          (col("sup") + coalesce(col("d_sup"), lit(0L))).as("sup"))
-      val fresh = deltaPairs
-        .join(oldMatches, Seq("a", "b"), "left_anti")
-        .select(col("a"), col("b"), col("d_sup").as("sup"))
-      patched.unionByName(fresh)
-        .filter(col("sup") >= 2)
-        .orderBy("a", "b")
-    }),
-
-    // the honest DIRECTED variant: customer→supplier edges are NOT
-    // symmetrized, so every supplier is a dangling sink — the
-    // per-round sink-mass redistribution (Graph.runPageRank) is what
-    // keeps total rank conserved; the twin unrolls the same integer
-    // iterations including the sink term
-    "q_pagerank_directed" -> ((s, d) =>
-      Graph.pageRank(sharedTradeEdges(s, d), "a", "b", iterations = 2)
-        .orderBy(col("rank_micro").desc, col("node"))
-        .limit(20)),
-
-    // edge-WEIGHTED directed PageRank: weight = lineitem count per
-    // (customer, supplier) lane, so rank follows trade VOLUME — the
-    // host-graph form where link multiplicity matters; suppliers are
-    // sinks, redistribution as in q_pagerank_directed
-    "q_pagerank_weighted" -> ((s, d) => {
-      val e = t(s, d, "orders")
-        .join(t(s, d, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 10000000L).as("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      Graph.pageRankWeighted(e, "src", "dst", "w", iterations = 2)
-        .orderBy(col("rank_micro").desc, col("node"))
-        .limit(20)
-    }),
-
-    // ---- triangle count (clustering structure of the co-occurrence graph) -
-    // parts that ship in the same order form an edge; triangles measure
-    // how clique-ish purchasing is. Degree-ordered orientation keeps the
-    // wedge join subquadratic at hub nodes — see Graph.triangleCount.
-    "q_triangle_count" -> ((s, d) =>
-      Graph.triangleCount(coOccurrencePairs(s, d), "a", "b")),
-
-    // ---- per-node local clustering coefficient ------------------------------
-    // 2T(w)/(d(d−1)) in integer micros over the co-occurrence graph —
-    // the node-level cohesion feature; work is output-bound (Σ triangles)
-    "q_clustering_coeff" -> ((s, d) =>
-      Graph.clusteringCoefficient(coOccurrencePairs(s, d), "a", "b")
-        .orderBy("node")),
-
-    // Adamic–Adar edge confidence over the SUPPORT-FILTERED
-    // co-occurrence graph: pairs must co-occur in ≥2 orders (the
-    // market-basket min-support cut — at sf0.1 it collapses 1.2M raw
-    // pairs to 3.6k genuinely-associated edges, the pruning any 100 TB
-    // graph build does before analytics); AA then scores how strongly
-    // each surviving edge is backed by shared (rare) neighbors
-    "q_adamic_adar" -> ((s, d) => {
-      Graph.adamicAdar(coSupportGraph(s, d).select("a", "b"), "a", "b")
-        .orderBy(col("aa_micro").desc, col("node_a"), col("node_b"))
-        .limit(50)
-    }),
-
-    // weighted AA over the same graph with co-occurrence SUPPORT as the
-    // edge weight — shared context counts by how strongly both
-    // endpoints connect to it, discounted by its total strength
-    "q_adamic_adar_weighted" -> ((s, d) => {
-      Graph.adamicAdarWeighted(coSupportGraph(s, d), "a", "b", "sup")
-        .orderBy(col("aa_micro").desc, col("node_a"), col("node_b"))
-        .limit(50)
-    }),
-
-    // ---- personalized PageRank (random walk with restart) -----------------
-    // teleport only to seed customers (every 10th custkey present in
-    // the graph) over the symmetrized trade graph — proximity-to-seeds
-    // scoring, the TrustRank-style whitelist expansion; 2 integer
-    // iterations, unrolled by the twin
-    "q_ppr" -> ((s, d) => {
-      val seeds = graphNodes(s, d)
-        .filter(col("node") < 10000000L && col("node") % 10 === 0)
-      Graph.personalizedPageRank(symAdjacency(s, d), "src", "dst",
-          seeds, iterations = 2)
-        .orderBy(col("rank_micro").desc, col("node"))
-        .limit(20)
-    }),
-
-    // ---- time-respecting reachability -------------------------------------
-    // contagion over the trade graph: an order at day t only spreads
-    // from parties already exposed by day t (non-decreasing timestamps)
-    // — static BFS overcounts; arrivals bucketed by ~year
-    "q_temporal_reach" -> ((s, d) => {
-      val e = t(s, d, "orders")
-        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 10000000L).as("dst"),
-          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
-            .cast("long").as("ts"))
-        .distinct()
-      val sym = e.unionAll(e.select(col("dst").as("src"),
-        col("src").as("dst"), col("ts")))
-      val seeds = sym.select(col("src").as("node")).distinct()
-        .filter(col("node") < 10000000L && col("node") % 100 === 0)
-      Graph.temporalReachability(sym, "src", "dst", "ts", seeds,
-          startTs = 0L, maxHops = 3)
-        .groupBy(expr("arrival div 365").as("bucket"))
-        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"),
-          min(col("arrival")).as("min_arrival"))
-        .orderBy("bucket")
-    }),
-
-    // ---- multi-source BFS hop distance ------------------------------------
-    // "within k hops of the trusted seed set" — the hard-cutoff
-    // companion to q_ppr's smooth proximity score; per-level node count
-    // + id-sum checksums every distance exactly
-    "q_bfs_hops" -> ((s, d) => {
-      val seeds = graphNodes(s, d)
-        .filter(col("node") < 10000000L && col("node") % 100 === 0)
-      Graph.bfsHops(symAdjacency(s, d), "src", "dst", seeds,
-          maxHops = 3)
-        .groupBy("hops")
-        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
-        .orderBy("hops")
-    }),
-
-    // ---- deterministic random walks (DeepWalk corpus) ---------------------
-    // 2 walks × 4 steps from every node of the symmetrized trade graph;
-    // next hop = rank md5(start|walk|t) mod degree over the rank-indexed
-    // adjacency — ONE adjacency probe per walk-step, no neighbor fan-out.
-    // Per-step rollup keeps the output report-sized while checksumming
-    // every walk position
-    // deliberately measures the walk-corpus BUILD off the at-rest
-    // adjacency (the q_suffix_array convention); q_walk_pairs reads
-    // the persisted corpus instead
-    "q_random_walks" -> ((s, d) => {
-      Walks.randomWalks(symAdjacency(s, d), "src", "dst",
-          walksPerNode = 2, steps = 4)
-        .groupBy("step")
-        .agg(count(lit(1)).as("n_rows"), sum(col("node")).as("node_sum"),
-          countDistinct(col("node")).as("n_distinct"))
-        .orderBy("step")
-    }),
-
-    // node2vec second-order biased walks (DFS-ish regime: w_ret 250 /
-    // w_common 1000 / w_far 2000 milli ≡ p=4, q=0.5) over the
-    // support-filtered co-occurrence graph (it has triangles, so all
-    // three weight classes actually fire — the bipartite trade graph
-    // never exercises the common class); deterministic truncated
-    // rejection, 4 attempts — constant probes per step, hub-proof
-    "q_node2vec_walks" -> ((s, d) => {
-      val pairs = coSupportGraph(s, d).select("a", "b")
-      val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      Walks.node2vecWalks(sym, "src", "dst", walksPerNode = 1,
-          steps = 3, wReturnMilli = 250L, wCommonMilli = 1000L,
-          wFarMilli = 2000L, maxAttempts = 4)
-        .groupBy("step")
-        .agg(count(lit(1)).as("n_rows"), sum(col("node")).as("node_sum"),
-          countDistinct(col("node")).as("n_distinct"))
-        .orderBy("step")
-    }),
-
-    // skip-gram positive pairs from the AT-REST walk corpus (window 2)
-    // — the actual node-embedding training set; the corpus is a
-    // persisted build artifact (sharedWalkCorpus), consumed here
-    // without regenerating a single walk step. Top-100 by
-    // co-occurrence for a bounded report
-    "q_walk_pairs" -> ((s, d) =>
-      Walks.skipGramPairs(sharedWalkCorpus(s, d), window = 2)
-        .orderBy(desc("n_cooc"), col("center"), col("context"))
-        .limit(100)),
-
-    // ---- exact trimmed mean ---------------------------------------------------
-    // mean of the middle 80% per event type — distinct-value rank blocks,
-    // integer interval clipping, exact under any tie structure
-    "q_trimmed_mean" -> ((s, d) =>
-      analytics.trimmedMean(
-        Tables.events(s, d).select(col("event_type"),
-          (col("value").cast("decimal(18,2)") * lit(100))
-            .cast("long").as("v_c")),
-        "event_type", "v_c", trimPct = 10)
-        .orderBy("g")),
-
-    // ---- calibration bins ------------------------------------------------------
-    // decile buckets of the score vs observed positive rate — the
-    // reliability-curve table every scorer eval reports next to AUC
-    "q_calibration" -> ((s, d) =>
-      Tables.events(s, d)
-        .select(
-          (col("value").cast("decimal(18,2)") * lit(100))
-            .cast("long").as("v_c"),
-          (col("event_type") === "purchase").cast("long").as("pos"))
-        .select(least(expr("v_c div 1000"), lit(9L)).as("bin"),
-          col("pos"), col("v_c"))
-        .groupBy("bin")
-        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
-          sum(col("v_c")).as("s"))
-        .select(col("bin"), col("n"), col("n_pos"),
-          expr("(n_pos * 1000000L) div n").as("rate_micro"),
-          expr("(s * 10000L) div n").as("mean_score_micro"))
-        .orderBy("bin")),
-
-    // ---- exact ROC-AUC by rank sum -------------------------------------------
-    // does event value predict 'purchase'? Mann-Whitney over cent-
-    // quantized scores, tie blocks exact — distinct-score frame, never a
-    // per-row rank
-    "q_auc_rank" -> ((s, d) =>
-      LabelEval.aucRank(
-        Tables.events(s, d).select(
-          (col("value").cast("decimal(18,2)") * lit(100))
-            .cast("long").as("score_c"),
-          (col("event_type") === "purchase").as("is_pos")),
-        "score_c", "is_pos")),
-
-    // ---- sequential 2-patterns ----------------------------------------------
-    // ∃ a-event before b-event per user — order-aware pair support, the
-    // GSP/PrefixSpan length-2 level; first/last extrema only, never events²
-    "q_seq_patterns" -> ((s, d) =>
-      baskets.sequentialPairs(Tables.events(s, d), "user_id",
-          "event_type", "ts", "event_id")
-        .orderBy("from_type", "to_type")),
-
-    // ---- harmonic centrality from landmarks ---------------------------------
-    // Σ_landmarks 1/d over per-landmark BFS distances (hops ≤ 3), top-30
-    // nodes — landmark state is k·reach rows, k sampled small
-    "q_harmonic" -> ((s, d) => {
-      val seeds = graphNodes(s, d)
-        .filter(col("node") < 10000000L && col("node") % 500 === 0)
-      Graph.landmarkDistances(symAdjacency(s, d), "src", "dst", seeds,
-          maxHops = 3)
-        .filter(col("hops") > 0)
-        .groupBy("node")
-        .agg(sum(expr("1000000 div hops")).as("h_micro"),
-          count(lit(1)).as("n_lm"))
-        .orderBy(desc("h_micro"), col("node"))
-        .limit(30)
-    }),
-
-    // ---- weighted single-source shortest paths ------------------------------
-    // min total quantity-cost from any seed customer over the symmetrized
-    // trade graph; changed-only Bellman-Ford frontier, integer weights
-    "q_sssp" -> ((s, d) => {
-      val seeds = graphNodes(s, d)
-        .filter(col("node") < 10000000L && col("node") % 100 === 0)
-      Graph.shortestPaths(weightedSymAdjacency(s, d), "src", "dst",
-          "w", seeds, maxRounds = 4)
-        .groupBy(expr("dist div 5").as("bucket"))
-        .agg(count(lit(1)).as("n_nodes"),
-          sum(col("node")).as("node_sum"), min(col("dist")).as("min_dist"))
-        .orderBy("bucket")
-    }),
-
-    // ---- HITS hubs & authorities over the DIRECTED trade graph ------------
-    // customers point at suppliers, so hub mass concentrates on
-    // customers and authority mass on suppliers — the bipartite
-    // centrality PageRank's symmetric formulation can't separate.
-    // Integer fixed-point with per-round L1 normalization; the twin
-    // unrolls the same 2 iterations in HUGEINT arithmetic
-    "q_hits" -> ((s, d) =>
-      Graph.hits(sharedTradeEdges(s, d), "a", "b", iterations = 2)
-        .orderBy(col("auth_micro").desc, col("node"))
-        .limit(20)),
-
-    // ---- neighborhood Jaccard (normalized common-neighbors) ---------------
-    // the scale-free sibling of Adamic–Adar over the same
-    // support-filtered co-occurrence graph: how much of two parts'
-    // combined neighborhoods is shared — output-bound triangle
-    // enumeration, micros snapped by floor division
-    "q_graph_jaccard" -> ((s, d) => {
-      Graph.neighborhoodJaccard(coSupportGraph(s, d).select("a", "b"),
-          "a", "b")
-        .orderBy(col("jaccard_micro").desc, col("node_a"), col("node_b"))
-        .limit(50)
-    }),
-
-    // ---- k-core peel (dense-subgraph curation filter) ---------------------
-    // 3 synchronous peel rounds at k=3 over the support-filtered
-    // co-occurrence graph: drop weakly-embedded parts round by round;
-    // the twin unrolls the identical rounds, so the cap is exact
-    "q_kcore" -> ((s, d) =>
-      Graph.kCorePeel(coSupportGraph(s, d).select("a", "b"), "a", "b",
-        k = 3, rounds = 3)),
-
-    // deterministic synchronous label propagation (2 rounds) over the
-    // same customer↔supplier trade graph PageRank scores — the
-    // community view (which trading neighborhoods exist) next to
-    // PageRank's importance view and CC's reachability view
-    "q_label_propagation" -> ((s, d) =>
-      Graph.labelPropagation(sharedTradeEdges(s, d), "a", "b",
-        rounds = 2)),
-
-    // ---- market-basket association rules ----------------------------------
-    // confidence/lift for parts co-purchased in ≥2 orders — the rule
-    // view of the same basket machinery behind the co-occurrence graph
-    "q_assoc_rules" -> ((s, d) =>
-      baskets.associationRules(
-        t(s, d, "lineitem").select(col("l_orderkey").as("basket"),
-          col("l_partkey").as("item")),
-        "basket", "item", minSupport = 2)
-        .orderBy(col("lift_micro").desc, col("ante"), col("cons"))
-        .limit(50)),
-
-    // ---- DSIR importance scoring (select-like-the-target) -----------------
-    "q_dsir_score" -> ((s, d) =>
-      Importance.dsirScoreMicro(t(s, d, "documents"), "doc_id", "text",
-          isTarget = col("lang") === "en", buckets = 256)
-        .orderBy(col("score_micro").desc, col("doc_id"))
-        .limit(100)),
-
-    // ---- model-based language/quality classification ----------------------
-    // train multinomial NB on the md5-half of docs, batch-score ALL of
-    // them — the learned counterpart of the heuristic q_text_langid
-    "q_nb_langid" -> ((s, d) =>
-      Importance.naiveBayes(t(s, d, "documents"), "doc_id", "text",
-        labelCol = "lang",
-        trainPred = Text.splitBucket(col("doc_id"), 100) < 50,
-        buckets = 256)),
-
-    // ---- per-source distribution drift (KL vs the corpus) -----------------
-    "q_source_kl" -> ((s, d) =>
-      Importance.sourceDivergence(t(s, d, "documents"), "source", "text",
-        buckets = 256)),
-
-    // ---- weighted sampling without replacement (A-ES) ---------------------
-    // length-weighted reproducible draw of 20 docs per language
-    "q_weighted_sample" -> ((s, d) =>
-      Text.weightedSample(t(s, d, "documents"), col("doc_id"),
-          col("n_chars"), col("lang"), k = 20)
-        .select("doc_id", "lang", "n_chars")),
-
-    // ---- dedup -------------------------------------------------------------
-    "q_dedup_exact" -> ((s, d) =>
-      Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
-
-    "q_dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
-        numPerms = 8, numBands = 4, threshold = 0.8)),
-
-    "q_dedup_components" -> ((s, d) =>
-      Dedup.connectedComponents(
-        Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
-          numPerms = 8, numBands = 4, threshold = 0.8),
-        "doc_a", "doc_b")),
-
-    // ---- LSH recall against exact-Jaccard truth -------------------------------
-    // measured recall of the banded MinHash pipeline vs the lossless
-    // prefix-filtered exact pairs — the index-quality eval that decides
-    // band/perm settings, the dedup twin of q_ann_recall. LSH output is
-    // a verified SUBSET of truth, so recall = |lsh| / |truth|
-    "q_lsh_recall" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val truth = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.8)
-        .select("doc_a", "doc_b")
-      val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
-          numPerms = 8, numBands = 4, threshold = 0.8)
-        .select("doc_a", "doc_b")
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(got.join(truth, Seq("doc_a", "doc_b"))
-          .agg(count(lit(1)).as("n_hit"))) // two one-row frames
-        .select(col("n_truth"), col("n_hit"),
-          expr("(n_hit * 1000000L) div nullif(n_truth, 0)")
-            .as("recall_micro"))
-    }),
-
-    // ---- entity resolution: golden-record survivorship --------------------
-    // the full ER recipe over documents-as-entities: LSH blocking →
-    // match pairs → connected components as entity clusters → ONE
-    // golden record per entity under deterministic survivorship rules
-    // (entity id = cluster min, representative = most-complete member
-    // with id tie-break, completeness stats aggregated). Singleton docs
-    // are their own entity via the left join, so the output is a full
-    // registry, not just the merged clusters.
-    "q_entity_golden" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      Dedup.goldenRecords(docs, "doc_id",
-        Dedup.minhashLshPairs(docs, "doc_id", "text",
-          numPerms = 8, numBands = 4, threshold = 0.8),
-        "doc_a", "doc_b", completenessCol = "n_chars")
-    }),
-
-    // leakage-safe split: near-dup CLUSTERS (not docs) get hashed into
-    // train/val/test, so no near-copy pair can straddle the eval cut
-    "q_leakage_split" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      Dedup.leakageSafeSplit(docs, "doc_id",
-          Dedup.minhashLshPairs(docs, "doc_id", "text",
-            numPerms = 8, numBands = 4, threshold = 0.8),
-          "doc_a", "doc_b", trainPct = 80, valPct = 10)
-        .groupBy("split")
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("cluster_id")).as("n_clusters"),
-          sum(col("n_chars")).as("n_chars"))
-    }),
-
-    // sorted-neighborhood ER blocking: customers sorted by zero-padded
-    // balance cents (decimal-exact — the double route can round apart
-    // cross-engine), window-5 pane pairs = near-balance match candidates
-    "q_sorted_neighborhood" -> ((s, d) =>
-      Dedup.sortedNeighborhoodPairs(
-        t(s, d, "customer").select(col("c_custkey"),
-          lpad(((col("c_acctbal").cast("decimal(18,2)") * 100)
-              .cast("long") + 1000000).cast("string"), 9, "0")
-            .as("bal_key")),
-        "c_custkey", "bal_key", window = 5)),
-
-    // corpus-level near-dup dedup: minhash pairs → components → keep one
-    // doc per cluster, pass untouched docs through
-    "q_dedup_keep" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      Dedup.keepCanonical(docs, "doc_id",
-        Dedup.minhashLshPairs(docs, "doc_id", "text",
-          numPerms = 8, numBands = 4, threshold = 0.8),
-        "doc_a", "doc_b")
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("n_chars"))
-    }),
-
-    // PII scrub over text seeded with one of each PII kind (the synthetic
-    // corpus has none of its own), so all three patterns are exercised
-    "q_text_redact" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        Text.redactPii(concat(col("text"),
-          lit(" contact user"), col("doc_id"), lit("@example.com at ip "),
-          pmod(col("doc_id"), lit(256)), lit(".0.0.1 tel +1 555-123-4567")))
-          .as("redacted"))),
-
-    "q_stratified_sample" -> ((s, d) =>
-      Text.stratifiedSample(t(s, d, "documents"), col("doc_id"),
-        col("lang"), Map("en" -> 0.9, "de" -> 0.5, "es" -> 0.5,
-          "fr" -> 0.25, "zh" -> 0.1))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("n_chars"))),
-
-    "q_corpus_prep" -> ((s, d) =>
-      graft.pipelines.Pipelines.corpusPrep(s, d)),
-
-    "q_corpus_prep2" -> ((s, d) =>
-      graft.pipelines.Pipelines.corpusPrep2(s, d)),
-
-    // substring-level dedup reporting: per doc, how much of it is
-    // verbatim-repeated elsewhere in the corpus (4-token spans)
-    "q_dup_spans" -> ((s, d) =>
-      Text.dupSpans(t(s, d, "documents"), "doc_id", "text", k = 4)),
-
-    // ---- distributed suffix array (prefix doubling) --------------------
-    // the exact-substring-dedup index (Lee et al. 2022): every token
-    // position ranked in lexicographic suffix order; O(log maxDocLen)
-    // rounds of linear shuffles, dense re-ranks via the distributed
-    // prefix sum — no global window, no driver state beyond two observed
-    // scalars per round
-    "q_suffix_array" -> ((s, d) =>
-      SuffixArray.suffixArray(t(s, d, "documents"), "doc_id", "text")
-        .orderBy("sa_rank")),
-
-    // adjacent-LCP index over the AT-REST SA (sharedSuffixArray — the
-    // persisted index a production dedup reads, not a per-query
-    // rebuild): consecutive suffix pairs sharing a >=4-token prefix
-    // (cap 8) — the raw repeated-span evidence, pairs adjacent in SA
-    // order so repeats surface WITHOUT any all-pairs step
-    "q_sa_lcp" -> ((s, d) =>
-      SuffixArray.lcpFrom(sharedSuffixArray(s, d),
-          t(s, d, "documents"), "doc_id", "text", cap = 8)
-        .filter(col("lcp") >= 4)
-        .orderBy("sa_rank")),
-
-    // per-doc EXACT substring dup report: positions whose 5-token span
-    // recurs anywhere in the corpus (SA-neighbor criterion) — the exact
-    // counterpart of q_dup_spans' fixed-width shingle approximation;
-    // reads the at-rest SA
-    "q_sa_dup_positions" -> ((s, d) =>
-      SuffixArray.dupPositionsFrom(sharedSuffixArray(s, d),
-          t(s, d, "documents"), "doc_id", "text", minLen = 5)
-        .orderBy("doc_id")),
-
-    // exact substring REMOVAL (the other half of Lee et al. 2022):
-    // maximal duplicated spans from the LCP index (gaps-and-islands
-    // merge of flagged positions), scrubbed out; survivors emitted as
-    // contiguous SEGMENTS so no fabricated juxtaposition crosses a cut
-    "q_sa_scrub" -> ((s, d) =>
-      SuffixArray.scrubSegments(sharedSuffixArray(s, d),
-          t(s, d, "documents"), "doc_id", "text", minLen = 5)
-        .orderBy("doc_id", "seg_id")),
-
-    // the scrub guarantee, PROVEN over the scrubbed corpus's OWN
-    // at-rest SA (sharedScrubbedSa — the cleaned corpus is itself a
-    // snapshot, its index built once and read by every consumer):
-    // count duplicated positions — exactly zero by construction
-    // (every kept position's 5-gram was corpus-unique), so the oracle
-    // hash locks the end-to-end exactness claim, not just the
-    // plumbing (the within_bound convention)
-    "q_sa_scrub_verify" -> ((s, d) => {
-      val (segs, sa) = sharedScrubbedSa(s, d)
-      SuffixArray.dupPositionsFrom(sa, segs, "seg_key", "seg_text",
-          minLen = 5)
-        .agg(count(lit(1)).as("n_segments"),
-          sum(col("n_positions")).as("n_kept_tokens"),
-          sum(col("n_dup_positions")).as("n_dup_after_scrub"))
-    }),
-
-    // EXACT position-level decontamination off the at-rest SA: train
-    // positions whose 5-token span occurs verbatim in the benchmark
-    // subset (doc_id%97=0 — the q_bloom_at_rest split, upgraded from
-    // doc-level probabilistic to position-level exact). SA blocks with
-    // adjacent LCP >= 5: a train suffix is contaminated iff its block
-    // holds a benchmark suffix — three linear shuffles, never gram
-    // explosion, never all-pairs
-    "q_sa_decontaminate" -> ((s, d) =>
-      SuffixArray.contaminatedPositions(sharedSuffixArray(s, d),
-          t(s, d, "documents"), "doc_id", "text",
-          isBench = _ % 97 === 0, minLen = 5)
-        .orderBy("doc_id")),
-
-    // data-constrained mixing plan (Muennighoff et al. '23): waterfill
-    // milli-epochs across sources under a 63k-token budget with
-    // per-source repeat ceilings (2 or 3 epochs by source-name length) —
-    // closed-form breakpoint scan via the distributed prefix sum, exact
-    // integer/decimal arithmetic
-    "q_epoch_waterfill" -> ((s, d) =>
-      graft.text.Mixing.epochWaterfill(
-        t(s, d, "documents")
-          .groupBy(col("source"))
-          .agg(sum(size(split(trim(col("text")), "\\s+")))
-            .cast("long").as("n_toks"))
-          .withColumn("cap_milli",
-            ((length(col("source")) % 3 + 1) * 1000).cast("long")),
-        "source", "n_toks", "cap_milli", budgetTokens = 63000L)
-        .orderBy("source")),
-
-    // per-doc longest shared prefix with ANY other doc (cap 8) off the
-    // at-rest SA — the KV-cache-sharing / template-detection report:
-    // only doc-start suffixes, only sort neighbors, never all pairs
-    "q_sa_prefix_overlap" -> ((s, d) =>
-      SuffixArray.docPrefixOverlap(sharedSuffixArray(s, d),
-          t(s, d, "documents"), "doc_id", "text", cap = 8)
-        .orderBy("doc_id")),
-
-    // INCREMENTAL exact-substring maintenance: a delta batch (re-crawls
-    // of every 13th doc under new ids, plus second copies of every
-    // 39th — so all three verdict paths fire: delta-vs-old,
-    // delta-within-delta, old-position-flips) merges into the dup
-    // report by PROBING the at-rest SA probe index — the corpus is
-    // never rescanned, the SA never rebuilt. The oracle recomputes the
-    // whole combined corpus from scratch, locking the incremental
-    // result to the from-scratch one (the q_dedup_cc_incremental
-    // convention).
-    "q_sa_delta_dup" -> ((s, d) => {
-      val p = saProbeIndexDir(s, d)
-      val docs = t(s, d, "documents")
-      val delta = docs.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-        .unionAll(docs.filter(col("doc_id") % 39 === 0)
-          .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
-      SuffixArray.deltaDupPositions(
-          s.read.parquet(s"$p/gram_positions"),
-          s.read.parquet(s"$p/gram_stats"),
-          s.read.parquet(s"$p/dup_report"),
-          delta, "doc_id", "text", minLen = 5)
-        .orderBy("doc_id")
-    }),
-
-    // deterministic stride-interleaved training order: every prefix of
-    // the schedule holds every source at its corpus proportion ±O(1) —
-    // integer stride keys (k·T DIV n_s), md5 within-source order, the
-    // global position from the distributed prefix sum
-    "q_stride_schedule" -> ((s, d) =>
-      graft.text.Mixing.strideSchedule(
-        t(s, d, "documents").select("doc_id", "source"),
-        "source", "doc_id")
-        .orderBy("global_pos")),
-
-    // per-source ceiling on the pretraining mix: ≤20 docs per domain,
-    // deterministic md5-rank selection
-    "q_domain_cap" -> ((s, d) =>
-      Text.domainCap(t(s, d, "documents"), "doc_id", "source", cap = 20)
-        .select("doc_id", "source")),
-
-    // per-source TOKEN quota (docs differ in length, so a doc cap is the
-    // wrong mix unit): md5-order prefix per source until 900 tokens
-    "q_token_budget_mix" -> ((s, d) =>
-      Text.tokenBudgetMix(t(s, d, "documents"), "doc_id", "text",
-          "source", budgetTokens = 900L)
-        .select("doc_id", "source", "n_tokens", "cum_tokens")),
-
-    // semantic dedup: within-cluster cosine pairs, keep each chain's
-    // lowest id (clusters = the stored label; kmeansCells when absent)
-    "q_semdedup" -> ((s, d) =>
-      Similarity.semDedup(t(s, d, "embeddings"), "label",
-        threshold = 0.4)),
-
-    // the full SemDeDup recipe: LEARN the cells (deterministic Lloyd),
-    // then dedup within them — clustering + within-cell compare as one
-    // composed pipeline
-    "q_semdedup_kmeans" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.semDedup(
-        emb.join(Similarity.kmeansCells(emb, k = 4, iters = 2),
-          "vec_id"),
-        "cell", threshold = 0.4)
-    }),
-
-    "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhash(t(s, d, "documents"), "doc_id", "text", bits = 16)),
-
-    "q_dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), k = 3,
-        threshold = 0.5)),
-
-    // asymmetric near-dup: ordered pairs where ≥ half of A's shingles
-    // appear in B — catches a short doc embedded in a long one, which
-    // the symmetric Jaccard threshold misses
-    "q_containment_pairs" -> ((s, d) =>
-      Dedup.containmentPairs(t(s, d, "documents"), k = 3,
-        threshold = 0.5)),
-
-    // daily-ingest dedup: "new arrivals" (every 17th doc) probed against
-    // the remaining corpus via the banded index — candidates are
-    // new×corpus only, never corpus×corpus
-    "q_dedup_incremental" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      Dedup.incrementalNearDups(
-        docs.filter(col("doc_id") % 17 === 0),
-        docs.filter(col("doc_id") % 17 =!= 0),
-        "doc_id", "text", numPerms = 8, numBands = 4, threshold = 0.8)
-    }),
-
-    // the daily-ingest cluster merge, end to end: yesterday's labels =
-    // CC over corpus-side pairs; today's edges = new×new LSH pairs plus
-    // new×corpus probes of the persisted index; incrementalComponents
-    // folds label stars + new edges — and must reproduce the
-    // from-scratch full-corpus CC exactly (the oracle recomputes it)
-    "q_dedup_cc_incremental" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val corpus = docs.filter(col("doc_id") % 17 =!= 0)
-      val newDocs = docs.filter(col("doc_id") % 17 === 0)
-      val oldLabels = Dedup.connectedComponents(
-        Dedup.minhashLshPairs(corpus, "doc_id", "text",
-          numPerms = 8, numBands = 4, threshold = 0.8),
-        "doc_a", "doc_b")
-      val store = sharedLshIndex(s, d)
-      val crossPairs = Dedup.incrementalNearDupsIndexed(newDocs,
-          s.read.parquet(s"$store/sets"),
-          s.read.parquet(s"$store/buckets"),
-          "doc_id", "text", numPerms = 8, numBands = 4, threshold = 0.8)
-        .select(col("new_id").as("a"), col("corpus_id").as("b"))
-      val newNew = Dedup.minhashLshPairs(newDocs, "doc_id", "text",
-          numPerms = 8, numBands = 4, threshold = 0.8)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      Dedup.incrementalComponents(oldLabels, "doc_id", "comp",
-        crossPairs.unionByName(newNew), "a", "b")
-    }),
-
-    // the same probe against the PERSISTED index files (sharedLshIndex):
-    // corpus signatures and banded buckets read at rest, only the new
-    // side computes anything — must equal q_dedup_incremental exactly
-    "q_lsh_index_at_rest" -> ((s, d) => {
-      val store = sharedLshIndex(s, d)
-      Dedup.incrementalNearDupsIndexed(
-        t(s, d, "documents").filter(col("doc_id") % 17 === 0),
-        s.read.parquet(s"$store/sets"),
-        s.read.parquet(s"$store/buckets"),
-        "doc_id", "text", numPerms = 8, numBands = 4, threshold = 0.8)
-    }),
-
-    // production-width fingerprint; compared as a 64-char bit string so
-    // the oracle never has to assemble a (sign-overflowing) BIGINT
-    "q_dedup_simhash64" -> ((s, d) =>
-      Dedup.simhash(t(s, d, "documents"), "doc_id", "text", bits = 64)
-        .select(col("doc_id"),
-          lpad(bin(col("simhash")), 64, "0").as("fp_bits"))),
-
-    "q_dedup_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
-        bits = 16, maxHamming = 3)),
-
-    // the production-width path end to end: 64-bit fingerprints, banded
-    // candidates (16-bit bands — selective, unlike the oracle-width
-    // 4-bit bands), exact hamming verify
-    "q_dedup_simhash64_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
-        bits = 64, maxHamming = 3)),
-
-    "q_corpus_stats" -> ((s, d) => {
-      import s.implicits._
-      t(s, d, "documents").select(col("n_chars")).as[Long]
-        .select(graft.functions.CorpusStats.lengthStats.toColumn)
-        .toDF()
-    }),
-
-    "q_dedup_embedding" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(t(s, d, "embeddings"), dim = 64,
-        numTables = 4, planesPerTable = 6, threshold = 0.95)),
-
-    // the bucket computation itself, cross-engine: one row per vector
-    // with all four table buckets — unlike the pairs query (whose output
-    // is empty on this corpus: no near-dups exist in the testdata), this
-    // pins the plane-projection math on every row
-    "q_embedding_buckets" -> ((s, d) =>
-      t(s, d, "embeddings").select(col("vec_id"),
-        array_join(call_function("graft_lsh_buckets", col("embedding"),
-          lit(4), lit(6)), "|").as("buckets"))),
-
-    // ---- similarity search -------------------------------------------------
-    "q_ann_bruteforce" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
-    }),
-
-    // reciprocal best match across the even/odd vec_id halves — the
-    // bitext-mining mutual-neighbor filter, INDEX-ROUTED: each
-    // direction's top-1 is a 2-probe IVF search over the stored cell
-    // column (label — the ingest-time coarse quantizer, q_ann_ivf's
-    // convention), so candidate volume is nProbe/|cells| of |A|·|B|
-    // and nothing corpus-sized is ever broadcast or cross-joined.
-    // The brute-force composition (mutualBestMatch) stays as the
-    // recall twin in SimilaritySpec; the oracle mirrors the indexed
-    // pipeline CTE-for-CTE (the q_ann_filtered_probe convention).
-    "q_mutual_knn" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.mutualBestMatchIndexed(
-          emb.filter(col("vec_id") % 2 === 0),
-          emb.filter(col("vec_id") % 2 === 1),
-          cellCol = "label", nProbe = 2)
-        .orderBy("a_id")
-    }),
-
-    // k-NN GRAPH over the whole collection — each vector's top-3
-    // neighbors through the stored cell assignment (2-probe IVF; the
-    // corpus is both query set and corpus, so candidates route through
-    // the cell-co-partitioned shuffle join — nothing corpus-sized is
-    // broadcast, the q_mutual_knn discipline). The kNN graph is the
-    // input of every semantic-cluster analysis; the oracle mirrors the
-    // indexed pipeline CTE-for-CTE.
-    "q_knn_graph" -> ((s, d) =>
-      Similarity.knnGraphIndexed(t(s, d, "embeddings"), "label",
-          nProbe = 2, k = 3)
-        .orderBy("query_id", "rnk")),
-
-    // SEMANTIC CLUSTERS: mutual-kNN edges (b in a's top-3 AND a in
-    // b's top-3 — the hub-robust edge filter) over the indexed kNN
-    // graph, then connected components (the dedup CC machinery —
-    // min-label pointer doubling, O(log d) linear-shuffle rounds).
-    // The cluster map SemDeDup-style pipelines prune from. Vectors
-    // with no mutual edge are unclustered and absent, as in the
-    // pair-graph CC convention.
-    "q_semantic_clusters" -> ((s, d) => {
-      val g = Similarity.knnGraphIndexed(t(s, d, "embeddings"),
-        "label", nProbe = 2, k = 3)
-      val comps = graft.dedup.Dedup.connectedComponents(
-          Similarity.mutualKnnEdges(g), "a", "b")
-        .select(col("doc_id").as("vec_id"), col("comp"))
-      comps.join(
-          comps.groupBy("comp").agg(count(lit(1)).as("cluster_size")),
-          Seq("comp"))
-        .select(col("vec_id"), col("comp"), col("cluster_size"))
-        .orderBy("vec_id")
-    }),
-
-    // exact MIPS: raw inner-product ranking (magnitude carries signal —
-    // the two-tower recommendation objective); the norm-augmentation
-    // reduction that routes MIPS through the cosine/LSH stack is
-    // spec-pinned in SimilaritySpec
-    "q_ann_mips" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.mipsTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
-    }),
-
-    "q_ann_ivf" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, "label", k = 5)
-    }),
-
-    // filtered ANN: a metadata predicate restricts the candidate set
-    // BEFORE scoring (pre-filter semantics — the exact top-k among
-    // matching vectors, not a post-filtered approximation). The filter
-    // composes with the scan, so at lake scale it prunes
-    // partitions/row-groups before any distance math.
-    "q_ann_filtered" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10),
-        emb.filter(col("label") === 2), k = 5)
-    }),
-
-    // filtered IVF with SELECTIVITY-WIDENED probing: nProbe scales by
-    // 1/selectivity (broad filter label>=5 → sel 0.5 → probe 2 cells
-    // instead of 1), centroids from the FULL stored assignment,
-    // candidates pre-filtered before any distance math
-    "q_ann_filtered_probe" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.ivfFilteredTopK(emb.filter(col("vec_id") < 10), emb,
-          emb.select(col("vec_id"), col("label").as("cell")), k = 5,
-          baseNProbe = 1, pred = col("label") >= 5)
-        .orderBy("query_id", "rnk")
-    }),
-
-    // recall-under-filter at TWO selectivities against the exact
-    // filtered brute force: the tight filter (sel ~0.1) widens to all
-    // cells and recovers full recall; the broad one (sel ~0.5) probes 2
-    "q_ann_filtered_recall" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val cells = emb.select(col("vec_id"), col("label").as("cell"))
-      val qs = emb.filter(col("vec_id") < 10)
-      def rep(tag: String, pred: org.apache.spark.sql.Column) = {
-        val exact = Similarity.bruteForceTopK(qs, emb.filter(pred),
-          k = 5)
-        val approx = Similarity.ivfFilteredTopK(qs, emb, cells, k = 5,
-          baseNProbe = 1, pred)
-        Similarity.annRecall(exact, approx)
-          .agg(count(lit(1)).as("n_queries"),
-            sum(col("n_exact")).as("n_exact"),
-            sum(col("n_hit")).as("n_hit"))
-          .crossJoin(broadcast(
-            approx.agg(max(col("n_probe")).as("n_probe"))))
-          .select(lit(tag).as("sel_tag"), col("n_probe"),
-            col("n_queries"), col("n_exact"), col("n_hit"),
-            expr("CAST(n_hit * 1000000 DIV n_exact AS BIGINT)")
-              .as("recall_micro"))
-      }
-      rep("narrow", col("label") === 2)
-        .unionByName(rep("broad", col("label") >= 5))
-        .orderBy("sel_tag")
-    }),
-
-    // INCREMENTAL IVF maintenance: arrivals (every 7th vector,
-    // re-ingested under new ids) get the cell id the STORED index
-    // would give them — centroids derived from the existing
-    // assignment, argmin with the lower-cell tie-break — and the
-    // merged view is old ∪ assigned. No retrain per batch (that's a
-    // snapshot job); the oracle recomputes the centroids + argmin
-    // independently.
-    "q_ann_delta_assign" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val cells = emb.select(col("vec_id"), col("label").as("cell"))
-      val arrivals = emb.filter(col("vec_id") % 7 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"),
-          col("embedding"))
-      cells
-        .unionByName(Similarity.assignToCells(arrivals, emb, cells))
-        .orderBy("vec_id")
-    }),
-
-    // IVF index HEALTH: per-cell population + mean quantization error
-    // against the stored centroids — the drift report that decides
-    // when the snapshot-time retrain runs (assignToCells keeps
-    // ingesting until it trips). One corpus scan vs a |cells|-row
-    // broadcast.
-    "q_ann_index_health" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.ivfHealth(emb,
-          emb.select(col("vec_id"), col("label").as("cell")))
-        .orderBy("cell")
-    }),
-
-    // snapshot REBUILD-AND-SWAP — the retrain phase the health report
-    // gates, completing the lifecycle (seed → maintain → monitor →
-    // retrain): centroids recomputed from the CURRENT assignment (one
-    // Lloyd update), every vector re-assigned against the WRITTEN new
-    // centroids, snapshot swapped with a prev/ rollback copy. The
-    // gate is forced open here (threshold −1) for determinism — gate
-    // math and the no-op path are spec-pinned in SimilaritySpec. The
-    // output reads the SWAPPED store: exactly what an assignment-log
-    // consumer sees after retrain. Oracle recomputes the Lloyd step +
-    // float-rounded argmin from scratch.
-    "q_ann_rebuild" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_ann_rebuild").toString
-      Similarity.seedIvfStore(emb, "label", store)
-      val (rebuilt, _, _) = Similarity.rebuildIvfStore(
-        emb.select(col("vec_id"), col("embedding")), store,
-        maxMeanD2 = -1.0)
-      require(rebuilt, "forced health gate must trip")
-      s.read.parquet(s"$store/assignment")
-        .select(col("vec_id"), col("cell").as("cell_after"))
-        .join(emb.select(col("vec_id"),
-          col("label").as("cell_before")), Seq("vec_id"))
-        .select(col("vec_id"), col("cell_before"), col("cell_after"),
-          (col("cell_before") =!= col("cell_after")).cast("int")
-            .as("moved"))
-        .orderBy("vec_id")
-    }),
-
-    // margin-scored bitext mining (Artetxe–Schwenk ratio margin):
-    // each a's best b, scored by cos divided by the mean of both
-    // sides' k-neighbor-ball densities — the hub-correction that
-    // makes mined pairs comparable across the embedding space. Same
-    // index routing as q_mutual_knn (k-NN per direction through the
-    // cell-probed shuffle join); every post-search frame is
-    // top-k-output-sized.
-    "q_margin_mining" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.marginMiningIndexed(
-          emb.filter(col("vec_id") % 2 === 0),
-          emb.filter(col("vec_id") % 2 === 1),
-          cellCol = "label", nProbe = 2, k = 4, minMargin = 0.0)
-        .orderBy("a_id")
-    }),
-
-    // the nProbe tuning curve in ONE pass — probes ranked once at the
-    // max budget, candidates scored once, every budget admits pr <= b
-    // from the same scored frame; recall is against the exact
-    // brute-force truth the oracle recomputes independently
-    "q_ann_probe_frontier" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.probeFrontier(emb.filter(col("vec_id") < 10), emb,
-          emb.select(col("vec_id"), col("label").as("cell")), k = 5,
-          budgets = Seq(1, 2, 4, 8))
-        .orderBy("n_probe")
-    }),
-
-    // the matryoshka (prefix-dimension) tuning curve — recall@5 of
-    // searching only the first d coordinates vs the full-dim truth,
-    // for d ∈ {8,16,32,64} in one corpus pass (the dim-budget dial
-    // next to q_ann_probe_frontier's probe budget; d=64 anchors the
-    // curve at recall 1.0 by construction)
-    "q_ann_matryoshka" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.prefixDimRecall(emb.filter(col("vec_id") < 10), emb,
-          k = 5, dims = Seq(8, 16, 32, 64))
-        .orderBy("dim")
-    }),
-
-    "q_ann_kmeans" -> ((s, d) =>
-      Similarity.kmeansCells(t(s, d, "embeddings"), k = 4, iters = 2)),
-
-    // ---- label-supervised eval (LabelEval) — the quality harness over
-    // the labeled eval slice: embedding-space classifiers + clustering
-    // agreement against the ground-truth `label` column ----------------
-
-    // nearest-centroid classification: fit per-label centroids and
-    // classify every vector, emitting per-row correctness
-    "q_label_centroid_classify" -> ((s, d) =>
-      LabelEval.nearestCentroidClassify(
-        t(s, d, "embeddings"), "vec_id", "embedding", "label")),
-
-    // leave-one-out kNN (k=5, cosine) majority-vote classification,
-    // reduced to the per-class accuracy report
-    "q_knn_classify" -> ((s, d) =>
-      LabelEval.classReport(
-        LabelEval.knnClassify(
-          t(s, d, "embeddings"), "vec_id", "embedding", "label", k = 5))),
-
-    // exact-integer NDCG@5 over labeled retrieval: literal micro
-    // discount table (no runtime log), truncating milli ratio — the
-    // ranking-quality companion to q_knn_classify / q_auc_rank
-    "q_ndcg" -> ((s, d) =>
-      LabelEval.ndcgAtK(t(s, d, "embeddings"), "vec_id", "embedding",
-          "label", k = 5, col("vec_id") < 50)
-        .orderBy("query_id")),
-
-    // MRR@5 first-hit companion: 10^6 / rank of the first same-label
-    // neighbor, 0 when the top-5 has none
-    "q_mrr" -> ((s, d) =>
-      LabelEval.mrrAtK(t(s, d, "embeddings"), "vec_id", "embedding",
-          "label", k = 5, col("vec_id") < 50)
-        .orderBy("query_id")),
-
-    // contrastive negative pairs: k deterministic md5-keyed draws per
-    // anchor, self/same-label collisions dropped
-    "q_negative_pairs" -> ((s, d) =>
-      LabelEval.negativePairs(
-        t(s, d, "embeddings"), "vec_id", "label", k = 4)),
-
-    // confusion matrix of the nearest-centroid classifier
-    "q_confusion_matrix" -> ((s, d) =>
-      LabelEval.confusionMatrix(
-        LabelEval.nearestCentroidClassify(
-          t(s, d, "embeddings"), "vec_id", "embedding", "label"))),
-
-    // chance-corrected agreement of the same classifier — one scalar
-    // row for the eval dashboard where the confusion matrix is the
-    // drill-down
-    "q_cohens_kappa" -> ((s, d) =>
-      LabelEval.cohensKappa(
-        LabelEval.nearestCentroidClassify(
-          t(s, d, "embeddings"), "vec_id", "embedding", "label"))),
-
-    // noisy-label filter: per-row distance to own-label centroid,
-    // z-scored within the label
-    "q_label_outliers" -> ((s, d) =>
-      LabelEval.labelOutliers(
-        t(s, d, "embeddings"), "vec_id", "embedding", "label")),
-
-    // purity of the LEARNED kmeans cells against ground-truth labels:
-    // per-cell size, majority label, majority count
-    "q_cluster_purity" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      LabelEval.clusterPurity(
-        Similarity.kmeansCells(emb, k = 4, iters = 2),
-        emb.select(col("vec_id"), col("label")),
-        "vec_id", "cell", "label")
-    }),
-
-    // PQ encode: 64-dim vectors → 4 subspace codes from a codebook of
-    // 8 centroids per subspace (deterministic per-subspace Lloyd,
-    // trained once per process via sharedPqCodebook)
-    "q_pq_codes" -> ((s, d) =>
-      Similarity.pqAssign(
-        Similarity.pqSubvectors(t(s, d, "embeddings"), dim = 64, m = 4),
-        sharedPqCodebook(s, d))),
-
-    // ADC top-k over the persisted PQ index — the compressed-domain
-    // search path (codes read at rest via sharedPqCodes)
-    "q_ann_pq" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val cb = sharedPqCodebook(s, d)
-      Similarity.pqTopK(emb.filter(col("vec_id") < 10),
-        sharedPqCodes(s, d), cb, subLen = 16, k = 5)
-    }),
-
-    // IVF-PQ composed: coarse cells (the stored label, as in q_ann_ivf)
-    // restrict candidates; ADC over the persisted codes scores them
-    "q_ann_ivfpq" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val cb = sharedPqCodebook(s, d)
-      Similarity.ivfPqTopK(
-        emb.filter(col("vec_id") < 10)
-          .select(col("vec_id"), col("embedding"),
-            col("label").as("cell")),
-        emb.select(col("vec_id"), col("label").as("cell")),
-        sharedPqCodes(s, d), cb, subLen = 16, k = 5)
-    }),
-
-    // IVF-PQ with the multi-probe recall dial: each query fans out to
-    // its 3 nearest cells (by stored-assignment centroids) before the
-    // same ADC scoring — at 10 label-cells this searches ~30% of the
-    // corpus per query instead of ~10%
-    "q_ann_ivfpq_probe" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val cb = sharedPqCodebook(s, d)
-      val cells = emb.select(col("vec_id"), col("label").as("cell"))
-      Similarity.ivfPqMultiProbe(
-        emb.filter(col("vec_id") < 10), emb, cells,
-        sharedPqCodes(s, d), cb, subLen = 16, k = 5,
-        nProbe = 3)
-    }),
-
-    // population covariance of the 64-dim embedding matrix: ONE
-    // distributed moment pass (exact decimal sums, map-side combined),
-    // then a bounded d²-row finish — the training pass behind PCA
-    "q_emb_covariance" -> ((s, d) =>
-      Similarity.covariance(t(s, d, "embeddings"), "embedding", dim = 64)
-        .select(col("i"), col("j"),
-          graft.ops.analytics.roundDouble(col("cov"), 10).as("cov"))),
-
-    // PCA fit + project in ONE corpus pass: the staged moment sums feed
-    // covariance (→ driver-side d×d Jacobi — legal: d² values regardless
-    // of corpus size) AND the centering mean; projection is one
-    // broadcast, no corpus shuffle. The eigensolver has no SQL twin, so
-    // this is the verdict form (the sketch-oracle pattern): per-row
-    // invariant booleans (independent-path projection match, Parseval
-    // bound, orthonormality, centering, eigen-order, data-side variance
-    // ≡ eigenvalue) plus the two quantities DuckDB computes exactly from
-    // the raw table — row count and covariance trace. PcaSpec pins the
-    // raw projection math.
-    "q_pca_project" -> ((s, d) =>
-      Similarity.pcaVerdict(t(s, d, "embeddings"), "vec_id",
-        "embedding", dim = 64, k = 4)),
-
-    // int8 scalar quantization: per-dim (min,max) calibration in one
-    // map-side-combined pass, then scan-local encode against the
-    // broadcast params — the 4× storage shrink for a quantized ANN index
-    "q_emb_int8_codes" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.int8Quantize(emb, "vec_id", "embedding",
-        Similarity.int8QuantParams(emb, "embedding", dim = 64))
-        .select(col("vec_id"),
-          array_join(transform(col("codes"), _.cast("string")), "|")
-            .as("codes"))
-    }),
-
-    // quantization quality gate: corpus (n, mean_mse, max_mse) of the
-    // int8 reconstruction — one scan, decimal-sum deterministic
-    "q_emb_int8_stats" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.int8ReconError(emb, "vec_id", "embedding", dim = 64,
-        Similarity.int8QuantParams(emb, "embedding", dim = 64))
-    }),
-
-    // asymmetric int8 ANN: full-precision queries against the
-    // int8-coded corpus — the stored side streams one tinyint per dim
-    "q_ann_int8" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val params = Similarity.int8QuantParams(emb, "embedding", dim = 64)
-      Similarity.int8TopK(emb.filter(col("vec_id") < 10),
-        Similarity.int8Quantize(emb, "vec_id", "embedding", params),
-        params, k = 5)
-    }),
-
-    // the eval harness the quantized index is admitted under: per-query
-    // recall@5 of int8 search vs the exact brute-force answer
-    "q_ann_recall" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") < 10)
-      val params = Similarity.int8QuantParams(emb, "embedding", dim = 64)
-      Similarity.annRecall(
-        Similarity.bruteForceTopK(q, emb, k = 5),
-        Similarity.int8TopK(q,
-          Similarity.int8Quantize(emb, "vec_id", "embedding", params),
-          params, k = 5))
-    }),
-
-    // Johnson-Lindenstrauss ±1 projection to 8 dims: md5-derived sign
-    // matrix (engine-regenerable, no RNG state), one broadcast,
-    // scan-local — the train-free cheap shrink before LSH/clustering
-    "q_rp_project" -> ((s, d) =>
-      Similarity.rpProject(t(s, d, "embeddings"), "vec_id", "embedding",
-        dim = 64, k = 8)
-        .select(col("vec_id"), col("component"),
-          round(col("coord"), 6).as("coord"))),
-
-    // two-stage retrieval: coarse top-20 in the 8-dim JL space, exact
-    // rerank to top-5 — recall errors can only be coarse-cut misses
-    "q_ann_rp_rerank" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.rpRerankTopK(emb.filter(col("vec_id") < 10), emb,
-        dim = 64, kProj = 8, coarseK = 20, k = 5)
-    }),
-
-    // ---- multimodal --------------------------------------------------------
-    "q_mm_decode" -> ((s, d) => {
-      import s.implicits._
-      val media = Multimodal
-        .mediaFromDocuments(s, t(s, d, "documents"))
-        .as[Multimodal.MediaRow]
-      Multimodal.decodeMeta(media).toDF()
-    }),
-
-    "q_mm_frames" -> ((s, d) =>
-      Multimodal.frameSample(
-        Multimodal.mediaFromDocuments(s, t(s, d, "documents")), stride = 64)),
-
-    // checksum is oracle-checked only for UNTRUNCATED payloads: DuckDB
-    // has no hash-of-byte-slice (md5/sha256 take VARCHAR, and a 256-byte
-    // prefix can split a UTF-8 character), so truncated rows carry a
-    // marker; sizes are verified for every row either way
-    "q_mm_resize" -> ((s, d) => {
-      import s.implicits._
-      Multimodal.resizeStub(
-        Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
-          .as[Multimodal.MediaRow], width = 16, height = 16).toDF()
-        .select(col("media_id"), col("kind"), col("width"), col("height"),
-          col("n_bytes_in"), col("n_bytes"),
-          when(col("n_bytes_in") <= 256L, col("checksum"))
-            .otherwise(lit("truncated")).as("checksum"))
-    }),
-
-    "q_mm_features" -> ((s, d) => {
-      import s.implicits._
-      // features joined to a scalar string: the driver's comparator
-      // can't sort/hash array-typed cells
-      Multimodal.featureStub(
-        Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
-          .as[Multimodal.MediaRow], bins = 8).toDF()
-        .select(col("media_id"), col("kind"),
-          array_join(col("features").cast("array<string>"), ",")
-            .as("features"))
-    }),
-
-    // ---- image near-dup pairs via perceptual hash -------------------------
-    // cross-modality dedup: 64-bit average-hash fingerprints from the
-    // codec stub, pairs via the lossless pigeonhole band join — no
-    // image ever compares against all others
-    "q_mm_phash_pairs" -> ((s, d) => {
-      import s.implicits._
-      val fps = Multimodal.aHashStub(
-        Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
-          .filter(col("kind") === "image").as[Multimodal.MediaRow],
-        bins = 64).toDF()
-      graft.dedup.Dedup.bandedHammingPairs(fps, "media_id", "phash",
-        bits = 64, maxHamming = 1)
-    }),
-
-    // the production form of image dedup: pair hits → connected
-    // components → keep one canonical image per cluster. Pair output
-    // is quadratic in an identical-fingerprint cluster by definition;
-    // the KEEP decision is linear in the corpus, which is what a
-    // 100 TB pipeline persists
-    "q_mm_phash_keep" -> ((s, d) => {
-      import s.implicits._
-      val media = Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
-        .filter(col("kind") === "image")
-      val fps = Multimodal.aHashStub(
-        media.as[Multimodal.MediaRow], bins = 64).toDF()
-      val pairs = graft.dedup.Dedup.bandedHammingPairs(fps, "media_id",
-        "phash", bits = 64, maxHamming = 1)
-      graft.dedup.Dedup.keepCanonical(media.select("media_id"),
-        "media_id", pairs, "doc_a", "doc_b")
-    }),
-
-    // WIDENED-radius Hamming search over the same aHash fingerprints:
-    // pigeonhole banding stays lossless at ANY radius by construction
-    // (nBands = maxHamming + 1, so two fps within the radius agree on
-    // ≥ 1 band — DedupSpec pins the property across widths/radii);
-    // this query hash-locks the radius-3 cut against the oracle's
-    // exhaustive all-pairs twin
-    "q_mm_phash_radius" -> ((s, d) => {
-      import s.implicits._
-      val media = Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
-        .filter(col("kind") === "image")
-      val fps = Multimodal.aHashStub(
-        media.as[Multimodal.MediaRow], bins = 64).toDF()
-      graft.dedup.Dedup.bandedHammingPairs(fps, "media_id", "phash",
-          bits = 64, maxHamming = 3)
-        .select(col("doc_a"), col("doc_b"),
-          col("hamming").cast("long").as("hamming"))
-        .orderBy("doc_a", "doc_b")
-    }),
-
-    // ---- real image codec (javax.imageio): decode on actual pixels --------
-    // deterministic grayscale PNGs encoded per partition, decoded back
-    // through ImageIO — dims, integer pixel sums, floor-micros mean and
-    // the real-pixel 8×8 aHash, every cell reproducible by the oracle
-    // from the closed pixel formula
-    "q_mm_decode_real" -> ((s, d) =>
-      Multimodal.decodeImageMeta(
-        Multimodal.syntheticImages(s, t(s, d, "documents"))).toDF()
-        .orderBy("media_id")),
-
-    // REAL-pixel feature extraction (the non-stub q_mm_features):
-    // decoded-gray value histogram + integer gradient energy, every
-    // cell replayed by the oracle from the closed pixel formula
-    "q_mm_features_real" -> ((s, d) =>
-      Multimodal.imageFeatures(
-        Multimodal.syntheticImages(s, t(s, d, "documents")), bins = 8)
-        .toDF()
-        .select(col("media_id"), col("width"), col("height"),
-          array_join(col("hist").cast("array<string>"), ",").as("hist"),
-          col("edge_energy"))
-        .orderBy("media_id")),
-
-    // real nearest-neighbor resize to 8×8: decode → integer sample grid
-    // → re-encode; no interpolation, so pixel-exact cross-engine
-    "q_mm_resize_real" -> ((s, d) =>
-      Multimodal.resizeImage(
-        Multimodal.syntheticImages(s, t(s, d, "documents")),
-        w2 = 8, h2 = 8).toDF()
-        .orderBy("media_id")),
-
-    // near-dup image pairs over REAL-pixel aHashes (planted identical
-    // images share an `id div 6` seed) through the same lossless
-    // pigeonhole band join as the byte-stub pipeline
-    "q_mm_phash_real_pairs" -> ((s, d) => {
-      val fps = Multimodal.decodeImageMeta(
-        Multimodal.syntheticImages(s, t(s, d, "documents"))).toDF()
-        .select(col("media_id"), col("ahash"))
-      graft.dedup.Dedup.bandedHammingPairs(fps, "media_id", "ahash",
-        bits = 64, maxHamming = 1)
-    }),
-
-    // ---- S1+S2 composed: staged-pages DSv2 scan → literal HTML parse ------
-    // the reference's exact ingestion shape end-to-end: one page FILE
-    // per region on disk, the staged-pages source plans one input
-    // partition per page, each page's markup parses scan-locally into
-    // typed rows — a migrating user's full first step. The page writes
-    // are a |regions|-bounded fixture (the q_s_csv_roundtrip class of
-    // driver-side setup), not a data-path collect.
-    "q_s1_staged_pages" -> ((s, d) => {
-      val pages = t(s, d, "nation")
-        .select(col("n_regionkey").as("page"),
-          struct(col("n_nationkey"), col("n_name")).as("r"))
-        .groupBy("page")
-        .agg(array_sort(collect_list(col("r"))).as("rs"))
-        .select(col("page"),
-          HtmlTables.renderPage(Seq(
-            Seq("nation" -> 2, "geo" -> 1),
-            Seq("key" -> 1, "name" -> 1, "region" -> 1)))(
-            transform(col("rs"), r => array(
-              r.getField("n_nationkey").cast("string"),
-              r.getField("n_name"),
-              col("page").cast("string")))).as("html"))
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_html_pages")
-      pages.collect().foreach { r =>
-        java.nio.file.Files.write(
-          dir.resolve(s"region_${r.get(0)}.html"),
-          r.getString(1).getBytes("UTF-8"))
-      }
-      // rendered pages are single-line, so (page file, line) is the
-      // whole document; page identity comes from the file name
-      val scanned = s.read.format("staged-pages")
-        .option("path", dir.toString).load()
-        .select(regexp_extract(col("page"), "region_(\\d+)\\.html", 1)
-          .cast("long").as("page"), col("line").as("html"))
-      HtmlTables.pivot(
-          HtmlTables.table(scanned, "page", "html", headerRows = 2),
-          Seq("nation_key", "nation_name", "geo_region"))
-        .select(col("nation_key").cast("long").as("n_nationkey"),
-          col("nation_name").as("n_name"),
-          col("geo_region").cast("long").as("n_regionkey"))
-        .orderBy("n_nationkey")
-    }),
-
-    // ---- real video path: container demux + per-frame ImageIO decode ------
-    // stride-2 frame sampling with real pixel decode per frame:
-    // per-frame gray sums, real-pixel aHash, and the abs-pixel delta vs
-    // the previous frame (the scene-cut statistic) — all reproducible
-    // by the oracle from the closed frame-pixel formula
-    "q_mm_video_frames" -> ((s, d) =>
-      Multimodal.decodeVideoFrames(
-        Multimodal.syntheticVideos(s, t(s, d, "documents")),
-        stride = 2).toDF()
-        .orderBy("media_id", "frame_idx")),
-
-    // ---- real audio codec (javax.sound.sampled): WAV PCM16 decode ---------
-    // deterministic WAVs encoded per partition, decoded back through
-    // AudioSystem — integer energy sums, peak, strict zero crossings,
-    // every cell reproducible by the oracle from the sample formula
-    "q_mm_audio_decode" -> ((s, d) =>
-      Multimodal.decodeAudioMeta(
-        Multimodal.syntheticAudio(s, t(s, d, "documents"))).toDF()
-        .orderBy("media_id")),
-
-    // real windowed frame features over the decoded signal: per-frame
-    // energy + peak — frame sampling with actual DSP content
-    "q_mm_audio_frames" -> ((s, d) =>
-      Multimodal.audioFrames(
-        Multimodal.syntheticAudio(s, t(s, d, "documents")),
-        frameLen = 64).toDF()
-        .orderBy("media_id", "frame_idx")),
-
-    // ---- S3 anchor-extract parity: regex extract-all + explode ------------
-    "q_s3_regex_extract" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          explode(regexp_extract_all(col("text"),
-            lit("\\b(s[a-z]+)\\b"), lit(1))).as("href"))
-        .groupBy("href")
-        .agg(count(lit(1)).as("n"))),
-
-    // ---- sessionization (batch gaps-and-islands) --------------------------
-    "q_sessionize" -> ((s, d) =>
-      Streams.sessionizeBatch(
-        Tables.events(s, d).select("event_id", "user_id", "ts", "value"),
-        gapMinutes = 30)),
-
-    // built-in session_window: same merge rule as sessionizeBatch
-    // (gap > 30 min starts a session), window end = last event + gap
-    "q_session_window" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("user_id"),
-          session_window(col("ts"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).cast("double")
-            .as("sum_value"))
-        .select(col("user_id"), col("w.start").as("session_start"),
-          col("w.end").as("session_end"), col("n_events"),
-          col("sum_value"))),
-
-    // ---- streaming ---------------------------------------------------------
-    "q_stream_daily_agg" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt").toString
-      Streams.dailyEventAgg(s, d, ckpt, statePartitions = 8)
-        .select(to_date(col("day")).as("day"), col("event_type"),
-          col("cnt"), col("sum_value"))
-    }),
-
-    // incremental Markov transition counts: per-user fMGWS state holds
-    // the last event, batch-boundary steps included; probabilities are
-    // a read-time view (ranking/probability isn't incremental-safe,
-    // counts are)
-    "q_stream_markov" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_mkv").toString
-      Streams.markovStream(s, d, ckpt)
-        .orderBy("from_type", "to_type")
-    }),
-
-    // streaming count-min sketch: cells ARE the aggregation state
-    // (bounded d·w rows for any key cardinality); probe with the batch
-    // key list — same output and oracle as q_cms_topk, because the
-    // micro-batched sketch merges to the batch one by construction
-    "q_stream_cms" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_cms").toString
-      val sketch = Streams.cmsStream(s, d, ckpt, "user_id",
-        depth = 4, width = 256)
-      val ev = Tables.events(s, d)
-      sketches.cmsEstimate(sketch, ev.select("user_id").distinct(),
-          "user_id", depth = 4, width = 256)
-        .join(ev.groupBy("user_id").agg(count(lit(1)).as("true_c")),
-          Seq("user_id"))
-        .orderBy(desc("est"), col("user_id"))
-        .limit(25)
-    }),
-
-    // streaming quantile sketch: HDR bucket counts as bounded
-    // complete-mode agg state (≤64·2^5 rows at any cardinality);
-    // micro-batches are the shards, so stream ≡ batch IS the merge
-    // property — the oracle is the batch bucket math over the same
-    // events
-    "q_stream_quantile" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_qsk").toString
-      val sk = Streams.quantileSketchStream(s, d, ckpt,
-          (col("value").cast("decimal(18,2)") * 100).cast("long"), 5)
-        .withColumn("bkt_hi", col("bkt_lo") +
-          call_function("shiftleft", lit(1L),
-            greatest((length(bin(col("bkt_lo"))) - 1)
-              .cast("int") - 5, lit(0))) - 1)
-      qsketch.quantiles(sk, Seq(500, 990))
-        .select(col("q_permille"), col("n"), col("est_lo"),
-          col("est_hi"))
-        .orderBy("q_permille")
-    }),
-
-    // incremental OHLC candles: order-insensitive min_by/max_by state
-    // inside the windowed agg — same daily integer-cent bars as the
-    // batch operator (BIGINT-only cells, harness-canonicalizable)
-    "q_stream_ohlc" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_ohlc").toString
-      Streams.ohlcStream(s, d, ckpt, barSeconds = 86400L,
-          statePartitions = 8,
-          valueExpr = (col("value").cast("decimal(18,2)") * 100)
-            .cast("long"))
-        .select(col("event_type"), col("bar_start"),
-          col("open").as("open_c"), col("high").as("high_c"),
-          col("low").as("low_c"), col("close").as("close_c"),
-          col("n_ticks"), col("volume").cast("long").as("volume_c"))
-    }),
-
-    // the PRODUCTION ohlc path: update mode + snapshot-chain upsert —
-    // the live watermark evicts closed bars from state; the final
-    // table equals complete mode because each bar's last update wins
-    "q_stream_ohlc_update" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_ohlc_u").toString
-      val tbl = java.nio.file.Files
-        .createTempDirectory("graft_ohlc_tbl").toString
-      Streams.ohlcStreamUpdate(s, d, ckpt, tbl, barSeconds = 86400L,
-          statePartitions = 8,
-          valueExpr = (col("value").cast("decimal(18,2)") * 100)
-            .cast("long"))
-        .select(col("event_type"), col("bar_start"),
-          col("open").as("open_c"), col("high").as("high_c"),
-          col("low").as("low_c"), col("close").as("close_c"),
-          col("n_ticks"), col("volume").cast("long").as("volume_c"))
-    }),
-
-    // stream → foreachBatch upsert → lake table: final table is the
-    // latest event per user (ts in epoch micros for the cross-engine
-    // compare; the upsert keeps the file's raw ts column, which is
-    // nanos-as-long in the old testdata generation and TIMESTAMP_NTZ in
-    // the current one — branch on what the table actually carries)
-    "q_stream_upsert" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_up").toString
-      val tbl = java.nio.file.Files
-        .createTempDirectory("graft_cdc_tbl").toString
-      val res = Streams.upsertStreamToTable(s, d, ckpt, tbl,
-        keys = Seq("user_id"), versionCol = "ts")
-      val tsUs = res.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        case _ => unix_micros(col("ts").cast("timestamp"))
-      }
-      res.select(col("user_id"), tsUs.as("ts_us"),
-        col("event_id"), col("event_type"), col("value"))
-    }),
-
-    "q_stream_dedup" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_dd").toString
-      Streams.dedupStream(s, d, ckpt, statePartitions = 8)
-    }),
-
-    // streaming LSH near-dup dedup: arriving docs (every 17th) probe
-    // the STATIC banded index over the rest of the corpus, one keep/drop
-    // decision per doc — decisions are batch-slicing-invariant, so the
-    // oracle is the batch incremental pass folded to per-doc counts
-    "q_stream_dedup_lsh" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_lsh").toString
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_lsh_dec").toString + "/decisions"
-      Streams.lshDedupStream(s, d, ckpt, out,
-        numPerms = 8, numBands = 4, threshold = 0.8)
-    }),
-
-    // ONLINE cluster maintenance: arrivals probe the LSH index, APPEND
-    // their signatures (so cross-batch pairs are never lost), and fold
-    // their new edges into the versioned labels snapshot via
-    // incrementalComponents — the final snapshot must equal the
-    // from-scratch full-corpus CC for ANY batch slicing
-    "q_stream_cc_maintain" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_ccm").toString
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_cc_store").toString
-      Streams.ccMaintainStream(s, d, ckpt, store,
-        numPerms = 8, numBands = 4, threshold = 0.8)
-    }),
-
-    // streaming EXACT-SUBSTRING maintenance: arrivals (every 17th doc)
-    // patch the at-rest dup report by probing the gram index — the
-    // corpus SA is never rebuilt, each batch appends its own grams so
-    // later batches dedup against everything before them. Oracle =
-    // the from-scratch gram-count dup report over corpus ∪ arrivals
-    // (the full table); batch-slicing invariance is spec-pinned.
-    "q_stream_sa_dup" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_sam").toString
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_sa_store").toString
-      Streams.saMaintainStream(s, d, ckpt, store, minLen = 5,
-          seedFrom = Some(saStreamSeedDir(s, d)))
-        .orderBy("doc_id")
-    }),
-
-    // streaming IVF-assignment maintenance — the ANN member of the
-    // at-rest index-maintenance trio (CC labels, SA dup report, vector
-    // index): arrivals (every 9th vector, re-ingested under new ids)
-    // are assigned against the snapshot's FROZEN centroid table and
-    // appended to the assignment log; the corpus is never re-scanned,
-    // the quantizer never retrained per batch. Frozen-quantizer
-    // assignment is slicing-invariant, so the merged view equals the
-    // one-shot batch assignment the oracle recomputes.
-    "q_stream_ann_assign" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_annm").toString
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_ann_store").toString
-      Streams.annMaintainStream(s, d, ckpt, store,
-          seedFrom = Some(annStreamSeedDir(s, d)))
-        .orderBy("vec_id")
-    }),
-
-    // UNIFIED ingest topology: ONE arrivals stream maintains the whole
-    // at-rest index trio (CC labels, SA dup report, IVF assignment) in
-    // the SAME foreachBatch — at every batch boundary the three
-    // artifacts describe the same ingested prefix, the cross-index
-    // consistency three separate streams cannot pin. One corpus/
-    // arrival split (id % 17) across the trio. Output = one row per
-    // document with all three index verdicts; the oracle recomputes
-    // each from scratch (full-corpus CC, full-table dup report,
-    // frozen-quantizer assignment) and joins them.
-    "q_stream_ingest_trio" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_trio").toString
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_trio_store").toString
-      Streams.ingestTrioStream(s, d, ckpt, store,
-          numPerms = 8, numBands = 4, threshold = 0.8, minLen = 5)
-        .orderBy("doc_id")
-    }),
-
-    // streaming heavy hitters: exact per-(day, type, user) counts
-    // maintained incrementally, top-5 ranked at read time — ranking is
-    // not incremental-safe, so the cut is a batch view over the
-    // aggregate (the production split)
-    "q_stream_topk" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_topk").toString
-      Streams.topKStream(s, d, ckpt, k = 5, statePartitions = 8)
-        .select(to_date(col("day")).as("day"), col("event_type"),
-          col("user_id"), col("cnt"))
-    }),
-
-    // validated ingest: per-ROW contract routing (known event type,
-    // value in [0,400], non-null user) — published vs quarantined;
-    // row-level gates are batch-slicing-invariant, so the end state
-    // matches the plain batch filter the oracle runs
-    "q_stream_validate" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_rv").toString
-      val good = java.nio.file.Files
-        .createTempDirectory("graft_rv_good").toString
-      val bad = java.nio.file.Files
-        .createTempDirectory("graft_rv_bad").toString
-      Streams.routeValidated(s, d, ckpt, good, bad,
-        col("event_type").isInCollection(
-          Seq("click", "view", "purchase", "signup")) &&
-          col("value") >= 0 && col("value") <= 400 &&
-          col("user_id").isNotNull)
-    }),
-
-    "q_stream_enrich" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_en").toString
-      Streams.enrichStream(s, d, ckpt)
-    }),
-
-    // ---- stream-static SCD2 enrichment -------------------------------------
-    // each event joins the dimension VERSION valid at its event time
-    // (weekly tier intervals, deterministic); equi-join + range filter —
-    // stateless, dimension broadcast per micro-batch
-    "q_stream_scd2" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_scd2en").toString
-      val dim = s.range(150L * 5).select(
-        (col("id") % 150).as("user_id"),
-        (col("id") / 150).cast("int").as("k"))
-        .select(col("user_id"),
-          expr("timestamp(date_add(date '2024-01-01', k * 7))")
-            .as("valid_from"),
-          expr("timestamp(date_add(date '2024-01-01', (k + 1) * 7))")
-            .as("valid_to"),
-          ((col("user_id") + col("k")) % 3).cast("int").as("tier"))
-      Streams.temporalEnrichStream(s, d, ckpt, dim, "user_id",
-          "valid_from", "valid_to")
-        .groupBy("tier")
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"),
-          sum((col("value").cast("decimal(18,2)") * lit(100))
-            .cast("long")).as("v_sum_c"))
-        .orderBy("tier")
-    }),
-
-    // Spark 4 transformWithState sessionization (typed ValueState +
-    // RocksDB, the post-fMGWS arbitrary-state API) — same oracle as the
-    // batch q_sessionize, so the driver sees the new API path green
-    "q_stream_sessionize_tws" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_tws").toString
-      Streams.sessionizeStreamTws(s, d, ckpt, gapMinutes = 30)
-        .select("user_id", "session_start", "n_events", "sum_value")
-    }),
-
-    // stream-stream interval join: click→purchase attribution within 6h
-    "q_stream_join" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_sj").toString
-      Streams.intervalJoinStreams(s, d, ckpt, "click", "purchase", 6,
-        statePartitions = 8)
-    }),
-
-    // LEFT OUTER stream-stream interval join: every click emits, matched
-    // or null-padded — outer state flushed by a far-future punctuation
-    // sentinel (see Streams.intervalJoinStreamsOuter)
-    "q_stream_join_outer" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_sjo").toString
-      Streams.intervalJoinStreamsOuter(s, d, ckpt, "click", "purchase", 6,
-        statePartitions = 4)
-    }),
-
-    // FULL OUTER stream-stream interval join: unmatched purchases also
-    // emit, null-padded on the click side
-    "q_stream_join_full" -> ((s, d) => {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_sjf").toString
-      Streams.intervalJoinStreamsOuter(s, d, ckpt, "click", "purchase", 6,
-        statePartitions = 4, joinType = "fullOuter")
-    }),
-
-    // ---- sequence packing (concat-then-chunk into context windows) --------
-    "q_pack_sequences" -> ((s, d) =>
-      Packing.packManifest(
-        t(s, d, "documents").select(col("doc_id"),
-          Text.bpeishTokenCount(col("text")).cast("long").as("n_tokens")),
-        "doc_id", "n_tokens", maxLen = 2048)),
-
-    // ---- z-order layout key -----------------------------------------------
-    // per-row Morton key over the (partkey, suppkey) plane — the sort key
-    // zorderWrite clusters files by (layout measured in ZOrderSpec)
-    "q_zorder_key" -> ((s, d) =>
-      t(s, d, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"),
-        call_function("graft_zorder", col("l_partkey").cast("long"),
-          col("l_suppkey").cast("long"), lit(11)).as("z"))),
-
-    // ---- time-series gap filling ------------------------------------------
-    "q_gap_fill" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,2)")).cast("double")
-            .as("sum_value"))
-      graft.ops.timeseries.fillDailyGaps(daily, "user_id", "day",
-        Seq("cnt" -> lit(0L), "sum_value" -> lit(0.0)))
-    }),
-
-    // ---- unigram log-probability (perplexity-filter stand-in) -------------
-    // two passes over one staged token frame: corpus unigram frequencies,
-    // then a shuffle join back on token. Per-token logprobs are quantized
-    // to integer micros BEFORE summing so the per-doc sum is independent
-    // of float addition order (and of the 1-ulp ln() divergence between
-    // engines).
-    "q_unigram_logprob" -> ((s, d) => {
-      val tf = t(s, d, "documents")
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-        .stage()
-      val freq = tf.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val n = tf.agg(count(lit(1)).cast("double").as("n_total"))
-      tf.join(freq, Seq("tok"))
-        .crossJoin(broadcast(n))
-        .select(col("doc_id"),
-          round(log(col("cnt").cast("double") / col("n_total")) * 1e6)
-            .cast("long").as("lp_micro"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(col("lp_micro")).as("lp_sum_micro"))
-        .withColumn("avg_logprob",
-          graft.ops.analytics.roundDouble(col("lp_sum_micro") / lit(1e6) / col("n_tokens"), 4))
-    }),
-
-    // per-doc token-distribution Shannon entropy — the "repeated-token
-    // junk" axis of quality scoring (low entropy = keyword stuffing /
-    // boilerplate). H = ln n − (Σ c·ln c)/n, with ln c snapped to
-    // integer micros per distinct token so the weighted sum is exact
-    // and order-independent. Two partial-agg shuffles, scan-local math.
-    // URL decomposition on deterministic synthetic URLs (the corpus
-    // carries no url column): host / registrable domain / tld / path
-    // depth / param count — the domainCap + quality-prior grouping keys
-    "q_url_features" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          concat(lit("https://"), col("source"), lit(".example.com/"),
-            col("lang"), lit("/doc/"), (col("doc_id") % 50).cast("string"),
-            when(col("doc_id") % 3 === 0, lit("?ref=rss&utm=1"))
-              .when(col("doc_id") % 3 === 1, lit("?ref=feed"))
-              .otherwise(lit(""))).as("url"))
-        .select(col("doc_id"), Text.urlFeatures(col("url")).as("f"))
-        .select(col("doc_id"), col("f.host").as("host"),
-          col("f.domain").as("domain"), col("f.tld").as("tld"),
-          col("f.path_depth").as("path_depth"),
-          col("f.n_params").as("n_params"))),
-
-    // sliding-window PMI collocations — the word2vec/SGNS-shaped
-    // association score; window-bounded pair join, corpus totals baked
-    // in as driver scalars, ln at the integer-micros boundary
-    "q_pmi_pairs" -> ((s, d) =>
-      Text.pmiPairs(t(s, d, "documents"), "doc_id", "text",
-        window = 2, minCount = 5, topK = 50)),
-
-    "q_text_entropy" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum(col("c")).as("n_tokens"),
-          sum(expr("cast(round(ln(c) * 1000000) as bigint) * c"))
-            .as("clnc_micro"))
-        .select(col("doc_id"), col("n_tokens"),
-          (round((log(col("n_tokens").cast("double")) -
-            col("clnc_micro") / lit(1e6) / col("n_tokens")) * 1e4) / 1e4)
-            .as("entropy"))),
-
-    // interpolated bigram LM score — one rung above q_unigram_logprob,
-    // the shape of a CCNet/KenLM-style perplexity filter: p(w2|w1) =
-    // 0.7·bigram MLE + 0.3·unigram backoff, scored against the corpus's
-    // own counts. Integer-micros at the ln boundary (associative sums);
-    // the token/bigram/vocab frames are each staged once and reused.
-    "q_bigram_logprob" -> ((s, d) =>
-      Text.bigramLogprobMicro(t(s, d, "documents"), "doc_id", "text")
-        .withColumn("avg_logprob",
-          round((col("lp_sum_micro") / lit(1e6) / col("n_bigrams"))
-            * 1e4) / 1e4)),
-
-    // CCNet head/middle/tail cut of the same bigram LM score: exact
-    // distributed rank (range sort + zipWithIndex), integer tercile
-    // cutoffs — no interpolated threshold to diverge cross-engine
-    "q_ppl_buckets" -> ((s, d) =>
-      Text.perplexityBuckets(t(s, d, "documents"), "doc_id", "text")),
-
-    // ---- sliding-window chunking (tokenize-and-chunk with overlap) --------
-    "q_chunk_overlap" -> ((s, d) =>
-      Packing.chunkWindows(
-        t(s, d, "documents").select(col("doc_id"),
-          Text.tokens(col("text")).as("toks")),
-        "doc_id", "toks", width = 64, stride = 48)),
-
-    // ---- chunk-granularity corpus dedup (CCNet-style first-occurrence) ----
-    // segment → hash → keep first (doc_id, chunk_idx) per hash → per-doc
-    // retention. One shuffle on the chunk hash, one on doc_id.
-    "q_chunk_dedup" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val chunks = Packing.chunkWindows(
-        t(s, d, "documents").select(col("doc_id"),
-          Text.tokens(col("text")).as("toks")),
-        "doc_id", "toks", width = 32, stride = 32)
-      val wH = Window.partitionBy(md5(col("chunk_text")))
-        .orderBy(col("doc_id"), col("chunk_idx"))
-      chunks
-        .withColumn("kept",
-          (row_number().over(wH) === 1).cast("int").cast("long"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"), sum(col("kept")).as("n_kept"))
-        .withColumn("kept_ratio",
-          graft.ops.analytics.roundDouble(col("n_kept") / col("n_chunks"), 6))
-    }),
-
-    // ---- corpus mixing: reweight languages to an equal-share target -------
-    // per-lang keep thresholds derived entirely in INTEGER math from the
-    // observed counts (floor(equal_share·10⁴ / n_l) md5-buckets of 10⁴),
-    // so the kept set is deterministic across runs, engines, and
-    // partitionings — the reproducibility a training-mix spec needs.
-    "q_corpus_mix" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_orig"))
-      val tot = byLang.agg(sum(col("n_orig")).as("n_total"),
-        count(lit(1)).as("n_langs"))
-      val thresholds = byLang.crossJoin(broadcast(tot))
-        .withColumn("threshold",
-          least(lit(10000L),
-            expr("((n_total div n_langs) * 10000) div n_orig")))
-        .select("lang", "n_orig", "threshold")
-      val kept = docs
-        .join(broadcast(thresholds), Seq("lang"))
-        .filter(Text.splitBucket(col("doc_id"), 10000) < col("threshold"))
-        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
-      thresholds.join(kept, Seq("lang"), "left")
-        .select(col("lang"), col("n_orig"), col("threshold"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
-    }),
-
-    // ---- temperature-based resampling (the n^α multilingual rule) ---------
-    // keep probability ∝ (n_l)^0.7 share of a T-doc target — upweights
-    // low-resource languages relative to proportional sampling without
-    // the distortion of equal-share (q_corpus_mix). The pow/normalize
-    // happens in doubles but snaps to integer micros BEFORE the
-    // threshold math, so the kept set stays engine-exact; thresholds
-    // are md5 buckets of 10⁴ like every deterministic sampler here.
-    "q_tempered_mix" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val byLang = docs.groupBy("lang")
-        .agg(count(lit(1)).as("n_orig"))
-        // snap each pow to micros BEFORE summing: the total becomes an
-        // integer sum (associative, partition-order-free) instead of an
-        // order-dependent double agg that could differ from the
-        // oracle's summation order in the last ulp
-        .withColumn("w_micro",
-          round(pow(col("n_orig").cast("double"), 0.7d) * 1e6)
-            .cast("long"))
-      val tot = byLang.agg(
-        sum(col("w_micro")).as("wt_micro"),
-        sum(col("n_orig")).as("n_total"))
-      val thresholds = byLang.crossJoin(broadcast(tot))
-        .withColumn("share_micro",
-          round(col("w_micro").cast("double") /
-            col("wt_micro").cast("double") * 1e6).cast("long"))
-        // target T = n_total/2 docs overall; per-lang quota in integer
-        // math from the snapped share. (T·share·10⁴) div (10⁶·n) reduces
-        // exactly to (T·share) div (100·n) — same rational, same floor —
-        // which keeps the product inside long range up to 10¹² docs
-        .withColumn("threshold",
-          least(lit(10000L), expr(
-            "((n_total div 2) * share_micro) div (100 * n_orig)")))
-        .select("lang", "n_orig", "share_micro", "threshold")
-      val kept = docs
-        .join(broadcast(thresholds), Seq("lang"))
-        .filter(Text.splitBucket(col("doc_id"), 10000) < col("threshold"))
-        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
-      thresholds.join(kept, Seq("lang"), "left")
-        .select(col("lang"), col("n_orig"), col("share_micro"),
-          col("threshold"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
-    }),
-
-    // ---- ranked-distribution window functions (§2.8 completeness) ---------
-    "q_window_percent" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice"), col("l_orderkey"),
-          col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-      t(s, d, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"), col("l_returnflag"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"),
-        nth_value(col("l_extendedprice"), 3).over(w).as("third_price"))
-    }),
-
-    // ---- time-series: linear interpolation over the densified series ------
-    "q_ts_interpolate" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
-      val dense = timeseries.fillDailyGaps(daily, "user_id", "day",
-        Seq("v" -> lit(null).cast("double")))
-      timeseries.interpolateLinear(dense, "user_id", "day", "v")
-        .withColumn("v", graft.ops.analytics.roundDouble(col("v"), 6))
-    }),
-
-    // ---- time-series: trailing 7-day window stats over the dense series ---
-    // gap filling first so "7 rows" IS "7 days"; the window sum routes
-    // through decimal so the running accumulation order can't diverge
-    // the float hash between engines
-    "q_ts_moving" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,2)")).cast("double")
-            .as("sum_value"))
-      val dense = timeseries.fillDailyGaps(daily, "user_id", "day",
-        Seq("cnt" -> lit(0L), "sum_value" -> lit(0.0)))
-      val w7 = Window.partitionBy(col("user_id")).orderBy(col("day"))
-        .rowsBetween(-6, Window.currentRow)
-      dense.select(col("user_id"), col("day"),
-        sum(col("cnt")).over(w7).as("cnt_7d"),
-        sum(col("sum_value").cast("decimal(18,2)")).over(w7).cast("double")
-          .as("sum_7d"),
-        max(col("sum_value")).over(w7).as("max_7d"))
-    }),
-
-    // ---- funnel analysis (view → click → purchase) ------------------------
-    "q_funnel" -> ((s, d) =>
-      analytics.funnel(Tables.events(s, d), "user_id", "event_type", "ts",
-        Seq("view", "click", "purchase"))),
-
-    // ---- cohort retention grid --------------------------------------------
-    "q_cohort" -> ((s, d) =>
-      analytics.cohortRetention(Tables.events(s, d), "user_id", "ts")),
-
-    // ---- SCD type-2 validity intervals ------------------------------------
-    // order priority history per customer; (o_orderdate, o_orderkey)
-    // makes the per-key sort total, so interval boundaries are
-    // deterministic under any partitioning
-    "q_scd2" -> ((s, d) =>
-      analytics.scd2Intervals(t(s, d, "orders"), "o_custkey",
-        "o_orderdate", Seq(col("o_orderdate"), col("o_orderkey")),
-        "o_orderpriority")),
-
-    // ---- data profiling (one scan, long format) ---------------------------
-    // all 16 stats come out of ONE aggregate over one scan (partial agg
-    // map-side), then stack() pivots to a row per column — no per-column
-    // re-scan, which is the difference between 1× and k× input reads at
-    // 100 TB
-    "q_profile" -> ((s, d) => {
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-      def stats(c: String) = Seq(
-        count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        min(col(c)).as(s"min_$c"),
-        max(col(c)).as(s"max_$c"),
-        round(sum(col(c).cast("decimal(18,2)")).cast("double") /
-          count(col(c)), 6).as(s"avg_$c"))
-      val exprs = count(lit(1)).as("n_rows") +: cols.flatMap(stats)
-      // the multi-distinct agg Expands the input 4× and does its partial
-      // aggregation in the SCAN stage; the testdata is one row group per
-      // file, so without a redistribution that stage is one task. On a
-      // real lake the file count parallelizes the scan and this exchange
-      // coalesces away under AQE (10 MB here — noise next to a 4× Expand)
-      val in = t(s, d, "lineitem").select(cols.map(col): _*)
-      val par = if (in.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-        in.repartition(s.sparkContext.defaultParallelism) else in
-      par.agg(exprs.head, exprs.tail: _*)
-        .select(expr("stack(3, " + cols.map(c =>
-          s"'$c', n_rows, nn_$c, nd_$c, min_$c, max_$c, avg_$c")
-          .mkString(", ") +
-          ") as (col_name, n_rows, n_nonnull, n_distinct, min_v, max_v, avg_v)"))
-    }),
-
-    // the 100 TB profile path: approx_count_distinct replaces the
-    // multi-distinct, so the aggregate needs NO Expand — the scan is
-    // read once at 1× volume instead of 4× (plan-guarded in PlanSpec).
-    // The exact-distinct audit agg here exists only to turn the sketch
-    // into a bounded-error verdict the oracle can check; production runs
-    // the approx half alone.
-    "q_profile_approx" -> ((s, d) => {
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-      val in = t(s, d, "lineitem").select(cols.map(col): _*)
-      // checkpoint the spread input ONCE: the profile agg and the exact
-      // audit agg both read it, and without the pin each branch would
-      // re-run the scan + repartition
-      val par = (if (in.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-        in.repartition(s.sparkContext.defaultParallelism) else in)
-        .stage()
-      // UNPIVOT first, sketch per GROUP: k approx_count_distinct buffers
-      // side by side in ONE aggregate lay k·numWords longs in the agg
-      // row and the generated update path degrades superlinearly with
-      // buffer width (measured 0.6 s for one HLL++ → 7 s for three at
-      // rsd 0.02). One (col_name, v) row per column per input row keeps
-      // exactly one sketch buffer per hash-map entry, and adding profile
-      // columns scales the GROUP count, never the buffer width.
-      // The sketch is DataSketches HLL (hll_sketch_agg): its sparse
-      // mode is exact at small cardinalities (l_quantity: 50) where
-      // HLL++'s dense estimator carries a bias that busts a 5% verdict.
-      // It ingests discrete types only, so v is pre-hashed with
-      // xxhash64 — a 64-bit injective-in-practice fingerprint (collision
-      // odds ~n²/2⁶⁵, invisible next to the 2% sketch rsd).
-      val longF = par.select(expr("stack(3, " +
-        cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, v)"))
-      val prof = longF.groupBy("col_name").agg(
-        count(lit(1)).as("n_rows"),
-        count(col("v")).as("n_nonnull"),
-        // null-guarded: xxhash64(NULL) returns the seed (42L), not
-        // null, so an unguarded hash would count null rows as one
-        // extra distinct value where countDistinct ignores them
-        hll_sketch_estimate(hll_sketch_agg(
-          when(col("v").isNotNull, xxhash64(col("v")))))
-          .as("nd_approx"),
-        min(col("v")).as("min_v"),
-        max(col("v")).as("max_v"),
-        round(sum(col("v").cast("decimal(18,2)")).cast("double") /
-          count(col("v")), 6).as("avg_v"))
-      val exact = longF.groupBy("col_name")
-        .agg(countDistinct(col("v")).as("nd_exact"))
-      prof.join(exact, "col_name")
-        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
-          col("nd_exact").as("n_distinct"), col("min_v"), col("max_v"),
-          col("avg_v"),
-          (abs(col("nd_approx") - col("nd_exact")) <=
-            col("nd_exact") * lit(0.05)).as("nd_ok"))
-    }),
-
-    // ---- vocabulary coverage curve --------------------------------------------
-    // smallest frequency-ranked vocabulary prefix covering 50/90/95/99%
-    // of token mass — the corpus-planning number behind vocab sizing and
-    // OOV budgeting. The running sum over the distinct-token frame is
-    // the DISTRIBUTED two-level prefix sum (at 100 TB the vocabulary is
-    // 10⁸–10⁹ rows — a global `Window.orderBy` would funnel all of it
-    // through one task)
-    "q_vocab_coverage" -> ((s, d) => {
-      val freq = t(s, d, "documents")
-        .select(explode(Text.tokens(col("text"))).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val tot = freq.agg(sum(col("cnt")).as("n_total"))
-      windows.distributedPrefixSum(freq,
-          Seq(col("cnt").desc, col("tok")), col("cnt"), "cum", "rk")
-        .crossJoin(broadcast(tot)) // one-row totals frame
-        .select(col("rk"), col("cum"), col("n_total"),
-          explode(array(lit(50), lit(90), lit(95), lit(99))).as("pct"))
-        .filter(col("cum") * 100 >= col("n_total") * col("pct"))
-        .groupBy("pct")
-        .agg(min(col("rk")).cast("long").as("k_tokens"),
-          max(col("n_total")).as("n_total"))
-        .orderBy("pct")
-    }),
-
-    // ---- inter-arrival burstiness ----------------------------------------------
-    // per-user gap mean + squared coefficient of variation in integer
-    // micros — the temporal-regularity feature behind bot screens (CV²≈1
-    // is Poisson, ≪1 metronomic, ≫1 bursty). Whole-second gaps; the
-    // two-step floor-div keeps everything inside long arithmetic for
-    // per-key spans up to ~3 years
-    "q_burstiness" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"))
-        .withColumn("sec", expr("unix_micros(ts) div 1000000"))
-        .withColumn("g", col("sec") - lag(col("sec"), 1).over(w))
-        .filter(col("g").isNotNull)
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sx"),
-          sum(col("g") * col("g")).as("sxx"))
-        .filter(col("sx") > 0)
-        .select(col("user_id"), col("n_gaps"),
-          expr("(sx * 1000000L) div n_gaps").as("mean_gap_micro"),
-          expr("(n_gaps * sxx - sx * sx) div (sx * sx) * 1000000L + " +
-            "(((n_gaps * sxx - sx * sx) % (sx * sx)) * 1000000L) " +
-            "div (sx * sx)").as("cv2_micro"))
-        .orderBy("user_id")
-    }),
-
-    // ---- longest activity streak (gaps-and-islands) --------------------------
-    // per-user longest run of consecutive active days: day − row_number
-    // is constant within a run — two hash aggs on the deduped (user, day)
-    // frame, per-user windows, ties break to the latest run
-    "q_streaks" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val days = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val w = Window.partitionBy("user_id").orderBy("day")
-      days
-        .withColumn("grp", expr("date_sub(day, row_number() over " +
-          "(partition by user_id order by day))"))
-        .groupBy("user_id", "grp")
-        .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
-        .groupBy("user_id")
-        .agg(max(struct(col("len"), col("start_day"))).as("m"))
-        .select(col("user_id"), col("m.len").as("best_len"),
-          col("m.start_day").as("best_start"))
-        .orderBy("user_id")
-    }),
-
-    // ---- period-over-period growth --------------------------------------------
-    // daily volume per event type vs 7 days earlier, growth in floor
-    // micros — lag over the pre-aggregated daily frame, never raw rows
-    "q_pop" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("event_type").orderBy("day")
-      daily
-        .withColumn("prev", lag(col("cnt"), 7).over(w))
-        .withColumn("prev_day", lag(col("day"), 7).over(w))
-        // the calendar is dense in this corpus; guard anyway: a 7-row
-        // lag only IS week-over-week when the lagged row is 7 days back
-        .filter(col("prev").isNotNull &&
-          datediff(col("day"), col("prev_day")) === 7)
-        .select(col("event_type"), col("day"), col("cnt"), col("prev"),
-          expr("((cnt - prev) * 1000000L) div prev").as("wow_micro"))
-        .orderBy("event_type", "day")
-    }),
-
-    // two-sample Kolmogorov-Smirnov drift, exact in integers: D between
-    // the purchase-event value distribution and everything else — the
-    // numerator is cross-multiplied cumulative counts (decimal(38,0)),
-    // so the statistic is engine-reproducible with no float CDF math
-    "q_ks_drift" -> ((s, d) =>
-      analytics.ksDrift(
-        Tables.events(s, d).select(col("event_type"),
-          (col("value").cast("decimal(18,2)") * 100)
-            .cast("long").as("v")),
-        sideA = col("event_type") === "purchase", "v")),
-
-    // the integral companion: exact 1-D Wasserstein between the same
-    // two samples — "how much mass moved how far", in micro-cents
-    "q_emd_drift" -> ((s, d) =>
-      analytics.emdDrift(
-        Tables.events(s, d).select(col("event_type"),
-          (col("value").cast("decimal(18,2)") * 100)
-            .cast("long").as("v")),
-        sideA = col("event_type") === "purchase", "v")),
-
-    // ---- embedding distribution drift ---------------------------------------
-    // per-dim mean shift between two snapshot halves — the embedding-
-    // space companion to q_source_kl's text drift: a re-embedded or
-    // contaminated corpus moves these means. One posexplode pass, exact
-    // decimal sums, the d-row frame finishes with fixed-order division
-    "q_emb_drift" -> ((s, d) => {
-      val g = t(s, d, "embeddings")
-        .select((col("vec_id") % 2 === 0).as("snap_a"),
-          posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("dim", "snap_a")
-        .agg(sum(col("x").cast("double").cast("decimal(28,12)"))
-          .as("sx"), count(lit(1)).as("n"))
-        .stage()
-      val a = g.filter(col("snap_a")).select(col("dim"),
-        (col("sx").cast("double") / col("n")).as("ma"))
-      val b = g.filter(!col("snap_a")).select(col("dim"),
-        (col("sx").cast("double") / col("n")).as("mb"))
-      a.join(b, Seq("dim"))
-        .select(col("dim"), round(col("ma"), 6).as("mean_a"),
-          round(col("mb"), 6).as("mean_b"),
-          round(col("ma") - col("mb"), 6).as("delta"))
-        .orderBy("dim")
-    }),
-
-    // ---- rolling 7-day distinct users via mergeable HLL sketches ----------
-    // THE sketch-reuse pattern at 100 TB: one pass builds |days| daily
-    // sketches, every overlapping window UNIONS ≤7 of them instead of
-    // rescanning its rows — hll_union_agg is the mergeable half that
-    // approx_count_distinct (a one-shot scalar) can't express. The tiny
-    // calendar frame broadcasts into the range join; exact counts ride
-    // along for the bounded-error verdict the oracle asserts.
-    "q_rolling_distinct" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val daily = ev
-        .select(to_date(col("ts")).as("day"), col("user_id"))
-        .groupBy("day")
-        .agg(hll_sketch_agg(xxhash64(col("user_id"))).as("sk"))
-        .stage()
-      val cal = daily.select(col("day").as("anchor"))
-      val est = cal.join(daily,
-          datediff(col("anchor"), col("day")).between(0, 6))
-        .groupBy("anchor")
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
-          count(lit(1)).as("n_days"))
-      val pairs = ev
-        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-      val exact = cal.join(pairs,
-          datediff(col("anchor"), col("day")).between(0, 6))
-        .groupBy("anchor")
-        .agg(countDistinct(col("user_id")).as("exact_7d"))
-      est.join(exact, Seq("anchor"))
-        .select(col("anchor").as("day"), col("n_days"), col("exact_7d"),
-          (abs(col("est") - col("exact_7d")) <=
-            col("exact_7d") * lit(0.05)).as("est_ok"))
-        .orderBy("day")
-    }),
-
-    // ---- fixed-width histogram --------------------------------------------
-    "q_histogram" -> ((s, d) =>
-      t(s, d, "orders")
-        .groupBy(floor(col("o_totalprice") / 25000).cast("int").as("bin"))
-        .agg(count(lit(1)).as("cnt"),
-          min(col("o_totalprice")).as("min_price"),
-          max(col("o_totalprice")).as("max_price"))
-        .withColumn("bin_lo", col("bin").cast("double") * 25000)),
-
-    // ---- robust outlier screen (modified z-score, median/MAD) -------------
-    "q_outliers" -> ((s, d) =>
-      analytics.robustOutliers(Tables.events(s, d), "event_type", "value",
-        Seq("event_id"), zThresh = 3.5)),
-
-    // ---- fuzzy join (edit-distance match under blocked candidates) --------
-    // candidates are blocked on (first char, |length delta| ≤ 2) before
-    // the levenshtein filter — the blocked side is broadcast, so there
-    // is never an unbounded string-similarity cross product. Best match
-    // per probe via one min(struct): ties break on (distance, key).
-    "q_fuzzy_join" -> ((s, d) => {
-      val nation = t(s, d, "nation").select("n_nationkey", "n_name")
-      val typos = nation.select(col("n_nationkey").as("t_key"),
-        expr("concat(substr(n_name, 1, 1), substr(n_name, 3))").as("t_name"))
-      typos.join(broadcast(nation),
-        expr("substr(t_name, 1, 1) = substr(n_name, 1, 1)" +
-          " AND abs(length(t_name) - length(n_name)) <= 2"))
-        .withColumn("dist", levenshtein(col("t_name"), col("n_name")))
-        .filter(col("dist") <= 2)
-        .groupBy("t_key", "t_name")
-        .agg(min(struct(col("dist"), col("n_nationkey"), col("n_name")))
-          .as("m"))
-        .select(col("t_key"), col("t_name"), col("m.dist").as("dist"),
-          col("m.n_nationkey").as("match_key"),
-          col("m.n_name").as("match_name"))
-    }),
-
-    // ---- corpus vocabulary: top tokens per language -----------------------
-    // explode → two-level agg; the per-(lang, tok) count is map-side
-    // combined, the rank is a per-lang window over the (small) distinct
-    // vocabulary, never over occurrences
-    "q_heavy_hitters" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      t(s, d, "documents")
-        .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
-        .groupBy("lang", "tok")
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(Window.partitionBy("lang")
-          .orderBy(col("cnt").desc, col("tok").asc)))
-        .filter(col("rn") <= 3)
-        .drop("rn")
-    }),
-
-    // ---- per-doc distinctive terms (tf-idf top-k) -------------------------
-    // rank keys are exact integers (tf desc, df asc, tok asc) so the
-    // cross-engine row set is deterministic; the tf-idf VALUE is
-    // informational, rounded to 4 (ln() may differ in the last ulp
-    // between libm implementations). Rank-only window → two-phase
-    // WindowGroupLimit, partial top-k before the exchange.
-    "q_text_tfidf" -> ((s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-      val tf = toks.groupBy("doc_id", "tok")
-        .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val n = t(s, d, "documents").count()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id")
-        .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
-      tf.join(df, Seq("tok"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("doc_id"), col("tok"), col("tf"),
-          graft.ops.analytics.roundDouble(
-            col("tf") * log(lit(n.toDouble) / col("df")), 4)
-            .as("tfidf"))
-    }),
-
-    // ---- sparse all-pairs doc similarity (tf-idf inverted index) ----------
-    // every pair with tf-idf cosine ≥ 0.7 over a 1-in-10 doc sample —
-    // candidate pairs come from AllPairs PREFIX filtering (each doc's
-    // rarest terms, suffix-norm bounded — lossless, Text.tfidfCandidates),
-    // so a stop-token's df² posting fan-out never materializes; the
-    // exact integer dot is computed only for candidates. maxDfFrac stays
-    // 1.0 as a modeling choice (a df cut would empty the synthetic
-    // 31-term vocab where every term tops 50% df); the sample keeps the
-    // TRUE OUTPUT small — at cos ≥ 0.7 most same-template doc pairs in
-    // this corpus genuinely qualify, and output size is irreducible.
-    "q_tfidf_pairs" -> ((s, d) =>
-      Text.tfidfCosinePairs(
-        t(s, d, "documents").filter(col("doc_id") % 10 === 0),
-        "doc_id", "text", maxDfFrac = 1.0, threshold = 0.7)),
-
-    // ---- within-doc repetition quality gate -------------------------------
-    "q_text_repetition" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        Text.repetitionRatio(col("text"), 3).as("rep_ratio"))),
-
-    // ---- vocabulary coverage / OOV rate -----------------------------------
-    // two-pass corpus op: vocab = tokens with document frequency >= 10,
-    // then per-doc out-of-vocabulary ratio. The vocab side is tiny after
-    // the df gate, so AQE broadcasts the coverage join; per-doc
-    // accounting is a map-side-combined count
-    "q_oov_rate" -> ((s, d) => {
-      // staged once: the vocab build AND the coverage join both read the
-      // exploded tokens — without the checkpoint the tokenize+explode
-      // subtree runs twice (at cluster scale: a staging table)
-      val tf = t(s, d, "documents")
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-        .stage()
-      val vocab = tf.groupBy("tok")
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") >= 10)
-        .select(col("tok"), lit(1).as("in_vocab"))
-      tf.join(vocab, Seq("tok"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_toks"),
-          sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
-        .select(col("doc_id"),
-          graft.ops.analytics.roundDouble(col("n_oov").cast("double") / col("n_toks"), 6)
-            .as("oov_rate"))
-    }),
-
-    // CCNet/RefinedWeb-style boilerplate strip: 4-token chunks occurring
-    // in >= 3 distinct docs are dropped everywhere, survivors re-join in
-    // document order; returns cleaned text + audit counts
-    "q_boilerplate_strip" -> ((s, d) =>
-      Text.stripBoilerplate(t(s, d, "documents"), "doc_id", "text",
-        chunkTokens = 4, minDocs = 3)),
-
-    // canonical cleaning pass: the corpus is re-dirtied deterministically
-    // (decomposed accent + a BEL control char spliced into every "table")
-    // so the NFC + control-strip + collapse pipeline is exercised for
-    // real — both engines inject the identical bytes and must emit the
-    // identical canonical text
-    "q_text_clean" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        Text.cleanText(regexp_replace(col("text"), "table",
-          "ta\u0301ble\u0007")).as("clean"))
-        .withColumn("n_chars_clean", length(col("clean")))),
-
-    // corpus-level overlap report: containment(a,b) = |Sa∩Sb|/|Sa| over
-    // distinct 3-shingles per source — which sources duplicate which
-    "q_source_overlap" -> ((s, d) =>
-      Text.sourceOverlap(t(s, d, "documents"), "source", "text", k = 3)),
-
-    // hashing-trick term frequencies: vocabulary-free 64-bucket sparse
-    // COO rows (doc_id, bucket, tf), engine-portable md5 buckets
-    "q_hashing_tf" -> ((s, d) =>
-      Text.hashingTf(t(s, d, "documents"), "doc_id", "text",
-        numBuckets = 64)
-        .orderBy("doc_id", "bucket")),
-
-    // KMV sketch overlap: the mergeable-profile form of source overlap
-    // — per-source 128 smallest md5-prefix shingle hashes, pairwise
-    // Jaccard + union-cardinality estimates, deterministic on both
-    // engines (the error is a property of the hash, not of randomness)
-    "q_kmv_overlap" -> ((s, d) =>
-      Text.kmvOverlap(t(s, d, "documents"), "source", "text",
-          shingleK = 3, k = 128)
-        .orderBy("src_a", "src_b")),
-
-    // the removal half of substring dedup (dupSpans is the report):
-    // 4-token spans shared by >= 2 docs are cut from every carrier,
-    // overlapping spans union as position sets, survivors reassemble
-    "q_span_scrub" -> ((s, d) =>
-      Text.spanScrub(t(s, d, "documents"), "doc_id", "text", k = 4)),
-
-    // BPE merge induction, 3 rounds: the corpus is scanned ONCE (word-
-    // frequency groupBy); every round then aggregates the vocab table
-    // and collects a single argmax row
-    "q_bpe_merges" -> ((s, d) =>
-      Bpe.bpeTrain(t(s, d, "documents"), "doc_id", "text", rounds = 3)),
-
-    // the apply half of BPE: train 3 merges (vocab-table rounds), then
-    // segment the corpus scan-local with the learned replace chain and
-    // report the top-20 symbol frequencies — train + tokenize end to end
-    "q_bpe_tokenize" -> ((s, d) => {
-      val merges = Bpe.bpeTrain(t(s, d, "documents"), "doc_id", "text",
-        rounds = 3).orderBy("round").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      t(s, d, "documents")
-        .select(explode(Text.tokens(col("text"))).as("w"))
-        .filter(length(col("w")) >= 1)
-        .select(explode(Bpe.bpeSegmentWord(col("w"), merges)).as("sym"))
-        .groupBy("sym").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("sym")).limit(20)
-    }),
-
-    // positional-index phrase search: postings filtered to the 2 phrase
-    // terms before any shuffle, one aligned-position intersection join
-    "q_phrase_search" -> ((s, d) =>
-      Text.phraseSearch(t(s, d, "documents"), "doc_id", "text",
-        "value table")),
-
-    // Gopher rule report: per-doc metrics + conjunctive keep verdict
-    // (word-count band, mean word length, symbol ratio, alpha fraction,
-    // distinct-stopword floor)
-    "q_gopher_rules" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        Text.gopherFlags(col("text"), minWords = 50).as("g"))
-        .select(col("doc_id"), col("g.*"))),
-
-    // group-wise publish gate: every SOURCE must satisfy the contract
-    // (row-count band, text completeness, mean-length band) — one
-    // map-side-combined groupBy, |sources|·|checks| report rows
-    "q_expectations_by" -> ((s, d) => {
-      import expectations._
-      validateBy(t(s, d, "documents"), Seq("source"), Seq(
-        Check("doc_count", count(lit(1)).cast("double"), 20.0, 30.0),
-        Check("text_complete", completeness(col("text")), 1.0, 1.0),
-        Check("mean_chars", mean(col("n_chars")), 100.0, 600.0)))
-    }),
-
-    // Deequ-style publish gate on orders: 6 constraints, ONE aggregation
-    // pass (key uniqueness, FK completeness, status domain, priority
-    // format, price bounds, decimal-sum mean band)
-    "q_expectations" -> ((s, d) => {
-      import expectations._
-      validate(t(s, d, "orders"), Seq(
-        Check("o_orderkey_unique", uniqueness(col("o_orderkey")), 1.0, 1.0),
-        Check("o_custkey_complete", completeness(col("o_custkey")), 1.0, 1.0),
-        Check("o_orderstatus_domain",
-          inSetRate(col("o_orderstatus"), Seq("F", "O", "P")), 1.0, 1.0),
-        Check("o_orderpriority_format",
-          matchRate(col("o_orderpriority"), "^[1-5]-[A-Z ]+$"), 1.0, 1.0),
-        Check("o_totalprice_min", min(col("o_totalprice")), 0.0, 1e9),
-        Check("o_totalprice_mean", mean(col("o_totalprice")),
-          200000.0, 300000.0)))
-    })
-  )
+  /** The full extension surface, composed from the per-domain
+    * registrars (split round 12; names are disjoint by construction
+    * — verified at composition). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val parts = Seq(
+      SourcesQueries.queries, SqlQueries.queries,
+      StreamingQueries.queries, MultimodalQueries.queries,
+      AnnQueries.queries, DedupQueries.queries, SaIndexQueries.queries,
+      GraphQueries.queries, TextQueries.queries,
+      AnalyticsQueries.queries)
+    val all = parts.reduce(_ ++ _)
+    require(all.size == parts.map(_.size).sum,
+      "duplicate query name across domain registrars")
+    all
+  }
 
   /** Shared by q_sessionize and q_stream_sessionize_tws: the batch and
     * transformWithState paths must match the SAME oracle byte-for-byte. */
-  private val sessionizeOracle: String =
+  private[graft] val sessionizeOracle: String =
     """WITH g AS (
          SELECT user_id, ts, value, event_id,
                 CASE WHEN lag(ts) OVER w IS NULL
@@ -3722,6638 +447,20 @@ object ExtensionQueries {
                 AS sum_value
        FROM s GROUP BY user_id, session_no"""
 
-  def oracleSql: Map[String, String] = Map(
-    "q_s_csv_roundtrip" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
-
-    // the parse is exact, so the round-trip restores the table verbatim
-    "q_s1_html_table" ->
-      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
-                CAST(n_regionkey AS BIGINT) AS n_regionkey
-         FROM nation ORDER BY n_nationkey""",
-
-    // same exact round trip, through the on-disk page files + DSv2 scan
-    "q_s1_staged_pages" ->
-      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
-                CAST(n_regionkey AS BIGINT) AS n_regionkey
-         FROM nation ORDER BY n_nationkey""",
-
-    "q_s8_partitioned_sink" ->
-      """SELECT l_returnflag, COUNT(*) AS cnt,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                  AS sum_qty
-         FROM lineitem GROUP BY l_returnflag""",
-
-    "q_asof_join" ->
-      """WITH ord AS (
-           SELECT o_custkey % 25 AS uk, o_orderdate,
-                  max_by(o_orderkey, o_orderkey) AS o_orderkey,
-                  max_by(o_totalprice, o_orderkey) AS o_totalprice
-           FROM orders GROUP BY 1, 2),
-         ev AS (SELECT event_id, ts, user_id % 25 AS uk FROM events)
-         SELECT e.event_id, o.o_orderkey, o.o_totalprice
-         FROM ev e ASOF LEFT JOIN ord o
-           ON e.uk = o.uk AND e.ts >= o.o_orderdate""",
-
-    "q_range_join" ->
-      """SELECT l_orderkey, l_linenumber, o_orderkey
-         FROM lineitem JOIN orders
-           ON l_partkey % 200 = o_orderkey % 200
-              AND o_orderdate <= l_shipdate
-              AND l_shipdate < o_orderdate + INTERVAL 30 DAY""",
-
-    "q_interval_overlap" ->
-      """SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key
-         FROM orders a JOIN orders b
-           ON a.o_custkey % 200 = b.o_custkey % 200
-              AND a.o_orderdate < b.o_orderdate + INTERVAL 30 DAY
-              AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
-         WHERE a.o_orderkey % 2 = 0 AND b.o_orderkey % 2 = 1""",
-
-    // identical WHEN chain as rangejoin.allenRelations — each arm
-    // mutually exclusive with every earlier arm; closed contact
-    // predicate admits boundary-only meets/met_by pairs
-    "q_allen_relations" ->
-      """WITH a AS (SELECT o_orderdate AS a_start,
-                           o_orderdate +
-                             to_days(((o_orderkey % 3 + 1) * 10)::INT)
-                             AS a_end,
-                           o_custkey % 200 AS shard
-                    FROM orders WHERE o_orderkey % 2 = 0),
-         b AS (SELECT o_orderdate AS b_start,
-                      o_orderdate +
-                        to_days(((o_orderkey % 3 + 1) * 10)::INT)
-                        AS b_end,
-                      o_custkey % 200 AS shard
-               FROM orders WHERE o_orderkey % 2 = 1),
-         pairs AS (
-           SELECT CASE
-             WHEN a_start = b_start AND a_end = b_end THEN 'equals'
-             WHEN a_end = b_start THEN 'meets'
-             WHEN b_end = a_start THEN 'met_by'
-             WHEN a_start = b_start AND a_end < b_end THEN 'starts'
-             WHEN a_start = b_start THEN 'started_by'
-             WHEN a_end = b_end AND a_start > b_start THEN 'finishes'
-             WHEN a_end = b_end THEN 'finished_by'
-             WHEN a_start > b_start AND a_end < b_end THEN 'during'
-             WHEN a_start < b_start AND a_end > b_end THEN 'contains'
-             WHEN a_start < b_start THEN 'overlaps'
-             ELSE 'overlapped_by' END AS relation
-           FROM a JOIN b ON a.shard = b.shard
-             AND a_start <= b_end AND b_start <= a_end)
-         SELECT relation, COUNT(*) AS n_pairs
-         FROM pairs GROUP BY relation ORDER BY relation""",
-
-    // duration in exact seconds is (days)·86400 — UTC day arithmetic
-    // has no DST — so the twin skips the timestamp round-trip;
-    // HUGEINT products mirror the engine's decimal(38,0) staging
-    "q_time_weighted_avg" ->
-      """WITH iv AS (
-           SELECT o_orderpriority AS pri,
-                  (o_orderkey % 60 + 1) * 86400 AS dur,
-                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-           FROM orders)
-         SELECT pri, COUNT(*) AS n_intervals,
-                CAST(SUM(dur) AS BIGINT) AS total_seconds,
-                CAST(SUM(cents::HUGEINT * dur) // SUM(dur)::HUGEINT
-                  AS BIGINT) AS twa_cents
-         FROM iv GROUP BY pri""",
-
-    // daily candles: open/close picked by (ts, event_id) rank; every
-    // value cell is integer cents so both engines' results land in
-    // pandas as int64 (no DOUBLE repr / DECIMAL-object divergence)
-    "q_ohlc_bars" ->
-      """WITH t0 AS (
-           SELECT event_type, event_id, ts,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                    AS v_c,
-                  CAST(to_timestamp(CAST(floor(epoch(ts) / 86400)
-                    AS BIGINT) * 86400) AS TIMESTAMP) AS bar_start
-           FROM events),
-         w AS (SELECT *,
-                      row_number() OVER (PARTITION BY event_type,
-                        bar_start ORDER BY ts, event_id) AS rn_a,
-                      row_number() OVER (PARTITION BY event_type,
-                        bar_start ORDER BY ts DESC, event_id DESC)
-                        AS rn_d
-               FROM t0)
-         SELECT event_type, bar_start,
-                CAST(MAX(CASE WHEN rn_a = 1 THEN v_c END) AS BIGINT)
-                  AS open_c,
-                CAST(MAX(v_c) AS BIGINT) AS high_c,
-                CAST(MIN(v_c) AS BIGINT) AS low_c,
-                CAST(MAX(CASE WHEN rn_d = 1 THEN v_c END) AS BIGINT)
-                  AS close_c,
-                COUNT(*) AS n_ticks,
-                CAST(SUM(v_c) AS BIGINT) AS volume_c
-         FROM w GROUP BY event_type, bar_start
-         ORDER BY event_type, bar_start""",
-
-    // the streaming candles land on the same epoch-aligned daily bars
-    // as the batch operator — identical oracle
-    "q_stream_ohlc" ->
-      """WITH t0 AS (
-           SELECT event_type, event_id, ts,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                    AS v_c,
-                  CAST(to_timestamp(CAST(floor(epoch(ts) / 86400)
-                    AS BIGINT) * 86400) AS TIMESTAMP) AS bar_start
-           FROM events),
-         w AS (SELECT *,
-                      row_number() OVER (PARTITION BY event_type,
-                        bar_start ORDER BY ts, event_id) AS rn_a,
-                      row_number() OVER (PARTITION BY event_type,
-                        bar_start ORDER BY ts DESC, event_id DESC)
-                        AS rn_d
-               FROM t0)
-         SELECT event_type, bar_start,
-                CAST(MAX(CASE WHEN rn_a = 1 THEN v_c END) AS BIGINT)
-                  AS open_c,
-                CAST(MAX(v_c) AS BIGINT) AS high_c,
-                CAST(MIN(v_c) AS BIGINT) AS low_c,
-                CAST(MAX(CASE WHEN rn_d = 1 THEN v_c END) AS BIGINT)
-                  AS close_c,
-                COUNT(*) AS n_ticks,
-                CAST(SUM(v_c) AS BIGINT) AS volume_c
-         FROM w GROUP BY event_type, bar_start""",
-
-    // update mode + upsert lands on the identical bar table (each
-    // bar's last update wins) — same oracle as q_stream_ohlc
-    "q_stream_ohlc_update" ->
-      """WITH t0 AS (
-           SELECT event_type, event_id, ts,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                    AS v_c,
-                  CAST(to_timestamp(CAST(floor(epoch(ts) / 86400)
-                    AS BIGINT) * 86400) AS TIMESTAMP) AS bar_start
-           FROM events),
-         w AS (SELECT *,
-                      row_number() OVER (PARTITION BY event_type,
-                        bar_start ORDER BY ts, event_id) AS rn_a,
-                      row_number() OVER (PARTITION BY event_type,
-                        bar_start ORDER BY ts DESC, event_id DESC)
-                        AS rn_d
-               FROM t0)
-         SELECT event_type, bar_start,
-                CAST(MAX(CASE WHEN rn_a = 1 THEN v_c END) AS BIGINT)
-                  AS open_c,
-                CAST(MAX(v_c) AS BIGINT) AS high_c,
-                CAST(MIN(v_c) AS BIGINT) AS low_c,
-                CAST(MAX(CASE WHEN rn_d = 1 THEN v_c END) AS BIGINT)
-                  AS close_c,
-                COUNT(*) AS n_ticks,
-                CAST(SUM(v_c) AS BIGINT) AS volume_c
-         FROM w GROUP BY event_type, bar_start""",
-
-    // the streaming counts land on the same per-user step pairs as
-    // the batch operator — identical oracle
-    "q_stream_markov" ->
-      """WITH s AS (
-           SELECT user_id, event_type,
-                  lead(event_type) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id) AS nxt
-           FROM events),
-         pc AS (SELECT event_type AS from_type, nxt AS to_type,
-                       COUNT(*) AS c
-                FROM s WHERE nxt IS NOT NULL
-                GROUP BY 1, 2),
-         ft AS (SELECT from_type, SUM(c) AS tot FROM pc GROUP BY 1)
-         SELECT pc.from_type, pc.to_type, pc.c,
-                CAST((pc.c * 1000000) // ft.tot AS BIGINT) AS p_micro
-         FROM pc JOIN ft USING (from_type)
-         ORDER BY from_type, to_type""",
-
-    // the micro-batched sketch merges to the batch sketch (additive
-    // cells), so the estimates share q_cms_topk's oracle
-    "q_stream_cms" ->
-      """WITH keys AS (SELECT user_id, COUNT(*) AS true_c
-                       FROM events GROUP BY 1),
-         pairs AS (SELECT k.user_id, s.seed,
-                          ('0x' || substr(md5(s.seed::VARCHAR || ':' ||
-                            k.user_id::VARCHAR), 1, 8))::BIGINT % 256
-                            AS bucket
-                   FROM keys k, (SELECT unnest(range(4)) AS seed) s),
-         cells AS (SELECT p.seed, p.bucket, SUM(k.true_c) AS c
-                   FROM pairs p JOIN keys k USING (user_id)
-                   GROUP BY 1, 2),
-         est AS (SELECT p.user_id, MIN(c.c) AS est
-                 FROM pairs p JOIN cells c USING (seed, bucket)
-                 GROUP BY 1)
-         SELECT e.user_id, CAST(e.est AS BIGINT) AS est, k.true_c
-         FROM est e JOIN keys k USING (user_id)
-         ORDER BY e.est DESC, e.user_id LIMIT 25""",
-
-    // additivity is the contract: the two persisted shard sketches merge
-    // to exactly the single-build cells over the whole table, which the
-    // twin computes directly (no serialization on the oracle side — an
-    // INDEPENDENT route to the same grid)
-    "q_sketch_merge_at_rest" ->
-      """WITH keys AS (SELECT user_id, COUNT(*) AS true_c
-                       FROM events GROUP BY 1),
-         pairs AS (SELECT k.user_id, s.seed,
-                          ('0x' || substr(md5(s.seed::VARCHAR || ':' ||
-                            k.user_id::VARCHAR), 1, 8))::BIGINT % 256
-                            AS bucket
-                   FROM keys k, (SELECT unnest(range(4)) AS seed) s)
-         SELECT p.seed::BIGINT AS seed, p.bucket::BIGINT AS bucket,
-                CAST(SUM(k.true_c) AS BIGINT) AS c
-         FROM pairs p JOIN keys k USING (user_id)
-         GROUP BY 1, 2
-         ORDER BY seed, bucket""",
-
-    // per-user lead() step pairs; P(to|from) by integer floor division
-    "q_markov_transitions" ->
-      """WITH s AS (
-           SELECT user_id, event_type,
-                  lead(event_type) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id) AS nxt
-           FROM events),
-         pc AS (SELECT event_type AS from_type, nxt AS to_type,
-                       COUNT(*) AS c
-                FROM s WHERE nxt IS NOT NULL
-                GROUP BY 1, 2),
-         ft AS (SELECT from_type, SUM(c) AS tot FROM pc GROUP BY 1)
-         SELECT pc.from_type, pc.to_type, pc.c,
-                CAST((pc.c * 1000000) // ft.tot AS BIGINT) AS p_micro
-         FROM pc JOIN ft USING (from_type)
-         ORDER BY from_type, to_type""",
-
-    // per-user CUSUM scaled by n (exact integers), flag ≥80% of peak
-    "q_cusum" ->
-      """WITH c AS (
-           SELECT user_id, event_id,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                    AS v_c,
-                  CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
-                  SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
-                    OVER w AS prefix,
-                  COUNT(*) OVER (PARTITION BY user_id) AS n,
-                  SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
-                    OVER (PARTITION BY user_id) AS s
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         f AS (SELECT *, n * prefix - k * s AS nc,
-                      MAX(ABS(n * prefix - k * s))
-                        OVER (PARTITION BY user_id) AS peak
-               FROM c)
-         SELECT user_id, event_id, k, v_c,
-                CAST((nc * 10000) // n AS BIGINT) AS cusum_micro
-         FROM f WHERE peak > 0 AND ABS(nc) * 10 >= peak * 8
-         ORDER BY user_id, k""",
-
-    // (type, hour) baseline; worst residual per cell by (|r·n| desc, id)
-    "q_seasonal" ->
-      """WITH c AS (
-           SELECT event_type AS series, EXTRACT(hour FROM ts) AS hr,
-                  event_id AS tie,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                    AS v_c
-           FROM events),
-         st AS (SELECT series, hr, COUNT(*) AS n, SUM(v_c) AS s
-                FROM c GROUP BY 1, 2),
-         r AS (SELECT c.series, c.hr, c.tie, st.n, st.s,
-                      c.v_c * st.n - st.s AS rn,
-                      ROW_NUMBER() OVER (PARTITION BY c.series, c.hr
-                        ORDER BY ABS(c.v_c * st.n - st.s) DESC, c.tie)
-                        AS rk
-               FROM c JOIN st USING (series, hr))
-         SELECT series, hr, n,
-                CAST((s * 10000) // n AS BIGINT) AS mean_micro,
-                tie AS peak_tie,
-                CAST((rn * 10000) // n AS BIGINT) AS peak_res_micro
-         FROM r WHERE rk = 1
-         ORDER BY series, hr""",
-
-    // dense group × segment grid (zero cells count), micro-quantized
-    // p/q, one truncating halving — overflow-free at any table size
-    "q_t_closeness" ->
-      """WITH base AS (
-           SELECT c_nationkey,
-                  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
-                  c_mktsegment
-           FROM customer),
-         cells AS (
-           SELECT c_nationkey, bal_bucket, c_mktsegment,
-                  count(*)::BIGINT AS c
-           FROM base GROUP BY 1, 2, 3),
-         n AS (SELECT sum(c)::BIGINT AS n FROM cells),
-         global AS (
-           SELECT c_mktsegment,
-                  ((sum(c) * 1000000) // n.n)::BIGINT AS qm
-           FROM cells, n GROUP BY c_mktsegment, n.n),
-         totals AS (
-           SELECT c_nationkey, bal_bucket, sum(c)::BIGINT AS ng
-           FROM cells GROUP BY 1, 2),
-         grid AS (
-           SELECT t.c_nationkey, t.bal_bucket, t.ng, g.c_mktsegment,
-                  g.qm, COALESCE(c.c, 0)::BIGINT AS c
-           FROM totals t CROSS JOIN global g
-           LEFT JOIN cells c USING (c_nationkey, bal_bucket,
-             c_mktsegment))
-         SELECT c_nationkey, bal_bucket, ng AS n_group,
-                (sum(abs((c * 1000000) // ng - qm)) // 2)::BIGINT
-                  AS t_micro,
-                (sum(abs((c * 1000000) // ng - qm)) // 2)::BIGINT
-                  <= 300000 AS releasable
-         FROM grid
-         GROUP BY c_nationkey, bal_bucket, ng
-         ORDER BY c_nationkey, bal_bucket""",
-
-    // same md5 fold assignment; out-of-fold mean in integer micros
-    "q_target_encoding" ->
-      """WITH f AS (
-           SELECT o_orderpriority,
-                  ('0x' || substr(md5('te|' || o_orderkey), 1, 8))
-                    ::BIGINT % 5 AS fold,
-                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-                    AS BIGINT) AS y
-           FROM orders),
-         pf AS (
-           SELECT o_orderpriority, fold, sum(y)::BIGINT AS s,
-                  count(*)::BIGINT AS n_fold
-           FROM f GROUP BY 1, 2),
-         pc AS (
-           SELECT o_orderpriority, sum(s)::BIGINT AS st,
-                  sum(n_fold)::BIGINT AS ct
-           FROM pf GROUP BY 1)
-         SELECT pf.o_orderpriority, pf.fold, pf.n_fold,
-                CASE WHEN pc.ct > pf.n_fold
-                     THEN (((pc.st - pf.s) * 1000000)
-                           // (pc.ct - pf.n_fold))::BIGINT
-                     END AS enc_micro
-         FROM pf JOIN pc USING (o_orderpriority)
-         ORDER BY o_orderpriority, fold""",
-
-    // same keyed-hash draws (hex-prefix cast), integer-exact debias in
-    // HUGEINT (the engine side uses decimal(38,0)) so observed·2e9·1e3
-    // cannot overflow int64 at huge groups; // is safe: the numerator
-    // is positive at any realistic rate
-    "q_randomized_response" ->
-      """WITH r AS (
-           SELECT user_id % 8 AS cohort,
-                  CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100
-                         AS BIGINT) > 25000 THEN 1 ELSE 0 END AS bit,
-                  ('0x' || substr(md5('rr_flip|' || event_id), 1, 8))
-                    ::BIGINT % 1000000 AS flip,
-                  ('0x' || substr(md5('rr_coin|' || event_id), 1, 8))
-                    ::BIGINT % 1000000 AS coin
-           FROM events),
-         g AS (
-           SELECT cohort, count(*)::BIGINT AS n,
-                  sum(CASE WHEN flip < 250000
-                           THEN CASE WHEN coin < 500000 THEN 1 ELSE 0 END
-                           ELSE bit END)::BIGINT AS observed,
-                  sum(bit)::BIGINT AS true_c
-           FROM r GROUP BY cohort)
-         SELECT cohort, n, observed,
-                CAST((observed::HUGEINT * 2000000 - 250000::HUGEINT * n)
-                  * 1000 // (2 * (1000000 - 250000)) AS BIGINT)
-                  AS est_milli,
-                true_c
-         FROM g ORDER BY cohort""",
-
-    // HDR bucket = v truncated to its top 6 significant bits — pure
-    // integer bit math on both engines (bin()/shifts, no float log)
-    "q_quantile_sketch" ->
-      """WITH vals AS (
-           SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-                    AS BIGINT) AS v
-           FROM lineitem),
-         b AS (
-           SELECT CASE WHEN length(bin(v)) - 6 > 0
-                       THEN length(bin(v)) - 6 ELSE 0 END AS sh, v
-           FROM vals),
-         sk AS (
-           SELECT (v >> sh) << sh AS bkt_lo,
-                  ((v >> sh) << sh) + (1::BIGINT << sh) - 1 AS bkt_hi,
-                  count(*)::BIGINT AS cnt
-           FROM b GROUP BY 1, 2),
-         cum AS (
-           SELECT bkt_lo, bkt_hi,
-                  sum(cnt) OVER (ORDER BY bkt_lo)::BIGINT AS cum
-           FROM sk),
-         n AS (SELECT sum(cnt)::BIGINT AS n FROM sk),
-         probes AS (
-           SELECT q_permille, n,
-                  ((q_permille * n + 999) // 1000)::BIGINT AS target
-           FROM (VALUES (10::BIGINT), (250::BIGINT), (500::BIGINT),
-                        (750::BIGINT), (990::BIGINT)) q(q_permille), n),
-         est AS (
-           SELECT q_permille, n, target,
-                  min(bkt_lo)::BIGINT AS est_lo,
-                  arg_min(bkt_hi, bkt_lo)::BIGINT AS est_hi
-           FROM probes JOIN cum ON cum >= target
-           GROUP BY 1, 2, 3),
-         pvc AS (
-           SELECT v, sum(c) OVER (ORDER BY v)::BIGINT AS cum
-           FROM (SELECT v, count(*)::BIGINT AS c FROM vals GROUP BY v)),
-         ex AS (
-           SELECT q_permille, n, est_lo, est_hi,
-                  min(v)::BIGINT AS exact_v
-           FROM est JOIN pvc ON pvc.cum >= est.target
-           GROUP BY 1, 2, 3, 4)
-         SELECT q_permille, n, est_lo, est_hi, exact_v,
-                exact_v BETWEEN est_lo AND est_hi AS within_bound
-         FROM ex ORDER BY q_permille""",
-
-    // the same bucket math with a group key threaded through every CTE
-    "q_quantile_by_group" ->
-      """WITH vals AS (
-           SELECT l_returnflag AS g,
-                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-                    AS BIGINT) AS v
-           FROM lineitem),
-         b AS (
-           SELECT g, CASE WHEN length(bin(v)) - 6 > 0
-                          THEN length(bin(v)) - 6 ELSE 0 END AS sh, v
-           FROM vals),
-         sk AS (
-           SELECT g, (v >> sh) << sh AS bkt_lo,
-                  ((v >> sh) << sh) + (1::BIGINT << sh) - 1 AS bkt_hi,
-                  count(*)::BIGINT AS cnt
-           FROM b GROUP BY 1, 2, 3),
-         cum AS (
-           SELECT g, bkt_lo, bkt_hi,
-                  sum(cnt) OVER (PARTITION BY g ORDER BY bkt_lo)::BIGINT
-                    AS cum
-           FROM sk),
-         n AS (SELECT g, sum(cnt)::BIGINT AS n FROM sk GROUP BY g),
-         probes AS (
-           SELECT g, q_permille, n,
-                  ((q_permille * n + 999) // 1000)::BIGINT AS target
-           FROM (VALUES (500::BIGINT), (990::BIGINT)) q(q_permille), n)
-         SELECT p.g AS l_returnflag, p.q_permille, p.n,
-                min(c.bkt_lo)::BIGINT AS est_lo,
-                arg_min(c.bkt_hi, c.bkt_lo)::BIGINT AS est_hi
-         FROM probes p JOIN cum c ON p.g = c.g AND c.cum >= p.target
-         GROUP BY 1, 2, 3
-         ORDER BY l_returnflag, q_permille""",
-
-    // same bucket math, then bin = count of quartile boundaries
-    // (est_hi at 250/500/750‰) strictly below the value
-    "q_quantile_bins" ->
-      """WITH vals AS (
-           SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-                    AS BIGINT) AS v
-           FROM lineitem),
-         b AS (
-           SELECT CASE WHEN length(bin(v)) - 6 > 0
-                       THEN length(bin(v)) - 6 ELSE 0 END AS sh, v
-           FROM vals),
-         sk AS (
-           SELECT (v >> sh) << sh AS bkt_lo,
-                  ((v >> sh) << sh) + (1::BIGINT << sh) - 1 AS bkt_hi,
-                  count(*)::BIGINT AS cnt
-           FROM b GROUP BY 1, 2),
-         cum AS (
-           SELECT bkt_lo, bkt_hi,
-                  sum(cnt) OVER (ORDER BY bkt_lo)::BIGINT AS cum
-           FROM sk),
-         n AS (SELECT sum(cnt)::BIGINT AS n FROM sk),
-         probes AS (
-           SELECT q_permille, n,
-                  ((q_permille * n + 999) // 1000)::BIGINT AS target
-           FROM (VALUES (250::BIGINT), (500::BIGINT),
-                        (750::BIGINT)) q(q_permille), n),
-         est AS (
-           SELECT q_permille,
-                  arg_min(bkt_hi, bkt_lo)::BIGINT AS est_hi
-           FROM probes JOIN cum ON cum >= target
-           GROUP BY 1),
-         bounds AS (SELECT list(est_hi ORDER BY est_hi) AS bs FROM est),
-         binned AS (
-           SELECT v, len(list_filter(bs, x -> v > x))::BIGINT AS bin
-           FROM vals, bounds)
-         SELECT bin, count(*)::BIGINT AS cnt, min(v)::BIGINT AS min_v,
-                max(v)::BIGINT AS max_v
-         FROM binned GROUP BY bin ORDER BY bin""",
-
-    // same bucket math at 10/990‰, then one clip-and-count pass
-    "q_winsorize" ->
-      """WITH vals AS (
-           SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                    AS v
-           FROM events),
-         b AS (
-           SELECT CASE WHEN length(bin(v)) - 6 > 0
-                       THEN length(bin(v)) - 6 ELSE 0 END AS sh, v
-           FROM vals),
-         sk AS (
-           SELECT (v >> sh) << sh AS bkt_lo,
-                  ((v >> sh) << sh) + (1::BIGINT << sh) - 1 AS bkt_hi,
-                  count(*)::BIGINT AS cnt
-           FROM b GROUP BY 1, 2),
-         cum AS (
-           SELECT bkt_lo, bkt_hi,
-                  sum(cnt) OVER (ORDER BY bkt_lo)::BIGINT AS cum
-           FROM sk),
-         n AS (SELECT sum(cnt)::BIGINT AS n FROM sk),
-         probes AS (
-           SELECT q_permille, n,
-                  ((q_permille * n + 999) // 1000)::BIGINT AS target
-           FROM (VALUES (10::BIGINT), (990::BIGINT)) q(q_permille), n),
-         est AS (
-           SELECT q_permille, min(bkt_lo)::BIGINT AS est_lo,
-                  arg_min(bkt_hi, bkt_lo)::BIGINT AS est_hi
-           FROM probes JOIN cum ON cum >= target
-           GROUP BY 1),
-         bounds AS (
-           SELECT min(CASE WHEN q_permille = 10 THEN est_lo END)
-                    ::BIGINT AS lo_bound,
-                  min(CASE WHEN q_permille = 990 THEN est_hi END)
-                    ::BIGINT AS hi_bound
-           FROM est)
-         SELECT count(*)::BIGINT AS n, lo_bound, hi_bound,
-                sum(CASE WHEN v < lo_bound THEN 1 ELSE 0 END)::BIGINT
-                  AS n_clipped_lo,
-                sum(CASE WHEN v > hi_bound THEN 1 ELSE 0 END)::BIGINT
-                  AS n_clipped_hi,
-                sum(greatest(least(v, hi_bound), lo_bound))::BIGINT
-                  AS sum_winsorized
-         FROM vals, bounds
-         GROUP BY lo_bound, hi_bound""",
-
-    // stream ≡ batch: the micro-batched bucket counts merge to the
-    // whole-corpus sketch, so the batch bucket math is the oracle
-    "q_stream_quantile" ->
-      """WITH vals AS (
-           SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                    AS v
-           FROM events),
-         b AS (
-           SELECT CASE WHEN length(bin(v)) - 6 > 0
-                       THEN length(bin(v)) - 6 ELSE 0 END AS sh, v
-           FROM vals),
-         sk AS (
-           SELECT (v >> sh) << sh AS bkt_lo,
-                  ((v >> sh) << sh) + (1::BIGINT << sh) - 1 AS bkt_hi,
-                  count(*)::BIGINT AS cnt
-           FROM b GROUP BY 1, 2),
-         cum AS (
-           SELECT bkt_lo, bkt_hi,
-                  sum(cnt) OVER (ORDER BY bkt_lo)::BIGINT AS cum
-           FROM sk),
-         n AS (SELECT sum(cnt)::BIGINT AS n FROM sk),
-         probes AS (
-           SELECT q_permille, n,
-                  ((q_permille * n + 999) // 1000)::BIGINT AS target
-           FROM (VALUES (500::BIGINT), (990::BIGINT)) q(q_permille), n)
-         SELECT q_permille, n, min(bkt_lo)::BIGINT AS est_lo,
-                arg_min(bkt_hi, bkt_lo)::BIGINT AS est_hi
-         FROM probes JOIN cum ON cum >= target
-         GROUP BY q_permille, n
-         ORDER BY q_permille""",
-
-    // shard sketches merge by count addition before the probe — the
-    // merged frame is identical to the direct build, which is the claim
-    "q_quantile_merge" ->
-      """WITH vals AS (
-           SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-                    AS BIGINT) AS v,
-                  l_orderkey % 4 AS shard
-           FROM lineitem),
-         b AS (
-           SELECT shard,
-                  CASE WHEN length(bin(v)) - 6 > 0
-                       THEN length(bin(v)) - 6 ELSE 0 END AS sh, v
-           FROM vals),
-         per_shard AS (
-           SELECT shard, (v >> sh) << sh AS bkt_lo,
-                  count(*)::BIGINT AS cnt
-           FROM b GROUP BY 1, 2),
-         merged AS (
-           SELECT bkt_lo, sum(cnt)::BIGINT AS cnt,
-                  bkt_lo + (1::BIGINT <<
-                    (CASE WHEN length(bin(bkt_lo)) - 6 > 0
-                          THEN length(bin(bkt_lo)) - 6 ELSE 0 END)) - 1
-                    AS bkt_hi
-           FROM per_shard GROUP BY bkt_lo),
-         cum AS (
-           SELECT bkt_lo, bkt_hi,
-                  sum(cnt) OVER (ORDER BY bkt_lo)::BIGINT AS cum
-           FROM merged),
-         n AS (SELECT sum(cnt)::BIGINT AS n FROM merged),
-         probes AS (
-           SELECT q_permille, n,
-                  ((q_permille * n + 999) // 1000)::BIGINT AS target
-           FROM (VALUES (500::BIGINT), (990::BIGINT)) q(q_permille), n)
-         SELECT q_permille, n, min(bkt_lo)::BIGINT AS est_lo,
-                arg_min(bkt_hi, bkt_lo)::BIGINT AS est_hi
-         FROM probes JOIN cum ON cum >= target
-         GROUP BY q_permille, n
-         ORDER BY q_permille""",
-
-    // additivity again: two persisted shard bucket files merge to the
-    // whole-table sketch, so the twin builds per-shard counts and
-    // merges them the same way (shard split irrelevant to the result)
-    "q_quantile_merge_at_rest" ->
-      """WITH vals AS (
-           SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-                    AS BIGINT) AS v,
-                  l_orderkey % 2 AS shard
-           FROM lineitem),
-         b AS (
-           SELECT shard,
-                  CASE WHEN length(bin(v)) - 6 > 0
-                       THEN length(bin(v)) - 6 ELSE 0 END AS sh, v
-           FROM vals),
-         per_shard AS (
-           SELECT shard, (v >> sh) << sh AS bkt_lo,
-                  count(*)::BIGINT AS cnt
-           FROM b GROUP BY 1, 2),
-         merged AS (
-           SELECT bkt_lo, sum(cnt)::BIGINT AS cnt,
-                  bkt_lo + (1::BIGINT <<
-                    (CASE WHEN length(bin(bkt_lo)) - 6 > 0
-                          THEN length(bin(bkt_lo)) - 6 ELSE 0 END)) - 1
-                    AS bkt_hi
-           FROM per_shard GROUP BY bkt_lo),
-         cum AS (
-           SELECT bkt_lo, bkt_hi,
-                  sum(cnt) OVER (ORDER BY bkt_lo)::BIGINT AS cum
-           FROM merged),
-         n AS (SELECT sum(cnt)::BIGINT AS n FROM merged),
-         probes AS (
-           SELECT q_permille, n,
-                  ((q_permille * n + 999) // 1000)::BIGINT AS target
-           FROM (VALUES (250::BIGINT), (750::BIGINT), (990::BIGINT))
-                q(q_permille), n)
-         SELECT q_permille, n, min(bkt_lo)::BIGINT AS est_lo,
-                arg_min(bkt_hi, bkt_lo)::BIGINT AS est_hi
-         FROM probes JOIN cum ON cum >= target
-         GROUP BY q_permille, n
-         ORDER BY q_permille""",
-
-    // the at-rest probe decides identically to the in-session build
-    // (same blob bytes), so the exact-side twin is unchanged
-    "q_bloom_at_rest" ->
-      s"""WITH sh AS (
-            SELECT doc_id,
-                   unnest(list_distinct(list_transform(
-                     generate_series(1, len(string_split_regex(trim(
-                       regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
-                       'g')), '\\s+')) - 4),
-                     i -> array_to_string((string_split_regex(trim(
-                       regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
-                       'g')), '\\s+'))[i:i+4], ' ')))) AS u
-            FROM documents),
-          bench AS (SELECT DISTINCT u FROM sh WHERE doc_id % 97 = 0),
-          cont AS (SELECT DISTINCT doc_id FROM sh
-                   WHERE doc_id % 97 <> 0
-                     AND u IN (SELECT u FROM bench))
-          SELECT (SELECT COUNT(*) FROM cont)::BIGINT AS n_contaminated,
-                 TRUE AS no_false_neg, TRUE AS fp_ok""",
-
-    // same salted-md5 cells; per-row inner products, MIN over rows
-    "q_cms_join_size" ->
-      """WITH ka AS (SELECT o_orderkey AS k, COUNT(*) AS c
-                     FROM orders GROUP BY 1),
-         kb AS (SELECT l_orderkey AS k, COUNT(*) AS c
-                FROM lineitem GROUP BY 1),
-         pa AS (SELECT s.seed,
-                       ('0x' || substr(md5(s.seed::VARCHAR || ':' ||
-                         ka.k::VARCHAR), 1, 8))::BIGINT % 4096 AS bucket,
-                       SUM(ka.c) AS ca
-                FROM ka, (SELECT unnest(range(4)) AS seed) s
-                GROUP BY 1, 2),
-         pb AS (SELECT s.seed,
-                       ('0x' || substr(md5(s.seed::VARCHAR || ':' ||
-                         kb.k::VARCHAR), 1, 8))::BIGINT % 4096 AS bucket,
-                       SUM(kb.c) AS cb
-                FROM kb, (SELECT unnest(range(4)) AS seed) s
-                GROUP BY 1, 2),
-         ip AS (SELECT pa.seed, SUM(pa.ca * pb.cb) AS ip
-                FROM pa JOIN pb USING (seed, bucket) GROUP BY 1),
-         ex AS (SELECT CAST(SUM(ka.c * kb.c) AS BIGINT)
-                  AS exact_join_size
-                FROM ka JOIN kb USING (k))
-         SELECT CAST((SELECT MIN(ip) FROM ip) AS BIGINT)
-                  AS est_join_size,
-                ex.exact_join_size,
-                (SELECT MIN(ip) FROM ip) >= ex.exact_join_size
-                  AS never_under
-         FROM ex""",
-
-    // same salted-md5 cells; estimate = min over the key's 4 cells
-    "q_cms_topk" ->
-      """WITH keys AS (SELECT user_id, COUNT(*) AS true_c
-                       FROM events GROUP BY 1),
-         pairs AS (SELECT k.user_id, s.seed,
-                          ('0x' || substr(md5(s.seed::VARCHAR || ':' ||
-                            k.user_id::VARCHAR), 1, 8))::BIGINT % 256
-                            AS bucket
-                   FROM keys k, (SELECT unnest(range(4)) AS seed) s),
-         cells AS (SELECT p.seed, p.bucket, SUM(k.true_c) AS c
-                   FROM pairs p JOIN keys k USING (user_id)
-                   GROUP BY 1, 2),
-         est AS (SELECT p.user_id, MIN(c.c) AS est
-                 FROM pairs p JOIN cells c USING (seed, bucket)
-                 GROUP BY 1)
-         SELECT e.user_id, CAST(e.est AS BIGINT) AS est, k.true_c
-         FROM est e JOIN keys k USING (user_id)
-         ORDER BY e.est DESC, e.user_id LIMIT 25""",
-
-    // textbook NOT EXISTS dominance over (size, integer-cent price)
-    "q_skyline" ->
-      """WITH pts AS (SELECT p_partkey, p_size,
-                             CAST(CAST(p_retailprice AS DECIMAL(18,2))
-                               * 100 AS BIGINT) AS price_c
-                      FROM part)
-         SELECT p.p_partkey, p.p_size, p.price_c FROM pts p
-         WHERE NOT EXISTS (
-           SELECT 1 FROM pts q
-           WHERE q.p_size <= p.p_size AND q.price_c <= p.price_c
-             AND (q.p_size < p.p_size OR q.price_c < p.price_c))
-         ORDER BY p_partkey""",
-
-    // first-char-blocked candidates, DuckDB's jaro_winkler as the gate
-    "q_jaro_linkage" ->
-      """WITH canon AS (SELECT DISTINCT p_name AS name FROM part),
-         typos AS (SELECT concat(substr(name, 1, 1), substr(name, 3, 1),
-                                 substr(name, 2, 1), substr(name, 4))
-                     AS t_name
-                   FROM canon),
-         cand AS (SELECT t.t_name, c.name
-                  FROM typos t JOIN canon c
-                    ON substr(t.t_name, 1, 1) = substr(c.name, 1, 1))
-         SELECT t_name, name AS match_name,
-                levenshtein(t_name, name) AS lev
-         FROM cand
-         WHERE jaro_winkler_similarity(t_name, name) >= 0.88
-         ORDER BY t_name, match_name""",
-
-    // same fold as exprs.soundexKey, expressed with an explode + the
-    // last-non-transparent-class window: translate table, h/w='9'
-    // transparent, vowels='0' reset, first-3-kept-digits, rpad
-    "q_phonetic_linkage" ->
-      """WITH canon AS (SELECT DISTINCT p_name AS name FROM part),
-         typos AS (SELECT concat(substr(name, 1, 1), substr(name, 3, 1),
-                                 substr(name, 2, 1), substr(name, 4))
-                     AS t_name
-                   FROM canon),
-         cw AS (SELECT name, split_part(name, ' ', 1) AS w FROM canon),
-         cdg AS (SELECT name, w,
-                        translate(w, 'abcdefghijklmnopqrstuvwxyz',
-                          '01230129022455012623019202') AS ds
-                 FROM cw),
-         cch AS (SELECT name, w,
-                        unnest(generate_series(1, length(ds))) AS i, ds
-                 FROM cdg),
-         cpv AS (SELECT name, w, i, substr(ds, i, 1) AS d,
-                        last_value(CASE WHEN substr(ds, i, 1) <> '9'
-                          THEN substr(ds, i, 1) END IGNORE NULLS)
-                          OVER (PARTITION BY name ORDER BY i
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND 1 PRECEDING) AS prev
-                 FROM cch),
-         ckp AS (SELECT name, d,
-                        row_number() OVER (PARTITION BY name
-                          ORDER BY i) AS rn
-                 FROM cpv
-                 WHERE i > 1 AND d BETWEEN '1' AND '6'
-                   AND (prev IS NULL OR d <> prev)),
-         csk AS (SELECT w2.name, rpad(substr(w2.w, 1, 1) ||
-                        coalesce(string_agg(k.d, '' ORDER BY k.rn)
-                          FILTER (k.rn <= 3), ''), 4, '0') AS skey
-                 FROM cw w2 LEFT JOIN ckp k USING (name)
-                 GROUP BY w2.name, w2.w),
-         tw AS (SELECT t_name, split_part(t_name, ' ', 1) AS w
-                FROM typos),
-         tdg AS (SELECT t_name, w,
-                        translate(w, 'abcdefghijklmnopqrstuvwxyz',
-                          '01230129022455012623019202') AS ds
-                 FROM tw),
-         tch AS (SELECT t_name, w,
-                        unnest(generate_series(1, length(ds))) AS i, ds
-                 FROM tdg),
-         tpv AS (SELECT t_name, w, i, substr(ds, i, 1) AS d,
-                        last_value(CASE WHEN substr(ds, i, 1) <> '9'
-                          THEN substr(ds, i, 1) END IGNORE NULLS)
-                          OVER (PARTITION BY t_name ORDER BY i
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND 1 PRECEDING) AS prev
-                 FROM tch),
-         tkp AS (SELECT t_name, d,
-                        row_number() OVER (PARTITION BY t_name
-                          ORDER BY i) AS rn
-                 FROM tpv
-                 WHERE i > 1 AND d BETWEEN '1' AND '6'
-                   AND (prev IS NULL OR d <> prev)),
-         tsk AS (SELECT w2.t_name, rpad(substr(w2.w, 1, 1) ||
-                        coalesce(string_agg(k.d, '' ORDER BY k.rn)
-                          FILTER (k.rn <= 3), ''), 4, '0') AS skey
-                 FROM tw w2 LEFT JOIN tkp k USING (t_name)
-                 GROUP BY w2.t_name, w2.w)
-         SELECT t_name, name AS match_name,
-                levenshtein(t_name, name) AS lev
-         FROM tsk JOIN csk USING (skey)
-         WHERE jaro_winkler_similarity(t_name, name) >= 0.88
-         ORDER BY t_name, match_name""",
-
-    "q_concurrency_peak" ->
-      """WITH b AS (
-           SELECT o_orderpriority AS pri, o_orderdate AS ts, 1 AS d
-           FROM orders
-           UNION ALL
-           SELECT o_orderpriority, o_orderdate + INTERVAL 30 DAY, -1
-           FROM orders),
-         n AS (SELECT pri, ts, SUM(d) AS delta FROM b GROUP BY pri, ts),
-         r AS (SELECT pri, ts,
-                 SUM(delta) OVER (PARTITION BY pri ORDER BY ts
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS running
-               FROM n),
-         m AS (SELECT pri, MAX(running) AS peak FROM r GROUP BY pri)
-         SELECT r.pri, CAST(m.peak AS BIGINT) AS peak,
-                MIN(r.ts) AS peak_ts
-         FROM r JOIN m ON r.pri = m.pri AND r.running = m.peak
-         GROUP BY r.pri, m.peak""",
-
-    "q_sliding_window" ->
-      """SELECT window_start, event_type, COUNT(*) AS cnt,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                  AS sum_value
-         FROM (SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR
-                        AS window_start,
-                      event_type, value, ts
-               FROM events CROSS JOIN range(2) r(k))
-         WHERE ts >= window_start
-           AND ts < window_start + INTERVAL 2 HOUR
-         GROUP BY window_start, event_type""",
-
-    // integer-guarded extraction: a hard ::INT on json_extract_string
-    // ERRORS the whole oracle on non-numeric payloads and silently
-    // coerces quoted/"1.5" values where Spark's typed parse yields
-    // NULL — extract the RAW json and cast only integer literals
-    "q_json_props" ->
-      """SELECT event_id,
-                CASE WHEN json_extract(props, '$.k')::VARCHAR
-                       SIMILAR TO '-?[0-9]+'
-                     THEN json_extract(props, '$.k')::VARCHAR::INT
-                END AS k_val
-         FROM events""",
-
-    "q_json_variant" ->
-      """SELECT event_id,
-                CASE WHEN json_extract(props, '$.k')::VARCHAR
-                       SIMILAR TO '-?[0-9]+'
-                     THEN json_extract(props, '$.k')::VARCHAR::BIGINT
-                END AS k_val,
-                CASE WHEN json_extract(props, '$.absent')::VARCHAR
-                       SIMILAR TO '-?[0-9]+'
-                     THEN json_extract(props, '$.absent')::VARCHAR::BIGINT
-                END AS absent_val
-         FROM events""",
-
-    "q_text_token_stats" ->
-      s"""SELECT doc_id,
-                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-                 len($dTokens) AS n_distinct,
-                 len(regexp_extract_all(lower(text),
-                   '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
-                 length(text) AS len_chars
-          FROM documents""",
-
-    // DuckDB has no deflate: the twin computes the portable half
-    // (byte counts) and asserts the verdicts the Spark side derives
-    // from the actual compression — hash matches iff both bounds hold
-    // for every document. ok_bound is backed by zlib's worst-case
-    // guarantee at any input; ok_compresses is a CORPUS-SCOPED quality
-    // expectation (natural text ≥100 bytes deflates below 0.9) — on a
-    // high-entropy corpus (base64/hex blobs) its failing is the signal
-    // working, and the oracle row is expected to flag it
-    "q_compression_ratio" ->
-      """SELECT doc_id,
-                CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes,
-                TRUE AS ok_bound,
-                TRUE AS ok_compresses
-         FROM documents""",
-
-    // explicit BMP ranges so RE2 (\x{..}) and java.util.regex (\u..)
-    // compile the identical character classes; counts are exact ints,
-    // dominant is the first class in fixed order reaching the max
-    "q_script_mix" ->
-      """WITH sc AS (SELECT doc_id, COALESCE(text, '') AS tx
-                     FROM documents),
-         c AS (SELECT doc_id,
-                 CAST(length(tx) AS BIGINT) AS n_chars,
-                 CAST(length(tx) - length(regexp_replace(tx,
-                   '[A-Za-z]', '', 'g')) AS BIGINT) AS latin,
-                 CAST(length(tx) - length(regexp_replace(tx,
-                   '[0-9]', '', 'g')) AS BIGINT) AS digit,
-                 CAST(length(tx) - length(regexp_replace(tx,
-                   '[ \t\n\r]', '', 'g')) AS BIGINT) AS space,
-                 CAST(length(tx) - length(regexp_replace(tx,
-                   '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT)
-                   AS cyrillic,
-                 CAST(length(tx) - length(regexp_replace(tx,
-                   '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]',
-                   '', 'g')) AS BIGINT) AS cjk
-               FROM sc),
-         o AS (SELECT *,
-                 n_chars - latin - digit - space - cyrillic - cjk
-                   AS other,
-                 greatest(latin, digit, space, cyrillic, cjk,
-                   n_chars - latin - digit - space - cyrillic - cjk)
-                   AS m
-               FROM c)
-         SELECT doc_id, n_chars, latin, digit, space, cyrillic, cjk,
-                other,
-                CASE WHEN latin = m THEN 'latin'
-                     WHEN digit = m THEN 'digit'
-                     WHEN space = m THEN 'space'
-                     WHEN cyrillic = m THEN 'cyrillic'
-                     WHEN cjk = m THEN 'cjk'
-                     ELSE 'other' END AS dominant
-         FROM o""",
-
-    "q_k_anonymity" ->
-      """WITH t0 AS (SELECT c_custkey, c_nationkey, c_mktsegment,
-                            CAST(floor(c_acctbal / 500) AS BIGINT)
-                              AS bal_bucket
-                     FROM customer),
-         g AS (SELECT *, COUNT(*) OVER (PARTITION BY c_nationkey,
-                 c_mktsegment, bal_bucket) AS grp_n FROM t0)
-         SELECT c_custkey,
-                CASE WHEN grp_n < 5 THEN '*'
-                     ELSE CAST(c_nationkey AS VARCHAR) END
-                  AS c_nationkey,
-                CASE WHEN grp_n < 5 THEN '*'
-                     ELSE c_mktsegment END AS c_mktsegment,
-                CASE WHEN grp_n < 5 THEN '*'
-                     ELSE CAST(bal_bucket AS VARCHAR) END AS bal_bucket,
-                grp_n < 5 AS suppressed,
-                CAST(grp_n AS BIGINT) AS grp_n
-         FROM g""",
-
-    "q_l_diversity" ->
-      """WITH t0 AS (SELECT c_custkey, c_nationkey,
-                            CAST(floor(c_acctbal / 500) AS BIGINT)
-                              AS bal_bucket,
-                            c_mktsegment
-                     FROM customer),
-         dv AS (SELECT c_nationkey, bal_bucket,
-                       COUNT(DISTINCT c_mktsegment) AS sens_diversity
-                FROM t0 GROUP BY c_nationkey, bal_bucket)
-         SELECT t0.c_custkey, t0.c_nationkey, t0.bal_bucket,
-                CASE WHEN dv.sens_diversity < 3 THEN '*'
-                     ELSE t0.c_mktsegment END AS c_mktsegment,
-                dv.sens_diversity < 3 AS at_risk,
-                CAST(dv.sens_diversity AS BIGINT) AS sens_diversity
-         FROM t0 JOIN dv USING (c_nationkey, bal_bucket)""",
-
-    "q_text_langid" -> {
-      val langRows = Text.stopwords.toSeq.sortBy(_._1).map {
-        case (lang, words) =>
-          s"('$lang', [${words.map(w => s"'$w'").mkString(",")}])"
-      }.mkString(", ")
-      s"""WITH toks AS (SELECT doc_id, lang, $dTokens AS toks
-                        FROM documents),
-          langs(cand, words) AS (VALUES $langRows),
-          scores AS (
-            SELECT doc_id, lang, cand,
-                   len(list_intersect(toks, words)) AS score
-            FROM toks CROSS JOIN langs)
-          SELECT doc_id, lang, cand AS pred_lang
-          FROM (SELECT doc_id, lang, cand,
-                       row_number() OVER (PARTITION BY doc_id
-                         ORDER BY score DESC, cand ASC) AS rn
-                FROM scores)
-          WHERE rn = 1"""
-    },
-
-    "q_text_quality" ->
-      """SELECT doc_id,
-                len(string_split_regex(trim(text), '\s+'))::BIGINT
-                  AS n_tokens,
-                round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
-                  greatest(len(string_split_regex(trim(text), '\s+')), 1),
-                  6) AS mean_word_len,
-                round((length(text) - length(regexp_replace(text,
-                    '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE /
-                  greatest(length(text), 1), 6) AS punct_ratio
-         FROM documents""",
-
-    // mean_word_len mirrors Text.qualityScore: NON-WHITESPACE chars
-    // over greatest(whitespace tokens of the RAW trimmed text, 1)
-    "q_quality_gate" ->
-      """WITH m AS (
-           SELECT doc_id, lang,
-                  length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
-                    greatest(len(string_split_regex(trim(text),
-                      '\s+')), 1)::DOUBLE AS mwl
-           FROM documents),
-         thr AS (
-           SELECT lang, quantile_cont(mwl, 0.75) AS t
-           FROM m GROUP BY lang)
-         SELECT doc_id, lang
-         FROM m JOIN thr USING (lang)
-         WHERE round(mwl * 10000) / 10000 >= round(t * 10000) / 10000""",
-
-    "q_bm25_topk" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
-           FROM documents),
-         lens AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
-         stats AS (
-           SELECT count(*)::BIGINT AS n_docs, avg(dl::DOUBLE) AS avgdl
-           FROM lens),
-         occ AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
-         f AS (
-           SELECT doc_id, tok, count(*)::BIGINT AS tf FROM occ
-           WHERE tok IN ('spark', 'vector', 'window', 'join')
-           GROUP BY doc_id, tok),
-         d AS (
-           SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM occ
-           WHERE tok IN ('spark', 'vector', 'window', 'join')
-           GROUP BY tok),
-         s AS (
-           SELECT f.doc_id,
-                  round(ln(1.0 + (stats.n_docs - d.df + 0.5)
-                             / (d.df + 0.5)) * f.tf
-                    / (f.tf + 1.2 * (1.0 - 0.75
-                         + 0.75 * lens.dl / stats.avgdl)),
-                    8)::DECIMAL(18,8) AS s
-           FROM f JOIN d USING (tok)
-                JOIN lens ON f.doc_id = lens.doc_id
-                CROSS JOIN stats),
-         agg AS (
-           SELECT doc_id, sum(s)::DOUBLE AS sc FROM s GROUP BY doc_id)
-         SELECT doc_id, round(sc, 6) AS score FROM agg
-         ORDER BY sc DESC, doc_id LIMIT 20""",
-
-    // BM25 CTE as in q_bm25_topk; ANN CTE as in q_ann_bruteforce with
-    // query vec 0 / top-20; fusion sums 1/(60+rank) per doc
-    "q_hybrid_rrf" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
-           FROM documents),
-         lens AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
-         stats AS (
-           SELECT count(*)::BIGINT AS n_docs, avg(dl::DOUBLE) AS avgdl
-           FROM lens),
-         occ AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
-         f AS (
-           SELECT doc_id, tok, count(*)::BIGINT AS tf FROM occ
-           WHERE tok IN ('spark', 'vector', 'window', 'join')
-           GROUP BY doc_id, tok),
-         d AS (
-           SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM occ
-           WHERE tok IN ('spark', 'vector', 'window', 'join')
-           GROUP BY tok),
-         s AS (
-           SELECT f.doc_id,
-                  round(ln(1.0 + (stats.n_docs - d.df + 0.5)
-                             / (d.df + 0.5)) * f.tf
-                    / (f.tf + 1.2 * (1.0 - 0.75
-                         + 0.75 * lens.dl / stats.avgdl)),
-                    8)::DECIMAL(18,8) AS s
-           FROM f JOIN d USING (tok)
-                JOIN lens ON f.doc_id = lens.doc_id
-                CROSS JOIN stats),
-         bmagg AS (
-           SELECT doc_id, sum(s)::DOUBLE AS sc FROM s GROUP BY doc_id),
-         bmtop AS (
-           SELECT doc_id, round(sc, 6) AS rsc FROM bmagg
-           ORDER BY sc DESC, doc_id LIMIT 20),
-         bm AS (
-           SELECT doc_id,
-                  row_number() OVER (ORDER BY rsc DESC, doc_id) AS rank
-           FROM bmtop),
-         v AS (
-           SELECT vec_id,
-                  list_transform(embedding, x -> x::DOUBLE) AS emb
-           FROM embeddings),
-         annscored AS (
-           SELECT c.vec_id AS doc_id,
-                  list_dot_product(q.emb, c.emb) /
-                    (sqrt(list_dot_product(q.emb, q.emb)) *
-                     sqrt(list_dot_product(c.emb, c.emb))) AS cos
-           FROM v q JOIN v c ON c.vec_id <> q.vec_id
-           WHERE q.vec_id = 0),
-         ann AS (
-           SELECT doc_id, rank FROM (
-             SELECT doc_id,
-                    row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
-             FROM annscored)
-           WHERE rank <= 20),
-         u AS (
-           SELECT doc_id, 1.0 / (60 + rank) AS r FROM bm
-           UNION ALL
-           SELECT doc_id, 1.0 / (60 + rank) FROM ann),
-         fused AS (
-           SELECT doc_id, sum(r)::DOUBLE AS rrf,
-                  count(*)::BIGINT AS n_lists
-           FROM u GROUP BY doc_id)
-         SELECT doc_id, round(rrf, 6) AS rrf_score, n_lists
-         FROM (SELECT * FROM fused
-               ORDER BY rrf DESC, doc_id LIMIT 15)""",
-
-    "q_text_fingerprint" ->
-      s"""WITH toks AS (
-            SELECT doc_id,
-                   string_split_regex(trim(regexp_replace(lower(text),
-                     '[^a-z0-9\\s]+', ' ', 'g')), '\\s+') AS toks
-            FROM documents)
-          SELECT t.doc_id,
-                 md5(array_to_string(toks, ' ')) AS fp_exact,
-                 list_min(list_transform(
-                   list_distinct(list_transform(
-                     generate_series(1, len(toks) - 2),
-                     i -> array_to_string(toks[i:i+2], ' '))),
-                   s -> md5(s))) AS fp_minshingle,
-                 list_reduce(
-                   list_prepend(0::BIGINT, list_transform(
-                     generate_series(1, length(d.text)),
-                     i -> ascii(substr(d.text, i, 1))::BIGINT)),
-                   (a, c) -> (a * 31 + c) % 1000000007) AS fp_rolling
-          FROM toks t JOIN documents d USING (doc_id)""",
-
-    "q_train_split" ->
-      """WITH b AS (
-           SELECT n_chars,
-                  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
-                    % 100)::INT AS bucket
-           FROM documents)
-         SELECT CASE WHEN bucket < 90 THEN 'train'
-                     WHEN bucket < 95 THEN 'val'
-                     ELSE 'test' END AS split,
-                COUNT(*) AS n_docs,
-                CAST(SUM(n_chars) AS BIGINT) AS n_chars
-         FROM b GROUP BY 1""",
-
-    "q_contamination" ->
-      s"""WITH sh AS (
-            SELECT doc_id,
-                   unnest(list_distinct(list_transform(
-                     generate_series(1, len(string_split_regex(trim(
-                       regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
-                       'g')), '\\s+')) - 4),
-                     i -> array_to_string((string_split_regex(trim(
-                       regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
-                       'g')), '\\s+'))[i:i+4], ' ')))) AS u
-            FROM documents),
-          bench AS (SELECT DISTINCT u FROM sh WHERE doc_id % 97 = 0),
-          train AS (SELECT doc_id AS train_id, u FROM sh
-                    WHERE doc_id % 97 <> 0)
-          SELECT train_id, COUNT(DISTINCT u) AS n_shared_shingles
-          FROM train JOIN bench USING (u)
-          GROUP BY train_id""",
-
-    // exact side mirrors q_contamination; the two sketch booleans are
-    // pinned TRUE — the hash matches iff the bloom missed nothing and
-    // stayed under the fp bound
-    "q_bloom_contamination" ->
-      s"""WITH sh AS (
-            SELECT doc_id,
-                   unnest(list_distinct(list_transform(
-                     generate_series(1, len(string_split_regex(trim(
-                       regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
-                       'g')), '\\s+')) - 4),
-                     i -> array_to_string((string_split_regex(trim(
-                       regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
-                       'g')), '\\s+'))[i:i+4], ' ')))) AS u
-            FROM documents),
-          bench AS (SELECT DISTINCT u FROM sh WHERE doc_id % 97 = 0),
-          cont AS (SELECT DISTINCT doc_id FROM sh
-                   WHERE doc_id % 97 <> 0
-                     AND u IN (SELECT u FROM bench))
-          SELECT (SELECT COUNT(*) FROM cont)::BIGINT AS n_contaminated,
-                 TRUE AS no_false_neg, TRUE AS fp_ok""",
-
-    // Mirrors ops.baskets.associationRules: distinct incidence, basket
-    // self-join pair supports (a < b), min-support cut, both rule
-    // directions, micros snapped straight from the counts.
-    "q_assoc_rules" ->
-      """WITH inc AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i
-                      FROM lineitem),
-         sup AS (SELECT i, count(*) AS sup FROM inc GROUP BY i),
-         n AS (SELECT count(DISTINCT k) AS n FROM inc),
-         p AS (SELECT a.i AS a, b.i AS b, count(*) AS ps
-               FROM inc a JOIN inc b ON a.k = b.k AND a.i < b.i
-               GROUP BY 1, 2 HAVING count(*) >= 2),
-         r AS (SELECT a AS ante, b AS cons, ps FROM p
-               UNION ALL SELECT b, a, ps FROM p)
-         SELECT r.ante, r.cons, r.ps AS pair_support,
-                round(1000000.0 * r.ps / sa.sup)::BIGINT AS conf_micro,
-                round(1000000.0 * r.ps * n.n
-                      / (sa.sup * sc.sup))::BIGINT AS lift_micro
-         FROM r JOIN sup sa ON r.ante = sa.i
-                JOIN sup sc ON r.cons = sc.i
-                CROSS JOIN n
-         ORDER BY lift_micro DESC, ante, cons LIMIT 50""",
-
-    // degree histogram recomputed from the fact tables — what the
-    // engine reads pre-aggregated from the snapshot's degree view
-    "q_graph_degree_profile" ->
-      """WITH e0 AS (
-           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         e AS (SELECT a AS src FROM e0 UNION ALL SELECT b FROM e0),
-         deg AS (SELECT src AS node, COUNT(*)::BIGINT AS degree
-                 FROM e GROUP BY src)
-         SELECT degree, COUNT(*)::BIGINT AS n_nodes,
-                SUM(node)::BIGINT AS node_sum
-         FROM deg GROUP BY degree ORDER BY degree""",
-
-    // from-scratch recomputation over the COMBINED edge set — what the
-    // engine produces by patching the at-rest degree view
-    "q_graph_delta_degree" ->
-      """WITH e0 AS (
-           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         ed AS (SELECT a + 20000000 AS a, b FROM e0 WHERE a % 23 = 0),
-         allsym AS (
-           SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
-           UNION ALL SELECT a FROM ed UNION ALL SELECT b FROM ed)
-         SELECT node, COUNT(*)::BIGINT AS degree
-         FROM allsym GROUP BY node ORDER BY node""",
-
-    // from-scratch support graph over the COMBINED basket set — what
-    // the engine produces by patching the at-rest co_counts rollup
-    "q_graph_delta_support" ->
-      """WITH items AS (
-           SELECT l_orderkey AS k, l_partkey AS p FROM lineitem
-           UNION ALL
-           SELECT l_orderkey + 1000000000, l_partkey
-           FROM lineitem WHERE l_orderkey % 23 = 0
-           UNION ALL
-           SELECT l_orderkey + 1000000000, l_partkey + 30000000
-           FROM lineitem
-           WHERE l_orderkey % 23 = 0 AND l_partkey % 2 = 0),
-         li AS (SELECT DISTINCT k, p FROM items),
-         cnt AS (SELECT x.p AS a, y.p AS b, COUNT(*) AS sup
-                 FROM li x JOIN li y ON x.k = y.k AND x.p < y.p
-                 GROUP BY 1, 2)
-         SELECT a::BIGINT AS a, b::BIGINT AS b, sup::BIGINT AS sup
-         FROM cnt WHERE sup >= 2 ORDER BY a, b""",
-
-    "q_pagerank" ->
-      """WITH e0 AS (
-           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         e AS (SELECT a AS src, b AS dst FROM e0
-               UNION ALL SELECT b, a FROM e0),
-         nodes AS (SELECT DISTINCT src AS node FROM e),
-         nn AS (SELECT COUNT(*) AS n FROM nodes),
-         deg AS (SELECT src, COUNT(*) AS outd FROM e GROUP BY src),
-         r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn),
-         s1 AS (SELECT e.dst AS node, SUM(r0.r // deg.outd) AS insum
-                FROM e JOIN r0 ON e.src = r0.node
-                       JOIN deg ON e.src = deg.src
-                GROUP BY e.dst),
-         r1 AS (SELECT n.node,
-                       (150000000000 // nn.n) +
-                         (85 * COALESCE(s1.insum, 0)) // 100 AS r
-                FROM nodes n LEFT JOIN s1 USING (node), nn),
-         s2 AS (SELECT e.dst AS node, SUM(r1.r // deg.outd) AS insum
-                FROM e JOIN r1 ON e.src = r1.node
-                       JOIN deg ON e.src = deg.src
-                GROUP BY e.dst),
-         r2 AS (SELECT n.node,
-                       (150000000000 // nn.n) +
-                         (85 * COALESCE(s2.insum, 0)) // 100 AS r
-                FROM nodes n LEFT JOIN s2 USING (node), nn),
-         s3 AS (SELECT e.dst AS node, SUM(r2.r // deg.outd) AS insum
-                FROM e JOIN r2 ON e.src = r2.node
-                       JOIN deg ON e.src = deg.src
-                GROUP BY e.dst),
-         r3 AS (SELECT n.node,
-                       (150000000000 // nn.n) +
-                         (85 * COALESCE(s3.insum, 0)) // 100 AS r
-                FROM nodes n LEFT JOIN s3 USING (node), nn)
-         SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3
-         ORDER BY rank_micro DESC, node LIMIT 20""",
-
-    // directed PageRank with dangling-sink redistribution: sinks
-    // (suppliers — no out-edges) pool their rank each round and every
-    // node gets share = sink_sum // n added to its in-sum before
-    // damping, mirroring Graph.runPageRank's integer formulation
-    "q_pagerank_directed" ->
-      """WITH e AS (
-           SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         nodes AS (SELECT src AS node FROM e
-                   UNION SELECT dst FROM e),
-         nn AS (SELECT COUNT(*) AS n FROM nodes),
-         deg AS (SELECT src, COUNT(*) AS outd FROM e GROUP BY src),
-         flag AS (SELECT node,
-                         EXISTS (SELECT 1 FROM deg WHERE deg.src = node)
-                           AS has_out
-                  FROM nodes),
-         r0 AS (SELECT node, has_out, 1000000000000 // n AS r
-                FROM flag, nn),
-         sh0 AS (SELECT (SELECT COALESCE(SUM(r), 0) FROM r0
-                         WHERE NOT has_out) // n AS share FROM nn),
-         i1 AS (SELECT e.dst AS node, SUM(r0.r // deg.outd) AS insum
-                FROM e JOIN r0 ON e.src = r0.node
-                       JOIN deg ON e.src = deg.src
-                GROUP BY e.dst),
-         r1 AS (SELECT f.node, f.has_out,
-                       (150000000000 // nn.n) +
-                         (85 * (COALESCE(i1.insum, 0) + sh0.share)) // 100
-                         AS r
-                FROM flag f LEFT JOIN i1 USING (node), nn, sh0),
-         sh1 AS (SELECT (SELECT COALESCE(SUM(r), 0) FROM r1
-                         WHERE NOT has_out) // n AS share FROM nn),
-         i2 AS (SELECT e.dst AS node, SUM(r1.r // deg.outd) AS insum
-                FROM e JOIN r1 ON e.src = r1.node
-                       JOIN deg ON e.src = deg.src
-                GROUP BY e.dst),
-         r2 AS (SELECT f.node, f.has_out,
-                       (150000000000 // nn.n) +
-                         (85 * (COALESCE(i2.insum, 0) + sh1.share)) // 100
-                         AS r
-                FROM flag f LEFT JOIN i2 USING (node), nn, sh1)
-         SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r2
-         ORDER BY rank_micro DESC, node LIMIT 20""",
-
-    // weighted directed PageRank unrolled 2 rounds: per-edge flow is
-    // r·w // wsum (HUGEINT product — r·w passes 2⁶³), sinks pool and
-    // redistribute as in q_pagerank_directed
-    "q_pagerank_weighted" ->
-      """WITH e AS (
-           SELECT o_custkey AS src, l_suppkey + 10000000 AS dst,
-                  COUNT(*) AS w
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-           GROUP BY 1, 2),
-         nodes AS (SELECT src AS node FROM e
-                   UNION SELECT dst FROM e),
-         nn AS (SELECT COUNT(*) AS n FROM nodes),
-         ws AS (SELECT src, SUM(w) AS wsum FROM e GROUP BY src),
-         flag AS (SELECT node,
-                         EXISTS (SELECT 1 FROM ws WHERE ws.src = node)
-                           AS has_out
-                  FROM nodes),
-         r0 AS (SELECT node, has_out, 1000000000000 // n AS r
-                FROM flag, nn),
-         sh0 AS (SELECT (SELECT COALESCE(SUM(r), 0) FROM r0
-                         WHERE NOT has_out) // n AS share FROM nn),
-         i1 AS (SELECT e.dst AS node,
-                       SUM((CAST(r0.r AS HUGEINT) * e.w) // ws.wsum)
-                         AS insum
-                FROM e JOIN r0 ON e.src = r0.node
-                       JOIN ws ON e.src = ws.src
-                GROUP BY e.dst),
-         r1 AS (SELECT f.node, f.has_out,
-                       (150000000000 // nn.n) +
-                         (85 * (COALESCE(i1.insum, 0) + sh0.share)) // 100
-                         AS r
-                FROM flag f LEFT JOIN i1 USING (node), nn, sh0),
-         sh1 AS (SELECT (SELECT COALESCE(SUM(r), 0) FROM r1
-                         WHERE NOT has_out) // n AS share FROM nn),
-         i2 AS (SELECT e.dst AS node,
-                       SUM((CAST(r1.r AS HUGEINT) * e.w) // ws.wsum)
-                         AS insum
-                FROM e JOIN r1 ON e.src = r1.node
-                       JOIN ws ON e.src = ws.src
-                GROUP BY e.dst),
-         r2 AS (SELECT f.node, f.has_out,
-                       (150000000000 // nn.n) +
-                         (85 * (COALESCE(i2.insum, 0) + sh1.share)) // 100
-                         AS r
-                FROM flag f LEFT JOIN i2 USING (node), nn, sh1)
-         SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r2
-         ORDER BY rank_micro DESC, node LIMIT 20""",
-
-    // the same 2 synchronous rounds unrolled: argmax neighbor label by
-    // (count DESC, label ASC) each round, labels seeded with node ids
-    "q_label_propagation" ->
-      """WITH e0 AS (
-           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-           WHERE o_custkey <> l_suppkey + 10000000),
-         e AS (SELECT a AS src, b AS dst FROM e0
-               UNION SELECT b, a FROM e0),
-         l0 AS (SELECT DISTINCT src AS node, src AS community FROM e),
-         r1 AS (SELECT node, community FROM (
-                  SELECT e.dst AS node, l.community, COUNT(*) AS c,
-                         ROW_NUMBER() OVER (PARTITION BY e.dst
-                           ORDER BY COUNT(*) DESC, l.community) AS rn
-                  FROM e JOIN l0 l ON e.src = l.node
-                  GROUP BY e.dst, l.community) WHERE rn = 1),
-         r2 AS (SELECT node, community FROM (
-                  SELECT e.dst AS node, l.community, COUNT(*) AS c,
-                         ROW_NUMBER() OVER (PARTITION BY e.dst
-                           ORDER BY COUNT(*) DESC, l.community) AS rn
-                  FROM e JOIN r1 l ON e.src = l.node
-                  GROUP BY e.dst, l.community) WHERE rn = 1)
-         SELECT CAST(node AS BIGINT) AS node,
-                CAST(community AS BIGINT) AS community FROM r2""",
-
-    "q_triangle_count" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
-                     FROM lineitem),
-         pairs AS (SELECT DISTINCT x.p AS a, y.p AS b
-                   FROM li x JOIN li y ON x.k = y.k AND x.p < y.p)
-         SELECT COUNT(*)::BIGINT AS n_triangles
-         FROM pairs e1
-         JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
-         JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b""",
-
-    // triangles enumerated once (u<v<w), each credits all three corners
-    "q_clustering_coeff" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
-                     FROM lineitem),
-         pairs AS (SELECT DISTINCT x.p AS a, y.p AS b
-                   FROM li x JOIN li y ON x.k = y.k AND x.p < y.p),
-         tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
-                 FROM pairs e1
-                 JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
-                 JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
-         tn AS (SELECT node, COUNT(*) AS t FROM (
-                  SELECT u AS node FROM tri
-                  UNION ALL SELECT v FROM tri
-                  UNION ALL SELECT w FROM tri) GROUP BY 1),
-         deg AS (SELECT node, COUNT(*) AS d FROM (
-                   SELECT a AS node FROM pairs
-                   UNION ALL SELECT b FROM pairs) GROUP BY 1)
-         SELECT deg.node, deg.d AS degree, COALESCE(tn.t, 0) AS n_tri,
-                CASE WHEN deg.d >= 2
-                     THEN CAST((COALESCE(tn.t, 0) * 2000000)
-                               // (deg.d * (deg.d - 1)) AS BIGINT)
-                     ELSE 0 END AS cc_micro
-         FROM deg LEFT JOIN tn USING (node)
-         ORDER BY node""",
-
-    // tri enumerates (u < v < w) once since pairs are canonical a<b and
-    // e2.b > e1.b, so the three contribution arms are already (lo, hi)
-    "q_adamic_adar" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
-                     FROM lineitem),
-         pairs AS (SELECT x.p AS a, y.p AS b
-                   FROM li x JOIN li y ON x.k = y.k AND x.p < y.p
-                   GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
-         deg AS (SELECT v, COUNT(*) AS d
-                 FROM (SELECT a AS v FROM pairs
-                       UNION ALL SELECT b FROM pairs)
-                 GROUP BY v),
-         tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
-                 FROM pairs e1
-                 JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
-                 JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
-         contrib AS (
-           SELECT u AS node_a, v AS node_b, w AS o FROM tri
-           UNION ALL SELECT u, w, v FROM tri
-           UNION ALL SELECT v, w, u FROM tri),
-         sc AS (SELECT node_a, node_b,
-                       CAST(round(1000000 / ln(d)) AS BIGINT) AS wm
-                FROM contrib JOIN deg ON contrib.o = deg.v)
-         SELECT node_a, node_b, COUNT(*)::BIGINT AS common_neighbors,
-                CAST(SUM(wm) AS BIGINT) AS aa_micro
-         FROM sc GROUP BY node_a, node_b
-         ORDER BY aa_micro DESC, node_a, node_b LIMIT 50""",
-
-    // weighted AA: same triangle enumeration, contribution
-    // (w(u,z)+w(v,z))·5e5/ln(1+strength(z)) snapped to integer micros
-    "q_adamic_adar_weighted" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
-                     FROM lineitem),
-         pairs AS (SELECT x.p AS a, y.p AS b,
-                          LEAST(COUNT(*), 1000000)::BIGINT AS w
-                   FROM li x JOIN li y ON x.k = y.k AND x.p < y.p
-                   GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
-         st AS (SELECT v, SUM(w) AS s
-                FROM (SELECT a AS v, w FROM pairs
-                      UNION ALL SELECT b, w FROM pairs)
-                GROUP BY v),
-         tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS z
-                 FROM pairs e1
-                 JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
-                 JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
-         contrib AS (
-           SELECT u AS node_a, v AS node_b, z AS o FROM tri
-           UNION ALL SELECT u, z, v FROM tri
-           UNION ALL SELECT v, z, u FROM tri),
-         sc AS (SELECT node_a, node_b,
-                       CAST(round((wa.w + wb.w) * 500000
-                         / ln(1 + st.s)) AS BIGINT) AS wm
-                FROM contrib
-                JOIN pairs wa ON wa.a = LEAST(node_a, o)
-                             AND wa.b = GREATEST(node_a, o)
-                JOIN pairs wb ON wb.a = LEAST(node_b, o)
-                             AND wb.b = GREATEST(node_b, o)
-                JOIN st ON st.v = o)
-         SELECT node_a, node_b, COUNT(*)::BIGINT AS common_neighbors,
-                CAST(SUM(wm) AS BIGINT) AS aa_micro
-         FROM sc GROUP BY node_a, node_b
-         ORDER BY aa_micro DESC, node_a, node_b LIMIT 50""",
-
-    // PPR unrolled 2 iterations: uniform Scale/N start, seed-only
-    // teleport (150e9 // |seeds|), symmetrized graph so no sink term
-    "q_ppr" ->
-      """WITH e0 AS (
-           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         e AS (SELECT a AS src, b AS dst FROM e0
-               UNION ALL SELECT b, a FROM e0),
-         nodes AS (SELECT DISTINCT src AS node FROM e),
-         nn AS (SELECT COUNT(*) AS n FROM nodes),
-         deg AS (SELECT src, COUNT(*) AS outd FROM e GROUP BY src),
-         sd AS (SELECT node,
-                       (node < 10000000 AND node % 10 = 0) AS is_seed
-                FROM nodes),
-         ns AS (SELECT COUNT(*) AS k FROM sd WHERE is_seed),
-         tp AS (SELECT 150000000000 // k AS t FROM ns),
-         r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn),
-         s1 AS (SELECT e.dst AS node, SUM(r0.r // deg.outd) AS insum
-                FROM e JOIN r0 ON e.src = r0.node
-                       JOIN deg ON e.src = deg.src
-                GROUP BY e.dst),
-         r1 AS (SELECT sd.node,
-                       (CASE WHEN sd.is_seed THEN tp.t ELSE 0 END) +
-                         (85 * COALESCE(s1.insum, 0)) // 100 AS r
-                FROM sd LEFT JOIN s1 USING (node), tp),
-         s2 AS (SELECT e.dst AS node, SUM(r1.r // deg.outd) AS insum
-                FROM e JOIN r1 ON e.src = r1.node
-                       JOIN deg ON e.src = deg.src
-                GROUP BY e.dst),
-         r2 AS (SELECT sd.node,
-                       (CASE WHEN sd.is_seed THEN tp.t ELSE 0 END) +
-                         (85 * COALESCE(s2.insum, 0)) // 100 AS r
-                FROM sd LEFT JOIN s2 USING (node), tp)
-         SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r2
-         ORDER BY rank_micro DESC, node LIMIT 20""",
-
-    // earliest-arrival relaxation unrolled 3 rounds (full relaxation ≡
-    // the engine's changed-only frontier — min is idempotent); explicit
-    // null-safe min merge, ts gate e.ts >= arrival
-    "q_temporal_reach" ->
-      """WITH e0 AS (
-           SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst,
-                  date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
-                    AS ts
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         e AS (SELECT src, dst, ts FROM e0
-               UNION ALL SELECT dst, src, ts FROM e0),
-         a0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS arrival
-                FROM e WHERE src < 10000000 AND src % 100 = 0),
-         c1 AS (SELECT e.dst AS node, MIN(e.ts) AS cand
-                FROM e JOIN a0 ON e.src = a0.node AND e.ts >= a0.arrival
-                GROUP BY 1),
-         a1 AS (SELECT COALESCE(a.node, c.node) AS node,
-                       CASE WHEN a.arrival IS NULL THEN c.cand
-                            WHEN c.cand IS NULL THEN a.arrival
-                            WHEN c.cand < a.arrival THEN c.cand
-                            ELSE a.arrival END AS arrival
-                FROM a0 a FULL OUTER JOIN c1 c ON a.node = c.node),
-         c2 AS (SELECT e.dst AS node, MIN(e.ts) AS cand
-                FROM e JOIN a1 ON e.src = a1.node AND e.ts >= a1.arrival
-                GROUP BY 1),
-         a2 AS (SELECT COALESCE(a.node, c.node) AS node,
-                       CASE WHEN a.arrival IS NULL THEN c.cand
-                            WHEN c.cand IS NULL THEN a.arrival
-                            WHEN c.cand < a.arrival THEN c.cand
-                            ELSE a.arrival END AS arrival
-                FROM a1 a FULL OUTER JOIN c2 c ON a.node = c.node),
-         c3 AS (SELECT e.dst AS node, MIN(e.ts) AS cand
-                FROM e JOIN a2 ON e.src = a2.node AND e.ts >= a2.arrival
-                GROUP BY 1),
-         a3 AS (SELECT COALESCE(a.node, c.node) AS node,
-                       CASE WHEN a.arrival IS NULL THEN c.cand
-                            WHEN c.cand IS NULL THEN a.arrival
-                            WHEN c.cand < a.arrival THEN c.cand
-                            ELSE a.arrival END AS arrival
-                FROM a2 a FULL OUTER JOIN c3 c ON a.node = c.node)
-         SELECT CAST(arrival // 365 AS BIGINT) AS bucket,
-                COUNT(*) AS n_nodes,
-                CAST(SUM(node) AS BIGINT) AS node_sum,
-                CAST(MIN(arrival) AS BIGINT) AS min_arrival
-         FROM a3 GROUP BY 1 ORDER BY 1""",
-
-    // BFS unrolled 3 hops over the symmetrized graph: d_{r+1} = new
-    // nodes reachable from d_r; per-level count + id sum
-    "q_bfs_hops" ->
-      """WITH e0 AS (
-           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         e AS (SELECT a AS src, b AS dst FROM e0
-               UNION ALL SELECT b, a FROM e0),
-         d0 AS (SELECT DISTINCT src AS node FROM e
-                WHERE src < 10000000 AND src % 100 = 0),
-         d1 AS (SELECT DISTINCT e.dst AS node FROM e
-                JOIN d0 ON e.src = d0.node
-                WHERE e.dst NOT IN (SELECT node FROM d0)),
-         d2 AS (SELECT DISTINCT e.dst AS node FROM e
-                JOIN d1 ON e.src = d1.node
-                WHERE e.dst NOT IN (SELECT node FROM d0
-                                    UNION ALL SELECT node FROM d1)),
-         d3 AS (SELECT DISTINCT e.dst AS node FROM e
-                JOIN d2 ON e.src = d2.node
-                WHERE e.dst NOT IN (SELECT node FROM d0
-                                    UNION ALL SELECT node FROM d1
-                                    UNION ALL SELECT node FROM d2)),
-         allh AS (SELECT node, 0 AS hops FROM d0
-                  UNION ALL SELECT node, 1 FROM d1
-                  UNION ALL SELECT node, 2 FROM d2
-                  UNION ALL SELECT node, 3 FROM d3)
-         SELECT hops, COUNT(*) AS n_nodes,
-                CAST(SUM(node) AS BIGINT) AS node_sum
-         FROM allh GROUP BY hops ORDER BY hops""",
-
-    // walk unrolled 4 steps over the rank-indexed adjacency; next hop =
-    // rank md5(start|walk|t) mod degree in dst order (same hex-prefix
-    // cast the CMS twins use)
-    "q_random_walks" ->
-      """WITH e0 AS (
-           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         e AS (SELECT a AS src, b AS dst FROM e0
-               UNION ALL SELECT b, a FROM e0),
-         adj AS (SELECT src, dst,
-                        row_number() OVER (PARTITION BY src
-                          ORDER BY dst) - 1 AS rk
-                 FROM e),
-         deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
-         w0 AS (SELECT DISTINCT src AS start, w.walk, src AS node
-                FROM e, (VALUES (0), (1)) w(walk)),
-         w1 AS (SELECT start, walk, a.dst AS node
-                FROM w0 JOIN deg d ON d.src = w0.node
-                JOIN adj a ON a.src = w0.node AND a.rk =
-                  ('0x' || substr(md5(start || '|' || walk || '|1'),
-                   1, 8))::BIGINT % d.deg),
-         w2 AS (SELECT start, walk, a.dst AS node
-                FROM w1 JOIN deg d ON d.src = w1.node
-                JOIN adj a ON a.src = w1.node AND a.rk =
-                  ('0x' || substr(md5(start || '|' || walk || '|2'),
-                   1, 8))::BIGINT % d.deg),
-         w3 AS (SELECT start, walk, a.dst AS node
-                FROM w2 JOIN deg d ON d.src = w2.node
-                JOIN adj a ON a.src = w2.node AND a.rk =
-                  ('0x' || substr(md5(start || '|' || walk || '|3'),
-                   1, 8))::BIGINT % d.deg),
-         w4 AS (SELECT start, walk, a.dst AS node
-                FROM w3 JOIN deg d ON d.src = w3.node
-                JOIN adj a ON a.src = w3.node AND a.rk =
-                  ('0x' || substr(md5(start || '|' || walk || '|4'),
-                   1, 8))::BIGINT % d.deg),
-         walks AS (
-           SELECT start, walk, 0 AS step, node FROM w0
-           UNION ALL SELECT start, walk, 1, node FROM w1
-           UNION ALL SELECT start, walk, 2, node FROM w2
-           UNION ALL SELECT start, walk, 3, node FROM w3
-           UNION ALL SELECT start, walk, 4, node FROM w4)
-         SELECT step::BIGINT AS step, count(*)::BIGINT AS n_rows,
-                sum(node)::BIGINT AS node_sum,
-                count(DISTINCT node)::BIGINT AS n_distinct
-         FROM walks GROUP BY step ORDER BY step""",
-
-    // node2vec unrolled 3 steps: step 1 uniform, steps 2-3 pick the
-    // first of 4 keyed-hash rejection attempts (accept iff
-    // hash % 2000 < class weight; class = return / common-neighbor /
-    // far via one adjacency membership probe), fallback attempt 1
-    "q_node2vec_walks" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
-                     FROM lineitem),
-         pairs AS (SELECT x.p AS a, y.p AS b
-                   FROM li x JOIN li y ON x.k = y.k AND x.p < y.p
-                   GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
-         e AS (SELECT a AS src, b AS dst FROM pairs
-               UNION ALL SELECT b, a FROM pairs),
-         adj AS (SELECT src, dst,
-                        row_number() OVER (PARTITION BY src
-                          ORDER BY dst) - 1 AS rk
-                 FROM e),
-         deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
-         w0 AS (SELECT DISTINCT src AS start, 0 AS walk, src AS node
-                FROM e),
-         w1 AS (SELECT start, walk, w0.node AS prev, a.dst AS node
-                FROM w0 JOIN deg d ON d.src = w0.node
-                JOIN adj a ON a.src = w0.node AND a.rk =
-                  ('0x' || substr(md5(start || '|' || walk || '|1'),
-                   1, 8))::BIGINT % d.deg),
-         p2 AS (SELECT start, walk, prev, w1.node, t.att, a.dst AS cand
-                FROM w1 JOIN deg d ON d.src = w1.node
-                CROSS JOIN (VALUES (1), (2), (3), (4)) t(att)
-                JOIN adj a ON a.src = w1.node AND a.rk =
-                  ('0x' || substr(md5('n2vp|' || start || '|' || walk
-                   || '|2|' || att), 1, 8))::BIGINT % d.deg),
-         m2 AS (SELECT p2.*,
-                       CASE WHEN cand = prev THEN 250
-                            WHEN m.src IS NOT NULL THEN 1000
-                            ELSE 2000 END AS w
-                FROM p2 LEFT JOIN adj m
-                  ON m.src = p2.prev AND m.dst = p2.cand),
-         k2 AS (SELECT start, walk, node AS prev2, cand,
-                       CASE WHEN ('0x' || substr(md5('n2va|' || start
-                         || '|' || walk || '|2|' || att), 1, 8))::BIGINT
-                         % 2000 < w THEN att ELSE att + 4 END AS key
-                FROM m2),
-         w2 AS (SELECT start, walk, prev2 AS prev, cand AS node
-                FROM (SELECT *, row_number() OVER (PARTITION BY start,
-                        walk ORDER BY key) AS rn FROM k2)
-                WHERE rn = 1),
-         p3 AS (SELECT start, walk, prev, w2.node, t.att, a.dst AS cand
-                FROM w2 JOIN deg d ON d.src = w2.node
-                CROSS JOIN (VALUES (1), (2), (3), (4)) t(att)
-                JOIN adj a ON a.src = w2.node AND a.rk =
-                  ('0x' || substr(md5('n2vp|' || start || '|' || walk
-                   || '|3|' || att), 1, 8))::BIGINT % d.deg),
-         m3 AS (SELECT p3.*,
-                       CASE WHEN cand = prev THEN 250
-                            WHEN m.src IS NOT NULL THEN 1000
-                            ELSE 2000 END AS w
-                FROM p3 LEFT JOIN adj m
-                  ON m.src = p3.prev AND m.dst = p3.cand),
-         k3 AS (SELECT start, walk, cand,
-                       CASE WHEN ('0x' || substr(md5('n2va|' || start
-                         || '|' || walk || '|3|' || att), 1, 8))::BIGINT
-                         % 2000 < w THEN att ELSE att + 4 END AS key
-                FROM m3),
-         w3 AS (SELECT start, walk, cand AS node
-                FROM (SELECT *, row_number() OVER (PARTITION BY start,
-                        walk ORDER BY key) AS rn FROM k3)
-                WHERE rn = 1),
-         walks AS (
-           SELECT start, walk, 0 AS step, node FROM w0
-           UNION ALL SELECT start, walk, 1, node FROM w1
-           UNION ALL SELECT start, walk, 2, node FROM w2
-           UNION ALL SELECT start, walk, 3, node FROM w3)
-         SELECT step::BIGINT AS step, count(*)::BIGINT AS n_rows,
-                sum(node)::BIGINT AS node_sum,
-                count(DISTINCT node)::BIGINT AS n_distinct
-         FROM walks GROUP BY step ORDER BY step""",
-
-    // same walk corpus, windowed self-join → co-occurrence pairs
-    "q_walk_pairs" ->
-      """WITH e0 AS (
-           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         e AS (SELECT a AS src, b AS dst FROM e0
-               UNION ALL SELECT b, a FROM e0),
-         adj AS (SELECT src, dst,
-                        row_number() OVER (PARTITION BY src
-                          ORDER BY dst) - 1 AS rk
-                 FROM e),
-         deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
-         w0 AS (SELECT DISTINCT src AS start, w.walk, src AS node
-                FROM e, (VALUES (0), (1)) w(walk)),
-         w1 AS (SELECT start, walk, a.dst AS node
-                FROM w0 JOIN deg d ON d.src = w0.node
-                JOIN adj a ON a.src = w0.node AND a.rk =
-                  ('0x' || substr(md5(start || '|' || walk || '|1'),
-                   1, 8))::BIGINT % d.deg),
-         w2 AS (SELECT start, walk, a.dst AS node
-                FROM w1 JOIN deg d ON d.src = w1.node
-                JOIN adj a ON a.src = w1.node AND a.rk =
-                  ('0x' || substr(md5(start || '|' || walk || '|2'),
-                   1, 8))::BIGINT % d.deg),
-         w3 AS (SELECT start, walk, a.dst AS node
-                FROM w2 JOIN deg d ON d.src = w2.node
-                JOIN adj a ON a.src = w2.node AND a.rk =
-                  ('0x' || substr(md5(start || '|' || walk || '|3'),
-                   1, 8))::BIGINT % d.deg),
-         w4 AS (SELECT start, walk, a.dst AS node
-                FROM w3 JOIN deg d ON d.src = w3.node
-                JOIN adj a ON a.src = w3.node AND a.rk =
-                  ('0x' || substr(md5(start || '|' || walk || '|4'),
-                   1, 8))::BIGINT % d.deg),
-         walks AS (
-           SELECT start, walk, 0 AS step, node FROM w0
-           UNION ALL SELECT start, walk, 1, node FROM w1
-           UNION ALL SELECT start, walk, 2, node FROM w2
-           UNION ALL SELECT start, walk, 3, node FROM w3
-           UNION ALL SELECT start, walk, 4, node FROM w4)
-         SELECT a.node AS center, b.node AS context,
-                count(*)::BIGINT AS n_cooc
-         FROM walks a JOIN walks b USING (start, walk)
-         WHERE a.step <> b.step AND abs(a.step - b.step) <= 2
-         GROUP BY 1, 2
-         ORDER BY n_cooc DESC, center, context LIMIT 100""",
-
-    // distinct-value blocks clipped against the kept rank window
-    "q_trimmed_mean" ->
-      """WITH c AS (SELECT event_type AS g,
-                           CAST(CAST(value AS DECIMAL(18,2)) * 100
-                             AS BIGINT) AS v
-                    FROM events),
-         blk AS (SELECT g, v, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
-         pre AS (SELECT g, v, cnt,
-                        COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY v
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND 1 PRECEDING), 0) AS cum,
-                        SUM(cnt) OVER (PARTITION BY g) AS n
-                 FROM blk),
-         k AS (SELECT *, (n * 10) // 100 AS klo, n - (n * 10) // 100
-                 AS khi FROM pre),
-         kept AS (SELECT g,
-                         GREATEST(0, LEAST(cum + cnt, khi)
-                           - GREATEST(cum, klo)) AS kp,
-                         v, khi - klo AS m
-                  FROM k)
-         SELECT g, CAST(MAX(m) AS BIGINT) AS n_kept,
-                CAST((SUM(kp * v) * 1000000) // MAX(m) AS BIGINT)
-                  AS tmean_micro
-         FROM kept GROUP BY g HAVING MAX(m) > 0
-         ORDER BY g""",
-
-    // decile buckets of the cent-quantized score; rates in floor micros
-    "q_calibration" ->
-      """WITH c AS (SELECT LEAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                             AS BIGINT) // 1000, 9) AS bin,
-                           CASE WHEN event_type = 'purchase'
-                                THEN 1 ELSE 0 END AS pos,
-                           CAST(CAST(value AS DECIMAL(18,2)) * 100
-                             AS BIGINT) AS v_c
-                    FROM events)
-         SELECT bin, COUNT(*) AS n,
-                CAST(SUM(pos) AS BIGINT) AS n_pos,
-                CAST((SUM(pos) * 1000000) // COUNT(*) AS BIGINT)
-                  AS rate_micro,
-                CAST((SUM(v_c) * 10000) // COUNT(*) AS BIGINT)
-                  AS mean_score_micro
-         FROM c GROUP BY bin ORDER BY bin""",
-
-    // rank-sum identity on distinct-score tie blocks; 2R⁺ stays integer
-    "q_auc_rank" ->
-      """WITH sc AS (
-           SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                    AS s,
-                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
-                    AS pos
-           FROM events),
-         blk AS (SELECT s, COUNT(*) AS cnt, SUM(pos) AS pos
-                 FROM sc GROUP BY 1),
-         pre AS (SELECT s, cnt, pos,
-                        COALESCE(SUM(cnt) OVER (ORDER BY s
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND 1 PRECEDING), 0) AS cum
-                 FROM blk),
-         agg AS (SELECT SUM(pos * (2 * cum + cnt + 1)) AS r2,
-                        SUM(pos) AS p, SUM(cnt - pos) AS n
-                 FROM pre)
-         SELECT CAST(p AS BIGINT) AS p, CAST(n AS BIGINT) AS n,
-                CAST(((r2 - p * (p + 1)) * 1000000) // (2 * p * n)
-                  AS BIGINT) AS auc_micro
-         FROM agg""",
-
-    // first/last extrema per (user, type) via two row_numbers; pair join
-    // on the user key; floor-div micros over distinct-user count
-    "q_seq_patterns" ->
-      """WITH ord AS (
-           SELECT user_id AS k, event_type AS typ, ts, event_id,
-                  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                    ORDER BY ts, event_id) AS rf,
-                  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                    ORDER BY ts DESC, event_id DESC) AS rl
-           FROM events),
-         ext AS (SELECT k, typ,
-                        MAX(CASE WHEN rf = 1 THEN ts END) AS f_ts,
-                        MAX(CASE WHEN rf = 1 THEN event_id END) AS f_tie,
-                        MAX(CASE WHEN rl = 1 THEN ts END) AS l_ts,
-                        MAX(CASE WHEN rl = 1 THEN event_id END) AS l_tie
-                 FROM ord GROUP BY 1, 2),
-         tot AS (SELECT COUNT(DISTINCT k) AS n_tot FROM ext),
-         p AS (SELECT a.typ AS from_type, b.typ AS to_type,
-                      COUNT(*) AS n_seq
-               FROM ext a JOIN ext b ON a.k = b.k AND a.typ <> b.typ
-               WHERE a.f_ts < b.l_ts
-                  OR (a.f_ts = b.l_ts AND a.f_tie < b.l_tie)
-               GROUP BY 1, 2)
-         SELECT from_type, to_type, n_seq,
-                CAST((n_seq * 1000000) // n_tot AS BIGINT)
-                  AS support_micro
-         FROM p, tot
-         ORDER BY from_type, to_type""",
-
-    // per-landmark BFS unrolled 3 rounds; harmonic = Σ 10⁶ // hops
-    "q_harmonic" ->
-      """WITH e0 AS (
-           SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         e AS (SELECT a AS src, b AS dst FROM e0
-               UNION ALL SELECT b, a FROM e0),
-         d0 AS (SELECT DISTINCT src AS lm, src AS node FROM e
-                WHERE src < 10000000 AND src % 500 = 0),
-         d1 AS (SELECT DISTINCT d0.lm, e.dst AS node
-                FROM d0 JOIN e ON e.src = d0.node
-                EXCEPT SELECT lm, node FROM d0),
-         d2 AS (SELECT DISTINCT d1.lm, e.dst AS node
-                FROM d1 JOIN e ON e.src = d1.node
-                EXCEPT (SELECT lm, node FROM d0
-                        UNION ALL SELECT lm, node FROM d1)),
-         d3 AS (SELECT DISTINCT d2.lm, e.dst AS node
-                FROM d2 JOIN e ON e.src = d2.node
-                EXCEPT (SELECT lm, node FROM d0
-                        UNION ALL SELECT lm, node FROM d1
-                        UNION ALL SELECT lm, node FROM d2)),
-         allh AS (SELECT lm, node, 1 AS hops FROM d1
-                  UNION ALL SELECT lm, node, 2 FROM d2
-                  UNION ALL SELECT lm, node, 3 FROM d3)
-         SELECT node, CAST(SUM(1000000 // hops) AS BIGINT) AS h_micro,
-                COUNT(*) AS n_lm
-         FROM allh GROUP BY 1
-         ORDER BY h_micro DESC, node LIMIT 30""",
-
-    // Bellman-Ford unrolled 4 full-relaxation rounds — equivalent to the
-    // changed-only frontier (min is idempotent; unchanged nodes'
-    // contributions were already merged)
-    "q_sssp" ->
-      """WITH e0 AS (
-           SELECT o_custkey AS a, l_suppkey + 10000000 AS b,
-                  SUM(CAST(l_quantity AS BIGINT)) AS w
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-           GROUP BY 1, 2),
-         e AS (SELECT a AS src, b AS dst, w FROM e0
-               UNION ALL SELECT b, a, w FROM e0),
-         r0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
-                FROM e WHERE src < 10000000 AND src % 100 = 0),
-         r1 AS (SELECT node, MIN(dist) AS dist FROM (
-                  SELECT node, dist FROM r0
-                  UNION ALL
-                  SELECT e.dst, r0.dist + e.w FROM r0
-                  JOIN e ON e.src = r0.node) GROUP BY 1),
-         r2 AS (SELECT node, MIN(dist) AS dist FROM (
-                  SELECT node, dist FROM r1
-                  UNION ALL
-                  SELECT e.dst, r1.dist + e.w FROM r1
-                  JOIN e ON e.src = r1.node) GROUP BY 1),
-         r3 AS (SELECT node, MIN(dist) AS dist FROM (
-                  SELECT node, dist FROM r2
-                  UNION ALL
-                  SELECT e.dst, r2.dist + e.w FROM r2
-                  JOIN e ON e.src = r2.node) GROUP BY 1),
-         r4 AS (SELECT node, MIN(dist) AS dist FROM (
-                  SELECT node, dist FROM r3
-                  UNION ALL
-                  SELECT e.dst, r3.dist + e.w FROM r3
-                  JOIN e ON e.src = r3.node) GROUP BY 1)
-         SELECT CAST(dist // 5 AS BIGINT) AS bucket, COUNT(*) AS n_nodes,
-                CAST(SUM(node) AS BIGINT) AS node_sum,
-                CAST(MIN(dist) AS BIGINT) AS min_dist
-         FROM r4 GROUP BY 1 ORDER BY 1""",
-
-    // HITS unrolled 2 iterations: integer scores, L1-normalized to 1e12
-    // per round in HUGEINT (raw·1e12 exceeds BIGINT), floor division
-    // matching Spark's decimal div — same update order (auth from hubs,
-    // then hubs from auths) as Graph.hits
-    "q_hits" ->
-      """WITH e AS (
-           SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         nn AS (SELECT COUNT(*) AS n FROM nodes),
-         h0 AS (SELECT node, 1000000000000 // n AS s FROM nodes, nn),
-         a1r AS (SELECT e.dst AS node, SUM(h0.s) AS raw
-                 FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst),
-         a1t AS (SELECT SUM(raw)::HUGEINT AS t FROM a1r),
-         a1 AS (SELECT node,
-                       (raw::HUGEINT * 1000000000000) // t AS s
-                FROM a1r, a1t),
-         h1r AS (SELECT e.src AS node, SUM(a1.s) AS raw
-                 FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
-         h1t AS (SELECT SUM(raw)::HUGEINT AS t FROM h1r),
-         h1 AS (SELECT node,
-                       (raw::HUGEINT * 1000000000000) // t AS s
-                FROM h1r, h1t),
-         a2r AS (SELECT e.dst AS node, SUM(h1.s) AS raw
-                 FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
-         a2t AS (SELECT SUM(raw)::HUGEINT AS t FROM a2r),
-         a2 AS (SELECT node,
-                       (raw::HUGEINT * 1000000000000) // t AS s
-                FROM a2r, a2t),
-         h2r AS (SELECT e.src AS node, SUM(a2.s) AS raw
-                 FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
-         h2t AS (SELECT SUM(raw)::HUGEINT AS t FROM h2r),
-         h2 AS (SELECT node,
-                       (raw::HUGEINT * 1000000000000) // t AS s
-                FROM h2r, h2t)
-         SELECT n.node,
-                CAST(COALESCE(h2.s, 0) AS BIGINT) AS hub_micro,
-                CAST(COALESCE(a2.s, 0) AS BIGINT) AS auth_micro
-         FROM nodes n
-         LEFT JOIN h2 ON h2.node = n.node
-         LEFT JOIN a2 ON a2.node = n.node
-         ORDER BY auth_micro DESC, n.node LIMIT 20""",
-
-    // same triangle enumeration as q_adamic_adar; the per-edge common
-    // count normalizes by inclusion–exclusion union, floor-divided
-    // micros on both engines
-    "q_graph_jaccard" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
-                     FROM lineitem),
-         pairs AS (SELECT x.p AS a, y.p AS b
-                   FROM li x JOIN li y ON x.k = y.k AND x.p < y.p
-                   GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
-         deg AS (SELECT v, COUNT(*) AS d
-                 FROM (SELECT a AS v FROM pairs
-                       UNION ALL SELECT b FROM pairs)
-                 GROUP BY v),
-         tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
-                 FROM pairs e1
-                 JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
-                 JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
-         contrib AS (
-           SELECT u AS node_a, v AS node_b FROM tri
-           UNION ALL SELECT u, w FROM tri
-           UNION ALL SELECT v, w FROM tri),
-         cnt AS (SELECT node_a, node_b, COUNT(*) AS common_neighbors
-                 FROM contrib GROUP BY node_a, node_b)
-         SELECT node_a, node_b,
-                CAST(common_neighbors AS BIGINT) AS common_neighbors,
-                (common_neighbors * 1000000)
-                  // (da.d + db.d - common_neighbors) AS jaccard_micro
-         FROM cnt
-         JOIN deg da ON da.v = cnt.node_a
-         JOIN deg db ON db.v = cnt.node_b
-         ORDER BY jaccard_micro DESC, node_a, node_b LIMIT 50""",
-
-    // 3 synchronous peel rounds at k=3, unrolled: degrees over the
-    // surviving subgraph, keep >= k, filter edges to kept×kept;
-    // output = round-3 survivors with their final-subgraph degree
-    // (0 if every remaining neighbor fell)
-    "q_kcore" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
-                     FROM lineitem),
-         e0 AS (SELECT x.p AS lo, y.p AS hi
-                FROM li x JOIN li y ON x.k = y.k AND x.p < y.p
-                GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
-         d1 AS (SELECT v AS node, COUNT(*) AS degree
-                FROM (SELECT lo AS v FROM e0
-                      UNION ALL SELECT hi FROM e0) GROUP BY v),
-         k1 AS (SELECT node FROM d1 WHERE degree >= 3),
-         e1 AS (SELECT lo, hi FROM e0
-                WHERE lo IN (SELECT node FROM k1)
-                  AND hi IN (SELECT node FROM k1)),
-         d2 AS (SELECT v AS node, COUNT(*) AS degree
-                FROM (SELECT lo AS v FROM e1
-                      UNION ALL SELECT hi FROM e1) GROUP BY v),
-         k2 AS (SELECT node FROM d2 WHERE degree >= 3),
-         e2 AS (SELECT lo, hi FROM e1
-                WHERE lo IN (SELECT node FROM k2)
-                  AND hi IN (SELECT node FROM k2)),
-         d3 AS (SELECT v AS node, COUNT(*) AS degree
-                FROM (SELECT lo AS v FROM e2
-                      UNION ALL SELECT hi FROM e2) GROUP BY v),
-         k3 AS (SELECT node FROM d3 WHERE degree >= 3),
-         e3 AS (SELECT lo, hi FROM e2
-                WHERE lo IN (SELECT node FROM k3)
-                  AND hi IN (SELECT node FROM k3)),
-         df AS (SELECT v AS node, COUNT(*) AS degree
-                FROM (SELECT lo AS v FROM e3
-                      UNION ALL SELECT hi FROM e3) GROUP BY v)
-         SELECT k3.node,
-                CAST(COALESCE(df.degree, 0) AS BIGINT) AS degree
-         FROM k3 LEFT JOIN df USING (node)""",
-
-    // regexp-decomposed twin of parse_url on the same synthetic URLs;
-    // last-two-labels registrable domain via list_slice
-    "q_url_features" ->
-      """WITH u AS (SELECT doc_id,
-           'https://' || source || '.example.com/' || lang || '/doc/' ||
-           CAST(doc_id % 50 AS VARCHAR) ||
-           CASE WHEN doc_id % 3 = 0 THEN '?ref=rss&utm=1'
-                WHEN doc_id % 3 = 1 THEN '?ref=feed' ELSE '' END AS url
-           FROM documents),
-         p AS (SELECT doc_id,
-           lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) AS host,
-           coalesce(regexp_extract(url,
-             '^[a-z]+://[^/?#]+(/[^?#]*)', 1), '') AS path,
-           coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS q
-           FROM u),
-         l AS (SELECT doc_id, host, string_split(host, '.') AS parts,
-                      path, q
-               FROM p)
-         SELECT doc_id, host,
-                array_to_string(list_slice(parts,
-                  greatest(len(parts) - 1, 1), len(parts)), '.')
-                  AS domain,
-                parts[len(parts)] AS tld,
-                CAST(len(list_filter(string_split(path, '/'),
-                  x -> x <> '')) AS INT) AS path_depth,
-                CAST(CASE WHEN q = '' THEN 0
-                     ELSE len(string_split(q, '&')) END AS INT)
-                  AS n_params
-         FROM l""",
-
-    // same tokenizer as q_text_entropy; positions via parallel unnest;
-    // identical left-assoc double expression inside ln on both engines
-    "q_pmi_pairs" ->
-      """WITH tk AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
-           FROM documents),
-         tok AS (SELECT doc_id,
-                        unnest(range(1, len(toks) + 1)) AS pos,
-                        unnest(toks) AS tok
-                 FROM tk),
-         tot AS (SELECT COUNT(*) AS t FROM tok),
-         uni AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
-         pr AS (SELECT least(a.tok, b.tok) AS tok_a,
-                       greatest(a.tok, b.tok) AS tok_b
-                FROM tok a JOIN tok b
-                  ON a.doc_id = b.doc_id
-                 AND b.pos - a.pos BETWEEN 1 AND 2),
-         pc AS (SELECT tok_a, tok_b, COUNT(*) AS c_ab
-                FROM pr GROUP BY tok_a, tok_b),
-         pt AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS p FROM pc)
-         SELECT tok_a, tok_b, c_ab,
-                CAST(round(ln((c_ab * 1.0 * t * t) /
-                  (p * 1.0 * ca.c * cb.c)) * 1000000) AS BIGINT)
-                  AS pmi_micro
-         FROM pc, tot, pt
-         JOIN uni ca ON pc.tok_a = ca.tok
-         JOIN uni cb ON pc.tok_b = cb.tok
-         WHERE c_ab >= 5
-         ORDER BY pmi_micro DESC, tok_a, tok_b LIMIT 50""",
-
-    "q_text_entropy" ->
-      """WITH tf AS (
-           SELECT doc_id,
-                  unnest(string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+')) AS tok
-           FROM documents),
-         cc AS (SELECT doc_id, tok, COUNT(*) AS c
-                FROM tf GROUP BY doc_id, tok),
-         agg AS (SELECT doc_id,
-                        CAST(SUM(c) AS BIGINT) AS n_tokens,
-                        CAST(SUM(CAST(round(ln(c) * 1000000) AS BIGINT)
-                          * c) AS BIGINT) AS clnc_micro
-                 FROM cc GROUP BY doc_id)
-         SELECT doc_id, n_tokens,
-                round((ln(n_tokens) - clnc_micro / 1000000.0 / n_tokens)
-                  * 10000) / 10000 AS entropy
-         FROM agg""",
-
-    // mirrors naiveBayes exactly: same tokenizer, same md5 train split,
-    // same add-1 grid over (bucket × class), micros at the ln boundary,
-    // argmax tie-break on class DESC (the max(struct) order)
-    "q_nb_langid" ->
-      """WITH tf AS (
-           SELECT doc_id, lang AS cls,
-                  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
-                    % 100) < 50 AS is_train,
-                  (('0x' || substr(md5(tok), 1, 8))::BIGINT % 256)::INT
-                    AS bucket
-           FROM (SELECT doc_id, lang,
-                        unnest(string_split_regex(trim(regexp_replace(
-                          lower(text), '[^a-z0-9\s]+', ' ', 'g')),
-                          '\s+')) AS tok
-                 FROM documents)),
-         classes AS (SELECT cls, COUNT(*) AS cn,
-                            COUNT(DISTINCT doc_id) AS cdocs
-                     FROM tf WHERE is_train GROUP BY cls),
-         td AS (SELECT CAST(SUM(cdocs) AS DOUBLE) AS td FROM classes),
-         bc AS (SELECT bucket, cls, COUNT(*) AS n
-                FROM tf WHERE is_train GROUP BY bucket, cls),
-         grid AS (SELECT b.bucket, c.cls,
-                         CAST(round(ln((COALESCE(bc.n, 0) + 1.0) /
-                           (c.cn + 256.0)) * 1000000) AS BIGINT) AS w_micro
-                  FROM (SELECT DISTINCT bucket FROM tf) b
-                  CROSS JOIN classes c
-                  LEFT JOIN bc ON bc.bucket = b.bucket AND bc.cls = c.cls),
-         prior AS (SELECT cls,
-                          CAST(round(ln(cdocs / td.td) * 1000000)
-                            AS BIGINT) AS prior_micro
-                   FROM classes, td),
-         hist AS (SELECT doc_id, bucket, COUNT(*) AS n
-                  FROM tf GROUP BY doc_id, bucket),
-         sc AS (SELECT h.doc_id, g.cls,
-                       CAST(SUM(h.n) AS BIGINT) AS n_tokens,
-                       CAST(SUM(h.n * g.w_micro) AS BIGINT) AS ll_micro
-                FROM hist h JOIN grid g ON h.bucket = g.bucket
-                GROUP BY h.doc_id, g.cls),
-         fin AS (SELECT sc.doc_id, sc.cls, sc.n_tokens,
-                        sc.ll_micro + p.prior_micro AS score_micro,
-                        row_number() OVER (PARTITION BY sc.doc_id
-                          ORDER BY sc.ll_micro + p.prior_micro DESC,
-                                   sc.cls DESC) AS rk
-                 FROM sc JOIN prior p ON sc.cls = p.cls)
-         SELECT doc_id, n_tokens, cls AS pred,
-                CAST(score_micro AS BIGINT) AS score_micro
-         FROM fin WHERE rk = 1""",
-
-    "q_source_kl" ->
-      """WITH tf AS (
-           SELECT src,
-                  (('0x' || substr(md5(tok), 1, 8))::BIGINT % 256)::INT
-                    AS bucket
-           FROM (SELECT source AS src,
-                        unnest(string_split_regex(trim(regexp_replace(
-                          lower(text), '[^a-z0-9\s]+', ' ', 'g')),
-                          '\s+')) AS tok
-                 FROM documents)),
-         sb AS (SELECT src, bucket, COUNT(*) AS c
-                FROM tf GROUP BY 1, 2),
-         per_src AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n_s
-                     FROM sb GROUP BY 1),
-         per_bucket AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cb
-                        FROM sb GROUP BY 1),
-         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM sb),
-         all_buckets AS (
-           SELECT ab.bucket::INT AS bucket, COALESCE(pb.cb, 0) AS cb
-           FROM range(0, 256) ab(bucket)
-           LEFT JOIN per_bucket pb ON pb.bucket = ab.bucket),
-         grid AS (
-           SELECT s.src, s.n_s, COALESCE(sb.c, 0) + 1 AS cp,
-                  CAST(round((ln((COALESCE(sb.c, 0) + 1.0) /
-                    (s.n_s + 256.0)) - ln((b.cb + 1.0) /
-                    (t.n_total + 256.0))) * 1000000) AS BIGINT)
-                    AS lr_micro
-           FROM all_buckets b
-           CROSS JOIN per_src s
-           LEFT JOIN sb ON sb.src = s.src AND sb.bucket = b.bucket
-           CROSS JOIN tot t)
-         SELECT src AS source, MAX(n_s) AS n_tokens,
-                round(CAST(SUM(cp * lr_micro) AS DOUBLE) /
-                  (MAX(n_s) + 256.0) / 1000000.0 * 10000) / 10000 AS kl
-         FROM grid GROUP BY src""",
-
-    "q_token_budget_mix" ->
-      """WITH t0 AS (
-           SELECT doc_id, source,
-                  COALESCE(CAST(len(string_split_regex(trim(text),
-                    '\s+')) AS BIGINT), 0) AS n_tokens
-           FROM documents),
-         c AS (SELECT doc_id, source, n_tokens,
-                      SUM(n_tokens) OVER (PARTITION BY source
-                        ORDER BY md5(doc_id::VARCHAR), doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS cum_tokens
-               FROM t0 WHERE n_tokens >= 1)
-         SELECT doc_id, source, n_tokens,
-                CAST(cum_tokens AS BIGINT) AS cum_tokens
-         FROM c WHERE cum_tokens <= 900""",
-
-    "q_dsir_score" ->
-      """WITH tf AS (
-           SELECT doc_id, is_target,
-                  (('0x' || substr(md5(tok), 1, 8))::BIGINT % 256)::INT
-                    AS bucket
-           FROM (SELECT doc_id, lang = 'en' AS is_target,
-                        unnest(string_split_regex(trim(regexp_replace(
-                          lower(text), '[^a-z0-9\s]+', ' ', 'g')),
-                          '\s+')) AS tok
-                 FROM documents)),
-         counts AS (
-           SELECT bucket,
-                  SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
-                  SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
-           FROM tf GROUP BY bucket),
-         tot AS (
-           SELECT SUM(CASE WHEN is_target THEN 1 ELSE 0 END)::DOUBLE
-                    AS t_total,
-                  SUM(CASE WHEN is_target THEN 0 ELSE 1 END)::DOUBLE
-                    AS r_total
-           FROM tf),
-         lam AS (
-           SELECT bucket,
-                  CAST(round((ln((ct + 1.0) / (t_total + 256.0)) -
-                              ln((cr + 1.0) / (r_total + 256.0)))
-                    * 1000000) AS BIGINT) AS lam_micro
-           FROM counts, tot),
-         db AS (SELECT doc_id, bucket, COUNT(*) AS n
-                FROM tf GROUP BY doc_id, bucket)
-         SELECT doc_id, SUM(n)::BIGINT AS n_tokens,
-                SUM(n * lam_micro)::BIGINT AS score_micro
-         FROM db JOIN lam USING (bucket)
-         GROUP BY doc_id
-         ORDER BY score_micro DESC, doc_id LIMIT 100""",
-
-    // eligibility mirrors Text.weightedSample: A-ES needs a non-null
-    // id and a strictly positive weight (a negative weight would flip
-    // the key sign and rank FIRST)
-    "q_weighted_sample" ->
-      """SELECT doc_id, lang, n_chars FROM (
-           SELECT doc_id, lang, n_chars,
-                  row_number() OVER (PARTITION BY lang ORDER BY
-                    -ln(((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
-                          ::BIGINT)::DOUBLE + 0.5) / 4294967296.0)
-                      / n_chars::DOUBLE,
-                    doc_id) AS rn
-           FROM documents
-           WHERE doc_id IS NOT NULL AND n_chars > 0)
-         WHERE rn <= 20""",
-
-    "q_dedup_exact" ->
-      s"""WITH fp AS (
-            SELECT doc_id,
-                   md5(array_to_string(string_split_regex(trim(
-                     regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ', 'g')),
-                     '\\s+'), ' ')) AS fp
-            FROM documents)
-          SELECT fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies
-          FROM fp GROUP BY fp""",
-
-    "q_dedup_minhash_lsh" ->
-      s"""WITH $minhashPairCtes
-          SELECT doc_a, doc_b, jaccard FROM mh_pairs""",
-
-    // truth = exact-jaccard all-pairs at the same 0.8 threshold and
-    // 3-token shingle unit; mh_pairs is the fragment's verified output
-    "q_lsh_recall" ->
-      s"""WITH $minhashPairCtes,
-          truth AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE len(a.shset) > 0 AND len(b.shset) > 0
-              AND len(list_intersect(a.shset, b.shset))::DOUBLE /
-                  len(list_distinct(list_concat(a.shset, b.shset)))
-                  >= 0.8),
-          nt AS (SELECT COUNT(*) AS n_truth FROM truth),
-          nh AS (SELECT COUNT(*) AS n_hit
-                 FROM mh_pairs p JOIN truth t
-                   ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
-          SELECT nt.n_truth, nh.n_hit,
-                 CAST((nh.n_hit * 1000000) // NULLIF(nt.n_truth, 0)
-                   AS BIGINT) AS recall_micro
-          FROM nt, nh""",
-
-    "q_dedup_keep" ->
-      s"""WITH RECURSIVE $minhashPairCtes,
-          edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
-                    UNION SELECT doc_b, doc_a FROM mh_pairs),
-          reach(id, comp) AS (
-            SELECT a, a FROM edges
-            UNION
-            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
-          dropped AS (
-            SELECT id FROM reach GROUP BY id HAVING id <> min(comp))
-          SELECT lang, COUNT(*) AS n_kept,
-                 CAST(SUM(n_chars) AS BIGINT) AS n_chars
-          FROM documents
-          WHERE doc_id NOT IN (SELECT id FROM dropped)
-          GROUP BY lang""",
-
-    "q_text_redact" ->
-      """SELECT doc_id,
-                regexp_replace(
-                  regexp_replace(
-                    regexp_replace(
-                      text || ' contact user' || doc_id ||
-                        '@example.com at ip ' || (doc_id % 256) ||
-                        '.0.0.1 tel +1 555-123-4567',
-                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                      '<EMAIL>', 'g'),
-                    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-                  '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS redacted
-         FROM documents""",
-
-    "q_corpus_prep2" ->
-      """WITH m AS (
-           SELECT doc_id, lang, source, n_chars, text,
-                  length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
-                    greatest(len(string_split_regex(trim(text),
-                      '\s+')), 1)::DOUBLE AS mwl
-           FROM documents),
-         thr AS (
-           SELECT lang, quantile_cont(mwl, 0.25) AS t
-           FROM m GROUP BY lang),
-         gated AS (
-           SELECT m.* FROM m JOIN thr USING (lang) WHERE mwl >= t),
-         capped AS (
-           SELECT * FROM (
-             SELECT *, row_number() OVER (PARTITION BY source
-               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
-             FROM gated) WHERE rk <= 100),
-         fp AS (
-           SELECT *, md5(array_to_string(string_split_regex(trim(
-                    regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g')),
-                    '\s+'), ' ')) AS fp
-           FROM capped),
-         canon AS (
-           SELECT * FROM (
-             SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id
-             FROM fp)
-           WHERE doc_id = keep_id),
-         s AS (
-           SELECT lang, n_chars,
-                  CASE WHEN bucket < 90 THEN 'train'
-                       WHEN bucket < 95 THEN 'val'
-                       ELSE 'test' END AS split
-           FROM (SELECT *,
-                        (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
-                          ::BIGINT % 100)::INT AS bucket
-                 FROM canon))
-         SELECT split, lang, COUNT(*) AS n_docs,
-                CAST(SUM(n_chars) AS BIGINT) AS n_chars
-         FROM s GROUP BY split, lang""",
-
-    "q_corpus_prep" ->
-      """WITH q AS (
-           SELECT doc_id, lang, n_chars, text,
-                  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-                  (length(text) - length(regexp_replace(text,
-                      '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE /
-                    greatest(length(text), 1) AS punct_ratio
-           FROM documents),
-         gated AS (
-           SELECT * FROM q WHERE n_tokens >= 20 AND punct_ratio < 0.2),
-         fp AS (
-           SELECT *, md5(array_to_string(string_split_regex(trim(
-                    regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g')),
-                    '\s+'), ' ')) AS fp
-           FROM gated),
-         canon AS (
-           SELECT * FROM (
-             SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id
-             FROM fp)
-           WHERE doc_id = keep_id),
-         s AS (
-           SELECT lang, n_chars,
-                  CASE WHEN bucket < 90 THEN 'train'
-                       WHEN bucket < 95 THEN 'val'
-                       ELSE 'test' END AS split
-           FROM (SELECT *,
-                        (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
-                          ::BIGINT % 100)::INT AS bucket
-                 FROM canon))
-         SELECT split, lang, COUNT(*) AS n_docs,
-                CAST(SUM(n_chars) AS BIGINT) AS n_chars
-         FROM s GROUP BY split, lang""",
-
-    // non-distinct positional window twin of dTokens: unnest a
-    // generate_series over window starts; docs shorter than k tokens
-    // have no windows and JOIN BACK AT ZERO on both sides (the
-    // every-doc contract)
-    "q_dup_spans" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
-           FROM documents),
-         w AS (
-           SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS w
-           FROM (SELECT doc_id, toks,
-                        unnest(generate_series(1, len(toks) - 3)) AS i
-                 FROM tok)),
-         d AS (SELECT w, count(DISTINCT doc_id) AS nd FROM w GROUP BY w),
-         per AS (
-           SELECT doc_id, count(*)::BIGINT AS n_windows,
-                  sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT
-                    AS n_dup_windows
-           FROM w JOIN d USING (w) GROUP BY doc_id)
-         -- every doc appears: sub-k docs join back at zero, matching
-         -- the Spark side's every-doc contract
-         SELECT t.doc_id,
-                COALESCE(n_windows, 0)::BIGINT AS n_windows,
-                COALESCE(n_dup_windows, 0)::BIGINT AS n_dup_windows,
-                CASE WHEN COALESCE(n_windows, 0) > 0
-                     THEN round(n_dup_windows::DOUBLE / n_windows, 6)
-                     ELSE 0.0 END AS dup_ratio
-         FROM tok t LEFT JOIN per USING (doc_id)""",
-
-    // the twin materializes every suffix as a list slice and sorts —
-    // quadratic in memory at big SF but exact, and DuckDB list order is
-    // lexicographic shorter-prefix-first, the same contract prefix
-    // doubling implements with its rank-0 sentinel
-    "q_suffix_array" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
-           FROM documents),
-         pos AS (
-           SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
-                  toks
-           FROM tok)
-         SELECT doc_id, pos::BIGINT AS pos,
-                row_number() OVER (ORDER BY toks[pos:], doc_id, pos)
-                  ::BIGINT AS sa_rank
-         FROM pos""",
-
-    // capped LCP via monotone prefix equality: count of j in 1..cap with
-    // equal j-prefixes, clamped by both slice lengths (slices truncate,
-    // so an unclamped count would overrun on equal slices)
-    "q_sa_lcp" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
-           FROM documents),
-         pos AS (
-           SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
-                  toks
-           FROM tok),
-         sa AS (
-           SELECT doc_id, pos,
-                  row_number() OVER (ORDER BY toks[pos:], doc_id, pos)
-                    AS sa_rank,
-                  toks[pos:pos+7] AS w
-           FROM pos),
-         sl AS (
-           SELECT sa_rank, doc_id, pos, w,
-                  lead(doc_id) OVER win AS nxt_doc_id,
-                  lead(pos) OVER win AS nxt_pos,
-                  lead(w) OVER win AS w2
-           FROM sa WINDOW win AS (ORDER BY sa_rank)),
-         lc AS (
-           SELECT sa_rank::BIGINT AS sa_rank, doc_id,
-                  pos::BIGINT AS pos, nxt_doc_id,
-                  nxt_pos::BIGINT AS nxt_pos,
-                  least((SELECT count(*) FROM generate_series(1, 8) g(j)
-                         WHERE w[1:j] = w2[1:j]),
-                        len(w), len(w2))::BIGINT AS lcp
-           FROM sl WHERE nxt_doc_id IS NOT NULL)
-         SELECT * FROM lc WHERE lcp >= 4""",
-
-    // dup criterion: position's 5-token span recurs iff lcp with an
-    // SA NEIGHBOR >= 5 (equal-prefix suffixes are contiguous in SA
-    // order) — flag both sides of each qualifying adjacency
-    "q_sa_dup_positions" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
-           FROM documents),
-         pos AS (
-           SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
-                  toks
-           FROM tok),
-         sa AS (
-           SELECT doc_id, pos,
-                  row_number() OVER (ORDER BY toks[pos:], doc_id, pos)
-                    AS sa_rank,
-                  toks[pos:pos+4] AS w
-           FROM pos),
-         sl AS (
-           SELECT sa_rank, doc_id, pos, w,
-                  lead(doc_id) OVER win AS nxt_doc_id,
-                  lead(pos) OVER win AS nxt_pos,
-                  lead(w) OVER win AS w2
-           FROM sa WINDOW win AS (ORDER BY sa_rank)),
-         hits AS (
-           SELECT doc_id, pos, nxt_doc_id, nxt_pos
-           FROM sl
-           WHERE nxt_doc_id IS NOT NULL
-             AND least((SELECT count(*) FROM generate_series(1, 5) g(j)
-                        WHERE w[1:j] = w2[1:j]),
-                       len(w), len(w2)) >= 5),
-         dup AS (
-           SELECT doc_id, pos FROM hits
-           UNION
-           SELECT nxt_doc_id AS doc_id, nxt_pos AS pos FROM hits),
-         per AS (
-           SELECT doc_id, count(*)::BIGINT AS n_dup_positions
-           FROM dup GROUP BY doc_id)
-         SELECT t.doc_id, len(t.toks)::BIGINT AS n_positions,
-                COALESCE(n_dup_positions, 0)::BIGINT AS n_dup_positions
-         FROM tok t LEFT JOIN per USING (doc_id)""",
-
-    // INDEPENDENT formulation of the engine's SA-neighbor criterion: a
-    // position is duplicated iff its 5-gram occurs >=2 times in the
-    // corpus (equal-prefix suffixes are SA-adjacent, so the two are
-    // provably the same set); islands merge flagged covers into maximal
-    // spans, survivors emit as contiguous segments
-    "q_sa_scrub" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
-           FROM documents),
-         pos AS (
-           SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
-                  toks
-           FROM tok),
-         g AS (
-           SELECT doc_id, pos,
-                  array_to_string(toks[pos:pos+4], ' ') AS gram
-           FROM pos WHERE pos + 4 <= len(toks)),
-         dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-         marks AS (SELECT doc_id, pos FROM g
-                   WHERE gram IN (SELECT gram FROM dupg)),
-         isl AS (
-           SELECT doc_id, pos,
-                  CASE WHEN lag(pos) OVER w IS NULL
-                         OR pos > lag(pos) OVER w + 5
-                       THEN 1 ELSE 0 END AS ni
-           FROM marks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         isl2 AS (
-           SELECT doc_id, pos,
-                  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-           FROM isl),
-         spans AS (
-           SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
-           FROM isl2 GROUP BY doc_id, grp),
-         lens AS (SELECT doc_id, len(toks) AS n, toks FROM tok),
-         sp2 AS (
-           SELECT doc_id, s, e,
-                  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s),
-                    0) AS pe,
-                  row_number() OVER (PARTITION BY doc_id ORDER BY s)
-                    AS rn,
-                  count(*) OVER (PARTITION BY doc_id) AS nsp
-           FROM spans),
-         pre AS (SELECT doc_id, pe + 1 AS seg_start, s - 1 AS seg_end
-                 FROM sp2 WHERE s - 1 >= pe + 1),
-         tl AS (SELECT sp2.doc_id, e + 1 AS seg_start, n AS seg_end
-                FROM sp2 JOIN lens USING (doc_id)
-                WHERE rn = nsp AND n >= e + 1),
-         whole AS (SELECT doc_id, 1 AS seg_start, n AS seg_end
-                   FROM lens
-                   WHERE n >= 1
-                     AND doc_id NOT IN (SELECT doc_id FROM spans)),
-         segs AS (SELECT * FROM pre UNION ALL SELECT * FROM tl
-                  UNION ALL SELECT * FROM whole)
-         SELECT s.doc_id,
-                row_number() OVER (PARTITION BY s.doc_id
-                  ORDER BY s.seg_start)::BIGINT AS seg_id,
-                s.seg_start::BIGINT AS seg_start,
-                (s.seg_end - s.seg_start + 1)::BIGINT AS n_seg_tokens,
-                array_to_string(l.toks[s.seg_start:s.seg_end], ' ')
-                  AS seg_text
-         FROM segs s JOIN lens l USING (doc_id)
-         ORDER BY doc_id, seg_id""",
-
-    // the guarantee itself: re-run gram-dup detection over the scrubbed
-    // segment corpus — n_dup_after_scrub is 0 by construction, and the
-    // oracle recomputes it independently rather than trusting the claim
-    "q_sa_scrub_verify" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
-           FROM documents),
-         pos AS (
-           SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
-                  toks
-           FROM tok),
-         g AS (
-           SELECT doc_id, pos,
-                  array_to_string(toks[pos:pos+4], ' ') AS gram
-           FROM pos WHERE pos + 4 <= len(toks)),
-         dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-         marks AS (SELECT doc_id, pos FROM g
-                   WHERE gram IN (SELECT gram FROM dupg)),
-         isl AS (
-           SELECT doc_id, pos,
-                  CASE WHEN lag(pos) OVER w IS NULL
-                         OR pos > lag(pos) OVER w + 5
-                       THEN 1 ELSE 0 END AS ni
-           FROM marks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         isl2 AS (
-           SELECT doc_id, pos,
-                  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-           FROM isl),
-         spans AS (
-           SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
-           FROM isl2 GROUP BY doc_id, grp),
-         lens AS (SELECT doc_id, len(toks) AS n, toks FROM tok),
-         sp2 AS (
-           SELECT doc_id, s, e,
-                  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s),
-                    0) AS pe,
-                  row_number() OVER (PARTITION BY doc_id ORDER BY s)
-                    AS rn,
-                  count(*) OVER (PARTITION BY doc_id) AS nsp
-           FROM spans),
-         pre AS (SELECT doc_id, pe + 1 AS seg_start, s - 1 AS seg_end
-                 FROM sp2 WHERE s - 1 >= pe + 1),
-         tl AS (SELECT sp2.doc_id, e + 1 AS seg_start, n AS seg_end
-                FROM sp2 JOIN lens USING (doc_id)
-                WHERE rn = nsp AND n >= e + 1),
-         whole AS (SELECT doc_id, 1 AS seg_start, n AS seg_end
-                   FROM lens
-                   WHERE n >= 1
-                     AND doc_id NOT IN (SELECT doc_id FROM spans)),
-         segs AS (SELECT * FROM pre UNION ALL SELECT * FROM tl
-                  UNION ALL SELECT * FROM whole),
-         segdocs AS (
-           SELECT l.toks[s.seg_start:s.seg_end] AS stoks
-           FROM segs s JOIN lens l USING (doc_id)),
-         spos AS (
-           SELECT stoks, unnest(generate_series(1, len(stoks))) AS p
-           FROM segdocs),
-         sg AS (
-           SELECT array_to_string(stoks[p:p+4], ' ') AS gram
-           FROM spos WHERE p + 4 <= len(stoks)),
-         sdup AS (SELECT gram FROM sg GROUP BY gram
-                  HAVING count(*) >= 2)
-         SELECT (SELECT count(*) FROM segdocs)::BIGINT AS n_segments,
-                (SELECT sum(len(stoks)) FROM segdocs)::BIGINT
-                  AS n_kept_tokens,
-                (SELECT count(*) FROM sg
-                 WHERE gram IN (SELECT gram FROM sdup))::BIGINT
-                  AS n_dup_after_scrub""",
-
-    // same integer stride arithmetic; the global position is a plain
-    // ORDER BY over the (key, source, seq) total order
-    "q_stride_schedule" ->
-      """WITH seqd AS (
-           SELECT doc_id, source,
-                  row_number() OVER (PARTITION BY source
-                    ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT
-                    AS src_seq
-           FROM documents),
-         ns AS (SELECT source, max(src_seq) AS n_s
-                FROM seqd GROUP BY source),
-         t AS (SELECT sum(n_s)::HUGEINT AS t FROM ns),
-         keyed AS (
-           SELECT doc_id, source, src_seq,
-                  ((src_seq::HUGEINT * t) // n_s)::BIGINT AS k
-           FROM seqd JOIN ns USING (source), t)
-         SELECT doc_id, source, src_seq,
-                row_number() OVER (ORDER BY k, source, src_seq)::BIGINT
-                  AS global_pos
-         FROM keyed ORDER BY global_pos""",
-
-    // the same breakpoint scan in SQL: every row's exclusive-prefix
-    // candidate underestimates e*, the true breakpoint achieves it
-    "q_epoch_waterfill" ->
-      """WITH d AS (
-           SELECT source,
-                  len(string_split_regex(trim(text), '\s+'))::BIGINT
-                    AS nt
-           FROM documents),
-         src AS (
-           SELECT source AS src, sum(nt)::BIGINT AS n,
-                  (((length(source) % 3) + 1) * 1000)::BIGINT AS m
-           FROM d GROUP BY source),
-         pre AS (
-           SELECT src, n, m,
-                  sum(n::HUGEINT * m) OVER w - n::HUGEINT * m AS s_ex,
-                  sum(n::HUGEINT) OVER w - n AS t_ex
-           FROM src
-           WINDOW w AS (ORDER BY m, src
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         tot AS (SELECT sum(n)::HUGEINT AS ntot FROM src),
-         es AS (
-           SELECT max(((63000::HUGEINT * 1000 - s_ex) //
-             (ntot - t_ex))::BIGINT) AS e_star
-           FROM pre, tot)
-         SELECT src AS source, n AS n_tokens, m AS max_epochs_milli,
-                least(e_star, m)::BIGINT AS epochs_milli,
-                ((n::HUGEINT * least(e_star, m)) // 1000)::BIGINT
-                  AS alloc_tokens
-         FROM src, es ORDER BY source""",
-
-    // INDEPENDENT formulation: sort docs by their capped token prefix;
-    // the best match is a sort neighbor (min(lcp, cap) commutes with
-    // the max, so the capped sort agrees with the engine's full-suffix
-    // SA order on the reported value)
-    "q_sa_prefix_overlap" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
-           FROM documents),
-         w AS (SELECT doc_id, toks[1:8] AS w FROM tok),
-         ord AS (
-           SELECT doc_id, w,
-                  row_number() OVER (ORDER BY w, doc_id) AS r
-           FROM w),
-         adj AS (
-           SELECT a.doc_id, a.w,
-                  lead(a.w) OVER (ORDER BY a.r) AS wn,
-                  lag(a.w) OVER (ORDER BY a.r) AS wp
-           FROM ord a),
-         lcp AS (
-           SELECT doc_id,
-                  greatest(
-                    coalesce((SELECT count(*)
-                              FROM generate_series(1, 8) g(j)
-                              WHERE j <= len(w) AND j <= len(wn)
-                                AND w[1:j] = wn[1:j]), 0),
-                    coalesce((SELECT count(*)
-                              FROM generate_series(1, 8) g(j)
-                              WHERE j <= len(w) AND j <= len(wp)
-                                AND w[1:j] = wp[1:j]), 0))::BIGINT
-                    AS shared_prefix_len
-           FROM adj)
-         SELECT doc_id, shared_prefix_len
-         FROM lcp ORDER BY doc_id""",
-
-    // from-scratch recomputation over the COMBINED corpus (old docs +
-    // the re-crawl delta): position duplicated iff its 5-gram occurs
-    // >= 2 times anywhere in old ∪ delta — the independent gram-count
-    // formulation of the SA-neighbor criterion, locking the engine's
-    // incremental probe to the full rebuild
-    "q_sa_delta_dup" ->
-      """WITH corpus AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 10000000 AS doc_id, text FROM documents
-           WHERE doc_id % 13 = 0
-           UNION ALL
-           SELECT doc_id + 20000000 AS doc_id, text FROM documents
-           WHERE doc_id % 39 = 0),
-         tok AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
-           FROM corpus),
-         pos AS (
-           SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
-                  toks
-           FROM tok),
-         g AS (
-           SELECT doc_id, pos,
-                  array_to_string(toks[pos:pos+4], ' ') AS gram
-           FROM pos WHERE pos + 4 <= len(toks)),
-         cnt AS (SELECT gram, count(*) AS n FROM g GROUP BY gram),
-         dup AS (
-           SELECT doc_id, count(*)::BIGINT AS n_dup
-           FROM g JOIN cnt USING (gram) WHERE n >= 2
-           GROUP BY doc_id)
-         SELECT t.doc_id, len(t.toks)::BIGINT AS n_positions,
-                COALESCE(n_dup, 0)::BIGINT AS n_dup_positions
-         FROM tok t LEFT JOIN dup USING (doc_id)
-         ORDER BY doc_id""",
-
-    // from-scratch gram-count dup report over the FULL table — the
-    // streamed corpus ∪ arrivals end state the maintenance loop must
-    // converge to regardless of batch slicing
-    "q_stream_sa_dup" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
-           FROM documents),
-         pos AS (
-           SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
-                  toks
-           FROM tok),
-         g AS (
-           SELECT doc_id, pos,
-                  array_to_string(toks[pos:pos+4], ' ') AS gram
-           FROM pos WHERE pos + 4 <= len(toks)),
-         cnt AS (SELECT gram, count(*) AS n FROM g GROUP BY gram),
-         dup AS (
-           SELECT doc_id, count(*)::BIGINT AS n_dup
-           FROM g JOIN cnt USING (gram) WHERE n >= 2
-           GROUP BY doc_id)
-         SELECT t.doc_id, len(t.toks)::BIGINT AS n_positions,
-                COALESCE(n_dup, 0)::BIGINT AS n_dup_positions
-         FROM tok t LEFT JOIN dup USING (doc_id)
-         ORDER BY doc_id""",
-
-    // INDEPENDENT formulation of the engine's SA-block criterion: a
-    // train position is contaminated iff its 5-gram appears in some
-    // benchmark doc (equal-prefix suffixes share an SA block with every
-    // adjacent LCP >= 5, so the two are provably the same set)
-    "q_sa_decontaminate" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
-           FROM documents),
-         pos AS (
-           SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
-                  toks
-           FROM tok),
-         g AS (
-           SELECT doc_id, pos,
-                  array_to_string(toks[pos:pos+4], ' ') AS gram
-           FROM pos WHERE pos + 4 <= len(toks)),
-         bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
-         SELECT doc_id, count(*)::BIGINT AS n_contaminated_positions
-         FROM g
-         WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM bg)
-         GROUP BY doc_id ORDER BY doc_id""",
-
-    "q_domain_cap" ->
-      """SELECT doc_id, source FROM (
-           SELECT doc_id, source,
-                  row_number() OVER (PARTITION BY source
-                    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
-           FROM documents) WHERE rk <= 20""",
-
-    "q_semdedup" ->
-      """WITH v AS (
-           SELECT vec_id, label AS cell,
-                  list_transform(embedding, x -> x::DOUBLE) AS emb
-           FROM embeddings),
-         p AS (
-           SELECT b.vec_id AS ib
-           FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
-           WHERE list_dot_product(a.emb, b.emb) /
-                   (sqrt(list_dot_product(a.emb, a.emb)) *
-                    sqrt(list_dot_product(b.emb, b.emb))) >= 0.4)
-         SELECT vec_id, cell FROM v
-         WHERE vec_id NOT IN (SELECT ib FROM p)""",
-
-    "q_stratified_sample" ->
-      """WITH b AS (
-           SELECT lang, n_chars,
-                  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
-                    % 10000) AS bucket,
-                  CASE lang WHEN 'en' THEN 9000 WHEN 'de' THEN 5000
-                            WHEN 'es' THEN 5000 WHEN 'fr' THEN 2500
-                            WHEN 'zh' THEN 1000 ELSE 0 END AS threshold
-           FROM documents)
-         SELECT lang, COUNT(*) AS n_kept,
-                CAST(SUM(n_chars) AS BIGINT) AS n_chars
-         FROM b WHERE bucket < threshold GROUP BY lang""",
-
-    // min-label transitive closure over the minhash near-dup graph; the
-    // UNION de-dupes (id, comp) rows so the recursion reaches a fixpoint
-    "q_dedup_components" ->
-      s"""WITH RECURSIVE $minhashPairCtes,
-          edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
-                    UNION SELECT doc_b, doc_a FROM mh_pairs),
-          reach(id, comp) AS (
-            SELECT a, a FROM edges
-            UNION
-            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
-          SELECT id AS doc_id, min(comp) AS comp,
-                 (id = min(comp)) AS is_canonical
-          FROM reach GROUP BY id""",
-
-    // the online store's final snapshot ≡ the from-scratch full-corpus
-    // CC (pair discovery is exactly-once: at the later endpoint's
-    // batch through the grown index, or within-batch)
-    "q_stream_cc_maintain" ->
-      s"""WITH RECURSIVE $minhashPairCtes,
-          edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
-                    UNION SELECT doc_b, doc_a FROM mh_pairs),
-          reach(id, comp) AS (
-            SELECT a, a FROM edges
-            UNION
-            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
-          SELECT id AS doc_id, min(comp) AS comp,
-                 (id = min(comp)) AS is_canonical
-          FROM reach GROUP BY id""",
-
-    // trio mirror: the three from-scratch computations — full-corpus
-    // CC over the minhash near-dup graph, the full-table 5-gram dup
-    // report (same tokenization CTE), and the frozen-quantizer
-    // assignment over the % 17 split — joined on doc_id = vec_id
-    "q_stream_ingest_trio" ->
-      s"""WITH RECURSIVE $minhashPairCtes,
-          edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
-                    UNION SELECT doc_b, doc_a FROM mh_pairs),
-          reach(id, comp) AS (
-            SELECT a, a FROM edges
-            UNION
-            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
-          cmp AS (SELECT id AS doc_id, min(comp) AS comp
-                  FROM reach GROUP BY id),
-          pos AS (
-            SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos,
-                   tk
-            FROM tk),
-          g AS (
-            SELECT doc_id, pos,
-                   array_to_string(tk[pos:pos+4], ' ') AS gram
-            FROM pos WHERE pos + 4 <= len(tk)),
-          cnt AS (SELECT gram, count(*) AS n FROM g GROUP BY gram),
-          dup AS (
-            SELECT doc_id, count(*)::BIGINT AS n_dup
-            FROM g JOIN cnt USING (gram) WHERE n >= 2
-            GROUP BY doc_id),
-          sa AS (
-            SELECT t.doc_id, len(t.tk)::BIGINT AS n_positions,
-                   COALESCE(n_dup, 0)::BIGINT AS n_dup_positions
-            FROM tk t LEFT JOIN dup USING (doc_id)),
-          v AS (SELECT vec_id, label,
-                       list_transform(embedding, x -> x::DOUBLE) AS emb
-                FROM embeddings),
-          corp AS (SELECT * FROM v WHERE vec_id % 17 <> 0),
-          cent AS (
-            SELECT label AS cell, list(s ORDER BY j) AS c FROM (
-              SELECT label, j, sum(emb[j]) / count(*) AS s
-              FROM corp, range(1, 65) t(j) GROUP BY label, j)
-            GROUP BY label),
-          arr AS (SELECT vec_id, emb FROM v WHERE vec_id % 17 = 0),
-          asg AS (
-            SELECT vec_id, cell FROM (
-              SELECT a.vec_id, cent.cell,
-                     row_number() OVER (PARTITION BY a.vec_id
-                       ORDER BY -2 * list_dot_product(a.emb,
-                           (cent.c::FLOAT[])::DOUBLE[])
-                         + list_dot_product(
-                             (cent.c::FLOAT[])::DOUBLE[],
-                             (cent.c::FLOAT[])::DOUBLE[]),
-                         cent.cell) AS pr
-              FROM arr a CROSS JOIN cent)
-            WHERE pr = 1),
-          ann AS (SELECT vec_id, label AS cell FROM corp
-                  UNION ALL SELECT vec_id, cell FROM asg)
-          SELECT sa.doc_id, COALESCE(cmp.comp, sa.doc_id) AS comp,
-                 sa.n_positions, sa.n_dup_positions, ann.cell
-          FROM sa JOIN ann ON ann.vec_id = sa.doc_id
-          LEFT JOIN cmp ON cmp.doc_id = sa.doc_id
-          ORDER BY sa.doc_id""",
-
-    // the incremental merge must land on the SAME partition as a
-    // from-scratch CC over the whole corpus — the oracle IS the
-    // q_dedup_components recomputation (different engine formulation,
-    // identical fixpoint)
-    "q_dedup_cc_incremental" ->
-      s"""WITH RECURSIVE $minhashPairCtes,
-          edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
-                    UNION SELECT doc_b, doc_a FROM mh_pairs),
-          reach(id, comp) AS (
-            SELECT a, a FROM edges
-            UNION
-            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
-          SELECT id AS doc_id, min(comp) AS comp,
-                 (id = min(comp)) AS is_canonical
-          FROM reach GROUP BY id""",
-
-    // components as in q_dedup_components, then per-entity survivorship:
-    // representative = (n_chars DESC, doc_id ASC) first member — the
-    // same (max_by struct) rule the engine applies
-    "q_entity_golden" ->
-      s"""WITH RECURSIVE $minhashPairCtes,
-          edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
-                    UNION SELECT doc_b, doc_a FROM mh_pairs),
-          reach(id, comp) AS (
-            SELECT a, a FROM edges
-            UNION
-            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
-          cmp AS (SELECT id AS doc_id, min(comp) AS comp
-                  FROM reach GROUP BY id),
-          assigned AS (
-            SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS entity_id,
-                   d.n_chars
-            FROM documents d LEFT JOIN cmp c ON d.doc_id = c.doc_id),
-          rep AS (
-            SELECT entity_id, doc_id AS rep_doc_id FROM (
-              SELECT entity_id, doc_id,
-                     row_number() OVER (PARTITION BY entity_id
-                       ORDER BY n_chars DESC, doc_id ASC) AS rn
-              FROM assigned) WHERE rn = 1)
-          SELECT a.entity_id, COUNT(*) AS n_members,
-                 MAX(a.n_chars) AS max_n_chars,
-                 CAST(SUM(a.n_chars) AS BIGINT) AS sum_n_chars,
-                 MIN(r.rep_doc_id) AS rep_doc_id
-          FROM assigned a JOIN rep r ON a.entity_id = r.entity_id
-          GROUP BY a.entity_id""",
-
-    // same recursive-CTE components as q_entity_golden; split = md5
-    // bucket of the CLUSTER id, mirroring Text.splitBucket
-    "q_leakage_split" ->
-      s"""WITH RECURSIVE $minhashPairCtes,
-          edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
-                    UNION SELECT doc_b, doc_a FROM mh_pairs),
-          reach(id, comp) AS (
-            SELECT a, a FROM edges
-            UNION
-            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
-          cmp AS (SELECT id AS doc_id, min(comp) AS comp
-                  FROM reach GROUP BY id),
-          assigned AS (
-            SELECT d.doc_id, d.n_chars,
-                   COALESCE(c.comp, d.doc_id) AS cluster_id
-            FROM documents d LEFT JOIN cmp c ON d.doc_id = c.doc_id),
-          s AS (SELECT cluster_id, n_chars,
-                       ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
-                         1, 8))::BIGINT % 100 AS bucket
-                FROM assigned)
-          SELECT CASE WHEN bucket < 80 THEN 'train'
-                      WHEN bucket < 90 THEN 'val'
-                      ELSE 'test' END AS split,
-                 COUNT(*) AS n_docs,
-                 COUNT(DISTINCT cluster_id) AS n_clusters,
-                 CAST(SUM(n_chars) AS BIGINT) AS n_chars
-          FROM s GROUP BY 1""",
-
-    // window-5 pane over the balance-cents sort; ties break by custkey
-    // — same order the distributed zipWithIndex rank uses
-    "q_sorted_neighborhood" ->
-      """WITH t0 AS (
-           SELECT c_custkey AS id,
-                  lpad(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
-                    AS BIGINT) + 1000000 AS VARCHAR), 9, '0') AS k
-           FROM customer),
-         r AS (SELECT id, k,
-                      row_number() OVER (ORDER BY k, id) AS rn
-               FROM t0)
-         SELECT a.id AS doc_a, b.id AS doc_b,
-                a.k AS key_a, b.k AS key_b
-         FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 4""",
-
-    "q_dedup_simhash" ->
-      s"""WITH tok AS (
-            SELECT doc_id, len($dTokens) AS n_toks,
-                   unnest($dTokens) AS tok
-            FROM documents),
-          h AS (SELECT doc_id, n_toks, md5(tok) AS h FROM tok),
-          bits AS (
-            SELECT doc_id, n_toks, h, i AS bit
-            FROM h CROSS JOIN range(16) r(i)),
-          nib AS (
-            SELECT doc_id, n_toks, bit,
-                   CASE WHEN ascii(substr(h, (bit // 4)::INT + 1, 1)) <= 57
-                        THEN ascii(substr(h, (bit // 4)::INT + 1, 1)) - 48
-                        ELSE ascii(substr(h, (bit // 4)::INT + 1, 1)) - 87
-                   END AS nibble
-            FROM bits),
-          bitset AS (
-            SELECT doc_id, bit,
-                   floor(nibble / 2 ** (3 - bit % 4))::INT % 2 AS bit_set,
-                   n_toks
-            FROM nib),
-          ones AS (
-            SELECT doc_id, bit, SUM(bit_set) AS ones,
-                   max(n_toks) AS n_toks
-            FROM bitset GROUP BY doc_id, bit)
-          SELECT doc_id,
-                 SUM(CASE WHEN ones * 2 > n_toks
-                          THEN (2 ** (15 - bit))::BIGINT ELSE 0 END)::BIGINT
-                   AS simhash
-          FROM ones GROUP BY doc_id""",
-
-    // 64-bit fingerprint as an ordered bit string: bit j of md5(token)
-    // for j in 0..63, majority-voted per doc — assembled with string_agg
-    // so no engine ever shifts into the BIGINT sign bit
-    "q_dedup_simhash64" ->
-      s"""WITH tok AS (
-            SELECT doc_id, len($dTokens) AS n_toks,
-                   unnest($dTokens) AS tok
-            FROM documents),
-          h AS (SELECT doc_id, n_toks, md5(tok) AS h FROM tok),
-          bits AS (
-            SELECT doc_id, n_toks, h, i AS bit
-            FROM h CROSS JOIN range(64) r(i)),
-          nib AS (
-            SELECT doc_id, n_toks, bit,
-                   CASE WHEN ascii(substr(h, (bit // 4)::INT + 1, 1)) <= 57
-                        THEN ascii(substr(h, (bit // 4)::INT + 1, 1)) - 48
-                        ELSE ascii(substr(h, (bit // 4)::INT + 1, 1)) - 87
-                   END AS nibble
-            FROM bits),
-          bitset AS (
-            SELECT doc_id, bit,
-                   floor(nibble / 2 ** (3 - bit % 4))::INT % 2 AS bit_set,
-                   n_toks
-            FROM nib),
-          ones AS (
-            SELECT doc_id, bit, SUM(bit_set) AS ones,
-                   max(n_toks) AS n_toks
-            FROM bitset GROUP BY doc_id, bit)
-          SELECT doc_id,
-                 string_agg(CASE WHEN ones * 2 > n_toks THEN '1' ELSE '0'
-                            END, '' ORDER BY bit) AS fp_bits
-          FROM ones GROUP BY doc_id""",
-
-    // same signature/banding math as the minhash CTEs, with candidates
-    // restricted to new(doc_id%17=0) × corpus(rest)
-    "q_dedup_incremental" ->
-      s"""WITH tk AS (
-            SELECT doc_id,
-                   string_split_regex(trim(regexp_replace(lower(text),
-                     '[^a-z0-9\\s]+', ' ', 'g')), '\\s+') AS tk
-            FROM documents),
-          sh AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(
-                     generate_series(1, len(tk) - 2),
-                     i -> array_to_string(tk[i:i+2], ' '))) AS shset
-            FROM tk),
-          units AS (SELECT doc_id, unnest(shset) AS u FROM sh),
-          vocab AS (SELECT DISTINCT u FROM units),
-          vh AS (
-            SELECT u, i AS perm, md5(i::VARCHAR || ':' || u) AS h
-            FROM vocab CROSS JOIN range(8) r(i)),
-          mh AS (
-            SELECT doc_id, perm, min(h) AS mh
-            FROM units JOIN vh USING (u)
-            GROUP BY doc_id, perm),
-          band AS (
-            SELECT doc_id, (perm // 2)::INT AS band,
-                   md5(string_agg(mh, ',' ORDER BY perm)) AS bucket
-            FROM mh GROUP BY doc_id, perm // 2),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
-            FROM band a JOIN band b
-              ON a.band = b.band AND a.bucket = b.bucket
-            WHERE a.doc_id % 17 = 0 AND b.doc_id % 17 <> 0)
-          SELECT new_id, corpus_id,
-                 round(len(list_intersect(sa.shset, sb.shset))::DOUBLE /
-                   len(list_distinct(list_concat(sa.shset, sb.shset))), 6)
-                   AS jaccard
-          FROM cand
-          JOIN sh sa ON cand.new_id = sa.doc_id
-          JOIN sh sb ON cand.corpus_id = sb.doc_id
-          WHERE len(list_intersect(sa.shset, sb.shset))::DOUBLE /
-                  len(list_distinct(list_concat(sa.shset, sb.shset)))
-                  >= 0.8""",
-
-    // the file-backed index probe must reproduce q_dedup_incremental's
-    // result exactly — same signature/banding math, same split
-    "q_lsh_index_at_rest" ->
-      s"""WITH tk AS (
-            SELECT doc_id,
-                   string_split_regex(trim(regexp_replace(lower(text),
-                     '[^a-z0-9\\s]+', ' ', 'g')), '\\s+') AS tk
-            FROM documents),
-          sh AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(
-                     generate_series(1, len(tk) - 2),
-                     i -> array_to_string(tk[i:i+2], ' '))) AS shset
-            FROM tk),
-          units AS (SELECT doc_id, unnest(shset) AS u FROM sh),
-          vocab AS (SELECT DISTINCT u FROM units),
-          vh AS (
-            SELECT u, i AS perm, md5(i::VARCHAR || ':' || u) AS h
-            FROM vocab CROSS JOIN range(8) r(i)),
-          mh AS (
-            SELECT doc_id, perm, min(h) AS mh
-            FROM units JOIN vh USING (u)
-            GROUP BY doc_id, perm),
-          band AS (
-            SELECT doc_id, (perm // 2)::INT AS band,
-                   md5(string_agg(mh, ',' ORDER BY perm)) AS bucket
-            FROM mh GROUP BY doc_id, perm // 2),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
-            FROM band a JOIN band b
-              ON a.band = b.band AND a.bucket = b.bucket
-            WHERE a.doc_id % 17 = 0 AND b.doc_id % 17 <> 0)
-          SELECT new_id, corpus_id,
-                 round(len(list_intersect(sa.shset, sb.shset))::DOUBLE /
-                   len(list_distinct(list_concat(sa.shset, sb.shset))), 6)
-                   AS jaccard
-          FROM cand
-          JOIN sh sa ON cand.new_id = sa.doc_id
-          JOIN sh sb ON cand.corpus_id = sb.doc_id
-          WHERE len(list_intersect(sa.shset, sb.shset))::DOUBLE /
-                  len(list_distinct(list_concat(sa.shset, sb.shset)))
-                  >= 0.8""",
-
-    // naive all-pairs ground truth over the 64-bit fingerprints; hamming
-    // as a per-position bitstring diff count, so no BIGINT assembly
-    "q_dedup_simhash64_pairs" ->
-      s"""WITH tok AS (
-            SELECT doc_id, len($dTokens) AS n_toks,
-                   unnest($dTokens) AS tok
-            FROM documents),
-          h AS (SELECT doc_id, n_toks, md5(tok) AS h FROM tok),
-          bits AS (
-            SELECT doc_id, n_toks, h, i AS bit
-            FROM h CROSS JOIN range(64) r(i)),
-          nib AS (
-            SELECT doc_id, n_toks, bit,
-                   CASE WHEN ascii(substr(h, (bit // 4)::INT + 1, 1)) <= 57
-                        THEN ascii(substr(h, (bit // 4)::INT + 1, 1)) - 48
-                        ELSE ascii(substr(h, (bit // 4)::INT + 1, 1)) - 87
-                   END AS nibble
-            FROM bits),
-          bitset AS (
-            SELECT doc_id, bit,
-                   floor(nibble / 2 ** (3 - bit % 4))::INT % 2 AS bit_set,
-                   n_toks
-            FROM nib),
-          ones AS (
-            SELECT doc_id, bit, SUM(bit_set) AS ones,
-                   max(n_toks) AS n_toks
-            FROM bitset GROUP BY doc_id, bit),
-          fp AS (
-            SELECT doc_id,
-                   string_agg(CASE WHEN ones * 2 > n_toks THEN '1'
-                              ELSE '0' END, '' ORDER BY bit) AS fp_bits
-            FROM ones GROUP BY doc_id)
-          SELECT doc_a, doc_b, hamming FROM (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   len(list_filter(range(1, 65),
-                     i -> substr(a.fp_bits, i, 1) <>
-                          substr(b.fp_bits, i, 1)))::INT AS hamming
-            FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
-          WHERE hamming <= 3""",
-
-    // ground truth is the naive all-pairs definition: the Spark side's
-    // prefix-filtered candidate join must reproduce it exactly
-    "q_dedup_ngram_jaccard" ->
-      s"""WITH staged AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(
-                     generate_series(1, len(string_split_regex(trim(
-                       regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
-                       'g')), '\\s+')) - 2),
-                     i -> array_to_string((string_split_regex(trim(
-                       regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
-                       'g')), '\\s+'))[i:i+2], ' '))) AS grams
-            FROM documents
-            WHERE len(string_split_regex(trim(regexp_replace(lower(text),
-                  '[^a-z0-9\\s]+', ' ', 'g')), '\\s+')) >= 3)
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-                   len(list_distinct(list_concat(a.grams, b.grams))), 6)
-                   AS jaccard
-          FROM staged a JOIN staged b ON a.doc_id < b.doc_id
-          WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
-                  len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5""",
-
-    // Mirrors Dedup.containmentPairs: same distinct-shingle staging as
-    // the jaccard twin, asymmetric |A∩B|/|A| over ORDERED pairs
-    "q_containment_pairs" ->
-      """WITH t AS (
-            SELECT doc_id,
-                   string_split_regex(trim(regexp_replace(lower(text),
-                     '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS tk
-            FROM documents),
-          staged AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(
-                     generate_series(1, len(tk) - 2),
-                     i -> array_to_string(tk[i:i+2], ' '))) AS grams
-            FROM t WHERE len(tk) >= 3)
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-                   len(a.grams), 6) AS containment
-          FROM staged a JOIN staged b ON a.doc_id <> b.doc_id
-          WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
-                  len(a.grams) >= 0.5""",
-
-    // Mirrors Text.tfidfCosinePairs on the 1-in-10 sample: weights
-    // snapped to integer 1e-4 units at the ln boundary, exact HUGEINT
-    // dot/norm sums through the term inverted index, double cosine
-    "q_tfidf_pairs" ->
-      """WITH sub AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
-          toks AS (
-            SELECT doc_id,
-                   unnest(string_split_regex(trim(regexp_replace(
-                     lower(text), '[^a-z0-9\s]+', ' ', 'g')), '\s+'))
-                     AS tok
-            FROM sub),
-          tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
-                 FROM toks GROUP BY 1, 2),
-          df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-          n AS (SELECT count(*)::BIGINT AS n FROM sub),
-          w AS (
-            SELECT doc_id, tok,
-                   CAST(round(tf * ln(n / df::DOUBLE) * 1e4) AS BIGINT)
-                     AS w
-            FROM tf JOIN df USING (tok), n
-            WHERE df <= 1.0 * n),
-          norms AS (SELECT doc_id, sum((w * w)::HUGEINT) AS n2
-                    FROM w GROUP BY 1),
-          dots AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   sum((a.w * b.w)::HUGEINT) AS dot
-            FROM w a JOIN w b USING (tok)
-            WHERE a.doc_id < b.doc_id
-            GROUP BY 1, 2),
-          cos AS (
-            SELECT doc_a, doc_b,
-                   dot::DOUBLE / (sqrt(na.n2::DOUBLE) *
-                     sqrt(nb.n2::DOUBLE)) AS cos
-            FROM dots
-            JOIN norms na ON doc_a = na.doc_id
-            JOIN norms nb ON doc_b = nb.doc_id)
-          SELECT doc_a, doc_b, round(cos, 6) AS cos
-          FROM cos WHERE cos >= 0.7""",
-
-    "q_dedup_simhash_pairs" ->
-      s"""WITH tok AS (
-            SELECT doc_id, len($dTokens) AS n_toks,
-                   unnest($dTokens) AS tok
-            FROM documents),
-          h AS (SELECT doc_id, n_toks, md5(tok) AS h FROM tok),
-          bits AS (
-            SELECT doc_id, n_toks, h, i AS bit
-            FROM h CROSS JOIN range(16) r(i)),
-          nib AS (
-            SELECT doc_id, n_toks, bit,
-                   CASE WHEN ascii(substr(h, (bit // 4)::INT + 1, 1)) <= 57
-                        THEN ascii(substr(h, (bit // 4)::INT + 1, 1)) - 48
-                        ELSE ascii(substr(h, (bit // 4)::INT + 1, 1)) - 87
-                   END AS nibble
-            FROM bits),
-          bitset AS (
-            SELECT doc_id, bit,
-                   floor(nibble / 2 ** (3 - bit % 4))::INT % 2 AS bit_set,
-                   n_toks
-            FROM nib),
-          ones AS (
-            SELECT doc_id, bit, SUM(bit_set) AS ones,
-                   max(n_toks) AS n_toks
-            FROM bitset GROUP BY doc_id, bit),
-          fp AS (
-            SELECT doc_id,
-                   SUM(CASE WHEN ones * 2 > n_toks
-                            THEN (2 ** (15 - bit))::BIGINT ELSE 0
-                       END)::BIGINT AS simhash
-            FROM ones GROUP BY doc_id)
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
-
-    "q_corpus_stats" ->
-      """WITH m AS (
-           SELECT COUNT(*)::BIGINT AS n, SUM(n_chars)::BIGINT AS s,
-                  SUM(n_chars * n_chars)::BIGINT AS sq
-           FROM documents)
-         SELECT n AS n_docs,
-                s / n::DOUBLE AS mean_len,
-                sq / n::DOUBLE - (s / n::DOUBLE) * (s / n::DOUBLE)
-                  AS var_len
-         FROM m""",
-
-    "q_dedup_embedding" -> embeddingPairsSql(4, 6, 0.95),
-
-    "q_embedding_buckets" -> embeddingBucketsSql(4, 6),
-
-    "q_ann_bruteforce" -> annSql("c.vec_id <> q.vec_id", "q.vec_id < 10"),
-
-    // first same-label rank per query, reciprocal in truncating micros
-    "q_mrr" ->
-      """WITH v AS (
-           SELECT vec_id, label,
-                  list_transform(embedding, x -> x::DOUBLE) AS emb
-           FROM embeddings),
-         scored AS (
-           SELECT q.vec_id AS query_id, q.label AS ql,
-                  c.vec_id AS neighbor_id, c.label AS nl,
-                  list_dot_product(q.emb, c.emb) /
-                    (sqrt(list_dot_product(q.emb, q.emb)) *
-                     sqrt(list_dot_product(c.emb, c.emb))) AS cos
-           FROM v q JOIN v c ON c.vec_id <> q.vec_id
-           WHERE q.vec_id < 50),
-         top AS (
-           SELECT query_id, ql, nl,
-                  row_number() OVER (PARTITION BY query_id
-                    ORDER BY cos DESC, neighbor_id ASC) AS rnk
-           FROM scored),
-         per AS (
-           SELECT query_id,
-                  min(CASE WHEN ql = nl THEN rnk END) AS fr
-           FROM top WHERE rnk <= 5 GROUP BY query_id)
-         SELECT query_id,
-                COALESCE(fr, 0)::BIGINT AS first_rel_rnk,
-                COALESCE((1000000 // fr), 0)::BIGINT AS rr_micro
-         FROM per ORDER BY query_id""",
-
-    // same neighbor definition as annSql; literal discount table and
-    // its prefix sums, truncating milli division
-    "q_ndcg" ->
-      """WITH v AS (
-           SELECT vec_id, label,
-                  list_transform(embedding, x -> x::DOUBLE) AS emb
-           FROM embeddings),
-         scored AS (
-           SELECT q.vec_id AS query_id, q.label AS ql,
-                  c.vec_id AS neighbor_id, c.label AS nl,
-                  list_dot_product(q.emb, c.emb) /
-                    (sqrt(list_dot_product(q.emb, q.emb)) *
-                     sqrt(list_dot_product(c.emb, c.emb))) AS cos
-           FROM v q JOIN v c ON c.vec_id <> q.vec_id
-           WHERE q.vec_id < 50),
-         top AS (
-           SELECT query_id, ql, nl,
-                  row_number() OVER (PARTITION BY query_id
-                    ORDER BY cos DESC, neighbor_id ASC) AS rnk
-           FROM scored),
-         w(rnk, w) AS (VALUES (1, 1000000), (2, 630930), (3, 500000),
-                              (4, 430677), (5, 386853)),
-         per AS (
-           SELECT query_id,
-                  sum(CASE WHEN ql = nl THEN w.w ELSE 0 END)::BIGINT
-                    AS dcg_micro,
-                  sum(CASE WHEN ql = nl THEN 1 ELSE 0 END)::BIGINT
-                    AS n_rel
-           FROM top JOIN w USING (rnk)
-           WHERE top.rnk <= 5
-           GROUP BY query_id),
-         fin AS (
-           SELECT query_id, n_rel, dcg_micro,
-                  (CASE n_rel WHEN 1 THEN 1000000 WHEN 2 THEN 1630930
-                        WHEN 3 THEN 2130930 WHEN 4 THEN 2561607
-                        WHEN 5 THEN 2948460 ELSE 0 END)::BIGINT
-                    AS idcg_micro
-           FROM per)
-         SELECT query_id, n_rel, dcg_micro, idcg_micro,
-                CASE WHEN idcg_micro > 0
-                     THEN (dcg_micro * 1000 // idcg_micro)::BIGINT
-                     ELSE 0 END AS ndcg_milli
-         FROM fin ORDER BY query_id""",
-
-    "q_mutual_knn" -> mutualKnnSql,
-
-    "q_knn_graph" -> knnGraphSql,
-
-    "q_semantic_clusters" -> semanticClustersSql,
-
-    "q_margin_mining" -> marginMiningSql,
-
-    // frozen-quantizer streamed assignment ≡ one-shot batch assignment
-    // over corpus ∪ arrivals (centroids from the corpus slice only —
-    // the snapshot the stream restores from)
-    "q_stream_ann_assign" ->
-      """WITH v AS (
-           SELECT vec_id, label,
-                  list_transform(embedding, x -> x::DOUBLE) AS emb
-           FROM embeddings),
-         corp AS (SELECT * FROM v WHERE vec_id % 9 <> 0),
-         cent AS (
-           SELECT label AS cell, list(s ORDER BY j) AS c FROM (
-             SELECT label, j, sum(emb[j]) / count(*) AS s
-             FROM corp, range(1, 65) t(j) GROUP BY label, j)
-           GROUP BY label),
-         arr AS (SELECT vec_id + 200000 AS vec_id, emb
-                 FROM v WHERE vec_id % 9 = 0),
-         asg AS (
-           SELECT vec_id, cell FROM (
-             SELECT a.vec_id, cent.cell,
-                    row_number() OVER (PARTITION BY a.vec_id
-                      ORDER BY -2 * list_dot_product(a.emb,
-                          (cent.c::FLOAT[])::DOUBLE[])
-                        + list_dot_product(
-                            (cent.c::FLOAT[])::DOUBLE[],
-                            (cent.c::FLOAT[])::DOUBLE[]),
-                        cent.cell) AS pr
-             FROM arr a CROSS JOIN cent)
-           WHERE pr = 1)
-         SELECT vec_id, cell FROM (
-           SELECT vec_id, label AS cell FROM corp
-           UNION ALL SELECT vec_id, cell FROM asg)
-         ORDER BY vec_id""",
-
-    // per-cell population + mean squared distance to the float-rounded
-    // stored centroid (the engine's exact precision path)
-    "q_ann_index_health" ->
-      """WITH v AS (
-           SELECT vec_id, label,
-                  list_transform(embedding, x -> x::DOUBLE) AS emb
-           FROM embeddings),
-         cent AS (
-           SELECT label AS cell, list(s ORDER BY j) AS c FROM (
-             SELECT label, j, sum(emb[j]) / count(*) AS s
-             FROM v, range(1, 65) t(j) GROUP BY label, j)
-           GROUP BY label),
-         d AS (
-           SELECT x.label AS cell,
-                  list_dot_product(x.emb, x.emb)
-                    - 2 * list_dot_product(x.emb,
-                        (cent.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((cent.c::FLOAT[])::DOUBLE[],
-                        (cent.c::FLOAT[])::DOUBLE[]) AS d2
-           FROM v x JOIN cent ON cent.cell = x.label)
-         SELECT cell, count(*)::BIGINT AS n_vecs,
-                round(avg(d2), 6) AS mean_d2
-         FROM d GROUP BY cell ORDER BY cell""",
-
-    // merged assignment view: stored cells pass through, arrivals get
-    // the argmin over centroids derived from the stored assignment
-    // (float-rounded, the rankedProbes precision path), lower cell on
-    // ties
-    "q_ann_delta_assign" ->
-      """WITH v AS (
-           SELECT vec_id, label,
-                  list_transform(embedding, x -> x::DOUBLE) AS emb
-           FROM embeddings),
-         cent AS (
-           SELECT label AS cell, list(s ORDER BY j) AS c FROM (
-             SELECT label, j, sum(emb[j]) / count(*) AS s
-             FROM v, range(1, 65) t(j) GROUP BY label, j)
-           GROUP BY label),
-         arr AS (SELECT vec_id + 100000 AS vec_id, emb
-                 FROM v WHERE vec_id % 7 = 0),
-         asg AS (
-           SELECT vec_id, cell FROM (
-             SELECT a.vec_id, cent.cell,
-                    row_number() OVER (PARTITION BY a.vec_id
-                      ORDER BY -2 * list_dot_product(a.emb,
-                          (cent.c::FLOAT[])::DOUBLE[])
-                        + list_dot_product(
-                            (cent.c::FLOAT[])::DOUBLE[],
-                            (cent.c::FLOAT[])::DOUBLE[]),
-                        cent.cell) AS pr
-             FROM arr a CROSS JOIN cent)
-           WHERE pr = 1)
-         SELECT vec_id, cell FROM (
-           SELECT vec_id, label AS cell FROM v
-           UNION ALL SELECT vec_id, cell FROM asg)
-         ORDER BY vec_id""",
-
-    // rebuild-and-swap mirror: one Lloyd update from the label
-    // assignment (centroids = per-cell means), then EVERY vector
-    // re-assigned by the float-rounded argmin (lower cell on ties) —
-    // the from-scratch recomputation of what the swapped store holds
-    "q_ann_rebuild" ->
-      """WITH v AS (
-           SELECT vec_id, label,
-                  list_transform(embedding, x -> x::DOUBLE) AS emb
-           FROM embeddings),
-         cent AS (
-           SELECT label AS cell, list(s ORDER BY j) AS c FROM (
-             SELECT label, j, sum(emb[j]) / count(*) AS s
-             FROM v, range(1, 65) t(j) GROUP BY label, j)
-           GROUP BY label),
-         asg AS (
-           SELECT vec_id, cell FROM (
-             SELECT a.vec_id, cent.cell,
-                    row_number() OVER (PARTITION BY a.vec_id
-                      ORDER BY -2 * list_dot_product(a.emb,
-                          (cent.c::FLOAT[])::DOUBLE[])
-                        + list_dot_product(
-                            (cent.c::FLOAT[])::DOUBLE[],
-                            (cent.c::FLOAT[])::DOUBLE[]),
-                        cent.cell) AS pr
-             FROM v a CROSS JOIN cent)
-           WHERE pr = 1)
-         SELECT v.vec_id, v.label AS cell_before,
-                asg.cell AS cell_after,
-                CASE WHEN v.label <> asg.cell THEN 1 ELSE 0 END AS moved
-         FROM v JOIN asg USING (vec_id)
-         ORDER BY vec_id""",
-
-    // raw dot-product ranking; DOUBLE[] casts for the same reason as
-    // annSql (FLOAT accumulation flips near-ties)
-    "q_ann_mips" ->
-      """WITH v AS (
-           SELECT vec_id,
-                  list_transform(embedding, x -> x::DOUBLE) AS emb
-           FROM embeddings),
-         scored AS (
-           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                  list_dot_product(q.emb, c.emb) AS ip
-           FROM v q JOIN v c ON c.vec_id <> q.vec_id
-           WHERE q.vec_id < 10)
-         SELECT query_id, neighbor_id, rnk, round(ip, 6) AS ip
-         FROM (SELECT query_id, neighbor_id, ip,
-                      row_number() OVER (PARTITION BY query_id
-                        ORDER BY ip DESC, neighbor_id ASC) AS rnk
-               FROM scored)
-         WHERE rnk <= 5""",
-
-    "q_ann_ivf" ->
-      annSql("c.vec_id <> q.vec_id AND c.label = q.label", "q.vec_id < 20"),
-
-    // probeFrontier mirror: centroids/probe ranks as in the engine
-    // (float-rounded, double-accumulated), every budget admits pr <=
-    // n_probe from ONE scored set, truth = exact brute-force top-5
-    "q_ann_probe_frontier" ->
-      """WITH v AS (
-           SELECT vec_id, label,
-                  list_transform(embedding, x -> x::DOUBLE) AS emb
-           FROM embeddings),
-         cent AS (
-           SELECT label AS cell, list(s ORDER BY j) AS c FROM (
-             SELECT label, j, sum(emb[j]) / count(*) AS s
-             FROM v, range(1, 65) t(j) GROUP BY label, j)
-           GROUP BY label),
-         pr AS (
-           SELECT query_id, q_emb, cell, pr FROM (
-             SELECT q.vec_id AS query_id, q.emb AS q_emb, cent.cell,
-                    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                      -2 * list_dot_product(q.emb,
-                             (cent.c::FLOAT[])::DOUBLE[])
-                        + list_dot_product(
-                            (cent.c::FLOAT[])::DOUBLE[],
-                            (cent.c::FLOAT[])::DOUBLE[]),
-                      cent.cell) AS pr
-             FROM v q CROSS JOIN cent
-             WHERE q.vec_id < 10)
-           WHERE pr <= 8),
-         b AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
-         sc AS (
-           SELECT b.n_probe, p.query_id, c.vec_id AS neighbor_id,
-                  list_dot_product(p.q_emb, c.emb) /
-                    (sqrt(list_dot_product(p.q_emb, p.q_emb)) *
-                     sqrt(list_dot_product(c.emb, c.emb))) AS cos
-           FROM pr p
-           JOIN v c ON c.label = p.cell AND c.vec_id <> p.query_id
-           JOIN b ON p.pr <= b.n_probe),
-         ap AS (
-           SELECT n_probe, query_id, neighbor_id FROM (
-             SELECT n_probe, query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY n_probe, query_id
-                      ORDER BY cos DESC, neighbor_id ASC) AS rnk
-             FROM sc)
-           WHERE rnk <= 5),
-         cand AS (SELECT n_probe, count(*) AS cs FROM sc GROUP BY 1),
-         ex AS (
-           SELECT query_id, neighbor_id FROM (
-             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                    row_number() OVER (PARTITION BY q.vec_id
-                      ORDER BY list_dot_product(q.emb, c.emb) /
-                        (sqrt(list_dot_product(q.emb, q.emb)) *
-                         sqrt(list_dot_product(c.emb, c.emb))) DESC,
-                        c.vec_id ASC) AS rnk
-             FROM v q JOIN v c ON c.vec_id <> q.vec_id
-             WHERE q.vec_id < 10)
-           WHERE rnk <= 5),
-         exa AS (SELECT count(DISTINCT query_id) AS n_queries,
-                        count(*) AS n_exact FROM ex),
-         hits AS (SELECT n_probe, count(*) AS n_hit
-                  FROM ap JOIN ex USING (query_id, neighbor_id)
-                  GROUP BY 1)
-         SELECT cand.n_probe::BIGINT AS n_probe,
-                exa.n_queries::BIGINT AS n_queries,
-                exa.n_exact::BIGINT AS n_exact,
-                COALESCE(hits.n_hit, 0)::BIGINT AS n_hit,
-                CAST(COALESCE(hits.n_hit, 0) * 1000000 // exa.n_exact
-                  AS BIGINT) AS recall_micro,
-                cand.cs::BIGINT AS candidates_scanned
-         FROM cand LEFT JOIN hits USING (n_probe) CROSS JOIN exa
-         ORDER BY n_probe""",
-
-    // prefixDimRecall mirror: per-dim cosine over list_slice prefixes
-    // of the SAME double-cast vectors, truth = exact full-dim top-5
-    "q_ann_matryoshka" ->
-      """WITH v AS (
-           SELECT vec_id,
-                  list_transform(embedding, x -> x::DOUBLE) AS e
-           FROM embeddings),
-         dims(dim) AS (VALUES (8), (16), (32), (64)),
-         scored AS (
-           SELECT d.dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                  list_dot_product(list_slice(q.e, 1, d.dim),
-                                   list_slice(c.e, 1, d.dim)) /
-                    NULLIF(
-                      sqrt(list_dot_product(list_slice(q.e, 1, d.dim),
-                                            list_slice(q.e, 1, d.dim))) *
-                      sqrt(list_dot_product(list_slice(c.e, 1, d.dim),
-                                            list_slice(c.e, 1, d.dim))),
-                      0) AS cos
-           FROM v q JOIN v c ON c.vec_id <> q.vec_id
-           CROSS JOIN dims d
-           WHERE q.vec_id < 10),
-         ap AS (
-           SELECT dim, query_id, neighbor_id FROM (
-             SELECT dim, query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY dim, query_id
-                      ORDER BY cos DESC, neighbor_id ASC) AS rnk
-             FROM scored WHERE cos IS NOT NULL)
-           WHERE rnk <= 5),
-         ex AS (
-           SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY cos DESC, neighbor_id ASC) AS rnk
-             FROM (SELECT q.vec_id AS query_id,
-                          c.vec_id AS neighbor_id,
-                          list_dot_product(q.e, c.e) /
-                            NULLIF(sqrt(list_dot_product(q.e, q.e)) *
-                                   sqrt(list_dot_product(c.e, c.e)), 0)
-                            AS cos
-                   FROM v q JOIN v c ON c.vec_id <> q.vec_id
-                   WHERE q.vec_id < 10)
-             WHERE cos IS NOT NULL)
-           WHERE rnk <= 5),
-         exa AS (SELECT count(DISTINCT query_id) AS n_queries,
-                        count(*) AS n_exact FROM ex),
-         hits AS (SELECT dim, count(*) AS n_hit
-                  FROM ap JOIN ex USING (query_id, neighbor_id)
-                  GROUP BY 1)
-         SELECT dims.dim, exa.n_queries::BIGINT AS n_queries,
-                exa.n_exact::BIGINT AS n_exact,
-                COALESCE(hits.n_hit, 0)::BIGINT AS n_hit,
-                CAST(COALESCE(hits.n_hit, 0) * 1000000 // exa.n_exact
-                  AS BIGINT) AS recall_micro
-         FROM dims LEFT JOIN hits USING (dim) CROSS JOIN exa
-         ORDER BY dim""",
-
-    "q_ann_filtered" ->
-      annSql("c.vec_id <> q.vec_id AND c.label = 2", "q.vec_id < 10"),
-
-    // the widened-probe pipeline at the broad filter (sel 0.5 →
-    // nprobe 2); n_probe recomputed in-SQL from the same counts
-    "q_ann_filtered_probe" ->
-      ("WITH " + filteredProbeCtes("b", "c.label >= 5") +
-        """ SELECT query_id, neighbor_id, rnk, cos,
-                  (SELECT nprobe FROM npb) AS n_probe
-           FROM apb ORDER BY query_id, rnk"""),
-
-    // recall vs the exact filtered brute force at both selectivities;
-    // integer-micro recall, nothing float-summed
-    "q_ann_filtered_recall" ->
-      ("WITH " + filteredProbeCtes("n", "c.label = 2") + ", " +
-        filteredProbeCtes("b", "c.label >= 5") +
-        """ SELECT * FROM (
-             SELECT 'narrow' AS sel_tag, n_probe, n_queries, n_exact,
-                    n_hit,
-                    CAST(n_hit * 1000000 // n_exact AS BIGINT)
-                      AS recall_micro
-             FROM repn
-             UNION ALL
-             SELECT 'broad', n_probe, n_queries, n_exact, n_hit,
-                    CAST(n_hit * 1000000 // n_exact AS BIGINT)
-             FROM repb)
-           ORDER BY sel_tag"""),
-
-    // q_ann_kmeans's unrolled-Lloyd CTE chain, then the q_semdedup
-    // suffix on the LEARNED cells instead of the stored label
-    "q_semdedup_kmeans" ->
-      """WITH v0 AS (SELECT vec_id, embedding AS e FROM embeddings),
-         c0 AS (
-           SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell,
-                  e::DOUBLE[] AS c
-           FROM v0 ORDER BY vec_id LIMIT 4),
-         d1 AS (
-           SELECT v0.vec_id, c0.cell,
-                  -2 * list_dot_product(v0.e::DOUBLE[],
-                         (c0.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((c0.c::FLOAT[])::DOUBLE[],
-                        (c0.c::FLOAT[])::DOUBLE[]) AS d
-           FROM v0 CROSS JOIN c0),
-         a1 AS (
-           SELECT vec_id, cell FROM (
-             SELECT vec_id, cell,
-                    row_number() OVER (PARTITION BY vec_id
-                                       ORDER BY d, cell) AS rn
-             FROM d1) WHERE rn = 1),
-         m1 AS (
-           SELECT cell, list(s ORDER BY j) AS c FROM (
-             SELECT a1.cell, j, sum(v0.e[j]::DOUBLE) / count(*) AS s
-             FROM v0 JOIN a1 USING (vec_id), range(1, 65) t(j)
-             GROUP BY a1.cell, j)
-           GROUP BY cell),
-         d2 AS (
-           SELECT v0.vec_id, m1.cell,
-                  -2 * list_dot_product(v0.e::DOUBLE[],
-                         (m1.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((m1.c::FLOAT[])::DOUBLE[],
-                        (m1.c::FLOAT[])::DOUBLE[]) AS d
-           FROM v0 CROSS JOIN m1),
-         a2 AS (
-           SELECT vec_id, cell FROM (
-             SELECT vec_id, cell,
-                    row_number() OVER (PARTITION BY vec_id
-                                       ORDER BY d, cell) AS rn
-             FROM d2) WHERE rn = 1),
-         v AS (
-           SELECT a2.vec_id, a2.cell,
-                  list_transform(v0.e, x -> x::DOUBLE) AS emb
-           FROM a2 JOIN v0 USING (vec_id)),
-         p AS (
-           SELECT b.vec_id AS ib
-           FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
-           WHERE list_dot_product(a.emb, b.emb) /
-                   (sqrt(list_dot_product(a.emb, a.emb)) *
-                    sqrt(list_dot_product(b.emb, b.emb))) >= 0.4)
-         SELECT vec_id, cell FROM v
-         WHERE vec_id NOT IN (SELECT ib FROM p)""",
-
-    // Two unrolled Lloyd iterations; mirrors Similarity.kmeansCells
-    // (k=4, iters=2): init = 4 lowest-id vectors, argmin of
-    // -2<x,c>+<c,c> with ties to the lower cell, elementwise-mean update.
-    "q_ann_kmeans" ->
-      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-         c0 AS (
-           SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell,
-                  e::DOUBLE[] AS c
-           FROM v ORDER BY vec_id LIMIT 4),
-         d1 AS (
-           SELECT v.vec_id, c0.cell,
-                  -- float-rounded centroid, DOUBLE[] accumulation: FLOAT[]
-                  -- inputs make list_dot_product sum in float, whose
-                  -- ~1e-5 error flips near-tie argmins vs Spark's double
-                  -2 * list_dot_product(v.e::DOUBLE[],
-                         (c0.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((c0.c::FLOAT[])::DOUBLE[],
-                        (c0.c::FLOAT[])::DOUBLE[]) AS d
-           FROM v CROSS JOIN c0),
-         a1 AS (
-           SELECT vec_id, cell FROM (
-             SELECT vec_id, cell,
-                    row_number() OVER (PARTITION BY vec_id
-                                       ORDER BY d, cell) AS rn
-             FROM d1) WHERE rn = 1),
-         m1 AS (
-           SELECT cell, list(s ORDER BY j) AS c FROM (
-             SELECT a1.cell, j, sum(v.e[j]::DOUBLE) / count(*) AS s
-             FROM v JOIN a1 USING (vec_id), range(1, 65) t(j)
-             GROUP BY a1.cell, j)
-           GROUP BY cell),
-         d2 AS (
-           SELECT v.vec_id, m1.cell,
-                  -2 * list_dot_product(v.e::DOUBLE[],
-                         (m1.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((m1.c::FLOAT[])::DOUBLE[],
-                        (m1.c::FLOAT[])::DOUBLE[]) AS d
-           FROM v CROSS JOIN m1),
-         a2 AS (
-           SELECT vec_id, cell FROM (
-             SELECT vec_id, cell,
-                    row_number() OVER (PARTITION BY vec_id
-                                       ORDER BY d, cell) AS rn
-             FROM d2) WHERE rn = 1)
-         SELECT vec_id, cell FROM a2""",
-
-    // Mirrors LabelEval.nearestCentroidClassify: per-label mean through
-    // an exact DECIMAL(28,12) sum (bit-stable across engines), then
-    // argmin of -2<x,c>+<c,c> with distance ties toward the lower label.
-    // Centroids round through FLOAT (the kmeans convention) and both dot
-    // operands are DOUBLE[] per the list_dot_product accumulation rule.
-    "q_label_centroid_classify" ->
-      """WITH v AS (SELECT vec_id, label,
-                           list_transform(embedding, x -> x::DOUBLE) AS e
-                    FROM embeddings),
-         c AS (
-           SELECT label AS cand, list(mu ORDER BY j) AS c FROM (
-             SELECT label, t.j AS j,
-                    sum(CAST(e[t.j + 1] AS DECIMAL(28,12)))::DOUBLE
-                      / count(*) AS mu
-             FROM v, range(0, 64) t(j)
-             GROUP BY label, t.j)
-           GROUP BY label),
-         d AS (
-           SELECT v.vec_id, v.label, c.cand,
-                  -2 * list_dot_product(v.e, (c.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((c.c::FLOAT[])::DOUBLE[],
-                        (c.c::FLOAT[])::DOUBLE[]) AS d
-           FROM v CROSS JOIN c)
-         SELECT vec_id, label, cand AS pred,
-                (label = cand)::INT AS correct
-         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                            ORDER BY d, cand) AS rn
-               FROM d)
-         WHERE rn = 1""",
-
-    // Mirrors LabelEval.negativePairs: rank = dense row_number over
-    // vec_id, draw rank = first-8-hex md5(anchor_j) mod N, self and
-    // same-label draws dropped.
-    "q_negative_pairs" ->
-      """WITH r AS (SELECT vec_id AS nid, label AS nlabel,
-                           row_number() OVER (ORDER BY vec_id) - 1
-                             AS rank
-                    FROM embeddings),
-         n AS (SELECT count(*) AS n FROM embeddings),
-         d AS (SELECT e.vec_id AS anchor, e.label AS alabel, j.j AS j,
-                      ('0x' || substr(md5(e.vec_id::VARCHAR || '_' ||
-                        j.j::VARCHAR), 1, 8))::BIGINT % n.n AS rank
-               FROM embeddings e CROSS JOIN range(0, 4) j(j)
-               CROSS JOIN n)
-         SELECT d.anchor, d.j, r.nid AS negative
-         FROM d JOIN r USING (rank)
-         WHERE r.nid <> d.anchor AND r.nlabel <> d.alabel""",
-
-    // q_label_centroid_classify's argmin chain, grouped to the
-    // |labels|² confusion counts
-    "q_confusion_matrix" ->
-      """WITH v AS (SELECT vec_id, label,
-                           list_transform(embedding, x -> x::DOUBLE) AS e
-                    FROM embeddings),
-         c AS (
-           SELECT label AS cand, list(mu ORDER BY j) AS c FROM (
-             SELECT label, t.j AS j,
-                    sum(CAST(e[t.j + 1] AS DECIMAL(28,12)))::DOUBLE
-                      / count(*) AS mu
-             FROM v, range(0, 64) t(j)
-             GROUP BY label, t.j)
-           GROUP BY label),
-         d AS (
-           SELECT v.vec_id, v.label, c.cand,
-                  -2 * list_dot_product(v.e, (c.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((c.c::FLOAT[])::DOUBLE[],
-                        (c.c::FLOAT[])::DOUBLE[]) AS d
-           FROM v CROSS JOIN c),
-         p AS (
-           SELECT vec_id, label, cand AS pred
-           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                              ORDER BY d, cand) AS rn
-                 FROM d)
-           WHERE rn = 1)
-         SELECT label, pred, count(*)::BIGINT AS n
-         FROM p GROUP BY label, pred""",
-
-    // same classifier CTEs as q_confusion_matrix, then the kappa
-    // arithmetic on the bounded confusion matrix
-    "q_cohens_kappa" ->
-      """WITH v AS (SELECT vec_id, label,
-                           list_transform(embedding, x -> x::DOUBLE) AS e
-                    FROM embeddings),
-         c AS (
-           SELECT label AS cand, list(mu ORDER BY j) AS c FROM (
-             SELECT label, t.j AS j,
-                    sum(CAST(e[t.j + 1] AS DECIMAL(28,12)))::DOUBLE
-                      / count(*) AS mu
-             FROM v, range(0, 64) t(j)
-             GROUP BY label, t.j)
-           GROUP BY label),
-         d AS (
-           SELECT v.vec_id, v.label, c.cand,
-                  -2 * list_dot_product(v.e, (c.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((c.c::FLOAT[])::DOUBLE[],
-                        (c.c::FLOAT[])::DOUBLE[]) AS d
-           FROM v CROSS JOIN c),
-         p AS (
-           SELECT vec_id, label, cand AS pred
-           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                              ORDER BY d, cand) AS rn
-                 FROM d)
-           WHERE rn = 1),
-         m AS (SELECT label, pred, count(*)::BIGINT AS n
-               FROM p GROUP BY label, pred),
-         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
-                        CAST(SUM(CASE WHEN label = pred THEN n
-                                      ELSE 0 END) AS BIGINT) AS agree
-                 FROM m),
-         rw AS (SELECT label, SUM(n) AS rn FROM m GROUP BY label),
-         cl AS (SELECT pred, SUM(n) AS cn FROM m GROUP BY pred),
-         x AS (SELECT CAST(SUM(rn * cn) AS BIGINT) AS crs
-               FROM rw JOIN cl ON rw.label = cl.pred)
-         SELECT round(agree::DOUBLE / nn, 6) AS po,
-                round(crs::DOUBLE / (nn * nn), 6) AS pe,
-                round((agree::DOUBLE / nn - crs::DOUBLE / (nn * nn)) /
-                  nullif(1.0 - crs::DOUBLE / (nn * nn), 0.0), 6)
-                  AS kappa
-         FROM tot, x""",
-
-    // Mirrors LabelEval.labelOutliers: euclidean distance to the OWN
-    // label's float-rounded centroid, z-scored against the label's
-    // population stats (exact decimal moment sums); sd = 0 → z = 0.
-    "q_label_outliers" ->
-      """WITH v AS (SELECT vec_id, label,
-                           list_transform(embedding, x -> x::DOUBLE) AS e
-                    FROM embeddings),
-         c AS (
-           SELECT label, list(mu ORDER BY j) AS c FROM (
-             SELECT label, t.j AS j,
-                    sum(CAST(e[t.j + 1] AS DECIMAL(28,12)))::DOUBLE
-                      / count(*) AS mu
-             FROM v, range(0, 64) t(j)
-             GROUP BY label, t.j)
-           GROUP BY label),
-         sc AS (
-           SELECT v.vec_id, v.label,
-                  sqrt(greatest(
-                    list_dot_product(v.e, v.e)
-                      - list_dot_product(v.e, (c.c::FLOAT[])::DOUBLE[]) * 2
-                      + list_dot_product((c.c::FLOAT[])::DOUBLE[],
-                          (c.c::FLOAT[])::DOUBLE[]),
-                    0)) AS dist
-           FROM v JOIN c USING (label)),
-         st AS (
-           SELECT label,
-                  sum(CAST(dist AS DECIMAL(28,12)))::DOUBLE / count(*)
-                    AS mu,
-                  sqrt(greatest(
-                    sum(CAST(dist * dist AS DECIMAL(28,12)))::DOUBLE
-                        / count(*)
-                      - (sum(CAST(dist AS DECIMAL(28,12)))::DOUBLE
-                          / count(*))
-                        * (sum(CAST(dist AS DECIMAL(28,12)))::DOUBLE
-                            / count(*)),
-                    0)) AS sd
-           FROM sc GROUP BY label)
-         SELECT sc.vec_id, sc.label, round(sc.dist, 6) AS dist,
-                round(CASE WHEN st.sd > 0
-                           THEN (sc.dist - st.mu) / st.sd
-                           ELSE 0.0 END, 4) AS z
-         FROM sc JOIN st USING (label)""",
-
-    // Mirrors LabelEval.knnClassify + classReport: leave-one-out kNN
-    // (k=5, cosine over DOUBLE[]), neighbor ties by similarity desc then
-    // id asc, vote ties by count desc then label asc, reduced to the
-    // per-class accuracy report.
-    "q_knn_classify" ->
-      """WITH v AS (SELECT vec_id, label,
-                           list_transform(embedding, x -> x::DOUBLE) AS e
-                    FROM embeddings),
-         p AS (
-           SELECT a.vec_id AS qid, a.label AS qlabel,
-                  b.vec_id AS nid, b.label AS nlabel,
-                  list_dot_product(a.e, b.e) /
-                    (sqrt(list_dot_product(a.e, a.e)) *
-                     sqrt(list_dot_product(b.e, b.e))) AS cos
-           FROM v a JOIN v b ON a.vec_id <> b.vec_id
-           WHERE list_dot_product(a.e, a.e) > 0
-             AND list_dot_product(b.e, b.e) > 0),
-         t AS (
-           SELECT qid, qlabel, nlabel FROM (
-             SELECT *, row_number() OVER (PARTITION BY qid
-                                          ORDER BY cos DESC, nid) AS rn
-             FROM p)
-           WHERE rn <= 5),
-         votes AS (
-           SELECT qid, qlabel, nlabel, count(*) AS votes
-           FROM t GROUP BY 1, 2, 3),
-         pred AS (
-           SELECT qid, qlabel, nlabel AS pred FROM (
-             SELECT *, row_number() OVER (PARTITION BY qid
-                                          ORDER BY votes DESC, nlabel)
-                         AS rn
-             FROM votes)
-           WHERE rn = 1)
-         SELECT qlabel AS label, count(*)::BIGINT AS n,
-                sum((qlabel = pred)::INT)::BIGINT AS n_correct,
-                round(sum((qlabel = pred)::INT)::DOUBLE / count(*), 6)
-                  AS acc
-         FROM pred GROUP BY qlabel""",
-
-    // q_ann_kmeans's unrolled-Lloyd chain, finished with the
-    // LabelEval.clusterPurity suffix: per-cell size, majority label
-    // (ties toward the lower label), majority count.
-    "q_cluster_purity" ->
-      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-         c0 AS (
-           SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell,
-                  e::DOUBLE[] AS c
-           FROM v ORDER BY vec_id LIMIT 4),
-         d1 AS (
-           SELECT v.vec_id, c0.cell,
-                  -2 * list_dot_product(v.e::DOUBLE[],
-                         (c0.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((c0.c::FLOAT[])::DOUBLE[],
-                        (c0.c::FLOAT[])::DOUBLE[]) AS d
-           FROM v CROSS JOIN c0),
-         a1 AS (
-           SELECT vec_id, cell FROM (
-             SELECT vec_id, cell,
-                    row_number() OVER (PARTITION BY vec_id
-                                       ORDER BY d, cell) AS rn
-             FROM d1) WHERE rn = 1),
-         m1 AS (
-           SELECT cell, list(s ORDER BY j) AS c FROM (
-             SELECT a1.cell, j, sum(v.e[j]::DOUBLE) / count(*) AS s
-             FROM v JOIN a1 USING (vec_id), range(1, 65) t(j)
-             GROUP BY a1.cell, j)
-           GROUP BY cell),
-         d2 AS (
-           SELECT v.vec_id, m1.cell,
-                  -2 * list_dot_product(v.e::DOUBLE[],
-                         (m1.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((m1.c::FLOAT[])::DOUBLE[],
-                        (m1.c::FLOAT[])::DOUBLE[]) AS d
-           FROM v CROSS JOIN m1),
-         a2 AS (
-           SELECT vec_id, cell FROM (
-             SELECT vec_id, cell,
-                    row_number() OVER (PARTITION BY vec_id
-                                       ORDER BY d, cell) AS rn
-             FROM d2) WHERE rn = 1),
-         g AS (
-           SELECT a2.cell, emb.label, count(*) AS cnt
-           FROM a2 JOIN embeddings emb USING (vec_id)
-           GROUP BY 1, 2),
-         m AS (
-           SELECT cell, label AS majority_label, cnt AS n_majority FROM (
-             SELECT *, row_number() OVER (PARTITION BY cell
-                                          ORDER BY cnt DESC, label) AS rn
-             FROM g)
-           WHERE rn = 1)
-         SELECT s.cell, s.n, m.majority_label, m.n_majority
-         FROM (SELECT cell, sum(cnt)::BIGINT AS n FROM g GROUP BY cell) s
-         JOIN m USING (cell)""",
-
-    // shared structure with q_ann_pq: per-subspace Lloyd (init = 8
-    // lowest-id vectors' subvectors, one update round), float-rounded
-    // centroids, DOUBLE[] dot accumulation (FLOAT[] inputs make DuckDB
-    // sum in float and flip near-tie argmins vs Spark's double math)
-    "q_pq_codes" ->
-      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-         sv AS (
-           SELECT vec_id, j::INT AS sub,
-                  (e[(j*16+1):(j*16+16)])::DOUBLE[] AS sv
-           FROM v, range(0, 4) t(j)),
-         ids AS (
-           SELECT vec_id,
-                  (row_number() OVER (ORDER BY vec_id) - 1)::INT AS code
-           FROM v ORDER BY vec_id LIMIT 8),
-         c0 AS (
-           SELECT sv.sub, ids.code, sv.sv AS c
-           FROM sv JOIN ids USING (vec_id)),
-         d1 AS (
-           SELECT sv.vec_id, sv.sub, c0.code,
-                  -2 * list_dot_product(sv.sv, (c0.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((c0.c::FLOAT[])::DOUBLE[],
-                        (c0.c::FLOAT[])::DOUBLE[]) AS d
-           FROM sv JOIN c0 ON sv.sub = c0.sub),
-         a1 AS (
-           SELECT vec_id, sub, code FROM (
-             SELECT vec_id, sub, code,
-                    row_number() OVER (PARTITION BY vec_id, sub
-                                       ORDER BY d, code) AS rn
-             FROM d1) WHERE rn = 1),
-         m1 AS (
-           SELECT sub, code, list(s ORDER BY j) AS c FROM (
-             SELECT a1.sub, a1.code, j, sum(sv.sv[j]) / count(*) AS s
-             FROM sv JOIN a1 ON sv.vec_id = a1.vec_id
-                            AND sv.sub = a1.sub,
-                  range(1, 17) t(j)
-             GROUP BY a1.sub, a1.code, j)
-           GROUP BY sub, code),
-         d2 AS (
-           SELECT sv.vec_id, sv.sub, m1.code,
-                  -2 * list_dot_product(sv.sv, (m1.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((m1.c::FLOAT[])::DOUBLE[],
-                        (m1.c::FLOAT[])::DOUBLE[]) AS d
-           FROM sv JOIN m1 ON sv.sub = m1.sub),
-         a2 AS (
-           SELECT vec_id, sub, code FROM (
-             SELECT vec_id, sub, code,
-                    row_number() OVER (PARTITION BY vec_id, sub
-                                       ORDER BY d, code) AS rn
-             FROM d2) WHERE rn = 1)
-         SELECT vec_id, sub, code FROM a2""",
-
-    // q_ann_pq's CTE chain with one change: the final ADC join also
-    // requires the neighbor's cell (label) to equal the query's cell
-    "q_ann_ivfpq" ->
-      """WITH v AS (SELECT vec_id, label AS cell, embedding AS e
-                    FROM embeddings),
-         sv AS (
-           SELECT vec_id, j::INT AS sub,
-                  (e[(j*16+1):(j*16+16)])::DOUBLE[] AS sv
-           FROM v, range(0, 4) t(j)),
-         ids AS (
-           SELECT vec_id,
-                  (row_number() OVER (ORDER BY vec_id) - 1)::INT AS code
-           FROM v ORDER BY vec_id LIMIT 8),
-         c0 AS (
-           SELECT sv.sub, ids.code, sv.sv AS c
-           FROM sv JOIN ids USING (vec_id)),
-         d1 AS (
-           SELECT sv.vec_id, sv.sub, c0.code,
-                  -2 * list_dot_product(sv.sv, (c0.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((c0.c::FLOAT[])::DOUBLE[],
-                        (c0.c::FLOAT[])::DOUBLE[]) AS d
-           FROM sv JOIN c0 ON sv.sub = c0.sub),
-         a1 AS (
-           SELECT vec_id, sub, code FROM (
-             SELECT vec_id, sub, code,
-                    row_number() OVER (PARTITION BY vec_id, sub
-                                       ORDER BY d, code) AS rn
-             FROM d1) WHERE rn = 1),
-         m1 AS (
-           SELECT sub, code, list(s ORDER BY j) AS c FROM (
-             SELECT a1.sub, a1.code, j, sum(sv.sv[j]) / count(*) AS s
-             FROM sv JOIN a1 ON sv.vec_id = a1.vec_id
-                            AND sv.sub = a1.sub,
-                  range(1, 17) t(j)
-             GROUP BY a1.sub, a1.code, j)
-           GROUP BY sub, code),
-         d2 AS (
-           SELECT sv.vec_id, sv.sub, m1.code,
-                  -2 * list_dot_product(sv.sv, (m1.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((m1.c::FLOAT[])::DOUBLE[],
-                        (m1.c::FLOAT[])::DOUBLE[]) AS d
-           FROM sv JOIN m1 ON sv.sub = m1.sub),
-         a2 AS (
-           SELECT vec_id, sub, code FROM (
-             SELECT vec_id, sub, code,
-                    row_number() OVER (PARTITION BY vec_id, sub
-                                       ORDER BY d, code) AS rn
-             FROM d2) WHERE rn = 1),
-         q AS (SELECT vec_id AS query_id, cell, e AS qe FROM v
-               WHERE vec_id < 10),
-         lut AS (
-           SELECT q.query_id, q.cell, m1.sub, m1.code,
-                  round(list_dot_product(
-                    (q.qe[(m1.sub*16+1):(m1.sub*16+16)])::DOUBLE[],
-                    (m1.c::FLOAT[])::DOUBLE[]) * 1e6)::BIGINT
-                    AS pdot_micro,
-                  round(list_dot_product((m1.c::FLOAT[])::DOUBLE[],
-                    (m1.c::FLOAT[])::DOUBLE[]) * 1e6)::BIGINT
-                    AS pn2_micro
-           FROM q CROSS JOIN m1),
-         qn AS (
-           SELECT query_id,
-                  sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
-                    AS qnorm
-           FROM q),
-         scored AS (
-           SELECT l.query_id, a2.vec_id AS neighbor_id,
-                  sum(l.pdot_micro) AS adot, sum(l.pn2_micro) AS an2
-           FROM a2
-           JOIN v vc ON a2.vec_id = vc.vec_id
-           JOIN lut l ON a2.sub = l.sub AND a2.code = l.code
-                     AND vc.cell = l.cell
-           GROUP BY 1, 2),
-         ranked AS (
-           SELECT query_id, neighbor_id,
-                  (adot/1e6) / (qnorm * sqrt(an2/1e6)) AS score,
-                  row_number() OVER (
-                    PARTITION BY query_id
-                    ORDER BY (adot/1e6) / (qnorm * sqrt(an2/1e6)) DESC,
-                             neighbor_id) AS rnk
-           FROM scored JOIN qn USING (query_id)
-           WHERE neighbor_id <> query_id AND an2 > 0)
-         SELECT query_id, neighbor_id, rnk::INT AS rnk,
-                round(score, 6) AS pq_score
-         FROM ranked WHERE rnk <= 5""",
-
-    "q_ann_ivfpq_probe" ->
-      """WITH v AS (SELECT vec_id, label AS cell, embedding AS e
-                    FROM embeddings),
-         sv AS (
-           SELECT vec_id, j::INT AS sub,
-                  (e[(j*16+1):(j*16+16)])::DOUBLE[] AS sv
-           FROM v, range(0, 4) t(j)),
-         ids AS (
-           SELECT vec_id,
-                  (row_number() OVER (ORDER BY vec_id) - 1)::INT AS code
-           FROM v ORDER BY vec_id LIMIT 8),
-         c0 AS (
-           SELECT sv.sub, ids.code, sv.sv AS c
-           FROM sv JOIN ids USING (vec_id)),
-         d1 AS (
-           SELECT sv.vec_id, sv.sub, c0.code,
-                  -2 * list_dot_product(sv.sv, (c0.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((c0.c::FLOAT[])::DOUBLE[],
-                        (c0.c::FLOAT[])::DOUBLE[]) AS d
-           FROM sv JOIN c0 ON sv.sub = c0.sub),
-         a1 AS (
-           SELECT vec_id, sub, code FROM (
-             SELECT vec_id, sub, code,
-                    row_number() OVER (PARTITION BY vec_id, sub
-                                       ORDER BY d, code) AS rn
-             FROM d1) WHERE rn = 1),
-         m1 AS (
-           SELECT sub, code, list(s ORDER BY j) AS c FROM (
-             SELECT a1.sub, a1.code, j, sum(sv.sv[j]) / count(*) AS s
-             FROM sv JOIN a1 ON sv.vec_id = a1.vec_id
-                            AND sv.sub = a1.sub,
-                  range(1, 17) t(j)
-             GROUP BY a1.sub, a1.code, j)
-           GROUP BY sub, code),
-         d2 AS (
-           SELECT sv.vec_id, sv.sub, m1.code,
-                  -2 * list_dot_product(sv.sv, (m1.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((m1.c::FLOAT[])::DOUBLE[],
-                        (m1.c::FLOAT[])::DOUBLE[]) AS d
-           FROM sv JOIN m1 ON sv.sub = m1.sub),
-         a2 AS (
-           SELECT vec_id, sub, code FROM (
-             SELECT vec_id, sub, code,
-                    row_number() OVER (PARTITION BY vec_id, sub
-                                       ORDER BY d, code) AS rn
-             FROM d2) WHERE rn = 1),
-         q AS (SELECT vec_id AS query_id, e AS qe FROM v
-               WHERE vec_id < 10),
-         cents AS (
-           SELECT cell, list(m ORDER BY pos) AS c FROM (
-             SELECT v.cell, j AS pos, sum(e[j]::DOUBLE) / count(*) AS m
-             FROM v, range(1, 65) t(j)
-             GROUP BY v.cell, j)
-           GROUP BY cell),
-         probes AS (
-           SELECT query_id, cell FROM (
-             SELECT q.query_id, cents.cell,
-                    row_number() OVER (PARTITION BY q.query_id ORDER BY
-                      -2 * list_dot_product(q.qe::DOUBLE[],
-                             (cents.c::FLOAT[])::DOUBLE[])
-                        + list_dot_product((cents.c::FLOAT[])::DOUBLE[],
-                            (cents.c::FLOAT[])::DOUBLE[]),
-                      cents.cell) AS pr
-             FROM q CROSS JOIN cents) WHERE pr <= 3),
-         lut AS (
-           SELECT q.query_id, p.cell, m1.sub, m1.code,
-                  round(list_dot_product(
-                    (q.qe[(m1.sub*16+1):(m1.sub*16+16)])::DOUBLE[],
-                    (m1.c::FLOAT[])::DOUBLE[]) * 1e6)::BIGINT
-                    AS pdot_micro,
-                  round(list_dot_product((m1.c::FLOAT[])::DOUBLE[],
-                    (m1.c::FLOAT[])::DOUBLE[]) * 1e6)::BIGINT
-                    AS pn2_micro
-           FROM probes p JOIN q USING (query_id) CROSS JOIN m1),
-         qn AS (
-           SELECT query_id,
-                  sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
-                    AS qnorm
-           FROM q),
-         scored AS (
-           SELECT l.query_id, a2.vec_id AS neighbor_id,
-                  sum(l.pdot_micro) AS adot, sum(l.pn2_micro) AS an2
-           FROM a2
-           JOIN v vc ON a2.vec_id = vc.vec_id
-           JOIN lut l ON a2.sub = l.sub AND a2.code = l.code
-                     AND vc.cell = l.cell
-           GROUP BY 1, 2),
-         ranked AS (
-           SELECT query_id, neighbor_id,
-                  (adot/1e6) / (qnorm * sqrt(an2/1e6)) AS score,
-                  row_number() OVER (
-                    PARTITION BY query_id
-                    ORDER BY (adot/1e6) / (qnorm * sqrt(an2/1e6)) DESC,
-                             neighbor_id) AS rnk
-           FROM scored JOIN qn USING (query_id)
-           WHERE neighbor_id <> query_id AND an2 > 0)
-         SELECT query_id, neighbor_id, rnk::INT AS rnk,
-                round(score, 6) AS pq_score
-         FROM ranked WHERE rnk <= 5""",
-
-    // Same moment sums as Similarity.momentSums — exact DECIMAL(28,12)
-    // per-term rounding and sums, then the identical fixed-order double
-    // finish (Σxy − ΣxΣy/n)/n, rounded at 10dp on both engines.
-    "q_emb_covariance" ->
-      """WITH v AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS e
-                    FROM embeddings),
-         p AS (
-           SELECT a.j::INT AS i, b.j::INT AS j,
-                  sum(CAST(e[a.j + 1] * e[b.j + 1]
-                      AS DECIMAL(28,12))) AS sxy
-           FROM v, range(0, 64) a(j), range(0, 64) b(j)
-           WHERE a.j <= b.j
-           GROUP BY 1, 2),
-         m AS (
-           SELECT a.j::INT AS i,
-                  sum(CAST(e[a.j + 1] AS DECIMAL(28,12))) AS sx
-           FROM v, range(0, 64) a(j)
-           GROUP BY 1),
-         n AS (SELECT count(*)::DOUBLE AS n FROM v)
-         SELECT p.i, p.j,
-                round((sxy::DOUBLE - mi.sx::DOUBLE * mj.sx::DOUBLE / n.n)
-                      / n.n, 10) AS cov
-         FROM p
-         JOIN m mi ON p.i = mi.i
-         JOIN m mj ON p.j = mj.i
-         CROSS JOIN n""",
-
-    // Verdict twin for the PCA projection (no SQL eigensolver exists):
-    // DuckDB computes the checkable side — the row count and the
-    // covariance trace via the SAME fixed-order per-element expression
-    // the q_emb_covariance oracle hash-matches at 10dp (here summed and
-    // rounded at 4dp, far above the ~1e-9 cross-engine residual) — and
-    // asserts every invariant boolean literally; the hash matches iff
-    // the Spark side's eigensolver + projection satisfied all of them.
-    "q_pca_project" ->
-      """WITH v AS (SELECT vec_id,
-                           list_transform(embedding, x -> x::DOUBLE) AS e
-                    FROM embeddings),
-         d AS (
-           SELECT t.j::INT AS i,
-                  sum(CAST(e[t.j + 1] * e[t.j + 1]
-                      AS DECIMAL(28,12))) AS sxx,
-                  sum(CAST(e[t.j + 1] AS DECIMAL(28,12))) AS sx
-           FROM v, range(0, 64) t(j)
-           GROUP BY 1),
-         n AS (SELECT count(*)::DOUBLE AS n FROM v),
-         tr AS (SELECT round(sum((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE
-                                  / n.n) / n.n), 4) AS total_var
-                FROM d CROSS JOIN n)
-         SELECT v.vec_id, k.j::INT AS component,
-                TRUE AS ok_proj, TRUE AS ok_parseval, TRUE AS ok_centered,
-                TRUE AS ok_unit, TRUE AS ok_orth, TRUE AS ok_order,
-                TRUE AS ok_var, n.n::BIGINT AS n_rows, tr.total_var
-         FROM v, range(0, 4) k(j)
-         CROSS JOIN n CROSS JOIN tr""",
-
-    // Mirrors Similarity.int8Quantize: per-dim min/max over the float
-    // values (cast to double — monotone, so identical), scale =
-    // (max−min)/255, code = floor((x−min)/scale + 0.5) − 128. floor of
-    // the shared double expression is the tie rule on both engines.
-    "q_emb_int8_codes" ->
-      """WITH v AS (SELECT vec_id,
-                           list_transform(embedding, x -> x::DOUBLE) AS e
-                    FROM embeddings),
-         p AS (
-           SELECT t.j::INT AS i, min(e[t.j + 1]) AS mn,
-                  max(e[t.j + 1]) AS mx
-           FROM v, range(0, 64) t(j)
-           GROUP BY 1),
-         pa AS (SELECT i, mn, (mx - mn) / 255.0 AS sc FROM p),
-         c AS (
-           SELECT vec_id, pa.i,
-                  CASE WHEN sc > 0
-                       THEN floor((e[pa.i + 1] - mn) / sc + 0.5) - 128
-                       ELSE 0 END AS code
-           FROM v CROSS JOIN pa)
-         SELECT vec_id,
-                string_agg(code::INT::VARCHAR, '|' ORDER BY i) AS codes
-         FROM c GROUP BY vec_id""",
-
-    // Mirrors Similarity.int8ReconError. The per-vector error sum uses
-    // list_dot_product(el, el) — the same sequential ascending-index
-    // double accumulation as Spark's aggregate() over the array — and
-    // the corpus mean goes through an exact DECIMAL(28,12) sum.
-    "q_emb_int8_stats" ->
-      """WITH v AS (SELECT vec_id,
-                           list_transform(embedding, x -> x::DOUBLE) AS e
-                    FROM embeddings),
-         p AS (
-           SELECT t.j::INT AS i, min(e[t.j + 1]) AS mn,
-                  max(e[t.j + 1]) AS mx
-           FROM v, range(0, 64) t(j)
-           GROUP BY 1),
-         pa AS (SELECT i, mn, (mx - mn) / 255.0 AS sc FROM p),
-         errv AS (
-           SELECT vec_id,
-                  list(e[pa.i + 1] -
-                       (mn + (CASE WHEN sc > 0
-                              THEN floor((e[pa.i + 1] - mn) / sc + 0.5)
-                              ELSE 0 END) * sc)
-                       ORDER BY pa.i) AS el
-           FROM v CROSS JOIN pa
-           GROUP BY vec_id),
-         m AS (SELECT vec_id, list_dot_product(el, el) / 64 AS mse
-               FROM errv)
-         SELECT count(*)::BIGINT AS n_vectors,
-                round(sum(CAST(mse AS DECIMAL(28,12)))::DOUBLE
-                      / count(*), 10) AS mean_mse,
-                round(max(mse), 10) AS max_mse
-         FROM m""",
-
-    // Mirrors Similarity.int8TopK: the q_emb_int8_codes calibration
-    // CTEs, reconstruction x̂ = mn + floor((x−mn)/sc + 0.5)·sc as an
-    // ascending-index DOUBLE list, then the annSql scoring shape with
-    // the corpus side reconstructed. list_dot_product on DOUBLE[] is
-    // the same sequential accumulation as the Spark HOF dot.
-    "q_ann_int8" ->
-      """WITH v AS (SELECT vec_id,
-                           list_transform(embedding, x -> x::DOUBLE) AS e
-                    FROM embeddings),
-         p AS (
-           SELECT t.j::INT AS i, min(e[t.j + 1]) AS mn,
-                  max(e[t.j + 1]) AS mx
-           FROM v, range(0, 64) t(j)
-           GROUP BY 1),
-         pa AS (SELECT i, mn, (mx - mn) / 255.0 AS sc FROM p),
-         r AS (
-           SELECT vec_id,
-                  list(mn + (CASE WHEN sc > 0
-                             THEN floor((e[pa.i + 1] - mn) / sc + 0.5)
-                             ELSE 0 END) * sc ORDER BY pa.i) AS xhat
-           FROM v CROSS JOIN pa
-           GROUP BY vec_id),
-         scored AS (
-           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                  list_dot_product(q.e, c.xhat) /
-                    (sqrt(list_dot_product(q.e, q.e)) *
-                     sqrt(list_dot_product(c.xhat, c.xhat))) AS cos
-           FROM v q JOIN r c ON c.vec_id <> q.vec_id
-           WHERE q.vec_id < 10)
-         SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos
-         FROM (SELECT query_id, neighbor_id, cos,
-                      row_number() OVER (PARTITION BY query_id
-                        ORDER BY cos DESC, neighbor_id ASC) AS rnk
-               FROM scored)
-         WHERE rnk <= 5""",
-
-    // Mirrors Similarity.annRecall over (exact bruteforce, int8) top-5:
-    // exact side = annSql's scoring, approx side = the q_ann_int8
-    // reconstruction, recall = hits / k per query
-    "q_ann_recall" ->
-      """WITH v AS (SELECT vec_id,
-                           list_transform(embedding, x -> x::DOUBLE) AS e
-                    FROM embeddings),
-         p AS (
-           SELECT t.j::INT AS i, min(e[t.j + 1]) AS mn,
-                  max(e[t.j + 1]) AS mx
-           FROM v, range(0, 64) t(j)
-           GROUP BY 1),
-         pa AS (SELECT i, mn, (mx - mn) / 255.0 AS sc FROM p),
-         r AS (
-           SELECT vec_id,
-                  list(mn + (CASE WHEN sc > 0
-                             THEN floor((e[pa.i + 1] - mn) / sc + 0.5)
-                             ELSE 0 END) * sc ORDER BY pa.i) AS xhat
-           FROM v CROSS JOIN pa
-           GROUP BY vec_id),
-         exact AS (
-           SELECT query_id, neighbor_id
-           FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                        row_number() OVER (PARTITION BY q.vec_id
-                          ORDER BY list_dot_product(q.e, c.e) /
-                            (sqrt(list_dot_product(q.e, q.e)) *
-                             sqrt(list_dot_product(c.e, c.e))) DESC,
-                          c.vec_id ASC) AS rnk
-                 FROM v q JOIN v c ON c.vec_id <> q.vec_id
-                 WHERE q.vec_id < 10)
-           WHERE rnk <= 5),
-         approx AS (
-           SELECT query_id, neighbor_id
-           FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                        row_number() OVER (PARTITION BY q.vec_id
-                          ORDER BY list_dot_product(q.e, c.xhat) /
-                            (sqrt(list_dot_product(q.e, q.e)) *
-                             sqrt(list_dot_product(c.xhat, c.xhat))) DESC,
-                          c.vec_id ASC) AS rnk
-                 FROM v q JOIN r c ON c.vec_id <> q.vec_id
-                 WHERE q.vec_id < 10)
-           WHERE rnk <= 5)
-         SELECT e.query_id, count(*)::BIGINT AS n_exact,
-                sum(CASE WHEN a.neighbor_id IS NOT NULL
-                    THEN 1 ELSE 0 END)::BIGINT AS n_hit,
-                round(sum(CASE WHEN a.neighbor_id IS NOT NULL
-                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
-                  AS recall
-         FROM exact e
-         LEFT JOIN approx a
-           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-         GROUP BY e.query_id""",
-
-    // Mirrors Similarity.rpProject: the ±1 sign matrix regenerated from
-    // md5("i_j") first-nibble parity, dot via ascending-index DOUBLE
-    // list, scaled by the same IEEE sqrt(8)
-    "q_rp_project" ->
-      """WITH v AS (SELECT vec_id,
-                           list_transform(embedding, x -> x::DOUBLE) AS e
-                    FROM embeddings),
-         m AS (
-           SELECT t.j::INT AS component,
-                  list_transform(range(0, 64), i ->
-                    ((('0x' || substr(md5(i::VARCHAR || '_' ||
-                        t.j::VARCHAR), 1, 1))::INT % 2) * 2 - 1)::DOUBLE)
-                    AS axis
-           FROM range(0, 8) t(j))
-         SELECT vec_id, component,
-                round(list_dot_product(e, axis) / sqrt(8.0), 6) AS coord
-         FROM v CROSS JOIN m""",
-
-    // Mirrors Similarity.rpRerankTopK: q_rp_project's matrix + per-vec
-    // projection list (ordered by component — same ascending fold),
-    // coarse rank ≤ 20 on projected cosine, exact rerank ≤ 5
-    "q_ann_rp_rerank" ->
-      """WITH v AS (SELECT vec_id,
-                           list_transform(embedding, x -> x::DOUBLE) AS e
-                    FROM embeddings),
-         m AS (
-           SELECT t.j::INT AS component,
-                  list_transform(range(0, 64), i ->
-                    ((('0x' || substr(md5(i::VARCHAR || '_' ||
-                        t.j::VARCHAR), 1, 1))::INT % 2) * 2 - 1)::DOUBLE)
-                    AS axis
-           FROM range(0, 8) t(j)),
-         pv AS (
-           SELECT vec_id,
-                  list(list_dot_product(e, axis) / sqrt(8.0)
-                       ORDER BY component) AS p
-           FROM v CROSS JOIN m
-           GROUP BY vec_id),
-         coarse AS (
-           SELECT query_id, neighbor_id
-           FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                        row_number() OVER (PARTITION BY q.vec_id
-                          ORDER BY list_dot_product(qp.p, cp.p) /
-                            (sqrt(list_dot_product(qp.p, qp.p)) *
-                             sqrt(list_dot_product(cp.p, cp.p))) DESC,
-                          c.vec_id ASC) AS crnk
-                 FROM v q
-                 JOIN v c ON c.vec_id <> q.vec_id
-                 JOIN pv qp ON qp.vec_id = q.vec_id
-                 JOIN pv cp ON cp.vec_id = c.vec_id
-                 WHERE q.vec_id < 10
-                   AND list_dot_product(qp.p, qp.p) > 0
-                   AND list_dot_product(cp.p, cp.p) > 0)
-           WHERE crnk <= 20)
-         SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos
-         FROM (SELECT co.query_id, co.neighbor_id,
-                      list_dot_product(q.e, c.e) /
-                        (sqrt(list_dot_product(q.e, q.e)) *
-                         sqrt(list_dot_product(c.e, c.e))) AS cos,
-                      row_number() OVER (PARTITION BY co.query_id
-                        ORDER BY list_dot_product(q.e, c.e) /
-                          (sqrt(list_dot_product(q.e, q.e)) *
-                           sqrt(list_dot_product(c.e, c.e))) DESC,
-                        co.neighbor_id ASC) AS rnk
-               FROM coarse co
-               JOIN v q ON q.vec_id = co.query_id
-               JOIN v c ON c.vec_id = co.neighbor_id)
-         WHERE rnk <= 5""",
-
-    "q_ann_pq" ->
-      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-         sv AS (
-           SELECT vec_id, j::INT AS sub,
-                  (e[(j*16+1):(j*16+16)])::DOUBLE[] AS sv
-           FROM v, range(0, 4) t(j)),
-         ids AS (
-           SELECT vec_id,
-                  (row_number() OVER (ORDER BY vec_id) - 1)::INT AS code
-           FROM v ORDER BY vec_id LIMIT 8),
-         c0 AS (
-           SELECT sv.sub, ids.code, sv.sv AS c
-           FROM sv JOIN ids USING (vec_id)),
-         d1 AS (
-           SELECT sv.vec_id, sv.sub, c0.code,
-                  -2 * list_dot_product(sv.sv, (c0.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((c0.c::FLOAT[])::DOUBLE[],
-                        (c0.c::FLOAT[])::DOUBLE[]) AS d
-           FROM sv JOIN c0 ON sv.sub = c0.sub),
-         a1 AS (
-           SELECT vec_id, sub, code FROM (
-             SELECT vec_id, sub, code,
-                    row_number() OVER (PARTITION BY vec_id, sub
-                                       ORDER BY d, code) AS rn
-             FROM d1) WHERE rn = 1),
-         m1 AS (
-           SELECT sub, code, list(s ORDER BY j) AS c FROM (
-             SELECT a1.sub, a1.code, j, sum(sv.sv[j]) / count(*) AS s
-             FROM sv JOIN a1 ON sv.vec_id = a1.vec_id
-                            AND sv.sub = a1.sub,
-                  range(1, 17) t(j)
-             GROUP BY a1.sub, a1.code, j)
-           GROUP BY sub, code),
-         d2 AS (
-           SELECT sv.vec_id, sv.sub, m1.code,
-                  -2 * list_dot_product(sv.sv, (m1.c::FLOAT[])::DOUBLE[])
-                    + list_dot_product((m1.c::FLOAT[])::DOUBLE[],
-                        (m1.c::FLOAT[])::DOUBLE[]) AS d
-           FROM sv JOIN m1 ON sv.sub = m1.sub),
-         a2 AS (
-           SELECT vec_id, sub, code FROM (
-             SELECT vec_id, sub, code,
-                    row_number() OVER (PARTITION BY vec_id, sub
-                                       ORDER BY d, code) AS rn
-             FROM d2) WHERE rn = 1),
-         q AS (SELECT vec_id AS query_id, e AS qe FROM v
-               WHERE vec_id < 10),
-         lut AS (
-           SELECT q.query_id, m1.sub, m1.code,
-                  round(list_dot_product(
-                    (q.qe[(m1.sub*16+1):(m1.sub*16+16)])::DOUBLE[],
-                    (m1.c::FLOAT[])::DOUBLE[]) * 1e6)::BIGINT
-                    AS pdot_micro,
-                  round(list_dot_product((m1.c::FLOAT[])::DOUBLE[],
-                    (m1.c::FLOAT[])::DOUBLE[]) * 1e6)::BIGINT
-                    AS pn2_micro
-           FROM q CROSS JOIN m1),
-         qn AS (
-           SELECT query_id,
-                  sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
-                    AS qnorm
-           FROM q),
-         scored AS (
-           SELECT l.query_id, a2.vec_id AS neighbor_id,
-                  sum(l.pdot_micro) AS adot, sum(l.pn2_micro) AS an2
-           FROM a2 JOIN lut l ON a2.sub = l.sub AND a2.code = l.code
-           GROUP BY 1, 2),
-         ranked AS (
-           SELECT query_id, neighbor_id,
-                  (adot/1e6) / (qnorm * sqrt(an2/1e6)) AS score,
-                  row_number() OVER (
-                    PARTITION BY query_id
-                    ORDER BY (adot/1e6) / (qnorm * sqrt(an2/1e6)) DESC,
-                             neighbor_id) AS rnk
-           FROM scored JOIN qn USING (query_id)
-           WHERE neighbor_id <> query_id AND an2 > 0)
-         SELECT query_id, neighbor_id, rnk::INT AS rnk,
-                round(score, 6) AS pq_score
-         FROM ranked WHERE rnk <= 5""",
-
-    // BYTE semantics throughout (the payload is the utf-8 encoding):
-    // sizes via strlen (bytes, not chars), width/height from the first
-    // two BYTES & 0x7f via hex pairs — ascii(substr(...)) would read
-    // code points and diverge on the first non-ASCII character
-    "q_mm_decode" ->
-      """WITH m AS (SELECT doc_id, coalesce(text, '') AS tx,
-                           hex(encode(coalesce(text, ''))) AS hx
-                    FROM documents)
-         SELECT doc_id AS media_id,
-                CASE WHEN doc_id % 3 = 0 THEN 'image'
-                     WHEN doc_id % 3 = 1 THEN 'audio'
-                     ELSE 'video' END AS kind,
-                strlen(tx)::BIGINT AS n_bytes,
-                16 + CASE WHEN strlen(tx) >= 1 THEN
-                  ('0x' || substr(hx, 1, 2))::INT & 127 ELSE 0 END
-                  AS width,
-                16 + CASE WHEN strlen(tx) >= 2 THEN
-                  ('0x' || substr(hx, 3, 2))::INT & 127 ELSE 0 END
-                  AS height,
-                md5(tx) AS checksum
-         FROM m""",
-
-    // byte lengths (strlen); zero-byte payloads emit NO frames
-    "q_mm_frames" ->
-      """SELECT doc_id AS media_id,
-                CASE WHEN doc_id % 3 = 0 THEN 'image'
-                     WHEN doc_id % 3 = 1 THEN 'audio'
-                     ELSE 'video' END AS kind,
-                unnest(generate_series(0,
-                  greatest((strlen(coalesce(text, '')) // 64)::INT - 1,
-                           0))) AS frame_idx,
-                unnest(generate_series(0,
-                  greatest((strlen(coalesce(text, '')) // 64)::INT - 1,
-                           0))) * 64 AS frame_off
-         FROM documents
-         WHERE strlen(coalesce(text, '')) > 0""",
-
-    // byte sizes; checksum asserted only for untruncated payloads (see
-    // the Spark side's comment — no hash-of-byte-slice in DuckDB)
-    "q_mm_resize" ->
-      """WITH m AS (SELECT doc_id, coalesce(text, '') AS tx
-                    FROM documents)
-         SELECT doc_id AS media_id,
-                CASE WHEN doc_id % 3 = 0 THEN 'image'
-                     WHEN doc_id % 3 = 1 THEN 'audio'
-                     ELSE 'video' END AS kind,
-                16 AS width, 16 AS height,
-                strlen(tx)::BIGINT AS n_bytes_in,
-                least(strlen(tx), 256)::BIGINT AS n_bytes,
-                CASE WHEN strlen(tx) <= 256 THEN md5(tx)
-                     ELSE 'truncated' END AS checksum
-         FROM m""",
-
-    // one bin per BYTE of the utf-8 payload (hex-pair decode), not per
-    // character code point — matches featureStub's (b & 0xff) % bins
-    "q_mm_features" ->
-      """WITH per AS (
-           SELECT doc_id, bin, COUNT(*) AS cnt FROM (
-             SELECT doc_id,
-                    ('0x' || substr(hex(encode(coalesce(text, ''))),
-                      2 * unnest(generate_series(1,
-                        strlen(coalesce(text, '')))) - 1, 2))::INT
-                      % 8 AS bin
-             FROM documents)
-           GROUP BY doc_id, bin),
-         dense AS (
-           SELECT d.doc_id, r.b AS bin, COALESCE(p.cnt, 0) AS cnt
-           FROM documents d CROSS JOIN range(8) r(b)
-           LEFT JOIN per p ON p.doc_id = d.doc_id AND p.bin = r.b)
-         SELECT doc_id AS media_id,
-                CASE WHEN doc_id % 3 = 0 THEN 'image'
-                     WHEN doc_id % 3 = 1 THEN 'audio'
-                     ELSE 'video' END AS kind,
-                array_to_string(list(cnt ORDER BY bin), ',') AS features
-         FROM dense GROUP BY doc_id""",
-
-    // the real video path: the twin replays the per-frame pixel formula
-    // p(x,y,f) = (7x+13y+19f+31·id) mod 256 — dims ≤ 15×19, ≤ 7 frames,
-    // stride 2; delta vs the previous container frame (0 for frame 0)
-    "q_mm_video_frames" ->
-      """WITH vid AS (SELECT doc_id AS media_id,
-                             (8 + doc_id % 8)::INT AS w,
-                             (16 + doc_id % 4)::INT AS h,
-                             (4 + doc_id % 4)::INT AS nf
-                      FROM documents WHERE doc_id % 3 = 2),
-         fr AS (SELECT v.media_id, v.w, v.h, f.f::INT AS f
-                FROM vid v CROSS JOIN range(8) f(f)
-                WHERE f.f < v.nf AND f.f % 2 = 0),
-         px AS (SELECT r.media_id, r.f, r.w, r.h, xs.x::INT AS x,
-                       ys.y::INT AS y,
-                       ((7 * xs.x + 13 * ys.y + 19 * r.f
-                         + 31 * r.media_id) % 256)::BIGINT AS p,
-                       CASE WHEN r.f = 0 THEN 0
-                            ELSE ABS(((7 * xs.x + 13 * ys.y + 19 * r.f
-                                       + 31 * r.media_id) % 256)
-                                   - ((7 * xs.x + 13 * ys.y
-                                       + 19 * (r.f - 1)
-                                       + 31 * r.media_id) % 256))
-                       END::BIGINT AS dlt
-                FROM fr r
-                CROSS JOIN range(15) xs(x) CROSS JOIN range(19) ys(y)
-                WHERE xs.x < r.w AND ys.y < r.h),
-         agg AS (SELECT media_id, f, w, h, COUNT(*)::BIGINT AS n,
-                        SUM(p)::BIGINT AS sum_gray,
-                        SUM(dlt)::BIGINT AS delta_prev
-                 FROM px GROUP BY 1, 2, 3, 4),
-         blk AS (SELECT media_id, f,
-                        (y * 8 // h) * 8 + (x * 8 // w) AS b,
-                        SUM(p)::BIGINT AS bs, COUNT(*)::BIGINT AS bc
-                 FROM px GROUP BY 1, 2, 3),
-         fp AS (SELECT bl.media_id, bl.f,
-                       SUM(CASE WHEN bl.bs * a.n > a.sum_gray * bl.bc
-                           THEN (1::HUGEINT << (63 - bl.b))
-                           ELSE 0::HUGEINT END) AS u
-                FROM blk bl JOIN agg a USING (media_id, f)
-                GROUP BY 1, 2)
-         SELECT a.media_id, a.f AS frame_idx, a.w AS width,
-                a.h AS height, a.sum_gray,
-                CAST(CASE WHEN p.u >= 9223372036854775808::HUGEINT
-                     THEN p.u - 18446744073709551616::HUGEINT
-                     ELSE p.u END AS BIGINT) AS ahash,
-                a.delta_prev
-         FROM agg a JOIN fp p USING (media_id, f)
-         ORDER BY a.media_id, frame_idx""",
-
-    // the real-codec audio pipeline: the twin never decodes a WAV — it
-    // replays the closed sample generator s(i) = ((7i²+13i+31·id) mod
-    // 65536) − 32768 that the PCM16 round trip preserves exactly
-    "q_mm_audio_decode" ->
-      """WITH aud AS (SELECT doc_id AS media_id,
-                             256 + 64 * (doc_id % 7) AS n
-                      FROM documents WHERE doc_id % 3 = 1),
-         sm AS (SELECT a.media_id, t.i::BIGINT AS i,
-                       ((7 * t.i * t.i + 13 * t.i + 31 * a.media_id)
-                         % 65536) - 32768 AS s
-                FROM aud a CROSS JOIN range(640) t(i)
-                WHERE t.i < a.n),
-         lagged AS (SELECT media_id, s,
-                           lag(s) OVER (PARTITION BY media_id
-                                        ORDER BY i) AS prev
-                    FROM sm)
-         SELECT media_id, 8000 AS sample_rate,
-                COUNT(*)::BIGINT AS n_samples,
-                SUM(ABS(s))::BIGINT AS sum_abs,
-                SUM(s * s)::BIGINT AS sum_sq,
-                MAX(ABS(s))::INT AS peak_abs,
-                (COUNT(*) FILTER (WHERE s * prev < 0))::BIGINT
-                  AS zero_crossings
-         FROM lagged GROUP BY media_id
-         ORDER BY media_id""",
-
-    // 64-sample frames; every synthetic length is a multiple of 64
-    "q_mm_audio_frames" ->
-      """WITH aud AS (SELECT doc_id AS media_id,
-                             256 + 64 * (doc_id % 7) AS n
-                      FROM documents WHERE doc_id % 3 = 1),
-         sm AS (SELECT a.media_id, t.i::BIGINT AS i,
-                       ((7 * t.i * t.i + 13 * t.i + 31 * a.media_id)
-                         % 65536) - 32768 AS s
-                FROM aud a CROSS JOIN range(640) t(i)
-                WHERE t.i < a.n)
-         SELECT media_id, (i // 64)::INT AS frame_idx,
-                COUNT(*)::INT AS n,
-                SUM(ABS(s))::BIGINT AS sum_abs,
-                MAX(ABS(s))::INT AS peak_abs
-         FROM sm GROUP BY media_id, i // 64
-         ORDER BY media_id, frame_idx""",
-
-    // the real-codec image pipeline: the twin never decodes a PNG — it
-    // recomputes every pixel from the closed generator formula
-    // p(x,y) = (7x+13y+31·(id div 6)) mod 256, which the PNG round-trip
-    // preserves exactly (gray8 PNG is lossless). Dims ≤ 23×15, so the
-    // pixel frame is a bounded cross join; the aHash bit rule is the
-    // integer cross-multiply, MSB packed via HUGEINT then wrapped to
-    // signed 64-bit
-    "q_mm_decode_real" ->
-      """WITH img AS (SELECT doc_id AS media_id, doc_id // 6 AS seed,
-                             (8 + (doc_id // 6) % 16)::INT AS w,
-                             (8 + (doc_id // 6) % 8)::INT AS h
-                      FROM documents WHERE doc_id % 3 = 0),
-         px AS (SELECT i.media_id, i.w, i.h, xs.x::INT AS x,
-                       ys.y::INT AS y,
-                       ((7 * xs.x + 13 * ys.y + 31 * i.seed)
-                         % 256)::BIGINT AS p
-                FROM img i
-                CROSS JOIN range(23) xs(x) CROSS JOIN range(15) ys(y)
-                WHERE xs.x < i.w AND ys.y < i.h),
-         agg AS (SELECT media_id, w, h, COUNT(*)::BIGINT AS n_pixels,
-                        SUM(p)::BIGINT AS sum_gray
-                 FROM px GROUP BY 1, 2, 3),
-         blk AS (SELECT media_id, (y * 8 // h) * 8 + (x * 8 // w) AS b,
-                        SUM(p)::BIGINT AS bs, COUNT(*)::BIGINT AS bc
-                 FROM px GROUP BY 1, 2),
-         fp AS (SELECT bl.media_id,
-                       SUM(CASE WHEN bl.bs * a.n_pixels
-                                     > a.sum_gray * bl.bc
-                           THEN (1::HUGEINT << (63 - bl.b))
-                           ELSE 0::HUGEINT END) AS u
-                FROM blk bl JOIN agg a USING (media_id) GROUP BY 1)
-         SELECT a.media_id, a.w AS width, a.h AS height, a.n_pixels,
-                a.sum_gray,
-                CAST((a.sum_gray * 1000000) // a.n_pixels AS BIGINT)
-                  AS mean_gray_micro,
-                CAST(CASE WHEN f.u >= 9223372036854775808::HUGEINT
-                     THEN f.u - 18446744073709551616::HUGEINT
-                     ELSE f.u END AS BIGINT) AS ahash
-         FROM agg a JOIN fp f USING (media_id)
-         ORDER BY a.media_id""",
-
-    // real-pixel features replayed from the closed formula: value
-    // histogram bin = p·8 div 256; gradient energy per pixel from the
-    // SAME formula at (x+1, y) and (x, y+1) — no neighbor join needed
-    "q_mm_features_real" ->
-      """WITH img AS (SELECT doc_id AS media_id, doc_id // 6 AS seed,
-                             (8 + (doc_id // 6) % 16)::INT AS w,
-                             (8 + (doc_id // 6) % 8)::INT AS h
-                      FROM documents WHERE doc_id % 3 = 0),
-         px AS (SELECT i.media_id, i.seed, i.w, i.h, xs.x::INT AS x,
-                       ys.y::INT AS y,
-                       ((7 * xs.x + 13 * ys.y + 31 * i.seed)
-                         % 256)::BIGINT AS p
-                FROM img i
-                CROSS JOIN range(23) xs(x) CROSS JOIN range(15) ys(y)
-                WHERE xs.x < i.w AND ys.y < i.h),
-         hist AS (SELECT media_id, (p * 8) // 256 AS bin,
-                         COUNT(*)::BIGINT AS cnt
-                  FROM px GROUP BY 1, 2),
-         dense AS (SELECT i.media_id, r.b AS bin,
-                          COALESCE(hh.cnt, 0)::BIGINT AS cnt
-                   FROM img i CROSS JOIN range(8) r(b)
-                   LEFT JOIN hist hh
-                     ON hh.media_id = i.media_id AND hh.bin = r.b),
-         hs AS (SELECT media_id,
-                       array_to_string(list(cnt ORDER BY bin), ',')
-                         AS hist
-                FROM dense GROUP BY 1),
-         eh AS (SELECT media_id,
-                       SUM(CASE WHEN x + 1 < w THEN
-                             abs(((7 * (x + 1) + 13 * y + 31 * seed)
-                               % 256) - p)
-                           ELSE 0 END
-                         + CASE WHEN y + 1 < h THEN
-                             abs(((7 * x + 13 * (y + 1) + 31 * seed)
-                               % 256) - p)
-                           ELSE 0 END)::BIGINT AS edge_energy
-                FROM px GROUP BY 1)
-         SELECT i.media_id, i.w AS width, i.h AS height, hs.hist,
-                eh.edge_energy
-         FROM img i JOIN hs USING (media_id) JOIN eh USING (media_id)
-         ORDER BY i.media_id""",
-
-    // nearest-neighbor 8×8: resized pixel (x,y) samples source pixel
-    // (x·w div 8, y·h div 8); blocks of an 8×8 aHash are single pixels
-    "q_mm_resize_real" ->
-      """WITH img AS (SELECT doc_id AS media_id, doc_id // 6 AS seed,
-                             (8 + (doc_id // 6) % 16)::INT AS w,
-                             (8 + (doc_id // 6) % 8)::INT AS h
-                      FROM documents WHERE doc_id % 3 = 0),
-         rp AS (SELECT i.media_id, xs.x::INT AS x, ys.y::INT AS y,
-                       ((7 * ((xs.x * i.w) // 8)
-                         + 13 * ((ys.y * i.h) // 8)
-                         + 31 * i.seed) % 256)::BIGINT AS p
-                FROM img i
-                CROSS JOIN range(8) xs(x) CROSS JOIN range(8) ys(y)),
-         agg AS (SELECT media_id, COUNT(*)::BIGINT AS n_pixels,
-                        SUM(p)::BIGINT AS sum_gray
-                 FROM rp GROUP BY 1),
-         fp AS (SELECT r.media_id,
-                       SUM(CASE WHEN r.p * a.n_pixels > a.sum_gray
-                           THEN (1::HUGEINT << (63 - (r.y * 8 + r.x)))
-                           ELSE 0::HUGEINT END) AS u
-                FROM rp r JOIN agg a USING (media_id) GROUP BY 1)
-         SELECT a.media_id, 8 AS width, 8 AS height, a.n_pixels,
-                a.sum_gray,
-                CAST((a.sum_gray * 1000000) // a.n_pixels AS BIGINT)
-                  AS mean_gray_micro,
-                CAST(CASE WHEN f.u >= 9223372036854775808::HUGEINT
-                     THEN f.u - 18446744073709551616::HUGEINT
-                     ELSE f.u END AS BIGINT) AS ahash
-         FROM agg a JOIN fp f USING (media_id)
-         ORDER BY a.media_id""",
-
-    // real-pixel aHash pairs: the same fingerprint CTE, then naive
-    // all-pairs hamming ≤ 1 as ground truth for the banded generator
-    "q_mm_phash_real_pairs" ->
-      """WITH img AS (SELECT doc_id AS media_id, doc_id // 6 AS seed,
-                             (8 + (doc_id // 6) % 16)::INT AS w,
-                             (8 + (doc_id // 6) % 8)::INT AS h
-                      FROM documents WHERE doc_id % 3 = 0),
-         px AS (SELECT i.media_id, i.w, i.h, xs.x::INT AS x,
-                       ys.y::INT AS y,
-                       ((7 * xs.x + 13 * ys.y + 31 * i.seed)
-                         % 256)::BIGINT AS p
-                FROM img i
-                CROSS JOIN range(23) xs(x) CROSS JOIN range(15) ys(y)
-                WHERE xs.x < i.w AND ys.y < i.h),
-         agg AS (SELECT media_id, COUNT(*)::BIGINT AS n, SUM(p)::BIGINT
-                   AS tot
-                 FROM px GROUP BY 1),
-         blk AS (SELECT media_id, (y * 8 // h) * 8 + (x * 8 // w) AS b,
-                        SUM(p)::BIGINT AS bs, COUNT(*)::BIGINT AS bc
-                 FROM px GROUP BY 1, 2),
-         fp AS (SELECT bl.media_id,
-                       CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
-                            THEN u - 18446744073709551616::HUGEINT
-                            ELSE u END AS BIGINT) AS ahash
-                FROM (SELECT bl.media_id,
-                             SUM(CASE WHEN bl.bs * a.n > a.tot * bl.bc
-                                 THEN (1::HUGEINT << (63 - bl.b))
-                                 ELSE 0::HUGEINT END) AS u
-                      FROM blk bl JOIN agg a USING (media_id)
-                      GROUP BY 1) bl)
-         SELECT a.media_id AS doc_a, b.media_id AS doc_b,
-                bit_count(xor(a.ahash, b.ahash))::INT AS hamming
-         FROM fp a JOIN fp b ON a.media_id < b.media_id
-         WHERE bit_count(xor(a.ahash, b.ahash)) <= 1""",
-
-    // aHash fingerprints as 64-char bit strings (cnt·64 > n per bin,
-    // MSB-first), naive all-pairs hamming as the ground truth for the
-    // banded generator
-    "q_mm_phash_pairs" ->
-      """WITH img AS (SELECT doc_id AS media_id, coalesce(text, '') AS t
-                      FROM documents WHERE doc_id % 3 = 0),
-         byt AS (SELECT media_id,
-                        ('0x' || substr(hex(encode(t)),
-                          2 * unnest(generate_series(1,
-                            octet_length(encode(t)))) - 1, 2))::INT % 64
-                          AS bin
-                 FROM img),
-         per AS (SELECT media_id, bin, COUNT(*) AS cnt
-                 FROM byt GROUP BY media_id, bin),
-         tot AS (SELECT media_id, octet_length(encode(t))::BIGINT AS n
-                 FROM img),
-         dense AS (SELECT i.media_id, r.b AS bin, COALESCE(p.cnt, 0) AS cnt
-                   FROM img i CROSS JOIN range(64) r(b)
-                   LEFT JOIN per p ON p.media_id = i.media_id
-                                  AND p.bin = r.b),
-         fp AS (SELECT d.media_id,
-                       string_agg(CASE WHEN d.cnt * 64 > t.n
-                                  THEN '1' ELSE '0' END,
-                         '' ORDER BY d.bin) AS bits
-                FROM dense d JOIN tot t USING (media_id)
-                GROUP BY d.media_id)
-         SELECT a.media_id AS doc_a, b.media_id AS doc_b,
-                len(list_filter(generate_series(1, 64),
-                  i -> substr(a.bits, i, 1) <> substr(b.bits, i, 1)))::INT
-                  AS hamming
-         FROM fp a JOIN fp b ON a.media_id < b.media_id
-         WHERE len(list_filter(generate_series(1, 64),
-                 i -> substr(a.bits, i, 1) <> substr(b.bits, i, 1))) <= 1""",
-
-    // pair graph → recursive reachability → min-id component →
-    // keep = canonical or unpaired (the q_dedup_components pattern
-    // over the phash edges)
-    "q_mm_phash_keep" ->
-      """WITH RECURSIVE
-         img AS (SELECT doc_id AS media_id, coalesce(text, '') AS t
-                 FROM documents WHERE doc_id % 3 = 0),
-         byt AS (SELECT media_id,
-                        ('0x' || substr(hex(encode(t)),
-                          2 * unnest(generate_series(1,
-                            octet_length(encode(t)))) - 1, 2))::INT % 64
-                          AS bin
-                 FROM img),
-         per AS (SELECT media_id, bin, COUNT(*) AS cnt
-                 FROM byt GROUP BY media_id, bin),
-         tot AS (SELECT media_id, octet_length(encode(t))::BIGINT AS n
-                 FROM img),
-         dense AS (SELECT i.media_id, r.b AS bin, COALESCE(p.cnt, 0) AS cnt
-                   FROM img i CROSS JOIN range(64) r(b)
-                   LEFT JOIN per p ON p.media_id = i.media_id
-                                  AND p.bin = r.b),
-         fp AS (SELECT d.media_id,
-                       string_agg(CASE WHEN d.cnt * 64 > t.n
-                                  THEN '1' ELSE '0' END,
-                         '' ORDER BY d.bin) AS bits
-                FROM dense d JOIN tot t USING (media_id)
-                GROUP BY d.media_id),
-         prs AS (SELECT a.media_id AS doc_a, b.media_id AS doc_b
-                 FROM fp a JOIN fp b ON a.media_id < b.media_id
-                 WHERE len(list_filter(generate_series(1, 64),
-                     i -> substr(a.bits, i, 1) <> substr(b.bits, i, 1)))
-                     <= 1),
-         edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
-                   UNION SELECT doc_b, doc_a FROM prs),
-         reach(id, comp) AS (
-           SELECT a, a FROM edges
-           UNION
-           SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
-         comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
-         SELECT media_id FROM img i
-         WHERE NOT EXISTS (
-           SELECT 1 FROM comp c
-           WHERE c.id = i.media_id AND c.id <> c.comp)""",
-
-    // exhaustive all-pairs twin of the banded radius-3 cut: same aHash
-    // bits CTE as q_mm_phash_keep, hamming by per-position compare
-    "q_mm_phash_radius" ->
-      """WITH img AS (SELECT doc_id AS media_id, coalesce(text, '') AS t
-                      FROM documents WHERE doc_id % 3 = 0),
-         byt AS (SELECT media_id,
-                        ('0x' || substr(hex(encode(t)),
-                          2 * unnest(generate_series(1,
-                            octet_length(encode(t)))) - 1, 2))::INT % 64
-                          AS bin
-                 FROM img),
-         per AS (SELECT media_id, bin, COUNT(*) AS cnt
-                 FROM byt GROUP BY media_id, bin),
-         tot AS (SELECT media_id, octet_length(encode(t))::BIGINT AS n
-                 FROM img),
-         dense AS (SELECT i.media_id, r.b AS bin, COALESCE(p.cnt, 0) AS cnt
-                   FROM img i CROSS JOIN range(64) r(b)
-                   LEFT JOIN per p ON p.media_id = i.media_id
-                                  AND p.bin = r.b),
-         fp AS (SELECT d.media_id,
-                       string_agg(CASE WHEN d.cnt * 64 > t.n
-                                  THEN '1' ELSE '0' END,
-                         '' ORDER BY d.bin) AS bits
-                FROM dense d JOIN tot t USING (media_id)
-                GROUP BY d.media_id),
-         prs AS (SELECT a.media_id AS doc_a, b.media_id AS doc_b,
-                        len(list_filter(generate_series(1, 64),
-                          i -> substr(a.bits, i, 1)
-                               <> substr(b.bits, i, 1)))::BIGINT
-                          AS hamming
-                 FROM fp a JOIN fp b ON a.media_id < b.media_id)
-         SELECT doc_a, doc_b, hamming FROM prs
-         WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
-
-    "q_s3_regex_extract" ->
-      """SELECT href, COUNT(*) AS n
-         FROM (SELECT doc_id,
-                      unnest(regexp_extract_all(text, '\b(s[a-z]+)\b', 1))
-                        AS href
-               FROM documents)
-         GROUP BY href""",
-
-    // session_window merges on strict overlap: a gap of exactly 30 min
-    // starts a NEW session, hence >= in the islands rule (sessionizeBatch
-    // uses > — both are valid semantics, pinned per operator)
-    "q_session_window" ->
-      """WITH g AS (
-           SELECT user_id, ts, value, event_id,
-                  CASE WHEN lag(ts) OVER w IS NULL
-                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                               >= 1800000000
-                       THEN 1 ELSE 0 END AS is_new
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         s AS (
-           SELECT user_id, ts, value,
-                  SUM(is_new) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS session_no
-           FROM g)
-         SELECT user_id, min(ts) AS session_start,
-                max(ts) + INTERVAL 30 MINUTE AS session_end,
-                COUNT(*) AS n_events,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                  AS sum_value
-         FROM s GROUP BY user_id, session_no""",
-
-    "q_sessionize" -> sessionizeOracle,
-
-    // same sessions, computed by the transformWithState path — ONE
-    // shared SQL constant, so the "same oracle" guarantee can't drift
-    "q_stream_sessionize_tws" -> sessionizeOracle,
-
-    "q_text_tfidf" ->
-      """WITH toks AS (
-           SELECT doc_id,
-                  unnest(string_split_regex(trim(regexp_replace(
-                    lower(text), '[^a-z0-9\s]+', ' ', 'g')), '\s+')) AS tok
-           FROM documents),
-         tf AS (
-           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-           FROM toks GROUP BY doc_id, tok),
-         df AS (
-           SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
-           GROUP BY tok),
-         n AS (SELECT count(*) AS n FROM documents),
-         ranked AS (
-           SELECT doc_id, tok, tf, df,
-                  row_number() OVER (PARTITION BY doc_id
-                    ORDER BY tf DESC, df ASC, tok ASC) AS rn
-           FROM tf JOIN df USING (tok))
-         SELECT doc_id, tok, tf,
-                round(tf * ln(n / df::DOUBLE), 4) AS tfidf
-         FROM ranked, n WHERE rn <= 3""",
-
-    "q_stream_daily_agg" ->
-      """SELECT date_trunc('day', ts) AS day, event_type,
-                COUNT(*) AS cnt,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                  AS sum_value
-         FROM events GROUP BY 1, 2""",
-
-    "q_stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events",
-
-    // the stream's end-state counts equal the batch groupBy; the rank
-    // cut uses the same (cnt DESC, user_id ASC) tie-break
-    "q_stream_topk" ->
-      """WITH c AS (
-           SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                  event_type, user_id, COUNT(*) AS cnt
-           FROM events GROUP BY 1, 2, 3)
-         SELECT day, event_type, user_id, cnt FROM (
-           SELECT day, event_type, user_id, cnt,
-                  ROW_NUMBER() OVER (PARTITION BY day, event_type
-                    ORDER BY cnt DESC, user_id) AS rn
-           FROM c)
-         WHERE rn <= 5""",
-
-    // same minhash/band machinery as q_dedup_incremental, folded to the
-    // per-arrival keep/drop decision the stream emits
-    "q_stream_dedup_lsh" ->
-      s"""WITH tk AS (
-            SELECT doc_id,
-                   string_split_regex(trim(regexp_replace(lower(text),
-                     '[^a-z0-9\\s]+', ' ', 'g')), '\\s+') AS tk
-            FROM documents),
-          sh AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(
-                     generate_series(1, len(tk) - 2),
-                     i -> array_to_string(tk[i:i+2], ' '))) AS shset
-            FROM tk),
-          units AS (SELECT doc_id, unnest(shset) AS u FROM sh),
-          vocab AS (SELECT DISTINCT u FROM units),
-          vh AS (
-            SELECT u, i AS perm, md5(i::VARCHAR || ':' || u) AS h
-            FROM vocab CROSS JOIN range(8) r(i)),
-          mh AS (
-            SELECT doc_id, perm, min(h) AS mh
-            FROM units JOIN vh USING (u)
-            GROUP BY doc_id, perm),
-          band AS (
-            SELECT doc_id, (perm // 2)::INT AS band,
-                   md5(string_agg(mh, ',' ORDER BY perm)) AS bucket
-            FROM mh GROUP BY doc_id, perm // 2),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
-            FROM band a JOIN band b
-              ON a.band = b.band AND a.bucket = b.bucket
-            WHERE a.doc_id % 17 = 0 AND b.doc_id % 17 <> 0),
-          dup AS (
-            SELECT new_id, count(*)::BIGINT AS n_dups
-            FROM cand
-            JOIN sh sa ON cand.new_id = sa.doc_id
-            JOIN sh sb ON cand.corpus_id = sb.doc_id
-            WHERE len(list_intersect(sa.shset, sb.shset))::DOUBLE /
-                    len(list_distinct(list_concat(sa.shset, sb.shset)))
-                    >= 0.8
-            GROUP BY new_id)
-          SELECT d.doc_id, dup.new_id IS NULL AS keep,
-                 COALESCE(dup.n_dups, 0)::BIGINT AS n_dups
-          FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) d
-          LEFT JOIN dup ON d.doc_id = dup.new_id""",
-
-    // latest-wins upsert ground truth: last event per user by ts
-    // ((user_id, ts) is unique in the events table)
-    "q_stream_upsert" ->
-      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
-                value
-         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-                 ORDER BY ts DESC) AS rn
-               FROM events)
-         WHERE rn = 1""",
-
-    "q_stream_enrich" ->
-      """SELECT event_id, event_type, n_name
-         FROM events JOIN nation ON user_id % 25 = n_nationkey""",
-
-    // the same weekly-tier dimension, batch-joined at event time
-    "q_stream_scd2" ->
-      """WITH dim AS (
-           SELECT u.user_id, k.k,
-                  (DATE '2024-01-01'
-                    + CAST(k.k * 7 AS INT))::TIMESTAMP AS vf,
-                  (DATE '2024-01-01'
-                    + CAST((k.k + 1) * 7 AS INT))::TIMESTAMP AS vt,
-                  CAST((u.user_id + k.k) % 3 AS INT) AS tier
-           FROM (SELECT unnest(range(150)) AS user_id) u,
-                (SELECT unnest(range(5)) AS k) k),
-         j AS (SELECT d.tier, e.user_id,
-                      CAST(CAST(e.value AS DECIMAL(18,2)) * 100
-                        AS BIGINT) AS v_c
-               FROM events e JOIN dim d
-                 ON e.user_id = d.user_id
-                    AND e.ts >= d.vf AND e.ts < d.vt)
-         SELECT tier, COUNT(*) AS n_events,
-                COUNT(DISTINCT user_id) AS n_users,
-                CAST(SUM(v_c) AS BIGINT) AS v_sum_c
-         FROM j GROUP BY tier ORDER BY tier""",
-
-    // per-row routing ≡ a batch filter: NULL-predicate rows quarantine
-    // (CASE lands in ELSE), sums through decimal(18,2)
-    "q_stream_validate" ->
-      """WITH f AS (
-           SELECT CASE WHEN event_type IN
-                         ('click','view','purchase','signup')
-                        AND value >= 0 AND value <= 400
-                        AND user_id IS NOT NULL
-                  THEN 'published' ELSE 'quarantined' END AS side, value
-           FROM events)
-         , agg AS (
-           SELECT side, count(*)::BIGINT AS n_rows,
-                  CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))),
-                    0) AS DOUBLE) AS sum_value
-           FROM f GROUP BY side)
-         -- both sides ALWAYS appear (zero row if a class is empty),
-         -- matching routeValidated's one-row-per-side contract
-         SELECT s.side, COALESCE(n_rows, 0)::BIGINT AS n_rows,
-                COALESCE(sum_value, 0.0) AS sum_value
-         FROM (VALUES ('published'), ('quarantined')) s(side)
-         LEFT JOIN agg ON agg.side = s.side""",
-
-    "q_s_orc_roundtrip" -> "SELECT * FROM nation",
-
-    "q_s_json_roundtrip" -> "SELECT * FROM supplier",
-
-    "q_s_xml_roundtrip" -> "SELECT * FROM region",
-
-    // DuckDB's recursive CTE over the same digit hierarchy — two
-    // engines' WITH RECURSIVE agreeing row for row (// is DuckDB's
-    // truncating integer division, Spark's DIV)
-    "q_sql_recursive" ->
-      """WITH RECURSIVE anc(root, node, depth, bal) AS (
-           SELECT c_custkey, c_custkey, 0,
-                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
-           FROM customer WHERE c_custkey < 10
-           UNION ALL
-           SELECT a.root, c.c_custkey, a.depth + 1,
-                  CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
-           FROM anc a JOIN customer c
-             ON c.c_custkey // 10 = a.node AND c.c_custkey >= 10
-         )
-         SELECT root, COUNT(*)::BIGINT AS n_nodes,
-                CAST(MAX(depth) AS BIGINT) AS max_depth,
-                SUM(bal)::BIGINT AS subtree_cents
-         FROM anc GROUP BY root ORDER BY root""",
-
-    "q_s_schema_evolution" ->
-      """SELECT (s_suppkey % 2 = 0) AS legacy_rows,
-                count(*)::BIGINT AS cnt,
-                CAST(SUM(CASE WHEN s_suppkey % 2 = 0 THEN 0
-                              ELSE s_nationkey END) AS BIGINT) AS sum_nk
-         FROM supplier GROUP BY 1""",
-
-    "q_s_quarantine" ->
-      """SELECT (s_suppkey % 7 = 0) AS quarantined,
-                count(*)::BIGINT AS cnt,
-                CAST(SUM(CASE WHEN s_suppkey % 7 = 0 THEN 0
-                              ELSE s_suppkey END) AS BIGINT) AS sum_key
-         FROM supplier GROUP BY 1""",
-
-    "q_s_compaction" ->
-      """SELECT o_orderpriority, COUNT(*) AS cnt,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                  AS sum_price
-         FROM orders GROUP BY o_orderpriority""",
-
-    "q_data_card" ->
-      """WITH t0 AS (
-           SELECT doc_id, lang, source, COALESCE(text, '') AS tx,
-                  CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
-                       ELSE COALESCE(CAST(len(string_split_regex(
-                         trim(text), '\s+')) AS BIGINT), 0) END AS toks
-           FROM documents),
-         b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                      CAST(SUM(toks) AS BIGINT) AS n_tokens,
-                      CAST(SUM(length(tx)) AS BIGINT) AS n_chars,
-                      CAST(COUNT(DISTINCT source) AS BIGINT)
-                        AS n_sources,
-                      CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-                      CAST(SUM(CASE WHEN length(tx) = 0 THEN 1
-                               ELSE 0 END) AS BIGINT) AS n_empty,
-                      CAST(COUNT(DISTINCT md5(tx)) AS BIGINT)
-                        AS n_distinct_text
-               FROM t0),
-         ts AS (SELECT MAX(c) AS top_c FROM
-                  (SELECT COUNT(*) AS c FROM t0 GROUP BY source)),
-         q AS (SELECT quantile_cont(CAST(toks AS DOUBLE), 0.5) AS p50
-               FROM t0)
-         SELECT m.metric, m.value FROM b, ts, q,
-           LATERAL (VALUES
-             ('n_docs', CAST(n_docs AS DOUBLE)),
-             ('n_tokens', CAST(n_tokens AS DOUBLE)),
-             ('n_chars', CAST(n_chars AS DOUBLE)),
-             ('n_sources', CAST(n_sources AS DOUBLE)),
-             ('n_langs', CAST(n_langs AS DOUBLE)),
-             ('empty_rate', round(CAST(n_empty AS DOUBLE) /
-                CAST(n_docs AS DOUBLE), 6)),
-             ('mean_doc_tokens', round(CAST(n_tokens AS DOUBLE) /
-                CAST(n_docs AS DOUBLE), 6)),
-             ('exact_dup_rate', round(1.0 -
-                CAST(n_distinct_text AS DOUBLE) /
-                CAST(n_docs AS DOUBLE), 6)),
-             ('p50_doc_tokens', round(p50, 4)),
-             ('top_source_share', round(CAST(top_c AS DOUBLE) /
-                CAST(n_docs AS DOUBLE), 6))) AS m(metric, value)""",
-
-    // identical closed-form OLS over the same exact integer moment
-    // sums (x days, y cents); all casts to DOUBLE mirror the Spark
-    // side so the one division is bit-identical
-    "q_trend" ->
-      """WITH t0 AS (
-           SELECT l_suppkey,
-                  CAST(datediff('day', DATE '1992-01-01',
-                    CAST(l_shipdate AS DATE)) AS BIGINT) AS x,
-                  CAST(round(l_quantity * 100) AS BIGINT) AS yc
-           FROM lineitem
-           -- null x/y rows are dropped like groupTrend's filter, so n
-           -- counts exactly the rows the moment sums cover
-           WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL),
-         m AS (SELECT l_suppkey,
-                      CAST(COUNT(*) AS BIGINT) AS n,
-                      CAST(SUM(x) AS DOUBLE) AS sx,
-                      CAST(SUM(yc) AS DOUBLE) AS sy,
-                      CAST(SUM(x * yc) AS DOUBLE) AS sxy,
-                      CAST(SUM(x * x) AS DOUBLE) AS sxx
-               FROM t0 GROUP BY 1)
-         SELECT l_suppkey, n,
-                CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0.0
-                  THEN round((CAST(n AS DOUBLE) * sxy - sx * sy) /
-                    (CAST(n AS DOUBLE) * sxx - sx * sx) / 100.0, 6)
-                END AS slope,
-                CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0.0
-                  THEN round((sy -
-                    (CAST(n AS DOUBLE) * sxy - sx * sy) /
-                      (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) /
-                    CAST(n AS DOUBLE) / 100.0, 6)
-                END AS intercept
-         FROM m""",
-
-    // same sorted-rank Gini over per-source whitespace token mass
-    "q_gini_sources" ->
-      """WITH w AS (
-           SELECT source,
-                  SUM(COALESCE(CAST(len(string_split_regex(trim(text),
-                    '\s+')) AS BIGINT), 0)) AS tok
-           FROM documents GROUP BY source),
-         r AS (SELECT tok,
-                      ROW_NUMBER() OVER (ORDER BY tok, source) AS i
-               FROM w)
-         SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
-                CAST(SUM(tok) AS BIGINT) AS total_weight,
-                round(2.0 * CAST(SUM(i * tok) AS DOUBLE) /
-                  (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(tok) AS DOUBLE))
-                  - (COUNT(*) + 1)::DOUBLE / COUNT(*)::DOUBLE, 6)
-                  AS gini
-         FROM r""",
-
-    // identical left-assoc double expression per cell, micros summed
-    // exactly; margin cross join materializes observed-zero cells
-    "q_chi2_assoc" ->
-      """WITH o AS (SELECT lang AS a, source AS b, COUNT(*) AS o
-                    FROM documents GROUP BY 1, 2),
-         rt AS (SELECT a, SUM(o) AS rt FROM o GROUP BY 1),
-         ct AS (SELECT b, SUM(o) AS ct FROM o GROUP BY 1),
-         nn AS (SELECT SUM(o) AS n FROM o),
-         cells AS (SELECT rt.a, ct.b, COALESCE(o.o, 0) AS o,
-                          rt.rt, ct.ct, nn.n
-                   FROM rt CROSS JOIN ct CROSS JOIN nn
-                   LEFT JOIN o ON o.a = rt.a AND o.b = ct.b),
-         t AS (SELECT a, b, n,
-                      CAST(round(((o - rt * ct * 1.0 / n) *
-                        (o - rt * ct * 1.0 / n)) /
-                        (rt * ct * 1.0 / n) * 1000000) AS BIGINT) AS tm
-               FROM cells)
-         SELECT CAST(SUM(tm) AS BIGINT) AS chi2_micro,
-                (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
-                  AS dof,
-                CAST(MAX(n) AS BIGINT) AS n
-         FROM t""",
-
-    // mirrors ops.timeseries.decayedSum exactly: integer-micros age,
-    // micro-snapped pow, cents × micros integer products summed in
-    // exact arithmetic (DuckDB hugeint), one double division + 4dp
-    "q_decayed_agg" ->
-      """WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
-         w AS (SELECT e.user_id,
-                      CAST(round(e.value * 100) AS BIGINT) *
-                        CAST(round(pow(2.0,
-                          -((epoch_us(mx.tmax) - epoch_us(e.ts))
-                             / 1000000.0) / 86400.0) * 1000000)
-                          AS BIGINT) AS wv
-               FROM events e, mx)
-         SELECT user_id, COUNT(*)::BIGINT AS n_events,
-                round(CAST(SUM(wv) AS DOUBLE) / 100000000.0 * 10000)
-                  / 10000 AS decayed_value
-         FROM w GROUP BY user_id""",
-
-    "q_rank_norm" ->
-      """SELECT doc_id, source, n_chars AS metric,
-                round(percent_rank() OVER (PARTITION BY source
-                  ORDER BY n_chars, doc_id), 6) AS pct,
-                round(percent_rank() OVER (PARTITION BY source
-                  ORDER BY n_chars, doc_id), 6) >= 0.75 AS keep
-         FROM documents""",
-
-    "q_gap_fill" ->
-      """WITH daily AS (
-           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-                  COUNT(*) AS cnt,
-                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                    AS sum_value
-           FROM events GROUP BY 1, 2),
-         spans AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
-                   FROM daily GROUP BY 1),
-         cal AS (SELECT user_id,
-                        CAST(unnest(generate_series(lo::TIMESTAMP,
-                          hi::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
-                 FROM spans)
-         SELECT c.user_id, c.day, COALESCE(d.cnt, 0) AS cnt,
-                COALESCE(d.sum_value, 0.0) AS sum_value
-         FROM cal c LEFT JOIN daily d
-           ON c.user_id = d.user_id AND c.day = d.day""",
-
-    "q_unigram_logprob" ->
-      """WITH tf AS (
-           SELECT doc_id,
-                  unnest(string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+')) AS tok
-           FROM documents),
-         freq AS (SELECT tok, COUNT(*) AS cnt FROM tf GROUP BY tok),
-         n AS (SELECT COUNT(*)::DOUBLE AS n_total FROM tf)
-         SELECT doc_id, COUNT(*) AS n_tokens,
-                CAST(SUM(CAST(round(ln(cnt / n_total) * 1000000)
-                  AS BIGINT)) AS BIGINT) AS lp_sum_micro,
-                round(CAST(SUM(CAST(round(ln(cnt / n_total) * 1000000)
-                  AS BIGINT)) AS BIGINT) / 1000000.0 / COUNT(*), 4)
-                  AS avg_logprob
-         FROM tf JOIN freq USING (tok), n
-         GROUP BY doc_id""",
-
-    "q_bigram_logprob" ->
-      """WITH toks AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
-           FROM documents),
-         bg AS (
-           SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-           FROM (SELECT doc_id, t,
-                        unnest(generate_series(1, len(t) - 1)) AS i
-                 FROM toks WHERE len(t) >= 2)),
-         uni AS (SELECT unnest(t) AS w FROM toks),
-         u AS (SELECT w, COUNT(*) AS uc FROM uni GROUP BY w),
-         tot AS (SELECT COUNT(*)::DOUBLE AS t_total FROM uni),
-         bc AS (SELECT w1, w2, COUNT(*) AS nbc FROM bg GROUP BY w1, w2),
-         scored AS (
-           SELECT bg.doc_id,
-                  CAST(round(ln(0.7 * (bc.nbc / u1.uc) +
-                               0.3 * (u2.uc / tot.t_total)) * 1000000)
-                    AS BIGINT) AS lp_micro
-           FROM bg
-           JOIN bc USING (w1, w2)
-           JOIN u u1 ON bg.w1 = u1.w
-           JOIN u u2 ON bg.w2 = u2.w, tot)
-         SELECT doc_id, COUNT(*) AS n_bigrams,
-                CAST(SUM(lp_micro) AS BIGINT) AS lp_sum_micro,
-                round((CAST(SUM(lp_micro) AS BIGINT) / 1000000.0
-                  / COUNT(*)) * 10000) / 10000 AS avg_logprob
-         FROM scored GROUP BY doc_id""",
-
-    // Mirrors Text.perplexityBuckets: the q_bigram_logprob score CTEs,
-    // nll = −avg_logprob (same 4dp snap), rank by (nll, doc_id), and
-    // integer tercile cutoffs ceil(n/3), ceil(2n/3) on the 1-based rank.
-    "q_ppl_buckets" ->
-      """WITH toks AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
-           FROM documents),
-         bg AS (
-           SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-           FROM (SELECT doc_id, t,
-                        unnest(generate_series(1, len(t) - 1)) AS i
-                 FROM toks WHERE len(t) >= 2)),
-         uni AS (SELECT unnest(t) AS w FROM toks),
-         u AS (SELECT w, COUNT(*) AS uc FROM uni GROUP BY w),
-         tot AS (SELECT COUNT(*)::DOUBLE AS t_total FROM uni),
-         bc AS (SELECT w1, w2, COUNT(*) AS nbc FROM bg GROUP BY w1, w2),
-         scored AS (
-           SELECT bg.doc_id,
-                  CAST(round(ln(0.7 * (bc.nbc / u1.uc) +
-                               0.3 * (u2.uc / tot.t_total)) * 1000000)
-                    AS BIGINT) AS lp_micro
-           FROM bg
-           JOIN bc USING (w1, w2)
-           JOIN u u1 ON bg.w1 = u1.w
-           JOIN u u2 ON bg.w2 = u2.w, tot),
-         lp AS (
-           SELECT doc_id, COUNT(*) AS nb,
-                  CAST(SUM(lp_micro) AS BIGINT) AS s
-           FROM scored GROUP BY doc_id),
-         nl AS (
-           SELECT doc_id,
-                  round((s / 1000000.0 / nb) * 10000) / 10000 * -1.0
-                    AS nll
-           FROM lp),
-         rk AS (
-           SELECT doc_id, nll,
-                  row_number() OVER (ORDER BY nll, doc_id) AS rank,
-                  count(*) OVER () AS n
-           FROM nl)
-         SELECT doc_id, nll, rank::BIGINT AS rank,
-                CASE WHEN rank <= ceil(n / 3.0) THEN 'head'
-                     WHEN rank <= ceil(2.0 * n / 3.0) THEN 'middle'
-                     ELSE 'tail' END AS ppl_bucket
-         FROM rk""",
-
-    "q_chunk_overlap" ->
-      """WITH toks AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
-           FROM documents),
-         st AS (SELECT doc_id, t, len(t) AS n,
-                       unnest(range(1, len(t) + 1, 48)) AS start
-                FROM toks WHERE len(t) >= 1),
-         ch AS (SELECT doc_id,
-                       CAST((start - 1) // 48 AS INT) AS chunk_idx,
-                       CAST(start AS INT) AS start,
-                       t[start:least(start + 63, n)] AS chunk
-                FROM st)
-         SELECT doc_id, chunk_idx, start,
-                CAST(len(chunk) AS INT) AS chunk_len,
-                array_to_string(chunk, ' ') AS chunk_text
-         FROM ch WHERE start = 1 OR len(chunk) > 16""",
-
-    "q_chunk_dedup" ->
-      """WITH toks AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
-           FROM documents),
-         st AS (SELECT doc_id, t, len(t) AS n,
-                       unnest(range(1, len(t) + 1, 32)) AS start
-                FROM toks WHERE len(t) >= 1),
-         ch AS (SELECT doc_id,
-                       CAST((start - 1) // 32 AS INT) AS chunk_idx,
-                       array_to_string(t[start:least(start + 31, n)], ' ')
-                         AS chunk_text
-                FROM st),
-         flagged AS (SELECT doc_id, chunk_idx,
-                       CASE WHEN row_number() OVER
-                         (PARTITION BY md5(chunk_text)
-                          ORDER BY doc_id, chunk_idx) = 1
-                       THEN 1 ELSE 0 END AS kept
-                     FROM ch)
-         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-                CAST(SUM(kept) AS BIGINT) AS n_kept,
-                round(CAST(SUM(kept) AS BIGINT)
-                      / CAST(COUNT(*) AS BIGINT), 6) AS kept_ratio
-         FROM flagged GROUP BY doc_id""",
-
-    "q_corpus_mix" ->
-      """WITH by_lang AS (
-           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_orig
-           FROM documents GROUP BY lang),
-         tot AS (SELECT CAST(SUM(n_orig) AS BIGINT) AS n_total,
-                        CAST(COUNT(*) AS BIGINT) AS n_langs FROM by_lang),
-         thr AS (SELECT lang, n_orig,
-                        least(10000,
-                          ((n_total // n_langs) * 10000) // n_orig)
-                          AS threshold
-                 FROM by_lang, tot),
-         kept AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
-                  FROM documents d JOIN thr USING (lang)
-                  WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))
-                        ::BIGINT % 10000) < threshold
-                  GROUP BY lang)
-         SELECT t.lang, t.n_orig, t.threshold,
-                COALESCE(k.n_kept, 0) AS n_kept
-         FROM thr t LEFT JOIN kept k ON t.lang = k.lang""",
-
-    "q_tempered_mix" ->
-      """WITH by_lang AS (
-           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_orig,
-                  CAST(round(power(COUNT(*), 0.7) * 1000000) AS BIGINT)
-                    AS w_micro
-           FROM documents GROUP BY lang),
-         tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS wt_micro,
-                        CAST(SUM(n_orig) AS BIGINT) AS n_total
-                 FROM by_lang),
-         thr AS (SELECT lang, n_orig,
-                        CAST(round(w_micro / CAST(wt_micro AS DOUBLE)
-                          * 1000000) AS BIGINT) AS share_micro,
-                        least(10000,
-                          ((n_total // 2) *
-                           CAST(round(w_micro / CAST(wt_micro AS DOUBLE)
-                             * 1000000) AS BIGINT)) // (100 * n_orig))
-                          AS threshold
-                 FROM by_lang, tot),
-         kept AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
-                  FROM documents d JOIN thr USING (lang)
-                  WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))
-                        ::BIGINT % 10000) < threshold
-                  GROUP BY lang)
-         SELECT t.lang, t.n_orig, t.share_micro, t.threshold,
-                COALESCE(k.n_kept, 0) AS n_kept
-         FROM thr t LEFT JOIN kept k ON t.lang = k.lang""",
-
-    "q_window_percent" ->
-      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-                l_returnflag,
-                round(percent_rank() OVER w, 6) AS pr,
-                round(cume_dist() OVER w, 6) AS cd,
-                nth_value(l_extendedprice, 3) OVER w AS third_price
-         FROM lineitem
-         WINDOW w AS (PARTITION BY l_returnflag
-                      ORDER BY l_extendedprice, l_orderkey,
-                               l_linenumber, l_partkey, l_suppkey)""",
-
-    "q_ts_interpolate" ->
-      """WITH daily AS (
-           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
-           FROM events GROUP BY 1, 2),
-         spans AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
-                   FROM daily GROUP BY 1),
-         cal AS (SELECT user_id,
-                        CAST(unnest(generate_series(lo::TIMESTAMP,
-                          hi::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
-                 FROM spans),
-         dense AS (SELECT c.user_id, c.day, d.v
-                   FROM cal c LEFT JOIN daily d
-                     ON c.user_id = d.user_id AND c.day = d.day),
-         w AS (SELECT user_id, day, v,
-           last_value(v IGNORE NULLS) OVER
-             (PARTITION BY user_id ORDER BY day
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
-           last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY day
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
-           first_value(v IGNORE NULLS) OVER
-             (PARTITION BY user_id ORDER BY day
-              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
-           first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY day
-              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
-           FROM dense)
-         SELECT user_id, day,
-                round(CASE WHEN v IS NOT NULL THEN v
-                  WHEN prev_v IS NULL THEN next_v
-                  WHEN next_v IS NULL THEN prev_v
-                  ELSE prev_v + (next_v - prev_v)
-                       * date_diff('day', prev_d, day)
-                       / date_diff('day', prev_d, next_d) END, 6) AS v
-         FROM w""",
-
-    "q_ts_moving" ->
-      """WITH daily AS (
-           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-                  COUNT(*) AS cnt,
-                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                    AS sum_value
-           FROM events GROUP BY 1, 2),
-         spans AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
-                   FROM daily GROUP BY 1),
-         cal AS (SELECT user_id,
-                        CAST(unnest(generate_series(lo::TIMESTAMP,
-                          hi::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
-                 FROM spans),
-         dense AS (SELECT c.user_id, c.day,
-                          COALESCE(d.cnt, 0) AS cnt,
-                          COALESCE(d.sum_value, 0.0) AS sum_value
-                   FROM cal c LEFT JOIN daily d
-                     ON c.user_id = d.user_id AND c.day = d.day)
-         SELECT user_id, day,
-                CAST(SUM(cnt) OVER w7 AS BIGINT) AS cnt_7d,
-                CAST(SUM(CAST(sum_value AS DECIMAL(18,2))) OVER w7
-                  AS DOUBLE) AS sum_7d,
-                MAX(sum_value) OVER w7 AS max_7d
-         FROM dense
-         WINDOW w7 AS (PARTITION BY user_id ORDER BY day
-                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
-
-    "q_funnel" ->
-      """WITH s0 AS (SELECT user_id, MIN(ts) AS prev FROM events
-                     WHERE event_type = 'view' GROUP BY 1),
-         s1 AS (SELECT e.user_id, MIN(e.ts) AS prev
-                FROM events e JOIN s0 USING (user_id)
-                WHERE e.event_type = 'click' AND e.ts > s0.prev
-                GROUP BY 1),
-         s2 AS (SELECT e.user_id, MIN(e.ts) AS prev
-                FROM events e JOIN s1 USING (user_id)
-                WHERE e.event_type = 'purchase' AND e.ts > s1.prev
-                GROUP BY 1)
-         SELECT 0 AS stage_idx, 'view' AS stage,
-                CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
-           HAVING COUNT(*) > 0
-         UNION ALL SELECT 1, 'click', CAST(COUNT(*) AS BIGINT) FROM s1
-           HAVING COUNT(*) > 0
-         UNION ALL SELECT 2, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s2
-           HAVING COUNT(*) > 0""",
-
-    "q_cohort" ->
-      """WITH activity AS (
-           SELECT DISTINCT user_id,
-                  CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
-         coh AS (SELECT user_id, MIN(day) AS cohort_day
-                 FROM activity GROUP BY 1)
-         SELECT cohort_day,
-                CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
-                CAST(COUNT(*) AS BIGINT) AS n_users
-         FROM activity JOIN coh USING (user_id)
-         GROUP BY 1, 2""",
-
-    "q_scd2" ->
-      """WITH ordered AS (
-           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
-                  lag(o_orderpriority) OVER w AS prev_attr,
-                  lag(1) OVER w AS prev_marker
-           FROM orders
-           WINDOW w AS (PARTITION BY o_custkey
-                        ORDER BY o_orderdate, o_orderkey)),
-         -- null-safe change detection like the Spark side: the lag'd
-         -- constant marks the true first row, and IS DISTINCT FROM
-         -- treats value<->NULL transitions as real change points
-         changes AS (SELECT * FROM ordered
-                     WHERE prev_marker IS NULL
-                        OR prev_attr IS DISTINCT FROM o_orderpriority)
-         SELECT o_custkey, o_orderpriority,
-                o_orderdate AS valid_from,
-                lead(o_orderdate) OVER w AS valid_to,
-                (lead(o_orderdate) OVER w IS NULL) AS is_current
-         FROM changes
-         WINDOW w AS (PARTITION BY o_custkey
-                      ORDER BY o_orderdate, o_orderkey)""",
-
-    "q_profile" ->
-      """SELECT 'l_quantity' AS col_name,
-                CAST(COUNT(*) AS BIGINT) AS n_rows,
-                CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
-                CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
-                MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
-                round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                  AS DOUBLE) / COUNT(l_quantity), 6) AS avg_v
-         FROM lineitem
-         UNION ALL
-         SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
-                CAST(COUNT(l_extendedprice) AS BIGINT),
-                CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
-                MIN(l_extendedprice), MAX(l_extendedprice),
-                round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                  AS DOUBLE) / COUNT(l_extendedprice), 6)
-         FROM lineitem
-         UNION ALL
-         SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
-                CAST(COUNT(l_discount) AS BIGINT),
-                CAST(COUNT(DISTINCT l_discount) AS BIGINT),
-                MIN(l_discount), MAX(l_discount),
-                round(CAST(SUM(CAST(l_discount AS DECIMAL(18,2)))
-                  AS DOUBLE) / COUNT(l_discount), 6)
-         FROM lineitem""",
-
-    // exact stats + the sketch verdict: the oracle recomputes the exact
-    // side and asserts the bounded-error boolean literally
-    "q_profile_approx" ->
-      """SELECT 'l_quantity' AS col_name,
-                CAST(COUNT(*) AS BIGINT) AS n_rows,
-                CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
-                CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
-                MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
-                round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                  AS DOUBLE) / COUNT(l_quantity), 6) AS avg_v,
-                TRUE AS nd_ok
-         FROM lineitem
-         UNION ALL
-         SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
-                CAST(COUNT(l_extendedprice) AS BIGINT),
-                CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
-                MIN(l_extendedprice), MAX(l_extendedprice),
-                round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                  AS DOUBLE) / COUNT(l_extendedprice), 6),
-                TRUE
-         FROM lineitem
-         UNION ALL
-         SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
-                CAST(COUNT(l_discount) AS BIGINT),
-                CAST(COUNT(DISTINCT l_discount) AS BIGINT),
-                MIN(l_discount), MAX(l_discount),
-                round(CAST(SUM(CAST(l_discount AS DECIMAL(18,2)))
-                  AS DOUBLE) / COUNT(l_discount), 6),
-                TRUE
-         FROM lineitem""",
-
-    // frequency-ranked prefix sums on the distinct-token frame
-    "q_vocab_coverage" ->
-      s"""WITH tf AS (
-           SELECT unnest(string_split_regex(trim(regexp_replace(
-                    lower(text), '[^a-z0-9\\s]+', ' ', 'g')), '\\s+'))
-                    AS tok
-           FROM documents),
-         freq AS (SELECT tok, COUNT(*) AS cnt FROM tf GROUP BY 1),
-         r AS (SELECT cnt, tok,
-                      SUM(cnt) OVER (ORDER BY cnt DESC, tok) AS cum,
-                      ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk
-               FROM freq),
-         tot AS (SELECT SUM(cnt) AS n_total FROM freq)
-         SELECT p.pct, MIN(rk) AS k_tokens,
-                CAST(MAX(n_total) AS BIGINT) AS n_total
-         FROM r, tot, (SELECT unnest([50, 90, 95, 99]) AS pct) p
-         WHERE cum * 100 >= n_total * p.pct
-         GROUP BY 1 ORDER BY 1""",
-
-    // whole-second gaps; CV² by the same two-step floor division
-    "q_burstiness" ->
-      """WITH g0 AS (
-           SELECT user_id,
-                  epoch_us(ts) // 1000000 AS sec,
-                  LAG(epoch_us(ts) // 1000000, 1) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id)
-                    AS prev_sec
-           FROM events),
-         g AS (SELECT user_id, sec - prev_sec AS g FROM g0
-               WHERE prev_sec IS NOT NULL),
-         a AS (SELECT user_id, COUNT(*) AS n_gaps,
-                      CAST(SUM(g) AS BIGINT) AS sx,
-                      CAST(SUM(g * g) AS BIGINT) AS sxx
-               FROM g GROUP BY 1)
-         SELECT user_id, n_gaps,
-                CAST((sx * 1000000) // n_gaps AS BIGINT)
-                  AS mean_gap_micro,
-                CAST((n_gaps * sxx - sx * sx) // (sx * sx) * 1000000
-                     + (((n_gaps * sxx - sx * sx) % (sx * sx))
-                        * 1000000) // (sx * sx) AS BIGINT) AS cv2_micro
-         FROM a WHERE sx > 0
-         ORDER BY user_id""",
-
-    // day − row_number constant within a run; ties → latest run
-    "q_streaks" ->
-      """WITH days AS (SELECT DISTINCT user_id,
-                         CAST(date_trunc('day', ts) AS DATE) AS day
-                       FROM events),
-         i AS (SELECT user_id, day,
-                      day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
-                        ORDER BY day) AS INT) AS grp
-               FROM days),
-         runs AS (SELECT user_id, grp, COUNT(*) AS len,
-                         MIN(day) AS start_day
-                  FROM i GROUP BY 1, 2),
-         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                 ORDER BY len DESC, start_day DESC) AS rk FROM runs)
-         SELECT user_id, len AS best_len, start_day AS best_start
-         FROM r WHERE rk = 1 ORDER BY user_id""",
-
-    // lag(7) on the daily frame, gated to a true 7-day gap
-    "q_pop" ->
-      """WITH daily AS (SELECT event_type,
-                          CAST(date_trunc('day', ts) AS DATE) AS day,
-                          COUNT(*) AS cnt
-                        FROM events GROUP BY 1, 2),
-         l AS (SELECT *, LAG(cnt, 7) OVER w AS prev,
-                      LAG(day, 7) OVER w AS prev_day
-               FROM daily
-               WINDOW w AS (PARTITION BY event_type ORDER BY day))
-         SELECT event_type, day, cnt, prev,
-                CAST(((cnt - prev) * 1000000) // prev AS BIGINT)
-                  AS wow_micro
-         FROM l
-         WHERE prev IS NOT NULL AND day - prev_day = 7
-         ORDER BY event_type, day""",
-
-    // sketch bytes are engine-specific → exact count hashed, estimate
-    // verdict asserted in-row (the q_hll_partitioned convention)
-    "q_hll_at_rest" ->
-      """SELECT count(DISTINCT user_id) AS exact_users, TRUE AS ok
-         FROM events""",
-
-    // the same jump-point evaluation: cumulative counts per distinct
-    // value, cross-multiplied in HUGEINT, micro-units via //
-    "q_ks_drift" ->
-      """WITH vals AS (
-           SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                    AS v,
-                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
-                    AS a
-           FROM events),
-         pv AS (
-           SELECT v, sum(a)::BIGINT AS c1,
-                  sum(1 - a)::BIGINT AS c2
-           FROM vals GROUP BY v),
-         cums AS (
-           SELECT sum(c1) OVER w::HUGEINT AS cum1,
-                  sum(c2) OVER w::HUGEINT AS cum2
-           FROM pv WINDOW w AS (ORDER BY v
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
-                 FROM pv),
-         d AS (SELECT max(abs(cum1 * n2 - cum2 * n1)) AS dmax, n1, n2
-               FROM cums, tot GROUP BY n1, n2)
-         SELECT n1, n2,
-                CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
-                     ELSE CAST((dmax * 1000000) //
-                       (n1::HUGEINT * n2) AS BIGINT) END AS d_micro
-         FROM d""",
-
-    // same jump-point cums; the step integral via lead(v) (the window
-    // is fine HERE — DuckDB is the small-scale oracle, the engine uses
-    // a rank self-join instead)
-    "q_emd_drift" ->
-      """WITH vals AS (
-           SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                    AS v,
-                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
-                    AS a
-           FROM events),
-         pv AS (
-           SELECT v, sum(a)::BIGINT AS c1,
-                  sum(1 - a)::BIGINT AS c2
-           FROM vals GROUP BY v),
-         cums AS (
-           SELECT v, sum(c1) OVER w::HUGEINT AS cum1,
-                  sum(c2) OVER w::HUGEINT AS cum2,
-                  lead(v) OVER (ORDER BY v) AS vn
-           FROM pv WINDOW w AS (ORDER BY v
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
-                 FROM pv),
-         w AS (SELECT coalesce(sum(abs(cum1 * n2 - cum2 * n1)
-                 * (vn - v)), 0)::HUGEINT AS w1
-               FROM cums, tot WHERE vn IS NOT NULL)
-         SELECT n1, n2,
-                CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
-                     ELSE CAST((w1 * 1000000) //
-                       (n1::HUGEINT * n2) AS BIGINT) END AS w1_micro
-         FROM tot, w""",
-
-    // same float→double→decimal ladder and division order as the Spark
-    // side, so means match bit-for-bit before the 6dp round
-    "q_emb_drift" ->
-      """WITH v AS (SELECT (vec_id % 2 = 0) AS snap_a,
-                           list_transform(embedding, x -> x::DOUBLE) AS e
-                    FROM embeddings),
-         g AS (SELECT a.j::INT AS dim, snap_a,
-                      sum(CAST(e[a.j + 1] AS DECIMAL(28,12))) AS sx,
-                      count(*) AS n
-               FROM v, range(0, 64) a(j)
-               GROUP BY 1, 2)
-         SELECT ga.dim,
-                round(ga.sx::DOUBLE / ga.n, 6) AS mean_a,
-                round(gb.sx::DOUBLE / gb.n, 6) AS mean_b,
-                round(ga.sx::DOUBLE / ga.n - gb.sx::DOUBLE / gb.n, 6)
-                  AS delta
-         FROM g ga JOIN g gb
-           ON ga.dim = gb.dim AND ga.snap_a AND NOT gb.snap_a
-         ORDER BY ga.dim""",
-
-    // exact rolling distinct + the verdict the sketch must satisfy
-    "q_rolling_distinct" ->
-      """WITH pairs AS (SELECT DISTINCT
-                          CAST(date_trunc('day', ts) AS DATE) AS day,
-                          user_id
-                        FROM events),
-         days AS (SELECT DISTINCT day FROM pairs)
-         SELECT a.day AS day, COUNT(DISTINCT p.day) AS n_days,
-                COUNT(DISTINCT p.user_id) AS exact_7d,
-                TRUE AS est_ok
-         FROM days a JOIN pairs p
-           ON p.day BETWEEN a.day - 6 AND a.day
-         GROUP BY 1 ORDER BY 1""",
-
-    "q_histogram" ->
-      """SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt,
-                MIN(o_totalprice) AS min_price,
-                MAX(o_totalprice) AS max_price,
-                CAST(bin AS DOUBLE) * 25000 AS bin_lo
-         FROM (SELECT CAST(floor(o_totalprice / 25000) AS INT) AS bin,
-                      o_totalprice FROM orders)
-         GROUP BY bin""",
-
-    "q_outliers" ->
-      """WITH t AS (
-           SELECT event_id, event_type AS grp, value AS v
-           FROM events WHERE value IS NOT NULL),
-         med AS (
-           SELECT grp, round(quantile_cont(v, 0.5), 4) AS m
-           FROM t GROUP BY grp),
-         dev AS (
-           SELECT t.event_id, t.grp, t.v, med.m
-           FROM t JOIN med USING (grp)),
-         mad AS (
-           SELECT grp, round(quantile_cont(abs(v - m), 0.5), 4) AS md
-           FROM dev GROUP BY grp)
-         SELECT event_id, grp AS event_type, v AS value,
-                round(0.6745 * (v - m) / md, 4) AS robust_z
-         FROM dev JOIN mad USING (grp)
-         WHERE md <> 0
-           AND abs(round(0.6745 * (v - m) / md, 4)) > 3.5""",
-
-    "q_fuzzy_join" ->
-      """WITH typos AS (
-           SELECT n_nationkey AS t_key,
-                  substr(n_name, 1, 1) || substr(n_name, 3) AS t_name
-           FROM nation),
-         cand AS (
-           SELECT t_key, t_name, n_nationkey, n_name,
-                  CAST(levenshtein(t_name, n_name) AS INT) AS dist
-           FROM typos JOIN nation
-             ON substr(t_name, 1, 1) = substr(n_name, 1, 1)
-            AND abs(length(t_name) - length(n_name)) <= 2
-           WHERE levenshtein(t_name, n_name) <= 2)
-         SELECT t_key, t_name, dist, n_nationkey AS match_key,
-                n_name AS match_name
-         FROM cand
-         QUALIFY row_number() OVER (PARTITION BY t_key, t_name
-                                    ORDER BY dist, n_nationkey) = 1""",
-
-    "q_stream_join" ->
-      """SELECT c.event_id AS left_id, p.event_id AS right_id,
-                c.user_id,
-                epoch_us(c.ts) AS left_us, epoch_us(p.ts) AS right_us,
-                p.value
-         FROM events c JOIN events p
-           ON c.user_id = p.user_id
-          AND c.event_type = 'click' AND p.event_type = 'purchase'
-          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR""",
-
-    "q_stream_join_outer" ->
-      """SELECT c.event_id AS left_id, p.event_id AS right_id,
-                c.user_id,
-                epoch_us(c.ts) AS left_us, epoch_us(p.ts) AS right_us,
-                p.value
-         FROM events c LEFT JOIN events p
-           ON c.user_id = p.user_id
-          AND p.event_type = 'purchase'
-          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
-         WHERE c.event_type = 'click'""",
-
-    "q_stream_join_full" ->
-      """WITH c AS (SELECT event_id, user_id, ts FROM events
-                    WHERE event_type = 'click'),
-            p AS (SELECT event_id, user_id, ts, value FROM events
-                    WHERE event_type = 'purchase')
-         SELECT c.event_id AS left_id, p.event_id AS right_id,
-                c.user_id AS user_id,
-                epoch_us(c.ts) AS left_us, epoch_us(p.ts) AS right_us,
-                p.value
-         FROM c FULL JOIN p
-           ON c.user_id = p.user_id
-          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR""",
-
-    "q_pack_sequences" ->
-      """WITH toks AS (
-           SELECT doc_id,
-                  len(regexp_extract_all(lower(text),
-                    '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_tokens
-           FROM documents),
-         cum AS (
-           SELECT doc_id, n_tokens,
-                  COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                    AS BIGINT), 0) AS cum_before
-           FROM toks)
-         SELECT cum_before // 2048 AS seq_id,
-                COUNT(*) AS n_docs,
-                CAST(SUM(n_tokens) AS BIGINT) AS fill_tokens,
-                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-         FROM cum GROUP BY 1""",
-
-    "q_zorder_key" -> {
-      // unrolled Morton interleave — disjoint bit positions, so + ≡ |
-      val terms = (0 until 11).flatMap(i => Seq(
-        s"((((l_partkey & 2047) >> $i) & 1) << ${2 * i})",
-        s"((((l_suppkey & 2047) >> $i) & 1) << ${2 * i + 1})"))
-      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-                 CAST(${terms.mkString(" + ")} AS BIGINT) AS z
-          FROM lineitem"""
-    },
-
-    "q_heavy_hitters" ->
-      """WITH tf AS (
-           SELECT lang,
-                  unnest(string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+')) AS tok
-           FROM documents),
-         c AS (SELECT lang, tok, COUNT(*) AS cnt FROM tf
-               GROUP BY lang, tok)
-         SELECT lang, tok, cnt FROM (
-           SELECT lang, tok, cnt,
-                  row_number() OVER (PARTITION BY lang
-                    ORDER BY cnt DESC, tok ASC) AS rn
-           FROM c)
-         WHERE rn <= 3""",
-
-    "q_text_repetition" ->
-      """WITH tk AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS toks
-           FROM documents)
-         SELECT doc_id,
-                round(CASE WHEN len(toks) - 2 > 0
-                  THEN 1.0 - len(list_distinct(list_transform(
-                         generate_series(1, len(toks) - 2),
-                         i -> array_to_string(toks[i:i+2], ' '))))::DOUBLE
-                       / (len(toks) - 2)
-                  ELSE 0.0 END, 6) AS rep_ratio
-         FROM tk""",
-
-    "q_oov_rate" ->
-      """WITH tf AS (
-           SELECT doc_id,
-                  unnest(string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+')) AS tok
-           FROM documents),
-         vocab AS (
-           SELECT tok FROM (
-             SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok)
-           WHERE df >= 10)
-         SELECT t.doc_id,
-                round(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
-                      / COUNT(*), 6) AS oov_rate
-         FROM tf t LEFT JOIN vocab v ON t.tok = v.tok
-         GROUP BY t.doc_id""",
-
-    // mirrors stripBoilerplate: non-overlapping 4-token chunks, df over
-    // DISTINCT docs, >= 3 docs => dropped everywhere, string_agg with
-    // ORDER BY ci restores document order (NULLed boiler chunks are
-    // skipped without a separator; all-dropped docs coalesce to '')
-    "q_boilerplate_strip" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(
-                    lower(coalesce(text, '')), '[^a-z0-9\s]+', ' ',
-                    'g')), '\s+') AS t
-           FROM documents),
-         ch AS (
-           SELECT doc_id, i AS ci,
-                  array_to_string(t[i*4 + 1 : i*4 + 4], ' ') AS chunk
-           FROM (SELECT doc_id, t,
-                        unnest(generate_series(0,
-                          CAST(ceil(len(t) / 4.0) AS INT) - 1)) AS i
-                 FROM tok)),
-         df AS (SELECT chunk, count(DISTINCT doc_id) AS nd
-                FROM ch GROUP BY chunk),
-         fl AS (SELECT doc_id, ci, chunk, nd >= 3 AS boiler
-                FROM ch JOIN df USING (chunk))
-         SELECT doc_id, count(*)::BIGINT AS n_chunks,
-                sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT
-                  AS n_dropped,
-                coalesce(string_agg(CASE WHEN NOT boiler THEN chunk END,
-                  ' ' ORDER BY ci), '') AS clean_text
-         FROM fl GROUP BY doc_id""",
-
-    // mirrors cleanText over the same deterministic re-dirtying: both
-    // engines splice 'a'+U+0301 (decomposed accent) + BEL into every
-    // "table", then NFC-compose (utf8proc here, java.text.Normalizer in
-    // Spark — same UAX #15 algorithm), strip Cc/Cf to spaces, collapse
-    // whitespace, trim
-    "q_text_clean" ->
-      """SELECT doc_id, clean, length(clean)::INT AS n_chars_clean
-         FROM (
-           SELECT doc_id,
-                  trim(regexp_replace(regexp_replace(
-                    nfc_normalize(replace(text, 'table',
-                      'ta' || chr(769) || 'ble' || chr(7))),
-                    '[\p{Cc}\p{Cf}]', ' ', 'g'),
-                    '\s+', ' ', 'g')) AS clean
-           FROM documents)""",
-
-    // mirrors sourceOverlap: distinct (source, shingle) pairs, pairwise
-    // intersection counts via the per-shingle source set, containment
-    // normalized by the left side's set size
-    // same tokenizer + md5-prefix bucket; sparse COO cells (scalar
-    // columns only — array cells defeat the harness's row sort)
-    "q_hashing_tf" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  unnest(string_split_regex(trim(regexp_replace(
-                    lower(text), '[^a-z0-9\s]+', ' ', 'g')), '\s+'))
-                    AS tok
-           FROM documents),
-         b AS (SELECT doc_id,
-                      ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64
-                        AS bucket
-               FROM tok)
-         SELECT doc_id, bucket, COUNT(*) AS tf
-         FROM b GROUP BY 1, 2
-         ORDER BY doc_id, bucket""",
-
-    // same shingle + md5-prefix hash as the engine; per-source cut,
-    // per-pair union merge, identical integer estimators
-    "q_kmv_overlap" ->
-      """WITH tok AS (
-           SELECT source, string_split_regex(trim(regexp_replace(
-             lower(text), '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
-           FROM documents),
-         sh AS (
-           SELECT DISTINCT source AS src,
-                  array_to_string(t[i:i+2], ' ') AS g
-           FROM (SELECT source, t,
-                        unnest(generate_series(1, len(t) - 2)) AS i
-                 FROM tok)),
-         hh AS (SELECT DISTINCT src,
-                       ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
-                FROM sh),
-         sk AS (SELECT src, h FROM (
-                  SELECT src, h, row_number() OVER (PARTITION BY src
-                    ORDER BY h) AS r
-                  FROM hh) WHERE r <= 128),
-         srcs AS (SELECT DISTINCT src FROM sk),
-         pairs AS (SELECT a.src AS src_a, b.src AS src_b
-                   FROM srcs a JOIN srcs b ON a.src < b.src),
-         u AS (SELECT p.src_a, p.src_b, s.h,
-                      MAX(CASE WHEN s.src = p.src_a THEN 1 ELSE 0 END)
-                        AS in_a,
-                      MAX(CASE WHEN s.src = p.src_b THEN 1 ELSE 0 END)
-                        AS in_b
-               FROM pairs p JOIN sk s ON s.src IN (p.src_a, p.src_b)
-               GROUP BY 1, 2, 3),
-         r AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b
-                 ORDER BY h) AS rnk
-               FROM u),
-         agg AS (SELECT src_a, src_b, COUNT(*) AS k_used,
-                        SUM(in_a * in_b) AS est_inter, MAX(h) AS kth
-                 FROM r WHERE rnk <= 128 GROUP BY 1, 2)
-         SELECT src_a, src_b, CAST(k_used AS BIGINT) AS k_used,
-                CAST(est_inter AS BIGINT) AS est_inter,
-                CAST((est_inter * 1000000) // k_used AS BIGINT)
-                  AS est_jaccard_micro,
-                CAST(CASE WHEN k_used < 128 THEN k_used
-                     ELSE (CAST(k_used - 1 AS HUGEINT) *
-                       1152921504606846976) // kth END AS BIGINT)
-                  AS est_union
-         FROM agg ORDER BY src_a, src_b""",
-
-    "q_source_overlap" ->
-      """WITH tok AS (
-           SELECT source, string_split_regex(trim(regexp_replace(
-             lower(text), '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
-           FROM documents),
-         sh AS (
-           SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS g
-           FROM (SELECT source, t,
-                        unnest(generate_series(1, len(t) - 2)) AS i
-                 FROM tok)),
-         sizes AS (SELECT source, count(*)::BIGINT AS n
-                   FROM sh GROUP BY source),
-         pairs AS (
-           SELECT a.source AS src_a, b.source AS src_b,
-                  count(*)::BIGINT AS n_shared
-           FROM sh a JOIN sh b ON a.g = b.g AND a.source <> b.source
-           GROUP BY 1, 2),
-         universe AS (
-           SELECT x.source AS src_a, y.source AS src_b
-           FROM sizes x JOIN sizes y ON x.source <> y.source)
-         SELECT u.src_a, u.src_b,
-                COALESCE(n_shared, 0)::BIGINT AS n_shared,
-                round(COALESCE(n_shared, 0)::DOUBLE / n, 6)
-                  AS containment
-         FROM universe u
-         LEFT JOIN pairs p ON u.src_a = p.src_a AND u.src_b = p.src_b
-         JOIN sizes ON u.src_a = sizes.source""",
-
-    // mirrors spanScrub in 1-based positions: dup windows mark their k
-    // positions per carrier doc, distinct position set, anti-join,
-    // ordered reassembly; fully-scrubbed docs coalesce to ''
-    "q_span_scrub" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(
-                    lower(coalesce(text, '')), '[^a-z0-9\s]+', ' ',
-                    'g')), '\s+') AS t
-           FROM documents),
-         w AS (
-           SELECT doc_id, i, array_to_string(t[i:i+3], ' ') AS w
-           FROM (SELECT doc_id, t,
-                        unnest(generate_series(1, len(t) - 3)) AS i
-                 FROM tok)),
-         d AS (SELECT w FROM (
-                 SELECT w, count(DISTINCT doc_id) AS nd FROM w GROUP BY w)
-               WHERE nd >= 2),
-         rp AS (SELECT DISTINCT doc_id, p FROM (
-                  SELECT doc_id, unnest(generate_series(i, i + 3)) AS p
-                  FROM w JOIN d USING (w))),
-         tp AS (SELECT doc_id, p, t[p] AS tok
-                FROM (SELECT doc_id, t,
-                             unnest(generate_series(1, len(t))) AS p
-                      FROM tok)),
-         kept AS (SELECT tp.doc_id, tp.p, tp.tok
-                  FROM tp LEFT JOIN rp
-                    ON tp.doc_id = rp.doc_id AND tp.p = rp.p
-                  WHERE rp.p IS NULL),
-         agg AS (SELECT doc_id, count(*)::BIGINT AS cnt,
-                        string_agg(tok, ' ' ORDER BY p) AS s
-                 FROM kept GROUP BY doc_id)
-         SELECT tok.doc_id, len(t)::BIGINT AS n_tokens,
-                (len(t) - coalesce(cnt, 0))::BIGINT AS n_removed,
-                coalesce(s, '') AS scrubbed
-         FROM tok LEFT JOIN agg USING (doc_id)""",
-
-    // mirrors bpeTrain with the 3 rounds unrolled: same wrapped-segment
-    // representation, same weighted adjacent-pair counts, same
-    // (n DESC, pair ASC) argmax, same literal replace whose left-to-
-    // right non-overlapping semantics is the greedy BPE fold
-    "q_bpe_merges" ->
-      """WITH v0 AS (
-           SELECT w, count(*)::BIGINT AS c,
-                  regexp_replace(w, '(.)', '(\1)', 'g') AS seg
-           FROM (SELECT unnest(string_split_regex(trim(regexp_replace(
-                   lower(text), '[^a-z0-9\s]+', ' ', 'g')), '\s+')) AS w
-                 FROM documents)
-           WHERE length(w) >= 1 GROUP BY w),
-         p1 AS (
-           SELECT unnest(list_transform(generate_series(1, len(s)-1),
-                    i -> s[i] || ' ' || s[i+1])) AS p, c
-           FROM (SELECT c, string_split(seg[2:-2], ')(') AS s FROM v0)),
-         a1 AS (SELECT p, sum(c)::BIGINT AS n FROM p1 GROUP BY p),
-         m1 AS (SELECT split_part(p, ' ', 1) AS l,
-                       split_part(p, ' ', 2) AS r, n
-                FROM a1 ORDER BY n DESC, p LIMIT 1),
-         v1 AS (SELECT w, c, replace(seg, '('||m1.l||')('||m1.r||')',
-                  '('||m1.l||m1.r||')') AS seg FROM v0, m1),
-         p2 AS (
-           SELECT unnest(list_transform(generate_series(1, len(s)-1),
-                    i -> s[i] || ' ' || s[i+1])) AS p, c
-           FROM (SELECT c, string_split(seg[2:-2], ')(') AS s FROM v1)),
-         a2 AS (SELECT p, sum(c)::BIGINT AS n FROM p2 GROUP BY p),
-         m2 AS (SELECT split_part(p, ' ', 1) AS l,
-                       split_part(p, ' ', 2) AS r, n
-                FROM a2 ORDER BY n DESC, p LIMIT 1),
-         v2 AS (SELECT w, c, replace(seg, '('||m2.l||')('||m2.r||')',
-                  '('||m2.l||m2.r||')') AS seg FROM v1, m2),
-         p3 AS (
-           SELECT unnest(list_transform(generate_series(1, len(s)-1),
-                    i -> s[i] || ' ' || s[i+1])) AS p, c
-           FROM (SELECT c, string_split(seg[2:-2], ')(') AS s FROM v2)),
-         a3 AS (SELECT p, sum(c)::BIGINT AS n FROM p3 GROUP BY p),
-         m3 AS (SELECT split_part(p, ' ', 1) AS l,
-                       split_part(p, ' ', 2) AS r, n
-                FROM a3 ORDER BY n DESC, p LIMIT 1)
-         SELECT 1 AS round, l AS "left", r AS "right", l || r AS merged,
-                n AS weight FROM m1
-         UNION ALL SELECT 2, l, r, l || r, n FROM m2
-         UNION ALL SELECT 3, l, r, l || r, n FROM m3""",
-
-    // same train chain as q_bpe_merges, then the apply half on the
-    // weighted vocab (≡ segmenting every occurrence): top-20 symbols
-    "q_bpe_tokenize" ->
-      """WITH v0 AS (
-           SELECT w, count(*)::BIGINT AS c,
-                  regexp_replace(w, '(.)', '(\1)', 'g') AS seg
-           FROM (SELECT unnest(string_split_regex(trim(regexp_replace(
-                   lower(text), '[^a-z0-9\s]+', ' ', 'g')), '\s+')) AS w
-                 FROM documents)
-           WHERE length(w) >= 1 GROUP BY w),
-         p1 AS (
-           SELECT unnest(list_transform(generate_series(1, len(s)-1),
-                    i -> s[i] || ' ' || s[i+1])) AS p, c
-           FROM (SELECT c, string_split(seg[2:-2], ')(') AS s FROM v0)),
-         a1 AS (SELECT p, sum(c)::BIGINT AS n FROM p1 GROUP BY p),
-         m1 AS (SELECT split_part(p, ' ', 1) AS l,
-                       split_part(p, ' ', 2) AS r, n
-                FROM a1 ORDER BY n DESC, p LIMIT 1),
-         v1 AS (SELECT w, c, replace(seg, '('||m1.l||')('||m1.r||')',
-                  '('||m1.l||m1.r||')') AS seg FROM v0, m1),
-         p2 AS (
-           SELECT unnest(list_transform(generate_series(1, len(s)-1),
-                    i -> s[i] || ' ' || s[i+1])) AS p, c
-           FROM (SELECT c, string_split(seg[2:-2], ')(') AS s FROM v1)),
-         a2 AS (SELECT p, sum(c)::BIGINT AS n FROM p2 GROUP BY p),
-         m2 AS (SELECT split_part(p, ' ', 1) AS l,
-                       split_part(p, ' ', 2) AS r, n
-                FROM a2 ORDER BY n DESC, p LIMIT 1),
-         v2 AS (SELECT w, c, replace(seg, '('||m2.l||')('||m2.r||')',
-                  '('||m2.l||m2.r||')') AS seg FROM v1, m2),
-         p3 AS (
-           SELECT unnest(list_transform(generate_series(1, len(s)-1),
-                    i -> s[i] || ' ' || s[i+1])) AS p, c
-           FROM (SELECT c, string_split(seg[2:-2], ')(') AS s FROM v2)),
-         a3 AS (SELECT p, sum(c)::BIGINT AS n FROM p3 GROUP BY p),
-         m3 AS (SELECT split_part(p, ' ', 1) AS l,
-                       split_part(p, ' ', 2) AS r, n
-                FROM a3 ORDER BY n DESC, p LIMIT 1),
-         v3 AS (SELECT w, c, replace(seg, '('||m3.l||')('||m3.r||')',
-                  '('||m3.l||m3.r||')') AS seg FROM v2, m3)
-         SELECT sym, sum(c)::BIGINT AS n
-         FROM (SELECT c, unnest(string_split(seg[2:-2], ')(')) AS sym
-               FROM v3)
-         GROUP BY sym ORDER BY n DESC, sym LIMIT 20""",
-
-    // mirrors phraseSearch: every aligned window start where the token
-    // sequence equals the phrase; overlapping matches count
-    "q_phrase_search" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  string_split_regex(trim(regexp_replace(lower(text),
-                    '[^a-z0-9\s]+', ' ', 'g')), '\s+') AS t
-           FROM documents),
-         c AS (
-           SELECT doc_id,
-                  len(list_filter(generate_series(1, len(t) - 1),
-                    i -> t[i] = 'value' AND t[i+1] = 'table'))::BIGINT
-                    AS n_matches
-           FROM tok)
-         SELECT doc_id, n_matches FROM c WHERE n_matches >= 1""",
-
-    // mirrors gopherFlags: raw whitespace words, integer-count divisions
-    // (bit-equal cross-engine, so the UNROUNDED band compares in `keep`
-    // cannot straddle an ulp), 6dp display rounding only
-    "q_gopher_rules" ->
-      """WITH m AS (
-           SELECT doc_id,
-                  len(string_split_regex(trim(text), '\s+'))::BIGINT
-                    AS n_words,
-                  length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
-                    AS non_ws,
-                  len(regexp_extract_all(text,
-                    '#|\.\.\.|…'))::DOUBLE AS symbols,
-                  len(list_filter(string_split_regex(trim(text), '\s+'),
-                    w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
-                    AS n_alpha,
-                  len(list_intersect(list_distinct(string_split_regex(
-                    trim(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ',
-                    'g')), '\s+')),
-                    ['the','be','to','of','and','that','have','with']))
-                    ::INT AS n_stop
-           FROM documents)
-         SELECT doc_id, n_words,
-                round(non_ws / greatest(n_words, 1), 6) AS mean_word_len,
-                round(symbols / greatest(n_words, 1), 6) AS symbol_ratio,
-                round(n_alpha / greatest(n_words, 1), 6) AS alpha_frac,
-                n_stop,
-                (n_words >= 50 AND n_words <= 100000
-                 AND non_ws / greatest(n_words, 1) >= 3.0
-                 AND non_ws / greatest(n_words, 1) <= 10.0
-                 AND symbols / greatest(n_words, 1) <= 0.1
-                 AND n_alpha / greatest(n_words, 1) >= 0.8
-                 AND n_stop >= 2) AS keep
-         FROM m""",
-
-    // mirrors validateBy grouped on source: same metrics per group
-    "q_expectations_by" ->
-      """WITH m AS (
-           SELECT source,
-             round(count(*)::DOUBLE, 6) AS m0,
-             round(avg(CASE WHEN text IS NOT NULL THEN 1.0::DOUBLE
-               ELSE 0.0::DOUBLE END), 6) AS m1,
-             round(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
-               / count(n_chars), 6) AS m2
-           FROM documents GROUP BY source)
-         SELECT source, c."check", c.metric, c.lo, c.hi,
-                COALESCE(c.metric >= c.lo AND c.metric <= c.hi,
-                  FALSE) AS ok
-         FROM m, LATERAL (VALUES
-           ('doc_count', m0, 20.0::DOUBLE, 30.0::DOUBLE),
-           ('text_complete', m1, 1.0::DOUBLE, 1.0::DOUBLE),
-           ('mean_chars', m2, 100.0::DOUBLE, 600.0::DOUBLE))
-           AS c("check", metric, lo, hi)""",
-
-    // mirrors expectations.validate: same metric definitions (integer-
-    // count ratios; decimal(18,2) sum cast to double before the divide),
-    // 6dp rounding, [lo,hi] inclusive bands; literals cast to DOUBLE so
-    // the hash compares float-to-float
-    "q_expectations" ->
-      """WITH m AS (
-           SELECT
-             round(count(DISTINCT o_orderkey)::DOUBLE /
-               count(o_orderkey), 6) AS m0,
-             round(avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0::DOUBLE
-               ELSE 0.0::DOUBLE END), 6) AS m1,
-             round(avg(CASE WHEN o_orderstatus IS NULL THEN NULL
-               WHEN o_orderstatus IN ('F','O','P') THEN 1.0::DOUBLE
-               ELSE 0.0::DOUBLE END), 6) AS m2,
-             round(avg(CASE WHEN o_orderpriority IS NULL THEN NULL
-               WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
-               THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) AS m3,
-             round(min(o_totalprice), 6) AS m4,
-             round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-               AS DOUBLE) / count(o_totalprice), 6) AS m5
-           FROM orders)
-         SELECT c."check", c.metric, c.lo, c.hi,
-                COALESCE(c.metric >= c.lo AND c.metric <= c.hi,
-                  FALSE) AS ok
-         FROM m, LATERAL (VALUES
-           ('o_orderkey_unique', m0, 1.0::DOUBLE, 1.0::DOUBLE),
-           ('o_custkey_complete', m1, 1.0::DOUBLE, 1.0::DOUBLE),
-           ('o_orderstatus_domain', m2, 1.0::DOUBLE, 1.0::DOUBLE),
-           ('o_orderpriority_format', m3, 1.0::DOUBLE, 1.0::DOUBLE),
-           ('o_totalprice_min', m4, 0.0::DOUBLE, 1e9::DOUBLE),
-           ('o_totalprice_mean', m5, 200000.0::DOUBLE, 300000.0::DOUBLE))
-           AS c("check", metric, lo, hi)"""
-  )
+  /** Oracle SQL for every SQL-expressible entry, composed like
+    * [[queries]]. */
+  def oracleSql: Map[String, String] = {
+    val parts = Seq(
+      SourcesQueries.oracleSql, SqlQueries.oracleSql,
+      StreamingQueries.oracleSql, MultimodalQueries.oracleSql,
+      AnnQueries.oracleSql, DedupQueries.oracleSql,
+      SaIndexQueries.oracleSql, GraphQueries.oracleSql,
+      TextQueries.oracleSql, AnalyticsQueries.oracleSql)
+    val all = parts.reduce(_ ++ _)
+    require(all.size == parts.map(_.size).sum,
+      "duplicate oracle name across domain registrars")
+    all
+  }
 
   /** DuckDB twin of Similarity.hyperplaneBucket + cosine pair filter.
     * list_dot_product over DOUBLE lists matches Spark's sequential
@@ -10361,7 +468,7 @@ object ExtensionQueries {
   /** MinHash+LSH candidate pairs (8 perms, 4 bands, jaccard ≥ 0.8) as a
     * CTE chain ending in `mh_pairs(doc_a, doc_b, jaccard)` — shared by the
     * pair query and the connected-components closure over it. */
-  private val minhashPairCtes: String =
+  private[graft] val minhashPairCtes: String =
     s"""tk AS (
           SELECT doc_id,
                  string_split_regex(trim(regexp_replace(lower(text),
@@ -10404,7 +511,7 @@ object ExtensionQueries {
                   >= 0.8)"""
 
   /** One table's bucket bit string: planes [offset, offset+planes). */
-  private def bucketSql(offset: Int, planes: Int): String =
+  private[graft] def bucketSql(offset: Int, planes: Int): String =
     s"""array_to_string(list_transform(generate_series($offset,
            ${offset + planes - 1}),
          p -> CASE WHEN list_dot_product(emb,
@@ -10414,7 +521,7 @@ object ExtensionQueries {
                  - 0.5)) >= 0
            THEN '1' ELSE '0' END), '')"""
 
-  private def embeddingPairsSql(numTables: Int, planesPerTable: Int,
+  private[graft] def embeddingPairsSql(numTables: Int, planesPerTable: Int,
                                 threshold: Double): String = {
     val bucketCols = (0 until numTables)
       .map(t => s"${bucketSql(t * planesPerTable, planesPerTable)} AS b$t")
@@ -10440,7 +547,7 @@ object ExtensionQueries {
                  sqrt(list_dot_product(b.emb, b.emb))) >= $threshold"""
   }
 
-  private def embeddingBucketsSql(numTables: Int, planesPerTable: Int)
+  private[graft] def embeddingBucketsSql(numTables: Int, planesPerTable: Int)
   : String = {
     val parts = (0 until numTables)
       .map(t => bucketSql(t * planesPerTable, planesPerTable))
@@ -10461,7 +568,7 @@ object ExtensionQueries {
     * restricted to probed cells, top-1 by (cos DESC, id ASC), then the
     * reciprocal join. DOUBLE-cast dot products (the FLOAT accumulation
     * gotcha) throughout. */
-  private val mutualKnnSql: String = {
+  private[graft] val mutualKnnSql: String = {
     // one direction: queries `qs` probe corpus `cs` (its centroids
     // `cent`), emitting the per-query top-1
     def dir(qs: String, cs: String): String =
@@ -10517,7 +624,7 @@ object ExtensionQueries {
     * stored assignment, 2 ranked probes per query, self-pairs
     * excluded, top-3 by (cos DESC, id ASC). Shared by the kNN-graph
     * query and the semantic-clusters composition. */
-  private val knnGraphCtes: String =
+  private[graft] val knnGraphCtes: String =
     s"""v AS (
           SELECT vec_id, label,
                  list_transform(embedding, x -> x::DOUBLE) AS emb
@@ -10554,7 +661,7 @@ object ExtensionQueries {
                     AND c.vec_id <> p.query_id)
           WHERE rnk <= 3)"""
 
-  private val knnGraphSql: String =
+  private[graft] val knnGraphSql: String =
     s"""WITH $knnGraphCtes
         SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos
         FROM knn ORDER BY query_id, rnk"""
@@ -10562,7 +669,7 @@ object ExtensionQueries {
   /** Mutual-kNN semantic clusters: each direction contributes an
     * unordered pair at most once, so mutual = count 2; components via
     * the recursive min-label reach (the q_dedup_components idiom). */
-  private val semanticClustersSql: String =
+  private[graft] val semanticClustersSql: String =
     s"""WITH RECURSIVE $knnGraphCtes,
         mut AS (SELECT least(query_id, neighbor_id) AS a,
                        greatest(query_id, neighbor_id) AS b
@@ -10584,7 +691,7 @@ object ExtensionQueries {
     * machinery at k=4 per direction, then the Artetxe–Schwenk ratio
     * margin cos / ((den_a + den_b)/2) with the engine's zero-sum NULL
     * guard and ≥ 0 filter. */
-  private val marginMiningSql: String = {
+  private[graft] val marginMiningSql: String = {
     def topk(qs: String, cs: String): String =
       s"""SELECT query_id, neighbor_id, rnk, cos FROM (
             SELECT p.query_id, c.vec_id AS neighbor_id,
@@ -10649,7 +756,7 @@ object ExtensionQueries {
     * least(|cells|, ceil(total/pass)), centroids from the full
     * assignment (float-rounded, double-accumulated — the engine's
     * exact precision path), candidates pre-filtered. */
-  private def filteredProbeCtes(sfx: String, predSql: String): String =
+  private[graft] def filteredProbeCtes(sfx: String, predSql: String): String =
     s"""v$sfx AS (
           SELECT vec_id, label,
                  list_transform(embedding, x -> x::DOUBLE) AS emb
@@ -10715,7 +822,7 @@ object ExtensionQueries {
           FROM ex$sfx e LEFT JOIN ap$sfx a
             USING (query_id, neighbor_id))"""
 
-  private def annSql(candCond: String, queryCond: String): String =
+  private[graft] def annSql(candCond: String, queryCond: String): String =
     s"""WITH v AS (
           SELECT vec_id, label,
                  list_transform(embedding, x -> x::DOUBLE) AS emb
