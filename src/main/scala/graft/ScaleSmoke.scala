@@ -1522,6 +1522,29 @@ object ScaleSmoke {
       Calibration.frozenCentroid(spark, rows / 50)._2
     }
 
+    // snapshot REBUILD at scale: the retrain phase is a health scan,
+    // one centroid aggregate (posexplode + avg — linear shuffle), one
+    // re-assignment against a |cells|-row broadcast, and metadata
+    // renames — nothing corpus-sized collects, broadcasts, or
+    // cross-joins, so retrain cost is ~two corpus passes at any size
+    timed("ivf rebuild-and-swap 200k") {
+      val n = rows / 250
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_smoke_rebuild").toString
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        array((0 until 16).map(j =>
+          (pmod(col("id") * (j + 3), lit(997)) / 997d)
+            .cast("float")): _*).as("embedding"),
+        pmod(col("id") * 31, lit(256)).cast("int").as("label"))
+        .stage()
+      graft.similarity.Similarity.seedIvfStore(vecs, "label", store)
+      val (rebuilt, _, _) = graft.similarity.Similarity.rebuildIvfStore(
+        vecs.select(col("vec_id"), col("embedding")), store,
+        maxMeanD2 = 0.0)
+      require(rebuilt, "forced gate must trip")
+      spark.read.parquet(s"$store/assignment").count()
+    }
+
     spark.stop()
   }
 }

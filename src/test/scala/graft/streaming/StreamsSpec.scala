@@ -416,6 +416,25 @@ class StreamsSpec extends SparkSpec {
       "ann/assignment", "ann/centroids", "ann/assignment_delta")
       .foreach(sub => assert(new java.io.File(s"$store/$sub").exists(),
         s"missing trio store artifact $sub"))
+    // LIFECYCLE INTEGRATION: the trio's ann/ store is a first-class
+    // rebuild input — retrain folds the stream's delta log into a
+    // fresh snapshot whose assignment covers corpus ∪ arrivals, and
+    // consumers of the swapped snapshot see the retrained centroids
+    val allVecs = emb.select(col("vec_id"), col("embedding"))
+    val (rebuilt, meanD2, _) = graft.similarity.Similarity
+      .rebuildIvfStore(allVecs, s"$store/ann", maxMeanD2 = 0.0)
+    assert(rebuilt && meanD2 > 0)
+    assert(!new java.io.File(s"$store/ann/assignment_delta").exists(),
+      "rebuild must retire the trio stream's delta log")
+    val swapped = spark.read.parquet(s"$store/ann/assignment")
+    assert(swapped.count() === n,
+      "swapped snapshot must cover corpus + streamed arrivals")
+    val expectedAfter = graft.similarity.Similarity.assignToStoredCells(
+        allVecs, spark.read.parquet(s"$store/ann/centroids"))
+      .as[(Long, Int)].collect().toSet
+    assert(swapped.as[(Long, Int)].collect().toSet === expectedAfter,
+      "swapped assignment must be the argmin against the swapped " +
+        "centroids — what any stream consumer restores from")
   }
 
   test("sa maintain stream: 3 sliced batches converge to from-scratch " +
