@@ -230,6 +230,31 @@ private[graft] object AnnQueries {
         .orderBy("vec_id")
     }),
 
+    // INCREMENTAL kNN-graph maintenance: fold an arrival batch into
+    // the at-rest kNN graph without re-running the n²-shaped candidate
+    // search — under the frozen quantizer, top-k is a mergeable
+    // summary, so the patch is (stored edges re-scored) ∪ (old queries
+    // × arrivals in their probed cells) re-taken at k, plus one
+    // |delta|-query frozen search for the arrivals' own rows. Arrivals
+    // re-keyed +100000 (the q_ann_delta_assign convention — disjoint
+    // ids, validated loudly). Oracle = the whole frozen-quantizer
+    // graph over corpus ∪ arrivals from scratch.
+    "q_knn_delta" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 7 =!= 0)
+      val cells = corpus.select(col("vec_id"), col("label").as("cell"))
+      val cents = Similarity.centroidTable(
+        corpus.select(col("vec_id"), col("embedding")), cells)
+      val arrivals = emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          col("embedding"))
+      val oldGraph = Similarity.frozenSearch(corpus, corpus, cells,
+        cents, nProbe = 2, k = 3)
+      Similarity.knnGraphDelta(oldGraph, corpus, cells, cents,
+          arrivals, nProbe = 2, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     // margin-scored bitext mining (Artetxe–Schwenk ratio margin):
     // each a's best b, scored by cos divided by the mean of both
     // sides' k-neighbor-ball densities — the hub-correction that
@@ -679,6 +704,69 @@ private[graft] object AnnQueries {
                 CASE WHEN v.label <> asg.cell THEN 1 ELSE 0 END AS moved
          FROM v JOIN asg USING (vec_id)
          ORDER BY vec_id""",
+
+    // incremental kNN-graph mirror: the FROM-SCRATCH frozen-quantizer
+    // graph over corpus ∪ re-keyed arrivals — centroids from the
+    // corpus slice only (the snapshot), arrivals cell-assigned by the
+    // float-rounded argmin, probes pr <= 2 for every union query,
+    // candidates matched by snapshot cell, top-3 per query
+    "q_knn_delta" ->
+      """WITH v AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+         corp AS (SELECT * FROM v WHERE vec_id % 7 <> 0),
+         cent AS (
+           SELECT label AS cell, list(s ORDER BY j) AS c FROM (
+             SELECT label, j, sum(emb[j]) / count(*) AS s
+             FROM corp, range(1, 65) t(j) GROUP BY label, j)
+           GROUP BY label),
+         arr AS (SELECT vec_id + 100000 AS vec_id, emb
+                 FROM v WHERE vec_id % 7 = 0),
+         acell AS (
+           SELECT vec_id, cell FROM (
+             SELECT a.vec_id, ct.cell,
+                    row_number() OVER (PARTITION BY a.vec_id
+                      ORDER BY -2 * list_dot_product(a.emb,
+                          (ct.c::FLOAT[])::DOUBLE[])
+                        + list_dot_product(
+                            (ct.c::FLOAT[])::DOUBLE[],
+                            (ct.c::FLOAT[])::DOUBLE[]),
+                        ct.cell) AS pr
+             FROM arr a CROSS JOIN cent ct)
+           WHERE pr = 1),
+         u AS (SELECT vec_id, label AS cell, emb FROM corp
+               UNION ALL
+               SELECT a.vec_id, acell.cell, a.emb
+               FROM arr a JOIN acell USING (vec_id)),
+         p AS (
+           SELECT query_id, q_emb, cell FROM (
+             SELECT q.vec_id AS query_id, q.emb AS q_emb, ct.cell,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY -2 * list_dot_product(q.emb,
+                          (ct.c::FLOAT[])::DOUBLE[])
+                        + list_dot_product(
+                            (ct.c::FLOAT[])::DOUBLE[],
+                            (ct.c::FLOAT[])::DOUBLE[]),
+                        ct.cell) AS pr
+             FROM u q CROSS JOIN cent ct)
+           WHERE pr <= 2),
+         knn AS (
+           SELECT query_id, neighbor_id, rnk, cos FROM (
+             SELECT p.query_id, c.vec_id AS neighbor_id,
+                    list_dot_product(p.q_emb, c.emb) /
+                      (sqrt(list_dot_product(p.q_emb, p.q_emb)) *
+                       sqrt(list_dot_product(c.emb, c.emb))) AS cos,
+                    row_number() OVER (PARTITION BY p.query_id
+                      ORDER BY list_dot_product(p.q_emb, c.emb) /
+                        (sqrt(list_dot_product(p.q_emb, p.q_emb)) *
+                         sqrt(list_dot_product(c.emb, c.emb))) DESC,
+                        c.vec_id ASC) AS rnk
+             FROM p JOIN u c ON c.cell = p.cell
+                     AND c.vec_id <> p.query_id)
+           WHERE rnk <= 3)
+         SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos
+         FROM knn ORDER BY query_id, rnk""",
 
     // raw dot-product ranking; DOUBLE[] casts for the same reason as
     // annSql (FLOAT accumulation flips near-ties)

@@ -386,8 +386,15 @@ object Similarity {
     * cell's 1-based probe rank for that query (consumers that don't
     * sweep budgets just ignore it). */
   private def rankedProbes(queries: DataFrame, corpus: DataFrame,
-                           cells: DataFrame, nProbe: Int): DataFrame = {
-    val cents = centroidsOf(corpus, cells)
+                           cells: DataFrame, nProbe: Int): DataFrame =
+    rankedProbesFrom(queries, centroidsOf(corpus, cells), nProbe)
+
+  /** [[rankedProbes]] against an EXPLICIT centroid table (the at-rest
+    * `centroids/` frame) instead of deriving one from an assignment —
+    * the frozen-quantizer front half the delta-maintenance paths
+    * share. Same expressions to the bit. */
+  private def rankedProbesFrom(queries: DataFrame, centroids: DataFrame,
+                               nProbe: Int): DataFrame = {
     val qDist = dot(col("q_emb"), col("centroid").cast("array<float>")) *
       -2 + dot(col("centroid").cast("array<float>"),
         col("centroid").cast("array<float>"))
@@ -395,12 +402,21 @@ object Similarity {
       .partitionBy("query_id").orderBy(col("pd"), col("cell"))
     queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(centroids))
       .withColumn("pd", qDist)
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("cell"), col("pr"))
   }
+
+  /** The per-cell centroid table as a public surface — exactly what
+    * [[seedIvfStore]] persists under `centroids/` ([[centroidsOf]]):
+    * (cell, centroid ARRAY<DOUBLE>). The frozen-quantizer delta paths
+    * ([[frozenSearch]], [[knnGraphDelta]]) take this frame explicitly
+    * so a caller can hand them either a freshly derived table or the
+    * at-rest file. */
+  def centroidTable(corpus: DataFrame, cells: DataFrame): DataFrame =
+    centroidsOf(corpus, cells)
 
   /** Multi-probe IVF: each query searches its `nProbe` nearest cells
     * instead of one — the standard recall/latency dial. Centroids are
@@ -873,6 +889,133 @@ object Similarity {
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rnk"),
         round(col("col.score"), 6).as("cos"))
+  }
+
+  /** FROZEN-QUANTIZER kNN search: each query's top-k over `corpus`,
+    * routed through an EXPLICIT (cells, centroids) snapshot — the
+    * generalized core of [[knnGraphIndexed]] (which derives both from
+    * the corpus itself) that the incremental paths need: probe ranking
+    * and candidate matching both use the stored quantizer, so results
+    * depend only on (queries, corpus, snapshot) — never on when the
+    * quantizer was last retrained mid-stream. Candidate volume is
+    * nProbe/|cells| of |Q|·|corpus|, the candidate join is pinned
+    * `shuffle_hash` co-partitioned on the cell id, and the per-query
+    * ranking is the bounded `graft_topk` aggregate.
+    *
+    * Returns RAW (unrounded) cos — [[knnGraphDelta]]'s merge must
+    * compare exact doubles; round at the presentation edge. */
+  def frozenSearch(queries: DataFrame, corpus: DataFrame,
+                   cells: DataFrame, centroids: DataFrame,
+                   nProbe: Int, k: Int): DataFrame = {
+    val probes = rankedProbesFrom(queries, centroids, nProbe)
+    val cand = corpus
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"))
+      .join(cells.select(col("vec_id").as("neighbor_id"), col("cell")),
+        Seq("neighbor_id"))
+      .join(probes.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      // null cos = a zero-norm side (see cosine): must not be ranked
+      .filter(col("cos").isNotNull)
+    cand
+      .groupBy("query_id")
+      .agg(call_function("graft_topk", col("cos"), col("neighbor_id"),
+        lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("col.score").as("cos"))
+  }
+
+  /** INCREMENTAL kNN-GRAPH maintenance — the delta path that was
+    * missing from the maintenance family (assignment:
+    * [[assignToCells]], SA report: deltaDupPositions, CC labels:
+    * incrementalComponents, co-support: the graph delta patch; the
+    * kNN graph itself was rebuild-only): fold a batch of ARRIVING
+    * vectors into an at-rest kNN graph without re-running the
+    * n²-shaped candidate search over the old corpus.
+    *
+    * Under the frozen quantizer ([[frozenSearch]]'s contract — probe
+    * cells and candidate cells both come from the stored snapshot),
+    * an arrival batch can change the graph in exactly two ways:
+    * arrivals gain their own top-k rows (one frozen search of
+    * |delta| queries over corpus ∪ delta), and an existing query's
+    * top-k can only CHANGE by an arrival entering it — its old
+    * candidates are already summarized by its stored top-k, and
+    * top-k is a mergeable summary: top-k(top-k(old) ∪ new) =
+    * top-k(old ∪ new). So the patch re-scores the stored edges (k·|Q|
+    * rows — the stored cos is rounded 6dp, and the merge must compare
+    * exact doubles), scores old queries only against arrivals landing
+    * in their probed cells (|Q|·nProbe/|cells|·|delta| candidates —
+    * delta-scaled, never |Q|·|corpus|), and re-takes k with the same
+    * bounded aggregate. Result ≡ the from-scratch [[frozenSearch]]
+    * over corpus ∪ arrivals with the same snapshot (spec-pinned).
+    *
+    * Preconditions, checked loudly: arrival ids are DISJOINT from the
+    * corpus (the [[graft.streaming.Streams.annMaintainStream]]
+    * convention — a re-ingest arrives under a new id). `oldGraph`
+    * must be the frozen-search graph of (corpus, cells, centroids) at
+    * the same (nProbe, k) — not cheaply checkable, documented.
+    *
+    * @return (query_id, neighbor_id, rnk, cos) over corpus ∪
+    *         arrivals — cos rounded 6dp (the [[knnGraphIndexed]]
+    *         presentation convention) */
+  def knnGraphDelta(oldGraph: DataFrame, corpus: DataFrame,
+                    cells: DataFrame, centroids: DataFrame,
+                    arrivals: DataFrame, nProbe: Int, k: Int)
+  : DataFrame = {
+    val corpusVecs = corpus.select(col("vec_id"), col("embedding"))
+    val arrVecs = arrivals.select(col("vec_id"), col("embedding"))
+    val overlap = arrVecs.select("vec_id")
+      .join(corpusVecs.select("vec_id"), Seq("vec_id"), "left_semi")
+      .count()
+    require(overlap == 0L,
+      s"knnGraphDelta: $overlap arrival vec_ids already exist in the " +
+        "corpus — an update under an old id belongs to the snapshot " +
+        "rebuild, not the delta patch")
+    // arrivals enter the snapshot under frozen cells
+    val arrCells = assignToStoredCells(arrVecs, centroids)
+    val unionVecs = corpusVecs.unionByName(arrVecs)
+    val unionCells = cells.select(col("vec_id"), col("cell"))
+      .unionByName(arrCells)
+    // (1) arrivals as queries: one |delta|-query frozen search
+    val arrEdges = frozenSearch(arrVecs, unionVecs, unionCells,
+      centroids, nProbe, k)
+    // (2) old queries vs the DELTA only: candidates are arrivals in
+    // each query's probed cells — |Q|·nProbe/|cells|·|delta| rows
+    val probes = rankedProbesFrom(corpusVecs, centroids, nProbe)
+    val newCand = arrVecs
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"))
+      .join(arrCells.select(col("vec_id").as("neighbor_id"),
+        col("cell")), Seq("neighbor_id"))
+      .join(probes.hint("shuffle_hash"), Seq("cell"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .filter(col("cos").isNotNull)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    // (3) stored edges re-scored at full precision: k·|Q| rows, two
+    // co-partitioned linear joins — output-sized, not candidate-sized
+    val oldRescored = oldGraph
+      .select(col("query_id"), col("neighbor_id"))
+      .join(corpusVecs.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb")), Seq("query_id"))
+      .join(corpusVecs.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .filter(col("cos").isNotNull)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val patched = oldRescored.unionByName(newCand)
+      .groupBy("query_id")
+      .agg(call_function("graft_topk", col("cos"), col("neighbor_id"),
+        lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("col.score").as("cos"))
+    patched.unionByName(arrEdges)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos"))
   }
 
   /** MUTUAL edges of a kNN graph: unordered pairs {a, b} where b is in

@@ -742,6 +742,70 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int)].collect().toSet)
   }
 
+  test("frozenSearch against the corpus's own snapshot ≡ " +
+    "knnGraphIndexed") {
+    val rnd = new scala.util.Random(53)
+    val v = (0 until 70).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat),
+        i % 4)).toDF("vec_id", "embedding", "label")
+    val cells = v.select(col("vec_id"), col("label").as("cell"))
+    val cents = Similarity.centroidTable(
+      v.select(col("vec_id"), col("embedding")), cells)
+    val frozen = Similarity.frozenSearch(v, v, cells, cents,
+        nProbe = 2, k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val indexed = Similarity.knnGraphIndexed(v, "label", nProbe = 2,
+        k = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(frozen === indexed)
+    assert(frozen.nonEmpty)
+  }
+
+  test("knnGraphDelta ≡ from-scratch frozen search over the union; " +
+    "overlapping arrival ids fail loudly") {
+    val rnd = new scala.util.Random(59)
+    def mk(ids: Range) = ids.map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val corpus = mk(0 until 60).zipWithIndex.map { case ((id, e), i) =>
+      (id, e, i % 4) }.toDF("vec_id", "embedding", "label")
+    val cells = corpus.select(col("vec_id"), col("label").as("cell"))
+    val cents = Similarity.centroidTable(
+      corpus.select(col("vec_id"), col("embedding")), cells)
+    val arrivals = mk(200 until 220).toDF("vec_id", "embedding")
+    val old = Similarity.frozenSearch(corpus, corpus, cells, cents,
+      nProbe = 2, k = 3)
+    def rounded(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val patched = Similarity.knnGraphDelta(old, corpus, cells, cents,
+      arrivals, nProbe = 2, k = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val unionVecs = corpus.select(col("vec_id"), col("embedding"))
+      .unionByName(arrivals)
+    val unionCells = cells.unionByName(
+      Similarity.assignToStoredCells(arrivals, cents))
+    val scratch = rounded(Similarity.frozenSearch(unionVecs, unionVecs,
+      unionCells, cents, nProbe = 2, k = 3))
+    assert(patched === scratch)
+    // the fixture must actually exercise both change paths: arrivals
+    // gained their own rows, and some EXISTING query's top-k changed
+    assert(patched.exists(_._1 >= 200L), "arrival queries missing")
+    val oldSet = rounded(old)
+    assert(patched.exists { case (q, n, r, c) =>
+      q < 200L && !oldSet.contains((q, n, r, c)) },
+      "fixture must change at least one existing query's top-k")
+    // disjoint-id precondition
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnGraphDelta(old, corpus, cells, cents,
+        corpus.select(col("vec_id"), col("embedding")).limit(3),
+        nProbe = 2, k = 3)
+    }
+    assert(e.getMessage.contains("already exist"))
+  }
+
   test("rebuildIvfStore: health gate no-ops below thresholds, rebuilds " +
     "and swaps above them, folds the delta log, keeps prev/ rollback") {
     val rnd = new scala.util.Random(41)
