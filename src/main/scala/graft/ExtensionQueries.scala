@@ -343,6 +343,45 @@ object ExtensionQueries {
         "doc_id", "text", minLen = 5, p)
     }
 
+  // The STREAMING CC seed: the LSH index (sets + banded buckets) and
+  // the connected-component labels of the corpus-side slice
+  // (doc_id % 17 =!= 0 — the ccMaintainStream split, at its 8-perm /
+  // 4-band / 0.8 parameters), the snapshot a dedup-ingest stream
+  // RESTORES from instead of re-shingling the corpus and re-running
+  // the CC fixpoint at start-up. Shared read-only; each stream run
+  // copies it into its own mutable store (sets/buckets grow per
+  // batch).
+  private[graft] val ccStreamSeedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def ccStreamSeedDir(s: SparkSession, d: String): String =
+    cachedArtifactDir(ccStreamSeedCache, s, d, "graft_cc_stream_seed") {
+      p =>
+      val corpus = t(s, d, "documents").filter(col("doc_id") % 17 =!= 0)
+      val sets0 = Dedup.shingleSets(corpus, "doc_id", "text", 3)
+      sets0.write.mode("overwrite").parquet(s"$p/sets")
+      val banded0 = Dedup.bandedBuckets(sets0, 8, 4).stage()
+      banded0.write.mode("overwrite").parquet(s"$p/buckets")
+      Dedup.connectedComponents(
+        Dedup.nearDupPairsFromIndex(sets0, banded0, 0.8),
+        "doc_a", "doc_b")
+        .select("doc_id", "comp")
+        .write.mode("overwrite").parquet(s"$p/labels_seed")
+    }
+
+  // The trio's IVF seed: same artifact shape as annStreamSeedDir but
+  // over the TRIO's corpus slice (vec_id % 17 =!= 0 — one split rule
+  // across all three indexes is the trio's contract; annMaintainStream
+  // keeps its own % 9 split).
+  private[graft] val annTrioSeedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def annTrioSeedDir(s: SparkSession, d: String): String =
+    cachedArtifactDir(annTrioSeedCache, s, d, "graft_ann_trio_seed") {
+      p =>
+      Similarity.seedIvfStore(
+        t(s, d, "embeddings").filter(col("vec_id") % 17 =!= 0),
+        "label", p)
+    }
+
   // The STREAMING IVF seed: the assignment + centroid tables of the
   // corpus-side slice (vec_id % 9 =!= 0 — the annMaintainStream
   // split), the snapshot a vector-ingest stream RESTORES from instead
@@ -402,6 +441,8 @@ object ExtensionQueries {
     saProbeIndexDir(s, d)
     saStreamSeedDir(s, d)
     annStreamSeedDir(s, d)
+    ccStreamSeedDir(s, d)
+    annTrioSeedDir(s, d)
     sharedScrubbedSa(s, d)
     sharedLshIndex(s, d)
     sharedSketchStore(s, d)

@@ -185,7 +185,8 @@ private[graft] object StreamingQueries {
       val store = java.nio.file.Files
         .createTempDirectory("graft_cc_store").toString
       Streams.ccMaintainStream(s, d, ckpt, store,
-        numPerms = 8, numBands = 4, threshold = 0.8)
+        numPerms = 8, numBands = 4, threshold = 0.8,
+        seedFrom = Some(ccStreamSeedDir(s, d)))
     }),
 
     // streaming EXACT-SUBSTRING maintenance: arrivals (every 17th doc)
@@ -237,7 +238,10 @@ private[graft] object StreamingQueries {
       val store = java.nio.file.Files
         .createTempDirectory("graft_trio_store").toString
       Streams.ingestTrioStream(s, d, ckpt, store,
-          numPerms = 8, numBands = 4, threshold = 0.8, minLen = 5)
+          numPerms = 8, numBands = 4, threshold = 0.8, minLen = 5,
+          ccSeedFrom = Some(ccStreamSeedDir(s, d)),
+          saSeedFrom = Some(saStreamSeedDir(s, d)),
+          annSeedFrom = Some(annTrioSeedDir(s, d)))
         .orderBy("doc_id")
     }),
 

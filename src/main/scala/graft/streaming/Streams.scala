@@ -833,6 +833,30 @@ object Streams {
     side(goodPath, "published").unionAll(side(badPath, "quarantined"))
   }
 
+  /** Restore a shared at-rest seed snapshot into a run's own MUTABLE
+    * store by file copy — the stream-startup path a production
+    * deployment takes instead of re-deriving its index from the corpus
+    * (the snapshot is built once per corpus version; each stream run
+    * copies it because the store grows per batch and the shared
+    * snapshot must stay read-only). Every destination subdir is
+    * guarded: FileUtil.copy into an EXISTING directory nests the
+    * source under it (assignment/assignment) and silently corrupts
+    * the layout, so a populated store is refused loudly. */
+  private def restoreSeed(spark: SparkSession, src: String,
+                          destBase: String, subs: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    subs.foreach { sub =>
+      val from = new org.apache.hadoop.fs.Path(s"$src/$sub")
+      val to = new org.apache.hadoop.fs.Path(s"$destBase/$sub")
+      val toFs = to.getFileSystem(conf)
+      require(!toFs.exists(to),
+        s"seed restore target $to already exists — the store is " +
+          "populated; use a fresh storePath or drop seedFrom")
+      org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(conf),
+        from, toFs, to, false, conf)
+    }
+  }
+
   /** Compact a grow-by-append parquet store IN PLACE once it holds
     * more than `maxFiles` part files: snapshot the current file list,
     * append ONE coalesced copy of their union, then delete the
@@ -980,24 +1004,36 @@ object Streams {
                        checkpoint: String, storePath: String,
                        numPerms: Int, numBands: Int, threshold: Double,
                        glob: String = "documents.parquet",
-                       maxStoreFiles: Int = 32): DataFrame = {
+                       maxStoreFiles: Int = 32,
+                       seedFrom: Option[String] = None): DataFrame = {
     import graft.dedup.Dedup
     val docs = spark.read.option("pathGlobFilter", glob).parquet(dir)
     val schema = docs.schema
     val corpus = docs.filter(col("doc_id") % 17 =!= 0)
-    // seed the stores once: corpus-side index + corpus-side components.
-    // ONE shingle pass feeds everything — the staged sets/buckets are
-    // written AND reused for the seed pairs via nearDupPairsFromIndex
-    // (minhashLshPairs here would re-tokenize + re-hash the corpus a
-    // second time for the exact same pairs)
-    val sets0 = Dedup.shingleSets(corpus, "doc_id", "text", 3)
-    sets0.write.mode("overwrite").parquet(s"$storePath/sets")
-    val banded0 = Dedup.bandedBuckets(sets0, numPerms, numBands).stage()
-    banded0.write.mode("overwrite").parquet(s"$storePath/buckets")
-    val seedLabels = Dedup.connectedComponents(
-      Dedup.nearDupPairsFromIndex(sets0, banded0, threshold),
-      "doc_a", "doc_b")
-      .select("doc_id", "comp")
+    // seed the stores once: corpus-side index + corpus-side components
+    // — built from the corpus, or restored from the prebuilt snapshot
+    // by file copy (the sets/buckets stores grow per batch, so a
+    // SHARED snapshot is copied, never mutated in place). The inline
+    // build runs ONE shingle pass for everything — the staged
+    // sets/buckets are written AND reused for the seed pairs via
+    // nearDupPairsFromIndex (minhashLshPairs here would re-tokenize +
+    // re-hash the corpus a second time for the exact same pairs)
+    val seedLabels = seedFrom match {
+      case Some(src) =>
+        restoreSeed(spark, src, storePath,
+          Seq("sets", "buckets", "labels_seed"))
+        spark.read.parquet(s"$storePath/labels_seed")
+      case None =>
+        val sets0 = Dedup.shingleSets(corpus, "doc_id", "text", 3)
+        sets0.write.mode("overwrite").parquet(s"$storePath/sets")
+        val banded0 = Dedup.bandedBuckets(sets0, numPerms, numBands)
+          .stage()
+        banded0.write.mode("overwrite").parquet(s"$storePath/buckets")
+        Dedup.connectedComponents(
+          Dedup.nearDupPairsFromIndex(sets0, banded0, threshold),
+          "doc_a", "doc_b")
+          .select("doc_id", "comp")
+    }
     val labelsPath = s"$storePath/labels"
     val labelsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
@@ -1175,14 +1211,8 @@ object Streams {
     // per batch, so a SHARED snapshot is copied, never grown in place)
     seedFrom match {
       case Some(src) =>
-        val conf = spark.sparkContext.hadoopConfiguration
-        Seq("gram_positions", "gram_stats", "seed_report").foreach {
-          sub =>
-          val from = new org.apache.hadoop.fs.Path(s"$src/$sub")
-          val to = new org.apache.hadoop.fs.Path(s"$storePath/$sub")
-          org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(conf),
-            from, to.getFileSystem(conf), to, false, conf)
-        }
+        restoreSeed(spark, src, storePath,
+          Seq("gram_positions", "gram_stats", "seed_report"))
       case None =>
         SuffixArray.seedProbeStore(corpus, "doc_id", "text", minLen,
           storePath)
@@ -1320,22 +1350,8 @@ object Streams {
     // SHARED snapshot is copied, never mutated in place)
     seedFrom match {
       case Some(src) =>
-        val conf = spark.sparkContext.hadoopConfiguration
-        Seq("assignment", "centroids").foreach { sub =>
-          val from = new org.apache.hadoop.fs.Path(s"$src/$sub")
-          val to = new org.apache.hadoop.fs.Path(s"$storePath/$sub")
-          val toFs = to.getFileSystem(conf)
-          // FileUtil.copy into an EXISTING directory nests the source
-          // under it (assignment/assignment) — a re-run against a
-          // populated store would silently corrupt the layout. Refuse
-          // loudly: restore targets a fresh store by definition.
-          require(!toFs.exists(to),
-            s"annMaintainStream: seedFrom restore target $to already " +
-              "exists — the store is populated; use a fresh storePath " +
-              "or drop seedFrom")
-          org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(conf),
-            from, toFs, to, false, conf)
-        }
+        restoreSeed(spark, src, storePath,
+          Seq("assignment", "centroids"))
       case None =>
         Similarity.seedIvfStore(corpus, "label", storePath)
     }
@@ -1420,7 +1436,10 @@ object Streams {
                        minLen: Int,
                        glob: String = "documents.parquet",
                        embPath: Option[String] = None,
-                       maxStoreFiles: Int = 32): DataFrame = {
+                       maxStoreFiles: Int = 32,
+                       ccSeedFrom: Option[String] = None,
+                       saSeedFrom: Option[String] = None,
+                       annSeedFrom: Option[String] = None): DataFrame = {
     import graft.dedup.Dedup
     import graft.similarity.Similarity
     import graft.text.SuffixArray
@@ -1429,19 +1448,45 @@ object Streams {
     val corpus = docs.filter(col("doc_id") % 17 =!= 0)
     val emb = spark.read.parquet(
       embPath.getOrElse(s"$dir/embeddings.parquet"))
-    // ---- seed the three stores from the corpus slice, once ----
-    val sets0 = Dedup.shingleSets(corpus, "doc_id", "text", 3)
-    sets0.write.mode("overwrite").parquet(s"$storePath/cc/sets")
-    val banded0 = Dedup.bandedBuckets(sets0, numPerms, numBands).stage()
-    banded0.write.mode("overwrite").parquet(s"$storePath/cc/buckets")
-    val seedLabels = Dedup.connectedComponents(
-      Dedup.nearDupPairsFromIndex(sets0, banded0, threshold),
-      "doc_a", "doc_b").select("doc_id", "comp")
-    SuffixArray.seedProbeStore(corpus, "doc_id", "text", minLen,
-      s"$storePath/sa")
+    // ---- seed the three stores, once: built from the corpus slice,
+    // or restored from the shared prebuilt snapshots by file copy
+    // (kernel-by-kernel, exactly the single-stream restore paths —
+    // the stores grow per batch, so shared snapshots are copied,
+    // never mutated in place). Restored or built, the seed content is
+    // the same deterministic computation over the same slice.
+    val seedLabels = ccSeedFrom match {
+      case Some(src) =>
+        restoreSeed(spark, src, s"$storePath/cc",
+          Seq("sets", "buckets", "labels_seed"))
+        spark.read.parquet(s"$storePath/cc/labels_seed")
+      case None =>
+        val sets0 = Dedup.shingleSets(corpus, "doc_id", "text", 3)
+        sets0.write.mode("overwrite").parquet(s"$storePath/cc/sets")
+        val banded0 = Dedup.bandedBuckets(sets0, numPerms, numBands)
+          .stage()
+        banded0.write.mode("overwrite")
+          .parquet(s"$storePath/cc/buckets")
+        Dedup.connectedComponents(
+          Dedup.nearDupPairsFromIndex(sets0, banded0, threshold),
+          "doc_a", "doc_b").select("doc_id", "comp")
+    }
+    saSeedFrom match {
+      case Some(src) =>
+        restoreSeed(spark, src, s"$storePath/sa",
+          Seq("gram_positions", "gram_stats", "seed_report"))
+      case None =>
+        SuffixArray.seedProbeStore(corpus, "doc_id", "text", minLen,
+          s"$storePath/sa")
+    }
     val seedReport = spark.read.parquet(s"$storePath/sa/seed_report")
-    Similarity.seedIvfStore(emb.filter(col("vec_id") % 17 =!= 0),
-      "label", s"$storePath/ann")
+    annSeedFrom match {
+      case Some(src) =>
+        restoreSeed(spark, src, s"$storePath/ann",
+          Seq("assignment", "centroids"))
+      case None =>
+        Similarity.seedIvfStore(emb.filter(col("vec_id") % 17 =!= 0),
+          "label", s"$storePath/ann")
+    }
     val centroids = spark.read.parquet(s"$storePath/ann/centroids")
     val labelsPath = s"$storePath/cc/labels"
     val reportPath = s"$storePath/sa/report"

@@ -346,6 +346,43 @@ class StreamsSpec extends SparkSpec {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("ingest trio stream: seed-snapshot restore ≡ inline seed build") {
+    // the round-12 startup optimization: the trio restores its three
+    // seed stores (CC sets/buckets/labels, SA probe store, IVF
+    // assignment/centroids) from shared prebuilt snapshots by file
+    // copy instead of re-deriving them per run. Restored or built, the
+    // drained view and every at-rest artifact must be IDENTICAL — the
+    // seeds are the same deterministic computation over the same
+    // corpus slice.
+    val dir = "/root/testdata/sf0.001"
+    import graft.{ExtensionQueries => EQ}
+    def run(seeded: Boolean): (Set[(Long, Long, Long, Long, Int)],
+        Set[(Long, Long)]) = {
+      val ckpt = Files.createTempDirectory("graft_ckpt_trio_sd").toString
+      val store = Files.createTempDirectory("graft_trio_sd").toString
+      val out = graft.streaming.Streams.ingestTrioStream(spark, dir,
+          ckpt, store, numPerms = 8, numBands = 4, threshold = 0.8,
+          minLen = 5,
+          ccSeedFrom = if (seeded) Some(EQ.ccStreamSeedDir(spark, dir))
+            else None,
+          saSeedFrom = if (seeded) Some(EQ.saStreamSeedDir(spark, dir))
+            else None,
+          annSeedFrom = if (seeded) Some(EQ.annTrioSeedDir(spark, dir))
+            else None)
+        .as[(Long, Long, Long, Long, Int)].collect().toSet
+      val labels = spark.read
+        .parquet(new java.io.File(s"$store/cc/labels").listFiles()
+          .filter(_.getName.startsWith("v_")).head.toString)
+        .as[(Long, Long)].collect().toSet
+      (out, labels)
+    }
+    val (seededOut, seededLabels) = run(seeded = true)
+    val (inlineOut, inlineLabels) = run(seeded = false)
+    assert(seededOut === inlineOut)
+    assert(seededLabels === inlineLabels)
+    assert(seededOut.nonEmpty)
+  }
+
   test("ingest trio stream: 3 sliced batches — all three at-rest " +
     "artifacts converge to their from-scratch batch computations") {
     // the batch-boundary consistency pin: ONE sliced arrivals stream
