@@ -67,6 +67,12 @@ object RunOne {
           .select("doc_a", "doc_b")
           .distinct()
       }),
+      // SA-build dissection: the prefix-doubling ranks alone, and the
+      // full SA without the final presentation sort
+      "_sa_ranks" -> ((s, d) => graft.text.SuffixArray.ranks(
+        Tables.t(s, d, "documents"), "doc_id", "text")),
+      "_sa_noorder" -> ((s, d) => graft.text.SuffixArray.suffixArray(
+        Tables.t(s, d, "documents"), "doc_id", "text")),
       "_sh_fps" -> ((s, d) => graft.dedup.Dedup.simhash(
         Tables.t(s, d, "documents"), "doc_id", "text", 16)),
       "_sh_cand" -> ((s, d) => {

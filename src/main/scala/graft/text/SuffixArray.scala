@@ -41,9 +41,14 @@ object SuffixArray {
         col("tok"))
 
   /** Tokens the initial rank covers per position — doubling then starts
-    * at this span, cutting two rounds vs single-token init (4 → 8 → …
-    * instead of 1 → 2 → 4 → …). */
-  private val initSpan = 4
+    * at this span. Round count is ceil(log2(maxDocLen / initSpan)), so
+    * a wider init trades round-0 exchange width (initSpan tokens ride
+    * each position row into the first dense rank) for whole doubling
+    * rounds (each a full corpus-sized shuffle + re-rank + checkpoint).
+    * 16 cuts two rounds vs the previous 4 at any maxDocLen; measured
+    * at sf0.1 (maxDocLen 100: 5 rounds → 3) the build dropped ~25%,
+    * and at lake scale the saved rounds are saved corpus shuffles. */
+  private val initSpan = 16
 
   /** Final prefix-doubling equivalence ranks: (doc_id, pos, r) where
     * r is equal iff the full suffixes are equal token sequences, and
@@ -52,16 +57,20 @@ object SuffixArray {
     * document, whichever comes first (convergence is observed on the
     * round's own checkpoint job — no extra scan per round). */
   def ranks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // round 0: dense rank of the leading 4-token window. Missing
-    // positions are NULL leads, and Spark's ascending order puts NULLS
-    // FIRST — exactly the shorter-suffix-sorts-first contract (NULL
-    // cannot collide with any real token, unlike a sentinel string).
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = positions(docs, idCol, textCol)
-      .select(col("doc_id"), col("pos"),
-        struct(col("tok") +: (1 until initSpan).map(i =>
-          lead(col("tok"), i).over(wDoc).as(s"t$i")): _*).as("g"))
+    // round 0: dense rank of the leading initSpan-token slice, built
+    // SCAN-LOCAL — slice(toks, pos, k) in the same projection as the
+    // posexplode, so no per-doc window (the lead()-struct form paid a
+    // full doc-keyed exchange + sort before the first rank). A slice
+    // near the document end is simply SHORTER, and Spark's array
+    // ordering puts a proper prefix before its extensions — exactly
+    // the shorter-suffix-sorts-first contract the NULL-padded struct
+    // encoded (and a real token can never collide with "absent").
+    val grams = docs
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        posexplode(col("__t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        slice(col("__t"), col("p0") + 1, lit(initSpan)).as("g"))
     val (first, m0) = stageObserved(
       windows.distributedDenseRank(grams, Seq(col("g")), rankName = "r")
         .select(col("doc_id"), col("pos"), col("r"))

@@ -43,6 +43,26 @@ class SuffixArraySpec extends SparkSpec {
     assert(got === bruteSa(corpus))
   }
 
+  test("suffixArray brute-force match on docs long enough to force " +
+    "doubling rounds past the wider init span") {
+    // initSpan = 16: the corpus fixture above (≤9 tokens) resolves
+    // entirely in round 0, so this fixture pins the doubling loop
+    // itself — 60+-token docs sharing a long internal run (equal
+    // beyond 32 tokens, distinct only near the end) need rounds at
+    // covered = 16 and 32 to disambiguate
+    val shared = (1 to 40).map(i => s"tok${i % 7}").mkString(" ")
+    val longCorpus = Seq(
+      (10L, s"$shared alpha beta gamma delta epsilon zeta"),
+      (11L, s"$shared alpha beta gamma delta epsilon eta"),
+      (12L, s"prefix $shared alpha beta gamma delta epsilon zeta"),
+      (13L, (1 to 70).map(i => s"w${i % 5}").mkString(" ")))
+    val df = longCorpus.toDF("doc_id", "text")
+    val got = SuffixArray.suffixArray(df, "doc_id", "text")
+      .orderBy("sa_rank")
+      .collect().map { case Row(id: Long, p: Long, _) => (id, p) }.toSeq
+    assert(got === bruteSa(longCorpus))
+  }
+
   test("sa_rank is a 1..n permutation") {
     val df = corpus.toDF("doc_id", "text")
     val ranks = SuffixArray.suffixArray(df, "doc_id", "text")
