@@ -41,12 +41,20 @@ object Walks {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
     // rank-indexed adjacency + degrees, built once, probed every step
+    // persisted with a VISIBLE src partitioning, deliberately NOT
+    // staged (the pageRank eDeg idiom: a checkpoint erases
+    // outputPartitioning and every step's probe join would re-exchange
+    // the E-row adjacency; the window's own hash exchange on src is
+    // the one exchange the adjacency ever pays, and each step then
+    // shuffles only the walk-sized frontier side). At web-graph scale
+    // the adjacency cannot broadcast, so the pinned partitioning is
+    // what caps per-step cost.
     val adj = e.withColumn("rk",
         row_number().over(
           Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
       .select(col("src").as("a_src"), col("rk").cast("long").as("a_rk"),
         col("dst").as("a_dst"))
-      .stage()
+      .persist()
     val deg = adj.groupBy(col("a_src").as("d_src"))
       .agg(count(lit(1)).as("deg")).stage()
     val walkIds = broadcast(
@@ -70,6 +78,7 @@ object Walks {
         .stage()
       out = out.unionByName(frontier.withColumn("step", lit(t)))
     }
+    adj.unpersist() // out reads only the staged per-step frontiers
     out.select(col("start"), col("walk").cast("long").as("walk"),
       col("step").cast("long").as("step"), col("node"))
   }
@@ -118,12 +127,16 @@ object Walks {
     val wMax = Seq(wReturnMilli, wCommonMilli, wFarMilli).max
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
+    // persisted with a VISIBLE src partitioning (see randomWalks):
+    // both per-step probes — the proposal join on (a_src, a_rk) and
+    // the edge-existence probe on (m_src, m_dst) — are keyed by the
+    // src-subset, so neither ever re-exchanges the adjacency
     val adj = e.withColumn("rk",
         row_number().over(
           Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
       .select(col("src").as("a_src"), col("rk").cast("long").as("a_rk"),
         col("dst").as("a_dst"))
-      .stage()
+      .persist()
     val deg = adj.groupBy(col("a_src").as("d_src"))
       .agg(count(lit(1)).as("deg")).stage()
     val walkIds = broadcast(
@@ -194,6 +207,7 @@ object Walks {
         .select(col("start"), col("walk"), lit(t).as("step"),
           col("node")))
     }
+    adj.unpersist() // out reads only the staged per-step frontiers
     out.select(col("start"), col("walk").cast("long").as("walk"),
       col("step").cast("long").as("step"), col("node"))
   }
