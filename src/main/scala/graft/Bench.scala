@@ -78,6 +78,34 @@ object Bench {
       // deliberately measure their own builds (q_suffix_array,
       // q_random_walks, q_pq_codes) don't read these caches.
       SparkEntry.prebuildSharedArtifacts(spark, sfDir)
+      // streaming-engine warmup: the first streaming query otherwise
+      // pays one-time machinery init — micro-batch engine classes, the
+      // HDFS AND RocksDB state-store providers, transformWithState
+      // encoders — measured ~6 s of q_stream_sessionize_tws's cold run
+      // at 32 cores (7.5 s cold vs 1.6 s warm on a calib-1.2 host; the
+      // r12 driver's 11.6 s cold was this init under a degraded
+      // hypervisor). Like the codegen probes above, the init belongs
+      // to the JVM, not to whichever stream query alphabetically runs
+      // first, so it warms on a 512-row slice through the two state
+      // backends. Timed-loop methodology is unchanged.
+      val wdir = java.nio.file.Files
+        .createTempDirectory("graft_warm_stream").toString
+      Tables.events(spark, sfDir).limit(512)
+        .write.mode("overwrite").parquet(s"$wdir/slice")
+      val part = new java.io.File(s"$wdir/slice").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$wdir/events.parquet"))
+      val ck1 = java.nio.file.Files
+        .createTempDirectory("graft_warm_ck1").toString
+      graft.streaming.Streams.sessionizeStreamTws(spark, wdir, ck1,
+          gapMinutes = 30)
+        .write.format("noop").mode("overwrite").save()
+      val ck2 = java.nio.file.Files
+        .createTempDirectory("graft_warm_ck2").toString
+      graft.streaming.Streams.dailyEventAgg(spark, wdir, ck2,
+          statePartitions = 8)
+        .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed (continuing cold): " +
         e.getMessage)

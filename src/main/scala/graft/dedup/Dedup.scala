@@ -793,8 +793,12 @@ object Dedup {
     var converged = false
     while (!converged) {
       // labels of my neighbors; label of my label (comp values are vertex
-      // ids, so the self-join always resolves); my own label
-      val viaNeighbors = sym.join(labels, sym("dst") === labels("id"))
+      // ids, so the self-join always resolves); my own label.
+      // shuffle_hash: build the node-sized labels side and stream the
+      // E-row sym frame unsorted — the default SortMergeJoin re-sorts
+      // sym every round (guide §3.1; the Graph.runPageRank idiom)
+      val viaNeighbors = sym.join(labels.hint("shuffle_hash"),
+          sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("comp"))
       val viaLabel = labels.as("l1")
         .join(labels.as("l2"), col("l1.comp") === col("l2.id"))

@@ -162,12 +162,21 @@ object Graph {
       // previous staging action's observation (zero extra jobs);
       // symmetrized graphs have sinkSum = 0 throughout
       val sinkShare: Long = if (nSinks == 0L) 0L else sinkSum / n
-      val contrib = eDeg.join(ranks, eDeg("src") === ranks("node"))
+      // shuffle_hash on the node-sized sides (guide §3.1): the default
+      // SortMergeJoin re-SORTS the persisted E-row eDeg side every
+      // round (persist pins rows, not order). Hashing builds the
+      // bounded ranks/contrib side instead and streams eDeg unsorted —
+      // per round: one exchange of the node-sized frame, zero E-row
+      // sorts. (At plan-time-known small sizes Spark may still pick
+      // broadcast, which is strictly better; at scale the hint holds.)
+      val contrib = eDeg.join(ranks.hint("shuffle_hash"),
+          eDeg("src") === ranks("node"))
         .select(eDeg("dst").as("node"),
           expr("rank_micro div out").as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("in_sum"))
-      val next = flagged.join(contrib, Seq("node"), "left")
+      val next = flagged.join(contrib.hint("shuffle_hash"),
+          Seq("node"), "left")
         .select(col("node"), col("has_out"),
           (lit(teleport) +
             expr(s"($dampingPct * (coalesce(in_sum, 0L) + $sinkShare))" +
@@ -466,7 +475,10 @@ object Graph {
       // window's per-node sort pass (two hash aggs per round instead
       // of agg + sort-window; GraphSpec's sync-replica test pins the
       // tie-break either way)
-      val next = e.join(labels, e("src") === labels("node"))
+      // shuffle_hash: build the node-sized labels side, stream the
+      // persisted E-row edge list unsorted (see runPageRank's rationale)
+      val next = e.join(labels.hint("shuffle_hash"),
+          e("src") === labels("node"))
         .select(e("dst").as("node"), col("community"))
         .groupBy("node", "community")
         .agg(count(lit(1)).as("c"))
@@ -607,7 +619,10 @@ object Graph {
       // Sums run in decimal(38,0): a raw in-sum can exceed 2⁶³ on a
       // hub-heavy graph (indeg·Scale), exactly why DuckDB's SUM(BIGINT)
       // returns HUGEINT — the decimal keeps the two engines bit-equal
-      val aRaw = eBySrc.join(hubs, eBySrc("src") === hubs("node"))
+      // shuffle_hash both directions: build the node-sized score side,
+      // stream the persisted E-row list unsorted (runPageRank rationale)
+      val aRaw = eBySrc.join(hubs.hint("shuffle_hash"),
+          eBySrc("src") === hubs("node"))
         .groupBy(eBySrc("dst").as("node"))
         .agg(sum(col("score").cast("decimal(38,0)")).as("raw"))
       val (aStaged, aRow) = graft.Staging.stageObserved(aRaw,
@@ -619,7 +634,8 @@ object Graph {
         expr(s"cast((cast(raw as decimal(38,0)) * ${Scale}L)" +
           s" div ${aTotal} as long)").as("score"))
       // hubs: sum of out-neighbor authority scores, then L1-normalize
-      val hRaw = eByDst.join(auths, eByDst("dst") === auths("node"))
+      val hRaw = eByDst.join(auths.hint("shuffle_hash"),
+          eByDst("dst") === auths("node"))
         .groupBy(eByDst("src").as("node"))
         .agg(sum(col("score").cast("decimal(38,0)")).as("raw"))
       val (hStaged, hRow) = graft.Staging.stageObserved(hRaw,
@@ -704,12 +720,14 @@ object Graph {
     var iter = 0
     while (iter < iterations) {
       val sinkShare: Long = if (nSinks == 0L) 0L else sinkSum / n
-      val contrib = eDeg.join(ranks, eDeg("src") === ranks("node"))
+      val contrib = eDeg.join(ranks.hint("shuffle_hash"),
+          eDeg("src") === ranks("node"))
         .select(eDeg("dst").as("node"),
           expr("rank_micro div out").as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("in_sum"))
-      val next = flagged.join(contrib, Seq("node"), "left")
+      val next = flagged.join(contrib.hint("shuffle_hash"),
+          Seq("node"), "left")
         .select(col("node"), col("has_out"), col("is_seed"),
           (when(col("is_seed"), lit(teleportSeed)).otherwise(lit(0L)) +
             expr(s"($dampingPct * (coalesce(in_sum, 0L) + $sinkShare))" +
@@ -783,13 +801,15 @@ object Graph {
     var iter = 0
     while (iter < iterations) {
       val sinkShare: Long = if (nSinks == 0L) 0L else sinkSum / n
-      val contrib = eW.join(ranks, eW("src") === ranks("node"))
+      val contrib = eW.join(ranks.hint("shuffle_hash"),
+          eW("src") === ranks("node"))
         .select(eW("dst").as("node"),
           expr("cast((cast(rank_micro as decimal(38,0)) * w) div wsum" +
             " as long)").as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("in_sum"))
-      val next = flagged.join(contrib, Seq("node"), "left")
+      val next = flagged.join(contrib.hint("shuffle_hash"),
+          Seq("node"), "left")
         .select(col("node"), col("has_out"),
           (lit(teleport) +
             expr(s"($dampingPct * (coalesce(in_sum, 0L) + $sinkShare))" +
@@ -902,10 +922,12 @@ object Graph {
       prevSum = s
       survivors = kept
       if (!converged) {
-        e = e.join(kept.select(col("node").as("lo")), Seq("lo"),
-            "left_semi")
-          .join(kept.select(col("node").as("hi")), Seq("hi"),
-            "left_semi")
+        // shuffle_hash: semi-join builds the node-sized survivor set,
+        // streaming the E-row edge list unsorted (runPageRank rationale)
+        e = e.join(kept.select(col("node").as("lo"))
+              .hint("shuffle_hash"), Seq("lo"), "left_semi")
+          .join(kept.select(col("node").as("hi"))
+              .hint("shuffle_hash"), Seq("hi"), "left_semi")
           .stage()
       }
       round += 1
@@ -958,7 +980,7 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"),
       col(tsCol).cast("long").as("ts"))
-      .repartition(col("src")).stage()
+      .repartition(col("src")).stage() // stage(), not persist(): the checkpointed edge list carries accurate size stats, so the planner can broadcast it outright when it fits — measured faster than pinning the partitioning (0.75x with persist) because these loops' frontiers are tiny
     var state = seeds.select(col("node").cast("long").as("node"))
       .distinct()
       .select(col("node"), lit(startTs).as("arrival"))
@@ -967,6 +989,11 @@ object Graph {
     var frontier = state
     var hop = 0
     while (hop < maxHops) {
+      // NO shuffle_hash hint here: the changed-only frontier is tiny in
+      // the common case and the planner's broadcast of it beats a forced
+      // shuffle (measured 0.86x with the hint); when the frontier
+      // outgrows broadcast the persisted src-partitioning below still
+      // caps the join at one frontier-sized exchange
       val cand = e.join(frontier.select(col("node").as("src"),
           col("arrival").as("src_arr")), Seq("src"))
         .filter(col("ts") >= col("src_arr"))
@@ -1027,7 +1054,7 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"),
       col(wCol).cast("long").as("w"))
-      .repartition(col("src")).stage()
+      .repartition(col("src")).stage() // stage(), not persist(): the checkpointed edge list carries accurate size stats, so the planner can broadcast it outright when it fits — measured faster than pinning the partitioning (0.75x with persist) because these loops' frontiers are tiny
     var state = seeds.select(col("node").cast("long").as("node"))
       .distinct()
       .select(col("node"), lit(0L).as("dist"))
@@ -1036,6 +1063,8 @@ object Graph {
     var frontier = state
     var round = 0
     while (round < maxRounds) {
+      // no hint: broadcast of the small changed-only frontier wins
+      // (see temporalReachability)
       val cand = e.join(frontier.select(col("node").as("src"),
           col("dist").as("src_dist")), Seq("src"))
         .groupBy(col("dst").as("node"))
@@ -1083,7 +1112,7 @@ object Graph {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-      .repartition(col("src")).stage()
+      .repartition(col("src")).persist() // NOT stage(): a checkpoint ERASES outputPartitioning and every round would re-exchange the E-row edge list (the eDeg idiom)
     var settled = seeds.select(col("node").cast("long").as("node"))
       .distinct()
       .select(col("node").as("lm"), col("node"), lit(0).as("hops"))
@@ -1093,7 +1122,7 @@ object Graph {
     var hop = 0
     while (hop < maxHops) {
       val reached = e.join(frontier.select(col("lm"),
-          col("node").as("src")), Seq("src"))
+          col("node").as("src")).hint("shuffle_hash"), Seq("src"))
         .select(col("lm"), col("dst").as("node")).distinct()
         .join(settled.select("lm", "node"), Seq("lm", "node"),
           "left_anti")
@@ -1146,7 +1175,7 @@ object Graph {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-      .repartition(col("src")).stage()
+      .repartition(col("src")).stage() // stage(), not persist(): the checkpointed edge list carries accurate size stats, so the planner can broadcast it outright when it fits — measured faster than pinning the partitioning (0.75x with persist) because these loops' frontiers are tiny
     var settled = seeds.select(col("node").cast("long").as("node"))
       .distinct()
       .select(col("node"), lit(0).as("hops"))
@@ -1155,6 +1184,8 @@ object Graph {
     var frontier = settled
     var hop = 0
     while (hop < maxHops) {
+      // no hint: broadcast of the small frontier wins (see
+      // temporalReachability)
       val reached = e.join(frontier.select(col("node").as("src")),
           Seq("src"))
         .select(col("dst").as("node")).distinct()

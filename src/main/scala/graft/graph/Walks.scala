@@ -66,12 +66,18 @@ object Walks {
       .stage()
     var out = frontier.withColumn("step", lit(0))
     for (t <- 1 to steps) {
-      // md5("start|walk|t") mod degree — one adjacency row per walk
+      // md5("start|walk|t") mod degree — one adjacency row per walk.
+      // shuffle_hash with the WALK side as build (guide §3.1): the
+      // default SortMergeJoin re-sorts the persisted E-row adjacency
+      // every step (persist pins rows, not order); hashing the bounded
+      // frontier instead streams the adjacency unsorted, so each step
+      // pays one walk-sized exchange and zero E-row sorts.
       frontier = frontier
-        .join(deg, col("node") === col("d_src"))
+        .join(deg.hint("shuffle_hash"), col("node") === col("d_src"))
         .withColumn("pick",
           conv(substring(md5(concat_ws("|", col("start"), col("walk"),
             lit(t))), 1, 8), 16, 10).cast("long") % col("deg"))
+        .hint("shuffle_hash")
         .join(adj, col("node") === col("a_src") &&
           col("pick") === col("a_rk"))
         .select(col("start"), col("walk"), col("a_dst").as("node"))
@@ -149,6 +155,10 @@ object Walks {
       .select(col("start"), col("walk"), lit(0).as("step"),
         col("start").as("node"))
     // step 1: uniform (no prev yet) — same keyed pick as randomWalks
+    // deliberately NO shuffle_hash hints in node2vec (unlike
+    // randomWalks): its graph is the small support-filtered cut, where
+    // the planner's broadcasts beat forced shuffles at every step
+    // (measured 0.63x with the hints forced)
     var frontier = starts
       .select(col("start"), col("walk"), col("start").as("node"))
       .join(deg, col("node") === col("d_src"))
@@ -178,7 +188,11 @@ object Walks {
       val marked = proposals
         // ONE edge-existence probe classifies the proposal: is cand a
         // neighbor of prev? (the common-neighbor class) — never a
-        // common-neighbor LIST materialization
+        // common-neighbor LIST materialization. Deliberately NOT
+        // shuffle_hash: a LEFT OUTER join can only hash-build its
+        // RIGHT side, and that is the E-row adjacency — sort-merge
+        // spills gracefully where an E-sized per-partition hash map
+        // is the §5 OOM shape.
         .join(adj.select(col("a_src").as("m_src"),
           col("a_dst").as("m_dst"), lit(1).as("m")),
           col("prev") === col("m_src") && col("cand") === col("m_dst"),

@@ -89,8 +89,13 @@ private[graft] object DedupQueries {
     // a verified SUBSET of truth, so recall = |lsh| / |truth|
     "q_lsh_recall" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // staged: truth feeds BOTH the denominator count and the hit
+      // join; unstaged, the whole exact AllPairs candidate join +
+      // verify ran twice (the two consumers prune different columns,
+      // so no exchange reuse) — measured ~2× the truth cost per run
       val truth = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.8)
         .select("doc_a", "doc_b")
+        .stage()
       val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
           numPerms = 8, numBands = 4, threshold = 0.8)
         .select("doc_a", "doc_b")

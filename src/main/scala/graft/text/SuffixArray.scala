@@ -56,7 +56,22 @@ object SuffixArray {
     * every rank is unique or the doubled span covers the longest
     * document, whichever comes first (convergence is observed on the
     * round's own checkpoint job — no extra scan per round). */
-  def ranks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def ranks(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    rankKeys(docs, idCol, textCol, fuseFinal = false)._1
+
+  /** The prefix-doubling loop behind [[ranks]], generalized so the
+    * FINAL round can skip its dense re-rank: with `fuseFinal` the last
+    * round (final by the covered-span condition) returns the raw
+    * (r, r2) pair plus the ordering keys — the pair is equal iff the
+    * full suffixes are equal and its lexicographic order IS suffix
+    * order, which is all [[suffixArray]]'s global sort needs. The
+    * re-rank of that round existed only to compress the pair back to
+    * one dense column; for a consumer that immediately range-sorts,
+    * that is one whole corpus-sized exchange + in-partition rank +
+    * checkpoint paid for nothing (guide §2.4 — remove shuffles
+    * outright). Returns (frame, ordering keys ("r" or "r", "r2")). */
+  private def rankKeys(docs: DataFrame, idCol: String, textCol: String,
+                       fuseFinal: Boolean): (DataFrame, Seq[Column]) = {
     // round 0: dense rank of the leading initSpan-token slice, built
     // SCAN-LOCAL — slice(toks, pos, k) in the same projection as the
     // posexplode, so no per-doc window (the lead()-struct form paid a
@@ -71,13 +86,13 @@ object SuffixArray {
         posexplode(col("__t")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         slice(col("__t"), col("p0") + 1, lit(initSpan)).as("g"))
+    // NO repartition(doc_id) before the stage: a checkpoint ERASES
+    // outputPartitioning, so the next round's per-doc window re-exchanges
+    // regardless — the repartition was one dead corpus-sized exchange
+    // per round (caught in the r13 plan dumps)
     val (first, m0) = stageObserved(
       windows.distributedDenseRank(grams, Seq(col("g")), rankName = "r")
-        .select(col("doc_id"), col("pos"), col("r"))
-        // keep round state clustered by doc_id: the shift self-join's
-        // ClusteredDistribution((doc_id, pos)) is satisfied by the
-        // subset partitioning, so each round's join needs NO exchange
-        .repartition(col("doc_id")),
+        .select(col("doc_id"), col("pos"), col("r")),
       count(lit(1)).as("n"), max(col("r")).as("k"),
       max(col("pos")).as("maxlen"))
     var cur = first
@@ -86,28 +101,38 @@ object SuffixArray {
     var distinctRanks = m0("k").asInstanceOf[Long]
     var covered = initSpan.toLong
     while (covered < maxLen && distinctRanks < n) {
-      // rank of the suffix `covered` positions later, same doc
-      // (0 = none): both join sides derive from the SAME doc_id-
-      // partitioned staged frame — zero exchanges here
-      val shifted = cur.select(col("doc_id"),
-        (col("pos") - covered).as("pos"), col("r").as("r2"))
-      val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
-        .select(col("doc_id"), col("pos"), col("r"),
-          coalesce(col("r2"), lit(0L)).as("r2"))
+      // rank of the suffix `covered` positions later, same doc (0 =
+      // none). Positions are consecutive 1..len within a doc, so that
+      // row is exactly `covered` rows later in (doc_id, pos) order —
+      // ONE per-doc lead() window over the already-doc-partitioned
+      // staged frame (no exchange, one in-partition sort) where the
+      // shift self-join paid two sorts + a merge join per round.
+      // (lead() needs an Int offset; doc lengths past 2³¹ would need
+      // the join form back — no corpus has 2-billion-token documents.)
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val paired = cur.select(col("doc_id"), col("pos"), col("r"),
+        coalesce(lead(col("r"), covered.toInt).over(wDoc), lit(0L))
+          .as("r2"))
+      if (fuseFinal && covered * 2 >= maxLen) {
+        // final round by the covered condition: hand the (r, r2) pair
+        // straight to the caller's global sort — no re-rank, no
+        // checkpoint, no doc_id re-partition
+        return (paired, Seq(col("r"), col("r2")))
+      }
       // dense re-rank of the (r, r2) pairs: r is last round's dense
       // rank 1..K with K ON THE DRIVER (observed), so the range bucket
       // is plain arithmetic — no repartitionByRange, whose hidden
       // per-round SAMPLING job re-executes the whole join subtree
       val (staged, m) = stageObserved(
         denseRankBucketed(paired, distinctRanks, rankName = "nr")
-          .select(col("doc_id"), col("pos"), col("nr").as("r"))
-          .repartition(col("doc_id")),
+          .select(col("doc_id"), col("pos"), col("nr").as("r")),
         max(col("r")).as("k"))
       cur = staged
       distinctRanks = m("k").asInstanceOf[Long]
       covered *= 2
     }
-    cur
+    (cur, Seq(col("r")))
   }
 
   /** Dense rank of (r, r2) pairs where r ∈ 1..`k` is ALREADY a dense
@@ -152,14 +177,20 @@ object SuffixArray {
 
   /** The suffix array itself: every (doc_id, pos) with its 1-based global
     * rank `sa_rank` in lexicographic token-suffix order, ties (equal
-    * suffixes across documents) broken by (doc_id, pos). */
+    * suffixes across documents) broken by (doc_id, pos). The final
+    * doubling round's (r, r2) pair feeds the global range sort directly
+    * (`fuseFinal` — see [[rankKeys]]): the pair orders exactly like the
+    * dense rank the old final re-rank produced, so sa_rank is identical
+    * and the build saves one corpus-sized exchange + rank + checkpoint. */
   def suffixArray(docs: DataFrame, idCol: String, textCol: String)
-  : DataFrame =
-    windows.distributedPrefixSum(ranks(docs, idCol, textCol),
-        Seq(col("r"), col("doc_id"), col("pos")), lit(0L),
+  : DataFrame = {
+    val (keyed, keys) = rankKeys(docs, idCol, textCol, fuseFinal = true)
+    windows.distributedPrefixSum(keyed,
+        keys ++ Seq(col("doc_id"), col("pos")), lit(0L),
         cumName = "__c", rankName = "sa_rank")
       .select(col("doc_id"), col("pos"),
         col("sa_rank").cast("long").as("sa_rank"))
+  }
 
   /** Common-prefix length of two already-`cap`-bounded token slices:
     * zip_with pads the shorter side with null (≠ anything), the sentinel
