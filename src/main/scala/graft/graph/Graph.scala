@@ -555,11 +555,13 @@ object Graph {
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .stage()
     val emptyNbrs = array().cast("array<long>")
+    // shuffle_hash: the adjacency is V rows (E total array payload);
+    // building it beats sorting the E-row oriented side per probe
     g.oriented
-      .join(adj.select(col("src").as("u"), col("nbrs").as("nu")),
-        col("src") === col("u"))
-      .join(adj.select(col("src").as("v"), col("nbrs").as("nv0")),
-        col("dst") === col("v"), "left")
+      .join(adj.select(col("src").as("u"), col("nbrs").as("nu"))
+        .hint("shuffle_hash"), col("src") === col("u"))
+      .join(adj.select(col("src").as("v"), col("nbrs").as("nv0"))
+        .hint("shuffle_hash"), col("dst") === col("v"), "left")
       .select(col("src"), col("dst"), col("nu"),
         coalesce(col("nv0"), emptyNbrs).as("nv"))
   }

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.SparkSpec
 
@@ -61,6 +62,35 @@ class SuffixArraySpec extends SparkSpec {
       .orderBy("sa_rank")
       .collect().map { case Row(id: Long, p: Long, _) => (id, p) }.toSeq
     assert(got === bruteSa(longCorpus))
+  }
+
+  test("fused final round ≡ dense re-rank: suffixArray matches the " +
+    "prefix sum over ranks()") {
+    // suffixArray skips the LAST doubling round's dense re-rank and
+    // sorts on the raw (r, r2) pair (rankKeys fuseFinal); ranks() still
+    // re-ranks every round. The two must order identically — pinned on
+    // the doubling-exercising corpus so the fused branch actually fires
+    val shared = (1 to 40).map(i => s"tok${i % 7}").mkString(" ")
+    val longCorpus = Seq(
+      (10L, s"$shared alpha beta gamma delta epsilon zeta"),
+      (11L, s"$shared alpha beta gamma delta epsilon eta"),
+      (12L, s"prefix $shared alpha beta gamma delta epsilon zeta"),
+      (13L, (1 to 70).map(i => s"w${i % 5}").mkString(" ")))
+    val df = longCorpus.toDF("doc_id", "text")
+    val fused = SuffixArray.suffixArray(df, "doc_id", "text")
+      .orderBy("sa_rank")
+      .collect().map { case Row(id: Long, p: Long, r: Long) =>
+        (id, p, r) }.toSeq
+    val unfused = graft.ops.windows.distributedPrefixSum(
+        SuffixArray.ranks(df, "doc_id", "text"),
+        Seq(col("r"), col("doc_id"), col("pos")), lit(0L),
+        cumName = "__c", rankName = "sa_rank")
+      .select(col("doc_id"), col("pos"),
+        col("sa_rank").cast("long").as("sa_rank"))
+      .orderBy("sa_rank")
+      .collect().map { case Row(id: Long, p: Long, r: Long) =>
+        (id, p, r) }.toSeq
+    assert(fused === unfused)
   }
 
   test("sa_rank is a 1..n permutation") {
